@@ -1,13 +1,505 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.functions.CleanValue._
+import graft.functions.TextFunctions._
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+
+/** Driver contract — one entry per implemented operator from SURVEY.md §2,
+  * each with (where SQL-expressible) a DuckDB oracle in [[SparkEntry.oracleSql]].
+  *
+  * Float determinism policy: every floating-point SUM goes through a
+  * DECIMAL cast (exact, order-independent) and is cast back to DOUBLE at
+  * the end; ratios are exact integer divisions in double; outputs carrying
+  * more precision are round(_, 4)-ed identically on both sides. This makes
+  * the driver's hash compare robust to aggregation order.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.table(s, dir, name)
+
+  /** sum(CAST(c AS DECIMAL(18,scale))) surfaced as DOUBLE — exact,
+    * aggregation-order-independent.
+    */
+  private def decSum(c: Column, scale: Int = 4): Column =
+    sum(c.cast(s"decimal(18,$scale)")).cast("double")
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q11_join_multiway")(spark, "/root/testdata/sf0.001")
+
+  // ---------------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A4/A6 + P2: grouped aggregation sweep (TPC-H Q1 shape)
+    "q01_pricing_summary" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          decSum(col("l_quantity"), 2).as("sum_qty"),
+          decSum(col("l_extendedprice"), 4).as("sum_base_price"),
+          (decSum(col("l_quantity"), 2) / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("count_order"))),
+
+    // A1/A2: duplicate counts (count - count distinct), single + composite key
+    "q02_dup_count" -> ((s, d) =>
+      t(s, d, "orders").agg(
+        (count(lit(1)) - count_distinct(col("o_custkey"))).as("dup_by_cust"),
+        (count(lit(1)) - count_distinct(col("o_custkey"), col("o_orderdate")))
+          .as("dup_by_cust_date"))),
+
+    // A3/A4: one-pass per-column null audit
+    "q03_null_audit" -> ((s, d) => {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax", "l_shipdate")
+      val aggs = count(lit(1)).as("total_rows") +:
+        cols.map(c => sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls_$c"))
+      t(s, d, "lineitem").agg(aggs.head, aggs.tail: _*)
+    }),
+
+    // A5/A6: global min/max + count
+    "q04_minmax" -> ((s, d) =>
+      t(s, d, "orders").agg(
+        date_format(min(col("o_orderdate")), "yyyy-MM-dd HH:mm:ss").as("min_date"),
+        date_format(max(col("o_orderdate")), "yyyy-MM-dd HH:mm:ss").as("max_date"),
+        count(lit(1)).as("total_rows"))),
+
+    // F4/A7/S12: quality-audit shape — range-constraint anomaly counts + rate
+    "q05_quality_audit" -> ((s, d) => {
+      def anom(c: String, lo: Double, hi: Double) =
+        sum(when(col(c).isNotNull && (col(c) < lo || col(c) > hi), 1L).otherwise(0L))
+      t(s, d, "lineitem").agg(
+        count(lit(1)).as("total_rows"),
+        anom("l_quantity", 1, 50).as("anom_qty"),
+        anom("l_discount", 0, 0.05).as("anom_disc"),
+        anom("l_tax", 0, 0.04).as("anom_tax"),
+        round((anom("l_quantity", 1, 50) + anom("l_discount", 0, 0.05)
+          + anom("l_tax", 0, 0.04)).cast("double") / count(lit(1)) * 100, 4)
+          .as("error_rate_pct"))
+    }),
+
+    // S1/S2: clean_value unit-suffix parser + °F→°C on synthesized dirty strings
+    "q06_clean_value" -> ((s, d) => {
+      val dirty = concat(col("p_size").cast("string"), lit(","),
+        (col("p_partkey") % 10).cast("string"), lit(" °F"))
+      t(s, d, "part").select(
+        col("p_partkey"),
+        cleanValue(dirty).as("clean_val"),
+        round(fahrenheitToCelsius(cleanValue(dirty)), 4).as("temp_c"))
+    }),
+
+    // S7: the reference's exact rain-coalesce falsy-gate ladder
+    "q07_rain_coalesce" -> ((s, d) => {
+      val p1 = when(col("p_partkey") % 3 === 0, lit(null).cast("string"))
+        .when(col("p_partkey") % 3 === 1, lit(""))
+        .otherwise(col("p_size").cast("string"))
+      val p3 = when(col("p_partkey") % 2 === 0, lit("7.5"))
+        .otherwise(lit(null).cast("string"))
+      t(s, d, "part").select(
+        col("p_partkey"),
+        graft.etl.WeatherTransforms.rainAccum(p1, p3).as("rain_mm"))
+    }),
+
+    // S8/S10: timestamp parse with null-on-failure coercion
+    "q08_date_parse" -> ((s, d) => {
+      val sCol = when(col("o_orderkey") % 13 === 0, lit("not a time"))
+        .otherwise(concat(lit("2024-10-0"), ((col("o_orderkey") % 7) + 1).cast("string"),
+          lit(" "), lpad((col("o_orderkey") % 24).cast("string"), 2, "0"), lit(":30:00")))
+      t(s, d, "orders").select(
+        col("o_orderkey"),
+        date_format(graft.etl.WeatherTransforms.parsedTimestamp(sCol),
+          "yyyy-MM-dd HH:mm:ss").as("parsed_ts"))
+    }),
+
+    // J2 + A: explode + aggregate + top-k (wordcount)
+    "q09_wordcount" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(explode(tokens(col("text"))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("w"))
+        .limit(100)),
+
+    // Join (broadcast dim) + grouped agg
+    "q10_join_broadcast" -> ((s, d) =>
+      t(s, d, "orders")
+        .join(broadcast(t(s, d, "customer")), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"), decSum(col("o_totalprice")).as("revenue"))),
+
+    // Multiway join: fact-fact shuffle join + broadcast dim
+    "q11_join_multiway" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val o = t(s, d, "orders")
+      val c = t(s, d, "customer")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"), col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n_lines"),
+          // exact decimal sum, surfaced as its full-scale string: decimal
+          // rescale/double-cast behavior differs between engines (Spark
+          // rounds, DuckDB truncates; int128→double isn't correctly
+          // rounded), but the scale-10 decimal itself is exact in both
+          sum((col("l_extendedprice").cast("decimal(18,4)") *
+            (lit(1.0) - col("l_discount")).cast("decimal(8,6)")))
+            .cast("decimal(38,10)").cast("string").as("revenue"))
+    }),
+
+    // Left-semi join (EXISTS)
+    "q12_semi_join" -> ((s, d) =>
+      t(s, d, "customer")
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))),
+
+    // Left-anti join (NOT EXISTS): customers with no recent order
+    "q13_anti_join" -> ((s, d) =>
+      t(s, d, "customer")
+        .join(t(s, d, "orders")
+          .filter(col("o_orderdate") >= lit("2001-01-01").cast("timestamp")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))),
+
+    // Window: ranking (top-n per group)
+    "q14_window_topn" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, d, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("rn"))
+    }),
+
+    // Window: running frame + lag
+    "q15_window_running" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ns"), col("event_id"))
+      Tables.events(s, d).select(
+        col("event_id"),
+        sum(col("value").cast("decimal(18,6)")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double").as("running_value"),
+        lag(col("value"), 1).over(w).as("prev_value"))
+    }),
+
+    // Grouping sets: rollup
+    "q16_rollup" -> ((s, d) =>
+      t(s, d, "orders")
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"))),
+
+    // Sort + limit (TakeOrderedAndProject)
+    "q17_topk" -> ((s, d) =>
+      t(s, d, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .limit(100)),
+
+    // Set op: EXCEPT (distinct): in-debt customers with no jumbo order
+    "q18_except" -> ((s, d) =>
+      t(s, d, "customer").filter(col("c_acctbal") < 0)
+        .select(col("c_custkey").as("k"))
+        .except(t(s, d, "orders").filter(col("o_totalprice") > 450000)
+          .select(col("o_custkey").as("k")))),
+
+    // Set op: INTERSECT (distinct): in-debt customers WITH a jumbo order
+    "q19_intersect" -> ((s, d) =>
+      t(s, d, "customer").filter(col("c_acctbal") < 0)
+        .select(col("c_custkey").as("k"))
+        .intersect(t(s, d, "orders").filter(col("o_totalprice") > 300000)
+          .select(col("o_custkey").as("k")))),
+
+    // U1: union-all + grouped count
+    "q20_union" -> ((s, d) =>
+      t(s, d, "customer").select(col("c_nationkey").as("nationkey"))
+        .unionByName(t(s, d, "supplier").select(col("s_nationkey").as("nationkey")))
+        .groupBy(col("nationkey")).agg(count(lit(1)).as("n"))),
+
+    // Streaming-shaped tumbling-window agg (batch form)
+    "q21_events_hourly" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(
+          date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour_ts"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), decSum(col("value"), 6).as("sum_value"))),
+
+    // Semi-structured: JSON field extraction + agg
+    "q22_json_extract" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy((col("k") % 10).as("k_bucket"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))),
+
+    // Exact dedup keyed on content value
+    "q23_dedup_exact" -> ((s, d) =>
+      Dedup.exactGroupsByValue(t(s, d, "documents"), "text", "doc_id")),
+
+    // Exact full-row dedup (DISTINCT *)
+    "q24_dedup_distinct" -> ((s, d) =>
+      t(s, d, "lineitem").distinct().agg(count(lit(1)).as("n_distinct"))),
+
+    // Text analysis: per-document token statistics
+    "q25_token_stats" -> ((s, d) =>
+      TextAnalysis.tokenStats(t(s, d, "documents"), "doc_id", "text")),
+
+    // Text analysis: composite quality score
+    "q26_quality_score" -> ((s, d) =>
+      TextAnalysis.qualityScores(t(s, d, "documents"), "doc_id", "text")),
+
+    // Text analysis: language id (heuristic; no SQL oracle)
+    "q27_lang_id" -> ((s, d) =>
+      TextAnalysis.langId(t(s, d, "documents"), "doc_id", "text")),
+
+    // Fingerprints via custom Catalyst expressions (no SQL oracle)
+    "q28_fingerprints" -> ((s, d) =>
+      TextAnalysis.fingerprints(t(s, d, "documents"), "doc_id", "text")),
+
+    // MinHash+LSH near-dup candidates with exact-Jaccard rerank (no oracle)
+    "q29_minhash_neardups" -> ((s, d) =>
+      Dedup.minHashNearDups(t(s, d, "documents"), "doc_id", "text",
+        shingleSize = 3, numHashes = 16, numBands = 4, jaccardThreshold = 0.3)),
+
+    // SimHash near-dup pairs (no oracle)
+    "q30_simhash_neardups" -> ((s, d) =>
+      Dedup.simHashNearDups(t(s, d, "documents"), "doc_id", "text", maxHamming = 3)),
+
+    // Exact cosine threshold pairs (subsampled corpus; oracle-checked)
+    "q31_cosine_pairs" -> ((s, d) =>
+      Similarity.thresholdPairs(
+        t(s, d, "embeddings").filter(col("vec_id") % 10 === 0), 0.25)
+        .withColumn("cosine", round(col("cosine"), 4))),
+
+    // Exact cosine top-k per probe (oracle-checked)
+    "q32_cosine_topk" -> ((s, d) =>
+      Similarity.bruteForceTopK(
+        t(s, d, "embeddings"),
+        t(s, d, "embeddings").filter(col("vec_id") < 5), k = 10)
+        .withColumn("cosine", round(col("cosine"), 4))),
+
+    // Approximate distinct (HLL++; no oracle — approx by design)
+    "q33_approx_distinct" -> ((s, d) =>
+      t(s, d, "lineitem").agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        approx_count_distinct(col("l_orderkey")).as("approx_orders"))),
+
+    // LSH-bucketed ANN top-k (approx; no oracle)
+    "q34_lsh_topk" -> ((s, d) =>
+      Similarity.lshTopK(
+        t(s, d, "embeddings"),
+        t(s, d, "embeddings").filter(col("vec_id") < 5), k = 10)
+        .withColumn("cosine", round(col("cosine"), 4))),
+
+    // Char-ngram MinHash near-dups with exact Jaccard rerank (no oracle)
+    "q35_ngram_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text",
+        n = 5, threshold = 0.3)))
+
+  // ------------------------------------------------------------- oracle SQL
+
+  private val tokensSql =
+    "list_filter(string_split_regex(lower(text), '\\s+'), tk -> tk <> '')"
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+        | count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_dup_count" ->
+      """SELECT count(*) - count(DISTINCT o_custkey) AS dup_by_cust,
+        | count(*) - count(DISTINCT (o_custkey, o_orderdate)) AS dup_by_cust_date
+        |FROM orders""".stripMargin,
+
+    "q03_null_audit" ->
+      """SELECT count(*) AS total_rows,
+        | sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS nulls_l_quantity,
+        | sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS nulls_l_extendedprice,
+        | sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS nulls_l_discount,
+        | sum(CASE WHEN l_tax IS NULL THEN 1 ELSE 0 END) AS nulls_l_tax,
+        | sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS nulls_l_shipdate
+        |FROM lineitem""".stripMargin,
+
+    "q04_minmax" ->
+      """SELECT strftime(min(o_orderdate), '%Y-%m-%d %H:%M:%S') AS min_date,
+        | strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S') AS max_date,
+        | count(*) AS total_rows
+        |FROM orders""".stripMargin,
+
+    "q05_quality_audit" ->
+      """SELECT count(*) AS total_rows,
+        | sum(CASE WHEN l_quantity IS NOT NULL AND (l_quantity < 1 OR l_quantity > 50) THEN 1 ELSE 0 END) AS anom_qty,
+        | sum(CASE WHEN l_discount IS NOT NULL AND (l_discount < 0 OR l_discount > 0.05) THEN 1 ELSE 0 END) AS anom_disc,
+        | sum(CASE WHEN l_tax IS NOT NULL AND (l_tax < 0 OR l_tax > 0.04) THEN 1 ELSE 0 END) AS anom_tax,
+        | round((sum(CASE WHEN l_quantity IS NOT NULL AND (l_quantity < 1 OR l_quantity > 50) THEN 1 ELSE 0 END)
+        |   + sum(CASE WHEN l_discount IS NOT NULL AND (l_discount < 0 OR l_discount > 0.05) THEN 1 ELSE 0 END)
+        |   + sum(CASE WHEN l_tax IS NOT NULL AND (l_tax < 0 OR l_tax > 0.04) THEN 1 ELSE 0 END))::DOUBLE
+        |   / count(*) * 100, 4) AS error_rate_pct
+        |FROM lineitem""".stripMargin,
+
+    "q06_clean_value" ->
+      """SELECT p_partkey,
+        | TRY_CAST(regexp_replace(replace(p_size::VARCHAR || ',' || (p_partkey % 10)::VARCHAR || ' °F', ',', '.'), '\s|°F|mph|in|w/m²|%', '', 'g') AS DOUBLE) AS clean_val,
+        | round((TRY_CAST(regexp_replace(replace(p_size::VARCHAR || ',' || (p_partkey % 10)::VARCHAR || ' °F', ',', '.'), '\s|°F|mph|in|w/m²|%', '', 'g') AS DOUBLE) - 32.0) * 5.0 / 9.0, 4) AS temp_c
+        |FROM part""".stripMargin,
+
+    "q07_rain_coalesce" ->
+      """WITH src AS (
+        | SELECT p_partkey,
+        |  CASE WHEN p_partkey % 3 = 0 THEN NULL WHEN p_partkey % 3 = 1 THEN '' ELSE p_size::VARCHAR END AS p1,
+        |  CASE WHEN p_partkey % 2 = 0 THEN '7.5' ELSE NULL END AS p3
+        | FROM part)
+        |SELECT p_partkey,
+        | CASE WHEN p1 IS NOT NULL THEN (CASE WHEN p1 = '' THEN 0.0 ELSE coalesce(TRY_CAST(p1 AS DOUBLE), 0.0) END)
+        |      WHEN p3 IS NOT NULL THEN (CASE WHEN p3 = '' THEN 0.0 ELSE coalesce(TRY_CAST(p3 AS DOUBLE), 0.0) END)
+        |      ELSE 0.0 END AS rain_mm
+        |FROM src""".stripMargin,
+
+    "q08_date_parse" ->
+      """WITH src AS (
+        | SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 13 = 0 THEN 'not a time'
+        |       ELSE '2024-10-0' || ((o_orderkey % 7) + 1)::VARCHAR || ' ' || lpad((o_orderkey % 24)::VARCHAR, 2, '0') || ':30:00' END AS s
+        | FROM orders)
+        |SELECT o_orderkey, strftime(TRY_CAST(s AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS parsed_ts
+        |FROM src""".stripMargin,
+
+    "q09_wordcount" ->
+      s"""SELECT w, count(*) AS cnt
+         |FROM (SELECT unnest($tokensSql) AS w FROM documents)
+         |GROUP BY w ORDER BY cnt DESC, w LIMIT 100""".stripMargin,
+
+    "q10_join_broadcast" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
+
+    "q11_join_multiway" ->
+      """SELECT c_mktsegment, o_orderpriority, count(*) AS n_lines,
+        | CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1.0 - l_discount AS DECIMAL(8,6))) AS DECIMAL(38,10)) AS VARCHAR) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment, o_orderpriority""".stripMargin,
+
+    "q12_semi_join" ->
+      """SELECT c_mktsegment, count(*) AS n FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_mktsegment""".stripMargin,
+
+    "q13_anti_join" ->
+      """SELECT c_mktsegment, count(*) AS n FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2001-01-01')
+        |GROUP BY c_mktsegment""".stripMargin,
+
+    "q14_window_topn" ->
+      """SELECT o_custkey, o_orderkey, rn FROM (
+        | SELECT o_custkey, o_orderkey,
+        |  row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        | FROM orders) WHERE rn <= 3""".stripMargin,
+
+    "q15_window_running" ->
+      """SELECT event_id,
+        | CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value,
+        | lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
+        |FROM events""".stripMargin,
+
+    "q16_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+        |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""".stripMargin,
+
+    "q17_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    "q18_except" ->
+      """SELECT c_custkey AS k FROM customer WHERE c_acctbal < 0
+        |EXCEPT SELECT o_custkey AS k FROM orders WHERE o_totalprice > 450000""".stripMargin,
+
+    "q19_intersect" ->
+      """SELECT c_custkey AS k FROM customer WHERE c_acctbal < 0
+        |INTERSECT SELECT o_custkey AS k FROM orders WHERE o_totalprice > 300000""".stripMargin,
+
+    "q20_union" ->
+      """SELECT nationkey, count(*) AS n FROM (
+        | SELECT c_nationkey AS nationkey FROM customer
+        | UNION ALL SELECT s_nationkey AS nationkey FROM supplier)
+        |GROUP BY nationkey""".stripMargin,
+
+    "q21_events_hourly" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_ts,
+        | event_type, count(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q22_json_extract" ->
+      """SELECT k % 10 AS k_bucket, count(*) AS n, sum(k) AS sum_k
+        |FROM (SELECT TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k FROM events)
+        |GROUP BY 1""".stripMargin,
+
+    "q23_dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS copies
+        |FROM documents GROUP BY text""".stripMargin,
+
+    "q24_dedup_distinct" ->
+      "SELECT count(*) AS n_distinct FROM (SELECT DISTINCT * FROM lineitem)",
+
+    "q25_token_stats" ->
+      s"""WITH tk AS (SELECT doc_id, text, $tokensSql AS toks FROM documents)
+         |SELECT doc_id,
+         | length(text) AS n_chars,
+         | len(toks) AS n_tokens,
+         | round(CASE WHEN length(text) > 0
+         |   THEN (length(text) - length(regexp_replace(text, '[.,;:!?''"()\\-]', '', 'g')))::DOUBLE / length(text)
+         |   ELSE 0.0 END, 4) AS punct_ratio,
+         | round(CASE WHEN len(toks) > 0
+         |   THEN len(list_filter(toks, tk2 -> list_contains(['the','a','an','and','or','of','to','in','is','it'], tk2)))::DOUBLE / len(toks)
+         |   ELSE 0.0 END, 4) AS stopword_ratio,
+         | CASE WHEN len(toks) > 0
+         |   THEN round(list_sum(list_transform(toks, tk2 -> length(tk2)))::DOUBLE / len(toks), 4)
+         |   END AS avg_token_len
+         |FROM tk""".stripMargin,
+
+    "q26_quality_score" ->
+      s"""WITH tk AS (SELECT doc_id, text, $tokensSql AS toks FROM documents),
+         |m AS (SELECT doc_id,
+         |  len(toks)::DOUBLE AS n_tokens,
+         |  CASE WHEN length(text) > 0
+         |    THEN (length(text) - length(regexp_replace(text, '[.,;:!?''"()\\-]', '', 'g')))::DOUBLE / length(text)
+         |    ELSE 0.0 END AS punct_ratio,
+         |  CASE WHEN len(toks) > 0
+         |    THEN len(list_filter(toks, tk2 -> list_contains(['the','a','an','and','or','of','to','in','is','it'], tk2)))::DOUBLE / len(toks)
+         |    ELSE 0.0 END AS sw_ratio
+         | FROM tk)
+         |SELECT doc_id,
+         | round(least(n_tokens / 20.0, 1.0)
+         |   * greatest(1.0 - punct_ratio * 5.0, 0.0)
+         |   * least(sw_ratio * 5.0, 1.0), 4) AS quality_score
+         |FROM m""".stripMargin,
+
+    "q31_cosine_pairs" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        | round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cosine
+        |FROM embeddings a JOIN embeddings b
+        | ON a.vec_id < b.vec_id
+        |WHERE a.vec_id % 10 = 0 AND b.vec_id % 10 = 0
+        | AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.25""".stripMargin,
+
+    "q32_cosine_topk" ->
+      """SELECT probe_id, corpus_id, cosine, rank FROM (
+        | SELECT p.vec_id AS probe_id, c.vec_id AS corpus_id,
+        |  round(list_cosine_similarity(c.embedding::DOUBLE[], p.embedding::DOUBLE[]), 4) AS cosine,
+        |  row_number() OVER (PARTITION BY p.vec_id
+        |    ORDER BY list_cosine_similarity(c.embedding::DOUBLE[], p.embedding::DOUBLE[]) DESC, c.vec_id) AS rank
+        | FROM embeddings c JOIN embeddings p ON c.vec_id <> p.vec_id
+        | WHERE p.vec_id < 5)
+        |WHERE rank <= 10""".stripMargin)
 }

@@ -1,0 +1,56 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** Integrity metrics — SURVEY §2 A1-A8 — computed in ONE aggregation pass.
+  *
+  * The reference computes these with separate full passes (pandas
+  * `duplicated().sum()` etl_meteo.py:71,118; `isnull().sum()` :124;
+  * `min()/max()` :128-129) and, post-load, one Mongo round-trip per field
+  * (:236-247,267-269 — the N+1 pattern). Authoring the audit as a single
+  * `agg` fixes that at the API level: one scan, one partial+final hash
+  * aggregate, 100 TB-friendly.
+  *
+  * Duplicate counts use `count - count(distinct key)` ≡ pandas
+  * `duplicated(keep='first').sum()`.
+  */
+final case class IntegrityReport(
+    totalRows: Long,
+    dupByDate: Long,
+    dupByDateStation: Long,
+    nullCounts: Map[String, Long],
+    minDate: Option[String],
+    maxDate: Option[String])
+
+object IntegrityReport {
+
+  private def nullCount(c: String): Column =
+    sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls_$c")
+
+  /** The single-pass aggregation plan (exposed for tests / Verify). */
+  def aggregated(df: DataFrame): DataFrame = {
+    val cols = df.columns.toSeq
+    val aggs: Seq[Column] = Seq(
+      count(lit(1)).as("total_rows"),
+      (count(lit(1)) - count_distinct(col("date_heure_utc"))).as("dup_by_date"),
+      (count(lit(1)) - count_distinct(col("date_heure_utc"), col("id_station")))
+        .as("dup_by_date_station"),
+      min("date_heure_utc").as("min_date"),
+      max("date_heure_utc").as("max_date")) ++ cols.map(nullCount)
+    df.agg(aggs.head, aggs.tail: _*)
+  }
+
+  def compute(df: DataFrame): IntegrityReport = {
+    val row: Row = aggregated(df).head()
+    val cols = df.columns.toSeq
+    IntegrityReport(
+      totalRows = row.getAs[Long]("total_rows"),
+      dupByDate = row.getAs[Long]("dup_by_date"),
+      dupByDateStation = row.getAs[Long]("dup_by_date_station"),
+      nullCounts = cols.map(c => c -> Option(row.getAs[Any](s"nulls_$c"))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)).toMap,
+      minDate = Option(row.getAs[String]("min_date")),
+      maxDate = Option(row.getAs[String]("max_date")))
+  }
+}

@@ -1,0 +1,126 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.CleanValue._
+
+/** One entry per source CSV: the reference enumerates 14 files in two
+  * literal dicts keyed by date (`etl_meteo.py:16-33`); we model that as an
+  * explicit manifest so the file→date mapping stays external to the data
+  * (which at scale becomes Hive-style `date=` partitioning).
+  */
+final case class CsvManifestEntry(path: String, date: String)
+
+/** Weather Underground per-(station, day) CSV source — SURVEY §2 R1/R2/R4.
+  *
+  * Reference read (`etl_meteo.py:156`): `;`-separated, latin-1, header row,
+  * physical row 2 (a units row) skipped, header names trimmed (`:159`).
+  * Spark CSV has no `skiprows`; the units row's cells fail numeric/time
+  * parsing and its rows are dropped by the same `date_heure_utc IS NOT NULL`
+  * filter that drops summary rows (`etl_meteo.py:59,64`) — byte-identical
+  * outcome, no extra pass.
+  */
+object WuCsvSource {
+
+  /** Columns the transform consumes (etl_meteo.py:53-59). */
+  private val consumed = Seq("Time", "Temperature", "Humidity", "Pressure", "Speed", "Precip. Accum.")
+
+  /** Read one file; returns None (skip-and-warn, R4) if absent/unreadable. */
+  def readFile(spark: SparkSession, entry: CsvManifestEntry): Option[DataFrame] = {
+    try {
+      if (!new java.io.File(stripScheme(entry.path)).exists()) {
+        System.err.println(s"[graft.etl] CSV missing, skipped: ${entry.path}")
+        return None
+      }
+      val raw = spark.read
+        .option("sep", ";")
+        .option("encoding", "ISO-8859-1")
+        .option("header", "true")
+        .option("mode", "PERMISSIVE")
+        .csv(entry.path)
+      // Trim whitespace from header names (etl_meteo.py:159).
+      val trimmed = raw.toDF(raw.columns.map(_.trim): _*)
+      // Ensure all consumed columns exist (missing → null column) so a
+      // malformed file degrades instead of erroring mid-plan.
+      val withCols = consumed.foldLeft(trimmed) { (df, c) =>
+        if (df.columns.contains(c)) df else df.withColumn(c, lit(null).cast(StringType))
+      }
+      Some(withCols.withColumn("file_date", lit(entry.date)))
+    } catch {
+      case e: Exception =>
+        System.err.println(s"[graft.etl] CSV unreadable, skipped: ${entry.path}: ${e.getMessage}")
+        None
+    }
+  }
+
+  /** Read + transform + union a whole manifest for one station. */
+  def read(spark: SparkSession, manifest: Seq[CsvManifestEntry],
+           stationId: String, source: String): DataFrame = {
+    val frames = manifest.flatMap(readFile(spark, _))
+      .map(WeatherTransforms.fromWuCsv(_, stationId, source))
+    frames match {
+      case Nil => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], WeatherSchema.schema)
+      case head +: tail => tail.foldLeft(head)(_.unionByName(_))
+    }
+  }
+
+  private def stripScheme(p: String): String =
+    if (p.startsWith("file:")) p.stripPrefix("file:") else p
+}
+
+/** Infoclimat whole-file nested JSON source — SURVEY §2 R3 + J1/J2.
+  *
+  * Source shape (`etl_meteo.py:83,88,147`): one document with key `hourly`:
+  * a map station_id → array<record>. The reference skips non-list station
+  * payloads and non-dict records with a warning (`etl_meteo.py:84-90`). To
+  * replicate *per-station* skip semantics (not whole-file corruption), the
+  * map values are first read as raw JSON strings, then each station's
+  * payload is `from_json`'d individually — a malformed station yields null
+  * and is filtered, leaving the others intact.
+  */
+object InfoclimatJsonSource {
+
+  /** All metric fields kept as strings: the reference applies Python falsy
+    * gates to raw values ('' vs null vs missing — etl_meteo.py:92-102);
+    * typing happens in the transform, not the scan.
+    */
+  val recordSchema: StructType = StructType(Seq(
+    StructField("id_station", StringType),
+    StructField("dh_utc", StringType),
+    StructField("temperature", StringType),
+    StructField("pression", StringType),
+    StructField("humidite", StringType),
+    StructField("vent_moyen", StringType),
+    StructField("pluie_1h", StringType),
+    StructField("pluie_3h", StringType)))
+
+  /** Exploded raw records: one row per (station key, record struct). */
+  def readRaw(spark: SparkSession, path: String): DataFrame = {
+    val topSchema = StructType(Seq(
+      StructField("hourly", MapType(StringType, StringType))))
+    val doc = spark.read.option("multiLine", "true").schema(topSchema).json(path)
+    doc
+      .select(explode_outer(col("hourly")).as(Seq("station_key", "payload")))
+      // F3: non-array station payloads (e.g. a bare string) are skipped.
+      .filter(col("payload").isNotNull && col("payload").startsWith("["))
+      .select(col("station_key"),
+        explode(from_json(col("payload"), ArrayType(recordSchema))).as("r"))
+      // F3: non-object records parse to all-null structs; keep rows with
+      // at least a timestamp or station id, matching the reference's
+      // "skip non-dict" guard (etl_meteo.py:89-90).
+      .filter(col("r").isNotNull)
+      .select(col("station_key"), col("r.*"))
+  }
+
+  def read(spark: SparkSession, path: String): DataFrame =
+    try WeatherTransforms.fromInfoclimatJson(readRaw(spark, path))
+    catch {
+      case e: Exception =>
+        System.err.println(s"[graft.etl] JSON unreadable, skipped: $path: ${e.getMessage}")
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], WeatherSchema.schema)
+    }
+}

@@ -1,0 +1,119 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** JVM-side hash kernels, written so generated Java can call them as static
+  * methods (`graft.functions.HashUtil.fnv64(...)`) from whole-stage codegen.
+  */
+object HashUtil {
+
+  /** FNV-1a 64-bit over UTF-8 bytes — deterministic across JVMs/partitions. */
+  def fnv64(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  /** SimHash (Charikar 2002) of a token/shingle array: per-bit majority vote
+    * of the 64-bit feature hashes. Near-duplicate texts land within a small
+    * hamming distance. Null elements are skipped.
+    */
+  def simhash64(arr: ArrayData): Long = {
+    val counts = new Array[Int](64)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val h = fnv64(arr.getUTF8String(i))
+        var j = 0
+        while (j < 64) {
+          if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var res = 0L
+    var j = 0
+    while (j < 64) {
+      if (counts(j) > 0) res |= (1L << j)
+      j += 1
+    }
+    res
+  }
+
+  /** Polynomial rolling hash (base 31, mod 1e9+7) over UTF-8 bytes — the
+    * classic Rabin-Karp document fingerprint.
+    */
+  def polyHash(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    var h = 0L
+    var i = 0
+    while (i < bytes.length) {
+      h = (h * 31L + (bytes(i) & 0xffL)) % 1000000007L
+      i += 1
+    }
+    h
+  }
+}
+
+/** 64-bit FNV-1a of a string column. */
+case class Fnv64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(input: Any): Any =
+    HashUtil.fnv64(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashUtil.fnv64($c)")
+  override protected def withNewChildInternal(newChild: Expression): Fnv64 = copy(newChild)
+}
+
+/** SimHash64 of an array<string> of features (tokens or shingles). */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(input: Any): Any =
+    HashUtil.simhash64(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashUtil.simhash64($c)")
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 = copy(newChild)
+}
+
+/** Polynomial rolling-hash fingerprint of a string column. */
+case class PolyHash(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(input: Any): Any =
+    HashUtil.polyHash(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashUtil.polyHash($c)")
+  override protected def withNewChildInternal(newChild: Expression): PolyHash = copy(newChild)
+}
+
+/** Column-API entry points for the custom expressions. */
+object HashFunctions {
+  private def lift(e: Expression): Column = ColumnBridge.column(e)
+  private def expr(c: Column): Expression = ColumnBridge.expression(c)
+
+  def fnv64(c: Column): Column = lift(Fnv64(expr(c)))
+  def simhash64(features: Column): Column = lift(SimHash64(expr(features)))
+  def polyFingerprint(c: Column): Column = lift(PolyHash(expr(c)))
+
+  /** Hamming distance between two 64-bit hashes (built-in bit_count). */
+  def hammingDistance64(a: Column, b: Column): Column =
+    org.apache.spark.sql.functions.bit_count(a.bitwiseXOR(b))
+}

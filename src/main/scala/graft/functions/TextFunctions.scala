@@ -1,0 +1,91 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis building blocks for the documents workload: tokenization,
+  * n-grams/shingles, quality ratios, MinHash signatures. All pure Column
+  * expressions (codegen'd, distributable); the only custom Catalyst
+  * expressions live in [[HashExpressions]].
+  */
+object TextFunctions {
+
+  /** Lowercased whitespace tokens, empty strings removed. */
+  def tokens(c: Column): Column =
+    filter(split(lower(c), "\\s+"), t => t =!= "")
+
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** Punctuation chars / total chars (0 for empty text). */
+  def punctRatio(c: Column): Column = {
+    val punct = length(c) - length(regexp_replace(c, "[.,;:!?'\"()\\-]", ""))
+    when(length(c) > 0, punct.cast("double") / length(c)).otherwise(lit(0.0))
+  }
+
+  val DefaultStopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+  /** Fraction of tokens that are stopwords (0 for token-less text). */
+  def stopwordRatio(c: Column, stopwords: Seq[String] = DefaultStopwords): Column = {
+    val toks = tokens(c)
+    val sw = array(stopwords.map(lit): _*)
+    val hits = size(filter(toks, t => array_contains(sw, t)))
+    when(size(toks) > 0, hits.cast("double") / size(toks)).otherwise(lit(0.0))
+  }
+
+  /** Mean token length (null for token-less text). */
+  def avgTokenLen(c: Column): Column = {
+    val toks = tokens(c)
+    when(size(toks) > 0,
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(toks))
+  }
+
+  /** Character n-grams of the raw string (positions 1..len-n+1). */
+  def charNgrams(c: Column, n: Int): Column =
+    when(length(c) >= n,
+      transform(sequence(lit(1), length(c) - (n - 1)), i => c.substr(i, lit(n))))
+      .otherwise(array())
+
+  /** Word k-shingles (k consecutive tokens joined by a space), distinct. */
+  def wordShingles(c: Column, k: Int): Column = {
+    val toks = tokens(c)
+    array_distinct(
+      when(size(toks) >= k,
+        transform(sequence(lit(1), size(toks) - (k - 1)),
+          i => array_join(slice(toks, i, lit(k)), " ")))
+        .otherwise(array()))
+  }
+
+  /** MinHash signature: for each of `numHashes` salted xxhash64 functions,
+    * the min hash over the element set. Standard MinHash (Broder 1997);
+    * the salt-by-concat trick gives independent hash families without
+    * custom expressions. Returns array<bigint> of length `numHashes`
+    * (null-safe: empty input → array of nulls is avoided by guarding).
+    */
+  def minHashSignature(elems: Column, numHashes: Int): Column =
+    when(size(elems) > 0,
+      array((0 until numHashes).map { i =>
+        array_min(transform(elems, e => xxhash64(concat(e, lit(s"#$i")))))
+      }: _*))
+
+  /** LSH band keys from a minhash signature: hash of each band of `rowsPerBand`
+    * signature values, tagged with the band index so buckets from different
+    * bands never collide. Explode the result and group by it to get LSH
+    * candidate buckets.
+    */
+  def lshBandKeys(signature: Column, numBands: Int, rowsPerBand: Int): Column =
+    array((0 until numBands).map { b =>
+      struct(
+        lit(b).as("band"),
+        xxhash64(array_join(
+          transform(slice(signature, b * rowsPerBand + 1, rowsPerBand),
+            v => v.cast("string")), ",")).as("bucket"))
+    }: _*)
+
+  /** Exact Jaccard similarity of two array-sets. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b))
+    val union = size(array_distinct(concat(a, b)))
+    when(union > 0, inter.cast("double") / union).otherwise(lit(0.0))
+  }
+}

@@ -1,0 +1,53 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Dense-vector math over `ArrayType` columns (the `embeddings.parquet`
+  * `array<float>` column), built from codegen'd higher-order functions —
+  * no UDFs, so the expressions stay inside whole-stage codegen and
+  * distribute trivially.
+  *
+  * All math is done in double: float32 inputs are cast element-wise first,
+  * which also makes results comparable with a DuckDB oracle computing over
+  * `embedding::DOUBLE[]`.
+  */
+object VectorFunctions {
+
+  /** Element-wise cast to array<double>. */
+  def toDouble(a: Column): Column = transform(a, x => x.cast("double"))
+
+  /** Dot product of two equal-length numeric arrays. */
+  def dotProduct(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** L2 norm. */
+  def l2Norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
+
+  /** Cosine similarity in [-1, 1]; null if either vector has zero norm. */
+  def cosineSimilarity(a: Column, b: Column): Column = {
+    val denom = l2Norm(a) * l2Norm(b)
+    when(denom =!= lit(0.0), dotProduct(a, b) / denom)
+  }
+
+  /** Squared euclidean distance. */
+  def squaredL2Distance(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => {
+      val d = x.cast("double") - y.cast("double")
+      d * d
+    }), lit(0.0), (acc, v) => acc + v)
+
+  /** Sign bits of projections onto `planes` (random hyperplane LSH): packs
+    * up to 63 hyperplane sign bits into one long bucket id. Deterministic
+    * given the (seeded) planes; see [[graft.operators.Similarity]].
+    */
+  def hyperplaneSignature(vec: Column, planes: Seq[Array[Double]]): Column = {
+    require(planes.size <= 63, "at most 63 hyperplanes per signature")
+    planes.zipWithIndex.map { case (p, i) =>
+      val planeCol = array(p.map(lit): _*)
+      when(dotProduct(vec, planeCol) >= lit(0.0), lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+}

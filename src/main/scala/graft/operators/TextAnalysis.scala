@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+import graft.functions.HashFunctions._
+
+/** Text-analysis operators over a documents table: language id, quality
+  * scoring, token stats, fingerprinting. All pure Column expressions —
+  * narrow, codegen'd, no shuffle except where an aggregation is requested.
+  */
+object TextAnalysis {
+
+  /** Tiny per-language stopword profiles (public-knowledge function-word
+    * lists). The heuristic scores each language by stopword-hit fraction
+    * and takes the argmax — the classic cheap n-gram/function-word
+    * language-id baseline.
+    */
+  val languageProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "was", "for"),
+    "fr" -> Seq("le", "la", "les", "de", "des", "et", "est", "un", "une", "dans"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "mit", "den", "ein", "nicht"),
+    "es" -> Seq("el", "la", "los", "de", "que", "y", "es", "en", "un", "una"),
+    "zh" -> Seq("的", "是", "了", "在", "和", "有", "我", "不", "这", "人"))
+
+  /** Predicted language + its score, as (lang, score) struct columns. */
+  def langIdColumns(text: Column): (Column, Column) = {
+    val toks = tokens(text)
+    val scores: Seq[(String, Column)] = languageProfiles.toSeq.sortBy(_._1).map {
+      case (lang, words) =>
+        val sw = array(words.map(lit): _*)
+        lang -> when(size(toks) > 0,
+          size(filter(toks, t => array_contains(sw, t))).cast("double") / size(toks))
+          .otherwise(lit(0.0))
+    }
+    // argmax by score, ties broken by language code order
+    val best = scores.map { case (lang, s) => struct(s.as("score"), lit(lang).as("lang")) }
+      .reduce((a, b) => when(b.getField("score") > a.getField("score"), b).otherwise(a))
+    (best.getField("lang"), best.getField("score"))
+  }
+
+  def langId(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val (lang, score) = langIdColumns(col(textCol))
+    df.select(col(idCol), lang.as("predicted_lang"), round(score, 4).as("lang_score"))
+  }
+
+  /** Per-document token/char statistics (oracle-expressible). */
+  def tokenStats(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+      col(idCol),
+      length(col(textCol)).as("n_chars"),
+      tokenCount(col(textCol)).as("n_tokens"),
+      round(punctRatio(col(textCol)), 4).as("punct_ratio"),
+      round(stopwordRatio(col(textCol)), 4).as("stopword_ratio"),
+      round(avgTokenLen(col(textCol)), 4).as("avg_token_len"))
+
+  /** Composite quality score in [0,1]: length sweet-spot × (1 - punct
+    * excess) × stopword presence — the standard cheap pretraining-data
+    * quality heuristic (length/punct/stopword ratios).
+    */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text).cast("double")
+    val lengthScore = least(nTok / lit(20.0), lit(1.0))            // <20 tokens penalized
+    val punctScore = greatest(lit(1.0) - punctRatio(text) * 5.0, lit(0.0))
+    val swScore = least(stopwordRatio(text) * 5.0, lit(1.0))       // some function words expected
+    round(lengthScore * punctScore * swScore, 4)
+  }
+
+  def qualityScores(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), qualityScore(col(textCol)).as("quality_score"))
+
+  /** Document fingerprints: whole-document FNV-1a and polynomial rolling
+    * hash (both custom codegen'd Catalyst expressions).
+    */
+  def fingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+      col(idCol),
+      fnv64(col(textCol)).as("fnv64"),
+      polyFingerprint(col(textCol)).as("poly_hash"),
+      simhash64(tokens(col(textCol))).as("simhash"))
+}
