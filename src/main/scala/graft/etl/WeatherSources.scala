@@ -97,7 +97,16 @@ object InfoclimatJsonSource {
     StructField("pluie_1h", StringType),
     StructField("pluie_3h", StringType)))
 
-  /** Exploded raw records: one row per (station key, record struct). */
+  /** Exploded raw records: one row per (station key, record struct).
+    *
+    * Two-stage parse: the station payload is first split into an array of
+    * raw JSON element strings, non-object elements are filtered (the
+    * reference's "skip non-dict record", etl_meteo.py:89-90), and only
+    * then is each object parsed against [[recordSchema]]. Parsing the
+    * whole array against `ArrayType(recordSchema)` directly would null the
+    * entire station when ONE element is shapeless (PERMISSIVE fails the
+    * full value) — the reference skips only the bad record.
+    */
   def readRaw(spark: SparkSession, path: String): DataFrame = {
     val topSchema = StructType(Seq(
       StructField("hourly", MapType(StringType, StringType))))
@@ -107,10 +116,10 @@ object InfoclimatJsonSource {
       // F3: non-array station payloads (e.g. a bare string) are skipped.
       .filter(col("payload").isNotNull && col("payload").startsWith("["))
       .select(col("station_key"),
-        explode(from_json(col("payload"), ArrayType(recordSchema))).as("r"))
-      // F3: non-object records parse to all-null structs; keep rows with
-      // at least a timestamp or station id, matching the reference's
-      // "skip non-dict" guard (etl_meteo.py:89-90).
+        explode(from_json(col("payload"), ArrayType(StringType))).as("elem"))
+      // F3: keep only JSON objects (reference's isinstance(record, dict))
+      .filter(col("elem").isNotNull && col("elem").startsWith("{"))
+      .select(col("station_key"), from_json(col("elem"), recordSchema).as("r"))
       .filter(col("r").isNotNull)
       .select(col("station_key"), col("r.*"))
   }

@@ -30,7 +30,7 @@ object WeatherTransforms {
       cleanValue(col("Humidity")).as("humidite_pct"),                 // S1
       inHgToHpa(cleanValue(col("Pressure"))).as("pression_hpa"),      // S1+S3
       mphToMs(cleanValue(col("Speed"))).as("vent_vitesse_ms"),        // S1+S4
-      inchesToMm(cleanValue(col("Precip. Accum."))).as("pluie_accum_mm"), // S1+S5
+      inchesToMm(cleanValue(col("`Precip. Accum.`"))).as("pluie_accum_mm"), // S1+S5
       lit(stationId).as("id_station"),                                // P3
       lit(source).as("source_donnees"))                               // P3
       .na.drop(Seq("date_heure_utc"))                                 // F1

@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 0
+    (2L, "the quick brown fox jumps over the lazy dog near the river bend today"), // near dup of 0
+    (3L, "spark engines optimize distributed queries with catalyst and tungsten runtime"),
+    (4L, "completely different content about cooking pasta with tomato sauce and basil"),
+    (5L, "spark engines optimize distributed queries with catalyst and tungsten runtime")  // exact dup of 3
+  ).toDF("doc_id", "text")
+
+  test("exact dedup by content value keeps min id and counts copies") {
+    val got = Dedup.exactGroupsByValue(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 2L, 2L -> 1L, 3L -> 2L, 4L -> 1L))
+  }
+
+  test("exact dedup by content hash agrees with value-keyed dedup") {
+    val got = Dedup.exactByContent(docs, "text", "doc_id")
+      .select("keep_id", "copies")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 2L, 2L -> 1L, 3L -> 2L, 4L -> 1L))
+  }
+
+  test("dropDuplicates on keys") {
+    assert(Dedup.exact(docs, Seq("text")).count() == 4)
+  }
+
+  test("minhash LSH finds exact and near dups, not unrelated pairs") {
+    val pairs = Dedup.minHashNearDups(docs, "doc_id", "text",
+      shingleSize = 3, numHashes = 16, numBands = 8, jaccardThreshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)), "exact dup pair")
+    assert(pairs.contains((3L, 5L)), "exact dup pair")
+    assert(pairs.contains((0L, 2L)) || pairs.contains((1L, 2L)), "near dup pair")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L), "unrelated doc paired")
+  }
+
+  test("simhash: identical texts have distance 0; near dups small; jaccard rerank sane") {
+    val sigs = Dedup.simHashSignatures(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(0L) == sigs(1L))
+    assert(sigs(3L) == sigs(5L))
+    assert(java.lang.Long.bitCount(sigs(0L) ^ sigs(2L)) <= 16)
+    assert(java.lang.Long.bitCount(sigs(0L) ^ sigs(4L)) > 16)
+
+    val pairs = Dedup.simHashNearDups(docs, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)) && pairs.contains((3L, 5L)))
+  }
+
+  test("ngram jaccard pairs catch char-level near dups") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 5, threshold = 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs.get((0L, 1L)).contains(1.0))
+    assert(pairs.contains((0L, 2L)))
+    assert(!pairs.contains((0L, 4L)))
+  }
+
+  test("keepFirst window dedup") {
+    val df = Seq((1, "a", 10), (1, "b", 5), (2, "c", 1)).toDF("k", "v", "ord")
+    val got = Dedup.keepFirst(df, Seq("k"), Seq(col("ord"))).collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(got == Set((1, "b"), (2, "c")))
+  }
+}

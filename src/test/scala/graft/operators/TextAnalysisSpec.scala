@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.TestSpark
+import graft.functions.TextFunctions._
+import graft.functions.HashFunctions._
+
+class TextAnalysisSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("token stats: counts and ratios") {
+    val df = Seq((1L, "The quick, brown fox! It is fast.")).toDF("doc_id", "text")
+    val r = TextAnalysis.tokenStats(df, "doc_id", "text").head()
+    assert(r.getAs[Int]("n_tokens") == 7)
+    assert(r.getAs[Int]("n_chars") == 33)
+    // 3 punct chars (, ! .) of 33
+    assert(math.abs(r.getAs[Double]("punct_ratio") - 3.0 / 33) < 1e-3)
+    // stopwords: the, it, is → 3/7
+    assert(math.abs(r.getAs[Double]("stopword_ratio") - 3.0 / 7) < 1e-3)
+  }
+
+  test("empty text: zero ratios, no division errors") {
+    val df = Seq((1L, ""), (2L, "   ")).toDF("doc_id", "text")
+    val rows = TextAnalysis.tokenStats(df, "doc_id", "text").collect()
+    rows.foreach { r =>
+      assert(r.getAs[Int]("n_tokens") == 0)
+      assert(r.getAs[Double]("punct_ratio") == 0.0)
+      assert(r.getAs[Double]("stopword_ratio") == 0.0)
+      assert(r.isNullAt(r.fieldIndex("avg_token_len")))
+    }
+  }
+
+  test("lang id picks the profile language") {
+    val df = Seq(
+      (1L, "the cat and the dog sat in the house that was warm"),
+      (2L, "le chat et la maison dans les rues de la ville est une"),
+      (3L, "der hund und die katze ist mit den kindern nicht da")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.langId(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "en", 2L -> "fr", 3L -> "de"))
+  }
+
+  test("quality score: clean prose > punctuation soup; empty -> 0") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and runs to the river where it drinks in peace today"),
+      (2L, "!!! ??? ... ;;; ::: ,,, ''' \"\"\" ((( ))) --- !!!"),
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.qualityScores(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(1L) > 0.8)
+    assert(got(2L) < 0.1)
+    assert(got(3L) == 0.0)
+  }
+
+  test("custom hash expressions: deterministic, sensitive to input") {
+    val df = Seq(Tuple1("abc"), Tuple1("abd"), Tuple1("abc")).toDF("s")
+    val r = df.select(fnv64(col("s")).as("f"), polyFingerprint(col("s")).as("p")).collect()
+    assert(r(0).getLong(0) == r(2).getLong(0))
+    assert(r(0).getLong(0) != r(1).getLong(0))
+    assert(r(0).getLong(1) == r(2).getLong(1))
+    assert(r(0).getLong(1) != r(1).getLong(1))
+    // poly hash closed form: "ab" = (97*31 + 98) % 1e9+7
+    val ab = df.sparkSession.range(1).select(polyFingerprint(lit("ab"))).head().getLong(0)
+    assert(ab == (97L * 31 + 98) % 1000000007L)
+  }
+
+  test("shingles and char ngrams") {
+    val df = Seq(Tuple1("a b c d")).toDF("s")
+    val sh = df.select(wordShingles(col("s"), 2).as("sh")).head().getSeq[String](0)
+    assert(sh == Seq("a b", "b c", "c d"))
+    val ng = df.select(charNgrams(lit("abcd"), 2).as("ng")).head().getSeq[String](0)
+    assert(ng == Seq("ab", "bc", "cd"))
+    val short = df.select(charNgrams(lit("ab"), 5).as("ng")).head().getSeq[String](0)
+    assert(short.isEmpty)
+  }
+}
