@@ -53,6 +53,42 @@ object HashUtil {
     res
   }
 
+  /** splitmix64 finalizer (public-domain mixer) — avalanches one 64-bit
+    * base hash into the i-th member of an independent-ish hash family.
+    */
+  private def mix(base: Long, i: Int): Long = {
+    var z = base + 0x9e3779b97f4a7c15L * (i + 1)
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** MinHash signature in ONE pass over the element array: each element is
+    * FNV-hashed once, then k mixer applications update k running minima.
+    * Replaces k interpreted `transform`+`array_min` passes (and their
+    * per-element string concats) — the difference between O(k·n) cheap long
+    * ops and O(k·n) string allocations per row.
+    */
+  def minhash64(arr: ArrayData, k: Int): ArrayData = {
+    val mins = new Array[Long](k)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val base = fnv64(arr.getUTF8String(i))
+        var j = 0
+        while (j < k) {
+          val h = mix(base, j)
+          if (h < mins(j)) mins(j) = h
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
+  }
+
   /** Polynomial rolling hash (base 31, mod 1e9+7) over UTF-8 bytes — the
     * classic Rabin-Karp document fingerprint.
     */
@@ -104,6 +140,18 @@ case class PolyHash(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): PolyHash = copy(newChild)
 }
 
+/** One-pass MinHash signature of an array<string> of features. */
+case class MinHash64(child: Expression, numHashes: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    HashUtil.minhash64(input.asInstanceOf[ArrayData], numHashes)
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashUtil.minhash64($c, $numHashes)")
+  override protected def withNewChildInternal(newChild: Expression): MinHash64 = copy(child = newChild)
+}
+
 /** Column-API entry points for the custom expressions. */
 object HashFunctions {
   private def lift(e: Expression): Column = ColumnBridge.column(e)
@@ -112,6 +160,8 @@ object HashFunctions {
   def fnv64(c: Column): Column = lift(Fnv64(expr(c)))
   def simhash64(features: Column): Column = lift(SimHash64(expr(features)))
   def polyFingerprint(c: Column): Column = lift(PolyHash(expr(c)))
+  def minhash64(features: Column, numHashes: Int): Column =
+    lift(MinHash64(expr(features), numHashes))
 
   /** Hamming distance between two 64-bit hashes (built-in bit_count). */
   def hammingDistance64(a: Column, b: Column): Column =

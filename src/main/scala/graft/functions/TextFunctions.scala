@@ -40,33 +40,44 @@ object TextFunctions {
       aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(toks))
   }
 
-  /** Character n-grams of the raw string (positions 1..len-n+1). */
+  /** Character n-grams of the raw string (positions 1..len-n+1).
+    *
+    * PERF: pass an attribute (a staged column), not a subtree — the lambda
+    * body re-evaluates `c` once per n-gram (higher-order functions are
+    * interpreted, no codegen CSE), so an embedded `lower(text)` turns this
+    * O(n) into O(n²) per row.
+    */
   def charNgrams(c: Column, n: Int): Column =
     when(length(c) >= n,
       transform(sequence(lit(1), length(c) - (n - 1)), i => c.substr(i, lit(n))))
       .otherwise(array())
 
-  /** Word k-shingles (k consecutive tokens joined by a space), distinct. */
-  def wordShingles(c: Column, k: Int): Column = {
-    val toks = tokens(c)
+  /** Word k-shingles (k consecutive tokens joined by a space), distinct,
+    * from an already-materialized token-array column. Same PERF caveat as
+    * [[charNgrams]]: `toks` must be an attribute, not `tokens(text)`
+    * inline — that would re-tokenize per shingle.
+    */
+  def wordShinglesOf(toks: Column, k: Int): Column =
     array_distinct(
       when(size(toks) >= k,
         transform(sequence(lit(1), size(toks) - (k - 1)),
           i => array_join(slice(toks, i, lit(k)), " ")))
         .otherwise(array()))
-  }
 
-  /** MinHash signature: for each of `numHashes` salted xxhash64 functions,
-    * the min hash over the element set. Standard MinHash (Broder 1997);
-    * the salt-by-concat trick gives independent hash families without
-    * custom expressions. Returns array<bigint> of length `numHashes`
-    * (null-safe: empty input → array of nulls is avoided by guarding).
+  /** Convenience one-shot form — only for tiny/test inputs; hot paths must
+    * stage tokens first and use [[wordShinglesOf]].
+    */
+  def wordShingles(c: Column, k: Int): Column = wordShinglesOf(tokens(c), k)
+
+  /** MinHash signature (Broder 1997): for each of `numHashes` hash
+    * functions, the min hash over the element set. Backed by the one-pass
+    * codegen'd [[MinHash64]] expression (FNV base hash + splitmix64
+    * family) — k interpreted transform/array_min passes with per-element
+    * salt concats were ~5× slower.
     */
   def minHashSignature(elems: Column, numHashes: Int): Column =
     when(size(elems) > 0,
-      array((0 until numHashes).map { i =>
-        array_min(transform(elems, e => xxhash64(concat(e, lit(s"#$i")))))
-      }: _*))
+      graft.functions.HashFunctions.minhash64(elems, numHashes))
 
   /** LSH band keys from a minhash signature: hash of each band of `rowsPerBand`
     * signature values, tagged with the band index so buckets from different

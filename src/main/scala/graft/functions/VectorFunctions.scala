@@ -46,7 +46,8 @@ object VectorFunctions {
   def hyperplaneSignature(vec: Column, planes: Seq[Array[Double]]): Column = {
     require(planes.size <= 63, "at most 63 hyperplanes per signature")
     planes.zipWithIndex.map { case (p, i) =>
-      val planeCol = array(p.map(lit): _*)
+      // typedlit → ONE array literal, not a per-row CreateArray of dims
+      val planeCol = typedlit(p)
       when(dotProduct(vec, planeCol) >= lit(0.0), lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
   }

@@ -43,34 +43,58 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("copies"))
       .select("keep_id", "copies")
 
-  /** MinHash+LSH near-duplicate candidate pairs with exact-Jaccard rerank.
+  /** LSH candidate pairs from an (id, feats) relation: minhash signature →
+    * band keys → bucket self-join → distinct id pairs.
     *
-    * shingle(k words) → minhash signature(numHashes) → band keys → bucket
-    * self-join (a.id < b.id) → distinct pairs → exact Jaccard on shingle
-    * sets → threshold filter. The exact rerank runs only on candidates, so
-    * the expensive part is proportional to true near-dup density.
+    * The join deliberately carries ONLY (band key, id): shuffling the
+    * feature arrays through the bucket join (and through the pair-dedup)
+    * is what kills this operator at scale — candidates are formed narrow,
+    * features are joined back afterwards for the few surviving pairs.
+    */
+  private def lshCandidatePairs(featured: DataFrame,
+      numHashes: Int, numBands: Int): DataFrame = {
+    val rowsPerBand = numHashes / numBands
+    val banded = featured
+      .withColumn("sig", minHashSignature(col("feats"), numHashes))
+      .select(col("id"),
+        explode(lshBandKeys(col("sig"), numBands, rowsPerBand)).as("bk"))
+    banded.as("a").join(banded.as("b"),
+        col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+  }
+
+  /** Exact-similarity rerank: join the feature arrays back onto the (few)
+    * candidate pairs and compute exact Jaccard.
+    */
+  private def jaccardRerank(candidates: DataFrame, featured: DataFrame,
+      threshold: Double): DataFrame =
+    candidates
+      .join(featured.select(col("id").as("id_a"), col("feats").as("f_a")), "id_a")
+      .join(featured.select(col("id").as("id_b"), col("feats").as("f_b")), "id_b")
+      .withColumn("jaccard", jaccard(col("f_a"), col("f_b")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+
+  /** MinHash+LSH near-duplicate pairs with exact-Jaccard rerank.
+    *
+    * word-shingle(k) → minhash(numHashes) → band keys → narrow bucket
+    * self-join → distinct pairs → exact Jaccard on shingle sets. The
+    * expensive part is proportional to true near-dup density, not n².
     */
   def minHashNearDups(
       df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 3, numHashes: Int = 16, numBands: Int = 4,
       jaccardThreshold: Double = 0.5): DataFrame = {
-    val rowsPerBand = numHashes / numBands
-    val prepared = df.select(
-      col(idCol).as("id"),
-      wordShingles(col(textCol), shingleSize).as("shingles"))
-      .filter(size(col("shingles")) > 0)
-      .withColumn("sig", minHashSignature(col("shingles"), numHashes))
-    val banded = prepared.select(
-      col("id"), col("shingles"),
-      explode(lshBandKeys(col("sig"), numBands, rowsPerBand)).as("bk"))
-    val a = banded.select(col("bk"), col("id").as("id_a"), col("shingles").as("sh_a"))
-    val b = banded.select(col("bk"), col("id").as("id_b"), col("shingles").as("sh_b"))
-    a.join(b, Seq("bk"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sh_a", "sh_b").dropDuplicates("id_a", "id_b")
-      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
-      .filter(col("jaccard") >= jaccardThreshold)
-      .select("id_a", "id_b", "jaccard")
+    // Stage tokens as an attribute before shingling: an inlined tokens()
+    // subtree would be re-evaluated per shingle inside the (interpreted)
+    // higher-order lambda — O(n²) per row. The filter between the two
+    // projections also keeps CollapseProject from re-inlining.
+    val featured = df.select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= shingleSize)
+      .select(col("id"), wordShinglesOf(col("toks"), shingleSize).as("feats"))
+    jaccardRerank(lshCandidatePairs(featured, numHashes, numBands),
+      featured, jaccardThreshold)
   }
 
   /** SimHash signatures for a text column (tokens → 64-bit signature). */
@@ -108,21 +132,12 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 5, threshold: Double = 0.5,
       numHashes: Int = 12, numBands: Int = 4): DataFrame = {
-    val rowsPerBand = numHashes / numBands
-    val prepared = df.select(col(idCol).as("id"),
-      array_distinct(charNgrams(lower(col(textCol)), n)).as("grams"))
-      .filter(size(col("grams")) > 0)
-      .withColumn("sig", minHashSignature(col("grams"), numHashes))
-    val banded = prepared.select(col("id"), col("grams"),
-      explode(lshBandKeys(col("sig"), numBands, rowsPerBand)).as("bk"))
-    val a = banded.select(col("bk"), col("id").as("id_a"), col("grams").as("g_a"))
-    val b = banded.select(col("bk"), col("id").as("id_b"), col("grams").as("g_b"))
-    a.join(b, Seq("bk"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "g_a", "g_b").dropDuplicates("id_a", "id_b")
-      .withColumn("jaccard", jaccard(col("g_a"), col("g_b")))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+    // Stage lower(text) as an attribute (see minHashNearDups PERF note).
+    val featured = df.select(col(idCol).as("id"), lower(col(textCol)).as("lo"))
+      .filter(length(col("lo")) >= n)
+      .select(col("id"), array_distinct(charNgrams(col("lo"), n)).as("feats"))
+    jaccardRerank(lshCandidatePairs(featured, numHashes, numBands),
+      featured, threshold)
   }
 
   /** Window-dedup: keep first row per key by order — the idiomatic upgrade

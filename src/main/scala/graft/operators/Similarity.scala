@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -23,14 +23,34 @@ import graft.functions.VectorFunctions._
   */
 object Similarity {
 
+  /** Stage (id, double-vector, norm) with the norm computed ONCE per row —
+    * computing cosine as `cosineSimilarity(a, b)` inside a pairwise join
+    * re-evaluates both norms for every pair. The filter between the
+    * projections drops zero-norm vectors (cosine undefined) and keeps
+    * CollapseProject from re-inlining the vector cast.
+    */
+  private def withNorm(df: DataFrame, idOut: String, vecOut: String,
+      normOut: String): DataFrame =
+    df.select(col("vec_id").as(idOut), toDouble(col("embedding")).as(vecOut))
+      .withColumn(normOut, l2Norm(col(vecOut)))
+      .filter(col(normOut) > 0)
+
+  /** cos = dot / (|a|·|b|) over staged norms — same arithmetic shape as
+    * the textbook formula (and DuckDB's list_cosine_similarity), so
+    * results stay bit-identical to the oracle.
+    */
+  private def pairCosine(va: Column, vb: Column, na: Column, nb: Column): Column =
+    dotProduct(va, vb) / (na * nb)
+
   /** Exact cosine top-k per probe. `probes` must be small (it is collected
     * into a broadcast join); corpus is scanned once, never shuffled.
     */
   def bruteForceTopK(corpus: DataFrame, probes: DataFrame, k: Int): DataFrame = {
-    val c = corpus.select(col("vec_id").as("corpus_id"), col("embedding").as("c_vec"))
-    val p = probes.select(col("vec_id").as("probe_id"), col("embedding").as("p_vec"))
+    val c = withNorm(corpus, "corpus_id", "c_vec", "c_nrm")
+    val p = withNorm(probes, "probe_id", "p_vec", "p_nrm")
     val scored = c.join(broadcast(p), col("corpus_id") =!= col("probe_id"))
-      .withColumn("cosine", cosineSimilarity(col("c_vec"), col("p_vec")))
+      .withColumn("cosine",
+        pairCosine(col("c_vec"), col("p_vec"), col("c_nrm"), col("p_nrm")))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cosine").desc, col("corpus_id"))
     scored
@@ -44,10 +64,11 @@ object Similarity {
     * O(n²) — keep for oracle/test scale; LSH is the scale path.
     */
   def thresholdPairs(corpus: DataFrame, threshold: Double): DataFrame = {
-    val a = corpus.select(col("vec_id").as("id_a"), col("embedding").as("vec_a"))
-    val b = corpus.select(col("vec_id").as("id_b"), col("embedding").as("vec_b"))
+    val a = withNorm(corpus, "id_a", "vec_a", "nrm_a")
+    val b = withNorm(corpus, "id_b", "vec_b", "nrm_b")
     a.join(b, col("id_a") < col("id_b"))
-      .withColumn("cosine", cosineSimilarity(col("vec_a"), col("vec_b")))
+      .withColumn("cosine",
+        pairCosine(col("vec_a"), col("vec_b"), col("nrm_a"), col("nrm_b")))
       .filter(col("cosine") >= lit(threshold))
       .select("id_a", "id_b", "cosine")
   }
@@ -68,9 +89,9 @@ object Similarity {
   def lshTopK(corpus: DataFrame, probes: DataFrame, k: Int,
       numPlanes: Int = 8, dim: Int = 64, seed: Long = 42L): DataFrame = {
     val planes = randomHyperplanes(numPlanes, dim, seed)
-    val c = corpus.select(col("vec_id").as("corpus_id"), col("embedding").as("c_vec"))
+    val c = withNorm(corpus, "corpus_id", "c_vec", "c_nrm")
       .withColumn("bucket", hyperplaneSignature(col("c_vec"), planes))
-    val pSig = probes.select(col("vec_id").as("probe_id"), col("embedding").as("p_vec"))
+    val pSig = withNorm(probes, "probe_id", "p_vec", "p_nrm")
       .withColumn("sig", hyperplaneSignature(col("p_vec"), planes))
     // multi-probe: own bucket + all hamming-1 buckets
     val probeBuckets = pSig.withColumn("bucket",
@@ -79,7 +100,8 @@ object Similarity {
           col("sig").bitwiseXOR(lit(1L << i)))): _*)))
     val scored = c.join(probeBuckets, Seq("bucket"))
       .filter(col("corpus_id") =!= col("probe_id"))
-      .withColumn("cosine", cosineSimilarity(col("c_vec"), col("p_vec")))
+      .withColumn("cosine",
+        pairCosine(col("c_vec"), col("p_vec"), col("c_nrm"), col("p_nrm")))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cosine").desc, col("corpus_id"))
     scored.select(col("probe_id"), col("corpus_id"), col("cosine"))
