@@ -294,7 +294,94 @@ object SparkEntry {
     // Char-ngram MinHash near-dups with exact Jaccard rerank (no oracle)
     "q35_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text",
-        n = 5, threshold = 0.3)))
+        n = 5, threshold = 0.3)),
+
+    // As-of join: latest purchase value per user at each event time
+    "q36_asof_join" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_ns"), col("value"))
+      graft.operators.AsOfJoin.asOf(
+        ev.select("event_id", "user_id", "ts_ns"), purchases,
+        keys = Seq("user_id"), leftTs = "ts_ns", rightTs = "ts_ns",
+        rightPayload = Seq(("value", "last_purchase_value")))
+        .select("event_id", "last_purchase_value")
+    }),
+
+    // Range join: lineitems shipped within 60 days of their order date
+    "q37_range_join" -> ((s, d) =>
+      t(s, d, "orders").join(t(s, d, "lineitem"),
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") >= col("o_orderdate") &&
+          col("l_shipdate") <= col("o_orderdate") + expr("interval 60 days"))
+        .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))),
+
+    // Scalar string-function sweep
+    "q38_string_funcs" -> ((s, d) =>
+      t(s, d, "customer").select(
+        col("c_custkey"),
+        upper(col("c_name")).as("uname"),
+        substring(col("c_name"), 1, 8).as("prefix"),
+        lpad(col("c_custkey").cast("string"), 8, "0").as("padded"),
+        length(col("c_name")).as("name_len"),
+        reverse(col("c_name")).as("rev"),
+        regexp_extract(col("c_name"), "(\\d+)", 1).as("digits"),
+        element_at(split(col("c_name"), "#"), 2).as("num_part"),
+        concat_ws("-", col("c_mktsegment"), col("c_name")).as("joined"))),
+
+    // Scalar math + bit-op sweep (exactly-rounded ops only)
+    "q39_math_funcs" -> ((s, d) =>
+      t(s, d, "orders").select(
+        col("o_orderkey"),
+        abs(col("o_totalprice") - 250000.0).as("abs_diff"),
+        ceil(col("o_totalprice")).cast("long").as("ceiled"),
+        floor(col("o_totalprice")).cast("long").as("floored"),
+        sqrt(col("o_totalprice")).as("sq"),
+        (col("o_totalprice") * col("o_totalprice")).as("squared"),
+        greatest(col("o_totalprice"), lit(100000.0)).as("hi"),
+        least(col("o_totalprice"), lit(100000.0)).as("lo"),
+        col("o_orderkey").bitwiseAND(lit(255L)).as("band"),
+        col("o_orderkey").bitwiseXOR(col("o_custkey")).as("bxor"),
+        shiftleft(col("o_orderkey"), 2).as("shifted"),
+        pmod(col("o_orderkey"), lit(7L)).as("m7"))),
+
+    // Scalar date-function sweep
+    "q40_date_funcs" -> ((s, d) =>
+      t(s, d, "orders").select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        dayofmonth(col("o_orderdate")).as("dom"),
+        quarter(col("o_orderdate")).as("q"),
+        (weekday(col("o_orderdate")) + 1).as("isodow"),
+        datediff(col("o_orderdate"), lit("1995-01-01").cast("date")).as("days_since"),
+        date_format(date_add(col("o_orderdate"), 30), "yyyy-MM-dd").as("plus30"),
+        date_format(last_day(col("o_orderdate")), "yyyy-MM-dd").as("eom"),
+        date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd").as("som"))),
+
+    // Statistical aggregates
+    "q41_stats" -> ((s, d) =>
+      t(s, d, "lineitem").groupBy(col("l_returnflag")).agg(
+        count(lit(1)).as("n"),
+        (decSum(col("l_extendedprice")) / count(lit(1))).as("avg_price"),
+        round(stddev_samp(col("l_extendedprice")), 2).as("sd_price"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("qty_price_corr"),
+        min(col("l_extendedprice")).as("min_price"),
+        max(col("l_extendedprice")).as("max_price"))),
+
+    // Misc aggregates: conditional count, arg-max, bool_or, sorted set, distinct sum
+    "q42_agg_misc" -> ((s, d) =>
+      t(s, d, "orders").groupBy(col("o_orderstatus")).agg(
+        sum(when(col("o_totalprice") > 250000, 1L).otherwise(0L)).as("n_big"),
+        expr("max_by(o_orderkey, o_totalprice)").as("top_order"),
+        expr("bool_or(o_totalprice > 400000)").as("has_jumbo"),
+        sort_array(collect_set(col("o_orderpriority"))).as("priorities"),
+        sum_distinct(col("o_custkey")).as("sum_dist_cust"))),
+
+    // Pivot (conditional aggregation re-shape)
+    "q43_pivot" -> ((s, d) =>
+      t(s, d, "orders").groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P")).agg(count(lit(1)))))
 
   // ------------------------------------------------------------- oracle SQL
 
@@ -501,5 +588,85 @@ object SparkEntry {
         |    ORDER BY list_cosine_similarity(c.embedding::DOUBLE[], p.embedding::DOUBLE[]) DESC, c.vec_id) AS rank
         | FROM embeddings c JOIN embeddings p ON c.vec_id <> p.vec_id
         | WHERE p.vec_id < 5)
-        |WHERE rank <= 10""".stripMargin)
+        |WHERE rank <= 10""".stripMargin,
+
+    "q36_asof_join" ->
+      """SELECT l.event_id, r.value AS last_purchase_value
+        |FROM events l ASOF LEFT JOIN
+        | (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') r
+        | ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
+
+    "q37_range_join" ->
+      """SELECT o_orderpriority, count(*) AS n
+        |FROM orders JOIN lineitem
+        | ON l_orderkey = o_orderkey
+        | AND l_shipdate >= o_orderdate
+        | AND l_shipdate <= o_orderdate + INTERVAL 60 DAY
+        |GROUP BY o_orderpriority""".stripMargin,
+
+    "q38_string_funcs" ->
+      """SELECT c_custkey,
+        | upper(c_name) AS uname,
+        | substr(c_name, 1, 8) AS prefix,
+        | lpad(c_custkey::VARCHAR, 8, '0') AS padded,
+        | length(c_name) AS name_len,
+        | reverse(c_name) AS rev,
+        | regexp_extract(c_name, '(\d+)', 1) AS digits,
+        | string_split(c_name, '#')[2] AS num_part,
+        | concat_ws('-', c_mktsegment, c_name) AS joined
+        |FROM customer""".stripMargin,
+
+    "q39_math_funcs" ->
+      """SELECT o_orderkey,
+        | abs(o_totalprice - 250000.0) AS abs_diff,
+        | CAST(ceil(o_totalprice) AS BIGINT) AS ceiled,
+        | CAST(floor(o_totalprice) AS BIGINT) AS floored,
+        | sqrt(o_totalprice) AS sq,
+        | o_totalprice * o_totalprice AS squared,
+        | greatest(o_totalprice, 100000.0) AS hi,
+        | least(o_totalprice, 100000.0) AS lo,
+        | o_orderkey & 255 AS band,
+        | xor(o_orderkey, o_custkey) AS bxor,
+        | o_orderkey << 2 AS shifted,
+        | o_orderkey % 7 AS m7
+        |FROM orders""".stripMargin,
+
+    "q40_date_funcs" ->
+      """SELECT o_orderkey,
+        | year(o_orderdate) AS y,
+        | month(o_orderdate) AS m,
+        | dayofmonth(o_orderdate) AS dom,
+        | quarter(o_orderdate) AS q,
+        | isodow(o_orderdate) AS isodow,
+        | datediff('day', DATE '1995-01-01', o_orderdate) AS days_since,
+        | strftime(CAST(o_orderdate AS DATE) + 30, '%Y-%m-%d') AS plus30,
+        | strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS eom,
+        | strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS som
+        |FROM orders""".stripMargin,
+
+    "q41_stats" ->
+      """SELECT l_returnflag,
+        | count(*) AS n,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS avg_price,
+        | round(stddev_samp(l_extendedprice), 2) AS sd_price,
+        | round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+        | min(l_extendedprice) AS min_price,
+        | max(l_extendedprice) AS max_price
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q42_agg_misc" ->
+      """SELECT o_orderstatus,
+        | sum(CASE WHEN o_totalprice > 250000 THEN 1 ELSE 0 END) AS n_big,
+        | arg_max(o_orderkey, o_totalprice) AS top_order,
+        | bool_or(o_totalprice > 400000) AS has_jumbo,
+        | list_sort(list(DISTINCT o_orderpriority)) AS priorities,
+        | sum(DISTINCT o_custkey) AS sum_dist_cust
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
+
+    "q43_pivot" ->
+      """SELECT o_orderpriority,
+        | count(*) FILTER (o_orderstatus = 'F') AS "F",
+        | count(*) FILTER (o_orderstatus = 'O') AS "O",
+        | count(*) FILTER (o_orderstatus = 'P') AS "P"
+        |FROM orders GROUP BY o_orderpriority""".stripMargin)
 }

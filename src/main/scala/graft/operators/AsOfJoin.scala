@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** As-of join: for each left row, attach the latest right row with
+  * `right.ts <= left.ts`, matching on equi-keys.
+  *
+  * Implementation is the union+window algorithm, not a range join:
+  * both sides are unioned with a side tag, sorted once per key by
+  * (ts, side) — right rows first at equal ts so `<=` holds — and the
+  * right payload is carried forward with `last(..., ignoreNulls)`.
+  *
+  * Scale: ONE shuffle on the key columns and a single ordered window pass;
+  * no O(left × right-candidates) range-predicate explosion, no broadcast
+  * requirement. Skewed keys AQE-split like any window. This is the
+  * standard streaming-friendly formulation (same shape as point-in-time
+  * joins in feature stores).
+  */
+object AsOfJoin {
+
+  /** @param left      left (probe) relation
+    * @param right     right (reference) relation
+    * @param keys      equi-join key column names (present on both sides)
+    * @param leftTs    left ordering column (numeric or timestamp)
+    * @param rightTs   right ordering column (same type)
+    * @param rightPayload right columns to attach, renamed as given: (src, out)
+    * @param tolerance  max allowed left.ts - right.ts (same units as ts);
+    *                   None = unbounded look-back
+    */
+  def asOf(
+      left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String,
+      rightPayload: Seq[(String, String)],
+      tolerance: Option[Column] = None): DataFrame = {
+
+    val leftCols = left.columns.toSeq
+    val payloadStruct = struct(
+      col(rightTs).as("__asof_ts") +:
+        rightPayload.map { case (src, out) => col(src).as(out) }: _*)
+
+    val l = left
+      .withColumn("__ts", col(leftTs))
+      .withColumn("__side", lit(1))
+      .withColumn("__payload", lit(null).cast(
+        right.select(payloadStruct).schema.head.dataType))
+    val r = right
+      .select(keys.map(col) :+ col(rightTs).as("__ts") :+ payloadStruct.as("__payload"): _*)
+      .withColumn("__side", lit(0))
+
+    val unioned = l.select(
+      (keys.map(col) :+ col("__ts") :+ col("__side") :+ col("__payload")) ++
+        leftCols.filterNot(keys.contains).map(c => col(c)): _*)
+      .unionByName(r, allowMissingColumns = true)
+
+    // right rows (side=0) sort before left rows at equal ts → `<=` semantics
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = unioned.withColumn("__last", last(col("__payload"), ignoreNulls = true).over(w))
+
+    val inTolerance = tolerance match {
+      case Some(tol) => col("__last").isNotNull &&
+        (col("__ts") - col("__last.__asof_ts")) <= tol
+      case None => col("__last").isNotNull
+    }
+    val matched = when(inTolerance, col("__last"))
+
+    carried
+      .filter(col("__side") === 1)
+      .select(leftCols.map(col) ++
+        rightPayload.map { case (_, out) => matched.getField(out).as(out) }: _*)
+  }
+}
