@@ -381,7 +381,26 @@ object SparkEntry {
     // Pivot (conditional aggregation re-shape)
     "q43_pivot" -> ((s, d) =>
       t(s, d, "orders").groupBy(col("o_orderpriority"))
-        .pivot("o_orderstatus", Seq("F", "O", "P")).agg(count(lit(1)))))
+        .pivot("o_orderstatus", Seq("F", "O", "P")).agg(count(lit(1)))),
+
+    // Multimodal: batched binary feature extraction (stub codec; no oracle)
+    "q44_multimodal_features" -> ((s, d) =>
+      graft.operators.Multimodal.imageFeatures(
+        graft.operators.Multimodal.mediaFromDocuments(s, t(s, d, "documents")), dim = 32)
+        .select(col("media_id"), col("n_bytes"),
+          round(aggregate(col("features"), lit(0.0d), (a, x) => a + x), 4).as("feat_sum"))),
+
+    // Multimodal: frame-timestamp sampling (metadata explode; oracle-checked)
+    "q45_frame_sample" -> ((s, d) =>
+      graft.operators.Multimodal.sampleFrameTimestamps(
+        graft.operators.Multimodal.mediaFromDocuments(s, t(s, d, "documents")),
+        everyMs = 500)),
+
+    // Exact interpolated percentiles
+    "q46_percentiles" -> ((s, d) =>
+      t(s, d, "lineitem").groupBy(col("l_returnflag")).agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"))))
 
   // ------------------------------------------------------------- oracle SQL
 
@@ -668,5 +687,16 @@ object SparkEntry {
         | count(*) FILTER (o_orderstatus = 'F') AS "F",
         | count(*) FILTER (o_orderstatus = 'O') AS "O",
         | count(*) FILTER (o_orderstatus = 'P') AS "P"
-        |FROM orders GROUP BY o_orderpriority""".stripMargin)
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+
+    "q45_frame_sample" ->
+      """SELECT doc_id AS media_id,
+        | unnest(generate_series(0, n_chars * 10 - 1, 500)) AS frame_ms
+        |FROM documents WHERE n_chars > 0""".stripMargin,
+
+    "q46_percentiles" ->
+      """SELECT l_returnflag,
+        | round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        | round(quantile_cont(l_extendedprice, 0.9), 4) AS p90
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin)
 }

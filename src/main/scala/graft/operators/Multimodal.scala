@@ -1,0 +1,162 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal columns: image/audio/video handled as opaque `binary`
+  * columns with typed metadata, processed in partition-sized batches.
+  *
+  * STUB NOTICE: this container ships no image/audio codecs, so the actual
+  * byte→pixels/samples decode is a clearly-marked deterministic fake
+  * ([[StubCodecs]]). Everything around it — the schema, the
+  * `mapPartitions` batch shape (the Scala analog of `mapInPandas`), the
+  * partitioning and the downstream feature plumbing — is real and tested,
+  * so swapping in a real codec is a one-function change.
+  *
+  * Scale notes: media rows are big; the ops below never shuffle the binary
+  * payload (feature extraction is a narrow map; frame sampling explodes
+  * metadata, not bytes). Repartition by size-classed buckets upstream if
+  * file sizes are skewed.
+  */
+object Multimodal {
+
+  /** media table schema: one row per asset. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("content", BinaryType),
+    StructField("meta", StructType(Seq(
+      StructField("mime", StringType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("duration_ms", LongType),
+      StructField("sample_rate", IntegerType))))))
+
+  /** Deterministic fake codecs — STUB for the real decoders. Each derives
+    * its output purely from the input bytes, so tests and reruns are
+    * reproducible.
+    */
+  object StubCodecs {
+    /** STUB decode: "pixel statistics" from byte histogram (stands in for
+      * decode→resize→normalize→embed).
+      */
+    def imageFeatures(bytes: Array[Byte], dim: Int): Array[Float] = {
+      val out = new Array[Float](dim)
+      var i = 0
+      while (i < bytes.length) {
+        out(((bytes(i) & 0xff) * 31 + i) % dim) += 1.0f
+        i += 1
+      }
+      val n = math.max(bytes.length, 1).toFloat
+      out.map(_ / n)
+    }
+
+    /** STUB resize: re-encode to a deterministic downsample of the bytes. */
+    def resize(bytes: Array[Byte], targetW: Int, targetH: Int): Array[Byte] = {
+      val target = math.max(1, math.min(bytes.length, targetW * targetH / 64))
+      val out = new Array[Byte](target)
+      var i = 0
+      while (i < target) { out(i) = bytes((i.toLong * bytes.length / target).toInt); i += 1 }
+      out
+    }
+
+    /** STUB audio features: windowed byte energy (stands in for PCM RMS). */
+    def audioEnergy(bytes: Array[Byte], windows: Int): Array[Float] = {
+      val out = new Array[Float](windows)
+      if (bytes.isEmpty) return out
+      val step = math.max(1, bytes.length / windows)
+      var w = 0
+      while (w < windows) {
+        var s = 0L
+        var i = w * step
+        val end = math.min(bytes.length, i + step)
+        while (i < end) { s += math.abs(bytes(i).toInt); i += 1 }
+        out(w) = s.toFloat / math.max(1, end - w * step)
+        w += 1
+      }
+      out
+    }
+  }
+
+  private def featureSchema(dim: Int): StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("features", ArrayType(FloatType, containsNull = false)),
+    StructField("n_bytes", LongType)))
+
+  /** Batched feature extraction: one pass per partition over the binary
+    * column (mapPartitions = the JVM analog of mapInPandas batches — the
+    * iterator shape is what keeps memory at one in-flight row while letting
+    * a real codec amortize model/context setup per PARTITION, not per row).
+    */
+  def imageFeatures(media: DataFrame, dim: Int = 64): DataFrame = {
+    val schema = featureSchema(dim)
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    media.select("media_id", "content").mapPartitions { rows =>
+      // per-partition setup would go here (codec/model init — stubbed)
+      rows.map { r =>
+        val bytes = Option(r.getAs[Array[Byte]]("content")).getOrElse(Array.emptyByteArray)
+        Row(r.getAs[Long]("media_id"),
+          StubCodecs.imageFeatures(bytes, dim).toSeq,
+          bytes.length.toLong)
+      }
+    }(enc)
+  }
+
+  /** Resize plumbing: narrow map on the payload, metadata updated in step. */
+  def resize(media: DataFrame, targetW: Int, targetH: Int): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(mediaSchema)
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = Option(r.getAs[Array[Byte]]("content")).getOrElse(Array.emptyByteArray)
+        val meta = r.getAs[Row]("meta")
+        Row(r.getAs[Long]("media_id"),
+          StubCodecs.resize(bytes, targetW, targetH),
+          Row(if (meta == null) null else meta.getAs[String]("mime"),
+            targetW, targetH,
+            if (meta == null) null else meta.getAs[Any]("duration_ms"),
+            if (meta == null) null else meta.getAs[Any]("sample_rate")))
+      }
+    }(enc)
+  }
+
+  /** Frame sampling: one output row per sampled frame timestamp. Only the
+    * (media_id, frame_ms) metadata explodes — the binary payload is NOT
+    * replicated per frame (the per-frame decode would run downstream,
+    * payload-side, via a co-partitioned join when a real codec lands).
+    */
+  def sampleFrameTimestamps(media: DataFrame, everyMs: Long): DataFrame =
+    media
+      .select(col("media_id"), col("meta.duration_ms").as("duration_ms"))
+      .filter(col("duration_ms").isNotNull && col("duration_ms") > 0)
+      .select(col("media_id"),
+        explode(sequence(lit(0L), col("duration_ms") - 1, lit(everyMs))).as("frame_ms"))
+
+  /** Audio feature plumbing over the binary column. */
+  def audioFeatures(media: DataFrame, windows: Int = 16): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("energy", ArrayType(FloatType, containsNull = false))))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    media.select("media_id", "content").mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = Option(r.getAs[Array[Byte]]("content")).getOrElse(Array.emptyByteArray)
+        Row(r.getAs[Long]("media_id"), StubCodecs.audioEnergy(bytes, windows).toSeq)
+      }
+    }(enc)
+  }
+
+  /** Synthesize a media table from the documents table (text bytes stand
+    * in for image payloads) — lets the multimodal plumbing run against the
+    * driver's testdata deterministically.
+    */
+  def mediaFromDocuments(spark: SparkSession, documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id").as("media_id"),
+      encode(col("text"), "UTF-8").as("content"),
+      struct(
+        lit("application/x-stub").as("mime"),
+        lit(64).cast("int").as("width"),
+        lit(64).cast("int").as("height"),
+        (length(col("text")).cast("long") * 10).as("duration_ms"),
+        lit(16000).cast("int").as("sample_rate")).as("meta"))
+}

@@ -1,0 +1,83 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+import graft.etl.{WeatherSchema, WeatherTransforms}
+
+/** Structured-Streaming re-expressions of the engine's batch operators —
+  * the reference pipeline is batch full-reload (etl_meteo.py:195-198), but
+  * its hourly-observation model is naturally streaming-shaped (SURVEY §2.F
+  * roadmap).
+  *
+  * Scale notes: watermarks bound all state; the windowed aggregation keeps
+  * one row of state per (window, key); dropDuplicates state is bounded by
+  * the watermark horizon. Everything below runs identically on a real
+  * cluster — file sources shard by file, state shuffles by key.
+  */
+object StreamingOps {
+
+  /** Tumbling-window event aggregation with a watermark (the streaming
+    * analog of q21_events_hourly): counts + sums per (window, event_type),
+    * late rows beyond `watermarkDelay` dropped, state GC'd.
+    */
+  def hourlyEventCounts(events: DataFrame, tsCol: String,
+      watermarkDelay: String = "2 hours"): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Streaming dedup on keys within the watermark horizon — the streaming
+    * analog of A1/A2 duplicate elimination (state bounded by watermark).
+    */
+  def dedupWithinWatermark(stream: DataFrame, keys: Seq[String],
+      tsCol: String, watermarkDelay: String = "2 hours"): DataFrame =
+    stream.withWatermark(tsCol, watermarkDelay)
+      .dropDuplicates(keys :+ tsCol)
+
+  /** Streaming Weather-Underground CSV ingest: watches a directory, tags
+    * each row with the date parsed from its file name (the streaming form
+    * of the reference's file→date dict, etl_meteo.py:16-33), and applies
+    * the same unified transform as the batch path.
+    */
+  def weatherCsvStream(spark: SparkSession, dir: String, csvSchema: StructType,
+      stationId: String, source: String = WeatherSchema.SourceWu): DataFrame = {
+    val raw = spark.readStream
+      .option("sep", ";")
+      .option("encoding", "ISO-8859-1")
+      .option("header", "true")
+      .option("maxFilesPerTrigger", 1)
+      .schema(csvSchema)
+      .csv(dir)
+      .withColumn("file_date",
+        regexp_extract(col("_metadata").getField("file_path"), "(\\d{4}-\\d{2}-\\d{2})", 1))
+    WeatherTransforms.fromWuCsv(raw, stationId, source)
+  }
+
+  /** Truncate-and-load sink per micro-batch — the reference's W1 overwrite
+    * semantics (delete_many + insert_many) expressed via foreachBatch.
+    */
+  def overwritePerBatch(stream: DataFrame, path: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("overwrite").parquet(path)
+      }
+
+  /** Drive a memory-sink query synchronously over whatever is currently in
+    * the source (local smoke harness; see spark_guide streaming section).
+    */
+  def runToMemory(df: DataFrame, name: String, outputMode: String = "append"): StreamingQuery =
+    df.writeStream
+      .outputMode(outputMode)
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+}

@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class MultimodalSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private lazy val media = Multimodal.mediaFromDocuments(
+    spark, graft.Tables.documents(spark, "/root/testdata/sf0.001"))
+
+  test("media table has the binary + typed-metadata schema") {
+    assert(media.schema("content").dataType.typeName == "binary")
+    assert(media.schema("meta").dataType.typeName == "struct")
+    assert(media.count() == 500)
+  }
+
+  test("image feature extraction: batch shape, deterministic, normalized dim") {
+    val feats = Multimodal.imageFeatures(media, dim = 32)
+    val rows = feats.orderBy("media_id").limit(3).collect()
+    assert(rows.forall(_.getSeq[Float](1).length == 32))
+    assert(rows.forall(_.getAs[Long]("n_bytes") > 0))
+    // deterministic: rerun yields identical features
+    val again = Multimodal.imageFeatures(media, dim = 32).orderBy("media_id").limit(3).collect()
+    assert(rows.map(_.getSeq[Float](1)).toSeq == again.map(_.getSeq[Float](1)).toSeq)
+  }
+
+  test("resize updates payload and metadata together") {
+    val resized = Multimodal.resize(media, 32, 32)
+    val r = resized.orderBy("media_id").head()
+    assert(r.getAs[org.apache.spark.sql.Row]("meta").getAs[Int]("width") == 32)
+    val bytes = r.getAs[Array[Byte]]("content")
+    assert(bytes.length <= 32 * 32 / 64 && bytes.nonEmpty)
+  }
+
+  test("frame sampling explodes metadata, not payload") {
+    val frames = Multimodal.sampleFrameTimestamps(media, everyMs = 500)
+    assert(!frames.columns.contains("content"))
+    val one = frames.filter(col("media_id") === 0).collect().map(_.getLong(1)).toSeq
+    val duration = media.filter(col("media_id") === 0)
+      .select(col("meta.duration_ms")).head().getLong(0)
+    assert(one == (0L until duration by 500L).toSeq)
+  }
+
+  test("audio energy windows") {
+    val e = Multimodal.audioFeatures(media, windows = 8).orderBy("media_id").head()
+    val arr = e.getSeq[Float](1)
+    assert(arr.length == 8 && arr.forall(_ >= 0))
+  }
+}

@@ -1,0 +1,108 @@
+package graft.streaming
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, StandardCopyOption}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class StreamingOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def eventsStreamDir(): Path = {
+    val dir = Files.createTempDirectory("graft-stream-events")
+    Files.copy(java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      dir.resolve("events-0.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    dir
+  }
+
+  // ts is parquet TIMESTAMP(NANOS) → long under nanosAsLong
+  private val eventsSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  test("windowed agg with watermark matches the batch equivalent") {
+    val dir = eventsStreamDir()
+    val stream = spark.readStream.schema(eventsSchema).parquet(dir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val q = StreamingOps.runToMemory(
+      StreamingOps.hourlyEventCounts(stream, "ts"), "hourly_ev", outputMode = "complete")
+    try {
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT * FROM hourly_ev")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+      val batch = graft.Tables.events(spark, "/root/testdata/sf0.001")
+        .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("s"))
+        .collect().map(r => (r.getTimestamp(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
+  test("streaming dedup holds state across micro-batches") {
+    val dir = Files.createTempDirectory("graft-stream-dedup")
+    val schema = StructType(Seq(StructField("k", LongType), StructField("ts", TimestampType)))
+    def writeBatch(name: String, rows: Seq[(Long, java.sql.Timestamp)]): Unit =
+      rows.toDF("k", "ts").coalesce(1).write.mode("overwrite")
+        .parquet(dir.resolve(name).toString)
+    val t0 = java.sql.Timestamp.valueOf("2024-10-01 10:00:00")
+    // two files with overlapping keys; maxFilesPerTrigger=1 → 2 batches
+    writeBatch("b1", Seq((1L, t0), (2L, t0)))
+    writeBatch("b2", Seq((2L, t0), (3L, t0)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir.toString + "/*")
+    val q = StreamingOps.runToMemory(
+      StreamingOps.dedupWithinWatermark(stream, Seq("k"), "ts"), "dedup_stream")
+    try {
+      q.processAllAvailable()
+      val keys = spark.sql("SELECT k FROM dedup_stream").collect().map(_.getLong(0)).toSeq
+      assert(keys.sorted == Seq(1L, 2L, 3L), s"state did not dedup across batches: $keys")
+    } finally q.stop()
+  }
+
+  test("streaming weather CSV ingest: file-name date tag + unified transform") {
+    val dir = Files.createTempDirectory("graft-stream-csv")
+    val content =
+      """Time;Temperature;Humidity;Pressure;Speed;Precip. Accum.
+        |12:04 AM;55,6 °F;92 %;29,82 in;4,5 mph;0,00 in
+        |(°F);(%);(in);(mph);(in);
+        |12:09 AM;60,0 °F;90 %;29,80 in;3,0 mph;0,10 in
+        |""".stripMargin
+    Files.write(dir.resolve("wu-station-2024-10-03.csv"),
+      content.getBytes(StandardCharsets.ISO_8859_1))
+    val csvSchema = StructType(
+      Seq("Time", "Temperature", "Humidity", "Pressure", "Speed", "Precip. Accum.")
+        .map(StructField(_, StringType)))
+    val stream = StreamingOps.weatherCsvStream(spark, dir.toString, csvSchema, "1001")
+    val q = StreamingOps.runToMemory(stream, "weather_stream")
+    try {
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT * FROM weather_stream ORDER BY date_heure_utc").collect()
+      assert(rows.length == 2) // units row dropped
+      assert(rows(0).getAs[String]("date_heure_utc") == "2024-10-03 12:04 AM")
+      assert(math.abs(rows(0).getAs[Double]("temperature_c") - (55.6 - 32) * 5 / 9) < 1e-9)
+      assert(math.abs(rows(1).getAs[Double]("temperature_c") - (60.0 - 32) * 5 / 9) < 1e-9)
+    } finally q.stop()
+  }
+
+  test("foreachBatch overwrite sink writes each batch") {
+    val srcDir = Files.createTempDirectory("graft-stream-sink-src")
+    val outDir = Files.createTempDirectory("graft-stream-sink-out").resolve("sink")
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1)
+      .write.mode("overwrite").parquet(srcDir.resolve("f1").toString)
+    val schema = StructType(Seq(StructField("id", LongType), StructField("v", StringType)))
+    val stream = spark.readStream.schema(schema).parquet(srcDir.toString + "/*")
+    val q = StreamingOps.overwritePerBatch(stream, outDir.toString).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.read.parquet(outDir.toString).count() == 2)
+    } finally q.stop()
+  }
+}
