@@ -400,7 +400,24 @@ object SparkEntry {
     "q46_percentiles" -> ((s, d) =>
       t(s, d, "lineitem").groupBy(col("l_returnflag")).agg(
         round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
-        round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"))))
+        round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"))),
+
+    // Sessionization (lag + cumulative boundary sum; 30-min gap).
+    // µs granularity: DuckDB truncates TIMESTAMP_NS parquet to µs.
+    "q47_sessionize" -> ((s, d) =>
+      graft.operators.Sessionize.sessionStats(
+        Tables.events(s, d)
+          .select(col("user_id"), expr("ts_ns div 1000").as("ts_us")),
+        "user_id", "ts_us", gap = 1800000000L)),
+
+    // Salted skew join — must produce exactly the plain-join result
+    "q48_salted_join" -> ((s, d) => {
+      val fact = t(s, d, "orders").select(col("o_custkey").as("k"), col("o_totalprice"))
+      val dim = t(s, d, "customer").select(col("c_custkey").as("k"), col("c_mktsegment"))
+      graft.operators.SkewJoin.saltedEquiJoin(fact, dim, "k", saltFactor = 8)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"), decSum(col("o_totalprice")).as("revenue"))
+    }))
 
   // ------------------------------------------------------------- oracle SQL
 
@@ -698,5 +715,25 @@ object SparkEntry {
       """SELECT l_returnflag,
         | round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
         | round(quantile_cont(l_extendedprice, 0.9), 4) AS p90
-        |FROM lineitem GROUP BY l_returnflag""".stripMargin)
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q47_sessionize" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+        |b AS (SELECT user_id, ts_us,
+        |  CASE WHEN lag(ts_us) OVER w IS NULL
+        |         OR ts_us - lag(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS nb
+        | FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
+        |s AS (SELECT user_id, ts_us,
+        |  sum(nb) OVER (PARTITION BY user_id ORDER BY ts_us
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        | FROM b)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        | min(ts_us) AS session_start, max(ts_us) AS session_end
+        |FROM s GROUP BY user_id, session_id""".stripMargin,
+
+    "q48_salted_join" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin)
 }

@@ -89,6 +89,23 @@ object HashUtil {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
   }
 
+  /** Sequential in-order dot product over two numeric ArrayData (float or
+    * double elements, each cast to double first — identical arithmetic to
+    * the higher-order `aggregate(zip_with(cast,cast))` formulation).
+    */
+  def dot(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      s += x * y
+      i += 1
+    }
+    s
+  }
+
   /** Polynomial rolling hash (base 31, mod 1e9+7) over UTF-8 bytes — the
     * classic Rabin-Karp document fingerprint.
     */
@@ -152,6 +169,30 @@ case class MinHash64(child: Expression, numHashes: Int) extends UnaryExpression 
   override protected def withNewChildInternal(newChild: Expression): MinHash64 = copy(child = newChild)
 }
 
+/** Dot product of two numeric arrays, summed in element order (matches
+  * the sequential semantics of `aggregate(zip_with(...))` and of DuckDB's
+  * list kernels, so oracle results stay bit-identical) — but as ONE
+  * codegen'd kernel call instead of interpreted higher-order functions.
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    HashUtil.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      left.dataType.asInstanceOf[ArrayType].elementType == FloatType,
+      right.dataType.asInstanceOf[ArrayType].elementType == FloatType)
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) = {
+    val lf = left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+    val rf = right.dataType.asInstanceOf[ArrayType].elementType == FloatType
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.HashUtil.dot($a, $b, $lf, $rf)")
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column-API entry points for the custom expressions. */
 object HashFunctions {
   private def lift(e: Expression): Column = ColumnBridge.column(e)
@@ -162,6 +203,8 @@ object HashFunctions {
   def polyFingerprint(c: Column): Column = lift(PolyHash(expr(c)))
   def minhash64(features: Column, numHashes: Int): Column =
     lift(MinHash64(expr(features), numHashes))
+  def dotProduct(a: Column, b: Column): Column =
+    lift(DotProduct(expr(a), expr(b)))
 
   /** Hamming distance between two 64-bit hashes (built-in bit_count). */
   def hammingDistance64(a: Column, b: Column): Column =

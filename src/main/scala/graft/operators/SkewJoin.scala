@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Salted join for skewed keys — the manual fallback when AQE's skew-join
+  * splitting isn't available (e.g. the skew is in a broadcast-ineligible
+  * aggregation, or a pre-AQE engine).
+  *
+  * Fact side: each row gets a random-but-deterministic salt in
+  * [0, saltFactor); dim side: each row is replicated saltFactor times.
+  * The join key becomes (key, salt), spreading one hot key over
+  * saltFactor shuffle partitions. Replication cost is saltFactor × |dim|,
+  * so this is for fact-dim joins where dim is modest but too big (or the
+  * plan too complex) to broadcast.
+  */
+object SkewJoin {
+
+  /** Deterministic per-row salt (hash of all columns mod saltFactor) —
+    * avoids `rand()` so reruns/retries produce identical plans.
+    */
+  private def salt(df: DataFrame, saltFactor: Int): Column =
+    pmod(xxhash64(df.columns.map(col): _*), lit(saltFactor))
+
+  def saltedEquiJoin(fact: DataFrame, dim: DataFrame, key: String,
+      saltFactor: Int = 8, joinType: String = "inner"): DataFrame = {
+    val saltedFact = fact.withColumn("__salt", salt(fact, saltFactor))
+    val saltedDim = dim
+      .withColumn("__salt", explode(array((0 until saltFactor).map(lit): _*)))
+    saltedFact.join(saltedDim, Seq(key, "__salt"), joinType).drop("__salt")
+  }
+
+  /** Salted aggregation for skewed group keys: partial-aggregate on
+    * (key, salt), then final-aggregate on key. Two small shuffles instead
+    * of one shuffle with a straggler partition. `partials` maps each
+    * wanted output to its (partial, final) expression pair keyed by the
+    * intermediate column name.
+    */
+  def saltedCountByKey(df: DataFrame, key: String, saltFactor: Int = 8): DataFrame =
+    df.withColumn("__salt", salt(df, saltFactor))
+      .groupBy(col(key), col("__salt")).agg(count(lit(1)).as("__partial"))
+      .groupBy(col(key)).agg(sum("__partial").as("n"))
+}
