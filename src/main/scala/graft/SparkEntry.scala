@@ -417,7 +417,53 @@ object SparkEntry {
       graft.operators.SkewJoin.saltedEquiJoin(fact, dim, "k", saltFactor = 8)
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n_orders"), decSum(col("o_totalprice")).as("revenue"))
-    }))
+    }),
+
+    // TPC-H Q6 shape: forecast revenue (filter-only scan-agg; every
+    // predicate pushes to parquet)
+    "q49_tpch_q6" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount").between(0.02, 0.06) && col("l_quantity") < 24)
+        .agg(sum((col("l_extendedprice").cast("decimal(18,4)") *
+          col("l_discount").cast("decimal(8,6)")))
+          .cast("decimal(38,10)").cast("string").as("revenue"),
+          count(lit(1)).as("n"))),
+
+    // TPC-H Q3 shape: top-10 unshipped-order revenue
+    "q50_tpch_q3" -> ((s, d) => {
+      val cutoff = lit("1998-01-01").cast("timestamp")
+      t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"))
+        .filter(col("o_orderdate") < cutoff)
+        .join(t(s, d, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") > cutoff)
+        .groupBy(col("o_orderkey"), col("o_orderdate"))
+        .agg(sum((col("l_extendedprice").cast("decimal(18,4)") *
+          (lit(1.0) - col("l_discount")).cast("decimal(8,6)")))
+          .cast("decimal(38,10)").as("__rev"))
+        .orderBy(col("__rev").desc, col("o_orderkey"))
+        .limit(10)
+        .select(col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+          col("__rev").cast("string").as("revenue"))
+    }),
+
+    // TPC-H Q5 shape: revenue by nation within a region, local suppliers
+    "q51_tpch_q5" -> ((s, d) =>
+      t(s, d, "customer")
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"))
+        .join(t(s, d, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, d, "supplier"), col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(t(s, d, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA")
+        .groupBy(col("n_name"))
+        .agg(sum((col("l_extendedprice").cast("decimal(18,4)") *
+          (lit(1.0) - col("l_discount")).cast("decimal(8,6)")))
+          .cast("decimal(38,10)").cast("string").as("revenue"))))
 
   // ------------------------------------------------------------- oracle SQL
 
@@ -735,5 +781,37 @@ object SparkEntry {
       """SELECT c_mktsegment, count(*) AS n_orders,
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
         |FROM orders JOIN customer ON o_custkey = c_custkey
-        |GROUP BY c_mktsegment""".stripMargin)
+        |GROUP BY c_mktsegment""".stripMargin,
+
+    "q49_tpch_q6" ->
+      """SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(8,6))) AS DECIMAL(38,10)) AS VARCHAR) AS revenue,
+        | count(*) AS n
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        | AND l_discount BETWEEN 0.02 AND 0.06 AND l_quantity < 24""".stripMargin,
+
+    "q50_tpch_q3" ->
+      """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+        | CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1.0 - l_discount AS DECIMAL(8,6))) AS DECIMAL(38,10)) AS VARCHAR) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        | AND o_orderdate < TIMESTAMP '1998-01-01'
+        | AND l_shipdate > TIMESTAMP '1998-01-01'
+        |GROUP BY o_orderkey, o_orderdate
+        |ORDER BY CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1.0 - l_discount AS DECIMAL(8,6))) AS DECIMAL(38,10)) DESC, o_orderkey
+        |LIMIT 10""".stripMargin,
+
+    "q51_tpch_q5" ->
+      """SELECT n_name,
+        | CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1.0 - l_discount AS DECIMAL(8,6))) AS DECIMAL(38,10)) AS VARCHAR) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name""".stripMargin)
 }

@@ -5,8 +5,10 @@ import org.apache.spark.sql.SparkSession
 /** One shared local session for the whole test run (JVM-wide). */
 object TestSpark {
   lazy val spark: SparkSession = {
+    val wh = java.nio.file.Files.createTempDirectory("graft-warehouse")
     val s = GraftSession.builder("local[4]", 4)
       .appName("graft-test")
+      .config("spark.sql.warehouse.dir", wh.toString)
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s

@@ -1,0 +1,83 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+
+import graft.TestSpark
+import graft.functions.CleanValue._
+
+/** Property-based checks (SURVEY §5.2) using ScalaCheck generators:
+  * totality of clean_value, dedup count identity, MinHash≈Jaccard,
+  * SimHash locality.
+  */
+class PropertySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("clean_value is total: any string → null or finite double") {
+    val strings = Gen.oneOf(
+      Gen.alphaNumStr,
+      Gen.asciiPrintableStr,
+      Gen.chooseNum(-1e6, 1e6).map(d => f"$d%.3f"),
+      Gen.chooseNum(-1e3, 1e3).map(d => s"${d.toString.replace('.', ',')} °F"),
+      Gen.const(""), Gen.const("NaN"), Gen.const("∞"))
+    val sample = Gen.listOfN(300, strings).sample.get
+    val out = sample.toDF("v").select(cleanValue(col("v")).as("c")).collect()
+    out.foreach { r =>
+      if (!r.isNullAt(0)) {
+        val d = r.getDouble(0)
+        assert(!d.isNaN && !d.isInfinite)
+      }
+    }
+  }
+
+  test("duplicate count identity: count - distinct == groupBy-excess for random frames") {
+    val gen = Gen.listOfN(500, Gen.chooseNum(0, 50))
+    val keys = gen.sample.get
+    val df = keys.toDF("k")
+    val viaDistinct = df.count() - df.select("k").distinct().count()
+    val viaGroup = df.groupBy("k").count()
+      .agg(sum(col("count") - 1)).head().getLong(0)
+    assert(viaDistinct == viaGroup)
+  }
+
+  test("MinHash similarity estimate tracks exact Jaccard (±0.25 at 64 hashes)") {
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta",
+      "theta", "iota", "kappa", "lambda", "mu", "nu", "xi", "omicron", "pi")
+    val rnd = new scala.util.Random(7)
+    val pairs = Seq.fill(20) {
+      val base = rnd.shuffle(vocab).take(8 + rnd.nextInt(6)).toSet
+      val mutated = base.filter(_ => rnd.nextDouble() > 0.3) ++
+        rnd.shuffle(vocab).take(rnd.nextInt(4))
+      (base.toSeq, mutated.toSeq)
+    }
+    val df = pairs.toDF("a", "b")
+      .withColumn("sig_a", graft.functions.HashFunctions.minhash64(col("a"), 64))
+      .withColumn("sig_b", graft.functions.HashFunctions.minhash64(col("b"), 64))
+      .withColumn("est",
+        aggregate(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => when(x === y, 1.0).otherwise(0.0)), lit(0.0), _ + _) / 64.0)
+      .withColumn("exact", graft.functions.TextFunctions.jaccard(col("a"), col("b")))
+    df.select("est", "exact").collect().foreach { r =>
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 0.25,
+        s"minhash est ${r.getDouble(0)} vs exact ${r.getDouble(1)}")
+    }
+  }
+
+  test("SimHash locality: subset-perturbed token sets stay within hamming 24") {
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector.tabulate(40)(i => s"tok$i")
+    Seq.fill(15) {
+      val base = rnd.shuffle(vocab).take(25)
+      val perturbed = base.drop(2) :+ "novel"
+      (base, perturbed)
+    }.toDF("a", "b")
+      .select(graft.functions.HashFunctions.simhash64(col("a")).as("ha"),
+        graft.functions.HashFunctions.simhash64(col("b")).as("hb"))
+      .withColumn("d", bit_count(col("ha").bitwiseXOR(col("hb"))))
+      .collect().foreach { r =>
+        assert(r.getAs[Int]("d") <= 24, s"hamming ${r.getAs[Int]("d")} too large")
+      }
+  }
+}
