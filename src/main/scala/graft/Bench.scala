@@ -26,7 +26,11 @@ object Bench {
     "q25_token_stats",
     "q29_minhash_neardups",
     "q31_cosine_pairs",
-    "q32_cosine_topk")
+    "q32_cosine_topk",
+    "q36_asof_join",
+    "q47_sessionize",
+    "q49_tpch_q6",
+    "q51_tpch_q5")
 
   private def runOnce(name: String, spark: SparkSession, sfDir: String): Unit =
     SparkEntry.queries(name)(spark, sfDir)
