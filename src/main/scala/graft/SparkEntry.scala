@@ -463,7 +463,23 @@ object SparkEntry {
         .groupBy(col("n_name"))
         .agg(sum((col("l_extendedprice").cast("decimal(18,4)") *
           (lit(1.0) - col("l_discount")).cast("decimal(8,6)")))
-          .cast("decimal(38,10)").cast("string").as("revenue"))))
+          .cast("decimal(38,10)").cast("string").as("revenue"))),
+
+    // IVF (k-means coarse quantizer) ANN top-k (approx; no oracle)
+    "q52_ivf_topk" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val model = graft.operators.IvfIndex.train(emb, k = 8, iterations = 3)
+      graft.operators.IvfIndex.topK(emb, emb.filter(col("vec_id") < 5),
+        model, k = 10, nprobe = 4)
+        .withColumn("cosine", round(col("cosine"), 4))
+    }),
+
+    // Embedding-cosine near-dup pairs + min-id representatives (approx; no oracle)
+    "q53_embed_neardups" -> ((s, d) => {
+      val pairs = graft.operators.Dedup.embeddingNearDups(
+        t(s, d, "embeddings"), threshold = 0.3)
+      graft.operators.Dedup.nearDupRepresentatives(pairs)
+    }))
 
   // ------------------------------------------------------------- oracle SQL
 

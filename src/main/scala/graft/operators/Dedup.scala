@@ -140,6 +140,44 @@ object Dedup {
       featured, threshold)
   }
 
+  /** Embedding-cosine near-duplicate pairs: candidates from hyperplane-LSH
+    * buckets (multi-probe), exact cosine rerank at `threshold`. The LSH
+    * bucketing bounds the pair space like the MinHash path bounds text
+    * pairs — never O(n²).
+    */
+  def embeddingNearDups(corpus: DataFrame, threshold: Double,
+      numPlanes: Int = 8, dim: Int = 64, seed: Long = 42L): DataFrame = {
+    val pairs = Similarity.lshTopK(corpus, corpus, k = Int.MaxValue,
+      numPlanes = numPlanes, dim = dim, seed = seed)
+      .filter(col("probe_id") < col("corpus_id") && col("cosine") >= threshold)
+    pairs.select(col("probe_id").as("id_a"), col("corpus_id").as("id_b"), col("cosine"))
+  }
+
+  /** Representative assignment for near-dup groups: iterate min-id label
+    * propagation over the pair graph to (approximate) fixpoint — each id
+    * maps to the smallest id reachable within `iterations` hops. For
+    * transitive chains longer than `iterations`, groups may stay split
+    * (documented approximation; near-dup clusters are shallow in
+    * practice). Each iteration is one join + one groupBy — no driver-side
+    * graph state, scales with the pair list.
+    */
+  def nearDupRepresentatives(pairs: DataFrame, iterations: Int = 3): DataFrame = {
+    val edges = pairs.select(col("id_a"), col("id_b"))
+      .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+    var labels = edges.select(col("id_a").as("id")).distinct()
+      .withColumn("rep", col("id"))
+    (0 until iterations).foreach { _ =>
+      labels = labels.as("l")
+        .join(edges.as("e"), col("l.id") === col("e.id_a"), "left")
+        .join(labels.select(col("id").as("nid"), col("rep").as("nrep")).as("n"),
+          col("e.id_b") === col("n.nid"), "left")
+        .groupBy(col("l.id").as("id"))
+        .agg(least(min(col("l.rep")), coalesce(min(col("n.nrep")),
+          min(col("l.rep")))).as("rep"))
+    }
+    labels
+  }
+
   /** Window-dedup: keep first row per key by order — the idiomatic upgrade
     * of the reference's duplicated(keep='first') semantics (SURVEY §2.F).
     */

@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.functions.VectorFunctions._
+
+/** IVF-flat approximate nearest-neighbor index: a k-means coarse quantizer
+  * assigns every corpus vector to its nearest centroid ("cell"); a probe
+  * searches only its `nprobe` nearest cells. The scale path past LSH —
+  * candidate count per probe is ~nprobe/k of the corpus, tunable, and the
+  * assignment join is an equi-join on cell id (shuffle-partitioned, never
+  * a cross product).
+  *
+  * Training is Lloyd's algorithm done entirely in DataFrames: assignment
+  * is a broadcast-centroid cross score + arg-min, update is a groupBy
+  * mean. Deterministic: initial centroids are the vectors with the k
+  * smallest xxhash64(vec_id) (seeded pseudo-random, reproducible), and
+  * iteration count is fixed.
+  *
+  * At 100 TB: train on a sample (`trainSample`), broadcast the k
+  * centroids (k ≤ a few thousand → MBs), assign in one narrow pass,
+  * write the assignment as a bucketed/partitioned column so repeated
+  * queries prune cells at the scan.
+  */
+object IvfIndex {
+
+  final case class Model(centroids: Array[(Int, Array[Double])]) {
+    def k: Int = centroids.length
+  }
+
+  private def centroidArrayCol(m: Model): Column =
+    array(m.centroids.sortBy(_._1).map { case (_, v) => typedlit(v) }: _*)
+
+  /** Nearest-centroid id for a (double-cast) vector column. */
+  private def nearestCell(vec: Column, m: Model): Column = {
+    // arg-min over squared distance; centroid ids are array positions
+    val scored = transform(centroidArrayCol(m),
+      (c, i) => struct(squaredL2Distance(vec, c).as("d"), i.as("cell")))
+    array_min(scored).getField("cell")
+  }
+
+  /** Train a k-means quantizer on (vec_id, embedding). */
+  def train(corpus: DataFrame, k: Int, iterations: Int = 5,
+      trainSample: Option[Double] = None): Model = {
+    val base0 = corpus.select(col("vec_id"), toDouble(col("embedding")).as("v"))
+    val base = trainSample.map(f => base0.sample(withReplacement = false, f, seed = 42L))
+      .getOrElse(base0)
+
+    // deterministic init: k vectors with smallest hashed ids
+    var centroids: Array[(Int, Array[Double])] = base
+      .withColumn("h", xxhash64(col("vec_id")))
+      .orderBy("h").limit(k)
+      .select("v").collect()
+      .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](0).toArray) }
+
+    (0 until iterations).foreach { _ =>
+      val m = Model(centroids)
+      val assigned = base.withColumn("cell", nearestCell(col("v"), m))
+      val updated = assigned
+        .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy("cell", "dim").agg(avg("x").as("mean"))
+        .groupBy("cell").agg(
+          array_sort(collect_list(struct(col("dim"), col("mean")))).as("dims"))
+        .select(col("cell"), transform(col("dims"), d => d.getField("mean")).as("centroid"))
+        .collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      // keep old centroid for any cell that lost all members
+      val byCell = updated.toMap
+      centroids = centroids.map { case (i, old) => (i, byCell.getOrElse(i, old)) }
+    }
+    Model(centroids)
+  }
+
+  /** Assign every corpus vector to its cell (materialize + partition this
+    * at scale so probes prune cells at the scan).
+    */
+  def assign(corpus: DataFrame, m: Model): DataFrame =
+    corpus.select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .withColumn("nrm", l2Norm(col("v")))
+      .filter(col("nrm") > 0)
+      .withColumn("cell", nearestCell(col("v"), m))
+
+  /** Approximate cosine top-k: each probe searches its `nprobe` nearest
+    * cells only.
+    */
+  def topK(corpus: DataFrame, probes: DataFrame, m: Model, k: Int,
+      nprobe: Int = 4): DataFrame = {
+    val assigned = assign(corpus, m)
+      .select(col("vec_id").as("corpus_id"), col("v").as("c_vec"),
+        col("nrm").as("c_nrm"), col("cell"))
+    val probeCells = probes
+      .select(col("vec_id").as("probe_id"), toDouble(col("embedding")).as("p_vec"))
+      .withColumn("p_nrm", l2Norm(col("p_vec")))
+      .filter(col("p_nrm") > 0)
+      .withColumn("cells", slice(transform(array_sort(transform(centroidArrayCol(m),
+        (c, i) => struct(squaredL2Distance(col("p_vec"), c).as("d"), i.as("cell")))),
+        s => s.getField("cell")), 1, nprobe))
+      .select(col("probe_id"), col("p_vec"), col("p_nrm"),
+        explode(col("cells")).as("cell"))
+    val scored = assigned.join(probeCells, Seq("cell"))
+      .filter(col("corpus_id") =!= col("probe_id"))
+      .withColumn("cosine",
+        graft.functions.HashFunctions.dotProduct(col("c_vec"), col("p_vec")) /
+          (col("c_nrm") * col("p_nrm")))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cosine").desc, col("corpus_id"))
+    scored.select(col("probe_id"), col("corpus_id"), col("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+}

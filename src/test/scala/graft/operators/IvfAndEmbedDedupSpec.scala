@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class IvfAndEmbedDedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val d = "/root/testdata/sf0.001"
+
+  test("IVF training is deterministic and assigns every vector to a cell") {
+    val emb = graft.Tables.embeddings(spark, d)
+    val m1 = IvfIndex.train(emb, k = 8, iterations = 3)
+    val m2 = IvfIndex.train(emb, k = 8, iterations = 3)
+    assert(m1.centroids.map(_._2.toSeq).toSeq == m2.centroids.map(_._2.toSeq).toSeq)
+    val assigned = IvfIndex.assign(emb, m1)
+    assert(assigned.count() == emb.count())
+    assert(assigned.select("cell").distinct().count() > 1)
+  }
+
+  test("IVF top-k recall vs brute force") {
+    val emb = graft.Tables.embeddings(spark, d)
+    val probes = emb.filter($"vec_id" < 5)
+    val m = IvfIndex.train(emb, k = 8, iterations = 3)
+    val exact = Similarity.bruteForceTopK(emb, probes, k = 5)
+      .collect().map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("corpus_id"))).toSet
+    val approx = IvfIndex.topK(emb, probes, m, k = 5, nprobe = 4)
+      .collect().map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("corpus_id"))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.6, s"IVF recall too low: $recall")
+  }
+
+  test("embedding near-dup pairs + representative assignment") {
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(0.999f, 0.01f, 0f, 0f)),  // near-dup of 0
+      (2L, Array(0.998f, 0.02f, 0f, 0f)),  // near-dup of 0 and 1
+      (3L, Array(0f, 1f, 0f, 0f)),         // unrelated
+      (4L, Array(0f, 0.999f, 0.04f, 0f))   // near-dup of 3
+    ).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDups(vecs, threshold = 0.995, dim = 4)
+    val got = pairs.select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((0L, 1L)) && got.contains((3L, 4L)))
+    assert(!got.exists(p => (p._1 == 3L) != (p._2 == 4L) && (p._1 <= 2L) != (p._2 <= 2L)))
+
+    val reps = Dedup.nearDupRepresentatives(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reps(1L) == 0L && reps.getOrElse(2L, 0L) == 0L)
+    assert(reps(4L) == 3L)
+  }
+}
