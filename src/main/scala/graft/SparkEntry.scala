@@ -479,7 +479,40 @@ object SparkEntry {
       val pairs = graft.operators.Dedup.embeddingNearDups(
         t(s, d, "embeddings"), threshold = 0.3)
       graft.operators.Dedup.nearDupRepresentatives(pairs)
-    }))
+    }),
+
+    // Generator with ordinal (posexplode / UDTF surface)
+    "q54_posexplode" -> ((s, d) =>
+      t(s, d, "documents")
+        .filter(col("doc_id") < 50)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos0", "w")))
+        .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("w"))),
+
+    // Grouping sets: CUBE with grouping_id
+    "q55_cube" -> ((s, d) =>
+      t(s, d, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"), grouping_id().as("gid"))),
+
+    // Null-handling: na.fill / nullif / nvl2 sweep on synthesized nulls
+    "q56_na_ops" -> ((s, d) => {
+      val withNulls = t(s, d, "part").select(
+        col("p_partkey"),
+        when(col("p_partkey") % 5 === 0, lit(null).cast("double"))
+          .otherwise(col("p_retailprice")).as("maybe_price"),
+        when(col("p_partkey") % 7 === 0, lit(null).cast("string"))
+          .otherwise(col("p_brand")).as("maybe_brand"))
+      withNulls.na.fill(Map("maybe_price" -> -1.0, "maybe_brand" -> "UNKNOWN"))
+        .withColumn("was_null", col("maybe_price") === -1.0)
+    }),
+
+    // Ordered string aggregation (listagg-equivalent, deterministic)
+    "q57_listagg" -> ((s, d) =>
+      t(s, d, "nation").join(t(s, d, "region"),
+        col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(array_join(array_sort(collect_list(col("n_name"))), ",").as("nations"))))
 
   // ------------------------------------------------------------- oracle SQL
 
@@ -818,6 +851,29 @@ object SparkEntry {
         |GROUP BY o_orderkey, o_orderdate
         |ORDER BY CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1.0 - l_discount AS DECIMAL(8,6))) AS DECIMAL(38,10)) DESC, o_orderkey
         |LIMIT 10""".stripMargin,
+
+    "q54_posexplode" ->
+      s"""WITH tk AS (SELECT doc_id, $tokensSql AS toks FROM documents WHERE doc_id < 50),
+         |e AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS pos FROM tk)
+         |SELECT doc_id, pos, toks[pos] AS w FROM e""".stripMargin,
+
+    "q55_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+        | GROUPING(o_orderstatus, o_orderpriority) AS gid
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin,
+
+    "q56_na_ops" ->
+      """SELECT p_partkey,
+        | coalesce(CASE WHEN p_partkey % 5 = 0 THEN NULL ELSE p_retailprice END, -1.0) AS maybe_price,
+        | coalesce(CASE WHEN p_partkey % 7 = 0 THEN NULL ELSE p_brand END, 'UNKNOWN') AS maybe_brand,
+        | coalesce(CASE WHEN p_partkey % 5 = 0 THEN NULL ELSE p_retailprice END, -1.0) = -1.0 AS was_null
+        |FROM part""".stripMargin,
+
+    "q57_listagg" ->
+      """SELECT r_name,
+        | array_to_string(list_sort(list(n_name)), ',') AS nations
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name""".stripMargin,
 
     "q51_tpch_q5" ->
       """SELECT n_name,
