@@ -675,6 +675,7 @@ object SparkEntry {
          |SELECT doc_id,
          | length(text) AS n_chars,
          | len(toks) AS n_tokens,
+         | len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+', 0)) AS n_tokens_bpe,
          | round(CASE WHEN length(text) > 0
          |   THEN (length(text) - length(regexp_replace(text, '[.,;:!?''"()\\-]', '', 'g')))::DOUBLE / length(text)
          |   ELSE 0.0 END, 4) AS punct_ratio,

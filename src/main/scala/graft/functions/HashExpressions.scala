@@ -119,6 +119,46 @@ object HashUtil {
     }
     h
   }
+
+  /** Winnowing fingerprint (Schleimer/Wilkerson/Aiken, SIGMOD'03): rolling
+    * k-gram hashes over the bytes, then the minimum of each sliding window
+    * of `window` hashes, deduplicated in first-seen order. Robust document
+    * fingerprints: any shared substring of length ≥ window+k-1 guarantees
+    * a shared fingerprint.
+    */
+  def winnow(s: UTF8String, k: Int, window: Int): ArrayData = {
+    val bytes = s.getBytes
+    val n = bytes.length - k + 1
+    if (n <= 0) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.emptyLongArray)
+    val hashes = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      var h = 0xcbf29ce484222325L
+      var j = 0
+      while (j < k) {
+        h ^= (bytes(i + j) & 0xffL)
+        h *= 0x100000001b3L
+        j += 1
+      }
+      hashes(i) = h
+      i += 1
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[Long]()
+    val seen = new scala.collection.mutable.HashSet[Long]()
+    val wins = math.max(1, n - window + 1)
+    var w = 0
+    while (w < wins) {
+      var m = hashes(w)
+      var j = 1
+      while (j < math.min(window, n - w)) {
+        if (hashes(w + j) < m) m = hashes(w + j)
+        j += 1
+      }
+      if (seen.add(m)) out += m
+      w += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
 }
 
 /** 64-bit FNV-1a of a string column. */
@@ -169,6 +209,18 @@ case class MinHash64(child: Expression, numHashes: Int) extends UnaryExpression 
   override protected def withNewChildInternal(newChild: Expression): MinHash64 = copy(child = newChild)
 }
 
+/** Winnowing fingerprint set of a string column (array<long>). */
+case class Winnow(child: Expression, k: Int, window: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    HashUtil.winnow(input.asInstanceOf[UTF8String], k, window)
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashUtil.winnow($c, $k, $window)")
+  override protected def withNewChildInternal(newChild: Expression): Winnow = copy(child = newChild)
+}
+
 /** Dot product of two numeric arrays, summed in element order (matches
   * the sequential semantics of `aggregate(zip_with(...))` and of DuckDB's
   * list kernels, so oracle results stay bit-identical) — but as ONE
@@ -205,6 +257,8 @@ object HashFunctions {
     lift(MinHash64(expr(features), numHashes))
   def dotProduct(a: Column, b: Column): Column =
     lift(DotProduct(expr(a), expr(b)))
+  def winnowFingerprint(c: Column, k: Int = 5, window: Int = 4): Column =
+    lift(Winnow(expr(c), k, window))
 
   /** Hamming distance between two 64-bit hashes (built-in bit_count). */
   def hammingDistance64(a: Column, b: Column): Column =

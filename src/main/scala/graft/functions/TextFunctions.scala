@@ -16,6 +16,19 @@ object TextFunctions {
 
   def tokenCount(c: Column): Column = size(tokens(c))
 
+  /** GPT-2-style pre-tokenizer pattern (contractions, letter runs, digit
+    * runs, punctuation runs, each with optional leading space). RE2-safe
+    * (no lookaround), so a DuckDB oracle using the same pattern matches.
+    */
+  val BpeishPattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+"
+
+  /** BPE-ish token count: how many pre-tokenizer pieces a tokenizer would
+    * see — the standard cheap proxy for LLM token budgeting.
+    */
+  def bpeishTokenCount(c: Column): Column =
+    size(regexp_extract_all(c, lit(BpeishPattern), lit(0)))
+
   /** Punctuation chars / total chars (0 for empty text). */
   def punctRatio(c: Column): Column = {
     val punct = length(c) - length(regexp_replace(c, "[.,;:!?'\"()\\-]", ""))

@@ -51,6 +51,7 @@ object TextAnalysis {
       col(idCol),
       length(col(textCol)).as("n_chars"),
       tokenCount(col(textCol)).as("n_tokens"),
+      bpeishTokenCount(col(textCol)).as("n_tokens_bpe"),
       round(punctRatio(col(textCol)), 4).as("punct_ratio"),
       round(stopwordRatio(col(textCol)), 4).as("stopword_ratio"),
       round(avgTokenLen(col(textCol)), 4).as("avg_token_len"))
@@ -78,5 +79,6 @@ object TextAnalysis {
       col(idCol),
       fnv64(col(textCol)).as("fnv64"),
       polyFingerprint(col(textCol)).as("poly_hash"),
-      simhash64(tokens(col(textCol))).as("simhash"))
+      simhash64(tokens(col(textCol))).as("simhash"),
+      winnowFingerprint(col(textCol)).as("winnow"))
 }

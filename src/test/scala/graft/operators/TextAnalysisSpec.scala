@@ -69,6 +69,26 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(ab == (97L * 31 + 98) % 1000000007L)
   }
 
+  test("bpe-ish token count: contractions and punct runs counted as pieces") {
+    val df = Seq(Tuple1("it's well-known: tokens matter 123 times")).toDF("s")
+    val n = df.select(bpeishTokenCount(col("s"))).head().getInt(0)
+    // it|'s| well|-|known|:| tokens| matter| 123| times
+    assert(n == 10, s"got $n")
+  }
+
+  test("winnowing: shared long substring guarantees shared fingerprint; disjoint text doesn't") {
+    val shared = "the winnowing algorithm selects minima of rolling hash windows"
+    val df = Seq(
+      (1L, s"prefix one $shared suffix alpha"),
+      (2L, s"completely different start $shared and another end"),
+      (3L, "nothing in common with those documents at all whatsoever")
+    ).toDF("doc_id", "text")
+    val fps = df.select(col("doc_id"), winnowFingerprint(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert((fps(1L) intersect fps(2L)).nonEmpty)
+    assert((fps(1L) intersect fps(3L)).isEmpty)
+  }
+
   test("shingles and char ngrams") {
     val df = Seq(Tuple1("a b c d")).toDF("s")
     val sh = df.select(wordShingles(col("s"), 2).as("sh")).head().getSeq[String](0)
