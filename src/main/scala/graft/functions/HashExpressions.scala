@@ -69,14 +69,14 @@ object HashUtil {
     * per-element string concats) — the difference between O(k·n) cheap long
     * ops and O(k·n) string allocations per row.
     */
-  def minhash64(arr: ArrayData, k: Int): ArrayData = {
+  def minhash64(arr: ArrayData, k: Int, stringElems: Boolean): ArrayData = {
     val mins = new Array[Long](k)
     java.util.Arrays.fill(mins, Long.MaxValue)
     val n = arr.numElements()
     var i = 0
     while (i < n) {
       if (!arr.isNullAt(i)) {
-        val base = fnv64(arr.getUTF8String(i))
+        val base = if (stringElems) fnv64(arr.getUTF8String(i)) else arr.getLong(i)
         var j = 0
         while (j < k) {
           val h = mix(base, j)
@@ -197,15 +197,20 @@ case class PolyHash(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): PolyHash = copy(newChild)
 }
 
-/** One-pass MinHash signature of an array<string> of features. */
+/** One-pass MinHash signature of an array<string> or array<long> of
+  * (pre-hashed) features.
+  */
 case class MinHash64(child: Expression, numHashes: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  private def stringElems: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == StringType
   override protected def nullSafeEval(input: Any): Any =
-    HashUtil.minhash64(input.asInstanceOf[ArrayData], numHashes)
+    HashUtil.minhash64(input.asInstanceOf[ArrayData], numHashes, stringElems)
   override protected def doGenCode(
       ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
       ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
-    defineCodeGen(ctx, ev, c => s"graft.functions.HashUtil.minhash64($c, $numHashes)")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.HashUtil.minhash64($c, $numHashes, $stringElems)")
   override protected def withNewChildInternal(newChild: Expression): MinHash64 = copy(child = newChild)
 }
 

@@ -133,9 +133,14 @@ object Dedup {
       n: Int = 5, threshold: Double = 0.5,
       numHashes: Int = 12, numBands: Int = 4): DataFrame = {
     // Stage lower(text) as an attribute (see minHashNearDups PERF note).
+    // Grams are hashed to longs immediately: set semantics are identical
+    // (64-bit collisions negligible) and both the LSH input and the
+    // Jaccard rerank then compare/shuffle 8-byte longs, not strings.
     val featured = df.select(col(idCol).as("id"), lower(col(textCol)).as("lo"))
       .filter(length(col("lo")) >= n)
-      .select(col("id"), array_distinct(charNgrams(col("lo"), n)).as("feats"))
+      .select(col("id"),
+        array_distinct(transform(charNgrams(col("lo"), n), g => xxhash64(g)))
+          .as("feats"))
     jaccardRerank(lshCandidatePairs(featured, numHashes, numBands),
       featured, threshold)
   }
@@ -146,12 +151,10 @@ object Dedup {
     * pairs — never O(n²).
     */
   def embeddingNearDups(corpus: DataFrame, threshold: Double,
-      numPlanes: Int = 8, dim: Int = 64, seed: Long = 42L): DataFrame = {
-    val pairs = Similarity.lshTopK(corpus, corpus, k = Int.MaxValue,
-      numPlanes = numPlanes, dim = dim, seed = seed)
+      numPlanes: Int = 8, dim: Int = 64, seed: Long = 42L): DataFrame =
+    Similarity.lshScoredPairs(corpus, corpus, numPlanes, dim, seed)
       .filter(col("probe_id") < col("corpus_id") && col("cosine") >= threshold)
-    pairs.select(col("probe_id").as("id_a"), col("corpus_id").as("id_b"), col("cosine"))
-  }
+      .select(col("probe_id").as("id_a"), col("corpus_id").as("id_b"), col("cosine"))
 
   /** Representative assignment for near-dup groups: iterate min-id label
     * propagation over the pair graph to (approximate) fixpoint — each id

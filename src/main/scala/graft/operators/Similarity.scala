@@ -86,8 +86,11 @@ object Similarity {
     * most near-neighbors lost at bucket boundaries. Join is bucket-equi →
     * shuffle-partitioned by bucket id, no cross product.
     */
-  def lshTopK(corpus: DataFrame, probes: DataFrame, k: Int,
-      numPlanes: Int = 8, dim: Int = 64, seed: Long = 42L): DataFrame = {
+  /** Bucket-LSH scored candidate pairs (multi-probe hamming-1), distinct
+    * per (probe, corpus) — shared by top-k search and near-dup dedup.
+    */
+  private[operators] def lshScoredPairs(corpus: DataFrame, probes: DataFrame,
+      numPlanes: Int, dim: Int, seed: Long): DataFrame = {
     val planes = randomHyperplanes(numPlanes, dim, seed)
     val c = withNorm(corpus, "corpus_id", "c_vec", "c_nrm")
       .withColumn("bucket", hyperplaneSignature(col("c_vec"), planes))
@@ -98,14 +101,19 @@ object Similarity {
       explode(array(
         (col("sig") +: (0 until numPlanes).map(i =>
           col("sig").bitwiseXOR(lit(1L << i)))): _*)))
-    val scored = c.join(probeBuckets, Seq("bucket"))
+    c.join(probeBuckets, Seq("bucket"))
       .filter(col("corpus_id") =!= col("probe_id"))
       .withColumn("cosine",
         pairCosine(col("c_vec"), col("p_vec"), col("c_nrm"), col("p_nrm")))
+      .select(col("probe_id"), col("corpus_id"), col("cosine"))
+      .dropDuplicates("probe_id", "corpus_id")
+  }
+
+  def lshTopK(corpus: DataFrame, probes: DataFrame, k: Int,
+      numPlanes: Int = 8, dim: Int = 64, seed: Long = 42L): DataFrame = {
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cosine").desc, col("corpus_id"))
-    scored.select(col("probe_id"), col("corpus_id"), col("cosine"))
-      .dropDuplicates("probe_id", "corpus_id")
+    lshScoredPairs(corpus, probes, numPlanes, dim, seed)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
