@@ -120,6 +120,32 @@ object HashUtil {
     h
   }
 
+  /** Distinct FNV hashes of all n-byte grams of a string, in one pass —
+    * the hashed-feature form of char-ngram shingling (byte-level, which
+    * for fingerprinting is equivalent-in-distribution to char-level and
+    * avoids decoding).
+    */
+  def ngramHashes(s: UTF8String, n: Int): ArrayData = {
+    val bytes = s.getBytes
+    val cnt = bytes.length - n + 1
+    if (cnt <= 0) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.emptyLongArray)
+    val seen = new scala.collection.mutable.HashSet[Long]()
+    val out = new scala.collection.mutable.ArrayBuffer[Long](math.min(cnt, 1024))
+    var i = 0
+    while (i < cnt) {
+      var h = 0xcbf29ce484222325L
+      var j = 0
+      while (j < n) {
+        h ^= (bytes(i + j) & 0xffL)
+        h *= 0x100000001b3L
+        j += 1
+      }
+      if (seen.add(h)) out += h
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
   /** Winnowing fingerprint (Schleimer/Wilkerson/Aiken, SIGMOD'03): rolling
     * k-gram hashes over the bytes, then the minimum of each sliding window
     * of `window` hashes, deduplicated in first-seen order. Robust document
@@ -214,6 +240,18 @@ case class MinHash64(child: Expression, numHashes: Int) extends UnaryExpression 
   override protected def withNewChildInternal(newChild: Expression): MinHash64 = copy(child = newChild)
 }
 
+/** Distinct hashed n-byte grams of a string column (array<long>). */
+case class NgramHashes(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    HashUtil.ngramHashes(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashUtil.ngramHashes($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): NgramHashes = copy(child = newChild)
+}
+
 /** Winnowing fingerprint set of a string column (array<long>). */
 case class Winnow(child: Expression, k: Int, window: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -264,6 +302,7 @@ object HashFunctions {
     lift(DotProduct(expr(a), expr(b)))
   def winnowFingerprint(c: Column, k: Int = 5, window: Int = 4): Column =
     lift(Winnow(expr(c), k, window))
+  def ngramHashes(c: Column, n: Int): Column = lift(NgramHashes(expr(c), n))
 
   /** Hamming distance between two 64-bit hashes (built-in bit_count). */
   def hammingDistance64(a: Column, b: Column): Column =

@@ -132,15 +132,14 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 5, threshold: Double = 0.5,
       numHashes: Int = 12, numBands: Int = 4): DataFrame = {
-    // Stage lower(text) as an attribute (see minHashNearDups PERF note).
-    // Grams are hashed to longs immediately: set semantics are identical
-    // (64-bit collisions negligible) and both the LSH input and the
-    // Jaccard rerank then compare/shuffle 8-byte longs, not strings.
+    // Grams go straight to distinct 64-bit hashes in one codegen'd pass
+    // (NgramHashes kernel): set semantics are identical (collisions
+    // negligible) and the LSH input + Jaccard rerank compare/shuffle
+    // 8-byte longs — no per-position substr, no string shuffles.
     val featured = df.select(col(idCol).as("id"), lower(col(textCol)).as("lo"))
       .filter(length(col("lo")) >= n)
       .select(col("id"),
-        array_distinct(transform(charNgrams(col("lo"), n), g => xxhash64(g)))
-          .as("feats"))
+        graft.functions.HashFunctions.ngramHashes(col("lo"), n).as("feats"))
     jaccardRerank(lshCandidatePairs(featured, numHashes, numBands),
       featured, threshold)
   }
