@@ -47,18 +47,20 @@ object Bench {
     // caches), then once at the target SF to warm the OS page cache.
     headline.foreach(runOnce(_, spark, "/root/testdata/sf0.001"))
 
-    // best-of-2: reduces scheduler/GC noise in the recorded number
+    // best-of-2: reduces scheduler/GC noise in the recorded number; each
+    // run is tried independently so one transient failure doesn't discard
+    // the other run's valid measurement
     val results = headline.map { name =>
-      def timed(): Double = {
-        val t0 = System.nanoTime()
-        runOnce(name, spark, sfDir)
-        (System.nanoTime() - t0) / 1e9
-      }
-      val t = try math.min(timed(), timed())
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0
-      }
-      name -> t
+      def timed(): Option[Double] =
+        try {
+          val t0 = System.nanoTime()
+          runOnce(name, spark, sfDir)
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}"); None
+        }
+      val runs = Seq(timed(), timed()).flatten
+      name -> (if (runs.nonEmpty) runs.min else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")

@@ -89,18 +89,37 @@ object HashUtil {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
   }
 
-  /** Sequential in-order dot product over two numeric ArrayData (float or
-    * double elements, each cast to double first — identical arithmetic to
-    * the higher-order `aggregate(zip_with(cast,cast))` formulation).
+  /** Element accessor codes for the numeric-array kernels. */
+  final val ElemDouble = 0
+  final val ElemFloat = 1
+  final val ElemLong = 2
+  final val ElemInt = 3
+
+  private def elemAsDouble(a: ArrayData, i: Int, code: Int): Double = code match {
+    case ElemDouble => a.getDouble(i)
+    case ElemFloat  => a.getFloat(i).toDouble
+    case ElemLong   => a.getLong(i).toDouble
+    case _          => a.getInt(i).toDouble
+  }
+
+  /** Sequential in-order dot product over two numeric ArrayData, each
+    * element widened to double — identical arithmetic to the higher-order
+    * `aggregate(zip_with(cast,cast))` formulation for well-formed input.
+    * Ragged lengths or null elements fail fast with a clear error (the
+    * zip_with form silently yielded null; for fixed-dim embeddings a loud
+    * failure beats a silently-dropped pair).
     */
-  def dot(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+  def dot(a: ArrayData, b: ArrayData, aCode: Int, bCode: Int): Double = {
+    val n = a.numElements()
+    if (b.numElements() != n)
+      throw new IllegalArgumentException(
+        s"dot: vector length mismatch (${a.numElements()} vs ${b.numElements()})")
     var s = 0.0
     var i = 0
     while (i < n) {
-      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
-      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
-      s += x * y
+      if (a.isNullAt(i) || b.isNullAt(i))
+        throw new IllegalArgumentException(s"dot: null element at index $i")
+      s += elemAsDouble(a, i, aCode) * elemAsDouble(b, i, bCode)
       i += 1
     }
     s
@@ -228,8 +247,12 @@ case class PolyHash(child: Expression) extends UnaryExpression {
   */
 case class MinHash64(child: Expression, numHashes: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  private def stringElems: Boolean =
-    child.dataType.asInstanceOf[ArrayType].elementType == StringType
+  private def stringElems: Boolean = child.dataType match {
+    case ArrayType(StringType, _) => true
+    case ArrayType(LongType, _) => false
+    case other => throw new IllegalArgumentException(
+      s"graft_minhash64: argument must be array<string> or array<bigint>, got $other")
+  }
   override protected def nullSafeEval(input: Any): Any =
     HashUtil.minhash64(input.asInstanceOf[ArrayData], numHashes, stringElems)
   override protected def doGenCode(
@@ -272,16 +295,24 @@ case class Winnow(child: Expression, k: Int, window: Int) extends UnaryExpressio
 case class DotProduct(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
   override def dataType: DataType = DoubleType
+
+  private def elemCode(e: Expression, side: String): Int = e.dataType match {
+    case ArrayType(DoubleType, _) => HashUtil.ElemDouble
+    case ArrayType(FloatType, _) => HashUtil.ElemFloat
+    case ArrayType(LongType, _) => HashUtil.ElemLong
+    case ArrayType(IntegerType, _) => HashUtil.ElemInt
+    case other => throw new IllegalArgumentException(
+      s"graft_dot: $side argument must be an array of double/float/long/int, got $other")
+  }
+
   override protected def nullSafeEval(a: Any, b: Any): Any =
     HashUtil.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
-      left.dataType.asInstanceOf[ArrayType].elementType == FloatType,
-      right.dataType.asInstanceOf[ArrayType].elementType == FloatType)
+      elemCode(left, "left"), elemCode(right, "right"))
   override protected def doGenCode(
       ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
       ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) = {
-    val lf = left.dataType.asInstanceOf[ArrayType].elementType == FloatType
-    val rf = right.dataType.asInstanceOf[ArrayType].elementType == FloatType
-    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.HashUtil.dot($a, $b, $lf, $rf)")
+    val (lc, rc) = (elemCode(left, "left"), elemCode(right, "right"))
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.HashUtil.dot($a, $b, $lc, $rc)")
   }
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DotProduct =

@@ -47,6 +47,9 @@ object IvfIndex {
     val base0 = corpus.select(col("vec_id"), toDouble(col("embedding")).as("v"))
     val base = trainSample.map(f => base0.sample(withReplacement = false, f, seed = 42L))
       .getOrElse(base0)
+    // Lloyd's makes one pass PER iteration over the training set — cache it
+    // for the duration of training (unpersisted below).
+    base.persist()
 
     // deterministic init: k vectors with smallest hashed ids
     var centroids: Array[(Int, Array[Double])] = base
@@ -70,6 +73,7 @@ object IvfIndex {
       val byCell = updated.toMap
       centroids = centroids.map { case (i, old) => (i, byCell.getOrElse(i, old)) }
     }
+    base.unpersist()
     Model(centroids)
   }
 

@@ -56,6 +56,11 @@ object Sessionize {
   def streamingSessions(events: Dataset[SessionEvent], gapMs: Long,
       timeout: GroupStateTimeout = GroupStateTimeout.ProcessingTimeTimeout)
       : Dataset[SessionOut] = {
+    // EventTimeTimeout is NOT wired (no setTimeoutTimestamp call): sessions
+    // would never expire and state would grow unboundedly. NoTimeout is for
+    // deterministic tests only (open sessions stay in state by design).
+    require(timeout != GroupStateTimeout.EventTimeTimeout,
+      "EventTimeTimeout unsupported; use ProcessingTimeTimeout (or NoTimeout in tests)")
     import events.sparkSession.implicits._
     events
       .groupByKey(_.user_id)

@@ -16,11 +16,16 @@ import org.apache.spark.sql.functions._
   */
 object SkewJoin {
 
-  /** Deterministic per-row salt (hash of all columns mod saltFactor) —
-    * avoids `rand()` so reruns/retries produce identical plans.
+  /** Per-row salt: hash of the row content MIXED with a per-row id, so
+    * identical rows (the canonical skew shape — one hot key, duplicate
+    * payloads) still spread across all saltFactor buckets. The id makes
+    * the salt nondeterministic across task retries, which is safe here:
+    * the dim side is replicated to EVERY salt value, so any salt yields a
+    * correct join/partial count — stability is not required, coverage is.
     */
   private def salt(df: DataFrame, saltFactor: Int): Column =
-    pmod(xxhash64(df.columns.map(col): _*), lit(saltFactor))
+    pmod(xxhash64((df.columns.map(col) :+ monotonically_increasing_id()): _*),
+      lit(saltFactor))
 
   def saltedEquiJoin(fact: DataFrame, dim: DataFrame, key: String,
       saltFactor: Int = 8, joinType: String = "inner"): DataFrame = {
