@@ -515,7 +515,11 @@ object SparkEntry {
       t(s, d, "nation").join(t(s, d, "region"),
         col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("r_name"))
-        .agg(array_join(array_sort(collect_list(col("n_name"))), ",").as("nations"))))
+        .agg(array_join(array_sort(collect_list(col("n_name"))), ",").as("nations"))),
+
+    // Winnowing (MOSS) verbatim-overlap candidates (no oracle)
+    "q58_winnow_neardups" -> ((s, d) =>
+      graft.operators.Dedup.winnowNearDups(t(s, d, "documents"), "doc_id", "text")))
 
   // ------------------------------------------------------------- oracle SQL
 

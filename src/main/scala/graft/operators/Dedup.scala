@@ -180,6 +180,26 @@ object Dedup {
     labels
   }
 
+  /** Winnowing-based near-dup candidates (the MOSS approach): documents
+    * sharing at least `minShared` winnowing fingerprints. Guarantees: any
+    * pair sharing a substring of length ≥ window+k-1 shares a fingerprint,
+    * so long verbatim overlaps are always caught regardless of how much
+    * surrounding text differs — the complement of shingle-Jaccard (which
+    * needs high OVERALL similarity). One explode + one self-join on the
+    * 8-byte fingerprint, aggregated to pair counts: no payload shuffle.
+    */
+  def winnowNearDups(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, window: Int = 6, minShared: Int = 2): DataFrame = {
+    val fps = df.select(col(idCol).as("id"),
+      explode(graft.functions.HashFunctions.winnowFingerprint(col(textCol), k, window))
+        .as("fp"))
+    fps.as("a").join(fps.as("b"),
+        col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("shared_fingerprints"))
+      .filter(col("shared_fingerprints") >= minShared)
+  }
+
   /** Window-dedup: keep first row per key by order — the idiomatic upgrade
     * of the reference's duplicated(keep='first') semantics (SURVEY §2.F).
     */

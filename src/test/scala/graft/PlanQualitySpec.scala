@@ -1,0 +1,64 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-quality regression guards: these assert the PHYSICAL properties
+  * the 100 TB design depends on, so a refactor that silently loses a
+  * pushdown/broadcast/partial-agg shows up as a test failure, not a
+  * production regression.
+  */
+class PlanQualitySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val d = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, d).queryExecution.executedPlan.toString
+
+  test("q01: filter pushed to parquet scan, columns pruned, partial+final agg") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)
+    assert(p.contains("ReadSchema") && !p.contains("l_suppkey"), "column pruning lost")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "partial aggregation lost")
+  }
+
+  test("q10: dimension side broadcasts") {
+    assert(plan("q10_join_broadcast").contains("BroadcastHashJoin"))
+  }
+
+  test("q14: window top-n gets map-side WindowGroupLimit pushdown") {
+    val p = plan("q14_window_topn")
+    assert(p.contains("WindowGroupLimit"), p.take(400))
+  }
+
+  test("q17: order+limit compiles to TakeOrderedAndProject (no full sort)") {
+    assert(plan("q17_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("q36: as-of join is a single shuffle + window (no range explosion)") {
+    val p = plan("q36_asof_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(400))
+    assert("ShuffleExchange|Exchange".r.findAllIn(p).size <= 3, "unexpected extra shuffles")
+  }
+
+  test("q09: wordcount aggregates partially before the shuffle") {
+    val p = plan("q09_wordcount")
+    assert("HashAggregate".r.findAllIn(p).size >= 2)
+    assert(p.contains("ReadSchema: struct<text:string>"), "reads more than the text column")
+  }
+
+  test("weather transform is one narrow codegen stage (no shuffle, no UDF)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-plan-csv")
+    val content = "Time;Temperature;Humidity;Pressure;Speed;Precip. Accum.\n" +
+      "12:04 AM;55,6 °F;92 %;29,82 in;4,5 mph;0,00 in\n"
+    java.nio.file.Files.write(dir.resolve("wu.csv"),
+      content.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    val df = graft.etl.WuCsvSource.read(spark,
+      Seq(graft.etl.CsvManifestEntry(dir.resolve("wu.csv").toString, "2024-10-01")),
+      "1001", graft.etl.WeatherSchema.SourceWu)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), "transform should be narrow")
+    // `*(n)` prefixes mark WholeStageCodegen stages in simpleString
+    assert(p.contains("*(1)"), "transform fell out of codegen")
+    assert(!p.toLowerCase.contains("batchevalpython") && !p.contains("ScalaUDF"), "UDF crept in")
+  }
+}

@@ -66,6 +66,21 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.contains((0L, 4L)))
   }
 
+  test("winnowing near-dups: catches verbatim overlap inside dissimilar docs") {
+    val overlap = "the exact same long passage appears verbatim in both documents here"
+    val df = Seq(
+      (0L, s"alpha beta gamma $overlap delta epsilon"),
+      (1L, s"unrelated framing text but $overlap with other words"),
+      // negative control: words < k chars so no ≥k-length substring can be
+      // shared with the others (winnowing guarantees are substring-based)
+      (2L, "zz yy xx qq ww ee rr tt uu ii oo pp aa ss dd ff gg hh jj kk ll")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.winnowNearDups(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
+  }
+
   test("keepFirst window dedup") {
     val df = Seq((1, "a", 10), (1, "b", 5), (2, "c", 1)).toDF("k", "v", "ord")
     val got = Dedup.keepFirst(df, Seq("k"), Seq(col("ord"))).collect()
