@@ -519,7 +519,15 @@ object SparkEntry {
 
     // Winnowing (MOSS) verbatim-overlap candidates (no oracle)
     "q58_winnow_neardups" -> ((s, d) =>
-      graft.operators.Dedup.winnowNearDups(t(s, d, "documents"), "doc_id", "text")))
+      graft.operators.Dedup.winnowNearDups(t(s, d, "documents"), "doc_id", "text")),
+
+    // Time-series resample: 6h grid per user, LOCF values (µs granularity)
+    "q59_resample_locf" -> ((s, d) =>
+      graft.operators.Resample.locf(
+        Tables.events(s, d)
+          .select(col("user_id"), expr("ts_ns div 1000").as("ts_us"), col("value")),
+        keyCol = "user_id", tsCol = "ts_us", valueCol = "value",
+        step = 6L * 3600 * 1000000)))
 
   // ------------------------------------------------------------- oracle SQL
 
@@ -882,6 +890,16 @@ object SparkEntry {
         | array_to_string(list_sort(list(n_name)), ',') AS nations
         |FROM nation JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name""".stripMargin,
+
+    "q59_resample_locf" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, value FROM events),
+        |spans AS (SELECT user_id, (min(ts_us) // 21600000000) * 21600000000 AS g0,
+        |                 max(ts_us) AS g1 FROM e GROUP BY user_id),
+        |grid AS (SELECT user_id, unnest(generate_series(g0, g1, 21600000000)) AS grid_ts
+        |         FROM spans)
+        |SELECT g.user_id, g.grid_ts, r.value AS value_locf
+        |FROM grid g ASOF LEFT JOIN e r
+        | ON g.user_id = r.user_id AND g.grid_ts >= r.ts_us""".stripMargin,
 
     "q51_tpch_q5" ->
       """SELECT n_name,
