@@ -517,9 +517,13 @@ object SparkEntry {
         .groupBy(col("r_name"))
         .agg(array_join(array_sort(collect_list(col("n_name"))), ",").as("nations"))),
 
-    // Winnowing (MOSS) verbatim-overlap candidates (no oracle)
+    // Winnowing (MOSS) verbatim-overlap candidates (no oracle).
+    // minShared=30: the synthetic docs share a ~30-word vocab, so nearly
+    // every pair shares a few ≥8-char substrings (p99 ≈ 19 shared
+    // fingerprints); 30 keeps only substantial verbatim overlap.
     "q58_winnow_neardups" -> ((s, d) =>
-      graft.operators.Dedup.winnowNearDups(t(s, d, "documents"), "doc_id", "text")),
+      graft.operators.Dedup.winnowNearDups(t(s, d, "documents"), "doc_id", "text",
+        minShared = 30)),
 
     // Time-series resample: 6h grid per user, LOCF values (µs granularity)
     "q59_resample_locf" -> ((s, d) =>
