@@ -531,7 +531,30 @@ object SparkEntry {
         Tables.events(s, d)
           .select(col("user_id"), expr("ts_ns div 1000").as("ts_us"), col("value")),
         keyCol = "user_id", tsCol = "ts_us", valueCol = "value",
-        step = 6L * 3600 * 1000000)))
+        step = 6L * 3600 * 1000000)),
+
+    // Unpivot / melt (wide → long re-shape)
+    "q60_unpivot" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .unpivot(
+          Array(col("l_orderkey")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+          "metric", "value")
+        .groupBy(col("metric"))
+        .agg(count(lit(1)).as("n"), decSum(col("value"), 4).as("s"))),
+
+    // Array-function sweep over tokenized documents
+    "q61_array_funcs" -> ((s, d) =>
+      t(s, d, "documents").filter(col("doc_id") < 100)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .select(
+          col("doc_id"),
+          size(col("toks")).as("n"),
+          array_contains(col("toks"), "the").as("has_the"),
+          size(array_distinct(col("toks"))).as("n_distinct"),
+          slice(array_sort(col("toks")), 1, 3).as("first3_sorted"),
+          array_position(col("toks"), "data").cast("long").as("pos_data"),
+          element_at(col("toks"), -1).as("last_tok"))))
 
   // ------------------------------------------------------------- oracle SQL
 
@@ -904,6 +927,25 @@ object SparkEntry {
         |SELECT g.user_id, g.grid_ts, r.value AS value_locf
         |FROM grid g ASOF LEFT JOIN e r
         | ON g.user_id = r.user_id AND g.grid_ts >= r.ts_us""".stripMargin,
+
+    "q60_unpivot" ->
+      """SELECT metric, count(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS s
+        |FROM (
+        | SELECT l_orderkey, 'l_quantity' AS metric, l_quantity AS value FROM lineitem
+        | UNION ALL SELECT l_orderkey, 'l_extendedprice', l_extendedprice FROM lineitem
+        | UNION ALL SELECT l_orderkey, 'l_discount', l_discount FROM lineitem)
+        |GROUP BY metric""".stripMargin,
+
+    "q61_array_funcs" ->
+      s"""WITH tk AS (SELECT doc_id, $tokensSql AS toks FROM documents WHERE doc_id < 100)
+         |SELECT doc_id,
+         | len(toks) AS n,
+         | list_contains(toks, 'the') AS has_the,
+         | len(list_distinct(toks)) AS n_distinct,
+         | list_sort(toks)[1:3] AS first3_sorted,
+         | coalesce(list_position(toks, 'data'), 0) AS pos_data,
+         | toks[-1] AS last_tok
+         |FROM tk""".stripMargin,
 
     "q51_tpch_q5" ->
       """SELECT n_name,
