@@ -554,7 +554,18 @@ object SparkEntry {
           size(array_distinct(col("toks"))).as("n_distinct"),
           slice(array_sort(col("toks")), 1, 3).as("first3_sorted"),
           array_position(col("toks"), "data").cast("long").as("pos_data"),
-          element_at(col("toks"), -1).as("last_tok"))))
+          element_at(col("toks"), -1).as("last_tok"))),
+
+    // Training-data curation funnel (lang + quality gates, exact dedup) —
+    // the near-dup stage is exercised in q29/spec; omitted here so the
+    // whole pipeline stays SQL-oracle-checkable
+    "q62_curation" -> ((s, d) =>
+      graft.operators.Curation.curate(
+        t(s, d, "documents"),
+        graft.operators.Curation.Config(
+          allowedLangs = Some(Set("en", "fr", "de", "es")),
+          minQuality = 0.3, minTokens = 5, nearDupJaccard = None))
+        .select(col("doc_id"), col("n_tokens"), col("quality_score"))))
 
   // ------------------------------------------------------------- oracle SQL
 
@@ -946,6 +957,24 @@ object SparkEntry {
          | coalesce(list_position(toks, 'data'), 0) AS pos_data,
          | toks[-1] AS last_tok
          |FROM tk""".stripMargin,
+
+    "q62_curation" ->
+      s"""WITH tk AS (SELECT doc_id, text, lang, $tokensSql AS toks FROM documents),
+         |m AS (SELECT doc_id, text, lang,
+         |  len(toks) AS n_tokens,
+         |  round(least(len(toks) / 20.0, 1.0)
+         |    * greatest(1.0 - (CASE WHEN length(text) > 0
+         |        THEN (length(text) - length(regexp_replace(text, '[.,;:!?''"()\\-]', '', 'g')))::DOUBLE / length(text)
+         |        ELSE 0.0 END) * 5.0, 0.0)
+         |    * least((CASE WHEN len(toks) > 0
+         |        THEN len(list_filter(toks, tk2 -> list_contains(['the','a','an','and','or','of','to','in','is','it'], tk2)))::DOUBLE / len(toks)
+         |        ELSE 0.0 END) * 5.0, 1.0), 4) AS quality_score
+         | FROM tk),
+         |gated AS (SELECT * FROM m
+         | WHERE lang IN ('en','fr','de','es') AND n_tokens >= 5 AND quality_score >= 0.3),
+         |keep AS (SELECT min(doc_id) AS doc_id FROM gated GROUP BY text)
+         |SELECT g.doc_id, g.n_tokens, g.quality_score
+         |FROM gated g JOIN keep USING (doc_id)""".stripMargin,
 
     "q51_tpch_q5" ->
       """SELECT n_name,

@@ -35,3 +35,23 @@ final class ParquetSink(path: String, partitionBy: Seq[String] = Nil) extends Si
   def verifyCount(spark: SparkSession, expected: Long): Boolean =
     read(spark).count() == expected
 }
+
+/** CSV sink (interchange/export path; same overwrite + reconcile contract). */
+final class CsvSink(path: String, sep: String = ";") extends Sink {
+  override def overwrite(df: DataFrame): Long = {
+    df.write.mode(SaveMode.Overwrite)
+      .option("header", "true").option("sep", sep).csv(path)
+    df.sparkSession.read.option("header", "true").csv(path).count()
+  }
+  override def read(spark: SparkSession): DataFrame =
+    spark.read.option("header", "true").option("sep", sep).csv(path)
+}
+
+/** JSON-lines sink (same contract). */
+final class JsonSink(path: String) extends Sink {
+  override def overwrite(df: DataFrame): Long = {
+    df.write.mode(SaveMode.Overwrite).json(path)
+    df.sparkSession.read.json(path).count()
+  }
+  override def read(spark: SparkSession): DataFrame = spark.read.json(path)
+}

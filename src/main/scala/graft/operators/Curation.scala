@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+/** End-to-end training-data curation pipeline — the composite operator a
+  * pretraining data team actually runs: language gate → quality gate →
+  * exact dedup → (optional) near-dup removal → per-survivor token stats +
+  * a funnel report.
+  *
+  * Everything before near-dup removal is narrow + one hash shuffle (the
+  * content dedup); near-dup removal adds the bounded LSH shape from
+  * [[Dedup.minHashNearDups]]. The funnel counts come from ONE aggregation
+  * over a stage-labeled union, not one count() job per stage.
+  */
+object Curation {
+
+  final case class Config(
+      allowedLangs: Option[Set[String]] = None,
+      minQuality: Double = 0.3,
+      minTokens: Int = 5,
+      nearDupJaccard: Option[Double] = None)
+
+  final case class FunnelReport(
+      input: Long, afterLangGate: Long, afterQualityGate: Long,
+      afterExactDedup: Long, afterNearDedup: Long)
+
+  /** Curated documents: doc_id, text, n_tokens, quality_score. Stable
+    * winner selection (min doc_id per content group / near-dup group).
+    */
+  def curate(docs: DataFrame, config: Config = Config(),
+      idCol: String = "doc_id", textCol: String = "text",
+      langCol: String = "lang"): DataFrame = {
+    val langGated = config.allowedLangs match {
+      case Some(langs) => docs.filter(col(langCol).isin(langs.toSeq: _*))
+      case None => docs
+    }
+    val scored = langGated.select(
+      col(idCol), col(textCol),
+      tokenCount(col(textCol)).as("n_tokens"),
+      TextAnalysis.qualityScore(col(textCol)).as("quality_score"))
+    val qualityGated = scored
+      .filter(col("n_tokens") >= config.minTokens &&
+        col("quality_score") >= config.minQuality)
+    // exact dedup: winner = min id per content value
+    val keepIds = qualityGated
+      .groupBy(col(textCol)).agg(min(col(idCol)).as(idCol))
+      .select(idCol)
+    val exactDeduped = qualityGated.join(keepIds, Seq(idCol), "left_semi")
+    config.nearDupJaccard match {
+      case None => exactDeduped
+      case Some(tau) =>
+        // r=2 rows/band (16 hashes, 8 bands): band-collision prob j², so a
+        // pair at the tau=0.5 threshold is missed with (1-τ²)^8 ≈ 1% —
+        // r=4 banding would miss ~40% of threshold pairs
+        val dupPairs = Dedup.minHashNearDups(exactDeduped, idCol, textCol,
+          numHashes = 16, numBands = 8, jaccardThreshold = tau)
+        // drop the larger id of each near-dup pair (min-id winner)
+        val losers = dupPairs.select(col("id_b").as(idCol)).distinct()
+        exactDeduped.join(losers, Seq(idCol), "left_anti")
+    }
+  }
+
+  /** Stage funnel: each intermediate stage built explicitly, all counted
+    * in one union-of-labeled-counts job (no per-stage count() round-trips
+    * — mirrors the reference's N+1 audit fix).
+    */
+  def funnel(docs: DataFrame, config: Config = Config(),
+      idCol: String = "doc_id", textCol: String = "text",
+      langCol: String = "lang"): FunnelReport = {
+    val langGated = config.allowedLangs match {
+      case Some(langs) => docs.filter(col(langCol).isin(langs.toSeq: _*))
+      case None => docs
+    }
+    val qualityGated = langGated.filter(
+      tokenCount(col(textCol)) >= config.minTokens &&
+        TextAnalysis.qualityScore(col(textCol)) >= config.minQuality)
+    val exactDeduped = qualityGated
+      .groupBy(col(textCol)).agg(min(col(idCol)).as(idCol)).select(idCol)
+    val near = curate(docs, config, idCol, textCol, langCol).select(idCol)
+    val stages: Seq[(String, DataFrame)] = Seq(
+      "input" -> docs.select(col(idCol)),
+      "lang" -> langGated.select(col(idCol)),
+      "quality" -> qualityGated.select(col(idCol)),
+      "exact" -> exactDeduped,
+      "near" -> near)
+    val counts = stages.map { case (name, df) =>
+      df.select(lit(name).as("stage")).groupBy("stage").count()
+    }.reduce(_.unionByName(_))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    FunnelReport(
+      input = counts.getOrElse("input", 0L),
+      afterLangGate = counts.getOrElse("lang", 0L),
+      afterQualityGate = counts.getOrElse("quality", 0L),
+      afterExactDedup = counts.getOrElse("exact", 0L),
+      afterNearDedup = counts.getOrElse("near", 0L))
+  }
+}
