@@ -44,8 +44,14 @@ object Bench {
     GraftSession.tune(spark)
 
     // Warmup: run every headline once at the smallest SF (JIT + codegen
-    // caches), then once at the target SF to warm the OS page cache.
-    headline.foreach(runOnce(_, spark, "/root/testdata/sf0.001"))
+    // caches). Guarded per query — a warmup failure must not kill the
+    // benchmark before the JSON line is emitted.
+    headline.foreach { name =>
+      try runOnce(name, spark, "/root/testdata/sf0.001")
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] warmup $name skipped: ${e.getMessage}")
+      }
+    }
 
     // best-of-2: reduces scheduler/GC noise in the recorded number; each
     // run is tried independently so one transient failure doesn't discard
@@ -62,10 +68,13 @@ object Bench {
       val runs = Seq(timed(), timed()).flatten
       name -> (if (runs.nonEmpty) runs.min else -1.0)
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+    // Locale.ROOT: the f-interpolator uses the default locale, which can
+    // emit comma decimal separators → invalid JSON
+    def num(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + num(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(f"""{"metric":"headline_total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"headline_total","value":${num(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -14,6 +14,12 @@ import org.apache.spark.sql.functions._
   *
   * Duplicate counts use `count - count(distinct key)` ≡ pandas
   * `duplicated(keep='first').sum()`.
+  *
+  * Date range is chronological: the raw strings are parsed with coercion
+  * (like the reference's pd.to_datetime(errors='coerce'),
+  * etl_meteo.py:127-129) before min/max — lexicographic min/max would
+  * mis-order the WU 12-hour format. Unparseable rows are excluded, as
+  * NaT is by pandas min/max.
   */
 final case class IntegrityReport(
     totalRows: Long,
@@ -31,13 +37,14 @@ object IntegrityReport {
   /** The single-pass aggregation plan (exposed for tests / Verify). */
   def aggregated(df: DataFrame): DataFrame = {
     val cols = df.columns.toSeq
+    val parsed = WeatherTransforms.parsedTimestampMulti(col("date_heure_utc"))
     val aggs: Seq[Column] = Seq(
       count(lit(1)).as("total_rows"),
       (count(lit(1)) - count_distinct(col("date_heure_utc"))).as("dup_by_date"),
       (count(lit(1)) - count_distinct(col("date_heure_utc"), col("id_station")))
         .as("dup_by_date_station"),
-      min("date_heure_utc").as("min_date"),
-      max("date_heure_utc").as("max_date")) ++ cols.map(nullCount)
+      date_format(min(parsed), "yyyy-MM-dd HH:mm:ss").as("min_date"),
+      date_format(max(parsed), "yyyy-MM-dd HH:mm:ss").as("max_date")) ++ cols.map(nullCount)
     df.agg(aggs.head, aggs.tail: _*)
   }
 

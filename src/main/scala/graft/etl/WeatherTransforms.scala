@@ -77,4 +77,20 @@ object WeatherTransforms {
     */
   def parsedTimestamp(c: Column): Column =
     when(c.rlike("^\\d{4}-\\d{2}-\\d{2}[ T]\\d{1,2}:\\d{2}"), to_timestamp(c))
+
+  /** Multi-format coercing parse covering BOTH unified-table formats —
+    * Infoclimat "yyyy-MM-dd HH:mm[:ss]" and Weather Underground
+    * "yyyy-MM-dd h:mm AM/PM" — like pandas' flexible to_datetime. Needed
+    * wherever audits compare dates chronologically: lexicographic
+    * comparison of the raw strings mis-orders 12-hour clock times
+    * ("9:04 PM" > "10:04 PM" as strings).
+    */
+  def parsedTimestampMulti(c: Column): Column = {
+    def guarded(pattern: String, fmt: String): Column =
+      when(c.rlike(pattern), to_timestamp(c, fmt))
+    coalesce(
+      guarded("^\\d{4}-\\d{2}-\\d{2} \\d{1,2}:\\d{2}:\\d{2}$", "yyyy-MM-dd H:mm:ss"),
+      guarded("^\\d{4}-\\d{2}-\\d{2} \\d{1,2}:\\d{2}$", "yyyy-MM-dd H:mm"),
+      guarded("^\\d{4}-\\d{2}-\\d{2} \\d{1,2}:\\d{2} (AM|PM)$", "yyyy-MM-dd h:mm a"))
+  }
 }

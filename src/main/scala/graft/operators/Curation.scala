@@ -63,9 +63,11 @@ object Curation {
     }
   }
 
-  /** Stage funnel: each intermediate stage built explicitly, all counted
-    * in one union-of-labeled-counts job (no per-stage count() round-trips
-    * — mirrors the reference's N+1 audit fix).
+  /** Stage funnel: the shared lineage (lang + quality gates, the expensive
+    * tokenize/score pass) is computed ONCE and cached; every later stage —
+    * including the near-dup LSH — derives from the cached frame, and all
+    * stage counts land in one union-of-labeled-counts job (no per-stage
+    * count() round-trips — mirrors the reference's N+1 audit fix).
     */
   def funnel(docs: DataFrame, config: Config = Config(),
       idCol: String = "doc_id", textCol: String = "text",
@@ -77,24 +79,36 @@ object Curation {
     val qualityGated = langGated.filter(
       tokenCount(col(textCol)) >= config.minTokens &&
         TextAnalysis.qualityScore(col(textCol)) >= config.minQuality)
-    val exactDeduped = qualityGated
-      .groupBy(col(textCol)).agg(min(col(idCol)).as(idCol)).select(idCol)
-    val near = curate(docs, config, idCol, textCol, langCol).select(idCol)
-    val stages: Seq[(String, DataFrame)] = Seq(
-      "input" -> docs.select(col(idCol)),
-      "lang" -> langGated.select(col(idCol)),
-      "quality" -> qualityGated.select(col(idCol)),
-      "exact" -> exactDeduped,
-      "near" -> near)
-    val counts = stages.map { case (name, df) =>
-      df.select(lit(name).as("stage")).groupBy("stage").count()
-    }.reduce(_.unionByName(_))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    FunnelReport(
-      input = counts.getOrElse("input", 0L),
-      afterLangGate = counts.getOrElse("lang", 0L),
-      afterQualityGate = counts.getOrElse("quality", 0L),
-      afterExactDedup = counts.getOrElse("exact", 0L),
-      afterNearDedup = counts.getOrElse("near", 0L))
+      .select(col(idCol), col(textCol))
+    qualityGated.persist()
+    try {
+      val exactDeduped = qualityGated
+        .groupBy(col(textCol)).agg(min(col(idCol)).as(idCol)).select(idCol)
+      val exactRows = qualityGated.join(exactDeduped, Seq(idCol), "left_semi")
+      val near = config.nearDupJaccard match {
+        case None => exactDeduped
+        case Some(tau) =>
+          val losers = Dedup.minHashNearDups(exactRows, idCol, textCol,
+            numHashes = 16, numBands = 8, jaccardThreshold = tau)
+            .select(col("id_b").as(idCol)).distinct()
+          exactDeduped.join(losers, Seq(idCol), "left_anti")
+      }
+      val stages: Seq[(String, DataFrame)] = Seq(
+        "input" -> docs.select(col(idCol)),
+        "lang" -> langGated.select(col(idCol)),
+        "quality" -> qualityGated.select(col(idCol)),
+        "exact" -> exactDeduped,
+        "near" -> near)
+      val counts = stages.map { case (name, df) =>
+        df.select(lit(name).as("stage")).groupBy("stage").count()
+      }.reduce(_.unionByName(_))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      FunnelReport(
+        input = counts.getOrElse("input", 0L),
+        afterLangGate = counts.getOrElse("lang", 0L),
+        afterQualityGate = counts.getOrElse("quality", 0L),
+        afterExactDedup = counts.getOrElse("exact", 0L),
+        afterNearDedup = counts.getOrElse("near", 0L))
+    } finally qualityGated.unpersist()
   }
 }

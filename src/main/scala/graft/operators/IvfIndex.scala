@@ -77,13 +77,13 @@ object IvfIndex {
     Model(centroids)
   }
 
-  /** Assign every corpus vector to its cell (materialize + partition this
-    * at scale so probes prune cells at the scan).
+  /** Assign every corpus vector to its cell — no rows dropped (zero-norm
+    * vectors still live in a cell; cosine scoring excludes them later).
+    * Materialize + partition this at scale so probes prune cells at scan.
     */
   def assign(corpus: DataFrame, m: Model): DataFrame =
     corpus.select(col("vec_id"), toDouble(col("embedding")).as("v"))
       .withColumn("nrm", l2Norm(col("v")))
-      .filter(col("nrm") > 0)
       .withColumn("cell", nearestCell(col("v"), m))
 
   /** Approximate cosine top-k: each probe searches its `nprobe` nearest
@@ -92,6 +92,7 @@ object IvfIndex {
   def topK(corpus: DataFrame, probes: DataFrame, m: Model, k: Int,
       nprobe: Int = 4): DataFrame = {
     val assigned = assign(corpus, m)
+      .filter(col("nrm") > 0) // cosine undefined for zero-norm vectors
       .select(col("vec_id").as("corpus_id"), col("v").as("c_vec"),
         col("nrm").as("c_nrm"), col("cell"))
     val probeCells = probes

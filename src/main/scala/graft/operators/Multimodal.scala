@@ -53,6 +53,7 @@ object Multimodal {
 
     /** STUB resize: re-encode to a deterministic downsample of the bytes. */
     def resize(bytes: Array[Byte], targetW: Int, targetH: Int): Array[Byte] = {
+      if (bytes.isEmpty) return bytes
       val target = math.max(1, math.min(bytes.length, targetW * targetH / 64))
       val out = new Array[Byte](target)
       var i = 0

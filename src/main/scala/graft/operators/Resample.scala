@@ -25,12 +25,13 @@ object Resample {
       step: Long): DataFrame = {
     val spans = obs.groupBy(col(keyCol))
       .agg(min(col(tsCol)).as("__min_ts"), max(col(tsCol)).as("__max_ts"))
+    // floor-to-step via pmod: exact integer arithmetic (a double division
+    // would corrupt >2^53 epoch-nano timestamps) and true floor semantics
+    // for negative timestamps (integer `div` truncates toward zero)
+    val gridStart = col("__min_ts") - pmod(col("__min_ts"), lit(step))
     val grid = spans.select(
       col(keyCol),
-      explode(sequence(
-        (col("__min_ts") / step).cast("long") * step,
-        col("__max_ts"),
-        lit(step))).as("grid_ts"))
+      explode(sequence(gridStart, col("__max_ts"), lit(step))).as("grid_ts"))
     AsOfJoin.asOf(
       left = grid, right = obs.select(col(keyCol), col(tsCol), col(valueCol)),
       keys = Seq(keyCol), leftTs = "grid_ts", rightTs = tsCol,

@@ -60,12 +60,26 @@ object StreamingOps {
     WeatherTransforms.fromWuCsv(raw, stationId, source)
   }
 
-  /** Truncate-and-load sink per micro-batch — the reference's W1 overwrite
-    * semantics (delete_many + insert_many) expressed via foreachBatch.
+  /** Append sink for row streams: each micro-batch's rows are ADDED to the
+    * parquet output — the correct accumulation semantics for an append-
+    * mode stream (an overwrite here would erase earlier batches' rows).
     */
-  def overwritePerBatch(stream: DataFrame, path: String): DataStreamWriter[org.apache.spark.sql.Row] =
+  def appendPerBatch(stream: DataFrame, path: String): DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream
       .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(path)
+      }
+
+  /** Truncate-and-load sink — the reference's W1 overwrite semantics
+    * (delete_many + insert_many, etl_meteo.py:195-198). ONLY correct when
+    * each batch carries the COMPLETE result (a complete-output-mode
+    * aggregation stream); for append-mode row streams use
+    * [[appendPerBatch]] — overwriting per batch would drop earlier rows.
+    */
+  def overwriteCompletePerBatch(stream: DataFrame, path: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .outputMode("complete")
       .foreachBatch { (batch: DataFrame, _: Long) =>
         batch.write.mode("overwrite").parquet(path)
       }

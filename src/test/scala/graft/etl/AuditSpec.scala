@@ -28,8 +28,24 @@ class AuditSpec extends AnyFunSuite {
     assert(r.nullCounts("temperature_c") == 1)
     assert(r.nullCounts("humidite_pct") == 1)
     assert(r.nullCounts("id_station") == 0)
-    assert(r.minDate.contains("2024-10-01 00:00"))
-    assert(r.maxDate.contains("2024-10-02 00:00"))
+    assert(r.minDate.contains("2024-10-01 00:00:00"))
+    assert(r.maxDate.contains("2024-10-02 00:00:00"))
+  }
+
+  test("date range is chronological across 12-hour and 24-hour formats") {
+    val df = Seq(
+      obs("2024-10-01 9:04 PM", "1001", Some(10.0)),
+      obs("2024-10-01 10:04 PM", "1001", Some(10.0)),  // string-max trap: '9' > '1'
+      obs("2024-10-01 08:30:00", "1002", Some(10.0)),
+      obs("not a date", "1002", Some(10.0))            // coerced out, like NaT
+    ).toDF()
+    val r = IntegrityReport.compute(df)
+    assert(r.minDate.contains("2024-10-01 08:30:00"))
+    assert(r.maxDate.contains("2024-10-01 22:04:00"))
+    import TestSpark.spark.implicits._
+    val typed = TypedIntegrity.compute(df.as[WeatherObservation])
+    assert(typed.minDate.contains("2024-10-01 08:30:00"))
+    assert(typed.maxDate.contains("2024-10-01 22:04:00"))
   }
 
   test("quality: range anomalies counted per constraint, rate computed") {

@@ -92,17 +92,44 @@ class StreamingOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
-  test("foreachBatch overwrite sink writes each batch") {
+  test("append sink accumulates rows ACROSS micro-batches (no overwrite loss)") {
     val srcDir = Files.createTempDirectory("graft-stream-sink-src")
     val outDir = Files.createTempDirectory("graft-stream-sink-out").resolve("sink")
+    val schema = StructType(Seq(StructField("id", LongType), StructField("v", StringType)))
     Seq((1L, "a"), (2L, "b")).toDF("id", "v").coalesce(1)
       .write.mode("overwrite").parquet(srcDir.resolve("f1").toString)
-    val schema = StructType(Seq(StructField("id", LongType), StructField("v", StringType)))
-    val stream = spark.readStream.schema(schema).parquet(srcDir.toString + "/*")
-    val q = StreamingOps.overwritePerBatch(stream, outDir.toString).start()
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir.toString + "/*")
+    val q = StreamingOps.appendPerBatch(stream, outDir.toString).start()
     try {
       q.processAllAvailable()
-      assert(spark.read.parquet(outDir.toString).count() == 2)
+      // second batch arrives later — its rows must ADD, not replace
+      Seq((3L, "c")).toDF("id", "v").coalesce(1)
+        .write.mode("overwrite").parquet(srcDir.resolve("f2").toString)
+      q.processAllAvailable()
+      val ids = spark.read.parquet(outDir.toString).collect().map(_.getLong(0)).toSet
+      assert(ids == Set(1L, 2L, 3L), s"batch rows lost: $ids")
+    } finally q.stop()
+  }
+
+  test("complete-mode overwrite sink holds the full aggregate after each batch") {
+    val srcDir = Files.createTempDirectory("graft-stream-agg-src")
+    val outDir = Files.createTempDirectory("graft-stream-agg-out").resolve("sink")
+    val schema = StructType(Seq(StructField("k", StringType), StructField("n", LongType)))
+    Seq(("x", 1L), ("y", 1L)).toDF("k", "n").coalesce(1)
+      .write.mode("overwrite").parquet(srcDir.resolve("f1").toString)
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir.toString + "/*")
+      .groupBy("k").count()
+    val q = StreamingOps.overwriteCompletePerBatch(stream, outDir.toString).start()
+    try {
+      q.processAllAvailable()
+      Seq(("x", 1L)).toDF("k", "n").coalesce(1)
+        .write.mode("overwrite").parquet(srcDir.resolve("f2").toString)
+      q.processAllAvailable()
+      val counts = spark.read.parquet(outDir.toString).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(counts == Map("x" -> 2L, "y" -> 1L), s"got $counts")
     } finally q.stop()
   }
 }

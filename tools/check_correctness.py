@@ -57,7 +57,9 @@ def main():
             results[name] = f"ERROR reading spark output: {e}"
             continue
         if name not in oracle:
-            results[name] = f"rows-only: {len(grows)} rows" + (" EMPTY!" if not grows else "")
+            # an empty un-oracled result is a dead operator, not a pass
+            results[name] = (f"rows-only: {len(grows)} rows" if grows
+                             else "EMPTY rows-only output")
             continue
         try:
             exp = con.execute(oracle[name])
