@@ -34,6 +34,55 @@ final class ParquetSink(path: String, partitionBy: Seq[String] = Nil) extends Si
   /** W2: post-write count reconciliation (etl_meteo.py:200-207). */
   def verifyCount(spark: SparkSession, expected: Long): Boolean =
     read(spark).count() == expected
+
+  /** Incremental upsert: merge `updates` into the sink by `keys`, latest
+    * row per key wins by `orderCol` (ties → update wins). The incremental
+    * upgrade of the reference's full truncate-and-reload: only one
+    * read+window pass over existing∪updates instead of re-ingesting every
+    * source. Write goes through a temp dir then swaps, so a mid-write
+    * failure leaves the old sink intact.
+    */
+  def upsert(updates: DataFrame, keys: Seq[String], orderCol: String): Long = {
+    import org.apache.spark.sql.functions._
+    val spark = updates.sparkSession
+    val existing =
+      try Some(read(spark)) catch { case _: Exception => None }
+    val tagged = existing match {
+      case Some(old) => old.withColumn("__src", lit(0))
+        .unionByName(updates.withColumn("__src", lit(1)))
+      case None => updates.withColumn("__src", lit(1))
+    }
+    val merged = graft.operators.Dedup.keepFirst(tagged, keys,
+      Seq(col(orderCol).desc, col("__src").desc)).drop("__src")
+    val tmp = path + ".__tmp"
+    merged.write.mode(SaveMode.Overwrite).parquet(tmp)
+    val fs = new java.io.File(stripScheme(path))
+    val tmpFile = new java.io.File(stripScheme(tmp))
+    if (fs.exists()) org.apache.commons.io.FileUtils.deleteDirectory(fs)
+    if (!tmpFile.renameTo(fs))
+      throw new java.io.IOException(s"upsert swap failed: $tmp -> $path")
+    spark.read.parquet(path).count()
+  }
+
+  private def stripScheme(p: String): String =
+    if (p.startsWith("file:")) p.stripPrefix("file:") else p
+
+  /** Compact the sink to ~`targetFiles` files per partition directory —
+    * small-file management for repeatedly-upserted/streamed sinks (1000s
+    * of tiny parquet files destroy scan throughput at scale).
+    */
+  def compact(spark: SparkSession, targetFiles: Int): Long = {
+    val df = read(spark).repartition(targetFiles)
+    val tmp = path + ".__compact"
+    val writer = df.write.mode(SaveMode.Overwrite)
+    (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer).parquet(tmp)
+    val fs = new java.io.File(stripScheme(path))
+    val tmpFile = new java.io.File(stripScheme(tmp))
+    org.apache.commons.io.FileUtils.deleteDirectory(fs)
+    if (!tmpFile.renameTo(fs))
+      throw new java.io.IOException(s"compact swap failed: $tmp -> $path")
+    spark.read.parquet(path).count()
+  }
 }
 
 /** CSV sink (interchange/export path; same overwrite + reconcile contract). */

@@ -1,0 +1,49 @@
+package graft.etl
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class SinkSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("upsert: latest-wins merge by key, update beats existing on tie") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-upsert")
+    val sink = new ParquetSink(dir.resolve("t").toString)
+    sink.overwrite(Seq((1L, "old-a", 10L), (2L, "old-b", 10L)).toDF("k", "v", "ver"))
+    val n = sink.upsert(
+      Seq((2L, "new-b", 20L),   // newer version wins
+        (3L, "new-c", 5L),      // new key inserted
+        (1L, "tie-a", 10L))     // same version: update wins the tie
+        .toDF("k", "v", "ver"),
+      keys = Seq("k"), orderCol = "ver")
+    assert(n == 3)
+    val got = sink.read(spark).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "tie-a", 2L -> "new-b", 3L -> "new-c"))
+  }
+
+  test("upsert into an empty sink behaves like overwrite") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-upsert-empty")
+    val sink = new ParquetSink(dir.resolve("t").toString)
+    val n = sink.upsert(Seq((1L, "a", 1L)).toDF("k", "v", "ver"), Seq("k"), "ver")
+    assert(n == 1)
+  }
+
+  test("compact reduces file count, preserves rows") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact")
+    val sink = new ParquetSink(dir.resolve("t").toString)
+    sink.overwrite(spark.range(1000).toDF("id").repartition(16))
+    val before = dir.resolve("t").toFile.listFiles().count(_.getName.endsWith(".parquet"))
+    val n = sink.compact(spark, targetFiles = 2)
+    val after = dir.resolve("t").toFile.listFiles().count(_.getName.endsWith(".parquet"))
+    assert(n == 1000 && before >= 16 && after <= 2, s"$before -> $after")
+  }
+
+  test("csv and json sinks round-trip") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sinks")
+    val df = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    assert(new CsvSink(dir.resolve("csv").toString).overwrite(df) == 2)
+    assert(new JsonSink(dir.resolve("json").toString).overwrite(df) == 2)
+  }
+}
