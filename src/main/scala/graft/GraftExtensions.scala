@@ -50,6 +50,9 @@ object GraftExtensions {
     "graft_polyhash" -> (es => PolyHash(es.head)),
     "graft_minhash64" -> (es => MinHash64(es.head, intArg(es(1), "numHashes"))),
     "graft_dot" -> (es => DotProduct(es(0), es(1))),
+    "graft_winnow" -> (es => Winnow(es.head,
+      intArg(es(1), "k"), intArg(es(2), "window"))),
+    "graft_ngram_hashes" -> (es => NgramHashes(es.head, intArg(es(1), "n"))),
     "graft_clean_value" -> (es => cleanValueExpr(es.head)))
 
   /** SQL-bodied helpers (composed higher-order expressions) — defined as

@@ -26,14 +26,20 @@ object AsOfJoin {
     * @param leftTs    left ordering column (numeric or timestamp)
     * @param rightTs   right ordering column (same type)
     * @param rightPayload right columns to attach, renamed as given: (src, out)
-    * @param tolerance  max allowed left.ts - right.ts (same units as ts);
-    *                   None = unbounded look-back
+    * @param tolerance  max allowed |left.ts - right.ts| (same units);
+    *                   None = unbounded look-back/ahead
+    * @param direction  "backward" (latest right with ts <= left.ts — the
+    *                   default point-in-time lookup) or "forward" (earliest
+    *                   right with ts >= left.ts)
     */
   def asOf(
       left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTs: String, rightTs: String,
       rightPayload: Seq[(String, String)],
-      tolerance: Option[Column] = None): DataFrame = {
+      tolerance: Option[Column] = None,
+      direction: String = "backward"): DataFrame = {
+    require(direction == "backward" || direction == "forward", direction)
+    val back = direction == "backward"
 
     val leftCols = left.columns.toSeq
     val payloadStruct = struct(
@@ -42,33 +48,43 @@ object AsOfJoin {
 
     val l = left
       .withColumn("__ts", col(leftTs))
-      .withColumn("__side", lit(1))
+      .withColumn("__side", lit(if (back) 1 else 0))
       .withColumn("__payload", lit(null).cast(
         right.select(payloadStruct).schema.head.dataType))
     val r = right
       .select(keys.map(col) :+ col(rightTs).as("__ts") :+ payloadStruct.as("__payload"): _*)
-      .withColumn("__side", lit(0))
+      .withColumn("__side", lit(if (back) 0 else 1))
 
     val unioned = l.select(
       (keys.map(col) :+ col("__ts") :+ col("__side") :+ col("__payload")) ++
         leftCols.filterNot(keys.contains).map(c => col(c)): _*)
       .unionByName(r, allowMissingColumns = true)
 
-    // right rows (side=0) sort before left rows at equal ts → `<=` semantics
-    val w = Window.partitionBy(keys.map(col): _*)
+    // backward: right rows sort BEFORE left at equal ts, carry LAST right
+    // forward over an unbounded-preceding frame → latest right with <=.
+    // forward: right rows sort AFTER left at equal ts, carry FIRST right
+    // backward over an unbounded-following frame → earliest right with >=.
+    val ordered = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__ts"), col("__side"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = unioned.withColumn("__last", last(col("__payload"), ignoreNulls = true).over(w))
+    val carried =
+      if (back) unioned.withColumn("__match",
+        last(col("__payload"), ignoreNulls = true).over(
+          ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      else unioned.withColumn("__match",
+        first(col("__payload"), ignoreNulls = true).over(
+          ordered.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
 
+    val gap =
+      if (back) col("__ts") - col("__match.__asof_ts")
+      else col("__match.__asof_ts") - col("__ts")
     val inTolerance = tolerance match {
-      case Some(tol) => col("__last").isNotNull &&
-        (col("__ts") - col("__last.__asof_ts")) <= tol
-      case None => col("__last").isNotNull
+      case Some(tol) => col("__match").isNotNull && gap <= tol
+      case None => col("__match").isNotNull
     }
-    val matched = when(inTolerance, col("__last"))
+    val matched = when(inTolerance, col("__match"))
 
     carried
-      .filter(col("__side") === 1)
+      .filter(col("__side") === lit(if (back) 1 else 0))
       .select(leftCols.map(col) ++
         rightPayload.map { case (_, out) => matched.getField(out).as(out) }: _*)
   }

@@ -30,6 +30,14 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(r.getDouble(8) > 0.5)
   }
 
+  test("winnow and ngram-hash kernels callable from SQL") {
+    val r = spark.sql(
+      """SELECT graft_winnow('the winnowing algorithm fingerprint test string', 5, 4) AS w,
+        |  graft_ngram_hashes('abcdef', 3) AS g""".stripMargin).head()
+    assert(r.getSeq[Long](0).nonEmpty)
+    assert(r.getSeq[Long](1).length == 4) // abc bcd cde def
+  }
+
   test("SQL graft_clean_value matches the Column API over a table") {
     import spark.implicits._
     Seq("1,5 mph", "bad", "61 %").toDF("v").createOrReplaceTempView("cv_in")

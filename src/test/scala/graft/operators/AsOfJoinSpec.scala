@@ -45,6 +45,18 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(got(("A", 99L)).isEmpty)        // 99-30=69 > 6
   }
 
+  test("forward direction: earliest right with ts >= left ts") {
+    val got = AsOfJoin.asOf(trades, quotes, Seq("sym"), "ts", "ts",
+      Seq(("px", "next_px")), direction = "forward")
+      .collect().map(r => (r.getAs[String]("sym"), r.getAs[Long]("ts")) ->
+        Option(r.getAs[Any]("next_px"))).toMap
+    assert(got(("A", 5L)).contains(1.0))   // next quote @10
+    assert(got(("A", 20L)).contains(2.0))  // equal ts included
+    assert(got(("A", 25L)).contains(3.0))  // next quote @30
+    assert(got(("A", 99L)).isEmpty)        // nothing after
+    assert(got(("C", 50L)).isEmpty)
+  }
+
   test("left columns are preserved") {
     val out = AsOfJoin.asOf(trades, quotes, Seq("sym"), "ts", "ts", Seq(("px", "last_px")))
     assert(out.columns.toSeq == Seq("sym", "ts", "qty", "last_px"))
