@@ -565,7 +565,20 @@ object SparkEntry {
         graft.operators.Curation.Config(
           allowedLangs = Some(Set("en", "fr", "de", "es")),
           minQuality = 0.3, minTokens = 5, nearDupJaccard = None))
-        .select(col("doc_id"), col("n_tokens"), col("quality_score"))))
+        .select(col("doc_id"), col("n_tokens"), col("quality_score"))),
+
+    // Forward as-of: next purchase value at-or-after each event
+    "q63_asof_forward" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_ns"), col("value"))
+      graft.operators.AsOfJoin.asOf(
+        ev.select("event_id", "user_id", "ts_ns"), purchases,
+        keys = Seq("user_id"), leftTs = "ts_ns", rightTs = "ts_ns",
+        rightPayload = Seq(("value", "next_purchase_value")),
+        direction = "forward")
+        .select("event_id", "next_purchase_value")
+    }))
 
   // ------------------------------------------------------------- oracle SQL
 
@@ -780,6 +793,12 @@ object SparkEntry {
         |FROM events l ASOF LEFT JOIN
         | (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') r
         | ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
+
+    "q63_asof_forward" ->
+      """SELECT l.event_id, r.value AS next_purchase_value
+        |FROM events l ASOF LEFT JOIN
+        | (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') r
+        | ON l.user_id = r.user_id AND l.ts <= r.ts""".stripMargin,
 
     "q37_range_join" ->
       """SELECT o_orderpriority, count(*) AS n

@@ -24,15 +24,45 @@ object TextAnalysis {
     "es" -> Seq("el", "la", "los", "de", "que", "y", "es", "en", "un", "una"),
     "zh" -> Seq("的", "是", "了", "在", "和", "有", "我", "不", "这", "人"))
 
-  /** Predicted language + its score, as (lang, score) struct columns. */
-  def langIdColumns(text: Column): (Column, Column) = {
-    val toks = tokens(text)
+  /** Per-language character-bigram profiles, derived deterministically
+    * from the function-word lists (the classic n-gram language-id signal;
+    * word-boundary bigrams included via the padding underscore).
+    */
+  val bigramProfiles: Map[String, Set[String]] = languageProfiles.map {
+    case (lang, words) =>
+      lang -> words.flatMap { w =>
+        val padded = s"_${w}_"
+        padded.sliding(2).toSeq
+      }.toSet
+  }
+
+  /** Distinct padded char-bigrams of a token array (expects an ATTRIBUTE —
+    * see the staging PERF note in TextFunctions).
+    */
+  def docBigramsOf(toks: Column): Column =
+    array_distinct(
+      flatten(transform(toks, t => {
+        val padded = concat(lit("_"), t, lit("_"))
+        transform(sequence(lit(1), length(padded) - 1), i => padded.substr(i, lit(2)))
+      })))
+
+  /** Predicted language + score from STAGED token/bigram attribute columns.
+    * Score blends the stopword-hit fraction (word level) with the
+    * char-bigram profile overlap (sub-word level) — the bigram component
+    * keeps the id robust when function words are rare or clipped.
+    */
+  def langIdColumns(toks: Column, docBigrams: Column): (Column, Column) = {
     val scores: Seq[(String, Column)] = languageProfiles.toSeq.sortBy(_._1).map {
       case (lang, words) =>
         val sw = array(words.map(lit): _*)
-        lang -> when(size(toks) > 0,
+        val profile = array(bigramProfiles(lang).toSeq.sorted.map(lit): _*)
+        val stopScore = when(size(toks) > 0,
           size(filter(toks, t => array_contains(sw, t))).cast("double") / size(toks))
           .otherwise(lit(0.0))
+        val bigramScore = when(size(docBigrams) > 0,
+          size(array_intersect(docBigrams, profile)).cast("double") / size(docBigrams))
+          .otherwise(lit(0.0))
+        lang -> (stopScore * lit(0.7) + bigramScore * lit(0.3))
     }
     // argmax by score, ties broken by language code order
     val best = scores.map { case (lang, s) => struct(s.as("score"), lit(lang).as("lang")) }
@@ -41,8 +71,13 @@ object TextAnalysis {
   }
 
   def langId(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val (lang, score) = langIdColumns(col(textCol))
-    df.select(col(idCol), lang.as("predicted_lang"), round(score, 4).as("lang_score"))
+    // stage tokens + bigrams as attributes: inlined, the bigram flatten
+    // would be re-evaluated once PER LANGUAGE profile
+    val staged = df.select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .filter(lit(true))
+      .select(col(idCol), col("__toks"), docBigramsOf(col("__toks")).as("__bg"))
+    val (lang, score) = langIdColumns(col("__toks"), col("__bg"))
+    staged.select(col(idCol), lang.as("predicted_lang"), round(score, 4).as("lang_score"))
   }
 
   /** Per-document token/char statistics (oracle-expressible). */
