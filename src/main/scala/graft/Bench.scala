@@ -28,6 +28,7 @@ object Bench {
     "q31_cosine_pairs",
     "q32_cosine_topk",
     "q36_asof_join",
+    "q64_asof_native",
     "q47_sessionize",
     "q49_tpch_q6",
     "q51_tpch_q5")

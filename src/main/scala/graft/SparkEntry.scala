@@ -578,6 +578,19 @@ object SparkEntry {
         rightPayload = Seq(("value", "next_purchase_value")),
         direction = "forward")
         .select("event_id", "next_purchase_value")
+    }),
+
+    // Native custom-operator as-of (AsOfJoinExec: LogicalPlan + Strategy +
+    // streaming-merge SparkPlan) — same oracle as q36
+    "q64_asof_native" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_ns"), col("value"))
+      graft.operators.AsOfJoin.asOfNative(
+        ev.select("event_id", "user_id", "ts_ns"), purchases,
+        keys = Seq("user_id"), leftTs = "ts_ns", rightTs = "ts_ns",
+        rightPayload = Seq(("value", "last_purchase_value")))
+        .select("event_id", "last_purchase_value")
     }))
 
   // ------------------------------------------------------------- oracle SQL
@@ -799,6 +812,12 @@ object SparkEntry {
         |FROM events l ASOF LEFT JOIN
         | (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') r
         | ON l.user_id = r.user_id AND l.ts <= r.ts""".stripMargin,
+
+    "q64_asof_native" ->
+      """SELECT l.event_id, r.value AS last_purchase_value
+        |FROM events l ASOF LEFT JOIN
+        | (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') r
+        | ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
 
     "q37_range_join" ->
       """SELECT o_orderpriority, count(*) AS n

@@ -3,6 +3,10 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.catalyst.expressions.AttributeReference
+import org.apache.spark.sql.graftbridge.ColumnBridge
+
+import graft.plans.{AsOfJoinNode, AsOfJoinStrategy}
 
 /** As-of join: for each left row, attach the latest right row with
   * `right.ts <= left.ts`, matching on equi-keys.
@@ -87,5 +91,52 @@ object AsOfJoin {
       .filter(col("__side") === lit(if (back) 1 else 0))
       .select(leftCols.map(col) ++
         rightPayload.map { case (_, out) => matched.getField(out).as(out) }: _*)
+  }
+
+  /** Backward as-of join on the NATIVE physical operator
+    * ([[graft.plans.AsOfJoinExec]]): same semantics as [[asOf]] with
+    * direction="backward" (spec asserts equivalence), but executed as a
+    * single streaming merge per co-partition — no union materialization,
+    * no window state. Registers the planner strategy on first use.
+    */
+  def asOfNative(
+      left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String,
+      rightPayload: Seq[(String, String)],
+      tolerance: Option[Column] = None): DataFrame = {
+    val spark = left.sparkSession
+    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsOfJoinStrategy
+
+    val lPlan = ColumnBridge.analyzed(left)
+    // fresh-alias the right side: a self-join shares expression ids across
+    // children, which confuses optimizer pruning on a custom node
+    val rAnalyzed = ColumnBridge.analyzed(right)
+    val rPlan = org.apache.spark.sql.catalyst.plans.logical.Project(
+      rAnalyzed.output.map(a =>
+        org.apache.spark.sql.catalyst.expressions.Alias(a, a.name)()),
+      rAnalyzed)
+    def attr(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+        name: String) = plan.output.find(_.name == name).getOrElse(
+      throw new IllegalArgumentException(s"column $name not found in ${plan.output.map(_.name)}"))
+
+    val pSrc = attr(rPlan, rightTs) +: rightPayload.map(p => attr(rPlan, p._1))
+    val pOut = pSrc.zip(("__asof_ts" +: rightPayload.map(_._2))).map {
+      case (src, outName) => AttributeReference(outName, src.dataType, nullable = true)()
+    }
+    val node = AsOfJoinNode(lPlan, rPlan,
+      keys.map(attr(lPlan, _)), keys.map(attr(rPlan, _)),
+      attr(lPlan, leftTs), attr(rPlan, rightTs), pSrc, pOut)
+    val joinedDf = ColumnBridge.ofRows(spark, node)
+
+    val leftCols = left.columns.toSeq
+    val keep = tolerance match {
+      case Some(tol) => col("__asof_ts").isNotNull &&
+        (col(leftTs) - col("__asof_ts")) <= tol
+      case None => col("__asof_ts").isNotNull
+    }
+    joinedDf.select(leftCols.map(col) ++
+      rightPayload.map { case (_, out) => when(keep, col(out)).as(out) }: _*)
   }
 }

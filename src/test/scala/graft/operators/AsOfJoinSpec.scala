@@ -57,6 +57,41 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(got(("C", 50L)).isEmpty)
   }
 
+  test("native exec matches the union+window formulation (fixture)") {
+    val composed = AsOfJoin.asOf(trades, quotes, Seq("sym"), "ts", "ts",
+      Seq(("px", "last_px")))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> Option(r.getAs[Any]("last_px"))).toMap
+    val native = AsOfJoin.asOfNative(trades, quotes, Seq("sym"), "ts", "ts",
+      Seq(("px", "last_px")))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> Option(r.getAs[Any]("last_px"))).toMap
+    assert(native == composed)
+  }
+
+  test("native exec matches union+window on real events data + tolerance") {
+    val ev = graft.Tables.events(TestSpark.spark, "/root/testdata/sf0.001")
+    val purchases = ev.filter(org.apache.spark.sql.functions.col("event_type") === "purchase")
+      .select("user_id", "ts_ns", "value")
+    val probes = ev.select("event_id", "user_id", "ts_ns")
+    def collect(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getAs[Long]("event_id") ->
+        Option(r.getAs[Any]("v"))).toMap
+    val tol = Some(org.apache.spark.sql.functions.lit(86400L * 1000000000L)) // 1 day in ns
+    val composed = collect(AsOfJoin.asOf(probes, purchases, Seq("user_id"),
+      "ts_ns", "ts_ns", Seq(("value", "v")), tolerance = tol))
+    val native = collect(AsOfJoin.asOfNative(probes, purchases, Seq("user_id"),
+      "ts_ns", "ts_ns", Seq(("value", "v")), tolerance = tol))
+    assert(native.size == 1000 && native == composed)
+  }
+
+  test("native exec plan contains the custom operator and no window/union") {
+    val out = AsOfJoin.asOfNative(trades, quotes, Seq("sym"), "ts", "ts",
+      Seq(("px", "last_px")))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), plan.take(300))
+    assert(!plan.contains("Window"), "native path should not use window exec")
+    assert(!plan.contains("Union"), "native path should not union inputs")
+  }
+
   test("left columns are preserved") {
     val out = AsOfJoin.asOf(trades, quotes, Seq("sym"), "ts", "ts", Seq(("px", "last_px")))
     assert(out.columns.toSeq == Seq("sym", "ts", "qty", "last_px"))
