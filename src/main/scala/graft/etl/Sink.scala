@@ -45,8 +45,11 @@ final class ParquetSink(path: String, partitionBy: Seq[String] = Nil) extends Si
   def upsert(updates: DataFrame, keys: Seq[String], orderCol: String): Long = {
     import org.apache.spark.sql.functions._
     val spark = updates.sparkSession
+    // ONLY absence means "start empty" — a read failure on an existing
+    // path must abort, or a transiently-unreadable sink would be silently
+    // replaced by just the update batch
     val existing =
-      try Some(read(spark)) catch { case _: Exception => None }
+      if (new java.io.File(localPath).exists()) Some(read(spark)) else None
     val tagged = existing match {
       case Some(old) => old.withColumn("__src", lit(0))
         .unionByName(updates.withColumn("__src", lit(1)))
@@ -54,34 +57,44 @@ final class ParquetSink(path: String, partitionBy: Seq[String] = Nil) extends Si
     }
     val merged = graft.operators.Dedup.keepFirst(tagged, keys,
       Seq(col(orderCol).desc, col("__src").desc)).drop("__src")
-    val tmp = path + ".__tmp"
-    merged.write.mode(SaveMode.Overwrite).parquet(tmp)
-    val fs = new java.io.File(stripScheme(path))
-    val tmpFile = new java.io.File(stripScheme(tmp))
-    if (fs.exists()) org.apache.commons.io.FileUtils.deleteDirectory(fs)
-    if (!tmpFile.renameTo(fs))
-      throw new java.io.IOException(s"upsert swap failed: $tmp -> $path")
+    swapInto(merged)
     spark.read.parquet(path).count()
   }
-
-  private def stripScheme(p: String): String =
-    if (p.startsWith("file:")) p.stripPrefix("file:") else p
 
   /** Compact the sink to ~`targetFiles` files per partition directory —
     * small-file management for repeatedly-upserted/streamed sinks (1000s
     * of tiny parquet files destroy scan throughput at scale).
     */
   def compact(spark: SparkSession, targetFiles: Int): Long = {
-    val df = read(spark).repartition(targetFiles)
-    val tmp = path + ".__compact"
+    swapInto(read(spark).repartition(targetFiles))
+    spark.read.parquet(path).count()
+  }
+
+  private def localPath: String =
+    if (path.startsWith("file:")) path.stripPrefix("file:") else path
+
+  /** Write `df` to a temp dir, then swap it in (old → .__old, tmp → path,
+    * drop .__old). Local-filesystem only (java.io swap; object stores /
+    * HDFS need a committer-based sink) and not crash-atomic — the window
+    * is the two renames, and `.__old` retains the previous data for
+    * manual recovery if interrupted. Honors `partitionBy` so the sink's
+    * layout survives rewrites.
+    */
+  private def swapInto(df: DataFrame): Unit = {
+    require(!path.contains("://") || path.startsWith("file://"),
+      s"swap-based rewrite supports local paths only, got $path")
+    val tmp = path + ".__tmp"
     val writer = df.write.mode(SaveMode.Overwrite)
     (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer).parquet(tmp)
-    val fs = new java.io.File(stripScheme(path))
-    val tmpFile = new java.io.File(stripScheme(tmp))
-    org.apache.commons.io.FileUtils.deleteDirectory(fs)
-    if (!tmpFile.renameTo(fs))
-      throw new java.io.IOException(s"compact swap failed: $tmp -> $path")
-    spark.read.parquet(path).count()
+    val dst = new java.io.File(localPath)
+    val tmpFile = new java.io.File(localPath + ".__tmp")
+    val oldFile = new java.io.File(localPath + ".__old")
+    if (oldFile.exists()) org.apache.commons.io.FileUtils.deleteDirectory(oldFile)
+    if (dst.exists() && !dst.renameTo(oldFile))
+      throw new java.io.IOException(s"swap failed moving old sink aside: $path")
+    if (!tmpFile.renameTo(dst))
+      throw new java.io.IOException(s"swap failed: $tmp -> $path")
+    if (oldFile.exists()) org.apache.commons.io.FileUtils.deleteDirectory(oldFile)
   }
 }
 

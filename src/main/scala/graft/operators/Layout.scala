@@ -39,11 +39,20 @@ object Layout {
     * range-partitioned output tasks (→ files, when written).
     */
   def zorderBy(df: DataFrame, cols: Seq[String], numFiles: Int): DataFrame = {
+    // 16 bits × 3 dims = 48 bits: bit 63 must stay clear or the long's
+    // sign flips the sort order; 4+ dims would also wrap shift counts
+    require(cols.nonEmpty && cols.size * Bits < 64,
+      s"zorderBy supports at most ${63 / Bits} columns at $Bits bits, got ${cols.size}")
     val aggCols = cols.flatMap(c =>
       Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
     val statRow = df.agg(aggCols.head, aggCols.tail: _*).head()
-    val stats = cols.indices.map(i =>
-      (statRow.getDouble(2 * i), statRow.getDouble(2 * i + 1)))
+    // empty input (or every column all-null): nothing to cluster
+    if (cols.indices.forall(i => statRow.isNullAt(2 * i))) return df
+    val stats = cols.indices.map { i =>
+      // an all-null column yields null stats → constant contribution
+      if (statRow.isNullAt(2 * i)) (0.0, 1.0)
+      else (statRow.getDouble(2 * i), statRow.getDouble(2 * i + 1))
+    }
     df.withColumn("__z", zValue(cols.map(col), stats))
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions("__z")

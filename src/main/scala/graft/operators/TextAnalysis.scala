@@ -72,9 +72,10 @@ object TextAnalysis {
 
   def langId(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     // stage tokens + bigrams as attributes: inlined, the bigram flatten
-    // would be re-evaluated once PER LANGUAGE profile
+    // would be re-evaluated once PER LANGUAGE profile. (CollapseProject
+    // keeps the staging because the aliases are non-cheap and referenced
+    // multiple times — no artificial barrier needed.)
     val staged = df.select(col(idCol), tokens(col(textCol)).as("__toks"))
-      .filter(lit(true))
       .select(col(idCol), col("__toks"), docBigramsOf(col("__toks")).as("__bg"))
     val (lang, score) = langIdColumns(col("__toks"), col("__bg"))
     staged.select(col(idCol), lang.as("predicted_lang"), round(score, 4).as("lang_score"))

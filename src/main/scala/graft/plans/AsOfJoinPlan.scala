@@ -89,7 +89,6 @@ case class AsOfJoinExec(
         private var rHeadKey: UnsafeRow = _
         private var lastKey: UnsafeRow = _          // key of the carried payload
         private var lastPayload: InternalRow = _    // carried payload (copy)
-        private var lastTsRow: InternalRow = _      // carried right ts (copy, 1-col row)
 
         private def advanceRight(): Unit = {
           if (rIter.hasNext) {
@@ -105,25 +104,26 @@ case class AsOfJoinExec(
           val lRow = lIter.next()
           val lKey = lKeyProj(lRow)
           val lTs = lTsProj(lRow).get(0, tsType)
-          // consume right rows with key < lKey, or key == lKey && ts <= lTs
-          var continue = rHead != null
+          // Null-ts policy: a null ts never matches anything (null right
+          // rows are consumed and dropped; a null-ts left row emits
+          // unmatched). Both sides sort nulls first, so dropping them
+          // here cannot skip past a real match.
+          var continue = rHead != null && lTs != null
           while (continue) {
             val c = keyOrdering.compare(rHeadKey, lKey)
-            val take = c < 0 || (c == 0 && {
-              val rTs = rTsProj(rHead).get(0, tsType)
-              tsOrdering.asInstanceOf[Ordering[Any]].compare(rTs, lTs) <= 0
-            })
+            val rTs = if (c == 0) rTsProj(rHead).get(0, tsType) else null
+            val take = c < 0 || (c == 0 && (rTs == null ||
+              tsOrdering.asInstanceOf[Ordering[Any]].compare(rTs, lTs) <= 0))
             if (take) {
-              if (c == 0) { // only carry payloads for the probe's key group
+              if (c == 0 && rTs != null) { // carry payloads for the probe's key only
                 lastKey = rHeadKey
                 lastPayload = payloadProj(rHead).copy()
-                lastTsRow = rTsProj(rHead).copy()
               }
               advanceRight()
               continue = rHead != null
             } else continue = false
           }
-          val matched = lastPayload != null && lastKey != null &&
+          val matched = lTs != null && lastPayload != null && lastKey != null &&
             keyOrdering.compare(lastKey, lKey) == 0
           outProj(joined(lRow, if (matched) lastPayload else nullPayload))
         }

@@ -23,6 +23,17 @@ class SinkSpec extends AnyFunSuite {
     assert(got == Map(1L -> "tie-a", 2L -> "new-b", 3L -> "new-c"))
   }
 
+  test("upsert preserves the sink's partition layout") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-upsert-part")
+    val sink = new ParquetSink(dir.resolve("t").toString, partitionBy = Seq("p"))
+    sink.overwrite(Seq((1L, "a", "x"), (2L, "b", "y")).toDF("k", "v", "p"))
+    sink.upsert(Seq((3L, "c", "y"), (1L, "a2", "x")).toDF("k", "v", "p"),
+      keys = Seq("k"), orderCol = "k")
+    val subdirs = dir.resolve("t").toFile.listFiles().filter(_.isDirectory).map(_.getName).toSet
+    assert(subdirs == Set("p=x", "p=y"), s"partition layout lost: $subdirs")
+    assert(sink.read(spark).count() == 3)
+  }
+
   test("upsert into an empty sink behaves like overwrite") {
     val dir = java.nio.file.Files.createTempDirectory("graft-upsert-empty")
     val sink = new ParquetSink(dir.resolve("t").toString)

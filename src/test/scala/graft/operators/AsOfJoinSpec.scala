@@ -92,6 +92,18 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(!plan.contains("Union"), "native path should not union inputs")
   }
 
+  test("native exec: null timestamps never match and never crash") {
+    val q = Seq(("A", Option(10L), 1.0), ("A", Option.empty[Long], 99.0))
+      .toDF("sym", "ts", "px")
+    val t = Seq(("A", Option(15L), 100L), ("A", Option.empty[Long], 200L))
+      .toDF("sym", "ts", "qty")
+    val got = AsOfJoin.asOfNative(t, q, Seq("sym"), "ts", "ts", Seq(("px", "last_px")))
+      .collect().map(r => Option(r.get(r.fieldIndex("ts"))) ->
+        Option(r.getAs[Any]("last_px"))).toMap
+    assert(got(Some(15L)).contains(1.0))  // matches the non-null quote only
+    assert(got(None).isEmpty)             // null-ts probe: unmatched
+  }
+
   test("left columns are preserved") {
     val out = AsOfJoin.asOf(trades, quotes, Seq("sym"), "ts", "ts", Seq(("px", "last_px")))
     assert(out.columns.toSeq == Seq("sym", "ts", "qty", "last_px"))
