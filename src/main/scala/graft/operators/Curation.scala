@@ -52,11 +52,11 @@ object Curation {
     config.nearDupJaccard match {
       case None => exactDeduped
       case Some(tau) =>
-        // r=2 rows/band (16 hashes, 8 bands): band-collision prob j², so a
-        // pair at the tau=0.5 threshold is missed with (1-τ²)^8 ≈ 1% —
-        // r=4 banding would miss ~40% of threshold pairs
+        // banding derived from the threshold (S-curve midpoint ≤ τ) so
+        // pairs at τ are recalled with high probability
+        val (bands, _) = Dedup.bandingFor(tau)
         val dupPairs = Dedup.minHashNearDups(exactDeduped, idCol, textCol,
-          numHashes = 16, numBands = 8, jaccardThreshold = tau)
+          numHashes = 16, numBands = bands, jaccardThreshold = tau)
         // drop the larger id of each near-dup pair (min-id winner)
         val losers = dupPairs.select(col("id_b").as(idCol)).distinct()
         exactDeduped.join(losers, Seq(idCol), "left_anti")
@@ -88,8 +88,9 @@ object Curation {
       val near = config.nearDupJaccard match {
         case None => exactDeduped
         case Some(tau) =>
+          val (bands, _) = Dedup.bandingFor(tau)
           val losers = Dedup.minHashNearDups(exactRows, idCol, textCol,
-            numHashes = 16, numBands = 8, jaccardThreshold = tau)
+            numHashes = 16, numBands = bands, jaccardThreshold = tau)
             .select(col("id_b").as(idCol)).distinct()
           exactDeduped.join(losers, Seq(idCol), "left_anti")
       }

@@ -76,6 +76,24 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
 
+  /** Banding for a target Jaccard threshold: pick rows-per-band r (a
+    * divisor of numHashes) whose S-curve midpoint (1/b)^(1/r) sits
+    * closest to — and not above — the threshold, so pairs AT the
+    * threshold are found with high probability. Standard LSH tuning
+    * (Leskovec/Rajaraman/Ullman, MMDS ch.3).
+    */
+  def bandingFor(jaccardThreshold: Double, numHashes: Int = 16): (Int, Int) = {
+    val candidates = (1 to numHashes).filter(numHashes % _ == 0).map { r =>
+      val b = numHashes / r
+      (b, r, math.pow(1.0 / b, 1.0 / r)) // collision-curve midpoint
+    }
+    val eligible = candidates.filter(_._3 <= jaccardThreshold)
+    val (b, r, _) =
+      if (eligible.nonEmpty) eligible.maxBy(_._3)
+      else candidates.minBy(_._3)
+    (b, r)
+  }
+
   /** MinHash+LSH near-duplicate pairs with exact-Jaccard rerank.
     *
     * word-shingle(k) → minhash(numHashes) → band keys → narrow bucket

@@ -81,6 +81,13 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
   }
 
+  test("bandingFor: S-curve midpoint at or below the threshold") {
+    assert(Dedup.bandingFor(0.5, 16) == ((8, 2)))   // midpoint ~0.354
+    assert(Dedup.bandingFor(0.8, 16) == ((4, 4)))   // midpoint ~0.707
+    assert(Dedup.bandingFor(0.95, 16) == ((2, 8)))  // midpoint ~0.917
+    assert(Dedup.bandingFor(0.05, 16) == ((16, 1))) // nothing below → loosest
+  }
+
   test("keepFirst window dedup") {
     val df = Seq((1, "a", 10), (1, "b", 5), (2, "c", 1)).toDF("k", "v", "ord")
     val got = Dedup.keepFirst(df, Seq("k"), Seq(col("ord"))).collect()

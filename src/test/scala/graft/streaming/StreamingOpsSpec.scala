@@ -112,6 +112,26 @@ class StreamingOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static join: streaming events enriched with a static dimension") {
+    val dir = eventsStreamDir()
+    val stream = spark.readStream.schema(eventsSchema).parquet(dir.toString)
+    val dim = Seq(("click", "interaction"), ("view", "interaction"),
+      ("purchase", "commerce"), ("signup", "account"), ("error", "ops"))
+      .toDF("event_type", "category")
+    val joined = stream.join(dim, Seq("event_type"), "left")
+      .groupBy("category").count()
+    val q = StreamingOps.runToMemory(joined, "stream_static", outputMode = "complete")
+    try {
+      q.processAllAvailable()
+      val got = spark.sql("SELECT * FROM stream_static")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val batch = graft.Tables.events(spark, "/root/testdata/sf0.001")
+        .join(dim, Seq("event_type"), "left").groupBy("category").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == batch && got.values.sum == 1000)
+    } finally q.stop()
+  }
+
   test("complete-mode overwrite sink holds the full aggregate after each batch") {
     val srcDir = Files.createTempDirectory("graft-stream-agg-src")
     val outDir = Files.createTempDirectory("graft-stream-agg-out").resolve("sink")
