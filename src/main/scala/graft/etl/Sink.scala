@@ -117,3 +117,12 @@ final class JsonSink(path: String) extends Sink {
   }
   override def read(spark: SparkSession): DataFrame = spark.read.json(path)
 }
+
+/** ORC sink (same contract; columnar alternative to parquet). */
+final class OrcSink(path: String) extends Sink {
+  override def overwrite(df: DataFrame): Long = {
+    df.write.mode(SaveMode.Overwrite).orc(path)
+    df.sparkSession.read.orc(path).count()
+  }
+  override def read(spark: SparkSession): DataFrame = spark.read.orc(path)
+}

@@ -139,6 +139,30 @@ object HashUtil {
     h
   }
 
+  /** Lowercased whitespace tokens in ONE pass — exact semantics of
+    * `filter(split(lower(s), "\\s+"), t => t != "")`: Unicode lowercase
+    * (UTF8String.toLowerCase), splits on runs of ASCII whitespace (Java
+    * regex `\s` = [ \t\n\x0B\f\r] — ASCII-only by default), empties
+    * dropped. Splitting on ASCII bytes is UTF-8-safe: multi-byte chars
+    * never contain ASCII bytes.
+    */
+  def tokenize(s: UTF8String): ArrayData = {
+    val bytes = s.toLowerCase.getBytes
+    val out = new scala.collection.mutable.ArrayBuffer[UTF8String]()
+    var i = 0
+    val n = bytes.length
+    while (i < n) {
+      while (i < n && isWs(bytes(i))) i += 1
+      val start = i
+      while (i < n && !isWs(bytes(i))) i += 1
+      if (i > start) out += UTF8String.fromBytes(bytes, start, i - start)
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray[Any])
+  }
+
+  private def isWs(b: Byte): Boolean =
+    b == 0x20 || (b >= 0x09 && b <= 0x0D)
+
   /** Distinct FNV hashes of all n-byte grams of a string, in one pass —
     * the hashed-feature form of char-ngram shingling (byte-level, which
     * for fingerprinting is equivalent-in-distribution to char-level and
@@ -263,6 +287,18 @@ case class MinHash64(child: Expression, numHashes: Int) extends UnaryExpression 
   override protected def withNewChildInternal(newChild: Expression): MinHash64 = copy(child = newChild)
 }
 
+/** One-pass lowercase-whitespace tokenizer of a string column. */
+case class Tokenize(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    HashUtil.tokenize(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashUtil.tokenize($c)")
+  override protected def withNewChildInternal(newChild: Expression): Tokenize = copy(child = newChild)
+}
+
 /** Distinct hashed n-byte grams of a string column (array<long>). */
 case class NgramHashes(child: Expression, n: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -334,6 +370,7 @@ object HashFunctions {
   def winnowFingerprint(c: Column, k: Int = 5, window: Int = 4): Column =
     lift(Winnow(expr(c), k, window))
   def ngramHashes(c: Column, n: Int): Column = lift(NgramHashes(expr(c), n))
+  def tokenize(c: Column): Column = lift(Tokenize(expr(c)))
 
   /** Hamming distance between two 64-bit hashes (built-in bit_count). */
   def hammingDistance64(a: Column, b: Column): Column =

@@ -10,9 +10,12 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
-  /** Lowercased whitespace tokens, empty strings removed. */
-  def tokens(c: Column): Column =
-    filter(split(lower(c), "\\s+"), t => t =!= "")
+  /** Lowercased whitespace tokens, empty strings removed. Backed by the
+    * one-pass codegen'd [[Tokenize]] kernel; semantics identical to
+    * `filter(split(lower(c), "\\s+"), t => t =!= "")` (the oracle-SQL
+    * form), which three interpreted passes used to compute.
+    */
+  def tokens(c: Column): Column = HashFunctions.tokenize(c)
 
   def tokenCount(c: Column): Column = size(tokens(c))
 

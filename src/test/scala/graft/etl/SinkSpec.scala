@@ -51,10 +51,23 @@ class SinkSpec extends AnyFunSuite {
     assert(n == 1000 && before >= 16 && after <= 2, s"$before -> $after")
   }
 
-  test("csv and json sinks round-trip") {
+  test("csv, json and orc sinks round-trip") {
     val dir = java.nio.file.Files.createTempDirectory("graft-sinks")
     val df = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
     assert(new CsvSink(dir.resolve("csv").toString).overwrite(df) == 2)
     assert(new JsonSink(dir.resolve("json").toString).overwrite(df) == 2)
+    val orc = new OrcSink(dir.resolve("orc").toString)
+    assert(orc.overwrite(df) == 2)
+    assert(orc.read(spark).collect().map(_.getString(1)).sorted.toSeq == Seq("a", "b"))
+  }
+
+  test("xml source round-trips (Spark 4 built-in XML)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-xml")
+    val df = Seq((1L, "alpha"), (2L, "beta")).toDF("k", "v")
+    df.write.option("rootTag", "rows").option("rowTag", "row")
+      .mode("overwrite").xml(dir.resolve("x").toString)
+    val back = spark.read.option("rowTag", "row").xml(dir.resolve("x").toString)
+    assert(back.count() == 2)
+    assert(back.select("v").collect().map(_.getString(0)).sorted.toSeq == Seq("alpha", "beta"))
   }
 }
