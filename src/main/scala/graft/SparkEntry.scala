@@ -591,6 +591,23 @@ object SparkEntry {
         keys = Seq("user_id"), leftTs = "ts_ns", rightTs = "ts_ns",
         rightPayload = Seq(("value", "last_purchase_value")))
         .select("event_id", "last_purchase_value")
+    }),
+
+    // Time-weighted average value per user (lead-based interval weighting)
+    "q65_time_weighted_avg" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+      Tables.events(s, d)
+        .select(col("user_id"), expr("ts_ns div 1000").as("ts_us"), col("value"))
+        .withColumn("nxt", lead(col("ts_us"), 1).over(w))
+        .groupBy(col("user_id"))
+        .agg(
+          round(
+            sum(when(col("nxt").isNotNull,
+              col("value").cast("decimal(18,6)") * (col("nxt") - col("ts_us"))))
+              .cast("double") /
+              (max(col("ts_us")) - min(col("ts_us"))), 4).as("twa"),
+          count(lit(1)).as("n_events"))
+        .filter(col("n_events") > 1)
     }))
 
   // ------------------------------------------------------------- oracle SQL
@@ -818,6 +835,17 @@ object SparkEntry {
         |FROM events l ASOF LEFT JOIN
         | (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') r
         | ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
+
+    "q65_time_weighted_avg" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, value,
+        |  lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) AS nxt
+        | FROM events)
+        |SELECT user_id,
+        | round(CAST(SUM(CASE WHEN nxt IS NOT NULL
+        |    THEN CAST(value AS DECIMAL(18,6)) * (nxt - ts_us) END) AS DOUBLE)
+        |   / (max(ts_us) - min(ts_us)), 4) AS twa,
+        | count(*) AS n_events
+        |FROM e GROUP BY user_id HAVING count(*) > 1""".stripMargin,
 
     "q37_range_join" ->
       """SELECT o_orderpriority, count(*) AS n
