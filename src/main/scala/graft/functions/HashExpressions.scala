@@ -125,6 +125,47 @@ object HashUtil {
     s
   }
 
+  /** Winnowing with positions: like [[winnow]] but each selected
+    * fingerprint carries the BYTE OFFSET of its k-gram, so matching
+    * fingerprints across documents localize the shared substring
+    * (the full MOSS scheme). Returns array<struct<hash,pos>>.
+    */
+  def winnowPositions(s: UTF8String, k: Int, window: Int): ArrayData = {
+    val bytes = s.getBytes
+    val n = bytes.length - k + 1
+    if (n <= 0) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val hashes = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      var h = 0xcbf29ce484222325L
+      var j = 0
+      while (j < k) {
+        h ^= (bytes(i + j) & 0xffL)
+        h *= 0x100000001b3L
+        j += 1
+      }
+      hashes(i) = h
+      i += 1
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[Any]()
+    val seen = new scala.collection.mutable.HashSet[Long]()
+    val wins = math.max(1, n - window + 1)
+    var w = 0
+    while (w < wins) {
+      var m = hashes(w)
+      var mPos = w
+      var j = 1
+      while (j < math.min(window, n - w)) {
+        if (hashes(w + j) < m) { m = hashes(w + j); mPos = w + j }
+        j += 1
+      }
+      if (seen.add(m))
+        out += org.apache.spark.sql.catalyst.InternalRow(m, mPos)
+      w += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
   /** Polynomial rolling hash (base 31, mod 1e9+7) over UTF-8 bytes — the
     * classic Rabin-Karp document fingerprint.
     */
@@ -287,6 +328,20 @@ case class MinHash64(child: Expression, numHashes: Int) extends UnaryExpression 
   override protected def withNewChildInternal(newChild: Expression): MinHash64 = copy(child = newChild)
 }
 
+/** Winnowing fingerprints with byte positions: array<struct<hash,pos>>. */
+case class WinnowPositions(child: Expression, k: Int, window: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("hash", LongType, nullable = false),
+      StructField("pos", IntegerType, nullable = false))), containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    HashUtil.winnowPositions(input.asInstanceOf[UTF8String], k, window)
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashUtil.winnowPositions($c, $k, $window)")
+  override protected def withNewChildInternal(newChild: Expression): WinnowPositions = copy(child = newChild)
+}
+
 /** One-pass lowercase-whitespace tokenizer of a string column. */
 case class Tokenize(child: Expression) extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -371,6 +426,8 @@ object HashFunctions {
     lift(Winnow(expr(c), k, window))
   def ngramHashes(c: Column, n: Int): Column = lift(NgramHashes(expr(c), n))
   def tokenize(c: Column): Column = lift(Tokenize(expr(c)))
+  def winnowPositions(c: Column, k: Int = 5, window: Int = 4): Column =
+    lift(WinnowPositions(expr(c), k, window))
 
   /** Hamming distance between two 64-bit hashes (built-in bit_count). */
   def hammingDistance64(a: Column, b: Column): Column =

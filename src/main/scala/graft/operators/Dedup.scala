@@ -218,6 +218,24 @@ object Dedup {
       .filter(col("shared_fingerprints") >= minShared)
   }
 
+  /** Localized verbatim overlaps: for each pair sharing a winnowing
+    * fingerprint, the byte offsets of the shared k-gram in BOTH documents
+    * — the full MOSS output shape. Same narrow join as
+    * [[winnowNearDups]], with positions carried alongside the 8-byte
+    * fingerprint.
+    */
+  def winnowOverlaps(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, window: Int = 6): DataFrame = {
+    val fps = df.select(col(idCol).as("id"),
+      explode(graft.functions.HashFunctions.winnowPositions(col(textCol), k, window))
+        .as("fp"))
+      .select(col("id"), col("fp.hash").as("hash"), col("fp.pos").as("pos"))
+    fps.as("a").join(fps.as("b"),
+        col("a.hash") === col("b.hash") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.hash").as("hash"), col("a.pos").as("pos_a"), col("b.pos").as("pos_b"))
+  }
+
   /** Window-dedup: keep first row per key by order — the idiomatic upgrade
     * of the reference's duplicated(keep='first') semantics (SURVEY §2.F).
     */

@@ -81,6 +81,20 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
   }
 
+  test("winnow overlaps localize the shared substring (positions point at equal grams)") {
+    val shared = "identical shared passage for localization"
+    val d1 = s"AAAA $shared BBBB"
+    val d2 = s"CCCCCCCC $shared DD"
+    val df = Seq((1L, d1), (2L, d2)).toDF("doc_id", "text")
+    val rows = Dedup.winnowOverlaps(df, "doc_id", "text", k = 8, window = 4).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (pa, pb) = (r.getAs[Int]("pos_a"), r.getAs[Int]("pos_b"))
+      assert(d1.substring(pa, pa + 8) == d2.substring(pb, pb + 8),
+        s"positions $pa/$pb do not point at equal 8-grams")
+    }
+  }
+
   test("bandingFor: S-curve midpoint at or below the threshold") {
     assert(Dedup.bandingFor(0.5, 16) == ((8, 2)))   // midpoint ~0.354
     assert(Dedup.bandingFor(0.8, 16) == ((4, 4)))   // midpoint ~0.707
