@@ -44,9 +44,55 @@ object Sessionize {
   // ------------------------------------------------------------ streaming
 
   final case class SessionEvent(user_id: Long, ts_ms: Long)
+  final case class TimedSessionEvent(user_id: Long, event_time: java.sql.Timestamp)
   final case class SessionState(start: Long, last: Long, n: Long)
   final case class SessionOut(user_id: Long, session_start: Long,
       session_end: Long, n_events: Long)
+
+  /** Event-time variant: sessions close when the WATERMARK passes the
+    * session's gap horizon — correct under out-of-order delivery and
+    * replays (processing-time timeouts fire on wall-clock, which replays
+    * distort). Input must carry an `event_time` timestamp column; the
+    * watermark both bounds state and drives timeouts.
+    */
+  def streamingSessionsEventTime(events: Dataset[TimedSessionEvent], gapMs: Long,
+      watermarkDelay: String = "0 seconds"): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("event_time", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[TimedSessionEvent], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val closed = state.getOption.map(s => SessionOut(userId, s.start, s.last, s.n))
+            state.remove()
+            closed.iterator
+          } else {
+            val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+            var cur = state.getOption
+            rows.toSeq.sortBy(_.event_time.getTime).foreach { e =>
+              val ts = e.event_time.getTime
+              cur match {
+                case Some(s) if ts - s.last > gapMs =>
+                  out += SessionOut(userId, s.start, s.last, s.n)
+                  cur = Some(SessionState(ts, ts, 1))
+                case Some(s) =>
+                  cur = Some(SessionState(s.start, math.max(s.last, ts), s.n + 1))
+                case None =>
+                  cur = Some(SessionState(ts, ts, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // timeout must stay ahead of the current watermark
+              val horizon = math.max(s.last + gapMs, state.getCurrentWatermarkMs() + 1)
+              state.setTimeoutTimestamp(horizon)
+            }
+            out.iterator
+          }
+      }
+  }
 
   /** Streaming sessionization with explicit state: events for a key extend
     * the open session; a gap > gapMs (or a timeout) closes and emits it.

@@ -66,6 +66,35 @@ class SkewAndSessionSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("event-time sessionization: watermark advance closes idle sessions") {
+    import Sessionize._
+    val dir = java.nio.file.Files.createTempDirectory("graft-et-sessions")
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    def writeBatch(name: String, rows: Seq[TimedSessionEvent]): Unit =
+      rows.toDF().coalesce(1).write.mode("overwrite").parquet(dir.resolve(name).toString)
+    // batch1: user 1's session (t=10..12s — NOT t=0: the initial watermark
+    // is 0 and an event AT the watermark is dropped as late); later
+    // batches advance the watermark past 12s + gap(5s) so the idle
+    // session times out
+    writeBatch("b1", Seq(TimedSessionEvent(1L, ts(10)), TimedSessionEvent(1L, ts(12))))
+    val stream = spark.readStream
+      .schema(org.apache.spark.sql.Encoders.product[TimedSessionEvent].schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir.toString + "/*").as[TimedSessionEvent]
+    val q = streamingSessionsEventTime(stream, gapMs = 5000L)
+      .writeStream.outputMode("append").format("memory").queryName("et_sessions").start()
+    try {
+      q.processAllAvailable()
+      writeBatch("b2", Seq(TimedSessionEvent(2L, ts(60))))   // watermark -> 12s
+      q.processAllAvailable()
+      writeBatch("b3", Seq(TimedSessionEvent(2L, ts(120))))  // watermark -> 60s > 17s horizon
+      q.processAllAvailable()
+      val emitted = spark.sql("SELECT * FROM et_sessions").as[SessionOut].collect().toSet
+      assert(emitted.contains(SessionOut(1L, 10000L, 12000L, 2L)),
+        s"idle session not closed by watermark: $emitted")
+    } finally q.stop()
+  }
+
   test("partitioned sink enables partition pruning at the scan") {
     val d = "/root/testdata/sf0.001"
     val dir = java.nio.file.Files.createTempDirectory("graft-partitioned").resolve("orders")
