@@ -593,11 +593,13 @@ object SparkEntry {
         .select("event_id", "last_purchase_value")
     }),
 
-    // Time-weighted average value per user (lead-based interval weighting)
+    // Time-weighted average value per user (lead-based interval weighting;
+    // event_id tie-break — µs truncation can collide timestamps)
     "q65_time_weighted_avg" -> ((s, d) => {
-      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
       Tables.events(s, d)
-        .select(col("user_id"), expr("ts_ns div 1000").as("ts_us"), col("value"))
+        .select(col("user_id"), col("event_id"),
+          expr("ts_ns div 1000").as("ts_us"), col("value"))
         .withColumn("nxt", lead(col("ts_us"), 1).over(w))
         .groupBy(col("user_id"))
         .agg(
@@ -838,7 +840,7 @@ object SparkEntry {
 
     "q65_time_weighted_avg" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, value,
-        |  lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) AS nxt
+        |  lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS nxt
         | FROM events)
         |SELECT user_id,
         | round(CAST(SUM(CASE WHEN nxt IS NOT NULL

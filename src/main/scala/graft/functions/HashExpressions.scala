@@ -125,16 +125,10 @@ object HashUtil {
     s
   }
 
-  /** Winnowing with positions: like [[winnow]] but each selected
-    * fingerprint carries the BYTE OFFSET of its k-gram, so matching
-    * fingerprints across documents localize the shared substring
-    * (the full MOSS scheme). Returns array<struct<hash,pos>>.
-    */
-  def winnowPositions(s: UTF8String, k: Int, window: Int): ArrayData = {
-    val bytes = s.getBytes
+  /** Rolling k-gram FNV hashes of a byte array (shared winnowing core). */
+  private def gramHashes(bytes: Array[Byte], k: Int): Array[Long] = {
     val n = bytes.length - k + 1
-    if (n <= 0) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
-    val hashes = new Array[Long](n)
+    val hashes = new Array[Long](math.max(n, 0))
     var i = 0
     while (i < n) {
       var h = 0xcbf29ce484222325L
@@ -147,8 +141,21 @@ object HashUtil {
       hashes(i) = h
       i += 1
     }
-    val out = new scala.collection.mutable.ArrayBuffer[Any]()
-    val seen = new scala.collection.mutable.HashSet[Long]()
+    hashes
+  }
+
+  /** Winnowing window-minimum selections as (hash, pos) pairs, deduped on
+    * CONSECUTIVE identical selections (the standard winnowing rule) — a
+    * k-gram repeated at several sites keeps one selection per site, which
+    * is exactly what position-based overlap localization needs.
+    */
+  private def winnowSelections(bytes: Array[Byte], k: Int, window: Int)
+      : scala.collection.mutable.ArrayBuffer[(Long, Int)] = {
+    val hashes = gramHashes(bytes, k)
+    val n = hashes.length
+    val out = new scala.collection.mutable.ArrayBuffer[(Long, Int)]()
+    if (n == 0) return out
+    var prevPos = -1
     val wins = math.max(1, n - window + 1)
     var w = 0
     while (w < wins) {
@@ -159,12 +166,23 @@ object HashUtil {
         if (hashes(w + j) < m) { m = hashes(w + j); mPos = w + j }
         j += 1
       }
-      if (seen.add(m))
-        out += org.apache.spark.sql.catalyst.InternalRow(m, mPos)
+      if (mPos != prevPos) { // new selection site
+        out += ((m, mPos))
+        prevPos = mPos
+      }
       w += 1
     }
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+    out
   }
+
+  /** Winnowing with positions — array<struct<hash,pos>>; see
+    * [[winnowSelections]] for the selection/dedup rule.
+    */
+  def winnowPositions(s: UTF8String, k: Int, window: Int): ArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      winnowSelections(s.getBytes, k, window)
+        .map { case (h, p) => org.apache.spark.sql.catalyst.InternalRow(h, p) }
+        .toArray[Any])
 
   /** Polynomial rolling hash (base 31, mod 1e9+7) over UTF-8 bytes — the
     * classic Rabin-Karp document fingerprint.
@@ -230,42 +248,16 @@ object HashUtil {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
   }
 
-  /** Winnowing fingerprint (Schleimer/Wilkerson/Aiken, SIGMOD'03): rolling
-    * k-gram hashes over the bytes, then the minimum of each sliding window
-    * of `window` hashes, deduplicated in first-seen order. Robust document
-    * fingerprints: any shared substring of length ≥ window+k-1 guarantees
-    * a shared fingerprint.
+  /** Winnowing fingerprint SET (Schleimer/Wilkerson/Aiken, SIGMOD'03):
+    * the distinct hashes of [[winnowSelections]] in first-seen order.
+    * Any shared substring of length ≥ window+k-1 guarantees a shared
+    * fingerprint.
     */
   def winnow(s: UTF8String, k: Int, window: Int): ArrayData = {
-    val bytes = s.getBytes
-    val n = bytes.length - k + 1
-    if (n <= 0) return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.emptyLongArray)
-    val hashes = new Array[Long](n)
-    var i = 0
-    while (i < n) {
-      var h = 0xcbf29ce484222325L
-      var j = 0
-      while (j < k) {
-        h ^= (bytes(i + j) & 0xffL)
-        h *= 0x100000001b3L
-        j += 1
-      }
-      hashes(i) = h
-      i += 1
-    }
-    val out = new scala.collection.mutable.ArrayBuffer[Long]()
     val seen = new scala.collection.mutable.HashSet[Long]()
-    val wins = math.max(1, n - window + 1)
-    var w = 0
-    while (w < wins) {
-      var m = hashes(w)
-      var j = 1
-      while (j < math.min(window, n - w)) {
-        if (hashes(w + j) < m) m = hashes(w + j)
-        j += 1
-      }
-      if (seen.add(m)) out += m
-      w += 1
+    val out = new scala.collection.mutable.ArrayBuffer[Long]()
+    winnowSelections(s.getBytes, k, window).foreach { case (h, _) =>
+      if (seen.add(h)) out += h
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
   }

@@ -50,10 +50,17 @@ object Sessionize {
       session_end: Long, n_events: Long)
 
   /** Event-time variant: sessions close when the WATERMARK passes the
-    * session's gap horizon — correct under out-of-order delivery and
-    * replays (processing-time timeouts fire on wall-clock, which replays
-    * distort). Input must carry an `event_time` timestamp column; the
-    * watermark both bounds state and drives timeouts.
+    * session's gap horizon, so expiry follows event time, not wall clock
+    * (replays behave identically). Input must carry an `event_time`
+    * timestamp column; the watermark bounds state and drives timeouts.
+    *
+    * Out-of-order semantics (documented approximation): events within the
+    * watermark delay that arrive out of order MERGE into the open session
+    * interval (start = min, last = max) — they never retroactively split
+    * it, and a gap-closed session is emitted as soon as the gap is seen
+    * in-batch (Append mode cannot retract). Exact event-time session
+    * windows need full event buffering until the watermark — that is
+    * `session_window` aggregation territory, not per-event state.
     */
   def streamingSessionsEventTime(events: Dataset[TimedSessionEvent], gapMs: Long,
       watermarkDelay: String = "0 seconds"): Dataset[SessionOut] = {
@@ -78,7 +85,9 @@ object Sessionize {
                   out += SessionOut(userId, s.start, s.last, s.n)
                   cur = Some(SessionState(ts, ts, 1))
                 case Some(s) =>
-                  cur = Some(SessionState(s.start, math.max(s.last, ts), s.n + 1))
+                  // out-of-order merge: extend the interval on BOTH ends
+                  cur = Some(SessionState(math.min(s.start, ts),
+                    math.max(s.last, ts), s.n + 1))
                 case None =>
                   cur = Some(SessionState(ts, ts, 1))
               }

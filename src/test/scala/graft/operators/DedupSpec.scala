@@ -95,6 +95,18 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("winnow positions: a passage repeated at two sites keeps both offsets") {
+    val passage = "repeated boilerplate passage markerX"
+    val doc = s"$passage yyy zzz filler words qqq $passage end"
+    val df = Seq((1L, doc), (2L, passage)).toDF("doc_id", "text")
+    val pairs = Dedup.winnowOverlaps(df, "doc_id", "text", k = 8, window = 4)
+      .collect().map(_.getAs[Int]("pos_a")).toSet
+    // doc 1 shares the passage with doc 2 at BOTH occurrence sites
+    val secondSite = doc.indexOf(passage, 1)
+    assert(pairs.exists(_ < passage.length), s"first site missing: $pairs")
+    assert(pairs.exists(_ >= secondSite), s"second site missing: $pairs")
+  }
+
   test("bandingFor: S-curve midpoint at or below the threshold") {
     assert(Dedup.bandingFor(0.5, 16) == ((8, 2)))   // midpoint ~0.354
     assert(Dedup.bandingFor(0.8, 16) == ((4, 4)))   // midpoint ~0.707

@@ -9,4 +9,4 @@ env SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-8}" \
   sbt -batch "runMain graft.Verify /root/testdata/$SF /tmp/gate_$SF"
 python3 tools/check_correctness.py "/tmp/gate_$SF" "/root/testdata/$SF"
 env SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" \
-  sbt -batch "runMain graft.Bench" | grep metric
+  sbt -batch "runMain graft.Bench" | { grep metric || true; }
