@@ -610,7 +610,19 @@ object SparkEntry {
               (max(col("ts_us")) - min(col("ts_us"))), 4).as("twa"),
           count(lit(1)).as("n_events"))
         .filter(col("n_events") > 1)
-    }))
+    }),
+
+    // Built-in session_window aggregation — same 30-min-gap semantics as
+    // the q47 lag+cumsum operator, cross-validated against the same
+    // DuckDB sessionization (three-way: operator / built-in / oracle)
+    "q66_session_window" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .as("session_start"),
+          col("n_events"))))
 
   // ------------------------------------------------------------- oracle SQL
 
@@ -848,6 +860,21 @@ object SparkEntry {
         |   / (max(ts_us) - min(ts_us)), 4) AS twa,
         | count(*) AS n_events
         |FROM e GROUP BY user_id HAVING count(*) > 1""".stripMargin,
+
+    "q66_session_window" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+        |b AS (SELECT user_id, ts_us,
+        |  CASE WHEN lag(ts_us) OVER w IS NULL
+        |         OR ts_us - lag(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS nb
+        | FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
+        |s AS (SELECT user_id, ts_us,
+        |  sum(nb) OVER (PARTITION BY user_id ORDER BY ts_us
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        | FROM b)
+        |SELECT user_id,
+        | strftime(make_timestamp(min(ts_us)), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+        | count(*) AS n_events
+        |FROM s GROUP BY user_id, session_id""".stripMargin,
 
     "q37_range_join" ->
       """SELECT o_orderpriority, count(*) AS n
