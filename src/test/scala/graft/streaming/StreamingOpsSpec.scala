@@ -132,6 +132,28 @@ class StreamingOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming session_window aggregation with watermark matches batch sessions") {
+    val dir = eventsStreamDir()
+    val stream = spark.readStream.schema(eventsSchema).parquet(dir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n"))
+    val q = StreamingOps.runToMemory(stream, "sess_win", outputMode = "complete")
+    try {
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT user_id, n FROM sess_win")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(identity).view.mapValues(_.size).toMap
+      val batch = graft.Tables.events(spark, "/root/testdata/sf0.001")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getLong(0), r.getAs[Long]("n")))
+        .groupBy(identity).view.mapValues(_.size).toMap
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("complete-mode overwrite sink holds the full aggregate after each batch") {
     val srcDir = Files.createTempDirectory("graft-stream-agg-src")
     val outDir = Files.createTempDirectory("graft-stream-agg-out").resolve("sink")
