@@ -622,7 +622,20 @@ object SparkEntry {
         .select(col("user_id"),
           date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
             .as("session_start"),
-          col("n_events"))))
+          col("n_events"))),
+
+    // String-distance / manipulation scalar sweep
+    "q67_string_distance" -> ((s, d) =>
+      t(s, d, "part").select(
+        col("p_partkey"),
+        levenshtein(col("p_name"), col("p_type")).as("lev"),
+        translate(col("p_name"), "aeiou", "AEIOU").as("tr"),
+        repeat(col("p_brand"), 2).as("rep"),
+        ascii(col("p_name")).as("first_code"),
+        substring(col("p_name"), 1, 4).as("l4"),
+        col("p_name").contains("widget").as("has_widget"),
+        col("p_name").startsWith("cold").as("is_cold"),
+        col("p_type").endsWith("O").as("ends_o"))))
 
   // ------------------------------------------------------------- oracle SQL
 
@@ -1070,6 +1083,18 @@ object SparkEntry {
          |keep AS (SELECT min(doc_id) AS doc_id FROM gated GROUP BY text)
          |SELECT g.doc_id, g.n_tokens, g.quality_score
          |FROM gated g JOIN keep USING (doc_id)""".stripMargin,
+
+    "q67_string_distance" ->
+      """SELECT p_partkey,
+        | levenshtein(p_name, p_type) AS lev,
+        | translate(p_name, 'aeiou', 'AEIOU') AS tr,
+        | repeat(p_brand, 2) AS rep,
+        | ascii(p_name) AS first_code,
+        | substr(p_name, 1, 4) AS l4,
+        | contains(p_name, 'widget') AS has_widget,
+        | starts_with(p_name, 'cold') AS is_cold,
+        | ends_with(p_type, 'O') AS ends_o
+        |FROM part""".stripMargin,
 
     "q51_tpch_q5" ->
       """SELECT n_name,

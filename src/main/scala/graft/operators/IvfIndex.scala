@@ -86,6 +86,68 @@ object IvfIndex {
       .withColumn("nrm", l2Norm(col("v")))
       .withColumn("cell", nearestCell(col("v"), m))
 
+  /** Persist the assignment as a CELL-PARTITIONED parquet index: repeated
+    * probe workloads then read only their nprobe cell directories
+    * (partition pruning at the scan — the IVF "inverted lists" realized as
+    * data layout). Centroids are stored alongside as JSON.
+    */
+  def writeIndex(corpus: DataFrame, m: Model, path: String): Unit = {
+    assign(corpus, m)
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
+    val centroidJson = m.centroids.sortBy(_._1).map { case (i, v) =>
+      s"""{"cell":$i,"centroid":[${v.mkString(",")}]}"""
+    }.mkString("\n")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$path/centroids.json"),
+      centroidJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  def loadModel(path: String): Model = {
+    val lines = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(s"$path/centroids.json"))
+    val centroids = lines.toArray(Array.empty[String]).filter(_.nonEmpty).map { line =>
+      val cell = "\"cell\":(\\d+)".r.findFirstMatchIn(line).get.group(1).toInt
+      val vec = "\\[([^\\]]*)\\]".r.findFirstMatchIn(line).get.group(1)
+        .split(",").map(_.toDouble)
+      (cell, vec)
+    }
+    Model(centroids)
+  }
+
+  /** Top-k over a persisted index: the probe's nprobe cells become a
+    * partition filter, so only those cell directories are scanned.
+    */
+  def topKFromIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      probes: DataFrame, k: Int, nprobe: Int = 4): DataFrame = {
+    val m = loadModel(path)
+    val probeRows = probes
+      .select(col("vec_id").as("probe_id"), toDouble(col("embedding")).as("p_vec"))
+      .withColumn("p_nrm", l2Norm(col("p_vec")))
+      .filter(col("p_nrm") > 0)
+      .withColumn("cells", slice(transform(array_sort(transform(centroidArrayCol(m),
+        (c, i) => struct(squaredL2Distance(col("p_vec"), c).as("d"), i.as("cell")))),
+        s => s.getField("cell")), 1, nprobe))
+    // collect the union of probed cells → partition-pruning filter
+    val probedCells = probeRows.select(explode(col("cells")).as("cell"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val cellsDf = spark.read.parquet(s"$path/cells")
+      .filter(col("cell").isin(probedCells: _*)) // prunes cell= directories
+      .select(col("vec_id").as("corpus_id"), col("v").as("c_vec"),
+        col("nrm").as("c_nrm"), col("cell"))
+    val scored = cellsDf.join(
+        probeRows.select(col("probe_id"), col("p_vec"), col("p_nrm"),
+          explode(col("cells")).as("cell")), Seq("cell"))
+      .filter(col("corpus_id") =!= col("probe_id"))
+      .withColumn("cosine",
+        graft.functions.HashFunctions.dotProduct(col("c_vec"), col("p_vec")) /
+          (col("c_nrm") * col("p_nrm")))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cosine").desc, col("corpus_id"))
+    scored.select(col("probe_id"), col("corpus_id"), col("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Approximate cosine top-k: each probe searches its `nprobe` nearest
     * cells only.
     */

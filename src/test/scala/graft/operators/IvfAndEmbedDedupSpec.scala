@@ -33,6 +33,27 @@ class IvfAndEmbedDedupSpec extends AnyFunSuite {
     assert(recall >= 0.6, s"IVF recall too low: $recall")
   }
 
+  test("persisted IVF index: partition-pruned probes match in-memory IVF") {
+    val emb = graft.Tables.embeddings(spark, d)
+    val probes = emb.filter($"vec_id" < 3)
+    val m = IvfIndex.train(emb, k = 8, iterations = 3)
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf").resolve("idx").toString
+    IvfIndex.writeIndex(emb, m, path)
+    // model round-trips exactly
+    val loaded = IvfIndex.loadModel(path)
+    assert(loaded.centroids.map(_._2.toSeq).toSeq == m.centroids.map(_._2.toSeq).toSeq)
+    val fromIndex = IvfIndex.topKFromIndex(spark, path, probes, k = 5, nprobe = 4)
+    val inMemory = IvfIndex.topK(emb, probes, m, k = 5, nprobe = 4)
+    val a = fromIndex.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val b = inMemory.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(a == b, "index path diverged from in-memory path")
+    // the scan must carry a partition filter on cell
+    val scan = fromIndex.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).find(_.contains("cells")).getOrElse("")
+    assert(scan.contains("PartitionFilters") && scan.contains("cell"),
+      s"cell partition pruning missing: ${scan.take(300)}")
+  }
+
   test("embedding near-dup pairs + representative assignment") {
     val vecs = Seq(
       (0L, Array(1f, 0f, 0f, 0f)),
