@@ -59,6 +59,21 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.imageFeatures(media, dim = 8).count() == 2)
   }
 
+  test("composition: media features feed the similarity operators directly") {
+    import spark.implicits._
+    // two identical payloads + one different → cosine(features) pairs them
+    val media = Seq(
+      (10L, "identical media payload content".getBytes("UTF-8")),
+      (11L, "identical media payload content".getBytes("UTF-8")),
+      (12L, "completely different binary stuff here".getBytes("UTF-8"))
+    ).toDF("media_id", "content")
+    val feats = Multimodal.imageFeatures(media, dim = 32)
+      .select($"media_id".as("vec_id"), $"features".as("embedding"))
+    val pairs = Similarity.thresholdPairs(feats, threshold = 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((10L, 11L)))
+  }
+
   test("audio energy windows") {
     val e = Multimodal.audioFeatures(media, windows = 8).orderBy("media_id").head()
     val arr = e.getSeq[Float](1)
