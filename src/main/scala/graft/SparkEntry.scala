@@ -635,7 +635,19 @@ object SparkEntry {
         substring(col("p_name"), 1, 4).as("l4"),
         col("p_name").contains("widget").as("has_widget"),
         col("p_name").startsWith("cold").as("is_cold"),
-        col("p_type").endsWith("O").as("ends_o"))))
+        col("p_type").endsWith("O").as("ends_o"))),
+
+    // Custom TypedImperativeAggregate: deterministic bottom-k-by-hash
+    // sketch (KMV sample + distinct estimator; merge-order independent,
+    // so rows-only determinism holds by construction)
+    "q68_bottomk_sketch" -> ((s, d) =>
+      t(s, d, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(graft.functions.BottomKSketch.bottomK(
+          col("o_custkey").cast("string"), 16).as("sketch"))
+        .select(col("o_orderstatus"), explode(col("sketch")).as("e"))
+        .select(col("o_orderstatus"), col("e.hash").as("hash"),
+          col("e.value").as("custkey"))))
 
   // ------------------------------------------------------------- oracle SQL
 

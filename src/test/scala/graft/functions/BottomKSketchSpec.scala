@@ -1,0 +1,50 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.functions.BottomKSketch._
+
+class BottomKSketchSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def sketchOf(df: org.apache.spark.sql.DataFrame, colName: String, k: Int) =
+    df.agg(bottomK(col(colName), k).as("s")).head()
+      .getSeq[org.apache.spark.sql.Row](0).map(r => (r.getLong(0), r.getString(1)))
+
+  test("deterministic under repartitioning (merge-order independent)") {
+    val df = graft.Tables.lineitem(spark, "/root/testdata/sf0.001")
+      .select(col("l_partkey").cast("string").as("v"))
+    val a = sketchOf(df.repartition(1), "v", 32)
+    val b = sketchOf(df.repartition(8), "v", 32)
+    assert(a == b)
+    assert(a.size == 32 && a.map(_._1).sorted == a.map(_._1))
+  }
+
+  test("sketch holds exact distinct values when cardinality < k") {
+    val df = Seq("a", "b", "c", "a", "b").toDF("v")
+    val s = sketchOf(df, "v", 16)
+    assert(s.map(_._2).toSet == Set("a", "b", "c"))
+    assert(distinctEstimate(s, 16) == 3.0)
+  }
+
+  test("KMV distinct estimate within 35% of truth") {
+    val df = graft.Tables.orders(spark, "/root/testdata/sf0.01")
+      .select(col("o_custkey").cast("string").as("v"))
+    val truth = df.distinct().count().toDouble
+    val s = sketchOf(df, "v", 128)
+    val est = distinctEstimate(s, 128)
+    assert(math.abs(est - truth) / truth < 0.35, s"est=$est truth=$truth")
+  }
+
+  test("works per group") {
+    val df = graft.Tables.orders(spark, "/root/testdata/sf0.001")
+    val rows = df.groupBy("o_orderstatus")
+      .agg(bottomK(col("o_custkey").cast("string"), 8).as("s"))
+      .collect()
+    assert(rows.length == 3)
+    rows.foreach(r => assert(r.getSeq[org.apache.spark.sql.Row](1).size == 8))
+  }
+}
