@@ -53,7 +53,8 @@ object GraftExtensions {
     "graft_winnow" -> (es => Winnow(es.head,
       intArg(es(1), "k"), intArg(es(2), "window"))),
     "graft_ngram_hashes" -> (es => NgramHashes(es.head, intArg(es(1), "n"))),
-    "graft_clean_value" -> (es => cleanValueExpr(es.head)))
+    "graft_clean_value" -> (es => cleanValueExpr(es.head)),
+    "graft_bottomk" -> (es => BottomKHashes(es(0), intArg(es(1), "k"))))
 
   /** SQL-bodied helpers (composed higher-order expressions) — defined as
     * SQL UDFs, mirroring the Column implementations in TextFunctions /

@@ -647,7 +647,26 @@ object SparkEntry {
           col("o_custkey").cast("string"), 16).as("sketch"))
         .select(col("o_orderstatus"), explode(col("sketch")).as("e"))
         .select(col("o_orderstatus"), col("e.hash").as("hash"),
-          col("e.value").as("custkey"))))
+          col("e.value").as("custkey"))),
+
+    // Correlated scalar subquery through the SQL surface
+    "q69_correlated_subquery" -> ((s, d) => {
+      t(s, d, "orders").createOrReplaceTempView("orders_v")
+      s.sql(
+        """SELECT o.o_orderkey FROM orders_v o
+          |WHERE o.o_totalprice > 2 * (
+          |  SELECT avg(o2.o_totalprice) FROM orders_v o2
+          |  WHERE o2.o_custkey = o.o_custkey)""".stripMargin)
+    }),
+
+    // Explicit GROUPING SETS (beyond rollup/cube)
+    "q70_grouping_sets" -> ((s, d) => {
+      t(s, d, "orders").createOrReplaceTempView("orders_v2")
+      s.sql(
+        """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+          |FROM orders_v2
+          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin)
+    }))
 
   // ------------------------------------------------------------- oracle SQL
 
@@ -1107,6 +1126,17 @@ object SparkEntry {
         | starts_with(p_name, 'cold') AS is_cold,
         | ends_with(p_type, 'O') AS ends_o
         |FROM part""".stripMargin,
+
+    "q69_correlated_subquery" ->
+      """SELECT o.o_orderkey FROM orders o
+        |WHERE o.o_totalprice > 2 * (
+        |  SELECT avg(o2.o_totalprice) FROM orders o2
+        |  WHERE o2.o_custkey = o.o_custkey)""".stripMargin,
+
+    "q70_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin,
 
     "q51_tpch_q5" ->
       """SELECT n_name,

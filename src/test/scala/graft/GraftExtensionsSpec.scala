@@ -30,6 +30,14 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(r.getDouble(8) > 0.5)
   }
 
+  test("custom aggregate callable from SQL (graft_bottomk)") {
+    import spark.implicits._
+    Seq("a", "b", "c", "a").toDF("v").createOrReplaceTempView("bk_in")
+    val s = spark.sql("SELECT graft_bottomk(v, 8) AS s FROM bk_in").head()
+      .getSeq[org.apache.spark.sql.Row](0)
+    assert(s.map(_.getString(1)).toSet == Set("a", "b", "c"))
+  }
+
   test("winnow and ngram-hash kernels callable from SQL") {
     val r = spark.sql(
       """SELECT graft_winnow('the winnowing algorithm fingerprint test string', 5, 4) AS w,
