@@ -666,6 +666,30 @@ object SparkEntry {
         """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
           |FROM orders_v2
           |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin)
+    }),
+
+    // Window value functions: first/last/nth over a bounded frame
+    "q71_window_values" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ns"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.events(s, d).select(
+        col("event_id"),
+        first(col("value")).over(w).as("first_v"),
+        last(col("value")).over(w).as("last_v"),
+        nth_value(col("value"), 2).over(w).as("second_v"))
+    }),
+
+    // RANGE frame: trailing-1h moving sum per user (event-time windowed,
+    // no row-count assumption)
+    "q72_range_frame" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+        .rangeBetween(-3600000000L, 0L)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          expr("ts_ns div 1000").as("ts_us"), col("value"))
+        .select(col("event_id"),
+          sum(col("value").cast("decimal(18,6)")).over(w)
+            .cast("double").as("trailing_1h_sum"))
     }))
 
   // ------------------------------------------------------------- oracle SQL
@@ -1137,6 +1161,24 @@ object SparkEntry {
       """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin,
+
+    "q71_window_values" ->
+      """SELECT event_id,
+        | first_value(value) OVER w AS first_v,
+        | last_value(value) OVER w AS last_v,
+        | nth_value(value, 2) OVER w AS second_v
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin,
+
+    "q72_range_frame" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, value FROM events)
+        |SELECT event_id,
+        | CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
+        |   PARTITION BY user_id ORDER BY ts_us
+        |   RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |   AS trailing_1h_sum
+        |FROM e""".stripMargin,
 
     "q51_tpch_q5" ->
       """SELECT n_name,
