@@ -690,7 +690,14 @@ object SparkEntry {
         .select(col("event_id"),
           sum(col("value").cast("decimal(18,6)")).over(w)
             .cast("double").as("trailing_1h_sum"))
-    }))
+    }),
+
+    // Histogram bucketing (width_bucket) + per-bucket aggregates
+    "q73_width_bucket" -> ((s, d) =>
+      t(s, d, "orders")
+        .groupBy(width_bucket(col("o_totalprice"), lit(0.0), lit(500000.0), lit(10))
+          .as("bucket"))
+        .agg(count(lit(1)).as("n"), decSum(col("o_totalprice")).as("total"))))
 
   // ------------------------------------------------------------- oracle SQL
 
@@ -1179,6 +1186,14 @@ object SparkEntry {
         |   RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS DOUBLE)
         |   AS trailing_1h_sum
         |FROM e""".stripMargin,
+
+    "q73_width_bucket" ->
+      """SELECT CASE WHEN o_totalprice < 0.0 THEN 0
+        |   WHEN o_totalprice >= 500000.0 THEN 11
+        |   ELSE CAST(floor(o_totalprice / 50000.0) AS BIGINT) + 1 END AS bucket,
+        | count(*) AS n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM orders GROUP BY 1""".stripMargin,
 
     "q51_tpch_q5" ->
       """SELECT n_name,
