@@ -42,6 +42,18 @@ class CurationSpec extends AnyFunSuite {
     assert(f.afterNearDedup == 2)      // doc 2 merged into 0
   }
 
+  test("funnel on the real documents table is monotone and non-degenerate") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val f = Curation.funnel(docs, config)
+    assert(f.input == 500)
+    assert(f.afterLangGate <= f.input && f.afterLangGate > 0)
+    assert(f.afterQualityGate <= f.afterLangGate && f.afterQualityGate > 0)
+    assert(f.afterExactDedup <= f.afterQualityGate && f.afterExactDedup > 0)
+    assert(f.afterNearDedup <= f.afterExactDedup && f.afterNearDedup > 0)
+    val curated = Curation.curate(docs, config)
+    assert(curated.count() == f.afterNearDedup)
+  }
+
   test("curated output carries token counts and quality scores") {
     val row = Curation.curate(docs, config)
       .filter($"doc_id" === 6L).head()
