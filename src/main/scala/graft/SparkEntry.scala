@@ -649,13 +649,16 @@ object SparkEntry {
         .select(col("o_orderstatus"), col("e.hash").as("hash"),
           col("e.value").as("custkey"))),
 
-    // Correlated scalar subquery through the SQL surface
+    // Correlated scalar subquery through the SQL surface. The per-customer
+    // mean goes through an exact decimal sum (raw AVG(double) is
+    // aggregation-order-dependent and can flip boundary rows vs the oracle)
     "q69_correlated_subquery" -> ((s, d) => {
       t(s, d, "orders").createOrReplaceTempView("orders_v")
       s.sql(
         """SELECT o.o_orderkey FROM orders_v o
           |WHERE o.o_totalprice > 2 * (
-          |  SELECT avg(o2.o_totalprice) FROM orders_v o2
+          |  SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+          |  FROM orders_v o2
           |  WHERE o2.o_custkey = o.o_custkey)""".stripMargin)
     }),
 
@@ -668,15 +671,20 @@ object SparkEntry {
           |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin)
     }),
 
-    // Window value functions: first/last/nth over a bounded frame
+    // Window value functions: first/last/nth over a bounded frame.
+    // Ordering uses µs-truncated ts (DuckDB truncates TIMESTAMP_NS to µs,
+    // so ns-ordering could disagree on same-µs ties) + event_id tie-break
     "q71_window_values" -> ((s, d) => {
-      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ns"), col("event_id"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-      Tables.events(s, d).select(
-        col("event_id"),
-        first(col("value")).over(w).as("first_v"),
-        last(col("value")).over(w).as("last_v"),
-        nth_value(col("value"), 2).over(w).as("second_v"))
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"),
+          expr("ts_ns div 1000").as("ts_us"), col("value"))
+        .select(
+          col("event_id"),
+          first(col("value")).over(w).as("first_v"),
+          last(col("value")).over(w).as("last_v"),
+          nth_value(col("value"), 2).over(w).as("second_v"))
     }),
 
     // RANGE frame: trailing-1h moving sum per user (event-time windowed,
@@ -1161,7 +1169,8 @@ object SparkEntry {
     "q69_correlated_subquery" ->
       """SELECT o.o_orderkey FROM orders o
         |WHERE o.o_totalprice > 2 * (
-        |  SELECT avg(o2.o_totalprice) FROM orders o2
+        |  SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+        |  FROM orders o2
         |  WHERE o2.o_custkey = o.o_custkey)""".stripMargin,
 
     "q70_grouping_sets" ->
@@ -1175,7 +1184,7 @@ object SparkEntry {
         | last_value(value) OVER w AS last_v,
         | nth_value(value, 2) OVER w AS second_v
         |FROM events
-        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin,
 
     "q72_range_frame" ->

@@ -55,6 +55,12 @@ case class BottomKHashes(
     if (v != null) {
       val s = v match {
         case u: UTF8String => u
+        // atomic types render stably; catalyst containers do NOT (their
+        // toString is identity-ish → nondeterministic hashes) — reject
+        case _: org.apache.spark.sql.catalyst.util.ArrayData |
+             _: org.apache.spark.sql.catalyst.util.MapData | _: InternalRow =>
+          throw new IllegalArgumentException(
+            s"graft_bottomk: unsupported input type ${child.dataType}; cast to string first")
         case other => UTF8String.fromString(other.toString)
       }
       insert(buf, HashUtil.fnv64(s), s.getBytes.clone())

@@ -89,37 +89,30 @@ object IvfIndex {
   /** Persist the assignment as a CELL-PARTITIONED parquet index: repeated
     * probe workloads then read only their nprobe cell directories
     * (partition pruning at the scan — the IVF "inverted lists" realized as
-    * data layout). Centroids are stored alongside as JSON.
+    * data layout). Centroids are stored alongside THROUGH Spark (portable
+    * to any Hadoop-FS path, unlike java.nio).
     */
   def writeIndex(corpus: DataFrame, m: Model, path: String): Unit = {
+    val spark = corpus.sparkSession
     assign(corpus, m)
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
-    val centroidJson = m.centroids.sortBy(_._1).map { case (i, v) =>
-      s"""{"cell":$i,"centroid":[${v.mkString(",")}]}"""
-    }.mkString("\n")
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(s"$path/centroids.json"),
-      centroidJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    import spark.implicits._
+    m.centroids.toSeq.map { case (i, v) => (i, v.toSeq) }
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
   }
 
-  def loadModel(path: String): Model = {
-    val lines = java.nio.file.Files.readAllLines(
-      java.nio.file.Paths.get(s"$path/centroids.json"))
-    val centroids = lines.toArray(Array.empty[String]).filter(_.nonEmpty).map { line =>
-      val cell = "\"cell\":(\\d+)".r.findFirstMatchIn(line).get.group(1).toInt
-      val vec = "\\[([^\\]]*)\\]".r.findFirstMatchIn(line).get.group(1)
-        .split(",").map(_.toDouble)
-      (cell, vec)
-    }
-    Model(centroids)
-  }
+  def loadModel(spark: org.apache.spark.sql.SparkSession, path: String): Model =
+    Model(spark.read.parquet(s"$path/centroids")
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1))
 
   /** Top-k over a persisted index: the probe's nprobe cells become a
     * partition filter, so only those cell directories are scanned.
     */
   def topKFromIndex(spark: org.apache.spark.sql.SparkSession, path: String,
       probes: DataFrame, k: Int, nprobe: Int = 4): DataFrame = {
-    val m = loadModel(path)
+    val m = loadModel(spark, path)
     val probeRows = probes
       .select(col("vec_id").as("probe_id"), toDouble(col("embedding")).as("p_vec"))
       .withColumn("p_nrm", l2Norm(col("p_vec")))
@@ -127,16 +120,22 @@ object IvfIndex {
       .withColumn("cells", slice(transform(array_sort(transform(centroidArrayCol(m),
         (c, i) => struct(squaredL2Distance(col("p_vec"), c).as("d"), i.as("cell")))),
         s => s.getField("cell")), 1, nprobe))
-    // collect the union of probed cells → partition-pruning filter
-    val probedCells = probeRows.select(explode(col("cells")).as("cell"))
+    // probes are small by contract (same as bruteForceTopK): collect ONCE,
+    // rebuild as a local DataFrame — the probe scan + k-centroid distance
+    // transform run a single time, and both downstream uses are local
+    val probeLocal = spark.createDataFrame(
+      java.util.Arrays.asList(probeRows.collect(): _*), probeRows.schema)
+    // union of probed cells → partition-pruning filter
+    val probedCells = probeLocal.select(explode(col("cells")).as("cell"))
       .distinct().collect().map(_.getInt(0)).toSeq
     val cellsDf = spark.read.parquet(s"$path/cells")
       .filter(col("cell").isin(probedCells: _*)) // prunes cell= directories
+      .filter(col("nrm") > 0) // cosine undefined for zero-norm vectors (matches topK)
       .select(col("vec_id").as("corpus_id"), col("v").as("c_vec"),
         col("nrm").as("c_nrm"), col("cell"))
     val scored = cellsDf.join(
-        probeRows.select(col("probe_id"), col("p_vec"), col("p_nrm"),
-          explode(col("cells")).as("cell")), Seq("cell"))
+        broadcast(probeLocal.select(col("probe_id"), col("p_vec"), col("p_nrm"),
+          explode(col("cells")).as("cell"))), Seq("cell"))
       .filter(col("corpus_id") =!= col("probe_id"))
       .withColumn("cosine",
         graft.functions.HashFunctions.dotProduct(col("c_vec"), col("p_vec")) /

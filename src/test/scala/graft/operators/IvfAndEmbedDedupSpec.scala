@@ -40,7 +40,7 @@ class IvfAndEmbedDedupSpec extends AnyFunSuite {
     val path = java.nio.file.Files.createTempDirectory("graft-ivf").resolve("idx").toString
     IvfIndex.writeIndex(emb, m, path)
     // model round-trips exactly
-    val loaded = IvfIndex.loadModel(path)
+    val loaded = IvfIndex.loadModel(spark, path)
     assert(loaded.centroids.map(_._2.toSeq).toSeq == m.centroids.map(_._2.toSeq).toSeq)
     val fromIndex = IvfIndex.topKFromIndex(spark, path, probes, k = 5, nprobe = 4)
     val inMemory = IvfIndex.topK(emb, probes, m, k = 5, nprobe = 4)
