@@ -252,9 +252,12 @@ object SparkEntry {
     "q27_lang_id" -> ((s, d) =>
       TextAnalysis.langId(t(s, d, "documents"), "doc_id", "text")),
 
-    // Fingerprints via custom Catalyst expressions (no SQL oracle)
+    // Fingerprints via custom Catalyst expressions (no SQL oracle).
+    // winnow is array<long> internally — serialized for the driver's
+    // pandas sort (no top-level ArrayType contract).
     "q28_fingerprints" -> ((s, d) =>
-      TextAnalysis.fingerprints(t(s, d, "documents"), "doc_id", "text")),
+      TextAnalysis.fingerprints(t(s, d, "documents"), "doc_id", "text")
+        .withColumn("winnow", concat_ws(",", col("winnow")))),
 
     // MinHash+LSH near-dup candidates with exact-Jaccard rerank (no oracle)
     "q29_minhash_neardups" -> ((s, d) =>
@@ -372,13 +375,16 @@ object SparkEntry {
         min(col("l_extendedprice")).as("min_price"),
         max(col("l_extendedprice")).as("max_price"))),
 
-    // Misc aggregates: conditional count, arg-max, bool_or, sorted set, distinct sum
+    // Misc aggregates: conditional count, arg-max, bool_or, sorted set,
+    // distinct sum. The set is concat_ws-serialized: the driver harness
+    // sorts output columns in pandas, which dies on array cells — no
+    // query may emit a top-level ArrayType (SparkEntrySpec enforces).
     "q42_agg_misc" -> ((s, d) =>
       t(s, d, "orders").groupBy(col("o_orderstatus")).agg(
         sum(when(col("o_totalprice") > 250000, 1L).otherwise(0L)).as("n_big"),
         expr("max_by(o_orderkey, o_totalprice)").as("top_order"),
         expr("bool_or(o_totalprice > 400000)").as("has_jumbo"),
-        sort_array(collect_set(col("o_orderpriority"))).as("priorities"),
+        concat_ws(",", sort_array(collect_set(col("o_orderpriority")))).as("priorities"),
         sum_distinct(col("o_custkey")).as("sum_dist_cust"))),
 
     // Pivot (conditional aggregation re-shape)
@@ -552,7 +558,7 @@ object SparkEntry {
           size(col("toks")).as("n"),
           array_contains(col("toks"), "the").as("has_the"),
           size(array_distinct(col("toks"))).as("n_distinct"),
-          slice(array_sort(col("toks")), 1, 3).as("first3_sorted"),
+          concat_ws(",", slice(array_sort(col("toks")), 1, 3)).as("first3_sorted"),
           array_position(col("toks"), "data").cast("long").as("pos_data"),
           element_at(col("toks"), -1).as("last_tok"))),
 
@@ -727,13 +733,16 @@ object SparkEntry {
         | count(*) - count(DISTINCT (o_custkey, o_orderdate)) AS dup_by_cust_date
         |FROM orders""".stripMargin,
 
+    // Every integer sum is CAST AS BIGINT: DuckDB sum() over ints is
+    // HUGEINT, which pandas renders as float64 and the driver's dtype-
+    // sensitive hash then rejects against Spark's int64.
     "q03_null_audit" ->
       """SELECT count(*) AS total_rows,
-        | sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS nulls_l_quantity,
-        | sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS nulls_l_extendedprice,
-        | sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS nulls_l_discount,
-        | sum(CASE WHEN l_tax IS NULL THEN 1 ELSE 0 END) AS nulls_l_tax,
-        | sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS nulls_l_shipdate
+        | CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_l_quantity,
+        | CAST(sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_l_extendedprice,
+        | CAST(sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_l_discount,
+        | CAST(sum(CASE WHEN l_tax IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_l_tax,
+        | CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nulls_l_shipdate
         |FROM lineitem""".stripMargin,
 
     "q04_minmax" ->
@@ -744,9 +753,9 @@ object SparkEntry {
 
     "q05_quality_audit" ->
       """SELECT count(*) AS total_rows,
-        | sum(CASE WHEN l_quantity IS NOT NULL AND (l_quantity < 1 OR l_quantity > 50) THEN 1 ELSE 0 END) AS anom_qty,
-        | sum(CASE WHEN l_discount IS NOT NULL AND (l_discount < 0 OR l_discount > 0.05) THEN 1 ELSE 0 END) AS anom_disc,
-        | sum(CASE WHEN l_tax IS NOT NULL AND (l_tax < 0 OR l_tax > 0.04) THEN 1 ELSE 0 END) AS anom_tax,
+        | CAST(sum(CASE WHEN l_quantity IS NOT NULL AND (l_quantity < 1 OR l_quantity > 50) THEN 1 ELSE 0 END) AS BIGINT) AS anom_qty,
+        | CAST(sum(CASE WHEN l_discount IS NOT NULL AND (l_discount < 0 OR l_discount > 0.05) THEN 1 ELSE 0 END) AS BIGINT) AS anom_disc,
+        | CAST(sum(CASE WHEN l_tax IS NOT NULL AND (l_tax < 0 OR l_tax > 0.04) THEN 1 ELSE 0 END) AS BIGINT) AS anom_tax,
         | round((sum(CASE WHEN l_quantity IS NOT NULL AND (l_quantity < 1 OR l_quantity > 50) THEN 1 ELSE 0 END)
         |   + sum(CASE WHEN l_discount IS NOT NULL AND (l_discount < 0 OR l_discount > 0.05) THEN 1 ELSE 0 END)
         |   + sum(CASE WHEN l_tax IS NOT NULL AND (l_tax < 0 OR l_tax > 0.04) THEN 1 ELSE 0 END))::DOUBLE
@@ -852,7 +861,7 @@ object SparkEntry {
         |FROM events GROUP BY 1, 2""".stripMargin,
 
     "q22_json_extract" ->
-      """SELECT k % 10 AS k_bucket, count(*) AS n, sum(k) AS sum_k
+      """SELECT k % 10 AS k_bucket, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k
         |FROM (SELECT TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k FROM events)
         |GROUP BY 1""".stripMargin,
 
@@ -1019,11 +1028,11 @@ object SparkEntry {
 
     "q42_agg_misc" ->
       """SELECT o_orderstatus,
-        | sum(CASE WHEN o_totalprice > 250000 THEN 1 ELSE 0 END) AS n_big,
+        | CAST(sum(CASE WHEN o_totalprice > 250000 THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
         | arg_max(o_orderkey, o_totalprice) AS top_order,
         | bool_or(o_totalprice > 400000) AS has_jumbo,
-        | list_sort(list(DISTINCT o_orderpriority)) AS priorities,
-        | sum(DISTINCT o_custkey) AS sum_dist_cust
+        | array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',') AS priorities,
+        | CAST(sum(DISTINCT o_custkey) AS BIGINT) AS sum_dist_cust
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
 
     "q43_pivot" ->
@@ -1051,8 +1060,8 @@ object SparkEntry {
         |         OR ts_us - lag(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS nb
         | FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
         |s AS (SELECT user_id, ts_us,
-        |  sum(nb) OVER (PARTITION BY user_id ORDER BY ts_us
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  CAST(sum(nb) OVER (PARTITION BY user_id ORDER BY ts_us
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
         | FROM b)
         |SELECT user_id, session_id, count(*) AS n_events,
         | min(ts_us) AS session_start, max(ts_us) AS session_end
@@ -1131,7 +1140,7 @@ object SparkEntry {
          | len(toks) AS n,
          | list_contains(toks, 'the') AS has_the,
          | len(list_distinct(toks)) AS n_distinct,
-         | list_sort(toks)[1:3] AS first3_sorted,
+         | array_to_string(list_sort(toks)[1:3], ',') AS first3_sorted,
          | coalesce(list_position(toks, 'data'), 0) AS pos_data,
          | toks[-1] AS last_tok
          |FROM tk""".stripMargin,

@@ -23,4 +23,20 @@ class SparkEntrySpec extends AnyFunSuite {
       assert(fn(spark, sfDir).count() > 0, name)
     }
   }
+
+  // Hard output-shape contract with the driver: its harness sorts every
+  // query output (oracled or rows-only) with pandas sort_values, which
+  // throws "unhashable type: numpy.ndarray" on array/map cells. Nested
+  // types must be serialized (concat_ws / to_json) before leaving a query.
+  SparkEntry.queries.foreach { case (name, fn) =>
+    test(s"$name emits no top-level ArrayType/MapType/StructType") {
+      import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+      val bad = fn(spark, sfDir).schema.fields.collect {
+        case f if f.dataType.isInstanceOf[ArrayType] ||
+          f.dataType.isInstanceOf[MapType] ||
+          f.dataType.isInstanceOf[StructType] => s"${f.name}: ${f.dataType.sql}"
+      }
+      assert(bad.isEmpty, s"$name emits driver-unsortable columns: ${bad.mkString(", ")}")
+    }
+  }
 }

@@ -5,38 +5,58 @@ Usage: python3 tools/check_correctness.py <verify_out_dir> <sf_dir>
 
 Loads each <name>/ parquet produced by graft.Verify, runs the matching
 oracle SQL from oracle_sql.json in DuckDB over the sf_dir tables, and
-compares: column names (sorted), row count, and values (rows sorted,
-exact for ints/strings, tiny epsilon report for floats).
+compares THE WAY THE DRIVER DOES: both sides go through pandas
+(`.df()`), columns are sorted by name, rows are `sort_values`-sorted
+over ALL columns, and the comparison is dtype-sensitive (`DataFrame
+.equals` after `reset_index`). This intentionally reproduces the two
+driver failure modes the round-1 fetchall()/str() version hid:
+  * DuckDB HUGEINT sums materialize as float64 in pandas and hash-fail
+    against Spark's int64 even when values are equal;
+  * a top-level array column makes pandas sort_values throw
+    "unhashable type: numpy.ndarray" — same for rows-only outputs.
 """
-import json, math, sys
+import json, sys
 import duckdb
+import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
-def canon(rows, cols):
-    idx = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = []
-    for r in rows:
-        out.append(tuple(r[i] for i in idx))
-    def key(t):
-        return tuple((v is None, str(type(v)), str(v)) for v in t)
-    return sorted(out, key=key), [cols[i] for i in idx]
+def normalize(df):
+    """Driver-style canonical form: columns sorted by name, rows sorted
+    by all columns. Raises on unsortable (array) cells — that is signal,
+    not noise."""
+    df = df[sorted(df.columns)]
+    df = df.sort_values(by=list(df.columns), kind="mergesort")
+    return df.reset_index(drop=True)
 
 
-def eq(a, b):
-    if a is None or b is None:
-        return a is None and b is None
-    if isinstance(a, float) or isinstance(b, float):
-        try:
-            fa, fb = float(a), float(b)
-        except (TypeError, ValueError):
-            return str(a) == str(b)
-        if math.isnan(fa) and math.isnan(fb):
-            return True
-        return fa == fb
-    return str(a) == str(b)
+def render(v):
+    """Driver-style cell rendering: str() of the pandas scalar. int32(5)
+    and int64(5) both render '5'; float64(5.0) renders '5.0' — exactly
+    the int-vs-HUGEINT sensitivity the driver's hash shows."""
+    try:
+        if pd.isna(v):
+            return "<NA>"
+    except (TypeError, ValueError):
+        pass  # arrays reach here; normalize() already rejects them
+    return str(v)
+
+
+def rendered(df):
+    return [[render(df.at[i, c]) for c in df.columns] for i in range(len(df))]
+
+
+def first_diff(g, e, gr, er):
+    """Locate the first differing rendered cell (for the report only)."""
+    for i in range(len(gr)):
+        for j, c in enumerate(g.columns):
+            if gr[i][j] != er[i][j]:
+                return (f"VALUE row#{i} col={c} spark={gr[i][j]!r} "
+                        f"({g.dtypes.iloc[j]}) duckdb={er[i][j]!r} "
+                        f"({e.dtypes.iloc[j]})")
+    return "no cell diff found (ordering/index?)"
 
 
 def main():
@@ -50,41 +70,33 @@ def main():
     names = sorted(d for d in os.listdir(out_dir) if os.path.isdir(f"{out_dir}/{d}"))
     for name in names:
         try:
-            got = con.execute(
-                f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
-            grows, gcols = got.fetchall(), [d[0] for d in got.description]
+            got = normalize(con.execute(
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df())
         except Exception as e:
-            results[name] = f"ERROR reading spark output: {e}"
+            results[name] = f"ERROR reading/sorting spark output: {e!r}"
             continue
         if name not in oracle:
             # an empty un-oracled result is a dead operator, not a pass
-            results[name] = (f"rows-only: {len(grows)} rows" if grows
+            results[name] = (f"rows-only: {len(got)} rows" if len(got)
                              else "EMPTY rows-only output")
             continue
         try:
-            exp = con.execute(oracle[name])
-            erows, ecols = exp.fetchall(), [d[0] for d in exp.description]
+            exp = normalize(con.execute(oracle[name]).df())
         except Exception as e:
-            results[name] = f"ORACLE SQL ERROR: {e}"
+            results[name] = f"ORACLE SQL ERROR: {e!r}"
             continue
-        g, gc = canon(grows, gcols)
-        e_, ec = canon(erows, ecols)
-        if gc != ec:
-            results[name] = f"COLUMN MISMATCH spark={gc} duckdb={ec}"
+        if list(got.columns) != list(exp.columns):
+            results[name] = (f"COLUMN MISMATCH spark={list(got.columns)}"
+                             f" duckdb={list(exp.columns)}")
             continue
-        if len(g) != len(e_):
-            results[name] = f"ROWCOUNT MISMATCH spark={len(g)} duckdb={len(e_)}"
+        if len(got) != len(exp):
+            results[name] = f"ROWCOUNT MISMATCH spark={len(got)} duckdb={len(exp)}"
             continue
-        bad = None
-        for i, (gr, er) in enumerate(zip(g, e_)):
-            for j, (gv, ev) in enumerate(zip(gr, er)):
-                if not eq(gv, ev):
-                    bad = (i, gc[j], gv, ev)
-                    break
-            if bad:
-                break
-        results[name] = "OK ({} rows)".format(len(g)) if not bad else \
-            f"VALUE MISMATCH row#{bad[0]} col={bad[1]} spark={bad[2]!r} duckdb={bad[3]!r}"
+        gr, er = rendered(got), rendered(exp)
+        if gr == er:
+            results[name] = f"OK ({len(got)} rows)"
+        else:
+            results[name] = f"MISMATCH: {first_diff(got, exp, gr, er)}"
     ok = sum(1 for v in results.values() if v.startswith("OK"))
     ro = sum(1 for v in results.values() if v.startswith("rows-only"))
     for k, v in results.items():
