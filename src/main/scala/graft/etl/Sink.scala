@@ -98,6 +98,89 @@ final class ParquetSink(path: String, partitionBy: Seq[String] = Nil) extends Si
   }
 }
 
+/** Typed sink-connectivity failure — the engine's equivalent of pymongo's
+  * `ConnectionFailure` branch (`etl_meteo.py:213-215`): connection problems
+  * are a distinct, catchable failure mode, not a generic exception.
+  */
+final class SinkConnectionFailure(msg: String) extends RuntimeException(msg)
+
+/** Load failed post-write reconciliation (source count != target count —
+  * the reference's "ÉCHEC" report branch, `etl_meteo.py:203-207`).
+  */
+final class SinkReconciliationError(val source: Long, val target: Long)
+  extends RuntimeException(s"source=$source target=$target")
+
+/** Document-store sink speaking the reference's EXACT load protocol
+  * (`etl_meteo.py:182-218`) through the same trait, file-backed because
+  * no store connector exists offline:
+  *
+  *   reference                    | here
+  *   ---------------------------- | -----------------------------------
+  *   MongoClient(uri, 5000ms)     | constructor path
+  *   client.admin.command('ping') | ping() — storage reachable/writable
+  *   collection.delete_many({})   | deleteMany() — truncate collection dir
+  *   collection.insert_many(docs) | insertMany(df) — append JSONL batch
+  *   collection.count_documents() | countDocuments()
+  *   source-vs-target count check | overwrite() reconcile, typed error
+  *   ConnectionFailure branch     | SinkConnectionFailure
+  *
+  * `quality_audit.py:20-30` (read the collection back and audit it) is
+  * `read()`. Documents are JSON lines, the closest file form of a BSON
+  * collection. If a mongo-spark-connector ever becomes available, a
+  * MongoSink implements this same trait with these verbs mapped 1:1.
+  */
+final class DocumentStoreSink(collectionPath: String) extends Sink {
+
+  private def dir = new java.io.File(
+    if (collectionPath.startsWith("file:")) collectionPath.stripPrefix("file:")
+    else collectionPath)
+
+  /** Connectivity check (the `ping` admin command): parent storage must
+    * exist and be writable. Throws [[SinkConnectionFailure]], the typed
+    * path the reference reserves for ConnectionFailure.
+    */
+  def ping(): Unit = {
+    val parent = dir.getAbsoluteFile.getParentFile
+    if (parent == null || !parent.exists() || !parent.canWrite)
+      throw new SinkConnectionFailure(
+        s"document store unreachable: ${dir.getAbsolutePath} (parent missing or read-only)")
+  }
+
+  /** Truncate the collection (delete_many({})). Returns docs removed. */
+  def deleteMany(spark: SparkSession): Long = {
+    val n = if (dir.exists()) countDocuments(spark) else 0L
+    if (dir.exists()) org.apache.commons.io.FileUtils.deleteDirectory(dir)
+    n
+  }
+
+  /** Batch insert (insert_many): append one JSONL batch. Returns batch size. */
+  def insertMany(df: DataFrame): Long = {
+    df.write.mode(SaveMode.Append).json(collectionPath)
+    df.count()
+  }
+
+  /** count_documents({}) — 0 for a missing collection. */
+  def countDocuments(spark: SparkSession): Long =
+    if (!dir.exists()) 0L else read(spark).count()
+
+  /** The reference's full load sequence: ping → delete_many → insert_many
+    * → count_documents → source-vs-target reconciliation. A count mismatch
+    * throws [[SinkReconciliationError]] (the report's ÉCHEC branch made a
+    * hard failure rather than a log line).
+    */
+  override def overwrite(df: DataFrame): Long = {
+    ping()
+    val spark = df.sparkSession
+    deleteMany(spark)
+    val source = insertMany(df)
+    val target = countDocuments(spark)
+    if (target != source) throw new SinkReconciliationError(source, target)
+    target
+  }
+
+  override def read(spark: SparkSession): DataFrame = spark.read.json(collectionPath)
+}
+
 /** CSV sink (interchange/export path; same overwrite + reconcile contract). */
 final class CsvSink(path: String, sep: String = ";") extends Sink {
   override def overwrite(df: DataFrame): Long = {

@@ -1,9 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.graftbridge.TypeBridge.AbstractDataType
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -264,7 +266,8 @@ object HashUtil {
 }
 
 /** 64-bit FNV-1a of a string column. */
-case class Fnv64(child: Expression) extends UnaryExpression {
+case class Fnv64(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
   override def dataType: DataType = LongType
   override protected def nullSafeEval(input: Any): Any =
     HashUtil.fnv64(input.asInstanceOf[UTF8String])
@@ -276,7 +279,8 @@ case class Fnv64(child: Expression) extends UnaryExpression {
 }
 
 /** SimHash64 of an array<string> of features (tokens or shingles). */
-case class SimHash64(child: Expression) extends UnaryExpression {
+case class SimHash64(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
   override def dataType: DataType = LongType
   override protected def nullSafeEval(input: Any): Any =
     HashUtil.simhash64(input.asInstanceOf[ArrayData])
@@ -288,7 +292,8 @@ case class SimHash64(child: Expression) extends UnaryExpression {
 }
 
 /** Polynomial rolling-hash fingerprint of a string column. */
-case class PolyHash(child: Expression) extends UnaryExpression {
+case class PolyHash(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
   override def dataType: DataType = LongType
   override protected def nullSafeEval(input: Any): Any =
     HashUtil.polyHash(input.asInstanceOf[UTF8String])
@@ -304,11 +309,18 @@ case class PolyHash(child: Expression) extends UnaryExpression {
   */
 case class MinHash64(child: Expression, numHashes: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  // The type dispatch is already computed here — surface a wrong-typed call
+  // (e.g. graft_minhash64(42)) as an analysis-time error, not a mid-job
+  // ClassCastException/codegen failure.
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) | ArrayType(LongType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_minhash64 requires array<string> or array<bigint>, got ${other.sql}")
+  }
   private def stringElems: Boolean = child.dataType match {
     case ArrayType(StringType, _) => true
-    case ArrayType(LongType, _) => false
-    case other => throw new IllegalArgumentException(
-      s"graft_minhash64: argument must be array<string> or array<bigint>, got $other")
+    case _ => false
   }
   override protected def nullSafeEval(input: Any): Any =
     HashUtil.minhash64(input.asInstanceOf[ArrayData], numHashes, stringElems)
@@ -321,7 +333,9 @@ case class MinHash64(child: Expression, numHashes: Int) extends UnaryExpression 
 }
 
 /** Winnowing fingerprints with byte positions: array<struct<hash,pos>>. */
-case class WinnowPositions(child: Expression, k: Int, window: Int) extends UnaryExpression {
+case class WinnowPositions(child: Expression, k: Int, window: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
   override def dataType: DataType = ArrayType(
     StructType(Seq(StructField("hash", LongType, nullable = false),
       StructField("pos", IntegerType, nullable = false))), containsNull = false)
@@ -335,7 +349,8 @@ case class WinnowPositions(child: Expression, k: Int, window: Int) extends Unary
 }
 
 /** One-pass lowercase-whitespace tokenizer of a string column. */
-case class Tokenize(child: Expression) extends UnaryExpression {
+case class Tokenize(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override protected def nullSafeEval(input: Any): Any =
     HashUtil.tokenize(input.asInstanceOf[UTF8String])
@@ -347,7 +362,9 @@ case class Tokenize(child: Expression) extends UnaryExpression {
 }
 
 /** Distinct hashed n-byte grams of a string column (array<long>). */
-case class NgramHashes(child: Expression, n: Int) extends UnaryExpression {
+case class NgramHashes(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override protected def nullSafeEval(input: Any): Any =
     HashUtil.ngramHashes(input.asInstanceOf[UTF8String], n)
@@ -359,7 +376,9 @@ case class NgramHashes(child: Expression, n: Int) extends UnaryExpression {
 }
 
 /** Winnowing fingerprint set of a string column (array<long>). */
-case class Winnow(child: Expression, k: Int, window: Int) extends UnaryExpression {
+case class Winnow(child: Expression, k: Int, window: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override protected def nullSafeEval(input: Any): Any =
     HashUtil.winnow(input.asInstanceOf[UTF8String], k, window)
@@ -379,14 +398,25 @@ case class DotProduct(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
   override def dataType: DataType = DoubleType
 
-  private def elemCode(e: Expression, side: String): Int = e.dataType match {
-    case ArrayType(DoubleType, _) => HashUtil.ElemDouble
-    case ArrayType(FloatType, _) => HashUtil.ElemFloat
-    case ArrayType(LongType, _) => HashUtil.ElemLong
-    case ArrayType(IntegerType, _) => HashUtil.ElemInt
-    case other => throw new IllegalArgumentException(
-      s"graft_dot: $side argument must be an array of double/float/long/int, got $other")
+  // Type dispatch doubles as the analysis-time check: reject non-numeric
+  // arrays before execution instead of throwing from eval/codegen.
+  override def checkInputDataTypes(): TypeCheckResult =
+    Seq("left" -> left, "right" -> right).collectFirst {
+      case (side, e) if elemCodeOpt(e).isEmpty => TypeCheckResult.TypeCheckFailure(
+        s"graft_dot $side argument must be an array of double/float/long/int, got ${e.dataType.sql}")
+    }.getOrElse(TypeCheckResult.TypeCheckSuccess)
+
+  private def elemCodeOpt(e: Expression): Option[Int] = e.dataType match {
+    case ArrayType(DoubleType, _) => Some(HashUtil.ElemDouble)
+    case ArrayType(FloatType, _) => Some(HashUtil.ElemFloat)
+    case ArrayType(LongType, _) => Some(HashUtil.ElemLong)
+    case ArrayType(IntegerType, _) => Some(HashUtil.ElemInt)
+    case _ => None
   }
+
+  private def elemCode(e: Expression, side: String): Int =
+    elemCodeOpt(e).getOrElse(throw new IllegalStateException(
+      s"graft_dot: unchecked $side input type ${e.dataType.sql}"))
 
   override protected def nullSafeEval(a: Any, b: Any): Any =
     HashUtil.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],

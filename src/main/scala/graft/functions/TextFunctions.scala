@@ -92,7 +92,10 @@ object TextFunctions {
     * salt concats were ~5× slower.
     */
   def minHashSignature(elems: Column, numHashes: Int): Column =
-    when(size(elems) > 0,
+    // guard on NON-NULL elements: an all-null array would otherwise yield
+    // a Long.MaxValue-sentinel signature that LSH banding hashes into a
+    // real bucket, colliding every featureless doc into one candidate set
+    when(size(filter(elems, e => e.isNotNull)) > 0,
       graft.functions.HashFunctions.minhash64(elems, numHashes))
 
   /** LSH band keys from a minhash signature: hash of each band of `rowsPerBand`

@@ -184,6 +184,8 @@ object Dedup {
   def nearDupRepresentatives(pairs: DataFrame, iterations: Int = 3): DataFrame = {
     val edges = pairs.select(col("id_a"), col("id_b"))
       .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      // referenced twice per iteration — materialize once
+      .localCheckpoint(false)
     var labels = edges.select(col("id_a").as("id")).distinct()
       .withColumn("rep", col("id"))
     (0 until iterations).foreach { _ =>
@@ -194,6 +196,12 @@ object Dedup {
         .groupBy(col("l.id").as("id"))
         .agg(least(min(col("l.rep")), coalesce(min(col("n.nrep")),
           min(col("l.rep")))).as("rep"))
+        // each iteration references the previous labels TWICE, so without
+        // a cut the logical plan doubles per pass — analysis/optimization
+        // blows up exponentially in `iterations`. A lazy localCheckpoint
+        // truncates lineage to a materialized-on-first-use RDD: plan depth
+        // stays constant and raising `iterations` is safe.
+        .localCheckpoint(false)
     }
     labels
   }

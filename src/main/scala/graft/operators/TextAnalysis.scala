@@ -78,7 +78,11 @@ object TextAnalysis {
     val staged = df.select(col(idCol), tokens(col(textCol)).as("__toks"))
       .select(col(idCol), col("__toks"), docBigramsOf(col("__toks")).as("__bg"))
     val (lang, score) = langIdColumns(col("__toks"), col("__bg"))
-    staged.select(col(idCol), lang.as("predicted_lang"), round(score, 4).as("lang_score"))
+    // Raw (unrounded) score: per-row double arithmetic is bit-deterministic
+    // and DuckDB reproduces it exactly, whereas Spark's round() goes through
+    // BigDecimal.valueOf (shortest-decimal repr) and disagrees with DuckDB's
+    // true-binary-value rounding on boundary values like 0.05624999…
+    staged.select(col(idCol), lang.as("predicted_lang"), score.as("lang_score"))
   }
 
   /** Per-document token/char statistics (oracle-expressible). */

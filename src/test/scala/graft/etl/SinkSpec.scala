@@ -61,6 +61,32 @@ class SinkSpec extends AnyFunSuite {
     assert(orc.read(spark).collect().map(_.getString(1)).sorted.toSeq == Seq("a", "b"))
   }
 
+  test("document-store sink: full truncate/insert/count protocol") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-docstore")
+    val sink = new DocumentStoreSink(dir.resolve("donnees_horaires").toString)
+    // protocol verbs individually (the etl_meteo.py:182-218 sequence)
+    sink.ping()
+    assert(sink.countDocuments(spark) == 0L)           // empty collection
+    assert(sink.insertMany(Seq((1L, "a"), (2L, "b")).toDF("k", "v")) == 2L)
+    assert(sink.insertMany(Seq((3L, "c")).toDF("k", "v")) == 1L) // append batch
+    assert(sink.countDocuments(spark) == 3L)
+    assert(sink.deleteMany(spark) == 3L)               // delete_many({})
+    assert(sink.countDocuments(spark) == 0L)
+    // overwrite() = ping -> truncate -> insert -> count-reconcile
+    val df = Seq((1L, "x"), (2L, "y")).toDF("k", "v")
+    assert(sink.overwrite(df) == 2L)
+    assert(sink.overwrite(df) == 2L)                   // idempotent, not append
+    assert(sink.read(spark).collect().map(_.getString(1)).sorted.toSeq == Seq("x", "y"))
+  }
+
+  test("document-store sink: unreachable storage raises the typed connection failure") {
+    val sink = new DocumentStoreSink("/nonexistent-root-dir/sub/collection")
+    intercept[SinkConnectionFailure] { sink.ping() }
+    intercept[SinkConnectionFailure] {
+      sink.overwrite(Seq((1L, "a")).toDF("k", "v"))
+    }
+  }
+
   test("xml source round-trips (Spark 4 built-in XML)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-xml")
     val df = Seq((1L, "alpha"), (2L, "beta")).toDF("k", "v")

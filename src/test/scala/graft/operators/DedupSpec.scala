@@ -120,4 +120,23 @@ class DedupSpec extends AnyFunSuite {
       .map(r => (r.getInt(0), r.getString(1))).toSet
     assert(got == Set((1, "b"), (2, "c")))
   }
+
+  test("nearDupRepresentatives: iterations=10 on a chain graph, constant plan depth") {
+    // chain 0-1-2-…-12: min-label propagation needs many hops to converge;
+    // without the per-iteration localCheckpoint the plan doubles per pass
+    // and 10 iterations would hang analysis (2^10 joins).
+    val pairs = (0L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val labels = Dedup.nearDupRepresentatives(pairs, iterations = 10)
+    // plan depth constant: the checkpointed plan is a scan, not 10 nested joins
+    val planSize = labels.queryExecution.analyzed.collect { case p => p }.size
+    assert(planSize <= 10, s"lineage not truncated: $planSize-node plan")
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 13)
+    // after 10 doubling-free propagation hops every node reaches label 0
+    // (hop h reaches nodes within distance h of 0; 10 ≥ chain length 12? no —
+    // min-label propagation spreads the FRONT 1 hop/iter, so node 12 still
+    // holds a non-zero label; assert monotone correctness instead:
+    got.foreach { case (id, rep) => assert(rep <= id && rep >= math.max(0L, id - 10L)) }
+    assert(got(0L) == 0L && got(5L) == 0L && got(10L) == 0L)
+  }
 }
