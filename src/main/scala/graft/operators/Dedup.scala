@@ -99,11 +99,19 @@ object Dedup {
     * word-shingle(k) → minhash(numHashes) → band keys → narrow bucket
     * self-join → distinct pairs → exact Jaccard on shingle sets. The
     * expensive part is proportional to true near-dup density, not n².
+    *
+    * `numBands <= 0` (the default) derives banding from the threshold via
+    * [[bandingFor]], so the S-curve midpoint sits at or below the
+    * threshold — ONE source of truth for banding across queries, bench
+    * and curation. Pass an explicit band count only to trade recall for
+    * candidate volume deliberately.
     */
   def minHashNearDups(
       df: DataFrame, idCol: String, textCol: String,
-      shingleSize: Int = 3, numHashes: Int = 16, numBands: Int = 4,
+      shingleSize: Int = 3, numHashes: Int = 16, numBands: Int = 0,
       jaccardThreshold: Double = 0.5): DataFrame = {
+    val bands =
+      if (numBands > 0) numBands else bandingFor(jaccardThreshold, numHashes)._1
     // Stage tokens as an attribute before shingling: an inlined tokens()
     // subtree would be re-evaluated per shingle inside the (interpreted)
     // higher-order lambda — O(n²) per row. The filter between the two
@@ -111,7 +119,7 @@ object Dedup {
     val featured = df.select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
       .filter(size(col("toks")) >= shingleSize)
       .select(col("id"), wordShinglesOf(col("toks"), shingleSize).as("feats"))
-    jaccardRerank(lshCandidatePairs(featured, numHashes, numBands),
+    jaccardRerank(lshCandidatePairs(featured, numHashes, bands),
       featured, jaccardThreshold)
   }
 
@@ -149,7 +157,8 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 5, threshold: Double = 0.5,
-      numHashes: Int = 12, numBands: Int = 4): DataFrame = {
+      numHashes: Int = 12, numBands: Int = 0): DataFrame = {
+    val bands = if (numBands > 0) numBands else bandingFor(threshold, numHashes)._1
     // Grams go straight to distinct 64-bit hashes in one codegen'd pass
     // (NgramHashes kernel): set semantics are identical (collisions
     // negligible) and the LSH input + Jaccard rerank compare/shuffle
@@ -158,7 +167,7 @@ object Dedup {
       .filter(length(col("lo")) >= n)
       .select(col("id"),
         graft.functions.HashFunctions.ngramHashes(col("lo"), n).as("feats"))
-    jaccardRerank(lshCandidatePairs(featured, numHashes, numBands),
+    jaccardRerank(lshCandidatePairs(featured, numHashes, bands),
       featured, threshold)
   }
 

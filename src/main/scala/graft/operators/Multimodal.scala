@@ -7,12 +7,14 @@ import org.apache.spark.sql.types._
 /** Multimodal columns: image/audio/video handled as opaque `binary`
   * columns with typed metadata, processed in partition-sized batches.
   *
-  * STUB NOTICE: this container ships no image/audio codecs, so the actual
-  * byte→pixels/samples decode is a clearly-marked deterministic fake
-  * ([[StubCodecs]]). Everything around it — the schema, the
-  * `mapPartitions` batch shape (the Scala analog of `mapInPandas`), the
-  * partitioning and the downstream feature plumbing — is real and tested,
-  * so swapping in a real codec is a one-function change.
+  * IMAGES are decoded for REAL via the JDK's javax.imageio
+  * ([[JdkImageCodec]]: PNG/JPEG/GIF/BMP decode, pixel-luma features,
+  * bilinear resize) — no external libs needed. Payloads that don't decode
+  * fall back per-row to the deterministic fake ([[StubCodecs]]), which
+  * also stands in for AUDIO/VIDEO codecs (absent from the JDK/container).
+  * Everything else — the schema, the `mapPartitions` batch shape (the
+  * Scala analog of `mapInPandas`), the partitioning and the downstream
+  * feature plumbing — is shared between both paths and tested.
   *
   * Scale notes: media rows are big; the ops below never shuffle the binary
   * payload (feature extraction is a narrow map; frame sampling explodes
@@ -79,6 +81,63 @@ object Multimodal {
     }
   }
 
+  /** REAL image codec on the JDK's javax.imageio — no external libs.
+    * Decodes PNG/JPEG/GIF/BMP to pixels, extracts pixel-derived features,
+    * and resizes via Graphics2D bilinear + PNG re-encode (deterministic:
+    * the PNG encoder writes no timestamps). Returns None when the bytes
+    * are not a decodable image so callers can fall back to [[StubCodecs]]
+    * — that makes the real codec safe as the DEFAULT even on corpora
+    * where only some payloads are images.
+    */
+  object JdkImageCodec {
+    private def decode(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
+      if (bytes.isEmpty) None
+      else try {
+        Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+      } catch { case _: java.io.IOException => None }
+
+    /** Pixel features: dim-bucket luma histogram, normalized by pixel
+      * count — a real decode→grayscale→histogram pipeline (the place a
+      * model embedding would slot in).
+      */
+    def imageFeatures(bytes: Array[Byte], dim: Int): Option[Array[Float]] =
+      decode(bytes).map { img =>
+        val out = new Array[Float](dim)
+        val (w, h) = (img.getWidth, img.getHeight)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            // integer BT.601-ish luma in [0, 255]
+            val luma = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+              (rgb & 0xff) * 114) / 1000
+            out(luma * dim / 256) += 1.0f
+            x += 1
+          }
+          y += 1
+        }
+        val n = math.max(w * h, 1).toFloat
+        out.map(_ / n)
+      }
+
+    /** Real resize: bilinear scale to (targetW, targetH), re-encoded PNG. */
+    def resize(bytes: Array[Byte], targetW: Int, targetH: Int): Option[Array[Byte]] =
+      decode(bytes).map { img =>
+        val dst = new java.awt.image.BufferedImage(
+          targetW, targetH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = dst.createGraphics()
+        try {
+          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, targetW, targetH, null)
+        } finally g.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(dst, "png", bos)
+        bos.toByteArray
+      }
+  }
+
   private def featureSchema(dim: Int): StructType = StructType(Seq(
     StructField("media_id", LongType),
     StructField("features", ArrayType(FloatType, containsNull = false)),
@@ -89,29 +148,43 @@ object Multimodal {
     * iterator shape is what keeps memory at one in-flight row while letting
     * a real codec amortize model/context setup per PARTITION, not per row).
     */
-  def imageFeatures(media: DataFrame, dim: Int = 64): DataFrame = {
+  /** `useJdkCodec = true` (the default) tries the REAL javax.imageio
+    * decode first and falls back to the stub per row when the payload is
+    * not a decodable image, so mixed corpora — and the text-bytes test
+    * media — keep working unchanged.
+    */
+  def imageFeatures(media: DataFrame, dim: Int = 64,
+      useJdkCodec: Boolean = true): DataFrame = {
     val schema = featureSchema(dim)
     val enc = org.apache.spark.sql.Encoders.row(schema)
     media.select("media_id", "content").mapPartitions { rows =>
-      // per-partition setup would go here (codec/model init — stubbed)
+      // per-partition setup would go here (codec/model init)
       rows.map { r =>
         val bytes = Option(r.getAs[Array[Byte]]("content")).getOrElse(Array.emptyByteArray)
-        Row(r.getAs[Long]("media_id"),
-          StubCodecs.imageFeatures(bytes, dim).toSeq,
-          bytes.length.toLong)
+        val feats =
+          (if (useJdkCodec) JdkImageCodec.imageFeatures(bytes, dim) else None)
+            .getOrElse(StubCodecs.imageFeatures(bytes, dim))
+        Row(r.getAs[Long]("media_id"), feats.toSeq, bytes.length.toLong)
       }
     }(enc)
   }
 
-  /** Resize plumbing: narrow map on the payload, metadata updated in step. */
-  def resize(media: DataFrame, targetW: Int, targetH: Int): DataFrame = {
+  /** Resize plumbing: narrow map on the payload, metadata updated in step.
+    * Real bilinear resize (PNG-re-encoded) when the payload decodes;
+    * stub downsample otherwise.
+    */
+  def resize(media: DataFrame, targetW: Int, targetH: Int,
+      useJdkCodec: Boolean = true): DataFrame = {
     val enc = org.apache.spark.sql.Encoders.row(mediaSchema)
     media.mapPartitions { rows =>
       rows.map { r =>
         val bytes = Option(r.getAs[Array[Byte]]("content")).getOrElse(Array.emptyByteArray)
         val meta = r.getAs[Row]("meta")
+        val resized =
+          (if (useJdkCodec) JdkImageCodec.resize(bytes, targetW, targetH) else None)
+            .getOrElse(StubCodecs.resize(bytes, targetW, targetH))
         Row(r.getAs[Long]("media_id"),
-          StubCodecs.resize(bytes, targetW, targetH),
+          resized,
           Row(if (meta == null) null else meta.getAs[String]("mime"),
             targetW, targetH,
             if (meta == null) null else meta.getAs[Any]("duration_ms"),

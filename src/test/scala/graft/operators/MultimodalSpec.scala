@@ -79,4 +79,61 @@ class MultimodalSpec extends AnyFunSuite {
     val arr = e.getSeq[Float](1)
     assert(arr.length == 8 && arr.forall(_ >= 0))
   }
+
+  /** Encode a solid-color PNG fixture with javax.imageio. */
+  private def pngBytes(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("real JDK codec: PNG features are pixel-derived, not byte-derived") {
+    import spark.implicits._
+    val white = pngBytes(8, 6, 0xffffff)
+    val black = pngBytes(8, 6, 0x000000)
+    val media = Seq((1L, white), (2L, black)).toDF("media_id", "content")
+    val dim = 16
+    val feats = Multimodal.imageFeatures(media, dim).orderBy("media_id")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    // all-white pixels → all mass in the TOP luma bucket; black → bottom.
+    assert(feats(1L).last == 1.0f && feats(1L).take(dim - 1).forall(_ == 0.0f), feats(1L))
+    assert(feats(2L).head == 1.0f && feats(2L).drop(1).forall(_ == 0.0f), feats(2L))
+    // the stub (byte histogram of the compressed PNG) would NOT concentrate
+    // mass in one bucket — prove the real decoder ran, not the fallback
+    val stub = Multimodal.StubCodecs.imageFeatures(white, dim)
+    assert(stub.count(_ > 0.0f) > 1)
+  }
+
+  test("real JDK codec: resize produces a decodable PNG at the target dims") {
+    import spark.implicits._
+    val media = Seq((1L, pngBytes(32, 24, 0x3366cc))).toDF("media_id", "content")
+      .select(col("media_id"), col("content"),
+        org.apache.spark.sql.functions.struct(
+          org.apache.spark.sql.functions.lit("image/png").as("mime"),
+          org.apache.spark.sql.functions.lit(32).as("width"),
+          org.apache.spark.sql.functions.lit(24).as("height"),
+          org.apache.spark.sql.functions.lit(null).cast("long").as("duration_ms"),
+          org.apache.spark.sql.functions.lit(null).cast("int").as("sample_rate")).as("meta"))
+    val out = Multimodal.resize(media, targetW = 8, targetH = 6).head()
+    val bytes = out.getAs[Array[Byte]]("content")
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(img != null && img.getWidth == 8 && img.getHeight == 6)
+    // solid color survives bilinear resampling
+    assert((img.getRGB(4, 3) & 0xffffff) == 0x3366cc)
+    val meta = out.getAs[org.apache.spark.sql.Row]("meta")
+    assert(meta.getAs[Int]("width") == 8 && meta.getAs[Int]("height") == 6)
+  }
+
+  test("non-image payloads fall back to the deterministic stub") {
+    import spark.implicits._
+    val junk = "not an image at all".getBytes("UTF-8")
+    val media = Seq((1L, junk)).toDF("media_id", "content")
+    val real = Multimodal.imageFeatures(media, dim = 8).head().getSeq[Float](1)
+    val viaStub = Multimodal.imageFeatures(media, dim = 8, useJdkCodec = false)
+      .head().getSeq[Float](1)
+    assert(real == viaStub) // decode failed → identical stub output
+  }
 }
