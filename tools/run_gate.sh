@@ -1,6 +1,8 @@
 #!/usr/bin/env bash
 # Full local gate: tests + verify-vs-DuckDB at the given SF (default the
-# driver's sf0.01) + bench. Mirrors what the round driver runs.
+# driver's sf0.01) + rows-only determinism double-run + bench. Mirrors
+# what the round driver runs, plus the determinism insurance the driver
+# cannot give rows-only queries.
 set -euo pipefail
 cd "$(dirname "$0")/.."
 SF="${1:-sf0.01}"
@@ -8,5 +10,9 @@ sbt -batch test
 env SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-8}" \
   sbt -batch "runMain graft.Verify /root/testdata/$SF /tmp/gate_$SF"
 python3 tools/check_correctness.py "/tmp/gate_$SF" "/root/testdata/$SF"
+# second independent run: rows-only queries must be bit-stable run-to-run
+env SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-8}" \
+  sbt -batch "runMain graft.Verify /root/testdata/$SF /tmp/gate_${SF}_b"
+PYTHONPATH=tools python3 tools/check_determinism.py "/tmp/gate_$SF" "/tmp/gate_${SF}_b"
 env SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" \
   sbt -batch "runMain graft.Bench" | { grep metric || true; }
