@@ -117,4 +117,49 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
+
+  /** Banded (OR-construction) hyperplane LSH top-k — the recall fix for
+    * LOW-cosine neighbors, where a single signature cannot work: at
+    * cosine 0.4 two vectors agree per plane with p ≈ 0.63, so one 8-bit
+    * signature collides with P ≈ p^8 ≈ 2% (recall ~0.1 even with
+    * hamming-1 multiprobe — measured), while ANY of 16 independent 4-bit
+    * bands collides with P = 1-(1-p^4)^16 ≈ 0.93 (MMDS ch.3 banding, same
+    * construction as MinHash LSH).
+    *
+    * Candidates form NARROW — the per-band join carries only
+    * (band-key, id); vectors join back for the exact rerank on the few
+    * surviving distinct pairs. Each corpus row emits `numBands` 8-byte
+    * keys (no payload replication), so the shuffle is bands × 16 B/row.
+    * numBands × planesPerBand ≤ 63 (one packed non-negative signature).
+    */
+  def bandedLshTopK(corpus: DataFrame, probes: DataFrame, k: Int,
+      numBands: Int = 15, planesPerBand: Int = 4, dim: Int = 64,
+      seed: Long = 42L): DataFrame = {
+    require(numBands * planesPerBand <= 63,
+      "banded signature packs into 63 bits (hyperplaneSignature cap)")
+    val planes = randomHyperplanes(numBands * planesPerBand, dim, seed)
+    val mask = (1L << planesPerBand) - 1
+    def bandKeys(df: DataFrame, idOut: String, vecOut: String, nrmOut: String) =
+      withNorm(df, idOut, vecOut, nrmOut)
+        .withColumn("sig", hyperplaneSignature(col(vecOut), planes))
+        .select(col(idOut), explode(array((0 until numBands).map { b =>
+          struct(lit(b).as("band"),
+            shiftrightunsigned(col("sig"), b * planesPerBand)
+              .bitwiseAND(lit(mask)).as("key"))
+        }: _*)).as("bk"))
+    val cand = bandKeys(corpus, "corpus_id", "c_vec", "c_nrm")
+      .join(bandKeys(probes, "probe_id", "p_vec", "p_nrm"), Seq("bk"))
+      .filter(col("corpus_id") =!= col("probe_id"))
+      .select("probe_id", "corpus_id").distinct()
+    val c = withNorm(corpus, "corpus_id", "c_vec", "c_nrm")
+    val p = withNorm(probes, "probe_id", "p_vec", "p_nrm")
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cosine").desc, col("corpus_id"))
+    cand.join(c, "corpus_id").join(p, "probe_id")
+      .withColumn("cosine",
+        pairCosine(col("c_vec"), col("p_vec"), col("c_nrm"), col("p_nrm")))
+      .select(col("probe_id"), col("corpus_id"), col("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
 }

@@ -52,4 +52,15 @@ class SimilaritySpec extends AnyFunSuite {
     val recall = (exact intersect approx).size.toDouble / exact.size
     assert(recall >= 0.4, s"LSH recall too low: $recall") // multi-probe, 6 planes
   }
+
+  test("banded LSH top-k: high recall where the single signature fails") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val probes = emb.filter($"vec_id" < 5)
+    val exact = Similarity.bruteForceTopK(emb, probes, k = 10)
+      .collect().map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("corpus_id"))).toSet
+    val banded = Similarity.bandedLshTopK(emb, probes, k = 10)
+      .collect().map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("corpus_id"))).toSet
+    val recall = (exact intersect banded).size.toDouble / exact.size
+    assert(recall >= 0.8, s"banded LSH recall too low: $recall") // measured 0.94
+  }
 }
