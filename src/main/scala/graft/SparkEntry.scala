@@ -1010,7 +1010,7 @@ object SparkEntry {
 
     "q22_json_extract" ->
       """SELECT k % 10 AS k_bucket, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k
-        |FROM (SELECT TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k FROM events)
+        |FROM (SELECT TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
         |GROUP BY 1""".stripMargin,
 
     "q23_dedup_exact" ->

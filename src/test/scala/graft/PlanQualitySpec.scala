@@ -46,6 +46,30 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("ReadSchema: struct<text:string>"), "reads more than the text column")
   }
 
+  test("q34 banded LSH: no cartesian/BNLJ — candidates form on the band-key equi-join") {
+    val p = plan("q34_lsh_topk")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(600))
+  }
+
+  test("q52 IVF probe prunes cell partitions at the scan") {
+    val p = plan("q52_ivf_topk")
+    assert(p.contains("PartitionFilters") && p.contains("cell#"), p.take(600))
+    assert(!p.contains("CartesianProduct"), "IVF probe degenerated to cross product")
+  }
+
+  test("q59 resample: no cartesian grid explosion, single window pass for LOCF") {
+    val p = plan("q59_resample_locf")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(600))
+  }
+
+  test("q62 curation: gates evaluate in one narrow pass before the dedup shuffle") {
+    val p = plan("q62_curation")
+    // one aggregate shuffle (exact dedup) — the lang/quality gates must not
+    // add their own exchanges
+    assert("Exchange".r.findAllIn(p).size <= 2, p.take(600))
+    assert(!p.toLowerCase.contains("batchevalpython") && !p.contains("ScalaUDF"))
+  }
+
   test("weather transform is one narrow codegen stage (no shuffle, no UDF)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-plan-csv")
     val content = "Time;Temperature;Humidity;Pressure;Speed;Precip. Accum.\n" +
