@@ -29,6 +29,9 @@ object RecallDebug {
         .groupBy("probe_id").agg(sum(coalesce(col("hit"), lit(0))).as("hits"))
         .orderBy("probe_id").collect()
       println(s"[recall] $sf banded: " + hits3.map(r => s"${r.get(0)}:${r.get(1)}").mkString(" "))
+      val pairs = graft.operators.Dedup.embeddingNearDups(emb, threshold = 0.3)
+        .count()
+      println(s"[recall] $sf banded-pairs(tau=0.3): $pairs")
     }
     spark.stop()
   }

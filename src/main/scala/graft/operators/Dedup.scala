@@ -171,16 +171,19 @@ object Dedup {
       featured, threshold)
   }
 
-  /** Embedding-cosine near-duplicate pairs: candidates from hyperplane-LSH
-    * buckets (multi-probe), exact cosine rerank at `threshold`. The LSH
-    * bucketing bounds the pair space like the MinHash path bounds text
-    * pairs — never O(n²).
+  /** Embedding-cosine near-duplicate pairs: candidates from BANDED
+    * hyperplane-LSH buckets (OR-construction), exact cosine rerank at
+    * `threshold`. The single-signature version recalled ~0.17 of true
+    * pairs at τ = 0.3 on this corpus; 15×4-bit bands recall ~0.87
+    * (candidate probability 1-(1-p^4)^15 at per-plane agreement p).
+    * Banding bounds the pair space like the MinHash path bounds text
+    * pairs — candidates scale with bucket co-occupancy, not n².
     */
   def embeddingNearDups(corpus: DataFrame, threshold: Double,
-      numPlanes: Int = 8, dim: Int = 64, seed: Long = 42L): DataFrame =
-    Similarity.lshScoredPairs(corpus, corpus, numPlanes, dim, seed)
-      .filter(col("probe_id") < col("corpus_id") && col("cosine") >= threshold)
-      .select(col("probe_id").as("id_a"), col("corpus_id").as("id_b"), col("cosine"))
+      numBands: Int = 15, planesPerBand: Int = 4, dim: Int = 64,
+      seed: Long = 42L): DataFrame =
+    Similarity.bandedScoredPairs(corpus, numBands, planesPerBand, dim, seed)
+      .filter(col("cosine") >= threshold)
 
   /** Representative assignment for near-dup groups: iterate min-id label
     * propagation over the pair graph to (approximate) fixpoint — each id

@@ -132,23 +132,30 @@ object Similarity {
     * keys (no payload replication), so the shuffle is bands × 16 B/row.
     * numBands × planesPerBand ≤ 63 (one packed non-negative signature).
     */
-  def bandedLshTopK(corpus: DataFrame, probes: DataFrame, k: Int,
-      numBands: Int = 15, planesPerBand: Int = 4, dim: Int = 64,
-      seed: Long = 42L): DataFrame = {
+  /** Banded (band, key) rows for each id: one packed signature, sliced
+    * into `numBands` keys of `planesPerBand` bits. The narrow currency of
+    * every banded-LSH join here.
+    */
+  private def bandKeys(df: DataFrame, idOut: String,
+      numBands: Int, planesPerBand: Int, dim: Int, seed: Long): DataFrame = {
     require(numBands * planesPerBand <= 63,
       "banded signature packs into 63 bits (hyperplaneSignature cap)")
     val planes = randomHyperplanes(numBands * planesPerBand, dim, seed)
     val mask = (1L << planesPerBand) - 1
-    def bandKeys(df: DataFrame, idOut: String, vecOut: String, nrmOut: String) =
-      withNorm(df, idOut, vecOut, nrmOut)
-        .withColumn("sig", hyperplaneSignature(col(vecOut), planes))
-        .select(col(idOut), explode(array((0 until numBands).map { b =>
-          struct(lit(b).as("band"),
-            shiftrightunsigned(col("sig"), b * planesPerBand)
-              .bitwiseAND(lit(mask)).as("key"))
-        }: _*)).as("bk"))
-    val cand = bandKeys(corpus, "corpus_id", "c_vec", "c_nrm")
-      .join(bandKeys(probes, "probe_id", "p_vec", "p_nrm"), Seq("bk"))
+    withNorm(df, idOut, "__vec", "__nrm")
+      .withColumn("sig", hyperplaneSignature(col("__vec"), planes))
+      .select(col(idOut), explode(array((0 until numBands).map { b =>
+        struct(lit(b).as("band"),
+          shiftrightunsigned(col("sig"), b * planesPerBand)
+            .bitwiseAND(lit(mask)).as("key"))
+      }: _*)).as("bk"))
+  }
+
+  def bandedLshTopK(corpus: DataFrame, probes: DataFrame, k: Int,
+      numBands: Int = 15, planesPerBand: Int = 4, dim: Int = 64,
+      seed: Long = 42L): DataFrame = {
+    val cand = bandKeys(corpus, "corpus_id", numBands, planesPerBand, dim, seed)
+      .join(bandKeys(probes, "probe_id", numBands, planesPerBand, dim, seed), Seq("bk"))
       .filter(col("corpus_id") =!= col("probe_id"))
       .select("probe_id", "corpus_id").distinct()
     val c = withNorm(corpus, "corpus_id", "c_vec", "c_nrm")
@@ -161,5 +168,26 @@ object Similarity {
       .select(col("probe_id"), col("corpus_id"), col("cosine"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
+  }
+
+  /** Banded self-join pairs with exact cosine rerank: (id_a < id_b,
+    * cosine). Same OR-construction recall as [[bandedLshTopK]] — at
+    * cosine τ with per-plane agreement p = 1 - θ/π, a pair is a
+    * candidate with 1-(1-p^r)^b (≈ 0.87 at τ = 0.3 with 15×4). The band
+    * join carries only (band-key, id); vectors join back for the rerank.
+    */
+  private[operators] def bandedScoredPairs(corpus: DataFrame,
+      numBands: Int = 15, planesPerBand: Int = 4, dim: Int = 64,
+      seed: Long = 42L): DataFrame = {
+    val keyed = bandKeys(corpus, "id", numBands, planesPerBand, dim, seed)
+    val cand = keyed.as("a").join(keyed.as("b"),
+        col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+    val v = withNorm(corpus, "id", "vec", "nrm")
+    cand
+      .join(v.select(col("id").as("id_a"), col("vec").as("va"), col("nrm").as("na")), "id_a")
+      .join(v.select(col("id").as("id_b"), col("vec").as("vb"), col("nrm").as("nb")), "id_b")
+      .withColumn("cosine", pairCosine(col("va"), col("vb"), col("na"), col("nb")))
+      .select(col("id_a"), col("id_b"), col("cosine"))
   }
 }
