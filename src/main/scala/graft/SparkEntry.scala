@@ -1101,6 +1101,24 @@ object SparkEntry {
          |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.sh, b.sh)) <= 3""".stripMargin,
 
+    // The stub codec's byte-histogram features are normalized counts, so
+    // their sum is exactly 1.0 (0.0 for empty payloads) — with n_bytes
+    // that fully pins q44's output (text-bytes media never decode as
+    // images, so the JDK-codec fallback path is the stub by construction).
+    "q44_multimodal_features" ->
+      """SELECT doc_id AS media_id,
+        | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        | CASE WHEN octet_length(encode(text)) > 0 THEN 1.0 ELSE 0.0 END AS feat_sum
+        |FROM documents""".stripMargin,
+
+    // KMV sketch: bottom-16 SIGNED FNV hashes of the distinct custkey
+    // strings per group — deterministic, so replayable exactly in SQL.
+    "q68_bottomk_sketch" ->
+      s"""WITH h AS (SELECT DISTINCT o_orderstatus, o_custkey::VARCHAR AS custkey FROM orders),
+         |f AS (SELECT o_orderstatus, custkey, ${toI64Sql(fnvSql("custkey"))} AS hash FROM h),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY o_orderstatus ORDER BY hash) AS rn FROM f)
+         |SELECT o_orderstatus, hash, custkey FROM r WHERE rn <= 16""".stripMargin,
+
     // Winnowing is exact+deterministic (no LSH), so the all-pairs
     // fingerprint-set intersection is a true oracle, not recall-dependent.
     "q58_winnow_neardups" ->
