@@ -758,6 +758,23 @@ object SparkEntry {
       recallContract(
         graft.operators.IvfIndex.topK(emb, probes, model, k = 10, nprobe = 4),
         Similarity.bruteForceTopK(emb, probes, k = 10), minHits = 3)
+    }),
+
+    // Pair-level recall contract for the banded embedding near-dup path
+    // (q53's candidate generator): fraction of exact cosine>=0.3 pairs
+    // captured must be >= 0.8 (measured 0.885-0.889 at every SF; theory
+    // 1-(1-p^4)^15 ~ 0.87 at tau=0.3). The exact side is the labeled
+    // oracle-scale theta-join (same as q31); the oracle pins its count.
+    "q76_embed_dedup_recall" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val exact = Similarity.thresholdPairs(emb, 0.3).select("id_a", "id_b")
+      val approx = graft.operators.Dedup.embeddingNearDups(emb, threshold = 0.3)
+        .select("id_a", "id_b").withColumn("hit", lit(1))
+      exact.join(approx, Seq("id_a", "id_b"), "left")
+        .agg(count(lit(1)).as("exact_pairs"),
+          sum(coalesce(col("hit"), lit(0))).as("found"))
+        .select(col("exact_pairs"),
+          (col("found") >= col("exact_pairs") * 0.8).as("recall_ok"))
     }))
 
   /** Per-probe recall of an approximate top-k against the exact top-k:
@@ -1137,6 +1154,11 @@ object SparkEntry {
     "q75_ivf_recall" ->
       """SELECT vec_id AS probe_id, CAST(10 AS BIGINT) AS k, TRUE AS recall_ok
         |FROM embeddings WHERE vec_id < 5""".stripMargin,
+
+    "q76_embed_dedup_recall" ->
+      """SELECT count(*) AS exact_pairs, TRUE AS recall_ok
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.3""".stripMargin,
 
     "q33_approx_distinct" ->
       """SELECT count(DISTINCT l_partkey) AS exact_parts,

@@ -84,6 +84,28 @@ object StreamingOps {
         batch.write.mode("overwrite").parquet(path)
       }
 
+  /** Stream-stream inner join with an event-time range condition — the
+    * streaming analog of the as-of/range joins (q36/q37). Both sides are
+    * watermarked so Spark can bound the join state: a left row matches
+    * right rows with the same key whose timestamp lies within
+    * [left.ts - `lookback`, left.ts], and state for rows older than the
+    * watermark + lookback horizon is GC'd. Without BOTH the watermark and
+    * the time-range predicate the state would grow unboundedly — the
+    * canonical stream-stream join trap.
+    */
+  def streamStreamRangeJoin(left: DataFrame, right: DataFrame,
+      key: String, leftTs: String, rightTs: String,
+      lookback: String = "1 hour",
+      watermarkDelay: String = "2 hours"): DataFrame = {
+    val l = left.withWatermark(leftTs, watermarkDelay)
+    val r = right.withWatermark(rightTs, watermarkDelay)
+    l.join(r,
+      l(key) === r(key) &&
+        r(rightTs) >= l(leftTs) - expr(s"interval $lookback") &&
+        r(rightTs) <= l(leftTs),
+      "inner")
+  }
+
   /** Drive a memory-sink query synchronously over whatever is currently in
     * the source (local smoke harness; see spark_guide streaming section).
     */

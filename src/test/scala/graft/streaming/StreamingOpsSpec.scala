@@ -132,6 +132,37 @@ class StreamingOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream range join (watermarked, state-bounded) matches batch") {
+    val dir = eventsStreamDir()
+    def src = spark.readStream.schema(eventsSchema).parquet(dir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val left = src.select(col("event_id"), col("user_id"), col("ts"))
+    val right = src.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"), col("value"))
+    val joined = StreamingOps.streamStreamRangeJoin(
+      left, right, key = "user_id", leftTs = "ts", rightTs = "p_ts",
+      lookback = "1 hour")
+      .select(left("event_id"), col("value"))
+    val q = StreamingOps.runToMemory(joined, "ss_join")
+    try {
+      q.processAllAvailable()
+      val got = spark.sql(
+        "SELECT count(*), round(sum(CAST(value AS DECIMAL(18,6))), 6) FROM ss_join").head()
+      val ev = graft.Tables.events(spark, "/root/testdata/sf0.001")
+      val bl = ev.select(col("event_id"), col("user_id"), col("ts"))
+      val br = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("r_user"), col("ts").as("p_ts"), col("value"))
+      val batch = bl.join(br,
+        col("user_id") === col("r_user") &&
+          col("p_ts") >= col("ts") - expr("interval 1 hour") &&
+          col("p_ts") <= col("ts"))
+        .agg(count(lit(1)), round(sum(col("value").cast("decimal(18,6)")), 6)).head()
+      assert(got.getLong(0) == batch.getLong(0) && got.getLong(0) > 0,
+        s"streamed=${got.getLong(0)} batch=${batch.getLong(0)}")
+      assert(got.getDecimal(1) == batch.getDecimal(1))
+    } finally q.stop()
+  }
+
   test("streaming session_window aggregation with watermark matches batch sessions") {
     val dir = eventsStreamDir()
     val stream = spark.readStream.schema(eventsSchema).parquet(dir.toString)
