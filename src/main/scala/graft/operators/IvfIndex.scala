@@ -61,16 +61,18 @@ object IvfIndex {
     (0 until iterations).foreach { _ =>
       val m = Model(centroids)
       val assigned = base.withColumn("cell", nearestCell(col("v"), m))
-      val updated = assigned
+      // ONE shuffle per iteration: per-(cell,dim) means land as k×dim
+      // rows (tiny) and the centroid arrays assemble on the driver in dim
+      // order — bit-identical to the former second groupBy + array_sort
+      // pass, minus its shuffle and job.
+      val meanRows = assigned
         .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
         .groupBy("cell", "dim").agg(avg("x").as("mean"))
-        .groupBy("cell").agg(
-          array_sort(collect_list(struct(col("dim"), col("mean")))).as("dims"))
-        .select(col("cell"), transform(col("dims"), d => d.getField("mean")).as("centroid"))
         .collect()
-        .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      val byCell = meanRows.groupBy(_.getInt(0)).map { case (cell, rows) =>
+        cell -> rows.map(r => (r.getInt(1), r.getDouble(2))).sortBy(_._1).map(_._2)
+      }
       // keep old centroid for any cell that lost all members
-      val byCell = updated.toMap
       centroids = centroids.map { case (i, old) => (i, byCell.getOrElse(i, old)) }
     }
     base.unpersist()
