@@ -760,6 +760,30 @@ object SparkEntry {
         Similarity.bruteForceTopK(emb, probes, k = 10), minHits = 3)
     }),
 
+    // Gopher-style n-gram repetition ratios (pretraining quality signal)
+    "q77_repetition" -> ((s, d) =>
+      TextAnalysis.repetitionRatios(t(s, d, "documents"), "doc_id", "text")),
+
+    // Approx-percentile sketch contract (the 100 TB quantile path — exact
+    // percentile sorts/collects per group). The GK sketch guarantees rank
+    // error <= n/accuracy; the check counts actual rows below the approx
+    // median and bounds the rank deviation at 10x the guarantee (slop for
+    // value ties), so it holds regardless of sketch merge order. Exact
+    // medians are oracle-matched; the bound is oracle-pinned TRUE.
+    "q78_approx_percentile" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val agg = li.groupBy(col("l_returnflag")).agg(
+        count(lit(1)).as("n"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("exact_p50"),
+        expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("ap50"))
+      val below = li.join(agg.select(col("l_returnflag"), col("ap50")), "l_returnflag")
+        .groupBy(col("l_returnflag"))
+        .agg(sum(when(col("l_extendedprice") < col("ap50"), 1L).otherwise(0L)).as("rank_below"))
+      agg.join(below, "l_returnflag")
+        .select(col("l_returnflag"), col("exact_p50"),
+          (abs(col("rank_below") - col("n") * 0.5) <= col("n") * 0.01 + 1).as("rank_ok"))
+    }),
+
     // Pair-level recall contract for the banded embedding near-dup path
     // (q53's candidate generator): fraction of exact cosine>=0.3 pairs
     // captured must be >= 0.8 (measured 0.885-0.889 at every SF; theory
@@ -1159,6 +1183,26 @@ object SparkEntry {
       """SELECT count(*) AS exact_pairs, TRUE AS recall_ok
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.3""".stripMargin,
+
+    "q78_approx_percentile" ->
+      """SELECT l_returnflag,
+        | round(quantile_cont(l_extendedprice, 0.5), 4) AS exact_p50,
+        | TRUE AS rank_ok
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q77_repetition" ->
+      s"""WITH tk AS (SELECT doc_id, text, $tokensSql AS toks FROM documents)
+         |SELECT doc_id,
+         | CASE WHEN len(toks) >= 2 THEN 1.0 - len(list_distinct(list_transform(
+         |    generate_series(1, len(toks) - 1), i -> array_to_string(toks[i:i+1], ' '))))::DOUBLE
+         |    / (len(toks) - 1) ELSE 0.0 END AS rep_word2,
+         | CASE WHEN len(toks) >= 3 THEN 1.0 - len(list_distinct(list_transform(
+         |    generate_series(1, len(toks) - 2), i -> array_to_string(toks[i:i+2], ' '))))::DOUBLE
+         |    / (len(toks) - 2) ELSE 0.0 END AS rep_word3,
+         | CASE WHEN length(lower(text)) >= 5 THEN 1.0 - len(list_distinct(list_transform(
+         |    generate_series(1, length(lower(text)) - 4), i -> substring(lower(text), i, 5))))::DOUBLE
+         |    / (length(lower(text)) - 4) ELSE 0.0 END AS rep_char5
+         |FROM tk""".stripMargin,
 
     "q33_approx_distinct" ->
       """SELECT count(DISTINCT l_partkey) AS exact_parts,

@@ -111,6 +111,41 @@ object TextAnalysis {
   def qualityScores(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol), qualityScore(col(textCol)).as("quality_score"))
 
+  /** N-gram repetition ratio — the Gopher-rules quality signal for
+    * repetitive/boilerplate text: 1 - distinct-ngrams / total-ngrams,
+    * 0 for documents too short to form an n-gram. High values mean the
+    * document repeats itself (spam, templated text, decoding loops).
+    * Expects a STAGED token attribute (same interpreted-lambda note as
+    * the other token consumers).
+    */
+  def wordRepetitionRatio(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      lit(1.0) - size(graft.functions.TextFunctions.wordShinglesOf(toks, n))
+        .cast("double") / (size(toks) - (n - 1)))
+      .otherwise(lit(0.0))
+
+  /** Char-n-gram repetition over the lowercased text (byte grams via the
+    * one-pass NgramHashes kernel; 64-bit collisions negligible).
+    */
+  def charRepetitionRatio(text: Column, n: Int): Column = {
+    val lo = lower(text)
+    when(length(lo) >= n,
+      lit(1.0) - size(graft.functions.HashFunctions.ngramHashes(lo, n))
+        .cast("double") / (length(lo) - (n - 1)))
+      .otherwise(lit(0.0))
+  }
+
+  /** Per-document repetition report (word 2/3-grams + char 5-grams). */
+  def repetitionRatios(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val staged = df.select(col(idCol), col(textCol), tokens(col(textCol)).as("__toks"))
+      .filter(lit(true))
+    staged.select(
+      col(idCol),
+      wordRepetitionRatio(col("__toks"), 2).as("rep_word2"),
+      wordRepetitionRatio(col("__toks"), 3).as("rep_word3"),
+      charRepetitionRatio(col(textCol), 5).as("rep_char5"))
+  }
+
   /** Document fingerprints: whole-document FNV-1a and polynomial rolling
     * hash (both custom codegen'd Catalyst expressions).
     */

@@ -44,6 +44,20 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got == Map(1L -> "en", 2L -> "fr", 3L -> "de"))
   }
 
+  test("repetition ratios: looped text scores high, diverse text low, short text 0") {
+    val df = Seq(
+      (1L, "buy now buy now buy now buy now buy now buy now"),
+      (2L, "the quick brown fox jumps over one lazy sleeping dog today"),
+      (3L, "hi")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionRatios(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(got(1L)._1 > 0.7 && got(1L)._2 > 0.7, s"looped: ${got(1L)}")   // word 2/3-grams repeat
+    assert(got(2L)._1 == 0.0 && got(2L)._2 == 0.0, s"diverse: ${got(2L)}")
+    assert(got(3L) == ((0.0, 0.0, 0.0)), s"short: ${got(3L)}")            // below every n
+    assert(got(1L)._3 > got(2L)._3, "char-gram repetition should rank looped above diverse")
+  }
+
   test("quality score: clean prose > punctuation soup; empty -> 0") {
     val df = Seq(
       (1L, "the quick brown fox jumps over the lazy dog and runs to the river where it drinks in peace today"),
