@@ -9,12 +9,14 @@ import org.apache.spark.sql.types._
   *
   * IMAGES are decoded for REAL via the JDK's javax.imageio
   * ([[JdkImageCodec]]: PNG/JPEG/GIF/BMP decode, pixel-luma features,
-  * bilinear resize) — no external libs needed. Payloads that don't decode
-  * fall back per-row to the deterministic fake ([[StubCodecs]]), which
-  * also stands in for AUDIO/VIDEO codecs (absent from the JDK/container).
-  * Everything else — the schema, the `mapPartitions` batch shape (the
-  * Scala analog of `mapInPandas`), the partitioning and the downstream
-  * feature plumbing — is shared between both paths and tested.
+  * bilinear resize) and AUDIO via javax.sound.sampled
+  * ([[JdkAudioCodec]]: WAV/AIFF/AU PCM decode, per-window RMS) — no
+  * external libs needed. Payloads that don't decode fall back per-row to
+  * the deterministic fake ([[StubCodecs]]), which also stands in for
+  * VIDEO codecs (absent from the JDK/container). Everything else — the
+  * schema, the `mapPartitions` batch shape (the Scala analog of
+  * `mapInPandas`), the partitioning and the downstream feature plumbing —
+  * is shared between both paths and tested.
   *
   * Scale notes: media rows are big; the ops below never shuffle the binary
   * payload (feature extraction is a narrow map; frame sampling explodes
@@ -138,6 +140,63 @@ object Multimodal {
       }
   }
 
+  /** REAL audio codec on the JDK's javax.sound.sampled — WAV/AIFF/AU
+    * PCM decode with no external libs. Returns None for non-decodable
+    * payloads (MP3/OGG/arbitrary bytes) so callers fall back to the stub.
+    */
+  object JdkAudioCodec {
+    /** Per-window RMS energy over the decoded PCM samples (mono-mixed,
+      * normalized to [0,1] by the sample range) — the real form of the
+      * stub's byte-energy windows.
+      */
+    def audioEnergy(bytes: Array[Byte], windows: Int): Option[Array[Float]] =
+      if (bytes.isEmpty) None
+      else try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val fmt = in.getFormat
+          // normalize to 16-bit signed PCM (handles 8-bit/float encodings)
+          val target = new javax.sound.sampled.AudioFormat(
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+            fmt.getSampleRate, 16, fmt.getChannels,
+            2 * fmt.getChannels, fmt.getSampleRate, false)
+          val pcm = javax.sound.sampled.AudioSystem.getAudioInputStream(target, in)
+          val raw = pcm.readAllBytes()
+          val ch = target.getChannels
+          val nSamples = raw.length / 2 / ch
+          if (nSamples == 0) return Some(new Array[Float](windows))
+          val out = new Array[Float](windows)
+          val counts = new Array[Int](windows)
+          var i = 0
+          while (i < nSamples) {
+            // mono mix across channels
+            var s = 0.0
+            var c = 0
+            while (c < ch) {
+              val off = (i * ch + c) * 2
+              s += ((raw(off) & 0xff) | (raw(off + 1) << 8)).toShort / 32768.0
+              c += 1
+            }
+            val v = s / ch
+            val w = (i.toLong * windows / nSamples).toInt
+            out(w) += (v * v).toFloat
+            counts(w) += 1
+            i += 1
+          }
+          var w = 0
+          while (w < windows) {
+            out(w) = if (counts(w) > 0) math.sqrt(out(w) / counts(w)).toFloat else 0.0f
+            w += 1
+          }
+          Some(out)
+        } finally in.close()
+      } catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException => None
+        case _: java.io.IOException => None
+      }
+  }
+
   private def featureSchema(dim: Int): StructType = StructType(Seq(
     StructField("media_id", LongType),
     StructField("features", ArrayType(FloatType, containsNull = false)),
@@ -205,8 +264,12 @@ object Multimodal {
       .select(col("media_id"),
         explode(sequence(lit(0L), col("duration_ms") - 1, lit(everyMs))).as("frame_ms"))
 
-  /** Audio feature plumbing over the binary column. */
-  def audioFeatures(media: DataFrame, windows: Int = 16): DataFrame = {
+  /** Audio feature plumbing over the binary column: real PCM RMS via
+    * javax.sound.sampled when the payload decodes (WAV/AIFF/AU),
+    * deterministic byte-energy stub otherwise.
+    */
+  def audioFeatures(media: DataFrame, windows: Int = 16,
+      useJdkCodec: Boolean = true): DataFrame = {
     val schema = StructType(Seq(
       StructField("media_id", LongType),
       StructField("energy", ArrayType(FloatType, containsNull = false))))
@@ -214,7 +277,10 @@ object Multimodal {
     media.select("media_id", "content").mapPartitions { rows =>
       rows.map { r =>
         val bytes = Option(r.getAs[Array[Byte]]("content")).getOrElse(Array.emptyByteArray)
-        Row(r.getAs[Long]("media_id"), StubCodecs.audioEnergy(bytes, windows).toSeq)
+        val energy =
+          (if (useJdkCodec) JdkAudioCodec.audioEnergy(bytes, windows) else None)
+            .getOrElse(StubCodecs.audioEnergy(bytes, windows))
+        Row(r.getAs[Long]("media_id"), energy.toSeq)
       }
     }(enc)
   }

@@ -127,6 +127,37 @@ class MultimodalSpec extends AnyFunSuite {
     assert(meta.getAs[Int]("width") == 8 && meta.getAs[Int]("height") == 6)
   }
 
+  test("real JDK audio codec: WAV RMS reflects the signal, not the bytes") {
+    import spark.implicits._
+    // 16-bit mono WAV: loud 440 Hz sine for the first half, silence after
+    val rate = 8000
+    val n = rate // 1 second
+    val samples = new Array[Byte](n * 2)
+    for (i <- 0 until n / 2) {
+      val v = (math.sin(2 * math.Pi * 440 * i / rate) * 20000).toInt.toShort
+      samples(i * 2) = (v & 0xff).toByte
+      samples(i * 2 + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(samples), fmt, n)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val wav = bos.toByteArray
+    val df = Seq((1L, wav)).toDF("media_id", "content")
+    val energy = Multimodal.audioFeatures(df, windows = 8).head().getSeq[Float](1)
+    assert(energy.length == 8)
+    // loud half ~0.43 RMS, silent half ~0
+    assert(energy.take(4).forall(_ > 0.3f), s"loud windows: $energy")
+    assert(energy.drop(4).forall(_ < 0.01f), s"silent windows: $energy")
+    // the byte-level stub on the SAME payload cannot see the silence
+    // boundary this sharply — prove the real decoder ran
+    val viaStub = Multimodal.audioFeatures(df, windows = 8, useJdkCodec = false)
+      .head().getSeq[Float](1)
+    assert(energy != viaStub)
+  }
+
   test("non-image payloads fall back to the deterministic stub") {
     import spark.implicits._
     val junk = "not an image at all".getBytes("UTF-8")
