@@ -104,6 +104,29 @@ class WeatherEtlGoldenSpec extends AnyFunSuite {
     assert(stations == Set("1001", "1002", "07015", "07016"))
   }
 
+  test("golden run through DocumentStoreSink: same invariants over the reference's own protocol") {
+    val dir = Files.createTempDirectory("graft-fixtures-doc")
+    val madeleine = dates.map(writeCsv(dir, "madeleine", _))
+    val ichtegem = dates.map(writeCsv(dir, "ichtegem", _))
+    val jsonPath = writeJson(dir)
+    val sink = new DocumentStoreSink(dir.resolve("donnees_horaires").toString)
+
+    val result = WeatherPipeline.run(spark, madeleine, ichtegem, Some(jsonPath), sink)
+
+    assert(result.preLoad.totalRows == 4936L)
+    assert(result.rowsWritten == 4936L)       // count_documents reconciliation
+    assert(result.countReconciled)
+    assert(result.postLoad.totalAnomalies == 0L)
+    // read-back (quality_audit.py path) sees all four stations
+    val stations = sink.read(spark).select("id_station").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(stations == Set("1001", "1002", "07015", "07016"))
+    // idempotent reload: a second full run leaves exactly one copy
+    assert(sink.overwrite(WeatherPipeline.unified(spark, madeleine, ichtegem,
+      Some(jsonPath))) == 4936L)
+    assert(sink.countDocuments(spark) == 4936L)
+  }
+
   test("missing CSV file is skipped with a warning, pipeline continues (R4)") {
     val dir = Files.createTempDirectory("graft-fixtures-r4")
     val good = writeCsv(dir, "x", "2024-10-01")
