@@ -146,12 +146,19 @@ final class DocumentStoreSink(collectionPath: String) extends Sink {
         s"document store unreachable: ${dir.getAbsolutePath} (parent missing or read-only)")
   }
 
-  /** Truncate the collection (delete_many({})). Returns docs removed. */
+  /** Truncate the collection (delete_many({})). Returns docs removed —
+    * pymongo's deleted_count, which here costs a read of the dying data;
+    * [[overwrite]] uses the count-free [[truncate]] instead.
+    */
   def deleteMany(spark: SparkSession): Long = {
     val n = if (dir.exists()) countDocuments(spark) else 0L
-    if (dir.exists()) org.apache.commons.io.FileUtils.deleteDirectory(dir)
+    truncate()
     n
   }
+
+  /** Truncate without the deleted_count read. */
+  def truncate(): Unit =
+    if (dir.exists()) org.apache.commons.io.FileUtils.deleteDirectory(dir)
 
   /** Batch insert (insert_many): append one JSONL batch. Returns batch size. */
   def insertMany(df: DataFrame): Long = {
@@ -171,11 +178,16 @@ final class DocumentStoreSink(collectionPath: String) extends Sink {
   override def overwrite(df: DataFrame): Long = {
     ping()
     val spark = df.sparkSession
-    deleteMany(spark)
-    val source = insertMany(df)
-    val target = countDocuments(spark)
-    if (target != source) throw new SinkReconciliationError(source, target)
-    target
+    truncate() // count-free: the reference discards delete_many's count too
+    // persist across the two source actions (write + count) so an
+    // expensive upstream pipeline computes once, not twice
+    df.persist()
+    try {
+      val source = insertMany(df)
+      val target = countDocuments(spark)
+      if (target != source) throw new SinkReconciliationError(source, target)
+      target
+    } finally df.unpersist()
   }
 
   override def read(spark: SparkSession): DataFrame = spark.read.json(collectionPath)

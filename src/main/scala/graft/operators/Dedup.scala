@@ -56,6 +56,11 @@ object Dedup {
     val rowsPerBand = numHashes / numBands
     val banded = featured
       .withColumn("sig", minHashSignature(col("feats"), numHashes))
+      // featureless rows get a NULL signature; without this filter their
+      // band keys would all hash the NULL slice to the same constant
+      // (xxhash64(null) = seed) and every such doc would collide into one
+      // candidate bucket — and then Jaccard-rerank as bogus 1.0 pairs
+      .filter(col("sig").isNotNull)
       .select(col("id"),
         explode(lshBandKeys(col("sig"), numBands, rowsPerBand)).as("bk"))
     banded.as("a").join(banded.as("b"),
@@ -196,10 +201,12 @@ object Dedup {
   def nearDupRepresentatives(pairs: DataFrame, iterations: Int = 3): DataFrame = {
     val edges = pairs.select(col("id_a"), col("id_b"))
       .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
-      // referenced twice per iteration — materialize once
-      .localCheckpoint(false)
+      // referenced twice per iteration — materialize once (eagerly, so it
+      // can be unpersisted safely after the loop)
+      .localCheckpoint(true)
     var labels = edges.select(col("id_a").as("id")).distinct()
       .withColumn("rep", col("id"))
+    var previous: Option[DataFrame] = None
     (0 until iterations).foreach { _ =>
       labels = labels.as("l")
         .join(edges.as("e"), col("l.id") === col("e.id_a"), "left")
@@ -210,11 +217,16 @@ object Dedup {
           min(col("l.rep")))).as("rep"))
         // each iteration references the previous labels TWICE, so without
         // a cut the logical plan doubles per pass — analysis/optimization
-        // blows up exponentially in `iterations`. A lazy localCheckpoint
-        // truncates lineage to a materialized-on-first-use RDD: plan depth
-        // stays constant and raising `iterations` is safe.
-        .localCheckpoint(false)
+        // blows up exponentially in `iterations`. An EAGER localCheckpoint
+        // truncates lineage to a materialized RDD (plan depth constant,
+        // raising `iterations` safe) and lets the superseded iteration's
+        // blocks be released immediately — lazy checkpoints would pile up
+        // cached RDDs for the session lifetime.
+        .localCheckpoint(true)
+      previous.foreach(_.unpersist())
+      previous = Some(labels)
     }
+    edges.unpersist()
     labels
   }
 

@@ -96,7 +96,13 @@ object Multimodal {
       if (bytes.isEmpty) None
       else try {
         Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
-      } catch { case _: java.io.IOException => None }
+      } catch {
+        // corrupt-but-magic-matching payloads make JDK readers throw
+        // RuntimeExceptions too (CMMException on broken ICC profiles,
+        // AIOOBE/IAE in JPEG paths) — any decode failure means "not an
+        // image", never a task failure
+        case scala.util.control.NonFatal(_) => None
+      }
 
     /** Pixel features: dim-bucket luma histogram, normalized by pixel
       * count — a real decode→grayscale→histogram pipeline (the place a
@@ -192,8 +198,10 @@ object Multimodal {
           Some(out)
         } finally in.close()
       } catch {
-        case _: javax.sound.sampled.UnsupportedAudioFileException => None
-        case _: java.io.IOException => None
+        // includes IllegalArgumentException from an unsupported
+        // PCM conversion (provider-dependent A-law/24-bit cases) — any
+        // decode failure falls back to the stub, never a task failure
+        case scala.util.control.NonFatal(_) => None
       }
   }
 
@@ -239,12 +247,16 @@ object Multimodal {
       rows.map { r =>
         val bytes = Option(r.getAs[Array[Byte]]("content")).getOrElse(Array.emptyByteArray)
         val meta = r.getAs[Row]("meta")
-        val resized =
-          (if (useJdkCodec) JdkImageCodec.resize(bytes, targetW, targetH) else None)
-            .getOrElse(StubCodecs.resize(bytes, targetW, targetH))
+        val real = if (useJdkCodec) JdkImageCodec.resize(bytes, targetW, targetH) else None
+        val resized = real.getOrElse(StubCodecs.resize(bytes, targetW, targetH))
+        // the real path RE-ENCODES as PNG — the typed mime must follow the
+        // bytes or downstream decoder dispatch misparses the payload
+        val mime =
+          if (real.isDefined) "image/png"
+          else if (meta == null) null else meta.getAs[String]("mime")
         Row(r.getAs[Long]("media_id"),
           resized,
-          Row(if (meta == null) null else meta.getAs[String]("mime"),
+          Row(mime,
             targetW, targetH,
             if (meta == null) null else meta.getAs[Any]("duration_ms"),
             if (meta == null) null else meta.getAs[Any]("sample_rate")))

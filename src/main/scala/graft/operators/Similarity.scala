@@ -122,9 +122,9 @@ object Similarity {
     * LOW-cosine neighbors, where a single signature cannot work: at
     * cosine 0.4 two vectors agree per plane with p ≈ 0.63, so one 8-bit
     * signature collides with P ≈ p^8 ≈ 2% (recall ~0.1 even with
-    * hamming-1 multiprobe — measured), while ANY of 16 independent 4-bit
-    * bands collides with P = 1-(1-p^4)^16 ≈ 0.93 (MMDS ch.3 banding, same
-    * construction as MinHash LSH).
+    * hamming-1 multiprobe — measured), while ANY of 15 independent 4-bit
+    * bands collides with P = 1-(1-p^4)^15 ≈ 0.92 (MMDS ch.3 banding, same
+    * construction as MinHash LSH; 15×4 = 60 of the 63 packable bits).
     *
     * Candidates form NARROW — the per-band join carries only
     * (band-key, id); vectors join back for the exact rerank on the few

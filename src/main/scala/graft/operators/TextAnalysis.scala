@@ -135,10 +135,12 @@ object TextAnalysis {
       .otherwise(lit(0.0))
   }
 
-  /** Per-document repetition report (word 2/3-grams + char 5-grams). */
+  /** Per-document repetition report (word 2/3-grams + char 5-grams).
+    * Tokens are staged as a non-cheap alias referenced by both word
+    * ratios — CollapseProject keeps the staging (no barrier needed).
+    */
   def repetitionRatios(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val staged = df.select(col(idCol), col(textCol), tokens(col(textCol)).as("__toks"))
-      .filter(lit(true))
     staged.select(
       col(idCol),
       wordRepetitionRatio(col("__toks"), 2).as("rep_word2"),

@@ -7,9 +7,11 @@ Loads each <name>/ parquet produced by graft.Verify, runs the matching
 oracle SQL from oracle_sql.json in DuckDB over the sf_dir tables, and
 compares THE WAY THE DRIVER DOES: both sides go through pandas
 (`.df()`), columns are sorted by name, rows are `sort_values`-sorted
-over ALL columns, and the comparison is dtype-sensitive (`DataFrame
-.equals` after `reset_index`). This intentionally reproduces the two
-driver failure modes the round-1 fetchall()/str() version hid:
+over ALL columns, and cells are compared by their pandas-scalar str()
+rendering — sensitive to int-vs-float materialization ('5' != '5.0')
+while tolerating same-rendered widths (int32 5 == int64 5, matching
+the observed driver behavior). This intentionally reproduces the two
+driver failure modes the round-1 fetchall()/float() version hid:
   * DuckDB HUGEINT sums materialize as float64 in pandas and hash-fail
     against Spark's int64 even when values are equal;
   * a top-level array column makes pandas sort_values throw
