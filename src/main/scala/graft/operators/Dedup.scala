@@ -53,14 +53,19 @@ object Dedup {
     */
   private def lshCandidatePairs(featured: DataFrame,
       numHashes: Int, numBands: Int): DataFrame = {
+    // PRECONDITION: every featured row carries >= 1 non-null feature.
+    // Both callers guarantee it (their upstream size/length filters plus
+    // the containsNull=false Tokenize/NgramHashes kernels), and it
+    // matters: a featureless row gets a NULL signature from
+    // minHashSignature's guard, and NULL band-hashes to one constant
+    // bucket (xxhash64(null) = seed) — every such doc would collide into
+    // one candidate set and Jaccard-rerank as bogus 1.0 pairs. Guarding
+    // HERE is the wrong place: any filter referencing the feats/sig alias
+    // is substituted below the projection by the optimizer and the
+    // expensive kernel evaluates twice per row (measured 2.8x on q29).
     val rowsPerBand = numHashes / numBands
     val banded = featured
       .withColumn("sig", minHashSignature(col("feats"), numHashes))
-      // featureless rows get a NULL signature; without this filter their
-      // band keys would all hash the NULL slice to the same constant
-      // (xxhash64(null) = seed) and every such doc would collide into one
-      // candidate bucket — and then Jaccard-rerank as bogus 1.0 pairs
-      .filter(col("sig").isNotNull)
       .select(col("id"),
         explode(lshBandKeys(col("sig"), numBands, rowsPerBand)).as("bk"))
     banded.as("a").join(banded.as("b"),
