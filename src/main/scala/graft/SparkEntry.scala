@@ -764,6 +764,58 @@ object SparkEntry {
     "q77_repetition" -> ((s, d) =>
       TextAnalysis.repetitionRatios(t(s, d, "documents"), "doc_id", "text")),
 
+    // TPC-H Q18 shape (large-volume orders): aggregate-filtered semi join
+    // — the HAVING subquery becomes a broadcast-able keys frame
+    "q79_tpch_q18" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val bigOrders = li.groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("total_qty"))
+        .filter(col("total_qty") > 150)
+      t(s, d, "orders")
+        .join(bigOrders, col("o_orderkey") === col("l_orderkey"))
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+          col("o_totalprice"), col("total_qty").cast("double").as("total_qty"))
+    }),
+
+    // TPC-H Q19 shape: disjunction of brand/size/quantity conjuncts —
+    // exercises OR-of-ANDs pushdown through a broadcast join
+    "q80_tpch_q19" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .join(broadcast(t(s, d, "part")), col("p_partkey") === col("l_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+            col("l_quantity") >= 5) ||
+          (col("p_brand") === "Brand#3" && col("p_size").between(10, 30) &&
+            col("l_quantity") >= 20))
+        .agg(
+          sum((col("l_extendedprice").cast("decimal(18,4)") *
+            (lit(1.0) - col("l_discount")).cast("decimal(8,6)")))
+            .cast("decimal(38,10)").cast("string").as("revenue"),
+          count(lit(1)).as("n"))),
+
+    // TPC-H Q7 shape (volume shipping): bi-national flows by ship year,
+    // two broadcast nation lookups with distinct roles
+    "q81_tpch_q7" -> ((s, d) => {
+      val n1 = t(s, d, "nation").select(
+        col("n_nationkey").as("s_nkey"), col("n_name").as("supp_nation"))
+      val n2 = t(s, d, "nation").select(
+        col("n_nationkey").as("c_nkey"), col("n_name").as("cust_nation"))
+      t(s, d, "lineitem")
+        .join(t(s, d, "orders"), col("o_orderkey") === col("l_orderkey"))
+        .join(t(s, d, "customer"), col("c_custkey") === col("o_custkey"))
+        .join(t(s, d, "supplier"), col("s_suppkey") === col("l_suppkey"))
+        .join(broadcast(n1), col("s_nkey") === col("s_nationkey"))
+        .join(broadcast(n2), col("c_nkey") === col("c_nationkey"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(sum((col("l_extendedprice").cast("decimal(18,4)") *
+          (lit(1.0) - col("l_discount")).cast("decimal(8,6)")))
+          .cast("decimal(38,10)").cast("string").as("revenue"))
+    }),
+
     // Approx-percentile sketch contract (the 100 TB quantile path — exact
     // percentile sorts/collects per group). The GK sketch guarantees rank
     // error <= n/accuracy; the check counts actual rows below the approx
@@ -1183,6 +1235,35 @@ object SparkEntry {
       """SELECT count(*) AS exact_pairs, TRUE AS recall_ok
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.3""".stripMargin,
+
+    "q79_tpch_q18" ->
+      """SELECT c_name, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+        | o_totalprice, CAST(total_qty AS DOUBLE) AS total_qty
+        |FROM orders
+        |JOIN (SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty
+        |      FROM lineitem GROUP BY l_orderkey HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150) big
+        |  ON o_orderkey = big.l_orderkey
+        |JOIN customer ON o_custkey = c_custkey""".stripMargin,
+
+    "q80_tpch_q19" ->
+      """SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1.0 - l_discount AS DECIMAL(8,6))) AS DECIMAL(38,10)) AS VARCHAR) AS revenue,
+        | count(*) AS n
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 5)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 10 AND 30 AND l_quantity >= 20)""".stripMargin,
+
+    "q81_tpch_q7" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        | year(l_shipdate) AS l_year,
+        | CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1.0 - l_discount AS DECIMAL(8,6))) AS DECIMAL(38,10)) AS VARCHAR) AS revenue
+        |FROM lineitem
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN customer ON c_custkey = o_custkey
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |JOIN nation n1 ON n1.n_nationkey = s_nationkey
+        |JOIN nation n2 ON n2.n_nationkey = c_nationkey
+        |WHERE n1.n_name <> n2.n_name
+        |GROUP BY 1, 2, 3""".stripMargin,
 
     "q78_approx_percentile" ->
       """SELECT l_returnflag,
