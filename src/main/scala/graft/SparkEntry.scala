@@ -836,6 +836,38 @@ object SparkEntry {
           (abs(col("rank_below") - col("n") * 0.5) <= col("n") * 0.01 + 1).as("rank_ok"))
     }),
 
+    // TPC-H Q10 shape: returned-item revenue per customer, top 20 —
+    // order/limit ties broken by custkey for determinism
+    "q82_tpch_q10" -> ((s, d) => {
+      val rev = (col("l_extendedprice").cast("decimal(18,4)") *
+        (lit(1.0) - col("l_discount")).cast("decimal(8,6)"))
+      t(s, d, "customer")
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"))
+        .join(t(s, d, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_returnflag") === "R")
+        .groupBy(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+        .agg(sum(rev).cast("decimal(38,10)").as("rev"))
+        .orderBy(col("rev").desc, col("c_custkey"))
+        .limit(20)
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+          col("rev").cast("string").as("revenue"))
+    }),
+
+    // TPC-H Q14 shape: promo revenue vs total — both sums exact decimal
+    // strings (a double ratio would hit the int128->double rounding gap
+    // between engines)
+    "q83_tpch_q14" -> ((s, d) => {
+      val rev = (col("l_extendedprice").cast("decimal(18,4)") *
+        (lit(1.0) - col("l_discount")).cast("decimal(8,6)"))
+      t(s, d, "lineitem")
+        .join(broadcast(t(s, d, "part")), col("p_partkey") === col("l_partkey"))
+        .agg(
+          sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0).cast("decimal(18,4)")))
+            .cast("decimal(38,10)").cast("string").as("promo_revenue"),
+          sum(rev).cast("decimal(38,10)").cast("string").as("total_revenue"),
+          count(lit(1)).as("n"))
+    }),
+
     // Pair-level recall contract for the banded embedding near-dup path
     // (q53's candidate generator): fraction of exact cosine>=0.3 pairs
     // captured must be >= 0.8 (measured 0.885-0.889 at every SF; theory
@@ -1264,6 +1296,27 @@ object SparkEntry {
         |JOIN nation n2 ON n2.n_nationkey = c_nationkey
         |WHERE n1.n_name <> n2.n_name
         |GROUP BY 1, 2, 3""".stripMargin,
+
+    "q82_tpch_q10" ->
+      """SELECT c_custkey, c_name, c_mktsegment, CAST(rev AS VARCHAR) AS revenue
+        |FROM (
+        | SELECT c_custkey, c_name, c_mktsegment,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1.0 - l_discount AS DECIMAL(8,6))) AS DECIMAL(38,10)) AS rev
+        | FROM customer
+        | JOIN orders ON c_custkey = o_custkey
+        | JOIN lineitem ON l_orderkey = o_orderkey
+        | WHERE l_returnflag = 'R'
+        | GROUP BY c_custkey, c_name, c_mktsegment
+        | ORDER BY rev DESC, c_custkey LIMIT 20)""".stripMargin,
+
+    "q83_tpch_q14" ->
+      """SELECT
+        | CAST(CAST(SUM(CASE WHEN p_type = 'PROMO'
+        |   THEN CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1.0 - l_discount AS DECIMAL(8,6))
+        |   ELSE CAST(0 AS DECIMAL(18,4)) END) AS DECIMAL(38,10)) AS VARCHAR) AS promo_revenue,
+        | CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1.0 - l_discount AS DECIMAL(8,6))) AS DECIMAL(38,10)) AS VARCHAR) AS total_revenue,
+        | count(*) AS n
+        |FROM lineitem JOIN part ON p_partkey = l_partkey""".stripMargin,
 
     "q78_approx_percentile" ->
       """SELECT l_returnflag,
