@@ -63,9 +63,18 @@ object Bench {
       }
     }
 
-    // best-of-2: reduces scheduler/GC noise in the recorded number; each
-    // run is tried independently so one transient failure doesn't discard
-    // the other run's valid measurement
+    // Median-of-N with per-run times recorded. Round-over-round
+    // comparisons on this host showed ~1.5-2x wall-clock drift on
+    // IDENTICAL code at different times of day (r1 code: 6.84s shared-16
+    // at 10:15, 10.78s at 16:25 the same day), so a single min hides
+    // whether a delta is noise or regression. The JSON carries every raw
+    // run plus host load so future rounds can separate the two without a
+    // bisect.
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    def loadAvg(): Double =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    val loadStart = loadAvg()
     val results = headline.map { name =>
       def timed(): Option[Double] =
         try {
@@ -75,16 +84,24 @@ object Bench {
         } catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); None
         }
-      val runs = Seq(timed(), timed()).flatten
-      name -> (if (runs.nonEmpty) runs.min else -1.0)
+      val runs = Seq.fill(passes)(timed()).flatten
+      val median =
+        if (runs.isEmpty) -1.0
+        else runs.sorted.apply(runs.size / 2)
+      (name, median, runs)
     }
+    val loadEnd = loadAvg()
     // Locale.ROOT: the f-interpolator uses the default locale, which can
     // emit comma decimal separators → invalid JSON
     def num(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + num(v) }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + num(v) }
       .mkString("{", ",", "}")
+    val runsJson = results.map { case (k, _, rs) =>
+      "\"" + k + "\":" + rs.map(num).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"headline_total","value":${num(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val env = s"""{"loadavg_start":${num(loadStart)},"loadavg_end":${num(loadEnd)},"cpus":$cpus,"stat":"median_of_$passes"}"""
+    println(s"""{"metric":"headline_total","value":${num(total)},"unit":"sec","queries":$qs,"runs":$runsJson,"env":$env,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -30,7 +30,13 @@ object WuCsvSource {
   /** Read one file; returns None (skip-and-warn, R4) if absent/unreadable. */
   def readFile(spark: SparkSession, entry: CsvManifestEntry): Option[DataFrame] = {
     try {
-      if (!new java.io.File(stripScheme(entry.path)).exists()) {
+      // Existence probe through the Hadoop FileSystem resolved for the
+      // path's scheme — works for local, HDFS and object stores alike
+      // (a bare java.io.File check would silently "miss" every non-local
+      // path and skip real cluster files).
+      val hPath = new org.apache.hadoop.fs.Path(entry.path)
+      val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(hPath)) {
         System.err.println(s"[graft.etl] CSV missing, skipped: ${entry.path}")
         return None
       }
@@ -67,8 +73,6 @@ object WuCsvSource {
     }
   }
 
-  private def stripScheme(p: String): String =
-    if (p.startsWith("file:")) p.stripPrefix("file:") else p
 }
 
 /** Infoclimat whole-file nested JSON source — SURVEY §2 R3 + J1/J2.
