@@ -508,7 +508,10 @@ object SparkEntry {
         .withColumn("cosine", round(col("cosine"), 4))
     }),
 
-    // Embedding-cosine near-dup pairs + min-id representatives (approx; no oracle)
+    // Embedding-cosine near-dup representatives. Oracle-exact: the DuckDB
+    // oracle replays the banded LSH + rerank + label propagation with the
+    // same seeded plane constants (embedNearDupOracleSql); q76 separately
+    // pins recall vs the exact pair set.
     "q53_embed_neardups" -> ((s, d) => {
       val pairs = graft.operators.Dedup.embeddingNearDups(
         t(s, d, "embeddings"), threshold = 0.3)
@@ -991,6 +994,65 @@ object SparkEntry {
        |FROM sc""".stripMargin
   }
 
+  /** q53 replayed END-TO-END in SQL: the banded hyperplane-LSH candidate
+    * generation (the SAME seeded plane constants the engine uses, baked in
+    * as literals — one source of truth, like [[langIdOracleSql]]'s
+    * profiles), exact-cosine rerank at τ, and the 3-iteration min-id
+    * label propagation of [[graft.operators.Dedup.nearDupRepresentatives]].
+    * This makes the approximate operator hash-exact WITHOUT requiring
+    * total LSH recall: the oracle checks the algorithm, and q76's
+    * recall contract separately pins its quality vs the exact pair set.
+    *
+    * Sign bits compare dot ≥ 0 in double on both engines; FP-order
+    * differences (~1e-16 relative) only matter for |dot| ≲ 1e-13, never
+    * observed (dots are O(0.1)); same argument for the τ rerank, which
+    * q31/q76 already rely on.
+    */
+  private def embedNearDupOracleSql(threshold: Double,
+      numBands: Int = 15, planesPerBand: Int = 4, dim: Int = 64,
+      seed: Long = 42L): String = {
+    val planes = graft.operators.Similarity
+      .randomHyperplanes(numBands * planesPerBand, dim, seed)
+    // Double.toString = shortest round-trip repr → DuckDB parses back the
+    // identical double
+    val vals = planes.zipWithIndex.map { case (p, i) =>
+      p.map(java.lang.Double.toString).mkString(s"($i, [", ",", "]::DOUBLE[])")
+    }.mkString(",\n")
+    def iter(prev: String): String =
+      s"""SELECT l.id AS id, LEAST(MIN(l.rep), COALESCE(MIN(n.rep), MIN(l.rep))) AS rep
+         |  FROM $prev l LEFT JOIN edges e ON l.id = e.s
+         |  LEFT JOIN $prev n ON e.t = n.id
+         |  GROUP BY l.id""".stripMargin
+    s"""WITH planes(plane_id, p) AS (VALUES $vals),
+       |vecs AS (
+       |  SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings
+       |  WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
+       |bits AS (
+       |  SELECT id, plane_id,
+       |    CASE WHEN list_dot_product(v, p) >= 0 THEN 1 ELSE 0 END AS bit
+       |  FROM vecs CROSS JOIN planes),
+       |bands AS (
+       |  SELECT id, plane_id // $planesPerBand AS band,
+       |    SUM(bit << (plane_id % $planesPerBand))::BIGINT AS key
+       |  FROM bits GROUP BY id, plane_id // $planesPerBand),
+       |cand AS (
+       |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.key = b.key AND a.id < b.id),
+       |pairs AS (
+       |  SELECT id_a, id_b FROM cand
+       |  JOIN vecs va ON va.id = cand.id_a
+       |  JOIN vecs vb ON vb.id = cand.id_b
+       |  WHERE list_cosine_similarity(va.v, vb.v) >= $threshold),
+       |edges AS (SELECT id_a AS s, id_b AS t FROM pairs
+       |          UNION ALL SELECT id_b AS s, id_a AS t FROM pairs),
+       |l0 AS (SELECT DISTINCT s AS id, s AS rep FROM edges),
+       |l1 AS (${iter("l0")}),
+       |l2 AS (${iter("l1")}),
+       |l3 AS (${iter("l2")})
+       |SELECT id, rep FROM l3""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
@@ -1267,6 +1329,8 @@ object SparkEntry {
       """SELECT count(*) AS exact_pairs, TRUE AS recall_ok
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.3""".stripMargin,
+
+    "q53_embed_neardups" -> embedNearDupOracleSql(threshold = 0.3),
 
     "q79_tpch_q18" ->
       """SELECT c_name, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,

@@ -188,6 +188,14 @@ object Dedup {
     * (candidate probability 1-(1-p^4)^15 at per-plane agreement p).
     * Banding bounds the pair space like the MinHash path bounds text
     * pairs — candidates scale with bucket co-occupancy, not n².
+    *
+    * RECALL CEILING at low τ: no LSH family covers the 0.3-0.5 cosine
+    * band with total recall without ~O(n²) candidates (measured on this
+    * corpus: ~0.93 at τ = 0.4, ~0.87-0.89 at τ = 0.3; pairs AT the
+    * threshold are candidates with probability strictly < 1 for any
+    * bounded banding). Treat results below τ ≈ 0.5 as a high-recall
+    * sample, not the exact pair set — callers needing exactness use
+    * [[Similarity.thresholdPairs]] (O(n²), oracle scale only).
     */
   def embeddingNearDups(corpus: DataFrame, threshold: Double,
       numBands: Int = 15, planesPerBand: Int = 4, dim: Int = 64,
