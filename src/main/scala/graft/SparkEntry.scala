@@ -559,6 +559,18 @@ object SparkEntry {
       graft.operators.Dedup.winnowNearDups(t(s, d, "documents"), "doc_id", "text",
         minShared = 30)),
 
+    // MOSS overlap localization: byte offsets of every shared winnowing
+    // fingerprint, for the near-dup pairs q58 surfaces (positions-level
+    // oracle — q58 checks only the set level)
+    "q84_winnow_overlaps" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val pairs = graft.operators.Dedup
+        .winnowNearDups(docs, "doc_id", "text", minShared = 30)
+        .select("id_a", "id_b")
+      graft.operators.Dedup.winnowOverlaps(docs, "doc_id", "text")
+        .join(pairs, Seq("id_a", "id_b"))
+    }),
+
     // Time-series resample: 6h grid per user, LOCF values (µs granularity)
     "q59_resample_locf" -> ((s, d) =>
       graft.operators.Resample.locf(
@@ -1331,6 +1343,19 @@ object SparkEntry {
         |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.3""".stripMargin,
 
     "q53_embed_neardups" -> embedNearDupOracleSql(threshold = 0.3),
+
+    // Positions-level winnowing oracle: dsel carries the selected
+    // (hash, position) sites; join per near-dup pair (q58's >= 30 set)
+    "q84_winnow_overlaps" ->
+      s"""WITH ${winnowCtes(k = 8, window = 6)},
+         |fpset AS (SELECT DISTINCT doc_id, sh FROM dsel),
+         |np AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM fpset a JOIN fpset b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2 HAVING count(*) >= 30)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sh AS hash,
+         |  a.spos AS pos_a, b.spos AS pos_b
+         |FROM dsel a JOIN dsel b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |JOIN np ON np.id_a = a.doc_id AND np.id_b = b.doc_id""".stripMargin,
 
     "q79_tpch_q18" ->
       """SELECT c_name, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
