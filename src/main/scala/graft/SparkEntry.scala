@@ -571,6 +571,65 @@ object SparkEntry {
         .join(pairs, Seq("id_a", "id_b"))
     }),
 
+    // TPC-H Q21 shape: EXISTS + NOT EXISTS self-joins on the fact table
+    // (the classic decorrelation stress — each quantifier becomes a
+    // semi/anti join on l_orderkey). "Late" is adapted to l_returnflag='R'
+    // (testdata has no commit/receipt dates); the quantifier structure is
+    // the point.
+    "q85_tpch_q21" -> ((s, d) => {
+      t(s, d, "lineitem").createOrReplaceTempView("lineitem_v85")
+      t(s, d, "orders").createOrReplaceTempView("orders_v85")
+      t(s, d, "supplier").createOrReplaceTempView("supplier_v85")
+      t(s, d, "nation").createOrReplaceTempView("nation_v85")
+      s.sql(
+        """SELECT s_name, count(*) AS numwait
+          |FROM supplier_v85, lineitem_v85 l1, orders_v85, nation_v85
+          |WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+          |  AND o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+          |  AND EXISTS (SELECT 1 FROM lineitem_v85 l2
+          |    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+          |  AND NOT EXISTS (SELECT 1 FROM lineitem_v85 l3
+          |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+          |      AND l3.l_returnflag = 'R')
+          |  AND s_nationkey = n_nationkey
+          |GROUP BY s_name""".stripMargin)
+    }),
+
+    // TPC-H Q17 shape: correlated scalar aggregate (per-part average)
+    // under a fact-dim join — decorrelates to an aggregate + re-join.
+    // Container predicate adapted to p_size (testdata has no p_container).
+    "q86_tpch_q17" -> ((s, d) => {
+      t(s, d, "lineitem").createOrReplaceTempView("lineitem_v86")
+      t(s, d, "part").createOrReplaceTempView("part_v86")
+      s.sql(
+        """SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,10)) AS STRING) AS small_qty_revenue,
+          |  count(*) AS n
+          |FROM lineitem_v86 JOIN part_v86 ON p_partkey = l_partkey
+          |WHERE p_brand = 'Brand#1' AND p_size < 10
+          |  AND l_quantity < (SELECT 0.5 * AVG(l_quantity)
+          |    FROM lineitem_v86 l2 WHERE l2.l_partkey = p_partkey)""".stripMargin)
+    }),
+
+    // TPC-H Q20 shape: nested IN subqueries with a correlated aggregate
+    // in HAVING (share-of-part threshold stands in for the partsupp
+    // availqty comparison — the testdata has no partsupp table).
+    "q87_tpch_q20" -> ((s, d) => {
+      t(s, d, "lineitem").createOrReplaceTempView("lineitem_v87")
+      t(s, d, "part").createOrReplaceTempView("part_v87")
+      t(s, d, "supplier").createOrReplaceTempView("supplier_v87")
+      t(s, d, "nation").createOrReplaceTempView("nation_v87")
+      s.sql(
+        """SELECT s_name, s_acctbal
+          |FROM supplier_v87 JOIN nation_v87 ON s_nationkey = n_nationkey
+          |WHERE s_suppkey IN (
+          |  SELECT l1.l_suppkey FROM lineitem_v87 l1
+          |  WHERE l1.l_partkey IN (SELECT p_partkey FROM part_v87 WHERE p_name LIKE 'small%')
+          |  GROUP BY l1.l_suppkey, l1.l_partkey
+          |  HAVING SUM(CAST(l1.l_quantity AS DECIMAL(18,2))) > 0.15 * (
+          |    SELECT SUM(CAST(l2.l_quantity AS DECIMAL(18,2))) FROM lineitem_v87 l2
+          |    WHERE l2.l_partkey = l1.l_partkey))""".stripMargin)
+    }),
+
     // Time-series resample: 6h grid per user, LOCF values (µs granularity)
     "q59_resample_locf" -> ((s, d) =>
       graft.operators.Resample.locf(
@@ -1343,6 +1402,38 @@ object SparkEntry {
         |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.3""".stripMargin,
 
     "q53_embed_neardups" -> embedNearDupOracleSql(threshold = 0.3),
+
+    "q85_tpch_q21" ->
+      """SELECT s_name, count(*) AS numwait
+        |FROM supplier, lineitem l1, orders, nation
+        |WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+        |  AND o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_returnflag = 'R')
+        |  AND s_nationkey = n_nationkey
+        |GROUP BY s_name""".stripMargin,
+
+    "q86_tpch_q17" ->
+      """SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,10)) AS VARCHAR) AS small_qty_revenue,
+        |  count(*) AS n
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand = 'Brand#1' AND p_size < 10
+        |  AND l_quantity < (SELECT 0.5 * AVG(l_quantity)
+        |    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin,
+
+    "q87_tpch_q20" ->
+      """SELECT s_name, s_acctbal
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE s_suppkey IN (
+        |  SELECT l1.l_suppkey FROM lineitem l1
+        |  WHERE l1.l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+        |  GROUP BY l1.l_suppkey, l1.l_partkey
+        |  HAVING SUM(CAST(l1.l_quantity AS DECIMAL(18,2))) > 0.15 * (
+        |    SELECT SUM(CAST(l2.l_quantity AS DECIMAL(18,2))) FROM lineitem l2
+        |    WHERE l2.l_partkey = l1.l_partkey))""".stripMargin,
 
     // Positions-level winnowing oracle: dsel carries the selected
     // (hash, position) sites; join per near-dup pair (q58's >= 30 set)

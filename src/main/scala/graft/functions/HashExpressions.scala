@@ -389,6 +389,31 @@ case class Winnow(child: Expression, k: Int, window: Int)
   override protected def withNewChildInternal(newChild: Expression): Winnow = copy(child = newChild)
 }
 
+/** Video container metadata from byte parsing (MP4 `mvhd`/`tkhd`, MKV
+  * EBML) — see [[ContainerMeta]]. Null for payloads that are neither;
+  * null fields for headers that carry only some of the metadata.
+  */
+case class VideoProbe(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def nullable: Boolean = true
+  override def dataType: DataType = StructType(Seq(
+    StructField("container", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("duration_ms", LongType)))
+  override protected def nullSafeEval(input: Any): Any =
+    ContainerMeta.probeRow(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.ContainerMeta.probeRow($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+  override protected def withNewChildInternal(newChild: Expression): VideoProbe = copy(child = newChild)
+}
+
 /** Dot product of two numeric arrays, summed in element order (matches
   * the sequential semantics of `aggregate(zip_with(...))` and of DuckDB's
   * list kernels, so oracle results stay bit-identical) — but as ONE
@@ -450,6 +475,7 @@ object HashFunctions {
   def tokenize(c: Column): Column = lift(Tokenize(expr(c)))
   def winnowPositions(c: Column, k: Int = 5, window: Int = 4): Column =
     lift(WinnowPositions(expr(c), k, window))
+  def videoProbe(content: Column): Column = lift(VideoProbe(expr(content)))
 
   /** Hamming distance between two 64-bit hashes (built-in bit_count). */
   def hammingDistance64(a: Column, b: Column): Column =

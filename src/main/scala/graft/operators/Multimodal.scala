@@ -13,7 +13,9 @@ import org.apache.spark.sql.types._
   * ([[JdkAudioCodec]]: WAV/AIFF/AU PCM decode, per-window RMS) — no
   * external libs needed. Payloads that don't decode fall back per-row to
   * the deterministic fake ([[StubCodecs]]), which also stands in for
-  * VIDEO codecs (absent from the JDK/container). Everything else — the
+  * VIDEO *frame* codecs (absent from the JDK/container) — video container
+  * METADATA (duration, dimensions) is parsed for real from MP4/MKV
+  * headers by [[probeMeta]], byte arithmetic only. Everything else — the
   * schema, the `mapPartitions` batch shape (the Scala analog of
   * `mapInPandas`), the partitioning and the downstream feature plumbing —
   * is shared between both paths and tested.
@@ -297,16 +299,44 @@ object Multimodal {
     }(enc)
   }
 
+  /** Fill meta width/height/duration_ms from REAL container headers
+    * (MP4 `mvhd`/`tkhd`, MKV EBML — pure byte arithmetic, no codec; see
+    * [[graft.functions.ContainerMeta]]). A declarative narrow map via the
+    * codegen'd `VideoProbe` expression — existing non-null meta fields
+    * win, probed values fill the gaps, video payloads whose mime was a
+    * generic octet-stream get their container mime. Payloads that are
+    * not a known container leave the row unchanged.
+    */
+  def probeMeta(media: DataFrame): DataFrame = {
+    val probed = media.withColumn("__probe",
+      graft.functions.HashFunctions.videoProbe(col("content")))
+    val mime = when(col("meta.mime").isNull ||
+        col("meta.mime") === "application/octet-stream",
+      when(col("__probe.container") === "mp4", "video/mp4")
+        .when(col("__probe.container") === "matroska", "video/x-matroska")
+        .otherwise(col("meta.mime")))
+      .otherwise(col("meta.mime"))
+    probed.withColumn("meta", struct(
+        mime.as("mime"),
+        coalesce(col("meta.width"), col("__probe.width")).as("width"),
+        coalesce(col("meta.height"), col("__probe.height")).as("height"),
+        coalesce(col("meta.duration_ms"), col("__probe.duration_ms")).as("duration_ms"),
+        col("meta.sample_rate").as("sample_rate")))
+      .drop("__probe")
+  }
+
   /** Ingest a directory of real binary files via Spark's `binaryFile`
     * source (one row per file: path, length, content). Ids are stable
-    * content hashes; mime is guessed from the extension. This is the
+    * content hashes; mime is guessed from the extension; video container
+    * headers are probed for real width/height/duration ([[probeMeta]]),
+    * so [[sampleFrameTimestamps]] runs on real metadata. This is the
     * production ingestion path — the stub codecs only replace the decode.
     */
   def readBinaryDir(spark: SparkSession, dir: String, glob: String = "*"): DataFrame = {
     val raw = spark.read.format("binaryFile")
       .option("pathGlobFilter", glob)
       .load(dir)
-    raw.select(
+    probeMeta(raw.select(
       xxhash64(col("content")).as("media_id"),
       col("content"),
       struct(
@@ -320,7 +350,7 @@ object Multimodal {
         lit(null).cast("long").as("duration_ms"),
         lit(null).cast("int").as("sample_rate")).as("meta"),
       col("path"),
-      col("length").as("n_bytes"))
+      col("length").as("n_bytes")))
   }
 
   /** Synthesize a media table from the documents table (text bytes stand

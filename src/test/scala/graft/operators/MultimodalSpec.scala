@@ -74,6 +74,114 @@ class MultimodalSpec extends AnyFunSuite {
     assert(pairs == Set((10L, 11L)))
   }
 
+  /** Minimal REAL MP4: ftyp + moov(mvhd v0 + trak(tkhd v0)) — the exact
+    * ISO 14496-12 byte layout, built by hand. timescale 600, duration
+    * 3000 ticks (= 5000 ms), presentation 640×360 (16.16 fixed).
+    */
+  private def mp4Fixture: Array[Byte] = {
+    val buf = java.nio.ByteBuffer.allocate(16 + 8 + 108 + 8 + 92)
+    buf.putInt(16).put("ftypisom".getBytes("ISO-8859-1")).putInt(0)
+    buf.putInt(8 + 108 + 8 + 92).put("moov".getBytes("ISO-8859-1"))
+    // mvhd v0: ver/flags, creation, modification, timescale, duration,
+    // rate, volume+reserved(12), matrix(36), predefined(24), next_track
+    buf.putInt(108).put("mvhd".getBytes("ISO-8859-1"))
+      .putInt(0).putInt(0).putInt(0).putInt(600).putInt(3000).putInt(0x00010000)
+    buf.put(new Array[Byte](12)).put(new Array[Byte](36)).put(new Array[Byte](24))
+    buf.putInt(2)
+    // trak > tkhd v0: ver/flags, creation, mod, track_id, reserved,
+    // duration, reserved(8), layer/alt/volume/reserved(8), matrix(36),
+    // width, height (16.16)
+    buf.putInt(8 + 92).put("trak".getBytes("ISO-8859-1"))
+    buf.putInt(92).put("tkhd".getBytes("ISO-8859-1"))
+      .putInt(0).putInt(0).putInt(0).putInt(1).putInt(0).putInt(3000)
+    buf.put(new Array[Byte](8)).put(new Array[Byte](8)).put(new Array[Byte](36))
+    buf.putInt(640 << 16).putInt(360 << 16)
+    buf.array()
+  }
+
+  /** Minimal REAL Matroska: EBML header + Segment(Info(TimestampScale,
+    * Duration) + Tracks(TrackEntry(Video(PixelWidth, PixelHeight)))).
+    */
+  private def mkvFixture: Array[Byte] = {
+    def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    val video = b(0xB0, 0x82, 0x02, 0x80) ++ b(0xBA, 0x82, 0x01, 0x68) // 640×360
+    val trackEntry = b(0xE0, 0x80 | video.length) ++ video
+    val tracks = b(0xAE, 0x80 | trackEntry.length) ++ trackEntry
+    val tracksEl = b(0x16, 0x54, 0xAE, 0x6B, 0x80 | tracks.length) ++ tracks
+    val tsScale = b(0x2A, 0xD7, 0xB1, 0x83, 0x0F, 0x42, 0x40) // 1_000_000 ns
+    val durBits = java.lang.Float.floatToIntBits(5000.0f)
+    val duration = b(0x44, 0x89, 0x84,
+      durBits >>> 24, (durBits >>> 16) & 0xff, (durBits >>> 8) & 0xff, durBits & 0xff)
+    val info = tsScale ++ duration
+    val infoEl = b(0x15, 0x49, 0xA9, 0x66, 0x80 | info.length) ++ info
+    val seg = infoEl ++ tracksEl
+    b(0x1A, 0x45, 0xDF, 0xA3, 0x84, 0, 0, 0, 0) ++
+      b(0x18, 0x53, 0x80, 0x67, 0x80 | seg.length) ++ seg
+  }
+
+  test("MP4 container metadata parsed from real bytes (no codec)") {
+    val m = graft.functions.ContainerMeta.probe(mp4Fixture).get
+    assert(m.container == "mp4")
+    assert(m.durationMs.contains(5000L))
+    assert(m.width.contains(640) && m.height.contains(360))
+  }
+
+  test("MKV container metadata parsed from real EBML bytes") {
+    val m = graft.functions.ContainerMeta.probe(mkvFixture).get
+    assert(m.container == "matroska")
+    assert(m.durationMs.contains(5000L))
+    assert(m.width.contains(640) && m.height.contains(360))
+  }
+
+  test("garbage and truncated payloads probe to null, never throw") {
+    assert(graft.functions.ContainerMeta.probe(Array[Byte](1, 2, 3)).isEmpty)
+    assert(graft.functions.ContainerMeta.probe(Array.emptyByteArray).isEmpty)
+    assert(graft.functions.ContainerMeta.probe(mp4Fixture.take(40)).isEmpty ||
+      graft.functions.ContainerMeta.probe(mp4Fixture.take(40)).nonEmpty) // no throw
+    assert(graft.functions.ContainerMeta.probe(mkvFixture.take(12)).isEmpty ||
+      graft.functions.ContainerMeta.probe(mkvFixture.take(12)).nonEmpty) // no throw
+  }
+
+  test("probeMeta fills meta from container headers; frame sampling runs on it") {
+    import spark.implicits._
+    val media = Seq(
+      (1L, mp4Fixture, "application/octet-stream"),
+      (2L, mkvFixture, "application/octet-stream"),
+      (3L, "not a video".getBytes("UTF-8"), "text/plain")
+    ).toDF("media_id", "content", "m")
+      .select(col("media_id"), col("content"), struct(
+        col("m").as("mime"),
+        lit(null).cast("int").as("width"),
+        lit(null).cast("int").as("height"),
+        lit(null).cast("long").as("duration_ms"),
+        lit(null).cast("int").as("sample_rate")).as("meta"))
+    val probed = Multimodal.probeMeta(media).orderBy("media_id").collect()
+    val m1 = probed(0).getAs[org.apache.spark.sql.Row]("meta")
+    assert(m1.getAs[String]("mime") == "video/mp4")
+    assert(m1.getAs[Int]("width") == 640 && m1.getAs[Int]("height") == 360)
+    assert(m1.getAs[Long]("duration_ms") == 5000L)
+    val m2 = probed(1).getAs[org.apache.spark.sql.Row]("meta")
+    assert(m2.getAs[String]("mime") == "video/x-matroska")
+    assert(m2.getAs[Long]("duration_ms") == 5000L)
+    val m3 = probed(2).getAs[org.apache.spark.sql.Row]("meta")
+    assert(m3.getAs[String]("mime") == "text/plain" && m3.isNullAt(m3.fieldIndex("duration_ms")))
+    // real container duration drives frame sampling: 5000 ms @ 1000 ms
+    val frames = Multimodal.sampleFrameTimestamps(
+      Multimodal.probeMeta(media), everyMs = 1000)
+      .filter(col("media_id") === 1L).collect().map(_.getLong(1)).toSeq
+    assert(frames == Seq(0L, 1000L, 2000L, 3000L, 4000L))
+  }
+
+  test("readBinaryDir probes real video files at ingest") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-video")
+    java.nio.file.Files.write(dir.resolve("clip.mp4"), mp4Fixture)
+    java.nio.file.Files.write(dir.resolve("clip.mkv"), mkvFixture)
+    val rows = Multimodal.readBinaryDir(spark, dir.toString)
+      .select(col("meta.mime"), col("meta.width"), col("meta.duration_ms"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    assert(rows == Set(("video/mp4", 640, 5000L), ("video/x-matroska", 640, 5000L)))
+  }
+
   test("audio energy windows") {
     val e = Multimodal.audioFeatures(media, windows = 8).orderBy("media_id").head()
     val arr = e.getSeq[Float](1)
