@@ -309,7 +309,8 @@ object SparkEntry {
     // LSH-bucketed ANN top-k (approx; deterministic rows-only). Banded
     // OR-construction: one 8-bit signature recalls ~0.1 of true top-10 at
     // this corpus's cosine range; 15×4-bit bands recall 0.8-1.0 (q74 is
-    // the oracle-checked recall contract).
+    // the oracle-checked recall contract). Oracle-exact: the DuckDB oracle
+    // replays banding + rerank with the same planes (bandedLshTopKOracleSql).
     "q34_lsh_topk" -> ((s, d) =>
       Similarity.bandedLshTopK(
         t(s, d, "embeddings"),
@@ -499,7 +500,10 @@ object SparkEntry {
           (lit(1.0) - col("l_discount")).cast("decimal(8,6)")))
           .cast("decimal(38,10)").cast("string").as("revenue"))),
 
-    // IVF (k-means coarse quantizer) ANN top-k (approx; no oracle)
+    // IVF (k-means coarse quantizer) ANN top-k. Oracle-exact: the DuckDB
+    // oracle replays the whole pipeline — xxhash64 init (HUGEINT replay),
+    // Lloyd's iterations, nprobe cells, cosine top-k (ivfTopKOracleSql);
+    // q75 separately pins recall vs brute force.
     "q52_ivf_topk" -> ((s, d) => {
       val emb = t(s, d, "embeddings")
       val model = graft.operators.IvfIndex.train(emb, k = 8, iterations = 3)
@@ -1079,16 +1083,22 @@ object SparkEntry {
     * observed (dots are O(0.1)); same argument for the τ rerank, which
     * q31/q76 already rely on.
     */
+  /** The engine's seeded hyperplanes as a DuckDB VALUES literal.
+    * Double.toString = shortest round-trip repr → DuckDB parses back the
+    * identical double; shared by every hyperplane-LSH replay oracle.
+    */
+  private def hyperplaneValuesSql(numBands: Int, planesPerBand: Int,
+      dim: Int, seed: Long): String =
+    graft.operators.Similarity
+      .randomHyperplanes(numBands * planesPerBand, dim, seed)
+      .zipWithIndex.map { case (p, i) =>
+        p.map(java.lang.Double.toString).mkString(s"($i, [", ",", "]::DOUBLE[])")
+      }.mkString(",\n")
+
   private def embedNearDupOracleSql(threshold: Double,
       numBands: Int = 15, planesPerBand: Int = 4, dim: Int = 64,
       seed: Long = 42L): String = {
-    val planes = graft.operators.Similarity
-      .randomHyperplanes(numBands * planesPerBand, dim, seed)
-    // Double.toString = shortest round-trip repr → DuckDB parses back the
-    // identical double
-    val vals = planes.zipWithIndex.map { case (p, i) =>
-      p.map(java.lang.Double.toString).mkString(s"($i, [", ",", "]::DOUBLE[])")
-    }.mkString(",\n")
+    val vals = hyperplaneValuesSql(numBands, planesPerBand, dim, seed)
     def iter(prev: String): String =
       s"""SELECT l.id AS id, LEAST(MIN(l.rep), COALESCE(MIN(n.rep), MIN(l.rep))) AS rep
          |  FROM $prev l LEFT JOIN edges e ON l.id = e.s
@@ -1122,6 +1132,141 @@ object SparkEntry {
        |l2 AS (${iter("l1")}),
        |l3 AS (${iter("l2")})
        |SELECT id, rep FROM l3""".stripMargin
+  }
+
+  /** q34 replayed END-TO-END in SQL: banded hyperplane-LSH candidate
+    * generation between the probe set (vec_id < `maxProbeId`) and the
+    * full corpus — the SAME seeded plane constants as the engine —
+    * then exact-cosine top-k over the candidates with the engine's
+    * (cosine DESC, corpus_id) tie-break. Same argument as
+    * [[embedNearDupOracleSql]]: the oracle checks the ALGORITHM
+    * hash-exactly without requiring total LSH recall (q74's contract
+    * separately pins quality vs brute force), and the rank order is
+    * FP-safe for the same reason q32's brute-force oracle is — distinct
+    * vectors never tie within 1e-13, equal vectors tie exactly in both
+    * engines and fall to the corpus_id tie-break.
+    */
+  private def bandedLshTopKOracleSql(k: Int, maxProbeId: Long,
+      numBands: Int = 15, planesPerBand: Int = 4, dim: Int = 64,
+      seed: Long = 42L): String = {
+    val vals = hyperplaneValuesSql(numBands, planesPerBand, dim, seed)
+    s"""WITH planes(plane_id, p) AS (VALUES $vals),
+       |vecs AS (
+       |  SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings
+       |  WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
+       |bits AS (
+       |  SELECT id, plane_id,
+       |    CASE WHEN list_dot_product(v, p) >= 0 THEN 1 ELSE 0 END AS bit
+       |  FROM vecs CROSS JOIN planes),
+       |bands AS (
+       |  SELECT id, plane_id // $planesPerBand AS band,
+       |    SUM(bit << (plane_id % $planesPerBand))::BIGINT AS key
+       |  FROM bits GROUP BY id, plane_id // $planesPerBand),
+       |cand AS (
+       |  SELECT DISTINCT p.id AS probe_id, c.id AS corpus_id
+       |  FROM bands p JOIN bands c ON p.band = c.band AND p.key = c.key
+       |  WHERE p.id < $maxProbeId AND c.id <> p.id),
+       |scored AS (
+       |  SELECT cand.probe_id, cand.corpus_id,
+       |    list_cosine_similarity(vc.v, vp.v) AS cs
+       |  FROM cand JOIN vecs vc ON vc.id = cand.corpus_id
+       |  JOIN vecs vp ON vp.id = cand.probe_id)
+       |SELECT probe_id, corpus_id, cosine, rank FROM (
+       |  SELECT probe_id, corpus_id, round(cs, 4) AS cosine,
+       |    row_number() OVER (PARTITION BY probe_id
+       |      ORDER BY cs DESC, corpus_id) AS rank
+       |  FROM scored)
+       |WHERE rank <= $k""".stripMargin
+  }
+
+  // ---- xxhash64-of-long replay in DuckDB HUGEINT arithmetic ------------
+  // Spark's xxhash64 on a LongType column is XXH64.hashLong(v, seed=42):
+  // one 8-byte round + avalanche, all mod-2^64. DuckDB BIGINT multiply
+  // overflows, and HUGEINT can't hold a full 64×64 product either, so
+  // mul64 splits into 32-bit halves: a·b ≡ al·bl + ((al·bh + ah·bl) mod
+  // 2^32)·2^32 (mod 2^64) — every intermediate < 2^65 fits HUGEINT.
+  // Verified identical to Spark's xxhash64 on 10k longs.
+  private val M64 = "18446744073709551616::HUGEINT" // 2^64
+  private def mul64(a: String, b: BigInt): String = {
+    val (bh, bl) = (b >> 32, b & 0xffffffffL)
+    s"""((($a) % 4294967296::HUGEINT) * $bl::HUGEINT +
+       | (((($a) % 4294967296::HUGEINT) * $bh::HUGEINT + (($a) // 4294967296::HUGEINT) * $bl::HUGEINT)
+       |  % 4294967296::HUGEINT) * 4294967296::HUGEINT) % $M64""".stripMargin
+  }
+  private def rotl64(x: String, r: Int): String =
+    s"((($x) * ${BigInt(1) << r}::HUGEINT) % $M64 + ($x) // ${BigInt(1) << (64 - r)}::HUGEINT)"
+  private def shrXor64(x: String, n: Int): String =
+    s"xor($x, ($x) // ${BigInt(1) << n}::HUGEINT)"
+
+  /** CTE chain `xh(id, hs)`: signed xxhash64 of each vecs.id (seed 42). */
+  private def xxh64LongCtes: String = {
+    val P1 = BigInt("9E3779B185EBCA87", 16); val P2 = BigInt("C2B2AE3D27D4EB4F", 16)
+    val P3 = BigInt("165667B19E3779F9", 16); val P4 = BigInt("85EBCA77C2B2AE63", 16)
+    val P5 = BigInt("27D4EB2F165667C5", 16)
+    val seedH = (BigInt(42) + P5 + 8) & ((BigInt(1) << 64) - 1)
+    val steps = Seq(
+      "k1a" -> mul64("u", P2), "k1b" -> rotl64("k1a", 31), "k1" -> mul64("k1b", P1),
+      "h0" -> s"xor($seedH::HUGEINT, k1)", "h1" -> rotl64("h0", 27),
+      "h2" -> s"(${mul64("h1", P1)} + $P4::HUGEINT) % $M64",
+      "f1" -> shrXor64("h2", 33), "f2" -> mul64("f1", P2),
+      "f3" -> shrXor64("f2", 29), "f4" -> mul64("f3", P3), "hh" -> shrXor64("f4", 32))
+    val chain = steps.zipWithIndex.map { case ((n, e), i) =>
+      s"xh${i + 1} AS (SELECT *, $e AS $n FROM xh$i)"
+    }.mkString(",\n")
+    s"""xh0 AS (SELECT id, id::HUGEINT AS u FROM vecs),
+       |$chain,
+       |xh AS (SELECT id, ${toI64Sql("hh")} AS hs FROM xh${steps.size})""".stripMargin
+  }
+
+  /** q52 replayed END-TO-END in SQL: the full IVF pipeline — init centroids
+    * = the `kCells` vectors with smallest SIGNED xxhash64(vec_id) (replayed
+    * in HUGEINT arithmetic above), `iterations` Lloyd's rounds (argmin by
+    * (squared distance, cell) exactly like the engine's array_min over
+    * struct, per-dim AVG centroid update, empty cells keep old centroids),
+    * final assignment, nprobe nearest cells per probe, exact-cosine top-k
+    * tail identical to q32/q34. FP-safety: centroid means differ between
+    * engines by summation order (~1e-16 relative); assignments/rank flip
+    * only on near-exact distance ties, never observed (gaps O(0.01)).
+    */
+  private def ivfTopKOracleSql(k: Int, nprobe: Int, kCells: Int,
+      iterations: Int, maxProbeId: Long, dim: Int = 64): String = {
+    def sqd(a: String, b: String): String =
+      s"list_sum(list_transform(generate_series(1,$dim), i -> (($a)[i] - ($b)[i])^2))"
+    def assign(name: String, cprev: String, filter: String = "", rn: String = "= 1",
+        idOut: String = "id", vOut: String = "v"): String =
+      s"""$name AS (SELECT id AS $idOut, v AS $vOut, cell FROM (
+         |  SELECT va.id, va.v, c.cell,
+         |    row_number() OVER (PARTITION BY va.id ORDER BY ${sqd("va.v", "c.cv")}, c.cell) AS rn
+         |  FROM vecs va CROSS JOIN $cprev c$filter) WHERE rn $rn)""".stripMargin
+    def update(name: String, aprev: String, cprev: String): String =
+      s"""$name AS (SELECT c.cell, coalesce(m.cv, c.cv) AS cv FROM $cprev c LEFT JOIN (
+         |  SELECT cell, list(mx ORDER BY d) AS cv FROM (
+         |    SELECT cell, i.d, avg(v[i.d]) AS mx FROM $aprev
+         |    CROSS JOIN (SELECT unnest(generate_series(1,$dim)) AS d) i
+         |    GROUP BY cell, i.d) GROUP BY cell) m ON m.cell = c.cell)""".stripMargin
+    val lloyd = (1 to iterations).flatMap { i =>
+      Seq(assign(s"a$i", s"c${i - 1}"), update(s"c$i", s"a$i", s"c${i - 1}"))
+    }.mkString(",\n")
+    s"""WITH vecs AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+       |$xxh64LongCtes,
+       |init AS (SELECT id, row_number() OVER (ORDER BY hs) - 1 AS cell
+       |         FROM xh ORDER BY hs LIMIT $kCells),
+       |c0 AS (SELECT init.cell, v.v AS cv FROM init JOIN vecs v ON v.id = init.id),
+       |$lloyd,
+       |${assign("afin", s"c$iterations")},
+       |corp AS (SELECT id AS corpus_id, v AS cv, cell FROM afin
+       |         WHERE list_dot_product(v, v) > 0),
+       |${assign("pc", s"c$iterations",
+        filter = s"\n  WHERE va.id < $maxProbeId AND list_dot_product(va.v, va.v) > 0",
+        rn = s"<= $nprobe", idOut = "probe_id", vOut = "pv")},
+       |scored AS (
+       |  SELECT pc.probe_id, corp.corpus_id, list_cosine_similarity(corp.cv, pc.pv) AS cs
+       |  FROM pc JOIN corp ON corp.cell = pc.cell AND corp.corpus_id <> pc.probe_id)
+       |SELECT probe_id, corpus_id, cosine, rank FROM (
+       |  SELECT probe_id, corpus_id, round(cs, 4) AS cosine,
+       |    row_number() OVER (PARTITION BY probe_id ORDER BY cs DESC, corpus_id) AS rank
+       |  FROM scored)
+       |WHERE rank <= $k""".stripMargin
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -1557,6 +1702,11 @@ object SparkEntry {
         | FROM embeddings c JOIN embeddings p ON c.vec_id <> p.vec_id
         | WHERE p.vec_id < 5)
         |WHERE rank <= 10""".stripMargin,
+
+    "q34_lsh_topk" -> bandedLshTopKOracleSql(k = 10, maxProbeId = 5),
+
+    "q52_ivf_topk" -> ivfTopKOracleSql(k = 10, nprobe = 4, kCells = 8,
+      iterations = 3, maxProbeId = 5),
 
     "q36_asof_join" ->
       """SELECT l.event_id, r.value AS last_purchase_value
