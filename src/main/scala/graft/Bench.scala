@@ -40,7 +40,11 @@ object Bench {
     "q51_tpch_q5",
     "q52_ivf_topk",
     "q59_resample_locf",
-    "q62_curation")
+    "q62_curation",
+    // round 3: planner-stress decorrelation + training-data scale paths
+    "q85_tpch_q21",
+    "q90_seq_packing",
+    "q92_decontam")
 
   private def runOnce(name: String, spark: SparkSession, sfDir: String): Unit =
     SparkEntry.queries(name)(spark, sfDir)

@@ -634,6 +634,70 @@ object SparkEntry {
           |    WHERE l2.l_partkey = l1.l_partkey))""".stripMargin)
     }),
 
+    // TPC-H Q22 shape: IN-list filter + uncorrelated scalar AVG subquery
+    // + NOT EXISTS anti-join + aggregate (cntrycode adapted to nationkey;
+    // the testdata customer has no phone column).
+    "q88_tpch_q22" -> ((s, d) => {
+      t(s, d, "customer").createOrReplaceTempView("customer_v88")
+      t(s, d, "orders").createOrReplaceTempView("orders_v88")
+      s.sql(
+        """SELECT c_nationkey AS cntry, count(*) AS numcust,
+          |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+          |FROM customer_v88
+          |WHERE c_nationkey IN (0, 1, 2, 3, 4)
+          |  AND c_acctbal > (SELECT AVG(c_acctbal) FROM customer_v88
+          |    WHERE c_acctbal > 0 AND c_nationkey IN (0, 1, 2, 3, 4))
+          |  AND NOT EXISTS (SELECT 1 FROM orders_v88
+          |    WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+          |GROUP BY c_nationkey""".stripMargin)
+    }),
+
+    // Deterministic hash split: reproducible train/val/test assignment
+    // (pmod(xxhash64(id), 100)) — oracle replays the hash in HUGEINT SQL
+    "q89_det_split" -> ((s, d) =>
+      graft.operators.TrainingData.deterministicSplit(
+        t(s, d, "documents"), "doc_id", trainPct = 90, valPct = 5)
+        .select("doc_id", "bucket", "split")),
+
+    // Concat-and-chunk sequence packing: 256-token chunks, 4 shards
+    "q90_seq_packing" -> ((s, d) =>
+      graft.operators.TrainingData.packSequences(
+        t(s, d, "documents"), "doc_id",
+        size(graft.functions.TextFunctions.tokens(col("text"))),
+        capacity = 256, shard = pmod(col("doc_id"), lit(4)))),
+
+    // PII redaction over deterministically synthesized PII (the corpus
+    // itself is clean): email/phone/IPv4 seeded from doc_id, counts on
+    // pre-redaction text, patterns shared Java-regex/RE2
+    "q91_pii_redact" -> ((s, d) => {
+      val withPii = t(s, d, "documents").select(col("doc_id"),
+        concat(
+          substring(col("text"), 1, 40),
+          when(col("doc_id") % 3 === 0,
+            concat(lit(" contact user"), col("doc_id"), lit("@mail.example.com")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 4 === 0,
+            concat(lit(" call 555-010-"),
+              lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 5 === 0,
+            concat(lit(" from 10.0."), (col("doc_id") % 256).cast("string"),
+              lit("."), ((col("doc_id") * 7) % 256).cast("string")))
+            .otherwise(lit(""))).as("t"))
+      graft.operators.TrainingData.redactPii(withPii, "t")
+        .select("doc_id", "n_email", "n_phone", "n_ipv4", "redacted")
+    }),
+
+    // Benchmark decontamination: train docs sharing any word-3-gram with
+    // the eval slice (doc_id % 97 = 0); n_hits = distinct matched grams
+    "q92_decontam" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      graft.operators.TrainingData.decontaminate(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0),
+        "doc_id", "text", n = 3)
+    }),
+
     // Time-series resample: 6h grid per user, LOCF values (µs granularity)
     "q59_resample_locf" -> ((s, d) =>
       graft.operators.Resample.locf(
@@ -1560,6 +1624,72 @@ object SparkEntry {
         |      AND l3.l_returnflag = 'R')
         |  AND s_nationkey = n_nationkey
         |GROUP BY s_name""".stripMargin,
+
+    "q88_tpch_q22" ->
+      """SELECT c_nationkey AS cntry, count(*) AS numcust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        |FROM customer
+        |WHERE c_nationkey IN (0, 1, 2, 3, 4)
+        |  AND c_acctbal > (SELECT AVG(c_acctbal) FROM customer
+        |    WHERE c_acctbal > 0 AND c_nationkey IN (0, 1, 2, 3, 4))
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |    WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |GROUP BY c_nationkey""".stripMargin,
+
+    "q89_det_split" -> {
+      val b = "((hs % 100) + 100) % 100" // pmod for signed hs
+      s"""WITH vecs AS (SELECT doc_id AS id FROM documents),
+         |$xxh64LongCtes
+         |SELECT id AS doc_id, $b AS bucket,
+         |  CASE WHEN $b < 90 THEN 'train'
+         |       WHEN $b < 95 THEN 'val' ELSE 'test' END AS split
+         |FROM xh""".stripMargin
+    },
+
+    "q90_seq_packing" ->
+      s"""WITH tk AS (SELECT doc_id, doc_id % 4 AS shard,
+         |    len($tokensSql) AS n_tokens FROM documents),
+         |o AS (SELECT doc_id, shard, n_tokens,
+         |    CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) AS BIGINT) AS end_off
+         |  FROM tk WHERE n_tokens > 0),
+         |e AS (SELECT doc_id, shard, end_off - n_tokens AS start_off, end_off,
+         |    unnest(generate_series((end_off - n_tokens) // 256, (end_off - 1) // 256)) AS chunk_id
+         |  FROM o)
+         |SELECT shard, chunk_id, doc_id,
+         |  greatest(start_off, chunk_id * 256) AS tok_start,
+         |  least(end_off, (chunk_id + 1) * 256) AS tok_end,
+         |  least(end_off, (chunk_id + 1) * 256)
+         |    - greatest(start_off, chunk_id * 256) AS tokens_in_chunk
+         |FROM e""".stripMargin,
+
+    "q91_pii_redact" -> {
+      val pats = graft.operators.TrainingData.piiPatterns
+      val counts = pats.map { case (kind, pat, _) =>
+        s"len(regexp_extract_all(t, '$pat'))::BIGINT AS n_$kind" }.mkString(",\n ")
+      val redacted = pats.foldLeft("t") { case (acc, (_, pat, repl)) =>
+        s"regexp_replace($acc, '$pat', '$repl', 'g')" }
+      s"""WITH src AS (SELECT doc_id,
+         | substring(text, 1, 40)
+         | || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || doc_id::VARCHAR || '@mail.example.com' ELSE '' END
+         | || CASE WHEN doc_id % 4 = 0 THEN ' call 555-010-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') ELSE '' END
+         | || CASE WHEN doc_id % 5 = 0 THEN ' from 10.0.' || (doc_id % 256)::VARCHAR || '.' || ((doc_id * 7) % 256)::VARCHAR ELSE '' END AS t
+         | FROM documents)
+         |SELECT doc_id, $counts,
+         | $redacted AS redacted
+         |FROM src""".stripMargin
+    },
+
+    "q92_decontam" ->
+      s"""WITH tk AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+         |sh AS (SELECT doc_id,
+         |  list_distinct(list_transform(generate_series(1, len(toks) - 2),
+         |    i -> array_to_string(toks[i:i+2], ' '))) AS g
+         | FROM tk WHERE len(toks) >= 3),
+         |ev AS (SELECT DISTINCT gram FROM
+         |  (SELECT unnest(g) AS gram FROM sh WHERE doc_id % 97 = 0)),
+         |tr AS (SELECT doc_id, unnest(g) AS gram FROM sh WHERE doc_id % 97 <> 0)
+         |SELECT tr.doc_id AS id, count(*) AS n_hits, true AS contaminated
+         |FROM tr JOIN ev USING (gram) GROUP BY tr.doc_id""".stripMargin,
 
     "q86_tpch_q17" ->
       """SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,10)) AS VARCHAR) AS small_qty_revenue,

@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.functions.TextFunctions._
+import graft.functions.HashFunctions._
+
+/** Training-data pipeline operators: deterministic splits, sequence
+  * packing, PII redaction, benchmark decontamination. These are the
+  * corpus-preparation steps a pretraining pipeline runs after curation
+  * (see [[Curation]]) and before serialization.
+  *
+  * All four are pure DataFrame/Column programs — no RNG state, no
+  * driver-side loops — so they re-run identically on retries and
+  * stragglers, which is the property that actually matters at 100 TB:
+  * a `rand()`-based split silently reassigns rows when a task retries.
+  */
+object TrainingData {
+
+  /** Deterministic train/val/test split: bucket = pmod(xxhash64(id), 100),
+    * split by cumulative percentage. Reproducible across runs, clusters
+    * and retries (the hash is a pure function of the id), stable under
+    * corpus growth (a doc's split never changes when OTHER docs are
+    * added/removed — the property k-fold or rank-based splits lack).
+    * Narrow map, no shuffle.
+    */
+  def deterministicSplit(df: DataFrame, idCol: String,
+      trainPct: Int = 90, valPct: Int = 5): DataFrame = {
+    require(trainPct + valPct <= 100, "split percentages exceed 100")
+    df.withColumn("bucket", pmod(xxhash64(col(idCol)), lit(100)))
+      .withColumn("split",
+        when(col("bucket") < trainPct, lit("train"))
+          .when(col("bucket") < trainPct + valPct, lit("val"))
+          .otherwise(lit("test")))
+  }
+
+  /** Concat-and-chunk sequence packing — the GPT-style pretraining layout:
+    * documents are concatenated in deterministic (`shard`, id) order and
+    * cut into fixed `capacity`-token chunks; a document straddling a cut
+    * contributes a span to every chunk it overlaps. Emits one row per
+    * (shard, chunk, doc): the chunk id and the [tok_start, tok_end) span
+    * of the concatenated stream the doc contributes.
+    *
+    * Declarative: a running-sum window gives each doc its stream offset,
+    * and `sequence(first_chunk, last_chunk)` explodes the overlapped
+    * chunks — no sequential driver loop. The window partitions by
+    * `shard`, which is the scale contract: packing is per-shard (per
+    * output file), so shards pack in parallel and a global sort never
+    * happens. More shards = more parallelism, same layout semantics.
+    */
+  def packSequences(df: DataFrame, idCol: String, tokenCount: Column,
+      capacity: Int, shard: Column): DataFrame = {
+    require(capacity > 0, "capacity must be positive")
+    val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
+    df.select(col(idCol), tokenCount.as("n_tokens"), shard.as("shard"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("end_off", sum(col("n_tokens")).over(w))
+      .withColumn("start_off", col("end_off") - col("n_tokens"))
+      // integer `div`, not FP `/` + floor: offsets at 100 TB exceed the
+      // 2^53 range where double division stays exact
+      .withColumn("chunk_id", explode(sequence(
+        expr(s"start_off div $capacity"),
+        expr(s"(end_off - 1) div $capacity"))))
+      .withColumn("tok_start",
+        greatest(col("start_off"), col("chunk_id") * capacity))
+      .withColumn("tok_end",
+        least(col("end_off"), (col("chunk_id") + 1) * capacity))
+      .select(col("shard"), col("chunk_id"), col(idCol),
+        col("tok_start"), col("tok_end"),
+        (col("tok_end") - col("tok_start")).as("tokens_in_chunk"))
+  }
+
+  /** PII redaction patterns — deliberately restricted to syntax shared by
+    * Java regex and RE2 (no lookaround, no backrefs) so any engine in the
+    * pipeline applies the identical policy. Order matters: email first
+    * (an email contains digit runs a later phone pass could mangle).
+    */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", "\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\\b", "<PHONE>"),
+    ("ipv4", "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b", "<IP>"))
+
+  /** Redact PII in `textCol`: returns the input plus `redacted` (all
+    * patterns replaced, in [[piiPatterns]] order) and one `n_<kind>`
+    * match-count column per pattern (counted on the PRE-redaction text).
+    * Pure per-row expressions — narrow, codegen'd, no shuffle.
+    */
+  def redactPii(df: DataFrame, textCol: String): DataFrame = {
+    val counted = piiPatterns.foldLeft(df) { case (d, (kind, pat, _)) =>
+      d.withColumn(s"n_$kind", regexp_count(col(textCol), lit(pat)))
+    }
+    val redacted = piiPatterns.foldLeft(col(textCol)) {
+      case (c, (_, pat, repl)) => regexp_replace(c, pat, repl)
+    }
+    counted.withColumn("redacted", redacted)
+  }
+
+  /** Benchmark decontamination: flag training documents sharing any
+    * word-`n`-gram with an eval/benchmark set (the standard n-gram
+    * contamination check). Returns (id, n_hits, contaminated) per train
+    * doc, where n_hits counts DISTINCT contaminated n-grams.
+    *
+    * Both sides reduce to 8-byte FNV n-gram hashes before the join — the
+    * shuffle carries (hash, id), never text. The eval side is a benchmark
+    * suite (tiny vs the corpus): deduped hashes broadcast, so the corpus
+    * is never shuffled at all. FNV-64 collisions across a benchmark's
+    * ~1e6 n-grams are ~1e-7 spurious flags — acceptable for a flagging
+    * pass whose hits get reviewed; a paranoid pass re-checks hits on the
+    * n-gram string.
+    */
+  def decontaminate(train: DataFrame, eval: DataFrame, idCol: String,
+      textCol: String, n: Int = 8): DataFrame = {
+    def grams(df: DataFrame, out: String): DataFrame =
+      df.select(col(idCol).as(out), tokens(col(textCol)).as("__toks"))
+        .select(col(out), explode(wordShinglesOf(col("__toks"), n)).as("__g"))
+        .select(col(out), fnv64(col("__g")).as("gh"))
+        .distinct()
+    val evalGrams = grams(eval, "eval_id").select("gh").distinct()
+    grams(train, "id")
+      .join(broadcast(evalGrams), Seq("gh"), "left_semi")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_hits"))
+      .withColumn("contaminated", lit(true))
+  }
+}

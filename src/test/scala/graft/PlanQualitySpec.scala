@@ -70,6 +70,32 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.toLowerCase.contains("batchevalpython") && !p.contains("ScalaUDF"))
   }
 
+  test("q89 deterministic split is a narrow codegen map (no shuffle, no UDF)") {
+    val p = plan("q89_det_split")
+    assert(!p.contains("Exchange"), "split must not shuffle")
+    assert(p.contains("*(1)"), "split fell out of codegen")
+    assert(!p.contains("ScalaUDF"))
+  }
+
+  test("q90 sequence packing shuffles once (per-shard window), then explodes narrowly") {
+    val p = plan("q90_seq_packing")
+    assert("Exchange".r.findAllIn(p).size == 1, p.take(600))
+    assert(p.contains("Generate explode"), "chunk-range explode missing")
+  }
+
+  test("q91 PII redaction is a narrow codegen map (no shuffle, no UDF)") {
+    val p = plan("q91_pii_redact")
+    assert(!p.contains("Exchange"), "redaction must not shuffle")
+    assert(p.contains("*(1)"), "redaction fell out of codegen")
+    assert(!p.contains("ScalaUDF"))
+  }
+
+  test("q92 decontamination broadcasts the eval side; corpus is never shuffled by the join") {
+    val p = plan("q92_decontam")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p.take(600))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("weather transform is one narrow codegen stage (no shuffle, no UDF)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-plan-csv")
     val content = "Time;Temperature;Humidity;Pressure;Speed;Precip. Accum.\n" +

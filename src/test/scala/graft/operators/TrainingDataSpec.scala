@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class TrainingDataSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("deterministicSplit: buckets in range, fractions sane, hash-pure") {
+    val docs = (0L until 2000L).toDF("id")
+    val split = TrainingData.deterministicSplit(docs, "id", 90, 5)
+      .select("id", "bucket", "split").collect()
+    assert(split.forall(r => r.getLong(1) >= 0 && r.getLong(1) < 100))
+    val bySplit = split.groupBy(_.getString(2)).view.mapValues(_.length).toMap
+    // hash buckets are uniform-ish: 90/5/5 ±3 points on 2000 ids
+    assert(math.abs(bySplit("train") / 2000.0 - 0.90) < 0.03)
+    assert(math.abs(bySplit("val") / 2000.0 - 0.05) < 0.03)
+    assert(math.abs(bySplit("test") / 2000.0 - 0.05) < 0.03)
+  }
+
+  test("deterministicSplit: a doc's split never changes when the corpus changes") {
+    val full = TrainingData.deterministicSplit((0L until 1000L).toDF("id"), "id")
+      .select("id", "split").as[(Long, String)].collect().toMap
+    val subset = TrainingData.deterministicSplit(
+      (0L until 1000L).filter(_ % 3 == 0).toDF("id"), "id")
+      .select("id", "split").as[(Long, String)].collect().toMap
+    subset.foreach { case (id, s) => assert(full(id) == s) }
+  }
+
+  test("packSequences: exact spans, straddling docs span chunks, capacity kept") {
+    // one shard; token counts 100, 200, 50, 30: stream offsets
+    // [0,100) [100,300) [300,350) [350,380); capacity 128 → chunk cuts at
+    // 128, 256: doc 2 (100-300) overlaps chunks 0,1,2
+    val docs = Seq((1L, 100), (2L, 200), (3L, 50), (4L, 30)).toDF("id", "n")
+    val packed = TrainingData.packSequences(docs, "id", col("n"),
+        capacity = 128, shard = lit(0L))
+      .orderBy("chunk_id", "id")
+      .select("chunk_id", "id", "tok_start", "tok_end")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(packed == Seq(
+      (0L, 1L, 0L, 100L), (0L, 2L, 100L, 128L),
+      (1L, 2L, 128L, 256L),
+      (2L, 2L, 256L, 300L), (2L, 3L, 300L, 350L), (2L, 4L, 350L, 380L)))
+    // no chunk ever exceeds capacity; spans are contiguous per chunk
+    val byChunk = packed.groupBy(_._1).view.mapValues(_.map(t => t._4 - t._3).sum)
+    assert(byChunk.values.forall(_ <= 128))
+  }
+
+  test("packSequences: shards pack independently and zero-token docs drop") {
+    val docs = Seq((1L, 10, 0L), (2L, 0, 0L), (3L, 10, 1L)).toDF("id", "n", "s")
+    val packed = TrainingData.packSequences(docs, "id", col("n"),
+        capacity = 16, shard = col("s"))
+      .select("shard", "chunk_id", "id", "tok_start")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // doc 2 (zero tokens) gone; both shards start their own stream at 0
+    assert(packed == Set((0L, 0L, 1L, 0L), (1L, 0L, 3L, 0L)))
+  }
+
+  test("redactPii: all three kinds replaced, counts on pre-redaction text") {
+    val df = Seq(
+      (1L, "mail a.b-c%d@ex-1.co.uk or 555-123-4567 at 192.168.0.1 twice 1.2.3.4"),
+      (2L, "clean text, no pii 12345")).toDF("id", "t")
+    val out = TrainingData.redactPii(df, "t").orderBy("id")
+      .select("n_email", "n_phone", "n_ipv4", "redacted")
+      .as[(Int, Int, Int, String)].collect().toSeq
+    assert(out(0) == ((1, 1, 2,
+      "mail <EMAIL> or <PHONE> at <IP> twice <IP>")))
+    assert(out(1) == ((0, 0, 0, "clean text, no pii 12345")))
+  }
+
+  test("decontaminate: shared n-gram flags the doc, distinct hits counted") {
+    val train = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"),
+      (11L, "completely disjoint words here entirely"),
+      (12L, "quick brown fox again and quick brown fox twice")).toDF("doc_id", "text")
+    val eval = Seq((90L, "a quick brown fox appeared")).toDF("doc_id", "text")
+    val out = TrainingData.decontaminate(train, eval, "doc_id", "text", n = 3)
+      .select("id", "n_hits").as[(Long, Long)].collect().toMap
+    // 'quick brown fox' is the only shared 3-gram; doc 12 repeats it but
+    // hits count DISTINCT grams
+    assert(out == Map(10L -> 1L, 12L -> 1L))
+  }
+}
