@@ -34,7 +34,8 @@ object SparkEntry {
 
   // ---------------------------------------------------------------- queries
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map[String, (SparkSession, String) => DataFrame](
     // A4/A6 + P2: grouped aggregation sweep (TPC-H Q1 shape)
     "q01_pricing_summary" -> ((s, d) =>
       t(s, d, "lineitem")
@@ -1025,7 +1026,135 @@ object SparkEntry {
           sum(coalesce(col("hit"), lit(0))).as("found"))
         .select(col("exact_pairs"),
           (col("found") >= col("exact_pairs") * 0.8).as("recall_ok"))
-    }))
+    })) ++ tpchPortable.map { case (name, sql) =>
+      name -> ((s: SparkSession, d: String) => onCanonicalViews(s, d, sql))
+    }
+
+  /** Canonical temp views named exactly like the parquet tables, so a
+    * dialect-portable SQL text runs verbatim on Spark AND as the DuckDB
+    * oracle — one source of truth, zero translation drift.
+    */
+  private def onCanonicalViews(s: SparkSession, d: String, sql: String): DataFrame = {
+    Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
+      .foreach(tb => t(s, d, tb).createOrReplaceTempView(tb))
+    s.sql(sql)
+  }
+
+  /** TPC-H shapes in dialect-portable ANSI SQL (identical text both
+    * engines). Decimal discipline: exact DECIMAL arithmetic sized to stay
+    * under precision 38 on both engines (no engine rescale-rounding),
+    * DOUBLE casts only at output or for strict-inequality thresholds.
+    * Q4/Q12/Q13/Q15/Q11/Q2/Q8/Q9/Q16 — adapted to this schema (no
+    * partsupp/shipmode/commitdate: lineitem is the part-supplier bridge,
+    * l_returnflag stands in for lateness/shipmode, p_retailprice for
+    * ps_supplycost).
+    */
+  private val tpchPortable: Map[String, String] = Map(
+    // Q4: EXISTS semi-join under a date-range scan, priority rollup
+    "q93_tpch_q4" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY o_orderpriority""".stripMargin,
+
+    // Q12: two-value IN filter + conditional counts over a fact-fact join
+    "q94_tpch_q12" ->
+      """SELECT l_returnflag AS flag_mode,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE l_returnflag IN ('R', 'A')
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |GROUP BY l_returnflag""".stripMargin,
+
+    // Q13: left outer join with ON-clause predicate + count distribution
+    "q95_tpch_q13" ->
+      """SELECT c_count, count(*) AS custdist
+        |FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+        |      FROM customer LEFT OUTER JOIN orders
+        |        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |      GROUP BY c_custkey) c_orders
+        |GROUP BY c_count""".stripMargin,
+
+    // Q15: aggregate CTE + scalar MAX subquery over it, joined back
+    "q96_tpch_q15" ->
+      """WITH revenue AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(12,4)))) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS max_revenue
+        |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        |WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)""".stripMargin,
+
+    // Q11: grouped value share vs an uncorrelated global scalar threshold
+    "q97_tpch_q11" ->
+      """WITH supval AS (
+        |  SELECT l_partkey AS ps_partkey,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_quantity AS DECIMAL(18,2))) AS val
+        |  FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE n_regionkey = 0
+        |  GROUP BY l_partkey)
+        |SELECT ps_partkey, CAST(val AS DOUBLE) AS value
+        |FROM supval
+        |WHERE CAST(val AS DOUBLE) > (SELECT CAST(SUM(val) AS DOUBLE) * 0.001 FROM supval)""".stripMargin,
+
+    // Q2: correlated MIN subquery repeating the outer's region restriction
+    "q98_tpch_q2" ->
+      """SELECT s_acctbal, s_name, n_name, p_partkey, p_name, l_extendedprice AS min_price
+        |FROM part, supplier, lineitem, nation, region
+        |WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey AND p_size = 15
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey AND r_name = 'EUROPE'
+        |  AND l_extendedprice = (
+        |    SELECT min(l2.l_extendedprice)
+        |    FROM lineitem l2, supplier s2, nation n2, region r2
+        |    WHERE l2.l_partkey = p_partkey AND s2.s_suppkey = l2.l_suppkey
+        |      AND s2.s_nationkey = n2.n_nationkey AND n2.n_regionkey = r2.r_regionkey
+        |      AND r2.r_name = 'EUROPE')""".stripMargin,
+
+    // Q8: market share — 7-table join, two nation roles, case-sum ratio
+    "q99_tpch_q8" ->
+      """WITH allnations AS (
+        |  SELECT year(o_orderdate) AS o_year,
+        |    CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(12,4))) AS volume,
+        |    n2.n_name AS nation
+        |  FROM lineitem
+        |  JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN customer ON c_custkey = o_custkey
+        |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |  JOIN region ON n1.n_regionkey = r_regionkey
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |  WHERE r_name = 'ASIA')
+        |SELECT o_year,
+        |  CAST(SUM(CASE WHEN nation = 'NATION_2' THEN volume ELSE 0 END) AS DOUBLE) AS nation_volume,
+        |  CAST(SUM(volume) AS DOUBLE) AS total_volume,
+        |  CAST(SUM(CASE WHEN nation = 'NATION_2' THEN volume ELSE 0 END) AS DOUBLE)
+        |    / CAST(SUM(volume) AS DOUBLE) AS mkt_share
+        |FROM allnations GROUP BY o_year""".stripMargin,
+
+    // Q9: profit rollup by nation × year (p_retailprice as unit cost)
+    "q100_tpch_q9" ->
+      """SELECT n_name AS nation, year(o_orderdate) AS o_year,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(12,4)))
+        |    - CAST(p_retailprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_profit
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_name LIKE '%a%'
+        |GROUP BY n_name, year(o_orderdate)""".stripMargin,
+
+    // Q16: NOT IN (null-aware anti join) + COUNT(DISTINCT) rollup
+    "q101_tpch_q16" ->
+      """SELECT p_brand, p_type, count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand <> 'Brand#1' AND p_size IN (1, 2, 3, 4, 5, 6, 7, 8)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_type""".stripMargin)
 
   /** Per-probe recall of an approximate top-k against the exact top-k:
     * (probe_id, k, recall_ok). Grouping on the EXACT side keeps probes
@@ -2137,5 +2266,5 @@ object SparkEntry {
         |JOIN nation ON s_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |WHERE r_name = 'ASIA'
-        |GROUP BY n_name""".stripMargin)
+        |GROUP BY n_name""".stripMargin) ++ tpchPortable
 }
