@@ -635,6 +635,32 @@ object SparkEntry {
           |    WHERE l2.l_partkey = l1.l_partkey))""".stripMargin)
     }),
 
+    // Deterministic stratified sample: per-language hash-gate rates
+    "q102_stratified_sample" -> ((s, d) =>
+      graft.operators.TrainingData.stratifiedSample(
+        t(s, d, "documents"), "doc_id", "lang",
+        rates = Map("en" -> 0.5, "fr" -> 1.0, "zh" -> 0.1), defaultRate = 0.25)
+        .select("doc_id", "lang")),
+
+    // Weighted corpus mixing with a deterministic shuffle key
+    "q103_corpus_mix" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      graft.operators.TrainingData.mixCorpora(Seq(
+        ("src0", docs.filter(col("source") === "src0"), 1.0),
+        ("src1", docs.filter(col("source") === "src1"), 0.5),
+        ("src2", docs.filter(col("source") === "src2"), 0.25)), "doc_id")
+        .select("source_name", "doc_id", "shuffle_key")
+    }),
+
+    // BPE-style pre-token counts (digit/punct runs synthesized from doc_id
+    // — the corpus itself is plain lowercase words)
+    "q104_pretokenize" -> ((s, d) =>
+      graft.operators.TextAnalysis.preTokenStats(
+        t(s, d, "documents").select(col("doc_id"),
+          concat(substring(col("text"), 1, 60), lit(" v1.2, id="),
+            col("doc_id"), lit("!!")).as("t")),
+        "doc_id", "t")),
+
     // TPC-H Q22 shape: IN-list filter + uncorrelated scalar AVG subquery
     // + NOT EXISTS anti-join + aggregate (cntrycode adapted to nationkey;
     // the testdata customer has no phone column).
@@ -1391,8 +1417,13 @@ object SparkEntry {
   private def shrXor64(x: String, n: Int): String =
     s"xor($x, ($x) // ${BigInt(1) << n}::HUGEINT)"
 
-  /** CTE chain `xh(id, hs)`: signed xxhash64 of each vecs.id (seed 42). */
-  private def xxh64LongCtes: String = {
+  /** CTE chain `$prefix(<carry>, hs)`: signed xxhash64 (seed 42) of the
+    * long-valued `$inExpr` evaluated over `$src`, carrying `carry`
+    * columns through. Reusable — distinct prefixes let one oracle apply
+    * the hash to several inputs.
+    */
+  private def xxh64Chain(prefix: String, src: String, inExpr: String,
+      carry: Seq[String]): String = {
     val P1 = BigInt("9E3779B185EBCA87", 16); val P2 = BigInt("C2B2AE3D27D4EB4F", 16)
     val P3 = BigInt("165667B19E3779F9", 16); val P4 = BigInt("85EBCA77C2B2AE63", 16)
     val P5 = BigInt("27D4EB2F165667C5", 16)
@@ -1404,12 +1435,16 @@ object SparkEntry {
       "f1" -> shrXor64("h2", 33), "f2" -> mul64("f1", P2),
       "f3" -> shrXor64("f2", 29), "f4" -> mul64("f3", P3), "hh" -> shrXor64("f4", 32))
     val chain = steps.zipWithIndex.map { case ((n, e), i) =>
-      s"xh${i + 1} AS (SELECT *, $e AS $n FROM xh$i)"
+      s"$prefix${i + 1} AS (SELECT *, $e AS $n FROM $prefix$i)"
     }.mkString(",\n")
-    s"""xh0 AS (SELECT id, id::HUGEINT AS u FROM vecs),
+    val cs = carry.mkString(", ")
+    s"""${prefix}0 AS (SELECT $cs, ($inExpr)::HUGEINT AS u FROM $src),
        |$chain,
-       |xh AS (SELECT id, ${toI64Sql("hh")} AS hs FROM xh${steps.size})""".stripMargin
+       |$prefix AS (SELECT $cs, ${toI64Sql("hh")} AS hs FROM $prefix${steps.size})""".stripMargin
   }
+
+  /** Back-compat form: `xh(id, hs)` over `vecs.id`. */
+  private def xxh64LongCtes: String = xxh64Chain("xh", "vecs", "id", Seq("id"))
 
   /** q52 replayed END-TO-END in SQL: the full IVF pipeline — init centroids
     * = the `kCells` vectors with smallest SIGNED xxhash64(vec_id) (replayed
@@ -1806,6 +1841,37 @@ object SparkEntry {
          |SELECT doc_id, $counts,
          | $redacted AS redacted
          |FROM src""".stripMargin
+    },
+
+    "q102_stratified_sample" ->
+      s"""WITH vecs AS (SELECT doc_id AS id, lang FROM documents),
+         |${xxh64Chain("xh", "vecs", "id", Seq("id", "lang"))}
+         |SELECT id AS doc_id, lang FROM xh
+         |WHERE ((hs % 1000000) + 1000000) % 1000000 <
+         |  CASE lang WHEN 'en' THEN 500000 WHEN 'fr' THEN 1000000
+         |            WHEN 'zh' THEN 100000 ELSE 250000 END""".stripMargin,
+
+    "q103_corpus_mix" ->
+      s"""WITH src AS (SELECT doc_id, source,
+         |    CASE source WHEN 'src0' THEN 0 WHEN 'src1' THEN 1 ELSE 2 END AS sidx,
+         |    CASE source WHEN 'src0' THEN 1000000 WHEN 'src1' THEN 500000 ELSE 250000 END AS thr
+         |  FROM documents WHERE source IN ('src0', 'src1', 'src2')),
+         |${xxh64Chain("g", "src", "doc_id * 3 + sidx", Seq("doc_id", "source", "sidx", "thr"))},
+         |kept AS (SELECT doc_id, source, sidx FROM g
+         |  WHERE ((hs % 1000000) + 1000000) % 1000000 < thr),
+         |${xxh64Chain("sk", "kept", "doc_id * 3 + sidx + 1000000000000",
+            Seq("doc_id", "source"))}
+         |SELECT source AS source_name, doc_id, hs AS shuffle_key FROM sk""".stripMargin,
+
+    "q104_pretokenize" -> {
+      val pat = graft.operators.TextAnalysis.preTokenPattern
+      s"""WITH src AS (SELECT doc_id,
+         |  substring(text, 1, 60) || ' v1.2, id=' || doc_id::VARCHAR || '!!' AS t FROM documents),
+         |pre AS (SELECT doc_id, regexp_extract_all(t, '$pat') AS p FROM src)
+         |SELECT doc_id, len(p) AS n_pretokens,
+         | len(list_distinct(p)) AS n_distinct_pretokens,
+         | len(list_filter(p, x -> regexp_full_match(x, '[0-9]+'))) AS n_numeric_runs
+         |FROM pre""".stripMargin
     },
 
     "q92_decontam" ->

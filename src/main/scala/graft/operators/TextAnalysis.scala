@@ -158,4 +158,24 @@ object TextAnalysis {
       polyFingerprint(col(textCol)).as("poly_hash"),
       simhash64(tokens(col(textCol))).as("simhash"),
       winnowFingerprint(col(textCol)).as("winnow"))
+
+  /** BPE-style PRE-tokenizer pattern (the split that runs before merges in
+    * GPT-2-family tokenizers), simplified to the Java-regex/RE2-shared
+    * subset: letter runs, digit runs, non-space punctuation runs. Token
+    * COUNTING with this split approximates subword token counts far
+    * better than whitespace words on code/numeric text.
+    */
+  val preTokenPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+"
+
+  /** Per-doc pre-token statistics: total, distinct, and numeric-run
+    * counts. The extract-all is staged once per row; all counts derive
+    * from the one array.
+    */
+  def preTokenStats(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+        regexp_extract_all(col(textCol), lit(preTokenPattern), lit(0)).as("__pre"))
+      .select(col(idCol),
+        size(col("__pre")).as("n_pretokens"),
+        size(array_distinct(col("__pre"))).as("n_distinct_pretokens"),
+        size(filter(col("__pre"), t => t.rlike("^[0-9]+$"))).as("n_numeric_runs"))
 }

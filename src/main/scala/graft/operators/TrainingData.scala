@@ -72,6 +72,48 @@ object TrainingData {
         (col("tok_end") - col("tok_start")).as("tokens_in_chunk"))
   }
 
+  /** Deterministic stratified sampling: keep a row iff its hash bucket
+    * (pmod(xxhash64(id), 1e6)) falls below its stratum's rate threshold.
+    * Same determinism contract as [[deterministicSplit]] — retry-stable,
+    * corpus-growth-stable, and per-stratum rates compose with it (the
+    * split and the sample use the same bucket, so e.g. a 10% sample of
+    * the train split is exactly the sample ∩ split). Narrow, no shuffle.
+    */
+  def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,
+      rates: Map[String, Double], defaultRate: Double = 0.0): DataFrame = {
+    require((defaultRate +: rates.values.toSeq).forall(r => r >= 0 && r <= 1),
+      "rates must be in [0, 1]")
+    val bucket = pmod(xxhash64(col(idCol)), lit(1000000L))
+    val threshold = rates.toSeq.sortBy(_._1)
+      .foldLeft(lit(math.round(defaultRate * 1000000L))) { case (acc, (k, r)) =>
+        when(col(strataCol) === k, lit(math.round(r * 1000000L))).otherwise(acc)
+      }
+    df.filter(bucket < threshold)
+  }
+
+  /** Weighted corpus mixing: each source is deterministically downsampled
+    * to its weight, tagged, unioned, and given a deterministic
+    * `shuffle_key` — writing sorted by it interleaves sources
+    * pseudo-randomly but REPRODUCIBLY (the mixing-ratio + shuffle step of
+    * a pretraining data pipeline). The gate and the shuffle key hash
+    * DISJOINT inputs (`folded` vs `folded + 1e12`), so kept-ness and
+    * position are independent. No global sort here: the key is emitted,
+    * the writer's range-partitioned sort realizes the order at scale.
+    */
+  def mixCorpora(sources: Seq[(String, DataFrame, Double)],
+      idCol: String): DataFrame = {
+    require(sources.nonEmpty && sources.forall(s => s._3 >= 0 && s._3 <= 1))
+    val n = sources.size
+    sources.zipWithIndex.map { case ((name, df, rate), idx) =>
+      // distinct long per (source, row) — fold the source index in
+      val folded = col(idCol) * n + lit(idx)
+      df.filter(pmod(xxhash64(folded), lit(1000000L)) <
+          lit(math.round(rate * 1000000L)))
+        .withColumn("source_name", lit(name))
+        .withColumn("shuffle_key", xxhash64(folded + lit(1000000000000L)))
+    }.reduce(_ unionByName _)
+  }
+
   /** PII redaction patterns — deliberately restricted to syntax shared by
     * Java regex and RE2 (no lookaround, no backrefs) so any engine in the
     * pipeline applies the identical policy. Order matters: email first

@@ -90,6 +90,16 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(n == 10, s"got $n")
   }
 
+  test("preTokenStats: letter/digit/punct runs split and counted") {
+    val df = Seq((1L, "abc v1.2, x=42 abc!!")).toDF("id", "t")
+    val r = TextAnalysis.preTokenStats(df, "id", "t").head()
+    // abc|v|1|.|2|,|x|=|42|abc|!! → 11 pretokens, 10 distinct (abc twice),
+    // numeric runs: 1, 2, 42
+    assert(r.getInt(1) == 11, s"n_pretokens ${r.getInt(1)}")
+    assert(r.getInt(2) == 10, s"n_distinct ${r.getInt(2)}")
+    assert(r.getInt(3) == 3, s"n_numeric ${r.getInt(3)}")
+  }
+
   test("winnowing: shared long substring guarantees shared fingerprint; disjoint text doesn't") {
     val shared = "the winnowing algorithm selects minima of rolling hash windows"
     val df = Seq(

@@ -71,6 +71,55 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(out(1) == ((0, 0, 0, "clean text, no pii 12345")))
   }
 
+  test("stratifiedSample: per-stratum rates hold and are retry-stable") {
+    val docs = (0L until 4000L).map(i => (i, if (i % 2 == 0) "a" else "b"))
+      .toDF("id", "g")
+    val kept = TrainingData.stratifiedSample(docs, "id", "g",
+      rates = Map("a" -> 0.5, "b" -> 0.1))
+      .select("id", "g").as[(Long, String)].collect()
+    val byG = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(math.abs(byG("a") / 2000.0 - 0.5) < 0.05)
+    assert(math.abs(byG("b") / 2000.0 - 0.1) < 0.05)
+    // retry-stability: second run keeps the identical set
+    val again = TrainingData.stratifiedSample(docs, "id", "g",
+      rates = Map("a" -> 0.5, "b" -> 0.1)).select("id").as[Long].collect().toSet
+    assert(kept.map(_._1).toSet == again)
+  }
+
+  test("stratifiedSample composes with deterministicSplit (same bucket hash)") {
+    val docs = (0L until 1000L).toDF("id")
+    val split = TrainingData.deterministicSplit(docs, "id", 90, 5)
+    // 50% sample of everything = 50% sample of each split, exactly
+    val sampled = TrainingData.stratifiedSample(
+      split, "id", "split", rates = Map("train" -> 0.5, "val" -> 0.5, "test" -> 0.5))
+      .select("id").as[Long].collect().toSet
+    val direct = TrainingData.stratifiedSample(
+      docs.withColumn("c", lit("x")), "id", "c", rates = Map("x" -> 0.5))
+      .select("id").as[Long].collect().toSet
+    assert(sampled == direct)
+  }
+
+  test("mixCorpora: weights hold, sources tagged, shuffle key deterministic") {
+    val a = (0L until 1000L).toDF("id")
+    val b = (0L until 1000L).toDF("id")
+    val mixed = TrainingData.mixCorpora(
+      Seq(("a", a, 1.0), ("b", b, 0.25)), "id")
+      .select("source_name", "id", "shuffle_key")
+      .as[(String, Long, Long)].collect()
+    val byS = mixed.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(byS("a") == 1000, "weight 1.0 must keep everything")
+    assert(math.abs(byS("b") / 1000.0 - 0.25) < 0.05)
+    // same id in different sources gets a DIFFERENT shuffle key (folded id)
+    val keysA = mixed.filter(_._1 == "a").map(m => m._2 -> m._3).toMap
+    val keysB = mixed.filter(_._1 == "b").map(m => m._2 -> m._3).toMap
+    keysB.keys.take(50).foreach(id => assert(keysA(id) != keysB(id)))
+    // rerun bit-identical
+    val again = TrainingData.mixCorpora(Seq(("a", a, 1.0), ("b", b, 0.25)), "id")
+      .select("source_name", "id", "shuffle_key")
+      .as[(String, Long, Long)].collect()
+    assert(mixed.sortBy(m => (m._1, m._2)).toSeq == again.sortBy(m => (m._1, m._2)).toSeq)
+  }
+
   test("decontaminate: shared n-gram flags the doc, distinct hits counted") {
     val train = Seq(
       (10L, "the quick brown fox jumps over the lazy dog"),
