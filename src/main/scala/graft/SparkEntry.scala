@@ -635,6 +635,24 @@ object SparkEntry {
           |    WHERE l2.l_partkey = l1.l_partkey))""".stripMargin)
     }),
 
+    // End-to-end training-data pipeline: curation funnel (lang + quality
+    // + exact dedup) → deterministic 90/5/5 split → 256-token sequence
+    // packing of the train split across 2 shards. One declarative plan;
+    // the oracle composes the q62/q89/q90 replays.
+    "q105_pipeline_e2e" -> ((s, d) => {
+      val curated = graft.operators.Curation.curate(
+        t(s, d, "documents"),
+        graft.operators.Curation.Config(
+          allowedLangs = Some(Set("en", "fr", "de", "es")),
+          minQuality = 0.3, minTokens = 5, nearDupJaccard = None))
+      val train = graft.operators.TrainingData
+        .deterministicSplit(curated, "doc_id", trainPct = 90, valPct = 5)
+        .filter(col("split") === "train")
+      graft.operators.TrainingData.packSequences(
+        train, "doc_id", col("n_tokens"),
+        capacity = 256, shard = pmod(col("doc_id"), lit(2)))
+    }),
+
     // Deterministic stratified sample: per-language hash-gate rates
     "q102_stratified_sample" -> ((s, d) =>
       graft.operators.TrainingData.stratifiedSample(
@@ -1842,6 +1860,40 @@ object SparkEntry {
          | $redacted AS redacted
          |FROM src""".stripMargin
     },
+
+    // q62's funnel CTEs → q89's split hash chain → q90's packing window,
+    // composed into one statement (same single-sources-of-truth replays)
+    "q105_pipeline_e2e" ->
+      s"""WITH tk AS (SELECT doc_id, text, lang, $tokensSql AS toks FROM documents),
+         |m AS (SELECT doc_id, text, lang,
+         |  len(toks) AS n_tokens,
+         |  round(least(len(toks) / 20.0, 1.0)
+         |    * greatest(1.0 - (CASE WHEN length(text) > 0
+         |        THEN (length(text) - length(regexp_replace(text, '[.,;:!?''"()\\-]', '', 'g')))::DOUBLE / length(text)
+         |        ELSE 0.0 END) * 5.0, 0.0)
+         |    * least((CASE WHEN len(toks) > 0
+         |        THEN len(list_filter(toks, tk2 -> list_contains(['the','a','an','and','or','of','to','in','is','it'], tk2)))::DOUBLE / len(toks)
+         |        ELSE 0.0 END) * 5.0, 1.0), 4) AS quality_score
+         | FROM tk),
+         |gated AS (SELECT * FROM m
+         | WHERE lang IN ('en','fr','de','es') AND n_tokens >= 5 AND quality_score >= 0.3),
+         |keep AS (SELECT min(doc_id) AS doc_id FROM gated GROUP BY text),
+         |cur AS (SELECT g.doc_id, g.n_tokens FROM gated g JOIN keep USING (doc_id)),
+         |${xxh64Chain("xh", "cur", "doc_id", Seq("doc_id", "n_tokens"))},
+         |trn AS (SELECT doc_id, doc_id % 2 AS shard, n_tokens FROM xh
+         | WHERE ((hs % 100) + 100) % 100 < 90),
+         |o AS (SELECT doc_id, shard, n_tokens,
+         |    CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) AS BIGINT) AS end_off
+         |  FROM trn WHERE n_tokens > 0),
+         |e AS (SELECT doc_id, shard, end_off - n_tokens AS start_off, end_off,
+         |    unnest(generate_series((end_off - n_tokens) // 256, (end_off - 1) // 256)) AS chunk_id
+         |  FROM o)
+         |SELECT shard, chunk_id, doc_id,
+         |  greatest(start_off, chunk_id * 256) AS tok_start,
+         |  least(end_off, (chunk_id + 1) * 256) AS tok_end,
+         |  least(end_off, (chunk_id + 1) * 256)
+         |    - greatest(start_off, chunk_id * 256) AS tokens_in_chunk
+         |FROM e""".stripMargin,
 
     "q102_stratified_sample" ->
       s"""WITH vecs AS (SELECT doc_id AS id, lang FROM documents),
