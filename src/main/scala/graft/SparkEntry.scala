@@ -560,20 +560,26 @@ object SparkEntry {
     // minShared=30: the synthetic docs share a ~30-word vocab, so nearly
     // every pair shares a few ≥8-char substrings (p99 ≈ 19 shared
     // fingerprints); 30 keeps only substantial verbatim overlap.
+    // Dense variant: this corpus is collision-dense (94% of pairs share a
+    // fingerprint at sf0.1), so the compact-set broadcast form wins 5.5x
+    // over the fingerprint join (6.7 s vs 37 s; see Dedup scaladoc). Same
+    // exact output - the oracle is implementation-agnostic.
     "q58_winnow_neardups" -> ((s, d) =>
-      graft.operators.Dedup.winnowNearDups(t(s, d, "documents"), "doc_id", "text",
+      graft.operators.Dedup.winnowNearDupsDense(t(s, d, "documents"), "doc_id", "text",
         minShared = 30)),
 
     // MOSS overlap localization: byte offsets of every shared winnowing
     // fingerprint, for the near-dup pairs q58 surfaces (positions-level
-    // oracle — q58 checks only the set level)
+    // oracle — q58 checks only the set level). Pairs-scoped form: the
+    // positions kernel + hash join run only over pair members (the
+    // corpus-wide collision self-join measured 207 s at sf0.1; this is ~2 s)
     "q84_winnow_overlaps" -> ((s, d) => {
       val docs = t(s, d, "documents")
       val pairs = graft.operators.Dedup
-        .winnowNearDups(docs, "doc_id", "text", minShared = 30)
+        .winnowNearDupsDense(docs, "doc_id", "text", minShared = 30)
         .select("id_a", "id_b")
-      graft.operators.Dedup.winnowOverlaps(docs, "doc_id", "text")
-        .join(pairs, Seq("id_a", "id_b"))
+      graft.operators.Dedup.winnowOverlaps(docs, "doc_id", "text", pairs,
+        k = 8, window = 6)
     }),
 
     // TPC-H Q21 shape: EXISTS + NOT EXISTS self-joins on the fact table

@@ -14,6 +14,19 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object HashUtil {
 
+  /** Merge-walk |a ∩ b| for SORTED ascending long arrays; no allocation. */
+  def sortedIntersectCount(a: ArrayData, b: ArrayData): Long = {
+    var i = 0; var j = 0; var c = 0L
+    val (na, nb) = (a.numElements(), b.numElements())
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
+
   /** FNV-1a 64-bit over UTF-8 bytes — deterministic across JVMs/partitions. */
   def fnv64(s: UTF8String): Long = {
     val bytes = s.getBytes
@@ -457,6 +470,32 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Intersection size of two SORTED long arrays — a zero-allocation merge
+  * walk. `array_intersect` builds a hash set per row; at millions of
+  * pair rows that allocation storm dominates (measured: the dense winnow
+  * join went 134 s → seconds in a GC-pressured session). Inputs MUST be
+  * sorted ascending (e.g. `sort_array(collect_set(..))`) — unsorted
+  * input silently undercounts, so this is package-scoped behind
+  * [[graft.operators.Dedup.winnowNearDupsDense]]-style callers that
+  * guarantee it.
+  */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    HashUtil.sortedIntersectCount(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.HashUtil.sortedIntersectCount($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectCount =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column-API entry points for the custom expressions. */
 object HashFunctions {
   private def lift(e: Expression): Column = ColumnBridge.column(e)
@@ -469,6 +508,8 @@ object HashFunctions {
     lift(MinHash64(expr(features), numHashes))
   def dotProduct(a: Column, b: Column): Column =
     lift(DotProduct(expr(a), expr(b)))
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    lift(SortedIntersectCount(expr(a), expr(b)))
   def winnowFingerprint(c: Column, k: Int = 5, window: Int = 4): Column =
     lift(Winnow(expr(c), k, window))
   def ngramHashes(c: Column, n: Int): Column = lift(NgramHashes(expr(c), n))

@@ -248,8 +248,20 @@ object Dedup {
     * pair sharing a substring of length ≥ window+k-1 shares a fingerprint,
     * so long verbatim overlaps are always caught regardless of how much
     * surrounding text differs — the complement of shingle-Jaccard (which
-    * needs high OVERALL similarity). One explode + one self-join on the
-    * 8-byte fingerprint, aggregated to pair counts: no payload shuffle.
+    * needs high OVERALL similarity).
+    *
+    * One explode + one self-join on the 8-byte fingerprint, aggregated to
+    * pair counts: no payload shuffle. SCALE CONTRACT: the join cost is
+    * Σ n_h² over per-fingerprint doc counts — bounded exactly when the
+    * corpus has been EXACT-DEDUPED first (the [[exactDedup]] → winnow
+    * order of a curation pipeline), so fingerprint collisions reflect
+    * true partial overlaps, not wholesale duplication. On a
+    * collision-dense corpus (this testdata: 94% of all doc pairs share a
+    * fingerprint) use [[winnowNearDupsDense]] — measured 37 s vs 6.7 s at
+    * sf0.1. Rejected variants, measured: AllPairs prefix-filtering (57 s
+    * — minShared ≪ set size, so the prefix barely prunes); salted
+    * self-join (78 s — the cost is the 12M-group pair aggregation, not
+    * partition skew).
     */
   def winnowNearDups(df: DataFrame, idCol: String, textCol: String,
       k: Int = 8, window: Int = 6, minShared: Int = 2): DataFrame = {
@@ -263,11 +275,50 @@ object Dedup {
       .filter(col("shared_fingerprints") >= minShared)
   }
 
+  /** Collision-dense variant of [[winnowNearDups]]: identical output,
+    * different shape — per-doc SORTED fingerprint sets (5k docs × ~77
+    * fps ≈ 3 MB at sf0.1) broadcast into an all-pairs intersection
+    * count. When nearly every pair collides, enumerating the collision
+    * graph through a join degenerates to Σ n_h² rows plus a pair-count
+    * aggregation over ~n²/2 groups; the compact-array form touches each
+    * pair once with no shuffle at all. Use for shard-level / post-LSH
+    * candidate-group scopes where the set side fits a broadcast; the
+    * fingerprint join remains the unbounded-corpus path.
+    */
+  def winnowNearDupsDense(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, window: Int = 6, minShared: Int = 2): DataFrame = {
+    val fps = df.select(col(idCol).as("id"),
+      explode(graft.functions.HashFunctions.winnowFingerprint(col(textCol), k, window))
+        .as("fp"))
+    // materialize the (tiny) per-doc sets once: both join sides reference
+    // them, and the broadcast build must not re-run the explode+agg
+    val sets = fps.groupBy(col("id"))
+      .agg(sort_array(collect_set(col("fp"))).as("fs"))
+      .localCheckpoint(true)
+    // SortedIntersectCount = zero-allocation merge walk (sets are sorted
+    // above); array_intersect's per-row hash sets measured 134 s here
+    // under session GC pressure
+    sets.as("a").join(broadcast(sets.as("b")), col("a.id") < col("b.id"))
+      .withColumn("shared_fingerprints",
+        graft.functions.HashFunctions.sortedIntersectCount(col("a.fs"), col("b.fs")))
+      .filter(col("shared_fingerprints") >= minShared)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("shared_fingerprints"))
+  }
+
   /** Localized verbatim overlaps: for each pair sharing a winnowing
     * fingerprint, the byte offsets of the shared k-gram in BOTH documents
     * — the full MOSS output shape. Same narrow join as
     * [[winnowNearDups]], with positions carried alongside the 8-byte
     * fingerprint.
+    *
+    * SCALE WARNING: the pair space is every document collision on any
+    * fingerprint — on corpora with heavy verbatim repetition the
+    * self-join fans out on the hot hashes (measured 207 s at sf0.1 vs
+    * 2 s for the pairs-scoped form below). Use THIS form only when the
+    * full collision graph is the product; to localize overlaps for an
+    * already-known pair set (the MOSS workflow: detect with
+    * [[winnowNearDups]], then localize), use the `pairs` overload.
     */
   def winnowOverlaps(df: DataFrame, idCol: String, textCol: String,
       k: Int = 8, window: Int = 6): DataFrame = {
@@ -279,6 +330,31 @@ object Dedup {
         col("a.hash") === col("b.hash") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.hash").as("hash"), col("a.pos").as("pos_a"), col("b.pos").as("pos_b"))
+  }
+
+  /** Pairs-scoped overlap localization: fingerprints are computed ONLY for
+    * documents appearing in `pairs` (a semi-join, so the corpus scan
+    * prunes to pair members before the expensive positions kernel), and
+    * the hash join runs per pair instead of across the whole corpus —
+    * cost scales with |pairs| × shared-sites, not with global hash
+    * collisions. Output identical to filtering the corpus-wide form to
+    * `pairs`.
+    */
+  def winnowOverlaps(df: DataFrame, idCol: String, textCol: String,
+      pairs: DataFrame, k: Int, window: Int): DataFrame = {
+    val members = pairs.select(col("id_a").as("id"))
+      .union(pairs.select(col("id_b").as("id"))).distinct()
+    val fps = df.select(col(idCol).as("id"), col(textCol))
+      .join(members, Seq("id"), "left_semi")
+      .select(col("id"),
+        explode(graft.functions.HashFunctions.winnowPositions(col(textCol), k, window))
+          .as("fp"))
+      .select(col("id"), col("fp.hash").as("hash"), col("fp.pos").as("pos"))
+    pairs.select(col("id_a"), col("id_b"))
+      .join(fps.select(col("id").as("id_a"), col("hash"), col("pos").as("pos_a")), Seq("id_a"))
+      .join(fps.select(col("id").as("id_b"), col("hash"), col("pos").as("pos_b")),
+        Seq("id_b", "hash"))
+      .select(col("id_a"), col("id_b"), col("hash"), col("pos_a"), col("pos_b"))
   }
 
   /** Window-dedup: keep first row per key by order — the idiomatic upgrade

@@ -81,6 +81,32 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
   }
 
+  test("winnowNearDupsDense equals the fingerprint-join form on real docs") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b", "shared_fingerprints")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val sparse = canon(Dedup.winnowNearDups(docs, "doc_id", "text", minShared = 30))
+    val dense = canon(Dedup.winnowNearDupsDense(docs, "doc_id", "text", minShared = 30))
+    assert(sparse == dense)
+    assert(dense.nonEmpty)
+  }
+
+  test("pairs-scoped winnowOverlaps equals the corpus-wide form filtered to the pairs") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val pairs = Dedup.winnowNearDupsDense(docs, "doc_id", "text", minShared = 30)
+      .select("id_a", "id_b")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b", "hash", "pos_a", "pos_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getInt(3), r.getInt(4))).toSet
+    val scoped = canon(Dedup.winnowOverlaps(docs, "doc_id", "text", pairs, k = 8, window = 6))
+    val global = canon(Dedup.winnowOverlaps(docs, "doc_id", "text", k = 8, window = 6)
+      .join(pairs, Seq("id_a", "id_b")))
+    assert(scoped == global)
+    assert(scoped.nonEmpty)
+  }
+
   test("winnow overlaps localize the shared substring (positions point at equal grams)") {
     val shared = "identical shared passage for localization"
     val d1 = s"AAAA $shared BBBB"
