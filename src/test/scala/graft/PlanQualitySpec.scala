@@ -96,6 +96,19 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q85 TPC-H Q21: quantifiers decorrelate to semi + anti joins, no cartesian") {
+    val p = plan("q85_tpch_q21")
+    assert(p.contains("LeftSemi"), "EXISTS did not become a semi join")
+    assert(p.contains("LeftAnti"), "NOT EXISTS did not become an anti join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(600))
+  }
+
+  test("q101 TPC-H Q16: NOT IN plans as a null-aware anti join, dims broadcast") {
+    val p = plan("q101_tpch_q16")
+    assert(p.contains("LeftAnti"), "NOT IN did not become an anti join")
+    assert(p.contains("BroadcastHashJoin"), "supplier/part side should broadcast")
+  }
+
   test("weather transform is one narrow codegen stage (no shuffle, no UDF)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-plan-csv")
     val content = "Time;Temperature;Humidity;Pressure;Speed;Precip. Accum.\n" +

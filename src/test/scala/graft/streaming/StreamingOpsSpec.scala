@@ -205,4 +205,42 @@ class StreamingOpsSpec extends AnyFunSuite {
       assert(counts == Map("x" -> 2L, "y" -> 1L), s"got $counts")
     } finally q.stop()
   }
+
+  test("stateless TrainingData ops run unchanged on a stream (split + redact + sample)") {
+    // deterministicSplit / redactPii / stratifiedSample are narrow,
+    // stateless Column programs — the SAME operator code runs in a
+    // streaming plan with no watermark or state store, and produces
+    // bit-identical rows to batch. (packSequences needs a total order per
+    // shard, so it is a batch/sink-side step by design.)
+    val dir = Files.createTempDirectory("graft-stream-docs")
+    Files.copy(java.nio.file.Paths.get("/root/testdata/sf0.001/documents.parquet"),
+      dir.resolve("docs-0.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val docsSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val stream = spark.readStream.schema(docsSchema).parquet(dir.toString)
+    val piped = graft.operators.TrainingData.stratifiedSample(
+      graft.operators.TrainingData.redactPii(
+        graft.operators.TrainingData.deterministicSplit(stream, "doc_id"),
+        "text"),
+      "doc_id", "lang", rates = Map("en" -> 0.5), defaultRate = 1.0)
+      .select("doc_id", "split", "n_email", "redacted")
+    val q = StreamingOps.runToMemory(piped, "td_stream")
+    try {
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT * FROM td_stream")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getString(3))).toSet
+      val batchDocs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+      val batch = graft.operators.TrainingData.stratifiedSample(
+        graft.operators.TrainingData.redactPii(
+          graft.operators.TrainingData.deterministicSplit(batchDocs, "doc_id"),
+          "text"),
+        "doc_id", "lang", rates = Map("en" -> 0.5), defaultRate = 1.0)
+        .select("doc_id", "split", "n_email", "redacted")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getString(3))).toSet
+      assert(streamed == batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
 }
