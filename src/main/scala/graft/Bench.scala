@@ -52,7 +52,8 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val cpus = sys.env.get("SPARK_GRAFT_CPUS")
+      .flatMap(_.toIntOption).filter(_ > 0).getOrElse(32)
     val spark = GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     GraftSession.tune(spark)
@@ -74,7 +75,10 @@ object Bench {
     // whether a delta is noise or regression. The JSON carries every raw
     // run plus host load so future rounds can separate the two without a
     // bisect.
-    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    // toIntOption: a malformed env var must not kill the run before the
+    // JSON line is emitted — fall back to the default instead
+    val passes = sys.env.get("SPARK_GRAFT_BENCH_RUNS")
+      .flatMap(_.toIntOption).filter(_ > 0).getOrElse(3)
     def loadAvg(): Double =
       try scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0).toDouble
       catch { case _: Throwable => -1.0 }
@@ -89,9 +93,15 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); None
         }
       val runs = Seq.fill(passes)(timed()).flatten
+      // true median: average the two middle elements for even N (upper
+      // -middle alone would record the max for N=2)
       val median =
         if (runs.isEmpty) -1.0
-        else runs.sorted.apply(runs.size / 2)
+        else {
+          val s = runs.sorted
+          if (s.size % 2 == 1) s(s.size / 2)
+          else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+        }
       (name, median, runs)
     }
     val loadEnd = loadAvg()

@@ -1915,9 +1915,10 @@ object SparkEntry {
          |    CASE source WHEN 'src0' THEN 1000000 WHEN 'src1' THEN 500000 ELSE 250000 END AS thr
          |  FROM documents WHERE source IN ('src0', 'src1', 'src2')),
          |${xxh64Chain("g", "src", "doc_id * 3 + sidx", Seq("doc_id", "source", "sidx", "thr"))},
-         |kept AS (SELECT doc_id, source, sidx FROM g
+         |kept AS (SELECT doc_id, source, hs AS gate_hs FROM g
          |  WHERE ((hs % 1000000) + 1000000) % 1000000 < thr),
-         |${xxh64Chain("sk", "kept", "doc_id * 3 + sidx + 1000000000000",
+         |${xxh64Chain("sk", "kept",
+            "gate_hs + CASE WHEN gate_hs < 0 THEN 18446744073709551616 ELSE 0 END",
             Seq("doc_id", "source"))}
          |SELECT source AS source_name, doc_id, hs AS shuffle_key FROM sk""".stripMargin,
 

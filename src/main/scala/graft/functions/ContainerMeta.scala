@@ -158,15 +158,25 @@ object ContainerMeta {
         val p = o + id._2 + sz._2
         // all-ones size = "unknown, extends to parent end" (streamed files)
         val allOnes = sz._1 == (1L << (7 * sz._2)) - 1
+        // reject declared sizes past the buffer BEFORE any Int cast: a
+        // 2^31..2^56 size would truncate and wrap to a small positive
+        // offset, silently misparsing a malformed container into wrong
+        // (not null) values. p <= end holds, so sz fits in Int after this.
+        if (p > end) return
+        if (!allOnes && sz._1 > end - p) return
         val pEnd = if (allOnes) end else p + sz._1.toInt
-        if (p > end || pEnd > end || pEnd < p) return
+        val n = pEnd - p
         id._1 match {
           case 0x18538067L | 0x1549a966L | 0x1654ae6bL | 0xaeL | 0xe0L =>
             walk(p, pEnd, depth + 1) // Segment/Info/Tracks/TrackEntry/Video
-          case 0x2ad7b1L => tsScaleNs = uint(p, (pEnd - p).min(8))
-          case 0x4489L => durationTicks = float(p, pEnd - p)
-          case 0xb0L => width = Some(uint(p, (pEnd - p).min(4)).toInt)
-          case 0xbaL => height = Some(uint(p, (pEnd - p).min(4)).toInt)
+          // EBML uints are 0-8 bytes; an oversized element is malformed —
+          // skip it rather than read a prefix of it as the value
+          case 0x2ad7b1L => if (n <= 8) tsScaleNs = uint(p, n)
+          case 0x4489L => durationTicks = float(p, n)
+          case 0xb0L =>
+            if (n <= 8 && uint(p, n) <= Int.MaxValue) width = Some(uint(p, n).toInt)
+          case 0xbaL =>
+            if (n <= 8 && uint(p, n) <= Int.MaxValue) height = Some(uint(p, n).toInt)
           case _ =>
         }
         o = pEnd

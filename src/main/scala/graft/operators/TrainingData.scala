@@ -49,11 +49,19 @@ object TrainingData {
     * `shard`, which is the scale contract: packing is per-shard (per
     * output file), so shards pack in parallel and a global sort never
     * happens. More shards = more parallelism, same layout semantics.
+    *
+    * CONTRACT: `idCol` must be unique within each shard — it is the total
+    * order the layout is defined by. The running sum uses a ROWS frame, so
+    * duplicate ids still produce non-overlapping spans and chunks never
+    * exceed `capacity`, but the relative placement of the tied rows is
+    * not deterministic across runs (a RANGE frame would be worse: tied
+    * rows would share one end_off and produce overlapping spans).
     */
   def packSequences(df: DataFrame, idCol: String, tokenCount: Column,
       capacity: Int, shard: Column): DataFrame = {
     require(capacity > 0, "capacity must be positive")
     val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.select(col(idCol), tokenCount.as("n_tokens"), shard.as("shard"))
       .filter(col("n_tokens") > 0)
       .withColumn("end_off", sum(col("n_tokens")).over(w))
@@ -95,10 +103,11 @@ object TrainingData {
     * to its weight, tagged, unioned, and given a deterministic
     * `shuffle_key` — writing sorted by it interleaves sources
     * pseudo-randomly but REPRODUCIBLY (the mixing-ratio + shuffle step of
-    * a pretraining data pipeline). The gate and the shuffle key hash
-    * DISJOINT inputs (`folded` vs `folded + 1e12`), so kept-ness and
-    * position are independent. No global sort here: the key is emitted,
-    * the writer's range-partitioned sort realizes the order at scale.
+    * a pretraining data pipeline). The shuffle key re-hashes the gate
+    * hash (`xxhash64(xxhash64(folded))`) — a structurally distinct input
+    * for every row, whatever the id range — so kept-ness and position are
+    * independent. No global sort here: the key is emitted, the writer's
+    * range-partitioned sort realizes the order at scale.
     */
   def mixCorpora(sources: Seq[(String, DataFrame, Double)],
       idCol: String): DataFrame = {
@@ -110,7 +119,7 @@ object TrainingData {
       df.filter(pmod(xxhash64(folded), lit(1000000L)) <
           lit(math.round(rate * 1000000L)))
         .withColumn("source_name", lit(name))
-        .withColumn("shuffle_key", xxhash64(folded + lit(1000000000000L)))
+        .withColumn("shuffle_key", xxhash64(xxhash64(folded)))
     }.reduce(_ unionByName _)
   }
 
