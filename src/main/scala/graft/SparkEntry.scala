@@ -659,6 +659,40 @@ object SparkEntry {
         capacity = 256, shard = pmod(col("doc_id"), lit(2)))
     }),
 
+    // One-pass column profiler: row/null/distinct counts, min/max (as
+    // strings), total rendered length — all five columns in one agg job
+    "q106_profile" -> ((s, d) =>
+      graft.operators.Profile.profile(
+        t(s, d, "documents"),
+        Seq("doc_id", "text", "lang", "source", "n_chars"))),
+
+    // Corpus-wide exact line dedup, keep-first (RefinedWeb/CCNet
+    // repetition removal). Lines synthesized as 10-token chunks — the
+    // corpus is one unbroken line per doc — identically on both engines.
+    "q107_line_dedup" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"),
+          graft.functions.TextFunctions.tokens(col("text")).as("__toks"))
+        .filter(size(col("__toks")) > 0)
+        .select(col("doc_id"), transform(
+          sequence(lit(0), expr("(size(__toks) - 1) div 10")),
+          i => array_join(slice(col("__toks"), i * 10 + 1, lit(10)), " "))
+          .as("__lines"))
+      graft.operators.Dedup.lineDedup(docs, "doc_id", col("__lines"))
+    }),
+
+    // Bloom-pruned decontamination: same output as q92, but the corpus
+    // side is pre-filtered by a Bloom filter over the eval grams (the
+    // scale path when the eval set is too large to broadcast exactly);
+    // exact semi-join rerank kills the Bloom false positives.
+    "q108_decontam_bloom" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      graft.operators.TrainingData.decontaminateBloom(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0),
+        "doc_id", "text", n = 3, expectedEvalGrams = 50000L)
+    }),
+
     // Deterministic stratified sample: per-language hash-gate rates
     "q102_stratified_sample" -> ((s, d) =>
       graft.operators.TrainingData.stratifiedSample(
@@ -1224,6 +1258,22 @@ object SparkEntry {
 
   private val tokensSql =
     "list_filter(string_split_regex(lower(text), '\\s+'), tk -> tk <> '')"
+
+  /** Shared q92/q108 oracle: exact word-3-gram contamination as a plain
+    * semi-join — the broadcast path (q92) and the Bloom-pruned +
+    * exact-rerank path (q108) must both reduce to exactly this relation.
+    */
+  private def decontamOracleSql: String =
+    s"""WITH tk AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+       |sh AS (SELECT doc_id,
+       |  list_distinct(list_transform(generate_series(1, len(toks) - 2),
+       |    i -> array_to_string(toks[i:i+2], ' '))) AS g
+       | FROM tk WHERE len(toks) >= 3),
+       |ev AS (SELECT DISTINCT gram FROM
+       |  (SELECT unnest(g) AS gram FROM sh WHERE doc_id % 97 = 0)),
+       |tr AS (SELECT doc_id, unnest(g) AS gram FROM sh WHERE doc_id % 97 <> 0)
+       |SELECT tr.doc_id AS id, count(*) AS n_hits, true AS contaminated
+       |FROM tr JOIN ev USING (gram) GROUP BY tr.doc_id""".stripMargin
 
   /** FNV-1a 64 over the bytes of `s`, as a DuckDB HUGEINT in [0, 2^64):
     * the exact arithmetic of HashUtil.fnv64, replayed with a 128-bit
@@ -1933,17 +1983,43 @@ object SparkEntry {
          |FROM pre""".stripMargin
     },
 
-    "q92_decontam" ->
+    "q92_decontam" -> decontamOracleSql,
+
+    // identical semantics to q92 by construction (Bloom prune + exact
+    // rerank = plain exact semi-join)
+    "q108_decontam_bloom" -> decontamOracleSql,
+
+    "q106_profile" -> {
+      def one(c: String) =
+        s"""SELECT '$c' AS col_name, count(*)::BIGINT AS n_rows,
+           |  sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls,
+           |  count(DISTINCT $c)::BIGINT AS n_distinct,
+           |  min($c::VARCHAR) AS min_value, max($c::VARCHAR) AS max_value,
+           |  coalesce(sum(length($c::VARCHAR)), 0)::BIGINT AS sum_len
+           |FROM documents""".stripMargin
+      Seq("doc_id", "text", "lang", "source", "n_chars")
+        .map(one).mkString("\nUNION ALL\n")
+    },
+
+    "q107_line_dedup" ->
       s"""WITH tk AS (SELECT doc_id, $tokensSql AS toks FROM documents),
-         |sh AS (SELECT doc_id,
-         |  list_distinct(list_transform(generate_series(1, len(toks) - 2),
-         |    i -> array_to_string(toks[i:i+2], ' '))) AS g
-         | FROM tk WHERE len(toks) >= 3),
-         |ev AS (SELECT DISTINCT gram FROM
-         |  (SELECT unnest(g) AS gram FROM sh WHERE doc_id % 97 = 0)),
-         |tr AS (SELECT doc_id, unnest(g) AS gram FROM sh WHERE doc_id % 97 <> 0)
-         |SELECT tr.doc_id AS id, count(*) AS n_hits, true AS contaminated
-         |FROM tr JOIN ev USING (gram) GROUP BY tr.doc_id""".stripMargin,
+         |ln AS (SELECT doc_id, list_transform(
+         |    generate_series(0, (len(toks) - 1) // 10),
+         |    i -> array_to_string(toks[i * 10 + 1 : i * 10 + 10], ' ')) AS lines
+         |  FROM tk WHERE len(toks) > 0),
+         |occ AS (SELECT doc_id, unnest(lines) AS line,
+         |    unnest(generate_series(0, len(lines) - 1)) AS pos FROM ln),
+         |win AS (SELECT doc_id, pos, line FROM (
+         |    SELECT doc_id, pos, line,
+         |      row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+         |    FROM occ) WHERE rn = 1),
+         |reb AS (SELECT doc_id, count(*)::BIGINT AS n_kept,
+         |    string_agg(line, chr(10) ORDER BY pos) AS text_dedup
+         |  FROM win GROUP BY doc_id)
+         |SELECT ln.doc_id AS id, len(ln.lines)::BIGINT AS n_lines,
+         |  coalesce(reb.n_kept, 0)::BIGINT AS n_kept,
+         |  coalesce(reb.text_dedup, '') AS text_dedup
+         |FROM ln LEFT JOIN reb ON reb.doc_id = ln.doc_id""".stripMargin,
 
     "q86_tpch_q17" ->
       """SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,10)) AS VARCHAR) AS small_qty_revenue,

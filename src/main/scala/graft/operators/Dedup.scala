@@ -364,4 +364,48 @@ object Dedup {
     val w = Window.partitionBy(keys.map(col): _*).orderBy(orderBy: _*)
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
+
+  /** Corpus-wide exact LINE dedup, keep-first (the RefinedWeb/CCNet
+    * repetition-removal pass): every distinct line survives exactly once,
+    * at its first occurrence in (`idCol`, line position) order; later
+    * occurrences — boilerplate headers, navigation chrome, license
+    * blurbs — are dropped from their documents.
+    *
+    * Input: one row per doc with `linesCol: array<string>`. Output: one
+    * row per doc — (id, n_lines, n_kept, text_dedup) with the surviving
+    * lines rejoined by `\n` in original order (empty string when every
+    * line of the doc lost).
+    *
+    * Shape: posexplode → groupBy(line).agg(min(struct(id, pos))) →
+    * groupBy(id) rebuild → left join back to the doc spine. The winner
+    * aggregation partial-aggregates map-side, so the first shuffle
+    * carries one (line, winner) pair per distinct line per input
+    * partition — on duplicate-heavy corpora that is a fraction of the
+    * exploded rows; the rebuild shuffle carries only surviving lines.
+    * Per-doc collect_list is bounded by document size. No window over
+    * the full corpus, no driver-side state.
+    */
+  def lineDedup(df: DataFrame, idCol: String, linesCol: Column): DataFrame = {
+    val spine = df.select(col(idCol).as("id"), linesCol.as("__lines"))
+      .select(col("id"), col("__lines"),
+        size(col("__lines")).cast("long").as("n_lines"))
+    val occurrences = spine
+      .select(col("id"), posexplode(col("__lines")).as(Seq("pos", "line")))
+    val winners = occurrences
+      .groupBy(col("line"))
+      .agg(min(struct(col("id"), col("pos"))).as("w"))
+      .select(col("w.id").as("id"), col("w.pos").as("pos"), col("line"))
+    val rebuilt = winners
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+            x => x.getField("line")),
+          "\n").as("text_dedup"))
+    spine.select(col("id"), col("n_lines"))
+      .join(rebuilt, Seq("id"), "left")
+      .select(col("id"), col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_dedup"), lit("")).as("text_dedup"))
+  }
 }

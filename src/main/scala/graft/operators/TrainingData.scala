@@ -3,6 +3,9 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+import org.apache.spark.sql.graftbridge.ColumnBridge
 
 import graft.functions.TextFunctions._
 import graft.functions.HashFunctions._
@@ -164,13 +167,63 @@ object TrainingData {
   def decontaminate(train: DataFrame, eval: DataFrame, idCol: String,
       textCol: String, n: Int = 8): DataFrame = {
     def grams(df: DataFrame, out: String): DataFrame =
-      df.select(col(idCol).as(out), tokens(col(textCol)).as("__toks"))
-        .select(col(out), explode(wordShinglesOf(col("__toks"), n)).as("__g"))
-        .select(col(out), fnv64(col("__g")).as("gh"))
-        .distinct()
+      gramHashes(df, idCol, textCol, n, out).distinct()
     val evalGrams = grams(eval, "eval_id").select("gh").distinct()
     grams(train, "id")
       .join(broadcast(evalGrams), Seq("gh"), "left_semi")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_hits"))
+      .withColumn("contaminated", lit(true))
+  }
+
+  /** One row per (doc, n-gram occurrence): (`out`, gh) with gh the FNV-64
+    * of the word n-gram. NOT deduped — callers dedup after any cheap
+    * pre-filters so the filters see the narrow pre-aggregation stream.
+    */
+  private def gramHashes(df: DataFrame, idCol: String, textCol: String,
+      n: Int, out: String): DataFrame =
+    df.select(col(idCol).as(out), tokens(col(textCol)).as("__toks"))
+      .select(col(out), explode(wordShinglesOf(col("__toks"), n)).as("__g"))
+      .select(col(out), fnv64(col("__g")).as("gh"))
+
+  /** [[decontaminate]] restructured for eval sets too large to broadcast
+    * exactly: a Bloom filter over the eval n-gram hashes (built
+    * distributed, collected as ONE ~`1.2·log2(1/fpp)·items/8`-byte
+    * sketch, re-embedded as a literal) prunes the corpus side as a
+    * narrow, codegen'd scan filter BEFORE the first shuffle; the
+    * survivors — corpus grams that might be contaminated, a sliver of
+    * the corpus at any realistic contamination rate — then get an EXACT
+    * shuffle semi-join against the true eval set to kill the Bloom false
+    * positives. Output is therefore exactly [[decontaminate]]'s, but the
+    * corpus-side distinct and join only ever see candidate grams, and no
+    * full eval set is broadcast: the same plan survives a 1e9-gram
+    * benchmark suite where the 8 GB exact broadcast of q92's shape
+    * cannot.
+    *
+    * The one driver hop is the sketch itself (bounded by
+    * `expectedEvalGrams` and `fpp`, e.g. ~180 MB at 1e9 grams / 1% fpp —
+    * a documented bounded collect, same contract as IvfIndex centroids).
+    */
+  def decontaminateBloom(train: DataFrame, eval: DataFrame, idCol: String,
+      textCol: String, n: Int = 8, expectedEvalGrams: Long = 1000000L,
+      fpp: Double = 0.01): DataFrame = {
+    require(expectedEvalGrams > 0 && fpp > 0 && fpp < 1)
+    val evalGrams = gramHashes(eval, idCol, textCol, n, "eval_id")
+      .select("gh").distinct()
+    val numBits = org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(expectedEvalGrams, fpp)
+    val bloomBytes = evalGrams.agg(ColumnBridge.column(
+      new BloomFilterAggregate(ColumnBridge.expression(col("gh")),
+        ColumnBridge.expression(lit(expectedEvalGrams)),
+        ColumnBridge.expression(lit(numBits))).toAggregateExpression())
+      .as("bf")).head().getAs[Array[Byte]]("bf")
+    val mightContain = ColumnBridge.column(BloomFilterMightContain(
+      ColumnBridge.expression(lit(bloomBytes)),
+      ColumnBridge.expression(col("gh"))))
+    gramHashes(train, idCol, textCol, n, "id")
+      .filter(mightContain)
+      .distinct()
+      .join(evalGrams, Seq("gh"), "left_semi") // exact rerank: kills Bloom FPs
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_hits"))
       .withColumn("contaminated", lit(true))

@@ -165,4 +165,24 @@ class DedupSpec extends AnyFunSuite {
     got.foreach { case (id, rep) => assert(rep <= id && rep >= math.max(0L, id - 10L)) }
     assert(got(0L) == 0L && got(5L) == 0L && got(10L) == 0L)
   }
+
+  test("lineDedup: keep-first across docs, order preserved, empty docs survive") {
+    val docs = Seq(
+      (1L, Seq("alpha", "boiler", "beta")),
+      (2L, Seq("boiler", "gamma")),        // loses 'boiler' to doc 1
+      (3L, Seq("boiler", "alpha", "beta")), // loses everything
+      (4L, Seq("delta", "delta")))          // in-doc dup: first position wins
+      .toDF("doc_id", "lines")
+    val out = Dedup.lineDedup(docs, "doc_id", col("lines"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((3L, 3L, "alpha\nboiler\nbeta")))
+    assert(out(2L) == ((2L, 1L, "gamma")))
+    assert(out(3L) == ((3L, 0L, "")))
+    assert(out(4L) == ((2L, 1L, "delta")))
+    // every distinct line survives exactly once corpus-wide
+    val kept = out.values.flatMap(_._3.split("\n").filter(_.nonEmpty)).toSeq
+    assert(kept.size == kept.distinct.size)
+    assert(kept.toSet == Set("alpha", "boiler", "beta", "gamma", "delta"))
+  }
 }

@@ -132,4 +132,23 @@ class TrainingDataSpec extends AnyFunSuite {
     // hits count DISTINCT grams
     assert(out == Map(10L -> 1L, 12L -> 1L))
   }
+
+  test("decontaminateBloom: identical output to the exact path, FPs reranked away") {
+    val train = (0L until 200L).map { i =>
+      val tail = if (i % 7 == 0) "shared marker phrase here" else s"unique filler $i words"
+      (i, s"doc number $i begins $tail")
+    }.toDF("doc_id", "text")
+    val eval = Seq((900L, "the shared marker phrase here ends")).toDF("doc_id", "text")
+    val exact = TrainingData.decontaminate(train, eval, "doc_id", "text", n = 3)
+      .select("id", "n_hits").as[(Long, Long)].collect().toSortedSet
+    // tiny bloom (high FP pressure) must still be exact after the rerank
+    val bloom = TrainingData.decontaminateBloom(train, eval, "doc_id", "text",
+      n = 3, expectedEvalGrams = 8, fpp = 0.3)
+      .select("id", "n_hits").as[(Long, Long)].collect().toSortedSet
+    assert(bloom == exact && exact.nonEmpty)
+  }
+
+  private implicit class ToSortedSet[T: Ordering](a: Array[T]) {
+    def toSortedSet: Seq[T] = a.toSeq.sorted
+  }
 }
