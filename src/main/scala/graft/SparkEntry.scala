@@ -681,6 +681,31 @@ object SparkEntry {
       graft.operators.Dedup.lineDedup(docs, "doc_id", col("__lines"))
     }),
 
+    // SpaceSaving heavy-hitters contract: the guaranteed heavy hitters
+    // (exact count * capacity > N — a deterministic set) must all be
+    // tracked by the 50-counter mergeable sketch with est >= true and
+    // est - err <= true, on whatever partitioning the scan produced.
+    // (Skew synthesized: a third of events collapse onto 7 hot keys.)
+    "q109_heavy_hitters" -> ((s, d) => {
+      val keyed = Tables.events(s, d).select(
+        when(col("user_id") % 3 === 0, col("user_id") % 7)
+          .otherwise(col("user_id")).as("k"))
+      val items = keyed
+        .agg(graft.functions.SpaceSavingSketch.spaceSavingTopK(col("k"), 50).as("hh"))
+        .select(explode(col("hh")).as("x"))
+        .select(col("x.item").as("hh_item"), col("x.est").as("est"),
+          col("x.err").as("err"))
+      val exact = keyed.groupBy(col("k")).agg(count(lit(1)).as("exact_count"))
+      val total = keyed.agg(count(lit(1)).as("n"))
+      exact.crossJoin(broadcast(total))
+        .filter(col("exact_count") * 50 > col("n"))
+        .join(broadcast(items), col("k") === col("hh_item"), "left")
+        .select(col("k").as("item"), col("exact_count"),
+          col("hh_item").isNotNull.as("found"),
+          (col("est") >= col("exact_count") &&
+            col("est") - col("err") <= col("exact_count")).as("bounds_ok"))
+    }),
+
     // Bloom-pruned decontamination: same output as q92, but the corpus
     // side is pre-filtered by a Bloom filter over the eval grams (the
     // scale path when the eval set is too large to broadcast exactly);
@@ -2000,6 +2025,14 @@ object SparkEntry {
       Seq("doc_id", "text", "lang", "source", "n_chars")
         .map(one).mkString("\nUNION ALL\n")
     },
+
+    "q109_heavy_hitters" ->
+      """WITH k AS (SELECT CASE WHEN user_id % 3 = 0 THEN user_id % 7
+        |    ELSE user_id END AS k FROM events),
+        |ex AS (SELECT k, count(*) AS exact_count FROM k GROUP BY k),
+        |tot AS (SELECT count(*) AS n FROM k)
+        |SELECT k AS item, exact_count, true AS found, true AS bounds_ok
+        |FROM ex, tot WHERE exact_count * 50 > n""".stripMargin,
 
     "q107_line_dedup" ->
       s"""WITH tk AS (SELECT doc_id, $tokensSql AS toks FROM documents),

@@ -1,0 +1,178 @@
+package graft.functions
+
+import java.io.{ByteArrayOutputStream, DataOutputStream}
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** SpaceSaving heavy-hitters summary (Metwally/Agrawal/El Abbadi 2005) as
+  * a custom `TypedImperativeAggregate` over LONG keys, with the
+  * bias-compensated merge of Agarwal et al., "Mergeable Summaries"
+  * (PODS 2012) so partial aggregation on ANY partitioning preserves the
+  * guarantees:
+  *
+  *  - `est(x) >= trueCount(x)` for every tracked item,
+  *  - `est(x) - err(x) <= trueCount(x)`,
+  *  - every item with `trueCount(x) > N / capacity` is tracked (the
+  *    "guaranteed heavy hitter" coverage bound).
+  *
+  * The summary is `capacity` counters (~24 B each) regardless of input
+  * size — the 100 TB top-k-frequent path where an exact groupBy's
+  * key-space would dominate the shuffle. Tie-breaking on eviction/trim is
+  * order-sensitive, so the REPORTED SET beyond the guaranteed items may
+  * vary with partitioning; consumers that need determinism join the
+  * sketch against exact counts of the (deterministic) guaranteed set —
+  * see q109, which oracle-enforces exactly the three bounds above.
+  */
+case class SpaceSavingTopK(
+    child: Expression, capacity: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.HashMap[Long, Array[Long]]] {
+
+  require(capacity > 0, "capacity must be positive")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("item", LongType, nullable = false),
+      StructField("est", LongType, nullable = false),
+      StructField("err", LongType, nullable = false))), containsNull = false)
+
+  // value = Array(est, err) — mutable in place
+  override def createAggregationBuffer(): java.util.HashMap[Long, Array[Long]] =
+    new java.util.HashMap[Long, Array[Long]]()
+
+  private def minEntry(buf: java.util.HashMap[Long, Array[Long]]): (Long, Array[Long]) = {
+    var mk = 0L; var mv: Array[Long] = null
+    val it = buf.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (mv == null || e.getValue()(0) < mv(0)) { mk = e.getKey; mv = e.getValue }
+    }
+    (mk, mv)
+  }
+
+  override def update(buf: java.util.HashMap[Long, Array[Long]],
+      input: InternalRow): java.util.HashMap[Long, Array[Long]] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val x = v.asInstanceOf[Long]
+      val cur = buf.get(x)
+      if (cur != null) cur(0) += 1
+      else if (buf.size() < capacity) buf.put(x, Array(1L, 0L))
+      else {
+        // evict the min-count item; the newcomer inherits its count as
+        // overestimation error (the classic SpaceSaving step)
+        val (mk, mv) = minEntry(buf)
+        buf.remove(mk)
+        buf.put(x, Array(mv(0) + 1, mv(0)))
+      }
+    }
+    buf
+  }
+
+  /** Mergeable-summaries merge: an item absent from one side gets that
+    * side's minimum estimate added as bias (est AND err — it may have
+    * occurred up to min times there unseen), then trim to the `capacity`
+    * largest estimates. Both error bounds and the coverage guarantee
+    * survive this for any merge tree.
+    */
+  override def merge(a: java.util.HashMap[Long, Array[Long]],
+      b: java.util.HashMap[Long, Array[Long]]): java.util.HashMap[Long, Array[Long]] = {
+    if (b.isEmpty) return a
+    if (a.isEmpty) { a.putAll(b); return a }
+    val minA = if (a.size() < capacity) 0L else minEntry(a)._2(0)
+    val minB = if (b.size() < capacity) 0L else minEntry(b)._2(0)
+    // fold B into A
+    val itB = b.entrySet().iterator()
+    while (itB.hasNext) {
+      val e = itB.next()
+      val cur = a.get(e.getKey)
+      if (cur != null) { cur(0) += e.getValue()(0); cur(1) += e.getValue()(1) }
+      else a.put(e.getKey, Array(e.getValue()(0) + minA, e.getValue()(1) + minA))
+    }
+    // items only in A absorb B's min as unseen-occurrence bias
+    val itA = a.entrySet().iterator()
+    while (itA.hasNext) {
+      val e = itA.next()
+      if (!b.containsKey(e.getKey)) { e.getValue()(0) += minB; e.getValue()(1) += minB }
+    }
+    if (a.size() > capacity) {
+      val entries = new java.util.ArrayList(a.entrySet())
+      // keep the capacity largest estimates (ties broken by key for
+      // stability within this merge)
+      entries.sort { (x, y) =>
+        val c = java.lang.Long.compare(y.getValue()(0), x.getValue()(0))
+        if (c != 0) c else java.lang.Long.compare(x.getKey, y.getKey)
+      }
+      var i = capacity
+      while (i < entries.size()) { a.remove(entries.get(i).getKey); i += 1 }
+    }
+    a
+  }
+
+  override def eval(buf: java.util.HashMap[Long, Array[Long]]): Any = {
+    val out = new Array[Any](buf.size())
+    val it = buf.entrySet().iterator()
+    var i = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(i) = InternalRow(e.getKey, e.getValue()(0), e.getValue()(1))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(buf: java.util.HashMap[Long, Array[Long]]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.size())
+    val it = buf.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      out.writeLong(e.getKey)
+      out.writeLong(e.getValue()(0))
+      out.writeLong(e.getValue()(1))
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.HashMap[Long, Array[Long]] = {
+    val in = ByteBuffer.wrap(bytes)
+    val buf = createAggregationBuffer()
+    val n = in.getInt
+    var i = 0
+    while (i < n) {
+      val k = in.getLong
+      buf.put(k, Array(in.getLong, in.getLong))
+      i += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(offset: Int): SpaceSavingTopK =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): SpaceSavingTopK =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): SpaceSavingTopK =
+    copy(child = newChildren.head)
+}
+
+object SpaceSavingSketch {
+
+  /** Heavy-hitters summary column: array<struct<item,est,err>> over a
+    * LONG key column, `capacity` counters, any partitioning.
+    */
+  def spaceSavingTopK(c: Column, capacity: Int): Column =
+    ColumnBridge.column(
+      SpaceSavingTopK(ColumnBridge.expression(c), capacity).toAggregateExpression())
+}

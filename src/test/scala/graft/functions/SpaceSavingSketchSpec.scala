@@ -1,0 +1,59 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.functions.SpaceSavingSketch.spaceSavingTopK
+
+class SpaceSavingSketchSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // zipf-ish skew: key i repeated ~ 2000/i times, plus a uniform tail
+  private def skewed: Seq[Long] =
+    (1L to 20L).flatMap(i => Seq.fill((2000 / i).toInt)(i)) ++
+      (1000L until 3000L)
+
+  private def sketchOf(data: Seq[Long], capacity: Int, parts: Int) =
+    data.toDF("k").repartition(parts)
+      .agg(spaceSavingTopK(col("k"), capacity).as("hh"))
+      .select(explode(col("hh")).as("x"))
+      .select("x.item", "x.est", "x.err")
+      .as[(Long, Long, Long)].collect()
+
+  test("guarantees hold under multi-partition merge: bounds + coverage") {
+    val data = skewed
+    val trueCounts = data.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = data.size.toLong
+    for (parts <- Seq(1, 7, 32)) {
+      val sk = sketchOf(data, 50, parts)
+      assert(sk.length <= 50)
+      val est = sk.map(t => t._1 -> ((t._2, t._3))).toMap
+      // est >= true and est - err <= true for every tracked item
+      est.foreach { case (item, (e, err)) =>
+        val t = trueCounts.getOrElse(item, 0L)
+        assert(e >= t, s"item $item: est $e < true $t (parts=$parts)")
+        assert(e - err <= t, s"item $item: est-err ${e - err} > true $t (parts=$parts)")
+      }
+      // coverage: every key with true count > n/capacity is tracked
+      trueCounts.filter(_._2 * 50 > n).keys.foreach { hot =>
+        assert(est.contains(hot), s"guaranteed heavy hitter $hot missing (parts=$parts)")
+      }
+    }
+  }
+
+  test("single partition with no eviction pressure is exact") {
+    val data = Seq(1L, 1L, 2L, 3L, 3L, 3L)
+    val sk = sketchOf(data, 10, 1).map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(sk == Map(1L -> ((2L, 0L)), 2L -> ((1L, 0L)), 3L -> ((3L, 0L))))
+  }
+
+  test("nulls ignored, capacity respected under heavy churn") {
+    val df = (0L until 5000L).map(i => if (i % 10 == 0) None else Some(i))
+      .toDF("k").repartition(8)
+    val sk = df.agg(spaceSavingTopK(col("k"), 5).as("hh"))
+      .select(size(col("hh"))).as[Int].collect().head
+    assert(sk <= 5 && sk > 0)
+  }
+}
