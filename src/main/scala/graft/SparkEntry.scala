@@ -718,6 +718,13 @@ object SparkEntry {
         "doc_id", "text", n = 3, expectedEvalGrams = 50000L)
     }),
 
+    // BM25 keyword search: top-25 docs for a 3-term query — narrow tf
+    // pass + one broadcast stats row + TakeOrdered top-k
+    "q110_bm25_search" -> ((s, d) =>
+      graft.operators.TextAnalysis.bm25TopK(
+        t(s, d, "documents"), "doc_id", "text",
+        terms = Seq("spark", "vector", "merge"), k = 25)),
+
     // Deterministic stratified sample: per-language hash-gate rates
     "q102_stratified_sample" -> ((s, d) =>
       graft.operators.TrainingData.stratifiedSample(
@@ -2006,6 +2013,34 @@ object SparkEntry {
          | len(list_distinct(p)) AS n_distinct_pretokens,
          | len(list_filter(p, x -> regexp_full_match(x, '[0-9]+'))) AS n_numeric_runs
          |FROM pre""".stripMargin
+    },
+
+    "q110_bm25_search" -> {
+      val terms = Seq("spark", "vector", "merge")
+      val k1 = 1.2; val b = 0.75
+      val tfs = terms.indices.map(i =>
+        s"len(list_filter(toks, t -> t = '${terms(i)}')) AS tf$i").mkString(",\n  ")
+      val dfs = terms.indices.map(i =>
+        s"sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END)::DOUBLE AS df$i").mkString(",\n  ")
+      val hits = terms.indices.map(i => s"CASE WHEN tf$i > 0 THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      // double literals interpolated from the SAME Scala constants the
+      // Spark plan uses (shortest round-trip repr → identical doubles)
+      val score = terms.indices.map(i =>
+        s"""ln(1.0 + (n - df$i + 0.5) / (df$i + 0.5))
+           | * (tf$i::DOUBLE * ${k1 + 1.0})
+           | / (tf$i::DOUBLE + $k1 * (${1.0 - b} + $b * dl::DOUBLE / avgdl))"""
+          .stripMargin.replace("\n", "")).mkString("\n   + ")
+      s"""WITH tk AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+         |base AS (SELECT doc_id, len(toks) AS dl,
+         |  $tfs FROM tk),
+         |st AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl,
+         |  $dfs FROM base)
+         |SELECT doc_id, ($hits)::BIGINT AS n_hits,
+         | round($score, 4) AS score
+         |FROM base, st
+         |WHERE ${terms.indices.map(i => s"tf$i > 0").mkString(" OR ")}
+         |ORDER BY score DESC, doc_id LIMIT 25""".stripMargin
     },
 
     "q92_decontam" -> decontamOracleSql,

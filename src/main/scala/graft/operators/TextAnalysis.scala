@@ -159,6 +159,58 @@ object TextAnalysis {
       simhash64(tokens(col(textCol))).as("simhash"),
       winnowFingerprint(col(textCol)).as("winnow"))
 
+  /** BM25 keyword search: score every document against a bag of query
+    * terms and return the global top-k (Robertson/Spärck Jones BM25, the
+    * standard probabilistic relevance function).
+    *
+    * Scale shape (the point of the design):
+    *   - Per-doc term frequencies come from ONE staged token array per row
+    *     — a narrow, map-only pass; no explode, no shuffle of postings.
+    *   - Corpus statistics (N, avgdl, per-term df) are ONE tiny aggregate
+    *     (single row) broadcast-cross-joined back — the classic two-pass
+    *     scoring plan; global stats per row can't be had in fewer passes.
+    *   - Top-k is orderBy+limit → TakeOrderedAndProject: per-partition
+    *     bounded heaps merged at the driver, never a global sort.
+    *   For a REPEATED-query workload you'd instead persist the exploded
+    *   (term, doc, tf) postings table bucketed by term and join the query
+    *   terms against it; this entry point is the single-shot scan path.
+    *
+    * Scores are rounded to 4 decimals and ties broken by id, so the
+    * result is a total order reproducible by the SQL oracle.
+    */
+  def bm25TopK(df: DataFrame, idCol: String, textCol: String, terms: Seq[String],
+      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val qts = terms.map(_.toLowerCase)
+    require(qts.nonEmpty && qts.distinct.size == qts.size,
+      s"query terms must be non-empty and distinct (lowercased), got $terms")
+    val tfCols = qts.zipWithIndex.map { case (term, i) =>
+      size(filter(col("__toks"), t => t === lit(term))).as(s"__tf$i")
+    }
+    // tokens staged as an attribute: the per-term filters are interpreted
+    // higher-order lambdas and would each re-tokenize if inlined
+    val perDoc = df
+      .select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .select(col(idCol) +: size(col("__toks")).as("__dl") +: tfCols: _*)
+    val statAggs = count(lit(1)).cast("double").as("__n") +:
+      avg(col("__dl")).as("__avgdl") +:
+      qts.indices.map(i =>
+        sum(when(col(s"__tf$i") > 0, 1).otherwise(0)).cast("double").as(s"__df$i"))
+    val stats = perDoc.agg(statAggs.head, statAggs.tail: _*)
+    val score = qts.indices.map { i =>
+      val tf = col(s"__tf$i").cast("double")
+      val idf = log(lit(1.0) +
+        (col("__n") - col(s"__df$i") + lit(0.5)) / (col(s"__df$i") + lit(0.5)))
+      idf * (tf * lit(k1 + 1.0)) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("__dl").cast("double") / col("__avgdl")))
+    }.reduce(_ + _)
+    val nHits = qts.indices.map(i => when(col(s"__tf$i") > 0, 1).otherwise(0)).reduce(_ + _)
+    perDoc.crossJoin(broadcast(stats))
+      .where(qts.indices.map(i => col(s"__tf$i") > 0).reduce(_ || _))
+      .select(col(idCol), nHits.cast("long").as("n_hits"), round(score, 4).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
   /** BPE-style PRE-tokenizer pattern (the split that runs before merges in
     * GPT-2-family tokenizers), simplified to the Java-regex/RE2-shared
     * subset: letter runs, digit runs, non-space punctuation runs. Token

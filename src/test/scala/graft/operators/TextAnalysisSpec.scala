@@ -122,4 +122,44 @@ class TextAnalysisSpec extends AnyFunSuite {
     val short = df.select(charNgrams(lit("ab"), 5).as("ng")).head().getSeq[String](0)
     assert(short.isEmpty)
   }
+
+  test("bm25: scores match an independent reference computation") {
+    val corpus = Seq(
+      (1L, "spark shuffle join spark spark"),   // tf(spark)=3, dl=5
+      (2L, "spark vector search engine here"),  // both terms, dl=5
+      (3L, "vector vector vector nothing else at all"),
+      (4L, "completely unrelated words only"),
+      (5L, "spark"))                            // short doc: length norm boost
+    val df = corpus.toDF("doc_id", "text")
+    val got = TextAnalysis.bm25TopK(df, "doc_id", "text",
+      terms = Seq("spark", "vector"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+
+    // independent scalar BM25 (k1=1.2, b=0.75)
+    val toksBy = corpus.map { case (id, t) => id -> t.split("\\s+").toSeq }.toMap
+    val n = corpus.size.toDouble
+    val avgdl = toksBy.values.map(_.size).sum.toDouble / n
+    def score(id: Long): Double = Seq("spark", "vector").map { term =>
+      val tf = toksBy(id).count(_ == term).toDouble
+      val dfT = toksBy.values.count(_.contains(term)).toDouble
+      val idf = math.log(1.0 + (n - dfT + 0.5) / (dfT + 0.5))
+      idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * toksBy(id).size / avgdl))
+    }.sum
+    val expect = corpus.map(_._1).filter(id =>
+        toksBy(id).contains("spark") || toksBy(id).contains("vector"))
+      .map(id => (id, math.round(score(id) * 1e4) / 1e4))
+      .sortBy { case (id, s) => (-s, id) }
+    assert(got.map(r => (r._1, r._3)).toSeq == expect)
+    // doc 4 (no query term) excluded; doc 2 hits both terms
+    assert(!got.exists(_._1 == 4L))
+    assert(got.find(_._1 == 2L).get._2 == 2L)
+  }
+
+  test("bm25: top-k is TakeOrdered (no global sort) over one broadcast stats row") {
+    val df = (1L to 50L).map(i => (i, s"spark doc $i")).toDF("doc_id", "text")
+    val plan = TextAnalysis.bm25TopK(df, "doc_id", "text", Seq("spark"), 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"), plan)
+  }
 }
