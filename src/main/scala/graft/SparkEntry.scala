@@ -725,6 +725,27 @@ object SparkEntry {
         t(s, d, "documents"), "doc_id", "text",
         terms = Seq("spark", "vector", "merge"), k = 25)),
 
+    // BM25 from the PERSISTED postings index (the repeated-query serving
+    // shape): build = one postings explode bucketed by term + a one-row
+    // stats table; query = bucket-pruned postings lookup, never a corpus
+    // scan. Must equal q110 exactly (same stats, same shared score tree).
+    "q112_bm25_indexed" -> ((s, d) => {
+      val base = s"${sys.props("java.io.tmpdir")}/graft_bm25_index"
+      graft.operators.TextAnalysis.buildBm25Index(
+        t(s, d, "documents"), "doc_id", "text", "graft_bm25", base)
+      graft.operators.TextAnalysis.bm25FromIndex(
+        s, "graft_bm25", terms = Seq("spark", "vector", "merge"), k = 25)
+    }),
+
+    // Lee-et-al repeated-span removal: every 8-token window occurring
+    // elsewhere in the corpus with an earlier (doc, pos) is excised from
+    // the later site; overlapping duplicated windows merge into one hole
+    "q111_span_dedup" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"),
+        graft.functions.TextFunctions.tokens(col("text")).as("__toks"))
+      graft.operators.Dedup.spanDedup(docs, "doc_id", col("__toks"), spanLen = 8)
+    }),
+
     // Deterministic stratified sample: per-language hash-gate rates
     "q102_stratified_sample" -> ((s, d) =>
       graft.operators.TrainingData.stratifiedSample(
@@ -1291,6 +1312,39 @@ object SparkEntry {
   private val tokensSql =
     "list_filter(string_split_regex(lower(text), '\\s+'), tk -> tk <> '')"
 
+  /** Shared q110/q112 oracle: BM25 scores from first principles on the
+    * documents table. Double literals are interpolated from the SAME
+    * Scala constants the Spark plans use (shortest round-trip repr →
+    * identical doubles); ordering runs on the UNROUNDED score, mirroring
+    * TextAnalysis.scoredTopK — rounding only for display, so no
+    * Spark-vs-DuckDB boundary-rounding reorder is possible.
+    */
+  private def bm25OracleSql(terms: Seq[String], k: Int, idSelect: String): String = {
+    val k1 = 1.2; val b = 0.75
+    val tfs = terms.indices.map(i =>
+      s"len(list_filter(toks, t -> t = '${terms(i)}')) AS tf$i").mkString(",\n  ")
+    val dfs = terms.indices.map(i =>
+      s"sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END)::DOUBLE AS df$i").mkString(",\n  ")
+    val hits = terms.indices.map(i => s"CASE WHEN tf$i > 0 THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    val score = terms.indices.map(i =>
+      s"""ln(1.0 + (n - df$i + 0.5) / (df$i + 0.5))
+         | * (tf$i::DOUBLE * ${k1 + 1.0})
+         | / (tf$i::DOUBLE + $k1 * (${1.0 - b} + $b * dl::DOUBLE / avgdl))"""
+        .stripMargin.replace("\n", "")).mkString("\n   + ")
+    s"""WITH tk AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+       |base AS (SELECT doc_id, len(toks) AS dl,
+       |  $tfs FROM tk),
+       |st AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl,
+       |  $dfs FROM base),
+       |scored AS (SELECT doc_id, ($hits)::BIGINT AS n_hits,
+       |  ($score) AS raw
+       | FROM base, st
+       | WHERE ${terms.indices.map(i => s"tf$i > 0").mkString(" OR ")}
+       | ORDER BY raw DESC, doc_id LIMIT $k)
+       |SELECT $idSelect, n_hits, round(raw, 4) AS score FROM scored""".stripMargin
+  }
+
   /** Shared q92/q108 oracle: exact word-3-gram contamination as a plain
     * semi-join — the broadcast path (q92) and the Bloom-pruned +
     * exact-rerank path (q108) must both reduce to exactly this relation.
@@ -1397,8 +1451,10 @@ object SparkEntry {
   /** q53 replayed END-TO-END in SQL: the banded hyperplane-LSH candidate
     * generation (the SAME seeded plane constants the engine uses, baked in
     * as literals — one source of truth, like [[langIdOracleSql]]'s
-    * profiles), exact-cosine rerank at τ, and the 3-iteration min-id
-    * label propagation of [[graft.operators.Dedup.nearDupRepresentatives]].
+    * profiles), exact-cosine rerank at τ, and the true connected-component
+    * minimum (recursive reachability closure) that
+    * [[graft.operators.Dedup.nearDupRepresentatives]] now reaches by
+    * iterating min-label propagation to fixpoint.
     * This makes the approximate operator hash-exact WITHOUT requiring
     * total LSH recall: the oracle checks the algorithm, and q76's
     * recall contract separately pins its quality vs the exact pair set.
@@ -1424,12 +1480,7 @@ object SparkEntry {
       numBands: Int = 15, planesPerBand: Int = 4, dim: Int = 64,
       seed: Long = 42L): String = {
     val vals = hyperplaneValuesSql(numBands, planesPerBand, dim, seed)
-    def iter(prev: String): String =
-      s"""SELECT l.id AS id, LEAST(MIN(l.rep), COALESCE(MIN(n.rep), MIN(l.rep))) AS rep
-         |  FROM $prev l LEFT JOIN edges e ON l.id = e.s
-         |  LEFT JOIN $prev n ON e.t = n.id
-         |  GROUP BY l.id""".stripMargin
-    s"""WITH planes(plane_id, p) AS (VALUES $vals),
+    s"""WITH RECURSIVE planes(plane_id, p) AS (VALUES $vals),
        |vecs AS (
        |  SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings
        |  WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
@@ -1452,11 +1503,11 @@ object SparkEntry {
        |  WHERE list_cosine_similarity(va.v, vb.v) >= $threshold),
        |edges AS (SELECT id_a AS s, id_b AS t FROM pairs
        |          UNION ALL SELECT id_b AS s, id_a AS t FROM pairs),
-       |l0 AS (SELECT DISTINCT s AS id, s AS rep FROM edges),
-       |l1 AS (${iter("l0")}),
-       |l2 AS (${iter("l1")}),
-       |l3 AS (${iter("l2")})
-       |SELECT id, rep FROM l3""".stripMargin
+       |reach AS (
+       |  SELECT DISTINCT s AS id, s AS n FROM edges
+       |  UNION
+       |  SELECT r.id, e.t FROM reach r JOIN edges e ON r.n = e.s)
+       |SELECT id, min(n) AS rep FROM reach GROUP BY id""".stripMargin
   }
 
   /** q34 replayed END-TO-END in SQL: banded hyperplane-LSH candidate
@@ -2015,33 +2066,46 @@ object SparkEntry {
          |FROM pre""".stripMargin
     },
 
-    "q110_bm25_search" -> {
-      val terms = Seq("spark", "vector", "merge")
-      val k1 = 1.2; val b = 0.75
-      val tfs = terms.indices.map(i =>
-        s"len(list_filter(toks, t -> t = '${terms(i)}')) AS tf$i").mkString(",\n  ")
-      val dfs = terms.indices.map(i =>
-        s"sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END)::DOUBLE AS df$i").mkString(",\n  ")
-      val hits = terms.indices.map(i => s"CASE WHEN tf$i > 0 THEN 1 ELSE 0 END")
-        .mkString(" + ")
-      // double literals interpolated from the SAME Scala constants the
-      // Spark plan uses (shortest round-trip repr → identical doubles)
-      val score = terms.indices.map(i =>
-        s"""ln(1.0 + (n - df$i + 0.5) / (df$i + 0.5))
-           | * (tf$i::DOUBLE * ${k1 + 1.0})
-           | / (tf$i::DOUBLE + $k1 * (${1.0 - b} + $b * dl::DOUBLE / avgdl))"""
-          .stripMargin.replace("\n", "")).mkString("\n   + ")
+    "q110_bm25_search" -> bm25OracleSql(Seq("spark", "vector", "merge"), 25, "doc_id"),
+
+    // identical semantics to q110 by construction: the persisted-postings
+    // path scores the same population with the same stats through the
+    // same shared score expression (TextAnalysis.scoredTopK)
+    "q112_bm25_indexed" -> bm25OracleSql(Seq("spark", "vector", "merge"), 25,
+      "doc_id AS id"),
+
+    // Span-dedup replay: positional 8-gram per doc, first-(doc,pos)
+    // winner per gram content, later occurrences mark their covered token
+    // positions, docs rebuilt from uncovered tokens. Grams compare by
+    // CONTENT here vs xxhash64 on the engine side — identical output
+    // absent a 64-bit collision (none at these gram counts).
+    "q111_span_dedup" ->
       s"""WITH tk AS (SELECT doc_id, $tokensSql AS toks FROM documents),
-         |base AS (SELECT doc_id, len(toks) AS dl,
-         |  $tfs FROM tk),
-         |st AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl,
-         |  $dfs FROM base)
-         |SELECT doc_id, ($hits)::BIGINT AS n_hits,
-         | round($score, 4) AS score
-         |FROM base, st
-         |WHERE ${terms.indices.map(i => s"tf$i > 0").mkString(" OR ")}
-         |ORDER BY score DESC, doc_id LIMIT 25""".stripMargin
-    },
+         |sp AS (SELECT doc_id, toks, len(toks)::BIGINT AS n_tokens FROM tk),
+         |g AS (SELECT doc_id, unnest(generate_series(0, len(toks) - 8)) AS pos, toks
+         |  FROM sp WHERE len(toks) >= 8),
+         |g2 AS (SELECT doc_id, pos, array_to_string(toks[pos + 1 : pos + 8], ' ') AS gram FROM g),
+         |win AS (SELECT gram, doc_id AS wid, pos AS wpos FROM (
+         |    SELECT gram, doc_id, pos,
+         |      row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+         |    FROM g2) WHERE rn = 1),
+         |dup AS (SELECT g2.doc_id, g2.pos FROM g2 JOIN win USING (gram)
+         |  WHERE g2.doc_id <> win.wid OR g2.pos <> win.wpos),
+         |cov AS (SELECT DISTINCT doc_id, tpos FROM (
+         |  SELECT doc_id, unnest(generate_series(pos, pos + 7)) AS tpos FROM dup)),
+         |tp AS (SELECT doc_id, unnest(toks) AS tok,
+         |    unnest(generate_series(0, len(toks) - 1)) AS tpos FROM sp),
+         |kept AS (SELECT tp.doc_id, tp.tpos, tp.tok FROM tp
+         |  WHERE NOT EXISTS (SELECT 1 FROM cov
+         |    WHERE cov.doc_id = tp.doc_id AND cov.tpos = tp.tpos)),
+         |reb AS (SELECT doc_id, count(*)::BIGINT AS n_kept,
+         |    string_agg(tok, ' ' ORDER BY tpos) AS text_dedup
+         |  FROM kept GROUP BY doc_id)
+         |SELECT sp.doc_id AS id, sp.n_tokens,
+         |  coalesce(reb.n_kept, 0)::BIGINT AS n_kept,
+         |  (sp.n_tokens - coalesce(reb.n_kept, 0))::BIGINT AS n_removed,
+         |  coalesce(reb.text_dedup, '') AS text_dedup
+         |FROM sp LEFT JOIN reb ON reb.doc_id = sp.doc_id""".stripMargin,
 
     "q92_decontam" -> decontamOracleSql,
 

@@ -203,15 +203,17 @@ object Dedup {
     Similarity.bandedScoredPairs(corpus, numBands, planesPerBand, dim, seed)
       .filter(col("cosine") >= threshold)
 
-  /** Representative assignment for near-dup groups: iterate min-id label
-    * propagation over the pair graph to (approximate) fixpoint — each id
-    * maps to the smallest id reachable within `iterations` hops. For
-    * transitive chains longer than `iterations`, groups may stay split
-    * (documented approximation; near-dup clusters are shallow in
-    * practice). Each iteration is one join + one groupBy — no driver-side
-    * graph state, scales with the pair list.
+  /** Representative assignment for near-dup groups: min-id label
+    * propagation over the pair graph, iterated TO FIXPOINT — each id maps
+    * to the smallest id in its connected component. The loop stops when a
+    * pass changes no label (convergence is guaranteed: labels are
+    * monotonically non-increasing and bounded below by the component
+    * minimum, and the number of passes is at most the graph diameter),
+    * with `maxIterations` as a defensive cap only. Each pass is one join
+    * + one groupBy plus a cheap changed-row probe over the checkpointed
+    * result — no driver-side graph state, scales with the pair list.
     */
-  def nearDupRepresentatives(pairs: DataFrame, iterations: Int = 3): DataFrame = {
+  def nearDupRepresentatives(pairs: DataFrame, maxIterations: Int = 50): DataFrame = {
     val edges = pairs.select(col("id_a"), col("id_b"))
       .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
       // referenced twice per iteration — materialize once (eagerly, so it
@@ -220,24 +222,32 @@ object Dedup {
     var labels = edges.select(col("id_a").as("id")).distinct()
       .withColumn("rep", col("id"))
     var previous: Option[DataFrame] = None
-    (0 until iterations).foreach { _ =>
-      labels = labels.as("l")
+    var converged = false
+    var pass = 0
+    while (!converged && pass < maxIterations) {
+      // carry the pre-pass label alongside the new one so convergence is
+      // a filter over the already-materialized checkpoint, not a re-join
+      val next = labels.as("l")
         .join(edges.as("e"), col("l.id") === col("e.id_a"), "left")
         .join(labels.select(col("id").as("nid"), col("rep").as("nrep")).as("n"),
           col("e.id_b") === col("n.nid"), "left")
         .groupBy(col("l.id").as("id"))
         .agg(least(min(col("l.rep")), coalesce(min(col("n.nrep")),
-          min(col("l.rep")))).as("rep"))
+          min(col("l.rep")))).as("rep"),
+          min(col("l.rep")).as("__prev"))
         // each iteration references the previous labels TWICE, so without
         // a cut the logical plan doubles per pass — analysis/optimization
-        // blows up exponentially in `iterations`. An EAGER localCheckpoint
-        // truncates lineage to a materialized RDD (plan depth constant,
-        // raising `iterations` safe) and lets the superseded iteration's
-        // blocks be released immediately — lazy checkpoints would pile up
-        // cached RDDs for the session lifetime.
+        // blows up exponentially in the pass count. An EAGER
+        // localCheckpoint truncates lineage to a materialized RDD (plan
+        // depth constant, any number of passes safe) and lets the
+        // superseded iteration's blocks be released immediately — lazy
+        // checkpoints would pile up cached RDDs for the session lifetime.
         .localCheckpoint(true)
+      converged = next.filter(col("rep") =!= col("__prev")).isEmpty
       previous.foreach(_.unpersist())
-      previous = Some(labels)
+      previous = Some(next)
+      labels = next.select(col("id"), col("rep"))
+      pass += 1
     }
     edges.unpersist()
     labels
@@ -355,6 +365,77 @@ object Dedup {
       .join(fps.select(col("id").as("id_b"), col("hash"), col("pos").as("pos_b")),
         Seq("id_b", "hash"))
       .select(col("id_a"), col("id_b"), col("hash"), col("pos_a"), col("pos_b"))
+  }
+
+  /** Exact repeated-SPAN dedup across documents (the Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better" pass,
+    * re-expressed relationally): any `spanLen`-token window whose content
+    * occurs anywhere else in the corpus with an earlier (`idCol`,
+    * position) survives only at that first occurrence — every later
+    * occurrence has ALL tokens it covers removed from its document.
+    * Overlapping duplicated windows merge naturally (covered-position
+    * union), so a repeated paragraph of any length ≥ spanLen is excised
+    * as one contiguous hole, exactly like the suffix-array formulation —
+    * without a corpus-wide suffix array, which has no bounded-memory
+    * distributed shape.
+    *
+    * Input: one row per doc with `toksCol: array<string>`. Output: one
+    * row per doc — (id, n_tokens, n_kept, n_removed, text_dedup) with
+    * surviving tokens rejoined by " " in original order.
+    *
+    * Scale shape: positional gram explode (×n_tokens, but each row is a
+    * narrow (id, pos, 8-byte xxhash64(gram)) — payloads never fan out) →
+    * `min(struct(id, pos))` winner per gram hash (partial-aggregates
+    * map-side, so boilerplate-heavy corpora collapse before the shuffle;
+    * the non-winner join reuses the same hash partitioning, and AQE's
+    * ReuseExchange serves both sides from one shuffle) → covered-position
+    * union bounded by spanLen × true-dup density → posexplode anti-join
+    * rebuild, per-doc collect bounded by document size. No corpus-wide
+    * window, no driver state. Gram identity is the 64-bit hash on the
+    * engine side (8 B shuffle keys instead of ~10-token strings); a
+    * 64-bit collision could fuse two distinct grams — negligible below
+    * ~2^32 distinct grams per corpus shard, same contract as
+    * [[ngramJaccardPairs]].
+    */
+  def spanDedup(df: DataFrame, idCol: String, toksCol: Column,
+      spanLen: Int = 8): DataFrame = {
+    require(spanLen >= 2, s"spanLen must be >= 2, got $spanLen")
+    val spine = df.select(col(idCol).as("id"), toksCol.as("__toks"))
+      .select(col("id"), col("__toks"),
+        size(col("__toks")).cast("long").as("n_tokens"))
+    // positional grams: index i (0-based) = span starting at token i.
+    // __toks is a staged attribute, so the interpreted transform lambda
+    // does not re-evaluate the token expression per gram.
+    val grams = spine
+      .filter(size(col("__toks")) >= spanLen)
+      .select(col("id"), posexplode(
+        transform(sequence(lit(1), size(col("__toks")) - (spanLen - 1)),
+          i => array_join(slice(col("__toks"), i, lit(spanLen)), " ")))
+        .as(Seq("pos", "gram")))
+      .select(col("id"), col("pos"), xxhash64(col("gram")).as("gh"))
+    val winners = grams.groupBy(col("gh"))
+      .agg(min(struct(col("id"), col("pos"))).as("w"))
+    val dups = grams.join(winners, Seq("gh"))
+      .filter(!(col("id") === col("w.id") && col("pos") === col("w.pos")))
+    val covered = dups
+      .select(col("id"),
+        explode(sequence(col("pos"), col("pos") + (spanLen - 1))).as("tpos"))
+      .distinct()
+    val kept = spine
+      .select(col("id"), posexplode(col("__toks")).as(Seq("tpos", "tok")))
+      .join(covered, Seq("id", "tpos"), "left_anti")
+    val rebuilt = kept.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("tpos"), col("tok")))),
+            x => x.getField("tok")),
+          " ").as("text_dedup"))
+    spine.select(col("id"), col("n_tokens"))
+      .join(rebuilt, Seq("id"), "left")
+      .select(col("id"), col("n_tokens"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("text_dedup"), lit("")).as("text_dedup"))
   }
 
   /** Window-dedup: keep first row per key by order — the idiomatic upgrade

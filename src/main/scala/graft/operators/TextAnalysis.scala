@@ -180,9 +180,7 @@ object TextAnalysis {
     */
   def bm25TopK(df: DataFrame, idCol: String, textCol: String, terms: Seq[String],
       k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val qts = terms.map(_.toLowerCase)
-    require(qts.nonEmpty && qts.distinct.size == qts.size,
-      s"query terms must be non-empty and distinct (lowercased), got $terms")
+    val qts = normalizedTerms(terms)
     val tfCols = qts.zipWithIndex.map { case (term, i) =>
       size(filter(col("__toks"), t => t === lit(term))).as(s"__tf$i")
     }
@@ -196,19 +194,119 @@ object TextAnalysis {
       qts.indices.map(i =>
         sum(when(col(s"__tf$i") > 0, 1).otherwise(0)).cast("double").as(s"__df$i"))
     val stats = perDoc.agg(statAggs.head, statAggs.tail: _*)
-    val score = qts.indices.map { i =>
+    scoredTopK(perDoc.crossJoin(broadcast(stats)), idCol, qts.size, k, k1, b)
+  }
+
+  private def normalizedTerms(terms: Seq[String]): Seq[String] = {
+    val qts = terms.map(_.toLowerCase)
+    require(qts.nonEmpty && qts.distinct.size == qts.size,
+      s"query terms must be non-empty and distinct (lowercased), got $terms")
+    qts
+  }
+
+  /** Shared scoring tail for the scan and index paths: expects one row per
+    * candidate doc with `__tf0..__tfN-1`, `__dl`, and the broadcast stats
+    * columns `__n`, `__avgdl`, `__df0..__dfN-1` already attached. ONE
+    * expression tree for both paths, so their doubles are bit-identical
+    * (same op order) and `bm25FromIndex` equals `bm25TopK` exactly.
+    * Ordering runs on the UNROUNDED score (rounding only for display):
+    * ordering on a rounded value can disagree with the SQL oracle on
+    * boundary values where Spark's shortest-decimal HALF_UP round and
+    * DuckDB's binary-value round differ.
+    */
+  private def scoredTopK(candidates: DataFrame, idCol: String, nTerms: Int,
+      k: Int, k1: Double, b: Double): DataFrame = {
+    val score = (0 until nTerms).map { i =>
       val tf = col(s"__tf$i").cast("double")
       val idf = log(lit(1.0) +
         (col("__n") - col(s"__df$i") + lit(0.5)) / (col(s"__df$i") + lit(0.5)))
       idf * (tf * lit(k1 + 1.0)) /
         (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("__dl").cast("double") / col("__avgdl")))
     }.reduce(_ + _)
-    val nHits = qts.indices.map(i => when(col(s"__tf$i") > 0, 1).otherwise(0)).reduce(_ + _)
-    perDoc.crossJoin(broadcast(stats))
-      .where(qts.indices.map(i => col(s"__tf$i") > 0).reduce(_ || _))
-      .select(col(idCol), nHits.cast("long").as("n_hits"), round(score, 4).as("score"))
-      .orderBy(col("score").desc, col(idCol))
+    val nHits = (0 until nTerms).map(i => when(col(s"__tf$i") > 0, 1).otherwise(0)).reduce(_ + _)
+    candidates
+      .where((0 until nTerms).map(i => col(s"__tf$i") > 0).reduce(_ || _))
+      .select(col(idCol), nHits.cast("long").as("n_hits"), score.as("__raw"))
+      .orderBy(col("__raw").desc, col(idCol))
       .limit(k)
+      .select(col(idCol), col("n_hits"), round(col("__raw"), 4).as("score"))
+  }
+
+  /** Build the persisted BM25 index the single-shot path's scaladoc names
+    * as the repeated-query shape: a postings table (term, id, tf, dl)
+    * written `bucketBy(term)` so a query's term lookup prunes to its
+    * buckets instead of scanning the corpus, plus a one-row corpus-stats
+    * table (n, avgdl) computed over ALL docs (including token-less ones —
+    * the same population the scan path averages).
+    *
+    * Scale: the postings explode is the classic inverted-index build —
+    * one shuffle of (term, id) pairs with map-side partial counts; dl is
+    * denormalized into the postings row (16 B) so the query path needs NO
+    * join back to a doc spine. Tables land at `basePath` as external
+    * bucketed Spark tables (overwrite-idempotent).
+    */
+  def buildBm25Index(df: DataFrame, idCol: String, textCol: String,
+      name: String, basePath: String, buckets: Int = 32): Unit = {
+    val spark = df.sparkSession
+    val staged = df.select(col(idCol).as("id"), tokens(col(textCol)).as("__toks"))
+      .select(col("id"), col("__toks"), size(col("__toks")).as("dl"))
+    val postings = staged
+      .select(col("id"), col("dl"), explode(col("__toks")).as("term"))
+      .groupBy(col("term"), col("id"), col("dl"))
+      .agg(count(lit(1)).cast("int").as("tf"))
+    spark.sql(s"DROP TABLE IF EXISTS ${name}_postings")
+    postings.write.mode("overwrite")
+      .option("path", s"$basePath/${name}_postings")
+      .bucketBy(buckets, "term")
+      .saveAsTable(s"${name}_postings")
+    val stats = staged.agg(count(lit(1)).cast("double").as("n"),
+      avg(col("dl")).as("avgdl"))
+    spark.sql(s"DROP TABLE IF EXISTS ${name}_stats")
+    stats.write.mode("overwrite")
+      .option("path", s"$basePath/${name}_stats")
+      .saveAsTable(s"${name}_stats")
+  }
+
+  /** BM25 top-k from the persisted index: reads ONLY the postings buckets
+    * holding the query terms (bucket pruning on the `term` filter — the
+    * plan shows SelectedBucketsCount, asserted in PlanQualitySpec) plus
+    * the one-row stats table; the corpus is never scanned. Per-term df
+    * comes from the pruned postings themselves (one row per (term, doc)).
+    * Equals [[bm25TopK]] on the indexed corpus by construction — same
+    * population, same stats, same shared score expression.
+    */
+  def bm25FromIndex(spark: org.apache.spark.sql.SparkSession, name: String,
+      terms: Seq[String], k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val qts = normalizedTerms(terms)
+    // Spark 4's DisableUnnecessaryBucketedScan drops the bucketed scan
+    // when no operator needs the bucket distribution — INCLUDING scans
+    // whose term filter would prune buckets (verified on 4.1.2: the same
+    // probe reads all buckets with the rule on, SelectedBucketsCount 1/N
+    // with it off). Bucket pruning is the entire point of this index, so
+    // pin auto-bucketed-scan off; it only affects bucketed-table reads,
+    // and this engine's only bucketed tables are these indexes.
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    val postings = spark.table(s"${name}_postings")
+      .where(col("term").isin(qts: _*))
+    // pivot the hit postings to one row per doc with __tf0..__tfN-1;
+    // docs absent from every query term's postings score 0 in the scan
+    // path and are correctly absent here (the WHERE in scoredTopK)
+    val tfAggs = qts.zipWithIndex.map { case (t, i) =>
+      coalesce(max(when(col("term") === t, col("tf"))), lit(0)).as(s"__tf$i")
+    }
+    val perDoc = postings.groupBy(col("id"), col("dl").as("__dl"))
+      .agg(tfAggs.head, tfAggs.tail: _*)
+    // per-term document frequencies: one count over the SAME pruned
+    // postings (each (term, doc) appears exactly once)
+    val dfAggs = qts.zipWithIndex.map { case (t, i) =>
+      sum(when(col("term") === t, 1).otherwise(0)).cast("double").as(s"__df$i")
+    }
+    val dfs = postings.agg(dfAggs.head, dfAggs.tail: _*)
+    val corpus = spark.table(s"${name}_stats")
+      .select(col("n").as("__n"), col("avgdl").as("__avgdl"))
+    scoredTopK(
+      perDoc.crossJoin(broadcast(dfs)).crossJoin(broadcast(corpus)),
+      "id", qts.size, k, k1, b)
   }
 
   /** BPE-style PRE-tokenizer pattern (the split that runs before merges in

@@ -109,6 +109,16 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), "supplier/part side should broadcast")
   }
 
+  test("q112 BM25 index probe prunes postings buckets and never rescans the corpus") {
+    val p = plan("q112_bm25_indexed")
+    // bucket pruning on the term filter: only the query terms' buckets
+    // are read from the postings table
+    assert(p.contains("SelectedBucketsCount"), p.take(800))
+    // the probe plan reads the index tables only — a documents.parquet
+    // scan here would mean the "no corpus scan" contract is broken
+    assert(!p.contains("documents.parquet"), "probe plan rescans the corpus")
+  }
+
   test("weather transform is one narrow codegen stage (no shuffle, no UDF)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-plan-csv")
     val content = "Time;Temperature;Humidity;Pressure;Speed;Precip. Accum.\n" +

@@ -147,23 +147,51 @@ class DedupSpec extends AnyFunSuite {
     assert(got == Set((1, "b"), (2, "c")))
   }
 
-  test("nearDupRepresentatives: iterations=10 on a chain graph, constant plan depth") {
-    // chain 0-1-2-…-12: min-label propagation needs many hops to converge;
-    // without the per-iteration localCheckpoint the plan doubles per pass
-    // and 10 iterations would hang analysis (2^10 joins).
+  test("nearDupRepresentatives: fixpoint on a chain longer than any hop bound") {
+    // chain 0-1-2-…-12: min-label propagation spreads the component
+    // minimum one hop per pass, so a fixed small iteration count would
+    // leave the tail mislabeled — the convergence-checked loop must run
+    // the full 12 passes and collapse the whole chain to rep 0. The
+    // per-pass localCheckpoint keeps plan depth constant (without it the
+    // plan doubles per pass and 12 iterations would hang analysis).
     val pairs = (0L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val labels = Dedup.nearDupRepresentatives(pairs, iterations = 10)
-    // plan depth constant: the checkpointed plan is a scan, not 10 nested joins
+    val labels = Dedup.nearDupRepresentatives(pairs)
+    // plan depth constant: the checkpointed plan is a scan, not 12 nested joins
     val planSize = labels.queryExecution.analyzed.collect { case p => p }.size
     assert(planSize <= 10, s"lineage not truncated: $planSize-node plan")
     val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got.size == 13)
-    // after 10 doubling-free propagation hops every node reaches label 0
-    // (hop h reaches nodes within distance h of 0; 10 ≥ chain length 12? no —
-    // min-label propagation spreads the FRONT 1 hop/iter, so node 12 still
-    // holds a non-zero label; assert monotone correctness instead:
-    got.foreach { case (id, rep) => assert(rep <= id && rep >= math.max(0L, id - 10L)) }
-    assert(got(0L) == 0L && got(5L) == 0L && got(10L) == 0L)
+    got.foreach { case (id, rep) => assert(rep == 0L, s"node $id stuck at $rep") }
+  }
+
+  test("spanDedup: repeated paragraph excised at later occurrences only") {
+    val boiler = "the quick brown fox jumps over the lazy dog again".split(" ").toSeq // 10 tokens
+    val docs = Seq(
+      (1L, Seq("alpha", "beta") ++ boiler ++ Seq("gamma")),
+      (2L, Seq("delta") ++ boiler ++ Seq("epsilon")),   // loses the paragraph
+      (3L, boiler),                                      // loses everything
+      (4L, Seq("zeta", "eta", "theta")))                 // too short for any span
+      .toDF("doc_id", "toks")
+    val out = Dedup.spanDedup(docs, "doc_id", col("toks"), spanLen = 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    // doc 1 is the first occurrence (min (id, pos)) — fully kept
+    assert(out(1L) == ((13L, 13L, 0L,
+      (Seq("alpha", "beta") ++ boiler ++ Seq("gamma")).mkString(" "))))
+    // doc 2: the 10 boiler tokens are covered by duplicated 8-grams; the
+    // surrounding singletons survive
+    assert(out(2L) == ((12L, 2L, 10L, "delta epsilon")))
+    assert(out(3L) == ((10L, 0L, 10L, "")))
+    assert(out(4L) == ((3L, 3L, 0L, "zeta eta theta")))
+  }
+
+  test("spanDedup: in-document repetition keeps only the first site") {
+    val span = (1 to 9).map(i => s"w$i")
+    val doc = span ++ Seq("mid") ++ span
+    val out = Dedup.spanDedup(Seq((7L, doc)).toDF("doc_id", "toks"),
+      "doc_id", col("toks"), spanLen = 9)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getString(4))).head
+    assert(out == ((19L, 10L, (span ++ Seq("mid")).mkString(" "))))
   }
 
   test("lineDedup: keep-first across docs, order preserved, empty docs survive") {

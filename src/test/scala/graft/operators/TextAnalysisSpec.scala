@@ -155,6 +155,23 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got.find(_._1 == 2L).get._2 == 2L)
   }
 
+  test("bm25FromIndex equals bm25TopK exactly (same docs, same doubles)") {
+    val corpus = (1L to 60L).map { i =>
+      (i, s"spark doc number $i ${if (i % 3 == 0) "vector merge" else "plain words"}" +
+        (" filler" * (i % 5).toInt))
+    }.toDF("doc_id", "text")
+    val base = java.nio.file.Files.createTempDirectory("graft_bm25_spec").toString
+    TextAnalysis.buildBm25Index(corpus, "doc_id", "text", "t_bm25_spec", base)
+    val fromIdx = TextAnalysis
+      .bm25FromIndex(spark, "t_bm25_spec", Seq("spark", "vector", "merge"), 10)
+    val direct = TextAnalysis
+      .bm25TopK(corpus, "doc_id", "text", Seq("spark", "vector", "merge"), 10)
+    // bit-exact equality including rank order — the shared score tree
+    // guarantees identical doubles, not just close ones
+    assert(fromIdx.collect().toSeq.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      == direct.collect().toSeq.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))))
+  }
+
   test("bm25: top-k is TakeOrdered (no global sort) over one broadcast stats row") {
     val df = (1L to 50L).map(i => (i, s"spark doc $i")).toDF("doc_id", "text")
     val plan = TextAnalysis.bm25TopK(df, "doc_id", "text", Seq("spark"), 5)
