@@ -706,6 +706,39 @@ object SparkEntry {
             col("est") - col("err") <= col("exact_count")).as("bounds_ok"))
     }),
 
+    // SpaceSaving over STRING keys: capacity (200) above the key
+    // cardinality (~97 lang|source combos) means no eviction ever
+    // happens, so the sketch IS the exact count table (est = true count,
+    // err = 0) deterministically on any partitioning — the string-key
+    // surface gets a hash-exact oracle, while q109 contract-checks the
+    // eviction/merge bounds under skew on long keys.
+    "q113_heavy_hitters_str" -> ((s, d) => {
+      val keyed = t(s, d, "documents")
+        .select(concat(col("lang"), lit("|"), col("source")).as("k"))
+      keyed
+        .agg(graft.functions.SpaceSavingSketch.spaceSavingTopK(col("k"), 200).as("hh"))
+        .select(explode(col("hh")).as("x"))
+        .select(col("x.item").as("item"), col("x.est").as("est"),
+          col("x.err").as("err"))
+    }),
+
+    // Profiler approx-NDV contract (the q33 pattern): HLL++ estimates
+    // from the no-Expand approxDistinct plan must land within 10% of the
+    // exact distinct counts (default rsd 0.05) for every profiled column
+    "q115_profile_approx" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+      val ap = graft.operators.Profile.profile(docs, cols, approxDistinct = true)
+        .select(col("col_name"), col("n_distinct").as("__ndv_approx"))
+      val ex = graft.operators.Profile.profile(docs, cols)
+        .select(col("col_name"), col("n_rows"), col("n_nulls"),
+          col("n_distinct").as("ndv_exact"))
+      ex.join(ap, Seq("col_name"))
+        .select(col("col_name"), col("n_rows"), col("n_nulls"), col("ndv_exact"),
+          (abs(col("__ndv_approx").cast("double") - col("ndv_exact"))
+            <= col("ndv_exact") * lit(0.10)).as("ndv_within_10pct"))
+    }),
+
     // Bloom-pruned decontamination: same output as q92, but the corpus
     // side is pre-filtered by a Bloom filter over the eval grams (the
     // scale path when the eval set is too large to broadcast exactly);
@@ -2120,6 +2153,23 @@ object SparkEntry {
            |  count(DISTINCT $c)::BIGINT AS n_distinct,
            |  min($c::VARCHAR) AS min_value, max($c::VARCHAR) AS max_value,
            |  coalesce(sum(length($c::VARCHAR)), 0)::BIGINT AS sum_len
+           |FROM documents""".stripMargin
+      Seq("doc_id", "text", "lang", "source", "n_chars")
+        .map(one).mkString("\nUNION ALL\n")
+    },
+
+    // capacity > cardinality ⇒ the sketch is exactly the group-by table
+    "q113_heavy_hitters_str" ->
+      """SELECT lang || '|' || source AS item, count(*)::BIGINT AS est,
+        | 0::BIGINT AS err
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "q115_profile_approx" -> {
+      def one(c: String) =
+        s"""SELECT '$c' AS col_name, count(*)::BIGINT AS n_rows,
+           |  sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls,
+           |  count(DISTINCT $c)::BIGINT AS ndv_exact,
+           |  TRUE AS ndv_within_10pct
            |FROM documents""".stripMargin
       Seq("doc_id", "text", "lang", "source", "n_chars")
         .map(one).mkString("\nUNION ALL\n")

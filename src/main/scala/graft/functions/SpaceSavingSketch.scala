@@ -5,53 +5,72 @@ import java.nio.ByteBuffer
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.util.{GenericArrayData, TypeUtils}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
 /** SpaceSaving heavy-hitters summary (Metwally/Agrawal/El Abbadi 2005) as
-  * a custom `TypedImperativeAggregate` over LONG keys, with the
-  * bias-compensated merge of Agarwal et al., "Mergeable Summaries"
-  * (PODS 2012) so partial aggregation on ANY partitioning preserves the
-  * guarantees:
+  * a custom `TypedImperativeAggregate` over LONG, INT or STRING keys,
+  * with the bias-compensated merge of Agarwal et al., "Mergeable
+  * Summaries" (PODS 2012) so partial aggregation on ANY partitioning
+  * preserves the guarantees:
   *
   *  - `est(x) >= trueCount(x)` for every tracked item,
   *  - `est(x) - err(x) <= trueCount(x)`,
   *  - every item with `trueCount(x) > N / capacity` is tracked (the
   *    "guaranteed heavy hitter" coverage bound).
   *
-  * The summary is `capacity` counters (~24 B each) regardless of input
-  * size — the 100 TB top-k-frequent path where an exact groupBy's
-  * key-space would dominate the shuffle. Tie-breaking on eviction/trim is
+  * The summary is `capacity` counters regardless of input size — the
+  * 100 TB top-k-frequent path where an exact groupBy's key-space would
+  * dominate the shuffle. String keys are carried as the items themselves
+  * (cloned out of the unsafe-row buffer on first sight), not pre-hashed —
+  * the reported item is directly usable. Tie-breaking on eviction/trim is
   * order-sensitive, so the REPORTED SET beyond the guaranteed items may
   * vary with partitioning; consumers that need determinism join the
   * sketch against exact counts of the (deterministic) guaranteed set —
-  * see q109, which oracle-enforces exactly the three bounds above.
+  * see q109, which oracle-enforces exactly the three bounds above — or
+  * keep `capacity` above the key cardinality, which makes the whole
+  * summary exact (q113).
   */
 case class SpaceSavingTopK(
     child: Expression, capacity: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[java.util.HashMap[Long, Array[Long]]] {
+  extends TypedImperativeAggregate[java.util.HashMap[Any, Array[Long]]] {
 
   require(capacity > 0, "capacity must be positive")
 
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType | IntegerType | StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"spaceSavingTopK supports long, int and string keys, got ${t.simpleString}")
+  }
+
   override def dataType: DataType = ArrayType(
     StructType(Seq(
-      StructField("item", LongType, nullable = false),
+      StructField("item", child.dataType, nullable = false),
       StructField("est", LongType, nullable = false),
       StructField("err", LongType, nullable = false))), containsNull = false)
 
-  // value = Array(est, err) — mutable in place
-  override def createAggregationBuffer(): java.util.HashMap[Long, Array[Long]] =
-    new java.util.HashMap[Long, Array[Long]]()
+  /** Deterministic key order for the capacity trim (stability within a
+    * merge); interpreted ordering for the child's atomic type.
+    */
+  @transient private lazy val keyOrdering: Ordering[Any] =
+    TypeUtils.getInterpretedOrdering(child.dataType).asInstanceOf[Ordering[Any]]
 
-  private def minEntry(buf: java.util.HashMap[Long, Array[Long]]): (Long, Array[Long]) = {
-    var mk = 0L; var mv: Array[Long] = null
+  // value = Array(est, err) — mutable in place
+  override def createAggregationBuffer(): java.util.HashMap[Any, Array[Long]] =
+    new java.util.HashMap[Any, Array[Long]]()
+
+  private def minEntry(buf: java.util.HashMap[Any, Array[Long]]): (Any, Array[Long]) = {
+    var mk: Any = null; var mv: Array[Long] = null
     val it = buf.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
@@ -60,11 +79,16 @@ case class SpaceSavingTopK(
     (mk, mv)
   }
 
-  override def update(buf: java.util.HashMap[Long, Array[Long]],
-      input: InternalRow): java.util.HashMap[Long, Array[Long]] = {
+  override def update(buf: java.util.HashMap[Any, Array[Long]],
+      input: InternalRow): java.util.HashMap[Any, Array[Long]] = {
     val v = child.eval(input)
     if (v != null) {
-      val x = v.asInstanceOf[Long]
+      // UTF8String from an unsafe row points into a reused buffer — keys
+      // stored across rows must own their bytes
+      val x: Any = v match {
+        case s: UTF8String => s.clone()
+        case other => other
+      }
       val cur = buf.get(x)
       if (cur != null) cur(0) += 1
       else if (buf.size() < capacity) buf.put(x, Array(1L, 0L))
@@ -85,8 +109,8 @@ case class SpaceSavingTopK(
     * largest estimates. Both error bounds and the coverage guarantee
     * survive this for any merge tree.
     */
-  override def merge(a: java.util.HashMap[Long, Array[Long]],
-      b: java.util.HashMap[Long, Array[Long]]): java.util.HashMap[Long, Array[Long]] = {
+  override def merge(a: java.util.HashMap[Any, Array[Long]],
+      b: java.util.HashMap[Any, Array[Long]]): java.util.HashMap[Any, Array[Long]] = {
     if (b.isEmpty) return a
     if (a.isEmpty) { a.putAll(b); return a }
     val minA = if (a.size() < capacity) 0L else minEntry(a)._2(0)
@@ -111,7 +135,7 @@ case class SpaceSavingTopK(
       // stability within this merge)
       entries.sort { (x, y) =>
         val c = java.lang.Long.compare(y.getValue()(0), x.getValue()(0))
-        if (c != 0) c else java.lang.Long.compare(x.getKey, y.getKey)
+        if (c != 0) c else keyOrdering.compare(x.getKey, y.getKey)
       }
       var i = capacity
       while (i < entries.size()) { a.remove(entries.get(i).getKey); i += 1 }
@@ -119,7 +143,7 @@ case class SpaceSavingTopK(
     a
   }
 
-  override def eval(buf: java.util.HashMap[Long, Array[Long]]): Any = {
+  override def eval(buf: java.util.HashMap[Any, Array[Long]]): Any = {
     val out = new Array[Any](buf.size())
     val it = buf.entrySet().iterator()
     var i = 0
@@ -131,14 +155,22 @@ case class SpaceSavingTopK(
     new GenericArrayData(out)
   }
 
-  override def serialize(buf: java.util.HashMap[Long, Array[Long]]): Array[Byte] = {
+  override def serialize(buf: java.util.HashMap[Any, Array[Long]]): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(buf.size())
     val it = buf.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
-      out.writeLong(e.getKey)
+      child.dataType match {
+        case LongType => out.writeLong(e.getKey.asInstanceOf[Long])
+        case IntegerType => out.writeInt(e.getKey.asInstanceOf[Int])
+        case StringType =>
+          val bytes = e.getKey.asInstanceOf[UTF8String].getBytes
+          out.writeInt(bytes.length)
+          out.write(bytes)
+        case t => throw new IllegalStateException(s"unreachable key type $t")
+      }
       out.writeLong(e.getValue()(0))
       out.writeLong(e.getValue()(1))
     }
@@ -146,13 +178,22 @@ case class SpaceSavingTopK(
     bos.toByteArray
   }
 
-  override def deserialize(bytes: Array[Byte]): java.util.HashMap[Long, Array[Long]] = {
+  override def deserialize(bytes: Array[Byte]): java.util.HashMap[Any, Array[Long]] = {
     val in = ByteBuffer.wrap(bytes)
     val buf = createAggregationBuffer()
     val n = in.getInt
     var i = 0
     while (i < n) {
-      val k = in.getLong
+      val k: Any = child.dataType match {
+        case LongType => in.getLong
+        case IntegerType => in.getInt
+        case StringType =>
+          val len = in.getInt
+          val b = new Array[Byte](len)
+          in.get(b)
+          UTF8String.fromBytes(b)
+        case t => throw new IllegalStateException(s"unreachable key type $t")
+      }
       buf.put(k, Array(in.getLong, in.getLong))
       i += 1
     }
@@ -170,7 +211,8 @@ case class SpaceSavingTopK(
 object SpaceSavingSketch {
 
   /** Heavy-hitters summary column: array<struct<item,est,err>> over a
-    * LONG key column, `capacity` counters, any partitioning.
+    * LONG, INT or STRING key column, `capacity` counters, any
+    * partitioning.
     */
   def spaceSavingTopK(c: Column, capacity: Int): Column =
     ColumnBridge.column(

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** One-pass column profiler — the engine-side equivalent of the
@@ -15,31 +15,45 @@ import org.apache.spark.sql.functions._
   * profiled columns) feeding a partial+final aggregate — the standard
   * multi-distinct plan; fine up to a handful of columns. For wide tables
   * at 100 TB use `approxDistinct = true`: HLL++ sketches aggregate
-  * without Expand, one true pass, merge-safe on any partitioning.
+  * without Expand, one true pass, merge-safe on any partitioning (the
+  * ±~2.3% default-precision error bound is contract-checked by q115).
   */
 object Profile {
 
   def profile(df: DataFrame, cols: Seq[String],
       approxDistinct: Boolean = false): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
-    val aggs = cols.flatMap { c =>
-      val s = col(c).cast("string")
+    // resolve each requested name ONCE via backtick quoting (doubling
+    // embedded backticks), and alias every aggregate positionally — no
+    // user-controlled text ever reaches a parsed SQL fragment, so names
+    // with quotes/commas/dots/spaces profile like any other (spec-pinned)
+    def resolved(c: String): Column = col("`" + c.replace("`", "``") + "`")
+    val aggs = cols.zipWithIndex.flatMap { case (c, i) =>
+      val raw = resolved(c)
+      val s = raw.cast("string")
       Seq(
-        count(lit(1)).as(s"n_$c"),
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls_$c"),
-        (if (approxDistinct) approx_count_distinct(col(c))
-         else count_distinct(col(c))).as(s"ndv_$c"),
-        min(s).as(s"min_$c"),
-        max(s).as(s"max_$c"),
-        coalesce(sum(length(s).cast("long")), lit(0L)).as(s"len_$c"))
+        count(lit(1)).as(s"c${i}_n"),
+        sum(when(raw.isNull, 1L).otherwise(0L)).as(s"c${i}_nulls"),
+        (if (approxDistinct) approx_count_distinct(raw)
+         else count_distinct(raw)).as(s"c${i}_ndv"),
+        min(s).as(s"c${i}_min"),
+        max(s).as(s"c${i}_max"),
+        coalesce(sum(length(s).cast("long")), lit(0L)).as(s"c${i}_len"))
     }
     val one = df.agg(aggs.head, aggs.tail: _*)
-    // unpivot the single stats row to one output row per column
-    val stacked = cols.map { c =>
-      s"'$c', n_$c, nulls_$c, ndv_$c, min_$c, max_$c, len_$c"
-    }.mkString(", ")
-    one.select(expr(
-      s"stack(${cols.size}, $stacked) AS " +
-        "(col_name, n_rows, n_nulls, n_distinct, min_value, max_value, sum_len)"))
+    // unpivot the single stats row to one output row per column — an
+    // explode over per-column structs (the expression-level equivalent
+    // of stack(), with the names carried as literals, not SQL text)
+    val rows = cols.zipWithIndex.map { case (c, i) =>
+      struct(
+        lit(c).as("col_name"),
+        col(s"c${i}_n").as("n_rows"),
+        col(s"c${i}_nulls").as("n_nulls"),
+        col(s"c${i}_ndv").as("n_distinct"),
+        col(s"c${i}_min").as("min_value"),
+        col(s"c${i}_max").as("max_value"),
+        col(s"c${i}_len").as("sum_len"))
+    }
+    one.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
   }
 }

@@ -49,6 +49,53 @@ class SpaceSavingSketchSpec extends AnyFunSuite {
     assert(sk == Map(1L -> ((2L, 0L)), 2L -> ((1L, 0L)), 3L -> ((3L, 0L))))
   }
 
+  test("string keys: bounds + coverage under multi-partition merge and eviction") {
+    // same zipf-ish skew, keys carried as strings — the sketch must
+    // report the string items themselves (no pre-hashing) and keep the
+    // SpaceSaving guarantees through serialize/merge
+    val data: Seq[String] =
+      (1L to 20L).flatMap(i => Seq.fill((2000 / i).toInt)(s"key_$i")) ++
+        (1000L until 3000L).map(i => s"tail_$i")
+    val trueCounts = data.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = data.size.toLong
+    for (parts <- Seq(1, 7, 32)) {
+      val sk = data.toDF("k").repartition(parts)
+        .agg(spaceSavingTopK(col("k"), 50).as("hh"))
+        .select(explode(col("hh")).as("x"))
+        .select("x.item", "x.est", "x.err")
+        .as[(String, Long, Long)].collect()
+      assert(sk.length <= 50)
+      val est = sk.map(t => t._1 -> ((t._2, t._3))).toMap
+      est.foreach { case (item, (e, err)) =>
+        val t = trueCounts.getOrElse(item, 0L)
+        assert(e >= t, s"item $item: est $e < true $t (parts=$parts)")
+        assert(e - err <= t, s"item $item: est-err ${e - err} > true $t (parts=$parts)")
+      }
+      trueCounts.filter(_._2 * 50 > n).keys.foreach { hot =>
+        assert(est.contains(hot), s"guaranteed heavy hitter $hot missing (parts=$parts)")
+      }
+    }
+  }
+
+  test("string keys without eviction pressure are exact") {
+    val sk = Seq("a", "a", "b", "c", "c", "c").toDF("k")
+      .agg(spaceSavingTopK(col("k"), 10).as("hh"))
+      .select(explode(col("hh")).as("x"))
+      .select("x.item", "x.est", "x.err")
+      .as[(String, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(sk == Map("a" -> ((2L, 0L)), "b" -> ((1L, 0L)), "c" -> ((3L, 0L))))
+  }
+
+  test("unsupported key type is rejected at analysis") {
+    val df = Seq(Tuple1(1.5)).toDF("k")
+    val e = intercept[Exception] {
+      df.agg(spaceSavingTopK(col("k"), 5)).collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("string") ||
+      e.getMessage.toLowerCase.contains("type"), e.getMessage)
+  }
+
   test("nulls ignored, capacity respected under heavy churn") {
     val df = (0L until 5000L).map(i => if (i % 10 == 0) None else Some(i))
       .toDF("k").repartition(8)

@@ -39,6 +39,21 @@ class ProfileSpec extends AnyFunSuite {
     assert(math.abs(byCol("id") - 5000.0) / 5000.0 < 0.1)
   }
 
+  test("profile: hostile column names (quotes, commas, dots, backticks, spaces)") {
+    val hostile = Seq("it's, tricky", "a.b c", "back`tick", "stack(2")
+    var df = Seq((1L, "x", "y", "z", "w"), (2L, "x", null, "z", "q"))
+      .toDF("id", "c1", "c2", "c3", "c4")
+    hostile.zipWithIndex.foreach { case (h, i) =>
+      df = df.withColumnRenamed(s"c${i + 1}", h)
+    }
+    val p = Profile.profile(df, hostile).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(p.keySet == hostile.toSet)
+    assert(p("it's, tricky").getLong(3) == 1)      // ndv of constant col
+    assert(p("a.b c").getLong(2) == 1)             // one null
+    assert(p("stack(2").getLong(3) == 2)           // w, q
+  }
+
   test("profile: all-null column yields empty min/max and zero sum_len") {
     val df = Seq((1L, Option.empty[String]), (2L, None)).toDF("id", "s")
     val r = Profile.profile(df, Seq("s")).collect().head
