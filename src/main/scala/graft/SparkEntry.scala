@@ -706,6 +706,44 @@ object SparkEntry {
             col("est") - col("err") <= col("exact_count")).as("bounds_ok"))
     }),
 
+    // Streaming lineage, oracle-checked: the SAME events parquet driven
+    // through a bounded file stream → watermarked tumbling-window
+    // aggregation → complete-mode foreachBatch overwrite sink, then the
+    // final materialized state read back. Batch-equivalence becomes a
+    // hash-exact ORACLE row (the q21 SQL), not just a ScalaTest: the
+    // streaming plan must land on identical counts/sums per (hour, type).
+    "q114_stream_hourly" -> ((s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val tmp = sys.props("java.io.tmpdir")
+      val outPath = s"$tmp/graft_q114_out"
+      val ckpt = s"$tmp/graft_q114_ckpt"
+      // clean slate: a stale checkpoint would replay 0 new files and
+      // freeze the output at a previous run's result
+      def rmrf(p: java.io.File): Unit = {
+        if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rmrf))
+        p.delete(): Unit
+      }
+      Seq(outPath, ckpt).foreach(p => rmrf(new java.io.File(p)))
+      val raw = Tables.table(s, d, "events") // batch load, for the raw schema
+      // the file-stream source lists DIRECTORIES; select the single
+      // events file out of the sf dir with a glob filter
+      val stream = s.readStream.schema(raw.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+        .withColumnRenamed("ts", "ts_ns")
+        .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      val agg = graft.streaming.StreamingOps.hourlyEventCounts(stream, "ts")
+      val q = graft.streaming.StreamingOps.overwriteCompletePerBatch(agg, outPath)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(outPath)
+        .select(date_format(col("hour_start"), "yyyy-MM-dd HH:mm:ss").as("hour_ts"),
+          col("event_type"), col("n"), col("sum_value"))
+    }),
+
     // SpaceSaving over STRING keys: capacity (200) above the key
     // cardinality (~97 lang|source combos) means no eviction ever
     // happens, so the sketch IS the exact count table (est = true count,
@@ -768,6 +806,25 @@ object SparkEntry {
         t(s, d, "documents"), "doc_id", "text", "graft_bm25", base)
       graft.operators.TextAnalysis.bm25FromIndex(
         s, "graft_bm25", terms = Seq("spark", "vector", "merge"), k = 25)
+    }),
+
+    // Hybrid retrieval: reciprocal-rank fusion of the BM25 lexical top-50
+    // and the cosine top-50 for probe doc 3 (doc_id == vec_id, 1:1).
+    // Rank-based fusion — no score calibration; ranks derive from each
+    // list's own deterministic (score, id) total order. The unpartitioned
+    // rank window is bounded by the top-k list size (50 rows).
+    "q116_hybrid_rrf" -> ((s, d) => {
+      val lex = graft.operators.TextAnalysis.bm25TopK(
+        t(s, d, "documents"), "doc_id", "text",
+        terms = Seq("spark", "vector", "merge"), k = 50)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id"))))
+        .select(col("doc_id").as("id"), col("rank"))
+      val sem = Similarity.bruteForceTopK(
+        t(s, d, "embeddings"),
+        t(s, d, "embeddings").filter(col("vec_id") === 3), k = 50)
+        .select(col("corpus_id").as("id"), col("rank"))
+      graft.operators.Retrieval.rrf(Seq(lex, sem), "id", "rank", k = 20)
     }),
 
     // Lee-et-al repeated-span removal: every 8-token window occurring
@@ -2107,6 +2164,31 @@ object SparkEntry {
     "q112_bm25_indexed" -> bm25OracleSql(Seq("spark", "vector", "merge"), 25,
       "doc_id AS id"),
 
+    // RRF replay: both lists rebuilt rank-exactly (BM25 via the shared
+    // generator, cosine via the q32 shape at probe 3), fused with the
+    // identical two-term 1/(60+rank) sum; unrounded doubles, top-20 by
+    // (raw, id) — the same total order the engine's rrf computes.
+    "q116_hybrid_rrf" -> {
+      val bm = bm25OracleSql(Seq("spark", "vector", "merge"), 50, "doc_id")
+      s"""WITH lex AS (SELECT id, row_number() OVER (ORDER BY score DESC, id) AS r
+         |  FROM (SELECT doc_id AS id, score FROM ($bm))),
+         |sem AS (SELECT corpus_id AS id, rank AS r FROM (
+         |  SELECT c.vec_id AS corpus_id,
+         |    row_number() OVER (ORDER BY
+         |      list_cosine_similarity(c.embedding::DOUBLE[], p.embedding::DOUBLE[]) DESC,
+         |      c.vec_id) AS rank
+         |  FROM embeddings c JOIN embeddings p ON c.vec_id <> p.vec_id
+         |  WHERE p.vec_id = 3) WHERE rank <= 50),
+         |f AS (SELECT coalesce(lex.id, sem.id) AS id,
+         |  (CASE WHEN lex.r IS NOT NULL THEN 1 ELSE 0 END
+         |   + CASE WHEN sem.r IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_lists,
+         |  (CASE WHEN lex.r IS NOT NULL THEN 1.0 / (60.0 + lex.r) ELSE 0.0 END
+         |   + CASE WHEN sem.r IS NOT NULL THEN 1.0 / (60.0 + sem.r) ELSE 0.0 END) AS rrf_score
+         | FROM lex FULL OUTER JOIN sem ON lex.id = sem.id)
+         |SELECT id, n_lists, rrf_score FROM f
+         |ORDER BY rrf_score DESC, id LIMIT 20""".stripMargin
+    },
+
     // Span-dedup replay: positional 8-gram per doc, first-(doc,pos)
     // winner per gram content, later occurrences mark their covered token
     // positions, docs rebuilt from uncovered tokens. Grams compare by
@@ -2157,6 +2239,13 @@ object SparkEntry {
       Seq("doc_id", "text", "lang", "source", "n_chars")
         .map(one).mkString("\nUNION ALL\n")
     },
+
+    // batch-equivalence oracle: the streaming plan must equal q21's SQL
+    "q114_stream_hourly" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_ts,
+        | event_type, count(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
 
     // capacity > cardinality ⇒ the sketch is exactly the group-by table
     "q113_heavy_hitters_str" ->

@@ -31,13 +31,40 @@ object WeatherPipeline {
     (Seq(madeleine, ichtegem) ++ json).reduce(_.unionByName(_))
   }
 
+  /** N-station generalization of [[unified]]: one manifest per station id
+    * (the reference hardcodes its two stations, `etl_meteo.py:297-301`;
+    * a deployment has hundreds). Same per-file skip-and-warn, same
+    * transform, one unioned plan.
+    */
+  def unifiedMany(
+      spark: SparkSession,
+      manifests: Map[String, Seq[CsvManifestEntry]],
+      jsonPath: Option[String]): DataFrame = {
+    val csv = WuCsvSource.readFleet(spark, manifests, WeatherSchema.SourceWu)
+    val json = jsonPath.map(InfoclimatJsonSource.read(spark, _))
+    (Seq(csv) ++ json).reduce(_.unionByName(_))
+  }
+
+  /** Full pipeline over N station manifests — extract → audit → load →
+    * reconcile → post-audit, the `run_full_etl` phase structure at fleet
+    * scale.
+    */
+  def runMany(
+      spark: SparkSession,
+      manifests: Map[String, Seq[CsvManifestEntry]],
+      jsonPath: Option[String],
+      sink: Sink): PipelineResult =
+    runOn(unifiedMany(spark, manifests, jsonPath), spark, sink)
+
   def run(
       spark: SparkSession,
       madeleineManifest: Seq[CsvManifestEntry],
       ichtegemManifest: Seq[CsvManifestEntry],
       jsonPath: Option[String],
-      sink: Sink): PipelineResult = {
-    val df = unified(spark, madeleineManifest, ichtegemManifest, jsonPath)
+      sink: Sink): PipelineResult =
+    runOn(unified(spark, madeleineManifest, ichtegemManifest, jsonPath), spark, sink)
+
+  private def runOn(df: DataFrame, spark: SparkSession, sink: Sink): PipelineResult = {
     df.cache() // two actions follow (audit + write); one scan of the sources
     try {
       val pre = IntegrityReport.compute(df)         // PHASE 3 (etl_meteo.py:323)

@@ -73,6 +73,69 @@ object WuCsvSource {
     }
   }
 
+  /** The standard WU export layout (the headers every reference CSV
+    * carries, trimmed — `etl_meteo.py:159`), as an explicit all-string
+    * schema for the fleet path: with a schema, Spark maps columns
+    * positionally and never reads headers at plan time.
+    */
+  val wuLayout: StructType = StructType(
+    Seq("Time", "Temperature", "Dew Point", "Humidity", "Wind", "Speed",
+      "Gust", "Pressure", "Precip. Rate.", "Precip. Accum.", "UV", "Solar")
+      .map(StructField(_, StringType)))
+
+  /** FLEET-SCALE read: every station's manifest in ONE csv scan.
+    *
+    * The per-file [[read]] path plans one scan + transform per file — at
+    * 2×7 reference files that's fine; at a fleet's hundreds of
+    * station-days the N-branch union (and the per-file header probe the
+    * schema-less read needs) dominates wall clock and analyzer time
+    * (measured: 14 files ≈ 15 s at sf0.01, plan-bound, not IO-bound).
+    * Here all paths go into one multi-path FileScan with the explicit
+    * [[wuLayout]] schema — one task per split regardless of file count —
+    * and each row's (station, date) attaches from a BROADCAST manifest
+    * lookup on the normalized `_metadata.file_path`. This is the "manifest
+    * becomes partition metadata" scale shape the [[CsvManifestEntry]]
+    * scaladoc promises.
+    *
+    * Contract vs [[read]]: assumes the dialect-uniform WU layout (true of
+    * the reference fleet); R4 skip-and-warn runs as a driver-side
+    * existence probe before the scan. Same-filesystem manifests (paths
+    * compare scheme-stripped).
+    */
+  def readFleet(spark: SparkSession, manifests: Map[String, Seq[CsvManifestEntry]],
+      source: String): DataFrame = {
+    val hadoopConf = spark.sparkContext.hadoopConfiguration
+    def normalized(p: String): String = {
+      val hPath = new org.apache.hadoop.fs.Path(p)
+      hPath.getFileSystem(hadoopConf).makeQualified(hPath).toUri.getPath
+    }
+    val entries = manifests.toSeq.sortBy(_._1)
+      .flatMap { case (st, m) => m.map(e => (st, e)) }
+    val (present, missing) = entries.partition { case (_, e) =>
+      val hPath = new org.apache.hadoop.fs.Path(e.path)
+      hPath.getFileSystem(hadoopConf).exists(hPath)
+    }
+    missing.foreach { case (_, e) =>
+      System.err.println(s"[graft.etl] CSV missing, skipped: ${e.path}")
+    }
+    if (present.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], WeatherSchema.schema)
+    val raw = spark.read
+      .option("sep", ";")
+      .option("encoding", "ISO-8859-1")
+      .option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .schema(wuLayout)
+      .csv(present.map(_._2.path): _*)
+      .withColumn("__fp",
+        regexp_replace(col("_metadata.file_path"), "^[a-zA-Z0-9+.-]+:/*", "/"))
+    val lookup = spark.createDataFrame(
+      present.map { case (st, e) => (normalized(e.path), st, e.date) })
+      .toDF("__fp", "__station", "file_date")
+    val joined = raw.join(broadcast(lookup), Seq("__fp"))
+    WeatherTransforms.fromWuCsv(joined, col("__station"), source)
+  }
 }
 
 /** Infoclimat whole-file nested JSON source — SURVEY §2 R3 + J1/J2.

@@ -20,7 +20,14 @@ object WeatherTransforms {
     * plausible clock time produce a null `date_heure_utc` and are dropped
     * (F1/F2) — this is what eliminates the units row and summary rows.
     */
-  def fromWuCsv(raw: DataFrame, stationId: String, source: String): DataFrame = {
+  def fromWuCsv(raw: DataFrame, stationId: String, source: String): DataFrame =
+    fromWuCsv(raw, lit(stationId), source)
+
+  /** Column-typed station variant — the fleet path ([[WuCsvSource.readFleet]])
+    * attaches the station per ROW from the manifest lookup instead of per
+    * DataFrame, so one scan serves every station.
+    */
+  def fromWuCsv(raw: DataFrame, stationId: Column, source: String): DataFrame = {
     // Reference type-guard: Time must be a (clock-time) string (etl_meteo.py:59).
     val timeOk = col("Time").isNotNull && col("Time").rlike("^\\d{1,2}:\\d{2}")
     raw.select(
@@ -31,7 +38,7 @@ object WeatherTransforms {
       inHgToHpa(cleanValue(col("Pressure"))).as("pression_hpa"),      // S1+S3
       mphToMs(cleanValue(col("Speed"))).as("vent_vitesse_ms"),        // S1+S4
       inchesToMm(cleanValue(col("`Precip. Accum.`"))).as("pluie_accum_mm"), // S1+S5
-      lit(stationId).as("id_station"),                                // P3
+      stationId.as("id_station"),                                     // P3
       lit(source).as("source_donnees"))                               // P3
       .na.drop(Seq("date_heure_utc"))                                 // F1
   }

@@ -104,6 +104,18 @@ class WeatherEtlGoldenSpec extends AnyFunSuite {
     assert(stations == Set("1001", "1002", "07015", "07016"))
   }
 
+  test("scaled-fixture synthesizer at 1x reproduces the golden workload through runMany") {
+    val dir = Files.createTempDirectory("graft-etl-scale").toString
+    val fx = EtlScaleFixtures.synthesize(dir, csvStations = 2, rowsPerFile = 337,
+      jsonStations = 2, jsonRecords = 109)
+    assert(fx.expectedRows == 4936L) // the reference's golden count at 1x
+    val result = WeatherPipeline.runMany(spark, fx.manifests, Some(fx.jsonPath),
+      new ParquetSink(dir + "/sink"))
+    assert(result.rowsWritten == 4936L && result.countReconciled)
+    assert(result.preLoad.nullCounts("temperature_c") == 0L)
+    assert(result.postLoad.totalAnomalies == 0L)
+  }
+
   test("golden run through DocumentStoreSink: same invariants over the reference's own protocol") {
     val dir = Files.createTempDirectory("graft-fixtures-doc")
     val madeleine = dates.map(writeCsv(dir, "madeleine", _))
