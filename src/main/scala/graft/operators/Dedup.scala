@@ -385,13 +385,17 @@ object Dedup {
     *
     * Scale shape: positional gram explode (×n_tokens, but each row is a
     * narrow (id, pos, 8-byte xxhash64(gram)) — payloads never fan out) →
-    * `min(struct(id, pos))` winner per gram hash (partial-aggregates
-    * map-side, so boilerplate-heavy corpora collapse before the shuffle;
-    * the non-winner join reuses the same hash partitioning, and AQE's
-    * ReuseExchange serves both sides from one shuffle) → covered-position
-    * union bounded by spanLen × true-dup density → posexplode anti-join
-    * rebuild, per-doc collect bounded by document size. No corpus-wide
-    * window, no driver state. Gram identity is the 64-bit hash on the
+    * ONE shuffle on the gram hash with a per-hash `row_number` (ordered
+    * by (id, pos); rn > 1 ⇒ duplicated occurrence). The window form
+    * deliberately beats the min(struct)-winner + join-back alternative:
+    * struct-min plans as SortAggregate (sorts by gh anyway), and the join
+    * back would re-run the gram kernel on a second corpus scan AND
+    * shuffle the full gram set a second time — measured plan had 2 gram
+    * subtrees, 6 exchanges; this has 1 and 4. Hot grams (boilerplate)
+    * are one partition-local sorted run, not a skewed join. Then:
+    * covered-position union bounded by spanLen × true-dup density →
+    * posexplode anti-join rebuild, per-doc collect bounded by document
+    * size. No driver state. Gram identity is the 64-bit hash on the
     * engine side (8 B shuffle keys instead of ~10-token strings); a
     * 64-bit collision could fuse two distinct grams — negligible below
     * ~2^32 distinct grams per corpus shard, same contract as
@@ -413,10 +417,10 @@ object Dedup {
           i => array_join(slice(col("__toks"), i, lit(spanLen)), " ")))
         .as(Seq("pos", "gram")))
       .select(col("id"), col("pos"), xxhash64(col("gram")).as("gh"))
-    val winners = grams.groupBy(col("gh"))
-      .agg(min(struct(col("id"), col("pos"))).as("w"))
-    val dups = grams.join(winners, Seq("gh"))
-      .filter(!(col("id") === col("w.id") && col("pos") === col("w.pos")))
+    val dups = grams
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("gh")).orderBy(col("id"), col("pos"))))
+      .filter(col("__rn") > 1)
     val covered = dups
       .select(col("id"),
         explode(sequence(col("pos"), col("pos") + (spanLen - 1))).as("tpos"))

@@ -109,6 +109,17 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), "supplier/part side should broadcast")
   }
 
+  test("q111 span dedup: single gram pass, window winner (no sort-agg join-back)") {
+    val p = plan("q111_span_dedup")
+    // the expensive positional-gram explode (tokenize + transform +
+    // posexplode + xxhash64) must appear ONCE — the min(struct) + join
+    // shape evaluated it twice on two corpus scans
+    assert("posexplode\\(transform".r.findAllIn(p).size == 1, p.take(600))
+    assert(!p.contains("SortAggregate"), "struct-min winner crept back in")
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"), p.take(400))
+    assert("Exchange".r.findAllIn(p).size <= 6, "unexpected extra shuffles")
+  }
+
   test("q112 BM25 index probe prunes postings buckets and never rescans the corpus") {
     val p = plan("q112_bm25_indexed")
     // bucket pruning on the term filter: only the query terms' buckets
