@@ -44,7 +44,11 @@ object Bench {
     // round 3: planner-stress decorrelation + training-data scale paths
     "q85_tpch_q21",
     "q90_seq_packing",
-    "q92_decontam")
+    "q92_decontam",
+    // round 5: repeated-span dedup (the Lee-et-al pass) + the persisted
+    // BM25 index probe — the two new LLM-pipeline scale paths
+    "q111_span_dedup",
+    "q112_bm25_indexed")
 
   private def runOnce(name: String, spark: SparkSession, sfDir: String): Unit =
     SparkEntry.queries(name)(spark, sfDir)
