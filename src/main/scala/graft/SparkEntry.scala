@@ -808,6 +808,14 @@ object SparkEntry {
         s, "graft_bm25", terms = Seq("spark", "vector", "merge"), k = 25)
     }),
 
+    // Deterministic exact-k-per-stratum sample: 7 docs per language by
+    // smallest xxhash64(doc_id) — the fixed-budget reservoir shape
+    // (WindowGroupLimit pre-prunes map-side; plan-guarded)
+    "q117_sample_exact_k" -> ((s, d) =>
+      graft.operators.TrainingData.sampleExactK(
+        t(s, d, "documents").select(col("doc_id"), col("lang")),
+        "doc_id", "lang", k = 7)),
+
     // Hybrid retrieval: reciprocal-rank fusion of the BM25 lexical top-50
     // and the cosine top-50 for probe doc 3 (doc_id == vec_id, 1:1).
     // Rank-based fusion — no score calibration; ranks derive from each
@@ -2046,6 +2054,17 @@ object SparkEntry {
         |  AND NOT EXISTS (SELECT 1 FROM orders
         |    WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
         |GROUP BY c_nationkey""".stripMargin,
+
+    // exact-k reservoir replay: the same signed-xxhash64 rank inside
+    // each language, k smallest kept
+    "q117_sample_exact_k" ->
+      s"""WITH vecs AS (SELECT doc_id AS id, lang FROM documents),
+         |${xxh64Chain("xh", "vecs", "id", Seq("id", "lang"))}
+         |SELECT id AS doc_id, lang FROM (
+         |  SELECT id, lang,
+         |    row_number() OVER (PARTITION BY lang ORDER BY hs, id) AS rn
+         |  FROM xh)
+         |WHERE rn <= 7""".stripMargin,
 
     "q89_det_split" -> {
       val b = "((hs % 100) + 100) % 100" // pmod for signed hs

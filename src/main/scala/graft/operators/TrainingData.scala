@@ -102,6 +102,31 @@ object TrainingData {
     df.filter(bucket < threshold)
   }
 
+  /** Deterministic EXACT-k-per-stratum sample — the reservoir-sampling
+    * shape done relationally: rank rows inside each stratum by
+    * `xxhash64(id)` (ties, impossible in practice, break by id) and keep
+    * the k smallest. Exactly min(k, |stratum|) rows per stratum, stable
+    * under reruns, row order and partitioning — the property a true
+    * reservoir sample lacks. One shuffle (the window partition), and the
+    * `rank <= k` filter compiles to a map-side WindowGroupLimit: each
+    * input partition pre-prunes to its local top-k before the exchange,
+    * so the shuffle carries ≤ k × partitions rows per stratum, not the
+    * stratum (plan-guarded in PlanQualitySpec).
+    *
+    * Rate-based sampling ([[stratifiedSample]]) is the composable
+    * fraction gate; THIS is the fixed-budget gate (eval sets, per-domain
+    * caps, balanced fine-tuning mixtures).
+    */
+  def sampleExactK(df: DataFrame, idCol: String, strataCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(xxhash64(col(idCol)), col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
   /** Weighted corpus mixing: each source is deterministically downsampled
     * to its weight, tagged, unioned, and given a deterministic
     * `shuffle_key` — writing sorted by it interleaves sources

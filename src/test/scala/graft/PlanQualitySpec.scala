@@ -120,6 +120,11 @@ class PlanQualitySpec extends AnyFunSuite {
     assert("Exchange".r.findAllIn(p).size <= 6, "unexpected extra shuffles")
   }
 
+  test("q117 exact-k sample gets map-side WindowGroupLimit pre-pruning") {
+    val p = plan("q117_sample_exact_k")
+    assert(p.contains("WindowGroupLimit"), p.take(500))
+  }
+
   test("q112 BM25 index probe prunes postings buckets and never rescans the corpus") {
     val p = plan("q112_bm25_indexed")
     // bucket pruning on the term filter: only the query terms' buckets

@@ -99,6 +99,20 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(sampled == direct)
   }
 
+  test("sampleExactK: exactly min(k, stratum size) rows, rerun- and partition-stable") {
+    val docs = (0L until 300L).map(i => (i, s"s${i % 4}")).toDF("id", "g")
+      .union(Seq((9999L, "tiny")).toDF("id", "g")) // stratum smaller than k
+    val a = TrainingData.sampleExactK(docs, "id", "g", k = 10)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val counts = a.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(counts == Map("s0" -> 10, "s1" -> 10, "s2" -> 10, "s3" -> 10, "tiny" -> 1))
+    // same sample regardless of partitioning or row order
+    val b = TrainingData.sampleExactK(docs.repartition(13).orderBy(col("id").desc),
+      "id", "g", k = 10)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(a == b)
+  }
+
   test("mixCorpora: weights hold, sources tagged, shuffle key deterministic") {
     val a = (0L until 1000L).toDF("id")
     val b = (0L until 1000L).toDF("id")
