@@ -808,6 +808,14 @@ object SparkEntry {
         s, "graft_bm25", terms = Seq("spark", "vector", "merge"), k = 25)
     }),
 
+    // CCNet-style LM quality: add-0.4-smoothed bigram LM trained on the
+    // corpus, every (≥2-token) doc scored by mean negative log-prob of
+    // its bigrams; per-doc position-ordered fold keeps the FP sum exact
+    "q118_lm_quality" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      graft.operators.TextAnalysis.bigramLmScores(docs, docs, "doc_id", "text")
+    }),
+
     // Deterministic exact-k-per-stratum sample: 7 docs per language by
     // smallest xxhash64(doc_id) — the fixed-budget reservoir shape
     // (WindowGroupLimit pre-prunes map-side; plan-guarded)
@@ -2054,6 +2062,29 @@ object SparkEntry {
         |  AND NOT EXISTS (SELECT 1 FROM orders
         |    WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
         |GROUP BY c_nationkey""".stripMargin,
+
+    // bigram-LM replay: same counts, same smoothing arithmetic, same
+    // position-ordered left fold (list_reduce over list(... ORDER BY pos)
+    // == Spark's aggregate over the pos-sorted collected array)
+    "q118_lm_quality" ->
+      s"""WITH tk AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+         |bg AS (SELECT doc_id, unnest(generate_series(1, len(toks) - 1)) AS pos, toks
+         |  FROM tk WHERE len(toks) >= 2),
+         |bg2 AS (SELECT doc_id, pos, toks[pos] AS w1, toks[pos + 1] AS w2 FROM bg),
+         |c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg2 GROUP BY 1, 2),
+         |c1 AS (SELECT w1, count(*) AS c1 FROM
+         |  (SELECT unnest(toks) AS w1 FROM tk) GROUP BY 1),
+         |v AS (SELECT count(DISTINCT w)::DOUBLE AS v FROM
+         |  (SELECT unnest(toks) AS w FROM tk)),
+         |sc AS (SELECT b.doc_id, b.pos,
+         |    ln((coalesce(c12.c12, 0)::DOUBLE + 0.4) / (coalesce(c1.c1, 0)::DOUBLE + 0.4 * v.v)) AS logp
+         |  FROM bg2 b LEFT JOIN c12 ON b.w1 = c12.w1 AND b.w2 = c12.w2
+         |  LEFT JOIN c1 ON b.w1 = c1.w1 CROSS JOIN v),
+         |agg AS (SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+         |    list_reduce(list_prepend(0.0, list(logp ORDER BY pos)), (a, b) -> a + b) AS s
+         |  FROM sc GROUP BY doc_id)
+         |SELECT doc_id, n_bigrams, round(-s / n_bigrams::DOUBLE, 4) AS avg_neg_logp
+         |FROM agg""".stripMargin,
 
     // exact-k reservoir replay: the same signed-xxhash64 rank inside
     // each language, k smallest kept

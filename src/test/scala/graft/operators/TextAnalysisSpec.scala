@@ -155,6 +155,28 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got.find(_._1 == 2L).get._2 == 2L)
   }
 
+  test("bigramLmScores: hand-computed smoothed bigram log-probs") {
+    // reference: "a b a b" + "a c" → bigrams: (a,b)x2, (b,a)x1, (a,c)x1
+    // unigrams: a=3, b=2, c=1; V=3; α=0.4
+    val ref = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
+    val got = TextAnalysis.bigramLmScores(ref, ref, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    def lp(c12: Long, c1: Long): Double =
+      math.log((c12 + 0.4) / (c1 + 0.4 * 3.0))
+    // doc 1: (a,b) (b,a) (a,b) in position order
+    val d1 = -(lp(2, 3) + lp(1, 2) + lp(2, 3)) / 3.0
+    val d2 = -lp(1, 3) / 1.0
+    assert(got(1L)._1 == 3L && got(2L)._1 == 1L)
+    // output is display-rounded to 4 decimals (see bigramLmScores)
+    assert(math.abs(got(1L)._2 - d1) < 5e-5, s"${got(1L)._2} vs $d1")
+    assert(math.abs(got(2L)._2 - d2) < 5e-5)
+    // fluent text scores lower (better) than out-of-domain text
+    val docs = Seq((10L, "a b a b a b"), (11L, "z z z z")).toDF("doc_id", "text")
+    val s = TextAnalysis.bigramLmScores(ref, docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(s(10L) < s(11L), s"fluent ${s(10L)} should beat noise ${s(11L)}")
+  }
+
   test("bm25FromIndex equals bm25TopK exactly (same docs, same doubles)") {
     val corpus = (1L to 60L).map { i =>
       (i, s"spark doc number $i ${if (i % 3 == 0) "vector merge" else "plain words"}" +
