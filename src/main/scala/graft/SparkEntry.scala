@@ -777,6 +777,37 @@ object SparkEntry {
             <= col("ndv_exact") * lit(0.10)).as("ndv_within_10pct"))
     }),
 
+    // GROUPED heavy hitters: one SpaceSaving sketch PER event_type (the
+    // per-group constant-state path — partial aggregation merges sketch
+    // buffers inside each group on whatever partitioning the scan
+    // produced). Contract identical to q109, evaluated per group: every
+    // guaranteed heavy hitter of its group must be tracked with both
+    // error bounds holding.
+    "q119_heavy_hitters_grouped" -> ((s, d) => {
+      val keyed = Tables.events(s, d).select(col("event_type"),
+        when(col("user_id") % 3 === 0, col("user_id") % 7)
+          .otherwise(col("user_id")).as("k"))
+      val items = keyed
+        .groupBy(col("event_type"))
+        .agg(graft.functions.SpaceSavingSketch.spaceSavingTopK(col("k"), 50).as("hh"))
+        .select(col("event_type"), explode(col("hh")).as("x"))
+        .select(col("event_type"), col("x.item").as("hh_item"),
+          col("x.est").as("est"), col("x.err").as("err"))
+      val exact = keyed.groupBy(col("event_type"), col("k"))
+        .agg(count(lit(1)).as("exact_count"))
+      val totals = keyed.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      exact.join(broadcast(totals), Seq("event_type"))
+        .filter(col("exact_count") * 50 > col("n"))
+        .join(broadcast(items),
+          col("k") === col("hh_item") &&
+            exact("event_type") === items("event_type"), "left")
+        .select(exact("event_type").as("event_type"), col("k").as("item"),
+          col("exact_count"),
+          col("hh_item").isNotNull.as("found"),
+          (col("est") >= col("exact_count") &&
+            col("est") - col("err") <= col("exact_count")).as("bounds_ok"))
+    }),
+
     // Bloom-pruned decontamination: same output as q92, but the corpus
     // side is pre-filtered by a Bloom filter over the eval grams (the
     // scale path when the eval set is too large to broadcast exactly);
@@ -2313,6 +2344,20 @@ object SparkEntry {
       Seq("doc_id", "text", "lang", "source", "n_chars")
         .map(one).mkString("\nUNION ALL\n")
     },
+
+    // grouped contract: the guaranteed set per event_type, all found,
+    // all bounds holding (found/bounds_ok constant-true like q109)
+    "q119_heavy_hitters_grouped" ->
+      """WITH k AS (SELECT event_type,
+        |    CASE WHEN user_id % 3 = 0 THEN user_id % 7
+        |    ELSE user_id END AS k FROM events),
+        |ex AS (SELECT event_type, k, count(*) AS exact_count
+        |  FROM k GROUP BY 1, 2),
+        |tot AS (SELECT event_type, count(*) AS n FROM k GROUP BY 1)
+        |SELECT ex.event_type, ex.k AS item, exact_count,
+        |  true AS found, true AS bounds_ok
+        |FROM ex JOIN tot USING (event_type)
+        |WHERE exact_count * 50 > n""".stripMargin,
 
     "q109_heavy_hitters" ->
       """WITH k AS (SELECT CASE WHEN user_id % 3 = 0 THEN user_id % 7

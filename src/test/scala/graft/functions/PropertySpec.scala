@@ -32,6 +32,25 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("sampleExactK: prefix property — the k-sample is contained in the (k+1)-sample") {
+    // ranks are a pure function of id, so growing the budget only appends
+    val ids = Gen.listOfN(400, Gen.chooseNum(0L, 100000L)).sample.get.distinct
+    val df = ids.map(i => (i, s"g${i % 5}")).toDF("id", "g")
+    val samples = Seq(3, 7, 12).map { k =>
+      k -> graft.operators.TrainingData.sampleExactK(df, "id", "g", k)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    }.toMap
+    assert(samples(3).subsetOf(samples(7)) && samples(7).subsetOf(samples(12)))
+    // per-stratum sizes exactly min(k, stratum)
+    val strata = ids.groupBy(i => s"g${i % 5}").view.mapValues(_.size).toMap
+    samples.foreach { case (k, set) =>
+      val bySize = set.groupBy(_._2).view.mapValues(_.size).toMap
+      strata.foreach { case (g, n) =>
+        assert(bySize.getOrElse(g, 0) == math.min(k, n), s"k=$k g=$g")
+      }
+    }
+  }
+
   test("duplicate count identity: count - distinct == groupBy-excess for random frames") {
     val gen = Gen.listOfN(500, Gen.chooseNum(0, 50))
     val keys = gen.sample.get
