@@ -839,6 +839,39 @@ object SparkEntry {
         s, "graft_bm25", terms = Seq("spark", "vector", "merge"), k = 25)
     }),
 
+    // Streaming curation: the SAME Curation.statelessGates code driven
+    // through a bounded file stream (append mode — the gates are narrow
+    // stateless expressions, so no watermark/state is needed), written
+    // per-batch and read back; oracle = the batch gate SQL. One function,
+    // two execution modes, hash-identical output.
+    "q120_stream_curation" -> ((s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val tmp = sys.props("java.io.tmpdir")
+      val outPath = s"$tmp/graft_q120_out"
+      val ckpt = s"$tmp/graft_q120_ckpt"
+      def rmrf(p: java.io.File): Unit = {
+        if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rmrf))
+        p.delete(): Unit
+      }
+      Seq(outPath, ckpt).foreach(p => rmrf(new java.io.File(p)))
+      val raw = Tables.documents(s, d)
+      val stream = s.readStream.schema(raw.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+      val gated = graft.operators.Curation.statelessGates(
+        stream, graft.operators.Curation.Config(
+          allowedLangs = Some(Set("en", "fr", "de", "es")),
+          minQuality = 0.3, minTokens = 5, nearDupJaccard = None))
+        .select(col("doc_id"), col("n_tokens"), col("quality_score"))
+      val q = graft.streaming.StreamingOps.appendPerBatch(gated, outPath)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(outPath)
+    }),
+
     // CCNet-style LM quality: add-0.4-smoothed bigram LM trained on the
     // corpus, every (≥2-token) doc scored by mean negative log-prob of
     // its bigrams; per-doc position-ordered fold keeps the FP sum exact
@@ -2093,6 +2126,23 @@ object SparkEntry {
         |  AND NOT EXISTS (SELECT 1 FROM orders
         |    WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
         |GROUP BY c_nationkey""".stripMargin,
+
+    // streaming curation = the batch gate SQL (q62's funnel minus the
+    // stateful dedup leg): append-mode streaming must reproduce it exactly
+    "q120_stream_curation" ->
+      s"""WITH tk AS (SELECT doc_id, text, lang, $tokensSql AS toks FROM documents),
+         |m AS (SELECT doc_id, text, lang,
+         |  len(toks) AS n_tokens,
+         |  round(least(len(toks) / 20.0, 1.0)
+         |    * greatest(1.0 - (CASE WHEN length(text) > 0
+         |        THEN (length(text) - length(regexp_replace(text, '[.,;:!?''"()\\-]', '', 'g')))::DOUBLE / length(text)
+         |        ELSE 0.0 END) * 5.0, 0.0)
+         |    * least((CASE WHEN len(toks) > 0
+         |        THEN len(list_filter(toks, tk2 -> list_contains(['the','a','an','and','or','of','to','in','is','it'], tk2)))::DOUBLE / len(toks)
+         |        ELSE 0.0 END) * 5.0, 1.0), 4) AS quality_score
+         | FROM tk)
+         |SELECT doc_id, n_tokens, quality_score FROM m
+         |WHERE lang IN ('en','fr','de','es') AND n_tokens >= 5 AND quality_score >= 0.3""".stripMargin,
 
     // bigram-LM replay: same counts, same smoothing arithmetic, same
     // position-ordered left fold (list_reduce over list(... ORDER BY pos)

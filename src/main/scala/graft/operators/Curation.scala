@@ -30,20 +30,33 @@ object Curation {
   /** Curated documents: doc_id, text, n_tokens, quality_score. Stable
     * winner selection (min doc_id per content group / near-dup group).
     */
-  def curate(docs: DataFrame, config: Config = Config(),
+  /** The STATELESS prefix of the funnel (lang allow-list → token/quality
+    * scoring → thresholds): pure narrow Column expressions, so the same
+    * function curates a batch DataFrame or a `readStream` DataFrame
+    * unchanged (append-mode safe — no aggregation, no state). The
+    * stateful leg (dedup) stays batch-side in [[curate]]; q120 drives
+    * THIS code through Structured Streaming and oracle-checks the final
+    * files against the batch SQL.
+    */
+  def statelessGates(docs: DataFrame, config: Config = Config(),
       idCol: String = "doc_id", textCol: String = "text",
       langCol: String = "lang"): DataFrame = {
     val langGated = config.allowedLangs match {
       case Some(langs) => docs.filter(col(langCol).isin(langs.toSeq: _*))
       case None => docs
     }
-    val scored = langGated.select(
+    langGated.select(
       col(idCol), col(textCol),
       tokenCount(col(textCol)).as("n_tokens"),
       TextAnalysis.qualityScore(col(textCol)).as("quality_score"))
-    val qualityGated = scored
       .filter(col("n_tokens") >= config.minTokens &&
         col("quality_score") >= config.minQuality)
+  }
+
+  def curate(docs: DataFrame, config: Config = Config(),
+      idCol: String = "doc_id", textCol: String = "text",
+      langCol: String = "lang"): DataFrame = {
+    val qualityGated = statelessGates(docs, config, idCol, textCol, langCol)
     // exact dedup: winner = min id per content value
     val keepIds = qualityGated
       .groupBy(col(textCol)).agg(min(col(idCol)).as(idCol))
