@@ -839,6 +839,21 @@ object SparkEntry {
         s, "graft_bm25", terms = Seq("spark", "vector", "merge"), k = 25)
     }),
 
+    // Incremental BM25 index: build on half the corpus, APPEND the other
+    // half (bucketed postings append + a second summable stats row), then
+    // probe — must equal the single-shot full-corpus BM25 exactly (the
+    // summable (n, sum_dl) stats make avgdl append-invariant)
+    "q121_bm25_incremental" -> ((s, d) => {
+      val base = s"${sys.props("java.io.tmpdir")}/graft_bm25_incr"
+      val docs = t(s, d, "documents")
+      graft.operators.TextAnalysis.buildBm25Index(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", "graft_bm25i", base)
+      graft.operators.TextAnalysis.appendToBm25Index(
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", "graft_bm25i", base)
+      graft.operators.TextAnalysis.bm25FromIndex(
+        s, "graft_bm25i", terms = Seq("spark", "vector", "merge"), k = 25)
+    }),
+
     // Streaming curation: the SAME Curation.statelessGates code driven
     // through a bounded file stream (append mode — the gates are narrow
     // stateless expressions, so no watermark/state is needed), written
@@ -2293,6 +2308,10 @@ object SparkEntry {
     // path scores the same population with the same stats through the
     // same shared score expression (TextAnalysis.scoredTopK)
     "q112_bm25_indexed" -> bm25OracleSql(Seq("spark", "vector", "merge"), 25,
+      "doc_id AS id"),
+
+    // append history is invisible to the probe: same oracle as q110/q112
+    "q121_bm25_incremental" -> bm25OracleSql(Seq("spark", "vector", "merge"), 25,
       "doc_id AS id"),
 
     // RRF replay: both lists rebuilt rank-exactly (BM25 via the shared

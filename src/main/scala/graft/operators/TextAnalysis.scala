@@ -248,21 +248,49 @@ object TextAnalysis {
   def buildBm25Index(df: DataFrame, idCol: String, textCol: String,
       name: String, basePath: String, buckets: Int = 32): Unit = {
     val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS ${name}_postings")
+    spark.sql(s"DROP TABLE IF EXISTS ${name}_stats")
+    // external tables: dropping the catalog entry leaves the files —
+    // clear them too, or a rebuild would resurrect the old postings
+    val conf = spark.sparkContext.hadoopConfiguration
+    Seq(s"$basePath/${name}_postings", s"$basePath/${name}_stats").foreach { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val fs = hp.getFileSystem(conf)
+      if (fs.exists(hp)) { fs.delete(hp, true); () }
+    }
+    writeBm25Delta(df, idCol, textCol, name, basePath, buckets)
+  }
+
+  /** Incremental maintenance: index ONLY the new documents and append.
+    * Postings append into the same bucket layout (Spark validates the
+    * bucket spec matches); corpus stats are stored as SUMMABLE totals —
+    * one (n, sum_dl) row per ingest — so the probe's aggregation over
+    * the stats rows yields exactly the whole-corpus n/avgdl (dl sums are
+    * integer-exact in double far beyond any real corpus, so the division
+    * reproduces `avg(dl)` bit-for-bit and the by-construction equality
+    * with [[bm25TopK]] survives any append history). Documents must be
+    * NEW ids — re-ingesting an id would double-count its postings, same
+    * contract as any append-only index.
+    */
+  def appendToBm25Index(df: DataFrame, idCol: String, textCol: String,
+      name: String, basePath: String, buckets: Int = 32): Unit =
+    writeBm25Delta(df, idCol, textCol, name, basePath, buckets)
+
+  private def writeBm25Delta(df: DataFrame, idCol: String, textCol: String,
+      name: String, basePath: String, buckets: Int): Unit = {
     val staged = df.select(col(idCol).as("id"), tokens(col(textCol)).as("__toks"))
       .select(col("id"), col("__toks"), size(col("__toks")).as("dl"))
     val postings = staged
       .select(col("id"), col("dl"), explode(col("__toks")).as("term"))
       .groupBy(col("term"), col("id"), col("dl"))
       .agg(count(lit(1)).cast("int").as("tf"))
-    spark.sql(s"DROP TABLE IF EXISTS ${name}_postings")
-    postings.write.mode("overwrite")
+    postings.write.mode("append")
       .option("path", s"$basePath/${name}_postings")
       .bucketBy(buckets, "term")
       .saveAsTable(s"${name}_postings")
-    val stats = staged.agg(count(lit(1)).cast("double").as("n"),
-      avg(col("dl")).as("avgdl"))
-    spark.sql(s"DROP TABLE IF EXISTS ${name}_stats")
-    stats.write.mode("overwrite")
+    val stats = staged.agg(count(lit(1)).as("n"),
+      sum(col("dl").cast("long")).as("sum_dl"))
+    stats.write.mode("append")
       .option("path", s"$basePath/${name}_stats")
       .saveAsTable(s"${name}_stats")
   }
@@ -302,8 +330,13 @@ object TextAnalysis {
       sum(when(col("term") === t, 1).otherwise(0)).cast("double").as(s"__df$i")
     }
     val dfs = postings.agg(dfAggs.head, dfAggs.tail: _*)
+    // whole-corpus stats from the summable per-ingest rows: integer dl
+    // sums are exact in double, so sum_dl/n == avg(dl) bit-for-bit and
+    // the bm25TopK equality holds across any append history
     val corpus = spark.table(s"${name}_stats")
-      .select(col("n").as("__n"), col("avgdl").as("__avgdl"))
+      .agg(sum(col("n")).as("__nl"), sum(col("sum_dl")).as("__sl"))
+      .select(col("__nl").cast("double").as("__n"),
+        (col("__sl").cast("double") / col("__nl").cast("double")).as("__avgdl"))
     scoredTopK(
       perDoc.crossJoin(broadcast(dfs)).crossJoin(broadcast(corpus)),
       "id", qts.size, k, k1, b)

@@ -194,6 +194,29 @@ class TextAnalysisSpec extends AnyFunSuite {
       == direct.collect().toSeq.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))))
   }
 
+  test("appendToBm25Index: build half + append half equals the full-corpus scan path") {
+    val corpus = (1L to 80L).map { i =>
+      (i, s"spark doc number $i ${if (i % 4 == 0) "vector merge" else "plain words"}" +
+        (" pad" * (i % 7).toInt))
+    }.toDF("doc_id", "text")
+    val base = java.nio.file.Files.createTempDirectory("graft_bm25_incr_spec").toString
+    TextAnalysis.buildBm25Index(corpus.filter(col("doc_id") <= 40),
+      "doc_id", "text", "t_bm25_incr", base)
+    TextAnalysis.appendToBm25Index(corpus.filter(col("doc_id") > 40),
+      "doc_id", "text", "t_bm25_incr", base)
+    val fromIdx = TextAnalysis
+      .bm25FromIndex(spark, "t_bm25_incr", Seq("spark", "vector", "merge"), 12)
+    val direct = TextAnalysis
+      .bm25TopK(corpus, "doc_id", "text", Seq("spark", "vector", "merge"), 12)
+    assert(fromIdx.collect().toSeq.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      == direct.collect().toSeq.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))))
+    // rebuild over the same name must not resurrect old postings
+    TextAnalysis.buildBm25Index(corpus.filter(col("doc_id") <= 40),
+      "doc_id", "text", "t_bm25_incr", base)
+    val n = spark.table("t_bm25_incr_stats").count()
+    assert(n == 1L, s"rebuild left $n stats rows")
+  }
+
   test("bm25: top-k is TakeOrdered (no global sort) over one broadcast stats row") {
     val df = (1L to 50L).map(i => (i, s"spark doc $i")).toDF("doc_id", "text")
     val plan = TextAnalysis.bm25TopK(df, "doc_id", "text", Seq("spark"), 5)
