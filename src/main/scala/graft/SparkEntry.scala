@@ -839,6 +839,23 @@ object SparkEntry {
         s, "graft_bm25", terms = Seq("spark", "vector", "merge"), k = 25)
     }),
 
+    // Incremental IVF index: quantizer trained on the EVEN half, index
+    // written for it, the ODD half appended with the frozen centroids
+    // (cell-partition file append), then probed — the oracle replays
+    // Lloyd's on the even half and assignment over the full corpus
+    "q122_ivf_incremental" -> ((s, d) => {
+      val path = s"${sys.props("java.io.tmpdir")}/graft_ivf_incr"
+      val emb = t(s, d, "embeddings")
+      val even = emb.filter(col("vec_id") % 2 === 0)
+      val m = graft.operators.IvfIndex.train(even, k = 8, iterations = 3)
+      graft.operators.IvfIndex.writeIndex(even, m, path)
+      graft.operators.IvfIndex.appendToIndex(
+        emb.filter(col("vec_id") % 2 === 1), path)
+      graft.operators.IvfIndex.topKFromIndex(
+        s, path, emb.filter(col("vec_id") < 5), k = 10, nprobe = 4)
+        .withColumn("cosine", round(col("cosine"), 4))
+    }),
+
     // Incremental BM25 index: build on half the corpus, APPEND the other
     // half (bucketed postings append + a second summable stats row), then
     // probe — must equal the single-shot full-corpus BM25 exactly (the
@@ -1799,28 +1816,33 @@ object SparkEntry {
     * only on near-exact distance ties, never observed (gaps O(0.01)).
     */
   private def ivfTopKOracleSql(k: Int, nprobe: Int, kCells: Int,
-      iterations: Int, maxProbeId: Long, dim: Int = 64): String = {
+      iterations: Int, maxProbeId: Long, dim: Int = 64,
+      trainWhere: String = ""): String = {
     def sqd(a: String, b: String): String =
       s"list_sum(list_transform(generate_series(1,$dim), i -> (($a)[i] - ($b)[i])^2))"
     def assign(name: String, cprev: String, filter: String = "", rn: String = "= 1",
-        idOut: String = "id", vOut: String = "v"): String =
+        idOut: String = "id", vOut: String = "v", base: String = "vecs"): String =
       s"""$name AS (SELECT id AS $idOut, v AS $vOut, cell FROM (
          |  SELECT va.id, va.v, c.cell,
          |    row_number() OVER (PARTITION BY va.id ORDER BY ${sqd("va.v", "c.cv")}, c.cell) AS rn
-         |  FROM vecs va CROSS JOIN $cprev c$filter) WHERE rn $rn)""".stripMargin
+         |  FROM $base va CROSS JOIN $cprev c$filter) WHERE rn $rn)""".stripMargin
     def update(name: String, aprev: String, cprev: String): String =
       s"""$name AS (SELECT c.cell, coalesce(m.cv, c.cv) AS cv FROM $cprev c LEFT JOIN (
          |  SELECT cell, list(mx ORDER BY d) AS cv FROM (
          |    SELECT cell, i.d, avg(v[i.d]) AS mx FROM $aprev
          |    CROSS JOIN (SELECT unnest(generate_series(1,$dim)) AS d) i
          |    GROUP BY cell, i.d) GROUP BY cell) m ON m.cell = c.cell)""".stripMargin
+    // Lloyd's runs over the TRAINING base (tvecs — all vecs unless
+    // trainWhere narrows it, the incremental-index case); the final
+    // assignment + probes run over the full corpus
     val lloyd = (1 to iterations).flatMap { i =>
-      Seq(assign(s"a$i", s"c${i - 1}"), update(s"c$i", s"a$i", s"c${i - 1}"))
+      Seq(assign(s"a$i", s"c${i - 1}", base = "tvecs"), update(s"c$i", s"a$i", s"c${i - 1}"))
     }.mkString(",\n")
     s"""WITH vecs AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+       |tvecs AS (SELECT id, v FROM vecs $trainWhere),
        |$xxh64LongCtes,
-       |init AS (SELECT id, row_number() OVER (ORDER BY hs) - 1 AS cell
-       |         FROM xh ORDER BY hs LIMIT $kCells),
+       |init AS (SELECT xh.id, row_number() OVER (ORDER BY hs) - 1 AS cell
+       |         FROM xh JOIN tvecs ON tvecs.id = xh.id ORDER BY hs LIMIT $kCells),
        |c0 AS (SELECT init.cell, v.v AS cv FROM init JOIN vecs v ON v.id = init.id),
        |$lloyd,
        |${assign("afin", s"c$iterations")},
@@ -2602,6 +2624,11 @@ object SparkEntry {
 
     "q52_ivf_topk" -> ivfTopKOracleSql(k = 10, nprobe = 4, kCells = 8,
       iterations = 3, maxProbeId = 5),
+
+    // frozen-quantizer append: train on even ids, assign/probe the full
+    // corpus — the appended layout must be invisible to the probe
+    "q122_ivf_incremental" -> ivfTopKOracleSql(k = 10, nprobe = 4, kCells = 8,
+      iterations = 3, maxProbeId = 5, trainWhere = "WHERE id % 2 = 0"),
 
     "q36_asof_join" ->
       """SELECT l.event_id, r.value AS last_purchase_value

@@ -104,6 +104,22 @@ object IvfIndex {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
   }
 
+  /** Incremental maintenance: assign ONLY the new vectors with the
+    * STORED centroids and append their rows into the cell partitions —
+    * probes then see one unified layout, bit-identical to having
+    * indexed the full corpus with this quantizer in one shot (cells are
+    * plain partition directories; append adds files, never rewrites).
+    * The quantizer is frozen — the standard IVF maintenance contract;
+    * retrain + rebuild when distribution drift warrants it. New ids
+    * must be NEW (same append-only contract as the BM25 index).
+    */
+  def appendToIndex(newVecs: DataFrame, path: String): Unit = {
+    val spark = newVecs.sparkSession
+    val m = loadModel(spark, path)
+    assign(newVecs, m)
+      .write.mode("append").partitionBy("cell").parquet(s"$path/cells")
+  }
+
   def loadModel(spark: org.apache.spark.sql.SparkSession, path: String): Model =
     Model(spark.read.parquet(s"$path/centroids")
       .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray))

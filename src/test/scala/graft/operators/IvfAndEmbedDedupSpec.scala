@@ -54,6 +54,23 @@ class IvfAndEmbedDedupSpec extends AnyFunSuite {
       s"cell partition pruning missing: ${scan.take(300)}")
   }
 
+  test("appendToIndex: frozen-quantizer append equals one-shot indexing of the full corpus") {
+    val emb = graft.Tables.embeddings(spark, d)
+    val even = emb.filter($"vec_id" % 2 === 0)
+    val odd = emb.filter($"vec_id" % 2 === 1)
+    val m = IvfIndex.train(even, k = 8, iterations = 3)
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_incr_spec").toString
+    IvfIndex.writeIndex(even, m, path)
+    IvfIndex.appendToIndex(odd, path)
+    val probes = emb.filter($"vec_id" < 5)
+    val incr = IvfIndex.topKFromIndex(spark, path, probes, k = 6, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    // reference: the in-memory path over the FULL corpus with the SAME model
+    val oneShot = IvfIndex.topK(emb, probes, m, k = 6, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(incr == oneShot)
+  }
+
   test("embedding near-dup pairs + representative assignment") {
     val vecs = Seq(
       (0L, Array(1f, 0f, 0f, 0f)),
