@@ -839,6 +839,25 @@ object SparkEntry {
         s, "graft_bm25", terms = Seq("spark", "vector", "merge"), k = 25)
     }),
 
+    // RAG chunking: 64-token windows, stride 48 (16-token overlap);
+    // zero-shuffle narrow splitter, trailing chunks truncate at doc end
+    "q123_chunking" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"),
+        graft.functions.TextFunctions.tokens(col("text")).as("__toks"))
+      graft.operators.TrainingData.chunkTokens(
+        docs, "doc_id", col("__toks"), size = 64, stride = 48)
+    }),
+
+    // Leakage-safe split: near-dup clusters (q53's banded-LSH graph at
+    // τ=0.3) split by their component representative, so every member
+    // of a cluster lands in the same train/val/test side
+    "q124_leakage_safe_split" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val pairs = graft.operators.Dedup.embeddingNearDups(emb, threshold = 0.3)
+      graft.operators.TrainingData.leakageSafeSplit(
+        emb.select(col("vec_id")), pairs, "vec_id", trainPct = 90, valPct = 5)
+    }),
+
     // Incremental IVF index: quantizer trained on the EVEN half, index
     // written for it, the ODD half appended with the frozen centroids
     // (cell-partition file append), then probed — the oracle replays
@@ -2629,6 +2648,34 @@ object SparkEntry {
     // corpus — the appended layout must be invisible to the probe
     "q122_ivf_incremental" -> ivfTopKOracleSql(k = 10, nprobe = 4, kCells = 8,
       iterations = 3, maxProbeId = 5, trainWhere = "WHERE id % 2 = 0"),
+
+    "q123_chunking" ->
+      s"""WITH tk AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+         |sp AS (SELECT doc_id, toks, len(toks) AS n FROM tk WHERE len(toks) > 0),
+         |st AS (SELECT doc_id, n, toks,
+         |    unnest(generate_series(0, n - 1, 48)) AS tok_start,
+         |    unnest(generate_series(0, (n - 1) // 48)) AS chunk_id
+         |  FROM sp)
+         |SELECT doc_id AS id, chunk_id, tok_start,
+         |  least(64, n - tok_start) AS n_chunk_tokens,
+         |  array_to_string(toks[tok_start + 1 : tok_start + 64], ' ') AS chunk_text
+         |FROM st""".stripMargin,
+
+    // component-representative split key: reps from the q53 relation
+    // (recursive reachability closure), unpaired ids key on themselves,
+    // then the q89 split-hash replay over the key
+    "q124_leakage_safe_split" -> {
+      val repSql = embedNearDupOracleSql(threshold = 0.3)
+      s"""WITH reps AS (SELECT id AS rid, rep FROM ($repSql)),
+         |vecs AS (SELECT e.vec_id AS id0, coalesce(reps.rep, e.vec_id) AS id
+         |  FROM embeddings e LEFT JOIN reps ON reps.rid = e.vec_id),
+         |${xxh64Chain("xh", "vecs", "id", Seq("id0"))},
+         |b AS (SELECT id0, ((hs % 100) + 100) % 100 AS bucket FROM xh)
+         |SELECT id0 AS vec_id, bucket,
+         |  CASE WHEN bucket < 90 THEN 'train'
+         |       WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split
+         |FROM b""".stripMargin
+    },
 
     "q36_asof_join" ->
       """SELECT l.event_id, r.value AS last_purchase_value

@@ -102,6 +102,55 @@ object TrainingData {
     df.filter(bucket < threshold)
   }
 
+  /** Overlapping token-window chunking — the RAG / long-document splitter:
+    * windows of `size` tokens advancing by `stride` (< size ⇒ overlap);
+    * every start position `0, stride, 2·stride, … < n` emits a chunk,
+    * trailing chunks truncate at the document end (≥ 1 token each).
+    * Narrow per-doc expression work (transform + posexplode) — zero
+    * shuffles; chunk ids are per-doc ordinals so downstream packing /
+    * embedding jobs key on (id, chunk_id) deterministically.
+    */
+  def chunkTokens(df: DataFrame, idCol: String, toksCol: Column,
+      size: Int, stride: Int): DataFrame = {
+    require(size > 0 && stride > 0 && stride <= size,
+      s"need 0 < stride <= size, got size=$size stride=$stride")
+    val spine = df.select(col(idCol).as("id"), toksCol.as("__toks"))
+      .select(col("id"), col("__toks"), org.apache.spark.sql.functions.size(col("__toks")).as("__n"))
+      .filter(col("__n") > 0)
+    spine
+      .select(col("id"), col("__n"),
+        posexplode(transform(
+          sequence(lit(0), col("__n") - 1, lit(stride)),
+          start => struct(
+            start.as("tok_start"),
+            least(lit(size), col("__n") - start).as("n_chunk_tokens"),
+            array_join(slice(col("__toks"), start + 1, lit(size)), " ").as("chunk_text"))))
+          .as(Seq("chunk_id", "c")))
+      .select(col("id"), col("chunk_id"),
+        col("c.tok_start").as("tok_start"),
+        col("c.n_chunk_tokens").as("n_chunk_tokens"),
+        col("c.chunk_text").as("chunk_text"))
+  }
+
+  /** Near-dup-LEAKAGE-SAFE deterministic split: the split key is the
+    * near-dup cluster REPRESENTATIVE (connected-component minimum from
+    * [[Dedup.nearDupRepresentatives]]), so every member of a dup cluster
+    * lands in the same split — near-copies of train documents can never
+    * contaminate val/test (the split-leakage failure mode Lee et al.
+    * document). Unpaired documents key on themselves; bucket/split
+    * semantics match [[deterministicSplit]] exactly.
+    */
+  def leakageSafeSplit(docs: DataFrame, pairs: DataFrame, idCol: String,
+      trainPct: Int, valPct: Int): DataFrame = {
+    val reps = Dedup.nearDupRepresentatives(pairs)
+      .select(col("id").as("__rid"), col("rep").as("__rep"))
+    val keyed = docs.select(col(idCol))
+      .join(reps, col(idCol) === col("__rid"), "left")
+      .select(col(idCol), coalesce(col("__rep"), col(idCol)).as("__split_key"))
+    deterministicSplit(keyed, "__split_key", trainPct, valPct)
+      .select(col(idCol), col("bucket"), col("split"))
+  }
+
   /** Deterministic EXACT-k-per-stratum sample — the reservoir-sampling
     * shape done relationally: rank rows inside each stratum by
     * `xxhash64(id)` (ties, impossible in practice, break by id) and keep

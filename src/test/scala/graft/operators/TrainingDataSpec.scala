@@ -113,6 +113,32 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("chunkTokens: overlapping windows, truncated tail, empty docs dropped") {
+    val toks = (1 to 10).map(i => s"w$i")
+    val docs = Seq((1L, toks), (2L, Seq("only")), (3L, Seq.empty[String]))
+      .toDF("doc_id", "toks")
+    val got = TrainingData.chunkTokens(docs, "doc_id", col("toks"), size = 4, stride = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4)))
+    val d1 = got.filter(_._1 == 1L).sortBy(_._2)
+    // starts 0,3,6,9 → chunks w1-4, w4-7, w7-10, w10
+    assert(d1.map(c => (c._3, c._4, c._5)).toSeq == Seq(
+      (0, 4, "w1 w2 w3 w4"), (3, 4, "w4 w5 w6 w7"),
+      (6, 4, "w7 w8 w9 w10"), (9, 1, "w10")))
+    assert(got.filter(_._1 == 2L).toSeq == Seq((2L, 0, 0, 1, "only")))
+    assert(!got.exists(_._1 == 3L))
+  }
+
+  test("leakageSafeSplit: every near-dup pair lands on one side") {
+    // clusters {1,2,3} and {10,11}; 20 unpaired
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val docs = Seq(1L, 2L, 3L, 10L, 11L, 20L).toDF("id")
+    val split = TrainingData.leakageSafeSplit(docs, pairs, "id", 50, 25)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(split.size == 6)
+    assert(split(1L) == split(2L) && split(2L) == split(3L))
+    assert(split(10L) == split(11L))
+  }
+
   test("mixCorpora: weights hold, sources tagged, shuffle key deterministic") {
     val a = (0L until 1000L).toDF("id")
     val b = (0L until 1000L).toDF("id")
