@@ -839,6 +839,17 @@ object SparkEntry {
         s, "graft_bm25", terms = Seq("spark", "vector", "merge"), k = 25)
     }),
 
+    // TF-IDF top-5 keywords per doc (rounded-score rank order — see
+    // tfidfTopTerms scaladoc for the mathematical-tie FP argument)
+    "q125_tfidf_topterms" -> ((s, d) =>
+      graft.operators.TextAnalysis.tfidfTopTerms(
+        t(s, d, "documents"), "doc_id", "text", k = 5)),
+
+    // PMI collocations over adjacent token pairs, min pair count 5
+    "q126_pmi_collocations" -> ((s, d) =>
+      graft.operators.TextAnalysis.pmiCollocations(
+        t(s, d, "documents"), "doc_id", "text", minCount = 5L)),
+
     // RAG chunking: 64-token windows, stride 48 (16-token overlap);
     // zero-shuffle narrow splitter, trailing chunks truncate at doc end
     "q123_chunking" -> ((s, d) => {
@@ -2648,6 +2659,35 @@ object SparkEntry {
     // corpus — the appended layout must be invisible to the probe
     "q122_ivf_incremental" -> ivfTopKOracleSql(k = 10, nprobe = 4, kCells = 8,
       iterations = 3, maxProbeId = 5, trainWhere = "WHERE id % 2 = 0"),
+
+    "q125_tfidf_topterms" ->
+      s"""WITH tk AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+         |td AS (SELECT doc_id, unnest(toks) AS term FROM tk),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM td GROUP BY 1, 2),
+         |dft AS (SELECT term, count(*)::DOUBLE AS dfc FROM tf GROUP BY 1),
+         |n AS (SELECT count(*)::DOUBLE AS n FROM tk),
+         |sc AS (SELECT doc_id, term, tf,
+         |    round(tf::DOUBLE * ln(n.n / dfc), 4) AS tfidf
+         |  FROM tf JOIN dft USING (term) CROSS JOIN n),
+         |r AS (SELECT doc_id, term, tf, tfidf,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+         |  FROM sc)
+         |SELECT doc_id, rank, term, tf, tfidf FROM r WHERE rank <= 5""".stripMargin,
+
+    "q126_pmi_collocations" ->
+      s"""WITH tk AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+         |sp AS (SELECT toks, len(toks) AS n FROM tk WHERE len(toks) >= 2),
+         |g AS (SELECT unnest(generate_series(1, n - 1)) AS pos, toks FROM sp),
+         |bg AS (SELECT toks[pos] AS w1, toks[pos + 1] AS w2 FROM g),
+         |uni AS (SELECT unnest(toks) AS w FROM tk),
+         |c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2 HAVING count(*) >= 5),
+         |c1 AS (SELECT w AS w1, count(*) AS ca FROM uni GROUP BY 1),
+         |c2 AS (SELECT w AS w2, count(*) AS cb FROM uni GROUP BY 1),
+         |tot AS (SELECT (SELECT count(*)::DOUBLE FROM bg) AS t,
+         |               (SELECT count(*)::DOUBLE FROM uni) AS u)
+         |SELECT w1, w2, c12,
+         |  round(ln((c12::DOUBLE * u * u) / (t * ca::DOUBLE * cb::DOUBLE)), 4) + 0.0 AS pmi
+         |FROM c12 JOIN c1 USING (w1) JOIN c2 USING (w2) CROSS JOIN tot""".stripMargin,
 
     "q123_chunking" ->
       s"""WITH tk AS (SELECT doc_id, $tokensSql AS toks FROM documents),

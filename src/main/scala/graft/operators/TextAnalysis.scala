@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
@@ -405,6 +406,71 @@ object TextAnalysis {
       // decimals absorbs ulp-level deltas (boundary risk ~1e-11/value)
       .select(col(idCol), col("n_bigrams"),
         round(-col("__sum") / col("n_bigrams").cast("double"), 4).as("avg_neg_logp"))
+  }
+
+  /** Per-document TF-IDF top terms — the classic keyword-extraction /
+    * sparse-feature op: tf = in-doc count, idf = ln(N / df), top `k`
+    * terms per doc by tf·idf. Shapes: one token explode → (doc, term)
+    * partial-agg'd counts; the df table derives from the SAME relation
+    * (one extra groupBy, partial-agg'd); N broadcasts as one row; top-k
+    * is a per-doc window. Ranking runs on the 4dp-ROUNDED score: exact
+    * mathematical ties with different FP paths exist (tf·ln(n/df) — e.g.
+    * 2·ln(10) vs 1·ln(100)) and libm-vs-JVM ln differs by 1 ulp on such
+    * pairs, so the raw double is not a cross-engine total order; the
+    * rounded score is, with ties broken by term.
+    */
+  def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val staged = df.select(col(idCol), tokens(col(textCol)).as("__toks"))
+    val n = staged.agg(count(lit(1)).cast("double").as("__n"))
+    val termDoc = staged.select(col(idCol), explode(col("__toks")).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfT = termDoc.groupBy(col("term"))
+      .agg(count(lit(1)).cast("double").as("__df"))
+    val scored = termDoc.join(dfT, Seq("term")).crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        round(col("tf").cast("double") * log(col("__n") / col("__df")), 4))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col(idCol)).orderBy(col("tfidf").desc, col("term"))))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("rank"), col("term"), col("tf"), col("tfidf"))
+  }
+
+  /** Corpus collocations by pointwise mutual information over ADJACENT
+    * token pairs (the word2vec-era association statistic):
+    * `pmi = ln( p(w1,w2) / (p(w1)·p(w2)) ) = ln( c12·U² / (T·c1·c2) )`
+    * with U = total tokens, T = total bigrams; pairs below `minCount`
+    * are dropped (sparse-pair PMI is noise — standard practice). All
+    * counts are exact integers and the products stay exact in double
+    * far beyond these corpus sizes (document-level guard: U²·c12 must
+    * stay < 2^53 — shard or subtract logs past ~10^8 tokens). Output is
+    * a SET (no ranking), so the only FP surface is the 4dp-rounded ln.
+    */
+  def pmiCollocations(df: DataFrame, idCol: String, textCol: String,
+      minCount: Long = 5L): DataFrame = {
+    val bg = df.select(tokens(col(textCol)).as("__toks"))
+      .filter(size(col("__toks")) >= 2)
+      .select(explode(
+        transform(sequence(lit(1), size(col("__toks")) - 1),
+          i => struct(element_at(col("__toks"), i).as("w1"),
+            element_at(col("__toks"), i + 1).as("w2")))).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val uni = df.select(explode(tokens(col(textCol))).as("w"))
+    val c12 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= minCount)
+    val c1 = uni.groupBy(col("w").as("w1")).agg(count(lit(1)).as("__c1"))
+    val c2 = uni.groupBy(col("w").as("w2")).agg(count(lit(1)).as("__c2"))
+    val totals = bg.agg(count(lit(1)).cast("double").as("__t"))
+      .crossJoin(uni.agg(count(lit(1)).cast("double").as("__u")))
+    c12.join(c1, Seq("w1")).join(c2, Seq("w2")).crossJoin(broadcast(totals))
+      .select(col("w1"), col("w2"), col("c12"),
+        // + 0.0 canonicalizes IEEE negative zero (round can yield -0.0
+        // from a tiny negative pmi, and -0.0 vs 0.0 renders differently)
+        (round(log(
+          (col("c12").cast("double") * col("__u") * col("__u")) /
+            (col("__t") * col("__c1").cast("double") * col("__c2").cast("double"))), 4)
+          + lit(0.0)).as("pmi"))
   }
 
   /** BPE-style PRE-tokenizer pattern (the split that runs before merges in

@@ -155,6 +155,29 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got.find(_._1 == 2L).get._2 == 2L)
   }
 
+  test("tfidfTopTerms: corpus-common terms rank below doc-specific ones") {
+    val docs = Seq(
+      (1L, "common common unique1 unique1 unique1"),
+      (2L, "common other2"),
+      (3L, "common other3")).toDF("doc_id", "text")
+    val got = TextAnalysis.tfidfTopTerms(docs, "doc_id", "text", k = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    // 'common' has df=3 → idf=ln(1)=0 → ranks below any doc-specific term
+    assert(got.filter(_._1 == 1L).sortBy(_._2).map(_._3).toSeq
+      == Seq("unique1", "common"))
+    assert(got.filter(_._1 == 2L).sortBy(_._2).map(_._3).head == "other2")
+  }
+
+  test("pmiCollocations: repeated adjacent pair scores positive, counts exact") {
+    val docs = (1L to 30L).map(i =>
+      (i, s"alpha beta w$i filler${i % 3}")).toDF("doc_id", "text")
+    val got = TextAnalysis.pmiCollocations(docs, "doc_id", "text", minCount = 5L)
+      .collect().map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getDouble(3)))).toMap
+    val ab = got(("alpha", "beta"))
+    assert(ab._1 == 30L)     // every doc contributes the pair once
+    assert(ab._2 > 0.0)      // strongly associated
+  }
+
   test("bigramLmScores: hand-computed smoothed bigram log-probs") {
     // reference: "a b a b" + "a c" → bigrams: (a,b)x2, (b,a)x1, (a,c)x1
     // unigrams: a=3, b=2, c=1; V=3; α=0.4
