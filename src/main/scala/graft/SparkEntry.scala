@@ -839,6 +839,14 @@ object SparkEntry {
         s, "graft_bm25", terms = Seq("spark", "vector", "merge"), k = 25)
     }),
 
+    // Hopping windows: 1-hour windows sliding every 30 min — each event
+    // lands in exactly 2 windows; epoch-aligned on both engines
+    "q127_hopping_windows" -> ((s, d) =>
+      graft.streaming.StreamingOps.hoppingEventCounts(
+        Tables.events(s, d), "ts", watermarkDelay = None)
+        .select(date_format(col("win_start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+          col("event_type"), col("n"), col("sum_value"))),
+
     // TF-IDF top-5 keywords per doc (rounded-score rank order — see
     // tfidfTopTerms scaladoc for the mathematical-tie FP argument)
     "q125_tfidf_topterms" -> ((s, d) =>
@@ -2659,6 +2667,18 @@ object SparkEntry {
     // corpus — the appended layout must be invisible to the probe
     "q122_ivf_incremental" -> ivfTopKOracleSql(k = 10, nprobe = 4, kCells = 8,
       iterations = 3, maxProbeId = 5, trainWhere = "WHERE id % 2 = 0"),
+
+    // every event contributes to [bucket, bucket - 30min]: with a 1 h
+    // window and 30 min slide both candidate starts always qualify
+    "q127_hopping_windows" ->
+      """SELECT strftime(s, '%Y-%m-%d %H:%M:%S') AS win_start, event_type,
+        | count(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM (SELECT unnest([
+        |    time_bucket(INTERVAL '30 minutes', ts),
+        |    time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes']) AS s,
+        |  event_type, value FROM events)
+        |GROUP BY 1, 2""".stripMargin,
 
     "q125_tfidf_topterms" ->
       s"""WITH tk AS (SELECT doc_id, $tokensSql AS toks FROM documents),

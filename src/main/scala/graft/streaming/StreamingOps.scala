@@ -33,6 +33,25 @@ object StreamingOps {
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** HOPPING-window variant (window longer than the slide ⇒ each event
+    * lands in windowLen/slide overlapping windows — the moving-average /
+    * trailing-rate shape). Same state bounds as the tumbling form: one
+    * row per (window, key) inside the watermark horizon. Works on batch
+    * frames too (q127 oracle-checks the batch plan; `window()` is
+    * epoch-aligned on both engines).
+    */
+  def hoppingEventCounts(events: DataFrame, tsCol: String,
+      windowLen: String = "1 hour", slide: String = "30 minutes",
+      watermarkDelay: Option[String] = Some("2 hours")): DataFrame = {
+    val base = watermarkDelay.fold(events)(events.withWatermark(tsCol, _))
+    base
+      .groupBy(window(col(tsCol), windowLen, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n"), col("sum_value"))
+  }
+
   /** Streaming dedup on keys within the watermark horizon — the streaming
     * analog of A1/A2 duplicate elimination (state bounded by watermark).
     */

@@ -45,6 +45,29 @@ class StreamingOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("hopping-window agg: each event lands in exactly windowLen/slide windows") {
+    val dir = eventsStreamDir()
+    val stream = spark.readStream.schema(eventsSchema).parquet(dir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val q = StreamingOps.runToMemory(
+      StreamingOps.hoppingEventCounts(stream, "ts"), "hopping_ev", outputMode = "complete")
+    try {
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT * FROM hopping_ev")
+      val totalEvents = graft.Tables.events(spark, "/root/testdata/sf0.001").count()
+      // 1 h window / 30 min slide ⇒ every event counted twice overall
+      assert(streamed.agg(sum(col("n"))).head().getLong(0) == 2 * totalEvents)
+      // and the streaming result equals the batch plan of the same function
+      val batch = StreamingOps.hoppingEventCounts(
+        graft.Tables.events(spark, "/root/testdata/sf0.001"), "ts",
+        watermarkDelay = None)
+        .collect().map(r => (r.getTimestamp(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+      val got = streamed
+        .collect().map(r => (r.getTimestamp(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+      assert(got == batch)
+    } finally q.stop()
+  }
+
   test("streaming dedup holds state across micro-batches") {
     val dir = Files.createTempDirectory("graft-stream-dedup")
     val schema = StructType(Seq(StructField("k", LongType), StructField("ts", TimestampType)))
