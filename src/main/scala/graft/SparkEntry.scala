@@ -839,6 +839,22 @@ object SparkEntry {
         s, "graft_bm25", terms = Seq("spark", "vector", "merge"), k = 25)
     }),
 
+    // Boilerplate stripping: lines (10-token chunks, the q107 synthesis)
+    // present in MORE than 2 distinct docs are removed from every doc —
+    // the frequency pass that keep-first line dedup doesn't express
+    "q128_boilerplate_strip" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"),
+          graft.functions.TextFunctions.tokens(col("text")).as("__toks"))
+        .filter(size(col("__toks")) > 0)
+        .select(col("doc_id"), transform(
+          sequence(lit(0), expr("(size(__toks) - 1) div 10")),
+          i => array_join(slice(col("__toks"), i * 10 + 1, lit(10)), " "))
+          .as("__lines"))
+      graft.operators.Dedup.stripBoilerplate(docs, "doc_id", col("__lines"),
+        maxDocFreq = 2L)
+    }),
+
     // Hopping windows: 1-hour windows sliding every 30 min — each event
     // lands in exactly 2 windows; epoch-aligned on both engines
     "q127_hopping_windows" -> ((s, d) =>
@@ -2667,6 +2683,28 @@ object SparkEntry {
     // corpus — the appended layout must be invisible to the probe
     "q122_ivf_incremental" -> ivfTopKOracleSql(k = 10, nprobe = 4, kCells = 8,
       iterations = 3, maxProbeId = 5, trainWhere = "WHERE id % 2 = 0"),
+
+    // line doc-frequency > 2 ⇒ stripped everywhere (incl. 1st occurrence)
+    "q128_boilerplate_strip" ->
+      s"""WITH tk AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+         |ln AS (SELECT doc_id, list_transform(
+         |    generate_series(0, (len(toks) - 1) // 10),
+         |    i -> array_to_string(toks[i * 10 + 1 : i * 10 + 10], ' ')) AS lines
+         |  FROM tk WHERE len(toks) > 0),
+         |occ AS (SELECT doc_id, unnest(lines) AS line,
+         |    unnest(generate_series(0, len(lines) - 1)) AS pos FROM ln),
+         |hot AS (SELECT line FROM (
+         |    SELECT line, count(DISTINCT doc_id) AS nd FROM occ GROUP BY 1)
+         |  WHERE nd > 2),
+         |kept AS (SELECT occ.doc_id, occ.pos, occ.line FROM occ
+         |  WHERE NOT EXISTS (SELECT 1 FROM hot WHERE hot.line = occ.line)),
+         |reb AS (SELECT doc_id, count(*)::BIGINT AS n_kept,
+         |    string_agg(line, chr(10) ORDER BY pos) AS text_kept
+         |  FROM kept GROUP BY doc_id)
+         |SELECT ln.doc_id AS id, len(ln.lines)::BIGINT AS n_lines,
+         |  coalesce(reb.n_kept, 0)::BIGINT AS n_kept,
+         |  coalesce(reb.text_kept, '') AS text_kept
+         |FROM ln LEFT JOIN reb ON reb.doc_id = ln.doc_id""".stripMargin,
 
     // every event contributes to [bucket, bucket - 30min]: with a 1 h
     // window and 30 min slide both candidate starts always qualify

@@ -367,6 +367,48 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hash"), col("pos_a"), col("pos_b"))
   }
 
+  /** Boilerplate-line stripping — the frequency-based RefinedWeb/CCNet
+    * pass that [[lineDedup]]'s keep-first rule does NOT express: a line
+    * occurring in MORE than `maxDocFreq` distinct documents (navigation
+    * chrome, cookie banners, license blurbs) is removed from EVERY
+    * document, first occurrence included.
+    *
+    * Input/output shape matches [[lineDedup]] (`linesCol: array<string>`
+    * in; one row per doc with the surviving lines rejoined in order).
+    *
+    * Scale: line doc-frequencies partial-aggregate on (line, id) then
+    * count; the hot set (lines above the threshold) is SMALL by
+    * construction — that's what makes it boilerplate — so the anti join
+    * broadcasts it; the rebuild is the bounded per-doc collect of
+    * [[lineDedup]]. No corpus-wide window, no driver state.
+    */
+  def stripBoilerplate(df: DataFrame, idCol: String, linesCol: Column,
+      maxDocFreq: Long): DataFrame = {
+    require(maxDocFreq >= 1, "maxDocFreq must be >= 1")
+    val spine = df.select(col(idCol).as("id"), linesCol.as("__lines"))
+      .select(col("id"), col("__lines"),
+        size(col("__lines")).cast("long").as("n_lines"))
+    val occurrences = spine
+      .select(col("id"), posexplode(col("__lines")).as(Seq("pos", "line")))
+    val hot = occurrences
+      .groupBy(col("line"))
+      .agg(count_distinct(col("id")).as("__nd"))
+      .filter(col("__nd") > maxDocFreq)
+      .select(col("line"))
+    val kept = occurrences.join(broadcast(hot), Seq("line"), "left_anti")
+    val rebuilt = kept.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+            x => x.getField("line")),
+          "\n").as("text_kept"))
+    spine.select(col("id"), col("n_lines"))
+      .join(rebuilt, Seq("id"), "left")
+      .select(col("id"), col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_kept"), lit("")).as("text_kept"))
+  }
+
   /** Exact repeated-SPAN dedup across documents (the Lee et al.,
     * "Deduplicating Training Data Makes Language Models Better" pass,
     * re-expressed relationally): any `spanLen`-token window whose content

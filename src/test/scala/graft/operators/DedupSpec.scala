@@ -194,6 +194,24 @@ class DedupSpec extends AnyFunSuite {
     assert(out == ((19L, 10L, (span ++ Seq("mid")).mkString(" "))))
   }
 
+  test("stripBoilerplate: frequent lines removed everywhere, rare lines keep order") {
+    val docs = Seq(
+      (1L, Seq("cookie banner", "real content one")),
+      (2L, Seq("cookie banner", "real content two")),
+      (3L, Seq("cookie banner", "unique three", "cookie banner")),
+      (4L, Seq("rare line")))
+      .toDF("doc_id", "lines")
+    // "cookie banner" is in 3 distinct docs > maxDocFreq 2 → stripped
+    // everywhere, including its FIRST occurrence (unlike lineDedup)
+    val out = Dedup.stripBoilerplate(docs, "doc_id", col("lines"), maxDocFreq = 2L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((2L, 1L, "real content one")))
+    assert(out(2L) == ((2L, 1L, "real content two")))
+    assert(out(3L) == ((3L, 1L, "unique three")))
+    assert(out(4L) == ((1L, 1L, "rare line")))
+  }
+
   test("lineDedup: keep-first across docs, order preserved, empty docs survive") {
     val docs = Seq(
       (1L, Seq("alpha", "boiler", "beta")),
