@@ -839,6 +839,14 @@ object SparkEntry {
         s, "graft_bm25", terms = Seq("spark", "vector", "merge"), k = 25)
     }),
 
+    // Containment pairs (asymmetric near-dup): |A∩B| / min(|A|,|B|)
+    // over word-3-shingles at τ=0.8 — exact (shared-shingle candidates
+    // have total recall for any τ > 0)
+    "q129_containment_pairs" -> ((s, d) =>
+      graft.operators.Dedup.containmentPairs(
+        t(s, d, "documents"), "doc_id", "text",
+        shingleSize = 3, threshold = 0.8)),
+
     // Boilerplate stripping: lines (10-token chunks, the q107 synthesis)
     // present in MORE than 2 distinct docs are removed from every doc —
     // the frequency pass that keep-first line dedup doesn't express
@@ -2683,6 +2691,21 @@ object SparkEntry {
     // corpus — the appended layout must be invisible to the probe
     "q122_ivf_incremental" -> ivfTopKOracleSql(k = 10, nprobe = 4, kCells = 8,
       iterations = 3, maxProbeId = 5, trainWhere = "WHERE id % 2 = 0"),
+
+    // exact containment over shingle STRING sets (engine hashes them to
+    // 64-bit — identical sets absent a collision, the q35 precedent)
+    "q129_containment_pairs" ->
+      s"""WITH tk AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+         |sh AS (SELECT doc_id,
+         |  list_distinct(list_transform(generate_series(1, len(toks) - 2),
+         |    i -> array_to_string(toks[i:i+2], ' '))) AS feats
+         | FROM tk WHERE len(toks) >= 3)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         | len(list_intersect(a.feats, b.feats))::DOUBLE
+         |   / least(len(a.feats), len(b.feats))::DOUBLE AS containment
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |WHERE len(list_intersect(a.feats, b.feats))::DOUBLE
+         |   / least(len(a.feats), len(b.feats))::DOUBLE >= 0.8""".stripMargin,
 
     // line doc-frequency > 2 ⇒ stripped everywhere (incl. 1st occurrence)
     "q128_boilerplate_strip" ->

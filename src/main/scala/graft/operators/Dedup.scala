@@ -203,6 +203,45 @@ object Dedup {
     Similarity.bandedScoredPairs(corpus, numBands, planesPerBand, dim, seed)
       .filter(col("cosine") >= threshold)
 
+  /** Containment-similarity pairs: `c(A,B) = |A∩B| / min(|A|,|B|)` over
+    * word-shingle sets — the asymmetric complement of Jaccard that
+    * catches a short document quoted verbatim inside a long one (their
+    * Jaccard is ≈ |short|/|long| ≈ 0, their containment is ≈ 1; the
+    * Dolma/RefinedWeb stacks gate on both). Exact, not approximate:
+    * containment ≥ τ > 0 implies at least one shared shingle, so a
+    * shared-shingle candidate join has TOTAL recall — no LSH tuning gap.
+    *
+    * Shape: the compact-set broadcast form of [[winnowNearDupsDense]]
+    * (per-doc sorted 64-bit shingle hashes + the zero-alloc
+    * SortedIntersectCount merge kernel) — right for shard-level scopes
+    * where one side broadcasts; for an unbounded corpus use the sparse
+    * shared-shingle join, which the total-recall argument above makes
+    * exact on the same output. 64-bit shingle-hash collisions negligible
+    * (same contract as [[ngramJaccardPairs]]).
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, threshold: Double = 0.8): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold in (0,1], got $threshold")
+    val sets = df
+      .select(col(idCol).as("id"), graft.functions.TextFunctions.tokens(col(textCol)).as("__toks"))
+      .filter(size(col("__toks")) >= shingleSize)
+      .select(col("id"),
+        graft.functions.TextFunctions.wordShinglesOf(col("__toks"), shingleSize).as("__feats"))
+      // sorted 64-bit hashes: the merge kernel's input; materialized once
+      // (both join sides reference it)
+      .select(col("id"),
+        sort_array(transform(col("__feats"), s => xxhash64(s))).as("fs"))
+      .localCheckpoint(true)
+    sets.as("a").join(broadcast(sets.as("b")), col("a.id") < col("b.id"))
+      .withColumn("__inter",
+        graft.functions.HashFunctions.sortedIntersectCount(col("a.fs"), col("b.fs")))
+      .withColumn("containment",
+        col("__inter").cast("double") /
+          least(size(col("a.fs")), size(col("b.fs"))).cast("double"))
+      .filter(col("containment") >= threshold)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("containment"))
+  }
+
   /** Representative assignment for near-dup groups: min-id label
     * propagation over the pair graph, iterated TO FIXPOINT — each id maps
     * to the smallest id in its connected component. The loop stops when a

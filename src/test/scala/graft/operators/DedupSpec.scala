@@ -194,6 +194,23 @@ class DedupSpec extends AnyFunSuite {
     assert(out == ((19L, 10L, (span ++ Seq("mid")).mkString(" "))))
   }
 
+  test("containmentPairs: quoted short doc scores ~1 where Jaccard would miss it") {
+    val short = "alpha beta gamma delta epsilon zeta"
+    val long = ("x" * 1 + (1 to 40).map(i => s"filler$i").mkString(" ")) +
+      " " + short + " " + (41 to 80).map(i => s"filler$i").mkString(" ")
+    val docs = Seq((1L, short), (2L, long), (3L, "totally unrelated words here now"))
+      .toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs, "doc_id", "text",
+      shingleSize = 3, threshold = 0.8)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(got.keySet == Set((1L, 2L)))
+    assert(got((1L, 2L)) == 1.0) // every 3-shingle of the short doc is in the long one
+    // and the Jaccard path at 0.8 would NOT pair them (tiny union overlap)
+    val jac = Dedup.minHashNearDups(docs, "doc_id", "text",
+      jaccardThreshold = 0.8).collect()
+    assert(!jac.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L))
+  }
+
   test("stripBoilerplate: frequent lines removed everywhere, rare lines keep order") {
     val docs = Seq(
       (1L, Seq("cookie banner", "real content one")),
