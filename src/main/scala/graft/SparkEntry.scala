@@ -839,6 +839,16 @@ object SparkEntry {
         s, "graft_bm25", terms = Seq("spark", "vector", "merge"), k = 25)
     }),
 
+    // Normalization-aware exact dedup: case/whitespace variants collapse
+    // (variants synthesized deterministically — upper half the corpus,
+    // double-space the other — so normalized groups differ from raw q23's)
+    "q130_dedup_normalized" -> ((s, d) => {
+      val varied = t(s, d, "documents").select(col("doc_id"),
+        when(col("doc_id") % 2 === 0, upper(col("text")))
+          .otherwise(regexp_replace(col("text"), " ", "  ")).as("text_v"))
+      graft.operators.Dedup.exactGroupsNormalized(varied, "text_v", "doc_id")
+    }),
+
     // Containment pairs (asymmetric near-dup): |A∩B| / min(|A|,|B|)
     // over word-3-shingles at τ=0.8 — exact (shared-shingle candidates
     // have total recall for any τ > 0)
@@ -2691,6 +2701,16 @@ object SparkEntry {
     // corpus — the appended layout must be invisible to the probe
     "q122_ivf_incremental" -> ivfTopKOracleSql(k = 10, nprobe = 4, kCells = 8,
       iterations = 3, maxProbeId = 5, trainWhere = "WHERE id % 2 = 0"),
+
+    // canonical form = trim(collapse-ws(lower)): the synthesized case/
+    // whitespace variants must land in the same groups as the originals
+    "q130_dedup_normalized" ->
+      """WITH v AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN upper(text)
+        |       ELSE regexp_replace(text, ' ', '  ', 'g') END AS text_v
+        | FROM documents)
+        |SELECT min(doc_id) AS keep_id, count(*) AS copies
+        |FROM v GROUP BY trim(regexp_replace(lower(text_v), '\s+', ' ', 'g'))""".stripMargin,
 
     // exact containment over shingle STRING sets (engine hashes them to
     // 64-bit — identical sets absent a collision, the q35 precedent)

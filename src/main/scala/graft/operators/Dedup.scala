@@ -203,6 +203,26 @@ object Dedup {
     Similarity.bandedScoredPairs(corpus, numBands, planesPerBand, dim, seed)
       .filter(col("cosine") >= threshold)
 
+  /** Canonical text form for normalization-aware dedup: lowercase,
+    * whitespace runs collapsed to one space, ends trimmed. Catches the
+    * case/indentation/line-wrap variants raw exact dedup misses — the
+    * cheap normalization every dedup stack runs before hashing. Pure
+    * codegen Column expression; ASCII-safe on both engines' `\s`.
+    */
+  def canonicalText(c: Column): Column =
+    trim(regexp_replace(lower(c), "\\s+", " "))
+
+  /** Exact dedup groups keyed on the CANONICAL text ([[canonicalText]]):
+    * same min-id winner semantics as [[exactGroupsByValue]], but
+    * whitespace/case variants collapse into one group. At scale group on
+    * `xxhash64(canonicalText(...))` — the [[exactByContent]] note.
+    */
+  def exactGroupsNormalized(df: DataFrame, contentCol: String,
+      idCol: String): DataFrame =
+    df.groupBy(canonicalText(col(contentCol)).as("__canon"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("copies"))
+      .select("keep_id", "copies")
+
   /** Containment-similarity pairs: `c(A,B) = |A∩B| / min(|A|,|B|)` over
     * word-shingle sets — the asymmetric complement of Jaccard that
     * catches a short document quoted verbatim inside a long one (their

@@ -194,6 +194,20 @@ class DedupSpec extends AnyFunSuite {
     assert(out == ((19L, 10L, (span ++ Seq("mid")).mkString(" "))))
   }
 
+  test("exactGroupsNormalized: case/whitespace variants collapse, raw dedup misses them") {
+    val docs = Seq(
+      (1L, "Hello  World"),
+      (2L, "hello world"),
+      (3L, "  HELLO\tWORLD "),
+      (4L, "different text"))
+      .toDF("doc_id", "text")
+    val norm = Dedup.exactGroupsNormalized(docs, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(norm == Set((1L, 3L), (4L, 1L)))
+    val raw = Dedup.exactGroupsByValue(docs, "text", "doc_id").collect()
+    assert(raw.length == 4) // raw exact dedup sees four distinct strings
+  }
+
   test("containmentPairs: quoted short doc scores ~1 where Jaccard would miss it") {
     val short = "alpha beta gamma delta epsilon zeta"
     val long = ("x" * 1 + (1 to 40).map(i => s"filler$i").mkString(" ")) +
