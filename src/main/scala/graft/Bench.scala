@@ -48,7 +48,11 @@ object Bench {
     // round 5: repeated-span dedup (the Lee-et-al pass) + the persisted
     // BM25 index probe — the two new LLM-pipeline scale paths
     "q111_span_dedup",
-    "q112_bm25_indexed")
+    "q112_bm25_indexed",
+    // round 6: linear-sketch frequency (CMS) + model-based quality
+    // scoring — the two new constant-state / broadcast-model scale paths
+    "q131_cms_freq",
+    "q136_linear_model")
 
   private def runOnce(name: String, spark: SparkSession, sfDir: String): Unit =
     SparkEntry.queries(name)(spark, sfDir)

@@ -706,6 +706,128 @@ object SparkEntry {
             col("est") - col("err") <= col("exact_count")).as("bounds_ok"))
     }),
 
+    // Connected components (pointer-jumping min-label propagation) over a
+    // chain graph built from the natural n_chars distribution — chains up
+    // to ~14 links, so convergence needs the O(log d) jump, not just
+    // 1-hop propagation. Exact oracle: recursive reachability closure.
+    "q132_connected_components" -> ((s, d) => {
+      val edges = t(s, d, "documents")
+        .select(col("n_chars").cast("long").as("u"),
+          (col("n_chars") + 1).cast("long").as("v"))
+      graft.operators.Graph.connectedComponents(edges, "u", "v")
+    }),
+
+    // n-gram novelty (memorization-risk scoring): fraction of each
+    // doc's distinct token-8-grams appearing in no other doc
+    "q138_ngram_novelty" -> ((s, d) =>
+      graft.operators.TextAnalysis.ngramNovelty(
+        t(s, d, "documents"), "doc_id", "text", 8)),
+
+    // Quantile-sketch contract (the q115 pattern for GK quantiles):
+    // percentile_approx at accuracy 1000 must place every estimate's
+    // exact rank within ±2n/1000 of the target rank, per group and
+    // quantile. 2ε, not ε: Spark's QuantileSummaries compresses after
+    // partial-summary merges and the merged summary does not strictly
+    // preserve 1/accuracy (measured: rank error 2.0 vs ε·n = 1.98 on
+    // the view-group median at sf0.01) — the standard GK merge
+    // analysis bounds the merged+compressed error by 2ε, and measured
+    // errors sit at half that bound. The estimate itself is
+    // merge-order-sensitive, so only the guaranteed flags are output.
+    "q137_quantile_sketch" -> ((s, d) => {
+      val qs = Seq(0.25, 0.5, 0.75, 0.95)
+      val acc = 1000
+      val ev = Tables.events(s, d).select(col("event_type"), col("value"))
+        .filter(col("value").isNotNull)
+      val est = ev.groupBy(col("event_type"))
+        .agg(percentile_approx(col("value"), array(qs.map(lit): _*), lit(acc))
+          .as("est"))
+        .select(col("event_type"), posexplode(col("est")).as(Seq("qi", "est")))
+      val qArr = array(qs.map(lit): _*)
+      ev.join(broadcast(est), Seq("event_type"))
+        .groupBy(col("event_type"), col("qi"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("value") < col("est"), 1L).otherwise(0L)).as("__rank_lo"),
+          sum(when(col("value") <= col("est"), 1L).otherwise(0L)).as("__rank_hi"))
+        .withColumn("__q", element_at(qArr, col("qi") + 1))
+        .select(col("event_type"), col("qi"), col("n"),
+          (col("__rank_lo") <= (col("__q") + lit(2.0 / acc)) * col("n"))
+            .as("rank_lo_ok"),
+          (col("__rank_hi") >= (col("__q") - lit(2.0 / acc)) * col("n"))
+            .as("rank_hi_ok"))
+    }),
+
+    // Hashed-BoW linear-model scoring (fastText-style quality classifier
+    // serving pass): deterministic synthetic weights, DECIMAL-exact
+    // logits (raw double output), sigmoid rounded 4dp
+    "q136_linear_model" -> ((s, d) => {
+      val buckets = 1024
+      val weights = s.range(buckets).select(col("id").as("bucket"),
+        (((col("id") * 2654435761L) % 2001L - 1000L).cast("double") / 1000.0)
+          .as("weight"))
+      graft.operators.TextAnalysis.scoreLinearModel(
+        t(s, d, "documents"), "doc_id", "text", weights, buckets)
+        .select(col("doc_id"), col("n_tokens"), col("logit"),
+          round(col("score"), 4).as("score_4dp"), col("label"))
+    }),
+
+    // KMV corpus-overlap: per-language token-set jaccard/union/intersect
+    // estimates from bottom-256 sketches — deterministic min-k algebra,
+    // replayed to the bit by the oracle's HUGEINT FNV chain
+    "q135_kmv_overlap" -> ((s, d) => {
+      val toks = t(s, d, "documents")
+        .select(col("lang"),
+          explode(graft.functions.TextFunctions.tokens(col("text"))).as("tok"))
+      graft.operators.Similarity.kmvCorpusOverlap(toks, "lang", col("tok"), 256)
+        .select(col("corpus_a"), col("corpus_b"), col("n_shared"),
+          round(col("jaccard_est"), 4).as("jaccard_4dp"),
+          round(col("union_est"), 4).as("union_4dp"),
+          round(col("intersect_est"), 4).as("intersect_4dp"))
+    }),
+
+    // Robust per-group outlier tagging (median/MAD): rank-wise exact
+    // medians make every double bit-identical cross-engine — raw-double
+    // oracle, no display rounding (see Outliers scaladoc)
+    "q134_robust_outliers" -> ((s, d) =>
+      graft.operators.Outliers.robustOutliers(
+        Tables.events(s, d).select(col("event_id"), col("event_type"), col("value")),
+        "event_type", "value", 3.5)
+        .select(col("event_id"), col("event_type"), col("value"),
+          col("med"), col("mad"), col("is_outlier"))),
+
+    // A-ES weighted sampling: length-weighted top-100 draw, fully
+    // deterministic (FNV of the id string → u → ln(u)/w key), replayed
+    // bit-for-bit by the oracle's HUGEINT FNV chain. key_4dp +0.0
+    // canonicalizes the round(-tiny) → -0.0 render pitfall.
+    "q133_weighted_sample" -> ((s, d) => {
+      val sampled = graft.operators.TrainingData.weightedSample(
+        t(s, d, "documents"), "doc_id", col("n_chars").cast("double"), 100)
+      sampled.select(col("doc_id"), col("n_chars"),
+        (round(col("sample_key"), 4) + lit(0.0)).as("key_4dp"))
+    }),
+
+    // Count-Min point-frequency contract (the q109 pattern for a LINEAR
+    // sketch): estimates are deterministic on ANY partitioning (cell-wise
+    // sums commute), never undercount, and for this dataset land within
+    // the ε=e/width overcount bound for every key. Same skewed key as
+    // q109 so the two sketches answer the same workload from opposite
+    // ends (top-k set vs point lookup).
+    "q131_cms_freq" -> ((s, d) => {
+      import graft.functions.CountMinSketch.{cmsEstimate, cmsSketch}
+      val depth = 4; val width = 2048
+      val keyed = Tables.events(s, d).select(
+        when(col("user_id") % 3 === 0, col("user_id") % 7)
+          .otherwise(col("user_id")).as("k"))
+      val sk = keyed.agg(cmsSketch(col("k"), depth, width).as("sk"))
+      val exact = keyed.groupBy(col("k")).agg(count(lit(1)).as("exact_count"))
+      val total = keyed.agg(count(lit(1)).as("n"))
+      exact.crossJoin(broadcast(sk)).crossJoin(broadcast(total))
+        .withColumn("__est", cmsEstimate(col("sk"), col("k"), depth, width))
+        .select(col("k").as("item"), col("exact_count"),
+          (col("__est") >= col("exact_count")).as("never_under"),
+          (col("__est").cast("double") <=
+            col("exact_count") + lit(math.E / width) * col("n")).as("within_eps"))
+    }),
+
     // Streaming lineage, oracle-checked: the SAME events parquet driven
     // through a bounded file stream → watermarked tumbling-window
     // aggregation → complete-mode foreachBatch overwrite sink, then the
@@ -1848,6 +1970,31 @@ object SparkEntry {
   private def shrXor64(x: String, n: Int): String =
     s"xor($x, ($x) // ${BigInt(1) << n}::HUGEINT)"
 
+  /** CTE chain `$prefix(<carry>, hash)`: signed splitmix64 finalizer of
+    * the unsigned-HUGEINT-valued `$inExpr` (typically an [[fnvSql]]
+    * chain) over `$src` — the BottomKHashes sketch hash. Staged as CTE
+    * steps because mul64 textually repeats its operand (nesting would
+    * blow the SQL up exponentially).
+    */
+  private def mix64Chain(prefix: String, src: String, inExpr: String,
+      carry: Seq[String]): String = {
+    val C1 = BigInt("9E3779B97F4A7C15", 16)
+    val C2 = BigInt("BF58476D1CE4E5B9", 16)
+    val C3 = BigInt("94D049BB133111EB", 16)
+    val steps = Seq(
+      "z1" -> s"(u + $C1::HUGEINT) % $M64",
+      "z2" -> shrXor64("z1", 30), "z3" -> mul64("z2", C2),
+      "z4" -> shrXor64("z3", 27), "z5" -> mul64("z4", C3),
+      "zz" -> shrXor64("z5", 31))
+    val chain = steps.zipWithIndex.map { case ((n, e), i) =>
+      s"$prefix${i + 1} AS (SELECT *, $e AS $n FROM $prefix$i)"
+    }.mkString(",\n")
+    val cs = carry.mkString(", ")
+    s"""${prefix}0 AS (SELECT $cs, ($inExpr)::HUGEINT AS u FROM $src),
+       |$chain,
+       |$prefix AS (SELECT $cs, ${toI64Sql("zz")} AS hash FROM $prefix${steps.size})""".stripMargin
+  }
+
   /** CTE chain `$prefix(<carry>, hs)`: signed xxhash64 (seed 42) of the
     * long-valued `$inExpr` evaluated over `$src`, carrying `carry`
     * columns through. Reusable — distinct prefixes let one oracle apply
@@ -2178,11 +2325,11 @@ object SparkEntry {
         | CASE WHEN octet_length(encode(text)) > 0 THEN 1.0 ELSE 0.0 END AS feat_sum
         |FROM documents""".stripMargin,
 
-    // KMV sketch: bottom-16 SIGNED FNV hashes of the distinct custkey
-    // strings per group — deterministic, so replayable exactly in SQL.
+    // KMV sketch: bottom-16 SIGNED splitmix64(FNV) hashes of the distinct
+    // custkey strings per group — deterministic, so replayable exactly.
     "q68_bottomk_sketch" ->
       s"""WITH h AS (SELECT DISTINCT o_orderstatus, o_custkey::VARCHAR AS custkey FROM orders),
-         |f AS (SELECT o_orderstatus, custkey, ${toI64Sql(fnvSql("custkey"))} AS hash FROM h),
+         |${mix64Chain("f", "h", fnvSql("custkey"), Seq("o_orderstatus", "custkey"))},
          |r AS (SELECT *, row_number() OVER (PARTITION BY o_orderstatus ORDER BY hash) AS rn FROM f)
          |SELECT o_orderstatus, hash, custkey FROM r WHERE rn <= 16""".stripMargin,
 
@@ -2521,6 +2668,144 @@ object SparkEntry {
         |  true AS found, true AS bounds_ok
         |FROM ex JOIN tot USING (event_type)
         |WHERE exact_count * 50 > n""".stripMargin,
+
+    // novelty replay on gram TEXT (engine groups by xxhash64 of the
+    // same strings — equal absent a 64-bit collision, the q111 argument)
+    "q138_ngram_novelty" ->
+      s"""WITH tk AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+         |g AS (SELECT doc_id, unnest(generate_series(0, len(toks) - 8)) AS pos,
+         |    toks FROM tk WHERE len(toks) >= 8),
+         |g2 AS (SELECT DISTINCT doc_id,
+         |    array_to_string(toks[pos + 1 : pos + 8], ' ') AS gram FROM g),
+         |dfq AS (SELECT gram, count(*) AS df FROM g2 GROUP BY gram),
+         |per AS (SELECT doc_id, count(*)::BIGINT AS n_grams,
+         |    sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_shared
+         |  FROM g2 JOIN dfq USING (gram) GROUP BY doc_id)
+         |SELECT tk.doc_id AS id,
+         |  coalesce(n_grams, 0)::BIGINT AS n_grams,
+         |  coalesce(n_shared, 0)::BIGINT AS n_shared,
+         |  CASE WHEN coalesce(n_grams, 0) > 0
+         |    THEN 1.0 - n_shared::DOUBLE / n_grams ELSE 1.0 END AS novelty
+         |FROM tk LEFT JOIN per ON per.doc_id = tk.doc_id""".stripMargin,
+
+    // GK rank-error contract: groups × quantile ordinals with exact n;
+    // flags guaranteed by the sketch's ±n/accuracy rank bound
+    "q137_quantile_sketch" ->
+      """WITH g AS (SELECT event_type, count(value) AS n FROM events
+        |  WHERE value IS NOT NULL GROUP BY event_type)
+        |SELECT event_type, q.qi, n,
+        |  true AS rank_lo_ok, true AS rank_hi_ok
+        |FROM g, (VALUES (0), (1), (2), (3)) AS q(qi)""".stripMargin,
+
+    // linear-model replay: same FNV bucket (2^64 ≡ 0 mod 1024, so the
+    // unsigned HUGEINT mod equals Spark's signed pmod), same weight
+    // formula, DECIMAL-exact sum → identical raw logit
+    "q136_linear_model" -> {
+      val bucketSql = s"(${fnvSql("v")}) % 1024"
+      s"""WITH tk AS (SELECT doc_id, unnest($tokensSql) AS v FROM documents),
+         |bk AS (SELECT doc_id, ($bucketSql)::BIGINT AS bucket FROM tk),
+         |wt AS (SELECT doc_id, bucket,
+         |    (((bucket * 2654435761) % 2001 - 1000)::DOUBLE / 1000.0)
+         |      ::DECIMAL(12,6) AS w
+         |  FROM bk),
+         |agg AS (SELECT doc_id, count(*)::BIGINT AS n_tokens,
+         |    sum(w) AS s FROM wt GROUP BY doc_id)
+         |SELECT doc_id, n_tokens, s::DOUBLE AS logit,
+         |  round(1.0 / (1.0 + exp(-(s::DOUBLE))), 4) AS score_4dp,
+         |  (1.0 / (1.0 + exp(-(s::DOUBLE))) >= 0.5) AS label
+         |FROM agg""".stripMargin
+    },
+
+    // KMV replay: FNV each distinct (lang, token), bottom-256 per lang,
+    // min-k union algebra; estimator doubles are single IEEE ops on
+    // identical inputs, rounded 4dp for display
+    "q135_kmv_overlap" -> {
+      s"""WITH tok AS (SELECT DISTINCT lang AS corpus, unnest($tokensSql) AS v
+         |  FROM documents),
+         |${mix64Chain("fz", "tok", fnvSql("v"), Seq("corpus"))},
+         |hsh AS (SELECT DISTINCT corpus, hash AS h FROM fz),
+         |rk AS (SELECT corpus, h,
+         |    row_number() OVER (PARTITION BY corpus ORDER BY h) AS rn FROM hsh),
+         |sk AS (SELECT corpus, h FROM rk WHERE rn <= 256),
+         |cs AS (SELECT DISTINCT corpus FROM sk),
+         |p AS (SELECT a.corpus AS ca, b.corpus AS cb FROM cs a
+         |  JOIN cs b ON a.corpus < b.corpus),
+         |mem AS (SELECT ca, cb, h,
+         |    max(sk.corpus = ca) AS in_a, max(sk.corpus = cb) AS in_b
+         |  FROM p JOIN sk ON sk.corpus = p.ca OR sk.corpus = p.cb
+         |  GROUP BY ca, cb, h),
+         |u AS (SELECT *, row_number() OVER (PARTITION BY ca, cb ORDER BY h) AS rn
+         |  FROM mem),
+         |t AS (SELECT ca, cb,
+         |    sum(CASE WHEN in_a AND in_b THEN 1 ELSE 0 END)::BIGINT AS n_shared,
+         |    max(h) AS kth, count(*) AS m FROM u WHERE rn <= 256 GROUP BY ca, cb),
+         |est AS (SELECT ca, cb, n_shared,
+         |    n_shared::DOUBLE / m AS jac,
+         |    CASE WHEN m < 256 THEN m::DOUBLE
+         |      ELSE 255.0 / ((kth::DOUBLE + 9.223372036854775808e18)
+         |        / 1.8446744073709552e19) END AS uni
+         |  FROM t)
+         |SELECT ca AS corpus_a, cb AS corpus_b, n_shared,
+         |  round(jac, 4) AS jaccard_4dp,
+         |  round(uni, 4) AS union_4dp,
+         |  round(jac * uni, 4) AS intersect_4dp
+         |FROM est""".stripMargin
+    },
+
+    // rank-wise median/MAD replay — 2-element sums and single IEEE ops
+    // are bit-identical, so raw doubles compare exactly
+    "q134_robust_outliers" ->
+      """WITH v AS (SELECT event_id, event_type AS g, value AS v FROM events
+        |  WHERE value IS NOT NULL),
+        |r AS (SELECT g, event_id, v,
+        |    row_number() OVER (PARTITION BY g ORDER BY v) AS rn,
+        |    count(*) OVER (PARTITION BY g) AS n FROM v),
+        |m AS (SELECT g, sum(v) / count(*) AS med FROM r
+        |  WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2 GROUP BY g),
+        |a AS (SELECT r.g, r.event_id, r.v, abs(r.v - m.med) AS adev, m.med
+        |  FROM r JOIN m USING (g)),
+        |r2 AS (SELECT g, event_id, adev,
+        |    row_number() OVER (PARTITION BY g ORDER BY adev) AS rn,
+        |    count(*) OVER (PARTITION BY g) AS n FROM a),
+        |md AS (SELECT g, sum(adev) / count(*) AS mad FROM r2
+        |  WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2 GROUP BY g)
+        |SELECT a.event_id, a.g AS event_type, a.v AS value, a.med, md.mad,
+        |  (a.adev > 3.5 * md.mad) AS is_outlier
+        |FROM a JOIN md USING (g)""".stripMargin,
+
+    // A-ES replay: identical FNV-1a u, identical ln-key formula; both
+    // engines rank their own raw doubles (the q110 rationale), values
+    // compare at 4dp
+    "q133_weighted_sample" ->
+      s"""WITH h AS (
+         |  SELECT doc_id, n_chars,
+         |    ((${fnvSql("doc_id::VARCHAR")}) // 2048 + 1)::DOUBLE
+         |      / 9007199254740992.0 AS u
+         |  FROM documents WHERE n_chars > 0),
+         |k AS (SELECT doc_id, n_chars, ln(u) / n_chars::DOUBLE AS key FROM h)
+         |SELECT doc_id, n_chars, round(key, 4) + 0.0 AS key_4dp
+         |FROM k ORDER BY key DESC, doc_id LIMIT 100""".stripMargin,
+
+    // exact transitive closure: component = min reachable vertex
+    "q132_connected_components" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT DISTINCT n_chars::BIGINT AS u, n_chars::BIGINT + 1 AS v
+        |  FROM documents),
+        |e AS (SELECT u, v FROM base UNION SELECT v AS u, u AS v FROM base),
+        |verts AS (SELECT u AS x FROM e UNION SELECT v FROM e),
+        |reach(a, b) AS (SELECT x, x FROM verts
+        |  UNION SELECT r.a, e.v FROM reach r JOIN e ON r.b = e.u)
+        |SELECT a AS vertex, min(b) AS component FROM reach GROUP BY a""".stripMargin,
+
+    // CMS contract: never_under holds unconditionally (counters only
+    // overcount); within_eps verified deterministic for this dataset
+    // (the sketch is a linear summary — partitioning-independent)
+    "q131_cms_freq" ->
+      """WITH k AS (SELECT CASE WHEN user_id % 3 = 0 THEN user_id % 7
+        |    ELSE user_id END AS k FROM events)
+        |SELECT k AS item, count(*)::BIGINT AS exact_count,
+        |  true AS never_under, true AS within_eps
+        |FROM k GROUP BY k""".stripMargin,
 
     "q109_heavy_hitters" ->
       """WITH k AS (SELECT CASE WHEN user_id % 3 = 0 THEN user_id % 7

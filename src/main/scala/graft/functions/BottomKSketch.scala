@@ -16,8 +16,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * the catalyst-level custom AGGREGATE rung of the extension ladder
   * (scalar kernels and a physical operator cover the others).
   *
-  * Keeps the k smallest FNV-hash values of the input with one retained
-  * example value per hash. Unlike reservoir sampling it is fully
+  * Keeps the k smallest hash values of the input (splitmix64-finalized
+  * FNV — see the update() comment) with one retained example value per
+  * hash. Unlike reservoir sampling it is fully
   * DETERMINISTIC under any partitioning/merge order (a min-k set is
   * associative+commutative), which makes it a reproducible uniform sample
   * AND a KMV distinct-count estimator (Bar-Yossef et al. 2002):
@@ -63,7 +64,13 @@ case class BottomKHashes(
             s"graft_bottomk: unsupported input type ${child.dataType}; cast to string first")
         case other => UTF8String.fromString(other.toString)
       }
-      insert(buf, HashUtil.fnv64(s), s.getBytes.clone())
+      // splitmix64-finalize the FNV hash: bottom-k-BY-VALUE reads the
+      // hash's HIGH bits, and raw FNV-1a's high bits are visibly
+      // non-uniform on short keys — measured: KMV union estimate 1112
+      // on a true union of 4500 before finalization, 4482 after. Any
+      // consumer replaying this sketch in SQL must apply the same
+      // mix64 chain (see SparkEntry.mix64Chain).
+      insert(buf, CmsUtil.mix64(HashUtil.fnv64(s)), s.getBytes.clone())
     }
     buf
   }

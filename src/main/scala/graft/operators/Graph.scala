@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed graph primitives for the curation pipeline.
+  *
+  * Connected components is the backbone of cluster-level dedup: near-dup
+  * PAIRS (MinHash/SimHash/embedding LSH) become duplicate CLUSTERS only
+  * through a transitive closure, and at 100 TB that closure must run as
+  * a fixed small number of shuffles, not a driver-side union-find.
+  */
+object Graph {
+
+  /** Connected components over an undirected edge list: returns
+    * `(vertex, component)` where `component` is the MINIMUM vertex id in
+    * the vertex's component — a deterministic, partitioning-independent
+    * labeling.
+    *
+    * Algorithm: min-label propagation with POINTER JUMPING — each pass
+    * first takes the min label over the closed neighborhood, then
+    * compresses paths by re-reading the label's own label
+    * (`l(v) ← min(l(v), l(l(v)))`). The compression halves label-chain
+    * depth per pass, so convergence is O(log diameter) passes (two
+    * shuffles each) instead of the O(diameter) of plain propagation —
+    * the difference between 6 and 1000 passes on a pathological
+    * 1000-link chain, while real dedup graphs (star-ish clusters)
+    * converge in 2-3 passes either way. Each pass ends in an EAGER
+    * localCheckpoint: constant plan depth, superseded blocks freed
+    * immediately (the [[Dedup.nearDupRepresentatives]] lineage lesson).
+    *
+    * Convergence is exact — a changed-label filter over the
+    * already-materialized checkpoint — with `maxIterations` as a
+    * defensive cap only. Vertices are the edge endpoints; isolated
+    * vertices (no edges) are the caller's to union in as singletons.
+    */
+  def connectedComponents(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      maxIterations: Int = 50): DataFrame = {
+    val e = edges.select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+    // symmetrize once; referenced every pass — materialize eagerly
+    val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = sym.select(col("u").as("vtx")).distinct()
+      .withColumn("lbl", col("vtx"))
+    var previous: Option[DataFrame] = None
+    var converged = false
+    var pass = 0
+    while (!converged && pass < maxIterations) {
+      // min over the closed neighborhood (left join keeps edgeless sides
+      // of the symmetrized list impossible — every vtx has ≥1 edge)
+      val viaNbr = sym.join(labels.select(col("vtx").as("nv"), col("lbl").as("nl")),
+          col("v") === col("nv"))
+        .select(col("u").as("vtx"), col("nl").as("lbl"))
+      val step = labels.union(viaNbr)
+        .groupBy(col("vtx"))
+        .agg(min(col("lbl")).as("lbl"))
+      // pointer jump: follow the label one hop (left join — a label that
+      // is already a root labels itself)
+      val jumped = step.as("a")
+        .join(step.select(col("vtx").as("jv"), col("lbl").as("jl")).as("b"),
+          col("a.lbl") === col("jv"), "left")
+        .select(col("a.vtx").as("vtx"),
+          least(col("a.lbl"), coalesce(col("jl"), col("a.lbl"))).as("lbl"))
+      // carry the pre-pass label so convergence is a filter, not a re-join
+      val next = jumped.as("n")
+        .join(labels.select(col("vtx").as("pv"), col("lbl").as("__prev")),
+          col("n.vtx") === col("pv"))
+        .select(col("n.vtx").as("vtx"), col("n.lbl").as("lbl"), col("__prev"))
+        .localCheckpoint(true)
+      converged = next.filter(col("lbl") =!= col("__prev")).isEmpty
+      previous.foreach(_.unpersist())
+      previous = Some(next)
+      labels = next.select(col("vtx"), col("lbl"))
+      pass += 1
+    }
+    sym.unpersist()
+    labels.select(col("vtx").as("vertex"), col("lbl").as("component"))
+  }
+
+  /** Component-size histogram: `(component, n_vertices)` — the dedup
+    * cluster-size report (how much of the corpus is duplicated, and how
+    * deep the worst clusters go).
+    */
+  def componentSizes(components: DataFrame): DataFrame =
+    components.groupBy(col("component")).agg(count(lit(1)).as("n_vertices"))
+}

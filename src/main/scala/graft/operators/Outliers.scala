@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Robust per-group outlier detection: median / MAD (median absolute
+  * deviation) flagging — the standard robust alternative to mean/stddev
+  * z-scores, immune to the outliers it is hunting (a single 1e9 reading
+  * shifts a mean arbitrarily but moves a median one rank).
+  *
+  * EXACT medians, computed rank-wise: the middle one-or-two values per
+  * group are selected by `row_number` and averaged. Both operands of
+  * that average are individual input values, so every arithmetic step
+  * (2-element sum, halving, |x − med|, the `k·mad` compare) is a single
+  * correctly-rounded IEEE operation on identical inputs — bit-identical
+  * across engines, which is what lets q134 be oracle-exact on raw
+  * doubles with no display rounding. (Spark's own `percentile` /
+  * DuckDB's `quantile_cont` interpolate with potentially different
+  * expression shapes — the rank-wise form sidesteps that.)
+  *
+  * Scale: two sort-shuffles of (group, value) pairs — narrow columns,
+  * never payloads — plus two broadcast-sized joins of per-group stats.
+  * For a one-pass approximate variant at extreme group cardinality use
+  * `percentile_approx` for both med and mad; the flags then lose the
+  * exactness contract (same trade as [[Profile.profile]]'s
+  * `approxDistinct`).
+  */
+object Outliers {
+
+  /** Tag each row with its group's exact `med`, `mad` and
+    * `is_outlier = |value − med| > k · mad`. Input column must be
+    * numeric; rows compare within their `groupCol` group only.
+    */
+  def robustOutliers(df: DataFrame, groupCol: String, valueCol: String,
+      k: Double = 3.5): DataFrame = {
+    val rows = df.filter(col(valueCol).isNotNull)
+    val med = groupMedian(rows, groupCol, valueCol, "med")
+    val withMed = rows.join(broadcast(med), Seq(groupCol))
+      .withColumn("__adev", abs(col(valueCol).cast("double") - col("med")))
+    val mad = groupMedian(withMed, groupCol, "__adev", "mad")
+    withMed.join(broadcast(mad), Seq(groupCol))
+      .withColumn("is_outlier", col("__adev") > lit(k) * col("mad"))
+      .drop("__adev")
+  }
+
+  /** Exact per-group median of `valueCol` as `out`: the mean of the
+    * middle one-or-two ranked values (a 2-element sum is commutative in
+    * IEEE arithmetic, so this is deterministic on any partitioning).
+    */
+  def groupMedian(df: DataFrame, groupCol: String, valueCol: String,
+      out: String): DataFrame = {
+    val gw = Window.partitionBy(col(groupCol))
+    df.select(col(groupCol), col(valueCol).cast("double").as("__v"))
+      .filter(col("__v").isNotNull)
+      .withColumn("__rn", row_number().over(gw.orderBy(col("__v"))))
+      .withColumn("__n", count(lit(1)).over(gw))
+      .filter(col("__rn") === expr("(__n + 1) div 2") ||
+        col("__rn") === expr("(__n + 2) div 2"))
+      .groupBy(col(groupCol))
+      .agg((sum(col("__v")) / count(lit(1))).as(out))
+  }
+}

@@ -190,4 +190,52 @@ object Similarity {
       .withColumn("cosine", pairCosine(col("va"), col("vb"), col("na"), col("nb")))
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
+
+  /** CORPUS-level similarity via KMV sketch set-algebra (Bar-Yossef et
+    * al. 2002; Beyer et al. SIGMOD'07): one bottom-k sketch per corpus,
+    * then for every corpus pair the k smallest hashes of the sketch
+    * UNION estimate `jaccard`, `|A ∪ B|` and `|A ∩ B|` — "how much does
+    * my new crawl overlap the training set, per language" without ever
+    * joining the corpora.
+    *
+    * Scale contract: the corpora are scanned ONCE (a partial-aggregating
+    * [[graft.functions.BottomKSketch.bottomK]] pass — constant k·entry
+    * memory per corpus, any partitioning); everything downstream
+    * operates on k × #corpora sketch rows. Estimates are fully
+    * deterministic (FNV value hashes, min-k algebra) — q135 replays them
+    * to the bit in SQL. Error: ±O(1/√k) on jaccard; exact when a pair's
+    * union fits inside k (the estimator then degrades to exact
+    * set-algebra, which the spec pins).
+    */
+  def kmvCorpusOverlap(df: DataFrame, corpusCol: String, valueCol: Column,
+      k: Int): DataFrame = {
+    import graft.functions.BottomKSketch.bottomK
+    val sketches = df.groupBy(col(corpusCol).as("corpus"))
+      .agg(bottomK(valueCol, k).as("sk"))
+      .select(col("corpus"), explode(col("sk.hash")).as("h"))
+    val corpora = sketches.select(col("corpus")).distinct()
+    val pairs = corpora.select(col("corpus").as("corpus_a"))
+      .crossJoin(corpora.select(col("corpus").as("corpus_b")))
+      .filter(col("corpus_a") < col("corpus_b"))
+    val members = pairs.join(sketches.withColumnRenamed("corpus", "__c"),
+        col("__c") === col("corpus_a") || col("__c") === col("corpus_b"))
+      .groupBy(col("corpus_a"), col("corpus_b"), col("h"))
+      .agg(max(col("__c") === col("corpus_a")).as("in_a"),
+        max(col("__c") === col("corpus_b")).as("in_b"))
+    val w = Window.partitionBy(col("corpus_a"), col("corpus_b"))
+      .orderBy(col("h"))
+    members.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= k)
+      .groupBy(col("corpus_a"), col("corpus_b"))
+      .agg(sum(when(col("in_a") && col("in_b"), 1L).otherwise(0L)).as("n_shared"),
+        max(col("h")).as("__kth"), count(lit(1)).as("__m"))
+      .withColumn("jaccard_est",
+        col("n_shared").cast("double") / col("__m"))
+      .withColumn("union_est", when(col("__m") < k, col("__m").cast("double"))
+        .otherwise(lit((k - 1).toDouble) /
+          ((col("__kth").cast("double") - lit(Long.MinValue.toDouble))
+            / lit(math.pow(2.0, 64)))))
+      .withColumn("intersect_est", col("jaccard_est") * col("union_est"))
+      .select(col("corpus_a"), col("corpus_b"), col("n_shared"),
+        col("jaccard_est"), col("union_est"), col("intersect_est"))
+  }
 }

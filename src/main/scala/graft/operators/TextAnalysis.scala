@@ -492,4 +492,81 @@ object TextAnalysis {
         size(col("__pre")).as("n_pretokens"),
         size(array_distinct(col("__pre"))).as("n_distinct_pretokens"),
         size(filter(col("__pre"), t => t.rlike("^[0-9]+$"))).as("n_numeric_runs"))
+
+  /** Per-document n-gram NOVELTY: the fraction of a doc's distinct
+    * token n-grams that appear in NO other document — the
+    * memorization-risk / templatedness signal (a doc whose grams all
+    * recur elsewhere is boilerplate or a near-copy; spanDedup removes
+    * the copies, this SCORES them first). Docs shorter than `n` tokens
+    * score 1.0 (vacuously novel).
+    *
+    * Scale shape (the q128 doc-frequency class): one gram explode
+    * carrying only (id, 8-byte hash), a map-side-partial df count, one
+    * hash join back — payload text never shuffles. Gram identity is the
+    * xxhash64 of the joined token slice; distinct-gram semantics match
+    * the text-level oracle absent a 64-bit collision (none at these
+    * corpus sizes — the q111 argument).
+    */
+  def ngramNovelty(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 8): DataFrame = {
+    require(n >= 2, s"n must be >= 2, got $n")
+    val spine = df.select(col(idCol).as("id"), tokens(col(textCol)).as("__toks"))
+    val grams = spine.filter(size(col("__toks")) >= n)
+      .select(col("id"), explode(array_distinct(
+        transform(sequence(lit(1), size(col("__toks")) - (n - 1)),
+          i => array_join(slice(col("__toks"), i, lit(n)), " ")))).as("gram"))
+      .select(col("id"), xxhash64(col("gram")).as("gh"))
+      .distinct()
+    val dfreq = grams.groupBy(col("gh")).agg(count(lit(1)).as("__df"))
+    val per = grams.join(dfreq, "gh")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__df") >= 2, 1L).otherwise(0L)).as("n_shared"))
+    spine.select(col("id"))
+      .join(per, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+      .withColumn("novelty", when(col("n_grams") > 0,
+        lit(1.0) - col("n_shared").cast("double") / col("n_grams"))
+        .otherwise(lit(1.0)))
+  }
+
+  /** Hashed-bag-of-words LINEAR-MODEL scoring — the serving shape of a
+    * fastText-style quality classifier (the FineWeb-edu / CCNet
+    * model-based filtering step): tokens hash into `buckets` feature
+    * slots, a broadcast `(bucket, weight)` table supplies the trained
+    * weights, and the document's score is
+    * `sigmoid(bias + Σ_tokens w[bucket(tok)])` with `label = score ≥ 0.5`.
+    *
+    * Training happens OFFLINE (any logistic-regression fit produces the
+    * weights table); this operator is the corpus-scale pass, and its plan
+    * is the one that must survive 100 TB: explode → hash → BROADCAST
+    * weight join (the model is fixed-size by construction — `buckets`
+    * rows — never a shuffle side) → per-doc partial-aggregating sum.
+    *
+    * FP determinism: weights are cast to DECIMAL(12,6) and summed
+    * EXACTLY (order-independent), so the logit is bit-identical on any
+    * partitioning and in the DuckDB oracle; only the final sigmoid
+    * touches libm (`exp` — 1 ulp cross-engine), absorbed by 4dp display
+    * rounding (q136). `label` cannot flip on that ulp: logits are
+    * multiples of 1e-6, so a logit is either exactly 0 (score exactly
+    * 0.5 both sides) or ≥ 1e-6 away from the decision boundary.
+    */
+  def scoreLinearModel(df: DataFrame, idCol: String, textCol: String,
+      weights: DataFrame, buckets: Int, bias: Double = 0.0): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    val w = broadcast(weights.select(col("bucket"),
+      col("weight").cast("decimal(12,6)").as("__w")))
+    df.select(col(idCol), explode(tokens(col(textCol))).as("__tok"))
+      .withColumn("bucket", pmod(fnv64(col("__tok")), lit(buckets.toLong)))
+      .join(w, Seq("bucket"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        coalesce(sum(col("__w")), lit(0).cast("decimal(12,6)")).as("__sum"))
+      .withColumn("logit", lit(bias) + col("__sum").cast("double"))
+      .withColumn("score", lit(1.0) / (lit(1.0) + exp(-col("logit"))))
+      .withColumn("label", col("score") >= 0.5)
+      .select(col(idCol), col("n_tokens"), col("logit"), col("score"), col("label"))
+  }
 }

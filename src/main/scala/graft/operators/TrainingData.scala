@@ -176,6 +176,38 @@ object TrainingData {
       .drop("__rn")
   }
 
+  /** Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+    * Spirakis 2006, A-ES): each row draws `u ∈ (0, 1]` from its id hash
+    * and competes with key `ln(u) / weight`; the k LARGEST keys win.
+    * Inclusion probability is proportional to weight (exactly the
+    * sequential weighted draw), yet selection is a pure function of
+    * (id, weight) — retry-stable and partitioning-independent, unlike
+    * `rand()`-keyed sampling. This is the quality-weighted corpus
+    * selection step ("sample 10M docs ∝ quality score") of a
+    * pretraining pipeline.
+    *
+    * Plan shape: narrow hash + key projection, then a top-k — Spark
+    * plans the `orderBy(...).limit(k)` as TakeOrderedAndProject
+    * (per-partition heaps + single merge), never a global sort. The
+    * hash is FNV-1a of the id STRING — replayable in the DuckDB oracle
+    * (q133) down to the bit; `u` takes the top 53 hash bits (+1 so
+    * u > 0), the exact-in-double range. Rows with weight <= 0 never
+    * selected. Ties broken by id (keys collide only on id-hash
+    * collision).
+    */
+  def weightedSample(df: DataFrame, idCol: String, weight: Column,
+      k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val u = (shiftrightunsigned(fnv64(col(idCol).cast("string")), 11) + 1)
+      .cast("double") / lit(9007199254740992.0) // 2^53
+    df.withColumn("__w", weight)
+      .filter(col("__w") > 0)
+      .withColumn("sample_key", log(u) / col("__w"))
+      .orderBy(col("sample_key").desc, col(idCol))
+      .limit(k)
+      .drop("__w")
+  }
+
   /** Weighted corpus mixing: each source is deterministically downsampled
     * to its weight, tagged, unioned, and given a deterministic
     * `shuffle_key` — writing sorted by it interleaves sources

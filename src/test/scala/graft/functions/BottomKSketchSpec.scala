@@ -36,7 +36,9 @@ class BottomKSketchSpec extends AnyFunSuite {
     val truth = df.distinct().count().toDouble
     val s = sketchOf(df, "v", 128)
     val est = distinctEstimate(s, 128)
-    assert(math.abs(est - truth) / truth < 0.35, s"est=$est truth=$truth")
+    // pre-splitmix64 finalization the FNV high-bit bias pushed this to
+    // ~30% error; mixed hashes sit well inside the ~1/sqrt(k) ≈ 9% band
+    assert(math.abs(est - truth) / truth < 0.15, s"est=$est truth=$truth")
   }
 
   test("works per group") {

@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class GraphSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def cc(edges: Seq[(Long, Long)], parts: Int = 4): Map[Long, Long] =
+    Graph.connectedComponents(edges.toDF("u", "v").repartition(parts), "u", "v")
+      .as[(Long, Long)].collect().toMap
+
+  test("a 1000-link chain collapses to one component (pointer jumping)") {
+    // plain 1-hop propagation needs 1000 passes; the jump needs ~log2
+    val edges = (0L until 1000L).map(i => (i, i + 1))
+    val labels = cc(edges)
+    assert(labels.size == 1001)
+    assert(labels.values.toSet == Set(0L))
+  }
+
+  test("mixed shapes: star, pair, triangle-with-tail; min-id labels") {
+    val edges = Seq(
+      (100L, 101L), (100L, 102L), (100L, 103L), // star rooted at 100
+      (7L, 9L), // pair
+      (20L, 21L), (21L, 22L), (22L, 20L), (22L, 23L)) // triangle + tail
+    val labels = cc(edges)
+    assert(labels == Map(
+      100L -> 100L, 101L -> 100L, 102L -> 100L, 103L -> 100L,
+      7L -> 7L, 9L -> 7L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L))
+  }
+
+  test("labels are identical on any partitioning; self-loops ignored") {
+    val edges = (0L until 50L).map(i => (i * 3, i * 3 + 1)) ++
+      Seq((5L, 5L)) ++ (0L until 20L).map(i => (i * 7, i * 7 + 2))
+    val a = cc(edges, 1)
+    val b = cc(edges, 17)
+    assert(a == b)
+  }
+
+  test("componentSizes reports the cluster-size histogram") {
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L))
+    val comps = Graph.connectedComponents(edges.toDF("u", "v"), "u", "v")
+    val sizes = Graph.componentSizes(comps)
+      .as[(Long, Long)].collect().toMap
+    assert(sizes == Map(1L -> 3L, 10L -> 2L))
+  }
+}

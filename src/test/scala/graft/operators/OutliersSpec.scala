@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class OutliersSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("groupMedian: odd and even group sizes, exact values") {
+    val df = Seq(
+      ("a", 1.0), ("a", 9.0), ("a", 5.0), // odd: median 5
+      ("b", 2.0), ("b", 4.0), ("b", 10.0), ("b", 20.0)) // even: (4+10)/2
+      .toDF("g", "v")
+    val med = Outliers.groupMedian(df, "g", "v", "med")
+      .as[(String, Double)].collect().toMap
+    assert(med == Map("a" -> 5.0, "b" -> 7.0))
+  }
+
+  test("robustOutliers: a wild spike is flagged, the bulk is not") {
+    val vals = (1 to 99).map(_.toDouble) :+ 1e9
+    val df = vals.map(("g", _)).toDF("g", "v")
+    val out = Outliers.robustOutliers(df, "g", "v", 3.5)
+      .select("v", "is_outlier").as[(Double, Boolean)].collect().toMap
+    assert(out(1e9))
+    assert((40 to 60).forall(i => !out(i.toDouble)))
+  }
+
+  test("robustOutliers: MAD immune to the outlier it hunts (vs stddev)") {
+    // with mean/stddev a single 1e9 inflates sigma so much nothing flags;
+    // median/MAD still flags it and keeps the bulk clean
+    val df = ((1 to 50).map(_.toDouble) :+ 1e9).map(("g", _)).toDF("g", "v")
+    val flagged = Outliers.robustOutliers(df, "g", "v")
+      .filter("is_outlier").select("v").as[Double].collect()
+    assert(flagged.toSeq == Seq(1e9))
+  }
+
+  test("groups are independent and nulls are ignored") {
+    val df = Seq(("a", Some(1.0)), ("a", Some(2.0)), ("a", Some(3.0)),
+      ("a", None), ("b", Some(100.0)), ("b", Some(200.0)), ("b", Some(300.0)))
+      .toDF("g", "v")
+    val out = Outliers.robustOutliers(df, "g", "v")
+      .select("g", "med").distinct().as[(String, Double)].collect().toMap
+    assert(out == Map("a" -> 2.0, "b" -> 200.0))
+  }
+}

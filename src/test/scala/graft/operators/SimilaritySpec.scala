@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.TestSpark
@@ -62,5 +63,32 @@ class SimilaritySpec extends AnyFunSuite {
       .collect().map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("corpus_id"))).toSet
     val recall = (exact intersect banded).size.toDouble / exact.size
     assert(recall >= 0.8, s"banded LSH recall too low: $recall") // measured 0.94
+  }
+
+  test("kmvCorpusOverlap: exact set algebra when unions fit inside k") {
+    // A = {0..99}, B = {50..149}: J = 50/150, |A∪B| = 150, |A∩B| = 50
+    val rows = (0 until 100).map(i => ("A", s"v$i")) ++
+      (50 until 150).map(i => ("B", s"v$i"))
+    val df = rows.toDF("corpus", "v").repartition(7)
+    val r = Similarity.kmvCorpusOverlap(df, "corpus", col("v"), 1000)
+      .collect().head
+    assert(r.getAs[String]("corpus_a") == "A" && r.getAs[String]("corpus_b") == "B")
+    assert(r.getAs[Long]("n_shared") == 50L)
+    assert(r.getAs[Double]("jaccard_est") == 50.0 / 150.0)
+    assert(r.getAs[Double]("union_est") == 150.0)
+    assert(r.getAs[Double]("intersect_est") == 50.0)
+  }
+
+  test("kmvCorpusOverlap: sketch estimates land near truth at k=256") {
+    val rows = (0 until 3000).map(i => ("A", s"v$i")) ++
+      (1500 until 4500).map(i => ("B", s"v$i"))
+    val df = rows.toDF("corpus", "v")
+    val r = Similarity.kmvCorpusOverlap(df, "corpus", col("v"), 256)
+      .collect().head
+    // truth: J = 1500/4500 = 0.333, union 4500; KMV rel-err ~ 1/sqrt(k) ≈ 6%
+    assert(math.abs(r.getAs[Double]("jaccard_est") - 1.0 / 3) < 0.08,
+      s"jaccard ${r.getAs[Double]("jaccard_est")}")
+    assert(math.abs(r.getAs[Double]("union_est") - 4500) < 900,
+      s"union ${r.getAs[Double]("union_est")}")
   }
 }

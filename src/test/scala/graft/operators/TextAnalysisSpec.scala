@@ -247,4 +247,47 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"), plan)
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"), plan)
   }
+
+  test("ngramNovelty: copied spans score low, unique text 1.0, short docs vacuous") {
+    val shared = (1 to 10).map(i => s"tok$i").mkString(" ") // 10 toks → 3 8-grams
+    val docs = Seq(
+      (1L, shared), // all 3 grams also in doc 2
+      (2L, shared + " tail1 tail2"), // 5 grams, first 3 shared
+      (3L, (1 to 12).map(i => s"uniq$i").mkString(" ")), // fully novel
+      (4L, "too short")).toDF("doc_id", "text")
+    val out = TextAnalysis.ngramNovelty(docs, "doc_id", "text", 8)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("n_grams"), r.getAs[Long]("n_shared"),
+          r.getAs[Double]("novelty")))).toMap
+    assert(out(1L) == ((3L, 3L, 0.0)))
+    assert(out(2L) == ((5L, 3L, 1.0 - 3.0 / 5)))
+    assert(out(3L) == ((5L, 0L, 1.0)))
+    assert(out(4L) == ((0L, 0L, 1.0)))
+  }
+
+  test("scoreLinearModel: hand-checked logits, partition-stable, broadcast join") {
+    // one-token vocabulary with a known weight: logit = n_tokens * w
+    val buckets = 64
+    def bucketOf(tok: String): Long = java.lang.Math.floorMod(
+      graft.functions.HashUtil.fnv64(
+        org.apache.spark.unsafe.types.UTF8String.fromString(tok)), buckets.toLong)
+    val (goodB, badB) = (bucketOf("good"), bucketOf("bad"))
+    assume(goodB != badB) // fnv64 separates them at 64 buckets (it does)
+    val weights = (0L until buckets.toLong)
+      .map(b => (b, if (b == goodB) 0.25 else -0.125)).toDF("bucket", "weight")
+    val docs = Seq((1L, "good good good good"), (2L, "bad bad"), (3L, "good bad"))
+      .toDF("doc_id", "text")
+    val scored = TextAnalysis.scoreLinearModel(docs, "doc_id", "text", weights, buckets)
+    val byId = scored.collect().map(r =>
+      r.getAs[Long]("doc_id") -> ((r.getAs[Double]("logit"), r.getAs[Boolean]("label")))).toMap
+    assert(byId(1L)._1 == 1.0 && byId(1L)._2) // 4 × 0.25
+    assert(byId(2L)._1 == -0.25 && !byId(2L)._2) // 2 × -0.125
+    assert(byId(3L)._1 == 0.125 && byId(3L)._2) // 0.25 - 0.125
+    val again = TextAnalysis.scoreLinearModel(
+      docs.repartition(5), "doc_id", "text", weights, buckets)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("logit")).toMap
+    assert(byId.view.mapValues(_._1).toMap == again)
+    val plan = scored.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
 }

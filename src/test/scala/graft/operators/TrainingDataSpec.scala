@@ -188,6 +188,26 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(bloom == exact && exact.nonEmpty)
   }
 
+  test("weightedSample: deterministic, partition-stable, weight-monotone") {
+    val docs = (0L until 5000L).map(i => (i, 1.0 + (i % 100))).toDF("id", "w")
+    val a = TrainingData.weightedSample(docs, "id", col("w"), 200)
+      .select("id").as[Long].collect().toSortedSet
+    val b = TrainingData.weightedSample(docs.repartition(17), "id", col("w"), 200)
+      .select("id").as[Long].collect().toSortedSet
+    assert(a == b && a.size == 200)
+    // heavier rows win far more often than their share of the population:
+    // ids with w >= 91 are 10% of rows; under ∝-weight sampling they carry
+    // ~18% of total weight and should dominate well above 10% of the draw
+    val heavy = a.count(id => id % 100 >= 90)
+    assert(heavy > 200 * 0.13, s"heavy rows underrepresented: $heavy/200")
+    // zero/negative weights never selected
+    val withZero = TrainingData.weightedSample(
+      docs.withColumn("w", when(col("id") < 4999, lit(0.0)).otherwise(col("w"))),
+      "id", col("w"), 10)
+      .select("id").as[Long].collect()
+    assert(withZero.toSeq == Seq(4999L))
+  }
+
   private implicit class ToSortedSet[T: Ordering](a: Array[T]) {
     def toSortedSet: Seq[T] = a.toSeq.sorted
   }
