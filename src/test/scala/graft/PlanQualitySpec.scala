@@ -135,6 +135,13 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("documents.parquet"), "probe plan rescans the corpus")
   }
 
+  test("q133 weighted sample is a top-k, not a global sort") {
+    val p = plan("q133_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"), p.take(600))
+    // a Sort node would mean the limit didn't fuse into per-partition heaps
+    assert(!p.contains("Sort "), "weighted sample fell back to a global sort")
+  }
+
   test("weather transform is one narrow codegen stage (no shuffle, no UDF)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-plan-csv")
     val content = "Time;Temperature;Humidity;Pressure;Speed;Precip. Accum.\n" +
