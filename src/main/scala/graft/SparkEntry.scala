@@ -770,14 +770,22 @@ object SparkEntry {
           round(col("score"), 4).as("score_4dp"), col("label"))
     }),
 
-    // KMV corpus-overlap: per-language token-set jaccard/union/intersect
-    // estimates from bottom-256 sketches — deterministic min-k algebra,
-    // replayed to the bit by the oracle's HUGEINT FNV chain
+    // KMV corpus-overlap: per-language 3-token-SHINGLE-set jaccard/
+    // union/intersect estimates from bottom-256 sketches. Shingles, not
+    // tokens: this corpus has a 31-word global vocabulary (token sets
+    // are identical across languages — a degenerate overlap), while
+    // 3-shingle sets run 3k-9k per language, the real k ≪ |set| sketch
+    // regime. Deterministic min-k algebra, replayed to the bit by the
+    // oracle's HUGEINT FNV+splitmix chain.
     "q135_kmv_overlap" -> ((s, d) => {
-      val toks = t(s, d, "documents")
+      val sh = t(s, d, "documents")
         .select(col("lang"),
-          explode(graft.functions.TextFunctions.tokens(col("text"))).as("tok"))
-      graft.operators.Similarity.kmvCorpusOverlap(toks, "lang", col("tok"), 256)
+          graft.functions.TextFunctions.tokens(col("text")).as("__toks"))
+        .filter(size(col("__toks")) >= 3)
+        .select(col("lang"), explode(
+          transform(sequence(lit(1), size(col("__toks")) - 2),
+            i => array_join(slice(col("__toks"), i, lit(3)), " "))).as("sh"))
+      graft.operators.Similarity.kmvCorpusOverlap(sh, "lang", col("sh"), 256)
         .select(col("corpus_a"), col("corpus_b"), col("n_shared"),
           round(col("jaccard_est"), 4).as("jaccard_4dp"),
           round(col("union_est"), 4).as("union_4dp"),
@@ -2720,8 +2728,11 @@ object SparkEntry {
     // min-k union algebra; estimator doubles are single IEEE ops on
     // identical inputs, rounded 4dp for display
     "q135_kmv_overlap" -> {
-      s"""WITH tok AS (SELECT DISTINCT lang AS corpus, unnest($tokensSql) AS v
-         |  FROM documents),
+      s"""WITH tk AS (SELECT lang AS corpus, $tokensSql AS toks FROM documents),
+         |gp AS (SELECT corpus, unnest(generate_series(1, len(toks) - 2)) AS pos,
+         |    toks FROM tk WHERE len(toks) >= 3),
+         |tok AS (SELECT DISTINCT corpus,
+         |    array_to_string(toks[pos : pos + 2], ' ') AS v FROM gp),
          |${mix64Chain("fz", "tok", fnvSql("v"), Seq("corpus"))},
          |hsh AS (SELECT DISTINCT corpus, hash AS h FROM fz),
          |rk AS (SELECT corpus, h,
