@@ -52,7 +52,13 @@ object Bench {
     // round 6: linear-sketch frequency (CMS) + model-based quality
     // scoring — the two new constant-state / broadcast-model scale paths
     "q131_cms_freq",
-    "q136_linear_model")
+    "q136_linear_model",
+    // round 6b: the Gopher repetition pass (tagged n-gram explode), DSIR
+    // importance weighting (hashed-feature broadcast model), and PQ
+    // index-build + ADC search (the compressed-domain ANN path)
+    "q139_gopher_repetition",
+    "q143_dsir_weights",
+    "q146_pq_adc")
 
   private def runOnce(name: String, spark: SparkSession, sfDir: String): Unit =
     SparkEntry.queries(name)(spark, sfDir)

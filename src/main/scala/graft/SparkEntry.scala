@@ -1552,6 +1552,94 @@ object SparkEntry {
           count(lit(1)).as("n"))
     }),
 
+    // Gopher repetition rules (Rae et al. 2021 A1.1): within-doc
+    // duplicate-line fractions (per-row array ops, no shuffle) + top
+    // 2/3-gram and duplicated-5-gram char coverage (one tagged explode,
+    // map-side count partial agg). All ratios exact integer quotients.
+    "q139_gopher_repetition" -> ((s, d) =>
+      graft.operators.QualityRules.gopherRepetition(
+        t(s, d, "documents"), "doc_id", "text")),
+
+    // Gopher document-quality rules: word/mean-length bounds, symbol
+    // ratio, bullet/ellipsis line fractions, alpha-word fraction,
+    // stopword floor, conjunctive keep — pure per-row, zero shuffles
+    "q140_gopher_quality" -> ((s, d) =>
+      graft.operators.QualityRules.gopherQuality(
+        t(s, d, "documents"), "doc_id", "text")),
+
+    // C4 line-level cleaning: drop lines with <5 words or a blocklisted
+    // term ("slow"/"dup" exist in the corpus vocabulary, so the filter
+    // bites), then drop docs left with <3 lines — pure per-row
+    "q141_c4_line_filter" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"),
+        graft.functions.TextFunctions.tokens(col("text")).as("__toks"))
+      graft.operators.QualityRules.c4LineFilter(docs, "doc_id",
+        graft.operators.QualityRules.syntheticLines(col("__toks"), 10),
+        blocklist = Seq("slow", "dup"), minWordsPerLine = 5, minLines = 3)
+    }),
+
+    // Character + token Shannon entropy per doc (gibberish / templated-
+    // text signal); ordered fold + 4dp (ln ulp — the q118 finding)
+    "q142_entropy" -> ((s, d) =>
+      graft.operators.QualityRules.entropyScores(
+        t(s, d, "documents"), "doc_id", "text")),
+
+    // DSIR importance weights (Xie et al. 2023): hashed-unigram LLR of
+    // the lang='en' target slice vs the whole corpus; FNV bucket replay
+    // is the q136 argument (2048 divides 2^64)
+    "q143_dsir_weights" -> ((s, d) =>
+      graft.operators.QualityRules.dsirWeights(
+        t(s, d, "documents"), "doc_id", "text",
+        isTarget = col("lang") === "en", buckets = 2048, alpha = 0.5)),
+
+    // Ordered conversion funnel view→click→purchase: each step's earliest
+    // completion strictly after the previous step's (µs order, the
+    // q71/q72 time convention)
+    "q147_funnel" -> ((s, d) =>
+      graft.operators.EventAnalytics.funnel(Tables.events(s, d),
+        "user_id", "ts", "event_type", Seq("view", "click", "purchase"))),
+
+    // Retention cohort triangle: cohort = first-ever event day; exact
+    // distinct-user counts per (cohort_day, day_offset)
+    "q148_retention" -> ((s, d) =>
+      graft.operators.EventAnalytics.retentionCohorts(Tables.events(s, d),
+        "user_id", "ts")),
+
+    // First-order event-transition matrix: per-user consecutive pairs in
+    // (µs, event_id) order; P(next|prev) an exact integer quotient
+    "q149_transitions" -> ((s, d) =>
+      graft.operators.EventAnalytics.transitionMatrix(Tables.events(s, d),
+        "user_id", "ts", "event_id", "event_type")),
+
+    // CCNet perplexity bucketing: bigram-LM score (q118) + exact-tercile
+    // head/middle/tail cut points from the aggregated score distribution
+    "q144_ccnet_buckets" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      graft.operators.TextAnalysis.ccnetBuckets(docs, docs, "doc_id", "text")
+    }),
+
+    // Hard-negative mining: per probe, top-10 most-similar CROSS-label
+    // vectors (contrastive-training negatives); probes broadcast, corpus
+    // scanned once
+    "q145_hard_negatives" -> ((s, d) =>
+      Similarity.hardNegatives(
+        t(s, d, "embeddings"),
+        t(s, d, "embeddings").filter(col("vec_id") < 5),
+        "label", k = 10)
+        .withColumn("cosine", round(col("cosine"), 4))),
+
+    // Product quantization + ADC search: 8 subspaces × 16 codes trained
+    // by 3 Lloyd's rounds, corpus encoded to 8 codes/vector (32×
+    // compression), probes scored via the m×k lookup table
+    "q146_pq_adc" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val model = graft.operators.PqIndex.train(emb, dim = 64, m = 8,
+        k = 16, iterations = 3)
+      val codes = graft.operators.PqIndex.encode(emb, model)
+      graft.operators.PqIndex.adcTopK(codes,
+        emb.filter(col("vec_id") < 5), model, k = 10)
+    }),
+
     // Pair-level recall contract for the banded embedding near-dup path
     // (q53's candidate generator): fraction of exact cosine>=0.3 pairs
     // captured must be >= 0.8 (measured 0.885-0.889 at every SF; theory
@@ -2032,6 +2120,91 @@ object SparkEntry {
   /** Back-compat form: `xh(id, hs)` over `vecs.id`. */
   private def xxh64LongCtes: String = xxh64Chain("xh", "vecs", "id", Seq("id"))
 
+  /** q118 replayed from first principles: positional bigrams, add-α LM
+    * counts, per-doc position-ordered logp fold (the engine's fixed FP
+    * order), 4dp for the JVM-vs-libm ln ulp. Shared by q118 and q144.
+    */
+  private def bigramLmOracleSql: String =
+    s"""WITH tk AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+       |bg AS (SELECT doc_id, unnest(generate_series(1, len(toks) - 1)) AS pos, toks
+       |  FROM tk WHERE len(toks) >= 2),
+       |bg2 AS (SELECT doc_id, pos, toks[pos] AS w1, toks[pos + 1] AS w2 FROM bg),
+       |c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg2 GROUP BY 1, 2),
+       |c1 AS (SELECT w1, count(*) AS c1 FROM
+       |  (SELECT unnest(toks) AS w1 FROM tk) GROUP BY 1),
+       |v AS (SELECT count(DISTINCT w)::DOUBLE AS v FROM
+       |  (SELECT unnest(toks) AS w FROM tk)),
+       |sc AS (SELECT b.doc_id, b.pos,
+       |    ln((coalesce(c12.c12, 0)::DOUBLE + 0.4) / (coalesce(c1.c1, 0)::DOUBLE + 0.4 * v.v)) AS logp
+       |  FROM bg2 b LEFT JOIN c12 ON b.w1 = c12.w1 AND b.w2 = c12.w2
+       |  LEFT JOIN c1 ON b.w1 = c1.w1 CROSS JOIN v),
+       |agg AS (SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+       |    list_reduce(list_prepend(0.0, list(logp ORDER BY pos)), (a, b) -> a + b) AS s
+       |  FROM sc GROUP BY doc_id)
+       |SELECT doc_id, n_bigrams, round(-s / n_bigrams::DOUBLE, 4) AS avg_neg_logp
+       |FROM agg""".stripMargin
+
+  /** The PQ pipeline (q146) replayed end-to-end in SQL: subvector slices
+    * tagged by `sub`, the SAME xxhash64-smallest seeds for every
+    * subspace (code = hash-rank), `iterations` unrolled Lloyd's rounds
+    * per subspace (argmin by (squared distance, code) — the engine's
+    * array_min-over-struct tie-break; per-dim AVG centroid update;
+    * empty cells keep old centroids), final per-(id,sub) code
+    * assignment, probe distance tables, and the ADC sum folded in
+    * `ORDER BY sub` (the engine's fixed subspace fold order). Same
+    * FP-safety stance as [[ivfTopKOracleSql]]: centroid means differ by
+    * summation-order ulp; assignments/ranks flip only on near-exact
+    * ties, never observed.
+    */
+  private def pqAdcOracleSql(k: Int, m: Int, dsub: Int, kCodes: Int,
+      iterations: Int, maxProbeId: Long): String = {
+    def sqd(a: String, b: String): String =
+      s"list_sum(list_transform(generate_series(1,$dsub), i -> (($a)[i] - ($b)[i])^2))"
+    def assign(name: String, cprev: String): String =
+      s"""$name AS (SELECT id, sub, sv, code FROM (
+         |  SELECT va.id, va.sub, va.sv, c.code,
+         |    row_number() OVER (PARTITION BY va.id, va.sub
+         |      ORDER BY ${sqd("va.sv", "c.cv")}, c.code) AS rn
+         |  FROM subs va JOIN $cprev c ON c.sub = va.sub) WHERE rn = 1)""".stripMargin
+    def update(name: String, aprev: String, cprev: String): String =
+      s"""$name AS (SELECT c.sub, c.code, coalesce(m.cv, c.cv) AS cv
+         |  FROM $cprev c LEFT JOIN (
+         |  SELECT sub, code, list(mx ORDER BY d) AS cv FROM (
+         |    SELECT sub, code, i.d, avg(sv[i.d]) AS mx FROM $aprev
+         |    CROSS JOIN (SELECT unnest(generate_series(1,$dsub)) AS d) i
+         |    GROUP BY sub, code, i.d) GROUP BY sub, code) m
+         |  ON m.sub = c.sub AND m.code = c.code)""".stripMargin
+    val lloyd = (1 to iterations).flatMap { i =>
+      Seq(assign(s"a$i", s"c${i - 1}"), update(s"c$i", s"a$i", s"c${i - 1}"))
+    }.mkString(",\n")
+    s"""WITH vecs AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+       |subs AS (SELECT id, sub, v[sub * $dsub + 1 : sub * $dsub + $dsub] AS sv
+       |  FROM vecs CROSS JOIN (SELECT unnest(generate_series(0, ${m - 1})) AS sub)),
+       |$xxh64LongCtes,
+       |init AS (SELECT xh.id, row_number() OVER (ORDER BY hs) - 1 AS code
+       |         FROM xh ORDER BY hs LIMIT $kCodes),
+       |c0 AS (SELECT s.sub, init.code, s.sv AS cv
+       |       FROM init JOIN subs s ON s.id = init.id),
+       |$lloyd,
+       |${assign("afin", s"c$iterations")},
+       |codes AS (SELECT id, sub, code FROM afin),
+       |pdt AS (SELECT va.id AS probe_id, c.sub, c.code,
+       |    ${sqd("va.sv", "c.cv")} AS d
+       |  FROM subs va JOIN c$iterations c ON c.sub = va.sub
+       |  WHERE va.id < $maxProbeId),
+       |adc AS (SELECT p.probe_id, kk.id AS corpus_id,
+       |    list_reduce(list_prepend(0.0, list(p.d ORDER BY p.sub)),
+       |      (a, b) -> a + b) AS adc
+       |  FROM codes kk JOIN pdt p ON p.sub = kk.sub AND p.code = kk.code
+       |    AND kk.id <> p.probe_id
+       |  GROUP BY 1, 2)
+       |SELECT probe_id, corpus_id, adc_dist, rank FROM (
+       |  SELECT probe_id, corpus_id, round(adc, 4) AS adc_dist,
+       |    row_number() OVER (PARTITION BY probe_id
+       |      ORDER BY adc, corpus_id) AS rank
+       |  FROM adc) WHERE rank <= $k""".stripMargin
+  }
+
   /** q52 replayed END-TO-END in SQL: the full IVF pipeline — init centroids
     * = the `kCells` vectors with smallest SIGNED xxhash64(vec_id) (replayed
     * in HUGEINT arithmetic above), `iterations` Lloyd's rounds (argmin by
@@ -2411,25 +2584,25 @@ object SparkEntry {
     // bigram-LM replay: same counts, same smoothing arithmetic, same
     // position-ordered left fold (list_reduce over list(... ORDER BY pos)
     // == Spark's aggregate over the pos-sorted collected array)
-    "q118_lm_quality" ->
-      s"""WITH tk AS (SELECT doc_id, $tokensSql AS toks FROM documents),
-         |bg AS (SELECT doc_id, unnest(generate_series(1, len(toks) - 1)) AS pos, toks
-         |  FROM tk WHERE len(toks) >= 2),
-         |bg2 AS (SELECT doc_id, pos, toks[pos] AS w1, toks[pos + 1] AS w2 FROM bg),
-         |c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg2 GROUP BY 1, 2),
-         |c1 AS (SELECT w1, count(*) AS c1 FROM
-         |  (SELECT unnest(toks) AS w1 FROM tk) GROUP BY 1),
-         |v AS (SELECT count(DISTINCT w)::DOUBLE AS v FROM
-         |  (SELECT unnest(toks) AS w FROM tk)),
-         |sc AS (SELECT b.doc_id, b.pos,
-         |    ln((coalesce(c12.c12, 0)::DOUBLE + 0.4) / (coalesce(c1.c1, 0)::DOUBLE + 0.4 * v.v)) AS logp
-         |  FROM bg2 b LEFT JOIN c12 ON b.w1 = c12.w1 AND b.w2 = c12.w2
-         |  LEFT JOIN c1 ON b.w1 = c1.w1 CROSS JOIN v),
-         |agg AS (SELECT doc_id, count(*)::BIGINT AS n_bigrams,
-         |    list_reduce(list_prepend(0.0, list(logp ORDER BY pos)), (a, b) -> a + b) AS s
-         |  FROM sc GROUP BY doc_id)
-         |SELECT doc_id, n_bigrams, round(-s / n_bigrams::DOUBLE, 4) AS avg_neg_logp
-         |FROM agg""".stripMargin,
+    "q118_lm_quality" -> bigramLmOracleSql,
+
+    // CCNet bucketing: the q118 replay wrapped in exact-tercile cut
+    // points computed on the (score, count) distribution — the same
+    // boundary-compare semantics as the engine (boundary-equal scores
+    // land in the earlier bucket)
+    "q144_ccnet_buckets" ->
+      s"""WITH sc AS ($bigramLmOracleSql),
+         |dist AS (SELECT avg_neg_logp AS s, count(*) AS c FROM sc GROUP BY 1),
+         |cum AS (SELECT s, sum(c) OVER (ORDER BY s) AS cum FROM dist),
+         |tot AS (SELECT count(*)::BIGINT AS n FROM sc),
+         |b AS (SELECT min(CASE WHEN cum * 3 >= n THEN s END) AS t1,
+         |    min(CASE WHEN cum * 3 >= 2 * n THEN s END) AS t2
+         |  FROM cum CROSS JOIN tot)
+         |SELECT sc.doc_id, sc.n_bigrams, sc.avg_neg_logp,
+         |  CASE WHEN avg_neg_logp <= t1 THEN 'head'
+         |       WHEN avg_neg_logp <= t2 THEN 'middle'
+         |       ELSE 'tail' END AS bucket
+         |FROM sc CROSS JOIN b""".stripMargin,
 
     // exact-k reservoir replay: the same signed-xxhash64 rank inside
     // each language, k smallest kept
@@ -3402,6 +3575,245 @@ object SparkEntry {
         | count(*) AS n,
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
         |FROM orders GROUP BY 1""".stripMargin,
+
+    // Funnel replay: same strict-after chain over epoch_us, same exact
+    // integer-quotient conversions and µs-sum mean hours
+    "q147_funnel" ->
+      """WITH e AS (SELECT user_id AS u, event_type AS t, epoch_us(ts) AS us
+        |  FROM events),
+        |s1 AS (SELECT u, min(us) AS t1 FROM e WHERE t = 'view' GROUP BY u),
+        |s2 AS (SELECT e.u, s1.t1, min(us) AS t2 FROM e JOIN s1 ON e.u = s1.u
+        |  WHERE t = 'click' AND us > t1 GROUP BY e.u, s1.t1),
+        |s3 AS (SELECT e.u, s2.t2, min(us) AS t3 FROM e JOIN s2 ON e.u = s2.u
+        |  WHERE t = 'purchase' AND us > t2 GROUP BY e.u, s2.t2),
+        |r AS (
+        |  SELECT 1 AS step, 'view' AS event_type, count(*) AS users,
+        |    NULL::BIGINT AS sus FROM s1
+        |  UNION ALL SELECT 2, 'click', count(*),
+        |    CAST(sum(t2 - t1) AS BIGINT) FROM s2
+        |  UNION ALL SELECT 3, 'purchase', count(*),
+        |    CAST(sum(t3 - t2) AS BIGINT) FROM s3),
+        |f AS (SELECT users AS fu FROM r WHERE step = 1)
+        |SELECT step, event_type, users::BIGINT AS users,
+        |  CASE WHEN fu > 0 THEN users::DOUBLE / fu ELSE 0.0 END
+        |    AS conv_from_first,
+        |  CASE WHEN users > 0 AND sus IS NOT NULL
+        |    THEN sus::DOUBLE / users / 3600000000.0 END AS avg_hours_from_prev
+        |FROM r CROSS JOIN f""".stripMargin,
+
+    // Retention replay: day-truncated cohorts, exact distinct counts
+    "q148_retention" ->
+      """WITH e AS (SELECT user_id AS u, ts::DATE AS d FROM events),
+        |c AS (SELECT u, min(d) AS cohort_day FROM e GROUP BY u)
+        |SELECT cohort_day, date_diff('day', cohort_day, d)::INT AS day_offset,
+        |  count(DISTINCT e.u)::BIGINT AS active_users
+        |FROM e JOIN c ON e.u = c.u GROUP BY 1, 2""".stripMargin,
+
+    // Transition replay: identical (us, event_id) lag order
+    "q149_transitions" ->
+      """WITH e AS (SELECT user_id AS u, epoch_us(ts) AS us, event_id AS id,
+        |    event_type AS t FROM events),
+        |p AS (SELECT u, t, lag(t) OVER (PARTITION BY u ORDER BY us, id)
+        |    AS prev FROM e),
+        |c AS (SELECT prev, t AS next, count(*) AS cnt FROM p
+        |  WHERE prev IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT prev, sum(cnt) AS tot FROM c GROUP BY 1)
+        |SELECT c.prev, c.next, c.cnt::BIGINT AS cnt,
+        |  c.cnt::DOUBLE / tot AS p_next
+        |FROM c JOIN tot USING (prev)""".stripMargin,
+
+    // Hard negatives: the q32 brute-force shape plus the cross-label
+    // join predicate; norm>0 mirrors withNorm's zero-norm filter
+    "q145_hard_negatives" ->
+      """SELECT probe_id, p_label, corpus_id, c_label, cosine, rank FROM (
+        |  SELECT p.vec_id AS probe_id, p.label AS p_label,
+        |    c.vec_id AS corpus_id, c.label AS c_label,
+        |    round(list_cosine_similarity(c.embedding::DOUBLE[],
+        |      p.embedding::DOUBLE[]), 4) AS cosine,
+        |    row_number() OVER (PARTITION BY p.vec_id ORDER BY
+        |      list_cosine_similarity(c.embedding::DOUBLE[],
+        |        p.embedding::DOUBLE[]) DESC, c.vec_id) AS rank
+        |  FROM embeddings c JOIN embeddings p
+        |    ON c.vec_id <> p.vec_id AND c.label <> p.label
+        |  WHERE p.vec_id < 5
+        |    AND list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]) > 0
+        |    AND list_dot_product(p.embedding::DOUBLE[], p.embedding::DOUBLE[]) > 0)
+        |WHERE rank <= 10""".stripMargin,
+
+    "q146_pq_adc" -> pqAdcOracleSql(k = 10, m = 8, dsub = 8, kCodes = 16,
+      iterations = 3, maxProbeId = 5),
+
+    // Gopher repetition replay: same 10-token line synthesis as q107,
+    // same (n, gram) tagging; top gram by (cnt DESC, gram ASC); all
+    // ratios integer quotients → bit-exact, no rounding
+    "q139_gopher_repetition" ->
+      s"""WITH tk AS (SELECT doc_id, length(text) AS tlen, $tokensSql AS toks
+         |  FROM documents),
+         |ld AS (SELECT doc_id, tlen, toks,
+         |    CASE WHEN len(toks) > 0 THEN
+         |      list_transform(generate_series(0, (len(toks) - 1) // 10),
+         |        i -> array_to_string(toks[i * 10 + 1 : i * 10 + 10], ' '))
+         |    ELSE [] END AS lines FROM tk),
+         |base AS (SELECT doc_id, tlen, toks, len(lines) AS n_lines,
+         |    CASE WHEN len(lines) > 0 THEN
+         |      1.0 - len(list_distinct(lines))::DOUBLE / len(lines)
+         |    ELSE 0.0 END AS dup_line_frac,
+         |    list_reduce(list_prepend(0::BIGINT,
+         |      list_transform(lines, l -> length(l)::BIGINT)), (a, b) -> a + b)
+         |      AS lsum,
+         |    list_reduce(list_prepend(0::BIGINT,
+         |      list_transform(list_distinct(lines), l -> length(l)::BIGINT)),
+         |      (a, b) -> a + b) AS dsum
+         |  FROM ld),
+         |g AS (SELECT doc_id, n, toks,
+         |    unnest(generate_series(1, len(toks) - n + 1)) AS i
+         |  FROM tk CROSS JOIN (VALUES (2), (3), (5)) AS nn(n)
+         |  WHERE len(toks) >= n),
+         |cnts AS (SELECT doc_id, n,
+         |    array_to_string(toks[i : i + n - 1], ' ') AS gram, count(*) AS cnt
+         |  FROM g GROUP BY 1, 2, 3),
+         |top AS (SELECT doc_id, n, cnt * length(gram) AS top_chars,
+         |    row_number() OVER (PARTITION BY doc_id, n
+         |      ORDER BY cnt DESC, gram ASC) AS rn FROM cnts),
+         |d5 AS (SELECT doc_id,
+         |    sum(CASE WHEN cnt > 1 THEN cnt * length(gram) ELSE 0 END) AS d5c
+         |  FROM cnts WHERE n = 5 GROUP BY doc_id)
+         |SELECT b.doc_id, b.n_lines::INT AS n_lines, b.dup_line_frac,
+         |  CASE WHEN b.lsum > 0 THEN (b.lsum - b.dsum)::DOUBLE / b.lsum
+         |    ELSE 0.0 END AS dup_line_char_frac,
+         |  CASE WHEN b.tlen > 0
+         |    THEN coalesce(t2.top_chars, 0)::DOUBLE / b.tlen
+         |    ELSE 0.0 END AS top2_char_frac,
+         |  CASE WHEN b.tlen > 0
+         |    THEN coalesce(t3.top_chars, 0)::DOUBLE / b.tlen
+         |    ELSE 0.0 END AS top3_char_frac,
+         |  CASE WHEN b.tlen > 0
+         |    THEN coalesce(d5.d5c, 0)::DOUBLE / b.tlen
+         |    ELSE 0.0 END AS dup5_char_frac
+         |FROM base b
+         |LEFT JOIN top t2 ON t2.doc_id = b.doc_id AND t2.n = 2 AND t2.rn = 1
+         |LEFT JOIN top t3 ON t3.doc_id = b.doc_id AND t3.n = 3 AND t3.rn = 1
+         |LEFT JOIN d5 ON d5.doc_id = b.doc_id""".stripMargin,
+
+    // Gopher quality replay: every metric an integer quotient; the
+    // '...'-count divides exactly by 3 so the double division is exact
+    "q140_gopher_quality" ->
+      s"""WITH tk AS (SELECT doc_id, text, $tokensSql AS toks FROM documents),
+         |ld AS (SELECT doc_id, text, toks,
+         |    CASE WHEN len(toks) > 0 THEN
+         |      list_transform(generate_series(0, (len(toks) - 1) // 10),
+         |        i -> array_to_string(toks[i * 10 + 1 : i * 10 + 10], ' '))
+         |    ELSE [] END AS lines FROM tk),
+         |m AS (SELECT doc_id, len(toks) AS nw, len(lines) AS nl,
+         |    list_reduce(list_prepend(0::BIGINT,
+         |      list_transform(toks, t -> length(t)::BIGINT)), (a, b) -> a + b)
+         |      AS wlen,
+         |    (length(text) - length(replace(text, '#', ''))) AS hashes,
+         |    (length(text) - length(replace(text, '...', ''))) // 3 AS ells,
+         |    len(list_filter(lines, l -> l LIKE '-%' OR l LIKE '*%'
+         |      OR l LIKE '•%')) AS bullets,
+         |    len(list_filter(lines, l -> l LIKE '%...')) AS elllines,
+         |    len(list_filter(toks, t -> regexp_matches(t, '[a-zA-Z]')))
+         |      AS alphas,
+         |    len(list_filter(toks, t -> list_contains(
+         |      ['the','a','an','and','or','of','to','in','is','it'], t)))
+         |      AS sw
+         |  FROM ld),
+         |r AS (SELECT doc_id, nw::BIGINT AS n_words,
+         |    CASE WHEN nw > 0 THEN wlen::DOUBLE / nw ELSE 0.0 END
+         |      AS mean_word_len,
+         |    CASE WHEN nw > 0 THEN (hashes + ells)::DOUBLE / nw ELSE 0.0 END
+         |      AS symbol_to_word,
+         |    CASE WHEN nl > 0 THEN bullets::DOUBLE / nl ELSE 0.0 END
+         |      AS bullet_line_frac,
+         |    CASE WHEN nl > 0 THEN elllines::DOUBLE / nl ELSE 0.0 END
+         |      AS ellipsis_line_frac,
+         |    CASE WHEN nw > 0 THEN alphas::DOUBLE / nw ELSE 0.0 END
+         |      AS alpha_word_frac,
+         |    sw::BIGINT AS stopword_hits
+         |  FROM m)
+         |SELECT doc_id, n_words, mean_word_len, symbol_to_word,
+         |  bullet_line_frac, ellipsis_line_frac, alpha_word_frac,
+         |  stopword_hits,
+         |  (n_words >= 50 AND n_words <= 100000
+         |    AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+         |    AND symbol_to_word < 0.1 AND bullet_line_frac < 0.9
+         |    AND ellipsis_line_frac < 0.3 AND alpha_word_frac > 0.8
+         |    AND stopword_hits >= 2) AS keep
+         |FROM r""".stripMargin,
+
+    // C4 line filter replay: same line synthesis, same word-count and
+    // substring-blocklist predicates, docs with >=3 surviving lines
+    "q141_c4_line_filter" ->
+      s"""WITH tk AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+         |ld AS (SELECT doc_id,
+         |    CASE WHEN len(toks) > 0 THEN
+         |      list_transform(generate_series(0, (len(toks) - 1) // 10),
+         |        i -> array_to_string(toks[i * 10 + 1 : i * 10 + 10], ' '))
+         |    ELSE [] END AS lines FROM tk),
+         |k AS (SELECT doc_id, list_filter(lines,
+         |      l -> len(string_split(l, ' ')) >= 5
+         |        AND NOT (contains(l, 'slow') OR contains(l, 'dup')))
+         |    AS kept FROM ld)
+         |SELECT doc_id, len(kept)::BIGINT AS n_lines_kept,
+         |  array_to_string(kept, chr(10)) AS text_clean
+         |FROM k WHERE len(kept) >= 3""".stripMargin,
+
+    // Entropy replay: identical per-unit ln terms folded in unit-sorted
+    // order (list(... ORDER BY u) mirrors the engine's array_sort fold);
+    // 4dp absorbs the JVM-vs-libm ln ulp
+    "q142_entropy" ->
+      s"""WITH tk AS (SELECT doc_id, lower(text) AS lo, $tokensSql AS toks
+         |  FROM documents),
+         |ch AS (SELECT doc_id, unnest(regexp_extract_all(lo, '.')) AS u
+         |  FROM tk),
+         |cc AS (SELECT doc_id, u, count(*) AS cnt FROM ch GROUP BY 1, 2),
+         |ce AS (SELECT doc_id, sum(cnt)::BIGINT AS n,
+         |    list_reduce(list_prepend(0.0,
+         |      list(cnt::DOUBLE * ln(cnt) ORDER BY u)), (a, b) -> a + b) AS s
+         |  FROM cc GROUP BY doc_id),
+         |tb AS (SELECT doc_id, unnest(toks) AS u FROM tk),
+         |tc AS (SELECT doc_id, u, count(*) AS cnt FROM tb GROUP BY 1, 2),
+         |te AS (SELECT doc_id, sum(cnt)::BIGINT AS n,
+         |    list_reduce(list_prepend(0.0,
+         |      list(cnt::DOUBLE * ln(cnt) ORDER BY u)), (a, b) -> a + b) AS s
+         |  FROM tc GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  coalesce(ce.n, 0)::BIGINT AS n_chars_counted,
+         |  coalesce(round(ln(ce.n) - ce.s / ce.n, 4), 0.0) AS char_entropy,
+         |  coalesce(te.n, 0)::BIGINT AS n_tokens,
+         |  coalesce(round(ln(te.n) - te.s / te.n, 4), 0.0) AS token_entropy
+         |FROM documents d
+         |LEFT JOIN ce ON ce.doc_id = d.doc_id
+         |LEFT JOIN te ON te.doc_id = d.doc_id""".stripMargin,
+
+    // DSIR replay: q136's FNV bucket argument (2048 divides 2^64 so the
+    // unsigned HUGEINT mod equals Spark's signed pmod); identical LLR
+    // formula; bucket-ordered fold; 4dp for the ln ulp
+    "q143_dsir_weights" -> {
+      val bucketSql = s"(${fnvSql("v")}) % 2048"
+      s"""WITH tk AS (SELECT doc_id, lang = 'en' AS tgt, unnest($tokensSql) AS v
+         |  FROM documents),
+         |bk AS (SELECT doc_id, tgt, ($bucketSql)::BIGINT AS bucket FROM tk),
+         |model AS (SELECT bucket, count(*) AS raw_cnt,
+         |    sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS tgt_cnt
+         |  FROM bk GROUP BY bucket),
+         |tot AS (SELECT sum(raw_cnt)::BIGINT AS r, sum(tgt_cnt)::BIGINT AS t
+         |  FROM model),
+         |sm AS (SELECT bucket,
+         |    ln((tgt_cnt + 0.5) / (t + 1024.0))
+         |      - ln((raw_cnt + 0.5) / (r + 1024.0)) AS lnl
+         |  FROM model CROSS JOIN tot),
+         |db AS (SELECT doc_id, bucket, count(*) AS cnt FROM bk
+         |  GROUP BY 1, 2),
+         |agg AS (SELECT doc_id, sum(cnt)::BIGINT AS n_tokens,
+         |    list_reduce(list_prepend(0.0,
+         |      list(cnt::DOUBLE * lnl ORDER BY bucket)), (a, b) -> a + b) AS s
+         |  FROM db JOIN sm USING (bucket) GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(a.n_tokens, 0)::BIGINT AS n_tokens,
+         |  coalesce(round(a.s, 4), 0.0) AS dsir_weight
+         |FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id""".stripMargin
+    },
 
     "q51_tpch_q5" ->
       """SELECT n_name,

@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product-analytics operators over event logs: conversion funnels,
+  * retention cohorts, and event-transition matrices — the standard OLAP
+  * event-analysis family (the reference's pipeline processes observation
+  * logs; these are the corresponding analytical queries, re-expressed as
+  * Spark plans).
+  *
+  * Time semantics: Spark timestamps are MICROsecond precision, so every
+  * ordering / strict-inequality here is stated over (epoch-µs, event_id)
+  * — a total order the DuckDB oracle replays with epoch_us(ts) even
+  * though its own timestamps keep nanoseconds (the q71/q72 convention).
+  *
+  * Scale shapes: each operator shuffles on the user key once (the
+  * per-step funnel joins re-use the same hash partitioning — AQE-visible
+  * exchange reuse), then reduces to tiny aggregate frames. No windows
+  * over unbounded partitions except per-user event ordering (bounded by
+  * a user's own activity).
+  */
+object EventAnalytics {
+
+  /** Ordered conversion funnel: for each user, the earliest time of
+    * step 1, then the earliest step-2 event STRICTLY after it, and so on
+    * (the classic "did A, then B, then C" chain — each step must follow
+    * the previous completion, not merely exist).
+    *
+    * Returns one row per step: users reached, conversion from step 1
+    * (exact integer quotient), and mean hours from the previous step
+    * (exact µs-integer sums divided once — deterministic cross-engine).
+    */
+  def funnel(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val us = unix_micros(col(tsCol))
+    val base = events.select(col(userCol).as("u"), col(typeCol).as("t"), us.as("us"))
+
+    // chain of per-user step-completion times: t1 = min us of step 1;
+    // tk = min us of step k with us > t(k-1)
+    var reached: DataFrame = base.filter(col("t") === steps.head)
+      .groupBy(col("u")).agg(min(col("us")).as("t1"))
+    val stepFrames = Seq.newBuilder[DataFrame]
+    stepFrames += reached
+    steps.zipWithIndex.drop(1).foreach { case (step, i) =>
+      val prev = s"t$i"; val cur = s"t${i + 1}"
+      reached = base.filter(col("t") === step)
+        .join(reached, Seq("u"))
+        .filter(col("us") > col(prev))
+        .groupBy(col("u"), col(prev)).agg(min(col("us")).as(cur))
+      stepFrames += reached
+    }
+
+    val rows = stepFrames.result().zipWithIndex.map { case (df, i) =>
+      val cur = s"t${i + 1}"
+      val agg = df.agg(
+        count(lit(1)).as("users"),
+        (if (i == 0) min(lit(null).cast("long"))
+         else sum(col(cur) - col(s"t$i"))).as("__sum_us"))
+      agg.select(lit(i + 1).as("step"), lit(steps(i)).as("event_type"),
+        col("users"), col("__sum_us"))
+    }.reduce(_ unionAll _)
+
+    val first = rows.filter(col("step") === 1)
+      .select(col("users").as("__first_users"))
+    rows.crossJoin(broadcast(first))
+      .select(col("step"), col("event_type"), col("users"),
+        when(col("__first_users") > 0,
+          col("users").cast("double") / col("__first_users"))
+          .otherwise(lit(0.0)).as("conv_from_first"),
+        when(col("users") > 0 && col("__sum_us").isNotNull,
+          col("__sum_us").cast("double") / col("users") / lit(3600000000.0))
+          .as("avg_hours_from_prev"))
+  }
+
+  /** Retention cohorts: cohort = a user's first-ever event day; one row
+    * per (cohort_day, day_offset) with the distinct active users — the
+    * classic triangle. Exact integer counts only.
+    */
+  def retentionCohorts(events: DataFrame, userCol: String,
+      tsCol: String): DataFrame = {
+    val base = events.select(col(userCol).as("u"), to_date(col(tsCol)).as("d"))
+    val cohorts = base.groupBy(col("u")).agg(min(col("d")).as("cohort_day"))
+    base.join(cohorts, Seq("u"))
+      .groupBy(col("cohort_day"),
+        datediff(col("d"), col("cohort_day")).as("day_offset"))
+      .agg(count_distinct(col("u")).as("active_users"))
+  }
+
+  /** First-order event-transition matrix: per user, consecutive event
+    * pairs in (µs, event_id) order; counts and the conditional
+    * probability P(next | prev) as an exact integer quotient.
+    */
+  def transitionMatrix(events: DataFrame, userCol: String, tsCol: String,
+      idCol: String, typeCol: String): DataFrame = {
+    val w = Window.partitionBy(col("u"))
+      .orderBy(col("us"), col("id"))
+    val pairs = events
+      .select(col(userCol).as("u"), unix_micros(col(tsCol)).as("us"),
+        col(idCol).as("id"), col(typeCol).as("t"))
+      .withColumn("prev", lag(col("t"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("prev"), col("t").as("next"))
+      .agg(count(lit(1)).as("cnt"))
+    val totals = pairs.groupBy(col("prev")).agg(sum(col("cnt")).as("__tot"))
+    pairs.join(broadcast(totals), Seq("prev"))
+      .select(col("prev"), col("next"), col("cnt"),
+        (col("cnt").cast("double") / col("__tot")).as("p_next"))
+  }
+}

@@ -1,0 +1,155 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions.{squaredL2Distance, toDouble}
+
+/** Product quantization for embedding compression + ADC search (Jégou,
+  * Douze, Schmid 2011, "Product Quantization for Nearest Neighbor
+  * Search"). The vector space is split into `m` contiguous subspaces of
+  * `dsub` dims; each subspace gets its own k-means codebook; a vector is
+  * stored as `m` small codes. At 100 TB this is THE memory story: a
+  * 64-dim float vector (256 B) compresses to m=8 codes (8 B — 32× less),
+  * and query scoring becomes `m` table lookups per candidate instead of
+  * a `dim`-wide float scan (asymmetric distance computation, ADC).
+  *
+  * Reference scope: the reference repo has no vector search at all; this
+  * extends the brief's similarity-search requirement (ANN baseline =
+  * [[Similarity.bruteForceTopK]]; IVF = [[IvfIndex]]; PQ is the
+  * compressed-domain scale path, composable with IVF into IVFADC).
+  *
+  * Determinism contract (mirrors [[IvfIndex]], q52/q122): seeds are the
+  * `k` vectors with smallest xxhash64(vec_id) — the SAME seed rows for
+  * every subspace; Lloyd's argmin breaks ties toward the smaller code
+  * via array_min over struct(d, code); per-(sub,code,dim) means use AVG
+  * (engine-vs-oracle summation-order ulp accepted — assignment flips
+  * need near-exact distance ties, never observed, gaps O(0.01)); the
+  * per-candidate ADC sum folds subspaces in index order (fixed FP order,
+  * SQL-replayable via list_reduce over `ORDER BY sub`).
+  */
+object PqIndex {
+
+  /** codebooks(sub)(code) = centroid of that subspace cell. */
+  final case class Model(m: Int, dsub: Int,
+      codebooks: Array[Array[Array[Double]]]) {
+    def k: Int = codebooks(0).length
+  }
+
+  /** Nested literal: cb[sub][code] = centroid array. */
+  private def codebookCol(model: Model): Column =
+    array(model.codebooks.map(sub =>
+      array(sub.map(typedlit(_)): _*)): _*)
+
+  /** Argmin code for a subvector within its subspace codebook (ties to
+    * the smaller code — array_min over struct(d, code), the IvfIndex
+    * convention).
+    */
+  private def nearestCode(sv: Column, sub: Column, cb: Column): Column =
+    array_min(transform(element_at(cb, sub + 1),
+      (c, i) => struct(squaredL2Distance(sv, c).as("d"), i.as("code"))))
+      .getField("code")
+
+  /** (vec_id, sub, sv) — every vector exploded into its m subvectors. */
+  private def subvectors(corpus: DataFrame, m: Int, dsub: Int): DataFrame =
+    corpus.select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .select(col("vec_id"), posexplode(
+        transform(sequence(lit(0), lit(m - 1)),
+          s => slice(col("v"), s * dsub + 1, lit(dsub)))).as(Seq("sub", "sv")))
+
+  /** Train per-subspace k-means codebooks. One explode + one shuffle per
+    * Lloyd's iteration for ALL subspaces together (the subspace is a
+    * grouping column, not a separate job); per-iteration reduction lands
+    * as m·k·dsub tiny rows on the driver.
+    */
+  def train(corpus: DataFrame, dim: Int, m: Int = 8, k: Int = 16,
+      iterations: Int = 3): Model = {
+    require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
+    val dsub = dim / m
+    val subs = subvectors(corpus, m, dsub)
+    subs.persist()
+
+    // deterministic init: the k smallest-hashed vectors seed EVERY
+    // subspace (code = rank in hash order)
+    val seedRows = subs
+      .join(broadcast(corpus.select(col("vec_id"))
+        .withColumn("__h", xxhash64(col("vec_id")))
+        .orderBy("__h").limit(k)
+        .withColumn("__code",
+          (row_number().over(Window.orderBy("__h")) - 1).cast("int"))),
+        Seq("vec_id"))
+      .select(col("sub"), col("__code"), col("sv"))
+      .collect()
+    var codebooks: Array[Array[Array[Double]]] =
+      Array.tabulate(m) { s =>
+        val bySub = seedRows.filter(_.getInt(0) == s)
+        Array.tabulate(k) { c =>
+          bySub.find(_.getInt(1) == c).get.getSeq[Double](2).toArray
+        }
+      }
+
+    (0 until iterations).foreach { _ =>
+      val cb = codebookCol(Model(m, dsub, codebooks))
+      val meanRows = subs
+        .withColumn("code", nearestCode(col("sv"), col("sub"), cb))
+        .select(col("sub"), col("code"), posexplode(col("sv")).as(Seq("dim", "x")))
+        .groupBy("sub", "code", "dim").agg(avg("x").as("mean"))
+        .collect()
+      val grouped = meanRows.groupBy(r => (r.getInt(0), r.getInt(1)))
+        .map { case (key, rows) =>
+          key -> rows.map(r => (r.getInt(2), r.getDouble(3))).sortBy(_._1).map(_._2)
+        }
+      codebooks = Array.tabulate(m)(s => Array.tabulate(k)(c =>
+        grouped.getOrElse((s, c), codebooks(s)(c))))
+    }
+    subs.unpersist()
+    Model(m, dsub, codebooks)
+  }
+
+  /** Encode the corpus: (vec_id, codes[m]) — a PURE per-row map (the
+    * codebook is a plan literal), zero shuffles; this is the 32×
+    * compression pass.
+    */
+  def encode(corpus: DataFrame, model: Model): DataFrame = {
+    val cb = codebookCol(model)
+    corpus.select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .select(col("vec_id"),
+        transform(sequence(lit(0), lit(model.m - 1)),
+          s => nearestCode(slice(col("v"), s * model.dsub + 1, lit(model.dsub)),
+            s, cb)).as("codes"))
+  }
+
+  /** ADC top-k: per probe, build the m×k lookup table of subspace
+    * distances ONCE (a tiny probes×codebook frame, broadcast), then score
+    * every encoded candidate with m array lookups folded in subspace
+    * order — the corpus is scanned once as codes (8 B/vec), never as
+    * floats, and never shuffled; per-probe top-k is a bounded window.
+    * Self-matches are excluded (probes drawn from the corpus).
+    */
+  def adcTopK(codes: DataFrame, probes: DataFrame, model: Model,
+      k: Int): DataFrame = {
+    val cb = codebookCol(model)
+    // dt[sub][code] per probe, assembled per-row from the plan-literal
+    // codebook — no extra job, one small broadcast frame
+    val dtab = probes
+      .select(col("vec_id").as("probe_id"), toDouble(col("embedding")).as("pv"))
+      .select(col("probe_id"),
+        transform(sequence(lit(0), lit(model.m - 1)),
+          s => transform(element_at(cb, s + 1),
+            c => squaredL2Distance(
+              slice(col("pv"), s * model.dsub + 1, lit(model.dsub)), c)))
+          .as("dt"))
+    codes.join(broadcast(dtab), col("vec_id") =!= col("probe_id"))
+      .withColumn("adc", aggregate(sequence(lit(0), lit(model.m - 1)),
+        lit(0.0), (acc, s) => acc +
+          element_at(element_at(col("dt"), s + 1),
+            element_at(col("codes"), s + 1) + 1)))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("probe_id"))
+          .orderBy(col("adc"), col("vec_id"))))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("vec_id").as("corpus_id"),
+        round(col("adc"), 4).as("adc_dist"), col("rank"))
+  }
+}

@@ -1,0 +1,292 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions.tokens
+
+/** Document-level quality filters from the published pretraining-data
+  * curation recipes: the Gopher rules (Rae et al. 2021, "Scaling Language
+  * Models: ... Gopher", Appendix A1.1), the C4 line filters (Raffel et
+  * al. 2020, §2.2) and DSIR hashed-n-gram importance weights (Xie et al.
+  * 2023, "Data Selection for Language Models via Importance Resampling").
+  *
+  * Reference scope: dongmofr2000/projet-meteo-etl has no text-curation
+  * stage at all (quality_audit.py:1-80 audits numeric ranges only); these
+  * operators are the training-data-pipeline extension the brief asks for.
+  *
+  * Scale notes (the design constraint for every entry point here):
+  *   - [[gopherQuality]] and [[c4LineFilter]] are PURE per-row column
+  *     programs — a narrow map over the corpus scan, zero shuffles, so
+  *     they run at I/O speed on any number of executors.
+  *   - [[gopherRepetition]], [[entropyScores]] and [[dsirWeights]] need
+  *     within-doc or corpus-level frequencies; each uses ONE explode
+  *     whose shuffle rows are (id, small-string/bucket) with map-side
+  *     partial aggregation — document payloads never shuffle.
+  */
+object QualityRules {
+
+  /** Sum of element lengths of a string-array column (0 for empty). */
+  private def sumLen(arr: Column): Column =
+    aggregate(arr, lit(0L), (acc, x) => acc + length(x))
+
+  /** The q107 line synthesis: lines as `lineLen`-token chunks (the corpus
+    * is one unbroken line per doc). Shared by the repetition and C4
+    * entries so engine and oracle agree on what a "line" is.
+    */
+  def syntheticLines(toks: Column, lineLen: Int): Column =
+    when(size(toks) > 0,
+      // integer chunk count: Column./ is double division, so floor+cast
+      transform(sequence(lit(0),
+          floor((size(toks) - 1) / lit(lineLen.toDouble)).cast("int")),
+        i => array_join(slice(toks, i * lineLen + 1, lit(lineLen)), " ")))
+      .otherwise(array())
+
+  /** Gopher repetition rules (Rae et al. 2021 A1.1 "repetitious" filters),
+    * per document:
+    *   - `dup_line_frac`      — 1 − distinct lines / lines
+    *   - `dup_line_char_frac` — chars in line occurrences beyond the
+    *                            first / total line chars
+    *   - `top2_char_frac`, `top3_char_frac` — chars covered by the most
+    *     frequent word {2,3}-gram (count × gram chars / text chars);
+    *     ties broken toward the lexicographically smallest gram
+    *   - `dup5_char_frac`     — chars covered by word 5-grams occurring
+    *     more than once (overlap-uncorrected, as in the paper's cheap
+    *     form): Σ_{count>1} count × gram chars / text chars
+    *
+    * Shape: line metrics are per-row (array ops on the staged token
+    * array — no shuffle). Gram metrics use ONE explode producing
+    * (id, n, gram) for n ∈ {2,3,5} with map-side count partial-agg; the
+    * per-(id,n) reduction is min_by / conditional-sum; the final join
+    * back to the slim per-row frame carries only ids + counters (text
+    * is dropped before the join, so no payload shuffles).
+    *
+    * All output ratios are quotients of exact integers — one correctly
+    * rounded IEEE op on identical inputs — so results are bit-identical
+    * cross-engine with no display rounding.
+    */
+  def gopherRepetition(df: DataFrame, idCol: String, textCol: String,
+      lineLen: Int = 10): DataFrame = {
+    val staged = df.select(col(idCol), length(col(textCol)).as("__tlen"),
+      tokens(col(textCol)).as("__toks"))
+    val lined = staged.select(col(idCol), col("__tlen"), col("__toks"),
+      syntheticLines(col("__toks"), lineLen).as("__lines"))
+    val base = lined.select(
+      col(idCol), col("__tlen"), col("__toks"),
+      size(col("__lines")).as("n_lines"),
+      when(size(col("__lines")) > 0,
+        lit(1.0) - size(array_distinct(col("__lines"))).cast("double") /
+          size(col("__lines"))).otherwise(lit(0.0)).as("dup_line_frac"),
+      when(sumLen(col("__lines")) > 0,
+        (sumLen(col("__lines")) - sumLen(array_distinct(col("__lines"))))
+          .cast("double") / sumLen(col("__lines")))
+        .otherwise(lit(0.0)).as("dup_line_char_frac"))
+
+    def gramStructs(n: Int): Column =
+      when(size(col("__toks")) >= n,
+        transform(sequence(lit(1), size(col("__toks")) - (n - 1)),
+          i => struct(lit(n).as("n"),
+            array_join(slice(col("__toks"), i, lit(n)), " ").as("gram"))))
+        .otherwise(array().cast("array<struct<n:int,gram:string>>"))
+
+    val grams = base.select(col(idCol),
+      explode(concat(gramStructs(2), gramStructs(3), gramStructs(5))).as("g"))
+      .select(col(idCol), col("g.n").as("n"), col("g.gram").as("gram"))
+      .groupBy(col(idCol), col("n"), col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+    val perN = grams.groupBy(col(idCol), col("n"))
+      .agg(
+        min_by(struct(col("cnt"), length(col("gram")).as("glen")),
+          struct((-col("cnt")).as("negc"), col("gram"))).as("top"),
+        coalesce(sum(when(col("cnt") > 1, col("cnt") * length(col("gram")))),
+          lit(0L)).as("dup_chars"))
+    val perDoc = perN.groupBy(col(idCol))
+      .agg(
+        max(when(col("n") === 2, col("top.cnt") * col("top.glen"))).as("__t2"),
+        max(when(col("n") === 3, col("top.cnt") * col("top.glen"))).as("__t3"),
+        max(when(col("n") === 5, col("dup_chars"))).as("__d5"))
+
+    base.drop("__toks")
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol), col("n_lines"), col("dup_line_frac"),
+        col("dup_line_char_frac"),
+        when(col("__tlen") > 0,
+          coalesce(col("__t2"), lit(0L)).cast("double") / col("__tlen"))
+          .otherwise(lit(0.0)).as("top2_char_frac"),
+        when(col("__tlen") > 0,
+          coalesce(col("__t3"), lit(0L)).cast("double") / col("__tlen"))
+          .otherwise(lit(0.0)).as("top3_char_frac"),
+        when(col("__tlen") > 0,
+          coalesce(col("__d5"), lit(0L)).cast("double") / col("__tlen"))
+          .otherwise(lit(0.0)).as("dup5_char_frac"))
+  }
+
+  /** Gopher document-quality rules (Rae et al. 2021 A1.1), per document:
+    * word-count bounds, mean-word-length bounds, symbol-to-word ratio
+    * ('#' and '…'-as-'...' counts), bullet-/ellipsis-line fractions,
+    * alphabetic-word fraction, stopword-hit floor — and the conjunctive
+    * `keep` verdict. A pure per-row column program: zero shuffles, runs
+    * at scan speed at any scale. All ratios are exact integer quotients.
+    */
+  def gopherQuality(df: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 50, maxWords: Int = 100000,
+      lineLen: Int = 10): DataFrame = {
+    val staged = df.select(col(idCol), col(textCol).as("__t"),
+      tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), col("__t"), col("__toks"),
+        syntheticLines(col("__toks"), lineLen).as("__lines"))
+    val nW = size(col("__toks"))
+    val hashCnt = length(col("__t")) - length(regexp_replace(col("__t"), "#", ""))
+    val ellCnt = (length(col("__t")) -
+      length(regexp_replace(col("__t"), "\\.\\.\\.", ""))) / 3
+    val bulletLines = size(filter(col("__lines"),
+      l => l.startsWith("-") || l.startsWith("*") || l.startsWith("•")))
+    val ellLines = size(filter(col("__lines"), l => l.endsWith("...")))
+    val alphaWords = size(filter(col("__toks"), t => t.rlike("[a-zA-Z]")))
+    val swHits = size(filter(col("__toks"),
+      t => array_contains(array(graft.functions.TextFunctions.DefaultStopwords
+        .map(lit): _*), t)))
+    val meanLen = when(nW > 0, sumLen(col("__toks")).cast("double") / nW)
+      .otherwise(lit(0.0))
+    val symRatio = when(nW > 0, (hashCnt + ellCnt).cast("double") / nW)
+      .otherwise(lit(0.0))
+    val bulletFrac = when(size(col("__lines")) > 0,
+      bulletLines.cast("double") / size(col("__lines"))).otherwise(lit(0.0))
+    val ellFrac = when(size(col("__lines")) > 0,
+      ellLines.cast("double") / size(col("__lines"))).otherwise(lit(0.0))
+    val alphaFrac = when(nW > 0, alphaWords.cast("double") / nW)
+      .otherwise(lit(0.0))
+    staged.select(col(idCol),
+      nW.cast("long").as("n_words"),
+      meanLen.as("mean_word_len"),
+      symRatio.as("symbol_to_word"),
+      bulletFrac.as("bullet_line_frac"),
+      ellFrac.as("ellipsis_line_frac"),
+      alphaFrac.as("alpha_word_frac"),
+      swHits.cast("long").as("stopword_hits"),
+      (nW >= minWords && nW <= maxWords &&
+        meanLen >= 3.0 && meanLen <= 10.0 &&
+        symRatio < 0.1 && bulletFrac < 0.9 && ellFrac < 0.3 &&
+        alphaFrac > 0.8 && swHits >= 2).as("keep"))
+  }
+
+  /** C4 line-level cleaning (Raffel et al. 2020 §2.2): drop lines with
+    * fewer than `minWordsPerLine` words or containing a blocklisted
+    * term; drop documents left with fewer than `minLines` lines. Returns
+    * (id, n_lines_kept, text_clean) for surviving docs, lines re-joined
+    * with '\n'. Pure per-row (filter over the staged lines array — the
+    * blocklist is a literal array in the plan): zero shuffles.
+    */
+  def c4LineFilter(docs: DataFrame, idCol: String, linesCol: Column,
+      blocklist: Seq[String], minWordsPerLine: Int = 5,
+      minLines: Int = 3): DataFrame = {
+    val bl = array(blocklist.map(lit): _*)
+    val kept = filter(linesCol,
+      l => size(split(l, " ")) >= minWordsPerLine &&
+        !exists(bl, b => l.contains(b)))
+    docs.select(col(idCol), kept.as("__kept"))
+      .filter(size(col("__kept")) >= minLines)
+      .select(col(idCol), size(col("__kept")).cast("long").as("n_lines_kept"),
+        array_join(col("__kept"), "\n").as("text_clean"))
+  }
+
+  /** Shannon entropy of the character and token distributions of each
+    * document — the cheap gibberish/low-diversity signal (low char
+    * entropy ⇒ repeated characters; low token entropy ⇒ templated text).
+    *
+    * H = ln(n) − (Σ c·ln c)/n over per-unit counts c. The Σ c·ln c fold
+    * runs over counts SORTED BY UNIT VALUE (collect_list → array_sort →
+    * left fold), so the floating-point summation order is deterministic
+    * and replayable by the SQL oracle's ordered list_reduce; the final
+    * value is rounded to 4 decimals because JVM Math.log and libm ln
+    * differ by 1 ulp on ~1% of inputs (the q118 finding — NOTES.md).
+    *
+    * Shape: two explodes (chars, tokens), each shuffling (id, unit) with
+    * map-side count partial-agg; per-doc distinct-unit sets are small
+    * (alphabet / vocabulary), so the collect_list is bounded.
+    */
+  def entropyScores(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    def entropyOf(units: DataFrame, unit: String, nName: String,
+        hName: String): DataFrame =
+      units.groupBy(col(idCol), col(unit))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col(idCol))
+        .agg(sum(col("cnt")).as(nName),
+          aggregate(
+            transform(array_sort(collect_list(struct(col(unit), col("cnt")))),
+              x => x.getField("cnt").cast("double") * log(x.getField("cnt"))),
+            lit(0.0), (acc, x) => acc + x).as("__s"))
+        .select(col(idCol), col(nName),
+          round(log(col(nName)) - col("__s") / col(nName), 4).as(hName))
+
+    val staged = df.select(col(idCol), lower(col(textCol)).as("__lo"),
+      tokens(col(textCol)).as("__toks"))
+    val chars = staged
+      .select(col(idCol),
+        explode(graft.functions.TextFunctions.charNgrams(col("__lo"), 1))
+          .as("ch"))
+    val toks = staged.select(col(idCol), explode(col("__toks")).as("tk"))
+    df.select(col(idCol))
+      .join(entropyOf(chars, "ch", "n_chars_counted", "char_entropy"),
+        Seq(idCol), "left")
+      .join(entropyOf(toks, "tk", "n_tokens", "token_entropy"),
+        Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_chars_counted"), lit(0L)).as("n_chars_counted"),
+        coalesce(col("char_entropy"), lit(0.0)).as("char_entropy"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("token_entropy"), lit(0.0)).as("token_entropy"))
+  }
+
+  /** DSIR importance weights (Xie et al. 2023): score each document by
+    * how much its hashed-unigram distribution looks like a TARGET slice
+    * of the corpus versus the corpus overall —
+    * w(doc) = Σ_tokens ln λ(bucket), with per-bucket log-likelihood ratio
+    * ln λ_b = ln((tgt_b+α)/(T+αB)) − ln((raw_b+α)/(R+αB)) under add-α
+    * smoothing. High weight ⇒ resample toward the target distribution.
+    *
+    * Shape: one token explode → FNV bucket (the q136 hashing, replayable
+    * in SQL since B divides 2^64) → per-(id,bucket) counts with map-side
+    * partial agg; the B-row model is built from the SAME exploded frame
+    * and broadcast back; the per-doc Σ cnt·lnλ folds in bucket order
+    * (deterministic FP, oracle-replayable) and rounds to 4 decimals (ln
+    * ulp — NOTES.md). Document payloads never shuffle; the model join is
+    * a broadcast.
+    */
+  def dsirWeights(df: DataFrame, idCol: String, textCol: String,
+      isTarget: Column, buckets: Int = 2048, alpha: Double = 0.5): DataFrame = {
+    require((buckets & (buckets - 1)) == 0,
+      "buckets must be a power of two (oracle replays the unsigned mod)")
+    val toks = df.select(col(idCol), isTarget.as("__tgt"),
+      explode(tokens(col(textCol))).as("tk"))
+      .select(col(idCol), col("__tgt"),
+        pmod(graft.functions.HashFunctions.fnv64(col("tk")), lit(buckets.toLong))
+          .as("bucket"))
+    val model = toks.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("raw_cnt"),
+        sum(when(col("__tgt"), 1L).otherwise(0L)).as("tgt_cnt"))
+    val totals = model.agg(sum(col("raw_cnt")).as("__r"),
+      sum(col("tgt_cnt")).as("__t"))
+    val scoredModel = model.crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        (log((col("tgt_cnt") + lit(alpha)) /
+            (col("__t") + lit(alpha * buckets))) -
+          log((col("raw_cnt") + lit(alpha)) /
+            (col("__r") + lit(alpha * buckets)))).as("lnl"))
+    val docBuckets = toks.groupBy(col(idCol), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val perDoc = docBuckets.join(broadcast(scoredModel), Seq("bucket"))
+      .groupBy(col(idCol))
+      .agg(sum(col("cnt")).as("n_tokens"),
+        aggregate(
+          transform(array_sort(collect_list(struct(col("bucket"),
+            (col("cnt").cast("double") * col("lnl")).as("term")))),
+            x => x.getField("term")),
+          lit(0.0), (acc, x) => acc + x).as("__s"))
+    df.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(round(col("__s"), 4), lit(0.0)).as("dsir_weight"))
+  }
+}

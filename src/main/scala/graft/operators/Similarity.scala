@@ -59,6 +59,37 @@ object Similarity {
       .select(col("probe_id"), col("corpus_id"), col("cosine"), col("rank"))
   }
 
+  /** Hard-negative mining for contrastive training (the in-batch-negative
+    * upgrade): for each probe, the top-k most-similar corpus vectors with
+    * a DIFFERENT label — maximally confusable cross-class examples. Same
+    * scale shape as [[bruteForceTopK]] (probes broadcast, corpus scanned
+    * once, per-probe bounded window), plus the label-mismatch predicate
+    * in the join condition so same-class rows never materialize.
+    */
+  def hardNegatives(corpus: DataFrame, probes: DataFrame, labelCol: String,
+      k: Int): DataFrame = {
+    def withNormAndLabel(df: DataFrame, idOut: String, labelOut: String,
+        vecOut: String, normOut: String): DataFrame =
+      df.select(col("vec_id").as(idOut), col(labelCol).as(labelOut),
+        toDouble(col("embedding")).as(vecOut))
+        .withColumn(normOut, l2Norm(col(vecOut)))
+        .filter(col(normOut) > 0)
+    val c = withNormAndLabel(corpus, "corpus_id", "c_label", "c_vec", "c_nrm")
+    val p = withNormAndLabel(probes, "probe_id", "p_label", "p_vec", "p_nrm")
+    val scored = c.join(broadcast(p),
+        col("corpus_id") =!= col("probe_id") &&
+          col("c_label") =!= col("p_label"))
+      .withColumn("cosine",
+        pairCosine(col("c_vec"), col("p_vec"), col("c_nrm"), col("p_nrm")))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cosine").desc, col("corpus_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("p_label"), col("corpus_id"),
+        col("c_label"), col("cosine"), col("rank"))
+  }
+
   /** All pairs (a < b) with cosine ≥ threshold — the set-shaped exact
     * output used by the DuckDB oracle (no top-k order sensitivity).
     * O(n²) — keep for oracle/test scale; LSH is the scale path.

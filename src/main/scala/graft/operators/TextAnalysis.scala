@@ -408,6 +408,41 @@ object TextAnalysis {
         round(-col("__sum") / col("n_bigrams").cast("double"), 4).as("avg_neg_logp"))
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020): score every
+    * document with the bigram-LM average negative log-prob
+    * ([[bigramLmScores]]), then label head/middle/tail by EXACT terciles
+    * of the 4dp score.
+    *
+    * Scale shape: boundaries are exact order statistics computed on the
+    * AGGREGATED (score, count) distribution — the 4dp rounding bounds
+    * the distinct-score domain (a few hundred thousand values at any
+    * corpus size), so the cumulative window runs over a tiny frame, and
+    * the corpus itself is never globally sorted. Docs bucket by
+    * comparing against the two broadcast cut points. Tie semantics:
+    * every doc with a boundary-equal score lands in the earlier bucket
+    * (deterministic, oracle-replayable).
+    */
+  def ccnetBuckets(reference: DataFrame, docs: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val scored = bigramLmScores(reference, docs, idCol, textCol)
+    val dist = scored.groupBy(col("avg_neg_logp")).agg(count(lit(1)).as("__c"))
+    val cum = dist.withColumn("__cum",
+      sum(col("__c")).over(Window.orderBy(col("avg_neg_logp"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val total = dist.agg(sum(col("__c")).as("__n"))
+    val bounds = cum.crossJoin(broadcast(total))
+      .agg(
+        min(when(col("__cum") * 3 >= col("__n"), col("avg_neg_logp")))
+          .as("__t1"),
+        min(when(col("__cum") * 3 >= col("__n") * 2, col("avg_neg_logp")))
+          .as("__t2"))
+    scored.crossJoin(broadcast(bounds))
+      .select(col(idCol), col("n_bigrams"), col("avg_neg_logp"),
+        when(col("avg_neg_logp") <= col("__t1"), lit("head"))
+          .when(col("avg_neg_logp") <= col("__t2"), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+  }
+
   /** Per-document TF-IDF top terms — the classic keyword-extraction /
     * sparse-feature op: tf = in-doc count, idf = ln(N / df), top `k`
     * terms per doc by tf·idf. Shapes: one token explode → (doc, term)

@@ -1,0 +1,86 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class EventAnalyticsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(h: Int, m: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2024-01-0${1 + h / 24}%s ${h % 24}%02d:$m%02d:00")
+
+  // (user, event_id, hour, type)
+  private def ev(rows: (Long, Long, Int, String)*) =
+    rows.map { case (u, id, h, t) => (u, id, ts(h), t) }
+      .toDF("user_id", "event_id", "ts", "event_type")
+
+  test("funnel: strict ordering required — B before A does not convert") {
+    val df = ev(
+      (1L, 1L, 0, "A"), (1L, 2L, 1, "B"),   // converts
+      (2L, 3L, 5, "B"), (2L, 4L, 6, "A"),   // B precedes A: no conversion
+      (3L, 5L, 2, "A"))                     // A only
+    val out = EventAnalytics.funnel(df, "user_id", "ts", "event_type",
+      Seq("A", "B")).orderBy("step").collect()
+    assert(out(0).getAs[Long]("users") == 3)
+    assert(out(1).getAs[Long]("users") == 1)
+    assert(out(1).getAs[Double]("conv_from_first") == 1.0 / 3)
+    assert(out(1).getAs[Double]("avg_hours_from_prev") == 1.0)
+  }
+
+  test("funnel: each step anchors on the PREVIOUS completion, not any order") {
+    // A@0, C@1, B@2, C@3: the C counted must be the one after B (hour 3)
+    val df = ev((1L, 1L, 0, "A"), (1L, 2L, 1, "C"), (1L, 3L, 2, "B"),
+      (1L, 4L, 3, "C"))
+    val out = EventAnalytics.funnel(df, "user_id", "ts", "event_type",
+      Seq("A", "B", "C")).orderBy("step").collect()
+    assert(out.map(_.getAs[Long]("users")).toSeq == Seq(1L, 1L, 1L))
+    assert(out(2).getAs[Double]("avg_hours_from_prev") == 1.0)
+  }
+
+  test("funnel: empty later steps keep rows with zero users") {
+    val df = ev((1L, 1L, 0, "A"))
+    val out = EventAnalytics.funnel(df, "user_id", "ts", "event_type",
+      Seq("A", "B")).orderBy("step").collect()
+    assert(out.length == 2)
+    assert(out(1).getAs[Long]("users") == 0)
+    assert(out(1).getAs[Double]("conv_from_first") == 0.0)
+  }
+
+  test("retentionCohorts: triangle counts by first-day cohort") {
+    val df = ev(
+      (1L, 1L, 0, "x"), (1L, 2L, 25, "x"),   // day0 + day1
+      (2L, 3L, 1, "x"),                      // day0 only
+      (3L, 4L, 26, "x"))                     // cohort day1
+    val out = EventAnalytics.retentionCohorts(df, "user_id", "ts")
+      .collect().map(r => (r.getDate(0).toString, r.getInt(1),
+        r.getAs[Long]("active_users"))).toSet
+    assert(out == Set(
+      ("2024-01-01", 0, 2L), ("2024-01-01", 1, 1L), ("2024-01-02", 0, 1L)))
+  }
+
+  test("transitionMatrix: counts and exact conditional probabilities") {
+    val df = ev(
+      (1L, 1L, 0, "A"), (1L, 2L, 1, "B"), (1L, 3L, 2, "A"), (1L, 4L, 3, "C"),
+      (2L, 5L, 0, "A"), (2L, 6L, 1, "B"))
+    val out = EventAnalytics.transitionMatrix(df, "user_id", "ts",
+      "event_id", "event_type")
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getAs[Long]("cnt"), r.getAs[Double]("p_next")))).toMap
+    assert(out.keySet == Set(("A", "B"), ("B", "A"), ("A", "C")))
+    assert(out(("A", "B")) == (2L, 2.0 / 3))
+    assert(out(("A", "C")) == (1L, 1.0 / 3))
+    assert(out(("B", "A")) == (1L, 1.0))
+  }
+
+  test("transitionMatrix: same-timestamp events break ties by event_id") {
+    val df = ev((1L, 2L, 0, "B"), (1L, 1L, 0, "A"), (1L, 3L, 0, "C"))
+    val out = EventAnalytics.transitionMatrix(df, "user_id", "ts",
+      "event_id", "event_type")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(out == Set(("A", "B"), ("B", "C")))
+  }
+}

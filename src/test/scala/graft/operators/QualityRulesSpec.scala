@@ -1,0 +1,207 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class QualityRulesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // --- gopherRepetition -------------------------------------------------
+
+  test("gopherRepetition: fully repeated doc maxes every signal") {
+    // 20 identical tokens → 2 identical 10-token lines; every gram repeats
+    val txt = Seq.fill(20)("spam").mkString(" ")
+    val df = Seq((1L, txt)).toDF("id", "text")
+    val r = QualityRules.gopherRepetition(df, "id", "text").collect()(0)
+    assert(r.getAs[Int]("n_lines") == 2)
+    assert(r.getAs[Double]("dup_line_frac") == 0.5)    // 1 distinct of 2
+    assert(r.getAs[Double]("dup_line_char_frac") == 0.5)
+    // top 2-gram "spam spam" occurs 19x, 9 chars each, text 99 chars
+    assert(r.getAs[Double]("top2_char_frac") == 19.0 * 9 / 99)
+    assert(r.getAs[Double]("dup5_char_frac") == 16.0 * 24 / 99)
+  }
+
+  test("gopherRepetition: all-distinct doc scores zero everywhere") {
+    val txt = (1 to 30).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, txt)).toDF("id", "text")
+    val r = QualityRules.gopherRepetition(df, "id", "text").collect()(0)
+    assert(r.getAs[Double]("dup_line_frac") == 0.0)
+    assert(r.getAs[Double]("dup_line_char_frac") == 0.0)
+    assert(r.getAs[Double]("dup5_char_frac") == 0.0)
+    // top 2-gram occurs once; covers its own chars only
+    assert(r.getAs[Double]("top2_char_frac") > 0.0)
+    assert(r.getAs[Double]("top2_char_frac") < 0.1)
+  }
+
+  test("gopherRepetition: top-gram tie breaks to lexicographically smallest") {
+    // "b b" and "a a" both occur once... make counts tie at 2:
+    // tokens: a a a  → "a a" x2 ; b b b → "b b" x2
+    val df = Seq((1L, "a a a b b b")).toDF("id", "text")
+    val r = QualityRules.gopherRepetition(df, "id", "text").collect()(0)
+    // both 2-grams "a a" (2x), "b b" (2x), "a b" (1x): winner "a a",
+    // 3 chars, 2 occurrences, text 11 chars
+    assert(r.getAs[Double]("top2_char_frac") == 2.0 * 3 / 11)
+  }
+
+  test("gopherRepetition: empty/short docs yield zeros, rows preserved") {
+    val df = Seq((1L, ""), (2L, "one")).toDF("id", "text")
+    val rows = QualityRules.gopherRepetition(df, "id", "text")
+      .orderBy("id").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getAs[Int]("n_lines") == 0)
+    assert(rows(0).getAs[Double]("top2_char_frac") == 0.0)
+    assert(rows(1).getAs[Int]("n_lines") == 1)   // one short line
+    assert(rows(1).getAs[Double]("dup5_char_frac") == 0.0)
+  }
+
+  // --- gopherQuality ----------------------------------------------------
+
+  test("gopherQuality: a clean long doc keeps; a short one does not") {
+    val good = (("the good word list goes on and on here now " * 10).trim)
+    val df = Seq((1L, good), (2L, "too short")).toDF("id", "text")
+    val rows = QualityRules.gopherQuality(df, "id", "text")
+      .orderBy("id").collect()
+    assert(rows(0).getAs[Boolean]("keep"))
+    assert(!rows(1).getAs[Boolean]("keep"))
+    assert(rows(1).getAs[Long]("n_words") == 2)
+  }
+
+  test("gopherQuality: symbol ratio counts '#' and '...'") {
+    val txt = "alpha # beta ... gamma ......"  // 1 hash + 3 ell groups
+    val df = Seq((1L, txt)).toDF("id", "text")
+    val r = QualityRules.gopherQuality(df, "id", "text").collect()(0)
+    // tokens: alpha,#,beta,...,gamma,...... = 6 words; ell count = 9/3 = 3
+    assert(r.getAs[Long]("n_words") == 6)
+    assert(r.getAs[Double]("symbol_to_word") == (1.0 + 3.0) / 6)
+  }
+
+  test("gopherQuality: alpha-word fraction and stopword floor") {
+    val df = Seq((1L, "123 456 789 0 x")).toDF("id", "text")
+    val r = QualityRules.gopherQuality(df, "id", "text").collect()(0)
+    assert(r.getAs[Double]("alpha_word_frac") == 0.2)
+    assert(r.getAs[Long]("stopword_hits") == 0L)
+    assert(!r.getAs[Boolean]("keep"))
+  }
+
+  test("gopherQuality plan is narrow (zero shuffles)") {
+    val df = Seq((1L, "a b c")).toDF("id", "text")
+    val p = QualityRules.gopherQuality(df, "id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), "gopherQuality must not shuffle")
+  }
+
+  // --- c4LineFilter -----------------------------------------------------
+
+  test("c4LineFilter: drops blocklisted and short lines, gates on minLines") {
+    val mk = (w: String) => Seq.fill(10)(w).mkString(" ")
+    val keepDoc = Seq(mk("aa"), mk("bb"), mk("cc"), mk("bad")).mkString(" ")
+    val dropDoc = Seq(mk("aa"), mk("bad"), mk("bad")).mkString(" ")
+    val df = Seq((1L, keepDoc), (2L, dropDoc)).toDF("id", "text")
+      .select(col("id"), graft.functions.TextFunctions.tokens(col("text"))
+        .as("__toks"))
+    val out = QualityRules.c4LineFilter(df, "id",
+      QualityRules.syntheticLines(col("__toks"), 10),
+      blocklist = Seq("bad"), minWordsPerLine = 5, minLines = 3)
+    val rows = out.collect()
+    assert(rows.length == 1 && rows(0).getAs[Long]("id") == 1L)
+    assert(rows(0).getAs[Long]("n_lines_kept") == 3)
+    assert(rows(0).getAs[String]("text_clean") ==
+      Seq(mk("aa"), mk("bb"), mk("cc")).mkString("\n"))
+  }
+
+  test("c4LineFilter: short trailing line dropped by the word floor") {
+    // 23 tokens → lines of 10/10/3; the 3-word tail fails minWordsPerLine
+    val txt = (1 to 23).map(i => s"t$i").mkString(" ")
+    val df = Seq((1L, txt)).toDF("id", "text")
+      .select(col("id"), graft.functions.TextFunctions.tokens(col("text"))
+        .as("__toks"))
+    val out = QualityRules.c4LineFilter(df, "id",
+      QualityRules.syntheticLines(col("__toks"), 10),
+      blocklist = Nil, minWordsPerLine = 5, minLines = 2)
+    assert(out.collect()(0).getAs[Long]("n_lines_kept") == 2)
+  }
+
+  test("c4LineFilter plan is narrow (zero shuffles)") {
+    val df = Seq((1L, "a b c")).toDF("id", "text")
+      .select(col("id"), graft.functions.TextFunctions.tokens(col("text"))
+        .as("__toks"))
+    val p = QualityRules.c4LineFilter(df, "id",
+      QualityRules.syntheticLines(col("__toks"), 10), Seq("x"))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), "c4LineFilter must not shuffle")
+  }
+
+  // --- entropyScores ----------------------------------------------------
+
+  test("entropyScores: single repeated char has zero char entropy") {
+    val df = Seq((1L, "aaaa")).toDF("id", "text")
+    val r = QualityRules.entropyScores(df, "id", "text").collect()(0)
+    assert(r.getAs[Long]("n_chars_counted") == 4)
+    assert(r.getAs[Double]("char_entropy") == 0.0)
+    assert(r.getAs[Long]("n_tokens") == 1)
+    assert(r.getAs[Double]("token_entropy") == 0.0)
+  }
+
+  test("entropyScores: uniform alphabet hits ln(k)") {
+    val df = Seq((1L, "abcd")).toDF("id", "text")
+    val r = QualityRules.entropyScores(df, "id", "text").collect()(0)
+    assert(r.getAs[Double]("char_entropy") ==
+      BigDecimal(math.log(4)).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble)
+  }
+
+  test("entropyScores: token entropy distinguishes templated text") {
+    val varied = "one two three four five six"
+    val templated = "buy now buy now buy now"
+    val df = Seq((1L, varied), (2L, templated)).toDF("id", "text")
+    val m = QualityRules.entropyScores(df, "id", "text")
+      .select("id", "token_entropy").as[(Long, Double)].collect().toMap
+    assert(m(1L) > m(2L))
+  }
+
+  // --- dsirWeights ------------------------------------------------------
+
+  test("dsirWeights: target-like docs score higher than off-target docs") {
+    // target = lang en; en docs use one vocabulary, others a disjoint one
+    val docs = (1 to 20).map { i =>
+      if (i % 2 == 0) (i.toLong, "en", "alpha beta gamma delta")
+      else (i.toLong, "zz", "omega sigma theta kappa")
+    }.toDF("id", "lang", "text")
+    val w = QualityRules.dsirWeights(docs, "id", "text",
+      isTarget = col("lang") === "en", buckets = 1024)
+      .join(docs.select(col("id"), col("lang")), "id")
+      .groupBy("lang").agg(avg("dsir_weight").as("aw"))
+      .as[(String, Double)].collect().toMap
+    assert(w("en") > 0 && w("zz") < 0)
+    assert(w("en") > w("zz"))
+  }
+
+  test("dsirWeights: empty docs get weight 0 and survive") {
+    val docs = Seq((1L, "en", "some words here"), (2L, "zz", ""))
+      .toDF("id", "lang", "text")
+    val rows = QualityRules.dsirWeights(docs, "id", "text",
+      isTarget = col("lang") === "en").orderBy("id").collect()
+    assert(rows.length == 2)
+    assert(rows(1).getAs[Long]("n_tokens") == 0L)
+    assert(rows(1).getAs[Double]("dsir_weight") == 0.0)
+  }
+
+  test("dsirWeights: model join is a broadcast") {
+    val docs = Seq((1L, "en", "a b c"), (2L, "zz", "d e f"))
+      .toDF("id", "lang", "text")
+    val p = QualityRules.dsirWeights(docs, "id", "text",
+      isTarget = col("lang") === "en")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p.take(600))
+  }
+
+  test("dsirWeights rejects non-power-of-two bucket counts") {
+    val docs = Seq((1L, "en", "a")).toDF("id", "lang", "text")
+    intercept[IllegalArgumentException] {
+      QualityRules.dsirWeights(docs, "id", "text", lit(true), buckets = 1000)
+    }
+  }
+}

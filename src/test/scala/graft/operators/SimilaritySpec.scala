@@ -91,4 +91,27 @@ class SimilaritySpec extends AnyFunSuite {
     assert(math.abs(r.getAs[Double]("union_est") - 4500) < 900,
       s"union ${r.getAs[Double]("union_est")}")
   }
+
+  test("hardNegatives: only cross-label rows, top-ranked is the nearest") {
+    // label 0: tight cluster at (1,0,...); label 1: cluster at (0,1,...)
+    // plus one label-1 vector placed close to the label-0 cluster
+    val rows = (0 until 10).map(i => (i.toLong, 0, Array(1.0f, 0.02f * i, 0f, 0f))) ++
+      (10 until 20).map(i => (i.toLong, 1, Array(0.01f * i, 1.0f, 0f, 0f))) :+
+      (20L, 1, Array(1.0f, 0.05f, 0f, 0f))  // the hard negative for label 0
+    val df = rows.toDF("vec_id", "label", "embedding")
+    val out = Similarity.hardNegatives(df, df.filter($"vec_id" === 0), "label", 5)
+      .collect()
+    assert(out.forall(_.getAs[Int]("c_label") == 1))
+    val first = out.find(_.getAs[Int]("rank") == 1).get
+    assert(first.getAs[Long]("corpus_id") == 20L)  // the planted confusable
+  }
+
+  test("hardNegatives: same-label near-identical vectors never surface") {
+    val rows = Seq((1L, 7, Array(1f, 0f)), (2L, 7, Array(1f, 0.001f)),
+      (3L, 8, Array(0f, 1f)))
+    val df = rows.toDF("vec_id", "label", "embedding")
+    val ids = Similarity.hardNegatives(df, df.filter($"vec_id" === 1), "label", 10)
+      .select("corpus_id").as[Long].collect().toSet
+    assert(ids == Set(3L))
+  }
 }

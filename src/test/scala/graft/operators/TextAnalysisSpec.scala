@@ -290,4 +290,29 @@ class TextAnalysisSpec extends AnyFunSuite {
     val plan = scored.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
+
+  test("ccnetBuckets: terciles split head/middle/tail by LM score") {
+    // reference = natural text; docs = 3 natural (low ppl), 3 shuffled-ish
+    val ref = (1 to 20).map(i => (100L + i, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the dog"),
+      (3L, "quick brown fox jumps over the lazy"),
+      (4L, "dog lazy the over jumps fox brown quick the"),
+      (5L, "fox the dog brown quick lazy jumps over"),
+      (6L, "zz yy xx ww vv uu tt ss")).toDF("doc_id", "text")
+    val out = TextAnalysis.ccnetBuckets(ref, docs, "doc_id", "text")
+      .select("doc_id", "bucket").as[(Long, String)].collect().toMap
+    assert(out.size == 6)
+    assert(out(1L) == "head")              // exactly the reference sentence
+    // NOTE the OOV doc (6) is NOT the tail: with add-alpha and no backoff
+    // every OOV-conditioned bigram gets the uniform floor -ln(V), while a
+    // shuffled doc pays ln((c1 + aV)/a) after COMMON words (c1 large) —
+    // so scrambled-natural text scores worse than pure-OOV text
+    assert(out(4L) == "tail" || out(5L) == "tail")
+    // buckets are terciles: 2 docs each
+    assert(out.values.groupBy(identity).view.mapValues(_.size).toMap ==
+      Map("head" -> 2, "middle" -> 2, "tail" -> 2))
+  }
 }
