@@ -1592,6 +1592,19 @@ object SparkEntry {
         t(s, d, "documents"), "doc_id", "text",
         isTarget = col("lang") === "en", buckets = 2048, alpha = 0.5)),
 
+    // Zipf's-law fit over the corpus frequency spectrum (top-1000 terms,
+    // TakeOrderedAndProject; rank-ordered regression folds)
+    "q150_zipf_fit" -> ((s, d) =>
+      graft.operators.TextAnalysis.zipfFit(t(s, d, "documents"), "text")),
+
+    // Data-mixture audit vs a target language mix: exact shares, excess,
+    // and 4dp KL contributions per language
+    "q151_mixture_audit" -> ((s, d) =>
+      graft.operators.TrainingData.mixtureAudit(
+        t(s, d, "documents"), "lang", "text",
+        targets = Map("en" -> 0.4, "de" -> 0.15, "es" -> 0.15,
+          "fr" -> 0.15, "zh" -> 0.15))),
+
     // Ordered conversion funnel view→click→purchase: each step's earliest
     // completion strictly after the previous step's (µs order, the
     // q71/q72 time convention)
@@ -3575,6 +3588,50 @@ object SparkEntry {
         | count(*) AS n,
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
         |FROM orders GROUP BY 1""".stripMargin,
+
+    // Zipf replay: identical (f DESC, term) rank order, rank-ordered ln
+    // folds, same closed-form least-squares expression tree, 4dp
+    "q150_zipf_fit" ->
+      s"""WITH tk AS (SELECT unnest($tokensSql) AS term FROM documents),
+         |c AS (SELECT term, count(*) AS f FROM tk GROUP BY term),
+         |top AS (SELECT term, f FROM c ORDER BY f DESC, term LIMIT 1000),
+         |l AS (SELECT row_number() OVER (ORDER BY f DESC, term) AS r,
+         |    f FROM top),
+         |l2 AS (SELECT r, ln(r::DOUBLE) AS x, ln(f::DOUBLE) AS y FROM l),
+         |s AS (SELECT count(*)::BIGINT AS n_terms,
+         |    list_reduce(list_prepend(0.0, list(x ORDER BY r)),
+         |      (a, b) -> a + b) AS sx,
+         |    list_reduce(list_prepend(0.0, list(y ORDER BY r)),
+         |      (a, b) -> a + b) AS sy,
+         |    list_reduce(list_prepend(0.0, list(x * y ORDER BY r)),
+         |      (a, b) -> a + b) AS sxy,
+         |    list_reduce(list_prepend(0.0, list(x * x ORDER BY r)),
+         |      (a, b) -> a + b) AS sxx
+         |  FROM l2)
+         |SELECT n_terms,
+         |  round((n_terms * sxy - sx * sy) / (n_terms * sxx - sx * sx), 4)
+         |    AS slope,
+         |  round((sy - (n_terms * sxy - sx * sy) / (n_terms * sxx - sx * sx)
+         |    * sx) / n_terms, 4) AS intercept
+         |FROM s""".stripMargin,
+
+    // Mixture audit replay: exact integer-quotient shares, literal
+    // targets, 4dp KL terms
+    "q151_mixture_audit" ->
+      s"""WITH g AS (SELECT lang, count(*) AS docs,
+         |    CAST(sum(len($tokensSql)) AS BIGINT) AS tokens
+         |  FROM documents GROUP BY lang),
+         |t AS (SELECT CAST(sum(docs) AS BIGINT) AS n FROM g),
+         |m AS (SELECT lang, docs, tokens,
+         |    CASE lang WHEN 'en' THEN 0.4 WHEN 'de' THEN 0.15
+         |      WHEN 'es' THEN 0.15 WHEN 'fr' THEN 0.15 WHEN 'zh' THEN 0.15
+         |      ELSE 0.0 END AS tgt,
+         |    docs::DOUBLE / n AS share FROM g CROSS JOIN t)
+         |SELECT lang, docs::BIGINT AS docs, tokens, share,
+         |  tgt AS target_share, share - tgt AS excess,
+         |  CASE WHEN tgt > 0 THEN round(share * ln(share / tgt), 4) END
+         |    AS kl_term
+         |FROM m""".stripMargin,
 
     // Funnel replay: same strict-after chain over epoch_us, same exact
     // integer-quotient conversions and µs-sum mean hours

@@ -408,6 +408,43 @@ object TextAnalysis {
         round(-col("__sum") / col("n_bigrams").cast("double"), 4).as("avg_neg_logp"))
   }
 
+  /** Zipf's-law fit over the corpus frequency spectrum: least-squares
+    * slope/intercept of ln(freq) vs ln(rank) for the top `topN` terms —
+    * the standard corpus-health diagnostic (natural language ≈ −1 slope;
+    * templated/spammy corpora bend the curve).
+    *
+    * Scale shape: token explode → (term, count) partial agg; top-N by
+    * (count DESC, term) is TakeOrderedAndProject (per-partition heaps,
+    * no global sort); the regression runs on the ≤ topN-row frame via
+    * rank-ordered folds (fixed FP order, oracle-replayable) and rounds
+    * 4dp (ln ulp).
+    */
+  def zipfFit(df: DataFrame, textCol: String, topN: Int = 1000): DataFrame = {
+    val counts = df.select(explode(tokens(col(textCol))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("f"))
+      .orderBy(col("f").desc, col("term")).limit(topN)
+    val ranked = counts.withColumn("r",
+      row_number().over(Window.orderBy(col("f").desc, col("term"))))
+      .select(col("r"), log(col("r").cast("double")).as("x"),
+        log(col("f").cast("double")).as("y"))
+    def foldOrdered(value: Column): Column =
+      aggregate(
+        transform(array_sort(collect_list(struct(col("r"), value.as("v")))),
+          s => s.getField("v")),
+        lit(0.0), (acc, v) => acc + v)
+    val sums = ranked.agg(
+      count(lit(1)).as("n_terms"),
+      foldOrdered(col("x")).as("__sx"), foldOrdered(col("y")).as("__sy"),
+      foldOrdered(col("x") * col("y")).as("__sxy"),
+      foldOrdered(col("x") * col("x")).as("__sxx"))
+    val n = col("n_terms").cast("double")
+    val slope = (n * col("__sxy") - col("__sx") * col("__sy")) /
+      (n * col("__sxx") - col("__sx") * col("__sx"))
+    sums.select(col("n_terms"),
+      round(slope, 4).as("slope"),
+      round((col("__sy") - slope * col("__sx")) / n, 4).as("intercept"))
+  }
+
   /** CCNet-style perplexity bucketing (Wenzek et al. 2020): score every
     * document with the bigram-LM average negative log-prob
     * ([[bigramLmScores]]), then label head/middle/tail by EXACT terciles

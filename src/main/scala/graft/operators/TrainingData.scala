@@ -334,4 +334,37 @@ object TrainingData {
       .agg(count(lit(1)).as("n_hits"))
       .withColumn("contaminated", lit(true))
   }
+
+  /** Data-mixture audit: per group (language / source / domain), doc and
+    * token counts, the realized corpus share, the divergence from a
+    * target mixture, and the per-group KL contribution
+    * share·ln(share/target) — the report a mixture-weight tuner reads
+    * before re-weighting (the audit counterpart of [[mixCorpora]]).
+    *
+    * One groupBy over the corpus (token counts partial-agg map-side);
+    * the per-group shares are exact integer quotients; only the KL term
+    * is ln-derived (4dp, the standard ulp rounding). Groups missing from
+    * `targets` get target share 0 and a null KL term (flagged, not
+    * folded into a division by zero).
+    */
+  def mixtureAudit(df: DataFrame, groupCol: String, textCol: String,
+      targets: Map[String, Double]): DataFrame = {
+    val targetCol = targets.foldLeft(lit(0.0)) { case (acc, (k, v)) =>
+      when(col(groupCol) === k, lit(v)).otherwise(acc)
+    }
+    val perGroup = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("docs"),
+        sum(graft.functions.TextFunctions.tokenCount(col(textCol)))
+          .as("tokens"))
+    val total = perGroup.agg(sum(col("docs")).as("__n"))
+    perGroup.crossJoin(broadcast(total))
+      .select(col(groupCol), col("docs"), col("tokens"),
+        (col("docs").cast("double") / col("__n")).as("share"),
+        targetCol.as("target_share"),
+        (col("docs").cast("double") / col("__n") - targetCol).as("excess"),
+        when(targetCol > 0,
+          round((col("docs").cast("double") / col("__n")) *
+            log((col("docs").cast("double") / col("__n")) / targetCol), 4))
+          .as("kl_term"))
+  }
 }

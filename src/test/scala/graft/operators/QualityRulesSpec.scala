@@ -204,4 +204,33 @@ class QualityRulesSpec extends AnyFunSuite {
       QualityRules.dsirWeights(docs, "id", "text", lit(true), buckets = 1000)
     }
   }
+
+  // --- plan-shape guards for the shuffling entries ----------------------
+
+  test("gopherRepetition: one gram explode-agg chain, no payload re-shuffle") {
+    val df = Seq((1L, "a b c d e f")).toDF("id", "text")
+    val p = QualityRules.gopherRepetition(df, "id", "text")
+      .queryExecution.executedPlan.toString
+    // explode->(id,n,gram) agg, (id,n) agg, (id) agg, + the slim id-join:
+    // anything beyond 5 exchanges means a stage started re-shuffling text
+    assert("Exchange".r.findAllIn(p).size <= 5, p.take(800))
+    assert(!p.contains("CartesianProduct"), "no cartesian in q139")
+  }
+
+  test("entropyScores: two explode-agg chains only") {
+    val df = Seq((1L, "a b")).toDF("id", "text")
+    val p = QualityRules.entropyScores(df, "id", "text")
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(p).size <= 7, p.take(800))
+  }
+
+  test("dsirWeights: the doc-bucket agg shuffles hashes, never text") {
+    val df = Seq((1L, "en", "a b c")).toDF("id", "lang", "text")
+    val plan = QualityRules.dsirWeights(df, "id", "text",
+      isTarget = col("lang") === "en")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(600))
+    // the only SortMergeJoin allowed is the final slim id-join
+    assert("SortMergeJoin".r.findAllIn(plan).size <= 1, plan.take(800))
+  }
 }

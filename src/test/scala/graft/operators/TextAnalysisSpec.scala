@@ -315,4 +315,21 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out.values.groupBy(identity).view.mapValues(_.size).toMap ==
       Map("head" -> 2, "middle" -> 2, "tail" -> 2))
   }
+
+  test("zipfFit: an exact power law recovers its slope") {
+    // freq(term_r) = round(1000 / r): close to slope -1 over 20 ranks
+    val docs = (1 to 20).flatMap(r =>
+      Seq.fill(math.max(1000 / r, 1))(s"t$r%02d".format(r))).mkString(" ")
+    val df = Seq((1L, docs)).toDF("doc_id", "text")
+    val r = TextAnalysis.zipfFit(df, "text", topN = 20).collect()(0)
+    assert(r.getAs[Long]("n_terms") == 20)
+    val slope = r.getAs[Double]("slope")
+    assert(slope < -0.95 && slope > -1.05, s"slope $slope")
+  }
+
+  test("zipfFit: uniform frequencies give slope 0") {
+    val df = Seq((1L, "aa bb cc dd aa bb cc dd")).toDF("doc_id", "text")
+    val r = TextAnalysis.zipfFit(df, "text").collect()(0)
+    assert(r.getAs[Double]("slope") == 0.0)
+  }
 }

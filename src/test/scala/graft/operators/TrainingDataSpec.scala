@@ -211,4 +211,20 @@ class TrainingDataSpec extends AnyFunSuite {
   private implicit class ToSortedSet[T: Ordering](a: Array[T]) {
     def toSortedSet: Seq[T] = a.toSeq.sorted
   }
+
+  test("mixtureAudit: exact shares, excess, and KL sign behavior") {
+    val df = (Seq.fill(6)("en") ++ Seq.fill(2)("fr") ++ Seq.fill(2)("xx"))
+      .zipWithIndex.map { case (l, i) => (i.toLong, l, "w w w") }
+      .toDF("id", "lang", "text")
+    val out = TrainingData.mixtureAudit(df, "lang", "text",
+      Map("en" -> 0.5, "fr" -> 0.5))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("en").getAs[Double]("share") == 0.6)
+    assert(out("en").getAs[Long]("tokens") == 18L)
+    assert(out("en").getAs[Double]("excess") == 0.6 - 0.5)
+    assert(out("en").getAs[Double]("kl_term") > 0)   // over-represented
+    assert(out("fr").getAs[Double]("kl_term") < 0)   // under-represented
+    assert(out("xx").getAs[Double]("target_share") == 0.0)
+    assert(out("xx").isNullAt(out("xx").fieldIndex("kl_term")))
+  }
 }
