@@ -1592,6 +1592,20 @@ object SparkEntry {
         t(s, d, "documents"), "doc_id", "text",
         isTarget = col("lang") === "en", buckets = 2048, alpha = 0.5)),
 
+    // Interval-overlap self-join over user sessions via 1-hour time-
+    // bucket blocking: an EQUI-join on the bucket (SMJ/SHJ — no theta
+    // cartesian), each overlapping pair emitted exactly once from its
+    // first overlap bucket; exact µs overlap spans
+    "q152_interval_join" -> ((s, d) => {
+      val sessions = graft.operators.Sessionize.sessionStats(
+        Tables.events(s, d)
+          .select(col("user_id"), expr("ts_ns div 1000").as("ts_us")),
+        "user_id", "ts_us", gap = 1800000000L)
+      graft.operators.IntervalJoin.overlapPairs(sessions,
+        Seq("user_id", "session_id"), "session_start", "session_end",
+        bucketWidth = 3600000000L)
+    }),
+
     // Zipf's-law fit over the corpus frequency spectrum (top-1000 terms,
     // TakeOrderedAndProject; rank-ordered regression folds)
     "q150_zipf_fit" -> ((s, d) =>
@@ -3588,6 +3602,32 @@ object SparkEntry {
         | count(*) AS n,
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
         |FROM orders GROUP BY 1""".stripMargin,
+
+    // Interval-join replay: the q47 session synthesis + the NAIVE theta
+    // self-join (oracle scale affords all-pairs; the engine's bucketed
+    // equi-join must produce the identical pair set)
+    "q152_interval_join" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+        |b AS (SELECT user_id, ts_us,
+        |  CASE WHEN lag(ts_us) OVER w IS NULL
+        |         OR ts_us - lag(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS nb
+        | FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
+        |s AS (SELECT user_id, ts_us,
+        |  CAST(sum(nb) OVER (PARTITION BY user_id ORDER BY ts_us
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS session_id
+        | FROM b),
+        |iv AS (SELECT user_id, session_id,
+        |  min(ts_us) AS s, max(ts_us) AS e
+        | FROM s GROUP BY user_id, session_id)
+        |SELECT a.user_id AS user_id_a, a.session_id AS session_id_a,
+        |  b.user_id AS user_id_b, b.session_id AS session_id_b,
+        |  greatest(a.s, b.s) AS overlap_start,
+        |  least(a.e, b.e) AS overlap_end,
+        |  least(a.e, b.e) - greatest(a.s, b.s) AS overlap_us
+        |FROM iv a JOIN iv b
+        |  ON (a.user_id, a.session_id) < (b.user_id, b.session_id)
+        | AND a.s <= b.e AND b.s <= a.e""".stripMargin,
 
     // Zipf replay: identical (f DESC, term) rank order, rank-ordered ln
     // folds, same closed-form least-squares expression tree, 4dp
