@@ -1592,6 +1592,18 @@ object SparkEntry {
         t(s, d, "documents"), "doc_id", "text",
         isTarget = col("lang") === "en", buckets = 2048, alpha = 0.5)),
 
+    // IVFADC: coarse IVF (8 cells) + PQ (8×16) on residuals; probes
+    // search nprobe=4 cells via per-cell ADC tables on the probe's cell
+    // residual — the canonical compressed-inverted-list ANN composition
+    "q153_ivfadc" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val model = graft.operators.IvfAdc.train(emb, kCells = 8, m = 8,
+        pqK = 16, iterations = 3, dim = 64)
+      val codes = graft.operators.IvfAdc.encode(emb, model)
+      graft.operators.IvfAdc.topK(codes,
+        emb.filter(col("vec_id") < 5), model, nprobe = 4, k = 10)
+    }),
+
     // Interval-overlap self-join over user sessions via 1-hour time-
     // bucket blocking: an EQUI-join on the bucket (SMJ/SHJ — no theta
     // cartesian), each overlapping pair emitted exactly once from its
@@ -2286,6 +2298,101 @@ object SparkEntry {
        |    row_number() OVER (PARTITION BY probe_id ORDER BY cs DESC, corpus_id) AS rank
        |  FROM scored)
        |WHERE rank <= $k""".stripMargin
+  }
+
+  /** q153 (IVFADC) replayed end-to-end: the q52 coarse-quantizer replay
+    * (init/Lloyd's/assign over the full vectors), residual vectors
+    * against the final coarse centroids, the q146 PQ replay retrained on
+    * those residuals (same xxhash seed ids, per-subspace Lloyd's), probe
+    * nprobe-cell choice by (distance, cell), per-(probe, cell) ADC
+    * tables on the probe's CELL residual, and the subspace-ordered ADC
+    * fold. FP stance identical to [[ivfTopKOracleSql]]/[[pqAdcOracleSql]].
+    */
+  private def ivfadcOracleSql(k: Int, nprobe: Int, kCells: Int, m: Int,
+      dsub: Int, pqK: Int, iterations: Int, maxProbeId: Long,
+      dim: Int = 64): String = {
+    def sqdN(n: Int)(a: String, b: String): String =
+      s"list_sum(list_transform(generate_series(1,$n), i -> (($a)[i] - ($b)[i])^2))"
+    // coarse Lloyd's over full vectors (the q52 pattern)
+    def cAssign(name: String, cprev: String): String =
+      s"""$name AS (SELECT id, v, cell FROM (
+         |  SELECT va.id, va.v, c.cell,
+         |    row_number() OVER (PARTITION BY va.id
+         |      ORDER BY ${sqdN(dim)("va.v", "c.cv")}, c.cell) AS rn
+         |  FROM vecs va CROSS JOIN $cprev c) WHERE rn = 1)""".stripMargin
+    def cUpdate(name: String, aprev: String, cprev: String): String =
+      s"""$name AS (SELECT c.cell, coalesce(mm.cv, c.cv) AS cv
+         |  FROM $cprev c LEFT JOIN (
+         |  SELECT cell, list(mx ORDER BY d) AS cv FROM (
+         |    SELECT cell, i.d, avg(v[i.d]) AS mx FROM $aprev
+         |    CROSS JOIN (SELECT unnest(generate_series(1,$dim)) AS d) i
+         |    GROUP BY cell, i.d) GROUP BY cell) mm ON mm.cell = c.cell)""".stripMargin
+    // PQ Lloyd's over residual subvectors (the q146 pattern)
+    def pAssign(name: String, cprev: String): String =
+      s"""$name AS (SELECT id, sub, sv, code FROM (
+         |  SELECT va.id, va.sub, va.sv, c.code,
+         |    row_number() OVER (PARTITION BY va.id, va.sub
+         |      ORDER BY ${sqdN(dsub)("va.sv", "c.cv")}, c.code) AS rn
+         |  FROM subs va JOIN $cprev c ON c.sub = va.sub) WHERE rn = 1)""".stripMargin
+    def pUpdate(name: String, aprev: String, cprev: String): String =
+      s"""$name AS (SELECT c.sub, c.code, coalesce(mm.cv, c.cv) AS cv
+         |  FROM $cprev c LEFT JOIN (
+         |  SELECT sub, code, list(mx ORDER BY d) AS cv FROM (
+         |    SELECT sub, code, i.d, avg(sv[i.d]) AS mx FROM $aprev
+         |    CROSS JOIN (SELECT unnest(generate_series(1,$dsub)) AS d) i
+         |    GROUP BY sub, code, i.d) GROUP BY sub, code) mm
+         |  ON mm.sub = c.sub AND mm.code = c.code)""".stripMargin
+    val cLloyd = (1 to iterations).flatMap { i =>
+      Seq(cAssign(s"ca$i", s"cc${i - 1}"), cUpdate(s"cc$i", s"ca$i", s"cc${i - 1}"))
+    }.mkString(",\n")
+    val pLloyd = (1 to iterations).flatMap { i =>
+      Seq(pAssign(s"pa$i", s"pc${i - 1}"), pUpdate(s"pc$i", s"pa$i", s"pc${i - 1}"))
+    }.mkString(",\n")
+    s"""WITH vecs AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+       |$xxh64LongCtes,
+       |cinit AS (SELECT xh.id, row_number() OVER (ORDER BY hs) - 1 AS cell
+       |          FROM xh ORDER BY hs LIMIT $kCells),
+       |cc0 AS (SELECT cinit.cell, v.v AS cv FROM cinit JOIN vecs v ON v.id = cinit.id),
+       |$cLloyd,
+       |${cAssign("cafin", s"cc$iterations")},
+       |resid AS (SELECT a.id, a.cell,
+       |    list_transform(generate_series(1,$dim),
+       |      i -> a.v[i] - c.cv[i]) AS rv
+       |  FROM cafin a JOIN cc$iterations c ON c.cell = a.cell),
+       |subs AS (SELECT id, sub, rv[sub * $dsub + 1 : sub * $dsub + $dsub] AS sv
+       |  FROM resid CROSS JOIN (SELECT unnest(generate_series(0, ${m - 1})) AS sub)),
+       |pinit AS (SELECT xh.id, row_number() OVER (ORDER BY hs) - 1 AS code
+       |          FROM xh ORDER BY hs LIMIT $pqK),
+       |pc0 AS (SELECT s.sub, pinit.code, s.sv AS cv
+       |        FROM pinit JOIN subs s ON s.id = pinit.id),
+       |$pLloyd,
+       |${pAssign("pafin", s"pc$iterations")},
+       |codes AS (SELECT p.id, r.cell, p.sub, p.code
+       |  FROM pafin p JOIN resid r ON r.id = p.id),
+       |pcell AS (SELECT id AS probe_id, v AS pv, cell FROM (
+       |  SELECT va.id, va.v, c.cell,
+       |    row_number() OVER (PARTITION BY va.id
+       |      ORDER BY ${sqdN(dim)("va.v", "c.cv")}, c.cell) AS rn
+       |  FROM vecs va CROSS JOIN cc$iterations c
+       |  WHERE va.id < $maxProbeId) WHERE rn <= $nprobe),
+       |presid AS (SELECT p.probe_id, p.cell,
+       |    list_transform(generate_series(1,$dim),
+       |      i -> p.pv[i] - c.cv[i]) AS prv
+       |  FROM pcell p JOIN cc$iterations c ON c.cell = p.cell),
+       |pdt AS (SELECT pr.probe_id, pr.cell, q.sub, q.code,
+       |    ${sqdN(dsub)(s"pr.prv[q.sub * $dsub + 1 : q.sub * $dsub + $dsub]", "q.cv")} AS d
+       |  FROM presid pr CROSS JOIN pc$iterations q),
+       |adc AS (SELECT p.probe_id, kk.id AS corpus_id,
+       |    list_reduce(list_prepend(0.0, list(p.d ORDER BY p.sub)),
+       |      (a, b) -> a + b) AS adc
+       |  FROM codes kk JOIN pdt p ON p.cell = kk.cell AND p.sub = kk.sub
+       |    AND p.code = kk.code AND kk.id <> p.probe_id
+       |  GROUP BY 1, 2)
+       |SELECT probe_id, corpus_id, adc_dist, rank FROM (
+       |  SELECT probe_id, corpus_id, round(adc, 4) AS adc_dist,
+       |    row_number() OVER (PARTITION BY probe_id
+       |      ORDER BY adc, corpus_id) AS rank
+       |  FROM adc) WHERE rank <= $k""".stripMargin
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -3602,6 +3709,9 @@ object SparkEntry {
         | count(*) AS n,
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
         |FROM orders GROUP BY 1""".stripMargin,
+
+    "q153_ivfadc" -> ivfadcOracleSql(k = 10, nprobe = 4, kCells = 8,
+      m = 8, dsub = 8, pqK = 16, iterations = 3, maxProbeId = 5),
 
     // Interval-join replay: the q47 session synthesis + the NAIVE theta
     // self-join (oracle scale affords all-pairs; the engine's bucketed

@@ -111,14 +111,35 @@ object PqIndex {
     * codebook is a plan literal), zero shuffles; this is the 32×
     * compression pass.
     */
-  def encode(corpus: DataFrame, model: Model): DataFrame = {
-    val cb = codebookCol(model)
+  def encode(corpus: DataFrame, model: Model): DataFrame =
     corpus.select(col("vec_id"), toDouble(col("embedding")).as("v"))
-      .select(col("vec_id"),
-        transform(sequence(lit(0), lit(model.m - 1)),
-          s => nearestCode(slice(col("v"), s * model.dsub + 1, lit(model.dsub)),
-            s, cb)).as("codes"))
+      .select(col("vec_id"), encodeVec(col("v"), model).as("codes"))
+
+  /** Code array for one double-array vector column — for callers that
+    * carry extra columns through encoding (IVFADC keeps the coarse cell
+    * id alongside).
+    */
+  def encodeVec(v: Column, model: Model): Column = {
+    val cb = codebookCol(model)
+    transform(sequence(lit(0), lit(model.m - 1)),
+      s => nearestCode(slice(v, s * model.dsub + 1, lit(model.dsub)), s, cb))
   }
+
+  /** Per-probe ADC lookup table dt[sub][code] from a double-array probe
+    * vector column (shared by [[adcTopK]] and IVFADC).
+    */
+  def distanceTable(pv: Column, model: Model): Column = {
+    val cb = codebookCol(model)
+    transform(sequence(lit(0), lit(model.m - 1)),
+      s => transform(element_at(cb, s + 1),
+        c => squaredL2Distance(
+          slice(pv, s * model.dsub + 1, lit(model.dsub)), c)))
+  }
+
+  /** ADC distance: fold the per-subspace lookups in subspace order. */
+  def adcDistance(dt: Column, codes: Column, m: Int): Column =
+    aggregate(sequence(lit(0), lit(m - 1)), lit(0.0), (acc, s) =>
+      acc + element_at(element_at(dt, s + 1), element_at(codes, s + 1) + 1))
 
   /** ADC top-k: per probe, build the m×k lookup table of subspace
     * distances ONCE (a tiny probes×codebook frame, broadcast), then score
@@ -129,22 +150,13 @@ object PqIndex {
     */
   def adcTopK(codes: DataFrame, probes: DataFrame, model: Model,
       k: Int): DataFrame = {
-    val cb = codebookCol(model)
     // dt[sub][code] per probe, assembled per-row from the plan-literal
     // codebook — no extra job, one small broadcast frame
     val dtab = probes
       .select(col("vec_id").as("probe_id"), toDouble(col("embedding")).as("pv"))
-      .select(col("probe_id"),
-        transform(sequence(lit(0), lit(model.m - 1)),
-          s => transform(element_at(cb, s + 1),
-            c => squaredL2Distance(
-              slice(col("pv"), s * model.dsub + 1, lit(model.dsub)), c)))
-          .as("dt"))
+      .select(col("probe_id"), distanceTable(col("pv"), model).as("dt"))
     codes.join(broadcast(dtab), col("vec_id") =!= col("probe_id"))
-      .withColumn("adc", aggregate(sequence(lit(0), lit(model.m - 1)),
-        lit(0.0), (acc, s) => acc +
-          element_at(element_at(col("dt"), s + 1),
-            element_at(col("codes"), s + 1) + 1)))
+      .withColumn("adc", adcDistance(col("dt"), col("codes"), model.m))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("probe_id"))
           .orderBy(col("adc"), col("vec_id"))))

@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class IvfAdcSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Four well-separated cluster centers, vectors jittered around them. */
+  private def corpus(n: Int, dim: Int = 16) = {
+    (0 until n).map { i =>
+      val c = i % 4
+      (i.toLong, Array.tabulate(dim)(d =>
+        (if (d / (dim / 4) == c) 10.0f else 0.0f) + (i % 5) * 0.01f))
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("encode carries the coarse cell and m codes per vector") {
+    val df = corpus(40)
+    val model = IvfAdc.train(df, kCells = 4, m = 4, pqK = 4,
+      iterations = 2, dim = 16)
+    val rows = IvfAdc.encode(df, model)
+      .select("vec_id", "cell", "codes").collect()
+    assert(rows.length == 40)
+    assert(rows.forall(_.getSeq[Int](2).length == 4))
+    // cluster-mates share a coarse cell
+    val cellOf = rows.map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert((0 until 36 by 4).forall(i => cellOf(i.toLong) == cellOf(i.toLong + 4)))
+  }
+
+  test("topK returns same-cluster neighbors first") {
+    val df = corpus(40)
+    val model = IvfAdc.train(df, kCells = 4, m = 4, pqK = 4,
+      iterations = 2, dim = 16)
+    val codes = IvfAdc.encode(df, model)
+    val top = IvfAdc.topK(codes, df.filter(col("vec_id") === 0), model,
+      nprobe = 2, k = 5)
+      .select("corpus_id", "rank").as[(Long, Int)].collect()
+    assert(top.length == 5)
+    assert(!top.map(_._1).contains(0L))
+    assert(top.forall(_._1 % 4 == 0), top.mkString(","))  // cluster 0 only
+  }
+
+  test("residual PQ beats flat PQ on in-cell resolution (sanity)") {
+    // residuals of a tight cluster have small magnitude; codes must
+    // still separate the two in-cell subgroups we plant
+    val df = (0 until 20).map { i =>
+      val sub = i % 2
+      (i.toLong, Array.tabulate(8)(d =>
+        10.0f + (if (sub == 0) 0.5f else -0.5f) * (if (d < 4) 1 else 0)))
+    }.toDF("vec_id", "embedding")
+    val model = IvfAdc.train(df, kCells = 1, m = 2, pqK = 2,
+      iterations = 2, dim = 8)
+    val codes = IvfAdc.encode(df, model)
+      .select("vec_id", "codes").as[(Long, Seq[Int])].collect().toMap
+    assert(codes(0L) == codes(2L))
+    assert(codes(1L) == codes(3L))
+    assert(codes(0L) != codes(1L))
+  }
+
+  test("codes never shuffle in topK (broadcast table join)") {
+    val df = corpus(20)
+    val model = IvfAdc.train(df, kCells = 2, m = 4, pqK = 2,
+      iterations = 1, dim = 16)
+    val codes = IvfAdc.encode(df, model)
+    val p = IvfAdc.topK(codes, df.filter(col("vec_id") < 2), model,
+      nprobe = 1, k = 3).queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+  }
+}
