@@ -1592,6 +1592,45 @@ object SparkEntry {
         t(s, d, "documents"), "doc_id", "text",
         isTarget = col("lang") === "en", buckets = 2048, alpha = 0.5)),
 
+    // PageRank (10 fixed iterations, d=0.85) over the doc_id%50 →
+    // n_chars%50 functional graph — hub-and-spoke degrees, dangling
+    // nodes exercised; bit-exact raw doubles (source-ordered folds)
+    "q155_pagerank" -> ((s, d) => {
+      val edges = t(s, d, "documents")
+        .select((col("doc_id") % 50).as("u"), (col("n_chars") % 50).as("v"))
+      graft.operators.Graph.pageRank(edges, "u", "v")
+    }),
+
+    // Streaming Gopher quality gate: gopherQuality is a pure per-row
+    // program, so it runs UNCHANGED on a readStream frame (the q120
+    // one-code-path contract); driver-checked against the batch SQL
+    "q154_stream_quality" -> ((s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val tmp = sys.props("java.io.tmpdir")
+      val outPath = s"$tmp/graft_q154_out"
+      val ckpt = s"$tmp/graft_q154_ckpt"
+      def rmrf(p: java.io.File): Unit = {
+        if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rmrf))
+        p.delete(): Unit
+      }
+      Seq(outPath, ckpt).foreach(p => rmrf(new java.io.File(p)))
+      val raw = Tables.documents(s, d)
+      val stream = s.readStream.schema(raw.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+      val gated = graft.operators.QualityRules
+        .gopherQuality(stream, "doc_id", "text")
+        .filter(col("keep"))
+        .select(col("doc_id"), col("n_words"), col("stopword_hits"))
+      val q = graft.streaming.StreamingOps.appendPerBatch(gated, outPath)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(outPath)
+    }),
+
     // IVFADC: coarse IVF (8 cells) + PQ (8×16) on residuals; probes
     // search nprobe=4 cells via per-cell ADC tables on the probe's cell
     // residual — the canonical compressed-inverted-list ANN composition
@@ -2394,6 +2433,84 @@ object SparkEntry {
        |      ORDER BY adc, corpus_id) AS rank
        |  FROM adc) WHERE rank <= $k""".stripMargin
   }
+
+  /** q155 PageRank replayed: same distinct edge set, exact N/out-degrees,
+    * per-iteration contribution folds in source-vertex order, constants
+    * recomputed with the identical IEEE ops — with explicit ::DOUBLE on
+    * the literals: DuckDB otherwise evaluates `1.0 - 0.85` in DECIMAL
+    * (exactly 0.15), one ulp off the JVM's double subtraction
+    * (0.15000000000000002), which shifted node ranks in the last ulp
+    * (measured; the q118-class pitfall, decimal-literal edition). Raw
+    * doubles then equal bit-for-bit, no rounding.
+    */
+  private def pageRankOracleSql(iterations: Int, damping: Double): String = {
+    val its = (1 to iterations).map { i =>
+      s"""s$i AS (SELECT e.v, list_reduce(list_prepend(0.0,
+         |    list(p.pr / o.outd ORDER BY e.u)), (a, b) -> a + b) AS s
+         |  FROM e JOIN pr${i - 1} p ON p.node = e.u JOIN od o ON o.u = e.u
+         |  GROUP BY e.v),
+         |pr$i AS (SELECT n.node,
+         |    (1.0::DOUBLE - $damping::DOUBLE) / t.n
+         |      + $damping::DOUBLE * coalesce(s.s, 0.0) AS pr
+         |  FROM nodes n CROSS JOIN tot t LEFT JOIN s$i s ON s.v = n.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT DISTINCT doc_id % 50 AS u, n_chars % 50 AS v
+       |  FROM documents),
+       |nodes AS (SELECT u AS node FROM e UNION SELECT v FROM e),
+       |tot AS (SELECT count(*)::BIGINT AS n FROM nodes),
+       |od AS (SELECT u, count(*) AS outd FROM e GROUP BY u),
+       |pr0 AS (SELECT node, 1.0::DOUBLE / t.n AS pr FROM nodes CROSS JOIN tot t),
+       |$its
+       |SELECT node, pr FROM pr$iterations""".stripMargin
+  }
+
+  /** The q140 Gopher-quality replay, shared with the streaming gate
+    * (q154) which filters it to keep=true.
+    */
+  private def gopherQualityOracleSql: String =
+    s"""WITH tk AS (SELECT doc_id, text, $tokensSql AS toks FROM documents),
+         |ld AS (SELECT doc_id, text, toks,
+         |    CASE WHEN len(toks) > 0 THEN
+         |      list_transform(generate_series(0, (len(toks) - 1) // 10),
+         |        i -> array_to_string(toks[i * 10 + 1 : i * 10 + 10], ' '))
+         |    ELSE [] END AS lines FROM tk),
+         |m AS (SELECT doc_id, len(toks) AS nw, len(lines) AS nl,
+         |    list_reduce(list_prepend(0::BIGINT,
+         |      list_transform(toks, t -> length(t)::BIGINT)), (a, b) -> a + b)
+         |      AS wlen,
+         |    (length(text) - length(replace(text, '#', ''))) AS hashes,
+         |    (length(text) - length(replace(text, '...', ''))) // 3 AS ells,
+         |    len(list_filter(lines, l -> l LIKE '-%' OR l LIKE '*%'
+         |      OR l LIKE '•%')) AS bullets,
+         |    len(list_filter(lines, l -> l LIKE '%...')) AS elllines,
+         |    len(list_filter(toks, t -> regexp_matches(t, '[a-zA-Z]')))
+         |      AS alphas,
+         |    len(list_filter(toks, t -> list_contains(
+         |      ['the','a','an','and','or','of','to','in','is','it'], t)))
+         |      AS sw
+         |  FROM ld),
+         |r AS (SELECT doc_id, nw::BIGINT AS n_words,
+         |    CASE WHEN nw > 0 THEN wlen::DOUBLE / nw ELSE 0.0 END
+         |      AS mean_word_len,
+         |    CASE WHEN nw > 0 THEN (hashes + ells)::DOUBLE / nw ELSE 0.0 END
+         |      AS symbol_to_word,
+         |    CASE WHEN nl > 0 THEN bullets::DOUBLE / nl ELSE 0.0 END
+         |      AS bullet_line_frac,
+         |    CASE WHEN nl > 0 THEN elllines::DOUBLE / nl ELSE 0.0 END
+         |      AS ellipsis_line_frac,
+         |    CASE WHEN nw > 0 THEN alphas::DOUBLE / nw ELSE 0.0 END
+         |      AS alpha_word_frac,
+         |    sw::BIGINT AS stopword_hits
+         |  FROM m)
+         |SELECT doc_id, n_words, mean_word_len, symbol_to_word,
+         |  bullet_line_frac, ellipsis_line_frac, alpha_word_frac,
+         |  stopword_hits,
+         |  (n_words >= 50 AND n_words <= 100000
+         |    AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+         |    AND symbol_to_word < 0.1 AND bullet_line_frac < 0.9
+         |    AND ellipsis_line_frac < 0.3 AND alpha_word_frac > 0.8
+         |    AND stopword_hits >= 2) AS keep
+         |FROM r""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -3713,6 +3830,8 @@ object SparkEntry {
     "q153_ivfadc" -> ivfadcOracleSql(k = 10, nprobe = 4, kCells = 8,
       m = 8, dsub = 8, pqK = 16, iterations = 3, maxProbeId = 5),
 
+    "q155_pagerank" -> pageRankOracleSql(iterations = 10, damping = 0.85),
+
     // Interval-join replay: the q47 session synthesis + the NAIVE theta
     // self-join (oracle scale affords all-pairs; the engine's bucketed
     // equi-join must produce the identical pair set)
@@ -3904,50 +4023,13 @@ object SparkEntry {
 
     // Gopher quality replay: every metric an integer quotient; the
     // '...'-count divides exactly by 3 so the double division is exact
-    "q140_gopher_quality" ->
-      s"""WITH tk AS (SELECT doc_id, text, $tokensSql AS toks FROM documents),
-         |ld AS (SELECT doc_id, text, toks,
-         |    CASE WHEN len(toks) > 0 THEN
-         |      list_transform(generate_series(0, (len(toks) - 1) // 10),
-         |        i -> array_to_string(toks[i * 10 + 1 : i * 10 + 10], ' '))
-         |    ELSE [] END AS lines FROM tk),
-         |m AS (SELECT doc_id, len(toks) AS nw, len(lines) AS nl,
-         |    list_reduce(list_prepend(0::BIGINT,
-         |      list_transform(toks, t -> length(t)::BIGINT)), (a, b) -> a + b)
-         |      AS wlen,
-         |    (length(text) - length(replace(text, '#', ''))) AS hashes,
-         |    (length(text) - length(replace(text, '...', ''))) // 3 AS ells,
-         |    len(list_filter(lines, l -> l LIKE '-%' OR l LIKE '*%'
-         |      OR l LIKE '•%')) AS bullets,
-         |    len(list_filter(lines, l -> l LIKE '%...')) AS elllines,
-         |    len(list_filter(toks, t -> regexp_matches(t, '[a-zA-Z]')))
-         |      AS alphas,
-         |    len(list_filter(toks, t -> list_contains(
-         |      ['the','a','an','and','or','of','to','in','is','it'], t)))
-         |      AS sw
-         |  FROM ld),
-         |r AS (SELECT doc_id, nw::BIGINT AS n_words,
-         |    CASE WHEN nw > 0 THEN wlen::DOUBLE / nw ELSE 0.0 END
-         |      AS mean_word_len,
-         |    CASE WHEN nw > 0 THEN (hashes + ells)::DOUBLE / nw ELSE 0.0 END
-         |      AS symbol_to_word,
-         |    CASE WHEN nl > 0 THEN bullets::DOUBLE / nl ELSE 0.0 END
-         |      AS bullet_line_frac,
-         |    CASE WHEN nl > 0 THEN elllines::DOUBLE / nl ELSE 0.0 END
-         |      AS ellipsis_line_frac,
-         |    CASE WHEN nw > 0 THEN alphas::DOUBLE / nw ELSE 0.0 END
-         |      AS alpha_word_frac,
-         |    sw::BIGINT AS stopword_hits
-         |  FROM m)
-         |SELECT doc_id, n_words, mean_word_len, symbol_to_word,
-         |  bullet_line_frac, ellipsis_line_frac, alpha_word_frac,
-         |  stopword_hits,
-         |  (n_words >= 50 AND n_words <= 100000
-         |    AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
-         |    AND symbol_to_word < 0.1 AND bullet_line_frac < 0.9
-         |    AND ellipsis_line_frac < 0.3 AND alpha_word_frac > 0.8
-         |    AND stopword_hits >= 2) AS keep
-         |FROM r""".stripMargin,
+    "q140_gopher_quality" -> gopherQualityOracleSql,
+
+    // Streaming quality gate replay: the same batch SQL restricted to
+    // the keep=true rows the stream emits
+    "q154_stream_quality" ->
+      s"""SELECT doc_id, n_words, stopword_hits
+         |FROM ($gopherQualityOracleSql) WHERE keep""".stripMargin,
 
     // C4 line filter replay: same line synthesis, same word-count and
     // substring-blocklist predicates, docs with >=3 surviving lines

@@ -86,4 +86,55 @@ object Graph {
     */
   def componentSizes(components: DataFrame): DataFrame =
     components.groupBy(col("component")).agg(count(lit(1)).as("n_vertices"))
+
+  /** PageRank over a directed edge list (Page et al. 1999), fixed
+    * iteration count: pr'(v) = (1−d)/N + d·Σ_{u→v} pr(u)/out(u).
+    *
+    * Determinism contract (what makes this oracle-replayable bit-exact):
+    *   - edges are DISTINCT (u, v); N and out-degrees are exact ints;
+    *   - every per-vertex contribution sum folds in SOURCE-VERTEX order
+    *     (collect_list → array_sort → left fold) — a plain SUM would be
+    *     partitioning-dependent in the last ulp;
+    *   - the constants (1−d)/N and d enter as the SAME driver-computed
+    *     doubles the SQL oracle interpolates/recomputes identically.
+    *   With those fixed, every iteration is an identical IEEE op
+    *   sequence on both engines — raw doubles compare equal, no display
+    *   rounding needed.
+    *
+    * Scale shape: one distinct + degree pass up front; per iteration ONE
+    * shuffle (contributions grouped by dst; in-degree-bounded
+    * collect_list) + the rank join, with an eager localCheckpoint every
+    * iteration for constant plan depth. Dangling vertices keep
+    * contributing nothing (their mass leaks — the simplified PageRank
+    * most engines ship; documented, deterministic).
+    */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int = 10, damping: Double = 0.85): DataFrame = {
+    val e = edges.select(col(srcCol).cast("long").as("u"),
+      col(dstCol).cast("long").as("v")).distinct()
+      .localCheckpoint(true)
+    val nodes = e.select(col("u").as("node"))
+      .union(e.select(col("v").as("node"))).distinct()
+      .localCheckpoint(true)
+    val outDeg = e.groupBy(col("u")).agg(count(lit(1)).as("__out"))
+    val n = nodes.count()
+    val reset = (1.0 - damping) / n
+
+    var pr = nodes.withColumn("pr", lit(1.0 / n)).localCheckpoint(true)
+    (1 to iterations).foreach { _ =>
+      val contrib = e.join(pr, e("u") === pr("node"))
+        .join(outDeg, Seq("u"))
+        .select(col("v"), col("u"), (col("pr") / col("__out")).as("__c"))
+      val sums = contrib.groupBy(col("v"))
+        .agg(aggregate(
+          transform(array_sort(collect_list(struct(col("u"), col("__c")))),
+            x => x.getField("__c")),
+          lit(0.0), (acc, x) => acc + x).as("__s"))
+      pr = nodes.join(sums, nodes("node") === sums("v"), "left")
+        .select(col("node"),
+          (lit(reset) + lit(damping) * coalesce(col("__s"), lit(0.0))).as("pr"))
+        .localCheckpoint(true)
+    }
+    pr
+  }
 }

@@ -48,4 +48,35 @@ class GraphSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toMap
     assert(sizes == Map(1L -> 3L, 10L -> 2L))
   }
+
+  test("pageRank: hub of a star collects the rank mass") {
+    // star with back-edges: spokes feed the hub, hub redistributes —
+    // monotone convergence (a one-way star oscillates period-2)
+    val edges = ((1 to 9).map(i => (i.toLong, 0L)) ++
+      (1 to 9).map(i => (0L, i.toLong))).toDF("u", "v")
+    // 20 its: the hub-spoke bipartite mode decays as 0.85^k, so 10 its
+    // still sit ~0.07 below the 0.4676 fixpoint
+    val pr = Graph.pageRank(edges, "u", "v", iterations = 20)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(pr(0L) > 0.43, s"hub ${pr(0L)}")  // fixpoint 0.4676
+    assert((1 to 9).forall(i => pr(0L) > pr(i.toLong)))
+    assert((2 to 9).forall(i => math.abs(pr(i.toLong) - pr(1L)) < 1e-12))
+  }
+
+  test("pageRank: uniform cycle stays uniform") {
+    val n = 6
+    val edges = (0 until n).map(i => (i.toLong, ((i + 1) % n).toLong)).toDF("u", "v")
+    val pr = Graph.pageRank(edges, "u", "v", iterations = 7)
+      .collect().map(_.getDouble(1))
+    assert(pr.forall(p => math.abs(p - 1.0 / n) < 1e-12))
+  }
+
+  test("pageRank: bit-identical across partitionings (ordered folds)") {
+    val edges = (0 until 60).map(i => ((i % 12).toLong, (i % 7).toLong)).toDF("u", "v")
+    val a = Graph.pageRank(edges, "u", "v").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val b = Graph.pageRank(edges.repartition(7), "u", "v").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(a == b)  // exact double equality, not approx
+  }
 }
