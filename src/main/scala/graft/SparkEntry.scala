@@ -1592,6 +1592,13 @@ object SparkEntry {
         t(s, d, "documents"), "doc_id", "text",
         isTarget = col("lang") === "en", buckets = 2048, alpha = 0.5)),
 
+    // Per-user EWMA + forecast deviation over event values (α=0.25,
+    // binary-exact) — sequential per-key recursion via ordered fold;
+    // bit-exact vs the recursive-CTE replay
+    "q156_ewma" -> ((s, d) =>
+      graft.operators.EventAnalytics.ewma(Tables.events(s, d),
+        "user_id", "ts", "event_id", "value")),
+
     // PageRank (10 fixed iterations, d=0.85) over the doc_id%50 →
     // n_chars%50 functional graph — hub-and-spoke degrees, dangling
     // nodes exercised; bit-exact raw doubles (source-ordered folds)
@@ -3831,6 +3838,23 @@ object SparkEntry {
       m = 8, dsub = 8, pqK = 16, iterations = 3, maxProbeId = 5),
 
     "q155_pagerank" -> pageRankOracleSql(iterations = 10, damping = 0.85),
+
+    // EWMA replay: recursive CTE stepping rn → rn+1 per user with the
+    // same (µs, event_id) order and the same binary-exact constants
+    "q156_ewma" ->
+      """WITH RECURSIVE e AS (SELECT user_id AS u, event_id AS id, value,
+        |    epoch_us(ts) AS us FROM events WHERE value IS NOT NULL),
+        |o AS (SELECT u, id, value::DOUBLE AS x,
+        |    row_number() OVER (PARTITION BY u ORDER BY us, id) AS rn FROM e),
+        |r AS (
+        |  SELECT u, id, x, rn, x AS ewma, NULL::DOUBLE AS dev
+        |  FROM o WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.u, o.id, o.x, o.rn,
+        |    0.25::DOUBLE * o.x + 0.75::DOUBLE * r.ewma AS ewma,
+        |    o.x - r.ewma AS dev
+        |  FROM o JOIN r ON o.u = r.u AND o.rn = r.rn + 1)
+        |SELECT id AS event_id, ewma, dev AS deviation FROM r""".stripMargin,
 
     // Interval-join replay: the q47 session synthesis + the NAIVE theta
     // self-join (oracle scale affords all-pairs; the engine's bucketed

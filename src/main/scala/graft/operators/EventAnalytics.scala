@@ -89,6 +89,48 @@ object EventAnalytics {
       .agg(count_distinct(col("u")).as("active_users"))
   }
 
+  /** Per-key EWMA (exponentially weighted moving average) with
+    * deviation-from-forecast — the sequential-recursion family
+    * (e₁ = x₁; eᵢ = α·xᵢ + (1−α)·eᵢ₋₁) that windows cannot express.
+    *
+    * Implementation is a per-key ORDERED FOLD over the collected event
+    * array (sorted by (µs, id)) — no typed lambdas/UDFs, one shuffle on
+    * the key; state per key is its own history (bounded by per-key
+    * activity — at 100 TB cap key cardinality or window the input, as
+    * with any per-key sequential op). Every step is a fixed IEEE op
+    * sequence, so outputs are BIT-exact vs the oracle's recursive-CTE
+    * replay (α = 0.25 is binary-exact; 1−α likewise).
+    */
+  def ewma(events: DataFrame, keyCol: String, tsCol: String, idCol: String,
+      valueCol: String, alpha: Double = 0.25): DataFrame = {
+    val oneMinus = 1.0 - alpha
+    val sorted = events
+      .filter(col(valueCol).isNotNull)
+      .select(col(keyCol).as("k"), unix_micros(col(tsCol)).as("us"),
+        col(idCol).as("id"), col(valueCol).cast("double").as("x"))
+      .groupBy(col("k"))
+      .agg(array_sort(collect_list(struct(col("us"), col("id"), col("x"))))
+        .as("__ev"))
+    val zero = struct(
+      array().cast("array<struct<id:bigint,ewma:double,dev:double>>").as("out"),
+      lit(null).cast("double").as("prev"))
+    val folded = sorted.select(col("k"),
+      aggregate(col("__ev"), zero, (acc, e) => {
+        val x = e.getField("x")
+        val prev = acc.getField("prev")
+        val next = when(prev.isNull, x)
+          .otherwise(lit(alpha) * x + lit(oneMinus) * prev)
+        struct(
+          concat(acc.getField("out"), array(struct(
+            e.getField("id").as("id"), next.as("ewma"),
+            (x - prev).as("dev")))).as("out"),
+          next.as("prev"))
+      }).getField("out").as("__out"))
+    folded.select(explode(col("__out")).as("r"))
+      .select(col("r.id").as("event_id"), col("r.ewma").as("ewma"),
+        col("r.dev").as("deviation"))
+  }
+
   /** First-order event-transition matrix: per user, consecutive event
     * pairs in (µs, event_id) order; counts and the conditional
     * probability P(next | prev) as an exact integer quotient.

@@ -2,6 +2,7 @@ package graft.operators
 
 import java.sql.Timestamp
 
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.TestSpark
@@ -82,5 +83,39 @@ class EventAnalyticsSpec extends AnyFunSuite {
       "event_id", "event_type")
       .collect().map(r => (r.getString(0), r.getString(1))).toSet
     assert(out == Set(("A", "B"), ("B", "C")))
+  }
+
+  test("ewma: recursion seeds on first value, smooths after") {
+    val df = ev((1L, 1L, 0, "x"), (1L, 2L, 1, "x"), (1L, 3L, 2, "x"))
+      .withColumn("value", col("event_id").cast("double") * 4)
+    val out = EventAnalytics.ewma(df, "user_id", "ts", "event_id", "value")
+      .orderBy("event_id").collect()
+    assert(out(0).getDouble(1) == 4.0)                 // seed = x1
+    assert(out(0).isNullAt(2))                         // no forecast yet
+    assert(out(1).getDouble(1) == 0.25 * 8 + 0.75 * 4) // 5.0
+    assert(out(1).getDouble(2) == 8.0 - 4.0)
+    assert(out(2).getDouble(1) == 0.25 * 12 + 0.75 * 5.0)
+  }
+
+  test("ewma: keys are independent; null values are skipped") {
+    val df = ev((1L, 1L, 0, "x"), (2L, 2L, 0, "x"), (1L, 3L, 1, "x"))
+      .withColumn("value",
+        when(col("event_id") === 3, lit(null)).otherwise(lit(10.0)))
+    val out = EventAnalytics.ewma(df, "user_id", "ts", "event_id", "value")
+      .collect()
+    assert(out.length == 2)                            // null row dropped
+    assert(out.forall(_.getDouble(1) == 10.0))         // both are seeds
+  }
+
+  test("ewma: bit-identical across partitionings") {
+    val df = ev((1 to 40).map(i =>
+      ((i % 3).toLong, i.toLong, i, "x")): _*)
+      .withColumn("value", col("event_id").cast("double") % 7)
+    val a = EventAnalytics.ewma(df, "user_id", "ts", "event_id", "value")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val b = EventAnalytics.ewma(df.repartition(11), "user_id", "ts",
+      "event_id", "value")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(a == b)
   }
 }
