@@ -1592,6 +1592,13 @@ object SparkEntry {
         t(s, d, "documents"), "doc_id", "text",
         isTarget = col("lang") === "en", buckets = 2048, alpha = 0.5)),
 
+    // Market-basket frequent pairs over order line items: a-priori
+    // pruning before the basket self-join; exact counts, fixed-order
+    // quotient support/confidence/lift
+    "q157_frequent_pairs" -> ((s, d) =>
+      graft.operators.Association.frequentPairs(
+        t(s, d, "lineitem"), "l_orderkey", "l_partkey", minSupport = 2L)),
+
     // Per-user EWMA + forecast deviation over event values (α=0.25,
     // binary-exact) — sequential per-key recursion via ordered fold;
     // bit-exact vs the recursive-CTE replay
@@ -3838,6 +3845,25 @@ object SparkEntry {
       m = 8, dsub = 8, pqK = 16, iterations = 3, maxProbeId = 5),
 
     "q155_pagerank" -> pageRankOracleSql(iterations = 10, damping = 0.85),
+
+    // Frequent-pairs replay: same distinct/prune/pair/count chain, same
+    // fixed-order quotients
+    "q157_frequent_pairs" ->
+      """WITH it AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+        |  FROM lineitem),
+        |n AS (SELECT count(DISTINCT b)::BIGINT AS nb FROM it),
+        |ic AS (SELECT i, count(*) AS ci FROM it GROUP BY i
+        |  HAVING count(*) >= 2),
+        |f AS (SELECT it.b, it.i, ic.ci FROM it JOIN ic ON ic.i = it.i),
+        |p AS (SELECT a.i AS i1, c.i AS i2, a.ci AS c1, c.ci AS c2,
+        |    count(*) AS pair_count
+        |  FROM f a JOIN f c ON a.b = c.b AND a.i < c.i
+        |  GROUP BY 1, 2, 3, 4 HAVING count(*) >= 2)
+        |SELECT i1, i2, pair_count::BIGINT AS pair_count,
+        |  pair_count::DOUBLE / nb AS support,
+        |  pair_count::DOUBLE / c1 AS confidence_1_2,
+        |  (pair_count::DOUBLE / c1) / (c2::DOUBLE / nb) AS lift
+        |FROM p CROSS JOIN n""".stripMargin,
 
     // EWMA replay: recursive CTE stepping rn → rn+1 per user with the
     // same (µs, event_id) order and the same binary-exact constants

@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class AssociationSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("frequentPairs: counts, support, confidence, lift on a hand basket set") {
+    // baskets: {milk,bread}, {milk,bread,eggs}, {milk,eggs}, {bread}
+    val df = Seq((1L, "milk"), (1L, "bread"), (2L, "milk"), (2L, "bread"),
+      (2L, "eggs"), (3L, "milk"), (3L, "eggs"), (4L, "bread"))
+      .toDF("basket", "item")
+    val out = Association.frequentPairs(df, "basket", "item", minSupport = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    // (bread, milk): together in 2 of 4 baskets; bread in 3, milk in 3
+    val bm = out(("bread", "milk"))
+    assert(bm.getAs[Long]("pair_count") == 2)
+    assert(bm.getAs[Double]("support") == 0.5)
+    assert(bm.getAs[Double]("confidence_1_2") == 2.0 / 3)
+    assert(bm.getAs[Double]("lift") == (2.0 / 3) / (3.0 / 4))
+    // (eggs, milk) with support 2 present; nothing else reaches 2
+    assert(out.keySet == Set(("bread", "milk"), ("eggs", "milk")))
+  }
+
+  test("frequentPairs: a-priori — below-support items never pair") {
+    val df = Seq((1L, "a"), (1L, "rare"), (2L, "a"), (2L, "b"), (3L, "a"),
+      (3L, "b")).toDF("basket", "item")
+    val out = Association.frequentPairs(df, "basket", "item", minSupport = 2)
+      .collect()
+    assert(out.map(r => (r.getString(0), r.getString(1))).toSet ==
+      Set(("a", "b")))
+  }
+
+  test("frequentPairs: duplicate items within a basket count once") {
+    val df = Seq((1L, "x"), (1L, "x"), (1L, "y"), (2L, "x"), (2L, "y"))
+      .toDF("basket", "item")
+    val out = Association.frequentPairs(df, "basket", "item", minSupport = 2)
+      .collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[Long]("pair_count") == 2)
+  }
+}
