@@ -1592,6 +1592,15 @@ object SparkEntry {
         t(s, d, "documents"), "doc_id", "text",
         isTarget = col("lang") === "en", buckets = 2048, alpha = 0.5)),
 
+    // Rank-based score normalization within event_type groups (quantile
+    // scaling for blending heterogeneous scores) — exact quotients
+    "q158_rank_normalize" -> ((s, d) =>
+      graft.operators.TrainingData.rankNormalize(
+        Tables.events(s, d)
+          .filter(col("value").isNotNull)
+          .select(col("event_id"), col("event_type"), col("value")),
+        "event_type", "value")),
+
     // Market-basket frequent pairs over order line items: a-priori
     // pruning before the basket self-join; exact counts, fixed-order
     // quotient support/confidence/lift
@@ -3845,6 +3854,16 @@ object SparkEntry {
       m = 8, dsub = 8, pqK = 16, iterations = 3, maxProbeId = 5),
 
     "q155_pagerank" -> pageRankOracleSql(iterations = 10, damping = 0.85),
+
+    // Rank-normalize replay: RANK-ties semantics, exact quotients
+    "q158_rank_normalize" ->
+      """SELECT event_id, event_type, value,
+        |  CASE WHEN n > 1 THEN (rk - 1)::DOUBLE / (n - 1) ELSE 0.0 END
+        |    AS score_norm
+        |FROM (SELECT event_id, event_type, value,
+        |    rank() OVER (PARTITION BY event_type ORDER BY value) AS rk,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events WHERE value IS NOT NULL)""".stripMargin,
 
     // Frequent-pairs replay: same distinct/prune/pair/count chain, same
     // fixed-order quotients

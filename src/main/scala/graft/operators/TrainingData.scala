@@ -335,6 +335,31 @@ object TrainingData {
       .withColumn("contaminated", lit(true))
   }
 
+  /** Rank-based score normalization (quantile scaling) per group: maps a
+    * raw score column to [0, 1] by `(rank − 1) / (n − 1)` with RANK
+    * semantics (ties share the min rank — deterministic, oracle-exact;
+    * average-rank tie handling would need a second window). The standard
+    * calibration-free way to blend heterogeneous quality scores before
+    * mixing corpora.
+    *
+    * One shuffle on the group key; the rank window sorts within groups
+    * only. All outputs are exact integer quotients. Groups of size 1
+    * get 0.0 (defined, not 0/0).
+    */
+  def rankNormalize(df: DataFrame, groupCol: String, scoreCol: String,
+      outCol: String = "score_norm"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col(scoreCol))
+    val cw = org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))
+    df.withColumn("__rk", rank().over(w))
+      .withColumn("__n", count(lit(1)).over(cw))
+      .withColumn(outCol,
+        when(col("__n") > 1,
+          (col("__rk") - 1).cast("double") / (col("__n") - 1))
+          .otherwise(lit(0.0)))
+      .drop("__rk", "__n")
+  }
+
   /** Data-mixture audit: per group (language / source / domain), doc and
     * token counts, the realized corpus share, the divergence from a
     * target mixture, and the per-group KL contribution

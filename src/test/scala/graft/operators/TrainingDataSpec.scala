@@ -227,4 +227,16 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(out("xx").getAs[Double]("target_share") == 0.0)
     assert(out("xx").isNullAt(out("xx").fieldIndex("kl_term")))
   }
+
+  test("rankNormalize: quantile scaling with RANK tie semantics") {
+    val df = Seq(("a", 1L, 10.0), ("a", 2L, 20.0), ("a", 3L, 20.0),
+      ("a", 4L, 30.0), ("b", 5L, 99.0)).toDF("g", "id", "v")
+    val out = TrainingData.rankNormalize(df, "g", "v")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("score_norm"))
+      .toMap
+    assert(out(1L) == 0.0)
+    assert(out(2L) == 1.0 / 3 && out(3L) == 1.0 / 3)  // tie: shared min rank
+    assert(out(4L) == 1.0)
+    assert(out(5L) == 0.0)                            // singleton group
+  }
 }
