@@ -1592,6 +1592,18 @@ object SparkEntry {
         t(s, d, "documents"), "doc_id", "text",
         isTarget = col("lang") === "en", buckets = 2048, alpha = 0.5)),
 
+    // Per-event-type OLS trend of value vs event-hour — grouped
+    // regression, bit-exact (id-ordered folds, no transcendentals)
+    "q160_group_trend" -> ((s, d) =>
+      graft.operators.EventAnalytics.groupTrend(Tables.events(s, d),
+        "event_type", "ts", "event_id", "value")),
+
+    // Trigram-index substring search: postings intersection (all pattern
+    // trigrams) + exact contains rerank — no corpus scan for candidates
+    "q159_trigram_search" -> ((s, d) =>
+      graft.operators.TextAnalysis.trigramSearch(
+        t(s, d, "documents"), "doc_id", "text", "merge slow")),
+
     // Rank-based score normalization within event_type groups (quantile
     // scaling for blending heterogeneous scores) — exact quotients
     "q158_rank_normalize" -> ((s, d) =>
@@ -3854,6 +3866,35 @@ object SparkEntry {
       m = 8, dsub = 8, pqK = 16, iterations = 3, maxProbeId = 5),
 
     "q155_pagerank" -> pageRankOracleSql(iterations = 10, damping = 0.85),
+
+    // Group-trend replay: same hour x, id-ordered folds, same closed form
+    "q160_group_trend" ->
+      """WITH b AS (SELECT event_type AS g, event_id AS id,
+        |    (epoch_us(ts) // 3600000000)::DOUBLE AS x, value::DOUBLE AS y
+        |  FROM events WHERE value IS NOT NULL),
+        |s AS (SELECT g, count(*)::BIGINT AS n,
+        |    list_reduce(list_prepend(0.0, list(x ORDER BY id)),
+        |      (a, b) -> a + b) AS sx,
+        |    list_reduce(list_prepend(0.0, list(y ORDER BY id)),
+        |      (a, b) -> a + b) AS sy,
+        |    list_reduce(list_prepend(0.0, list(x * y ORDER BY id)),
+        |      (a, b) -> a + b) AS sxy,
+        |    list_reduce(list_prepend(0.0, list(x * x ORDER BY id)),
+        |      (a, b) -> a + b) AS sxx
+        |  FROM b GROUP BY g)
+        |SELECT g AS event_type, n,
+        |  CASE WHEN n * sxx - sx * sx <> 0.0 THEN
+        |    (n * sxy - sx * sy) / (n * sxx - sx * sx) END AS slope,
+        |  CASE WHEN n * sxx - sx * sx <> 0.0 THEN
+        |    (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n END
+        |    AS intercept
+        |FROM s""".stripMargin,
+
+    // Trigram-search oracle: the ground truth IS the naive scan — the
+    // index must lose nothing (total recall) and the rerank nothing extra
+    "q159_trigram_search" ->
+      """SELECT doc_id FROM documents
+        |WHERE contains(lower(text), 'merge slow')""".stripMargin,
 
     // Rank-normalize replay: RANK-ties semantics, exact quotients
     "q158_rank_normalize" ->

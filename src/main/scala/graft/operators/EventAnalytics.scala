@@ -89,6 +89,40 @@ object EventAnalytics {
       .agg(count_distinct(col("u")).as("active_users"))
   }
 
+  /** Per-group least-squares trend: slope/intercept of `value` against
+    * event-hour (epoch µs ÷ 3600000000, exact integral division) — the
+    * grouped-OLS family (metric drift per segment). The four regression
+    * sums fold in event-id order (fixed FP sequence), and no
+    * transcendental enters, so slope and intercept are BIT-exact
+    * cross-engine on raw doubles. One shuffle on the group key;
+    * per-group state is the collected (id, x, y) list — bound group
+    * cardinality accordingly at fleet scale (or pre-aggregate per hour).
+    */
+  def groupTrend(events: DataFrame, groupCol: String, tsCol: String,
+      idCol: String, valueCol: String): DataFrame = {
+    val base = events.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("g"), col(idCol).as("id"),
+        expr(s"unix_micros($tsCol) div 3600000000L").cast("double").as("x"),
+        col(valueCol).cast("double").as("y"))
+    def foldOrdered(value: Column): Column =
+      aggregate(
+        transform(array_sort(collect_list(struct(col("id"), value.as("v")))),
+          s => s.getField("v")),
+        lit(0.0), (acc, v) => acc + v)
+    val sums = base.groupBy(col("g"))
+      .agg(count(lit(1)).as("n"),
+        foldOrdered(col("x")).as("__sx"), foldOrdered(col("y")).as("__sy"),
+        foldOrdered(col("x") * col("y")).as("__sxy"),
+        foldOrdered(col("x") * col("x")).as("__sxx"))
+    val nD = col("n").cast("double")
+    val denom = nD * col("__sxx") - col("__sx") * col("__sx")
+    val slope = (nD * col("__sxy") - col("__sx") * col("__sy")) / denom
+    sums.select(col("g").as(groupCol), col("n"),
+      when(denom =!= 0.0, slope).as("slope"),
+      when(denom =!= 0.0, (col("__sy") - slope * col("__sx")) / nD)
+        .as("intercept"))
+  }
+
   /** Per-key EWMA (exponentially weighted moving average) with
     * deviation-from-forecast — the sequential-recursion family
     * (e₁ = x₁; eᵢ = α·xᵢ + (1−α)·eᵢ₋₁) that windows cannot express.

@@ -408,6 +408,40 @@ object TextAnalysis {
         round(-col("__sum") / col("n_bigrams").cast("double"), 4).as("avg_neg_logp"))
   }
 
+  /** Substring search through a TRIGRAM POSTINGS index (the code-search
+    * architecture: Cox's "Regular Expression Matching with a Trigram
+    * Index"): candidate docs must contain EVERY trigram of the pattern
+    * (postings intersection = a group-count equi-join, no corpus scan),
+    * then an exact `contains` rerank kills false positives (trigrams
+    * present but non-contiguous). Patterns shorter than 3 chars fall
+    * back to the scan the index cannot help with.
+    *
+    * Scale shape: the postings build is one (doc, trigram) explode with
+    * DISTINCT partial-agg; a query touches only the pattern's trigram
+    * posting lists (bucket-prunable if persisted bucketed-by-trigram,
+    * the q112 BM25 layout); the intersection is a count filter, and
+    * only candidate payloads are fetched for the rerank.
+    */
+  def trigramSearch(df: DataFrame, idCol: String, textCol: String,
+      pattern: String): DataFrame = {
+    require(pattern.length >= 3, "trigram index needs patterns of length >= 3")
+    val grams = pattern.toLowerCase.sliding(3).toSeq.distinct
+    // stage the lowered text: charNgrams re-evaluates its arg per gram
+    // (interpreted lambda — the O(n²) trap its scaladoc pins)
+    val postings = df
+      .select(col(idCol), lower(col(textCol)).as("__lo"))
+      .select(col(idCol),
+        explode(array_distinct(
+          graft.functions.TextFunctions.charNgrams(col("__lo"), 3))).as("g"))
+      .filter(col("g").isin(grams: _*))
+    val candidates = postings.groupBy(col(idCol))
+      .agg(count(lit(1)).as("__hits"))
+      .filter(col("__hits") === grams.size)
+    df.join(candidates, Seq(idCol), "left_semi")
+      .filter(lower(col(textCol)).contains(pattern.toLowerCase))
+      .select(col(idCol))
+  }
+
   /** Zipf's-law fit over the corpus frequency spectrum: least-squares
     * slope/intercept of ln(freq) vs ln(rank) for the top `topN` terms —
     * the standard corpus-health diagnostic (natural language ≈ −1 slope;

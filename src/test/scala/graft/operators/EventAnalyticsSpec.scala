@@ -118,4 +118,28 @@ class EventAnalyticsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(a == b)
   }
+
+  test("groupTrend: exact slope/intercept on a synthetic line") {
+    // y = 2x + 1 over hours 0..4 (x exact) — slope/intercept recovered
+    val df = (0 until 5).map { h =>
+      (1L, (h + 1).toLong, h * 24, "x")   // hour h*24 => x = h*24
+    }.map { case (u, id, h, t) => (u, id, ts(h), t) }
+      .toDF("user_id", "event_id", "ts", "event_type")
+      .withColumn("value",
+        (unix_micros(col("ts")) / lit(3600000000L)).cast("double") * 2 + 1)
+    val r = EventAnalytics.groupTrend(df, "event_type", "ts", "event_id",
+      "value").collect()(0)
+    assert(r.getAs[Long]("n") == 5)
+    assert(math.abs(r.getAs[Double]("slope") - 2.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("intercept") - 1.0) < 1e-6)
+  }
+
+  test("groupTrend: constant-x group yields null slope, groups independent") {
+    val df = ev((1L, 1L, 0, "a"), (1L, 2L, 0, "a"), (1L, 3L, 5, "b"),
+      (1L, 4L, 29, "b")).withColumn("value", lit(3.0))
+    val out = EventAnalytics.groupTrend(df, "event_type", "ts", "event_id",
+      "value").collect().map(r => r.getString(0) -> r).toMap
+    assert(out("a").isNullAt(out("a").fieldIndex("slope")))  // same hour twice
+    assert(out("b").getAs[Double]("slope") == 0.0)           // flat line
+  }
 }

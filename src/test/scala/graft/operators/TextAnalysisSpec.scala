@@ -332,4 +332,31 @@ class TextAnalysisSpec extends AnyFunSuite {
     val r = TextAnalysis.zipfFit(df, "text").collect()(0)
     assert(r.getAs[Double]("slope") == 0.0)
   }
+
+  test("trigramSearch: finds substrings, rerank kills trigram-only FPs") {
+    val df = Seq(
+      (1L, "the quick brown fox"),
+      (2L, "quick the brown"),       // has all trigrams of "ck b"? no:
+      (3L, "thick brows"),           // shares some trigrams, not substring
+      (4L, "THE QUICK one")          // case-insensitive hit
+    ).toDF("doc_id", "text")
+    val hits = TextAnalysis.trigramSearch(df, "doc_id", "text", "he quick")
+      .as[Long].collect().toSet
+    assert(hits == Set(1L, 4L))
+  }
+
+  test("trigramSearch: non-contiguous trigram cooccurrence is rejected") {
+    // doc has every trigram of "abcdef" but never contiguously
+    val df = Seq((1L, "abcd xx cdef xx bcde"), (2L, "abcdef")).toDF("doc_id", "text")
+    val hits = TextAnalysis.trigramSearch(df, "doc_id", "text", "abcdef")
+      .as[Long].collect().toSet
+    assert(hits == Set(2L))
+  }
+
+  test("trigramSearch rejects sub-trigram patterns") {
+    val df = Seq((1L, "ab")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      TextAnalysis.trigramSearch(df, "doc_id", "text", "ab")
+    }
+  }
 }
