@@ -1592,6 +1592,27 @@ object SparkEntry {
         t(s, d, "documents"), "doc_id", "text",
         isTarget = col("lang") === "en", buckets = 2048, alpha = 0.5)),
 
+    // Exact per-group percentiles (nearest-rank, integer rank math —
+    // no q·n double multiply): p50/p90/p95/p99 of value per event_type
+    "q161_exact_percentiles" -> ((s, d) =>
+      graft.operators.Outliers.groupQuantiles(
+        Tables.events(s, d).select(col("event_type"), col("value")),
+        "event_type", "value", percents = Seq(50, 90, 95, 99))),
+
+    // Per-SOURCE boilerplate stripping: lines repeated within a source
+    // (site templates) removed — the per-domain variant of q128
+    "q162_boilerplate_by_source" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("source"),
+          graft.functions.TextFunctions.tokens(col("text")).as("__toks"))
+        .filter(size(col("__toks")) > 0)
+        .select(col("doc_id"), col("source"),
+          graft.operators.QualityRules.syntheticLines(col("__toks"), 10)
+            .as("__lines"))
+      graft.operators.Dedup.stripBoilerplateBySource(docs, "doc_id",
+        "source", col("__lines"), maxDocFreq = 1L)
+    }),
+
     // Per-event-type OLS trend of value vs event-hour — grouped
     // regression, bit-exact (id-ordered folds, no transcendentals)
     "q160_group_trend" -> ((s, d) =>
@@ -3866,6 +3887,46 @@ object SparkEntry {
       m = 8, dsub = 8, pqK = 16, iterations = 3, maxProbeId = 5),
 
     "q155_pagerank" -> pageRankOracleSql(iterations = 10, damping = 0.85),
+
+    // Exact-percentile replay: identical nearest-rank integer targets
+    "q161_exact_percentiles" ->
+      """WITH r AS (SELECT event_type, value,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events WHERE value IS NOT NULL)
+        |SELECT event_type, max(n)::BIGINT AS n,
+        |  max(CASE WHEN rn = (50 * n + 99) // 100 THEN value END) AS p50,
+        |  max(CASE WHEN rn = (90 * n + 99) // 100 THEN value END) AS p90,
+        |  max(CASE WHEN rn = (95 * n + 99) // 100 THEN value END) AS p95,
+        |  max(CASE WHEN rn = (99 * n + 99) // 100 THEN value END) AS p99
+        |FROM r GROUP BY event_type""".stripMargin,
+
+    // Per-source boilerplate replay: hot set keyed (source, line), same
+    // 10-token line synthesis and rebuild as q128
+    "q162_boilerplate_by_source" ->
+      s"""WITH tk AS (SELECT doc_id, source, $tokensSql AS toks FROM documents
+         |  WHERE len($tokensSql) > 0),
+         |ld AS (SELECT doc_id, source,
+         |    list_transform(generate_series(0, (len(toks) - 1) // 10),
+         |      i -> array_to_string(toks[i * 10 + 1 : i * 10 + 10], ' '))
+         |    AS lines FROM tk),
+         |occ AS (SELECT doc_id, source,
+         |    unnest(generate_series(1, len(lines))) AS pos, lines FROM ld),
+         |occ2 AS (SELECT doc_id, source, pos - 1 AS pos, lines[pos] AS line
+         |  FROM occ),
+         |hot AS (SELECT source, line FROM (
+         |  SELECT source, line, count(DISTINCT doc_id) AS nd
+         |  FROM occ2 GROUP BY 1, 2) WHERE nd > 1),
+         |kept AS (SELECT o.doc_id, o.pos, o.line FROM occ2 o
+         |  LEFT JOIN hot h ON h.source = o.source AND h.line = o.line
+         |  WHERE h.line IS NULL),
+         |rb AS (SELECT doc_id, count(*)::BIGINT AS n_kept,
+         |    string_agg(line, chr(10) ORDER BY pos) AS text_kept
+         |  FROM kept GROUP BY doc_id)
+         |SELECT ld.doc_id AS id, ld.source, len(ld.lines)::BIGINT AS n_lines,
+         |  coalesce(rb.n_kept, 0)::BIGINT AS n_kept,
+         |  coalesce(rb.text_kept, '') AS text_kept
+         |FROM ld LEFT JOIN rb ON rb.doc_id = ld.doc_id""".stripMargin,
 
     // Group-trend replay: same hour x, id-ordered folds, same closed form
     "q160_group_trend" ->

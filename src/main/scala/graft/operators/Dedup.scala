@@ -468,6 +468,43 @@ object Dedup {
         coalesce(col("text_kept"), lit("")).as("text_kept"))
   }
 
+  /** Per-GROUP boilerplate stripping: a line is boilerplate within its
+    * group (source/domain) when it appears in more than `maxDocFreq`
+    * distinct docs OF THAT GROUP — the per-site template detector
+    * (site-wide footers repeat within a domain, not across the corpus,
+    * so the global [[stripBoilerplate]] threshold misses them). Hot
+    * set keyed by (group, line), broadcast; same rebuild as the global
+    * form.
+    */
+  def stripBoilerplateBySource(df: DataFrame, idCol: String,
+      groupCol: String, linesCol: Column, maxDocFreq: Long): DataFrame = {
+    require(maxDocFreq >= 1, "maxDocFreq must be >= 1")
+    val spine = df.select(col(idCol).as("id"), col(groupCol).as("grp"),
+      linesCol.as("__lines"))
+      .select(col("id"), col("grp"), col("__lines"),
+        size(col("__lines")).cast("long").as("n_lines"))
+    val occurrences = spine
+      .select(col("id"), col("grp"),
+        posexplode(col("__lines")).as(Seq("pos", "line")))
+    val hot = occurrences
+      .groupBy(col("grp"), col("line"))
+      .agg(count_distinct(col("id")).as("__nd"))
+      .filter(col("__nd") > maxDocFreq)
+      .select(col("grp"), col("line"))
+    val kept = occurrences.join(broadcast(hot), Seq("grp", "line"), "left_anti")
+    val rebuilt = kept.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+            x => x.getField("line")),
+          "\n").as("text_kept"))
+    spine.select(col("id"), col("grp"), col("n_lines"))
+      .join(rebuilt, Seq("id"), "left")
+      .select(col("id"), col("grp").as("source"), col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_kept"), lit("")).as("text_kept"))
+  }
+
   /** Exact repeated-SPAN dedup across documents (the Lee et al.,
     * "Deduplicating Training Data Makes Language Models Better" pass,
     * re-expressed relationally): any `spanLen`-token window whose content

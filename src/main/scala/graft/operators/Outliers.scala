@@ -48,6 +48,31 @@ object Outliers {
     * middle one-or-two ranked values (a 2-element sum is commutative in
     * IEEE arithmetic, so this is deterministic on any partitioning).
     */
+  /** Exact per-group percentiles by the NEAREST-RANK (ceiling)
+    * convention: the p-th percentile is the value at sorted position
+    * ⌈p·n/100⌉ — pure integer rank arithmetic (no q·n double multiply,
+    * whose 0.95·2000 = 1900.0000000000002 would ceil to 1901), so
+    * results are exact raw doubles cross-engine. Percentiles are WIDE
+    * columns (p50, p95, ...) — one rank window + one group agg.
+    * Same scale caveat as [[groupMedian]]: a per-group sort; use
+    * percentile_approx (q137's contract) when groups skew huge.
+    */
+  def groupQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+      percents: Seq[Int]): DataFrame = {
+    require(percents.nonEmpty && percents.forall(p => p >= 1 && p <= 100),
+      "percents must be integer percentages in [1, 100]")
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(valueCol))
+    val cw = Window.partitionBy(col(groupCol))
+    val ranked = df.filter(col(valueCol).isNotNull)
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(cw))
+    ranked.groupBy(col(groupCol))
+      .agg(max(col("__n")).as("n"),
+        percents.map(p =>
+          max(when(col("__rn") === expr(s"($p * __n + 99) div 100"),
+            col(valueCol))).as(s"p$p")): _*)
+  }
+
   def groupMedian(df: DataFrame, groupCol: String, valueCol: String,
       out: String): DataFrame = {
     val gw = Window.partitionBy(col(groupCol))

@@ -262,4 +262,27 @@ class DedupSpec extends AnyFunSuite {
     assert(kept.size == kept.distinct.size)
     assert(kept.toSet == Set("alpha", "boiler", "beta", "gamma", "delta"))
   }
+
+  test("stripBoilerplateBySource: templates strip per group, not across") {
+    import org.apache.spark.sql.functions._
+    val mk = (w: String) => Seq.fill(10)(w).mkString(" ")
+    // "footer" line repeats in BOTH docs of source A (stripped there);
+    // the same line appears once in source B (kept there)
+    val rows = Seq(
+      (1L, "A", Seq(mk("footer"), mk("aa")).mkString(" ")),
+      (2L, "A", Seq(mk("footer"), mk("bb")).mkString(" ")),
+      (3L, "B", Seq(mk("footer"), mk("cc")).mkString(" ")))
+    val docs = rows.toDF("doc_id", "source", "text")
+      .select(col("doc_id"), col("source"),
+        graft.functions.TextFunctions.tokens(col("text")).as("__toks"))
+      .select(col("doc_id"), col("source"),
+        QualityRules.syntheticLines(col("__toks"), 10).as("__lines"))
+    val out = Dedup.stripBoilerplateBySource(docs, "doc_id", "source",
+      col("__lines"), maxDocFreq = 1L)
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("n_kept"), r.getAs[String]("text_kept"))).toMap
+    assert(out(1L) == (1L, mk("aa")))
+    assert(out(2L) == (1L, mk("bb")))
+    assert(out(3L) == (2L, Seq(mk("footer"), mk("cc")).mkString("\n")))
+  }
 }

@@ -44,4 +44,30 @@ class OutliersSpec extends AnyFunSuite {
       .select("g", "med").distinct().as[(String, Double)].collect().toMap
     assert(out == Map("a" -> 2.0, "b" -> 200.0))
   }
+
+  test("groupQuantiles: nearest-rank convention, exact values") {
+    val df = (1 to 100).map(i => ("g", i.toDouble)).toDF("g", "v")
+    val r = Outliers.groupQuantiles(df, "g", "v", Seq(50, 95, 99, 100))
+      .collect()(0)
+    assert(r.getAs[Long]("n") == 100)
+    assert(r.getAs[Double]("p50") == 50.0)   // ceil(50*100/100) = 50
+    assert(r.getAs[Double]("p95") == 95.0)
+    assert(r.getAs[Double]("p99") == 99.0)
+    assert(r.getAs[Double]("p100") == 100.0)
+  }
+
+  test("groupQuantiles: rank math is integral (no 0.95*n ulp ceiling)") {
+    // n=2000: 95*2000/100 = 1900 exactly; a double ceil(0.95*2000)
+    // would land on 1901
+    val df = (1 to 2000).map(i => ("g", i.toDouble)).toDF("g", "v")
+    val r = Outliers.groupQuantiles(df, "g", "v", Seq(95)).collect()(0)
+    assert(r.getAs[Double]("p95") == 1900.0)
+  }
+
+  test("groupQuantiles rejects out-of-range percents") {
+    val df = Seq(("g", 1.0)).toDF("g", "v")
+    intercept[IllegalArgumentException] {
+      Outliers.groupQuantiles(df, "g", "v", Seq(0))
+    }
+  }
 }
