@@ -1592,6 +1592,12 @@ object SparkEntry {
         t(s, d, "documents"), "doc_id", "text",
         isTarget = col("lang") === "en", buckets = 2048, alpha = 0.5)),
 
+    // Edit-distance similarity join over part names: lossless q-gram
+    // count filter (equi-join on grams) + exact levenshtein verify
+    "q163_edit_distance_join" -> ((s, d) =>
+      graft.operators.StringJoin.editDistancePairs(
+        t(s, d, "part"), "p_name", maxDist = 2, q = 2)),
+
     // Exact per-group percentiles (nearest-rank, integer rank math —
     // no q·n double multiply): p50/p90/p95/p99 of value per event_type
     "q161_exact_percentiles" -> ((s, d) =>
@@ -3887,6 +3893,15 @@ object SparkEntry {
       m = 8, dsub = 8, pqK = 16, iterations = 3, maxProbeId = 5),
 
     "q155_pagerank" -> pageRankOracleSql(iterations = 10, damping = 0.85),
+
+    // Edit-distance join oracle: the naive theta scan IS the truth —
+    // the q-gram filter must lose nothing
+    "q163_edit_distance_join" ->
+      """WITH p AS (SELECT DISTINCT p_name FROM part WHERE p_name IS NOT NULL)
+        |SELECT a.p_name AS name_a, b.p_name AS name_b,
+        |  levenshtein(a.p_name, b.p_name)::INT AS dist
+        |FROM p a JOIN p b ON a.p_name < b.p_name
+        |WHERE levenshtein(a.p_name, b.p_name) <= 2""".stripMargin,
 
     // Exact-percentile replay: identical nearest-rank integer targets
     "q161_exact_percentiles" ->
