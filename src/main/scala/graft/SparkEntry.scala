@@ -1592,6 +1592,23 @@ object SparkEntry {
         t(s, d, "documents"), "doc_id", "text",
         isTarget = col("lang") === "en", buckets = 2048, alpha = 0.5)),
 
+    // Incremental IVFADC: train on the even half, persist the cell-
+    // partitioned code index, APPEND the odd half with the frozen
+    // models, probe through partition-pruned cell reads — bit-identical
+    // to a one-shot index with these models
+    "q164_ivfadc_incremental" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val even = emb.filter(col("vec_id") % 2 === 0)
+      val odd = emb.filter(col("vec_id") % 2 =!= 0)
+      val path = s"${sys.props("java.io.tmpdir")}/graft_ivfadc_incr"
+      val model = graft.operators.IvfAdc.train(even, kCells = 8, m = 8,
+        pqK = 16, iterations = 3, dim = 64)
+      graft.operators.IvfAdc.writeIndex(even, model, path)
+      graft.operators.IvfAdc.appendToIndex(odd, path)
+      graft.operators.IvfAdc.topKFromIndex(s, path,
+        emb.filter(col("vec_id") < 5), nprobe = 4, k = 10)
+    }),
+
     // Edit-distance similarity join over part names: lossless q-gram
     // count filter (equi-join on grams) + exact levenshtein verify
     "q163_edit_distance_join" -> ((s, d) =>
@@ -2411,16 +2428,16 @@ object SparkEntry {
     */
   private def ivfadcOracleSql(k: Int, nprobe: Int, kCells: Int, m: Int,
       dsub: Int, pqK: Int, iterations: Int, maxProbeId: Long,
-      dim: Int = 64): String = {
+      dim: Int = 64, trainWhere: String = ""): String = {
     def sqdN(n: Int)(a: String, b: String): String =
       s"list_sum(list_transform(generate_series(1,$n), i -> (($a)[i] - ($b)[i])^2))"
     // coarse Lloyd's over full vectors (the q52 pattern)
-    def cAssign(name: String, cprev: String): String =
+    def cAssign(name: String, cprev: String, base: String = "vecs"): String =
       s"""$name AS (SELECT id, v, cell FROM (
          |  SELECT va.id, va.v, c.cell,
          |    row_number() OVER (PARTITION BY va.id
          |      ORDER BY ${sqdN(dim)("va.v", "c.cv")}, c.cell) AS rn
-         |  FROM vecs va CROSS JOIN $cprev c) WHERE rn = 1)""".stripMargin
+         |  FROM $base va CROSS JOIN $cprev c) WHERE rn = 1)""".stripMargin
     def cUpdate(name: String, aprev: String, cprev: String): String =
       s"""$name AS (SELECT c.cell, coalesce(mm.cv, c.cv) AS cv
          |  FROM $cprev c LEFT JOIN (
@@ -2429,12 +2446,12 @@ object SparkEntry {
          |    CROSS JOIN (SELECT unnest(generate_series(1,$dim)) AS d) i
          |    GROUP BY cell, i.d) GROUP BY cell) mm ON mm.cell = c.cell)""".stripMargin
     // PQ Lloyd's over residual subvectors (the q146 pattern)
-    def pAssign(name: String, cprev: String): String =
+    def pAssign(name: String, cprev: String, base: String = "subs"): String =
       s"""$name AS (SELECT id, sub, sv, code FROM (
          |  SELECT va.id, va.sub, va.sv, c.code,
          |    row_number() OVER (PARTITION BY va.id, va.sub
          |      ORDER BY ${sqdN(dsub)("va.sv", "c.cv")}, c.code) AS rn
-         |  FROM subs va JOIN $cprev c ON c.sub = va.sub) WHERE rn = 1)""".stripMargin
+         |  FROM $base va JOIN $cprev c ON c.sub = va.sub) WHERE rn = 1)""".stripMargin
     def pUpdate(name: String, aprev: String, cprev: String): String =
       s"""$name AS (SELECT c.sub, c.code, coalesce(mm.cv, c.cv) AS cv
          |  FROM $cprev c LEFT JOIN (
@@ -2444,15 +2461,19 @@ object SparkEntry {
          |    GROUP BY sub, code, i.d) GROUP BY sub, code) mm
          |  ON mm.sub = c.sub AND mm.code = c.code)""".stripMargin
     val cLloyd = (1 to iterations).flatMap { i =>
-      Seq(cAssign(s"ca$i", s"cc${i - 1}"), cUpdate(s"cc$i", s"ca$i", s"cc${i - 1}"))
+      Seq(cAssign(s"ca$i", s"cc${i - 1}", base = "tvecs"),
+        cUpdate(s"cc$i", s"ca$i", s"cc${i - 1}"))
     }.mkString(",\n")
     val pLloyd = (1 to iterations).flatMap { i =>
-      Seq(pAssign(s"pa$i", s"pc${i - 1}"), pUpdate(s"pc$i", s"pa$i", s"pc${i - 1}"))
+      Seq(pAssign(s"pa$i", s"pc${i - 1}", base = "tsubs"),
+        pUpdate(s"pc$i", s"pa$i", s"pc${i - 1}"))
     }.mkString(",\n")
     s"""WITH vecs AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+       |tvecs AS (SELECT id, v FROM vecs $trainWhere),
        |$xxh64LongCtes,
        |cinit AS (SELECT xh.id, row_number() OVER (ORDER BY hs) - 1 AS cell
-       |          FROM xh ORDER BY hs LIMIT $kCells),
+       |          FROM xh JOIN tvecs ON tvecs.id = xh.id
+       |          ORDER BY hs LIMIT $kCells),
        |cc0 AS (SELECT cinit.cell, v.v AS cv FROM cinit JOIN vecs v ON v.id = cinit.id),
        |$cLloyd,
        |${cAssign("cafin", s"cc$iterations")},
@@ -2462,8 +2483,11 @@ object SparkEntry {
        |  FROM cafin a JOIN cc$iterations c ON c.cell = a.cell),
        |subs AS (SELECT id, sub, rv[sub * $dsub + 1 : sub * $dsub + $dsub] AS sv
        |  FROM resid CROSS JOIN (SELECT unnest(generate_series(0, ${m - 1})) AS sub)),
+       |tsubs AS (SELECT s.id, s.sub, s.sv FROM subs s
+       |  JOIN tvecs t ON t.id = s.id),
        |pinit AS (SELECT xh.id, row_number() OVER (ORDER BY hs) - 1 AS code
-       |          FROM xh ORDER BY hs LIMIT $pqK),
+       |          FROM xh JOIN tvecs ON tvecs.id = xh.id
+       |          ORDER BY hs LIMIT $pqK),
        |pc0 AS (SELECT s.sub, pinit.code, s.sv AS cv
        |        FROM pinit JOIN subs s ON s.id = pinit.id),
        |$pLloyd,
@@ -3893,6 +3917,12 @@ object SparkEntry {
       m = 8, dsub = 8, pqK = 16, iterations = 3, maxProbeId = 5),
 
     "q155_pagerank" -> pageRankOracleSql(iterations = 10, damping = 0.85),
+
+    // frozen-model append == one-shot build: replay BOTH trainings on
+    // the even half, assignment/encode/ADC over the full corpus
+    "q164_ivfadc_incremental" -> ivfadcOracleSql(k = 10, nprobe = 4,
+      kCells = 8, m = 8, dsub = 8, pqK = 16, iterations = 3,
+      maxProbeId = 5, trainWhere = "WHERE id % 2 = 0"),
 
     // Edit-distance join oracle: the naive theta scan IS the truth —
     // the q-gram filter must lose nothing

@@ -61,6 +61,94 @@ object IvfAdc {
       .select(col("vec_id"), col("cell"),
         PqIndex.encodeVec(col("rv"), model.pq).as("codes"))
 
+  /** Persist the compressed index: codes partitioned BY CELL (probes
+    * prune cell directories at the scan — the inverted lists as data
+    * layout) + both models as parquet alongside (portable to any
+    * Hadoop-FS path). 8 B of codes per vector is what an object store
+    * holds at fleet scale; raw vectors are never needed at query time.
+    */
+  def writeIndex(corpus: DataFrame, model: Model, path: String): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    encode(corpus, model)
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
+    model.coarse.centroids.toSeq.map { case (i, v) => (i, v.toSeq) }
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/coarse")
+    (for (s <- 0 until model.pq.m; c <- 0 until model.pq.k)
+      yield (s, c, model.pq.codebooks(s)(c).toSeq))
+      .toDF("sub", "code", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/pq")
+  }
+
+  def loadModel(spark: org.apache.spark.sql.SparkSession, path: String): Model = {
+    val coarse = IvfIndex.Model(spark.read.parquet(s"$path/coarse")
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1))
+    val pqRows = spark.read.parquet(s"$path/pq")
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Double](2).toArray))
+      .toMap
+    val m = pqRows.keys.map(_._1).max + 1
+    val k = pqRows.keys.map(_._2).max + 1
+    val dsub = pqRows.head._2.length
+    Model(coarse, PqIndex.Model(m, dsub,
+      Array.tabulate(m)(s => Array.tabulate(k)(c => pqRows((s, c))))))
+  }
+
+  /** Incremental maintenance: encode ONLY the new vectors with the
+    * STORED (frozen) models and append into the cell partitions —
+    * bit-identical to a one-shot index of the full corpus with these
+    * models (per-row encode is deterministic; append adds files, never
+    * rewrites). Same frozen-quantizer contract as [[IvfIndex]]/BM25:
+    * retrain + rebuild on distribution drift; new ids must be new.
+    */
+  def appendToIndex(newVecs: DataFrame, path: String): Unit = {
+    val spark = newVecs.sparkSession
+    val m = loadModel(spark, path)
+    encode(newVecs, m)
+      .write.mode("append").partitionBy("cell").parquet(s"$path/cells")
+  }
+
+  /** ADC top-k over a persisted index: the probes' union of nprobe
+    * cells becomes a partition filter — only those cell directories are
+    * read, as 8 B code rows.
+    */
+  def topKFromIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      probes: DataFrame, nprobe: Int, k: Int): DataFrame = {
+    val model = loadModel(spark, path)
+    val ca = centArr(model.coarse)
+    val pcells = probes
+      .select(col("vec_id").as("probe_id"), toDouble(col("embedding")).as("pv"))
+      .select(col("probe_id"), col("pv"),
+        explode(slice(array_sort(transform(ca,
+          (c, i) => struct(squaredL2Distance(col("pv"), c).as("d"),
+            i.as("cell")))), 1, nprobe)).as("pc"))
+      .select(col("probe_id"), col("pv"), col("pc.cell").as("cell"))
+    val dtab = pcells
+      .select(col("probe_id"), col("cell"),
+        PqIndex.distanceTable(
+          zip_with(col("pv"), element_at(ca, col("cell") + 1),
+            (x, c) => x - c), model.pq).as("dt"))
+    // collect once (probes small by contract) → local frame + the
+    // partition-pruning cell list
+    val dtabLocal = spark.createDataFrame(
+      java.util.Arrays.asList(dtab.collect(): _*), dtab.schema)
+    val probedCells = dtabLocal.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val codes = spark.read.parquet(s"$path/cells")
+      .filter(col("cell").isin(probedCells: _*)) // prunes cell= dirs
+      .select(col("vec_id"), col("cell"), col("codes"))
+    codes.join(broadcast(dtabLocal), Seq("cell"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("adc", PqIndex.adcDistance(col("dt"), col("codes"), model.pq.m))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("probe_id"))
+          .orderBy(col("adc"), col("vec_id"))))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("vec_id").as("corpus_id"),
+        round(col("adc"), 4).as("adc_dist"), col("rank"))
+  }
+
   /** ADC top-k through the inverted lists: per probe, the `nprobe`
     * nearest coarse cells (ranked by (distance, cell) over the literal
     * centroids — a per-row computation, no job); per (probe, cell) an

@@ -70,4 +70,36 @@ class IvfAdcSpec extends AnyFunSuite {
       nprobe = 1, k = 3).queryExecution.executedPlan.toString
     assert(p.contains("BroadcastHashJoin"), p.take(800))
   }
+
+  test("persisted index: frozen-model append equals one-shot build") {
+    val df = corpus(40)
+    val even = df.filter(col("vec_id") % 2 === 0)
+    val odd = df.filter(col("vec_id") % 2 =!= 0)
+    val model = IvfAdc.train(even, kCells = 4, m = 4, pqK = 4,
+      iterations = 2, dim = 16)
+    val dir = java.nio.file.Files.createTempDirectory("ivfadc").toString
+    IvfAdc.writeIndex(even, model, dir)
+    IvfAdc.appendToIndex(odd, dir)
+    val probes = df.filter(col("vec_id") < 2)
+    val incr = IvfAdc.topKFromIndex(spark, dir, probes, nprobe = 2, k = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+    val oneShot = IvfAdc.topK(IvfAdc.encode(df, model), probes, model,
+      nprobe = 2, k = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+    assert(incr == oneShot)
+  }
+
+  test("persisted probe prunes cell partitions at the scan") {
+    val df = corpus(40)
+    val model = IvfAdc.train(df, kCells = 4, m = 4, pqK = 4,
+      iterations = 2, dim = 16)
+    val dir = java.nio.file.Files.createTempDirectory("ivfadc2").toString
+    IvfAdc.writeIndex(df, model, dir)
+    val out = IvfAdc.topKFromIndex(spark, dir,
+      df.filter(col("vec_id") === 0), nprobe = 1, k = 3)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cell#") ||
+      plan.contains("cell IN") || plan.contains("cell#"), plan.take(900))
+    assert(out.collect().length == 3)
+  }
 }
