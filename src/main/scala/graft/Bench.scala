@@ -58,7 +58,8 @@ object Bench {
     // index-build + ADC search (the compressed-domain ANN path)
     "q139_gopher_repetition",
     "q143_dsir_weights",
-    "q146_pq_adc")
+    "q146_pq_adc",
+    "q153_ivfadc")
 
   private def runOnce(name: String, spark: SparkSession, sfDir: String): Unit =
     SparkEntry.queries(name)(spark, sfDir)

@@ -1592,6 +1592,12 @@ object SparkEntry {
         t(s, d, "documents"), "doc_id", "text",
         isTarget = col("lang") === "en", buckets = 2048, alpha = 0.5)),
 
+    // 2-D skyline: parts no other part beats on BOTH price and size
+    // (minimize both) — running-min over the distinct metric pairs
+    "q165_skyline" -> ((s, d) =>
+      graft.operators.Outliers.skyline2D(
+        t(s, d, "part"), "p_retailprice", "p_size")),
+
     // Incremental IVFADC: train on the even half, persist the cell-
     // partitioned code index, APPEND the odd half with the frozen
     // models, probe through partition-pruned cell reads — bit-identical
@@ -3923,6 +3929,15 @@ object SparkEntry {
     "q164_ivfadc_incremental" -> ivfadcOracleSql(k = 10, nprobe = 4,
       kCells = 8, m = 8, dsub = 8, pqK = 16, iterations = 3,
       maxProbeId = 5, trainWhere = "WHERE id % 2 = 0"),
+
+    // Skyline oracle: the textbook NOT EXISTS dominance predicate
+    "q165_skyline" ->
+      """WITH p AS (SELECT DISTINCT p_retailprice, p_size FROM part
+        |  WHERE p_retailprice IS NOT NULL AND p_size IS NOT NULL)
+        |SELECT p_retailprice, p_size FROM p a
+        |WHERE NOT EXISTS (SELECT 1 FROM p b
+        |  WHERE b.p_retailprice <= a.p_retailprice AND b.p_size <= a.p_size
+        |    AND (b.p_retailprice < a.p_retailprice OR b.p_size < a.p_size))""".stripMargin,
 
     // Edit-distance join oracle: the naive theta scan IS the truth —
     // the q-gram filter must lose nothing

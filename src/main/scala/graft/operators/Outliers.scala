@@ -57,6 +57,28 @@ object Outliers {
     * Same scale caveat as [[groupMedian]]: a per-group sort; use
     * percentile_approx (q137's contract) when groups skew huge.
     */
+  /** 2-D skyline (Pareto frontier, minimize both axes): points no other
+    * point dominates (x ≤ ∧ y ≤ with one strict). On DISTINCT (x, y)
+    * pairs, a point survives iff its y is strictly below the running
+    * min-y of all (x, y)-lexicographically earlier points — one pass
+    * over the x-sorted distinct frame. Equal-pair duplicates are
+    * mutually non-dominating, so the distinct pass loses nothing.
+    *
+    * Scale: the window runs AFTER the distinct of the metric PAIR — the
+    * frame is bounded by distinct metric combinations, not row count
+    * (band-partition + frontier-merge is the fallback when even that is
+    * huge). Exact arithmetic throughout.
+    */
+  def skyline2D(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val pts = df.select(col(xCol).as("x"), col(yCol).as("y"))
+      .filter(col("x").isNotNull && col("y").isNotNull).distinct()
+    val w = Window.orderBy(col("x"), col("y"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    pts.withColumn("__minPrev", min(col("y")).over(w))
+      .filter(col("__minPrev").isNull || col("y") < col("__minPrev"))
+      .select(col("x").as(xCol), col("y").as(yCol))
+  }
+
   def groupQuantiles(df: DataFrame, groupCol: String, valueCol: String,
       percents: Seq[Int]): DataFrame = {
     require(percents.nonEmpty && percents.forall(p => p >= 1 && p <= 100),

@@ -70,4 +70,22 @@ class OutliersSpec extends AnyFunSuite {
       Outliers.groupQuantiles(df, "g", "v", Seq(0))
     }
   }
+
+  test("skyline2D: dominance semantics incl. ties and duplicates") {
+    val df = Seq(
+      (1.0, 5.0), (2.0, 3.0), (3.0, 3.0),  // (3,3) dominated by (2,3)
+      (4.0, 1.0), (4.0, 1.0),              // duplicate pair: kept once
+      (5.0, 0.5), (1.0, 5.0),              // dup of (1,5)
+      (2.0, 6.0))                          // dominated by (1,5)? no: 1<2 but 5<6 yes -> dominated
+      .toDF("x", "y")
+    val out = Outliers.skyline2D(df, "x", "y")
+      .collect().map(r => (r.getDouble(0), r.getDouble(1))).toSet
+    assert(out == Set((1.0, 5.0), (2.0, 3.0), (4.0, 1.0), (5.0, 0.5)))
+  }
+
+  test("skyline2D: same-x column keeps only the lowest y") {
+    val df = Seq((1.0, 1.0), (1.0, 2.0), (1.0, 3.0)).toDF("x", "y")
+    val out = Outliers.skyline2D(df, "x", "y").collect()
+    assert(out.length == 1 && out(0).getDouble(1) == 1.0)
+  }
 }
