@@ -1592,6 +1592,40 @@ object SparkEntry {
         t(s, d, "documents"), "doc_id", "text",
         isTarget = col("lang") === "en", buckets = 2048, alpha = 0.5)),
 
+    // Streaming EWMA: one double of flatMapGroupsWithState state per
+    // key carries the recursion across batches; driver-checked against
+    // the batch recursion (one file = one batch → unconditional)
+    "q166_stream_ewma" -> ((s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val tmp = sys.props("java.io.tmpdir")
+      val outPath = s"$tmp/graft_q166_out"
+      val ckpt = s"$tmp/graft_q166_ckpt"
+      def rmrf(p: java.io.File): Unit = {
+        if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rmrf))
+        p.delete(): Unit
+      }
+      Seq(outPath, ckpt).foreach(p => rmrf(new java.io.File(p)))
+      // schema must be the RAW file schema (ts = nanos long on disk);
+      // the Tables.events µs-timestamp transform applies to the stream.
+      // Tables.table (not a bare read): it tunes the session first —
+      // nanosAsLong must be set before ANY parquet read of events
+      val fileSchema = Tables.table(s, d, "events").schema
+      val stream = s.readStream.schema(fileSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+        .withColumnRenamed("ts", "ts_ns")
+        .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      val smoothed = graft.operators.EventAnalytics.ewmaStream(
+        stream, "user_id", "ts", "event_id", "value").toDF()
+      val q = graft.streaming.StreamingOps.appendPerBatch(smoothed, outPath)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(outPath)
+    }),
+
     // 2-D skyline: parts no other part beats on BOTH price and size
     // (minimize both) — running-min over the distinct metric pairs
     "q165_skyline" -> ((s, d) =>
@@ -2555,6 +2589,24 @@ object SparkEntry {
        |$its
        |SELECT node, pr FROM pr$iterations""".stripMargin
   }
+
+  /** The q156 EWMA replay (recursive CTE), shared with the streaming
+    * form q166 (one file = one batch → unconditional equality).
+    */
+  private def ewmaOracleSql: String =
+    """WITH RECURSIVE e AS (SELECT user_id AS u, event_id AS id, value,
+        |    epoch_us(ts) AS us FROM events WHERE value IS NOT NULL),
+        |o AS (SELECT u, id, value::DOUBLE AS x,
+        |    row_number() OVER (PARTITION BY u ORDER BY us, id) AS rn FROM e),
+        |r AS (
+        |  SELECT u, id, x, rn, x AS ewma, NULL::DOUBLE AS dev
+        |  FROM o WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.u, o.id, o.x, o.rn,
+        |    0.25::DOUBLE * o.x + 0.75::DOUBLE * r.ewma AS ewma,
+        |    o.x - r.ewma AS dev
+        |  FROM o JOIN r ON o.u = r.u AND o.rn = r.rn + 1)
+        |SELECT id AS event_id, ewma, dev AS deviation FROM r""".stripMargin
 
   /** The q140 Gopher-quality replay, shared with the streaming gate
     * (q154) which filters it to keep=true.
@@ -4048,20 +4100,11 @@ object SparkEntry {
 
     // EWMA replay: recursive CTE stepping rn → rn+1 per user with the
     // same (µs, event_id) order and the same binary-exact constants
-    "q156_ewma" ->
-      """WITH RECURSIVE e AS (SELECT user_id AS u, event_id AS id, value,
-        |    epoch_us(ts) AS us FROM events WHERE value IS NOT NULL),
-        |o AS (SELECT u, id, value::DOUBLE AS x,
-        |    row_number() OVER (PARTITION BY u ORDER BY us, id) AS rn FROM e),
-        |r AS (
-        |  SELECT u, id, x, rn, x AS ewma, NULL::DOUBLE AS dev
-        |  FROM o WHERE rn = 1
-        |  UNION ALL
-        |  SELECT o.u, o.id, o.x, o.rn,
-        |    0.25::DOUBLE * o.x + 0.75::DOUBLE * r.ewma AS ewma,
-        |    o.x - r.ewma AS dev
-        |  FROM o JOIN r ON o.u = r.u AND o.rn = r.rn + 1)
-        |SELECT id AS event_id, ewma, dev AS deviation FROM r""".stripMargin,
+    "q156_ewma" -> ewmaOracleSql,
+
+    // the streaming path must equal the batch recursion (one file = one
+    // batch, so the equality is unconditional)
+    "q166_stream_ewma" -> ewmaOracleSql,
 
     // Interval-join replay: the q47 session synthesis + the NAIVE theta
     // self-join (oracle scale affords all-pairs; the engine's bucketed

@@ -165,6 +165,51 @@ object EventAnalytics {
         col("r.dev").as("deviation"))
   }
 
+  final case class EwmaState(prev: Double)
+  final case class EwmaOut(event_id: Long, ewma: Double,
+      deviation: Option[Double])
+
+  /** Streaming form of [[ewma]]: `flatMapGroupsWithState` carrying one
+    * double of state per key (the last smoothed value) across batches —
+    * the [[Sessionize]] stateful pattern applied to sequential
+    * recursion. Within a batch rows process in (µs, id) order; across
+    * batches the state hands the recursion forward, so results equal
+    * the batch fold whenever batch arrival respects event-time order
+    * (file streams delivering time-partitioned files — the standard
+    * contract; q166 drives one file = one batch, where equality is
+    * unconditional).
+    */
+  def ewmaStream(stream: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, valueCol: String,
+      alpha: Double = 0.25): org.apache.spark.sql.Dataset[EwmaOut] = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val oneMinus = 1.0 - alpha
+    stream.filter(col(valueCol).isNotNull)
+      .select(col(keyCol).cast("long"), unix_micros(col(tsCol)),
+        col(idCol).cast("long"), col(valueCol).cast("double"))
+      .as[(Long, Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[EwmaState, EwmaOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_, rows, state) =>
+          val sorted = rows.toSeq.sortBy(r => (r._2, r._3))
+          var prev: Option[Double] = state.getOption.map(_.prev)
+          val out = sorted.map { case (_, _, id, x) =>
+            val dev = prev.map(x - _)
+            val e = prev match {
+              case None => x
+              case Some(p) => alpha * x + oneMinus * p
+            }
+            prev = Some(e)
+            EwmaOut(id, e, dev)
+          }
+          prev.foreach(p => state.update(EwmaState(p)))
+          out.iterator
+      }
+  }
+
   /** First-order event-transition matrix: per user, consecutive event
     * pairs in (µs, event_id) order; counts and the conditional
     * probability P(next | prev) as an exact integer quotient.

@@ -7,6 +7,8 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.scalatest.funsuite.AnyFunSuite
 
+import scala.jdk.CollectionConverters._
+
 import graft.TestSpark
 
 class StreamingOpsSpec extends AnyFunSuite {
@@ -265,5 +267,51 @@ class StreamingOpsSpec extends AnyFunSuite {
       assert(streamed == batch)
       assert(streamed.nonEmpty)
     } finally q.stop()
+  }
+
+  test("ewmaStream: state carries the recursion across batches") {
+    import org.apache.spark.sql.streaming.Trigger
+    // two time-split files → two batches in event-time order; the
+    // cross-batch result must equal the batch fold over the union
+    val src = graft.Tables.events(spark, "/root/testdata/sf0.001")
+    val cut = src.agg(expr("percentile_approx(ts_ns, 0.5)")).head().getLong(0)
+    val dir = Files.createTempDirectory("graft-ewma-stream")
+    def writeHalf(cond: org.apache.spark.sql.Column, name: String): Unit = {
+      // stage + move the single part file: the file stream source lists
+      // FLAT files, not nested non-partition directories
+      val stage = Files.createTempDirectory(s"graft-ewma-$name")
+      src.filter(cond).select("event_id", "ts_ns", "user_id",
+        "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = Files.list(stage).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).next()
+      Files.move(part, dir.resolve(s"$name.parquet"),
+        StandardCopyOption.REPLACE_EXISTING): Unit
+    }
+    writeHalf(col("ts_ns") <= cut, "a")
+    Thread.sleep(1100)  // distinct modtimes → deterministic batch order
+    writeHalf(col("ts_ns") > cut, "b")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts_ns", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+    val out = graft.operators.EventAnalytics.ewmaStream(
+      stream, "user_id", "ts", "event_id", "value").toDF()
+    val sink = Files.createTempDirectory("graft-ewma-sink").toString + "/out"
+    val ckpt = Files.createTempDirectory("graft-ewma-ckpt").toString
+    val q = StreamingOps.appendPerBatch(out, sink)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.read.parquet(sink)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val batch = graft.operators.EventAnalytics.ewma(src,
+      "user_id", "ts", "event_id", "value")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(streamed == batch)   // exact double equality across batches
   }
 }
