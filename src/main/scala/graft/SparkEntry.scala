@@ -1592,6 +1592,16 @@ object SparkEntry {
         t(s, d, "documents"), "doc_id", "text",
         isTarget = col("lang") === "en", buckets = 2048, alpha = 0.5)),
 
+    // PSI distribution drift: first half of January as reference,
+    // second half as current; exact reference deciles, smoothed PSI
+    "q167_psi_drift" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val cutoff = lit("2024-01-16").cast("timestamp")
+      graft.operators.EventAnalytics.psiDrift(
+        ev.filter(col("ts") < cutoff), ev.filter(col("ts") >= cutoff),
+        "event_type", "value")
+    }),
+
     // Streaming EWMA: one double of flatMapGroupsWithState state per
     // key carries the recursion across batches; driver-checked against
     // the batch recursion (one file = one batch → unconditional)
@@ -3981,6 +3991,43 @@ object SparkEntry {
     "q164_ivfadc_incremental" -> ivfadcOracleSql(k = 10, nprobe = 4,
       kCells = 8, m = 8, dsub = 8, pqK = 16, iterations = 3,
       maxProbeId = 5, trainWhere = "WHERE id % 2 = 0"),
+
+    // PSI replay: identical decile rank targets, strict-smaller bin
+    // assignment, ::DOUBLE-cast smoothing (the decimal-literal pitfall),
+    // bin-ordered fold, 4dp
+    "q167_psi_drift" -> {
+      val targets = (1 until 10).map(j => s"($j * n + 9) // 10").mkString(", ")
+      s"""WITH refs AS (SELECT event_type AS g, value::DOUBLE AS v FROM events
+         |  WHERE value IS NOT NULL AND ts < TIMESTAMP '2024-01-16'),
+         |curs AS (SELECT event_type AS g, value::DOUBLE AS v FROM events
+         |  WHERE value IS NOT NULL AND ts >= TIMESTAMP '2024-01-16'),
+         |rr AS (SELECT g, v,
+         |    row_number() OVER (PARTITION BY g ORDER BY v) AS rn,
+         |    count(*) OVER (PARTITION BY g) AS n FROM refs),
+         |bs AS (SELECT g, list(v ORDER BY v) AS bs FROM rr
+         |  WHERE rn IN ($targets) GROUP BY g),
+         |rb AS (SELECT r.g, len(list_filter(b.bs, x -> r.v > x)) + 1 AS bin
+         |  FROM refs r JOIN bs b USING (g)),
+         |cb AS (SELECT c.g, len(list_filter(b.bs, x -> c.v > x)) + 1 AS bin
+         |  FROM curs c JOIN bs b USING (g)),
+         |rc AS (SELECT g, bin, count(*) AS ref_n FROM rb GROUP BY 1, 2),
+         |cc AS (SELECT g, bin, count(*) AS cur_n FROM cb GROUP BY 1, 2),
+         |j AS (SELECT coalesce(rc.g, cc.g) AS g,
+         |    coalesce(rc.bin, cc.bin) AS bin,
+         |    coalesce(ref_n, 0) AS ref_n, coalesce(cur_n, 0) AS cur_n
+         |  FROM rc FULL OUTER JOIN cc ON rc.g = cc.g AND rc.bin = cc.bin),
+         |t AS (SELECT g, sum(ref_n)::BIGINT AS rt, sum(cur_n)::BIGINT AS ct
+         |  FROM j GROUP BY g),
+         |pq AS (SELECT j.g, j.bin,
+         |    (j.ref_n::DOUBLE + 0.5) / (t.rt::DOUBLE + 5.0) AS p,
+         |    (j.cur_n::DOUBLE + 0.5) / (t.ct::DOUBLE + 5.0) AS q
+         |  FROM j JOIN t ON t.g = j.g)
+         |SELECT g AS event_type,
+         |  round(list_reduce(list_prepend(0.0,
+         |    list((p - q) * ln(p / q) ORDER BY bin)), (a, b) -> a + b), 4)
+         |    AS psi
+         |FROM pq GROUP BY g""".stripMargin
+    },
 
     // Skyline oracle: the textbook NOT EXISTS dominance predicate
     "q165_skyline" ->

@@ -165,6 +165,63 @@ object EventAnalytics {
         col("r.dev").as("deviation"))
   }
 
+  /** Population stability index (PSI) — the standard production drift
+    * monitor: bin the CURRENT value distribution by the REFERENCE
+    * distribution's exact deciles and score
+    * Σ (p_i − q_i)·ln(p_i / q_i) per group.
+    *
+    * Determinism: boundaries are exact nearest-rank deciles (integer
+    * rank targets, the groupQuantiles math); bin assignment counts
+    * strictly-smaller boundaries (duplicate boundaries collapse bins —
+    * deterministic); counts are add-0.5-over-10-bins smoothed (zero
+    * bins stay finite); the PSI sum folds in bin order and rounds 4dp
+    * (ln ulp). Shapes: boundary pass = one rank window over the
+    * reference; binning = broadcast boundary-array join; counts
+    * partial-agg map-side.
+    */
+  def psiDrift(reference: DataFrame, current: DataFrame, groupCol: String,
+      valueCol: String, bins: Int = 10): DataFrame = {
+    require(bins >= 2, "need at least 2 bins")
+    val w = Window.partitionBy(col("g")).orderBy(col("v"))
+    val cw = Window.partitionBy(col("g"))
+    val refRanked = reference.filter(col(valueCol).isNotNull)
+      .select(col(groupCol).as("g"), col(valueCol).cast("double").as("v"))
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(cw))
+    // b_j = value at rank ceil(j*n/bins), j = 1..bins-1
+    val bounds = refRanked.groupBy(col("g"))
+      .agg(sort_array(collect_list(
+        expr(s"CASE WHEN __rn IN (${(1 until bins)
+          .map(j => s"($j * __n + ${bins - 1}) div $bins").mkString(",")})" +
+          " THEN v END")), asc = true).as("__bs"))
+      .select(col("g"), filter(col("__bs"), b => b.isNotNull).as("__bs"))
+    def binned(df: DataFrame, side: String): DataFrame =
+      df.filter(col(valueCol).isNotNull)
+        .select(col(groupCol).as("g"), col(valueCol).cast("double").as("v"))
+        .join(broadcast(bounds), Seq("g"))
+        .select(col("g"),
+          (size(filter(col("__bs"), b => col("v") > b)) + 1).as("bin"))
+        .groupBy(col("g"), col("bin")).agg(count(lit(1)).as(side))
+    val joined = binned(reference, "ref_n")
+      .join(binned(current, "cur_n"), Seq("g", "bin"), "full_outer")
+      .select(col("g"), col("bin"),
+        coalesce(col("ref_n"), lit(0L)).as("ref_n"),
+        coalesce(col("cur_n"), lit(0L)).as("cur_n"))
+    val totals = joined.groupBy(col("g"))
+      .agg(sum(col("ref_n")).as("__rt"), sum(col("cur_n")).as("__ct"))
+    joined.join(broadcast(totals), Seq("g"))
+      .select(col("g"), col("bin"),
+        ((col("ref_n") + lit(0.5)) / (col("__rt") + lit(0.5 * bins))).as("p"),
+        ((col("cur_n") + lit(0.5)) / (col("__ct") + lit(0.5 * bins))).as("q"))
+      .groupBy(col("g"))
+      .agg(aggregate(
+        transform(array_sort(collect_list(struct(col("bin"),
+          ((col("p") - col("q")) * log(col("p") / col("q"))).as("t")))),
+          x => x.getField("t")),
+        lit(0.0), (acc, x) => acc + x).as("__psi"))
+      .select(col("g").as(groupCol), round(col("__psi"), 4).as("psi"))
+  }
+
   final case class EwmaState(prev: Double)
   final case class EwmaOut(event_id: Long, ewma: Double,
       deviation: Option[Double])

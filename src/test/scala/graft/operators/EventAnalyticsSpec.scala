@@ -142,4 +142,24 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(out("a").isNullAt(out("a").fieldIndex("slope")))  // same hour twice
     assert(out("b").getAs[Double]("slope") == 0.0)           // flat line
   }
+
+  test("psiDrift: identical distributions score ~0; a shift scores high") {
+    val ref = (1 to 1000).map(i => ("m", (i % 100).toDouble)).toDF("g", "v")
+    val same = (1 to 1000).map(i => ("m", (i % 100).toDouble)).toDF("g", "v")
+    val shifted = (1 to 1000).map(i => ("m", (i % 100) + 60.0)).toDF("g", "v")
+    val lo = EventAnalytics.psiDrift(ref, same, "g", "v")
+      .collect()(0).getDouble(1)
+    val hi = EventAnalytics.psiDrift(ref, shifted, "g", "v")
+      .collect()(0).getDouble(1)
+    assert(math.abs(lo) < 0.01, s"identical PSI $lo")
+    assert(hi > 0.5, s"shifted PSI $hi")   // >0.25 = action threshold
+  }
+
+  test("psiDrift: empty current bins stay finite via smoothing") {
+    val ref = (1 to 100).map(i => ("m", i.toDouble)).toDF("g", "v")
+    val cur = Seq(("m", 1.0), ("m", 2.0)).toDF("g", "v")  // all in bin 1
+    val psi = EventAnalytics.psiDrift(ref, cur, "g", "v")
+      .collect()(0).getDouble(1)
+    assert(!psi.isNaN && !psi.isInfinite && psi > 0.25)  // smoothing damps the tiny sample
+  }
 }
