@@ -1592,6 +1592,40 @@ object SparkEntry {
         t(s, d, "documents"), "doc_id", "text",
         isTarget = col("lang") === "en", buckets = 2048, alpha = 0.5)),
 
+    // Best-of-cluster curation: near-dup clusters (q53's fixpoint
+    // labels) keep their HIGHEST-quality member, not the min-id — the
+    // "dedup keeps the best copy" policy real pipelines want
+    "q169_best_of_cluster" -> ((s, d) => {
+      val pairs = graft.operators.Dedup.embeddingNearDups(
+        t(s, d, "embeddings"), threshold = 0.3)
+      val reps = graft.operators.Dedup.nearDupRepresentatives(pairs)
+      val quality = TextAnalysis.qualityScores(
+        t(s, d, "documents"), "doc_id", "text")
+      reps.join(quality, reps("id") === quality("doc_id"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("rep"))
+            .orderBy(col("quality_score").desc, col("id"))))
+        .filter(col("rk") === 1)
+        .select(col("rep").as("cluster"), col("id").as("best_id"),
+          col("quality_score"))
+    }),
+
+    // Dashboard rollup: per event_type the top-3 users by event count,
+    // everyone else collapsed into an 'other' row (rank window over the
+    // pre-aggregated counts — never over raw events)
+    "q168_topk_others" -> ((s, d) => {
+      val counts = Tables.events(s, d)
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+      val ranked = counts.withColumn("rk",
+        row_number().over(Window.partitionBy(col("event_type"))
+          .orderBy(col("n").desc, col("user_id"))))
+      ranked.groupBy(col("event_type"),
+        when(col("rk") <= 3, col("user_id").cast("string"))
+          .otherwise(lit("other")).as("who"))
+        .agg(sum(col("n")).as("events"))
+    }),
+
     // PSI distribution drift: first half of January as reference,
     // second half as current; exact reference deciles, smoothed PSI
     "q167_psi_drift" -> ((s, d) => {
@@ -2618,6 +2652,26 @@ object SparkEntry {
         |  FROM o JOIN r ON o.u = r.u AND o.rn = r.rn + 1)
         |SELECT id AS event_id, ewma, dev AS deviation FROM r""".stripMargin
 
+  /** The q26 quality-score replay, shared with q169 (best-of-cluster
+    * winner selection).
+    */
+  private def qualityScoreOracleSql: String =
+    s"""WITH tk AS (SELECT doc_id, text, $tokensSql AS toks FROM documents),
+         |m AS (SELECT doc_id,
+         |  len(toks)::DOUBLE AS n_tokens,
+         |  CASE WHEN length(text) > 0
+         |    THEN (length(text) - length(regexp_replace(text, '[.,;:!?''"()\\-]', '', 'g')))::DOUBLE / length(text)
+         |    ELSE 0.0 END AS punct_ratio,
+         |  CASE WHEN len(toks) > 0
+         |    THEN len(list_filter(toks, tk2 -> list_contains(['the','a','an','and','or','of','to','in','is','it'], tk2)))::DOUBLE / len(toks)
+         |    ELSE 0.0 END AS sw_ratio
+         | FROM tk)
+         |SELECT doc_id,
+         | round(least(n_tokens / 20.0, 1.0)
+         |   * greatest(1.0 - punct_ratio * 5.0, 0.0)
+         |   * least(sw_ratio * 5.0, 1.0), 4) AS quality_score
+         |FROM m""".stripMargin
+
   /** The q140 Gopher-quality replay, shared with the streaming gate
     * (q154) which filters it to keep=true.
     */
@@ -2837,22 +2891,7 @@ object SparkEntry {
          |   END AS avg_token_len
          |FROM tk""".stripMargin,
 
-    "q26_quality_score" ->
-      s"""WITH tk AS (SELECT doc_id, text, $tokensSql AS toks FROM documents),
-         |m AS (SELECT doc_id,
-         |  len(toks)::DOUBLE AS n_tokens,
-         |  CASE WHEN length(text) > 0
-         |    THEN (length(text) - length(regexp_replace(text, '[.,;:!?''"()\\-]', '', 'g')))::DOUBLE / length(text)
-         |    ELSE 0.0 END AS punct_ratio,
-         |  CASE WHEN len(toks) > 0
-         |    THEN len(list_filter(toks, tk2 -> list_contains(['the','a','an','and','or','of','to','in','is','it'], tk2)))::DOUBLE / len(toks)
-         |    ELSE 0.0 END AS sw_ratio
-         | FROM tk)
-         |SELECT doc_id,
-         | round(least(n_tokens / 20.0, 1.0)
-         |   * greatest(1.0 - punct_ratio * 5.0, 0.0)
-         |   * least(sw_ratio * 5.0, 1.0), 4) AS quality_score
-         |FROM m""".stripMargin,
+    "q26_quality_score" -> qualityScoreOracleSql,
 
     "q27_lang_id" -> langIdOracleSql,
 
@@ -3991,6 +4030,28 @@ object SparkEntry {
     "q164_ivfadc_incremental" -> ivfadcOracleSql(k = 10, nprobe = 4,
       kCells = 8, m = 8, dsub = 8, pqK = 16, iterations = 3,
       maxProbeId = 5, trainWhere = "WHERE id % 2 = 0"),
+
+    // Best-of-cluster replay: the q53 closure (nested CTE subquery) +
+    // the q26 quality replay, winner per rep by (score DESC, id) —
+    // scores are the shared 4dp-rounded column, so the order is total
+    "q169_best_of_cluster" ->
+      s"""SELECT r.rep AS cluster, r.id AS best_id, q.quality_score
+         |FROM (${embedNearDupOracleSql(threshold = 0.3)}) r
+         |JOIN ($qualityScoreOracleSql) q ON q.doc_id = r.id
+         |QUALIFY row_number() OVER (PARTITION BY r.rep
+         |  ORDER BY q.quality_score DESC, r.id) = 1""".stripMargin,
+
+    // Top-k-with-others replay: same (n DESC, user) rank tie-break
+    "q168_topk_others" ->
+      """WITH c AS (SELECT event_type, user_id, count(*) AS n FROM events
+        |  GROUP BY 1, 2),
+        |r AS (SELECT event_type, user_id, n,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY n DESC, user_id) AS rk FROM c)
+        |SELECT event_type,
+        |  CASE WHEN rk <= 3 THEN user_id::VARCHAR ELSE 'other' END AS who,
+        |  CAST(sum(n) AS BIGINT) AS events
+        |FROM r GROUP BY 1, 2""".stripMargin,
 
     // PSI replay: identical decile rank targets, strict-smaller bin
     // assignment, ::DOUBLE-cast smoothing (the decimal-literal pitfall),
