@@ -1592,6 +1592,21 @@ object SparkEntry {
         t(s, d, "documents"), "doc_id", "text",
         isTarget = col("lang") === "en", buckets = 2048, alpha = 0.5)),
 
+    // Markov sequence-likelihood: self-trained transition model, each
+    // user's event chain scored by mean neg-log-prob (bot/anomaly
+    // signal — the q118 LM recipe on behavioral sequences)
+    "q170_markov_scores" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      graft.operators.EventAnalytics.markovScores(ev, ev,
+        "user_id", "ts", "event_id", "event_type")
+    }),
+
+    // Gaps-and-islands per user at the 30-min session gap: island
+    // count, in-island active span, longest inactivity gap — exact µs
+    "q171_gaps_islands" -> ((s, d) =>
+      graft.operators.EventAnalytics.gapsAndIslands(Tables.events(s, d),
+        "user_id", "ts", gapUs = 1800000000L)),
+
     // Best-of-cluster curation: near-dup clusters (q53's fixpoint
     // labels) keep their HIGHEST-quality member, not the min-id — the
     // "dedup keeps the best copy" policy real pipelines want
@@ -4030,6 +4045,45 @@ object SparkEntry {
     "q164_ivfadc_incremental" -> ivfadcOracleSql(k = 10, nprobe = 4,
       kCells = 8, m = 8, dsub = 8, pqK = 16, iterations = 3,
       maxProbeId = 5, trainWhere = "WHERE id % 2 = 0"),
+
+    // Markov replay: the q118 LM recipe on (prev, next) event pairs,
+    // (µs, id)-ordered folds, 4dp
+    "q170_markov_scores" ->
+      """WITH e AS (SELECT user_id AS k, epoch_us(ts) AS us, event_id AS id,
+        |    event_type AS t FROM events),
+        |p AS (SELECT k, us, id, t,
+        |    lag(t) OVER (PARTITION BY k ORDER BY us, id) AS prev FROM e),
+        |p2 AS (SELECT * FROM p WHERE prev IS NOT NULL),
+        |c2 AS (SELECT prev, t, count(*) AS c2 FROM p2 GROUP BY 1, 2),
+        |c1 AS (SELECT prev, count(*) AS c1 FROM p2 GROUP BY 1),
+        |v AS (SELECT count(DISTINCT event_type)::DOUBLE AS v FROM events),
+        |sc AS (SELECT p2.k, p2.us, p2.id,
+        |    ln((coalesce(c2.c2, 0)::DOUBLE + 0.4)
+        |      / (coalesce(c1.c1, 0)::DOUBLE + 0.4 * v.v)) AS lp
+        |  FROM p2 LEFT JOIN c2 ON p2.prev = c2.prev AND p2.t = c2.t
+        |  LEFT JOIN c1 ON p2.prev = c1.prev CROSS JOIN v),
+        |a AS (SELECT k, count(*)::BIGINT AS n_transitions,
+        |    list_reduce(list_prepend(0.0, list(lp ORDER BY us, id)),
+        |      (a, b) -> a + b) AS s
+        |  FROM sc GROUP BY k)
+        |SELECT k AS user_id, n_transitions,
+        |  round(-s / n_transitions::DOUBLE, 4) AS avg_neg_logp
+        |FROM a""".stripMargin,
+
+    // Gaps/islands replay: the delta MULTISET of sorted timestamps is
+    // tie-order-independent, so the aggregates are exact
+    "q171_gaps_islands" ->
+      """WITH e AS (SELECT user_id AS k, epoch_us(ts) AS us FROM events),
+        |d AS (SELECT k, us,
+        |    us - lag(us) OVER (PARTITION BY k ORDER BY us) AS delta FROM e)
+        |SELECT k AS user_id, count(*)::BIGINT AS n_events,
+        |  (coalesce(sum(CASE WHEN delta > 1800000000 THEN 1 END), 0) + 1)
+        |    ::BIGINT AS n_islands,
+        |  CAST(coalesce(sum(CASE WHEN delta <= 1800000000 THEN delta END), 0)
+        |    AS BIGINT) AS active_us,
+        |  CAST(max(CASE WHEN delta > 1800000000 THEN delta END) AS BIGINT)
+        |    AS longest_gap_us
+        |FROM d GROUP BY k""".stripMargin,
 
     // Best-of-cluster replay: the q53 closure (nested CTE subquery) +
     // the q26 quality replay, winner per rep by (score DESC, id) —

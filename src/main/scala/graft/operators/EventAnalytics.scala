@@ -165,6 +165,73 @@ object EventAnalytics {
         col("r.dev").as("deviation"))
   }
 
+  /** Markov sequence-likelihood scoring: train the first-order
+    * transition model on a reference log, then score each key's event
+    * sequence by mean negative log-probability of its transitions under
+    * add-α smoothing — the bigram-LM recipe ([[TextAnalysis
+    * .bigramLmScores]]) applied to behavioral sequences (bot/anomaly
+    * flagging: improbable event chains score high).
+    *
+    * logp(next|prev) = ln((c(prev,next) + α) / (c(prev) + α·V)), V =
+    * distinct event types. Per-key sums fold in transition order (µs,
+    * id) — fixed FP sequence — and the mean rounds 4dp (ln ulp).
+    */
+  def markovScores(reference: DataFrame, events: DataFrame, keyCol: String,
+      tsCol: String, idCol: String, typeCol: String,
+      alpha: Double = 0.4): DataFrame = {
+    require(alpha > 0, "alpha must be positive")
+    def pairs(df: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("k")).orderBy(col("us"), col("id"))
+      df.select(col(keyCol).as("k"), unix_micros(col(tsCol)).as("us"),
+        col(idCol).as("id"), col(typeCol).as("t"))
+        .withColumn("prev", lag(col("t"), 1).over(w))
+        .filter(col("prev").isNotNull)
+    }
+    val refPairs = pairs(reference)
+    val c2 = refPairs.groupBy(col("prev"), col("t")).agg(count(lit(1)).as("__c2"))
+    val c1 = refPairs.groupBy(col("prev")).agg(count(lit(1)).as("__c1"))
+    val v = reference.select(col(typeCol).as("t"))
+      .agg(count_distinct(col("t")).cast("double").as("__v"))
+    pairs(events)
+      .join(c2, Seq("prev", "t"), "left")
+      .join(c1, Seq("prev"), "left")
+      .crossJoin(broadcast(v))
+      .withColumn("__logp", log(
+        (coalesce(col("__c2"), lit(0L)).cast("double") + lit(alpha)) /
+          (coalesce(col("__c1"), lit(0L)).cast("double") + lit(alpha) * col("__v"))))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_transitions"),
+        aggregate(
+          transform(array_sort(collect_list(struct(col("us"), col("id"),
+            col("__logp").as("lp")))), x => x.getField("lp")),
+          lit(0.0), (acc, x) => acc + x).as("__s"))
+      .select(col("k").as(keyCol), col("n_transitions"),
+        round(-col("__s") / col("n_transitions").cast("double"), 4)
+          .as("avg_neg_logp"))
+  }
+
+  /** Gaps-and-islands report per key: island count (sessions at `gap`),
+    * total active span inside islands, and the LONGEST inactivity gap —
+    * all exact µs integers off the lag window ([[Sessionize]]'s
+    * boundary math, reduced to per-key stats in one pass).
+    */
+  def gapsAndIslands(events: DataFrame, keyCol: String, tsCol: String,
+      gapUs: Long): DataFrame = {
+    val w = Window.partitionBy(col("k")).orderBy(col("us"))
+    val base = events.select(col(keyCol).as("k"), unix_micros(col(tsCol)).as("us"))
+      .withColumn("__prev", lag(col("us"), 1).over(w))
+      .withColumn("__delta", col("us") - col("__prev"))
+    base.groupBy(col("k"))
+      .agg(count(lit(1)).as("n_events"),
+        (coalesce(sum(when(col("__delta") > gapUs, 1L)), lit(0L)) + 1L)
+          .as("n_islands"),
+        coalesce(sum(when(col("__delta") <= gapUs, col("__delta"))), lit(0L))
+          .as("active_us"),
+        max(when(col("__delta") > gapUs, col("__delta"))).as("longest_gap_us"))
+      .select(col("k").as(keyCol), col("n_events"), col("n_islands"),
+        col("active_us"), col("longest_gap_us"))
+  }
+
   /** Population stability index (PSI) — the standard production drift
     * monitor: bin the CURRENT value distribution by the REFERENCE
     * distribution's exact deciles and score

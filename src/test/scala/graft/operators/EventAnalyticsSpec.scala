@@ -162,4 +162,41 @@ class EventAnalyticsSpec extends AnyFunSuite {
       .collect()(0).getDouble(1)
     assert(!psi.isNaN && !psi.isInfinite && psi > 0.25)  // smoothing damps the tiny sample
   }
+
+  test("markovScores: improbable chains score higher than common ones") {
+    // reference: A→B dominates; user 21 walks A→C (rare transition)
+    val common = (1 to 20).flatMap(i =>
+      Seq((i.toLong, i * 10L, i % 12, "A"), (i.toLong, i * 10 + 1L, i % 12 + 1, "B")))
+    val rare = Seq((21L, 900L, 20, "A"), (21L, 901L, 21, "C"))
+    val df = ev(common ++ rare: _*)
+    val out = EventAnalytics.markovScores(df, df, "user_id", "ts",
+      "event_id", "event_type")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out(21L) > out(1L))  // the A→C walker is more surprising
+  }
+
+  test("gapsAndIslands: islands, active span and longest gap") {
+    // user 1: events at hours 0, 0.25, 5, 5.25 → 2 islands,
+    // active 2*15min, longest gap 4h45m
+    val df = Seq((1L, 1L, 0L), (1L, 2L, 15L), (1L, 3L, 300L), (1L, 4L, 315L))
+      .map { case (u, id, m) => (u, id,
+        java.sql.Timestamp.valueOf(f"2024-01-01 ${m / 60}%02d:${m % 60}%02d:00"),
+        "x") }
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val r = EventAnalytics.gapsAndIslands(df, "user_id", "ts",
+      gapUs = 1800000000L).collect()(0)
+    assert(r.getAs[Long]("n_events") == 4)
+    assert(r.getAs[Long]("n_islands") == 2)
+    assert(r.getAs[Long]("active_us") == 2 * 15 * 60 * 1000000L)
+    assert(r.getAs[Long]("longest_gap_us") == 285 * 60 * 1000000L)
+  }
+
+  test("gapsAndIslands: single event → one island, null longest gap") {
+    val df = ev((1L, 1L, 0, "x"))
+    val r = EventAnalytics.gapsAndIslands(df, "user_id", "ts",
+      gapUs = 1800000000L).collect()(0)
+    assert(r.getAs[Long]("n_islands") == 1)
+    assert(r.getAs[Long]("active_us") == 0)
+    assert(r.isNullAt(r.fieldIndex("longest_gap_us")))
+  }
 }
