@@ -1592,6 +1592,28 @@ object SparkEntry {
         t(s, d, "documents"), "doc_id", "text",
         isTarget = col("lang") === "en", buckets = 2048, alpha = 0.5)),
 
+    // Chi-square independence: is event_type associated with the user
+    // cohort (user_id mod 5)? Exact margins, ordered cell fold, 4dp
+    "q172_chi_square" -> ((s, d) =>
+      graft.operators.EventAnalytics.chiSquare(
+        Tables.events(s, d)
+          .select(col("event_type"), (col("user_id") % 5).as("cohort")),
+        "event_type", "cohort")),
+
+    // Snapshot diff: v2 synthesized deterministically (drop id%7=0,
+    // rewrite id%5=0, add id%13=0 clones under new ids) — the
+    // added/removed/changed/unchanged census between two crawls
+    "q173_snapshot_diff" -> ((s, d) => {
+      val v1 = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val v2 = v1.filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 5 === 0, upper(col("text")))
+            .otherwise(col("text")).as("text"))
+        .union(v1.filter(col("doc_id") % 13 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      graft.operators.TrainingData.snapshotDiff(v1, v2, "doc_id", "text")
+    }),
+
     // Markov sequence-likelihood: self-trained transition model, each
     // user's event chain scored by mean neg-log-prob (bot/anomaly
     // signal — the q118 LM recipe on behavioral sequences)
@@ -4045,6 +4067,45 @@ object SparkEntry {
     "q164_ivfadc_incremental" -> ivfadcOracleSql(k = 10, nprobe = 4,
       kCells = 8, m = 8, dsub = 8, pqK = 16, iterations = 3,
       maxProbeId = 5, trainWhere = "WHERE id % 2 = 0"),
+
+    // Chi-square replay: same margins/expected/fold order, ::DOUBLE on
+    // the quotient chain
+    "q172_chi_square" ->
+      """WITH cells AS (SELECT event_type AS r, (user_id % 5)::VARCHAR AS c,
+        |    count(*) AS o FROM events GROUP BY 1, 2),
+        |rt AS (SELECT r, sum(o) AS rt FROM cells GROUP BY r),
+        |ct AS (SELECT c, sum(o) AS ct FROM cells GROUP BY c),
+        |n AS (SELECT sum(o)::BIGINT AS n FROM cells),
+        |fl AS (SELECT rt.r, ct.c, coalesce(cells.o, 0) AS o,
+        |    (rt.rt * ct.ct)::DOUBLE / n.n AS e, n.n
+        |  FROM rt CROSS JOIN ct CROSS JOIN n
+        |  LEFT JOIN cells ON cells.r = rt.r AND cells.c = ct.c)
+        |SELECT
+        |  round(list_reduce(list_prepend(0.0,
+        |    list((o - e) * (o - e) / e ORDER BY r, c)), (a, b) -> a + b), 4)
+        |    AS chi2,
+        |  CAST((count(DISTINCT r) - 1) * (count(DISTINCT c) - 1) AS BIGINT)
+        |    AS dof,
+        |  max(n)::BIGINT AS n
+        |FROM fl""".stripMargin,
+
+    // Snapshot-diff replay: identical v2 synthesis, same status ladder
+    "q173_snapshot_diff" ->
+      """WITH v1 AS (SELECT doc_id, text FROM documents),
+        |v2 AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN upper(text) ELSE text END AS text
+        |  FROM v1 WHERE doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM v1
+        |  WHERE doc_id % 13 = 0),
+        |j AS (SELECT coalesce(a.doc_id, b.doc_id) AS id, a.text AS o,
+        |    b.text AS nw
+        |  FROM v1 a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id)
+        |SELECT CASE WHEN o IS NULL THEN 'added'
+        |    WHEN nw IS NULL THEN 'removed'
+        |    WHEN o = nw THEN 'unchanged' ELSE 'changed' END AS status,
+        |  count(*) AS n
+        |FROM j GROUP BY 1""".stripMargin,
 
     // Markov replay: the q118 LM recipe on (prev, next) event pairs,
     // (µs, id)-ordered folds, 4dp

@@ -165,6 +165,42 @@ object EventAnalytics {
         col("r.dev").as("deviation"))
   }
 
+  /** Chi-square test of independence over a two-column contingency
+    * table: χ² = Σ (observed − expected)² / expected with expected =
+    * rowTotal·colTotal / N. Margins are exact integers (products stay
+    * within double-exact range for realistic counts); the cell sum
+    * folds in (row, col) order and rounds 4dp. Returns one row:
+    * (chi2, dof, n). The workhorse "is this segmentation informative"
+    * test for categorical drift / feature screening.
+    */
+  def chiSquare(df: DataFrame, rowCol: String, colCol: String): DataFrame = {
+    val cells = df.select(col(rowCol).cast("string").as("r"),
+      col(colCol).cast("string").as("c"))
+      .groupBy(col("r"), col("c")).agg(count(lit(1)).as("o"))
+    val rows = cells.groupBy(col("r")).agg(sum(col("o")).as("__rt"))
+    val cols = cells.groupBy(col("c")).agg(sum(col("o")).as("__ct"))
+    val n = cells.agg(sum(col("o")).as("__n"))
+    val full = rows.crossJoin(cols).crossJoin(broadcast(n))
+      .join(cells, Seq("r", "c"), "left")
+      .select(col("r"), col("c"),
+        coalesce(col("o"), lit(0L)).as("o"),
+        ((col("__rt") * col("__ct")).cast("double") / col("__n")).as("e"),
+        col("__n"))
+    full
+      .agg(
+        aggregate(
+          transform(array_sort(collect_list(struct(col("r"), col("c"),
+            (((col("o") - col("e")) * (col("o") - col("e"))) / col("e"))
+              .as("t")))),
+            x => x.getField("t")),
+          lit(0.0), (acc, x) => acc + x).as("__chi"),
+        count_distinct(col("r")).as("__nr"),
+        count_distinct(col("c")).as("__nc"),
+        max(col("__n")).as("n"))
+      .select(round(col("__chi"), 4).as("chi2"),
+        ((col("__nr") - 1) * (col("__nc") - 1)).as("dof"), col("n"))
+  }
+
   /** Markov sequence-likelihood scoring: train the first-order
     * transition model on a reference log, then score each key's event
     * sequence by mean negative log-probability of its transitions under

@@ -335,6 +335,26 @@ object TrainingData {
       .withColumn("contaminated", lit(true))
   }
 
+  /** Corpus snapshot diff — the data-versioning report between two
+    * crawls/ingests: per-id full outer join comparing content, rows
+    * classified added / removed / changed / unchanged with counts (the
+    * per-id detail is the same frame pre-aggregation). Exact counts;
+    * content compare is plain equality (hash at fleet scale — same
+    * 64-bit-collision contract as the dedup family).
+    */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
+      contentCol: String): DataFrame = {
+    val o = oldDf.select(col(idCol).as("id"), col(contentCol).as("__old"))
+    val n = newDf.select(col(idCol).as("id"), col(contentCol).as("__new"))
+    o.join(n, Seq("id"), "full_outer")
+      .select(
+        when(col("__old").isNull, lit("added"))
+          .when(col("__new").isNull, lit("removed"))
+          .when(col("__old") === col("__new"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"))
+      .groupBy(col("status")).agg(count(lit(1)).as("n"))
+  }
+
   /** Rank-based score normalization (quantile scaling) per group: maps a
     * raw score column to [0, 1] by `(rank − 1) / (n − 1)` with RANK
     * semantics (ties share the min rank — deterministic, oracle-exact;

@@ -199,4 +199,29 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(r.getAs[Long]("active_us") == 0)
     assert(r.isNullAt(r.fieldIndex("longest_gap_us")))
   }
+
+  test("chiSquare: independent table ≈ 0; dependent table large") {
+    // independent: uniform 2x2; dependent: diagonal-heavy
+    val ind = (1 to 400).map(i => (s"r${i % 2}", s"c${(i / 2) % 2}"))
+      .toDF("r", "c")
+    val dep = ((1 to 180).map(_ => ("r0", "c0")) ++
+      (1 to 180).map(_ => ("r1", "c1")) ++
+      (1 to 20).map(_ => ("r0", "c1")) ++
+      (1 to 20).map(_ => ("r1", "c0"))).toDF("r", "c")
+    val lo = EventAnalytics.chiSquare(ind, "r", "c").collect()(0)
+    val hi = EventAnalytics.chiSquare(dep, "r", "c").collect()(0)
+    assert(lo.getAs[Double]("chi2") == 0.0)
+    assert(lo.getAs[Long]("dof") == 1)
+    assert(hi.getAs[Double]("chi2") > 100)
+  }
+
+  test("snapshotDiff: all four statuses with exact counts") {
+    import graft.operators.TrainingData
+    val v1 = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "t")
+    val v2 = Seq((1L, "a"), (2L, "B"), (4L, "d")).toDF("id", "t")
+    val out = TrainingData.snapshotDiff(v1, v2, "id", "t")
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("n")).toMap
+    assert(out == Map("unchanged" -> 1L, "changed" -> 1L,
+      "removed" -> 1L, "added" -> 1L))
+  }
 }
