@@ -1592,6 +1592,43 @@ object SparkEntry {
         t(s, d, "documents"), "doc_id", "text",
         isTarget = col("lang") === "en", buckets = 2048, alpha = 0.5)),
 
+    // Windowed funnel: view→click→purchase where each step lands within
+    // 24h of the previous completion (the realistic conversion window)
+    "q174_windowed_funnel" -> ((s, d) => {
+      val us = unix_micros(col("ts"))
+      val base = Tables.events(s, d)
+        .select(col("user_id").as("u"), col("event_type").as("t"), us.as("us"))
+      val window = 86400000000L
+      val s1 = base.filter(col("t") === "view")
+        .groupBy(col("u")).agg(min(col("us")).as("t1"))
+      val s2 = base.filter(col("t") === "click").join(s1, Seq("u"))
+        .filter(col("us") > col("t1") && col("us") <= col("t1") + window)
+        .groupBy(col("u"), col("t1")).agg(min(col("us")).as("t2"))
+      val s3 = base.filter(col("t") === "purchase").join(s2, Seq("u"))
+        .filter(col("us") > col("t2") && col("us") <= col("t2") + window)
+        .groupBy(col("u"), col("t2")).agg(min(col("us")).as("t3"))
+      val r1 = s1.agg(count(lit(1)).as("users")).select(lit(1).as("step"), col("users"))
+      val r2 = s2.agg(count(lit(1)).as("users")).select(lit(2).as("step"), col("users"))
+      val r3 = s3.agg(count(lit(1)).as("users")).select(lit(3).as("step"), col("users"))
+      r1.unionAll(r2).unionAll(r3)
+    }),
+
+    // Per-source curation league table: Gopher keep-rate and mean
+    // quality stats per source (exact quotients; the report a curation
+    // run ends with)
+    "q175_source_league" -> ((s, d) => {
+      val q = graft.operators.QualityRules.gopherQuality(
+        t(s, d, "documents"), "doc_id", "text")
+      t(s, d, "documents").select(col("doc_id"), col("source"))
+        .join(q, Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("docs"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("kept"),
+          sum(col("n_words")).as("words"))
+        .select(col("source"), col("docs"), col("kept"), col("words"),
+          (col("kept").cast("double") / col("docs")).as("keep_rate"))
+    }),
+
     // Chi-square independence: is event_type associated with the user
     // cohort (user_id mod 5)? Exact margins, ordered cell fold, 4dp
     "q172_chi_square" -> ((s, d) =>
@@ -4067,6 +4104,33 @@ object SparkEntry {
     "q164_ivfadc_incremental" -> ivfadcOracleSql(k = 10, nprobe = 4,
       kCells = 8, m = 8, dsub = 8, pqK = 16, iterations = 3,
       maxProbeId = 5, trainWhere = "WHERE id % 2 = 0"),
+
+    // Windowed-funnel replay: same 24h-bounded strict-after chain
+    "q174_windowed_funnel" ->
+      """WITH e AS (SELECT user_id AS u, event_type AS t, epoch_us(ts) AS us
+        |  FROM events),
+        |s1 AS (SELECT u, min(us) AS t1 FROM e WHERE t = 'view' GROUP BY u),
+        |s2 AS (SELECT e.u, s1.t1, min(us) AS t2 FROM e JOIN s1 ON e.u = s1.u
+        |  WHERE t = 'click' AND us > t1 AND us <= t1 + 86400000000
+        |  GROUP BY e.u, s1.t1),
+        |s3 AS (SELECT e.u, s2.t2, min(us) AS t3 FROM e JOIN s2 ON e.u = s2.u
+        |  WHERE t = 'purchase' AND us > t2 AND us <= t2 + 86400000000
+        |  GROUP BY e.u, s2.t2)
+        |SELECT 1 AS step, count(*)::BIGINT AS users FROM s1
+        |UNION ALL SELECT 2, count(*)::BIGINT FROM s2
+        |UNION ALL SELECT 3, count(*)::BIGINT FROM s3""".stripMargin,
+
+    // Source-league replay: the q140 quality replay joined back to
+    // sources, exact quotient keep rates
+    "q175_source_league" ->
+      s"""WITH q AS ($gopherQualityOracleSql)
+         |SELECT d.source, count(*)::BIGINT AS docs,
+         |  CAST(sum(CASE WHEN q.keep THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+         |  CAST(sum(q.n_words) AS BIGINT) AS words,
+         |  sum(CASE WHEN q.keep THEN 1 ELSE 0 END)::DOUBLE / count(*)
+         |    AS keep_rate
+         |FROM documents d JOIN q ON q.doc_id = d.doc_id
+         |GROUP BY d.source""".stripMargin,
 
     // Chi-square replay: same margins/expected/fold order, ::DOUBLE on
     // the quotient chain
