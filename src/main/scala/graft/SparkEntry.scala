@@ -1592,6 +1592,57 @@ object SparkEntry {
         t(s, d, "documents"), "doc_id", "text",
         isTarget = col("lang") === "en", buckets = 2048, alpha = 0.5)),
 
+    // A/B two-proportion z-test: cohort = user_id parity, conversion =
+    // ever purchased; pooled-variance z with exact counts, sqrt is one
+    // correctly-rounded op — deterministic; 4dp display
+    "q176_ab_test" -> ((s, d) => {
+      val base = Tables.events(s, d)
+        .groupBy((col("user_id") % 2).as("cohort"), col("user_id"))
+        .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("conv"))
+      val agg = base.groupBy(col("cohort"))
+        .agg(count(lit(1)).as("n"), sum(col("conv")).as("c"))
+      val wide = agg.agg(
+        max(when(col("cohort") === 0, col("n"))).as("n0"),
+        max(when(col("cohort") === 0, col("c"))).as("c0"),
+        max(when(col("cohort") === 1, col("n"))).as("n1"),
+        max(when(col("cohort") === 1, col("c"))).as("c1"))
+      val p0 = col("c0").cast("double") / col("n0")
+      val p1 = col("c1").cast("double") / col("n1")
+      val pp = (col("c0") + col("c1")).cast("double") / (col("n0") + col("n1"))
+      val se = sqrt(pp * (lit(1.0) - pp) *
+        (lit(1.0) / col("n0") + lit(1.0) / col("n1")))
+      wide.select(col("n0"), col("c0"), col("n1"), col("c1"),
+        round(p1 - p0, 4).as("lift"),
+        when(se > 0, round((p1 - p0) / se, 4)).as("z"))
+    }),
+
+    // Capped running balance: per-user cumulative sum of (value − 50)
+    // clamped to [0, 500] — the NON-LINEAR running aggregate (stock
+    // levels, rate-limit buckets) plain windows cannot express; the
+    // q156 ordered-fold recursion with a clamp step
+    "q177_capped_balance" -> ((s, d) => {
+      val ev = Tables.events(s, d).filter(col("value").isNotNull)
+        .select(col("user_id").as("k"), unix_micros(col("ts")).as("us"),
+          col("event_id").as("id"),
+          (col("value") - lit(50.0)).as("delta"))
+      val sorted = ev.groupBy(col("k"))
+        .agg(array_sort(collect_list(struct(col("us"), col("id"),
+          col("delta")))).as("__ev"))
+      val zero = struct(
+        array().cast("array<struct<id:bigint,balance:double>>").as("out"),
+        lit(0.0).as("bal"))
+      sorted.select(col("k"),
+        explode(aggregate(col("__ev"), zero, (acc, e) => {
+          val nb = greatest(lit(0.0),
+            least(lit(500.0), acc.getField("bal") + e.getField("delta")))
+          struct(concat(acc.getField("out"), array(struct(
+            e.getField("id").as("id"), nb.as("balance")))).as("out"),
+            nb.as("bal"))
+        }).getField("out")).as("r"))
+        .select(col("r.id").as("event_id"), col("r.balance").as("balance"))
+    }),
+
     // Windowed funnel: view→click→purchase where each step lands within
     // 24h of the previous completion (the realistic conversion window)
     "q174_windowed_funnel" -> ((s, d) => {
@@ -4104,6 +4155,49 @@ object SparkEntry {
     "q164_ivfadc_incremental" -> ivfadcOracleSql(k = 10, nprobe = 4,
       kCells = 8, m = 8, dsub = 8, pqK = 16, iterations = 3,
       maxProbeId = 5, trainWhere = "WHERE id % 2 = 0"),
+
+    // A/B replay: same pooled-variance expression tree (sqrt is one
+    // correctly-rounded op on identical operands)
+    "q176_ab_test" ->
+      """WITH b AS (SELECT user_id % 2 AS cohort, user_id,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+        |  FROM events GROUP BY 1, 2),
+        |a AS (SELECT cohort, count(*) AS n, sum(conv) AS c FROM b GROUP BY 1),
+        |w AS (SELECT
+        |    max(CASE WHEN cohort = 0 THEN n END)::BIGINT AS n0,
+        |    max(CASE WHEN cohort = 0 THEN c END)::BIGINT AS c0,
+        |    max(CASE WHEN cohort = 1 THEN n END)::BIGINT AS n1,
+        |    max(CASE WHEN cohort = 1 THEN c END)::BIGINT AS c1
+        |  FROM a)
+        |SELECT n0, c0, n1, c1,
+        |  round(c1::DOUBLE / n1 - c0::DOUBLE / n0, 4) AS lift,
+        |  CASE WHEN sqrt((c0 + c1)::DOUBLE / (n0 + n1)
+        |      * (1.0::DOUBLE - (c0 + c1)::DOUBLE / (n0 + n1))
+        |      * (1.0::DOUBLE / n0 + 1.0::DOUBLE / n1)) > 0
+        |    THEN round((c1::DOUBLE / n1 - c0::DOUBLE / n0)
+        |      / sqrt((c0 + c1)::DOUBLE / (n0 + n1)
+        |        * (1.0::DOUBLE - (c0 + c1)::DOUBLE / (n0 + n1))
+        |        * (1.0::DOUBLE / n0 + 1.0::DOUBLE / n1)), 4) END AS z
+        |FROM w""".stripMargin,
+
+    // Capped-balance replay: recursive CTE with the same clamp chain
+    // (greatest/least are exact on identical doubles)
+    "q177_capped_balance" ->
+      """WITH RECURSIVE e AS (SELECT user_id AS k, epoch_us(ts) AS us,
+        |    event_id AS id, value::DOUBLE - 50.0::DOUBLE AS delta
+        |  FROM events WHERE value IS NOT NULL),
+        |o AS (SELECT k, id, delta,
+        |    row_number() OVER (PARTITION BY k ORDER BY us, id) AS rn FROM e),
+        |r AS (
+        |  SELECT k, id, rn,
+        |    greatest(0.0::DOUBLE, least(500.0::DOUBLE, 0.0::DOUBLE + delta))
+        |      AS balance
+        |  FROM o WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.k, o.id, o.rn,
+        |    greatest(0.0::DOUBLE, least(500.0::DOUBLE, r.balance + o.delta))
+        |  FROM o JOIN r ON o.k = r.k AND o.rn = r.rn + 1)
+        |SELECT id AS event_id, balance FROM r""".stripMargin,
 
     // Windowed-funnel replay: same 24h-bounded strict-after chain
     "q174_windowed_funnel" ->
