@@ -1643,6 +1643,40 @@ object SparkEntry {
         .select(col("r.id").as("event_id"), col("r.balance").as("balance"))
     }),
 
+    // Rolling 7-day distinct users (rolling WAU): each distinct
+    // (day, user) pair contributes to exactly 7 report days — a bounded
+    // ×7 explode of the DEDUPLICATED pairs, then a distinct-count, so
+    // no raw-event range join and no O(days × events) rescans
+    "q178_rolling_wau" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val du = ev.select(to_date(col("ts")).as("day"), col("user_id"))
+        .distinct()
+      val days = ev.select(to_date(col("ts")).as("rday")).distinct()
+      du.select(explode(sequence(col("day"), date_add(col("day"), 6)))
+          .as("rday"), col("user_id"))
+        .join(days, Seq("rday"))
+        .groupBy(col("rday"))
+        .agg(countDistinct(col("user_id")).as("wau"))
+        .select(col("rday").cast("string").as("day"), col("wau"))
+    }),
+
+    // Last-touch attribution: each purchase credits the user's most
+    // recent PRECEDING non-purchase event type ('direct' if none) —
+    // last(ignoreNulls) over ROWS UNBOUNDED PRECEDING..1 PRECEDING,
+    // totally ordered by (µs, event_id)
+    "q179_attribution" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"),
+        col("event_type"), unix_micros(col("ts")).as("us"), col("event_id"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      ev.withColumn("attr", coalesce(
+          last(when(col("event_type") =!= "purchase", col("event_type")),
+            ignoreNulls = true).over(w), lit("direct")))
+        .filter(col("event_type") === "purchase")
+        .groupBy(col("attr")).agg(count(lit(1)).as("purchases"))
+    }),
+
     // Windowed funnel: view→click→purchase where each step lands within
     // 24h of the previous completion (the realistic conversion window)
     "q174_windowed_funnel" -> ((s, d) => {
@@ -4198,6 +4232,32 @@ object SparkEntry {
         |    greatest(0.0::DOUBLE, least(500.0::DOUBLE, r.balance + o.delta))
         |  FROM o JOIN r ON o.k = r.k AND o.rn = r.rn + 1)
         |SELECT id AS event_id, balance FROM r""".stripMargin,
+
+    // Rolling-WAU replay: 7-day trailing window as a date-range join
+    // over the deduplicated day/user pairs
+    "q178_rolling_wau" ->
+      """WITH du AS (SELECT DISTINCT ts::DATE AS day, user_id FROM events),
+        |days AS (SELECT DISTINCT ts::DATE AS rday FROM events)
+        |SELECT d.rday::VARCHAR AS day,
+        |  count(DISTINCT u.user_id)::BIGINT AS wau
+        |FROM days d JOIN du u ON u.day BETWEEN d.rday - 6 AND d.rday
+        |GROUP BY d.rday""".stripMargin,
+
+    // Attribution replay: identical IGNORE NULLS window, same total
+    // (µs, event_id) order
+    "q179_attribution" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us,
+        |    event_id FROM events),
+        |a AS (SELECT user_id, event_type,
+        |    coalesce(last_value(
+        |        CASE WHEN event_type <> 'purchase' THEN event_type END
+        |        IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY us, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |      'direct') AS attr
+        |  FROM e)
+        |SELECT attr, count(*)::BIGINT AS purchases FROM a
+        |WHERE event_type = 'purchase' GROUP BY attr""".stripMargin,
 
     // Windowed-funnel replay: same 24h-bounded strict-after chain
     "q174_windowed_funnel" ->
