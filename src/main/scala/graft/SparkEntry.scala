@@ -1677,6 +1677,53 @@ object SparkEntry {
         .groupBy(col("attr")).agg(count(lit(1)).as("purchases"))
     }),
 
+    // Winsorized per-group stats: clamp value to the exact nearest-rank
+    // [p5, p95] (q161 integer rank math), report clip counts + the
+    // winsorized mean — robust feature scaling without dropping rows.
+    // Clamped values are original data doubles, so the DECIMAL-sum
+    // mean stays cross-engine exact
+    "q180_winsorized_stats" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_type"), col("value"))
+        .filter(col("value").isNotNull)
+      val q = graft.operators.Outliers.groupQuantiles(
+        ev, "event_type", "value", percents = Seq(5, 95))
+        .select(col("event_type"), col("p5"), col("p95"))
+      ev.join(broadcast(q), Seq("event_type"))
+        .withColumn("w", greatest(col("p5"), least(col("p95"), col("value"))))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          max(col("p5")).as("p5"), max(col("p95")).as("p95"),
+          sum(when(col("value") < col("p5"), 1L).otherwise(0L))
+            .as("clipped_low"),
+          sum(when(col("value") > col("p95"), 1L).otherwise(0L))
+            .as("clipped_high"),
+          (decSum(col("w"), 6) / count(lit(1))).as("w_mean"))
+    }),
+
+    // Classifier calibration (reliability table): q136's linear-model
+    // scores vs the lang='en' outcome, decile score bins — mean
+    // predicted probability vs empirical positive rate per bin. The
+    // binning input is the 4dp-rounded score q136 proved cross-engine
+    // bit-stable, so floor(p*10) is an identical IEEE op both sides
+    "q181_calibration" -> ((s, d) => {
+      val buckets = 1024
+      val weights = s.range(buckets).select(col("id").as("bucket"),
+        (((col("id") * 2654435761L) % 2001L - 1000L).cast("double") / 1000.0)
+          .as("weight"))
+      val scored = graft.operators.TextAnalysis.scoreLinearModel(
+        t(s, d, "documents"), "doc_id", "text", weights, buckets)
+        .select(col("doc_id"), round(col("score"), 4).as("p"))
+      val lab = t(s, d, "documents").select(col("doc_id"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+      scored.join(lab, Seq("doc_id"))
+        .withColumn("bin", least(floor(col("p") * 10).cast("int"), lit(9)))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"),
+          (decSum(col("p"), 6) / count(lit(1))).as("mean_pred"),
+          (sum(col("y")).cast("double") / count(lit(1))).as("pos_rate"))
+        .withColumn("gap", round(col("mean_pred") - col("pos_rate"), 4))
+    }),
+
     // Windowed funnel: view→click→purchase where each step lands within
     // 24h of the previous completion (the realistic conversion window)
     "q174_windowed_funnel" -> ((s, d) => {
@@ -4258,6 +4305,56 @@ object SparkEntry {
         |  FROM e)
         |SELECT attr, count(*)::BIGINT AS purchases FROM a
         |WHERE event_type = 'purchase' GROUP BY attr""".stripMargin,
+
+    // Winsorized-stats replay: q161's nearest-rank targets for p5/p95,
+    // identical greatest/least clamp, DECIMAL-exact mean
+    "q180_winsorized_stats" ->
+      """WITH r AS (SELECT event_type, value,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events WHERE value IS NOT NULL),
+        |q AS (SELECT event_type,
+        |    max(CASE WHEN rn = (5 * n + 99) // 100 THEN value END) AS p5,
+        |    max(CASE WHEN rn = (95 * n + 99) // 100 THEN value END) AS p95
+        |  FROM r GROUP BY event_type),
+        |c AS (SELECT e.event_type, q.p5, q.p95, e.value,
+        |    greatest(q.p5, least(q.p95, e.value)) AS w
+        |  FROM events e JOIN q ON e.event_type = q.event_type
+        |  WHERE e.value IS NOT NULL)
+        |SELECT event_type, count(*)::BIGINT AS n,
+        |  max(p5) AS p5, max(p95) AS p95,
+        |  CAST(sum(CASE WHEN value < p5 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS clipped_low,
+        |  CAST(sum(CASE WHEN value > p95 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS clipped_high,
+        |  CAST(sum(CAST(w AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS w_mean
+        |FROM c GROUP BY event_type""".stripMargin,
+
+    // Calibration replay: q136's exact score chain (FNV bucket, DECIMAL
+    // logit, 4dp sigmoid), decile bins on the identical rounded double
+    "q181_calibration" -> {
+      val bucketSql = s"(${fnvSql("v")}) % 1024"
+      s"""WITH tk AS (SELECT doc_id, unnest($tokensSql) AS v FROM documents),
+         |bk AS (SELECT doc_id, ($bucketSql)::BIGINT AS bucket FROM tk),
+         |wt AS (SELECT doc_id, bucket,
+         |    (((bucket * 2654435761) % 2001 - 1000)::DOUBLE / 1000.0)
+         |      ::DECIMAL(12,6) AS w
+         |  FROM bk),
+         |agg AS (SELECT doc_id, sum(w) AS s FROM wt GROUP BY doc_id),
+         |sc AS (SELECT doc_id,
+         |    round(1.0 / (1.0 + exp(-(s::DOUBLE))), 4) AS p FROM agg),
+         |j AS (SELECT sc.doc_id, sc.p,
+         |    CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+         |  FROM sc JOIN documents d USING (doc_id)),
+         |b AS (SELECT least(floor(p * 10)::INT, 9) AS bin, p, y FROM j)
+         |SELECT bin, count(*)::BIGINT AS n,
+         |  CAST(sum(CAST(p AS DECIMAL(18,6))) AS DOUBLE) / count(*)
+         |    AS mean_pred,
+         |  sum(y)::DOUBLE / count(*) AS pos_rate,
+         |  round(CAST(sum(CAST(p AS DECIMAL(18,6))) AS DOUBLE) / count(*)
+         |    - sum(y)::DOUBLE / count(*), 4) AS gap
+         |FROM b GROUP BY bin""".stripMargin
+    },
 
     // Windowed-funnel replay: same 24h-bounded strict-after chain
     "q174_windowed_funnel" ->
