@@ -1724,6 +1724,20 @@ object SparkEntry {
         .withColumn("gap", round(col("mean_pred") - col("pos_rate"), 4))
     }),
 
+    // Heaps'-law vocabulary growth: ln V vs ln N OLS over the corpus in
+    // doc-id order (first-occurrence attribution — no running-distinct
+    // state); the q150 Zipf fit's companion diagnostic
+    "q182_heaps_fit" -> ((s, d) =>
+      graft.operators.TextAnalysis.heapsFit(
+        t(s, d, "documents"), "doc_id", "text")),
+
+    // Inter-arrival burstiness per user: B = (σ−µ)/(σ+µ) over exact µs
+    // gaps — the bot/machine-cadence signal; ordered (g−µ)² fold, 4dp
+    // with −0.0 canonicalization
+    "q183_burstiness" -> ((s, d) =>
+      graft.operators.EventAnalytics.burstiness(Tables.events(s, d),
+        "user_id", "ts", "event_id")),
+
     // Windowed funnel: view→click→purchase where each step lands within
     // 24h of the previous completion (the realistic conversion window)
     "q174_windowed_funnel" -> ((s, d) => {
@@ -4355,6 +4369,61 @@ object SparkEntry {
          |    - sum(y)::DOUBLE / count(*), 4) AS gap
          |FROM b GROUP BY bin""".stripMargin
     },
+
+    // Heaps replay: identical first-occurrence attribution, exact
+    // integer prefix sums, same id-ordered OLS folds, 4dp
+    "q182_heaps_fit" ->
+      s"""WITH tk AS (SELECT doc_id, unnest($tokensSql) AS tok FROM documents),
+         |pd AS (SELECT doc_id, count(*) AS nt FROM tk GROUP BY doc_id),
+         |fo AS (SELECT min(doc_id) AS doc_id FROM tk GROUP BY tok),
+         |nv AS (SELECT doc_id, count(*) AS nv FROM fo GROUP BY doc_id),
+         |pts AS (SELECT p.doc_id AS r,
+         |    ln((sum(p.nt) OVER w)::DOUBLE) AS x,
+         |    ln((sum(coalesce(n.nv, 0)) OVER w)::DOUBLE) AS y
+         |  FROM pd p LEFT JOIN nv n USING (doc_id)
+         |  WINDOW w AS (ORDER BY p.doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |s AS (SELECT count(*) AS n,
+         |    list_reduce(list_prepend(0.0, list(x ORDER BY r)),
+         |      (a, b) -> a + b) AS sx,
+         |    list_reduce(list_prepend(0.0, list(y ORDER BY r)),
+         |      (a, b) -> a + b) AS sy,
+         |    list_reduce(list_prepend(0.0, list(x * y ORDER BY r)),
+         |      (a, b) -> a + b) AS sxy,
+         |    list_reduce(list_prepend(0.0, list(x * x ORDER BY r)),
+         |      (a, b) -> a + b) AS sxx
+         |  FROM pts)
+         |SELECT n::BIGINT AS n_docs,
+         |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS beta,
+         |  round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n,
+         |    4) AS ln_k
+         |FROM s""".stripMargin,
+
+    // Burstiness replay: exact BIGINT Σg, same gap-ordered (g−µ)² fold,
+    // +0.0 canonicalization on the 4dp outputs
+    "q183_burstiness" ->
+      """WITH e AS (SELECT user_id AS k, epoch_us(ts) AS us, event_id AS id
+        |  FROM events),
+        |g AS (SELECT k, us, id,
+        |    us - lag(us) OVER (PARTITION BY k ORDER BY us, id) AS g
+        |  FROM e),
+        |a AS (SELECT k, count(*) AS n_gaps, sum(g)::BIGINT AS sg,
+        |    list(g ORDER BY us, id) AS gs
+        |  FROM g WHERE g IS NOT NULL GROUP BY k),
+        |b AS (SELECT k, n_gaps, sg::DOUBLE / n_gaps AS mu,
+        |    list_reduce(list_prepend(0.0, list_transform(gs,
+        |      v -> (v::DOUBLE - sg::DOUBLE / n_gaps)
+        |         * (v::DOUBLE - sg::DOUBLE / n_gaps))),
+        |      (x, y) -> x + y) AS ss
+        |  FROM a WHERE n_gaps >= 2),
+        |c AS (SELECT k, n_gaps, mu, sqrt(ss / n_gaps) AS sigma FROM b)
+        |SELECT k AS user_id, n_gaps::BIGINT AS n_gaps,
+        |  round(mu / 1000000.0, 4) + 0.0 AS mean_gap_s,
+        |  CASE WHEN mu > 0 THEN round(sigma / mu, 4) + 0.0 END AS cv,
+        |  CASE WHEN mu > 0
+        |    THEN round((sigma - mu) / (sigma + mu), 4) + 0.0 END
+        |    AS burstiness
+        |FROM c""".stripMargin,
 
     // Windowed-funnel replay: same 24h-bounded strict-after chain
     "q174_windowed_funnel" ->

@@ -390,4 +390,46 @@ object EventAnalytics {
       .select(col("prev"), col("next"), col("cnt"),
         (col("cnt").cast("double") / col("__tot")).as("p_next"))
   }
+
+  /** Per-key inter-arrival burstiness (Goh & Barabási 2008): over the
+    * consecutive-event gaps g (exact µs longs in (µs, id) order) report
+    * the gap count, mean gap in seconds, coefficient of variation σ/µ
+    * and B = (σ−µ)/(σ+µ) — the bot-vs-human / machine-cadence signal
+    * (B→−1 periodic, ≈0 Poisson, →1 bursty).
+    *
+    * Determinism: Σg is an exact BIGINT so µ is one double division;
+    * σ² folds Σ(g−µ)² in gap order — a fixed IEEE sequence on identical
+    * inputs cross-engine — and every displayed double rounds 4dp with
+    * the `+ 0.0` canonicalization (B straddles 0, so round can emit
+    * IEEE −0.0). One shuffle on the key; per-key state is the collected
+    * gap list, bounded by per-key activity (the q156 caveat).
+    */
+  def burstiness(events: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, minGaps: Int = 2): DataFrame = {
+    val w = Window.partitionBy(col("k")).orderBy(col("us"), col("id"))
+    val gaps = events
+      .select(col(keyCol).as("k"), unix_micros(col(tsCol)).as("us"),
+        col(idCol).as("id"))
+      .withColumn("g", col("us") - lag(col("us"), 1).over(w))
+      .filter(col("g").isNotNull)
+    val agg1 = gaps.groupBy(col("k"))
+      .agg(count(lit(1)).as("n_gaps"), sum(col("g")).as("__sg"),
+        array_sort(collect_list(struct(col("us"), col("id"), col("g"))))
+          .as("__gs"))
+      .filter(col("n_gaps") >= minGaps)
+      .withColumn("__mu", col("__sg").cast("double") / col("n_gaps"))
+    val withVar = agg1.withColumn("__ss",
+      aggregate(col("__gs"), lit(0.0), (acc, e) => {
+        val dv = e.getField("g").cast("double") - col("__mu")
+        acc + dv * dv
+      }))
+      .withColumn("__sigma", sqrt(col("__ss") / col("n_gaps")))
+    withVar.select(col("k").as(keyCol), col("n_gaps"),
+      (round(col("__mu") / 1e6, 4) + 0.0).as("mean_gap_s"),
+      when(col("__mu") > 0,
+        round(col("__sigma") / col("__mu"), 4) + 0.0).as("cv"),
+      when(col("__mu") > 0,
+        round((col("__sigma") - col("__mu")) /
+          (col("__sigma") + col("__mu")), 4) + 0.0).as("burstiness"))
+  }
 }

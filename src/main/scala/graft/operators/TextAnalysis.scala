@@ -479,6 +479,53 @@ object TextAnalysis {
       round((col("__sy") - slope * col("__sx")) / n, 4).as("intercept"))
   }
 
+  /** Heaps'-law vocabulary-growth fit: V(N) ≈ K·N^β over the corpus read
+    * in id order — ln V vs ln N least squares, the companion diagnostic
+    * to [[zipfFit]] (natural text: β ≈ 0.4-0.6; a bending curve flags
+    * templated or exhausted-vocabulary corpora).
+    *
+    * V never needs running-distinct state: each term is attributed to
+    * its FIRST document (min id per term), so per-doc new-term counts
+    * plus a prefix sum reconstruct the exact vocabulary-growth curve.
+    * Both cumulative sums are exact integers; ln enters once per point
+    * and the OLS sums fold in id order (fixed FP sequence), rounded 4dp
+    * (the ln-ulp policy). The prefix window runs over the per-DOC frame
+    * (|docs| rows, not |tokens|) — at fleet scale that single-partition
+    * scan is the standard two-pass partition-offset prefix sum.
+    */
+  def heapsFit(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol).as("__id"),
+      explode(tokens(col(textCol))).as("__tok"))
+    val perDoc = tok.groupBy(col("__id")).agg(count(lit(1)).as("__nt"))
+    val newTerms = tok.groupBy(col("__tok")).agg(min(col("__id")).as("__id"))
+      .groupBy(col("__id")).agg(count(lit(1)).as("__nv"))
+    val w = Window.orderBy(col("__id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val pts = perDoc.join(newTerms, Seq("__id"), "left")
+      .select(col("__id"), col("__nt"),
+        coalesce(col("__nv"), lit(0L)).as("__nv"))
+      .withColumn("__N", sum(col("__nt")).over(w))
+      .withColumn("__V", sum(col("__nv")).over(w))
+      .select(col("__id").as("r"), log(col("__N").cast("double")).as("x"),
+        log(col("__V").cast("double")).as("y"))
+    def foldOrdered(value: Column): Column =
+      aggregate(
+        transform(array_sort(collect_list(struct(col("r"), value.as("v")))),
+          s => s.getField("v")),
+        lit(0.0), (acc, v) => acc + v)
+    val sums = pts.agg(
+      count(lit(1)).as("n_docs"),
+      foldOrdered(col("x")).as("__sx"), foldOrdered(col("y")).as("__sy"),
+      foldOrdered(col("x") * col("y")).as("__sxy"),
+      foldOrdered(col("x") * col("x")).as("__sxx"))
+    val n = col("n_docs").cast("double")
+    val slope = (n * col("__sxy") - col("__sx") * col("__sy")) /
+      (n * col("__sxx") - col("__sx") * col("__sx"))
+    sums.select(col("n_docs"),
+      round(slope, 4).as("beta"),
+      round((col("__sy") - slope * col("__sx")) / n, 4).as("ln_k"))
+  }
+
   /** CCNet-style perplexity bucketing (Wenzek et al. 2020): score every
     * document with the bigram-LM average negative log-prob
     * ([[bigramLmScores]]), then label head/middle/tail by EXACT terciles
