@@ -359,4 +359,25 @@ class TextAnalysisSpec extends AnyFunSuite {
       TextAnalysis.trigramSearch(df, "doc_id", "text", "ab")
     }
   }
+
+  test("heapsFit: exact OLS over the known V(N) curve, nv=0 doc included") {
+    // doc 2 adds no new vocabulary → exercises the left-join/coalesce(0)
+    // path; curve points: (N,V) = (2,2), (4,2), (7,3)
+    val df = Seq((1L, "a b"), (2L, "a b"), (3L, "a b c"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.heapsFit(df, "doc_id", "text").head()
+    val xs = Seq(2.0, 4.0, 7.0).map(math.log)
+    val ys = Seq(2.0, 2.0, 3.0).map(math.log)
+    // same id-ordered fold sequence as the operator
+    val sx = xs.foldLeft(0.0)(_ + _); val sy = ys.foldLeft(0.0)(_ + _)
+    val sxy = xs.zip(ys).map { case (a, b) => a * b }.foldLeft(0.0)(_ + _)
+    val sxx = xs.map(a => a * a).foldLeft(0.0)(_ + _)
+    val n = 3.0
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    def r4(v: Double) =
+      BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getAs[Long]("n_docs") == 3)
+    assert(r.getAs[Double]("beta") == r4(slope))
+    assert(r.getAs[Double]("ln_k") == r4((sy - slope * sx) / n))
+  }
 }
