@@ -1738,6 +1738,59 @@ object SparkEntry {
       graft.operators.EventAnalytics.burstiness(Tables.events(s, d),
         "user_id", "ts", "event_id")),
 
+    // Corpus duplicate-8-gram coverage per source: fraction of all gram
+    // OCCURRENCES whose gram recurs corpus-wide (Lee et al.'s
+    // "how much of the data is duplicated text" memorization metric —
+    // q138 scores docs, this reports the corpus-level census). Explode
+    // carries only (source, 8-byte hash); occurrence counts are
+    // map-side partial; exact quotients
+    "q184_dup_gram_coverage" -> ((s, d) => {
+      val n = 8
+      val grams = t(s, d, "documents")
+        .select(col("source"),
+          graft.functions.TextFunctions.tokens(col("text")).as("__toks"))
+        .filter(size(col("__toks")) >= n)
+        .select(col("source"), explode(
+          transform(sequence(lit(1), size(col("__toks")) - (n - 1)),
+            i => array_join(slice(col("__toks"), i, lit(n)), " ")))
+          .as("gram"))
+        .select(col("source"), xxhash64(col("gram")).as("gh"))
+      val occ = grams.groupBy(col("gh")).agg(count(lit(1)).as("__occ"))
+      grams.join(occ, "gh")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("gram_occurrences"),
+          sum(when(col("__occ") >= 2, 1L).otherwise(0L))
+            .as("dup_occurrences"))
+        .withColumn("dup_fraction",
+          col("dup_occurrences").cast("double") / col("gram_occurrences"))
+    }),
+
+    // Source-pair token-distribution cosine: each source as an exact
+    // integer term-frequency vector, pairwise cosine via a token-key
+    // self-join of the AGGREGATED (source, token, count) frame — never
+    // a doc-level cross join; exact BIGINT dots, 4dp cosine
+    "q185_source_cosine" -> ((s, d) => {
+      val tf = t(s, d, "documents")
+        .select(col("source"), explode(
+          graft.functions.TextFunctions.tokens(col("text"))).as("tok"))
+        .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("c"))
+      val norms = tf.groupBy(col("source")).agg(sum(col("c") * col("c")).as("n2"))
+      val pairs = tf.as("a")
+        .join(broadcast(tf.as("b")),
+          col("a.tok") === col("b.tok") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("s1"), col("b.source").as("s2"))
+        .agg(sum(col("a.c") * col("b.c")).as("dot"))
+      pairs
+        .join(broadcast(norms.select(col("source").as("s1"),
+          col("n2").as("__n1"))), Seq("s1"))
+        .join(broadcast(norms.select(col("source").as("s2"),
+          col("n2").as("__n2"))), Seq("s2"))
+        .select(col("s1"), col("s2"), col("dot"),
+          round(col("dot").cast("double") /
+            (sqrt(col("__n1").cast("double")) *
+             sqrt(col("__n2").cast("double"))), 4).as("cosine"))
+    }),
+
     // Windowed funnel: view→click→purchase where each step lands within
     // 24h of the previous completion (the realistic conversion window)
     "q174_windowed_funnel" -> ((s, d) => {
@@ -4424,6 +4477,43 @@ object SparkEntry {
         |    THEN round((sigma - mu) / (sigma + mu), 4) + 0.0 END
         |    AS burstiness
         |FROM c""".stripMargin,
+
+    // Dup-gram-coverage replay: q138's gram synthesis at occurrence
+    // (not distinct) granularity, corpus-wide occurrence counts,
+    // per-source exact quotients
+    "q184_dup_gram_coverage" ->
+      s"""WITH tk AS (SELECT source, $tokensSql AS toks FROM documents),
+         |g AS (SELECT source,
+         |    unnest(generate_series(0, len(toks) - 8)) AS pos, toks
+         |  FROM tk WHERE len(toks) >= 8),
+         |g2 AS (SELECT source,
+         |    array_to_string(toks[pos + 1 : pos + 8], ' ') AS gram FROM g),
+         |occ AS (SELECT gram, count(*) AS o FROM g2 GROUP BY gram)
+         |SELECT source, count(*)::BIGINT AS gram_occurrences,
+         |  CAST(sum(CASE WHEN o >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS dup_occurrences,
+         |  sum(CASE WHEN o >= 2 THEN 1 ELSE 0 END)::DOUBLE / count(*)
+         |    AS dup_fraction
+         |FROM g2 JOIN occ USING (gram)
+         |GROUP BY source""".stripMargin,
+
+    // Source-cosine replay: identical integer TF vectors, BIGINT dots,
+    // same sqrt/division op order, 4dp
+    "q185_source_cosine" ->
+      s"""WITH tf AS (SELECT source, v AS tok, count(*) AS c
+         |  FROM (SELECT source, unnest($tokensSql) AS v FROM documents)
+         |  GROUP BY 1, 2),
+         |nm AS (SELECT source, sum(c * c)::BIGINT AS n2 FROM tf
+         |  GROUP BY source),
+         |pr AS (SELECT a.source AS s1, b.source AS s2,
+         |    sum(a.c * b.c)::BIGINT AS dot
+         |  FROM tf a JOIN tf b ON a.tok = b.tok AND a.source < b.source
+         |  GROUP BY 1, 2)
+         |SELECT s1, s2, dot,
+         |  round(dot::DOUBLE / (sqrt(n1.n2::DOUBLE) * sqrt(n2.n2::DOUBLE)),
+         |    4) AS cosine
+         |FROM pr JOIN nm n1 ON pr.s1 = n1.source
+         |JOIN nm n2 ON pr.s2 = n2.source""".stripMargin,
 
     // Windowed-funnel replay: same 24h-bounded strict-after chain
     "q174_windowed_funnel" ->
