@@ -1765,6 +1765,13 @@ object SparkEntry {
           col("dup_occurrences").cast("double") / col("gram_occurrences"))
     }),
 
+    // BPE tokenizer training: 6 merge rounds over character symbols,
+    // word-frequency weighted, (count DESC, lhs, rhs) tie-break — the
+    // learned merge table is the artifact a tokenizer ships
+    "q186_bpe_merges" -> ((s, d) =>
+      graft.operators.TextAnalysis.bpeMerges(
+        t(s, d, "documents"), "text", numMerges = 6)),
+
     // Source-pair token-distribution cosine: each source as an exact
     // integer term-frequency vector, pairwise cosine via a token-key
     // self-join of the AGGREGATED (source, token, count) frame — never
@@ -2373,6 +2380,39 @@ object SparkEntry {
     * ASCII-only corpus (verified: length == octet_length for all docs),
     * so ascii(substring(..)) IS the byte value.
     */
+  /** q186 oracle: BPE replayed as `k` unrolled CTE rounds — per round,
+    * weighted adjacent-pair counts, (cnt DESC, lhs, rhs) argmax, then
+    * the same left-to-right non-overlapping merge fold (state = rebuilt
+    * symbol string, ' ' separator) the Spark operator runs.
+    */
+  private def bpeOracleSql(k: Int): String = {
+    val base =
+      s"""WITH w0 AS (SELECT w, count(*) AS c
+         |  FROM (SELECT unnest($tokensSql) AS w FROM documents) GROUP BY w),
+         |s0 AS (SELECT w, c,
+         |    list_transform(generate_series(1, length(w)), i -> w[i]) AS s
+         |  FROM w0)""".stripMargin
+    val iters = (1 to k).map { i =>
+      s"""p$i AS (SELECT u.l AS l, u.r AS r, sum(c)::BIGINT AS cnt FROM (
+         |    SELECT c, unnest(list_transform(generate_series(1, len(s) - 1),
+         |      j -> {'l': s[j], 'r': s[j + 1]})) AS u
+         |    FROM s${i - 1} WHERE len(s) >= 2)
+         |  GROUP BY u.l, u.r),
+         |b$i AS (SELECT l, r, cnt FROM p$i ORDER BY cnt DESC, l, r LIMIT 1),
+         |s$i AS (SELECT w, c, string_split(list_reduce(list_prepend('', s),
+         |    (acc, x) -> CASE WHEN acc = '' THEN x
+         |      WHEN x = b$i.r AND regexp_extract(acc, '[^ ]+$$') = b$i.l
+         |        THEN substr(acc, 1, length(acc)
+         |          - length(regexp_extract(acc, '[^ ]+$$'))) || b$i.l || b$i.r
+         |      ELSE acc || ' ' || x END), ' ') AS s
+         |  FROM s${i - 1} CROSS JOIN b$i)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to k).map(i =>
+      s"SELECT $i AS step, l AS lhs, r AS rhs, cnt AS freq FROM b$i")
+      .mkString("\nUNION ALL ")
+    s"$base,\n$iters\n$union"
+  }
+
   private def fnvSql(s: String): String =
     s"""list_reduce(
        |  list_prepend(14695981039346656037::HUGEINT,
@@ -4496,6 +4536,9 @@ object SparkEntry {
          |    AS dup_fraction
          |FROM g2 JOIN occ USING (gram)
          |GROUP BY source""".stripMargin,
+
+    // BPE replay: 6 unrolled merge rounds (see bpeOracleSql)
+    "q186_bpe_merges" -> bpeOracleSql(6),
 
     // Source-cosine replay: identical integer TF vectors, BIGINT dots,
     // same sqrt/division op order, 4dp

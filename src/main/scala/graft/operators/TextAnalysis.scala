@@ -685,6 +685,68 @@ object TextAnalysis {
         .otherwise(lit(1.0)))
   }
 
+  /** BPE merge induction (Sennrich et al. 2016) — tokenizer TRAINING:
+    * start from characters, repeatedly merge the most frequent adjacent
+    * symbol pair (weighted by word frequency), `numMerges` times.
+    * Returns the learned merge table (step, lhs, rhs, freq) — the
+    * artifact a BPE tokenizer ships.
+    *
+    * Scale shape: word frequencies aggregate ONCE (the corpus is never
+    * re-scanned); each iteration runs on the (word, count, symbols)
+    * frame — vocabulary-sized, orders of magnitude smaller than the
+    * corpus — localCheckpoint()ed per step so plans stay flat. The
+    * argmax pair is a 1-row collect (bounded, like the q108 sketch
+    * row); ties break (count DESC, lhs, rhs) — binary collation both
+    * engines. The merge itself is a left-to-right non-overlapping
+    * ordered fold (state = the rebuilt symbol string): "aaa" + (a,a)
+    * → ["aa","a"], the reference BPE semantics. Symbols never contain
+    * spaces (tokens are whitespace-split), so ' ' is a safe separator.
+    */
+  def bpeMerges(df: DataFrame, textCol: String, numMerges: Int): DataFrame = {
+    require(numMerges >= 1 && numMerges <= 64,
+      s"numMerges must be in [1, 64], got $numMerges")
+    val spark = df.sparkSession
+    import spark.implicits._
+    var words = df.select(explode(tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .select(col("w"), col("c"),
+        transform(sequence(lit(1), length(col("w"))),
+          i => col("w").substr(i, lit(1))).as("s"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var step = 1
+    var exhausted = false
+    while (step <= numMerges && !exhausted) {
+      val top = words.filter(size(col("s")) >= 2)
+        .select(col("c"), explode(
+          transform(sequence(lit(1), size(col("s")) - 1),
+            i => struct(element_at(col("s"), i).as("l"),
+              element_at(col("s"), i + 1).as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("c")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, cnt) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((step, l, r, cnt))
+        val merged = aggregate(col("s"), lit(""), (acc, x) => {
+          val last = regexp_extract(acc, "[^ ]+$", 0)
+          when(acc === "", x)
+            .when(x === lit(r) && last === lit(l),
+              concat(acc.substr(lit(1), length(acc) - length(last)),
+                lit(l + r)))
+            .otherwise(concat(acc, lit(" "), x))
+        })
+        words = words.select(col("w"), col("c"), split(merged, " ").as("s"))
+          .localCheckpoint()
+        step += 1
+      }
+    }
+    merges.toSeq.toDF("step", "lhs", "rhs", "freq")
+  }
+
   /** Hashed-bag-of-words LINEAR-MODEL scoring — the serving shape of a
     * fastText-style quality classifier (the FineWeb-edu / CCNet
     * model-based filtering step): tokens hash into `buckets` feature

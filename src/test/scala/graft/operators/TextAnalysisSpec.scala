@@ -360,6 +360,37 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("bpeMerges: classic lower/lowest case learns (l,o) then (lo,w)") {
+    // words: low x3, lowest x2 → pairs l-o:5, o-w:5, w-e:2, e-s:2, s-t:2
+    // tie l-o vs o-w breaks lexicographically → (l,o) first; then
+    // lo-w:5 dominates → (lo,w); then low-e:2 ties w-e? w gone; pairs
+    // low-e:2, e-s:2, s-t:2 → (e,s) lexicographic
+    val df = Seq("low low low lowest lowest").toDF("text")
+    val out = TextAnalysis.bpeMerges(df, "text", numMerges = 3)
+      .orderBy("step").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(out(0) == ((1, "l", "o", 5L)))
+    assert(out(1) == ((2, "lo", "w", 5L)))
+    assert(out(2) == ((3, "e", "s", 2L)))
+  }
+
+  test("bpeMerges: overlapping runs merge left-to-right non-overlapping") {
+    // "aaaa": pairs (a,a) weight 3 → merge → [aa, aa]; second round
+    // (aa,aa) weight 1 → merge → [aaaa]
+    val df = Seq("aaaa").toDF("text")
+    val out = TextAnalysis.bpeMerges(df, "text", numMerges = 2)
+      .orderBy("step").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(out(0) == ((1, "a", "a", 3L)))
+    assert(out(1) == ((2, "aa", "aa", 1L)))
+  }
+
+  test("bpeMerges: stops early when no pairs remain") {
+    val df = Seq("ab ab").toDF("text")
+    val out = TextAnalysis.bpeMerges(df, "text", numMerges = 5).collect()
+    assert(out.length == 1) // after (a,b) every word is one symbol
+  }
+
   test("heapsFit: exact OLS over the known V(N) curve, nv=0 doc included") {
     // doc 2 adds no new vocabulary → exercises the left-join/coalesce(0)
     // path; curve points: (N,V) = (2,2), (4,2), (7,3)
