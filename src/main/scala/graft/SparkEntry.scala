@@ -1798,6 +1798,94 @@ object SparkEntry {
              sqrt(col("__n2").cast("double"))), 4).as("cosine"))
     }),
 
+    // BPE tokenizer APPLICATION census: train q186's 6 merges, then
+    // report the resulting subword vocabulary with exact corpus stats
+    // (total occurrences weighted by word frequency + distinct words
+    // containing the token) — the coverage/fertility audit a tokenizer
+    // build signs off on
+    "q187_bpe_encode" -> ((s, d) =>
+      graft.operators.TextAnalysis.bpeEncodeCensus(
+        t(s, d, "documents"), "text", numMerges = 6)),
+
+    // Exact ROC AUC via the Mann-Whitney rank-sum with average-rank tie
+    // handling, ranking on q136's DECIMAL-exact logit (AUC is invariant
+    // to the monotone sigmoid, so ranking the logit sidesteps the libm
+    // exp ulp entirely — tie structure and order are bit-identical
+    // cross-engine). The rank window runs on the AGGREGATED
+    // distinct-logit frame, never the raw corpus; every rank term is a
+    // multiple of 0.5 so the Σ pos·avgRank fold is exact in double and
+    // order-independent.
+    "q188_auc" -> ((s, d) => {
+      val buckets = 1024
+      val weights = s.range(buckets).select(col("id").as("bucket"),
+        (((col("id") * 2654435761L) % 2001L - 1000L).cast("double") / 1000.0)
+          .as("weight"))
+      val scored = graft.operators.TextAnalysis.scoreLinearModel(
+        t(s, d, "documents"), "doc_id", "text", weights, buckets)
+        .select(col("doc_id"), col("logit"))
+      val lab = t(s, d, "documents").select(col("doc_id"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+      val g = scored.join(lab, Seq("doc_id"))
+        .groupBy(col("logit"))
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("pos"))
+      val w = Window.orderBy(col("logit"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val ranked = g
+        .withColumn("__cb", coalesce(sum(col("n")).over(w), lit(0L)))
+        .withColumn("__ar", col("__cb").cast("double") +
+          (col("n") + 1).cast("double") / 2.0)
+      ranked.agg(
+          sum(col("pos")).as("__p"),
+          sum(col("n") - col("pos")).as("__n"),
+          sum(col("pos").cast("double") * col("__ar")).as("__sr"))
+        .select(col("__p").as("n_pos"), col("__n").as("n_neg"),
+          round((col("__sr") - col("__p").cast("double") *
+              (col("__p") + 1).cast("double") / 2.0) /
+            (col("__p").cast("double") * col("__n").cast("double")), 4)
+            .as("auc"))
+    }),
+
+    // SemDeDup: k-means clusters (q52's quantizer), within-cluster
+    // pairwise cosine, drop a vector when an earlier id in its cluster
+    // sits above τ — per-cluster census of the semantic-dedup pass
+    "q189_semdedup" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val model = graft.operators.IvfIndex.train(emb, k = 8, iterations = 3)
+      graft.operators.Dedup.semDedup(emb, model, tau = 0.3)
+    }),
+
+    // SCD type-2 interval construction: per-user state runs (event_type
+    // as the tracked state) compressed to [valid_from, valid_to)
+    // validity intervals — the CDC → dimension-table build
+    "q190_scd2" -> ((s, d) =>
+      graft.operators.EventAnalytics.scd2Intervals(Tables.events(s, d),
+        "user_id", "ts", "event_id", "event_type")),
+
+    // Quantile normalization: per-source n_chars mapped onto the pooled
+    // corpus distribution at the same fractional rank — cross-source
+    // calibration (q158 uniformizes within a group; this aligns groups
+    // to one shared scale). All-BIGINT rank math; outputs are input
+    // values
+    "q191_quantile_normalize" -> ((s, d) =>
+      graft.operators.TrainingData.quantileNormalize(
+        t(s, d, "documents").select(col("doc_id"), col("source"),
+          col("n_chars")),
+        "source", "n_chars", outCol = "n_chars_norm")),
+
+    // Functional-dependency / label-purity audit on source → lang:
+    // per source, distinct-label count, majority label, violation count
+    // and rate — the label-consistency report
+    "q192_fd_audit" -> ((s, d) =>
+      graft.operators.Profile.fdAudit(t(s, d, "documents"),
+        "source", "lang")),
+
+    // Rolling median/MAD anomaly flags: per user over the trailing 7
+    // events, |x − med| > 3·mad on exact lower-median math — raw
+    // doubles bit-exact (every cell is an input value or one IEEE op)
+    "q193_rolling_mad" -> ((s, d) =>
+      graft.operators.Outliers.rollingMad(Tables.events(s, d),
+        "user_id", "ts", "event_id", "value", window = 7, k = 3.0)),
+
     // Windowed funnel: view→click→purchase where each step lands within
     // 24h of the previous completion (the realistic conversion window)
     "q174_windowed_funnel" -> ((s, d) => {
@@ -2386,6 +2474,24 @@ object SparkEntry {
     * symbol string, ' ' separator) the Spark operator runs.
     */
   private def bpeOracleSql(k: Int): String = {
+    val union = (1 to k).map(i =>
+      s"SELECT $i AS step, l AS lhs, r AS rhs, cnt AS freq FROM b$i")
+      .mkString("\nUNION ALL ")
+    s"${bpeCtes(k)}\n$union"
+  }
+
+  /** q187 oracle: the same unrolled merge rounds, final census over the
+    * post-merge symbol frame s`k` — exact integer freq / distinct-word
+    * counts per resulting token.
+    */
+  private def bpeEncodeOracleSql(k: Int): String =
+    s"""${bpeCtes(k)}
+       |SELECT tok AS token, sum(c)::BIGINT AS freq,
+       |  count(DISTINCT w)::BIGINT AS n_words
+       |FROM (SELECT w, c, unnest(s) AS tok FROM s$k)
+       |GROUP BY tok""".stripMargin
+
+  private def bpeCtes(k: Int): String = {
     val base =
       s"""WITH w0 AS (SELECT w, count(*) AS c
          |  FROM (SELECT unnest($tokensSql) AS w FROM documents) GROUP BY w),
@@ -2407,10 +2513,7 @@ object SparkEntry {
          |      ELSE acc || ' ' || x END), ' ') AS s
          |  FROM s${i - 1} CROSS JOIN b$i)""".stripMargin
     }.mkString(",\n")
-    val union = (1 to k).map(i =>
-      s"SELECT $i AS step, l AS lhs, r AS rhs, cnt AS freq FROM b$i")
-      .mkString("\nUNION ALL ")
-    s"$base,\n$iters\n$union"
+    s"$base,\n$iters"
   }
 
   private def fnvSql(s: String): String =
@@ -2813,6 +2916,51 @@ object SparkEntry {
        |    row_number() OVER (PARTITION BY probe_id ORDER BY cs DESC, corpus_id) AS rank
        |  FROM scored)
        |WHERE rank <= $k""".stripMargin
+  }
+
+  /** q189 (SemDeDup) replayed end-to-end: the q52 coarse-quantizer
+    * replay (same init/Lloyd's/assign CTE shapes as
+    * [[ivfTopKOracleSql]]), then within-cell pairwise cosine with the
+    * drop-if-an-earlier-id-is-above-τ rule and the per-cell census.
+    * FP stance identical to q52/q53 (τ compares in double; gaps
+    * O(0.01)).
+    */
+  private def semDedupOracleSql(kCells: Int, iterations: Int, tau: Double,
+      dim: Int = 64): String = {
+    def sqd(a: String, b: String): String =
+      s"list_sum(list_transform(generate_series(1,$dim), i -> (($a)[i] - ($b)[i])^2))"
+    def assign(name: String, cprev: String): String =
+      s"""$name AS (SELECT id, v, cell FROM (
+         |  SELECT va.id, va.v, c.cell,
+         |    row_number() OVER (PARTITION BY va.id ORDER BY ${sqd("va.v", "c.cv")}, c.cell) AS rn
+         |  FROM vecs va CROSS JOIN $cprev c) WHERE rn = 1)""".stripMargin
+    def update(name: String, aprev: String, cprev: String): String =
+      s"""$name AS (SELECT c.cell, coalesce(m.cv, c.cv) AS cv FROM $cprev c LEFT JOIN (
+         |  SELECT cell, list(mx ORDER BY d) AS cv FROM (
+         |    SELECT cell, i.d, avg(v[i.d]) AS mx FROM $aprev
+         |    CROSS JOIN (SELECT unnest(generate_series(1,$dim)) AS d) i
+         |    GROUP BY cell, i.d) GROUP BY cell) m ON m.cell = c.cell)""".stripMargin
+    val lloyd = (1 to iterations).flatMap { i =>
+      Seq(assign(s"a$i", s"c${i - 1}"), update(s"c$i", s"a$i", s"c${i - 1}"))
+    }.mkString(",\n")
+    s"""WITH vecs AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+       |$xxh64LongCtes,
+       |init AS (SELECT xh.id, row_number() OVER (ORDER BY hs) - 1 AS cell
+       |         FROM xh ORDER BY hs LIMIT $kCells),
+       |c0 AS (SELECT init.cell, v.v AS cv FROM init JOIN vecs v ON v.id = init.id),
+       |$lloyd,
+       |${assign("afin", s"c$iterations")},
+       |drp AS (SELECT DISTINCT x.id FROM afin x JOIN afin y
+       |  ON x.cell = y.cell AND y.id < x.id
+       |  AND list_dot_product(x.v, x.v) > 0 AND list_dot_product(y.v, y.v) > 0
+       |  WHERE list_cosine_similarity(x.v, y.v) > $tau)
+       |SELECT a.cell, count(*)::BIGINT AS n_vecs,
+       |  sum(CASE WHEN drp.id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+       |    AS n_dropped,
+       |  (count(*) - sum(CASE WHEN drp.id IS NOT NULL THEN 1 ELSE 0 END))
+       |    ::BIGINT AS n_kept
+       |FROM afin a LEFT JOIN drp ON drp.id = a.id
+       |GROUP BY a.cell""".stripMargin
   }
 
   /** q153 (IVFADC) replayed end-to-end: the q52 coarse-quantizer replay
@@ -4557,6 +4705,118 @@ object SparkEntry {
          |    4) AS cosine
          |FROM pr JOIN nm n1 ON pr.s1 = n1.source
          |JOIN nm n2 ON pr.s2 = n2.source""".stripMargin,
+
+    // BPE-encode replay: the q186 unrolled rounds + final vocabulary
+    // census over the post-merge symbol frame
+    "q187_bpe_encode" -> bpeEncodeOracleSql(6),
+
+    // AUC replay: identical DECIMAL logits (q181's weight synthesis),
+    // distinct-logit aggregation, cumulative-count average ranks, the
+    // same exact-in-double rank-sum formula, 4dp
+    "q188_auc" ->
+      s"""WITH tk AS (SELECT doc_id, unnest($tokensSql) AS v FROM documents),
+         |bk AS (SELECT doc_id, ((${fnvSql("v")}) % 1024)::BIGINT AS bucket
+         |  FROM tk),
+         |wt AS (SELECT doc_id, bucket,
+         |    (((bucket * 2654435761) % 2001 - 1000)::DOUBLE / 1000.0)
+         |      ::DECIMAL(12,6) AS w
+         |  FROM bk),
+         |agg AS (SELECT doc_id, sum(w) AS s FROM wt GROUP BY doc_id),
+         |j AS (SELECT a.doc_id, a.s::DOUBLE AS logit,
+         |    CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+         |  FROM agg a JOIN documents d USING (doc_id)),
+         |g AS (SELECT logit, count(*) AS n, sum(y) AS pos FROM j
+         |  GROUP BY logit),
+         |r AS (SELECT logit, n, pos,
+         |    coalesce(sum(n) OVER (ORDER BY logit
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+         |  FROM g)
+         |SELECT sum(pos)::BIGINT AS n_pos,
+         |  sum(n - pos)::BIGINT AS n_neg,
+         |  round((sum(pos::DOUBLE * (cb::DOUBLE + (n + 1)::DOUBLE / 2.0))
+         |      - sum(pos)::DOUBLE * (sum(pos) + 1)::DOUBLE / 2.0)
+         |    / (sum(pos)::DOUBLE * sum(n - pos)::DOUBLE), 4) AS auc
+         |FROM r""".stripMargin,
+
+    // SemDeDup replay: q52's Lloyd's CTEs + within-cell pairwise τ rule
+    "q189_semdedup" -> semDedupOracleSql(kCells = 8, iterations = 3,
+      tau = 0.3),
+
+    // SCD2 replay: same (µs, event_id) total order, change-flag running
+    // sum, per-run min/count, lead() interval close
+    "q190_scd2" ->
+      """WITH e AS (SELECT user_id AS k, epoch_us(ts) AS us,
+        |    event_id AS eid, event_type AS state FROM events),
+        |c AS (SELECT k, us, eid, state,
+        |    CASE WHEN lag(state) OVER (PARTITION BY k ORDER BY us, eid)
+        |      IS DISTINCT FROM state THEN 1 ELSE 0 END AS chg
+        |  FROM e),
+        |v AS (SELECT k, us, state, (sum(chg) OVER (PARTITION BY k
+        |    ORDER BY us, eid ROWS UNBOUNDED PRECEDING))::BIGINT AS version
+        |  FROM c),
+        |r AS (SELECT k, version, min(state) AS state,
+        |    min(us) AS valid_from_us, count(*)::BIGINT AS n_events
+        |  FROM v GROUP BY k, version)
+        |SELECT k AS user_id, version, state, valid_from_us,
+        |  lead(valid_from_us) OVER (PARTITION BY k ORDER BY version)
+        |    AS valid_to_us,
+        |  n_events
+        |FROM r""".stripMargin,
+
+    // Quantile-normalization replay: RANGE-frame ≤-count, BIGINT
+    // ceil-division target position, distinct-value pooled cumulative
+    // lookup
+    "q191_quantile_normalize" ->
+      """WITH b AS (SELECT doc_id, source, n_chars FROM documents
+        |  WHERE n_chars IS NOT NULL),
+        |p AS (SELECT n_chars AS pv, count(*) AS pc FROM b GROUP BY 1),
+        |pc AS (SELECT pv, pc, sum(pc) OVER (ORDER BY pv
+        |    ROWS UNBOUNDED PRECEDING) AS cum FROM p),
+        |tt AS (SELECT count(*) AS tot FROM b),
+        |r AS (SELECT doc_id, source, n_chars,
+        |    count(*) OVER (PARTITION BY source ORDER BY n_chars
+        |      RANGE UNBOUNDED PRECEDING) AS c,
+        |    count(*) OVER (PARTITION BY source) AS gn FROM b)
+        |SELECT doc_id, source, n_chars, pv AS n_chars_norm
+        |FROM r CROSS JOIN tt JOIN pc
+        |  ON c * tot <= cum * gn AND c * tot > (cum - pc.pc) * gn"""
+        .stripMargin,
+
+    // FD-audit replay: (lhs, rhs) counts, (count DESC, rhs) majority,
+    // exact violation quotients
+    "q192_fd_audit" ->
+      """WITH pr AS (SELECT source AS lhs, lang AS rhs, count(*) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |rk AS (SELECT lhs, rhs, c, row_number() OVER (PARTITION BY lhs
+        |    ORDER BY c DESC, rhs) AS rk FROM pr)
+        |SELECT lhs AS source, sum(c)::BIGINT AS n_rows,
+        |  count(*)::BIGINT AS n_rhs,
+        |  max(CASE WHEN rk = 1 THEN rhs END) AS majority_rhs,
+        |  (sum(c) - max(CASE WHEN rk = 1 THEN c END))::BIGINT
+        |    AS n_violations,
+        |  round((sum(c) - max(CASE WHEN rk = 1 THEN c END))::DOUBLE
+        |    / sum(c), 4) AS violation_rate
+        |FROM rk GROUP BY lhs""".stripMargin,
+
+    // Rolling-MAD replay: identical trailing-7 frames via list() window,
+    // same lower-median picks and single-op IEEE arithmetic
+    "q193_rolling_mad" ->
+      """WITH e AS (SELECT user_id AS k, epoch_us(ts) AS us,
+        |    event_id AS eid, value AS v FROM events
+        |  WHERE value IS NOT NULL),
+        |f AS (SELECT k, eid, v, list_sort(list(v) OVER (PARTITION BY k
+        |    ORDER BY us, eid ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+        |    AS fr
+        |  FROM e),
+        |m AS (SELECT k, eid, v, fr, fr[(len(fr) + 1) // 2] AS med FROM f),
+        |d AS (SELECT k, eid, v, med,
+        |    list_sort(list_transform(fr, x -> abs(x - med))) AS ad FROM m)
+        |SELECT k AS user_id, eid AS event_id, v, med,
+        |  ad[(len(ad) + 1) // 2] AS mad,
+        |  CASE WHEN ad[(len(ad) + 1) // 2] > 0.0
+        |    THEN abs(v - med) > 3.0 * ad[(len(ad) + 1) // 2]
+        |    ELSE abs(v - med) > 0.0 END AS is_anomaly
+        |FROM d""".stripMargin,
 
     // Windowed-funnel replay: same 24h-bounded strict-after chain
     "q174_windowed_funnel" ->

@@ -631,4 +631,44 @@ object Dedup {
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("text_dedup"), lit("")).as("text_dedup"))
   }
+
+  /** SemDeDup (Abbas et al. 2023): semantic dedup over embeddings —
+    * k-means clusters the corpus (the [[IvfIndex]] coarse quantizer),
+    * pairwise cosine runs ONLY within each cluster, and a vector is
+    * dropped when an earlier vector (smaller id — deterministic, the
+    * exact-dedup keep-min-id policy) in its cluster sits above `tau`.
+    * Returns the per-cluster census (n_vecs, n_dropped, n_kept) — the
+    * report a semantic-dedup pass signs off on.
+    *
+    * Scale shape — the paper's point: clustering bounds the pair space
+    * to Σ nᵢ² over cells instead of n² corpus-wide; the within-cell
+    * self-join is an equi-join on the cell id (shuffle-partitioned,
+    * never a cross product), and at 100 TB the cell count scales with
+    * the corpus so cells stay bounded. Zero-norm vectors cannot score
+    * (cosine undefined) and are never dropped.
+    *
+    * FP stance = q52/q53: cosine compares against `tau` in double;
+    * flips require a pair within ~1 ulp of `tau`, never observed
+    * (gaps O(0.01)).
+    */
+  def semDedup(vecs: DataFrame, model: IvfIndex.Model,
+      tau: Double): DataFrame = {
+    import graft.functions.VectorFunctions._
+    val a = IvfIndex.assign(vecs, model)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
+    val dropped = a.as("x")
+      .join(a.as("y"),
+        col("x.cell") === col("y.cell") &&
+          col("y.vec_id") < col("x.vec_id") &&
+          col("x.nrm") > 0 && col("y.nrm") > 0)
+      .filter(dotProduct(col("x.v"), col("y.v")) /
+        (col("x.nrm") * col("y.nrm")) > tau)
+      .select(col("x.vec_id").as("vec_id")).distinct()
+      .withColumn("__drop", lit(1L))
+    a.join(dropped, Seq("vec_id"), "left")
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vecs"),
+        coalesce(sum(col("__drop")), lit(0L)).as("n_dropped"))
+      .withColumn("n_kept", col("n_vecs") - col("n_dropped"))
+  }
 }

@@ -268,6 +268,44 @@ object EventAnalytics {
         col("active_us"), col("longest_gap_us"))
   }
 
+  /** SCD type-2 interval construction: compress a per-key event stream
+    * into validity intervals — one row per run of consecutive equal
+    * states, carrying [valid_from, valid_to) in epoch-µs (open-ended
+    * NULL for the current state) plus the run's event count. The
+    * change-data-capture → dimension-table build every warehouse runs;
+    * the event-stream inverse of [[gapsAndIslands]] (state CHANGES cut
+    * runs, not time gaps).
+    *
+    * Determinism: rows order by (µs, event id) — a total order — and
+    * the version number is the running count of state changes, so every
+    * output cell is an exact integer / verbatim state. Scale shape: one
+    * shuffle on the key for the lag/running-sum window (bounded by a
+    * key's own activity), then a per-(key, version) partial-agg and one
+    * more bounded window for the interval close — no corpus-wide
+    * window, no driver state.
+    */
+  def scd2Intervals(events: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, stateCol: String): DataFrame = {
+    val w = Window.partitionBy(col("k")).orderBy(col("us"), col("eid"))
+    val runs = events
+      .select(col(keyCol).as("k"), unix_micros(col(tsCol)).as("us"),
+        col(idCol).as("eid"), col(stateCol).as("state"))
+      .withColumn("__chg",
+        when(lag(col("state"), 1).over(w).isNull ||
+          lag(col("state"), 1).over(w) =!= col("state"), 1L).otherwise(0L))
+      .withColumn("version", sum(col("__chg")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("k"), col("version"))
+      .agg(min(col("state")).as("state"),
+        min(col("us")).as("valid_from_us"),
+        count(lit(1)).as("n_events"))
+    val wv = Window.partitionBy(col("k")).orderBy(col("version"))
+    runs
+      .withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(wv))
+      .select(col("k").as(keyCol), col("version"), col("state"),
+        col("valid_from_us"), col("valid_to_us"), col("n_events"))
+  }
+
   /** Population stability index (PSI) — the standard production drift
     * monitor: bin the CURRENT value distribution by the REFERENCE
     * distribution's exact deciles and score

@@ -107,4 +107,45 @@ object Outliers {
       .groupBy(col(groupCol))
       .agg((sum(col("__v")) / count(lit(1))).as(out))
   }
+
+  /** ROLLING median/MAD anomaly flags — the streaming-shaped robust
+    * detector: per key, over the trailing `window` rows in (epoch-µs,
+    * event-id) order, med = lower median of the frame, mad = lower
+    * median of |x − med|, and the row is anomalous when
+    * |x − med| > k·mad; a zero-MAD frame (constant-majority trailing
+    * values) degrades to "any deviation flags" — the classic rule.
+    *
+    * Lower (nearest-rank) medians — `sorted[(n+1) div 2]` — keep every
+    * output cell an INPUT value or a single correctly-rounded IEEE
+    * op (|x − med| one subtract, k·mad one multiply), so raw doubles
+    * are bit-identical cross-engine with no display rounding (the q134
+    * argument, minus even the 2-element average). The frame is a
+    * bounded collect_list (`window` ≤ 64 elements) sorted per row —
+    * O(w log w) per event, shuffled once on the key; no corpus-wide
+    * window.
+    */
+  def rollingMad(events: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, valueCol: String, window: Int = 7,
+      k: Double = 3.0): DataFrame = {
+    require(window >= 2 && window <= 64, s"window must be in [2, 64], got $window")
+    val w = Window.partitionBy(col("k")).orderBy(col("us"), col("eid"))
+      .rowsBetween(-(window - 1), Window.currentRow)
+    // (n+1)/2 in exact integer terms: the double division is by the
+    // constant 2 on a small int — exact — and floor recovers the rank
+    val lowerMed = (arr: org.apache.spark.sql.Column) =>
+      element_at(array_sort(arr), floor((size(arr) + 1) / 2).cast("int"))
+    events
+      .filter(col(valueCol).isNotNull)
+      .select(col(keyCol).as("k"), unix_micros(col(tsCol)).as("us"),
+        col(idCol).as("eid"), col(valueCol).cast("double").as("v"))
+      .withColumn("__frame", collect_list(col("v")).over(w))
+      .withColumn("med", lowerMed(col("__frame")))
+      .withColumn("mad", lowerMed(transform(col("__frame"),
+        x => abs(x - col("med")))))
+      .select(col("k").as(keyCol), col("eid").as(idCol), col("v"),
+        col("med"), col("mad"),
+        when(col("mad") > 0.0, abs(col("v") - col("med")) > lit(k) * col("mad"))
+          .otherwise(abs(col("v") - col("med")) > 0.0)
+          .as("is_anomaly"))
+  }
 }

@@ -56,4 +56,37 @@ object Profile {
     }
     one.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
   }
+
+  /** Functional-dependency / label-consistency audit for lhs → rhs: per
+    * LHS value, row count, distinct RHS count, the MAJORITY rhs
+    * (count DESC, rhs ASC — a total order) and how many rows disagree
+    * with it (the violation count, with its exact-quotient rate). On
+    * (source → lang) this is the label-purity report an annotation
+    * pipeline reviews; n_rhs = 1 everywhere certifies the dependency
+    * holds.
+    *
+    * Two partial-aggregating groupBys — (lhs, rhs) counts, then per-lhs
+    * fold over the collapsed frame (bounded by distinct pairs, never
+    * rows) — plus one window for the majority pick on that same
+    * collapsed frame. All outputs exact.
+    */
+  def fdAudit(df: DataFrame, lhsCol: String, rhsCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lhs")).orderBy(col("__c").desc, col("rhs"))
+    val pairs = df
+      .select(col(lhsCol).as("lhs"), col(rhsCol).as("rhs"))
+      .groupBy(col("lhs"), col("rhs")).agg(count(lit(1)).as("__c"))
+    pairs
+      .withColumn("__rk", row_number().over(w))
+      .groupBy(col("lhs"))
+      .agg(sum(col("__c")).as("n_rows"),
+        count(lit(1)).as("n_rhs"),
+        max(when(col("__rk") === 1, col("rhs"))).as("majority_rhs"),
+        max(when(col("__rk") === 1, col("__c"))).as("__mc"))
+      .select(col("lhs").as(lhsCol), col("n_rows"), col("n_rhs"),
+        col("majority_rhs"),
+        (col("n_rows") - col("__mc")).as("n_violations"),
+        round((col("n_rows") - col("__mc")).cast("double") /
+          col("n_rows"), 4).as("violation_rate"))
+  }
 }

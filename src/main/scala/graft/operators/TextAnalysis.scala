@@ -702,7 +702,29 @@ object TextAnalysis {
     * → ["aa","a"], the reference BPE semantics. Symbols never contain
     * spaces (tokens are whitespace-split), so ' ' is a safe separator.
     */
-  def bpeMerges(df: DataFrame, textCol: String, numMerges: Int): DataFrame = {
+  def bpeMerges(df: DataFrame, textCol: String, numMerges: Int): DataFrame =
+    bpeTrain(df, textCol, numMerges)._1
+
+  /** Tokenizer APPLICATION census — the serving-side complement of
+    * [[bpeMerges]]: train `numMerges` merges, then report the resulting
+    * subword vocabulary with exact corpus statistics per token —
+    * total occurrences (weighted by word frequency) and the number of
+    * distinct words containing the token. This is the table a tokenizer
+    * build signs off on (vocabulary coverage / fertility audit).
+    *
+    * Scale shape: inherits [[bpeMerges]]'s — the corpus aggregates to
+    * word frequencies once, every merge round and the final explode run
+    * on the vocabulary-sized frame.
+    */
+  def bpeEncodeCensus(df: DataFrame, textCol: String, numMerges: Int): DataFrame =
+    bpeTrain(df, textCol, numMerges)._2
+      .select(col("w"), col("c"), explode(col("s")).as("token"))
+      .groupBy(col("token"))
+      .agg(sum(col("c")).as("freq"),
+        count_distinct(col("w")).as("n_words"))
+
+  private def bpeTrain(df: DataFrame, textCol: String,
+      numMerges: Int): (DataFrame, DataFrame) = {
     require(numMerges >= 1 && numMerges <= 64,
       s"numMerges must be in [1, 64], got $numMerges")
     val spark = df.sparkSession
@@ -744,7 +766,7 @@ object TextAnalysis {
         step += 1
       }
     }
-    merges.toSeq.toDF("step", "lhs", "rhs", "freq")
+    (merges.toSeq.toDF("step", "lhs", "rhs", "freq"), words)
   }
 
   /** Hashed-bag-of-words LINEAR-MODEL scoring — the serving shape of a

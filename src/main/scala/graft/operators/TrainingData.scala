@@ -380,6 +380,58 @@ object TrainingData {
       .drop("__rk", "__n")
   }
 
+  /** QUANTILE normalization across groups: map each row's value onto
+    * the POOLED distribution's value at the same fractional rank —
+    * after it, every group's value distribution is (up to nearest-rank
+    * granularity) the pooled one. The cross-source calibration step
+    * beyond [[rankNormalize]] (which only uniformizes WITHIN a group):
+    * here a verbose source and a terse source land on one comparable
+    * length/score scale, the microarray-normalization classic applied
+    * to corpus stats.
+    *
+    * Exactness: within-group fractional rank is the RANGE-frame count
+    * of values ≤ v over the group size (cume_dist's exact integer
+    * numerator); the pooled target position is
+    * ceil(c·N/n) = (c·N + n − 1) div n — all BIGINT; the pooled order
+    * statistic at that position is read off the DISTINCT-value
+    * cumulative frame, so every output is an exact input value.
+    *
+    * Scale shape: one shuffle on the group for the rank window; the
+    * pooled distribution aggregates to (value, count) — bounded by
+    * DISTINCT values, not rows — its cumulative window runs on that
+    * collapsed frame, and the position lookup is a broadcast range
+    * join against it. No corpus-wide row-number.
+    */
+  def quantileNormalize(df: DataFrame, groupCol: String, valueCol: String,
+      outCol: String = "value_norm"): DataFrame = {
+    val base = df.filter(col(valueCol).isNotNull)
+    val wr = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col(valueCol))
+      .rangeBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cw = org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))
+    val pooled = base.groupBy(col(valueCol).as("__pv"))
+      .agg(count(lit(1)).as("__pc"))
+      .withColumn("__cum", sum(col("__pc")).over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("__pv"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+    val n = base.groupBy().agg(count(lit(1)).as("__tot"))
+    val ranked = base
+      .withColumn("__c", count(lit(1)).over(wr))
+      .withColumn("__gn", count(lit(1)).over(cw))
+    // the target position is pos = ceil(c·tot / gn); both range bounds
+    // multiply through by gn (> 0), so the lookup is pure BIGINT
+    // multiplication — no division anywhere:
+    //   pos ≤ cum        ⇔  c·tot ≤ cum·gn
+    //   pos > cum − pc   ⇔  c·tot > (cum − pc)·gn
+    val lookup = pooled.crossJoin(broadcast(n))
+    ranked
+      .join(broadcast(lookup),
+        col("__c") * col("__tot") <= col("__cum") * col("__gn") &&
+          col("__c") * col("__tot") > (col("__cum") - col("__pc")) * col("__gn"))
+      .withColumn(outCol, col("__pv"))
+      .drop("__pv", "__pc", "__cum", "__c", "__gn", "__tot")
+  }
+
   /** Data-mixture audit: per group (language / source / domain), doc and
     * token counts, the realized corpus share, the divergence from a
     * target mixture, and the per-group KL contribution

@@ -262,4 +262,23 @@ class EventAnalyticsSpec extends AnyFunSuite {
       .collect()(0).getAs[Double]("cv")
     assert(java.lang.Double.doubleToRawLongBits(cv) == 0L)
   }
+
+  test("scd2Intervals: state runs compress, intervals chain, last is open") {
+    // user 1: A,A,B,A → three runs; user 2: one run
+    val df = ev((1L, 1L, 0, "A"), (1L, 2L, 1, "A"), (1L, 3L, 2, "B"),
+      (1L, 4L, 3, "A"), (2L, 5L, 0, "X"))
+    val out = EventAnalytics.scd2Intervals(df, "user_id", "ts",
+      "event_id", "event_type").orderBy("user_id", "version").collect()
+    assert(out.length == 4)
+    val u1 = out.filter(_.getLong(0) == 1L)
+    assert(u1.map(_.getAs[String]("state")).toSeq == Seq("A", "B", "A"))
+    assert(u1.map(_.getAs[Long]("version")).toSeq == Seq(1L, 2L, 3L))
+    assert(u1(0).getAs[Long]("n_events") == 2L)
+    // each interval closes exactly where the next opens
+    assert(u1(0).getAs[Long]("valid_to_us") == u1(1).getAs[Long]("valid_from_us"))
+    assert(u1(1).getAs[Long]("valid_to_us") == u1(2).getAs[Long]("valid_from_us"))
+    assert(u1(2).isNullAt(u1(2).fieldIndex("valid_to_us")))
+    assert(out.filter(_.getLong(0) == 2L).head.isNullAt(
+      out.head.fieldIndex("valid_to_us")))
+  }
 }

@@ -90,4 +90,22 @@ class IvfAndEmbedDedupSpec extends AnyFunSuite {
     assert(reps(1L) == 0L && reps.getOrElse(2L, 0L) == 0L)
     assert(reps(4L) == 3L)
   }
+
+  test("semDedup: within-cell τ rule drops later ids, zero-norms survive") {
+    // fixed 2-cell model; vec 2 duplicates vec 1 (same cell, cos ≈ 1),
+    // vec 3 lives alone in cell 1, vec 4 is zero-norm (cell 0 by the
+    // distance tie-break) and must never drop
+    val m = IvfIndex.Model(Array(
+      0 -> Array(1.0, 0.0), 1 -> Array(0.0, 1.0)))
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.99f, 0.01f)),
+      (3L, Seq(0.0f, 1.0f)), (4L, Seq(0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Dedup.semDedup(vecs, m, tau = 0.9)
+      .collect().map(r => r.getAs[Int]("cell") ->
+        (r.getAs[Long]("n_vecs"), r.getAs[Long]("n_dropped"),
+          r.getAs[Long]("n_kept"))).toMap
+    assert(out(0) == ((3L, 1L, 2L)))   // 1, 2, 4 — only 2 drops
+    assert(out(1) == ((1L, 0L, 1L)))
+  }
 }

@@ -88,4 +88,27 @@ class OutliersSpec extends AnyFunSuite {
     val out = Outliers.skyline2D(df, "x", "y").collect()
     assert(out.length == 1 && out(0).getDouble(1) == 1.0)
   }
+
+  test("rollingMad: spike flags, zero-MAD frame degrades to any-deviation") {
+    import java.sql.Timestamp
+    def t(h: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+    // user 1 alternates 1,2 then spikes; user 2 is constant then deviates
+    val df = (Seq((1L, 1L, 1.0), (1L, 2L, 2.0), (1L, 3L, 1.0), (1L, 4L, 2.0),
+        (1L, 5L, 1.0), (1L, 6L, 2.0), (1L, 7L, 100.0)) ++
+      Seq((2L, 8L, 5.0), (2L, 9L, 5.0), (2L, 10L, 5.0), (2L, 11L, 5.5)))
+      .zipWithIndex.map { case ((u, id, v), i) => (u, id, t(i % 24), v) }
+      .toDF("user_id", "event_id", "ts", "value")
+    val out = Outliers.rollingMad(df, "user_id", "ts", "event_id", "value",
+      window = 7, k = 3.0)
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        (r.getAs[Double]("med"), r.getAs[Double]("mad"),
+          r.getAs[Boolean]("is_anomaly"))).toMap
+    // event 7: frame sorted [1,1,1,2,2,2,100] → med 2, mad 1, |98| > 3
+    assert(out(7L) == ((2.0, 1.0, true)))
+    // event 6: frame [1,1,1,2,2,2] → med 1 (lower), mad 0 → dev 1 flags
+    assert(out(6L)._2 == 0.0 && out(6L)._3)
+    // user 2: constant frames never flag; the 5.5 deviates on mad 0
+    assert(!out(9L)._3 && !out(10L)._3)
+    assert(out(11L) == ((5.0, 0.0, true)))
+  }
 }

@@ -60,4 +60,22 @@ class ProfileSpec extends AnyFunSuite {
     assert(r.getLong(2) == 2 && r.getLong(3) == 0)
     assert(r.isNullAt(4) && r.isNullAt(5) && r.getLong(6) == 0)
   }
+
+  test("fdAudit: majority pick, violation counts, and the rhs tie-break") {
+    val df = Seq(("x", "p"), ("x", "p"), ("x", "p"), ("x", "q"),
+      ("y", "r"), ("y", "r"),
+      ("z", "p"), ("z", "a")).toDF("lhs", "rhs")
+    val out = Profile.fdAudit(df, "lhs", "rhs")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("x").getAs[Long]("n_rows") == 4L)
+    assert(out("x").getAs[Long]("n_rhs") == 2L)
+    assert(out("x").getAs[String]("majority_rhs") == "p")
+    assert(out("x").getAs[Long]("n_violations") == 1L)
+    assert(out("x").getAs[Double]("violation_rate") == 0.25)
+    // a clean dependency: zero violations
+    assert(out("y").getAs[Long]("n_rhs") == 1L &&
+      out("y").getAs[Long]("n_violations") == 0L)
+    // equal counts: majority is the ASCII-smaller rhs
+    assert(out("z").getAs[String]("majority_rhs") == "a")
+  }
 }

@@ -391,6 +391,18 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out.length == 1) // after (a,b) every word is one symbol
   }
 
+  test("bpeEncodeCensus: post-merge vocabulary with exact freq/word counts") {
+    // words: aa x2, ab x1 → pair (a,a):2 beats (a,b):1 → merge (a,a)
+    // symbols after 1 merge: aa → [aa], ab → [a, b]
+    val df = Seq("aa aa ab").toDF("text")
+    val out = TextAnalysis.bpeEncodeCensus(df, "text", numMerges = 1)
+      .collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("freq"),
+        r.getAs[Long]("n_words"))).toMap
+    assert(out == Map("aa" -> ((2L, 1L)), "a" -> ((1L, 1L)),
+      "b" -> ((1L, 1L))))
+  }
+
   test("heapsFit: exact OLS over the known V(N) curve, nv=0 doc included") {
     // doc 2 adds no new vocabulary → exercises the left-join/coalesce(0)
     // path; curve points: (N,V) = (2,2), (4,2), (7,3)

@@ -239,4 +239,29 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(out(4L) == 1.0)
     assert(out(5L) == 0.0)                            // singleton group
   }
+
+  test("quantileNormalize: groups land on the pooled order statistics") {
+    // pool = [1,2,3,4,10,20] (N=6)
+    val df = Seq(("a", 1L, 1L), ("a", 2L, 2L), ("a", 3L, 3L), ("a", 4L, 4L),
+      ("b", 5L, 10L), ("b", 6L, 20L)).toDF("g", "id", "v")
+    val out = TrainingData.quantileNormalize(df, "g", "v")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("value_norm"))
+      .toMap
+    // group a (n=4): ranks 1..4 → pooled positions ceil(6k/4) = 2,3,5,6
+    assert(out(1L) == 2L && out(2L) == 3L && out(3L) == 10L && out(4L) == 20L)
+    // group b (n=2): positions 3, 6
+    assert(out(5L) == 3L && out(6L) == 20L)
+  }
+
+  test("quantileNormalize: ties share the ≤-count rank") {
+    val df = Seq(("a", 1L, 7L), ("a", 2L, 7L), ("b", 3L, 1L), ("b", 4L, 9L))
+      .toDF("g", "id", "v")
+    val out = TrainingData.quantileNormalize(df, "g", "v")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("value_norm"))
+      .toMap
+    // both 7s have c=2 of n=2 → pos 4 → pooled max 9
+    assert(out(1L) == 9L && out(2L) == 9L)
+    assert(out(3L) == 7L)   // c=1, n=2 → pos 2 → second-smallest of [1,7,7,9]
+    assert(out(4L) == 9L)
+  }
 }
