@@ -1886,6 +1886,36 @@ object SparkEntry {
       graft.operators.Outliers.rollingMad(Tables.events(s, d),
         "user_id", "ts", "event_id", "value", window = 7, k = 3.0)),
 
+    // Precision-recall threshold sweep over q188's DECIMAL-exact logits
+    // — the PR curve + F1 operating points the AUC integrates
+    "q194_pr_curve" -> ((s, d) => {
+      val buckets = 1024
+      val weights = s.range(buckets).select(col("id").as("bucket"),
+        (((col("id") * 2654435761L) % 2001L - 1000L).cast("double") / 1000.0)
+          .as("weight"))
+      val scored = graft.operators.TextAnalysis.scoreLinearModel(
+        t(s, d, "documents"), "doc_id", "text", weights, buckets)
+        .select(col("doc_id"), col("logit"))
+      val lab = t(s, d, "documents").select(col("doc_id"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+      graft.operators.Eval.prCurve(scored.join(lab, Seq("doc_id")),
+        "logit", "y")
+    }),
+
+    // Two-sample KS drift: each source's n_chars distribution vs the
+    // rest of the corpus — binning-free sup-of-CDF-gap, exact integer
+    // argmax (q167 PSI's companion)
+    "q195_ks_test" -> ((s, d) =>
+      graft.operators.Profile.ksTest(t(s, d, "documents"),
+        "source", "n_chars")),
+
+    // Mutual information source↔lang: entropies + MI/NMI via q142-style
+    // key-ordered folds on aggregate frames; the fdAudit/chi-square
+    // companion that quantifies association strength
+    "q196_mutual_info" -> ((s, d) =>
+      graft.operators.Profile.mutualInformation(t(s, d, "documents"),
+        "source", "lang")),
+
     // Windowed funnel: view→click→purchase where each step lands within
     // 24h of the previous completion (the realistic conversion window)
     "q174_windowed_funnel" -> ((s, d) => {
@@ -4817,6 +4847,98 @@ object SparkEntry {
         |    THEN abs(v - med) > 3.0 * ad[(len(ad) + 1) // 2]
         |    ELSE abs(v - med) > 0.0 END AS is_anomaly
         |FROM d""".stripMargin,
+
+    // PR-sweep replay: q188's logit CTEs, per-distinct-threshold counts,
+    // descending cumulative tp/pp, single-divide 4dp quotients
+    "q194_pr_curve" ->
+      s"""WITH tk AS (SELECT doc_id, unnest($tokensSql) AS v FROM documents),
+         |bk AS (SELECT doc_id, ((${fnvSql("v")}) % 1024)::BIGINT AS bucket
+         |  FROM tk),
+         |wt AS (SELECT doc_id, bucket,
+         |    (((bucket * 2654435761) % 2001 - 1000)::DOUBLE / 1000.0)
+         |      ::DECIMAL(12,6) AS w
+         |  FROM bk),
+         |agg AS (SELECT doc_id, sum(w) AS s FROM wt GROUP BY doc_id),
+         |j AS (SELECT a.doc_id, a.s::DOUBLE AS logit,
+         |    CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+         |  FROM agg a JOIN documents d USING (doc_id)),
+         |g AS (SELECT logit AS threshold, count(*) AS n, sum(y) AS pos
+         |  FROM j GROUP BY 1),
+         |tt AS (SELECT sum(pos)::BIGINT AS p FROM g),
+         |c AS (SELECT threshold,
+         |    (sum(pos) OVER (ORDER BY threshold DESC
+         |      ROWS UNBOUNDED PRECEDING))::BIGINT AS tp,
+         |    (sum(n) OVER (ORDER BY threshold DESC
+         |      ROWS UNBOUNDED PRECEDING))::BIGINT AS pp
+         |  FROM g)
+         |SELECT threshold, tp, (pp - tp) AS fp, (p - tp) AS fn,
+         |  round(tp::DOUBLE / pp, 4) AS prec,
+         |  round(tp::DOUBLE / p, 4) AS recall,
+         |  round(2.0 * tp::DOUBLE / (pp + p), 4) AS f1
+         |FROM c CROSS JOIN tt""".stripMargin,
+
+    // KS replay: dense distinct-values × groups frame, per-group and
+    // global cumulative counts, cross-multiplied BIGINT sup,
+    // (num DESC, v) argmax
+    "q195_ks_test" ->
+      """WITH b AS (SELECT source AS g, n_chars AS v FROM documents
+        |  WHERE source IS NOT NULL AND n_chars IS NOT NULL),
+        |cnt AS (SELECT g, v, count(*) AS c FROM b GROUP BY 1, 2),
+        |pvc AS (SELECT v, sum(count(*)) OVER (ORDER BY v
+        |    ROWS UNBOUNDED PRECEDING)::BIGINT AS cgc
+        |  FROM b GROUP BY v),
+        |pg AS (SELECT g, count(*) AS ng FROM b GROUP BY 1),
+        |tt AS (SELECT count(*) AS nt FROM b),
+        |dense AS (SELECT pg.g, pvc.v, pvc.cgc, pg.ng,
+        |    coalesce(cnt.c, 0) AS c
+        |  FROM pg CROSS JOIN pvc
+        |  LEFT JOIN cnt ON cnt.g = pg.g AND cnt.v = pvc.v),
+        |cum AS (SELECT g, v, ng, cgc, sum(c) OVER (PARTITION BY g
+        |    ORDER BY v ROWS UNBOUNDED PRECEDING)::BIGINT AS cs
+        |  FROM dense),
+        |sc AS (SELECT g, v, ng, (nt - ng) AS nr,
+        |    abs(cs * (nt - ng) - (cgc - cs) * ng) AS num
+        |  FROM cum CROSS JOIN tt),
+        |rk AS (SELECT g, v, ng, nr, num,
+        |    row_number() OVER (PARTITION BY g ORDER BY num DESC, v) AS rn
+        |  FROM sc)
+        |SELECT g AS source, ng::BIGINT AS n_group, nr::BIGINT AS n_rest,
+        |  round(num::DOUBLE / (ng * nr)::DOUBLE, 4) AS d_stat,
+        |  v AS at_value
+        |FROM rk WHERE rn = 1""".stripMargin,
+
+    // MI replay: q142-style key-ordered Σ c·ln c folds for both
+    // marginals + the joint, H = ln n − s/n, 4dp with the +0.0
+    // −0.0 canonicalization on MI/NMI
+    "q196_mutual_info" ->
+      """WITH pr AS (SELECT source AS l, lang AS r, count(*) AS c
+        |  FROM documents WHERE source IS NOT NULL AND lang IS NOT NULL
+        |  GROUP BY 1, 2),
+        |lm AS (SELECT l, sum(c)::BIGINT AS c FROM pr GROUP BY 1),
+        |rm AS (SELECT r, sum(c)::BIGINT AS c FROM pr GROUP BY 1),
+        |fl AS (SELECT sum(c)::BIGINT AS n, list_reduce(list_prepend(0.0,
+        |    list(c::DOUBLE * ln(c) ORDER BY l)), (a, b) -> a + b) AS s
+        |  FROM lm),
+        |fr AS (SELECT sum(c)::BIGINT AS n, list_reduce(list_prepend(0.0,
+        |    list(c::DOUBLE * ln(c) ORDER BY r)), (a, b) -> a + b) AS s
+        |  FROM rm),
+        |fj AS (SELECT sum(c)::BIGINT AS n, list_reduce(list_prepend(0.0,
+        |    list(c::DOUBLE * ln(c) ORDER BY l, r)), (a, b) -> a + b) AS s
+        |  FROM pr)
+        |SELECT fj.n AS n_rows,
+        |  round(ln(fl.n) - fl.s / fl.n, 4) AS h_lhs,
+        |  round(ln(fr.n) - fr.s / fr.n, 4) AS h_rhs,
+        |  round(ln(fj.n) - fj.s / fj.n, 4) AS h_joint,
+        |  round((ln(fl.n) - fl.s / fl.n) + (ln(fr.n) - fr.s / fr.n)
+        |    - (ln(fj.n) - fj.s / fj.n), 4) + 0.0 AS mi,
+        |  CASE WHEN least(ln(fl.n) - fl.s / fl.n,
+        |      ln(fr.n) - fr.s / fr.n) > 0.0
+        |    THEN round(((ln(fl.n) - fl.s / fl.n) + (ln(fr.n) - fr.s / fr.n)
+        |        - (ln(fj.n) - fj.s / fj.n))
+        |      / least(ln(fl.n) - fl.s / fl.n, ln(fr.n) - fr.s / fr.n), 4)
+        |      + 0.0
+        |    END AS nmi
+        |FROM fl CROSS JOIN fr CROSS JOIN fj""".stripMargin,
 
     // Windowed-funnel replay: same 24h-bounded strict-after chain
     "q174_windowed_funnel" ->

@@ -70,6 +70,106 @@ object Profile {
     * rows) — plus one window for the majority pick on that same
     * collapsed frame. All outputs exact.
     */
+  /** Two-sample Kolmogorov-Smirnov statistic of `valueCol`, each group
+    * vs the REST of the corpus: D = max over pooled distinct values of
+    * |F_group(x) − F_rest(x)| — the distribution-drift detector that
+    * needs no binning choice (the q167 PSI companion; PSI fixes decile
+    * bins, KS takes the sup over every step of the empirical CDFs).
+    *
+    * Exactness: the sup is taken over the CROSS-MULTIPLIED integer form
+    * |cs·n_rest − c_rest·n_g| (cs = group's ≤-count at x), so the argmax
+    * is pure BIGINT arithmetic; only the final D quotient is a single
+    * divide, rounded 4dp. `at_value` is the smallest x attaining the
+    * sup ((num DESC, x ASC) total order). Exact while n_g·n_rest < 2⁶³ —
+    * past ~3·10⁹ rows per side, flip the comparison to the double
+    * quotient (1 ulp) — the analogue of q161's integer-rank note.
+    *
+    * Shape: per-(group,value) and per-value counts partial-aggregate
+    * first; the dense frame is distinct-values × groups (aggregate-
+    * bounded, groups broadcast), with per-group cumulative windows on
+    * that frame — corpus rows never enter a window or a cross join.
+    */
+  def ksTest(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val b = df.select(col(groupCol).as("g"), col(valueCol).as("v"))
+      .filter(col("g").isNotNull && col("v").isNotNull)
+    val cnt = b.groupBy(col("g"), col("v")).agg(count(lit(1)).as("__c"))
+    val wGlobal = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val perVal = b.groupBy(col("v")).agg(count(lit(1)).as("__cg"))
+      .withColumn("__cgc", sum(col("__cg")).over(wGlobal))
+      .select(col("v"), col("__cgc"))
+    val perGrp = b.groupBy(col("g")).agg(count(lit(1)).as("__ng"))
+    val tot = b.agg(count(lit(1)).as("__nt"))
+    val wGrp = org.apache.spark.sql.expressions.Window.partitionBy(col("g"))
+      .orderBy(col("v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val dense = perVal.crossJoin(broadcast(perGrp))
+      .join(cnt, Seq("g", "v"), "left")
+      .withColumn("__cs", sum(coalesce(col("__c"), lit(0L))).over(wGrp))
+      .crossJoin(broadcast(tot))
+      .withColumn("__nr", col("__nt") - col("__ng"))
+      .withColumn("__num", abs(col("__cs") * col("__nr") -
+        (col("__cgc") - col("__cs")) * col("__ng")))
+    val wMax = org.apache.spark.sql.expressions.Window.partitionBy(col("g"))
+      .orderBy(col("__num").desc, col("v"))
+    dense.withColumn("__rk", row_number().over(wMax))
+      .filter(col("__rk") === 1)
+      .select(col("g").as(groupCol), col("__ng").as("n_group"),
+        col("__nr").as("n_rest"),
+        round(col("__num").cast("double") /
+          (col("__ng") * col("__nr")).cast("double"), 4).as("d_stat"),
+        col("v").as("at_value"))
+  }
+
+  /** Mutual information between two categorical columns — the
+    * information-theoretic strength of the lhs→rhs association, the
+    * continuous companion to [[fdAudit]]'s exact-dependency audit and
+    * q172's chi-square (MI measures HOW MUCH label knowledge the lhs
+    * carries; chi-square only tests independence). One row out:
+    * marginal entropies, joint entropy, MI = H(L)+H(R)−H(L,R), and
+    * NMI = MI/min(H(L),H(R)) (NULL when either marginal is constant).
+    *
+    * Null keys are excluded (both engines would order them differently
+    * in the folds). Each entropy is H = ln n − (Σ c·ln c)/n with the
+    * Σ c·ln c fold over counts SORTED BY KEY (the q142 ordered-fold
+    * pattern) so FP summation order is deterministic and SQL-replayable;
+    * outputs are 4dp for the ln ulp (NOTES.md), with MI's
+    * mathematically-≥0-but-FP-tiny-negative canonicalized via + 0.0
+    * (the q126 −0.0 pitfall). The folds run on aggregate frames
+    * (marginal/joint cardinalities), never corpus rows.
+    */
+  def mutualInformation(df: DataFrame, lhsCol: String,
+      rhsCol: String): DataFrame = {
+    val pairs = df
+      .select(col(lhsCol).as("l"), col(rhsCol).as("r"))
+      .filter(col("l").isNotNull && col("r").isNotNull)
+      .groupBy(col("l"), col("r")).agg(count(lit(1)).as("c"))
+    def fold(d: DataFrame, keys: Seq[String], sName: String): DataFrame =
+      d.agg(sum(col("c")).as("__n" + sName),
+        aggregate(
+          transform(
+            array_sort(collect_list(struct(keys.map(col) :+ col("c"): _*))),
+            x => x.getField("c").cast("double") * log(x.getField("c"))),
+          lit(0.0), (acc, x) => acc + x).as("__s" + sName))
+    val fl = fold(pairs.groupBy(col("l")).agg(sum(col("c")).as("c")),
+      Seq("l"), "l")
+    val fr = fold(pairs.groupBy(col("r")).agg(sum(col("c")).as("c")),
+      Seq("r"), "r")
+    val fj = fold(pairs, Seq("l", "r"), "j")
+    def h(s: String): Column =
+      log(col("__n" + s)) - col("__s" + s) / col("__n" + s)
+    fl.crossJoin(fr).crossJoin(fj)
+      .select(col("__nj").as("n_rows"),
+        round(h("l"), 4).as("h_lhs"), round(h("r"), 4).as("h_rhs"),
+        round(h("j"), 4).as("h_joint"),
+        (round(h("l") + h("r") - h("j"), 4) + lit(0.0)).as("mi"),
+        when(least(h("l"), h("r")) > 0.0,
+          round((h("l") + h("r") - h("j")) / least(h("l"), h("r")), 4) +
+            lit(0.0)).as("nmi"))
+  }
+
   def fdAudit(df: DataFrame, lhsCol: String, rhsCol: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("lhs")).orderBy(col("__c").desc, col("rhs"))

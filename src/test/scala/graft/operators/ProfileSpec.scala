@@ -78,4 +78,61 @@ class ProfileSpec extends AnyFunSuite {
     // equal counts: majority is the ASCII-smaller rhs
     assert(out("z").getAs[String]("majority_rhs") == "a")
   }
+
+  test("ksTest: identical distributions give D=0, disjoint give D=1") {
+    // a and b share the same values; c is entirely above both
+    val df = (Seq.fill(3)(("a", 1)) ++ Seq.fill(3)(("a", 2)) ++
+      Seq.fill(3)(("b", 1)) ++ Seq.fill(3)(("b", 2)) ++
+      Seq.fill(6)(("c", 9))).toDF("g", "v")
+    val out = Profile.ksTest(df, "g", "v").collect()
+      .map(r => r.getString(0) -> r).toMap
+    // c vs rest: at v=2 the rest's CDF is 1.0, c's is 0.0 -> D = 1
+    assert(out("c").getAs[Double]("d_stat") == 1.0)
+    assert(out("c").getAs[Int]("at_value") == 2)
+    assert(out("c").getAs[Long]("n_group") == 6L &&
+      out("c").getAs[Long]("n_rest") == 12L)
+    // a vs rest (b identical + c above): sup at v=2 where
+    // F_a = 1, F_rest = 6/12 -> D = 0.5
+    assert(out("a").getAs[Double]("d_stat") == 0.5)
+  }
+
+  test("ksTest: sup lands on the exact cross-multiplied step, min v tie") {
+    // g: {1,2}, rest: {1,3} -> steps: v=1: |1/2-1/2|=0; v=2: |1-1/2|=1/2;
+    // v=3: |1-1| = 0. D=0.5 at v=2.
+    val df = Seq(("g", 1), ("g", 2), ("r", 1), ("r", 3)).toDF("g", "v")
+    val r = Profile.ksTest(df, "g", "v").collect()
+      .map(x => x.getString(0) -> x).toMap
+    assert(r("g").getAs[Double]("d_stat") == 0.5)
+    assert(r("g").getAs[Int]("at_value") == 2)
+  }
+
+  test("mutualInformation: exact dependency gives MI = H, independence 0") {
+    // perfectly dependent: lhs determines rhs, both uniform over 2 values
+    val dep = Seq(("x", "p"), ("x", "p"), ("y", "q"), ("y", "q"))
+      .toDF("l", "r")
+    val d = Profile.mutualInformation(dep, "l", "r").collect().head
+    val ln2 = math.round(math.log(2) * 1e4) / 1e4
+    assert(d.getAs[Long]("n_rows") == 4L)
+    assert(d.getAs[Double]("h_lhs") == ln2 && d.getAs[Double]("h_rhs") == ln2)
+    assert(d.getAs[Double]("h_joint") == ln2)
+    assert(d.getAs[Double]("mi") == ln2)
+    assert(d.getAs[Double]("nmi") == 1.0)
+    // independent uniform 2x2: joint = H(L) + H(R), MI = 0 (canonical 0.0,
+    // never -0.0)
+    val ind = Seq(("x", "p"), ("x", "q"), ("y", "p"), ("y", "q"))
+      .toDF("l", "r")
+    val i = Profile.mutualInformation(ind, "l", "r").collect().head
+    assert(i.getAs[Double]("mi") == 0.0)
+    assert((1.0 / i.getAs[Double]("mi")) > 0, "MI must not be -0.0")
+    assert(i.getAs[Double]("nmi") == 0.0)
+  }
+
+  test("mutualInformation: constant marginal yields NULL nmi, null keys drop") {
+    val df = Seq(("x", "p"), ("x", "q"), ("x", null), (null, "p"))
+      .toDF("l", "r")
+    val r = Profile.mutualInformation(df, "l", "r").collect().head
+    assert(r.getAs[Long]("n_rows") == 2L) // only fully-non-null rows
+    assert(r.getAs[Double]("h_lhs") == 0.0) // constant lhs
+    assert(r.isNullAt(r.fieldIndex("nmi")))
+  }
 }
