@@ -1916,6 +1916,49 @@ object SparkEntry {
       graft.operators.Profile.mutualInformation(t(s, d, "documents"),
         "source", "lang")),
 
+    // SCD2 point-in-time lookup: q190's dimension build from the
+    // NON-purchase stream (empty [t,t) intervals dropped), then every
+    // purchase as-of-joins the state the user was in when buying — the
+    // fact-to-slowly-changing-dimension join every warehouse runs;
+    // reuses the q36 union-window as-of (backward, equal-ts inclusive)
+    "q197_scd2_lookup" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val dim = graft.operators.EventAnalytics.scd2Intervals(
+          ev.filter(col("event_type") =!= "purchase"),
+          "user_id", "ts", "event_id", "event_type")
+        .filter(col("valid_to_us").isNull ||
+          col("valid_to_us") > col("valid_from_us"))
+      val probes = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"))
+      graft.operators.AsOfJoin.asOf(probes, dim, keys = Seq("user_id"),
+        leftTs = "ts_us", rightTs = "valid_from_us",
+        rightPayload = Seq(("version", "version"), ("state", "state")))
+    }),
+
+    // Blocked sorted-neighborhood near-dup pairs: canonical-prefix sort
+    // order, window-3 neighborhood inside 2-char prefix blocks,
+    // distinct-token Jaccard ≥ 0.5 — the record-linkage blocking
+    // alternative to the q29/q30 LSH family
+    "q198_sorted_neighborhood" -> ((s, d) =>
+      graft.operators.Dedup.sortedNeighborhood(t(s, d, "documents"),
+        "doc_id", "text", prefixLen = 12, blockLen = 2, window = 3,
+        tau = 0.5)),
+
+    // Deterministic cross-source negative sampling: fnv-bucket probing,
+    // min (h_a XOR h_c, cid) pick per probe round — reproducible
+    // contrastive negatives with no RNG and no n² pair space
+    "q199_negative_sample" -> ((s, d) =>
+      graft.operators.TrainingData.negativeSample(t(s, d, "documents"),
+        "doc_id", "source", k = 4, buckets = 256)),
+
+    // Encoding-anomaly census per source: U+FFFD / C0-control /
+    // double-encoding-marker doc counts + non-ASCII char ratio — the
+    // mojibake audit before training
+    "q200_encoding_audit" -> ((s, d) =>
+      graft.operators.QualityRules.encodingAudit(t(s, d, "documents"),
+        "source", "text")),
+
     // Windowed funnel: view→click→purchase where each step lands within
     // 24h of the previous completion (the realistic conversion window)
     "q174_windowed_funnel" -> ((s, d) => {
@@ -4939,6 +4982,96 @@ object SparkEntry {
         |      + 0.0
         |    END AS nmi
         |FROM fl CROSS JOIN fr CROSS JOIN fj""".stripMargin,
+
+    // SCD2-lookup replay: q190's run construction on the non-purchase
+    // stream, empty-interval drop, then latest valid_from ≤ ts per
+    // purchase (valid_from DESC row_number — the as-of backward rule)
+    "q197_scd2_lookup" ->
+      """WITH e AS (SELECT user_id AS k, epoch_us(ts) AS us,
+        |    event_id AS eid, event_type AS state FROM events
+        |  WHERE event_type <> 'purchase'),
+        |c AS (SELECT k, us, eid, state,
+        |    CASE WHEN lag(state) OVER (PARTITION BY k ORDER BY us, eid)
+        |      IS DISTINCT FROM state THEN 1 ELSE 0 END AS chg
+        |  FROM e),
+        |v AS (SELECT k, us, state, (sum(chg) OVER (PARTITION BY k
+        |    ORDER BY us, eid ROWS UNBOUNDED PRECEDING))::BIGINT AS version
+        |  FROM c),
+        |r AS (SELECT k, version, min(state) AS state,
+        |    min(us) AS valid_from_us FROM v GROUP BY k, version),
+        |iv AS (SELECT k, version, state, valid_from_us,
+        |    lead(valid_from_us) OVER (PARTITION BY k ORDER BY version)
+        |      AS valid_to_us FROM r),
+        |nz AS (SELECT * FROM iv
+        |  WHERE valid_to_us IS NULL OR valid_to_us > valid_from_us),
+        |p AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
+        |  WHERE event_type = 'purchase'),
+        |m AS (SELECT p.user_id, p.event_id, p.ts_us, nz.version, nz.state,
+        |    row_number() OVER (PARTITION BY p.user_id, p.event_id
+        |      ORDER BY nz.valid_from_us DESC) AS rn
+        |  FROM p LEFT JOIN nz
+        |    ON nz.k = p.user_id AND nz.valid_from_us <= p.ts_us)
+        |SELECT user_id, event_id, ts_us, version, state
+        |FROM m WHERE rn = 1""".stripMargin,
+
+    // Sorted-neighborhood replay: same canonicalization, same
+    // (key, id) in-block rank, rank-distance ≤ window−1 pairs, exact
+    // integer distinct-token Jaccard
+    "q198_sorted_neighborhood" ->
+      s"""WITH b AS (SELECT doc_id AS id,
+         |    trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS canon,
+         |    list_sort(list_distinct($tokensSql)) AS toks FROM documents),
+         |k AS (SELECT id, toks, canon[1:12] AS ky, canon[1:2] AS blk
+         |  FROM b),
+         |r AS (SELECT id, toks, ky, blk, row_number() OVER (
+         |    PARTITION BY blk ORDER BY ky, id) AS rn FROM k),
+         |p AS (SELECT a.id AS id_a, c.id AS id_b,
+         |    len(list_intersect(a.toks, c.toks))::BIGINT AS i,
+         |    (len(a.toks) + len(c.toks)
+         |      - len(list_intersect(a.toks, c.toks)))::BIGINT AS u
+         |  FROM r a JOIN r c ON a.blk = c.blk
+         |    AND c.rn > a.rn AND c.rn <= a.rn + 2)
+         |SELECT id_a, id_b, round(i::DOUBLE / u::DOUBLE, 4) AS jaccard
+         |FROM p
+         |WHERE u > 0 AND round(i::DOUBLE / u::DOUBLE, 4) >= 0.5"""
+        .stripMargin,
+
+    // Negative-sampling replay: per-doc fnv (unsigned mod 256 = Spark's
+    // signed pmod, 256 | 2^64), probe-bucket equi-join, signed XOR pair
+    // key, (pk, cid) argmin
+    "q199_negative_sample" ->
+      s"""WITH base AS (SELECT doc_id AS id, source AS lab,
+         |    ${fnvSql("doc_id::VARCHAR")} AS hu FROM documents),
+         |pr AS (SELECT id, lab, hu, (hu % 256)::BIGINT AS b FROM base),
+         |probes AS (SELECT id, lab, hu, b, r FROM pr
+         |  CROSS JOIN (SELECT unnest(generate_series(1, 4)) AS r)),
+         |j AS (SELECT p.id, p.r, c.id AS cid, c.lab AS clab,
+         |    ${toI64Sql("xor(p.hu, c.hu)")} AS pk
+         |  FROM probes p JOIN pr c ON ((p.b + p.r) % 256) = c.b
+         |  WHERE c.lab <> p.lab),
+         |rk AS (SELECT id, r, cid, clab, row_number() OVER (
+         |    PARTITION BY id, r ORDER BY pk, cid) AS rn FROM j)
+         |SELECT id AS doc_id, r::BIGINT AS probe, cid AS neg_id,
+         |  clab AS neg_label
+         |FROM rk WHERE rn = 1""".stripMargin,
+
+    // Encoding-audit replay: identical char classes (RE2 and Java both
+    // take \\x escapes; chr(65533)=U+FFFD, chr(195)=Ã, chr(194)=Â),
+    // char-semantics length() on both engines
+    "q200_encoding_audit" ->
+      """SELECT source, count(*)::BIGINT AS n_docs,
+        |  sum(CASE WHEN contains(text, chr(65533)) THEN 1 ELSE 0 END)
+        |    ::BIGINT AS n_replacement,
+        |  sum(CASE WHEN regexp_matches(text,
+        |      '[\x00-\x08\x0B\x0C\x0E-\x1F]') THEN 1 ELSE 0 END)
+        |    ::BIGINT AS n_control,
+        |  sum(CASE WHEN contains(text, chr(195)) OR contains(text, chr(194))
+        |    THEN 1 ELSE 0 END)::BIGINT AS n_mojibake,
+        |  sum(length(regexp_replace(text, '[\x00-\x7F]', '', 'g')))
+        |    ::BIGINT AS n_nonascii_chars,
+        |  round(sum(length(regexp_replace(text, '[\x00-\x7F]', '', 'g')))
+        |      ::DOUBLE / sum(length(text))::DOUBLE, 4) AS nonascii_rate
+        |FROM documents GROUP BY source""".stripMargin,
 
     // Windowed-funnel replay: same 24h-bounded strict-after chain
     "q174_windowed_funnel" ->

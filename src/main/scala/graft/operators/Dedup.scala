@@ -671,4 +671,56 @@ object Dedup {
         coalesce(sum(col("__drop")), lit(0L)).as("n_dropped"))
       .withColumn("n_kept", col("n_vecs") - col("n_dropped"))
   }
+
+  /** Sorted-neighborhood near-dup detection (Hernández & Stolfo 1995),
+    * blocked: records sort by a canonical-prefix key inside prefix
+    * blocks, and only rows within `window` positions of each other in
+    * that order are compared (distinct-token Jaccard ≥ `tau`) — the
+    * classic record-linkage blocking alternative to LSH: no hashing, no
+    * band explode, catches prefix-clustered variants (case/whitespace/
+    * suffix edits) at O(n·window) pairs.
+    *
+    * Blocked variant: the neighborhood window runs WITHIN each
+    * `blockLen`-char prefix block (Window.partitionBy(block)), so at
+    * scale each block is an independent hash partition and no global
+    * single-partition sort exists; pairs spanning a block boundary are
+    * out of scope by construction (same rule in the oracle). A skewed
+    * block (many docs sharing a short prefix) is the operator's known
+    * failure mode — widen `blockLen` to split it.
+    *
+    * Determinism: (key, id) is a total order per block; the lead()
+    * neighborhood, the distinct-token arrays (sorted), and the integer
+    * intersection/union counts are all exact, so the rounded Jaccard and
+    * the ≥ tau cut replay bit-identically in SQL.
+    */
+  def sortedNeighborhood(df: DataFrame, idCol: String, textCol: String,
+      prefixLen: Int = 12, blockLen: Int = 2, window: Int = 3,
+      tau: Double = 0.5): DataFrame = {
+    require(window >= 2 && window <= 16, s"window in [2,16], got $window")
+    require(blockLen >= 1 && blockLen <= prefixLen,
+      s"blockLen in [1, prefixLen], got $blockLen")
+    val base = df.select(col(idCol).as("id"),
+        canonicalText(col(textCol)).as("__canon"),
+        array_sort(array_distinct(tokens(col(textCol)))).as("__toks"))
+      .withColumn("__key", substring(col("__canon"), 1, prefixLen))
+      .withColumn("__blk", substring(col("__canon"), 1, blockLen))
+    val w = Window.partitionBy(col("__blk")).orderBy(col("__key"), col("id"))
+    val neighbors = array((1 until window).map(j =>
+      lead(struct(col("id").as("nid"), col("__toks").as("ntoks")), j)
+        .over(w)): _*)
+    base.withColumn("__nbs", neighbors)
+      .withColumn("__nb", explode(col("__nbs")))
+      .filter(col("__nb").isNotNull)
+      .select(col("id").as("id_a"), col("__nb.nid").as("id_b"),
+        col("__toks").as("__ta"), col("__nb.ntoks").as("__tb"))
+      .withColumn("__i", size(array_intersect(col("__ta"), col("__tb")))
+        .cast("long"))
+      .withColumn("__u",
+        size(col("__ta")).cast("long") + size(col("__tb")) - col("__i"))
+      .filter(col("__u") > 0L)
+      .withColumn("jaccard",
+        round(col("__i").cast("double") / col("__u").cast("double"), 4))
+      .filter(col("jaccard") >= tau)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
 }

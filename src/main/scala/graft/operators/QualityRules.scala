@@ -289,4 +289,37 @@ object QualityRules {
         coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
         coalesce(round(col("__s"), 4), lit(0.0)).as("dsir_weight"))
   }
+
+  /** Encoding-anomaly census per group: the mojibake / corruption audit
+    * a web-scale text pipeline runs before training — per `groupCol`,
+    * how many documents carry a U+FFFD replacement character (decoder
+    * already gave up), C0 control characters outside \t\n\r (binary
+    * spill), or the UTF-8-read-as-Latin-1 double-encoding markers
+    * (Ã / Â lead bytes), plus the corpus-level non-ASCII character
+    * ratio. Pure per-row flags (codegen contains/rlike/regexp_replace —
+    * zero shuffle until the tiny per-group aggregate); exact integer
+    * counts, single-divide 4dp rates.
+    */
+  def encodingAudit(df: DataFrame, groupCol: String,
+      textCol: String): DataFrame = {
+    val t = col(textCol)
+    def cnt(flag: Column): Column = sum(when(flag, 1L).otherwise(0L))
+    df.select(col(groupCol).as("g"), t.as("__t"))
+      .withColumn("__nonascii",
+        length(regexp_replace(col("__t"), "[\u0000-\u007F]", ""))
+          .cast("long"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n_docs"),
+        cnt(col("__t").contains("\uFFFD")).as("n_replacement"),
+        cnt(col("__t").rlike("[\u0000-\u0008\u000B\u000C\u000E-\u001F]"))
+          .as("n_control"),
+        cnt(col("__t").contains("\u00C3") || col("__t").contains("\u00C2"))
+          .as("n_mojibake"),
+        sum(col("__nonascii")).as("n_nonascii_chars"),
+        sum(length(col("__t")).cast("long")).as("__nchars"))
+      .select(col("g").as(groupCol), col("n_docs"), col("n_replacement"),
+        col("n_control"), col("n_mojibake"), col("n_nonascii_chars"),
+        round(col("n_nonascii_chars").cast("double") /
+          col("__nchars").cast("double"), 4).as("nonascii_rate"))
+  }
 }

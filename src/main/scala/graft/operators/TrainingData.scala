@@ -464,4 +464,43 @@ object TrainingData {
             log((col("docs").cast("double") / col("__n")) / targetCol), 4))
           .as("kl_term"))
   }
+
+  /** Deterministic cross-label negative sampling for contrastive
+    * training: each anchor row draws up to `k` negatives (rows with a
+    * DIFFERENT `labelCol` value), one per probe round, by hash-bucket
+    * probing — anchor in bucket b probes buckets b+1 .. b+k (mod B) and
+    * takes, per round, the candidate minimizing the pair key
+    * (fnv(anchor) XOR fnv(candidate), signed, candidate-id tie-break).
+    * No RNG: the sample is a pure function of the ids, so it is
+    * reproducible, partition-layout-independent, and SQL-replayable.
+    *
+    * Scale shape: candidates shuffle once on their bucket; the probe
+    * join is an equi-join on the bucket id fanning each anchor out ×k,
+    * so pair volume is n·k·(n/B) — pick B ∝ n to hold bucket size
+    * constant (n·k·c pairs total, never n²). The per-doc fnv64 hash is
+    * computed once and the pair key is a single XOR, both codegen.
+    * `buckets` must be a power of two (the oracle replays Spark's
+    * signed pmod as an unsigned mod — the q136 argument). A probe round
+    * finding no cross-label candidate emits nothing for that round.
+    */
+  def negativeSample(df: DataFrame, idCol: String, labelCol: String,
+      k: Int = 4, buckets: Int = 256): DataFrame = {
+    require((buckets & (buckets - 1)) == 0, "buckets must be a power of two")
+    require(k >= 1 && k < buckets, s"k in [1, buckets), got $k")
+    val base = df.select(col(idCol).as("id"), col(labelCol).as("lab"))
+      .withColumn("__h", fnv64(col("id").cast("string")))
+      .withColumn("__b", pmod(col("__h"), lit(buckets.toLong)))
+    val cands = base.select(col("__b").as("__cb"), col("id").as("cid"),
+      col("lab").as("clab"), col("__h").as("__ch"))
+    base.select(col("id"), col("lab"), col("__b"), col("__h"),
+        explode(array((1 to k).map(lit): _*)).as("r"))
+      .withColumn("__pb", pmod(col("__b") + col("r"), lit(buckets.toLong)))
+      .join(cands, col("__pb") === col("__cb"))
+      .filter(col("clab") =!= col("lab"))
+      .groupBy(col("id"), col("r"))
+      .agg(min(struct(col("__h").bitwiseXOR(col("__ch")).as("pk"),
+        col("cid").as("cid"), col("clab").as("clab"))).as("__m"))
+      .select(col("id").as(idCol), col("r").cast("long").as("probe"),
+        col("__m.cid").as("neg_id"), col("__m.clab").as("neg_label"))
+  }
 }

@@ -285,4 +285,33 @@ class DedupSpec extends AnyFunSuite {
     assert(out(2L) == (1L, mk("bb")))
     assert(out(3L) == (2L, Seq(mk("footer"), mk("cc")).mkString("\n")))
   }
+
+  test("sortedNeighborhood: window pairs inside blocks, jaccard cut") {
+    // same 2-char block "ab", sorted by 12-char prefix then id;
+    // doc 4 lands in another block and can never pair with 1-3
+    val df = Seq(
+      (1L, "abc one two three four"),
+      (2L, "abc one two three four five"),
+      (3L, "abc zz yy xx ww"),
+      (4L, "zz abc one two three four")).toDF("doc_id", "text")
+    val out = Dedup.sortedNeighborhood(df, "doc_id", "text",
+      prefixLen = 12, blockLen = 2, window = 3, tau = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    // (1,2): tokens {abc,one,two,three,four} vs +{five}: J = 5/6 = 0.8333
+    assert(out.contains((1L, 2L)) && out((1L, 2L)) == 0.8333)
+    // (1,3)/(2,3): J = 1/9, 1/10 -> cut by tau; doc 4 in block "zz"
+    assert(out.keySet == Set((1L, 2L)))
+  }
+
+  test("sortedNeighborhood: window bound limits the neighborhood") {
+    // four near-identical docs in one block; window=2 pairs only
+    // rank-adjacent rows
+    val df = (1L to 4L).map(i => (i, s"same same same t$i"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.sortedNeighborhood(df, "doc_id", "text",
+      prefixLen = 12, blockLen = 2, window = 2, tau = 0.1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (2L, 3L), (3L, 4L)))
+  }
 }

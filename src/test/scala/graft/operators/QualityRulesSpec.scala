@@ -233,4 +233,34 @@ class QualityRulesSpec extends AnyFunSuite {
     // the only SortMergeJoin allowed is the final slim id-join
     assert("SortMergeJoin".r.findAllIn(plan).size <= 1, plan.take(800))
   }
+
+  test("encodingAudit: per-group flags and exact non-ASCII ratio") {
+    val df = Seq(
+      ("s1", "clean ascii text"),
+      ("s1", "bad \uFFFD here"),
+      ("s1", "ctrl\u0001char"),
+      ("s2", "moji \u00C3\u00A9 and \u00C2\u00A0"),
+      ("s2", "caf\u00E9")).toDF("source", "text")
+    val out = QualityRules.encodingAudit(df, "source", "text")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val s1 = out("s1")
+    assert(s1.getAs[Long]("n_docs") == 3L)
+    assert(s1.getAs[Long]("n_replacement") == 1L)
+    assert(s1.getAs[Long]("n_control") == 1L)
+    assert(s1.getAs[Long]("n_mojibake") == 0L)
+    // s1's only non-ASCII char is the U+FFFD itself
+    assert(s1.getAs[Long]("n_nonascii_chars") == 1L)
+    val s2 = out("s2")
+    assert(s2.getAs[Long]("n_mojibake") == 1L) // doc with both markers counts once
+    assert(s2.getAs[Long]("n_replacement") == 0L)
+    // "moji Ã© and Â " has 4 non-ascii (Ã,©,Â,nbsp), "café" has 1
+    assert(s2.getAs[Long]("n_nonascii_chars") == 5L)
+  }
+
+  test("encodingAudit: tab/newline/cr are NOT control anomalies") {
+    val df = Seq(("s", "a\tb\nc\rd")).toDF("source", "text")
+    val r = QualityRules.encodingAudit(df, "source", "text").collect().head
+    assert(r.getAs[Long]("n_control") == 0L)
+    assert(r.getAs[Double]("nonascii_rate") == 0.0)
+  }
 }

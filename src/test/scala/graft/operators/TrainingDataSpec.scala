@@ -264,4 +264,29 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(out(3L) == 7L)   // c=1, n=2 → pos 2 → second-smallest of [1,7,7,9]
     assert(out(4L) == 9L)
   }
+
+  test("negativeSample: cross-label only, deterministic, bucket-probed") {
+    val df = (0L until 64L).map(i =>
+      (i, if (i % 2 == 0) "a" else "b")).toDF("doc_id", "source")
+    val out = TrainingData.negativeSample(df, "doc_id", "source",
+      k = 3, buckets = 8)
+    val rows = out.collect()
+    val byId = df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // every negative has a different label than its anchor
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(byId(r.getAs[Long]("doc_id")) != r.getAs[String]("neg_label"))
+      assert(r.getAs[Long]("neg_id") != r.getAs[Long]("doc_id"))
+    }
+    // at most one negative per (anchor, probe round)
+    val keys = rows.map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("probe")))
+    assert(keys.distinct.length == keys.length)
+    // pure function of ids: a re-run (fresh plan) is bit-identical
+    val again = TrainingData.negativeSample(df.repartition(7), "doc_id",
+      "source", k = 3, buckets = 8).collect()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("doc_id"), r.getAs[Long]("probe"),
+        r.getAs[Long]("neg_id"), r.getAs[String]("neg_label"))
+    assert(rows.map(key).toSet == again.map(key).toSet)
+  }
 }
