@@ -1959,6 +1959,33 @@ object SparkEntry {
       graft.operators.QualityRules.encodingAudit(t(s, d, "documents"),
         "source", "text")),
 
+    // Theil-Sen robust trend per user: lower median of pairwise slopes
+    // — bit-exact raw doubles (each slope one subtract + one divide,
+    // median an element); the outlier-immune q160 companion
+    "q201_theil_sen" -> ((s, d) =>
+      graft.operators.EventAnalytics.theilSen(Tables.events(s, d),
+        "user_id", "ts", "event_id", "value")),
+
+    // Decile mobility matrix: per-user activity deciles over the early
+    // vs late half of the window (ntile(10) on the (Σ value, user)
+    // total order), 10×10 transition counts
+    "q202_decile_mobility" -> ((s, d) =>
+      graft.operators.EventAnalytics.decileMobility(Tables.events(s, d),
+        "user_id", "ts", "value")),
+
+    // ExactSubstr duplicate-span removal census (Lee et al. 2022):
+    // every recurring 8-token span removed except its first occurrence,
+    // per-doc surviving-token accounting
+    "q203_exact_substr" -> ((s, d) =>
+      graft.operators.TextAnalysis.exactSubstrCensus(
+        t(s, d, "documents"), "doc_id", "text")),
+
+    // Tokenizer OOV audit: top-1000 corpus vocabulary, per-source
+    // out-of-vocabulary occurrence/type counts and rate
+    "q204_oov_audit" -> ((s, d) =>
+      graft.operators.TextAnalysis.oovAudit(t(s, d, "documents"),
+        "source", "text", vocabSize = 1000)),
+
     // Windowed funnel: view→click→purchase where each step lands within
     // 24h of the previous completion (the realistic conversion window)
     "q174_windowed_funnel" -> ((s, d) => {
@@ -5072,6 +5099,83 @@ object SparkEntry {
         |  round(sum(length(regexp_replace(text, '[\x00-\x7F]', '', 'g')))
         |      ::DOUBLE / sum(length(text))::DOUBLE, 4) AS nonascii_rate
         |FROM documents GROUP BY source""".stripMargin,
+
+    // Theil-Sen replay: same ordered pairs (equal-µs excluded), same
+    // single-divide slopes, lower-median element pick
+    "q201_theil_sen" ->
+      """WITH e AS (SELECT user_id AS k, epoch_us(ts) AS us, value AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |p AS (SELECT a.k, (b.v - a.v) / ((b.us - a.us)::DOUBLE) AS s
+        |  FROM e a JOIN e b ON a.k = b.k AND a.us < b.us),
+        |m AS (SELECT k, count(*)::BIGINT AS n_pairs,
+        |    list_sort(list(s)) AS ss FROM p GROUP BY k),
+        |n AS (SELECT k, count(*)::BIGINT AS n_events FROM e GROUP BY k)
+        |SELECT n.k AS user_id, n.n_events,
+        |  coalesce(m.n_pairs, 0)::BIGINT AS n_pairs,
+        |  ss[(len(ss) + 1) // 2] AS ts_slope
+        |FROM n LEFT JOIN m USING (k)""".stripMargin,
+
+    // Decile-mobility replay: integer midpoint, DECIMAL(18,6) per-half
+    // sums (ordering only), ntile(10) on the identical total order
+    "q202_decile_mobility" ->
+      """WITH e AS (SELECT user_id AS u, epoch_us(ts) AS us,
+        |    value::DECIMAL(18,6) AS v FROM events WHERE value IS NOT NULL),
+        |md AS (SELECT ((min(us) + max(us)) // 2)::BIGINT AS mid FROM e),
+        |h AS (SELECT u, CASE WHEN us <= mid THEN 0 ELSE 1 END AS half, v
+        |  FROM e CROSS JOIN md),
+        |s AS (SELECT u, half, sum(v) AS sv FROM h GROUP BY u, half),
+        |r AS (SELECT u, half, ntile(10) OVER (PARTITION BY half
+        |    ORDER BY sv, u) AS decile FROM s)
+        |SELECT a.decile AS d_early, b.decile AS d_late,
+        |  count(*)::BIGINT AS n_users
+        |FROM r a JOIN r b ON a.u = b.u AND a.half = 0 AND b.half = 1
+        |GROUP BY 1, 2""".stripMargin,
+
+    // ExactSubstr replay: same span strings, (doc_id, pos) first-
+    // occurrence rule, ×8 coverage explode, distinct covered positions
+    "q203_exact_substr" ->
+      s"""WITH tk AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+         |oc AS (SELECT doc_id, pos,
+         |    array_to_string(toks[pos:pos + 7], ' ') AS g
+         |  FROM (SELECT doc_id, toks,
+         |      unnest(generate_series(1, len(toks) - 7)) AS pos
+         |    FROM tk WHERE len(toks) >= 8)),
+         |rk AS (SELECT doc_id, pos,
+         |    row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn,
+         |    count(*) OVER (PARTITION BY g) AS c
+         |  FROM oc),
+         |cov AS (SELECT DISTINCT doc_id, pos + d AS tp
+         |  FROM rk CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS d)
+         |  WHERE c > 1 AND rn > 1),
+         |cnt AS (SELECT doc_id, count(*)::BIGINT AS n_removed FROM cov
+         |  GROUP BY 1)
+         |SELECT t.doc_id, len(t.toks)::BIGINT AS n_tokens,
+         |  coalesce(cnt.n_removed, 0)::BIGINT AS n_removed,
+         |  (len(t.toks) - coalesce(cnt.n_removed, 0))::BIGINT AS n_kept,
+         |  CASE WHEN len(t.toks) > 0 THEN round(
+         |      coalesce(cnt.n_removed, 0)::DOUBLE / len(t.toks)::DOUBLE, 4)
+         |    ELSE 0.0 END AS removed_frac
+         |FROM tk t LEFT JOIN cnt ON cnt.doc_id = t.doc_id""".stripMargin,
+
+    // OOV replay: (count DESC, token) top-1000 vocabulary, per-source
+    // occurrence/type splits, single-divide 4dp rate
+    "q204_oov_audit" ->
+      s"""WITH tk AS (SELECT source AS g, unnest($tokensSql) AS tok
+         |  FROM documents),
+         |vc AS (SELECT tok FROM (SELECT tok, count(*) AS c FROM tk
+         |    GROUP BY tok) QUALIFY row_number() OVER (
+         |    ORDER BY c DESC, tok) <= 1000),
+         |gc AS (SELECT g, tok, count(*) AS c FROM tk GROUP BY g, tok),
+         |j AS (SELECT gc.g, gc.tok, gc.c,
+         |    CASE WHEN vc.tok IS NULL THEN 1 ELSE 0 END AS oov
+         |  FROM gc LEFT JOIN vc ON vc.tok = gc.tok)
+         |SELECT g AS source, sum(c)::BIGINT AS n_tokens,
+         |  count(*)::BIGINT AS n_types,
+         |  sum(CASE WHEN oov = 1 THEN c ELSE 0 END)::BIGINT AS n_oov_tokens,
+         |  sum(oov)::BIGINT AS n_oov_types,
+         |  round(sum(CASE WHEN oov = 1 THEN c ELSE 0 END)::DOUBLE
+         |    / sum(c)::DOUBLE, 4) AS oov_rate
+         |FROM j GROUP BY g""".stripMargin,
 
     // Windowed-funnel replay: same 24h-bounded strict-after chain
     "q174_windowed_funnel" ->

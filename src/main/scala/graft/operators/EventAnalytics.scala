@@ -470,4 +470,82 @@ object EventAnalytics {
         round((col("__sigma") - col("__mu")) /
           (col("__sigma") + col("__mu")), 4) + 0.0).as("burstiness"))
   }
+
+  /** Theil-Sen robust trend per key: the (lower) median of all pairwise
+    * slopes (vⱼ−vᵢ)/(tⱼ−tᵢ) over the key's events — the
+    * breakdown-point-0.29 alternative to [[groupTrend]]'s OLS slope
+    * (one wild outlier moves OLS arbitrarily; Theil-Sen shrugs off up
+    * to ~29% corruption). Same-timestamp pairs are excluded (slope
+    * undefined).
+    *
+    * Exactness: each slope is one IEEE subtract over inputs divided by
+    * an exactly-representable µs gap (< 2⁵³), both correctly rounded;
+    * the median is an ELEMENT of that multiset via the q134 lower-
+    * median rule — so the output is bit-exact cross-engine with no
+    * display rounding. No −0.0 ambiguity: gaps are positive, so a zero
+    * numerator yields +0.0 only.
+    *
+    * Scale: the per-key self-join is quadratic IN THE KEY's activity —
+    * right for bounded-activity keys (sessions, devices, SKUs). For
+    * keys with thousands of events, pre-aggregate to a coarser grain or
+    * sample pairs; the operator shuffles each key once and never forms
+    * cross-key pairs.
+    */
+  def theilSen(events: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, valueCol: String): DataFrame = {
+    val e = events.filter(col(valueCol).isNotNull)
+      .select(col(keyCol).as("k"), unix_micros(col(tsCol)).as("us"),
+        col(valueCol).cast("double").as("v"))
+    val slopes = e.as("a")
+      .join(e.as("b"),
+        col("a.k") === col("b.k") && col("a.us") < col("b.us"))
+      .select(col("a.k").as("k"),
+        ((col("b.v") - col("a.v")) /
+          (col("b.us") - col("a.us")).cast("double")).as("s"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_pairs"),
+        element_at(array_sort(collect_list(col("s"))),
+          floor((count(lit(1)) + 1) / 2).cast("int")).as("ts_slope"))
+    e.groupBy(col("k")).agg(count(lit(1)).as("n_events"))
+      .join(slopes, Seq("k"), "left")
+      .select(col("k").as(keyCol), col("n_events"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"), col("ts_slope"))
+  }
+
+  /** Decile mobility matrix: users ranked into activity deciles over
+    * the EARLY half of the observation window and again over the LATE
+    * half (split at the corpus-midpoint µs, integer-div), then the
+    * 10×10 transition counts — the rank-mobility / churn-risk report
+    * (who moved from the top decile to the bottom). Deciles via
+    * ntile(10) on the (Σ value, user) total order — both engines define
+    * ntile identically (first n mod 10 buckets take the extra row).
+    *
+    * Exact: integer midpoint, DECIMAL-exact per-half sums drive only
+    * ORDERING (never output), integer decile labels and counts out.
+    * Scale: per-(user, half) partial-agg first; the ntile windows rank
+    * the AGGREGATED user frame. The two half-partitions each sort all
+    * users — at extreme scale swap ntile for the q161 cross-multiplied
+    * rank inequalities over range-partitioned sums; semantics pinned
+    * here are the ntile ones.
+    */
+  def decileMobility(events: DataFrame, userCol: String, tsCol: String,
+      valueCol: String): DataFrame = {
+    val e = events.filter(col(valueCol).isNotNull)
+      .select(col(userCol).as("u"), unix_micros(col(tsCol)).as("us"),
+        col(valueCol).cast("decimal(18,6)").as("v"))
+    val mid = e.agg(((min(col("us")) + max(col("us"))) / 2).cast("long")
+      .as("__mid"))
+    val halves = e.crossJoin(broadcast(mid))
+      .withColumn("half", when(col("us") <= col("__mid"), 0).otherwise(1))
+      .groupBy(col("u"), col("half")).agg(sum(col("v")).as("__sum"))
+    val w = Window.partitionBy(col("half"))
+      .orderBy(col("__sum"), col("u"))
+    val ranked = halves.withColumn("decile", ntile(10).over(w))
+    ranked.filter(col("half") === 0)
+      .select(col("u"), col("decile").as("d_early"))
+      .join(ranked.filter(col("half") === 1)
+        .select(col("u"), col("decile").as("d_late")), Seq("u"))
+      .groupBy(col("d_early"), col("d_late"))
+      .agg(count(lit(1)).as("n_users"))
+  }
 }

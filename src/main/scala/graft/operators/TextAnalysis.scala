@@ -806,4 +806,89 @@ object TextAnalysis {
       .withColumn("label", col("score") >= 0.5)
       .select(col(idCol), col("n_tokens"), col("logit"), col("score"), col("label"))
   }
+
+  /** ExactSubstr-style duplicate-span removal census (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better", §3):
+    * every 8-token span that occurs more than once corpus-wide is
+    * removed from every document EXCEPT the one holding the span's
+    * first occurrence (min (doc_id, position) — a total order), and a
+    * token is removed when ANY removed span covers it. Reports, per
+    * document, how many tokens survive — the accounting a span-dedup
+    * pass signs off on before rewriting the corpus ([[dupNgramScores]]
+    * scores; q184 censuses the corpus; this one commits to a removal
+    * policy).
+    *
+    * Spans are keyed by their token STRING here (exact, trivially
+    * SQL-replayable); at 100 TB key on a 64-bit span hash instead so the
+    * shuffle carries 8-byte keys (the q35 identical-absent-collision
+    * stance). Shape: position explode (×n_tokens), per-span window on
+    * the span key for (first, multiplicity), ×8 coverage explode of
+    * duplicate occurrences only, distinct + per-doc count — every stage
+    * linear in corpus tokens, no pair space.
+    */
+  def exactSubstrCensus(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 8): DataFrame = {
+    require(n >= 2 && n <= 32, s"span length in [2,32], got $n")
+    val tk = df.select(col(idCol).as("id"), tokens(col(textCol)).as("__toks"))
+    val occ = tk.filter(size(col("__toks")) >= n)
+      .select(col("id"), col("__toks"),
+        explode(sequence(lit(1), size(col("__toks")) - (n - 1))).as("pos"))
+      .select(col("id"), col("pos"),
+        concat_ws(" ", slice(col("__toks"), col("pos"), lit(n))).as("__g"))
+    val w = Window.partitionBy(col("__g"))
+    val wOrd = w.orderBy(col("id"), col("pos"))
+    val dup = occ
+      .withColumn("__rn", row_number().over(wOrd))
+      .withColumn("__c", count(lit(1)).over(w))
+      .filter(col("__c") > 1 && col("__rn") > 1)
+    val covered = dup
+      .select(col("id"), explode(sequence(col("pos"),
+        col("pos") + (n - 1))).as("tp"))
+      .distinct()
+      .groupBy(col("id")).agg(count(lit(1)).as("n_removed"))
+    tk.select(col("id"), size(col("__toks")).cast("long").as("n_tokens"))
+      .join(covered, Seq("id"), "left")
+      .select(col("id").as(idCol), col("n_tokens"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        (col("n_tokens") - coalesce(col("n_removed"), lit(0L)))
+          .as("n_kept"),
+        when(col("n_tokens") > 0, round(
+          coalesce(col("n_removed"), lit(0L)).cast("double") /
+            col("n_tokens").cast("double"), 4)).otherwise(lit(0.0))
+          .as("removed_frac"))
+  }
+
+  /** Tokenizer-coverage / OOV audit: build the top-`vocabSize` token
+    * vocabulary corpus-wide ((count DESC, token) — the q150 total
+    * order), then report, per group, how many token OCCURRENCES and
+    * distinct token TYPES fall outside it — the coverage check run
+    * before committing a vocabulary, surfacing the sources a tokenizer
+    * will shred into fallback bytes.
+    *
+    * Shape: one token explode feeds both the vocabulary (aggregated,
+    * top-k via a single ordered limit — TakeOrderedAndProject, no full
+    * sort) and the per-(group, token) count frame; the vocabulary joins
+    * back BROADCAST. Exact integer counts, single-divide 4dp rate.
+    */
+  def oovAudit(df: DataFrame, groupCol: String, textCol: String,
+      vocabSize: Int = 1000): DataFrame = {
+    require(vocabSize > 0, "vocabSize must be positive")
+    val toks = df.select(col(groupCol).as("g"),
+        explode(tokens(col(textCol))).as("tok"))
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("__c"))
+      .orderBy(col("__c").desc, col("tok")).limit(vocabSize)
+      .select(col("tok"), lit(1).as("__iv"))
+    toks.groupBy(col("g"), col("tok")).agg(count(lit(1)).as("__c"))
+      .join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy(col("g"))
+      .agg(sum(col("__c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        coalesce(sum(when(col("__iv").isNull, col("__c"))), lit(0L))
+          .as("n_oov_tokens"),
+        sum(when(col("__iv").isNull, 1L).otherwise(0L)).as("n_oov_types"))
+      .select(col("g").as(groupCol), col("n_tokens"), col("n_types"),
+        col("n_oov_tokens"), col("n_oov_types"),
+        round(col("n_oov_tokens").cast("double") /
+          col("n_tokens").cast("double"), 4).as("oov_rate"))
+  }
 }

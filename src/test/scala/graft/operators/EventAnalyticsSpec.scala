@@ -281,4 +281,47 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(out.filter(_.getLong(0) == 2L).head.isNullAt(
       out.head.fieldIndex("valid_to_us")))
   }
+
+  test("theilSen: median pairwise slope shrugs off the outlier OLS can't") {
+    import java.sql.Timestamp
+    def ts(sec: Long) = new Timestamp(sec * 1000L)
+    // y = 2x except one wild outlier at t=4
+    val df = Seq(
+      ("u", ts(1), 1L, 2.0), ("u", ts(2), 2L, 4.0), ("u", ts(3), 3L, 6.0),
+      ("u", ts(4), 4L, 1000.0), ("u", ts(5), 5L, 10.0))
+      .toDF("user_id", "ts", "event_id", "value")
+    val r = EventAnalytics.theilSen(df, "user_id", "ts", "event_id", "value")
+      .collect().head
+    assert(r.getAs[Long]("n_events") == 5L && r.getAs[Long]("n_pairs") == 10L)
+    // slopes per second: majority cluster at 2e-6 (per µs); the lower
+    // median lands inside the clean cluster, not near the outlier
+    assert(math.abs(r.getAs[Double]("ts_slope") - 2e-6) < 1e-9)
+  }
+
+  test("theilSen: equal-timestamp pairs are excluded") {
+    import java.sql.Timestamp
+    def ts(sec: Long) = new Timestamp(sec * 1000L)
+    val df = Seq(
+      ("u", ts(1), 1L, 1.0), ("u", ts(1), 2L, 9.0), ("u", ts(2), 3L, 2.0))
+      .toDF("user_id", "ts", "event_id", "value")
+    val r = EventAnalytics.theilSen(df, "user_id", "ts", "event_id", "value")
+      .collect().head
+    assert(r.getAs[Long]("n_pairs") == 2L) // (1,3) and (2,3) only
+  }
+
+  test("decileMobility: movers land in the right cell, deciles exact") {
+    import java.sql.Timestamp
+    def ts(sec: Long) = new Timestamp(sec * 1000L)
+    // 20 users; early half: user i has value i; late half: reversed
+    val early = (1 to 20).map(i => (s"u$i", ts(i.toLong), i.toDouble))
+    val late = (1 to 20).map(i => (s"u$i", ts(1000L + i), (21 - i).toDouble))
+    val df = (early ++ late).toDF("user_id", "ts", "value")
+    val m = EventAnalytics.decileMobility(df, "user_id", "ts", "value")
+      .collect()
+      .map(r => (r.getAs[Int]("d_early"), r.getAs[Int]("d_late")) ->
+        r.getAs[Long]("n_users")).toMap
+    // perfect reversal: decile d -> 11 - d, two users per cell
+    assert(m.size == 10)
+    (1 to 10).foreach(d => assert(m((d, 11 - d)) == 2L))
+  }
 }

@@ -423,4 +423,49 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(r.getAs[Double]("beta") == r4(slope))
     assert(r.getAs[Double]("ln_k") == r4((sy - slope * sx) / n))
   }
+
+  test("exactSubstrCensus: first occurrence survives, later copies lose the span") {
+    val span = (1 to 8).map(i => s"w$i").mkString(" ")
+    val df = Seq(
+      (1L, span + " tail1 tail2"),          // first occurrence: kept
+      (2L, "head " + span),                 // duplicate: 8 tokens removed
+      (3L, "no shared span here at all x y z"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.exactSubstrCensus(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Long]("n_removed") == 0L)
+    assert(out(2L).getAs[Long]("n_tokens") == 9L)
+    assert(out(2L).getAs[Long]("n_removed") == 8L)
+    assert(out(2L).getAs[Long]("n_kept") == 1L)
+    assert(out(2L).getAs[Double]("removed_frac") == 0.8889)
+    assert(out(3L).getAs[Long]("n_removed") == 0L)
+  }
+
+  test("exactSubstrCensus: overlapping duplicate spans cover the union") {
+    // doc 2 repeats a 9-token run of doc 1 -> two overlapping dup
+    // 8-grams in doc 2, union coverage 9 tokens (not 16)
+    val run = (1 to 9).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, run + " x"), (2L, run + " unique")).toDF("doc_id", "text")
+    val out = TextAnalysis.exactSubstrCensus(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(2L).getAs[Long]("n_removed") == 9L)
+    assert(out(1L).getAs[Long]("n_removed") == 0L)
+  }
+
+  test("oovAudit: occurrences vs types split, rate exact") {
+    val df = Seq(
+      ("s1", "aa aa aa bb"),   // aa dominates the vocab
+      ("s2", "aa zz zz yy"))   // zz/yy fall outside a 2-token vocab
+      .toDF("source", "text")
+    val out = TextAnalysis.oovAudit(df, "source", "text", vocabSize = 2)
+      .collect().map(r => r.getString(0) -> r).toMap
+    // vocab = {aa (4), zz (2)} by (count DESC, token)
+    val s1 = out("s1")
+    assert(s1.getAs[Long]("n_tokens") == 4L && s1.getAs[Long]("n_types") == 2L)
+    assert(s1.getAs[Long]("n_oov_tokens") == 1L) // bb
+    assert(s1.getAs[Double]("oov_rate") == 0.25)
+    val s2 = out("s2")
+    assert(s2.getAs[Long]("n_oov_tokens") == 1L) // yy only; zz is in vocab
+    assert(s2.getAs[Long]("n_oov_types") == 1L)
+  }
 }
