@@ -1986,6 +1986,31 @@ object SparkEntry {
       graft.operators.TextAnalysis.oovAudit(t(s, d, "documents"),
         "source", "text", vocabSize = 1000)),
 
+    // RFM segmentation census: recency/frequency/monetary quintiles on
+    // (metric, user) total orders, (r,f,m) population counts
+    "q205_rfm" -> ((s, d) =>
+      graft.operators.EventAnalytics.rfmSegments(Tables.events(s, d),
+        "user_id", "ts", "value")),
+
+    // Weighted lower median: per source, the n_chars value at half the
+    // token-count mass — all-BIGINT cross-multiplied pick (q161
+    // weight-generalized)
+    "q206_weighted_median" -> ((s, d) =>
+      graft.operators.Outliers.weightedMedian(t(s, d, "documents"),
+        "source", "n_chars",
+        size(graft.functions.TextFunctions.tokens(col("text"))))),
+
+    // Benford first-digit audit on n_chars: exact string-derived digit
+    // counts vs log10(1+1/d), per-digit chi-square contributions
+    "q207_benford" -> ((s, d) =>
+      graft.operators.Profile.benford(t(s, d, "documents"), "n_chars")),
+
+    // Cohort LTV triangle: first-activity-week cohorts, DECIMAL-exact
+    // cumulative value by week offset, active/cohort user counts
+    "q208_ltv_triangle" -> ((s, d) =>
+      graft.operators.EventAnalytics.ltvTriangle(Tables.events(s, d),
+        "user_id", "ts", "value")),
+
     // Windowed funnel: view→click→purchase where each step lands within
     // 24h of the previous completion (the realistic conversion window)
     "q174_windowed_funnel" -> ((s, d) => {
@@ -5176,6 +5201,75 @@ object SparkEntry {
          |  round(sum(CASE WHEN oov = 1 THEN c ELSE 0 END)::DOUBLE
          |    / sum(c)::DOUBLE, 4) AS oov_rate
          |FROM j GROUP BY g""".stripMargin,
+
+    // RFM replay: identical per-user aggregates and ntile total orders
+    "q205_rfm" ->
+      """WITH b AS (SELECT user_id AS u, max(epoch_us(ts))::BIGINT AS rec,
+        |    count(*)::BIGINT AS freq, sum(value::DECIMAL(18,6)) AS mon
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+        |r AS (SELECT u,
+        |    ntile(5) OVER (ORDER BY rec, u) AS r_score,
+        |    ntile(5) OVER (ORDER BY freq, u) AS f_score,
+        |    ntile(5) OVER (ORDER BY mon, u) AS m_score FROM b)
+        |SELECT r_score, f_score, m_score, count(*)::BIGINT AS n_users
+        |FROM r GROUP BY 1, 2, 3""".stripMargin,
+
+    // Weighted-median replay: per-(group,value) weight sums, 2·cumw ≥ W
+    // smallest-value pick, all BIGINT
+    "q206_weighted_median" ->
+      s"""WITH b AS (SELECT source AS g, n_chars AS v,
+         |    len($tokensSql)::BIGINT AS w FROM documents
+         |  WHERE n_chars IS NOT NULL),
+         |c AS (SELECT g, v, sum(w)::BIGINT AS w FROM b WHERE w > 0
+         |  GROUP BY 1, 2),
+         |m AS (SELECT g, v,
+         |    sum(w) OVER (PARTITION BY g ORDER BY v
+         |      ROWS UNBOUNDED PRECEDING)::BIGINT AS cw,
+         |    sum(w) OVER (PARTITION BY g)::BIGINT AS tw FROM c)
+         |SELECT g AS source, max(tw)::BIGINT AS total_weight,
+         |  min(v) AS weighted_median
+         |FROM m WHERE cw * 2 >= tw GROUP BY g""".stripMargin,
+
+    // Benford replay: string-derived first digit (no FP), double-cast
+    // literals (the DECIMAL-literal pitfall), square by self-multiply
+    "q207_benford" ->
+      """WITH b AS (SELECT substring((n_chars::BIGINT)::VARCHAR, 1, 1)::INT
+        |    AS digit FROM documents WHERE n_chars > 0),
+        |c AS (SELECT digit, count(*)::BIGINT AS n_obs FROM b GROUP BY 1),
+        |t AS (SELECT sum(n_obs)::BIGINT AS n FROM c)
+        |SELECT digit, n_obs,
+        |  round(n_obs::DOUBLE / n, 4) AS obs_frac,
+        |  round(log10(1.0::DOUBLE + 1.0::DOUBLE / digit), 4) AS exp_frac,
+        |  round(((n_obs::DOUBLE - log10(1.0::DOUBLE + 1.0::DOUBLE / digit)
+        |      * n) * (n_obs::DOUBLE
+        |      - log10(1.0::DOUBLE + 1.0::DOUBLE / digit) * n))
+        |    / (log10(1.0::DOUBLE + 1.0::DOUBLE / digit) * n), 4)
+        |    AS chi2_part
+        |FROM c CROSS JOIN t""".stripMargin,
+
+    // LTV replay: integral µs→day→week division, per-cell DECIMAL sums,
+    // cumulative on the aggregate frame, int64-decimal→double emit
+    "q208_ltv_triangle" ->
+      """WITH e AS (SELECT user_id AS u,
+        |    (epoch_us(ts) // 86400000000)::BIGINT AS day,
+        |    value::DECIMAL(18,6) AS v FROM events WHERE value IS NOT NULL),
+        |f AS (SELECT u, day, v, min(day) OVER (PARTITION BY u) AS fday
+        |  FROM e),
+        |g AS (SELECT (fday // 7)::BIGINT AS cohort_week,
+        |    ((day - fday) // 7)::BIGINT AS week_offset, u, v FROM f),
+        |cells AS (SELECT cohort_week, week_offset, sum(v) AS val,
+        |    count(DISTINCT u)::BIGINT AS n_active_users FROM g
+        |  GROUP BY 1, 2),
+        |users AS (SELECT cohort_week, count(DISTINCT u)::BIGINT
+        |    AS n_cohort_users FROM g GROUP BY 1),
+        |cum AS (SELECT cohort_week, week_offset, n_active_users,
+        |    (sum(val) OVER (PARTITION BY cohort_week ORDER BY week_offset
+        |      ROWS UNBOUNDED PRECEDING))::DECIMAL(18,6)::DOUBLE
+        |      AS cum_value
+        |  FROM cells)
+        |SELECT c.cohort_week, c.week_offset, u.n_cohort_users,
+        |  c.n_active_users, c.cum_value
+        |FROM cum c JOIN users u USING (cohort_week)""".stripMargin,
 
     // Windowed-funnel replay: same 24h-bounded strict-after chain
     "q174_windowed_funnel" ->

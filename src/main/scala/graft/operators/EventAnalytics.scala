@@ -548,4 +548,75 @@ object EventAnalytics {
       .groupBy(col("d_early"), col("d_late"))
       .agg(count(lit(1)).as("n_users"))
   }
+
+  /** RFM segmentation census: per user, Recency (last activity µs),
+    * Frequency (event count) and Monetary (DECIMAL-exact value sum)
+    * quintiles — ntile(5) each on a (metric, user) total order — then
+    * the population count of every (r,f,m) segment (≤125 rows): the
+    * classic CRM segmentation, engine-side. Higher score = better
+    * (more recent / more often / more spend).
+    *
+    * Exact: quintile labels and counts are integers; the DECIMAL sums
+    * drive ordering only. The three ntile windows rank the AGGREGATED
+    * per-user frame; as with [[decileMobility]], at extreme user counts
+    * swap ntile for q161 cross-multiplied ranks over range-partitioned
+    * sums — the pinned semantics are ntile's.
+    */
+  def rfmSegments(events: DataFrame, userCol: String, tsCol: String,
+      valueCol: String): DataFrame = {
+    val base = events.filter(col(valueCol).isNotNull)
+      .select(col(userCol).as("u"), unix_micros(col(tsCol)).as("us"),
+        col(valueCol).cast("decimal(18,6)").as("v"))
+      .groupBy(col("u"))
+      .agg(max(col("us")).as("__rec"), count(lit(1)).as("__freq"),
+        sum(col("v")).as("__mon"))
+    def score(metric: String): Column =
+      ntile(5).over(Window.orderBy(col(metric), col("u")))
+    base
+      .withColumn("r_score", score("__rec"))
+      .withColumn("f_score", score("__freq"))
+      .withColumn("m_score", score("__mon"))
+      .groupBy(col("r_score"), col("f_score"), col("m_score"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  /** Cohort LTV triangle: users grouped by first-activity week, their
+    * DECIMAL-exact value accumulating by week offset since that first
+    * activity — the lifetime-value curve per acquisition cohort (the
+    * value-weighted sibling of [[retentionCohorts]]'s presence counts).
+    *
+    * All-integer time math (µs → epoch day → epoch week by integer
+    * div); per-(cohort, offset) partial sums first, the cumulative
+    * window runs on that aggregate frame (≤ cohorts × offsets rows);
+    * the DECIMAL cum is emitted as one correctly-rounded double (int64-
+    * backed scale-6 DECIMAL on both engines — exact conversion; at
+    * larger value mass widen the DECIMAL and emit full-scale strings).
+    */
+  def ltvTriangle(events: DataFrame, userCol: String, tsCol: String,
+      valueCol: String): DataFrame = {
+    val dayUs = 86400000000L
+    val e = events.filter(col(valueCol).isNotNull)
+      .select(col(userCol).as("u"),
+        expr(s"unix_micros($tsCol) div ${dayUs}L").as("day"),
+        col(valueCol).cast("decimal(18,6)").as("v"))
+    val wu = Window.partitionBy(col("u"))
+    val tagged = e.withColumn("__fday", min(col("day")).over(wu))
+      .withColumn("cohort_week", (col("__fday") / 7).cast("long"))
+      .withColumn("week_offset",
+        ((col("day") - col("__fday")) / 7).cast("long"))
+    val cells = tagged
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(sum(col("v")).as("__val"),
+        count_distinct(col("u")).as("n_active_users"))
+    val users = tagged.select(col("u"), col("cohort_week")).distinct()
+      .groupBy(col("cohort_week")).agg(count(lit(1)).as("n_cohort_users"))
+    val wc = Window.partitionBy(col("cohort_week")).orderBy(col("week_offset"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells
+      .withColumn("cum_value",
+        sum(col("__val")).over(wc).cast("decimal(18,6)").cast("double"))
+      .join(users, Seq("cohort_week"))
+      .select(col("cohort_week"), col("week_offset"), col("n_cohort_users"),
+        col("n_active_users"), col("cum_value"))
+  }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -147,5 +147,32 @@ object Outliers {
         when(col("mad") > 0.0, abs(col("v") - col("med")) > lit(k) * col("mad"))
           .otherwise(abs(col("v") - col("med")) > 0.0)
           .as("is_anomaly"))
+  }
+
+  /** Weighted (lower) median per group: the smallest value whose
+    * cumulative weight reaches half the group's total — computed
+    * entirely in BIGINT cross-multiplication (2·cumw ≥ W), so the
+    * result is always an INPUT value and the pick is exact (the q161
+    * nearest-rank stance, weight-generalized). The aggregation-then-
+    * window shape runs the cumulative on the per-(group, value) frame,
+    * never raw rows.
+    */
+  def weightedMedian(df: DataFrame, groupCol: String, valueCol: String,
+      weightCol: Column): DataFrame = {
+    val b = df.select(col(groupCol).as("g"), col(valueCol).as("v"),
+        weightCol.cast("long").as("w"))
+      .filter(col("v").isNotNull && col("w") > 0)
+      .groupBy(col("g"), col("v")).agg(sum(col("w")).as("__w"))
+    val wCum = Window.partitionBy(col("g")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy(col("g"))
+    val wPick = Window.partitionBy(col("g")).orderBy(col("v"))
+    b.withColumn("__cw", sum(col("__w")).over(wCum))
+      .withColumn("__W", sum(col("__w")).over(wTot))
+      .filter(col("__cw") * 2 >= col("__W"))
+      .withColumn("__rk", row_number().over(wPick))
+      .filter(col("__rk") === 1)
+      .select(col("g").as(groupCol), col("__W").as("total_weight"),
+        col("v").as("weighted_median"))
   }
 }

@@ -57,19 +57,6 @@ object Profile {
     one.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
   }
 
-  /** Functional-dependency / label-consistency audit for lhs → rhs: per
-    * LHS value, row count, distinct RHS count, the MAJORITY rhs
-    * (count DESC, rhs ASC — a total order) and how many rows disagree
-    * with it (the violation count, with its exact-quotient rate). On
-    * (source → lang) this is the label-purity report an annotation
-    * pipeline reviews; n_rhs = 1 everywhere certifies the dependency
-    * holds.
-    *
-    * Two partial-aggregating groupBys — (lhs, rhs) counts, then per-lhs
-    * fold over the collapsed frame (bounded by distinct pairs, never
-    * rows) — plus one window for the majority pick on that same
-    * collapsed frame. All outputs exact.
-    */
   /** Two-sample Kolmogorov-Smirnov statistic of `valueCol`, each group
     * vs the REST of the corpus: D = max over pooled distinct values of
     * |F_group(x) − F_rest(x)| — the distribution-drift detector that
@@ -170,6 +157,19 @@ object Profile {
             lit(0.0)).as("nmi"))
   }
 
+  /** Functional-dependency / label-consistency audit for lhs → rhs: per
+    * LHS value, row count, distinct RHS count, the MAJORITY rhs
+    * (count DESC, rhs ASC — a total order) and how many rows disagree
+    * with it (the violation count, with its exact-quotient rate). On
+    * (source → lang) this is the label-purity report an annotation
+    * pipeline reviews; n_rhs = 1 everywhere certifies the dependency
+    * holds.
+    *
+    * Two partial-aggregating groupBys — (lhs, rhs) counts, then per-lhs
+    * fold over the collapsed frame (bounded by distinct pairs, never
+    * rows) — plus one window for the majority pick on that same
+    * collapsed frame. All outputs exact.
+    */
   def fdAudit(df: DataFrame, lhsCol: String, rhsCol: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("lhs")).orderBy(col("__c").desc, col("rhs"))
@@ -188,5 +188,35 @@ object Profile {
         (col("n_rows") - col("__mc")).as("n_violations"),
         round((col("n_rows") - col("__mc")).cast("double") /
           col("n_rows"), 4).as("violation_rate"))
+  }
+
+  /** Benford's-law first-digit audit over a positive INTEGER column:
+    * observed first-significant-digit counts and frequencies vs the
+    * Benford expectation log10(1 + 1/d), with each digit's chi-square
+    * contribution — the fraud / synthetic-data smell test. Nine rows
+    * out.
+    *
+    * The first digit comes from the integer's decimal STRING rendering
+    * (identical across engines — no floating log10-of-value involved);
+    * only the expected frequency and the chi-square contribution touch
+    * FP (log10 of the nine constants + one quotient each), rounded 4dp
+    * for the ulp. Counts are exact; the per-digit layout avoids any
+    * cross-digit FP summation entirely.
+    */
+  def benford(df: DataFrame, valueCol: String): DataFrame = {
+    val b = df.select(col(valueCol).cast("long").as("v"))
+      .filter(col("v") > 0)
+      .select(substring(col("v").cast("string"), 1, 1).cast("int")
+        .as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+    val tot = b.agg(sum(col("n_obs")).as("__n"))
+    val expFrac = log10(lit(1.0) + lit(1.0) / col("digit"))
+    b.crossJoin(broadcast(tot))
+      .select(col("digit"), col("n_obs"),
+        round(col("n_obs").cast("double") / col("__n"), 4).as("obs_frac"),
+        round(expFrac, 4).as("exp_frac"),
+        round(((col("n_obs").cast("double") - expFrac * col("__n")) *
+          (col("n_obs").cast("double") - expFrac * col("__n")))
+          / (expFrac * col("__n")), 4).as("chi2_part"))
   }
 }

@@ -324,4 +324,41 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(m.size == 10)
     (1 to 10).foreach(d => assert(m((d, 11 - d)) == 2L))
   }
+
+  test("rfmSegments: quintile scores follow the metric orders") {
+    import java.sql.Timestamp
+    def ts(sec: Long) = new Timestamp(sec * 1000L)
+    // 10 users: user i has i events at times 1..i with value i each ->
+    // recency, frequency, monetary all rank users identically
+    val rows = for (i <- 1 to 10; j <- 1 to i)
+      yield (s"u%02d".format(i), ts(j.toLong), i.toDouble)
+    val m = EventAnalytics.rfmSegments(rows.toDF("user_id", "ts", "value"),
+      "user_id", "ts", "value").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) -> r.getLong(3))
+      .toMap
+    // perfectly aligned metrics -> only diagonal segments, 2 users each
+    assert(m.size == 5)
+    (1 to 5).foreach(s => assert(m((s, s, s)) == 2L))
+  }
+
+  test("ltvTriangle: cumulative value accrues by week offset") {
+    import java.sql.Timestamp
+    def ts(day: Long) = new Timestamp(day * 86400L * 1000L)
+    val df = Seq(
+      ("a", ts(0), 1.0), ("a", ts(8), 2.0),   // offsets 0 and 1
+      ("b", ts(1), 10.0),                       // same cohort week 0
+      ("c", ts(10), 5.0))                       // cohort week 1
+      .toDF("user_id", "ts", "value")
+    val out = EventAnalytics.ltvTriangle(df, "user_id", "ts", "value")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+    val w00 = out((0L, 0L))
+    assert(w00.getAs[Long]("n_cohort_users") == 2L)
+    assert(w00.getAs[Long]("n_active_users") == 2L)
+    assert(w00.getAs[Double]("cum_value") == 11.0)
+    val w01 = out((0L, 1L))
+    assert(w01.getAs[Long]("n_active_users") == 1L)
+    assert(w01.getAs[Double]("cum_value") == 13.0) // 11 + 2
+    assert(out((1L, 0L)).getAs[Double]("cum_value") == 5.0)
+  }
 }

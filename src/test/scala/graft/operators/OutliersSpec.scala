@@ -111,4 +111,18 @@ class OutliersSpec extends AnyFunSuite {
     assert(!out(9L)._3 && !out(10L)._3)
     assert(out(11L) == ((5.0, 0.0, true)))
   }
+
+  test("weightedMedian: half-mass pick, weights change the answer") {
+    val df = Seq(
+      ("g", 1, 1L), ("g", 2, 1L), ("g", 3, 10L),  // mass at 3
+      ("h", 1, 5L), ("h", 2, 5L))                  // tie -> lower value
+      .toDF("g", "v", "w")
+    val out = Outliers.weightedMedian(df, "g", "v",
+        org.apache.spark.sql.functions.col("w"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("g").getAs[Int]("weighted_median") == 3)
+    assert(out("g").getAs[Long]("total_weight") == 12L)
+    // 2*cw >= W first reached at v=1 (2*5 >= 10)
+    assert(out("h").getAs[Int]("weighted_median") == 1)
+  }
 }

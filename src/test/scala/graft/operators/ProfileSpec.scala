@@ -135,4 +135,22 @@ class ProfileSpec extends AnyFunSuite {
     assert(r.getAs[Double]("h_lhs") == 0.0) // constant lhs
     assert(r.isNullAt(r.fieldIndex("nmi")))
   }
+
+  test("benford: string-derived digits, exact counts, expectation shape") {
+    // values 10..99 uniformly: first digits 1..9 appear 10 times each
+    val df = (10 to 99).map(i => Tuple1(i)).toDF("v")
+    val out = Profile.benford(df, "v").collect()
+      .map(r => r.getInt(0) -> r).toMap
+    assert(out.size == 9)
+    (1 to 9).foreach(d => assert(out(d).getAs[Long]("n_obs") == 10L))
+    assert(out(1).getAs[Double]("obs_frac") == 0.1111)
+    // Benford expectation for digit 1 is log10(2) = 0.3010
+    assert(out(1).getAs[Double]("exp_frac") == 0.301)
+    // uniform digits are far from Benford on digit 1: big contribution
+    assert(out(1).getAs[Double]("chi2_part") > 10.0)
+    // zero and negative values are excluded
+    val out2 = Profile.benford(Seq(Tuple1(0), Tuple1(-5), Tuple1(7))
+      .toDF("v"), "v").collect()
+    assert(out2.length == 1 && out2.head.getInt(0) == 7)
+  }
 }
