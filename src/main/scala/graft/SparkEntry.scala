@@ -2011,6 +2011,30 @@ object SparkEntry {
       graft.operators.EventAnalytics.ltvTriangle(Tables.events(s, d),
         "user_id", "ts", "value")),
 
+    // CUSUM change-point scan: per-user max |Σ(v−µ)| with first-peak
+    // event id — bit-exact raw doubles via the q177 recursion replay
+    "q209_cusum" -> ((s, d) =>
+      graft.operators.EventAnalytics.cusum(Tables.events(s, d),
+        "user_id", "ts", "event_id", "value")),
+
+    // Welch two-sample t-test on mean value between the q176 parity
+    // cohorts: event-id-ordered Σx/Σx² folds, 4dp t + Welch df
+    "q210_welch_ttest" -> ((s, d) =>
+      graft.operators.EventAnalytics.welchTTest(Tables.events(s, d),
+        "event_id", "value", (col("user_id") % 2) === 1)),
+
+    // Per-source skewness + excess kurtosis of n_chars: exact-BIGINT
+    // mean, doc-id-ordered central-moment folds, no libm pow
+    "q211_skew_kurtosis" -> ((s, d) =>
+      graft.operators.Profile.skewKurtosis(t(s, d, "documents"),
+        "source", "doc_id", "n_chars")),
+
+    // Pairwise vocabulary Jaccard between sources: distinct-token sets
+    // intersected on the aggregated frame (the q185 shape, set-valued)
+    "q212_vocab_jaccard" -> ((s, d) =>
+      graft.operators.TextAnalysis.vocabJaccard(t(s, d, "documents"),
+        "source", "text")),
+
     // Windowed funnel: view→click→purchase where each step lands within
     // 24h of the previous completion (the realistic conversion window)
     "q174_windowed_funnel" -> ((s, d) => {
@@ -5270,6 +5294,107 @@ object SparkEntry {
         |SELECT c.cohort_week, c.week_offset, u.n_cohort_users,
         |  c.n_active_users, c.cum_value
         |FROM cum c JOIN users u USING (cohort_week)""".stripMargin,
+
+    // CUSUM replay: identical µ (int64-DECIMAL→double, one divide),
+    // q177-style recursion with the same strict-> first-peak rule
+    "q209_cusum" ->
+      """WITH RECURSIVE e AS (SELECT user_id AS k, epoch_us(ts) AS us,
+        |    event_id AS id, value::DOUBLE AS v FROM events
+        |  WHERE value IS NOT NULL),
+        |o AS (SELECT k, id, v,
+        |    row_number() OVER (PARTITION BY k ORDER BY us, id) AS rn
+        |  FROM e),
+        |st AS (SELECT k, count(*)::BIGINT AS n,
+        |    (sum(v::DECIMAL(18,6))::DECIMAL(18,6))::DOUBLE
+        |      / count(*)::DOUBLE AS mu
+        |  FROM e GROUP BY k),
+        |r AS (
+        |  SELECT o.k, o.rn, (o.v - st.mu) AS s, abs(o.v - st.mu) AS m,
+        |    o.id AS at_id, st.mu AS mu
+        |  FROM o JOIN st USING (k) WHERE o.rn = 1
+        |  UNION ALL
+        |  SELECT o.k, o.rn, r.s + (o.v - r.mu),
+        |    CASE WHEN abs(r.s + (o.v - r.mu)) > r.m
+        |      THEN abs(r.s + (o.v - r.mu)) ELSE r.m END,
+        |    CASE WHEN abs(r.s + (o.v - r.mu)) > r.m THEN o.id
+        |      ELSE r.at_id END,
+        |    r.mu
+        |  FROM r JOIN o ON o.k = r.k AND o.rn = r.rn + 1)
+        |SELECT st.k AS user_id, st.n AS n_events, r.m AS cusum_max_abs,
+        |  r.at_id AS at_event_id
+        |FROM r JOIN st ON st.k = r.k AND r.rn = st.n""".stripMargin,
+
+    // Welch replay: identical event-id-ordered folds and formula op
+    // sequence; cohorts by user parity
+    "q210_welch_ttest" ->
+      """WITH b AS (SELECT CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END AS g,
+        |    event_id AS id, value::DOUBLE AS x FROM events
+        |  WHERE value IS NOT NULL),
+        |s AS (SELECT g, count(*)::BIGINT AS n,
+        |    list_reduce(list_prepend(0.0, list(x ORDER BY id)),
+        |      (a, b) -> a + b) AS sx,
+        |    list_reduce(list_prepend(0.0, list(x * x ORDER BY id)),
+        |      (a, b) -> a + b) AS sxx
+        |  FROM b GROUP BY g),
+        |t AS (SELECT g, n, sx / n::DOUBLE AS m,
+        |    ((sxx - sx * sx / n::DOUBLE) / (n - 1)::DOUBLE) / n::DOUBLE
+        |      AS se2
+        |  FROM s),
+        |w AS (SELECT
+        |    max(CASE WHEN g = 0 THEN n END) AS n_a,
+        |    max(CASE WHEN g = 1 THEN n END) AS n_b,
+        |    max(CASE WHEN g = 0 THEN m END) AS m_a,
+        |    max(CASE WHEN g = 1 THEN m END) AS m_b,
+        |    max(CASE WHEN g = 0 THEN se2 END) AS sea,
+        |    max(CASE WHEN g = 1 THEN se2 END) AS seb
+        |  FROM t)
+        |SELECT n_a, n_b, round(m_a, 4) AS mean_a, round(m_b, 4) AS mean_b,
+        |  round((m_a - m_b) / sqrt(sea + seb), 4) AS t_stat,
+        |  round(((sea + seb) * (sea + seb)) /
+        |    (sea * sea / (n_a - 1)::DOUBLE + seb * seb / (n_b - 1)::DOUBLE),
+        |    4) AS welch_df
+        |FROM w""".stripMargin,
+
+    // Skew/kurtosis replay: exact-BIGINT mean, doc-id-ordered central-
+    // moment folds with the same left-multiplied power chains
+    "q211_skew_kurtosis" ->
+      """WITH b AS (SELECT source AS g, doc_id AS id, n_chars::BIGINT AS x
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        |s AS (SELECT g, count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+        |    list(x ORDER BY id) AS xs FROM b GROUP BY g),
+        |m AS (SELECT g, n, sx::DOUBLE / n::DOUBLE AS mu, xs FROM s),
+        |f AS (SELECT g, n, mu,
+        |    list_reduce(list_prepend(0.0, list_transform(xs,
+        |      x -> (x::DOUBLE - mu) * (x::DOUBLE - mu))),
+        |      (a, b) -> a + b) AS m2,
+        |    list_reduce(list_prepend(0.0, list_transform(xs,
+        |      x -> ((x::DOUBLE - mu) * (x::DOUBLE - mu)) * (x::DOUBLE - mu))),
+        |      (a, b) -> a + b) AS m3,
+        |    list_reduce(list_prepend(0.0, list_transform(xs,
+        |      x -> (((x::DOUBLE - mu) * (x::DOUBLE - mu)) * (x::DOUBLE - mu))
+        |        * (x::DOUBLE - mu))),
+        |      (a, b) -> a + b) AS m4
+        |  FROM m)
+        |SELECT g AS source, n, round(mu, 4) AS mean,
+        |  round(sqrt(n::DOUBLE) * m3 / (m2 * sqrt(m2)), 4) AS skewness,
+        |  round(n::DOUBLE * m4 / (m2 * m2) - 3.0::DOUBLE, 4)
+        |    AS excess_kurtosis
+        |FROM f WHERE n >= 2 AND m2 > 0.0""".stripMargin,
+
+    // Vocab-Jaccard replay: distinct (source, token) frame, token
+    // equi-join with g1 < g2, exact set sizes
+    "q212_vocab_jaccard" ->
+      s"""WITH st AS (SELECT DISTINCT g, tok FROM (
+         |    SELECT source AS g, unnest($tokensSql) AS tok FROM documents)),
+         |sz AS (SELECT g, count(*)::BIGINT AS nv FROM st GROUP BY g),
+         |iv AS (SELECT a.g AS g1, b.g AS g2, count(*)::BIGINT AS n_common
+         |  FROM st a JOIN st b ON a.tok = b.tok AND a.g < b.g
+         |  GROUP BY 1, 2)
+         |SELECT g1, g2, s1.nv AS n_vocab_1, s2.nv AS n_vocab_2, n_common,
+         |  round(n_common::DOUBLE / (s1.nv + s2.nv - n_common)::DOUBLE, 4)
+         |    AS jaccard
+         |FROM iv JOIN sz s1 ON s1.g = iv.g1
+         |JOIN sz s2 ON s2.g = iv.g2""".stripMargin,
 
     // Windowed-funnel replay: same 24h-bounded strict-after chain
     "q174_windowed_funnel" ->

@@ -619,4 +619,83 @@ object EventAnalytics {
       .select(col("cohort_week"), col("week_offset"), col("n_cohort_users"),
         col("n_active_users"), col("cum_value"))
   }
+
+  /** CUSUM change-point scan per key: S₀=0, Sᵢ = Sᵢ₋₁ + (vᵢ − µ) over
+    * the key's (µs, id)-ordered events (µ = the key's own mean), with
+    * the maximum |S| and the event where it FIRST occurs — the classic
+    * mean-shift detector (a drifting segment accumulates signed
+    * deviation; |S| peaks at the change point).
+    *
+    * Bit-exact raw doubles: µ is one int64-DECIMAL→double conversion
+    * and one divide; the fold is a fixed IEEE op sequence per key
+    * (acc + (v − µ)) replayed by the oracle's recursive CTE (the q177
+    * pattern); the argmax uses strict > so the earliest peak wins.
+    * One shuffle; per-key state is the key's own history (the standing
+    * sequential-op caveat).
+    */
+  def cusum(events: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, valueCol: String): DataFrame = {
+    val e = events.filter(col(valueCol).isNotNull)
+      .select(col(keyCol).as("k"), unix_micros(col(tsCol)).as("us"),
+        col(idCol).as("id"), col(valueCol).cast("double").as("v"))
+    val sorted = e.groupBy(col("k"))
+      .agg(count(lit(1)).as("n_events"),
+        (sum(col("v").cast("decimal(18,6)")).cast("decimal(18,6)")
+          .cast("double") / count(lit(1)).cast("double")).as("__mu"),
+        array_sort(collect_list(struct(col("us"), col("id"), col("v"))))
+          .as("__ev"))
+    val zero = struct(lit(0.0).as("s"), lit(-1.0).as("m"),
+      lit(null).cast("long").as("at"))
+    sorted.select(col("k").as(keyCol), col("n_events"),
+      aggregate(col("__ev"), zero, (acc, e) => {
+        val s = acc.getField("s") + (e.getField("v") - col("__mu"))
+        val better = abs(s) > acc.getField("m")
+        struct(s.as("s"),
+          when(better, abs(s)).otherwise(acc.getField("m")).as("m"),
+          when(better, e.getField("id")).otherwise(acc.getField("at"))
+            .as("at"))
+      }).as("__r"))
+      .select(col(keyCol), col("n_events"),
+        col("__r.m").as("cusum_max_abs"), col("__r.at").as("at_event_id"))
+  }
+
+  /** Welch two-sample t-test on `valueCol` means between two cohorts
+    * (the q176 parity split generalized to a caller predicate): t
+    * statistic and Welch-Satterthwaite degrees of freedom, from
+    * event-id-ORDERED Σx and Σx² folds per cohort (the q160 fixed-FP-
+    * sequence stance — deterministic, SQL-replayable), 4dp out. The
+    * mean-difference companion to q176's proportion z-test.
+    */
+  def welchTTest(events: DataFrame, idCol: String, valueCol: String,
+      isB: Column): DataFrame = {
+    val base = events.filter(col(valueCol).isNotNull)
+      .select(isB.cast("int").as("g"), col(idCol).as("id"),
+        col(valueCol).cast("double").as("x"))
+    def foldOrdered(value: Column): Column =
+      aggregate(
+        transform(array_sort(collect_list(struct(col("id"), value.as("v")))),
+          s => s.getField("v")),
+        lit(0.0), (acc, v) => acc + v)
+    val stats = base.groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), foldOrdered(col("x")).as("sx"),
+        foldOrdered(col("x") * col("x")).as("sxx"))
+      .select(col("g"), col("n"), col("sx"), col("sxx"),
+        (col("sx") / col("n").cast("double")).as("m"),
+        (((col("sxx") - col("sx") * col("sx") / col("n").cast("double")) /
+          (col("n") - 1).cast("double")) / col("n").cast("double"))
+          .as("se2"))
+    val a = stats.filter(col("g") === 0).select(col("n").as("n_a"),
+      col("m").as("m_a"), col("se2").as("__sea"))
+    val b = stats.filter(col("g") === 1).select(col("n").as("n_b"),
+      col("m").as("m_b"), col("se2").as("__seb"))
+    a.crossJoin(b).select(
+      col("n_a"), col("n_b"),
+      round(col("m_a"), 4).as("mean_a"), round(col("m_b"), 4).as("mean_b"),
+      round((col("m_a") - col("m_b")) /
+        sqrt(col("__sea") + col("__seb")), 4).as("t_stat"),
+      round(((col("__sea") + col("__seb")) * (col("__sea") + col("__seb"))) /
+        (col("__sea") * col("__sea") / (col("n_a") - 1).cast("double") +
+          col("__seb") * col("__seb") / (col("n_b") - 1).cast("double")), 4)
+        .as("welch_df"))
+  }
 }

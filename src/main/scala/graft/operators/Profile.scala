@@ -219,4 +219,39 @@ object Profile {
           (col("n_obs").cast("double") - expFrac * col("__n")))
           / (expFrac * col("__n")), 4).as("chi2_part"))
   }
+
+  /** Per-group skewness and excess kurtosis of an INTEGER column:
+    * µ from the exact BIGINT sum (one divide), then central-moment
+    * folds Σ(x−µ)², Σ(x−µ)³, Σ(x−µ)⁴ in (group, id) order — the q160
+    * fixed-FP-sequence stance, so the moment sums replay exactly;
+    * skew = √n·m₃/m₂^1.5 (m₂^1.5 as m₂·√m₂ — no libm pow), excess
+    * kurtosis = n·m₄/m₂² − 3, both 4dp. The distribution-shape
+    * companion to [[ksTest]]'s location-drift view.
+    */
+  def skewKurtosis(df: DataFrame, groupCol: String, idCol: String,
+      valueCol: String): DataFrame = {
+    val b = df.select(col(groupCol).as("g"), col(idCol).as("id"),
+        col(valueCol).cast("long").as("x"))
+      .filter(col("x").isNotNull)
+    val withMu = b.groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("__sx"),
+        array_sort(collect_list(struct(col("id"), col("x")))).as("__ev"))
+      .withColumn("__mu",
+        col("__sx").cast("double") / col("n").cast("double"))
+    def mFold(p: Int): Column = aggregate(
+      transform(col("__ev"), s => {
+        val d = s.getField("x").cast("double") - col("__mu")
+        (1 until p).foldLeft(d)((acc, _) => acc * d)
+      }),
+      lit(0.0), (acc, v) => acc + v)
+    withMu
+      .select(col("g"), col("n"), col("__mu"),
+        mFold(2).as("__m2"), mFold(3).as("__m3"), mFold(4).as("__m4"))
+      .filter(col("n") >= 2 && col("__m2") > 0.0)
+      .select(col("g").as(groupCol), col("n"), round(col("__mu"), 4).as("mean"),
+        round(sqrt(col("n").cast("double")) * col("__m3") /
+          (col("__m2") * sqrt(col("__m2"))), 4).as("skewness"),
+        round(col("n").cast("double") * col("__m4") /
+          (col("__m2") * col("__m2")) - lit(3.0), 4).as("excess_kurtosis"))
+  }
 }

@@ -891,4 +891,34 @@ object TextAnalysis {
         round(col("n_oov_tokens").cast("double") /
           col("n_tokens").cast("double"), 4).as("oov_rate"))
   }
+
+  /** Pairwise vocabulary Jaccard between groups: each group's DISTINCT
+    * token set, intersected via a token equi-join of the AGGREGATED
+    * (group, token) frame (never doc-level; the q185 shape with set
+    * semantics instead of TF weights) — |A∩B| / (|A|+|B|−|A∩B|), exact
+    * integers, single-divide 4dp. Pairs with an empty intersection are
+    * omitted (the equi-join cannot see them — and a zero Jaccard row
+    * carries no signal).
+    */
+  def vocabJaccard(df: DataFrame, groupCol: String,
+      textCol: String): DataFrame = {
+    val st = df.select(col(groupCol).as("g"),
+        explode(tokens(col(textCol))).as("tok"))
+      .distinct()
+    val sizes = st.groupBy(col("g")).agg(count(lit(1)).as("nv"))
+    val inter = st.select(col("g").as("g1"), col("tok"))
+      .join(st.select(col("g").as("g2"), col("tok")), Seq("tok"))
+      .filter(col("g1") < col("g2"))
+      .groupBy(col("g1"), col("g2")).agg(count(lit(1)).as("n_common"))
+    inter
+      .join(broadcast(sizes.select(col("g").as("g1"), col("nv").as("__n1"))),
+        Seq("g1"))
+      .join(broadcast(sizes.select(col("g").as("g2"), col("nv").as("__n2"))),
+        Seq("g2"))
+      .select(col("g1"), col("g2"), col("__n1").as("n_vocab_1"),
+        col("__n2").as("n_vocab_2"), col("n_common"),
+        round(col("n_common").cast("double") /
+          (col("__n1") + col("__n2") - col("n_common")).cast("double"), 4)
+          .as("jaccard"))
+  }
 }

@@ -361,4 +361,36 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(w01.getAs[Double]("cum_value") == 13.0) // 11 + 2
     assert(out((1L, 0L)).getAs[Double]("cum_value") == 5.0)
   }
+
+  test("cusum: peak lands at the mean-shift point, first peak wins") {
+    import java.sql.Timestamp
+    def ts(sec: Long) = new Timestamp(sec * 1000L)
+    // level shift: four 0s then four 10s -> mu = 5, |S| peaks (20) at
+    // the 4th event and again stays; strict > keeps the FIRST peak
+    val df = (1 to 8).map(i =>
+      ("u", ts(i.toLong), i.toLong, if (i <= 4) 0.0 else 10.0))
+      .toDF("user_id", "ts", "event_id", "value")
+    val r = EventAnalytics.cusum(df, "user_id", "ts", "event_id", "value")
+      .collect().head
+    assert(r.getAs[Long]("n_events") == 8L)
+    assert(r.getAs[Double]("cusum_max_abs") == 20.0)
+    assert(r.getAs[Long]("at_event_id") == 4L)
+  }
+
+  test("welchTTest: equal groups give t=0, shifted groups a large |t|") {
+    val same = (1L to 40L).map(i => (i, (i % 2 == 1), (i % 5).toDouble))
+      .toDF("event_id", "b", "value")
+    val r0 = EventAnalytics.welchTTest(same, "event_id", "value",
+      org.apache.spark.sql.functions.col("b")).collect().head
+    assert(r0.getAs[Long]("n_a") == 20L && r0.getAs[Long]("n_b") == 20L)
+    assert(math.abs(r0.getAs[Double]("t_stat")) < 1.0)
+    val shifted = (1L to 40L).map(i =>
+      (i, i % 2 == 1, (i % 5).toDouble + (if (i % 2 == 1) 100.0 else 0.0)))
+      .toDF("event_id", "b", "value")
+    val r1 = EventAnalytics.welchTTest(shifted, "event_id", "value",
+      org.apache.spark.sql.functions.col("b")).collect().head
+    assert(r1.getAs[Double]("mean_b") - r1.getAs[Double]("mean_a") == 100.0)
+    assert(r1.getAs[Double]("t_stat") < -50.0) // a minus b convention
+    assert(r1.getAs[Double]("welch_df") > 30.0)
+  }
 }

@@ -468,4 +468,21 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(s2.getAs[Long]("n_oov_tokens") == 1L) // yy only; zz is in vocab
     assert(s2.getAs[Long]("n_oov_types") == 1L)
   }
+
+  test("vocabJaccard: exact set overlap on the aggregated frame") {
+    val df = Seq(
+      ("a", "x y z"), ("a", "x x w"),      // vocab(a) = {x,y,z,w}
+      ("b", "x y q"),                        // vocab(b) = {x,y,q}
+      ("c", "zz"))                           // disjoint from a and b
+      .toDF("source", "text")
+    val out = TextAnalysis.vocabJaccard(df, "source", "text")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val ab = out(("a", "b"))
+    assert(ab.getAs[Long]("n_vocab_1") == 4L &&
+      ab.getAs[Long]("n_vocab_2") == 3L)
+    assert(ab.getAs[Long]("n_common") == 2L) // x, y
+    assert(ab.getAs[Double]("jaccard") == 0.4) // 2 / (4+3-2)
+    // disjoint pairs are absent, not zero rows
+    assert(out.keySet == Set(("a", "b")))
+  }
 }
