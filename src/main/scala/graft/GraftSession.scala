@@ -13,11 +13,12 @@ import org.apache.spark.sql.SparkSession
   *    None). Non-ANSI casts replicate that; oracle SQL uses TRY_CAST.
   *  - UTC session timezone: deterministic timestamp semantics across the
   *    cluster and vs. the DuckDB oracle.
-  *  - `nanosAsLong`: the driver's events.parquet carries TIMESTAMP(NANOS)
-  *    which Spark has no native type for; we read it as long nanos and keep
-  *    full precision (see [[Tables.events]]). A double division would lose
-  *    precision (2024 epoch-nanos ≈ 1.7e18 > 2^53), so conversions use
-  *    integer `div`.
+  *  - `nanosAsLong`: some rounds' events.parquet carried TIMESTAMP(NANOS)
+  *    which Spark has no native type for; under this conf it reads as long
+  *    nanos at full precision (see [[Tables.normalizeEvents]] — the loader
+  *    is schema-adaptive and also accepts the current TIMESTAMP(MICROS)
+  *    files). A double division would lose precision (2024 epoch-nanos
+  *    ≈ 1.7e18 > 2^53), so conversions use integer `div`.
   *  - shuffle.partitions defaults to #cores locally; on a real cluster this
   *    is sized to ~2-3x total cores and AQE coalesces down.
   */

@@ -857,12 +857,11 @@ object SparkEntry {
       val raw = Tables.table(s, d, "events") // batch load, for the raw schema
       // the file-stream source lists DIRECTORIES; select the single
       // events file out of the sf dir with a glob filter
-      val stream = s.readStream.schema(raw.schema)
-        .option("pathGlobFilter", "events.parquet")
-        .option("maxFilesPerTrigger", 1)
-        .parquet(d)
-        .withColumnRenamed("ts", "ts_ns")
-        .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      val stream = Tables.normalizeEvents(
+        s.readStream.schema(raw.schema)
+          .option("pathGlobFilter", "events.parquet")
+          .option("maxFilesPerTrigger", 1)
+          .parquet(d))
       val agg = graft.streaming.StreamingOps.hourlyEventCounts(stream, "ts")
       val q = graft.streaming.StreamingOps.overwriteCompletePerBatch(agg, outPath)
         .option("checkpointLocation", ckpt)
@@ -2035,6 +2034,30 @@ object SparkEntry {
       graft.operators.TextAnalysis.vocabJaccard(t(s, d, "documents"),
         "source", "text")),
 
+    // Weekly growth accounting: new / retained / resurrected per active
+    // week plus churned = prior-week actives who didn't return
+    "q213_growth_accounting" -> ((s, d) =>
+      graft.operators.EventAnalytics.growthAccounting(Tables.events(s, d),
+        "user_id", "ts")),
+
+    // Gini + Lorenz deciles of per-user total value: rank-weighted sums
+    // on the aggregated distinct-total frame (q188 stance), all-DECIMAL
+    "q214_gini_lorenz" -> ((s, d) =>
+      graft.operators.EventAnalytics.giniLorenz(Tables.events(s, d),
+        "user_id", "value")),
+
+    // Per-user lag-1..3 autocorrelation of value: ordered central-
+    // product folds over the user's own series, exact-DECIMAL mean
+    "q215_autocorrelation" -> ((s, d) =>
+      graft.operators.EventAnalytics.autocorrelation(Tables.events(s, d),
+        "user_id", "ts", "event_id", "value")),
+
+    // Kaplan-Meier survival of inter-event waiting times (censored at
+    // the corpus max ts): risk sets, event/censor counts, Π(1−d/n)
+    "q216_kaplan_meier" -> ((s, d) =>
+      graft.operators.EventAnalytics.kaplanMeier(Tables.events(s, d),
+        "user_id", "ts", "event_id")),
+
     // Windowed funnel: view→click→purchase where each step lands within
     // 24h of the previous completion (the realistic conversion window)
     "q174_windowed_funnel" -> ((s, d) => {
@@ -2166,17 +2189,16 @@ object SparkEntry {
         p.delete(): Unit
       }
       Seq(outPath, ckpt).foreach(p => rmrf(new java.io.File(p)))
-      // schema must be the RAW file schema (ts = nanos long on disk);
-      // the Tables.events µs-timestamp transform applies to the stream.
-      // Tables.table (not a bare read): it tunes the session first —
-      // nanosAsLong must be set before ANY parquet read of events
+      // schema must be the RAW file schema (whatever timestamp encoding
+      // the file carries); Tables.normalizeEvents applies the same
+      // schema-adaptive ts/ts_ns contract to the stream. Tables.table
+      // (not a bare read): it tunes the session first.
       val fileSchema = Tables.table(s, d, "events").schema
-      val stream = s.readStream.schema(fileSchema)
-        .option("pathGlobFilter", "events.parquet")
-        .option("maxFilesPerTrigger", 1)
-        .parquet(d)
-        .withColumnRenamed("ts", "ts_ns")
-        .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      val stream = Tables.normalizeEvents(
+        s.readStream.schema(fileSchema)
+          .option("pathGlobFilter", "events.parquet")
+          .option("maxFilesPerTrigger", 1)
+          .parquet(d))
       val smoothed = graft.operators.EventAnalytics.ewmaStream(
         stream, "user_id", "ts", "event_id", "value").toDF()
       val q = graft.streaming.StreamingOps.appendPerBatch(smoothed, outPath)
@@ -5395,6 +5417,123 @@ object SparkEntry {
          |    AS jaccard
          |FROM iv JOIN sz s1 ON s1.g = iv.g1
          |JOIN sz s2 ON s2.g = iv.g2""".stripMargin,
+
+    // Growth-accounting replay: same distinct (user,week) frame, lag
+    // classification, active(w−1) − retained(w) churn
+    "q213_growth_accounting" ->
+      """WITH uw AS (SELECT DISTINCT user_id AS u,
+        |    epoch_us(ts) // 604800000000 AS w FROM events),
+        |t AS (SELECT u, w, lag(w) OVER (PARTITION BY u ORDER BY w) AS p
+        |  FROM uw),
+        |s AS (SELECT w AS week,
+        |    sum(CASE WHEN p IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_new,
+        |    sum(CASE WHEN p = w - 1 THEN 1 ELSE 0 END)::BIGINT
+        |      AS n_retained,
+        |    sum(CASE WHEN p IS NOT NULL AND p < w - 1 THEN 1 ELSE 0 END)
+        |      ::BIGINT AS n_resurrected
+        |  FROM t GROUP BY w),
+        |a AS (SELECT w, count(*)::BIGINT AS n_active FROM uw GROUP BY w)
+        |SELECT s.week, a.n_active, s.n_new, s.n_retained, s.n_resurrected,
+        |  (coalesce(pa.n_active, 0) - s.n_retained)::BIGINT AS n_churned
+        |FROM s JOIN a ON a.w = s.week
+        |LEFT JOIN a pa ON pa.w = s.week - 1""".stripMargin,
+
+    // Gini/Lorenz replay: distinct-total frame, DECIMAL rank-weighted
+    // sums, identical final double op sequence (::DOUBLE on literals —
+    // the q155 DECIMAL-literal pitfall)
+    "q214_gini_lorenz" ->
+      """WITH tot AS (SELECT user_id AS u,
+        |    sum(value::DECIMAL(18,6))::DECIMAL(18,6) AS tv
+        |  FROM events WHERE value IS NOT NULL GROUP BY user_id),
+        |grp AS (SELECT tv, count(*)::BIGINT AS c FROM tot GROUP BY tv),
+        |cum AS (SELECT tv, c,
+        |    sum(c) OVER (ORDER BY tv)::BIGINT AS cu,
+        |    sum(tv * c) OVER (ORDER BY tv)::DECIMAL(38,6) AS cv
+        |  FROM grp),
+        |st AS (SELECT sum(c)::BIGINT AS n,
+        |    sum(tv * c)::DECIMAL(38,6) AS s,
+        |    sum(tv * (c * (cu - c) + (c * (c + 1)) // 2))::DECIMAL(38,6)
+        |      AS s1
+        |  FROM cum),
+        |d AS (SELECT unnest(generate_series(1, 10)) AS decile),
+        |tg AS (SELECT d.decile, (st.n * d.decile) // 10 AS t,
+        |    st.n, st.s, st.s1 FROM d CROSS JOIN st)
+        |SELECT tg.decile, tg.t AS user_rank,
+        |  coalesce(round((cum.cv - cum.tv * (cum.cu - tg.t))::DECIMAL(38,6)
+        |      ::DOUBLE / tg.s::DOUBLE, 4), 0.0) AS cum_value_share,
+        |  round(2.0::DOUBLE * tg.s1::DOUBLE
+        |      / (tg.n::DOUBLE * tg.s::DOUBLE)
+        |    - (tg.n::DOUBLE + 1.0::DOUBLE) / tg.n::DOUBLE, 4) AS gini
+        |FROM tg LEFT JOIN cum
+        |  ON cum.cu - cum.c < tg.t AND tg.t <= cum.cu""".stripMargin,
+
+    // ACF replay: identical ordered lists, 1-based indexed lag products
+    // folded left-to-right, same µ
+    "q215_autocorrelation" ->
+      """WITH e AS (SELECT user_id AS k, epoch_us(ts) AS us,
+        |    event_id AS id, value::DOUBLE AS v FROM events
+        |  WHERE value IS NOT NULL),
+        |s AS (SELECT k, count(*)::BIGINT AS n,
+        |    (sum(v::DECIMAL(18,6))::DECIMAL(18,6))::DOUBLE
+        |      / count(*)::DOUBLE AS mu,
+        |    list(v ORDER BY us, id) AS xs
+        |  FROM e GROUP BY k),
+        |f AS (SELECT k, n, mu, xs,
+        |    list_reduce(list_prepend(0.0,
+        |      list_transform(xs, x -> (x - mu) * (x - mu))),
+        |      (a, b) -> a + b) AS m2
+        |  FROM s WHERE n > 3)
+        |SELECT k AS user_id, n AS n_events,
+        |  round(list_reduce(list_prepend(0.0,
+        |    list_transform(generate_series(1, (n - 1)::INT),
+        |      i -> (xs[i] - mu) * (xs[i + 1] - mu))), (a, b) -> a + b)
+        |    / m2, 4) AS acf1,
+        |  round(list_reduce(list_prepend(0.0,
+        |    list_transform(generate_series(1, (n - 2)::INT),
+        |      i -> (xs[i] - mu) * (xs[i + 2] - mu))), (a, b) -> a + b)
+        |    / m2, 4) AS acf2,
+        |  round(list_reduce(list_prepend(0.0,
+        |    list_transform(generate_series(1, (n - 3)::INT),
+        |      i -> (xs[i] - mu) * (xs[i + 3] - mu))), (a, b) -> a + b)
+        |    / m2, 4) AS acf3
+        |FROM f WHERE m2 > 0.0""".stripMargin,
+
+    // KM replay: same duration frame; recursive CTE carries (consumed,
+    // product) — identical risk-set subtraction and multiply order
+    "q216_kaplan_meier" ->
+      """WITH RECURSIVE e AS (SELECT user_id AS u, epoch_us(ts) AS us,
+        |    event_id AS id FROM events),
+        |mx AS (SELECT max(us) AS maxus FROM e),
+        |g AS (SELECT u, us,
+        |    lead(us) OVER (PARTITION BY u ORDER BY us, id) AS nxt
+        |  FROM e),
+        |durs AS (SELECT CASE WHEN nxt IS NOT NULL
+        |      THEN (nxt - us) // 86400000000
+        |      ELSE (mx.maxus - us) // 86400000000 END AS d,
+        |    CASE WHEN nxt IS NULL THEN 1 ELSE 0 END AS cens
+        |  FROM g CROSS JOIN mx),
+        |bd AS (SELECT d, sum(1 - cens)::BIGINT AS ev,
+        |    sum(cens)::BIGINT AS cen FROM durs GROUP BY d),
+        |o AS (SELECT d, ev, cen, row_number() OVER (ORDER BY d) AS rn
+        |  FROM bd),
+        |tt AS (SELECT sum(ev + cen)::BIGINT AS tot FROM bd),
+        |r AS (
+        |  SELECT o.rn, o.d, o.ev, o.cen, tt.tot,
+        |    (o.ev + o.cen) AS consumed,
+        |    1.0::DOUBLE * (1.0::DOUBLE - o.ev::DOUBLE / tt.tot::DOUBLE)
+        |      AS p
+        |  FROM o CROSS JOIN tt WHERE o.rn = 1
+        |  UNION ALL
+        |  SELECT o.rn, o.d, o.ev, o.cen, r.tot,
+        |    r.consumed + o.ev + o.cen,
+        |    r.p * (1.0::DOUBLE
+        |      - o.ev::DOUBLE / (r.tot - r.consumed)::DOUBLE)
+        |  FROM r JOIN o ON o.rn = r.rn + 1)
+        |SELECT r.d AS duration_days,
+        |  (r.tot - (r.consumed - r.ev - r.cen))::BIGINT AS n_at_risk,
+        |  r.ev AS n_events, r.cen AS n_censored,
+        |  round(r.p, 4) AS survival
+        |FROM r""".stripMargin,
 
     // Windowed-funnel replay: same 24h-bounded strict-after chain
     "q174_windowed_funnel" ->

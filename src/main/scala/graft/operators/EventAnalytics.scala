@@ -698,4 +698,210 @@ object EventAnalytics {
           col("__seb") * col("__seb") / (col("n_b") - 1).cast("double")), 4)
         .as("welch_df"))
   }
+
+  /** Weekly growth accounting (the "new / retained / resurrected /
+    * churned" ledger every subscription dashboard opens with): each
+    * active (user, week) is NEW if it is the user's first-ever week,
+    * RETAINED if the user was also active the immediately-previous
+    * week, RESURRECTED otherwise (active before, then a gap); and
+    * churned(w) = active(w−1) − retained(w) — the users who did not
+    * come back. Weeks are epoch-µs integer-divided 7-day buckets.
+    *
+    * All counts are exact integers. Weeks with zero active users emit
+    * no row (so churn INTO a fully-dead week is not reported — at week
+    * granularity over a live product the frame is dense; documented,
+    * and the oracle mirrors the same frame).
+    *
+    * Scale: distinct (user, week) first (one shuffle, map-side
+    * partial), then a per-user lag window bounded by the user's own
+    * active weeks, then a tiny per-week aggregate. No corpus-wide
+    * windows.
+    */
+  def growthAccounting(events: DataFrame, userCol: String,
+      tsCol: String): DataFrame = {
+    val weekUs = 7L * 86400000000L
+    val uw = events.select(col(userCol).as("u"),
+      expr(s"unix_micros($tsCol) div ${weekUs}L").as("w")).distinct()
+    val win = Window.partitionBy(col("u")).orderBy(col("w"))
+    val states = uw.withColumn("__prev", lag(col("w"), 1).over(win))
+      .withColumn("__new", when(col("__prev").isNull, 1L).otherwise(0L))
+      .withColumn("__ret",
+        when(col("__prev") === col("w") - 1, 1L).otherwise(0L))
+      .withColumn("__res",
+        when(col("__prev").isNotNull && col("__prev") < col("w") - 1, 1L)
+          .otherwise(0L))
+      .groupBy(col("w").as("week"))
+      .agg(sum(col("__new")).as("n_new"), sum(col("__ret")).as("n_retained"),
+        sum(col("__res")).as("n_resurrected"))
+    val active = uw.groupBy(col("w")).agg(count(lit(1)).as("n_active"))
+    val prevActive = active.select((col("w") + 1).as("week"),
+      col("n_active").as("__prev_active"))
+    states
+      .join(active.withColumnRenamed("w", "week"), Seq("week"))
+      .join(prevActive, Seq("week"), "left")
+      .select(col("week"), col("n_active"), col("n_new"), col("n_retained"),
+        col("n_resurrected"),
+        (coalesce(col("__prev_active"), lit(0L)) - col("n_retained"))
+          .as("n_churned"))
+  }
+
+  /** Gini coefficient + Lorenz curve of per-user total `valueCol` —
+    * the concentration report ("what share of revenue do the bottom
+    * k×10% of users hold?"). Returns one row per decile (1..10) with
+    * the nearest-lower-rank user position, the cumulative value share
+    * at that position, and the (repeated) corpus Gini.
+    *
+    * Exactness: user totals are DECIMAL(18,6) sums; the rank-weighted
+    * sum Σᵢ i·xᵢ is computed on the AGGREGATED distinct-total frame
+    * (the q188 AUC stance — never a corpus-wide per-user rank): a
+    * total v held by c users whose predecessors number b contributes
+    * v·(c·b + c(c+1)/2), all DECIMAL×BIGINT exact; within-tie user
+    * order cannot matter because tied users hold the same value.
+    * Gini = 2·Σi·xᵢ/(n·Σx) − (n+1)/n with one fixed double op
+    * sequence at the end, 4dp. Decile positions use floor(n·d/10);
+    * positions before the first user (small n) report share 0.
+    *
+    * Scale: one shuffle to user totals, one to distinct totals; the
+    * ordered window runs over the distinct-total frame (bounded by
+    * value resolution, not user count).
+    */
+  def giniLorenz(events: DataFrame, userCol: String,
+      valueCol: String): DataFrame = {
+    val spark = events.sparkSession
+    val tot = events.filter(col(valueCol).isNotNull)
+      .groupBy(col(userCol).as("u"))
+      .agg(sum(col(valueCol).cast("decimal(18,6)")).cast("decimal(18,6)")
+        .as("tv"))
+    val grp = tot.groupBy(col("tv")).agg(count(lit(1)).as("c"))
+    val wo = Window.orderBy(col("tv"))
+    val cum = grp
+      .withColumn("__cu", sum(col("c")).over(wo))
+      .withColumn("__cv",
+        sum(col("tv") * col("c")).over(wo).cast("decimal(38,6)"))
+    val stats = cum.agg(
+      sum(col("c")).as("n"),
+      sum(col("tv") * col("c")).cast("decimal(38,6)").as("s"),
+      sum(col("tv") * (col("c") * (col("__cu") - col("c")) +
+        expr("(c * (c + 1L)) div 2L"))).cast("decimal(38,6)").as("s1"))
+    val deciles = spark.range(1, 11).toDF("decile")
+    val targets = deciles.crossJoin(broadcast(stats))
+      .withColumn("__t", expr("(n * decile) div 10L"))
+    val gini = round(
+      lit(2.0) * col("s1").cast("double") /
+        (col("n").cast("double") * col("s").cast("double")) -
+        (col("n").cast("double") + lit(1.0)) / col("n").cast("double"), 4)
+    targets
+      .join(cum, col("__cu") - col("c") < col("__t") &&
+        col("__t") <= col("__cu"), "left")
+      .select(col("decile"), col("__t").as("user_rank"),
+        coalesce(round(
+          (col("__cv") - col("tv") * (col("__cu") - col("__t")))
+            .cast("decimal(38,6)").cast("double") / col("s").cast("double"),
+          4), lit(0.0)).as("cum_value_share"),
+        gini.as("gini"))
+  }
+
+  /** Per-key lag-k autocorrelation (ACF) of `valueCol` over the key's
+    * (µs, id)-ordered series, k = 1..`maxLag` — the "is this metric
+    * self-correlated / seasonal?" screen. acf_k = Σₜ(xₜ−µ)(xₜ₊ₖ−µ) /
+    * Σₜ(xₜ−µ)², with µ the key's own exact-DECIMAL mean.
+    *
+    * Bit-exact raw doubles before the 4dp display round: every Σ is a
+    * fixed left-to-right IEEE fold over the sorted series (the q211
+    * central-moment stance), replayed by the oracle with 1-based list
+    * indexing on both engines. Keys need n > maxLag and non-zero
+    * variance. One shuffle; per-key state is the key's own history
+    * (the standing sequential-op caveat).
+    */
+  def autocorrelation(events: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, valueCol: String, maxLag: Int = 3): DataFrame = {
+    require(maxLag >= 1, "maxLag must be >= 1")
+    val e = events.filter(col(valueCol).isNotNull)
+      .select(col(keyCol).as("k"), unix_micros(col(tsCol)).as("us"),
+        col(idCol).as("id"), col(valueCol).cast("double").as("v"))
+    val sorted = e.groupBy(col("k"))
+      .agg(count(lit(1)).as("n"),
+        (sum(col("v").cast("decimal(18,6)")).cast("decimal(18,6)")
+          .cast("double") / count(lit(1)).cast("double")).as("__mu"),
+        transform(
+          array_sort(collect_list(struct(col("us"), col("id"), col("v")))),
+          s => s.getField("v")).as("__xs"))
+    def num(lagK: Int): Column = aggregate(
+      transform(sequence(lit(1), (col("n") - lagK).cast("int")),
+        i => (element_at(col("__xs"), i) - col("__mu")) *
+          (element_at(col("__xs"), i + lagK) - col("__mu"))),
+      lit(0.0), (acc, v) => acc + v)
+    val m2 = aggregate(
+      transform(col("__xs"), x => (x - col("__mu")) * (x - col("__mu"))),
+      lit(0.0), (acc, v) => acc + v)
+    val outCols = Seq(col("k").as(keyCol), col("n").as("n_events")) ++
+      (1 to maxLag).map(lagK =>
+        round(num(lagK) / col("__m2"), 4).as(s"acf$lagK"))
+    sorted.filter(col("n") > maxLag)
+      .withColumn("__m2", m2).filter(col("__m2") > 0.0)
+      .select(outCols: _*)
+  }
+
+  /** Kaplan-Meier survival over inter-event waiting times: each
+    * consecutive (µs, id)-ordered event pair contributes a COMPLETE
+    * duration (whole days, integer-divided), and each user's last
+    * event contributes a CENSORED duration up to the global max event
+    * time (still at risk when observation ended). One row per distinct
+    * duration d: the risk set n(d) (observations with duration ≥ d),
+    * event/censor counts, and the KM estimate
+    * S(d) = Π_{d'≤d} (1 − events(d')/n(d')) — censoring shrinks the
+    * risk set but never the product.
+    *
+    * Exactness: counts are integers; the product is ONE fixed
+    * left-to-right fold over the day-granularity duration frame
+    * (bounded by the calendar span, not data volume), replayed by the
+    * oracle's recursive CTE carrying (consumed, product) — identical
+    * IEEE op sequence, 4dp display round.
+    *
+    * Scale: per-user lead window (bounded per user), a tiny
+    * duration-level aggregate, then a single-group pack of the
+    * calendar-bounded frame. No corpus-size state anywhere.
+    */
+  def kaplanMeier(events: DataFrame, userCol: String, tsCol: String,
+      idCol: String): DataFrame = {
+    val dayUs = 86400000000L
+    val e = events.select(col(userCol).as("u"),
+      unix_micros(col(tsCol)).as("us"), col(idCol).as("id"))
+    val w = Window.partitionBy(col("u")).orderBy(col("us"), col("id"))
+    val gaps = e.withColumn("__next", lead(col("us"), 1).over(w))
+    val maxUs = e.agg(max(col("us")).as("__maxus"))
+    val durs = gaps.crossJoin(broadcast(maxUs))
+      .select(
+        expr(s"CASE WHEN __next IS NOT NULL THEN (__next - us) div ${dayUs}L" +
+          s" ELSE (__maxus - us) div ${dayUs}L END").as("d"),
+        col("__next").isNull.cast("int").as("cens"))
+    val byDur = durs.groupBy(col("d"))
+      .agg(sum(lit(1) - col("cens")).cast("long").as("ev"),
+        sum(col("cens")).cast("long").as("cen"))
+    val packed = byDur.agg(
+      array_sort(collect_list(struct(col("d"), col("ev"), col("cen"))))
+        .as("__rows"),
+      sum(col("ev") + col("cen")).as("__tot"))
+    val zero = struct(lit(0L).as("c"), lit(1.0).as("p"))
+    packed
+      .select(col("__tot"), col("__rows"),
+        posexplode(col("__rows")).as(Seq("__i", "__r")))
+      .withColumn("__before",
+        aggregate(slice(col("__rows"), lit(1), col("__i")), lit(0L),
+          (acc, r) => acc + r.getField("ev") + r.getField("cen")))
+      .withColumn("__km",
+        aggregate(slice(col("__rows"), lit(1), col("__i") + 1), zero,
+          (acc, r) => {
+            val risk = (col("__tot") - acc.getField("c")).cast("double")
+            struct(
+              (acc.getField("c") + r.getField("ev") + r.getField("cen"))
+                .as("c"),
+              (acc.getField("p") *
+                (lit(1.0) - r.getField("ev").cast("double") / risk)).as("p"))
+          }))
+      .select(col("__r.d").as("duration_days"),
+        (col("__tot") - col("__before")).as("n_at_risk"),
+        col("__r.ev").as("n_events"), col("__r.cen").as("n_censored"),
+        round(col("__km.p"), 4).as("survival"))
+  }
 }

@@ -393,4 +393,89 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(r1.getAs[Double]("t_stat") < -50.0) // a minus b convention
     assert(r1.getAs[Double]("welch_df") > 30.0)
   }
+
+  test("growthAccounting: new/retained/resurrected/churned ledger") {
+    def wk(w: Int) = new Timestamp(w.toLong * 7 * 86400 * 1000) // week w start (epoch-aligned)
+    // u1 active w0,w1,w3 (retained w1, gap, resurrected w3)
+    // u2 active w0 only (churns into w1); u3 first appears w3 (new)
+    val df = Seq((1L, 1L, wk(0)), (1L, 2L, wk(1)), (1L, 3L, wk(3)),
+      (2L, 4L, wk(0)), (3L, 5L, wk(3)))
+      .toDF("user_id", "event_id", "ts")
+    val out = EventAnalytics.growthAccounting(df, "user_id", "ts")
+      .orderBy("week").collect()
+    // weeks present: 0, 1, 3 (week 2 dead → no row; documented)
+    assert(out.length == 3)
+    val w0 = out(0); val w1 = out(1); val w3 = out(2)
+    assert(w0.getAs[Long]("n_new") == 2 && w0.getAs[Long]("n_churned") == 0)
+    assert(w1.getAs[Long]("n_new") == 0 && w1.getAs[Long]("n_retained") == 1)
+    assert(w1.getAs[Long]("n_churned") == 1) // u2 gone
+    assert(w3.getAs[Long]("n_new") == 1) // u3
+    assert(w3.getAs[Long]("n_resurrected") == 1) // u1 after the gap
+    assert(w3.getAs[Long]("n_retained") == 0)
+  }
+
+  test("giniLorenz: uniform values give gini 0, extremes near 1") {
+    // 10 users, all equal value → gini = 2·Σi·x/(n·S) − (n+1)/n = 0
+    val eq = (1L to 10L).map(u => (u, 5.0)).toDF("user_id", "value")
+    val outEq = EventAnalytics.giniLorenz(eq, "user_id", "value")
+      .orderBy("decile").collect()
+    assert(outEq.length == 10)
+    assert(outEq.forall(_.getAs[Double]("gini") == 0.0))
+    // decile d holds exactly d/10 of the value under equality
+    assert(outEq(4).getAs[Double]("cum_value_share") == 0.5)
+    // one user holds everything → gini = (n−1)/n − tiny = 0.9
+    val ex = (1L to 9L).map(u => (u, 0.0)) :+ (10L, 1000.0)
+    val outEx = EventAnalytics.giniLorenz(
+      ex.toDF("user_id", "value"), "user_id", "value")
+      .orderBy("decile").collect()
+    assert(outEx.head.getAs[Double]("gini") == 0.9)
+    assert(outEx(8).getAs[Double]("cum_value_share") == 0.0) // bottom 90%
+    assert(outEx(9).getAs[Double]("cum_value_share") == 1.0)
+  }
+
+  test("autocorrelation: alternating series has acf1 near −1") {
+    def ts(sec: Long) = new Timestamp(sec * 1000L)
+    val df = (1 to 40).map(i =>
+      (1L, ts(i.toLong), i.toLong, if (i % 2 == 0) 1.0 else -1.0))
+      .toDF("user_id", "ts", "event_id", "value")
+    val r = EventAnalytics.autocorrelation(df, "user_id", "ts",
+      "event_id", "value").collect().head
+    assert(r.getAs[Long]("n_events") == 40L)
+    assert(r.getAs[Double]("acf1") < -0.9)
+    assert(r.getAs[Double]("acf2") > 0.9)
+    assert(r.getAs[Double]("acf3") < -0.9)
+  }
+
+  test("autocorrelation: short or constant series are excluded") {
+    def ts(sec: Long) = new Timestamp(sec * 1000L)
+    val df = Seq(
+      (1L, ts(1), 1L, 5.0), (1L, ts(2), 2L, 5.0), (1L, ts(3), 3L, 5.0),
+      (1L, ts(4), 4L, 5.0), (1L, ts(5), 5L, 5.0), // constant: m2 = 0
+      (2L, ts(1), 6L, 1.0), (2L, ts(2), 7L, 2.0)) // n = 2 ≤ maxLag
+      .toDF("user_id", "ts", "event_id", "value")
+    assert(EventAnalytics.autocorrelation(df, "user_id", "ts",
+      "event_id", "value").count() == 0)
+  }
+
+  test("kaplanMeier: textbook risk sets and product") {
+    def ts(day: Int) = new Timestamp(day * 86400L * 1000L)
+    // u1 events at day 0,1,3 → complete gaps 1d,2d + censored 7d (to
+    // max ts day 10); u2 events at day 0,10 → complete 10d + censored 0d
+    val df = Seq((1L, 1L, ts(0)), (1L, 2L, ts(1)), (1L, 3L, ts(3)),
+      (2L, 4L, ts(0)), (2L, 5L, ts(10)))
+      .toDF("user_id", "event_id", "ts")
+    val out = EventAnalytics.kaplanMeier(df, "user_id", "ts", "event_id")
+      .orderBy("duration_days").collect()
+    // durations: 0(cens,u2-last) 1(ev) 2(ev) 7(cens,u1-last) 10(ev)
+    assert(out.map(_.getAs[Long]("duration_days")).toSeq ==
+      Seq(0L, 1L, 2L, 7L, 10L))
+    assert(out.map(_.getAs[Long]("n_at_risk")).toSeq ==
+      Seq(5L, 4L, 3L, 2L, 1L))
+    val s = out.map(_.getAs[Double]("survival"))
+    assert(s(0) == 1.0)            // censor only: factor 1
+    assert(s(1) == 0.75)           // 1·(1−1/4)
+    assert(s(2) == 0.5)            // 0.75·(1−1/3)
+    assert(s(3) == 0.5)            // censor only
+    assert(s(4) == 0.0)            // last event takes it to zero
+  }
 }
