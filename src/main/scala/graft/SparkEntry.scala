@@ -2058,6 +2058,32 @@ object SparkEntry {
       graft.operators.EventAnalytics.kaplanMeier(Tables.events(s, d),
         "user_id", "ts", "event_id")),
 
+    // Per-source Spearman rank correlation between doc length and token
+    // count: average-rank ties on distinct-value frames, all-integer
+    // doubled-rank sums (the q188 recipe, two-column)
+    "q217_spearman" -> ((s, d) =>
+      graft.operators.Profile.spearman(t(s, d, "documents"), "source",
+        col("n_chars"),
+        size(graft.functions.TextFunctions.tokens(col("text"))))),
+
+    // Weekly OHLC bars per user over value: struct-ordered open/close,
+    // plain high/low, exact-DECIMAL totals
+    "q218_ohlc" -> ((s, d) =>
+      graft.operators.Resample.ohlcBars(Tables.events(s, d), "user_id",
+        "ts", "event_id", "value", bucketUs = 604800000000L)),
+
+    // TWAP per user: exact DECIMAL·µs interval weighting, single divide
+    "q219_twap" -> ((s, d) =>
+      graft.operators.EventAnalytics.twap(Tables.events(s, d), "user_id",
+        "ts", "event_id", "value")),
+
+    // Pairwise Jensen-Shannon divergence between source token
+    // distributions: shared-token ordered fold + closed-form one-sided
+    // mass, shared ln2 constant
+    "q220_js_divergence" -> ((s, d) =>
+      graft.operators.TextAnalysis.jsDivergence(t(s, d, "documents"),
+        "source", "text")),
+
     // Windowed funnel: view→click→purchase where each step lands within
     // 24h of the previous completion (the realistic conversion window)
     "q174_windowed_funnel" -> ((s, d) => {
@@ -5497,6 +5523,116 @@ object SparkEntry {
         |      i -> (xs[i] - mu) * (xs[i + 3] - mu))), (a, b) -> a + b)
         |    / m2, 4) AS acf3
         |FROM f WHERE m2 > 0.0""".stripMargin,
+
+    // Spearman replay: identical distinct-value doubled ranks, HUGEINT
+    // integer sums (exact — all magnitudes < 2^53 at gate SF), same
+    // final double op sequence
+    "q217_spearman" ->
+      s"""WITH b0 AS (SELECT source AS g, n_chars::BIGINT AS x,
+         |    len($tokensSql)::BIGINT AS y FROM documents),
+         |base AS (SELECT g, x, y FROM b0
+         |  WHERE x IS NOT NULL AND y IS NOT NULL),
+         |rx AS (SELECT g, x, c, 2 * (cum - c) + c + 1 AS tx FROM (
+         |  SELECT g, x, count(*)::BIGINT AS c,
+         |    sum(count(*)) OVER (PARTITION BY g ORDER BY x)::BIGINT AS cum
+         |  FROM base GROUP BY g, x)),
+         |ry AS (SELECT g, y, c, 2 * (cum - c) + c + 1 AS ty FROM (
+         |  SELECT g, y, count(*)::BIGINT AS c,
+         |    sum(count(*)) OVER (PARTITION BY g ORDER BY y)::BIGINT AS cum
+         |  FROM base GROUP BY g, y)),
+         |pairs AS (SELECT g, x, y, count(*)::BIGINT AS c FROM base
+         |  GROUP BY g, x, y),
+         |pa AS (SELECT p.g, sum(p.c)::BIGINT AS n,
+         |    sum(p.c::HUGEINT * rx.tx * ry.ty) AS a
+         |  FROM pairs p JOIN rx ON rx.g = p.g AND rx.x = p.x
+         |  JOIN ry ON ry.g = p.g AND ry.y = p.y GROUP BY p.g),
+         |sx AS (SELECT g, sum(c::HUGEINT * tx) AS bx,
+         |    sum(c::HUGEINT * tx * tx) AS qx FROM rx GROUP BY g),
+         |sy AS (SELECT g, sum(c::HUGEINT * ty) AS by,
+         |    sum(c::HUGEINT * ty * ty) AS qy FROM ry GROUP BY g)
+         |SELECT pa.g AS source, pa.n,
+         |  round((pa.n::HUGEINT * pa.a - sx.bx * sy.by)::DOUBLE
+         |    / sqrt((pa.n::HUGEINT * sx.qx - sx.bx * sx.bx)::DOUBLE
+         |         * (pa.n::HUGEINT * sy.qy - sy.by * sy.by)::DOUBLE), 4)
+         |    AS spearman_rho
+         |FROM pa JOIN sx ON sx.g = pa.g JOIN sy ON sy.g = pa.g
+         |WHERE pa.n >= 2
+         |  AND (pa.n::HUGEINT * sx.qx - sx.bx * sx.bx)::DOUBLE > 0.0
+         |  AND (pa.n::HUGEINT * sy.qy - sy.by * sy.by)::DOUBLE > 0.0"""
+        .stripMargin,
+
+    // OHLC replay: ordered first/last aggregates over the same
+    // (µs, id) total order, exact-DECIMAL totals
+    "q218_ohlc" ->
+      """WITH e AS (SELECT user_id AS k, epoch_us(ts) AS us,
+        |    event_id AS id, value::DOUBLE AS v FROM events
+        |  WHERE value IS NOT NULL)
+        |SELECT k AS user_id, us // 604800000000 AS bucket,
+        |  first(v ORDER BY us, id) AS open,
+        |  max(v) AS high, min(v) AS low,
+        |  last(v ORDER BY us, id) AS close,
+        |  count(*)::BIGINT AS n_events,
+        |  (sum(v::DECIMAL(18,6))::DECIMAL(18,6))::DOUBLE AS total
+        |FROM e GROUP BY k, us // 604800000000""".stripMargin,
+
+    // TWAP replay: exact DECIMAL·µs interval weights, single divide
+    "q219_twap" ->
+      """WITH e AS (SELECT user_id AS k, epoch_us(ts) AS us,
+        |    event_id AS id, value::DECIMAL(18,6) AS v FROM events
+        |  WHERE value IS NOT NULL),
+        |g AS (SELECT k, v, us,
+        |    lead(us) OVER (PARTITION BY k ORDER BY us, id) AS nxt
+        |  FROM e),
+        |seg AS (SELECT k, (v * (nxt - us))::DECIMAL(38,6) AS wv,
+        |    (nxt - us) AS dt FROM g WHERE nxt IS NOT NULL),
+        |s AS (SELECT k, count(*)::BIGINT AS n_segments,
+        |    sum(wv)::DECIMAL(38,6) AS swv, sum(dt)::BIGINT AS span
+        |  FROM seg GROUP BY k)
+        |SELECT k AS user_id, n_segments, span AS span_us,
+        |  round(swv::DOUBLE / span::DOUBLE, 4) AS twap
+        |FROM s WHERE span > 0""".stripMargin,
+
+    // JS replay: same shared-token term op order (token-sorted fold),
+    // closed-form one-sided mass, identical ln2 double literal
+    "q220_js_divergence" ->
+      s"""WITH tk AS (SELECT source AS g, unnest($tokensSql) AS tok
+         |  FROM documents),
+         |cnt AS (SELECT g, tok, count(*)::BIGINT AS c FROM tk
+         |  GROUP BY g, tok),
+         |tt AS (SELECT g, sum(c)::BIGINT AS n FROM cnt GROUP BY g),
+         |cn AS (SELECT cnt.g, cnt.tok, cnt.c, tt.n FROM cnt
+         |  JOIN tt USING (g)),
+         |tm AS (SELECT a.g AS g1, b.g AS g2, a.tok,
+         |    a.c AS c1, a.n AS n1, b.c AS c2, b.n AS n2,
+         |    0.5::DOUBLE * (a.c::DOUBLE / a.n::DOUBLE)
+         |      * ln((a.c::DOUBLE / a.n::DOUBLE)
+         |            / ((a.c::DOUBLE / a.n::DOUBLE
+         |                + b.c::DOUBLE / b.n::DOUBLE) / 2.0::DOUBLE))
+         |    + 0.5::DOUBLE * (b.c::DOUBLE / b.n::DOUBLE)
+         |      * ln((b.c::DOUBLE / b.n::DOUBLE)
+         |            / ((a.c::DOUBLE / a.n::DOUBLE
+         |                + b.c::DOUBLE / b.n::DOUBLE) / 2.0::DOUBLE)) AS t
+         |  FROM cn a JOIN cn b ON a.tok = b.tok AND a.g < b.g),
+         |ag AS (SELECT g1, g2,
+         |    sum(c1)::BIGINT AS s1, sum(c2)::BIGINT AS s2,
+         |    count(*)::BIGINT AS nsh,
+         |    list_reduce(list_prepend(0.0, list(t ORDER BY tok)),
+         |      (x, y) -> x + y) AS shared
+         |  FROM tm GROUP BY g1, g2),
+         |ap AS (SELECT a.g AS g1, a.n AS n1, b.g AS g2, b.n AS n2
+         |  FROM tt a CROSS JOIN tt b WHERE a.g < b.g)
+         |SELECT ap.g1, ap.g2,
+         |  coalesce(ag.nsh, 0)::BIGINT AS n_shared_tokens,
+         |  round(coalesce(ag.shared, 0.0)
+         |    + 0.5::DOUBLE * 0.6931471805599453::DOUBLE
+         |      * (1.0::DOUBLE
+         |         - coalesce(ag.s1, 0)::DOUBLE / ap.n1::DOUBLE)
+         |    + 0.5::DOUBLE * 0.6931471805599453::DOUBLE
+         |      * (1.0::DOUBLE
+         |         - coalesce(ag.s2, 0)::DOUBLE / ap.n2::DOUBLE), 4)
+         |    AS js_divergence
+         |FROM ap LEFT JOIN ag ON ag.g1 = ap.g1 AND ag.g2 = ap.g2"""
+        .stripMargin,
 
     // KM replay: same duration frame; recursive CTE carries (consumed,
     // product) — identical risk-set subtraction and multiply order

@@ -842,6 +842,40 @@ object EventAnalytics {
       .select(outCols: _*)
   }
 
+  /** Time-weighted average of `valueCol` per key (TWAP): each value
+    * holds from its event until the next one, so the average weights
+    * every observation by its holding interval — the standard answer
+    * to irregular sampling that a plain mean gets wrong.
+    *
+    * FULLY exact before the display round: values are DECIMAL(18,6),
+    * holding intervals are integer µs, so Σ v·Δt is an exact
+    * DECIMAL(38,6) sum (order-free — no ordered fold needed) divided
+    * once by the integer span. Keys need ≥ 2 events spanning > 0 µs.
+    * One shuffle on the key after a per-key lead window.
+    */
+  def twap(events: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, valueCol: String): DataFrame = {
+    val e = events.filter(col(valueCol).isNotNull)
+      .select(col(keyCol).as("k"), unix_micros(col(tsCol)).as("us"),
+        col(idCol).as("id"), col(valueCol).cast("decimal(18,6)").as("v"))
+    val w = Window.partitionBy(col("k")).orderBy(col("us"), col("id"))
+    val seg = e.withColumn("__nxt", lead(col("us"), 1).over(w))
+      .filter(col("__nxt").isNotNull)
+      .select(col("k"),
+        (col("v") * (col("__nxt") - col("us"))).cast("decimal(38,6)")
+          .as("__wv"),
+        (col("__nxt") - col("us")).as("__dt"))
+    seg.groupBy(col("k"))
+      .agg(count(lit(1)).as("n_segments"),
+        sum(col("__wv")).cast("decimal(38,6)").as("__swv"),
+        sum(col("__dt")).as("__span"))
+      .filter(col("__span") > 0)
+      .select(col("k").as(keyCol), col("n_segments"),
+        col("__span").as("span_us"),
+        round(col("__swv").cast("double") / col("__span").cast("double"), 4)
+          .as("twap"))
+  }
+
   /** Kaplan-Meier survival over inter-event waiting times: each
     * consecutive (µs, id)-ordered event pair contributes a COMPLETE
     * duration (whole days, integer-divided), and each user's last

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** One-pass column profiler — the engine-side equivalent of the
@@ -253,5 +254,67 @@ object Profile {
           (col("__m2") * sqrt(col("__m2"))), 4).as("skewness"),
         round(col("n").cast("double") * col("__m4") /
           (col("__m2") * col("__m2")) - lit(3.0), 4).as("excess_kurtosis"))
+  }
+
+  /** Per-group Spearman rank correlation between two integer-valued
+    * expressions — the monotone-association screen that, unlike
+    * Pearson, ignores outlier magnitude. Average ranks for ties, so
+    * ρ = Pearson over the rank vectors.
+    *
+    * Exactness (the q188 AUC recipe, generalized to two ranked
+    * columns): ranks come from the AGGREGATED distinct-value frames —
+    * a value with c holders after b predecessors has DOUBLED average
+    * rank 2r = 2b + c + 1, an INTEGER — so every sum (Σ2rx·2ry,
+    * Σ(2rx)², Σ2rx) is exact DECIMAL(38,0) integer arithmetic; the ×2
+    * scaling cancels in ρ. One double op sequence at the end
+    * (N/√(Dx·Dy), each factor converted exactly from DECIMAL), 4dp.
+    * Groups need n ≥ 2 and non-constant x AND y.
+    *
+    * Scale: three shuffles on (group[, value]) aggregates; the ordered
+    * windows run over per-group DISTINCT-value frames (value-
+    * resolution-bounded, never row-bounded). No corpus-wide rank.
+    */
+  def spearman(df: DataFrame, groupCol: String, xExpr: Column,
+      yExpr: Column): DataFrame = {
+    val base = df.select(col(groupCol).as("g"), xExpr.cast("long").as("x"),
+        yExpr.cast("long").as("y"))
+      .filter(col("x").isNotNull && col("y").isNotNull)
+    def ranks(vc: String): DataFrame = {
+      val grp = base.groupBy(col("g"), col(vc)).agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy(col("g")).orderBy(col(vc))
+      grp.withColumn("__cum", sum(col("c")).over(w))
+        .select(col("g"), col(vc),
+          (lit(2L) * (col("__cum") - col("c")) + col("c") + 1)
+            .as(s"t$vc"),
+          col("c").as(s"c$vc"))
+    }
+    val rx = ranks("x")
+    val ry = ranks("y")
+    val pairs = base.groupBy(col("g"), col("x"), col("y"))
+      .agg(count(lit(1)).as("c"))
+    val joined = pairs
+      .join(rx.select(col("g"), col("x"), col("tx")), Seq("g", "x"))
+      .join(ry.select(col("g"), col("y"), col("ty")), Seq("g", "y"))
+    val perG = joined.groupBy(col("g"))
+      .agg(sum(col("c")).as("n"),
+        sum((col("c") * col("tx") * col("ty")).cast("decimal(38,0)"))
+          .cast("decimal(38,0)").as("a"))
+    def sideStats(r: DataFrame, vc: String): DataFrame =
+      r.groupBy(col("g")).agg(
+        sum((col(s"c$vc") * col(s"t$vc")).cast("decimal(38,0)"))
+          .cast("decimal(38,0)").as(s"b$vc"),
+        sum((col(s"c$vc") * col(s"t$vc") * col(s"t$vc"))
+          .cast("decimal(38,0)")).cast("decimal(38,0)").as(s"q$vc"))
+    val nD = col("n").cast("decimal(38,0)")
+    val num = (nD * col("a") - col("bx") * col("by")).cast("double")
+    val dx = (nD * col("qx") - col("bx") * col("bx")).cast("double")
+    val dy = (nD * col("qy") - col("by") * col("by")).cast("double")
+    perG
+      .join(sideStats(rx, "x"), Seq("g"))
+      .join(sideStats(ry, "y"), Seq("g"))
+      .withColumn("__dx", dx).withColumn("__dy", dy)
+      .filter(col("n") >= 2 && col("__dx") > 0.0 && col("__dy") > 0.0)
+      .select(col("g").as(groupCol), col("n"),
+        round(num / sqrt(col("__dx") * col("__dy")), 4).as("spearman_rho"))
   }
 }

@@ -37,4 +37,35 @@ object Resample {
       keys = Seq(keyCol), leftTs = "grid_ts", rightTs = tsCol,
       rightPayload = Seq((valueCol, s"${valueCol}_locf")))
   }
+
+  /** OHLC bars: per (key, fixed time bucket), the open (value at the
+    * earliest (µs, id)), high, low, close (value at the latest
+    * (µs, id)), event count and exact-DECIMAL total — the candlestick
+    * resample every metrics store offers.
+    *
+    * Deterministic: open/close ride min/max over (µs, id, value)
+    * structs — (µs, id) is a total order, so the struct ordering never
+    * reaches the value; high/low are plain min/max (value ties don't
+    * matter); the total is an exact DECIMAL(18,6) sum converted once.
+    * One shuffle on (key, bucket); no windows at all.
+    */
+  def ohlcBars(events: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, valueCol: String, bucketUs: Long): DataFrame = {
+    val e = events.filter(col(valueCol).isNotNull)
+      .select(col(keyCol).as("k"), unix_micros(col(tsCol)).as("us"),
+        col(idCol).as("id"), col(valueCol).cast("double").as("v"))
+      .withColumn("b", expr(s"us div ${bucketUs}L"))
+    e.groupBy(col("k"), col("b"))
+      .agg(
+        min(struct(col("us"), col("id"), col("v"))).getField("v").as("open"),
+        max(col("v")).as("high"), min(col("v")).as("low"),
+        max(struct(col("us"), col("id"), col("v"))).getField("v")
+          .as("close"),
+        count(lit(1)).as("n_events"),
+        sum(col("v").cast("decimal(18,6)")).cast("decimal(18,6)")
+          .cast("double").as("total"))
+      .select(col("k").as(keyCol), col("b").as("bucket"), col("open"),
+        col("high"), col("low"), col("close"), col("n_events"),
+        col("total"))
+  }
 }

@@ -921,4 +921,69 @@ object TextAnalysis {
           (col("__n1") + col("__n2") - col("n_common")).cast("double"), 4)
           .as("jaccard"))
   }
+
+  /** Pairwise Jensen-Shannon divergence between the groups' unigram
+    * token distributions — the symmetric, bounded ([0, ln 2]) corpus-
+    * drift measure (the q151 KL audit's better-behaved sibling; JS is
+    * what mixture-balance papers actually report). For each group pair
+    * (g1 < g2): JS = ½Σₓ p(x)·ln(p/m) + ½Σₓ q(x)·ln(q/m), m = (p+q)/2.
+    *
+    * Exact-count probabilities (BIGINT token counts over exact totals);
+    * the Σ over SHARED tokens folds in token-sorted order (the q142
+    * entropy stance for the JVM-vs-libm ln ulp, 4dp out), and the
+    * one-sided remainders collapse in closed form — a token absent
+    * from q has m = p/2, so its term is ½·p·ln 2, and the one-sided
+    * mass Σp is computed exactly as (n1 − Σ_shared c1)/n1. ln 2 is the
+    * same shortest-repr double constant on both engines.
+    *
+    * Scale: token-count frames shuffle once on (group, token); the
+    * pair join carries only (token, count) rows; the per-pair fold
+    * list is bounded by the SHARED vocabulary (Heaps-law-bounded, not
+    * corpus-bounded — the q212 stance).
+    */
+  def jsDivergence(df: DataFrame, groupCol: String,
+      textCol: String): DataFrame = {
+    val ln2 = 0.6931471805599453 // Math.log(2), shortest round-trip repr
+    val toks = df.select(col(groupCol).as("g"),
+      explode(tokens(col(textCol))).as("tok"))
+    val counts = toks.groupBy(col("g"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+    val totals = counts.groupBy(col("g")).agg(sum(col("c")).as("n"))
+    val cn = counts.join(broadcast(totals), Seq("g"))
+    val a = cn.select(col("g").as("g1"), col("tok"), col("c").as("c1"),
+      col("n").as("n1"))
+    val b = cn.select(col("g").as("g2"), col("tok"), col("c").as("c2"),
+      col("n").as("n2"))
+    val shared = a.join(b, Seq("tok")).filter(col("g1") < col("g2"))
+    val px = col("c1").cast("double") / col("n1").cast("double")
+    val qx = col("c2").cast("double") / col("n2").cast("double")
+    val m = (px + qx) / lit(2.0)
+    val term = lit(0.5) * px * log(px / m) + lit(0.5) * qx * log(qx / m)
+    val sharedAgg = shared
+      .select(col("g1"), col("g2"), col("tok"), col("c1"), col("c2"),
+        term.as("__t"))
+      .groupBy(col("g1"), col("g2"))
+      .agg(sum(col("c1")).as("__s1"), sum(col("c2")).as("__s2"),
+        count(lit(1)).as("__nsh"),
+        aggregate(
+          transform(array_sort(collect_list(struct(col("tok"), col("__t")))),
+            s => s.getField("__t")),
+          lit(0.0), (acc, v) => acc + v).as("__shared"))
+    // every (g1 < g2) pair reports — a disjoint-vocabulary pair has no
+    // shared rows but a well-defined JS of exactly ln 2
+    val allPairs = totals.select(col("g").as("g1"), col("n").as("__n1"))
+      .crossJoin(totals.select(col("g").as("g2"), col("n").as("__n2")))
+      .filter(col("g1") < col("g2"))
+    allPairs.join(sharedAgg, Seq("g1", "g2"), "left")
+      .select(col("g1"), col("g2"),
+        coalesce(col("__nsh"), lit(0L)).as("n_shared_tokens"),
+        round(coalesce(col("__shared"), lit(0.0)) +
+          lit(0.5) * lit(ln2) *
+            (lit(1.0) - coalesce(col("__s1"), lit(0L)).cast("double") /
+              col("__n1").cast("double")) +
+          lit(0.5) * lit(ln2) *
+            (lit(1.0) - coalesce(col("__s2"), lit(0L)).cast("double") /
+              col("__n2").cast("double")),
+          4).as("js_divergence"))
+  }
 }

@@ -457,6 +457,24 @@ class EventAnalyticsSpec extends AnyFunSuite {
       "event_id", "value").count() == 0)
   }
 
+  test("twap: interval weighting beats the naive mean") {
+    def ts(sec: Long) = new Timestamp(sec * 1000L)
+    // value 100 held for 9s, then 0 for 1s, then end → TWAP = 90;
+    // the naive mean of (100, 0, 50) would say 50
+    val df = Seq((1L, 1L, ts(0), 100.0), (1L, 2L, ts(9), 0.0),
+      (1L, 3L, ts(10), 50.0),
+      (2L, 4L, ts(0), 7.0)) // single event: no span → excluded
+      .toDF("user_id", "event_id", "ts", "value")
+    val out = EventAnalytics.twap(df, "user_id", "ts", "event_id", "value")
+      .collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("user_id") == 1L)
+    assert(r.getAs[Long]("n_segments") == 2L)
+    assert(r.getAs[Long]("span_us") == 10000000L)
+    assert(r.getAs[Double]("twap") == 90.0)
+  }
+
   test("kaplanMeier: textbook risk sets and product") {
     def ts(day: Int) = new Timestamp(day * 86400L * 1000L)
     // u1 events at day 0,1,3 → complete gaps 1d,2d + censored 7d (to

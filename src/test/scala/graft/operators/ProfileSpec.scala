@@ -169,4 +169,26 @@ class ProfileSpec extends AnyFunSuite {
     val const = Seq(("c", 1L, 5), ("c", 2L, 5)).toDF("g", "id", "v")
     assert(Profile.skewKurtosis(const, "g", "id", "v").count() == 0)
   }
+
+  test("spearman: monotone gives 1, reversed gives -1, ties averaged") {
+    import org.apache.spark.sql.functions.col
+    // g=up: y = x² (monotone, nonlinear) → ρ = 1 exactly
+    // g=dn: y = −x → ρ = −1 exactly
+    val df = ((1 to 10).map(i => ("up", i, i * i)) ++
+      (1 to 10).map(i => ("dn", i, -i))).toDF("g", "x", "y")
+    val out = Profile.spearman(df, "g", col("x"), col("y"))
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("spearman_rho"))
+      .toMap
+    assert(out("up") == 1.0 && out("dn") == -1.0)
+    // tie handling: x = (1,1,2,2), y = (1,2,3,4) — average ranks on x
+    // give ρ = cor((1.5,1.5,3.5,3.5),(1,2,3,4)) = 2/√5 ≈ 0.8944
+    val ties = Seq(("t", 1, 1), ("t", 1, 2), ("t", 2, 3), ("t", 2, 4))
+      .toDF("g", "x", "y")
+    val rho = Profile.spearman(ties, "g", col("x"), col("y"))
+      .collect().head.getAs[Double]("spearman_rho")
+    assert(rho == 0.8944)
+    // constant side → excluded
+    val const = Seq(("c", 1, 1), ("c", 2, 1)).toDF("g", "x", "y")
+    assert(Profile.spearman(const, "g", col("x"), col("y")).count() == 0)
+  }
 }

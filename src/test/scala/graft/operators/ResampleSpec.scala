@@ -26,4 +26,31 @@ class ResampleSpec extends AnyFunSuite {
     assert(got((2L, 900L)).isEmpty)
     assert(got.size == 5)
   }
+
+  test("ohlcBars: open/close follow (ts,id) order, not value order") {
+    import java.sql.Timestamp
+    def ts(sec: Long) = new Timestamp(sec * 1000L)
+    val hourUs = 3600000000L
+    // one bucket: values 5 (t=0), 9 (t=1), 2 (t=2), 7 (t=3)
+    // second bucket (hour 2): single event 4
+    val df = Seq(
+      (1L, 1L, ts(0), 5.0), (1L, 2L, ts(1), 9.0),
+      (1L, 3L, ts(2), 2.0), (1L, 4L, ts(3), 7.0),
+      (1L, 5L, ts(7200), 4.0))
+      .toDF("user_id", "event_id", "ts", "value")
+    val out = Resample.ohlcBars(df, "user_id", "ts", "event_id", "value",
+      bucketUs = hourUs).orderBy("bucket").collect()
+    assert(out.length == 2)
+    val b0 = out.head
+    assert(b0.getAs[Double]("open") == 5.0 && b0.getAs[Double]("close") == 7.0)
+    assert(b0.getAs[Double]("high") == 9.0 && b0.getAs[Double]("low") == 2.0)
+    assert(b0.getAs[Long]("n_events") == 4L)
+    assert(b0.getAs[Double]("total") == 23.0)
+    // same-timestamp events fall back to the id tie-break
+    val tie = Seq((1L, 2L, ts(0), 8.0), (1L, 1L, ts(0), 3.0))
+      .toDF("user_id", "event_id", "ts", "value")
+    val t0 = Resample.ohlcBars(tie, "user_id", "ts", "event_id", "value",
+      bucketUs = hourUs).collect().head
+    assert(t0.getAs[Double]("open") == 3.0 && t0.getAs[Double]("close") == 8.0)
+  }
 }

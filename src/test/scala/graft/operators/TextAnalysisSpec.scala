@@ -485,4 +485,18 @@ class TextAnalysisSpec extends AnyFunSuite {
     // disjoint pairs are absent, not zero rows
     assert(out.keySet == Set(("a", "b")))
   }
+
+  test("jsDivergence: identical distributions give 0, disjoint give ln 2") {
+    val same = Seq(("a", "x y z"), ("b", "x y z")).toDF("source", "text")
+    val r0 = TextAnalysis.jsDivergence(same, "source", "text")
+      .collect().head
+    assert(r0.getAs[Long]("n_shared_tokens") == 3L)
+    assert(r0.getAs[Double]("js_divergence") == 0.0)
+    // fully disjoint vocabularies: JS = ln 2 ≈ 0.6931 (the upper bound)
+    val disj = Seq(("a", "x x y"), ("b", "u v w")).toDF("source", "text")
+    val r1 = TextAnalysis.jsDivergence(disj, "source", "text")
+      .collect().head
+    assert(r1.getAs[Long]("n_shared_tokens") == 0L)
+    assert(r1.getAs[Double]("js_divergence") == 0.6931)
+  }
 }
