@@ -2084,6 +2084,30 @@ object SparkEntry {
       graft.operators.TextAnalysis.jsDivergence(t(s, d, "documents"),
         "source", "text")),
 
+    // Seasonal-baseline anomaly census: top-20 events by |value −
+    // (weekday, hour)-bucket mean|, pure-integer calendar buckets
+    "q221_seasonal_deviation" -> ((s, d) =>
+      graft.operators.Outliers.seasonalDeviation(Tables.events(s, d),
+        "ts", "event_id", "value")),
+
+    // In-row phrase search: occurrences of "order fast" as consecutive
+    // tokens, no explode/self-join — narrow scan + top-k
+    "q222_phrase_search" -> ((s, d) =>
+      graft.operators.TextAnalysis.phraseSearch(t(s, d, "documents"),
+        "doc_id", "text", Seq("order", "fast"))),
+
+    // Holt linear smoothing per user: level+trend recursion (α=.5,
+    // β=.25 dyadic blends), final state + one-step forecast
+    "q223_holt_linear" -> ((s, d) =>
+      graft.operators.EventAnalytics.holtLinear(Tables.events(s, d),
+        "user_id", "ts", "event_id", "value")),
+
+    // Key-skew audit on event_type: top-5 heavy keys + max/mean skew
+    // factor — the pre-flight check for the salted-join family
+    "q224_key_skew" -> ((s, d) =>
+      graft.operators.SkewJoin.keySkewAudit(Tables.events(s, d),
+        "event_type")),
+
     // Windowed funnel: view→click→purchase where each step lands within
     // 24h of the previous completion (the realistic conversion window)
     "q174_windowed_funnel" -> ((s, d) => {
@@ -5633,6 +5657,70 @@ object SparkEntry {
          |    AS js_divergence
          |FROM ap LEFT JOIN ag ON ag.g1 = ap.g1 AND ag.g2 = ap.g2"""
         .stripMargin,
+
+    // Seasonal-deviation replay: identical integer calendar buckets,
+    // DECIMAL-exact bucket means, |raw dev| ordering with id tie-break
+    "q221_seasonal_deviation" ->
+      """WITH e AS (SELECT epoch_us(ts) AS us, event_id AS id,
+        |    value::DOUBLE AS v FROM events WHERE value IS NOT NULL),
+        |b AS (SELECT ((us // 86400000000) + 4) % 7 AS wd,
+        |    (us // 3600000000) % 24 AS hr, id, v FROM e),
+        |m AS (SELECT wd, hr,
+        |    (sum(v::DECIMAL(18,6))::DECIMAL(18,6))::DOUBLE
+        |      / count(*)::DOUBLE AS mu
+        |  FROM b GROUP BY wd, hr)
+        |SELECT b.id AS event_id, b.wd AS weekday, b.hr AS hour,
+        |  b.v AS value, round(m.mu, 4) AS bucket_mean,
+        |  round(b.v - m.mu, 4) AS deviation
+        |FROM b JOIN m USING (wd, hr)
+        |ORDER BY abs(b.v - m.mu) DESC, b.id LIMIT 20""".stripMargin,
+
+    // Phrase-search replay: same 1-based in-list adjacency predicate
+    "q222_phrase_search" ->
+      s"""WITH tk AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+         |c AS (SELECT doc_id,
+         |    len(list_filter(generate_series(1, len(toks) - 1),
+         |      i -> toks[i] = 'order' AND toks[i + 1] = 'fast'))::BIGINT
+         |      AS n_occurrences
+         |  FROM tk WHERE len(toks) >= 2)
+         |SELECT doc_id, n_occurrences FROM c WHERE n_occurrences > 0
+         |ORDER BY n_occurrences DESC, doc_id LIMIT 20""".stripMargin,
+
+    // Holt replay: recursive CTE with the same dyadic blend literals
+    // and op order (level expression repeated inside the trend blend)
+    "q223_holt_linear" ->
+      """WITH RECURSIVE e AS (SELECT user_id AS k, epoch_us(ts) AS us,
+        |    event_id AS id, value::DOUBLE AS v FROM events
+        |  WHERE value IS NOT NULL),
+        |o AS (SELECT k, v,
+        |    row_number() OVER (PARTITION BY k ORDER BY us, id) AS rn
+        |  FROM e),
+        |st AS (SELECT k, count(*)::BIGINT AS n FROM e GROUP BY k),
+        |r AS (SELECT k, rn, v AS l, 0.0::DOUBLE AS b FROM o WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.k, o.rn,
+        |    0.5::DOUBLE * o.v + 0.5::DOUBLE * (r.l + r.b),
+        |    0.25::DOUBLE * ((0.5::DOUBLE * o.v + 0.5::DOUBLE * (r.l + r.b))
+        |      - r.l) + 0.75::DOUBLE * r.b
+        |  FROM r JOIN o ON o.k = r.k AND o.rn = r.rn + 1)
+        |SELECT st.k AS user_id, st.n AS n_events, round(r.l, 4) AS level,
+        |  round(r.b, 4) AS trend, round(r.l + r.b, 4) AS forecast
+        |FROM r JOIN st ON st.k = r.k AND r.rn = st.n""".stripMargin,
+
+    // Key-skew replay: exact per-key counts, same (count DESC, key)
+    // rank and single-divide share/factor
+    "q224_key_skew" ->
+      """WITH c AS (SELECT event_type AS k, count(*)::BIGINT AS c
+        |  FROM events GROUP BY event_type),
+        |st AS (SELECT count(*)::BIGINT AS n_keys, sum(c)::BIGINT AS total,
+        |    max(c)::BIGINT AS max_c FROM c),
+        |t AS (SELECT k, c, row_number() OVER (ORDER BY c DESC, k) AS rank
+        |  FROM c)
+        |SELECT t.rank, t.k AS event_type, t.c AS n_rows,
+        |  round(t.c::DOUBLE / st.total::DOUBLE, 4) AS share,
+        |  round(st.max_c::DOUBLE * st.n_keys::DOUBLE / st.total::DOUBLE, 4)
+        |    AS skew_factor
+        |FROM t CROSS JOIN st WHERE t.rank <= 5""".stripMargin,
 
     // KM replay: same duration frame; recursive CTE carries (consumed,
     // product) — identical risk-set subtraction and multiply order

@@ -842,6 +842,47 @@ object EventAnalytics {
       .select(outCols: _*)
   }
 
+  /** Holt linear (double) exponential smoothing per key — the q156
+    * EWMA's trend-aware sibling: level lₜ = α·xₜ + (1−α)(lₜ₋₁+bₜ₋₁),
+    * trend bₜ = β(lₜ−lₜ₋₁) + (1−β)bₜ₋₁, initialized l₁ = x₁, b₁ = 0.
+    * Emits each key's final level, trend, and one-step forecast l+b.
+    *
+    * Bit-exact raw doubles: the recursion is one fixed IEEE op
+    * sequence over the (µs, id)-ordered series, replayed by the
+    * oracle's recursive CTE with the SAME shortest-repr α/β/(1−α)/(1−β)
+    * literals (the defaults 0.5/0.25 make every blend dyadic-exact);
+    * 4dp display round. One shuffle; per-key state is the key's own
+    * history (the standing sequential-op caveat).
+    */
+  def holtLinear(events: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, valueCol: String, alpha: Double = 0.5,
+      beta: Double = 0.25): DataFrame = {
+    val e = events.filter(col(valueCol).isNotNull)
+      .select(col(keyCol).as("k"), unix_micros(col(tsCol)).as("us"),
+        col(idCol).as("id"), col(valueCol).cast("double").as("v"))
+    val sorted = e.groupBy(col("k"))
+      .agg(count(lit(1)).as("n_events"),
+        array_sort(collect_list(struct(col("us"), col("id"), col("v"))))
+          .as("__ev"))
+    val zero = struct(lit(0.0).as("l"), lit(0.0).as("b"), lit(0).as("i"))
+    val folded = aggregate(col("__ev"), zero, (acc, ev) => {
+      val x = ev.getField("v")
+      val lPrev = acc.getField("l")
+      val bPrev = acc.getField("b")
+      val first = acc.getField("i") === 0
+      val lNew = when(first, x)
+        .otherwise(lit(alpha) * x + lit(1 - alpha) * (lPrev + bPrev))
+      val bNew = when(first, lit(0.0))
+        .otherwise(lit(beta) * (lNew - lPrev) + lit(1 - beta) * bPrev)
+      struct(lNew.as("l"), bNew.as("b"), (acc.getField("i") + 1).as("i"))
+    })
+    sorted.select(col("k").as(keyCol), col("n_events"), folded.as("__r"))
+      .select(col(keyCol), col("n_events"),
+        round(col("__r.l"), 4).as("level"),
+        round(col("__r.b"), 4).as("trend"),
+        round(col("__r.l") + col("__r.b"), 4).as("forecast"))
+  }
+
   /** Time-weighted average of `valueCol` per key (TWAP): each value
     * holds from its event until the next one, so the average weights
     * every observation by its holding interval — the standard answer

@@ -175,4 +175,41 @@ object Outliers {
       .select(col("g").as(groupCol), col("__W").as("total_weight"),
         col("v").as("weighted_median"))
   }
+
+  /** Seasonal-baseline deviation census: each event's value against the
+    * mean of its (weekday, hour-of-day) bucket — the first-line "is
+    * this value weird FOR A TUESDAY 3PM?" anomaly screen that a global
+    * mean can't answer. Returns the top-k events by absolute deviation.
+    *
+    * Determinism: weekday/hour come from pure epoch-µs integer
+    * arithmetic ((days+4) mod 7 — no engine dayofweek() convention
+    * enters); bucket means are exact-DECIMAL sums with one divide, so
+    * each deviation v − µ is the same double in both engines and the
+    * (|dev| DESC, id) rank is a total order. 4dp display only.
+    *
+    * Scale: one partial-agg shuffle to 168 bucket means, broadcast
+    * back over a narrow scan, TakeOrderedAndProject top-k — no window,
+    * no global sort.
+    */
+  def seasonalDeviation(events: DataFrame, tsCol: String, idCol: String,
+      valueCol: String, k: Int = 20): DataFrame = {
+    val dayUs = 86400000000L
+    val hourUs = 3600000000L
+    val e = events.filter(col(valueCol).isNotNull)
+      .select(unix_micros(col(tsCol)).as("us"), col(idCol).as("id"),
+        col(valueCol).cast("double").as("v"))
+      .withColumn("wd", expr(s"((us div ${dayUs}L) + 4) % 7"))
+      .withColumn("hr", expr(s"(us div ${hourUs}L) % 24"))
+    val base = e.groupBy(col("wd"), col("hr"))
+      .agg((sum(col("v").cast("decimal(18,6)")).cast("decimal(18,6)")
+        .cast("double") / count(lit(1)).cast("double")).as("__mu"))
+    e.join(broadcast(base), Seq("wd", "hr"))
+      .withColumn("__dev", col("v") - col("__mu"))
+      .orderBy(abs(col("__dev")).desc, col("id"))
+      .limit(k)
+      .select(col("id").as(idCol), col("wd").as("weekday"),
+        col("hr").as("hour"), col("v").as("value"),
+        round(col("__mu"), 4).as("bucket_mean"),
+        round(col("__dev"), 4).as("deviation"))
+  }
 }

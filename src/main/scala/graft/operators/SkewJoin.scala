@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Salted join for skewed keys — the manual fallback when AQE's skew-join
@@ -45,4 +46,30 @@ object SkewJoin {
     df.withColumn("__salt", salt(df, saltFactor))
       .groupBy(col(key), col("__salt")).agg(count(lit(1)).as("__partial"))
       .groupBy(col(key)).agg(sum("__partial").as("n"))
+
+  /** Key-skew audit: the diagnostic that tells you whether THIS join/
+    * aggregation key needs [[saltedEquiJoin]] at all — top-k heaviest
+    * keys with their row share, plus the corpus skew factor
+    * max(count)/mean(count) (1.0 = perfectly uniform; a rule of thumb
+    * says salt above ~4-8). All counts exact; shares and the factor are
+    * single divides from exact integers, 4dp.
+    *
+    * Scale: one partial-agg shuffle to per-key counts (map-side
+    * combine makes even the hot key cheap — counts, not rows, move),
+    * TakeOrderedAndProject over the key frame, one broadcast stats row.
+    */
+  def keySkewAudit(df: DataFrame, keyCol: String, topK: Int = 5): DataFrame = {
+    val cnt = df.groupBy(col(keyCol).as("k")).agg(count(lit(1)).as("c"))
+    val stats = cnt.agg(count(lit(1)).as("__n_keys"),
+      sum(col("c")).as("__total"), max(col("c")).as("__max_c"))
+    val w = Window.orderBy(col("c").desc, col("k"))
+    val top = cnt.orderBy(col("c").desc, col("k")).limit(topK)
+      .withColumn("rank", row_number().over(w))
+    top.crossJoin(broadcast(stats)).select(
+      col("rank"), col("k").as(keyCol), col("c").as("n_rows"),
+      round(col("c").cast("double") / col("__total").cast("double"), 4)
+        .as("share"),
+      round(col("__max_c").cast("double") * col("__n_keys").cast("double") /
+        col("__total").cast("double"), 4).as("skew_factor"))
+  }
 }

@@ -922,6 +922,39 @@ object TextAnalysis {
           .as("jaccard"))
   }
 
+  /** Exact phrase search without an explode: for each document, the
+    * number of positions where `phrase` occurs as consecutive tokens,
+    * top-k docs by (occurrences DESC, id). The whole match runs INSIDE
+    * the row — a codegen'd filter over the token array's start
+    * positions — so the plan is a narrow scan + TakeOrderedAndProject:
+    * no postings shuffle, no self-join (contrast q159's trigram-index
+    * SUBSTRING search, which must span token boundaries; for whole-
+    * token phrases this single-pass form is strictly cheaper).
+    *
+    * At scale the same predicate runs after a bucketed postings
+    * pre-filter (q112's index) to avoid the full scan; the per-row
+    * kernel is unchanged. 1-based positions on both engines.
+    */
+  def phraseSearch(df: DataFrame, idCol: String, textCol: String,
+      phrase: Seq[String], k: Int = 20): DataFrame = {
+    require(phrase.length >= 2, "phrase needs at least two tokens")
+    val m = phrase.length
+    val staged = df.select(col(idCol).as("id"),
+      tokens(col(textCol)).as("__toks"))
+    val nStarts = (size(col("__toks")) - (m - 1)).cast("int")
+    val occ = when(size(col("__toks")) >= m,
+      size(filter(sequence(lit(1), nStarts),
+        i => phrase.zipWithIndex.map { case (p, j) =>
+          element_at(col("__toks"), i + j) === lit(p)
+        }.reduce(_ && _))).cast("long"))
+      .otherwise(lit(0L))
+    staged.select(col("id"), occ.as("n_occurrences"))
+      .filter(col("n_occurrences") > 0)
+      .orderBy(col("n_occurrences").desc, col("id"))
+      .limit(k)
+      .select(col("id").as(idCol), col("n_occurrences"))
+  }
+
   /** Pairwise Jensen-Shannon divergence between the groups' unigram
     * token distributions — the symmetric, bounded ([0, ln 2]) corpus-
     * drift measure (the q151 KL audit's better-behaved sibling; JS is

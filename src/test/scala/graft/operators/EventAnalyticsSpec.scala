@@ -457,6 +457,26 @@ class EventAnalyticsSpec extends AnyFunSuite {
       "event_id", "value").count() == 0)
   }
 
+  test("holtLinear: constant series keeps level, linear series learns trend") {
+    def ts(sec: Long) = new Timestamp(sec * 1000L)
+    // constant 7: level stays 7, trend stays 0, forecast 7
+    val const = (1 to 10).map(i => (1L, ts(i.toLong), i.toLong, 7.0))
+      .toDF("user_id", "ts", "event_id", "value")
+    val rc = EventAnalytics.holtLinear(const, "user_id", "ts",
+      "event_id", "value").collect().head
+    assert(rc.getAs[Double]("level") == 7.0)
+    assert(rc.getAs[Double]("trend") == 0.0)
+    assert(rc.getAs[Double]("forecast") == 7.0)
+    // x_t = t: the trend estimate must become positive and the forecast
+    // must overshoot the last level (trend-aware, unlike plain EWMA)
+    val lin = (1 to 30).map(i => (1L, ts(i.toLong), i.toLong, i.toDouble))
+      .toDF("user_id", "ts", "event_id", "value")
+    val rl = EventAnalytics.holtLinear(lin, "user_id", "ts",
+      "event_id", "value").collect().head
+    assert(rl.getAs[Double]("trend") > 0.5)
+    assert(rl.getAs[Double]("forecast") > rl.getAs[Double]("level"))
+  }
+
   test("twap: interval weighting beats the naive mean") {
     def ts(sec: Long) = new Timestamp(sec * 1000L)
     // value 100 held for 9s, then 0 for 1s, then end → TWAP = 90;

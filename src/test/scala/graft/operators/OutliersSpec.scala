@@ -125,4 +125,41 @@ class OutliersSpec extends AnyFunSuite {
     // 2*cw >= W first reached at v=1 (2*5 >= 10)
     assert(out("h").getAs[Int]("weighted_median") == 1)
   }
+
+  test("seasonalDeviation: flags the value that is odd for its bucket") {
+    import java.sql.Timestamp
+    // same weekday+hour across weeks: 10,10,10,70 → bucket mean 25;
+    // the 70 deviates +45, each 10 by −15. A different-hour bucket of
+    // all 70s deviates 0 and must not appear in the top-k.
+    def at(week: Int, hourShift: Long, id: Long, v: Double) =
+      (id, new Timestamp((week * 7L * 86400L + hourShift * 3600L) * 1000L), v)
+    val df = (Seq(at(0, 0, 1, 10.0), at(1, 0, 2, 10.0), at(2, 0, 3, 10.0),
+      at(3, 0, 4, 70.0)) ++
+      Seq(at(0, 5, 5, 70.0), at(1, 5, 6, 70.0)))
+      .toDF("event_id", "ts", "value")
+    val out = Outliers.seasonalDeviation(df, "ts", "event_id", "value", k = 3)
+      .collect()
+    assert(out.head.getAs[Long]("event_id") == 4L)
+    assert(out.head.getAs[Double]("deviation") == 45.0)
+    assert(out.head.getAs[Double]("bucket_mean") == 25.0)
+    // next come the −15s in id order (tie-break); the 70-bucket is absent
+    assert(out(1).getAs[Double]("deviation") == -15.0)
+    assert(out(1).getAs[Long]("event_id") == 1L)
+  }
+
+  test("keySkewAudit: skew factor is max over mean") {
+    // keys: a×6, b×2, c×1, d×1 → n_keys=4, total=10, mean=2.5,
+    // skew_factor = 6/2.5 = 2.4
+    val df = (Seq.fill(6)("a") ++ Seq.fill(2)("b") ++ Seq("c", "d"))
+      .zipWithIndex.map { case (k, i) => (k, i) }.toDF("k", "x")
+    val out = SkewJoin.keySkewAudit(df, "k", topK = 3).collect()
+    assert(out.length == 3)
+    assert(out.head.getAs[Int]("rank") == 1)
+    assert(out.head.getAs[String]("k") == "a")
+    assert(out.head.getAs[Long]("n_rows") == 6L)
+    assert(out.head.getAs[Double]("share") == 0.6)
+    assert(out.forall(_.getAs[Double]("skew_factor") == 2.4))
+    // (count DESC, key) tie-break: c before d at equal counts
+    assert(out(2).getAs[String]("k") == "c")
+  }
 }

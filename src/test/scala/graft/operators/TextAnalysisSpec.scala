@@ -486,6 +486,25 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out.keySet == Set(("a", "b")))
   }
 
+  test("phraseSearch: counts consecutive-token occurrences only") {
+    val df = Seq(
+      (1L, "big data is big data is big data"), // 3 occurrences
+      (2L, "data big is big"),                  // adjacency reversed: 0
+      (3L, "big data"),                         // exactly the phrase: 1
+      (4L, "big"),                              // shorter than phrase
+      (5L, "the big data pipeline"))            // mid-sentence: 1
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.phraseSearch(df, "doc_id", "text",
+      Seq("big", "data")).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("n_occurrences")).toMap
+    assert(out == Map(1L -> 3L, 3L -> 1L, 5L -> 1L))
+    // three-token phrase, overlap-free counting
+    val tri = TextAnalysis.phraseSearch(df, "doc_id", "text",
+      Seq("big", "data", "is")).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("n_occurrences")).toMap
+    assert(tri == Map(1L -> 2L))
+  }
+
   test("jsDivergence: identical distributions give 0, disjoint give ln 2") {
     val same = Seq(("a", "x y z"), ("b", "x y z")).toDF("source", "text")
     val r0 = TextAnalysis.jsDivergence(same, "source", "text")
