@@ -2108,6 +2108,39 @@ object SparkEntry {
       graft.operators.SkewJoin.keySkewAudit(Tables.events(s, d),
         "event_type")),
 
+    // Fellegi-Sunter record linkage over nation-blocked customer pairs:
+    // shared (m,u) weights with the oracle (one source of truth)
+    "q225_record_linkage" -> ((s, d) => {
+      val cents = (col("c_acctbal").cast("decimal(12,2)") * 100)
+        .cast("long")
+      val exprs: Seq[Column] = Seq(col("c_mktsegment"),
+        expr("cast(cast(c_acctbal as decimal(12,2)) * 100 as long)" +
+          " div 100000"),
+        cents % 10)
+      graft.operators.Dedup.linkageScores(
+        Tables.customer(s, d), "c_custkey", col("c_nationkey"),
+        linkageFields.zip(exprs).map { case ((n, m, u), e) => (n, e, m, u) },
+        threshold = 3.0)
+    }),
+
+    // Flesch reading ease: integer regex counts, one shared-literal
+    // double formula
+    "q226_readability" -> ((s, d) =>
+      graft.operators.TextAnalysis.readability(t(s, d, "documents"),
+        "doc_id", "text")),
+
+    // Funnel step-latency percentiles: strict-after chain + q161
+    // integer nearest-rank picks over exact µs latencies
+    "q227_funnel_latency" -> ((s, d) =>
+      graft.operators.EventAnalytics.funnelLatencies(Tables.events(s, d),
+        "user_id", "ts", "event_type", Seq("view", "click", "purchase"))),
+
+    // DAU/MAU stickiness via coverage islands — no 28× explode, all
+    // integers until the final ratio
+    "q228_dau_mau" -> ((s, d) =>
+      graft.operators.EventAnalytics.dauMauStickiness(Tables.events(s, d),
+        "user_id", "ts")),
+
     // Windowed funnel: view→click→purchase where each step lands within
     // 24h of the previous completion (the realistic conversion window)
     "q174_windowed_funnel" -> ((s, d) => {
@@ -2633,6 +2666,47 @@ object SparkEntry {
 
   private val tokensSql =
     "list_filter(string_split_regex(lower(text), '\\s+'), tk -> tk <> '')"
+
+  /** q225's field spec — (name, m, u) — shared by the Spark plan and
+    * the oracle so both engines sum the SAME log-likelihood weight
+    * doubles (the langIdOracleSql one-source-of-truth stance).
+    */
+  private val linkageFields = Seq(
+    ("segment", 0.9, 0.2), ("acctbal_k", 0.85, 0.1), ("cent_digit", 0.7, 0.1))
+
+  /** q225 replayed: same blocked pairs, null-safe field agreement, and
+    * weight literals interpolated from the SAME Scala constants
+    * (shortest round-trip repr → identical doubles).
+    */
+  private def linkageOracleSql: String = {
+    def ds(x: Double) = java.lang.Double.toString(x)
+    val fieldSql = Seq(
+      "c_mktsegment",
+      "((c_acctbal::DECIMAL(12,2) * 100)::BIGINT) // 100000",
+      "((c_acctbal::DECIMAL(12,2) * 100)::BIGINT) % 10")
+    val defs = fieldSql.zipWithIndex
+      .map { case (f, i) => s"$f AS f$i" }.mkString(",\n    ")
+    val agree = linkageFields.indices.map(i =>
+      s"CASE WHEN a.f$i IS NOT DISTINCT FROM b.f$i THEN 1 ELSE 0 END")
+      .mkString("\n     + ")
+    val scoreTerms = linkageFields.zipWithIndex.map { case ((_, m, u), i) =>
+      s"CASE WHEN a.f$i IS NOT DISTINCT FROM b.f$i THEN" +
+        s" (${ds(math.log(m / u))})::DOUBLE ELSE" +
+        s" (${ds(math.log((1 - m) / (1 - u)))})::DOUBLE END"
+    }.mkString("\n     + ")
+    s"""WITH c AS (SELECT c_custkey AS id, c_nationkey AS blk,
+       |    $defs
+       |  FROM customer),
+       |p AS (SELECT a.id AS id_a, b.id AS id_b,
+       |    ($agree) AS n_agree,
+       |    ($scoreTerms) AS score
+       |  FROM c a JOIN c b ON a.blk = b.blk AND a.id < b.id),
+       |sel AS (SELECT id_a, id_b, n_agree, score FROM p
+       |  WHERE score >= 3.0::DOUBLE
+       |  ORDER BY score DESC, id_a, id_b LIMIT 50)
+       |SELECT id_a, id_b, n_agree, round(score, 4) AS score
+       |FROM sel""".stripMargin
+  }
 
   /** Shared q110/q112 oracle: BM25 scores from first principles on the
     * documents table. Double literals are interpolated from the SAME
@@ -5657,6 +5731,80 @@ object SparkEntry {
          |    AS js_divergence
          |FROM ap LEFT JOIN ag ON ag.g1 = ap.g1 AND ag.g2 = ap.g2"""
         .stripMargin,
+
+    // Linkage replay: generated from the SAME (m,u) constants
+    "q225_record_linkage" -> linkageOracleSql,
+
+    // Flesch replay: identical integer regex-run counts, shared
+    // formula literals
+    "q226_readability" ->
+      s"""WITH tk AS (SELECT doc_id, $tokensSql AS toks, text
+         |  FROM documents),
+         |c AS (SELECT doc_id, len(toks)::BIGINT AS n_words,
+         |    greatest(1, len(regexp_extract_all(text, '[.!?]+')))::BIGINT
+         |      AS n_sentences,
+         |    list_reduce(list_prepend(0::BIGINT, list_transform(toks,
+         |      t -> greatest(1, len(regexp_extract_all(t, '[aeiouy]+')))
+         |        ::BIGINT)), (a, b) -> a + b) AS n_syllables
+         |  FROM tk)
+         |SELECT doc_id, n_words, n_sentences, n_syllables,
+         |  round(206.835::DOUBLE
+         |    - 1.015::DOUBLE * (n_words::DOUBLE / n_sentences::DOUBLE)
+         |    - 84.6::DOUBLE * (n_syllables::DOUBLE / n_words::DOUBLE), 4)
+         |    AS flesch
+         |FROM c WHERE n_words > 0""".stripMargin,
+
+    // Funnel-latency replay: q174 strict-after chain (unbounded) +
+    // q161 integer nearest-rank percentile picks
+    "q227_funnel_latency" ->
+      """WITH e AS (SELECT user_id AS u, event_type AS t, epoch_us(ts)
+        |    AS us FROM events),
+        |s1 AS (SELECT u, min(us) AS t1 FROM e WHERE t = 'view' GROUP BY u),
+        |s2 AS (SELECT e.u, s1.t1, min(us) AS t2 FROM e
+        |  JOIN s1 ON e.u = s1.u WHERE t = 'click' AND us > t1
+        |  GROUP BY e.u, s1.t1),
+        |s3 AS (SELECT e.u, s2.t2, min(us) AS t3 FROM e
+        |  JOIN s2 ON e.u = s2.u WHERE t = 'purchase' AND us > t2
+        |  GROUP BY e.u, s2.t2),
+        |lat AS (SELECT 2 AS step, (t2 - t1)::BIGINT AS v FROM s2
+        |  UNION ALL SELECT 3, (t3 - t2)::BIGINT FROM s3),
+        |r AS (SELECT step, v,
+        |    row_number() OVER (PARTITION BY step ORDER BY v) AS rn,
+        |    count(*) OVER (PARTITION BY step) AS n FROM lat)
+        |SELECT step, max(n)::BIGINT AS n,
+        |  max(CASE WHEN rn = (50 * n + 99) // 100 THEN v END)::BIGINT
+        |    AS p50,
+        |  max(CASE WHEN rn = (90 * n + 99) // 100 THEN v END)::BIGINT
+        |    AS p90,
+        |  max(CASE WHEN rn = (99 * n + 99) // 100 THEN v END)::BIGINT
+        |    AS p99
+        |FROM r GROUP BY step""".stripMargin,
+
+    // DAU/MAU replay: same coverage islands, ±1 boundary deltas, and
+    // integer running sums — no FP anywhere until the final ratio
+    "q228_dau_mau" ->
+      """WITH ud AS (SELECT DISTINCT user_id AS u,
+        |    epoch_us(ts) // 86400000000 AS d FROM events),
+        |l AS (SELECT u, d, lag(d) OVER (PARTITION BY u ORDER BY d) AS p
+        |  FROM ud),
+        |i AS (SELECT u, d,
+        |    sum(CASE WHEN p IS NULL OR d - p > 27 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY u ORDER BY d
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+        |  FROM l),
+        |sp AS (SELECT u, isl, min(d) AS s, max(d) + 27 AS e FROM i
+        |  GROUP BY u, isl),
+        |dl AS (SELECT s AS d, 1 AS delta FROM sp
+        |  UNION ALL SELECT e + 1, -1 FROM sp
+        |  UNION ALL SELECT DISTINCT d, 0 FROM ud),
+        |cv AS (SELECT d, sum(delta)::BIGINT AS dl FROM dl GROUP BY d),
+        |m AS (SELECT d, sum(dl) OVER (ORDER BY d
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+        |    AS mau FROM cv),
+        |da AS (SELECT d, count(*)::BIGINT AS dau FROM ud GROUP BY d)
+        |SELECT da.d AS day, da.dau, m.mau,
+        |  round(da.dau::DOUBLE / m.mau::DOUBLE, 4) AS stickiness
+        |FROM da JOIN m ON m.d = da.d""".stripMargin,
 
     // Seasonal-deviation replay: identical integer calendar buckets,
     // DECIMAL-exact bucket means, |raw dev| ordering with id tie-break

@@ -723,4 +723,52 @@ object Dedup {
       .filter(col("jaccard") >= tau)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
+
+  /** Fellegi-Sunter probabilistic record linkage over blocked candidate
+    * pairs: each field f has match/unmatch agreement probabilities
+    * (m_f, u_f); a pair scores Σ_f [agree ? ln(m_f/u_f) :
+    * ln((1−m_f)/(1−u_f))] — the classic log-likelihood-ratio weights
+    * (Fellegi & Sunter, JASA 1969). Pairs share a block key (the
+    * [[blockedSortedNeighborhood]] stance: candidate count is governed
+    * by block sizes, never n²); agreement is null-safe equality on the
+    * caller's derived field expressions. Top-k by (score DESC, id_a,
+    * id_b) above `threshold`.
+    *
+    * Bit-exact: the per-field weights are Scala-side double constants
+    * (shortest-repr-shared with the oracle), and a pair's score is
+    * their fixed-order sum — the same IEEE sequence on both engines.
+    *
+    * @param fields (name, derived-field expression, m, u) per compared
+    *               field; 0 < u < m < 1
+    */
+  def linkageScores(df: DataFrame, idCol: String, blockCol: Column,
+      fields: Seq[(String, Column, Double, Double)], threshold: Double,
+      k: Int = 50): DataFrame = {
+    require(fields.nonEmpty, "linkage needs at least one field")
+    require(fields.forall { case (_, _, m, u) => u > 0 && u < m && m < 1 },
+      "each field needs 0 < u < m < 1")
+    val proj = df.select(
+      Seq(col(idCol).as("id"), blockCol.as("blk")) ++
+        fields.zipWithIndex.map { case ((_, e, _, _), i) => e.as(s"f$i") }: _*)
+    val a = proj.columns.foldLeft(proj)((d, c) => d.withColumnRenamed(c, s"a_$c"))
+    val b = proj.columns.foldLeft(proj)((d, c) => d.withColumnRenamed(c, s"b_$c"))
+    val pairs = a.join(b,
+      col("a_blk") === col("b_blk") && col("a_id") < col("b_id"))
+    val agreeFlags = fields.indices.map(i =>
+      col(s"a_f$i") <=> col(s"b_f$i"))
+    val score = fields.zipWithIndex.map { case ((_, _, m, u), i) =>
+      when(agreeFlags(i), lit(math.log(m / u)))
+        .otherwise(lit(math.log((1 - m) / (1 - u))))
+    }.reduce(_ + _)
+    val nAgree = agreeFlags.map(f => when(f, 1).otherwise(0))
+      .reduce(_ + _)
+    pairs
+      .select(col("a_id").as("id_a"), col("b_id").as("id_b"),
+        nAgree.as("n_agree"), score.as("__score"))
+      .filter(col("__score") >= threshold)
+      .orderBy(col("__score").desc, col("id_a"), col("id_b"))
+      .limit(k)
+      .select(col("id_a"), col("id_b"), col("n_agree"),
+        round(col("__score"), 4).as("score"))
+  }
 }

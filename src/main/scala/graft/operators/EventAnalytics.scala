@@ -842,6 +842,79 @@ object EventAnalytics {
       .select(outCols: _*)
   }
 
+  /** Step-latency distribution of an ordered funnel: for each step
+    * i ≥ 2 of the [[funnel]] chain (earliest step-1 event, then the
+    * earliest step-i event STRICTLY after the step-(i−1) completion),
+    * the exact nearest-rank p50/p90/p99 of the per-user latency in µs —
+    * the "conversion takes HOW long?" report the count-only funnel
+    * can't answer. Latencies are exact integer µs; percentiles use the
+    * q161 integer nearest-rank pick (rank = ⌈p·n/100⌉ as
+    * (p·n+99) div 100), so no interpolation FP exists at all.
+    */
+  def funnelLatencies(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.length >= 2, "funnel latencies need at least two steps")
+    val us = unix_micros(col(tsCol))
+    val base = events.select(col(userCol).as("u"), col(typeCol).as("t"),
+      us.as("us"))
+    var prev = base.filter(col("t") === steps.head)
+      .groupBy(col("u")).agg(min(col("us")).as("ts1"))
+    val lats = steps.zipWithIndex.drop(1).map { case (st, i) =>
+      val cur = base.filter(col("t") === st)
+        .join(prev, Seq("u"))
+        .filter(col("us") > col(s"ts$i"))
+        .groupBy(col("u"), col(s"ts$i")).agg(min(col("us")).as(s"ts${i + 1}"))
+      val lat = cur.select(lit(i + 1).as("step"),
+        (col(s"ts${i + 1}") - col(s"ts$i")).as("latency_us"))
+      prev = cur.select(col("u"), col(s"ts${i + 1}"))
+      lat
+    }
+    val all = lats.reduce(_ unionAll _)
+    Outliers.groupQuantiles(all, "step", "latency_us", Seq(50, 90, 99))
+  }
+
+  /** DAU/MAU stickiness per active day: distinct daily actives over
+    * distinct 28-day-window actives — the engagement ratio product
+    * dashboards track. MAU avoids any 28× explode or window-distinct:
+    * per user, consecutive active days ≤ 27 apart merge into coverage
+    * islands [first, last+27] (a user is "in MAU at d" iff some active
+    * day lies in [d−27, d]); islands become +1/−1 boundary deltas whose
+    * running sum over the day frame IS the MAU — all exact integers.
+    *
+    * Scale: distinct (user, day) shuffle with map-side partial, a
+    * per-user lag window (bounded by the user's active days), then a
+    * calendar-bounded day frame for the global cumulative — corpus
+    * rows never enter a global window.
+    */
+  def dauMauStickiness(events: DataFrame, userCol: String,
+      tsCol: String): DataFrame = {
+    val dayUs = 86400000000L
+    val ud = events.select(col(userCol).as("u"),
+      expr(s"unix_micros($tsCol) div ${dayUs}L").as("d")).distinct()
+    val w = Window.partitionBy(col("u")).orderBy(col("d"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val isl = ud.withColumn("__p", lag(col("d"), 1).over(w))
+      .withColumn("__new",
+        when(col("__p").isNull || col("d") - col("__p") > 27, 1L)
+          .otherwise(0L))
+      .withColumn("__isl", sum(col("__new")).over(wRun))
+    val spans = isl.groupBy(col("u"), col("__isl"))
+      .agg(min(col("d")).as("__s"), (max(col("d")) + 27).as("__e"))
+    val deltas = spans.select(col("__s").as("d"), lit(1L).as("delta"))
+      .unionAll(spans.select((col("__e") + 1).as("d"), lit(-1L).as("delta")))
+      .unionAll(ud.select(col("d")).distinct()
+        .select(col("d"), lit(0L).as("delta")))
+    val wDay = Window.orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val mau = deltas.groupBy(col("d")).agg(sum(col("delta")).as("__dl"))
+      .withColumn("mau", sum(col("__dl")).over(wDay))
+    val dau = ud.groupBy(col("d")).agg(count(lit(1)).as("dau"))
+    dau.join(mau.select(col("d"), col("mau")), Seq("d"))
+      .select(col("d").as("day"), col("dau"), col("mau"),
+        round(col("dau").cast("double") / col("mau").cast("double"), 4)
+          .as("stickiness"))
+  }
+
   /** Holt linear (double) exponential smoothing per key — the q156
     * EWMA's trend-aware sibling: level lₜ = α·xₜ + (1−α)(lₜ₋₁+bₜ₋₁),
     * trend bₜ = β(lₜ−lₜ₋₁) + (1−β)bₜ₋₁, initialized l₁ = x₁, b₁ = 0.

@@ -922,6 +922,41 @@ object TextAnalysis {
           .as("jaccard"))
   }
 
+  /** Flesch reading-ease per document: 206.835 − 1.015·(words/
+    * sentences) − 84.6·(syllables/words), with syllables approximated
+    * by per-token vowel-group ([aeiouy]+) runs floored at 1 — the
+    * standard regex approximation every readability library ships.
+    * Sentences count [.!?]+ runs, floored at 1 (unpunctuated text is
+    * one sentence).
+    *
+    * Cross-engine exact: all three inputs are INTEGER counts (regex
+    * run counts — Java and RE2 agree on this character-class pattern),
+    * summed order-free; the formula is one fixed double op sequence
+    * over shared literals, 4dp. One narrow codegen pass, no shuffle.
+    */
+  def readability(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val staged = df.select(col(idCol).as("id"),
+      tokens(col(textCol)).as("__toks"), col(textCol).as("__text"))
+    val words = size(col("__toks"))
+    val syllables = aggregate(
+      transform(col("__toks"),
+        t => greatest(lit(1), regexp_count(t, lit("[aeiouy]+")))),
+      lit(0L), (acc, v) => acc + v)
+    val sentences = greatest(lit(1),
+      regexp_count(col("__text"), lit("[.!?]+")))
+    staged
+      .select(col("id"), words.as("n_words"), sentences.as("n_sentences"),
+        syllables.as("n_syllables"))
+      .filter(col("n_words") > 0)
+      .select(col("id").as(idCol), col("n_words"), col("n_sentences"),
+        col("n_syllables"),
+        round(lit(206.835) -
+          lit(1.015) * (col("n_words").cast("double") /
+            col("n_sentences").cast("double")) -
+          lit(84.6) * (col("n_syllables").cast("double") /
+            col("n_words").cast("double")), 4).as("flesch"))
+  }
+
   /** Exact phrase search without an explode: for each document, the
     * number of positions where `phrase` occurs as consecutive tokens,
     * top-k docs by (occurrences DESC, id). The whole match runs INSIDE

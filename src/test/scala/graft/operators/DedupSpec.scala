@@ -314,4 +314,35 @@ class DedupSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((1L, 2L), (2L, 3L), (3L, 4L)))
   }
+
+  test("linkageScores: log-likelihood weights, blocking, null-safe agreement") {
+    import org.apache.spark.sql.functions.col
+    // block A: 1-2 agree on both fields, 1-3 on one, 2-3 on one;
+    // block B: isolated; 4-5 agree on f1 only across nulls (null<=>null)
+    val df = Seq(
+      (1L, "A", "x", Some(10)), (2L, "A", "x", Some(10)),
+      (3L, "A", "y", Some(10)),
+      (4L, "B", "z", None), (5L, "B", "w", None))
+      .toDF("id", "blk", "f1", "f2")
+    val m1 = 0.9; val u1 = 0.1; val m2 = 0.8; val u2 = 0.2
+    val out = Dedup.linkageScores(df, "id", col("blk"),
+      Seq(("s", col("f1"), m1, u1), ("v", col("f2"), m2, u2)),
+      threshold = -100.0, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getAs[Int]("n_agree"), r.getAs[Double]("score"))).toMap
+    def r4(x: Double) = BigDecimal(x).setScale(4,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    val both = r4(math.log(m1 / u1) + math.log(m2 / u2))
+    val f2only = r4(math.log((1 - m1) / (1 - u1)) + math.log(m2 / u2))
+    assert(out((1L, 2L)) == (2, both))
+    assert(out((1L, 3L)) == (1, f2only))
+    assert(out((2L, 3L)) == (1, f2only))
+    // cross-block pair absent; null f2 agrees null-safely
+    assert(!out.contains((1L, 4L)))
+    assert(out((4L, 5L))._1 == 1)
+    // threshold filters
+    assert(Dedup.linkageScores(df, "id", col("blk"),
+      Seq(("s", col("f1"), m1, u1), ("v", col("f2"), m2, u2)),
+      threshold = both - 0.001, k = 10).count() == 1)
+  }
 }

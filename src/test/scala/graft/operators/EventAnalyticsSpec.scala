@@ -457,6 +457,53 @@ class EventAnalyticsSpec extends AnyFunSuite {
       "event_id", "value").count() == 0)
   }
 
+  test("funnelLatencies: per-step nearest-rank percentiles in µs") {
+    // users 1..4 convert view→click with latencies 1h, 2h, 3h, 4h;
+    // only user 1 reaches purchase (+30min)
+    val df = ev(
+      (1L, 1L, 0, "view"), (1L, 2L, 1, "click"),
+      (2L, 3L, 0, "view"), (2L, 4L, 2, "click"),
+      (3L, 5L, 0, "view"), (3L, 6L, 3, "click"),
+      (4L, 7L, 0, "view"), (4L, 8L, 4, "click"),
+      (1L, 9L, 2, "purchase"))
+    val out = EventAnalytics.funnelLatencies(df, "user_id", "ts",
+      "event_type", Seq("view", "click", "purchase"))
+      .collect().map(r => r.getAs[Int]("step") -> r).toMap
+    val h = 3600000000L
+    val s2 = out(2)
+    assert(s2.getAs[Long]("n") == 4L)
+    // nearest-rank: p50 → rank ⌈0.5·4⌉ = 2 → 2h; p90/p99 → rank 4 → 4h
+    assert(s2.getAs[Long]("p50") == 2 * h)
+    assert(s2.getAs[Long]("p90") == 4 * h)
+    assert(s2.getAs[Long]("p99") == 4 * h)
+    val s3 = out(3)
+    assert(s3.getAs[Long]("n") == 1L && s3.getAs[Long]("p50") == h)
+  }
+
+  test("dauMauStickiness: island coverage equals brute-force 28-day MAU") {
+    def day(d: Int, u: Long, id: Long) =
+      (u, id, new Timestamp(d.toLong * 86400L * 1000L))
+    // u1 active days 0, 10, 50 (gap 40 splits islands);
+    // u2 active days 0, 30; u3 active day 50 only
+    val df = Seq(day(0, 1, 1), day(10, 1, 2), day(50, 1, 3),
+      day(0, 2, 4), day(30, 2, 5), day(50, 3, 6))
+      .toDF("user_id", "event_id", "ts")
+    val out = EventAnalytics.dauMauStickiness(df, "user_id", "ts")
+      .collect().map(r => r.getAs[Long]("day") ->
+        (r.getAs[Long]("dau"), r.getAs[Long]("mau"))).toMap
+    // brute force: MAU(d) = users with an active day in [d−27, d]
+    assert(out(0L) == (2L, 2L))   // u1, u2
+    assert(out(10L) == (1L, 2L))  // active: u1; in-window: u1(d0/10), u2(d0)
+    assert(out(30L) == (1L, 2L))  // u2 active; u1's d10 in [3,30]; u2 ✓
+    assert(out(50L) == (2L, 3L))  // u1,u3 active; u2's d30 in [23,50]
+    val s50 = 2.0 / 3.0
+    // stickiness is the rounded ratio
+    val row50 = EventAnalytics.dauMauStickiness(df, "user_id", "ts")
+      .filter(org.apache.spark.sql.functions.col("day") === 50)
+      .collect().head
+    assert(math.abs(row50.getAs[Double]("stickiness") - s50) < 1e-4)
+  }
+
   test("holtLinear: constant series keeps level, linear series learns trend") {
     def ts(sec: Long) = new Timestamp(sec * 1000L)
     // constant 7: level stays 7, trend stays 0, forecast 7

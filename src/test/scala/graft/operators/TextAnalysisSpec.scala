@@ -505,6 +505,27 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(tri == Map(1L -> 2L))
   }
 
+  test("readability: integer counts and the Flesch formula") {
+    val df = Seq(
+      (1L, "the cat sat. the dog ran!"),  // 6 words, 2 sentences, 6 syl
+      (2L, "rhythm myths"),               // y-vowels: 2 words, 1 sent, 2 syl
+      (3L, ""))                           // empty: excluded
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.readability(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(!out.contains(3L))
+    val r1 = out(1L)
+    assert(r1.getAs[Int]("n_words") == 6)
+    assert(r1.getAs[Int]("n_sentences") == 2)
+    assert(r1.getAs[Long]("n_syllables") == 6L)
+    // 206.835 − 1.015·3 − 84.6·1 = 119.19
+    assert(r1.getAs[Double]("flesch") == 119.19)
+    val r2 = out(2L)
+    // "rhythm" → one [aeiouy]+ run (y), "myths" → one
+    assert(r2.getAs[Long]("n_syllables") == 2L)
+    assert(r2.getAs[Int]("n_sentences") == 1)
+  }
+
   test("jsDivergence: identical distributions give 0, disjoint give ln 2") {
     val same = Seq(("a", "x y z"), ("b", "x y z")).toDF("source", "text")
     val r0 = TextAnalysis.jsDivergence(same, "source", "text")
