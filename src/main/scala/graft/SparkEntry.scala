@@ -2141,6 +2141,36 @@ object SparkEntry {
       graft.operators.EventAnalytics.dauMauStickiness(Tables.events(s, d),
         "user_id", "ts")),
 
+    // U-shaped multi-touch attribution: 40/20/40 credits as exact
+    // integer fractions, per-channel ordered folds
+    "q229_position_attribution" -> ((s, d) =>
+      graft.operators.EventAnalytics.positionAttribution(Tables.events(s, d),
+        "user_id", "ts", "event_id", "event_type", "purchase")),
+
+    // Recency-decayed activity: dyadic weekly half-life (bit-shift
+    // weights — no libm pow), ordered folds
+    "q230_half_life" -> ((s, d) =>
+      graft.operators.EventAnalytics.halfLifeScore(Tables.events(s, d),
+        "user_id", "ts", "event_id", "value")),
+
+    // Triangle counts over the co-purchase part graph (parts sharing an
+    // order): oriented edge-join, exact integer corner counts
+    "q231_triangles" -> ((s, d) => {
+      val op = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val edges = op.join(op.withColumnRenamed("p", "p2"), Seq("o"))
+        .filter(col("p") < col("p2"))
+        .select(col("p").as("src"), col("p2").as("dst"))
+      graft.operators.Graph.triangleCounts(edges, "src", "dst")
+        .withColumnRenamed("node", "part")
+    }),
+
+    // Top-10 session event-type paths (30-min gap, 8-step cap)
+    "q232_session_paths" -> ((s, d) =>
+      graft.operators.EventAnalytics.sessionPaths(Tables.events(s, d),
+        "user_id", "ts", "event_id", "event_type", gapUs = 1800000000L)),
+
     // Windowed funnel: view→click→purchase where each step lands within
     // 24h of the previous completion (the realistic conversion window)
     "q174_windowed_funnel" -> ((s, d) => {
@@ -5734,6 +5764,94 @@ object SparkEntry {
 
     // Linkage replay: generated from the SAME (m,u) constants
     "q225_record_linkage" -> linkageOracleSql,
+
+    // Attribution replay: same integer credit scheme, per-channel
+    // (purchase, position)-ordered share folds, anti-joined directs
+    "q229_position_attribution" ->
+      """WITH ev AS (SELECT user_id AS u, event_type AS t,
+        |    epoch_us(ts) AS us, event_id AS id FROM events),
+        |pur AS (SELECT u, id AS pid, us AS pt FROM ev
+        |  WHERE t = 'purchase'),
+        |tch AS (SELECT u, t AS ch, us AS tus, id AS tid FROM ev
+        |  WHERE t <> 'purchase'),
+        |j AS (SELECT pur.pid, tch.ch, tch.tus, tch.tid
+        |  FROM pur JOIN tch ON tch.u = pur.u AND tch.tus < pur.pt),
+        |c AS (SELECT pid, ch,
+        |    row_number() OVER (PARTITION BY pid ORDER BY tus, tid) AS pos,
+        |    count(*) OVER (PARTITION BY pid) AS n
+        |  FROM j),
+        |f AS (SELECT pid, ch, pos,
+        |    (CASE WHEN n <= 2 THEN 1
+        |      WHEN pos = 1 OR pos = n THEN 2 * (n - 2)
+        |      ELSE 1 END)::DOUBLE
+        |    / (CASE WHEN n = 1 THEN 1 WHEN n = 2 THEN 2
+        |      ELSE 5 * (n - 2) END)::DOUBLE AS frac
+        |  FROM c),
+        |ag AS (SELECT ch AS channel, count(*)::BIGINT AS n_touches,
+        |    list_reduce(list_prepend(0.0, list(frac ORDER BY pid, pos)),
+        |      (a, b) -> a + b) AS attr
+        |  FROM f GROUP BY ch),
+        |dr AS (SELECT 'direct' AS channel, count(*)::BIGINT AS n_touches,
+        |    count(*)::DOUBLE AS attr
+        |  FROM pur WHERE pid NOT IN (SELECT DISTINCT pid FROM j))
+        |SELECT channel, n_touches, round(attr, 4)
+        |    AS attributed_conversions
+        |FROM (SELECT * FROM ag UNION ALL
+        |      SELECT * FROM dr WHERE n_touches > 0)""".stripMargin,
+
+    // Half-life replay: the SAME exact scale-20 dyadic weight literals,
+    // pure decimal sums, full-scale string emit (q01 stance)
+    "q230_half_life" -> {
+      val ws = graft.operators.EventAnalytics.halfLifeWeights
+        .map(_.toPlainString).mkString("[", ", ", "]")
+      s"""WITH e AS (SELECT user_id AS k, epoch_us(ts) AS us,
+         |    event_id AS id, value::DECIMAL(12,2) AS v FROM events
+         |  WHERE value IS NOT NULL),
+         |mx AS (SELECT max(us) AS ref FROM e),
+         |w AS (SELECT k, v,
+         |    ($ws::DECIMAL(21,20)[])[
+         |      (least(20, (mx.ref - us) // 604800000000) + 1)::INT] AS w
+         |  FROM e CROSS JOIN mx)
+         |SELECT k AS user_id, count(*)::BIGINT AS n_events,
+         |  sum(w)::DECIMAL(38,20)::VARCHAR AS decayed_count,
+         |  sum(v * w)::DECIMAL(38,22)::VARCHAR AS decayed_value
+         |FROM w GROUP BY k""".stripMargin
+    },
+
+    // Triangle replay: same a<b<c oriented join over the distinct
+    // co-purchase edge set
+    "q231_triangles" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |  FROM lineitem),
+        |e AS (SELECT DISTINCT a.p AS s, b.p AS t FROM op a
+        |  JOIN op b ON a.o = b.o AND a.p < b.p),
+        |tri AS (SELECT e1.s AS a, e1.t AS b, e2.t AS c
+        |  FROM e e1 JOIN e e2 ON e2.s = e1.t
+        |  JOIN e e3 ON e3.s = e1.s AND e3.t = e2.t),
+        |nodes AS (SELECT a AS n FROM tri UNION ALL SELECT b FROM tri
+        |  UNION ALL SELECT c FROM tri)
+        |SELECT n AS part, count(*)::BIGINT AS n_triangles FROM nodes
+        |GROUP BY n ORDER BY n_triangles DESC, n LIMIT 20""".stripMargin,
+
+    // Session-path replay: q47 session rule, (µs, id)-ordered 8-step
+    // path strings
+    "q232_session_paths" ->
+      """WITH e AS (SELECT user_id AS u, event_type AS t, epoch_us(ts)
+        |    AS us, event_id AS id FROM events),
+        |b AS (SELECT u, t, us, id,
+        |    CASE WHEN lag(us) OVER w IS NULL
+        |      OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS nb
+        |  FROM e WINDOW w AS (PARTITION BY u ORDER BY us)),
+        |s AS (SELECT u, t, us, id,
+        |    CAST(sum(nb) OVER (PARTITION BY u ORDER BY us
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS sid
+        |  FROM b),
+        |p AS (SELECT u, sid,
+        |    array_to_string(list(t ORDER BY us, id)[1:8], '→') AS path
+        |  FROM s GROUP BY u, sid)
+        |SELECT path, count(*)::BIGINT AS n_sessions FROM p
+        |GROUP BY path ORDER BY n_sessions DESC, path LIMIT 10""".stripMargin,
 
     // Flesch replay: identical integer regex-run counts, shared
     // formula literals

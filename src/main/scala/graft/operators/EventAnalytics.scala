@@ -842,6 +842,126 @@ object EventAnalytics {
       .select(outCols: _*)
   }
 
+  /** Position-based (U-shaped) multi-touch attribution: each purchase
+    * distributes one conversion across its preceding touch path —
+    * 40% to the first touch, 40% to the last, 20% split over the
+    * middles (n=2 → 50/50, n=1 → 100%, n=0 → "direct") — the
+    * fairer-than-last-touch model q179 upgrades to.
+    *
+    * Credits are EXACT integer fractions (scaled ×5(n−2): first/last
+    * 2(n−2), middles 1 — denominators never touch FP); each touch's
+    * share is one exact-operand divide, and the per-channel Σ folds in
+    * (purchase, position) order (the q-standard ordered fold), 4dp.
+    *
+    * Scale: the touch join is per-user purchases × prior events — the
+    * q201 bounded-activity caveat; the fold list is per-channel touch
+    * rows (conversion-bounded).
+    */
+  def positionAttribution(events: DataFrame, userCol: String,
+      tsCol: String, idCol: String, typeCol: String,
+      conversionType: String): DataFrame = {
+    val ev = events.select(col(userCol).as("u"), col(typeCol).as("t"),
+      unix_micros(col(tsCol)).as("us"), col(idCol).as("id"))
+    val purchases = ev.filter(col("t") === conversionType)
+      .select(col("u"), col("id").as("pid"), col("us").as("pt"))
+    val touches = ev.filter(col("t") =!= conversionType)
+      .select(col("u"), col("t").as("ch"), col("us").as("tus"),
+        col("id").as("tid"))
+    val joined = purchases.join(touches, Seq("u"))
+      .filter(col("tus") < col("pt"))
+    val wP = Window.partitionBy(col("pid")).orderBy(col("tus"), col("tid"))
+    val wN = Window.partitionBy(col("pid"))
+    val credited = joined
+      .withColumn("pos", row_number().over(wP))
+      .withColumn("n", count(lit(1)).over(wN))
+      .withColumn("__c",
+        when(col("n") <= 2, lit(1L))
+          .when(col("pos") === 1 || col("pos") === col("n"),
+            lit(2L) * (col("n") - 2))
+          .otherwise(lit(1L)))
+      .withColumn("__tot",
+        when(col("n") === 1, lit(1L)).when(col("n") === 2, lit(2L))
+          .otherwise(lit(5L) * (col("n") - 2)))
+      .withColumn("__frac",
+        col("__c").cast("double") / col("__tot").cast("double"))
+    val touched = credited.groupBy(col("ch"))
+      .agg(count(lit(1)).as("n_touches"),
+        aggregate(
+          transform(array_sort(collect_list(
+            struct(col("pid"), col("pos"), col("__frac")))),
+            s => s.getField("__frac")),
+          lit(0.0), (acc, v) => acc + v).as("__attr"))
+    val direct = purchases.join(
+        credited.select(col("pid")).distinct(), Seq("pid"), "left_anti")
+      .agg(count(lit(1)).as("n_touches"))
+      .select(lit("direct").as("ch"), col("n_touches"),
+        col("n_touches").cast("double").as("__attr"))
+      .filter(col("n_touches") > 0)
+    touched.unionAll(direct)
+      .select(col("ch").as("channel"), col("n_touches"),
+        round(col("__attr"), 4).as("attributed_conversions"))
+  }
+
+  /** The 21 exact half-life weights 1/2^k, k = 0..20, as scale-20
+    * decimals (dyadic rationals terminate in decimal, so every weight
+    * is EXACT — shared with the oracle as plain-string literals).
+    */
+  val halfLifeWeights: IndexedSeq[java.math.BigDecimal] =
+    (0 to 20).map(k => java.math.BigDecimal.ONE
+      .divide(new java.math.BigDecimal(2).pow(k)).setScale(20))
+
+  /** Recency-decayed activity score per key with a DYADIC weekly
+    * half-life: weight 2^(−age_weeks), age capped at 20 weeks
+    * (2^−20 ≈ 1e−6 — the tail is noise). Because dyadic rationals
+    * terminate in decimal, the weights are EXACT DECIMAL(21,20)
+    * literals and both sums are pure decimal arithmetic — zero FP in
+    * the whole operator (no libm pow, no fold order, no round
+    * boundary), emitted as full-scale strings (the q01 stance: decimal
+    * rescale/int128→double behavior differs between engines, the
+    * decimal itself doesn't).
+    */
+  def halfLifeScore(events: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, valueCol: String): DataFrame = {
+    val weekUs = 7L * 86400000000L
+    val e = events.filter(col(valueCol).isNotNull)
+      .select(col(keyCol).as("k"), unix_micros(col(tsCol)).as("us"),
+        col(idCol).as("id"), col(valueCol).cast("decimal(12,2)").as("v"))
+    val ref = e.agg(max(col("us")).as("__ref"))
+    val wArr = array(halfLifeWeights.map(w => lit(w)): _*)
+    val aged = e.crossJoin(broadcast(ref))
+      .withColumn("__k",
+        least(lit(20L), expr(s"(__ref - us) div ${weekUs}L")))
+      .withColumn("__w", element_at(wArr, (col("__k") + 1).cast("int")))
+    aged.groupBy(col("k"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("__w")).cast("decimal(38,20)").cast("string")
+          .as("decayed_count"),
+        sum(col("v") * col("__w")).cast("decimal(38,22)").cast("string")
+          .as("decayed_value"))
+      .withColumnRenamed("k", keyCol)
+  }
+
+  /** Top session event-type paths: sessions from the q47 gap rule, each
+    * rendered as its first `maxSteps` event types joined with "→"
+    * (capped so a pathological session can't build an unbounded
+    * string), counted exactly, top-k by (sessions DESC, path).
+    */
+  def sessionPaths(events: DataFrame, userCol: String, tsCol: String,
+      idCol: String, typeCol: String, gapUs: Long, maxSteps: Int = 8,
+      k: Int = 10): DataFrame = {
+    val e = events.select(col(userCol).as("u"), col(typeCol).as("t"),
+      unix_micros(col(tsCol)).as("us"), col(idCol).as("id"))
+    val sessions = Sessionize.assignSessions(e, "u", "us", gapUs)
+    val paths = sessions.groupBy(col("u"), col("session_id"))
+      .agg(concat_ws("→",
+        slice(transform(
+          array_sort(collect_list(struct(col("us"), col("id"), col("t")))),
+          s => s.getField("t")), 1, maxSteps)).as("path"))
+    paths.groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(k)
+  }
+
   /** Step-latency distribution of an ordered funnel: for each step
     * i ≥ 2 of the [[funnel]] chain (earliest step-1 event, then the
     * earliest step-i event STRICTLY after the step-(i−1) completion),

@@ -137,4 +137,31 @@ object Graph {
     }
     pr
   }
+
+  /** Per-node triangle counts via the canonical oriented edge-join
+    * (a<b, b<c, with the closing (a,c) edge checked) — each triangle
+    * enumerated exactly once, then exploded to its three corners. Pure
+    * integer counts; top-k by (triangles DESC, node).
+    *
+    * Scale: the standard two-shuffle triangle join; at serious scale
+    * the usual degree-ordered orientation (point each edge at the
+    * higher-degree endpoint) bounds the join fan-out — the input here
+    * is already a<b-oriented, which is that optimization's id-ordered
+    * special case.
+    */
+  def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String,
+      topK: Int = 20): DataFrame = {
+    val e = edges.select(
+        least(col(srcCol), col(dstCol)).as("s"),
+        greatest(col(srcCol), col(dstCol)).as("t"))
+      .filter(col("s") < col("t")).distinct()
+    val tri = e.select(col("s").as("a"), col("t").as("b"))
+      .join(e.select(col("s").as("b"), col("t").as("c")), Seq("b"))
+      .join(e.select(col("s").as("a"), col("t").as("c")), Seq("a", "c"))
+      .select(col("a"), col("b"), col("c"))
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
+      .orderBy(col("n_triangles").desc, col("node"))
+      .limit(topK)
+  }
 }

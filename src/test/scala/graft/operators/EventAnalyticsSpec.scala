@@ -457,6 +457,53 @@ class EventAnalyticsSpec extends AnyFunSuite {
       "event_id", "value").count() == 0)
   }
 
+  test("positionAttribution: U-shaped credits, direct bucket, exact fractions") {
+    // u1 path a,b,c,d → purchase: credits 2/5·(a) 1/10·(b) 1/10·(c)...
+    // n=4: first/last 2(n−2)=4 of total 5(n−2)=10 → 0.4; middles 0.1
+    val df = ev(
+      (1L, 1L, 0, "a"), (1L, 2L, 1, "b"), (1L, 3L, 2, "c"),
+      (1L, 4L, 3, "d"), (1L, 5L, 4, "purchase"),
+      (2L, 6L, 0, "a"), (2L, 7L, 1, "purchase"),  // single touch: a gets 1
+      (3L, 8L, 0, "purchase"))                    // no touches: direct
+    val out = EventAnalytics.positionAttribution(df, "user_id", "ts",
+      "event_id", "event_type", "purchase")
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_touches"),
+          r.getAs[Double]("attributed_conversions"))).toMap
+    assert(out("a") == (2L, 1.4))   // 0.4 (u1 first) + 1.0 (u2 single)
+    assert(out("b") == (1L, 0.1))
+    assert(out("c") == (1L, 0.1))
+    assert(out("d") == (1L, 0.4))   // last touch
+    assert(out("direct") == (1L, 1.0))
+    // total attributed conversions equals total purchases
+    assert(math.abs(out.values.map(_._2).sum - 3.0) < 1e-9)
+  }
+
+  test("halfLifeScore: exact dyadic weights as full-scale decimal strings") {
+    def wk(w: Int, id: Long, v: Double) =
+      (1L, id, new Timestamp(w.toLong * 7 * 86400 * 1000), v)
+    // events 0, 1, 2 weeks before the reference (= max ts):
+    // weights 2^-2, 2^-1, 2^0 → count 1.75, value 40·0.25+40·0.5+40·1
+    val df = Seq(wk(0, 1, 40.0), wk(1, 2, 40.0), wk(2, 3, 40.0))
+      .toDF("user_id", "event_id", "ts", "value")
+    val r = EventAnalytics.halfLifeScore(df, "user_id", "ts",
+      "event_id", "value").collect().head
+    assert(r.getAs[Long]("n_events") == 3L)
+    assert(BigDecimal(r.getAs[String]("decayed_count")) == BigDecimal("1.75"))
+    assert(BigDecimal(r.getAs[String]("decayed_value")) == BigDecimal("70"))
+  }
+
+  test("sessionPaths: gap splits sessions, path capped at 8 steps") {
+    val df = ev(
+      (1L, 1L, 0, "view"), (1L, 2L, 0, "click"),   // session 1: view→click
+      (1L, 3L, 5, "view"),                          // gap > 30min: session 2
+      (2L, 4L, 0, "view"), (2L, 5L, 0, "click"))   // session: view→click
+    val out = EventAnalytics.sessionPaths(df, "user_id", "ts", "event_id",
+      "event_type", gapUs = 1800000000L)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("n_sessions")).toMap
+    assert(out == Map("view→click" -> 2L, "view" -> 1L))
+  }
+
   test("funnelLatencies: per-step nearest-rank percentiles in µs") {
     // users 1..4 convert view→click with latencies 1h, 2h, 3h, 4h;
     // only user 1 reaches purchase (+30min)

@@ -79,4 +79,16 @@ class GraphSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(a == b)  // exact double equality, not approx
   }
+
+  test("triangleCounts: K4 has 4 triangles, 3 per node; path has none") {
+    // complete graph on {1,2,3,4} + a dangling path 4-5-6
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L),
+      (2L, 1L), (3L, 1L)) // reversed/duplicate edges must not double-count
+      .toDF("src", "dst")
+    val out = Graph.triangleCounts(edges, "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("n_triangles")).toMap
+    // K4: C(3,2) = 3 triangles per node; 5 and 6 touch none
+    assert(out == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
 }
