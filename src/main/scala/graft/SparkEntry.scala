@@ -2171,6 +2171,35 @@ object SparkEntry {
       graft.operators.EventAnalytics.sessionPaths(Tables.events(s, d),
         "user_id", "ts", "event_id", "event_type", gapUs = 1800000000L)),
 
+    // Local clustering coefficient over the co-purchase part graph:
+    // exact triangle/degree integers, raw-cc ordering
+    "q233_clustering_coeff" -> ((s, d) => {
+      val op = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val edges = op.join(op.withColumnRenamed("p", "p2"), Seq("o"))
+        .filter(col("p") < col("p2"))
+        .select(col("p").as("src"), col("p2").as("dst"))
+      graft.operators.Graph.clusteringCoefficient(edges, "src", "dst")
+        .withColumnRenamed("node", "part")
+    }),
+
+    // Debounce census: same-(user,type) events within 10min suppressed
+    "q234_debounce" -> ((s, d) =>
+      graft.operators.EventAnalytics.debounceCensus(Tables.events(s, d),
+        "user_id", "ts", "event_id", "event_type",
+        toleranceUs = 600000000L)),
+
+    // Frequent part triples (a-priori level 3) in orders, support ≥ 2
+    "q235_frequent_triples" -> ((s, d) =>
+      graft.operators.Association.frequentTriples(Tables.lineitem(s, d),
+        "l_orderkey", "l_partkey", minSupport = 2L)),
+
+    // KWIC concordance for 'fast': ±3-token windows, in-row positions
+    "q236_kwic" -> ((s, d) =>
+      graft.operators.TextAnalysis.kwic(t(s, d, "documents"),
+        "doc_id", "text", "fast")),
+
     // Windowed funnel: view→click→purchase where each step lands within
     // 24h of the previous completion (the realistic conversion window)
     "q174_windowed_funnel" -> ((s, d) => {
@@ -5832,6 +5861,77 @@ object SparkEntry {
         |  UNION ALL SELECT c FROM tri)
         |SELECT n AS part, count(*)::BIGINT AS n_triangles FROM nodes
         |GROUP BY n ORDER BY n_triangles DESC, n LIMIT 20""".stripMargin,
+
+    // Clustering-coefficient replay: same triangle/degree integers,
+    // raw-cc order with node tie-break
+    "q233_clustering_coeff" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |  FROM lineitem),
+        |e AS (SELECT DISTINCT a.p AS s, b.p AS t FROM op a
+        |  JOIN op b ON a.o = b.o AND a.p < b.p),
+        |tri AS (SELECT e1.s AS a, e1.t AS b, e2.t AS c
+        |  FROM e e1 JOIN e e2 ON e2.s = e1.t
+        |  JOIN e e3 ON e3.s = e1.s AND e3.t = e2.t),
+        |nodes AS (SELECT a AS n FROM tri UNION ALL SELECT b FROM tri
+        |  UNION ALL SELECT c FROM tri),
+        |tcnt AS (SELECT n, count(*)::BIGINT AS t FROM nodes GROUP BY n),
+        |deg AS (SELECT n, count(*)::BIGINT AS degree FROM
+        |  (SELECT s AS n FROM e UNION ALL SELECT t FROM e) GROUP BY n),
+        |cc AS (SELECT deg.n, deg.degree,
+        |    coalesce(tcnt.t, 0)::BIGINT AS n_triangles,
+        |    (2 * coalesce(tcnt.t, 0))::DOUBLE
+        |      / (deg.degree * (deg.degree - 1))::DOUBLE AS rawcc
+        |  FROM deg LEFT JOIN tcnt ON tcnt.n = deg.n
+        |  WHERE deg.degree >= 2)
+        |SELECT n AS part, degree, n_triangles, round(rawcc, 4)
+        |    AS clustering_coeff
+        |FROM cc ORDER BY rawcc DESC, n LIMIT 20""".stripMargin,
+
+    // Debounce replay: same per-(key,type) lag rule and rate divide
+    "q234_debounce" ->
+      """WITH e AS (SELECT user_id AS k, event_type AS t, epoch_us(ts)
+        |    AS us, event_id AS id FROM events),
+        |l AS (SELECT k, t, us,
+        |    lag(us) OVER (PARTITION BY k, t ORDER BY us, id) AS p
+        |  FROM e),
+        |f AS (SELECT t, CASE WHEN p IS NULL OR us - p > 600000000
+        |    THEN 1 ELSE 0 END AS kept FROM l)
+        |SELECT t AS event_type, count(*)::BIGINT AS n_total,
+        |  sum(kept)::BIGINT AS n_kept,
+        |  (count(*) - sum(kept))::BIGINT AS n_suppressed,
+        |  round((count(*) - sum(kept))::DOUBLE / count(*)::DOUBLE, 4)
+        |    AS suppression_rate
+        |FROM f GROUP BY t""".stripMargin,
+
+    // Triple replay: level-1 prune only — same answer (downward
+    // closure), the level-2 semi-joins are a cost optimization
+    "q235_frequent_triples" ->
+      """WITH it AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+        |  FROM lineitem),
+        |n AS (SELECT count(DISTINCT b) AS nb FROM it),
+        |ic AS (SELECT i FROM it GROUP BY i HAVING count(*) >= 2),
+        |f AS (SELECT it.b, it.i FROM it JOIN ic ON ic.i = it.i),
+        |tr AS (SELECT a.i AS i1, b.i AS i2, c.i AS i3,
+        |    count(*)::BIGINT AS triple_count
+        |  FROM f a JOIN f b ON a.b = b.b AND a.i < b.i
+        |  JOIN f c ON a.b = c.b AND b.i < c.i
+        |  GROUP BY a.i, b.i, c.i HAVING count(*) >= 2)
+        |SELECT i1, i2, i3, triple_count,
+        |  triple_count::DOUBLE / n.nb AS support
+        |FROM tr CROSS JOIN n""".stripMargin,
+
+    // KWIC replay: same in-list positions and inclusive window slice
+    "q236_kwic" ->
+      s"""WITH tk AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+         |h AS (SELECT doc_id, toks,
+         |    unnest(list_filter(generate_series(1,
+         |      greatest(len(toks), 1)), i -> toks[i] = 'fast')) AS pos
+         |  FROM tk WHERE len(toks) >= 1)
+         |SELECT doc_id, pos,
+         |  array_to_string(
+         |    toks[greatest(1, pos - 3):least(pos + 3, len(toks))], ' ')
+         |    AS context
+         |FROM h ORDER BY doc_id, pos LIMIT 50""".stripMargin,
 
     // Session-path replay: q47 session rule, (µs, id)-ordered 8-step
     // path strings

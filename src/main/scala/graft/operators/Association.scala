@@ -45,4 +45,42 @@ object Association {
       ((col("pair_count").cast("double") / col("c1")) /
         (col("c2").cast("double") / nBaskets)).as("lift"))
   }
+
+  /** Frequent item TRIPLES — the level-3 a-priori step. Candidate
+    * (a < b < c) instances are built only from items that survive the
+    * level-1 support prune (which caps the per-basket join width), and
+    * each of the three sub-pairs is semi-joined against the frequent-
+    * PAIR set (level-2 downward closure) before counting — work
+    * shrinks at every level, the defining a-priori property. The
+    * level-2 prune changes COST only, never the answer (a frequent
+    * triple's sub-pairs are frequent by definition), so the oracle may
+    * count triples of frequent items directly.
+    */
+  def frequentTriples(baskets: DataFrame, basketCol: String,
+      itemCol: String, minSupport: Long): DataFrame = {
+    val items = baskets.select(col(basketCol).as("b"), col(itemCol).as("i"))
+      .distinct()
+    val nBaskets = items.select(col("b")).distinct().count()
+    val itemCnt = items.groupBy(col("i")).agg(count(lit(1)).as("ci"))
+      .filter(col("ci") >= minSupport)
+    val f = items.join(itemCnt.select(col("i")), Seq("i"))
+    val pairSet = frequentPairs(baskets, basketCol, itemCol, minSupport)
+      .select(col("i1"), col("i2"))
+    val inst = f.select(col("b"), col("i").as("i1"))
+      .join(f.select(col("b"), col("i").as("i2")), Seq("b"))
+      .filter(col("i1") < col("i2"))
+      .join(f.select(col("b"), col("i").as("i3")), Seq("b"))
+      .filter(col("i2") < col("i3"))
+    val pruned = inst
+      .join(pairSet, Seq("i1", "i2"), "left_semi")
+      .join(pairSet.select(col("i1"), col("i2").as("i3")),
+        Seq("i1", "i3"), "left_semi")
+      .join(pairSet.select(col("i1").as("i2"), col("i2").as("i3")),
+        Seq("i2", "i3"), "left_semi")
+    pruned.groupBy(col("i1"), col("i2"), col("i3"))
+      .agg(count(lit(1)).as("triple_count"))
+      .filter(col("triple_count") >= minSupport)
+      .select(col("i1"), col("i2"), col("i3"), col("triple_count"),
+        (col("triple_count").cast("double") / nBaskets).as("support"))
+  }
 }

@@ -842,6 +842,36 @@ object EventAnalytics {
       .select(outCols: _*)
   }
 
+  /** Debounce census: an event is SUPPRESSED when the same (key, type)
+    * fired within `toleranceUs` before it — the duplicate-click /
+    * sensor-chatter cleanup every event pipeline runs, reported per
+    * type as kept/suppressed counts and a 4dp suppression rate.
+    * Note the chain semantics: each event debounces against the
+    * previous RAW event, not the previous kept one (a burst longer
+    * than the tolerance keeps only its first event if spaced tightly —
+    * the standard trailing-edge debounce).
+    *
+    * Exact integers; per-(key, type) lag window bounded by the key's
+    * own activity; one tiny per-type aggregate.
+    */
+  def debounceCensus(events: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, typeCol: String, toleranceUs: Long): DataFrame = {
+    val e = events.select(col(keyCol).as("k"), col(typeCol).as("t"),
+      unix_micros(col(tsCol)).as("us"), col(idCol).as("id"))
+    val w = Window.partitionBy(col("k"), col("t"))
+      .orderBy(col("us"), col("id"))
+    e.withColumn("__prev", lag(col("us"), 1).over(w))
+      .withColumn("__kept",
+        when(col("__prev").isNull ||
+          col("us") - col("__prev") > toleranceUs, 1L).otherwise(0L))
+      .groupBy(col("t").as(typeCol))
+      .agg(count(lit(1)).as("n_total"), sum(col("__kept")).as("n_kept"),
+        (count(lit(1)) - sum(col("__kept"))).as("n_suppressed"))
+      .withColumn("suppression_rate",
+        round((col("n_total") - col("n_kept")).cast("double") /
+          col("n_total").cast("double"), 4))
+  }
+
   /** Position-based (U-shaped) multi-touch attribution: each purchase
     * distributes one conversion across its preceding touch path —
     * 40% to the first touch, 40% to the last, 20% split over the

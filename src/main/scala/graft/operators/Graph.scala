@@ -150,18 +150,51 @@ object Graph {
     * special case.
     */
   def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String,
-      topK: Int = 20): DataFrame = {
-    val e = edges.select(
+      topK: Int = 20): DataFrame =
+    triangleFrame(edges, srcCol, dstCol)
+      .orderBy(col("n_triangles").desc, col("node"))
+      .limit(topK)
+
+  private def canonicalEdges(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame =
+    edges.select(
         least(col(srcCol), col(dstCol)).as("s"),
         greatest(col(srcCol), col(dstCol)).as("t"))
       .filter(col("s") < col("t")).distinct()
+
+  private def triangleFrame(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val e = canonicalEdges(edges, srcCol, dstCol)
     val tri = e.select(col("s").as("a"), col("t").as("b"))
       .join(e.select(col("s").as("b"), col("t").as("c")), Seq("b"))
       .join(e.select(col("s").as("a"), col("t").as("c")), Seq("a", "c"))
       .select(col("a"), col("b"), col("c"))
     tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
-      .orderBy(col("n_triangles").desc, col("node"))
+  }
+
+  /** Local clustering coefficient per node: cc(v) = 2·T(v) /
+    * (deg(v)·(deg(v)−1)) — how close a node's neighborhood is to a
+    * clique (1.0 = every two neighbors connected). Triangle and degree
+    * counts are exact integers; cc is one divide of exact operands.
+    * Nodes need deg ≥ 2. Top-k by (cc DESC, node) — the tie-break
+    * matters because cc values are coarse rationals.
+    */
+  def clusteringCoefficient(edges: DataFrame, srcCol: String,
+      dstCol: String, topK: Int = 20): DataFrame = {
+    val e = canonicalEdges(edges, srcCol, dstCol)
+    val deg = e.select(col("s").as("node"))
+      .unionAll(e.select(col("t").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+    val tri = triangleFrame(edges, srcCol, dstCol)
+    deg.filter(col("degree") >= 2)
+      .join(tri, Seq("node"), "left")
+      .withColumn("n_triangles", coalesce(col("n_triangles"), lit(0L)))
+      .withColumn("__cc", (lit(2L) * col("n_triangles")).cast("double") /
+        (col("degree") * (col("degree") - 1)).cast("double"))
+      .orderBy(col("__cc").desc, col("node")) // raw order, round for display
       .limit(topK)
+      .select(col("node"), col("degree"), col("n_triangles"),
+        round(col("__cc"), 4).as("clustering_coeff"))
   }
 }

@@ -990,6 +990,33 @@ object TextAnalysis {
       .select(col("id").as(idCol), col("n_occurrences"))
   }
 
+  /** KWIC (keyword-in-context) concordance: every occurrence of `term`
+    * with its ±`contextTokens`-token window rendered as one string —
+    * the search-result snippet / corpus-linguistics view. Match
+    * positions are found INSIDE the row (the q222 kernel); only the
+    * bounded match list explodes, never the token array. 1-based
+    * positions; output ordered (doc, pos), first `k` rows.
+    */
+  def kwic(df: DataFrame, idCol: String, textCol: String, term: String,
+      contextTokens: Int = 3, k: Int = 50): DataFrame = {
+    val staged = df.select(col(idCol).as("id"),
+      tokens(col(textCol)).as("__toks"))
+    val positions = filter(
+      sequence(lit(1), greatest(size(col("__toks")), lit(1)).cast("int")),
+      i => element_at(col("__toks"), i) === lit(term))
+    val hits = staged
+      .filter(size(col("__toks")) >= 1)
+      .select(col("id"), col("__toks"), explode(positions).as("pos"))
+    val start = greatest(lit(1), col("pos") - contextTokens)
+    val len = least(col("pos") + contextTokens,
+      size(col("__toks"))) - start + 1
+    hits
+      .select(col("id").as(idCol), col("pos"),
+        concat_ws(" ", slice(col("__toks"), start, len)).as("context"))
+      .orderBy(col(idCol), col("pos"))
+      .limit(k)
+  }
+
   /** Pairwise Jensen-Shannon divergence between the groups' unigram
     * token distributions — the symmetric, bounded ([0, ln 2]) corpus-
     * drift measure (the q151 KL audit's better-behaved sibling; JS is

@@ -42,4 +42,20 @@ class AssociationSpec extends AnyFunSuite {
     assert(out.length == 1)
     assert(out(0).getAs[Long]("pair_count") == 2)
   }
+
+  test("frequentTriples: only triples meeting support survive") {
+    // {a,b,c} together in baskets 1,2; {a,b,d} only in basket 3
+    val df = Seq(
+      (1L, "a"), (1L, "b"), (1L, "c"),
+      (2L, "a"), (2L, "b"), (2L, "c"),
+      (3L, "a"), (3L, "b"), (3L, "d"))
+      .toDF("basket", "item")
+    val out = Association.frequentTriples(df, "basket", "item",
+      minSupport = 2L).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert((r.getString(0), r.getString(1), r.getString(2)) == ("a", "b", "c"))
+    assert(r.getAs[Long]("triple_count") == 2L)
+    assert(r.getAs[Double]("support") == 2.0 / 3.0)
+  }
 }

@@ -457,6 +457,25 @@ class EventAnalyticsSpec extends AnyFunSuite {
       "event_id", "value").count() == 0)
   }
 
+  test("debounceCensus: chain debounce against the previous raw event") {
+    def ts(sec: Long) = new Timestamp(sec * 1000L)
+    // type A at 0s, 5s, 9s, 30s with 10s tolerance: 5s and 9s suppressed
+    // (each within 10s of the previous RAW event), 30s kept;
+    // type B independent: 0s, 11s both kept
+    val df = Seq(
+      (1L, 1L, ts(0), "A"), (1L, 2L, ts(5), "A"),
+      (1L, 3L, ts(9), "A"), (1L, 4L, ts(30), "A"),
+      (1L, 5L, ts(0), "B"), (1L, 6L, ts(11), "B"))
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val out = EventAnalytics.debounceCensus(df, "user_id", "ts",
+      "event_id", "event_type", toleranceUs = 10000000L)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_total"), r.getAs[Long]("n_kept"),
+          r.getAs[Long]("n_suppressed"))).toMap
+    assert(out("A") == (4L, 2L, 2L))
+    assert(out("B") == (2L, 2L, 0L))
+  }
+
   test("positionAttribution: U-shaped credits, direct bucket, exact fractions") {
     // u1 path a,b,c,d → purchase: credits 2/5·(a) 1/10·(b) 1/10·(c)...
     // n=4: first/last 2(n−2)=4 of total 5(n−2)=10 → 0.4; middles 0.1

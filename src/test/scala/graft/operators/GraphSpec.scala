@@ -91,4 +91,16 @@ class GraphSpec extends AnyFunSuite {
     // K4: C(3,2) = 3 triangles per node; 5 and 6 touch none
     assert(out == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
   }
+
+  test("clusteringCoefficient: clique nodes 1.0, bridge nodes lower") {
+    // triangle {1,2,3} + pendant 3-4: node 3 has deg 3, 1 triangle →
+    // cc = 2·1/(3·2) = 0.3333; nodes 1,2 are fully clustered (1.0);
+    // node 4 (deg 1) is excluded
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+      .toDF("src", "dst")
+    val out = Graph.clusteringCoefficient(edges, "src", "dst")
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("degree"), r.getAs[Double]("clustering_coeff"))).toMap
+    assert(out == Map(1L -> (2L, 1.0), 2L -> (2L, 1.0), 3L -> (3L, 0.3333)))
+  }
 }

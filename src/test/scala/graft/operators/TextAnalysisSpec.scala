@@ -505,6 +505,20 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(tri == Map(1L -> 2L))
   }
 
+  test("kwic: windows clamp at document edges") {
+    val df = Seq(
+      (1L, "fast start middle words here fast end"),
+      (2L, "no match here"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.kwic(df, "doc_id", "text", "fast")
+      .collect().map(r => (r.getLong(0), r.getAs[Int]("pos")) ->
+        r.getAs[String]("context")).toMap
+    // pos 1: left edge clamps; pos 6: right edge clamps
+    assert(out((1L, 1)) == "fast start middle words")
+    assert(out((1L, 6)) == "middle words here fast end")
+    assert(out.size == 2)
+  }
+
   test("readability: integer counts and the Flesch formula") {
     val df = Seq(
       (1L, "the cat sat. the dog ran!"),  // 6 words, 2 sentences, 6 syl
