@@ -59,7 +59,12 @@ object Bench {
     "q139_gopher_repetition",
     "q143_dsir_weights",
     "q146_pq_adc",
-    "q153_ivfadc")
+    "q153_ivfadc",
+    // round 5 (this round): the in-row phrase-search kernel (narrow
+    // scan + top-k, no postings shuffle) and the island-based DAU/MAU
+    // (integer delta machinery instead of a 28× explode)
+    "q222_phrase_search",
+    "q228_dau_mau")
 
   private def runOnce(name: String, spark: SparkSession, sfDir: String): Unit =
     SparkEntry.queries(name)(spark, sfDir)

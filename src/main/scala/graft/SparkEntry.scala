@@ -2200,6 +2200,29 @@ object SparkEntry {
       graft.operators.TextAnalysis.kwic(t(s, d, "documents"),
         "doc_id", "text", "fast")),
 
+    // Temperature-scaled (τ=.5) source mixture weights: √ shares —
+    // the one correctly-rounded power — ordered denominator fold
+    "q237_temperature_mixture" -> ((s, d) =>
+      graft.operators.TrainingData.temperatureMixture(
+        t(s, d, "documents"), "source", "text")),
+
+    // CUPED variance reduction: pre/post half-window split, pooled θ,
+    // parity cohorts, per-cohort raw vs adjusted means + var ratio
+    "q238_cuped" -> ((s, d) =>
+      graft.operators.EventAnalytics.cuped(Tables.events(s, d),
+        "user_id", "ts", "value")),
+
+    // Mann-Kendall trend z per user: exact integer S + tie-corrected
+    // variance, continuity-corrected z
+    "q239_mann_kendall" -> ((s, d) =>
+      graft.operators.EventAnalytics.mannKendall(Tables.events(s, d),
+        "user_id", "ts", "event_id", "value")),
+
+    // Good-Turing frequency-of-frequencies + unseen mass
+    "q240_good_turing" -> ((s, d) =>
+      graft.operators.TextAnalysis.goodTuring(t(s, d, "documents"),
+        "text")),
+
     // Windowed funnel: view→click→purchase where each step lands within
     // 24h of the previous completion (the realistic conversion window)
     "q174_windowed_funnel" -> ((s, d) => {
@@ -5861,6 +5884,124 @@ object SparkEntry {
         |  UNION ALL SELECT c FROM tri)
         |SELECT n AS part, count(*)::BIGINT AS n_triangles FROM nodes
         |GROUP BY n ORDER BY n_triangles DESC, n LIMIT 20""".stripMargin,
+
+    // Mixture replay: same √ shares and group-ordered denominator fold
+    "q237_temperature_mixture" ->
+      s"""WITH tk AS (SELECT source AS g,
+         |    coalesce(len($tokensSql), 0) AS n FROM documents),
+         |c AS (SELECT g, sum(n)::BIGINT AS n_tokens FROM tk GROUP BY g),
+         |st AS (SELECT sum(n_tokens)::BIGINT AS tot,
+         |    list_reduce(list_prepend(0.0,
+         |      list(sqrt(n_tokens::DOUBLE) ORDER BY g)),
+         |      (a, b) -> a + b) AS den
+         |  FROM c)
+         |SELECT c.g AS source, c.n_tokens,
+         |  round(c.n_tokens::DOUBLE / st.tot::DOUBLE, 4) AS raw_share,
+         |  round(sqrt(c.n_tokens::DOUBLE) / st.den, 4) AS temp_share,
+         |  round((sqrt(c.n_tokens::DOUBLE) / st.den)
+         |    / (c.n_tokens::DOUBLE / st.tot::DOUBLE), 4) AS boost
+         |FROM c CROSS JOIN st""".stripMargin,
+
+    // CUPED replay: identical pre/post DECIMAL splits, user-ordered
+    // pooled folds, same θ/µX/Y′/ratio op sequences
+    "q238_cuped" ->
+      """WITH e AS (SELECT user_id AS u, epoch_us(ts) AS us,
+        |    value::DECIMAL(18,6) AS v FROM events
+        |  WHERE value IS NOT NULL),
+        |md AS (SELECT (min(us) + max(us)) // 2 AS mid FROM e),
+        |xy AS (SELECT u,
+        |    (sum(CASE WHEN us <= md.mid THEN v
+        |      ELSE 0::DECIMAL(18,6) END)::DECIMAL(18,6))::DOUBLE AS x,
+        |    (sum(CASE WHEN us > md.mid THEN v
+        |      ELSE 0::DECIMAL(18,6) END)::DECIMAL(18,6))::DOUBLE AS y
+        |  FROM e CROSS JOIN md GROUP BY u),
+        |p AS (SELECT count(*)::BIGINT AS n,
+        |    list_reduce(list_prepend(0.0, list(x ORDER BY u)),
+        |      (a, b) -> a + b) AS sx,
+        |    list_reduce(list_prepend(0.0, list(y ORDER BY u)),
+        |      (a, b) -> a + b) AS sy,
+        |    list_reduce(list_prepend(0.0, list(x * y ORDER BY u)),
+        |      (a, b) -> a + b) AS sxy,
+        |    list_reduce(list_prepend(0.0, list(x * x ORDER BY u)),
+        |      (a, b) -> a + b) AS sxx
+        |  FROM xy),
+        |t AS (SELECT n, sx, sy,
+        |    (sxy - sx * sy / n::DOUBLE)
+        |      / (sxx - sx * sx / n::DOUBLE) AS theta,
+        |    sx / n::DOUBLE AS mux
+        |  FROM p),
+        |adj AS (SELECT xy.u, (xy.u % 2)::INT AS g, xy.y,
+        |    xy.y - t.theta * (xy.x - t.mux) AS yadj,
+        |    t.n, t.sy, t.theta
+        |  FROM xy CROSS JOIN t),
+        |pv AS (SELECT
+        |    list_reduce(list_prepend(0.0, list(y * y ORDER BY u)),
+        |      (a, b) -> a + b) AS syy,
+        |    list_reduce(list_prepend(0.0, list(yadj ORDER BY u)),
+        |      (a, b) -> a + b) AS sa,
+        |    list_reduce(list_prepend(0.0, list(yadj * yadj ORDER BY u)),
+        |      (a, b) -> a + b) AS saa,
+        |    max(n) AS n, max(sy) AS sy, max(theta) AS theta
+        |  FROM adj),
+        |vr AS (SELECT theta,
+        |    (saa - sa * sa / n::DOUBLE)
+        |      / (syy - sy * sy / n::DOUBLE) AS var_ratio
+        |  FROM pv)
+        |SELECT adj.g AS cohort, count(*)::BIGINT AS n_users,
+        |  round(list_reduce(list_prepend(0.0,
+        |    list(adj.y ORDER BY adj.u)), (a, b) -> a + b)
+        |    / count(*)::DOUBLE, 4) AS mean_y,
+        |  round(list_reduce(list_prepend(0.0,
+        |    list(adj.yadj ORDER BY adj.u)), (a, b) -> a + b)
+        |    / count(*)::DOUBLE, 4) AS mean_y_adj,
+        |  round(max(vr.theta), 4) AS theta,
+        |  round(max(vr.var_ratio), 4) AS var_ratio
+        |FROM adj CROSS JOIN vr GROUP BY adj.g""".stripMargin,
+
+    // Mann-Kendall replay: same strict (µs,id) pair order, integer S
+    // and tie polynomial, identical z sequence
+    "q239_mann_kendall" ->
+      """WITH e AS (SELECT user_id AS k, epoch_us(ts) AS us,
+        |    event_id AS id, value::DOUBLE AS v FROM events
+        |  WHERE value IS NOT NULL),
+        |s AS (SELECT a.k,
+        |    sum(CASE WHEN b.v > a.v THEN 1 WHEN b.v < a.v THEN -1
+        |      ELSE 0 END)::BIGINT AS s_stat
+        |  FROM e a JOIN e b ON a.k = b.k AND (a.us < b.us
+        |    OR (a.us = b.us AND a.id < b.id))
+        |  GROUP BY a.k),
+        |t AS (SELECT k,
+        |    sum(t * (t - 1) * (2 * t + 5))::BIGINT AS tt,
+        |    sum(t)::BIGINT AS n
+        |  FROM (SELECT k, v, count(*)::BIGINT AS t FROM e GROUP BY k, v)
+        |  GROUP BY k),
+        |j AS (SELECT t.k, t.n, s.s_stat,
+        |    (t.n * (t.n - 1) * (2 * t.n + 5) - t.tt)::BIGINT AS varnum
+        |  FROM t JOIN s ON s.k = t.k)
+        |SELECT k AS user_id, n AS n_events, s_stat,
+        |  round((CASE WHEN s_stat > 0 THEN (s_stat - 1)::DOUBLE
+        |    WHEN s_stat < 0 THEN (s_stat + 1)::DOUBLE
+        |    ELSE 0.0::DOUBLE END)
+        |    / sqrt(varnum::DOUBLE / 18.0::DOUBLE), 4) AS mk_z
+        |FROM j WHERE varnum > 0""".stripMargin,
+
+    // Good-Turing replay: two exact aggregations + single divides
+    "q240_good_turing" ->
+      s"""WITH tc AS (SELECT tok, count(*)::BIGINT AS c FROM
+         |  (SELECT unnest($tokensSql) AS tok FROM documents)
+         |  GROUP BY tok),
+         |fof AS (SELECT c, count(*)::BIGINT AS n_c FROM tc GROUP BY c),
+         |tot AS (SELECT sum(c)::BIGINT AS n FROM tc),
+         |n1 AS (SELECT n_c AS v FROM fof WHERE c = 1)
+         |SELECT f.c, f.n_c,
+         |  round((f.c + 1)::DOUBLE * nx.n_c::DOUBLE / f.n_c::DOUBLE, 4)
+         |    AS c_star,
+         |  tot.n AS total_tokens,
+         |  round(coalesce((SELECT v FROM n1), 0)::DOUBLE / tot.n::DOUBLE,
+         |    4) AS unseen_mass
+         |FROM fof f LEFT JOIN fof nx ON nx.c = f.c + 1 CROSS JOIN tot
+         |WHERE f.c IN (SELECT c FROM fof ORDER BY c LIMIT 5)"""
+        .stripMargin,
 
     // Clustering-coefficient replay: same triangle/degree integers,
     // raw-cc order with node tie-break

@@ -842,6 +842,120 @@ object EventAnalytics {
       .select(outCols: _*)
   }
 
+  /** Mann-Kendall trend test per key — the nonparametric "is there a
+    * monotonic trend?" companion to [[theilSen]]'s slope estimate:
+    * S = Σ_{i<j} sign(xⱼ − xᵢ) over the (µs, id) total order, variance
+    * with the tie correction Var(S) = [n(n−1)(2n+5) − Σₜ t(t−1)(2t+5)]
+    * / 18, and the continuity-corrected z = (S∓1)/√Var.
+    *
+    * S and both variance numerators are EXACT integers (sign sums and
+    * tie-group polynomials); z is a fixed double sequence over them
+    * (√ is correctly rounded — no libm gap), 4dp. Pairwise per key —
+    * the q201 bounded-activity caveat.
+    */
+  def mannKendall(events: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, valueCol: String): DataFrame = {
+    val e = events.filter(col(valueCol).isNotNull)
+      .select(col(keyCol).as("k"), unix_micros(col(tsCol)).as("us"),
+        col(idCol).as("id"), col(valueCol).cast("double").as("v"))
+    val s = e.as("a")
+      .join(e.as("b"), col("a.k") === col("b.k") &&
+        (col("a.us") < col("b.us") ||
+          (col("a.us") === col("b.us") && col("a.id") < col("b.id"))))
+      .select(col("a.k").as("k"), signum(col("b.v") - col("a.v")).as("sg"))
+      .groupBy(col("k")).agg(sum(col("sg")).cast("long").as("s_stat"))
+    val ties = e.groupBy(col("k"), col("v")).agg(count(lit(1)).as("t"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("__nv"),
+        sum(col("t") * (col("t") - 1) * (lit(2L) * col("t") + 5))
+          .as("__tt"),
+        sum(col("t")).as("n_events"))
+    ties.join(s, Seq("k"))
+      .withColumn("__varnum",
+        col("n_events") * (col("n_events") - 1) *
+          (lit(2L) * col("n_events") + 5) - col("__tt"))
+      .filter(col("__varnum") > 0)
+      .select(col("k").as(keyCol), col("n_events"), col("s_stat"),
+        round(
+          when(col("s_stat") > 0, (col("s_stat") - 1).cast("double"))
+            .when(col("s_stat") < 0, (col("s_stat") + 1).cast("double"))
+            .otherwise(lit(0.0)) /
+            sqrt(col("__varnum").cast("double") / lit(18.0)), 4)
+          .as("mk_z"))
+  }
+
+  /** CUPED variance reduction (Deng et al. 2013): the experiment
+    * metric Y (second-half activity) adjusted by the pre-period
+    * covariate X (first-half activity), Y′ = Y − θ(X − µX) with
+    * θ = cov(X,Y)/var(X) pooled across BOTH cohorts (the unbiasedness
+    * requirement), cohorts by user parity (the q176 convention).
+    * Reports per-cohort raw and adjusted means plus the pooled
+    * var(Y′)/var(Y) — the fraction of metric variance the covariate
+    * removed (the whole point of CUPED: tighter A/B confidence at the
+    * same sample size).
+    *
+    * X and Y are exact DECIMAL per-user sums; every pooled and
+    * per-cohort Σ is a user-id-ordered fold (the q210 stance), and θ,
+    * µX, each Y′, and the ratios are fixed double op sequences, 4dp.
+    * The fold frames are per-user AGGREGATES, not events.
+    */
+  def cuped(events: DataFrame, userCol: String, tsCol: String,
+      valueCol: String): DataFrame = {
+    val e = events.filter(col(valueCol).isNotNull)
+      .select(col(userCol).as("u"), unix_micros(col(tsCol)).as("us"),
+        col(valueCol).cast("decimal(18,6)").as("v"))
+    val mid = e.agg(expr("(min(us) + max(us)) div 2L").as("__mid"))
+    val xy = e.crossJoin(broadcast(mid))
+      .groupBy(col("u"))
+      .agg(
+        sum(when(col("us") <= col("__mid"), col("v"))
+          .otherwise(lit(0).cast("decimal(18,6)")))
+          .cast("decimal(18,6)").cast("double").as("x"),
+        sum(when(col("us") > col("__mid"), col("v"))
+          .otherwise(lit(0).cast("decimal(18,6)")))
+          .cast("decimal(18,6)").cast("double").as("y"))
+    def foldOrdered(value: Column): Column =
+      aggregate(
+        transform(array_sort(collect_list(struct(col("u"), value.as("f")))),
+          s => s.getField("f")),
+        lit(0.0), (acc, v) => acc + v)
+    val pooled = xy.agg(count(lit(1)).as("n"),
+      foldOrdered(col("x")).as("sx"), foldOrdered(col("y")).as("sy"),
+      foldOrdered(col("x") * col("y")).as("sxy"),
+      foldOrdered(col("x") * col("x")).as("sxx"))
+    val withTheta = pooled.select(col("n"), col("sx"), col("sy"),
+      ((col("sxy") - col("sx") * col("sy") / col("n").cast("double")) /
+        (col("sxx") - col("sx") * col("sx") / col("n").cast("double")))
+        .as("__theta"),
+      (col("sx") / col("n").cast("double")).as("__mux"))
+    val adj = xy.crossJoin(broadcast(withTheta))
+      .withColumn("g", (col("u") % 2).cast("int"))
+      .withColumn("yadj",
+        col("y") - col("__theta") * (col("x") - col("__mux")))
+    val pooledVar = adj.agg(
+      foldOrdered(col("y") * col("y")).as("syy"),
+      foldOrdered(col("yadj")).as("sa"),
+      foldOrdered(col("yadj") * col("yadj")).as("saa"),
+      max(col("n")).as("n"), max(col("sy")).as("sy"),
+      max(col("__theta")).as("theta"))
+    val varRatio = pooledVar.select(col("theta"),
+      (((col("saa") - col("sa") * col("sa") / col("n").cast("double"))) /
+        (col("syy") - col("sy") * col("sy") / col("n").cast("double")))
+        .as("var_ratio"))
+    adj.groupBy(col("g").as("cohort"))
+      .agg(count(lit(1)).as("n_users"),
+        foldOrdered(col("y")).as("__sy"),
+        foldOrdered(col("yadj")).as("__sa"))
+      .crossJoin(broadcast(varRatio))
+      .select(col("cohort"), col("n_users"),
+        round(col("__sy") / col("n_users").cast("double"), 4)
+          .as("mean_y"),
+        round(col("__sa") / col("n_users").cast("double"), 4)
+          .as("mean_y_adj"),
+        round(col("theta"), 4).as("theta"),
+        round(col("var_ratio"), 4).as("var_ratio"))
+  }
+
   /** Debounce census: an event is SUPPRESSED when the same (key, type)
     * fired within `toleranceUs` before it — the duplicate-click /
     * sensor-chatter cleanup every event pipeline runs, reported per

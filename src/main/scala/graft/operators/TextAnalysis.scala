@@ -990,6 +990,42 @@ object TextAnalysis {
       .select(col("id").as(idCol), col("n_occurrences"))
   }
 
+  /** Frequency-of-frequencies table with Good-Turing estimates: for
+    * each occurrence count c = 1..`maxC`, the number of token TYPES
+    * seen exactly c times (N_c), the Good-Turing discounted count
+    * c* = (c+1)·N_{c+1}/N_c, and the corpus-constant unseen-mass
+    * estimate p₀ = N₁/N — the classical smoothing/coverage report
+    * (Good 1953; the "how much probability belongs to words we have
+    * never seen" answer).
+    *
+    * All counts exact integers from two aggregations (token counts →
+    * count-of-counts); c* and p₀ are single divides, 4dp; c* is NULL
+    * where N_{c+1} = 0 (the raw estimator's known gap — smoothing
+    * variants interpolate, this reports honestly). Reports the `maxC`
+    * SMALLEST occurrence counts actually present (a synthetic or
+    * heavily-filtered corpus may have no singletons at all — a fixed
+    * 1..maxC range would then report nothing).
+    */
+  def goodTuring(df: DataFrame, textCol: String, maxC: Int = 5): DataFrame = {
+    val tokCounts = df.select(explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val fof = tokCounts.groupBy(col("c"))
+      .agg(count(lit(1)).as("n_c"))
+    val totals = tokCounts.agg(sum(col("c")).as("__n"))
+    val next = fof.select((col("c") - 1).as("c"), col("n_c").as("__n_next"))
+    fof.orderBy(col("c")).limit(maxC)
+      .join(next, Seq("c"), "left")
+      .crossJoin(broadcast(totals))
+      .join(broadcast(fof.filter(col("c") === 1)
+        .select(col("n_c").as("__n1"))), lit(true), "left")
+      .select(col("c"), col("n_c"),
+        round((col("c") + 1).cast("double") * col("__n_next").cast("double") /
+          col("n_c").cast("double"), 4).as("c_star"),
+        col("__n").as("total_tokens"),
+        round(coalesce(col("__n1"), lit(0L)).cast("double") /
+          col("__n").cast("double"), 4).as("unseen_mass"))
+  }
+
   /** KWIC (keyword-in-context) concordance: every occurrence of `term`
     * with its ±`contextTokens`-token window rendered as one string —
     * the search-result snippet / corpus-linguistics view. Match

@@ -503,4 +503,40 @@ object TrainingData {
       .select(col("id").as(idCol), col("r").cast("long").as("probe"),
         col("__m.cid").as("neg_id"), col("__m.clab").as("neg_label"))
   }
+
+  /** Temperature-scaled mixture weights at τ = 0.5 (the multilingual-
+    * sampling formula: p_s ∝ n_s^τ — upsample the tail, downsample the
+    * head): per source, the raw token share, the √-scaled share, and
+    * the resulting boost factor. τ is FIXED at 0.5 because √ is the
+    * one power IEEE guarantees correctly rounded — an arbitrary-τ
+    * pow() would reopen the libm cross-engine gap the engine
+    * deliberately avoids.
+    *
+    * Counts are exact integers; the √ denominator folds in
+    * group-sorted order over the handful of sources; every share is a
+    * fixed double sequence, 4dp.
+    */
+  def temperatureMixture(df: DataFrame, groupCol: String,
+      textCol: String): DataFrame = {
+    val counts = df.select(col(groupCol).as("g"),
+        graft.functions.TextFunctions.tokens(col(textCol)).as("__t"))
+      .select(col("g"), coalesce(size(col("__t")), lit(0)).as("__n"))
+      .groupBy(col("g")).agg(sum(col("__n")).cast("long").as("n_tokens"))
+    val stats = counts.agg(
+      sum(col("n_tokens")).as("__tot"),
+      aggregate(
+        transform(array_sort(collect_list(
+          struct(col("g"), sqrt(col("n_tokens").cast("double")).as("sq")))),
+          s => s.getField("sq")),
+        lit(0.0), (acc, v) => acc + v).as("__den"))
+    counts.crossJoin(broadcast(stats))
+      .withColumn("__raw",
+        col("n_tokens").cast("double") / col("__tot").cast("double"))
+      .withColumn("__tmp",
+        sqrt(col("n_tokens").cast("double")) / col("__den"))
+      .select(col("g").as(groupCol), col("n_tokens"),
+        round(col("__raw"), 4).as("raw_share"),
+        round(col("__tmp"), 4).as("temp_share"),
+        round(col("__tmp") / col("__raw"), 4).as("boost"))
+  }
 }

@@ -457,6 +457,42 @@ class EventAnalyticsSpec extends AnyFunSuite {
       "event_id", "value").count() == 0)
   }
 
+  test("mannKendall: strictly increasing series maxes S, shuffled stays low") {
+    def ts(sec: Long) = new Timestamp(sec * 1000L)
+    val up = (1 to 10).map(i => (1L, ts(i.toLong), i.toLong, i.toDouble))
+    val mixed = Seq(5.0, 2.0, 8.0, 1.0, 9.0, 3.0, 7.0, 4.0, 6.0, 5.5)
+      .zipWithIndex.map { case (v, i) => (2L, ts(i.toLong), 100L + i, v) }
+    val df = (up ++ mixed).toDF("user_id", "ts", "event_id", "value")
+    val out = EventAnalytics.mannKendall(df, "user_id", "ts",
+      "event_id", "value")
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("s_stat"), r.getAs[Double]("mk_z"))).toMap
+    assert(out(1L)._1 == 45L) // C(10,2) concordant pairs
+    assert(out(1L)._2 > 3.0)  // decisive upward trend
+    assert(math.abs(out(2L)._2) < 1.0) // no trend signal
+  }
+
+  test("cuped: correlated covariate shrinks variance, uncorrelated doesn't") {
+    def ts(sec: Long) = new Timestamp(sec * 1000L)
+    // user u: pre-period value u (per-user baseline), post-period
+    // value u + small noise → X strongly predicts Y → var_ratio ≪ 1
+    val rows = (1L to 20L).flatMap { u =>
+      Seq((u, ts(0), u.toDouble * 10),
+        (u, ts(1000), u.toDouble * 10 + (u % 3).toDouble))
+    }
+    val df = rows.toDF("user_id", "ts", "value")
+    val out = EventAnalytics.cuped(df, "user_id", "ts", "value")
+      .collect().map(r => r.getAs[Int]("cohort") -> r).toMap
+    assert(out.size == 2)
+    assert(out(0).getAs[Double]("var_ratio") < 0.05)
+    // adjusted means pull both cohorts toward the pooled mean
+    val rawGap = math.abs(out(1).getAs[Double]("mean_y") -
+      out(0).getAs[Double]("mean_y"))
+    val adjGap = math.abs(out(1).getAs[Double]("mean_y_adj") -
+      out(0).getAs[Double]("mean_y_adj"))
+    assert(adjGap < rawGap)
+  }
+
   test("debounceCensus: chain debounce against the previous raw event") {
     def ts(sec: Long) = new Timestamp(sec * 1000L)
     // type A at 0s, 5s, 9s, 30s with 10s tolerance: 5s and 9s suppressed

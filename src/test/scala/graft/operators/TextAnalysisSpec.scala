@@ -505,6 +505,22 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(tri == Map(1L -> 2L))
   }
 
+  test("goodTuring: frequency-of-frequencies and unseen mass") {
+    // a:1, b:1, c:2, d:3 → N=7, N1=2, N2=1, N3=1
+    val df = Seq((1L, "a b c d"), (2L, "c d d")).toDF("doc_id", "text")
+    val out = TextAnalysis.goodTuring(df, "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet == Set(1L, 2L, 3L))
+    assert(out(1L).getAs[Long]("n_c") == 2L)
+    // c* for c=1: (1+1)·N2/N1 = 2·1/2 = 1.0
+    assert(out(1L).getAs[Double]("c_star") == 1.0)
+    // c=3 has no N4 → NULL c*
+    assert(out(3L).isNullAt(out(3L).fieldIndex("c_star")))
+    assert(out(1L).getAs[Long]("total_tokens") == 7L)
+    // p0 = N1/N = 2/7 ≈ 0.2857
+    assert(out(1L).getAs[Double]("unseen_mass") == 0.2857)
+  }
+
   test("kwic: windows clamp at document edges") {
     val df = Seq(
       (1L, "fast start middle words here fast end"),

@@ -289,4 +289,19 @@ class TrainingDataSpec extends AnyFunSuite {
         r.getAs[Long]("neg_id"), r.getAs[String]("neg_label"))
     assert(rows.map(key).toSet == again.map(key).toSet)
   }
+
+  test("temperatureMixture: sqrt scaling compresses the head, boosts the tail") {
+    // source a: 9 tokens, b: 1 token → raw 0.9/0.1; temp √9/(√9+√1)
+    // = 0.75 and 0.25 → tail boosted 2.5×, head damped
+    val df = Seq(("a", "t t t t t t t t t"), ("b", "t"))
+      .toDF("source", "text")
+    val out = TrainingData.temperatureMixture(df, "source", "text")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("a").getAs[Long]("n_tokens") == 9L)
+    assert(out("a").getAs[Double]("raw_share") == 0.9)
+    assert(out("a").getAs[Double]("temp_share") == 0.75)
+    assert(out("b").getAs[Double]("temp_share") == 0.25)
+    assert(out("b").getAs[Double]("boost") == 2.5)
+    assert(out("a").getAs[Double]("boost") < 1.0)
+  }
 }
