@@ -22,16 +22,19 @@ class StreamingOpsSpec extends AnyFunSuite {
     dir
   }
 
-  // ts is parquet TIMESTAMP(NANOS) → long under nanosAsLong
-  private val eventsSchema = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
+  // schema-adaptive (the driver's events.parquet has shipped both
+  // TIMESTAMP(NANOS)-as-long and TIMESTAMP(MICROS)): read with the RAW
+  // file schema, then normalize to the ts/ts_ns contract exactly like
+  // Tables.events does for batch reads
+  private def rawEventsSchema: StructType =
+    graft.Tables.table(spark, "/root/testdata/sf0.001", "events").schema
+  private def eventsStream(dir: Path) =
+    graft.Tables.normalizeEvents(
+      spark.readStream.schema(rawEventsSchema).parquet(dir.toString))
 
   test("windowed agg with watermark matches the batch equivalent") {
     val dir = eventsStreamDir()
-    val stream = spark.readStream.schema(eventsSchema).parquet(dir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stream = eventsStream(dir)
     val q = StreamingOps.runToMemory(
       StreamingOps.hourlyEventCounts(stream, "ts"), "hourly_ev", outputMode = "complete")
     try {
@@ -49,8 +52,7 @@ class StreamingOpsSpec extends AnyFunSuite {
 
   test("hopping-window agg: each event lands in exactly windowLen/slide windows") {
     val dir = eventsStreamDir()
-    val stream = spark.readStream.schema(eventsSchema).parquet(dir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stream = eventsStream(dir)
     val q = StreamingOps.runToMemory(
       StreamingOps.hoppingEventCounts(stream, "ts"), "hopping_ev", outputMode = "complete")
     try {
@@ -139,7 +141,7 @@ class StreamingOpsSpec extends AnyFunSuite {
 
   test("stream-static join: streaming events enriched with a static dimension") {
     val dir = eventsStreamDir()
-    val stream = spark.readStream.schema(eventsSchema).parquet(dir.toString)
+    val stream = eventsStream(dir)
     val dim = Seq(("click", "interaction"), ("view", "interaction"),
       ("purchase", "commerce"), ("signup", "account"), ("error", "ops"))
       .toDF("event_type", "category")
@@ -159,8 +161,7 @@ class StreamingOpsSpec extends AnyFunSuite {
 
   test("stream-stream range join (watermarked, state-bounded) matches batch") {
     val dir = eventsStreamDir()
-    def src = spark.readStream.schema(eventsSchema).parquet(dir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    def src = eventsStream(dir)
     val left = src.select(col("event_id"), col("user_id"), col("ts"))
     val right = src.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("ts").as("p_ts"), col("value"))
@@ -190,8 +191,7 @@ class StreamingOpsSpec extends AnyFunSuite {
 
   test("streaming session_window aggregation with watermark matches batch sessions") {
     val dir = eventsStreamDir()
-    val stream = spark.readStream.schema(eventsSchema).parquet(dir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stream = eventsStream(dir)
       .withWatermark("ts", "1 hour")
       .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
       .agg(count(lit(1)).as("n"))
