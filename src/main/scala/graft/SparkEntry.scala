@@ -2223,6 +2223,27 @@ object SparkEntry {
       graft.operators.TextAnalysis.goodTuring(t(s, d, "documents"),
         "text")),
 
+    // Cross-source duplicate leakage matrix (60-char head fingerprint)
+    "q241_source_leakage" -> ((s, d) =>
+      graft.operators.TrainingData.crossSourceLeakage(
+        t(s, d, "documents"), "source", "text", prefixChars = 60)),
+
+    // Skip-gram (±2) PMI collocations, canonicalized pairs, min count 5
+    "q242_skipgram_pmi" -> ((s, d) =>
+      graft.operators.TextAnalysis.skipgramPmi(t(s, d, "documents"),
+        "text")),
+
+    // Embedding-norm health: nearest-rank quartiles on the distinct-
+    // norm frame, Tukey-fence outliers, zero-vector census
+    "q243_norm_stats" -> ((s, d) =>
+      graft.operators.Similarity.normStats(t(s, d, "embeddings"),
+        "embedding")),
+
+    // One-row corpus datasheet
+    "q244_datasheet" -> ((s, d) =>
+      graft.operators.Curation.datasheet(t(s, d, "documents"),
+        "source", "text")),
+
     // Windowed funnel: view→click→purchase where each step lands within
     // 24h of the previous completion (the realistic conversion window)
     "q174_windowed_funnel" -> ((s, d) => {
@@ -5884,6 +5905,103 @@ object SparkEntry {
         |  UNION ALL SELECT c FROM tri)
         |SELECT n AS part, count(*)::BIGINT AS n_triangles FROM nodes
         |GROUP BY n ORDER BY n_triangles DESC, n LIMIT 20""".stripMargin,
+
+    // Leakage replay: same md5 head-fingerprint identity and pair join
+    "q241_source_leakage" ->
+      """WITH sh AS (SELECT DISTINCT source AS g,
+        |    md5(substring(text, 1, 60)) AS h
+        |  FROM documents WHERE text IS NOT NULL),
+        |sz AS (SELECT g, count(*)::BIGINT AS nd FROM sh GROUP BY g),
+        |iv AS (SELECT a.g AS g1, b.g AS g2, count(*)::BIGINT AS n_shared
+        |  FROM sh a JOIN sh b ON a.h = b.h AND a.g < b.g
+        |  GROUP BY a.g, b.g)
+        |SELECT g1, g2, n_shared,
+        |  round(n_shared::DOUBLE / s1.nd::DOUBLE, 4) AS share_of_g1,
+        |  round(n_shared::DOUBLE / s2.nd::DOUBLE, 4) AS share_of_g2
+        |FROM iv JOIN sz s1 ON s1.g = iv.g1
+        |JOIN sz s2 ON s2.g = iv.g2""".stripMargin,
+
+    // Skip-gram PMI replay: same in-list pair construction (position ×
+    // offset flatten, least/greatest canonicalization), exact counts
+    "q242_skipgram_pmi" ->
+      s"""WITH tk AS (SELECT $tokensSql AS toks FROM documents),
+         |pr AS (SELECT
+         |    least(toks[i], toks[i + d]) AS w1,
+         |    greatest(toks[i], toks[i + d]) AS w2
+         |  FROM (SELECT toks, unnest(generate_series(1, len(toks) - 1))
+         |      AS i FROM tk WHERE len(toks) >= 2),
+         |    (SELECT unnest(generate_series(1, 2)) AS d)
+         |  WHERE i + d <= len(toks) AND toks[i] <> toks[i + d]),
+         |pc AS (SELECT w1, w2, count(*)::BIGINT AS c FROM pr
+         |  GROUP BY w1, w2 HAVING count(*) >= 5),
+         |mg AS (SELECT w, count(*)::BIGINT AS cw FROM (
+         |    SELECT w1 AS w FROM pr UNION ALL SELECT w2 FROM pr)
+         |  GROUP BY w),
+         |tt AS (SELECT count(*)::BIGINT AS t FROM pr)
+         |SELECT pc.w1, pc.w2, pc.c AS pair_count,
+         |  round(ln((pc.c * tt.t)::DOUBLE
+         |    / (m1.cw * m2.cw)::DOUBLE), 4) + 0.0 AS pmi
+         |FROM pc JOIN mg m1 ON m1.w = pc.w1
+         |JOIN mg m2 ON m2.w = pc.w2 CROSS JOIN tt
+         |WHERE m1.cw >= 5 AND m2.cw >= 5""".stripMargin,
+
+    // Norm-stats replay: index-ordered Σx² folds + √, distinct-norm
+    // cumulative quartiles, same fence sequence
+    "q243_norm_stats" ->
+      """WITH nr AS (SELECT sqrt(list_reduce(list_prepend(0.0,
+        |    list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)),
+        |    (a, b) -> a + b)) AS norm FROM embeddings),
+        |g AS (SELECT norm, count(*)::BIGINT AS c FROM nr GROUP BY norm),
+        |cu AS (SELECT norm, c, sum(c) OVER (ORDER BY norm)::BIGINT AS cu,
+        |    (SELECT count(*) FROM nr)::BIGINT AS n FROM g),
+        |qs AS (SELECT max(n)::BIGINT AS n,
+        |    min(CASE WHEN cu >= (25 * n + 99) // 100 THEN norm END)
+        |      AS p25,
+        |    min(CASE WHEN cu >= (50 * n + 99) // 100 THEN norm END)
+        |      AS p50,
+        |    min(CASE WHEN cu >= (75 * n + 99) // 100 THEN norm END)
+        |      AS p75
+        |  FROM cu)
+        |SELECT qs.n AS n_vectors, round(qs.p25, 4) AS p25,
+        |  round(qs.p50, 4) AS p50, round(qs.p75, 4) AS p75,
+        |  (SELECT coalesce(sum(CASE WHEN g.norm >
+        |      qs.p75 + 1.5::DOUBLE * (qs.p75 - qs.p25) THEN g.c
+        |      ELSE 0 END), 0) FROM g)::BIGINT AS n_outliers,
+        |  (SELECT coalesce(sum(CASE WHEN g.norm = 0.0 THEN g.c
+        |      ELSE 0 END), 0) FROM g)::BIGINT AS n_zero
+        |FROM qs""".stripMargin,
+
+    // Datasheet replay: exact counts, md5 dup census, distinct-length
+    // median
+    "q244_datasheet" ->
+      s"""WITH b AS (SELECT source AS g, text AS t, $tokensSql AS toks
+         |  FROM documents),
+         |c AS (SELECT count(*)::BIGINT AS n_docs,
+         |    count(DISTINCT g)::BIGINT AS n_sources,
+         |    sum(CASE WHEN t IS NULL THEN 1 ELSE 0 END)::BIGINT
+         |      AS n_null_text,
+         |    sum(coalesce(len(toks), 0))::BIGINT AS n_tokens,
+         |    count(DISTINCT CASE WHEN t IS NOT NULL THEN md5(t) END)
+         |      ::BIGINT AS nd
+         |  FROM b),
+         |v AS (SELECT count(DISTINCT tok)::BIGINT AS n_vocab FROM
+         |  (SELECT unnest(toks) AS tok FROM b)),
+         |lg AS (SELECT len(toks)::BIGINT AS len, count(*)::BIGINT AS c
+         |  FROM b WHERE t IS NOT NULL GROUP BY len(toks)),
+         |nl AS (SELECT sum(c)::BIGINT AS nl FROM lg),
+         |cu AS (SELECT len, sum(c) OVER (ORDER BY len)::BIGINT AS cu,
+         |    nl.nl FROM lg CROSS JOIN nl),
+         |md AS (SELECT min(CASE WHEN cu >= (50 * nl + 99) // 100
+         |    THEN len END)::BIGINT AS p50_doc_tokens FROM cu)
+         |SELECT c.n_docs, c.n_sources, c.n_null_text, c.n_tokens,
+         |  v.n_vocab,
+         |  (c.n_docs - c.n_null_text - c.nd)::BIGINT AS n_exact_dups,
+         |  round((c.n_docs - c.n_null_text - c.nd)::DOUBLE
+         |    / (c.n_docs - c.n_null_text)::DOUBLE, 4) AS dup_rate,
+         |  round(c.n_tokens::DOUBLE
+         |    / (c.n_docs - c.n_null_text)::DOUBLE, 4) AS mean_doc_tokens,
+         |  md.p50_doc_tokens
+         |FROM c CROSS JOIN v CROSS JOIN md""".stripMargin,
 
     // Mixture replay: same √ shares and group-ordered denominator fold
     "q237_temperature_mixture" ->

@@ -124,4 +124,49 @@ object Curation {
         afterNearDedup = counts.getOrElse("near", 0L))
     } finally qualityGated.unpersist()
   }
+
+  /** One-row corpus datasheet — the "Datasheets for Datasets"-style
+    * summary a release ships with: document/source/token/vocabulary
+    * counts, exact-duplicate census (md5 identity, the q241
+    * convention), and token-length centrals. Every number is an exact
+    * integer or a single divide; the median uses the aggregated
+    * distinct-length frame (q214 stance).
+    */
+  def datasheet(df: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    val base = df.select(col(groupCol).as("g"), col(textCol).as("t"),
+      tokens(col(textCol)).as("__toks"))
+    val counts = base.agg(
+      count(lit(1)).as("n_docs"),
+      count_distinct(col("g")).as("n_sources"),
+      sum(when(col("t").isNull, 1L).otherwise(0L)).as("n_null_text"),
+      // size(NULL) is −1 under legacy sizeOfNull, not NULL — gate on
+      // the text column, never coalesce the size
+      sum(when(col("t").isNull, 0L)
+        .otherwise(size(col("__toks")).cast("long"))).as("n_tokens"),
+      count_distinct(when(col("t").isNotNull, md5(col("t"))))
+        .as("__n_distinct"))
+    val vocab = base.select(explode(col("__toks")).as("tok"))
+      .agg(count_distinct(col("tok")).as("n_vocab"))
+    val lens = base.filter(col("t").isNotNull)
+      .select(size(col("__toks")).cast("long").as("len"))
+    val lenGrp = lens.groupBy(col("len")).agg(count(lit(1)).as("c"))
+    val wv = org.apache.spark.sql.expressions.Window.orderBy(col("len"))
+    val med = lenGrp.withColumn("__cu", sum(col("c")).over(wv))
+      .crossJoin(broadcast(lens.agg(count(lit(1)).as("__nl"))))
+      .agg(min(when(col("__cu") >= expr("(50 * __nl + 99) div 100"),
+        col("len"))).as("p50_doc_tokens"))
+    counts.crossJoin(broadcast(vocab)).crossJoin(broadcast(med))
+      .select(col("n_docs"), col("n_sources"), col("n_null_text"),
+        col("n_tokens"), col("n_vocab"),
+        (col("n_docs") - col("n_null_text") - col("__n_distinct"))
+          .as("n_exact_dups"),
+        round((col("n_docs") - col("n_null_text") - col("__n_distinct"))
+          .cast("double") /
+          (col("n_docs") - col("n_null_text")).cast("double"), 4)
+          .as("dup_rate"),
+        round(col("n_tokens").cast("double") /
+          (col("n_docs") - col("n_null_text")).cast("double"), 4)
+          .as("mean_doc_tokens"),
+        col("p50_doc_tokens"))
+  }
 }

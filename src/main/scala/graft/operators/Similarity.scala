@@ -269,4 +269,42 @@ object Similarity {
       .select(col("corpus_a"), col("corpus_b"), col("n_shared"),
         col("jaccard_est"), col("union_est"), col("intersect_est"))
   }
+
+  /** Embedding-norm health report: exact nearest-rank quartiles of the
+    * L2 norms plus a Tukey-fence outlier census — the first screen for
+    * a broken encoder batch (all-zero rows, exploding norms, a bimodal
+    * mix of normalized and raw vectors). Norms are index-ordered
+    * Σx² folds + one correctly-rounded √ (bit-exact both engines);
+    * quartile picks are q161 integer nearest-rank; the fence
+    * p75 + 1.5·(p75 − p25) is a fixed double sequence and the outlier
+    * comparison runs on raw doubles. One row out.
+    */
+  def normStats(df: DataFrame, vecCol: String): DataFrame = {
+    val norms = df.select(
+      sqrt(aggregate(transform(col(vecCol), x => x.cast("double")),
+        lit(0.0), (acc, x) => acc + x * x)).as("norm"))
+    // quartiles on the AGGREGATED distinct-norm frame (q214 stance —
+    // no corpus-wide row window): nearest-rank value = smallest norm
+    // whose cumulative count reaches the integer rank target
+    val grp = norms.groupBy(col("norm")).agg(count(lit(1)).as("c"))
+    val wv = Window.orderBy(col("norm"))
+    val cum = grp.withColumn("__cu", sum(col("c")).over(wv))
+      .crossJoin(broadcast(norms.agg(count(lit(1)).as("__n"))))
+    def pick(p: Int): Column =
+      min(when(col("__cu") >= expr(s"($p * __n + 99) div 100"),
+        col("norm")))
+    val qs = cum.agg(max(col("__n")).as("n"),
+      pick(25).as("__p25"), pick(50).as("__p50"), pick(75).as("__p75"))
+    val fence = col("__p75") + lit(1.5) * (col("__p75") - col("__p25"))
+    cum.crossJoin(broadcast(qs))
+      .withColumn("__fence", fence)
+      .agg(max(col("n")).as("n_vectors"),
+        round(max(col("__p25")), 4).as("p25"),
+        round(max(col("__p50")), 4).as("p50"),
+        round(max(col("__p75")), 4).as("p75"),
+        sum(when(col("norm") > col("__fence"), col("c")).otherwise(0L))
+          .as("n_outliers"),
+        sum(when(col("norm") === 0.0, col("c")).otherwise(0L))
+          .as("n_zero"))
+  }
 }

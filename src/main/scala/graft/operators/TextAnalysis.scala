@@ -990,6 +990,51 @@ object TextAnalysis {
       .select(col("id").as(idCol), col("n_occurrences"))
   }
 
+  /** Skip-gram PMI collocations: unordered token pairs co-occurring
+    * within `window` positions (the word2vec-style context window —
+    * q126's ADJACENT pairs generalized), PMI = ln(c·T / (c₁·c₂)) from
+    * exact integer counts. Pair instances are built IN-ROW (a flatten
+    * over (position, offset) — no token explode precedes the count),
+    * pairs are canonicalized (least, greatest) so (a,b) ≡ (b,a), and
+    * self-pairs are dropped. minCount floors both the pair and the
+    * word marginals. Set output (no rank); the 2^53 integer-product
+    * guard and the −0.0 canonicalization follow q126.
+    */
+  def skipgramPmi(df: DataFrame, textCol: String, window: Int = 2,
+      minCount: Long = 5L): DataFrame = {
+    require(window >= 1, "window must be >= 1")
+    val staged = df.select(tokens(col(textCol)).as("__toks"))
+      .filter(size(col("__toks")) >= 2)
+    val pairsArr = flatten(transform(
+      sequence(lit(1), (size(col("__toks")) - 1).cast("int")),
+      i => filter(
+        transform(sequence(lit(1), lit(window)), d =>
+          when(i + d <= size(col("__toks")),
+            struct(
+              least(element_at(col("__toks"), i),
+                element_at(col("__toks"), i + d)).as("w1"),
+              greatest(element_at(col("__toks"), i),
+                element_at(col("__toks"), i + d)).as("w2")))),
+        p => p.isNotNull && p.getField("w1") =!= p.getField("w2"))))
+    val pairs = staged.select(explode(pairsArr).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val pairCnt = pairs.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") >= minCount)
+    val marg = pairs.select(explode(array(col("w1"), col("w2"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cw"))
+    val total = pairs.agg(count(lit(1)).as("__t"))
+    pairCnt
+      .join(marg.select(col("w").as("w1"), col("cw").as("__c1")), Seq("w1"))
+      .join(marg.select(col("w").as("w2"), col("cw").as("__c2")), Seq("w2"))
+      .crossJoin(broadcast(total))
+      .filter(col("__c1") >= minCount && col("__c2") >= minCount)
+      .select(col("w1"), col("w2"), col("c").as("pair_count"),
+        (round(log((col("c") * col("__t")).cast("double") /
+          (col("__c1") * col("__c2")).cast("double")), 4) + lit(0.0))
+          .as("pmi"))
+  }
+
   /** Frequency-of-frequencies table with Good-Turing estimates: for
     * each occurrence count c = 1..`maxC`, the number of token TYPES
     * seen exactly c times (N_c), the Good-Turing discounted count

@@ -504,6 +504,43 @@ object TrainingData {
         col("__m.cid").as("neg_id"), col("__m.clab").as("neg_label"))
   }
 
+  /** Cross-source duplicate-leakage matrix: for every source pair, how
+    * many shared document identities appear in BOTH — the "is my test
+    * split contaminated by my train split's sources?" report at source
+    * granularity, plus each side's share. Identity is the md5 of the
+    * first `prefixChars` characters (0 = the whole text): head
+    * fingerprints are the standard cheap heuristic because boilerplate
+    * and copy-paste share openings long before they share full bodies.
+    * The doc-level q23/q92 exact machinery aggregated to the level
+    * data-mixing decisions are made at.
+    *
+    * Exact integers + single-divide 4dp shares. One (source, hash)
+    * distinct shuffle; the pair join carries only hashes.
+    */
+  def crossSourceLeakage(df: DataFrame, groupCol: String,
+      textCol: String, prefixChars: Int = 0): DataFrame = {
+    val key = if (prefixChars > 0) substring(col(textCol), 1, prefixChars)
+      else col(textCol)
+    val sh = df.filter(col(textCol).isNotNull)
+      .select(col(groupCol).as("g"), md5(key).as("h"))
+      .distinct()
+    val sizes = sh.groupBy(col("g")).agg(count(lit(1)).as("nd"))
+    val inter = sh.select(col("g").as("g1"), col("h"))
+      .join(sh.select(col("g").as("g2"), col("h")), Seq("h"))
+      .filter(col("g1") < col("g2"))
+      .groupBy(col("g1"), col("g2")).agg(count(lit(1)).as("n_shared"))
+    inter
+      .join(broadcast(sizes.select(col("g").as("g1"), col("nd").as("__n1"))),
+        Seq("g1"))
+      .join(broadcast(sizes.select(col("g").as("g2"), col("nd").as("__n2"))),
+        Seq("g2"))
+      .select(col("g1"), col("g2"), col("n_shared"),
+        round(col("n_shared").cast("double") / col("__n1").cast("double"), 4)
+          .as("share_of_g1"),
+        round(col("n_shared").cast("double") / col("__n2").cast("double"), 4)
+          .as("share_of_g2"))
+  }
+
   /** Temperature-scaled mixture weights at τ = 0.5 (the multilingual-
     * sampling formula: p_s ∝ n_s^τ — upsample the tail, downsample the
     * head): per source, the raw token share, the √-scaled share, and
@@ -518,9 +555,11 @@ object TrainingData {
     */
   def temperatureMixture(df: DataFrame, groupCol: String,
       textCol: String): DataFrame = {
+    // size(NULL) is −1 under legacy sizeOfNull — gate on the text column
     val counts = df.select(col(groupCol).as("g"),
-        graft.functions.TextFunctions.tokens(col(textCol)).as("__t"))
-      .select(col("g"), coalesce(size(col("__t")), lit(0)).as("__n"))
+        when(col(textCol).isNull, 0)
+          .otherwise(size(graft.functions.TextFunctions.tokens(col(textCol))))
+          .as("__n"))
       .groupBy(col("g")).agg(sum(col("__n")).cast("long").as("n_tokens"))
     val stats = counts.agg(
       sum(col("n_tokens")).as("__tot"),

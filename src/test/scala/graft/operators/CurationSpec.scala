@@ -60,4 +60,21 @@ class CurationSpec extends AnyFunSuite {
     assert(row.getAs[Int]("n_tokens") > 10)
     assert(row.getAs[Double]("quality_score") > 0.3)
   }
+
+  test("datasheet: one-row corpus summary with exact dup census") {
+    val df = Seq(
+      ("a", "x y z"), ("a", "x y z"),      // exact dup pair
+      ("b", "p q"), ("b", null))           // null text excluded from dups
+      .toDF("source", "text")
+    val r = Curation.datasheet(df, "source", "text").collect().head
+    assert(r.getAs[Long]("n_docs") == 4L)
+    assert(r.getAs[Long]("n_sources") == 2L)
+    assert(r.getAs[Long]("n_null_text") == 1L)
+    assert(r.getAs[Long]("n_tokens") == 8L)
+    assert(r.getAs[Long]("n_vocab") == 5L)
+    assert(r.getAs[Long]("n_exact_dups") == 1L)
+    assert(r.getAs[Double]("dup_rate") == 0.3333)
+    // doc token lengths 3,3,2 → median rank ⌈1.5⌉=2 → 3
+    assert(r.getAs[Long]("p50_doc_tokens") == 3L)
+  }
 }

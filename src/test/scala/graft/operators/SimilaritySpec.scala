@@ -114,4 +114,24 @@ class SimilaritySpec extends AnyFunSuite {
       .select("corpus_id").as[Long].collect().toSet
     assert(ids == Set(3L))
   }
+
+  test("normStats: quartiles, Tukey outliers, zero-vector census") {
+    // norms: 3,4,5 → quartile ranks over 7 rows; one zero vector; one
+    // huge-norm outlier
+    val vecs = Seq(
+      (1L, Array(3.0f, 0f)), (2L, Array(0f, 4.0f)), (3L, Array(3.0f, 4.0f)),
+      (4L, Array(3.0f, 0f)), (5L, Array(0f, 4.0f)),
+      (6L, Array(0f, 0f)), (7L, Array(300.0f, 400.0f)))
+      .toDF("vec_id", "embedding")
+    val r = Similarity.normStats(vecs, "embedding").collect().head
+    assert(r.getAs[Long]("n_vectors") == 7L)
+    // sorted norms: 0,3,3,4,4,5,500 → p25 rank ⌈1.75⌉=2 → 3;
+    // p50 rank 4 → 4; p75 rank ⌈5.25⌉=6 → 5
+    assert(r.getAs[Double]("p25") == 3.0)
+    assert(r.getAs[Double]("p50") == 4.0)
+    assert(r.getAs[Double]("p75") == 5.0)
+    // fence = 5 + 1.5·2 = 8 → only the 500 norm exceeds
+    assert(r.getAs[Long]("n_outliers") == 1L)
+    assert(r.getAs[Long]("n_zero") == 1L)
+  }
 }

@@ -505,6 +505,21 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(tri == Map(1L -> 2L))
   }
 
+  test("skipgramPmi: window pairs, canonical order, min-count floor") {
+    // "a b" adjacent 6× and "a _ b" at distance 2 via "a c b" 2× →
+    // pair (a,b) counted at both offsets; self-pairs dropped
+    val df = Seq.fill(6)((1L, "a b")) ++ Seq.fill(2)((2L, "a c b")) ++
+      Seq.fill(5)((3L, "z z"))
+    val out = TextAnalysis.skipgramPmi(df.toDF("doc_id", "text"),
+      "text", window = 2, minCount = 5)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        r.getAs[Long]("pair_count")).toMap
+    // (a,b): 6 adjacent + 2 distance-2 = 8 ≥ 5 → kept; (a,c)/(c,b)
+    // appear 2× each → floored out; (z,z) self-pair → dropped
+    assert(out.keySet == Set(("a", "b")))
+    assert(out(("a", "b")) == 8L)
+  }
+
   test("goodTuring: frequency-of-frequencies and unseen mass") {
     // a:1, b:1, c:2, d:3 → N=7, N1=2, N2=1, N3=1
     val df = Seq((1L, "a b c d"), (2L, "c d d")).toDF("doc_id", "text")

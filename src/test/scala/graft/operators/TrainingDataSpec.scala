@@ -290,6 +290,29 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(rows.map(key).toSet == again.map(key).toSet)
   }
 
+  test("crossSourceLeakage: shared identities per source pair, head fingerprint") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      ("a", "shared doc one"), ("a", "only in a"),
+      ("b", "shared doc one"), ("b", "also only b"),
+      ("c", "shared doc one"), ("c", "only in a"))  // c shares with a AND b
+      .toDF("source", "text")
+    val out = TrainingData.crossSourceLeakage(df, "source", "text")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("n_shared"), r.getAs[Double]("share_of_g1"))).toMap
+    assert(out(("a", "b")) == (1L, 0.5))
+    assert(out(("a", "c")) == (2L, 1.0)) // both of a's docs leak into c
+    assert(out(("b", "c")) == (1L, 0.5))
+    // prefix fingerprint: texts sharing the first 10 chars collide
+    val px = Seq(("a", "same-head AAAA"), ("b", "same-head BBBB"))
+      .toDF("source", "text")
+    assert(TrainingData.crossSourceLeakage(px, "source", "text")
+      .count() == 0) // full-text identity: no leak
+    val hit = TrainingData.crossSourceLeakage(px, "source", "text",
+      prefixChars = 9).collect()
+    assert(hit.length == 1 && hit.head.getAs[Long]("n_shared") == 1L)
+  }
+
   test("temperatureMixture: sqrt scaling compresses the head, boosts the tail") {
     // source a: 9 tokens, b: 1 token → raw 0.9/0.1; temp √9/(√9+√1)
     // = 0.75 and 0.25 → tail boosted 2.5×, head damped
