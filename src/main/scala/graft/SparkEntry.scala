@@ -2244,6 +2244,32 @@ object SparkEntry {
       graft.operators.Curation.datasheet(t(s, d, "documents"),
         "source", "text")),
 
+    // Burst intervals: hourly counts > 2× mean (cross-multiplied BIGINT
+    // flag), consecutive flagged hours merged
+    "q245_bursts" -> ((s, d) =>
+      graft.operators.EventAnalytics.burstIntervals(Tables.events(s, d),
+        "ts", factor = 2L)),
+
+    // Cohen's kappa between two deterministic doc gates: length ≥ 400
+    // chars vs token count ≥ 80
+    "q246_cohens_kappa" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .filter(col("n_chars").isNotNull && col("text").isNotNull)
+      graft.operators.EventAnalytics.cohensKappa(docs,
+        col("n_chars") >= 400,
+        size(graft.functions.TextFunctions.tokens(col("text"))) >= 80)
+    }),
+
+    // Lead-lag cross-correlation of view vs purchase hourly series
+    "q247_cross_correlation" -> ((s, d) =>
+      graft.operators.EventAnalytics.crossCorrelation(Tables.events(s, d),
+        "ts", "event_type", "view", "purchase")),
+
+    // Per-user churn-feature matrix
+    "q248_user_features" -> ((s, d) =>
+      graft.operators.EventAnalytics.userFeatures(Tables.events(s, d),
+        "user_id", "ts", "value")),
+
     // Windowed funnel: view→click→purchase where each step lands within
     // 24h of the previous completion (the realistic conversion window)
     "q174_windowed_funnel" -> ((s, d) => {
@@ -5905,6 +5931,117 @@ object SparkEntry {
         |  UNION ALL SELECT c FROM tri)
         |SELECT n AS part, count(*)::BIGINT AS n_triangles FROM nodes
         |GROUP BY n ORDER BY n_triangles DESC, n LIMIT 20""".stripMargin,
+
+    // Burst replay: same cross-multiplied flag and hour islands
+    "q245_bursts" ->
+      """WITH h AS (SELECT epoch_us(ts) // 3600000000 AS h,
+        |    count(*)::BIGINT AS c FROM events GROUP BY 1),
+        |st AS (SELECT count(*)::BIGINT AS nh, sum(c)::BIGINT AS tot
+        |  FROM h),
+        |f AS (SELECT h.h, h.c FROM h CROSS JOIN st
+        |  WHERE h.c * st.nh > 2 * st.tot),
+        |l AS (SELECT h, c, lag(h) OVER (ORDER BY h) AS p FROM f),
+        |i AS (SELECT h, c,
+        |    sum(CASE WHEN p IS NULL OR h - p > 1 THEN 1 ELSE 0 END)
+        |      OVER (ORDER BY h
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS b
+        |  FROM l)
+        |SELECT min(h)::BIGINT AS start_hour, max(h)::BIGINT AS end_hour,
+        |  count(*)::BIGINT AS n_hours, max(c)::BIGINT AS peak_count,
+        |  sum(c)::BIGINT AS total_events
+        |FROM i GROUP BY b""".stripMargin,
+
+    // Kappa replay: same 2×2 integer cells and fixed double sequence
+    "q246_cohens_kappa" ->
+      s"""WITH b AS (SELECT n_chars >= 400 AS a,
+         |    len($tokensSql) >= 80 AS b FROM documents
+         |  WHERE n_chars IS NOT NULL AND text IS NOT NULL),
+         |c AS (SELECT count(*)::BIGINT AS n,
+         |    sum(CASE WHEN a AND b THEN 1 ELSE 0 END)::BIGINT AS n11,
+         |    sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END)::BIGINT AS n10,
+         |    sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END)::BIGINT AS n01,
+         |    sum(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END)::BIGINT
+         |      AS n00
+         |  FROM b)
+         |SELECT n, n11, n10, n01, n00,
+         |  round((n11 + n00)::DOUBLE / n::DOUBLE, 4)
+         |    AS observed_agreement,
+         |  round(((n11 + n10)::DOUBLE / n::DOUBLE)
+         |      * ((n11 + n01)::DOUBLE / n::DOUBLE)
+         |    + ((n01 + n00)::DOUBLE / n::DOUBLE)
+         |      * ((n10 + n00)::DOUBLE / n::DOUBLE), 4)
+         |    AS expected_agreement,
+         |  round(((n11 + n00)::DOUBLE / n::DOUBLE
+         |    - (((n11 + n10)::DOUBLE / n::DOUBLE)
+         |        * ((n11 + n01)::DOUBLE / n::DOUBLE)
+         |      + ((n01 + n00)::DOUBLE / n::DOUBLE)
+         |        * ((n10 + n00)::DOUBLE / n::DOUBLE)))
+         |    / (1.0::DOUBLE - (((n11 + n10)::DOUBLE / n::DOUBLE)
+         |        * ((n11 + n01)::DOUBLE / n::DOUBLE)
+         |      + ((n01 + n00)::DOUBLE / n::DOUBLE)
+         |        * ((n10 + n00)::DOUBLE / n::DOUBLE))), 4) AS kappa
+         |FROM c""".stripMargin,
+
+    // Cross-correlation replay: same dense spine, full-series means/
+    // variances, overlap-only numerator folds in hour order
+    "q247_cross_correlation" ->
+      """WITH e AS (SELECT epoch_us(ts) // 3600000000 AS h, event_type
+        |    AS t FROM events WHERE event_type IN ('view', 'purchase')),
+        |sp AS (SELECT unnest(generate_series(
+        |    (SELECT min(h) FROM e), (SELECT max(h) FROM e))) AS h),
+        |cnt AS (SELECT h, t, count(*)::BIGINT AS c FROM e GROUP BY h, t),
+        |se AS (SELECT sp.h,
+        |    coalesce(ca.c, 0)::DOUBLE AS a, coalesce(cb.c, 0)::DOUBLE AS b
+        |  FROM sp LEFT JOIN cnt ca ON ca.h = sp.h AND ca.t = 'view'
+        |  LEFT JOIN cnt cb ON cb.h = sp.h AND cb.t = 'purchase'),
+        |pk AS (SELECT count(*)::BIGINT AS n,
+        |    list(a ORDER BY h) AS xa, list(b ORDER BY h) AS xb FROM se),
+        |ms AS (SELECT n, xa, xb,
+        |    list_reduce(list_prepend(0.0, xa), (x, y) -> x + y)
+        |      / n::DOUBLE AS ma,
+        |    list_reduce(list_prepend(0.0, xb), (x, y) -> x + y)
+        |      / n::DOUBLE AS mb
+        |  FROM pk),
+        |ds AS (SELECT n, xa, xb, ma, mb,
+        |    list_reduce(list_prepend(0.0, list_transform(xa,
+        |      x -> (x - ma) * (x - ma))), (x, y) -> x + y) AS da,
+        |    list_reduce(list_prepend(0.0, list_transform(xb,
+        |      x -> (x - mb) * (x - mb))), (x, y) -> x + y) AS db
+        |  FROM ms),
+        |lg AS (SELECT unnest(generate_series(-3, 3)) AS lag_hours)
+        |SELECT ds.n AS n_hours, lg.lag_hours,
+        |  round((CASE WHEN ds.n > abs(lg.lag_hours) THEN
+        |    list_reduce(list_prepend(0.0,
+        |      list_transform(generate_series(1,
+        |          (ds.n - abs(lg.lag_hours))::INT),
+        |        i -> (ds.xa[(i + greatest(-lg.lag_hours, 0))::INT]
+        |            - ds.ma)
+        |          * (ds.xb[(i + greatest(lg.lag_hours, 0))::INT]
+        |            - ds.mb))),
+        |      (x, y) -> x + y)
+        |    ELSE 0.0 END) / sqrt(ds.da * ds.db), 4) AS xcorr
+        |FROM ds CROSS JOIN lg""".stripMargin,
+
+    // Feature-matrix replay: exact aggregates + single divides
+    "q248_user_features" ->
+      """WITH e AS (SELECT user_id AS u, epoch_us(ts) AS us,
+        |    value::DECIMAL(18,6) AS v FROM events),
+        |mx AS (SELECT max(us) AS ref FROM e),
+        |g AS (SELECT u, count(*)::BIGINT AS n_events,
+        |    (max(us) - min(us)) // 86400000000 AS tenure_days,
+        |    (max(mx.ref) - max(us)) // 86400000000 AS recency_days,
+        |    (coalesce(sum(v), 0::DECIMAL(18,6))::DECIMAL(18,6))::DOUBLE
+        |      AS total,
+        |    count(v)::BIGINT AS nv
+        |  FROM e CROSS JOIN mx GROUP BY u)
+        |SELECT u AS user_id, n_events, tenure_days, recency_days,
+        |  round(total, 4) AS total_value,
+        |  round(CASE WHEN nv > 0 THEN total / nv::DOUBLE ELSE 0.0 END, 4)
+        |    AS mean_value,
+        |  round(CASE WHEN n_events > 1
+        |    THEN tenure_days::DOUBLE / (n_events - 1)::DOUBLE
+        |    ELSE 0.0 END, 4) AS days_per_event
+        |FROM g""".stripMargin,
 
     // Leakage replay: same md5 head-fingerprint identity and pair join
     "q241_source_leakage" ->

@@ -842,6 +842,164 @@ object EventAnalytics {
       .select(outCols: _*)
   }
 
+  /** Burst detection over the hourly event-count series: hours whose
+    * count exceeds `factor`× the corpus hourly mean are flagged, and
+    * CONSECUTIVE flagged hours merge into one burst interval (the
+    * gaps-and-islands move on the flagged hour frame) — the "did
+    * something spike, when, and how hard?" report. Returns one row per
+    * burst: start/end hour, length, peak count, total events.
+    *
+    * Counts are exact integers; the mean is one divide and the flag
+    * comparison cross-multiplies (count·n_hours > factor·total) in
+    * BIGINT so no FP threshold exists at all. The hour frame is
+    * calendar-bounded (q228 stance).
+    */
+  def burstIntervals(events: DataFrame, tsCol: String,
+      factor: Long = 3L): DataFrame = {
+    val hourUs = 3600000000L
+    val hours = events
+      .select(expr(s"unix_micros($tsCol) div ${hourUs}L").as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("c"))
+    val stats = hours.agg(count(lit(1)).as("__nh"), sum(col("c")).as("__tot"))
+    val flagged = hours.crossJoin(broadcast(stats))
+      .filter(col("c") * col("__nh") > lit(factor) * col("__tot"))
+    val w = Window.orderBy(col("h"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    flagged
+      .withColumn("__p", lag(col("h"), 1).over(w))
+      .withColumn("__new",
+        when(col("__p").isNull || col("h") - col("__p") > 1, 1L)
+          .otherwise(0L))
+      .withColumn("__b", sum(col("__new")).over(wRun))
+      .groupBy(col("__b"))
+      .agg(min(col("h")).as("start_hour"), max(col("h")).as("end_hour"),
+        count(lit(1)).as("n_hours"), max(col("c")).as("peak_count"),
+        sum(col("c")).as("total_events"))
+      .select(col("start_hour"), col("end_hour"), col("n_hours"),
+        col("peak_count"), col("total_events"))
+  }
+
+  /** Cohen's kappa between two binary raters — chance-corrected
+    * agreement, the eval-stack staple for "do my two quality gates
+    * actually agree beyond base rates?". Observed and expected
+    * agreement are exact integer quotients; κ = (pₒ − pₑ)/(1 − pₑ) is
+    * a fixed double sequence over them, 4dp, with the 2×2 cell counts
+    * reported alongside.
+    */
+  def cohensKappa(df: DataFrame, raterA: Column, raterB: Column): DataFrame = {
+    val b = df.select(raterA.cast("boolean").as("a"),
+        raterB.cast("boolean").as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull)
+    val cells = b.agg(count(lit(1)).as("n"),
+      sum(when(col("a") && col("b"), 1L).otherwise(0L)).as("n11"),
+      sum(when(col("a") && !col("b"), 1L).otherwise(0L)).as("n10"),
+      sum(when(!col("a") && col("b"), 1L).otherwise(0L)).as("n01"),
+      sum(when(!col("a") && !col("b"), 1L).otherwise(0L)).as("n00"))
+    val nD = col("n").cast("double")
+    val po = (col("n11") + col("n00")).cast("double") / nD
+    val pe = ((col("n11") + col("n10")).cast("double") / nD) *
+      ((col("n11") + col("n01")).cast("double") / nD) +
+      ((col("n01") + col("n00")).cast("double") / nD) *
+        ((col("n10") + col("n00")).cast("double") / nD)
+    cells.select(col("n"), col("n11"), col("n10"), col("n01"), col("n00"),
+      round(po, 4).as("observed_agreement"),
+      round(pe, 4).as("expected_agreement"),
+      round((po - pe) / (lit(1.0) - pe), 4).as("kappa"))
+  }
+
+  /** Lead-lag cross-correlation between two event types' hourly count
+    * series at lags −`maxLag`..+`maxLag` — "do purchases follow views,
+    * and by how many hours?". Both series live on the same dense hour
+    * spine (missing hours count 0 — a sparse join would silently
+    * correlate only co-active hours); Pearson per lag over the
+    * calendar-bounded spine with hour-ordered folds (the q215 ACF
+    * recipe, two-series).
+    */
+  def crossCorrelation(events: DataFrame, tsCol: String, typeCol: String,
+      typeA: String, typeB: String, maxLag: Int = 3): DataFrame = {
+    val hourUs = 3600000000L
+    val e = events.filter(col(typeCol).isin(typeA, typeB))
+      .select(expr(s"unix_micros($tsCol) div ${hourUs}L").as("h"),
+        col(typeCol).as("t"))
+    val span = e.agg(min(col("h")).as("__h0"), max(col("h")).as("__h1"))
+    val spine = span.select(
+      explode(sequence(col("__h0"), col("__h1"))).as("h"))
+    val counts = e.groupBy(col("h"), col("t")).agg(count(lit(1)).as("c"))
+    val series = spine
+      .join(counts.filter(col("t") === typeA)
+        .select(col("h"), col("c").as("__ca")), Seq("h"), "left")
+      .join(counts.filter(col("t") === typeB)
+        .select(col("h"), col("c").as("__cb")), Seq("h"), "left")
+      .select(col("h"), coalesce(col("__ca"), lit(0L)).cast("double").as("a"),
+        coalesce(col("__cb"), lit(0L)).cast("double").as("b"))
+    val packed = series.agg(count(lit(1)).as("n"),
+      transform(array_sort(collect_list(struct(col("h"), col("a"), col("b")))),
+        s => struct(s.getField("a").as("a"), s.getField("b").as("b")))
+        .as("__xs"))
+    def sumOf(f: Column => Column): Column =
+      aggregate(col("__xs"), lit(0.0), (acc, v) => acc + f(v))
+    val withMeans = packed.select(col("n"), col("__xs"),
+      (sumOf(_.getField("a")) / col("n").cast("double")).as("__ma"),
+      (sumOf(_.getField("b")) / col("n").cast("double")).as("__mb"))
+    val lags = (-maxLag to maxLag).map { lagK =>
+      val (aOff, bOff) = if (lagK >= 0) (lit(0), lit(lagK))
+        else (lit(-lagK), lit(0))
+      val len = (col("n") - math.abs(lagK)).cast("int")
+      val num = when(col("n") > math.abs(lagK), aggregate(
+        transform(sequence(lit(1), len), i =>
+          (element_at(col("__xs"), i + aOff).getField("a") - col("__ma")) *
+            (element_at(col("__xs"), i + bOff).getField("b") - col("__mb"))),
+        lit(0.0), (acc, v) => acc + v)).otherwise(lit(0.0))
+      val da = aggregate(
+        transform(col("__xs"), v =>
+          (v.getField("a") - col("__ma")) * (v.getField("a") - col("__ma"))),
+        lit(0.0), (acc, v) => acc + v)
+      val db = aggregate(
+        transform(col("__xs"), v =>
+          (v.getField("b") - col("__mb")) * (v.getField("b") - col("__mb"))),
+        lit(0.0), (acc, v) => acc + v)
+      struct(lit(lagK).as("lag_hours"),
+        round(num / sqrt(da * db), 4).as("xcorr"))
+    }
+    withMeans
+      .select(col("n").as("n_hours"), explode(array(lags: _*)).as("r"))
+      .select(col("n_hours"), col("r.lag_hours").as("lag_hours"),
+        col("r.xcorr").as("xcorr"))
+  }
+
+  /** Per-user churn-model feature matrix — the feature-engineering
+    * pass an ML pipeline runs before training: activity volume,
+    * tenure, exact-DECIMAL monetary stats, recency, and the
+    * inter-event cadence, one row per user, every column exact or a
+    * single divide (4dp).
+    */
+  def userFeatures(events: DataFrame, userCol: String, tsCol: String,
+      valueCol: String): DataFrame = {
+    val dayUs = 86400000000L
+    val e = events.select(col(userCol).as("u"),
+      unix_micros(col(tsCol)).as("us"),
+      col(valueCol).cast("decimal(18,6)").as("v"))
+    val ref = e.agg(max(col("us")).as("__ref"))
+    e.crossJoin(broadcast(ref))
+      .groupBy(col("u"))
+      .agg(count(lit(1)).as("n_events"),
+        expr(s"(max(us) - min(us)) div ${dayUs}L").as("tenure_days"),
+        expr(s"(max(__ref) - max(us)) div ${dayUs}L").as("recency_days"),
+        coalesce(sum(col("v")), lit(0).cast("decimal(18,6)"))
+          .cast("decimal(18,6)").cast("double").as("__total"),
+        count(col("v")).as("__nv"))
+      .select(col("u").as(userCol), col("n_events"),
+        col("tenure_days"), col("recency_days"),
+        round(col("__total"), 4).as("total_value"),
+        round(when(col("__nv") > 0,
+          col("__total") / col("__nv").cast("double")).otherwise(lit(0.0)),
+          4).as("mean_value"),
+        round(when(col("n_events") > 1,
+          col("tenure_days").cast("double") /
+            (col("n_events") - 1).cast("double")).otherwise(lit(0.0)), 4)
+          .as("days_per_event"))
+  }
+
   /** Mann-Kendall trend test per key — the nonparametric "is there a
     * monotonic trend?" companion to [[theilSen]]'s slope estimate:
     * S = Σ_{i<j} sign(xⱼ − xᵢ) over the (µs, id) total order, variance

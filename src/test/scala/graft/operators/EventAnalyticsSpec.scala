@@ -457,6 +457,81 @@ class EventAnalyticsSpec extends AnyFunSuite {
       "event_id", "value").count() == 0)
   }
 
+  test("burstIntervals: consecutive hot hours merge, separated ones don't") {
+    def at(hour: Int, i: Int) =
+      (hour.toLong * 3600L + i, new Timestamp(hour.toLong * 3600000L))
+    // hot hours 0,1,6 (10 events), cold hours 2,3,4,5,7,8,9 (1 each):
+    // nh=10, tot=37 → flag iff c·10 > 2·37 → only the hot hours;
+    // 0,1 consecutive → one burst; 6 isolated → its own
+    val rows = (0 until 10).map(i => at(0, i)) ++
+      (0 until 10).map(i => at(1, i)) ++
+      Seq(2, 3, 4, 5, 7, 8, 9).map(h => at(h, 0)) ++
+      (0 until 10).map(i => at(6, i))
+    val df = rows.zipWithIndex
+      .map { case ((_, t), id) => (id.toLong, t) }.toDF("event_id", "ts")
+    val out = EventAnalytics.burstIntervals(df, "ts", factor = 2L)
+      .orderBy("start_hour").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[Long]("start_hour") == 0L &&
+      out(0).getAs[Long]("end_hour") == 1L)
+    assert(out(0).getAs[Long]("n_hours") == 2L)
+    assert(out(0).getAs[Long]("total_events") == 20L)
+    assert(out(1).getAs[Long]("start_hour") == 6L)
+  }
+
+  test("cohensKappa: perfect agreement 1.0, independence near 0") {
+    val perfect = (1 to 20).map(i => (i % 2 == 0, i % 2 == 0))
+      .toDF("a", "b")
+    val rp = EventAnalytics.cohensKappa(perfect,
+      org.apache.spark.sql.functions.col("a"),
+      org.apache.spark.sql.functions.col("b")).collect().head
+    assert(rp.getAs[Double]("kappa") == 1.0)
+    // independent raters: a flips every row, b flips every 2 rows
+    val indep = (0 until 40).map(i => (i % 2 == 0, (i / 2) % 2 == 0))
+      .toDF("a", "b")
+    val ri = EventAnalytics.cohensKappa(indep,
+      org.apache.spark.sql.functions.col("a"),
+      org.apache.spark.sql.functions.col("b")).collect().head
+    assert(math.abs(ri.getAs[Double]("kappa")) < 0.1)
+  }
+
+  test("crossCorrelation: a shifted copy peaks at its lag") {
+    def at(hour: Int, t: String, id: Long) = (id, ts(hour), t)
+    // purchases echo views 2 hours later; spike at hours 3 and 9
+    val rows = Seq(3, 9).flatMap { h =>
+      (0 until 5).map(i => at(h, "view", (h * 100 + i).toLong)) ++
+        (0 until 5).map(i => at(h + 2, "purchase", (h * 100 + 50 + i).toLong))
+    }
+    val df = rows.toDF("event_id", "ts", "event_type")
+    val out = EventAnalytics.crossCorrelation(df, "ts", "event_type",
+      "view", "purchase")
+      .collect().map(r => r.getAs[Int]("lag_hours") ->
+        r.getAs[Double]("xcorr")).toMap
+    assert(out.size == 7)
+    assert(out(2) == out.values.max) // echo at +2h dominates
+    assert(out(2) > 0.8)
+  }
+
+  test("userFeatures: tenure, recency, cadence from exact integers") {
+    def at(day: Int) = new Timestamp(day.toLong * 86400L * 1000L)
+    val df = Seq(
+      (1L, at(0), Some(10.0)), (1L, at(5), None), (1L, at(10), Some(20.0)),
+      (2L, at(10), Some(7.5)))
+      .toDF("user_id", "ts", "value")
+    val out = EventAnalytics.userFeatures(df, "user_id", "ts", "value")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val u1 = out(1L)
+    assert(u1.getAs[Long]("n_events") == 3L)
+    assert(u1.getAs[Long]("tenure_days") == 10L)
+    assert(u1.getAs[Long]("recency_days") == 0L)
+    assert(u1.getAs[Double]("total_value") == 30.0)
+    assert(u1.getAs[Double]("mean_value") == 15.0) // null value excluded
+    assert(u1.getAs[Double]("days_per_event") == 5.0)
+    val u2 = out(2L)
+    assert(u2.getAs[Long]("tenure_days") == 0L)
+    assert(u2.getAs[Double]("days_per_event") == 0.0)
+  }
+
   test("mannKendall: strictly increasing series maxes S, shuffled stays low") {
     def ts(sec: Long) = new Timestamp(sec * 1000L)
     val up = (1 to 10).map(i => (1L, ts(i.toLong), i.toLong, i.toDouble))
