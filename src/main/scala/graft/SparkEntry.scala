@@ -2270,6 +2270,29 @@ object SparkEntry {
       graft.operators.EventAnalytics.userFeatures(Tables.events(s, d),
         "user_id", "ts", "value")),
 
+    // D1/D7/D28 retention one-liner
+    "q249_retention_rates" -> ((s, d) =>
+      graft.operators.EventAnalytics.retentionRates(Tables.events(s, d),
+        "user_id", "ts")),
+
+    // Vocabulary novelty by crawl batch (doc_id div 50 as the proxy)
+    "q250_vocab_novelty" -> ((s, d) =>
+      graft.operators.TextAnalysis.vocabNovelty(t(s, d, "documents"),
+        "text", expr("doc_id div 50L"))),
+
+    // Funnel A/B: view→click→purchase conversion per parity cohort
+    // with per-step two-proportion z
+    "q251_funnel_ab" -> ((s, d) =>
+      graft.operators.EventAnalytics.funnelAbTest(Tables.events(s, d),
+        "user_id", "ts", "event_type", Seq("view", "click", "purchase"),
+        (col("user_id") % 2) === 1)),
+
+    // Order-of-magnitude inter-event gap histogram (digit buckets —
+    // zero FP)
+    "q252_gap_histogram" -> ((s, d) =>
+      graft.operators.EventAnalytics.gapMagnitudeHistogram(
+        Tables.events(s, d), "user_id", "ts", "event_id")),
+
     // Windowed funnel: view→click→purchase where each step lands within
     // 24h of the previous completion (the realistic conversion window)
     "q174_windowed_funnel" -> ((s, d) => {
@@ -5931,6 +5954,89 @@ object SparkEntry {
         |  UNION ALL SELECT c FROM tri)
         |SELECT n AS part, count(*)::BIGINT AS n_triangles FROM nodes
         |GROUP BY n ORDER BY n_triangles DESC, n LIMIT 20""".stripMargin,
+
+    // Retention replay: same first-day/first-return frame
+    "q249_retention_rates" ->
+      """WITH ud AS (SELECT DISTINCT user_id AS u,
+        |    epoch_us(ts) // 86400000000 AS d FROM events),
+        |f AS (SELECT u, min(d) AS f FROM ud GROUP BY u),
+        |r AS (SELECT ud.u, min(ud.d - f.f) AS gap FROM ud
+        |  JOIN f ON f.u = ud.u WHERE ud.d > f.f GROUP BY ud.u),
+        |j AS (SELECT f.u, r.gap FROM f LEFT JOIN r ON r.u = f.u)
+        |SELECT count(*)::BIGINT AS n_users,
+        |  sum(CASE WHEN gap <= 1 THEN 1 ELSE 0 END)::BIGINT AS n_d1,
+        |  round(sum(CASE WHEN gap <= 1 THEN 1 ELSE 0 END)::DOUBLE
+        |    / count(*)::DOUBLE, 4) AS rate_d1,
+        |  sum(CASE WHEN gap <= 7 THEN 1 ELSE 0 END)::BIGINT AS n_d7,
+        |  round(sum(CASE WHEN gap <= 7 THEN 1 ELSE 0 END)::DOUBLE
+        |    / count(*)::DOUBLE, 4) AS rate_d7,
+        |  sum(CASE WHEN gap <= 28 THEN 1 ELSE 0 END)::BIGINT AS n_d28,
+        |  round(sum(CASE WHEN gap <= 28 THEN 1 ELSE 0 END)::DOUBLE
+        |    / count(*)::DOUBLE, 4) AS rate_d28
+        |FROM j""".stripMargin,
+
+    // Novelty replay: same distinct (batch, token) frame and min-batch
+    // first-seen ownership
+    "q250_vocab_novelty" ->
+      s"""WITH bt AS (SELECT DISTINCT doc_id // 50 AS b, tok FROM
+         |  (SELECT doc_id, unnest($tokensSql) AS tok FROM documents)),
+         |fs AS (SELECT tok, min(b) AS fb FROM bt GROUP BY tok)
+         |SELECT bt.b AS batch, count(*)::BIGINT AS n_distinct_tokens,
+         |  sum(CASE WHEN fs.fb = bt.b THEN 1 ELSE 0 END)::BIGINT
+         |    AS n_new_tokens,
+         |  round(sum(CASE WHEN fs.fb = bt.b THEN 1 ELSE 0 END)::DOUBLE
+         |    / count(*)::DOUBLE, 4) AS novelty_rate
+         |FROM bt JOIN fs ON fs.tok = bt.tok GROUP BY bt.b""".stripMargin,
+
+    // Funnel-A/B replay: q35 chain + per-step pooled-p̂ z (q176 formula)
+    "q251_funnel_ab" ->
+      """WITH e AS (SELECT user_id AS u, event_type AS t, epoch_us(ts)
+        |    AS us, (CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS g
+        |  FROM events),
+        |coh AS (SELECT DISTINCT u, g FROM e),
+        |s1 AS (SELECT u, min(us) AS t1 FROM e WHERE t = 'view'
+        |  GROUP BY u),
+        |s2 AS (SELECT e.u, s1.t1, min(us) AS t2 FROM e
+        |  JOIN s1 ON e.u = s1.u WHERE t = 'click' AND us > t1
+        |  GROUP BY e.u, s1.t1),
+        |s3 AS (SELECT e.u, s2.t2, min(us) AS t3 FROM e
+        |  JOIN s2 ON e.u = s2.u WHERE t = 'purchase' AND us > t2
+        |  GROUP BY e.u, s2.t2),
+        |rc AS (SELECT u, 1 AS step FROM s1
+        |  UNION ALL SELECT u, 2 FROM s2 UNION ALL SELECT u, 3 FROM s3),
+        |ps AS (SELECT step,
+        |    sum(CASE WHEN coh.g = 0 THEN 1 ELSE 0 END)::BIGINT AS n_a,
+        |    sum(CASE WHEN coh.g = 1 THEN 1 ELSE 0 END)::BIGINT AS n_b
+        |  FROM rc JOIN coh ON coh.u = rc.u GROUP BY step),
+        |t1 AS (SELECT n_a AS ta, n_b AS tb FROM ps WHERE step = 1)
+        |SELECT ps.step, ps.n_a, ps.n_b,
+        |  round(ps.n_a::DOUBLE / t1.ta::DOUBLE, 4) AS conv_a,
+        |  round(ps.n_b::DOUBLE / t1.tb::DOUBLE, 4) AS conv_b,
+        |  CASE WHEN ps.step = 1 THEN NULL ELSE
+        |    round((ps.n_a::DOUBLE / t1.ta::DOUBLE
+        |        - ps.n_b::DOUBLE / t1.tb::DOUBLE)
+        |      / sqrt(((ps.n_a + ps.n_b)::DOUBLE / (t1.ta + t1.tb)::DOUBLE)
+        |        * (1.0::DOUBLE
+        |          - (ps.n_a + ps.n_b)::DOUBLE / (t1.ta + t1.tb)::DOUBLE)
+        |        * (1.0::DOUBLE / t1.ta::DOUBLE
+        |          + 1.0::DOUBLE / t1.tb::DOUBLE)), 4) END AS z_stat
+        |FROM ps CROSS JOIN t1""".stripMargin,
+
+    // Gap-histogram replay: same digit buckets (string length — no
+    // log10 anywhere)
+    "q252_gap_histogram" ->
+      """WITH e AS (SELECT user_id AS k, epoch_us(ts) AS us, event_id
+        |    AS id FROM events),
+        |g AS (SELECT k, us, id,
+        |    lead(us) OVER (PARTITION BY k ORDER BY us, id) AS nxt
+        |  FROM e),
+        |gp AS (SELECT (nxt - us) // 1000000 AS gap FROM g
+        |  WHERE nxt IS NOT NULL)
+        |SELECT (CASE WHEN gap <= 0 THEN 0
+        |    ELSE length(gap::VARCHAR) END)::INT AS magnitude,
+        |  count(*)::BIGINT AS n_gaps, min(gap)::BIGINT AS min_gap_s,
+        |  max(gap)::BIGINT AS max_gap_s
+        |FROM gp GROUP BY 1""".stripMargin,
 
     // Burst replay: same cross-multiplied flag and hour islands
     "q245_bursts" ->

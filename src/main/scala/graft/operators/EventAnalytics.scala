@@ -842,6 +842,105 @@ object EventAnalytics {
       .select(outCols: _*)
   }
 
+  /** Corpus D1/D7/D28 retention summary — the growth-KPI one-liner
+    * (distinct from [[retentionCohorts]]' full triangle): for each
+    * user, did ANY activity land within k days after their first day,
+    * for each horizon k. One row out; all counts exact integers, rates
+    * single divides, 4dp.
+    */
+  def retentionRates(events: DataFrame, userCol: String, tsCol: String,
+      horizons: Seq[Int] = Seq(1, 7, 28)): DataFrame = {
+    require(horizons.nonEmpty, "need at least one horizon")
+    val dayUs = 86400000000L
+    val ud = events.select(col(userCol).as("u"),
+      expr(s"unix_micros($tsCol) div ${dayUs}L").as("d")).distinct()
+    val first = ud.groupBy(col("u")).agg(min(col("d")).as("f"))
+    val ret = ud.join(first, Seq("u"))
+      .filter(col("d") > col("f"))
+      .groupBy(col("u")).agg(min(col("d") - col("f")).as("__gap"))
+    val joined = first.join(ret, Seq("u"), "left")
+    val aggs = Seq(count(lit(1)).as("n_users")) ++
+      horizons.flatMap(k => Seq(
+        sum(when(col("__gap") <= k, 1L).otherwise(0L)).as(s"n_d$k")))
+    val base = joined.agg(aggs.head, aggs.tail: _*)
+    val outCols = Seq(col("n_users")) ++ horizons.flatMap(k => Seq(
+      col(s"n_d$k"),
+      round(col(s"n_d$k").cast("double") / col("n_users").cast("double"),
+        4).as(s"rate_d$k")))
+    base.select(outCols: _*)
+  }
+
+  /** Funnel A/B comparison: the [[funnel]] strict-after chain computed
+    * per cohort (caller predicate — the q176 convention), with a
+    * two-proportion z-test on each step's conversion-from-step-1
+    * between the cohorts (pooled p̂, the q176 formula per step).
+    * Steps ≥ 2 get a z; step 1 is the denominator row.
+    *
+    * Counts exact; conversions and z are fixed double sequences, 4dp.
+    */
+  def funnelAbTest(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, steps: Seq[String], isB: Column): DataFrame = {
+    require(steps.length >= 2, "funnel A/B needs at least two steps")
+    val us = unix_micros(col(tsCol))
+    val base = events.select(col(userCol).as("u"), col(typeCol).as("t"),
+      us.as("us"), isB.cast("int").as("g"))
+    val cohort = base.select(col("u"), col("g")).distinct()
+    var prev = base.filter(col("t") === steps.head)
+      .groupBy(col("u")).agg(min(col("us")).as("ts1"))
+    val frames = Seq(prev.select(col("u"), lit(1).as("step"))) ++
+      steps.zipWithIndex.drop(1).map { case (st, i) =>
+        val cur = base.filter(col("t") === st)
+          .join(prev, Seq("u"))
+          .filter(col("us") > col(s"ts$i"))
+          .groupBy(col("u"), col(s"ts$i"))
+          .agg(min(col("us")).as(s"ts${i + 1}"))
+        val out = cur.select(col("u"), lit(i + 1).as("step"))
+        prev = cur.select(col("u"), col(s"ts${i + 1}"))
+        out
+      }
+    val reached = frames.reduce(_ unionAll _).join(cohort, Seq("u"))
+    val perStep = reached.groupBy(col("step"))
+      .agg(sum(when(col("g") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("g") === 1, 1L).otherwise(0L)).as("n_b"))
+    val step1 = perStep.filter(col("step") === 1)
+      .select(col("n_a").as("__t_a"), col("n_b").as("__t_b"))
+    val pa = col("n_a").cast("double") / col("__t_a").cast("double")
+    val pb = col("n_b").cast("double") / col("__t_b").cast("double")
+    val pPool = (col("n_a") + col("n_b")).cast("double") /
+      (col("__t_a") + col("__t_b")).cast("double")
+    val z = (pa - pb) / sqrt(pPool * (lit(1.0) - pPool) *
+      (lit(1.0) / col("__t_a").cast("double") +
+        lit(1.0) / col("__t_b").cast("double")))
+    perStep.crossJoin(broadcast(step1))
+      .select(col("step"), col("n_a"), col("n_b"),
+        round(pa, 4).as("conv_a"), round(pb, 4).as("conv_b"),
+        when(col("step") === 1, lit(null).cast("double"))
+          .otherwise(round(z, 4)).as("z_stat"))
+  }
+
+  /** Order-of-magnitude histogram of inter-event gaps: each
+    * consecutive-gap (whole seconds) lands in a decimal-digit bucket
+    * (1-9s → 1, 10-99s → 2, …; same-second gaps → 0) — the dwell-time
+    * distribution at a glance with ZERO FP anywhere (the bucket is the
+    * string length of the integer — no log10 call exists to disagree
+    * across engines).
+    */
+  def gapMagnitudeHistogram(events: DataFrame, keyCol: String,
+      tsCol: String, idCol: String): DataFrame = {
+    val e = events.select(col(keyCol).as("k"),
+      unix_micros(col(tsCol)).as("us"), col(idCol).as("id"))
+    val w = Window.partitionBy(col("k")).orderBy(col("us"), col("id"))
+    e.withColumn("__nxt", lead(col("us"), 1).over(w))
+      .filter(col("__nxt").isNotNull)
+      .select(expr("(__nxt - us) div 1000000L").as("__gap"))
+      .withColumn("magnitude",
+        when(col("__gap") <= 0, lit(0))
+          .otherwise(length(col("__gap").cast("string"))))
+      .groupBy(col("magnitude"))
+      .agg(count(lit(1)).as("n_gaps"), min(col("__gap")).as("min_gap_s"),
+        max(col("__gap")).as("max_gap_s"))
+  }
+
   /** Burst detection over the hourly event-count series: hours whose
     * count exceeds `factor`× the corpus hourly mean are flagged, and
     * CONSECUTIVE flagged hours merge into one burst interval (the

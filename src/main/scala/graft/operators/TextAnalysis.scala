@@ -990,6 +990,30 @@ object TextAnalysis {
       .select(col("id").as(idCol), col("n_occurrences"))
   }
 
+  /** Vocabulary novelty by batch: for each crawl batch (a caller
+    * expression — ingestion date, snapshot id, or an id-range proxy),
+    * how many distinct tokens appear, how many are FIRST-SEEN in that
+    * batch (min-batch ownership), and the novelty rate — the "is this
+    * crawl still teaching the model new words?" freshness report
+    * (Heaps-law q182's batch-resolution companion). All exact
+    * integers + one divide, 4dp.
+    */
+  def vocabNovelty(df: DataFrame, textCol: String,
+      batchExpr: Column): DataFrame = {
+    val bt = df.select(batchExpr.as("b"),
+        explode(tokens(col(textCol))).as("tok"))
+      .distinct()
+    val firstSeen = bt.groupBy(col("tok")).agg(min(col("b")).as("fb"))
+    bt.join(firstSeen, Seq("tok"))
+      .groupBy(col("b").as("batch"))
+      .agg(count(lit(1)).as("n_distinct_tokens"),
+        sum(when(col("fb") === col("b"), 1L).otherwise(0L))
+          .as("n_new_tokens"))
+      .select(col("batch"), col("n_distinct_tokens"), col("n_new_tokens"),
+        round(col("n_new_tokens").cast("double") /
+          col("n_distinct_tokens").cast("double"), 4).as("novelty_rate"))
+  }
+
   /** Skip-gram PMI collocations: unordered token pairs co-occurring
     * within `window` positions (the word2vec-style context window —
     * q126's ADJACENT pairs generalized), PMI = ln(c·T / (c₁·c₂)) from

@@ -457,6 +457,60 @@ class EventAnalyticsSpec extends AnyFunSuite {
       "event_id", "value").count() == 0)
   }
 
+  test("retentionRates: horizon windows count the FIRST return gap") {
+    def day(d: Int, u: Long, id: Long) =
+      (u, id, new Timestamp(d.toLong * 86400L * 1000L))
+    // u1 returns next day (D1); u2 returns at day 10 (D28, not D7...
+    // wait 10 ≤ 28 and > 7); u3 never returns; u4 returns day 40 (none)
+    val df = Seq(day(0, 1, 1), day(1, 1, 2),
+      day(0, 2, 3), day(10, 2, 4),
+      day(0, 3, 5),
+      day(0, 4, 6), day(40, 4, 7))
+      .toDF("user_id", "event_id", "ts")
+    val r = EventAnalytics.retentionRates(df, "user_id", "ts")
+      .collect().head
+    assert(r.getAs[Long]("n_users") == 4L)
+    assert(r.getAs[Long]("n_d1") == 1L)
+    assert(r.getAs[Long]("n_d7") == 1L)
+    assert(r.getAs[Long]("n_d28") == 2L)
+    assert(r.getAs[Double]("rate_d28") == 0.5)
+  }
+
+  test("funnelAbTest: equal cohorts give z near 0, skewed cohorts don't") {
+    // cohort by parity: odd users convert view→click, even ones don't
+    val rows = (1L to 40L).flatMap { u =>
+      Seq((u, u * 10, 0, "view")) ++
+        (if (u % 2 == 1) Seq((u, u * 10 + 1, 1, "click")) else Seq())
+    }
+    val df = rows.map { case (u, id, h, t) => (u, id, ts(h), t) }
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val out = EventAnalytics.funnelAbTest(df, "user_id", "ts",
+      "event_type", Seq("view", "click"),
+      org.apache.spark.sql.functions.col("user_id") % 2 === 1)
+      .collect().map(r => r.getAs[Int]("step") -> r).toMap
+    assert(out(1).getAs[Long]("n_a") == 20L)
+    assert(out(1).getAs[Long]("n_b") == 20L)
+    assert(out(1).isNullAt(out(1).fieldIndex("z_stat")))
+    assert(out(2).getAs[Double]("conv_b") == 1.0)
+    assert(out(2).getAs[Double]("conv_a") == 0.0)
+    assert(out(2).getAs[Double]("z_stat") < -6.0) // a − b convention
+  }
+
+  test("gapMagnitudeHistogram: digit buckets, zero bucket for sub-second") {
+    def at(sec: Long, id: Long) = (1L, id, new Timestamp(sec * 1000L))
+    // gaps: 0s (same second), 5s (1 digit), 50s (2), 5000s (4)
+    val df = Seq(at(0, 1), at(0, 2), at(5, 3), at(55, 4), at(5055, 5))
+      .toDF("user_id", "event_id", "ts")
+    val out = EventAnalytics.gapMagnitudeHistogram(df, "user_id", "ts",
+      "event_id")
+      .collect().map(r => r.getAs[Int]("magnitude") ->
+        (r.getAs[Long]("n_gaps"), r.getAs[Long]("max_gap_s"))).toMap
+    assert(out(0) == (1L, 0L))
+    assert(out(1) == (1L, 5L))
+    assert(out(2) == (1L, 50L))
+    assert(out(4) == (1L, 5000L))
+  }
+
   test("burstIntervals: consecutive hot hours merge, separated ones don't") {
     def at(hour: Int, i: Int) =
       (hour.toLong * 3600L + i, new Timestamp(hour.toLong * 3600000L))

@@ -505,6 +505,21 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(tri == Map(1L -> 2L))
   }
 
+  test("vocabNovelty: first-seen ownership per batch") {
+    import org.apache.spark.sql.functions.expr
+    // batch 0: {a,b}; batch 1: {b,c}; batch 2: {a,c} → novelty
+    // 2/2, 1/2, 0/2
+    val df = Seq((0L, "a b"), (1L, "b c"), (2L, "a c"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.vocabNovelty(df, "text", expr("doc_id"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_new_tokens"), r.getAs[Double]("novelty_rate")))
+      .toMap
+    assert(out(0L) == (2L, 1.0))
+    assert(out(1L) == (1L, 0.5))
+    assert(out(2L) == (0L, 0.0))
+  }
+
   test("skipgramPmi: window pairs, canonical order, min-count floor") {
     // "a b" adjacent 6× and "a _ b" at distance 2 via "a c b" 2× →
     // pair (a,b) counted at both offsets; self-pairs dropped
