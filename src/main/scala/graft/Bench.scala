@@ -184,7 +184,20 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = allResults.map(_._2).filter(_ >= 0).sum
     val env = s"""{"loadavg_start":${num(loadStart)},"loadavg_end":${num(loadEnd)},"cpus":$cpus,"stat":"median_of_$passes"}"""
-    println(s"""{"metric":"headline_total","value":${num(total)},"unit":"sec","queries":$qs,"runs":$runsJson,"env":$env,"sf":"$sfDir"}""")
+    // Emission layout (round-5 postmortem): the driver records only the
+    // LAST 2000 chars of output, and r1-r5 all shipped one giant JSON
+    // line whose head fell outside that window → "parsed": null every
+    // round. So: the COMPACT metric line (~1.1 KB, no per-run raws) is
+    // printed FIRST and again LAST — the final copy is guaranteed to sit
+    // whole inside a tail window (only sbt's ~65-char success line
+    // follows), the first copy covers a head-capturing parser — and the
+    // full per-run/env detail goes on its own middle line (keyed
+    // "detail", not "metric", so a grep for the metric line can't match
+    // a clipped detail line).
+    val compact = s"""{"metric":"headline_total","value":${num(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(compact)
+    println(s"""{"detail":"bench_runs","runs":$runsJson,"env":$env,"sf":"$sfDir"}""")
+    println(compact)
     spark.stop()
   }
 }

@@ -2293,6 +2293,19 @@ object SparkEntry {
       graft.operators.EventAnalytics.gapMagnitudeHistogram(
         Tables.events(s, d), "user_id", "ts", "event_id")),
 
+    // Image perceptual hashes (dHash64): the oracle replays the
+    // deterministic codepoint-plane stub bit-for-bit (the q28
+    // fingerprint pattern — text-bytes media never decode as images, so
+    // the stub path runs by construction). The banded near-dup join on
+    // these signatures ([[Multimodal.dHashNearDups]]) is spec-covered
+    // with real near-identical PNGs; this corpus has no duplicate
+    // payloads, so its pair set here is empty by construction.
+    "q253_image_dhash" -> ((s, d) =>
+      graft.operators.Multimodal.mediaFromDocuments(s, t(s, d, "documents"))
+        .select(col("media_id"),
+          graft.functions.HashFunctions.dhash64(col("content")).as("dhash"))
+        .filter(col("dhash").isNotNull)),
+
     // Windowed funnel: view→click→purchase where each step lands within
     // 24h of the previous completion (the realistic conversion window)
     "q174_windowed_funnel" -> ((s, d) => {
@@ -6037,6 +6050,30 @@ object SparkEntry {
         |  count(*)::BIGINT AS n_gaps, min(gap)::BIGINT AS min_gap_s,
         |  max(gap)::BIGINT AS max_gap_s
         |FROM gp GROUP BY 1""".stripMargin,
+
+    // dHash stub replay, bit-for-bit: the codepoint "luma plane" (72
+    // samples at floor(i·n/72), codepoint % 256), adjacent-luma
+    // difference bits, HUGEINT bit assembly → signed 64.
+    "q253_image_dhash" ->
+      s"""WITH docs AS (SELECT doc_id, text, length(text) AS n
+         |    FROM documents WHERE length(text) > 0),
+         |idx AS (SELECT unnest(generate_series(0, 71)) AS i),
+         |lum AS (SELECT d.doc_id, x.i,
+         |    ord(substr(d.text, CAST((x.i * d.n) // 72 AS INT) + 1, 1)) % 256 AS luma
+         |  FROM docs d CROSS JOIN idx x),
+         |bitpos AS (SELECT r.r * 8 + c.c AS b, r.r * 9 + c.c AS li,
+         |    r.r * 9 + c.c + 1 AS ri
+         |  FROM (SELECT unnest(generate_series(0, 7)) AS r) r
+         |  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS c) c),
+         |bits AS (SELECT l1.doc_id, p.b FROM bitpos p
+         |  JOIN lum l1 ON l1.i = p.li
+         |  JOIN lum l2 ON l2.doc_id = l1.doc_id AND l2.i = p.ri
+         |  WHERE l1.luma < l2.luma)
+         |SELECT d.doc_id AS media_id,
+         |  ${toI64Sql("coalesce(s.h, 0::HUGEINT)")} AS dhash
+         |FROM docs d LEFT JOIN (SELECT doc_id,
+         |    sum((2::HUGEINT ^ b)::HUGEINT) AS h FROM bits GROUP BY doc_id) s
+         |  USING (doc_id)""".stripMargin,
 
     // Burst replay: same cross-multiplied flag and hour islands
     "q245_bursts" ->

@@ -1,8 +1,20 @@
 package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
+import java.util.concurrent.Executors
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration.Duration
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * Queries run CONCURRENTLY on a bounded thread pool (round-5 lesson: 252
+  * sequential queries exceeded the driver's wall-clock budget and the
+  * round recorded `{}`). Spark's scheduler interleaves the jobs on one
+  * SparkContext; each worker thread gets its own `spark.newSession()` so
+  * temp-view registration (the TPC-H canonical-view queries reuse view
+  * names) can never race across queries. Outputs are per-query
+  * directories, so there is no write contention.
+  */
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
@@ -24,16 +36,34 @@ object Verify {
         pats.exists(n.contains) }
       case None => SparkEntry.queries
     }
-    selected.foreach { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try {
-        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
-        System.err.println(f"[verify] $name ok in ${(System.nanoTime() - t0) / 1e9}%.2fs")
-      } catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+    val threads = sys.env.get("SPARK_GRAFT_VERIFY_THREADS")
+      .flatMap(_.toIntOption).filter(_ > 0).getOrElse(6)
+    val pool = Executors.newFixedThreadPool(threads)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    // One child session per worker thread (session state is NOT
+    // thread-safe for temp views; SparkContext + SQLConf-from-SparkConf
+    // are shared, so plans/configs are identical to the sequential run).
+    val perThread = new ThreadLocal[SparkSession] {
+      override def initialValue(): SparkSession = spark.newSession()
+    }
+    val t00 = System.nanoTime()
+    val futures = selected.toSeq.map { case (name, fn) =>
+      Future {
+        val s = perThread.get()
+        val t0 = System.nanoTime()
+        try {
+          fn(s, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+          System.err.println(f"[verify] $name ok in ${(System.nanoTime() - t0) / 1e9}%.2fs")
+        } catch { case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        }
       }
     }
+    Await.result(Future.sequence(futures), Duration.Inf)
+    pool.shutdown()
+    System.err.println(
+      f"[verify] ${selected.size} queries done in ${(System.nanoTime() - t00) / 1e9}%.1fs on $threads threads")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

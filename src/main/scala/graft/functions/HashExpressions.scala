@@ -40,6 +40,74 @@ object HashUtil {
     h
   }
 
+  /** dHash-64 perceptual image hash (difference hash: 9×8 luma grid, bit
+    * r*8+c set iff luma[r][c] < luma[r][c+1] — krawetz's public dHash
+    * formulation). REAL images (PNG/JPEG/GIF/BMP via javax.imageio)
+    * decode → 9×8 bilinear downscale → integer BT.601 luma per cell.
+    * Non-decodable payloads fall back to a DETERMINISTIC byte-plane stub
+    * (the q44 convention): the payload's UTF-8 codepoints sampled at
+    * floor(i·n/72) give the 72 "lumas" (codepoint & 0xff) — exactly
+    * replayable in oracle SQL via ord(substr(text, (i*n)//72 + 1, 1)) % 256.
+    * Returns null for empty payloads (no plane to hash).
+    */
+  def dhash64(bytes: Array[Byte]): java.lang.Long = {
+    if (bytes == null || bytes.isEmpty) return null
+    val lumas = decodeLuma9x8(bytes).getOrElse {
+      val cps = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+        .codePoints().toArray
+      val n = cps.length
+      if (n == 0) return null
+      Array.tabulate(72)(i => cps((i.toLong * n / 72).toInt) & 0xff)
+    }
+    var h = 0L
+    var r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 8) {
+        if (lumas(r * 9 + c) < lumas(r * 9 + c + 1)) h |= 1L << (r * 8 + c)
+        c += 1
+      }
+      r += 1
+    }
+    h
+  }
+
+  /** Decode + bilinear-downscale to a 9×8 luma plane (row-major, 72
+    * ints in [0,255]); None when the bytes are not a decodable image.
+    */
+  private def decodeLuma9x8(bytes: Array[Byte]): Option[Array[Int]] =
+    try {
+      Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+        .map { img =>
+          val dst = new java.awt.image.BufferedImage(
+            9, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = dst.createGraphics()
+          try {
+            g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(img, 0, 0, 9, 8, null)
+          } finally g.dispose()
+          val out = new Array[Int](72)
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 9) {
+              val rgb = dst.getRGB(x, y)
+              out(y * 9 + x) = (((rgb >> 16) & 0xff) * 299 +
+                ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
+              x += 1
+            }
+            y += 1
+          }
+          out
+        }
+    } catch {
+      // same stance as JdkImageCodec: any decode failure (including
+      // RuntimeExceptions from corrupt-but-magic-matching payloads)
+      // means "not an image", never a task failure
+      case scala.util.control.NonFatal(_) => None
+    }
+
   /** SimHash (Charikar 2002) of a token/shingle array: per-bit majority vote
     * of the 64-bit feature hashes. Near-duplicate texts land within a small
     * hamming distance. Null elements are skipped.
@@ -427,6 +495,30 @@ case class VideoProbe(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): VideoProbe = copy(child = newChild)
 }
 
+/** 64-bit perceptual difference-hash of a binary image payload — see
+  * [[HashUtil.dhash64]]. Codegen'd (whole-stage-friendly); null for
+  * empty payloads.
+  */
+case class DHash64(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def nullable: Boolean = true
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(input: Any): Any =
+    HashUtil.dhash64(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) = {
+    val boxed = ctx.freshName("dhashBoxed")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      java.lang.Long $boxed = graft.functions.HashUtil.dhash64($c);
+      ${ev.isNull} = $boxed == null;
+      ${ev.value} = ${ev.isNull} ? 0L : $boxed.longValue();
+    """)
+  }
+  override protected def withNewChildInternal(newChild: Expression): DHash64 = copy(newChild)
+}
+
 /** Dot product of two numeric arrays, summed in element order (matches
   * the sequential semantics of `aggregate(zip_with(...))` and of DuckDB's
   * list kernels, so oracle results stay bit-identical) — but as ONE
@@ -517,6 +609,7 @@ object HashFunctions {
   def winnowPositions(c: Column, k: Int = 5, window: Int = 4): Column =
     lift(WinnowPositions(expr(c), k, window))
   def videoProbe(content: Column): Column = lift(VideoProbe(expr(content)))
+  def dhash64(content: Column): Column = lift(DHash64(expr(content)))
 
   /** Hamming distance between two 64-bit hashes (built-in bit_count). */
   def hammingDistance64(a: Column, b: Column): Column =

@@ -142,16 +142,29 @@ object Dedup {
     * band, so candidates form only inside band-value buckets).
     */
   def simHashNearDups(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3): DataFrame =
+    bandedHamming64Pairs(
+      simHashSignatures(df, idCol, textCol).select(col("id"), col("simhash").as("sig")),
+      maxHamming)
+
+  /** Banded Hamming self-join over any 64-bit signature frame
+    * `(id, sig)` — the shared kernel behind [[simHashNearDups]] (text
+    * SimHash) and [[Multimodal.dHashNearDups]] (image dHash). Splits the
+    * signature into 4×16-bit bands; pigeonhole: hamming ≤ 3 implies at
+    * least one unchanged band, so candidates form only inside band-value
+    * buckets and recall is total. Candidate volume scales with bucket
+    * co-occupancy (dup density), never n².
+    */
+  private[operators] def bandedHamming64Pairs(sigs: DataFrame,
+      maxHamming: Int): DataFrame = {
     require(maxHamming <= 3, "4×16-bit banding guarantees recall only for hamming <= 3")
-    val sigs = simHashSignatures(df, idCol, textCol)
-    val banded = sigs.select(col("id"), col("simhash"),
+    val banded = sigs.select(col("id"), col("sig"),
       explode(array((0 until 4).map { b =>
         struct(lit(b).as("band"),
-          shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL)).as("bits"))
+          shiftrightunsigned(col("sig"), b * 16).bitwiseAND(lit(0xFFFFL)).as("bits"))
       }: _*)).as("bk"))
-    val a = banded.select(col("bk"), col("id").as("id_a"), col("simhash").as("sig_a"))
-    val b = banded.select(col("bk"), col("id").as("id_b"), col("simhash").as("sig_b"))
+    val a = banded.select(col("bk"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("bk"), col("id").as("id_b"), col("sig").as("sig_b"))
     a.join(b, Seq("bk"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b", "sig_a", "sig_b").dropDuplicates("id_a", "id_b")

@@ -299,6 +299,27 @@ object Multimodal {
     }(enc)
   }
 
+  /** Image near-duplicate pairs by 64-bit perceptual difference-hash
+    * (dHash): decode → 9×8 luma plane → adjacent-luma bits (the standard
+    * image-pipeline near-dup pass; crops/re-encodes/small edits land
+    * within a few bits). Real javax.imageio decode for image payloads,
+    * deterministic codepoint-plane stub otherwise
+    * ([[graft.functions.HashUtil.dhash64]]), so the plumbing runs — and
+    * is oracle-checked — on the driver's text-bytes media.
+    *
+    * Pairing reuses the SimHash banding kernel
+    * ([[Dedup.bandedHamming64Pairs]]): 4×16-bit bands give total recall
+    * at hamming ≤ 3 with candidates bounded by bucket co-occupancy. The
+    * binary payload never shuffles — only (id, 8-byte sig) leaves the
+    * scan.
+    */
+  def dHashNearDups(media: DataFrame, maxHamming: Int = 3): DataFrame =
+    Dedup.bandedHamming64Pairs(
+      media.select(col("media_id").as("id"),
+          graft.functions.HashFunctions.dhash64(col("content")).as("sig"))
+        .filter(col("sig").isNotNull),
+      maxHamming)
+
   /** Fill meta width/height/duration_ms from REAL container headers
     * (MP4 `mvhd`/`tkhd`, MKV EBML — pure byte arithmetic, no codec; see
     * [[graft.functions.ContainerMeta]]). A declarative narrow map via the

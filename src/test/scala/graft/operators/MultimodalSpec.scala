@@ -275,4 +275,62 @@ class MultimodalSpec extends AnyFunSuite {
       .head().getSeq[Float](1)
     assert(real == viaStub) // decode failed → identical stub output
   }
+
+  private def pngOf(w: Int, h: Int)(pixel: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, pixel(x, y))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("dHash near-dups: near-identical PNGs pair, a different image does not") {
+    import spark.implicits._
+    // smooth horizontal gradient — dHash bits follow the left<right ramp
+    val base = pngOf(64, 64)((x, _) => { val v = x * 4; (v << 16) | (v << 8) | v })
+    // same gradient with a small local edit (one 4×4 patch brightened):
+    // perceptually near-identical → few dHash bits differ
+    val nearDup = pngOf(64, 64) { (x, y) =>
+      val v = if (x < 4 && y < 4) 255 else x * 4; (v << 16) | (v << 8) | v
+    }
+    // reversed gradient — every difference bit flips
+    val different = pngOf(64, 64)((x, _) => { val v = 255 - x * 4; (v << 16) | (v << 8) | v })
+    val media = Seq((1L, base), (2L, nearDup), (3L, different))
+      .toDF("media_id", "content")
+    val pairs = Multimodal.dHashNearDups(media, maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+    // the real decoder ran: the reversed gradient's hash is the bitwise
+    // complement class of the base's, i.e. hamming is large, not <= 3
+    val sigs = media.select(col("media_id"),
+        graft.functions.HashFunctions.dhash64(col("content")).as("sig"))
+      .as[(Long, Long)].collect().toMap
+    assert(java.lang.Long.bitCount(sigs(1L) ^ sigs(3L)) > 32)
+    assert(java.lang.Long.bitCount(sigs(1L) ^ sigs(2L)) <= 3)
+  }
+
+  test("dHash stub path: deterministic on text bytes, null on empty payload") {
+    import spark.implicits._
+    val media = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog".getBytes("UTF-8")),
+      (2L, "the quick brown fox jumps over the lazy dog".getBytes("UTF-8")),
+      (3L, Array.emptyByteArray)).toDF("media_id", "content")
+    val sigs = media.select(col("media_id"),
+        graft.functions.HashFunctions.dhash64(col("content")).as("sig"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    assert(sigs(1L).isDefined && sigs(1L) == sigs(2L))
+    assert(sigs(3L).isEmpty)
+    // kernel-level replay of the documented stub definition: codepoint
+    // plane sampled at floor(i*n/72), bit set iff luma[r][c] < luma[r][c+1]
+    val text = "the quick brown fox jumps over the lazy dog"
+    val cps = text.codePoints().toArray
+    var expected = 0L
+    for (r <- 0 until 8; c <- 0 until 8) {
+      def luma(i: Int) = cps((i.toLong * cps.length / 72).toInt) & 0xff
+      if (luma(r * 9 + c) < luma(r * 9 + c + 1)) expected |= 1L << (r * 8 + c)
+    }
+    assert(sigs(1L).contains(expected))
+  }
 }
