@@ -2306,6 +2306,36 @@ object SparkEntry {
           graft.functions.HashFunctions.dhash64(col("content")).as("dhash"))
         .filter(col("dhash").isNotNull)),
 
+    // ADC→exact rerank contract: the compressed scan over-fetches 100
+    // candidates, exact L2 re-scores them. recall_ok pins the measured
+    // floor vs exact-L2 top-10 (observed per-probe minima 5 across SFs;
+    // floor 3 with margin, the q75 convention). improves_ok pins the
+    // PROVABLE property that rerank can only add exact-top-10 members
+    // relative to ADC-only at the same nprobe (ADC top-10 ⊆ the
+    // candidate set, and any exact-top-10 member among candidates
+    // survives an exact re-score).
+    "q254_adc_rerank_recall" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val probes = emb.filter(col("vec_id") < 5)
+      val model = graft.operators.IvfAdc.train(emb, kCells = 8, m = 8,
+        pqK = 16, iterations = 3, dim = 64)
+      val codes = graft.operators.IvfAdc.encode(emb, model)
+      val exact = Similarity.bruteForceTopKL2(emb, probes, 10)
+        .select(col("probe_id"), col("corpus_id"))
+      def hitsOf(ap: DataFrame): DataFrame =
+        exact.join(ap.select(col("probe_id"), col("corpus_id"))
+            .withColumn("hit", lit(1)), Seq("probe_id", "corpus_id"), "left")
+          .groupBy(col("probe_id"))
+          .agg(count(lit(1)).as("k"), sum(coalesce(col("hit"), lit(0))).as("hits"))
+      val rer = hitsOf(graft.operators.IvfAdc.topKReranked(codes, emb, probes,
+        model, nprobe = 6, rerank = 100, k = 10))
+      val adc = hitsOf(graft.operators.IvfAdc.topK(codes, probes, model,
+        nprobe = 6, k = 10)).select(col("probe_id"), col("hits").as("adc_hits"))
+      rer.join(adc, Seq("probe_id"))
+        .select(col("probe_id"), col("k"), (col("hits") >= 3).as("recall_ok"),
+          (col("hits") >= col("adc_hits")).as("improves_ok"))
+    }),
+
     // Windowed funnel: view→click→purchase where each step lands within
     // 24h of the previous completion (the realistic conversion window)
     "q174_windowed_funnel" -> ((s, d) => {
@@ -3896,6 +3926,11 @@ object SparkEntry {
 
     "q75_ivf_recall" ->
       """SELECT vec_id AS probe_id, CAST(10 AS BIGINT) AS k, TRUE AS recall_ok
+        |FROM embeddings WHERE vec_id < 5""".stripMargin,
+
+    "q254_adc_rerank_recall" ->
+      """SELECT vec_id AS probe_id, CAST(10 AS BIGINT) AS k,
+        | TRUE AS recall_ok, TRUE AS improves_ok
         |FROM embeddings WHERE vec_id < 5""".stripMargin,
 
     "q76_embed_dedup_recall" ->

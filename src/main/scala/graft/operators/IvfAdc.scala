@@ -65,13 +65,22 @@ object IvfAdc {
     * prune cell directories at the scan — the inverted lists as data
     * layout) + both models as parquet alongside (portable to any
     * Hadoop-FS path). 8 B of codes per vector is what an object store
-    * holds at fleet scale; raw vectors are never needed at query time.
+    * holds at fleet scale; the ADC-only query path never reads a raw
+    * vector. `withVectors = true` additionally stores the RAW vectors
+    * partitioned by the same cells — the serving layout for
+    * [[topKFromIndexReranked]], whose exact re-score then reads only
+    * the probed cell directories.
     */
-  def writeIndex(corpus: DataFrame, model: Model, path: String): Unit = {
+  def writeIndex(corpus: DataFrame, model: Model, path: String,
+      withVectors: Boolean = false): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
     encode(corpus, model)
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
+    if (withVectors)
+      IvfIndex.assign(corpus, model.coarse)
+        .select(col("vec_id"), col("cell"), col("v"))
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$path/vectors")
     model.coarse.centroids.toSeq.map { case (i, v) => (i, v.toSeq) }
       .toDF("cell", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/coarse")
@@ -148,6 +157,70 @@ object IvfAdc {
       .select(col("probe_id"), col("vec_id").as("corpus_id"),
         round(col("adc"), 4).as("adc_dist"), col("rank"))
   }
+
+  /** ADC top-R → EXACT rerank → top-k: the standard serving pattern
+    * (Jégou et al. 2011 §V.B). ADC distances carry PQ quantization loss,
+    * so the compressed scan over-fetches `rerank` candidates and the
+    * final k are chosen by exact squared L2 against the RAW vectors —
+    * fetched for the candidates only (the candidate frame is tiny:
+    * probes × rerank rows, broadcast into the corpus join so raw
+    * vectors never shuffle).
+    */
+  def topKReranked(codes: DataFrame, corpus: DataFrame, probes: DataFrame,
+      model: Model, nprobe: Int, rerank: Int, k: Int): DataFrame = {
+    val cands = topK(codes, probes, model, nprobe, rerank)
+      .select(col("probe_id"), col("corpus_id"))
+    val pv = probes.select(col("vec_id").as("probe_id"),
+      toDouble(col("embedding")).as("pv"))
+    val cv = corpus.select(col("vec_id").as("corpus_id"),
+      toDouble(col("embedding")).as("cv"))
+    rerankExact(cv.join(broadcast(cands.join(pv, Seq("probe_id"))),
+      Seq("corpus_id")), k)
+  }
+
+  /** Persisted-index form of [[topKReranked]]: candidates come from the
+    * ADC scan over pruned cell directories, and the exact re-score reads
+    * raw vectors from the index's cell-partitioned `vectors/` layout
+    * (written by `writeIndex(withVectors = true)`) filtered to the SAME
+    * probed cells — both scans are partition-pruned; no full-corpus read
+    * anywhere on the query path.
+    */
+  def topKFromIndexReranked(spark: org.apache.spark.sql.SparkSession,
+      path: String, probes: DataFrame, nprobe: Int, rerank: Int,
+      k: Int): DataFrame = {
+    val model = loadModel(spark, path)
+    val ca = centArr(model.coarse)
+    val pcells = probes
+      .select(col("vec_id").as("probe_id"), toDouble(col("embedding")).as("pv"))
+      .select(col("probe_id"), col("pv"),
+        explode(slice(array_sort(transform(ca,
+          (c, i) => struct(squaredL2Distance(col("pv"), c).as("d"),
+            i.as("cell")))), 1, nprobe)).as("pc"))
+      .select(col("probe_id"), col("pv"), col("pc.cell").as("cell"))
+    val probedCells = pcells.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val cands = topKFromIndex(spark, path, probes, nprobe, rerank)
+      .select(col("probe_id"), col("corpus_id"))
+    val pv = probes.select(col("vec_id").as("probe_id"),
+      toDouble(col("embedding")).as("pv"))
+    val vecs = spark.read.parquet(s"$path/vectors")
+      .filter(col("cell").isin(probedCells: _*)) // prunes cell= dirs
+      .select(col("vec_id").as("corpus_id"), col("v").as("cv"))
+    rerankExact(vecs.join(broadcast(cands.join(pv, Seq("probe_id"))),
+      Seq("corpus_id")), k)
+  }
+
+  /** Shared exact re-score: squared L2 on (pv, cv), deterministic
+    * (dist, corpus_id) ranking, top-k per probe.
+    */
+  private def rerankExact(joined: DataFrame, k: Int): DataFrame =
+    joined
+      .withColumn("dist", squaredL2Distance(col("pv"), col("cv")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("probe_id"))
+          .orderBy(col("dist"), col("corpus_id"))))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("corpus_id"), col("dist"), col("rank"))
 
   /** ADC top-k through the inverted lists: per probe, the `nprobe`
     * nearest coarse cells (ranked by (distance, cell) over the literal

@@ -59,6 +59,26 @@ object Similarity {
       .select(col("probe_id"), col("corpus_id"), col("cosine"), col("rank"))
   }
 
+  /** Exact squared-L2 top-k per probe — the distance-metric twin of
+    * [[bruteForceTopK]] (same shape: probes broadcast, corpus scanned
+    * once, bounded per-probe window). The exact baseline for the
+    * L2-metric ANN paths (IVFADC / PQ), whose ADC distances approximate
+    * squared L2, so their recall contracts compare like with like.
+    */
+  def bruteForceTopKL2(corpus: DataFrame, probes: DataFrame, k: Int): DataFrame = {
+    val c = corpus.select(col("vec_id").as("corpus_id"),
+      toDouble(col("embedding")).as("c_vec"))
+    val p = probes.select(col("vec_id").as("probe_id"),
+      toDouble(col("embedding")).as("p_vec"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("dist"), col("corpus_id"))
+    c.join(broadcast(p), col("corpus_id") =!= col("probe_id"))
+      .withColumn("dist", squaredL2Distance(col("c_vec"), col("p_vec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("corpus_id"), col("dist"), col("rank"))
+  }
+
   /** Hard-negative mining for contrastive training (the in-batch-negative
     * upgrade): for each probe, the top-k most-similar corpus vectors with
     * a DIFFERENT label — maximally confusable cross-class examples. Same

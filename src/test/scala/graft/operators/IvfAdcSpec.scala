@@ -102,4 +102,50 @@ class IvfAdcSpec extends AnyFunSuite {
       plan.contains("cell IN") || plan.contains("cell#"), plan.take(900))
     assert(out.collect().length == 3)
   }
+
+  test("exact rerank fixes ADC quantization misranking") {
+    val df = corpus(40)
+    val model = IvfAdc.train(df, kCells = 4, m = 4, pqK = 4,
+      iterations = 2, dim = 16)
+    val codes = IvfAdc.encode(df, model)
+    val probes = df.filter(col("vec_id") === 0)
+    val rer = IvfAdc.topKReranked(codes, df, probes, model,
+      nprobe = 2, rerank = 12, k = 5).collect()
+    assert(rer.length == 5)
+    // the rerank's ordering is the EXACT squared-L2 ordering over its
+    // candidate set: distances are non-decreasing in rank and
+    // re-computed here from the raw vectors
+    val vecs = df.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def l2(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val sorted = rer.sortBy(_.getInt(3))
+    val dists = sorted.map(r => l2(vecs(0L), vecs(r.getLong(1))))
+    assert(dists.zip(dists.tail).forall { case (a, b) => a <= b })
+    assert(sorted.map(r => math.abs(r.getDouble(2) - l2(vecs(0L), vecs(r.getLong(1)))))
+      .forall(_ < 1e-9))
+  }
+
+  test("persisted rerank equals in-memory rerank and prunes both scans") {
+    val df = corpus(40)
+    val model = IvfAdc.train(df, kCells = 4, m = 4, pqK = 4,
+      iterations = 2, dim = 16)
+    val dir = java.nio.file.Files.createTempDirectory("ivfadc3").toString
+    IvfAdc.writeIndex(df, model, dir, withVectors = true)
+    val probes = df.filter(col("vec_id") === 0)
+    val persisted = IvfAdc.topKFromIndexReranked(spark, dir, probes,
+      nprobe = 2, rerank = 12, k = 5)
+    val mem = IvfAdc.topKReranked(IvfAdc.encode(df, model), df, probes, model,
+      nprobe = 2, rerank = 12, k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+    assert(persisted.collect().map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+      == mem)
+    // the raw-vector fetch reads only probed cell directories: every
+    // parquet scan in the plan carries a cell partition filter
+    val plan = persisted.queryExecution.executedPlan.toString
+    val scans = plan.linesIterator.filter(_.contains("FileScan parquet")).toSeq
+    assert(scans.nonEmpty)
+    assert(plan.contains("PartitionFilters: [cell#") || plan.contains("cell IN"),
+      plan.take(1200))
+  }
 }
