@@ -1797,6 +1797,14 @@ object SparkEntry {
              sqrt(col("__n2").cast("double"))), 4).as("cosine"))
     }),
 
+    // Corpus-scale BPE ENCODE: q186's 6 learned merges applied to every
+    // document — per-doc token-id sequences (frozen sorted-vocab ids,
+    // space-joined) + fertility stats; the curation→packSequences bridge
+    "q255_bpe_encode_corpus" -> ((s, d) =>
+      graft.operators.TextAnalysis.bpeEncodeCorpus(
+        t(s, d, "documents"), "doc_id", "text", numMerges = 6)
+        .withColumnRenamed("id", "doc_id")),
+
     // BPE tokenizer APPLICATION census: train q186's 6 merges, then
     // report the resulting subword vocabulary with exact corpus stats
     // (total occurrences weighted by word frequency + distinct words
@@ -2980,6 +2988,40 @@ object SparkEntry {
        |  count(DISTINCT w)::BIGINT AS n_words
        |FROM (SELECT w, c, unnest(s) AS tok FROM s$k)
        |GROUP BY tok""".stripMargin
+
+  /** q255 oracle: the q186/q187 unrolled merge rounds, then the
+    * per-DOCUMENT encode — doc words join the final word→symbols frame
+    * s`k` (total coverage: the vocabulary trained on this corpus),
+    * symbols map to sorted-vocab ids, ids string-join in (wpos, j)
+    * order. Fertility = tokens/words, 4dp, NULL for token-less docs.
+    */
+  private def bpeEncodeCorpusOracleSql(k: Int): String =
+    s"""${bpeCtes(k)},
+       |vocab AS (SELECT tok AS token,
+       |    (row_number() OVER (ORDER BY tok))::BIGINT - 1 AS tid
+       |  FROM (SELECT DISTINCT unnest(s) AS tok FROM s$k)),
+       |dbase AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+       |dw AS (SELECT doc_id, unnest(generate_series(1, len(toks))) AS wpos,
+       |    toks FROM dbase WHERE len(toks) > 0),
+       |dw2 AS (SELECT doc_id, wpos, toks[wpos] AS w FROM dw),
+       |ds AS (SELECT d.doc_id, d.wpos, s.s AS syms
+       |  FROM dw2 d JOIN s$k s ON d.w = s.w),
+       |dt AS (SELECT doc_id, wpos, unnest(generate_series(1, len(syms))) AS j,
+       |    syms FROM ds),
+       |dtid AS (SELECT t.doc_id, t.wpos, t.j, v.tid
+       |  FROM (SELECT doc_id, wpos, j, syms[j] AS sym FROM dt) t
+       |  JOIN vocab v ON t.sym = v.token),
+       |per AS (SELECT doc_id, count(DISTINCT wpos)::BIGINT AS n_words,
+       |    count(*)::BIGINT AS n_tokens,
+       |    string_agg(tid::VARCHAR, ' ' ORDER BY wpos, j) AS token_ids
+       |  FROM dtid GROUP BY doc_id)
+       |SELECT b.doc_id, coalesce(p.n_words, 0)::BIGINT AS n_words,
+       |  coalesce(p.n_tokens, 0)::BIGINT AS n_tokens,
+       |  CASE WHEN coalesce(p.n_words, 0) > 0
+       |    THEN round(p.n_tokens::DOUBLE / p.n_words::DOUBLE, 4) END
+       |    AS fertility,
+       |  coalesce(p.token_ids, '') AS token_ids
+       |FROM dbase b LEFT JOIN per p USING (doc_id)""".stripMargin
 
   private def bpeCtes(k: Int): String = {
     val base =
@@ -5204,6 +5246,9 @@ object SparkEntry {
     // BPE-encode replay: the q186 unrolled rounds + final vocabulary
     // census over the post-merge symbol frame
     "q187_bpe_encode" -> bpeEncodeOracleSql(6),
+
+    // Per-doc BPE encode replay (see bpeEncodeCorpusOracleSql)
+    "q255_bpe_encode_corpus" -> bpeEncodeCorpusOracleSql(6),
 
     // AUC replay: identical DECIMAL logits (q181's weight synthesis),
     // distinct-logit aggregation, cumulative-count average ranks, the

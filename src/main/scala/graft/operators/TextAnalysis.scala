@@ -723,6 +723,66 @@ object TextAnalysis {
       .agg(sum(col("c")).as("freq"),
         count_distinct(col("w")).as("n_words"))
 
+  /** Corpus-scale tokenizer APPLICATION — the step between curation and
+    * [[TrainingData.packSequences]] in a real pipeline: train `numMerges`
+    * merges ([[bpeMerges]]), then encode EVERY DOCUMENT to its token-id
+    * sequence plus fertility (tokens/word) stats. Token ids are the
+    * rank of the subword string in the final vocabulary (sorted,
+    * 0-based) — the deterministic id assignment a shipped tokenizer
+    * freezes; the id sequence is emitted space-joined (`token_ids`) so
+    * the row stays scalar.
+    *
+    * Scale shape: the per-word BPE fold runs ONCE per distinct word (on
+    * the vocabulary-sized training frame, never per occurrence) — the
+    * corpus pass is a posexplode + BROADCAST join against that
+    * word→symbols table, then a broadcast vocab-id join; the corpus
+    * text never re-folds merges and never shuffles (only (id, pos,
+    * 4-byte tid) rows reach the per-doc aggregate). Words outside the
+    * training vocabulary (never the case when encoding the training
+    * corpus itself) fall back to per-character symbols; characters
+    * still unknown map to id -1 (the UNK convention).
+    */
+  def bpeEncodeCorpus(df: DataFrame, idCol: String, textCol: String,
+      numMerges: Int): DataFrame = {
+    val (_, words) = bpeTrain(df, textCol, numMerges)
+    val wordSyms = words.select(col("w"), col("s"))
+    // vocab-sized window (the tokenizer's frozen id table) — single
+    // partition is intentional and bounded, like the bpeTrain argmax
+    val vocab = wordSyms.select(explode(col("s")).as("token")).distinct()
+      .withColumn("tid",
+        (row_number().over(Window.orderBy(col("token"))) - 1).cast("long"))
+    val spine = df.select(col(idCol).as("id"), tokens(col(textCol)).as("__toks"))
+    val docWords = spine
+      .select(col("id"), posexplode(col("__toks")).as(Seq("wpos", "w")))
+    val withSyms = docWords
+      .join(broadcast(wordSyms), Seq("w"), "left")
+      .select(col("id"), col("wpos"),
+        // unseen-word fallback: character symbols (byte-fallback analog)
+        coalesce(col("s"),
+          transform(sequence(lit(1), length(col("w"))),
+            i => col("w").substr(i, lit(1)))).as("s"))
+    val toks = withSyms
+      .select(col("id"), col("wpos"), posexplode(col("s")).as(Seq("j", "sym")))
+      .join(broadcast(vocab), col("sym") === vocab("token"), "left")
+      .select(col("id"), col("wpos"), col("j"),
+        coalesce(col("tid"), lit(-1L)).as("tid"))
+    val per = toks.groupBy(col("id"))
+      .agg(count_distinct(col("wpos")).as("n_words"),
+        count(lit(1)).as("n_tokens"),
+        array_join(transform(
+          sort_array(collect_list(struct(col("wpos"), col("j"), col("tid")))),
+          s => s.getField("tid").cast("string")), " ").as("token_ids"))
+    spine.select(col("id"))
+      .join(per, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        when(coalesce(col("n_words"), lit(0L)) > 0,
+          round(col("n_tokens").cast("double") /
+            col("n_words").cast("double"), 4)).as("fertility"),
+        coalesce(col("token_ids"), lit("")).as("token_ids"))
+  }
+
   private def bpeTrain(df: DataFrame, textCol: String,
       numMerges: Int): (DataFrame, DataFrame) = {
     require(numMerges >= 1 && numMerges <= 64,

@@ -403,6 +403,24 @@ class TextAnalysisSpec extends AnyFunSuite {
       "b" -> ((1L, 1L))))
   }
 
+  test("bpeEncodeCorpus: per-doc ids, left-to-right overlap ties, empty doc") {
+    // words: aa(c=2), ab(1), aaa(1) → pair (a,a): 2 (from aa×2) + 2
+    // (two overlapping pairs in aaa) = 4 beats (a,b): 1 → merge (a,a).
+    // Post-merge splits: aa→[aa], ab→[a,b], aaa→[aa,a] (left-to-right
+    // non-overlapping: the first two a's merge, the third stays).
+    // Vocab sorted: a=0, aa=1, b=2.
+    val df = Seq((1L, "aa aa ab"), (2L, "aaa"), (3L, ""))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bpeEncodeCorpus(df, "doc_id", "text", numMerges = 1)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)), r.getString(4)))
+      .toMap
+    assert(out(1L) == ((3L, 4L, Some(1.3333), "1 1 0 2")))
+    assert(out(2L) == ((1L, 2L, Some(2.0), "1 0")))
+    assert(out(3L) == ((0L, 0L, None, "")))
+  }
+
   test("heapsFit: exact OLS over the known V(N) curve, nv=0 doc included") {
     // doc 2 adds no new vocabulary → exercises the left-join/coalesce(0)
     // path; curve points: (N,V) = (2,2), (4,2), (7,3)
