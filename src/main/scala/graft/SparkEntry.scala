@@ -1805,6 +1805,25 @@ object SparkEntry {
         t(s, d, "documents"), "doc_id", "text", numMerges = 6)
         .withColumnRenamed("id", "doc_id")),
 
+    // URL/domain curation league table: deterministic synthetic URLs
+    // (the mediaFromDocuments convention — mixed .com/.co.uk/.org TLDs,
+    // every 7th doc on a blocklisted ad domain), registrable-domain
+    // extraction through parse_url incl. the co.uk multi-part suffix,
+    // blocklist gate AND Gopher keep → per-domain keep-rate
+    "q256_domain_curation" -> ((s, d) => {
+      val tlds = array(lit("com"), lit("co.uk"), lit("org"))
+      val withUrl = t(s, d, "documents").withColumn("url",
+        concat(lit("https://"),
+          when(col("doc_id") % 7 === 0, lit("ads.tracker-net"))
+            .otherwise(concat(lit("www."), col("source"))),
+          lit("."),
+          element_at(tlds, (col("doc_id") % 3).cast("int") + 1),
+          lit("/p/"), col("doc_id")))
+      graft.operators.QualityRules.domainCuration(withUrl, "doc_id", "url",
+        "text", blocklist =
+          Seq("tracker-net.com", "tracker-net.co.uk", "tracker-net.org"))
+    }),
+
     // BPE tokenizer APPLICATION census: train q186's 6 merges, then
     // report the resulting subword vocabulary with exact corpus stats
     // (total occurrences weighted by word frequency + distinct words
@@ -5249,6 +5268,43 @@ object SparkEntry {
 
     // Per-doc BPE encode replay (see bpeEncodeCorpusOracleSql)
     "q255_bpe_encode_corpus" -> bpeEncodeCorpusOracleSql(6),
+
+    // Domain-curation replay: same synthetic URLs, host by regexp (the
+    // generic form — exercises the parse, not the construction), same
+    // multi-part-suffix registrable-domain rule, blocklist AND Gopher
+    // keep, per-domain rollup
+    "q256_domain_curation" ->
+      s"""WITH q AS ($gopherQualityOracleSql),
+         |u AS (SELECT doc_id, 'https://' ||
+         |    CASE WHEN doc_id % 7 = 0 THEN 'ads.tracker-net'
+         |      ELSE 'www.' || source END ||
+         |    '.' || (['com', 'co.uk', 'org'])[(doc_id % 3)::INT + 1] ||
+         |    '/p/' || doc_id AS url
+         |  FROM documents),
+         |h AS (SELECT doc_id,
+         |    lower(regexp_extract(url, '^[a-z]+://([^/:?#]+)', 1)) AS host
+         |  FROM u),
+         |lab AS (SELECT doc_id, host, string_split(host, '.') AS ls FROM h),
+         |dom AS (SELECT doc_id,
+         |    CASE WHEN len(ls) >= 3 AND (ls[-2] || '.' || ls[-1]) IN
+         |        ('co.uk', 'org.uk', 'ac.uk', 'gov.uk', 'com.au', 'net.au',
+         |         'co.jp', 'co.in', 'com.br', 'co.nz')
+         |      THEN ls[-3] || '.' || ls[-2] || '.' || ls[-1]
+         |      WHEN len(ls) >= 2 THEN ls[-2] || '.' || ls[-1]
+         |      ELSE host END AS domain
+         |  FROM lab),
+         |j AS (SELECT dom.domain, q.n_words, q.keep,
+         |    dom.domain IN ('tracker-net.com', 'tracker-net.co.uk',
+         |      'tracker-net.org') AS blocked
+         |  FROM dom JOIN q ON q.doc_id = dom.doc_id)
+         |SELECT domain, count(*)::BIGINT AS docs,
+         |  CAST(sum(n_words) AS BIGINT) AS words,
+         |  max(blocked) AS blocked,
+         |  CAST(sum(CASE WHEN NOT blocked AND keep THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS kept,
+         |  sum(CASE WHEN NOT blocked AND keep THEN 1 ELSE 0 END)::DOUBLE
+         |    / count(*) AS keep_rate
+         |FROM j GROUP BY domain""".stripMargin,
 
     // AUC replay: identical DECIMAL logits (q181's weight synthesis),
     // distinct-logit aggregation, cumulative-count average ranks, the

@@ -322,4 +322,68 @@ object QualityRules {
         round(col("n_nonascii_chars").cast("double") /
           col("__nchars").cast("double"), 4).as("nonascii_rate"))
   }
+
+  /** Multi-part public suffixes for [[registrableDomain]] — a
+    * representative subset of the Public Suffix List (publicsuffix.org);
+    * swap in the full list for production crawls. Under these, the
+    * registrable domain keeps THREE labels (example.co.uk), not two.
+    */
+  val MultiPartSuffixes: Seq[String] = Seq(
+    "co.uk", "org.uk", "ac.uk", "gov.uk",
+    "com.au", "net.au", "co.jp", "co.in", "com.br", "co.nz")
+
+  /** Registrable ("pay-level") domain of a URL — the unit C4/RefinedWeb
+    * curation gates and rolls up on. `parse_url(HOST)` (codegen'd,
+    * Hive-compatible) extracts the lowercased host — ports, userinfo,
+    * paths and queries never leak into it — then the last two labels
+    * form the domain, or three when the two-label tail is a known
+    * multi-part public suffix. Null for URLs with no parseable host
+    * (garbage, scheme-less strings); bare single-label hosts
+    * (`localhost`) pass through whole.
+    */
+  def registrableDomain(url: Column,
+      multiSuffixes: Seq[String] = MultiPartSuffixes): Column = {
+    val host = lower(parse_url(url, lit("HOST")))
+    val labels = split(host, "\\.")
+    val n = size(labels)
+    val lastTwo = concat_ws(".",
+      element_at(labels, -2), element_at(labels, -1))
+    when(host.isNull || host === "", lit(null).cast("string"))
+      .when(n >= 3 && lastTwo.isin(multiSuffixes: _*),
+        concat_ws(".", element_at(labels, -3), lastTwo))
+      .when(n >= 2, lastTwo)
+      .otherwise(host)
+  }
+
+  /** URL/domain curation league table — the pre-filter stage C4 and
+    * RefinedWeb run BEFORE text quality: per registrable domain, doc
+    * and word volume, the blocklist verdict, and the keep-rate under
+    * (not blocked) AND the Gopher quality gate. Blocklist entries are
+    * registrable domains (blocking `tracker.com` blocks every
+    * subdomain, which all collapse to the same registrable domain).
+    *
+    * Scale shape: domain extraction is a per-row column program on the
+    * scan; the single shuffle is the per-domain aggregate with map-side
+    * partials, keyed by domain (cardinality ≪ docs). The blocklist is a
+    * literal IN-list here (typical curated lists are 1k-100k entries —
+    * for those, broadcast-join a blocklist frame instead; the rollup
+    * shape is unchanged).
+    */
+  def domainCuration(df: DataFrame, idCol: String, urlCol: String,
+      textCol: String, blocklist: Seq[String]): DataFrame = {
+    val q = gopherQuality(df, idCol, textCol)
+      .select(col(idCol), col("n_words"), col("keep"))
+    df.select(col(idCol), registrableDomain(col(urlCol)).as("domain"))
+      .join(q, Seq(idCol))
+      .withColumn("blocked",
+        coalesce(col("domain").isin(blocklist: _*), lit(false)))
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("docs"),
+        sum(col("n_words")).as("words"),
+        max(col("blocked")).as("blocked"),
+        sum(when(!col("blocked") && col("keep"), 1L).otherwise(0L)).as("kept"))
+      .select(col("domain"), col("docs"), col("words"), col("blocked"),
+        col("kept"),
+        (col("kept").cast("double") / col("docs")).as("keep_rate"))
+  }
 }

@@ -263,4 +263,41 @@ class QualityRulesSpec extends AnyFunSuite {
     assert(r.getAs[Long]("n_control") == 0L)
     assert(r.getAs[Double]("nonascii_rate") == 0.0)
   }
+
+  test("registrableDomain: hostile URLs — ports, userinfo, case, garbage") {
+    val cases = Seq(
+      "https://www.example.com/a" -> "example.com",
+      "https://www.example.co.uk:8080/x?q=1" -> "example.co.uk", // port stripped
+      "http://user:pw@evil.com/x" -> "evil.com",                 // userinfo stripped
+      "HTTPS://WWW.EXAMPLE.COM/A" -> "example.com",              // case-folded
+      "http://cdn.ads.tracker-net.com/x" -> "tracker-net.com",   // deep subdomain
+      "http://localhost:9000/" -> "localhost",                   // single label
+      "not a url" -> null,                                       // no host
+      "www.example.com/x" -> null)                               // scheme-less
+    val df = cases.map(_._1).toDF("url")
+      .select(col("url"), QualityRules.registrableDomain(col("url")).as("d"))
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    cases.foreach { case (u, want) => assert(df(u) == want, s"url=$u") }
+  }
+
+  test("domainCuration: blocklist gates keep, subdomains collapse") {
+    // ~70 words, stopword-rich, clean → passes the Gopher gate
+    val good = ("the quick brown fox jumps over the lazy dog near " +
+      "the old stone bridge and the river bank today ") * 4
+    val df = Seq(
+      (1L, "https://www.shop.co.uk/a", good),
+      (2L, "https://www.shop.co.uk:8080/b", "short text"), // fails Gopher
+      (3L, "http://user:pw@cdn.ads.tracker-net.com/x", good), // blocked
+      (4L, "http://localhost/x", good))
+      .toDF("doc_id", "url", "text")
+    val out = QualityRules.domainCuration(df, "doc_id", "url", "text",
+        blocklist = Seq("tracker-net.com"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getBoolean(3), r.getLong(4), r.getDouble(5))).toMap
+    assert(out("shop.co.uk") == ((2L, false, 1L, 0.5)))
+    // good text on a blocked domain: counted, never kept
+    assert(out("tracker-net.com") == ((1L, true, 0L, 0.0)))
+    assert(out("localhost") == ((1L, false, 1L, 1.0)))
+  }
 }
