@@ -543,7 +543,26 @@ object Dedup {
     * back would re-run the gram kernel on a second corpus scan AND
     * shuffle the full gram set a second time — measured plan had 2 gram
     * subtrees, 6 exchanges; this has 1 and 4. Hot grams (boilerplate)
-    * are one partition-local sorted run, not a skewed join. Then:
+    * are one partition-local sorted run, not a skewed join. Skew
+    * insurance (`hotGramCap`): a gram repeated more often than the cap
+    * is boilerplate by definition, and its non-winner occurrences are
+    * derivable WITHOUT the window — winner = min(struct(id, pos)), the
+    * same total order `row_number` sorts by. Detection must not cost a
+    * second full gram shuffle (measured: an exact count pre-pass
+    * doubled q111 — distinct-gram partials are the same volume as the
+    * window input on mostly-unique corpora), so hot grams are found on
+    * a DETERMINISTIC HASH SAMPLE of 1/`hotSampleRate` gram occurrences
+    * (the classic skew-hint pass): a gram sampled more than
+    * cap/rate times is routed hot. Routing is correctness-neutral —
+    * BOTH paths keep exactly the min-(id, pos) occurrence, so output is
+    * bit-identical for ANY hot set (spec-pinned), including sampling
+    * false positives/negatives; the cap is w.h.p. insurance (a count-N
+    * gram escapes detection with probability (1-1/rate)^N — vanishing
+    * for true boilerplate), and the detection shuffle carries 1/rate of
+    * the gram volume. rate=1 degrades to exact counting. Hot winners
+    * come from a tiny aggregation over only hot-tagged rows, broadcast
+    * (hot set ≤ totalGrams/cap by construction). Only cold grams enter
+    * the per-hash window. Then:
     * covered-position union bounded by spanLen × true-dup density →
     * posexplode anti-join rebuild, per-doc collect bounded by document
     * size. No driver state. Gram identity is the 64-bit hash on the
@@ -553,8 +572,11 @@ object Dedup {
     * [[ngramJaccardPairs]].
     */
   def spanDedup(df: DataFrame, idCol: String, toksCol: Column,
-      spanLen: Int = 8): DataFrame = {
+      spanLen: Int = 8, hotGramCap: Int = 4096,
+      hotSampleRate: Int = 64): DataFrame = {
     require(spanLen >= 2, s"spanLen must be >= 2, got $spanLen")
+    require(hotGramCap >= 1, s"hotGramCap must be >= 1, got $hotGramCap")
+    require(hotSampleRate >= 1, s"hotSampleRate must be >= 1, got $hotSampleRate")
     val spine = df.select(col(idCol).as("id"), toksCol.as("__toks"))
       .select(col("id"), col("__toks"),
         size(col("__toks")).cast("long").as("n_tokens"))
@@ -568,10 +590,48 @@ object Dedup {
           i => array_join(slice(col("__toks"), i, lit(spanLen)), " ")))
         .as(Seq("pos", "gram")))
       .select(col("id"), col("pos"), xxhash64(col("gram")).as("gh"))
-    val dups = grams
+      // The gram frame feeds four plan branches (sample census, hot
+      // winners, hot dups, cold window); without materialization each
+      // branch re-runs the slice/join/hash kernel over the corpus —
+      // measured 4× the kernel CPU. localCheckpoint stores the narrow
+      // (id, pos, gh) rows once (disk-spilling blocks; same discipline
+      // as nearDupRepresentatives' per-pass checkpoint) at the price of
+      // an eager job and checkpoint-grade fault tolerance.
+      .localCheckpoint()
+    // Skew-hint pre-pass: count a 1/rate deterministic hash-sample of
+    // gram occurrences (partial-aggregated; carries ~1/rate of the gram
+    // volume) — sample-count > cap/rate flags the gram hot. The salt
+    // (second xxhash64 over gh) decorrelates sampling from the shuffle
+    // partitioner so hot grams can't hide from the sample.
+    val sampleThreshold = hotGramCap.toDouble / hotSampleRate
+    val hotGhs = grams
+      .filter(pmod(xxhash64(col("gh"), lit(0x5eedL)), lit(hotSampleRate.toLong)) === 0L)
+      .groupBy(col("gh"))
+      .agg(count(lit(1)).as("__c"))
+      .filter(col("__c") > sampleThreshold)
+      .select(col("gh"))
+    val tagged = grams.join(
+      broadcast(hotGhs.withColumn("__hot", lit(true))), Seq("gh"), "left")
+    val hotRows = tagged.filter(col("__hot").isNotNull)
+    // Hot winners: tiny aggregation over hot occurrences only, then
+    // everything but the broadcast winner is a dup — no window, so no
+    // skewed sorted run exists anywhere. min(struct) picks the identical
+    // row the window's (id, pos) order would keep.
+    val hotWinners = hotRows
+      .groupBy(col("gh"))
+      .agg(min(struct(col("id"), col("pos"))).as("__w"))
+    val hotDups = hotRows.join(broadcast(hotWinners), Seq("gh"))
+      .filter(!(col("id") === col("__w.id") && col("pos") === col("__w.pos")))
+      .select(col("id"), col("pos"))
+    // Cold grams: the original per-hash window, partitions bounded at
+    // ~hotGramCap rows w.h.p. (exactly, when hotSampleRate = 1).
+    val coldDups = tagged
+      .filter(col("__hot").isNull)
       .withColumn("__rn", row_number().over(
         Window.partitionBy(col("gh")).orderBy(col("id"), col("pos"))))
       .filter(col("__rn") > 1)
+      .select(col("id"), col("pos"))
+    val dups = coldDups.unionByName(hotDups)
     val covered = dups
       .select(col("id"),
         explode(sequence(col("pos"), col("pos") + (spanLen - 1))).as("tpos"))

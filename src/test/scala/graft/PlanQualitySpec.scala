@@ -109,15 +109,25 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), "supplier/part side should broadcast")
   }
 
-  test("q111 span dedup: single gram pass, window winner (no sort-agg join-back)") {
+  test("q111 span dedup: checkpointed gram pass, hot/cold split, window winner") {
     val p = plan("q111_span_dedup")
-    // the expensive positional-gram explode (tokenize + transform +
-    // posexplode + xxhash64) must appear ONCE — the min(struct) + join
-    // shape evaluated it twice on two corpus scans
-    assert("posexplode\\(transform".r.findAllIn(p).size == 1, p.take(600))
-    assert(!p.contains("SortAggregate"), "struct-min winner crept back in")
+    // the expensive positional-gram kernel (tokenize + transform +
+    // posexplode + xxhash64) runs ONCE inside the eager localCheckpoint
+    // job; the four downstream branches (sample census, hot winners,
+    // hot dups, cold window) must read the materialized narrow rows,
+    // never re-run the kernel
+    assert(!p.contains("posexplode(transform"),
+      "gram kernel leaked past the checkpoint into a downstream branch")
+    assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"),
+      "checkpointed gram frame missing from the plan")
+    // (a SortAggregate IS expected now — the hot branch's min(struct)
+    // winner aggregates over the bounded hot subset only; the corpus-
+    // scale winner determination stays in the cold window)
+    // cold path keeps the bounded per-hash window; hot path is the
+    // broadcast min-winner route; they rejoin in a union
     assert(p.contains("RunningWindowFunction") || p.contains("Window"), p.take(400))
-    assert("Exchange".r.findAllIn(p).size <= 6, "unexpected extra shuffles")
+    assert(p.contains("BroadcastHashJoin"), "hot-gram broadcast route missing")
+    assert(p.contains("Union"), "hot/cold split missing")
   }
 
   test("q117 exact-k sample gets map-side WindowGroupLimit pre-pruning") {

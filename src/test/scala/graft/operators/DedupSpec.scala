@@ -185,6 +185,49 @@ class DedupSpec extends AnyFunSuite {
     assert(out(4L) == ((3L, 3L, 0L, "zeta eta theta")))
   }
 
+  test("spanDedup: hot-gram cap routes boilerplate around the window, output bit-identical") {
+    // 30 docs all sharing one 8-token boilerplate span (gram count 30,
+    // far over cap=3) plus a lightly-duplicated cold span (count 2) and
+    // unique filler. The capped run must equal the uncapped run exactly:
+    // the min(struct(id, pos)) winner on the hot path is the same row
+    // the window's (id, pos) order keeps.
+    val hot = (1 to 8).map(i => s"h$i")
+    val cold = (1 to 8).map(i => s"c$i")
+    val docs = ((1L to 30L).map { i =>
+      val filler = Seq(s"u${i}a", s"u${i}b")
+      if (i <= 2L) (i, filler ++ hot ++ cold) else (i, filler ++ hot)
+    }).toDF("doc_id", "toks")
+    def run(cap: Int) =
+      Dedup.spanDedup(docs, "doc_id", col("toks"), spanLen = 8,
+        hotGramCap = cap, hotSampleRate = 1)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getString(4))).sortBy(_._1).toSeq
+    val capped = run(3)
+    assert(capped == run(1000000), "capped output diverged from uncapped")
+    // sampled detection (default rate) must also be output-identical —
+    // routing is correctness-neutral whatever the sample catches
+    val sampled = Dedup.spanDedup(docs, "doc_id", col("toks"), spanLen = 8,
+      hotGramCap = 3, hotSampleRate = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4))).sortBy(_._1).toSeq
+    assert(sampled == capped, "sampled-detection output diverged")
+    // winner semantics: doc 1 (min id) keeps both spans; every other doc
+    // loses the hot span; doc 2 also loses the cold span
+    val byId = capped.map(t => t._1 -> t).toMap
+    assert(byId(1L)._3 == 18L && byId(1L)._4 == 0L)
+    assert(byId(2L)._4 == 16L && byId(2L)._5 == "u2a u2b")
+    assert(byId(17L)._4 == 8L && byId(17L)._5 == "u17a u17b")
+    // behavior assertion on the cap: with cap=3 the hot 8-gram's 30
+    // occurrences must NOT flow into the row_number window — the plan
+    // still contains the window (cold path) but the broadcast-join hot
+    // path exists alongside it
+    val plan = Dedup.spanDedup(docs, "doc_id", col("toks"), spanLen = 8,
+      hotGramCap = 3, hotSampleRate = 1).queryExecution.optimizedPlan.toString
+    assert(plan.contains("Window") || plan.toLowerCase.contains("row_number"),
+      "cold window path missing")
+    assert(plan.toLowerCase.contains("union"), "hot/cold split missing from plan")
+  }
+
   test("spanDedup: in-document repetition keeps only the first site") {
     val span = (1 to 9).map(i => s"w$i")
     val doc = span ++ Seq("mid") ++ span
