@@ -1824,6 +1824,39 @@ object SparkEntry {
           Seq("tracker-net.com", "tracker-net.co.uk", "tracker-net.org"))
     }),
 
+    // PII with VALIDATED financial identifiers: credit-card candidates
+    // gated on the Luhn checksum and IBANs on ISO 13616 mod-97, over
+    // synthetic text mixing known-valid numbers with doc-varying digit
+    // runs whose validity is data-dependent — syntactic candidate
+    // counts sit next to validated counts, so the census pins exactly
+    // which digit runs the checksum gates kept from being redacted
+    "q257_pii_validated" -> ((s, d) => {
+      val d16 = lpad(((col("doc_id") * 2654435761L) % 10000000000000000L)
+        .cast("string"), 16, "0")
+      val t0 = concat(
+        lit("order "), d16,
+        when(col("doc_id") % 7 === 0,
+          lit(" pay 4111 1111 1111 1111 now")).otherwise(lit("")),
+        when(col("doc_id") % 11 === 0,
+          lit(" iban GB82WEST12345698765432 ok")).otherwise(lit("")),
+        when(col("doc_id") % 13 === 0,
+          lit(" bad GB82WEST12345698765433")).otherwise(lit("")),
+        lit(" ref DE"), lpad((col("doc_id") % 100).cast("string"), 2, "0"),
+        lit("BANK"),
+        lpad(((col("doc_id") * 31) % 1000000000000L).cast("string"), 12, "0"))
+      val withT = t(s, d, "documents").select(col("doc_id"), t0.as("t"))
+      graft.operators.TrainingData.redactPiiValidated(withT, "t")
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("t"),
+            lit(graft.operators.TrainingData.ccCandidatePattern), lit(0)))
+            .as("n_cc_cand"),
+          col("n_ccard"),
+          size(regexp_extract_all(col("t"),
+            lit(graft.operators.TrainingData.ibanCandidatePattern), lit(0)))
+            .as("n_iban_cand"),
+          col("n_iban"), col("redacted"))
+    }),
+
     // BPE tokenizer APPLICATION census: train q186's 6 merges, then
     // report the resulting subword vocabulary with exact corpus stats
     // (total occurrences weighted by word frequency + distinct words
@@ -5305,6 +5338,53 @@ object SparkEntry {
          |  sum(CASE WHEN NOT blocked AND keep THEN 1 ELSE 0 END)::DOUBLE
          |    / count(*) AS keep_rate
          |FROM j GROUP BY domain""".stripMargin,
+
+    // Luhn / mod-97 replayed structurally in DuckDB: indexed
+    // list_transform doubles every second digit from the right (DuckDB
+    // lambdas index from 1, Spark from 0 — the parity flips), and the
+    // IBAN residue folds char-by-char through list_reduce with a
+    // stringified accumulator. Redaction fold order is irrelevant by
+    // construction (no validated candidate is a substring of another),
+    // so DuckDB's unordered list_distinct is safe.
+    "q257_pii_validated" ->
+      s"""WITH txt AS (SELECT doc_id,
+         |  'order ' || lpad(CAST((doc_id * 2654435761) % 10000000000000000 AS VARCHAR), 16, '0')
+         |  || CASE WHEN doc_id % 7 = 0 THEN ' pay 4111 1111 1111 1111 now' ELSE '' END
+         |  || CASE WHEN doc_id % 11 = 0 THEN ' iban GB82WEST12345698765432 ok' ELSE '' END
+         |  || CASE WHEN doc_id % 13 = 0 THEN ' bad GB82WEST12345698765433' ELSE '' END
+         |  || ' ref DE' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+         |  || 'BANK' || lpad(CAST((doc_id * 31) % 1000000000000 AS VARCHAR), 12, '0') AS t
+         |  FROM documents),
+         |cc AS (SELECT doc_id, t,
+         |  regexp_extract_all(t, '\\b[0-9](?:[ -]?[0-9]){12,18}\\b') AS cands,
+         |  list_filter(regexp_extract_all(t, '\\b[0-9](?:[ -]?[0-9]){12,18}\\b'), c ->
+         |    len(regexp_extract_all(c, '[0-9]')) BETWEEN 13 AND 19 AND
+         |    list_sum(list_transform(list_reverse(regexp_extract_all(c, '[0-9]')), (x, i) ->
+         |      CASE WHEN i % 2 = 0 THEN
+         |        CASE WHEN 2*CAST(x AS INT) > 9 THEN 2*CAST(x AS INT) - 9 ELSE 2*CAST(x AS INT) END
+         |      ELSE CAST(x AS INT) END)) % 10 = 0) AS valid
+         |  FROM txt),
+         |ib AS (SELECT doc_id,
+         |  regexp_extract_all(t, '\\b[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}\\b') AS cands,
+         |  list_filter(regexp_extract_all(t, '\\b[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}\\b'), c ->
+         |    len(c) BETWEEN 15 AND 34 AND
+         |    CAST(list_reduce(list_prepend('0',
+         |      regexp_extract_all(substr(c, 5) || substr(c, 1, 4), '.')), (a, x) ->
+         |      CASE WHEN x BETWEEN '0' AND '9'
+         |        THEN CAST((CAST(a AS BIGINT) * 10 + CAST(x AS BIGINT)) % 97 AS VARCHAR)
+         |        ELSE CAST((CAST(a AS BIGINT) * 100 + ascii(x) - 55) % 97 AS VARCHAR)
+         |      END) AS BIGINT) = 1) AS valid
+         |  FROM txt)
+         |SELECT cc.doc_id,
+         |  len(cc.cands)::INT AS n_cc_cand,
+         |  len(cc.valid)::INT AS n_ccard,
+         |  len(ib.cands)::INT AS n_iban_cand,
+         |  len(ib.valid)::INT AS n_iban,
+         |  list_reduce(list_prepend(
+         |    list_reduce(list_prepend(cc.t, list_distinct(cc.valid)),
+         |      (a, x) -> replace(a, x, '<CC>')),
+         |    list_distinct(ib.valid)), (a, x) -> replace(a, x, '<IBAN>')) AS redacted
+         |FROM cc JOIN ib ON cc.doc_id = ib.doc_id""".stripMargin,
 
     // AUC replay: identical DECIMAL logits (q181's weight synthesis),
     // distinct-logit aggregation, cumulative-count average ranks, the

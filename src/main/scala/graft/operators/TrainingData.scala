@@ -257,6 +257,81 @@ object TrainingData {
     counted.withColumn("redacted", redacted)
   }
 
+  /** Credit-card candidate syntax: 13-19 digits with optional single
+    * space/dash separators (RE2-safe, like [[piiPatterns]]). Syntax alone
+    * over-matches badly — order ids, timestamps, hashes — which is why
+    * redaction gates on the Luhn check.
+    */
+  val ccCandidatePattern = "\\b[0-9](?:[ -]?[0-9]){12,18}\\b"
+
+  /** IBAN candidate syntax: 2 letters (country) + 2 digits (check) +
+    * 11-30 alphanumerics — length 15-34, the real-world IBAN envelope.
+    */
+  val ibanCandidatePattern = "\\b[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}\\b"
+
+  /** Luhn checksum over a candidate's digits (ISO/IEC 7812): from the
+    * RIGHT, double every second digit, fold >9 to d-9, sum % 10 == 0.
+    * Pure array-column arithmetic — no UDF: split to chars, keep digits,
+    * reverse, indexed transform, aggregate sum.
+    */
+  def luhnValid(cand: Column): Column = {
+    val digits = reverse(filter(split(cand, ""), _.rlike("^[0-9]$")))
+    val contrib = transform(digits, (ch, i) => {
+      val d = ch.cast("int")
+      when(i % 2 === 1,
+        when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)).otherwise(d)
+    })
+    size(digits).between(13, 19) &&
+      aggregate(contrib, lit(0), (acc, x) => acc + x) % 10 === 0
+  }
+
+  /** ISO 13616 mod-97 IBAN check: move the first 4 chars to the end, map
+    * letters to 10-35, and the resulting decimal number ≡ 1 (mod 97).
+    * The number is up to 68 digits, so the fold keeps a running residue:
+    * digit → acc*10+d mod 97, letter → acc*100+(ascii-55) mod 97 — pure
+    * column arithmetic, no UDF, no big-int type.
+    */
+  def ibanValid(cand: Column): Column = {
+    val rearranged = concat(substring(cand, 5, 34), substring(cand, 1, 4))
+    val chars = filter(split(rearranged, ""), c => length(c) === 1)
+    val residue = aggregate(chars, lit(0L), (acc, ch) =>
+      when(ch.rlike("^[0-9]$"), (acc * 10 + ch.cast("long")) % 97)
+        .otherwise((acc * 100 + (ascii(ch) - 55)) % 97))
+    length(cand).between(15, 34) && residue === 1L
+  }
+
+  /** [[redactPii]] plus VALIDATED financial-identifier redaction: credit
+    * cards gated on the Luhn checksum and IBANs on the ISO 13616 mod-97
+    * check, so arbitrary digit runs (order ids, log timestamps) are NOT
+    * redacted — the false-positive class a syntax-only pass mangles.
+    *
+    * Adds `n_ccard` / `n_iban` (count of VALIDATED matches, on the
+    * pre-redaction text, occurrence-counted like the regex kinds) and
+    * replaces each validated candidate in `redacted` with `<CC>` /
+    * `<IBAN>` (literal replace of the candidate string, applied after
+    * the regex kinds; candidates are extracted from the ORIGINAL text,
+    * so a candidate consumed by an earlier pattern is a no-op here).
+    * Everything is per-row array/column arithmetic — narrow, no shuffle,
+    * no UDF; the candidate arrays are bounded by matches-per-document.
+    */
+  def redactPiiValidated(df: DataFrame, textCol: String): DataFrame = {
+    val base = redactPii(df, textCol)
+    val ccCands = filter(
+      regexp_extract_all(col(textCol), lit(ccCandidatePattern), lit(0)),
+      luhnValid(_))
+    val ibanCands = filter(
+      regexp_extract_all(col(textCol), lit(ibanCandidatePattern), lit(0)),
+      ibanValid(_))
+    base
+      .withColumn("n_ccard", size(ccCands))
+      .withColumn("n_iban", size(ibanCands))
+      .withColumn("redacted",
+        aggregate(array_distinct(ibanCands),
+          aggregate(array_distinct(ccCands), col("redacted"),
+            (t, c) => replace(t, c, lit("<CC>"))),
+          (t, c) => replace(t, c, lit("<IBAN>"))))
+  }
+
   /** Benchmark decontamination: flag training documents sharing any
     * word-`n`-gram with an eval/benchmark set (the standard n-gram
     * contamination check). Returns (id, n_hits, contaminated) per train

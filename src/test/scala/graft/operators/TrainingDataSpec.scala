@@ -71,6 +71,39 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(out(1) == ((0, 0, 0, "clean text, no pii 12345")))
   }
 
+  test("redactPiiValidated: Luhn gates cards, mod-97 gates IBANs, plain digit runs survive") {
+    val df = Seq(
+      // valid card (4111... passes Luhn), spaced variant also valid
+      (1L, "pay 4111111111111111 or 4111 1111 1111 1111 now"),
+      // same-shape digit run failing Luhn: counted as nothing, NOT redacted
+      (2L, "order id 4111111111111112 is not a card"),
+      // valid IBAN (ISO example) + a one-digit mutation that must survive
+      (3L, "send to GB82WEST12345698765432 not GB82WEST12345698765433"),
+      // 16-digit timestamp-ish run, Luhn-invalid: untouched
+      (4L, "ts 1234567890123456 end"),
+      // too-short digit run: not even a candidate
+      (5L, "pin 123456789012 end"))
+      .toDF("id", "t")
+    val out = TrainingData.redactPiiValidated(df, "t").orderBy("id")
+      .select("n_ccard", "n_iban", "redacted")
+      .as[(Int, Int, String)].collect().toSeq
+    assert(out(0) == ((2, 0, "pay <CC> or <CC> now")))
+    assert(out(1) == ((0, 0, "order id 4111111111111112 is not a card")))
+    assert(out(2) == ((0, 1, "send to <IBAN> not GB82WEST12345698765433")))
+    assert(out(3) == ((0, 0, "ts 1234567890123456 end")))
+    assert(out(4) == ((0, 0, "pin 123456789012 end")))
+  }
+
+  test("redactPiiValidated: dashed card, DE IBAN, and regex kinds compose") {
+    val df = Seq(
+      (1L, "card 4111-1111-1111-1111 iban DE89370400440532013000 mail x@y.io"))
+      .toDF("id", "t")
+    val out = TrainingData.redactPiiValidated(df, "t")
+      .select("n_email", "n_ccard", "n_iban", "redacted")
+      .as[(Int, Int, Int, String)].collect().head
+    assert(out == ((1, 1, 1, "card <CC> iban <IBAN> mail <EMAIL>")))
+  }
+
   test("stratifiedSample: per-stratum rates hold and are retry-stable") {
     val docs = (0L until 4000L).map(i => (i, if (i % 2 == 0) "a" else "b"))
       .toDF("id", "g")
