@@ -1857,6 +1857,20 @@ object SparkEntry {
           col("n_iban"), col("redacted"))
     }),
 
+    // k-core decomposition over a deterministic hash graph (1251 nodes,
+    // double-xxhash64 endpoints per event — nonlinear, so no
+    // permutation-cycle degeneracy): iterative bulk peel until every
+    // surviving node has core-degree >= 9. Sized so the driver SFs
+    // exercise all three regimes: total collapse (sf0.001), a partial
+    // multi-round peel with a surviving 1217-node core (sf0.01), and a
+    // dense untouched core (sf0.1). Oracle unrolls idempotent rounds.
+    "q258_kcore" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(
+        pmod(xxhash64(col("event_id")), lit(1251L)).as("u"),
+        pmod(xxhash64(xxhash64(col("event_id"))), lit(1251L)).as("v"))
+      graft.operators.Graph.kCore(ev, "u", "v", k = 9)
+    }),
+
     // BPE tokenizer APPLICATION census: train q186's 6 merges, then
     // report the resulting subword vocabulary with exact corpus stats
     // (total occurrences weighted by word frequency + distinct words
@@ -3343,23 +3357,56 @@ object SparkEntry {
     val P3 = BigInt("165667B19E3779F9", 16); val P4 = BigInt("85EBCA77C2B2AE63", 16)
     val P5 = BigInt("27D4EB2F165667C5", 16)
     val seedH = (BigInt(42) + P5 + 8) & ((BigInt(1) << 64) - 1)
+    // carried columns must not shadow chain step names: DuckDB silently
+    // renames the colliding step (h1 -> h1_1) and later steps resolve
+    // the CARRIED column instead — a wrong-hash footgun found via q258
+    val reserved = Set("u", "hs", "k1a", "k1b", "k1", "h0", "h1", "h2",
+      "f1", "f2", "f3", "f4", "hh")
+    require(carry.forall(c => !reserved.contains(c.toLowerCase)),
+      s"xxh64Chain carry ${carry.mkString(",")} collides with step names")
     val steps = Seq(
       "k1a" -> mul64("u", P2), "k1b" -> rotl64("k1a", 31), "k1" -> mul64("k1b", P1),
       "h0" -> s"xor($seedH::HUGEINT, k1)", "h1" -> rotl64("h0", 27),
       "h2" -> s"(${mul64("h1", P1)} + $P4::HUGEINT) % $M64",
       "f1" -> shrXor64("h2", 33), "f2" -> mul64("f1", P2),
       "f3" -> shrXor64("f2", 29), "f4" -> mul64("f3", P3), "hh" -> shrXor64("f4", 32))
+    // MATERIALIZED per step is load-bearing: several steps reference
+    // their input twice (rotl, shr-xor), so DuckDB's default CTE
+    // inlining doubles the substituted expression per step — a single
+    // chain grows ~32×, and chain-of-chain compositions (q258) square
+    // that into minutes of planning. Materializing pins each step to
+    // one tiny intermediate table.
     val chain = steps.zipWithIndex.map { case ((n, e), i) =>
-      s"$prefix${i + 1} AS (SELECT *, $e AS $n FROM $prefix$i)"
+      s"$prefix${i + 1} AS MATERIALIZED (SELECT *, $e AS $n FROM $prefix$i)"
     }.mkString(",\n")
     val cs = carry.mkString(", ")
-    s"""${prefix}0 AS (SELECT $cs, ($inExpr)::HUGEINT AS u FROM $src),
+    s"""${prefix}0 AS MATERIALIZED (SELECT $cs, ($inExpr)::HUGEINT AS u FROM $src),
        |$chain,
-       |$prefix AS (SELECT $cs, ${toI64Sql("hh")} AS hs FROM $prefix${steps.size})""".stripMargin
+       |$prefix AS MATERIALIZED (SELECT $cs, ${toI64Sql("hh")} AS hs FROM $prefix${steps.size})""".stripMargin
   }
 
   /** Back-compat form: `xh(id, hs)` over `vecs.id`. */
   private def xxh64LongCtes: String = xxh64Chain("xh", "vecs", "id", Seq("id"))
+
+  /** Unrolled k-core peel rounds (q258): each round keeps only edges
+    * whose BOTH endpoints have degree ≥ k in the previous round's edge
+    * set. Rounds past the fixpoint are no-ops (the peel is idempotent),
+    * so the unroll count only needs to be ≥ the true peel depth.
+    */
+  private def kcorePeelSql(base: String, rounds: Int, k: Int): String =
+    (1 to rounds).map { i =>
+      val prev = if (i == 1) base else s"ke${i - 1}"
+      // MATERIALIZED is load-bearing: each round references the previous
+      // one four times, and DuckDB's default CTE inlining would expand
+      // the chain 4^rounds-fold (observed as an fd explosion re-opening
+      // the parquet leaf)
+      s"""kd$i AS MATERIALIZED (SELECT node FROM
+         |    (SELECT s AS node FROM $prev UNION ALL SELECT t AS node FROM $prev)
+         |    GROUP BY node HAVING count(*) >= $k),
+         |ke$i AS MATERIALIZED (SELECT s, t FROM $prev
+         |  WHERE s IN (SELECT node FROM kd$i)
+         |    AND t IN (SELECT node FROM kd$i))""".stripMargin
+    }.mkString(",\n")
 
   /** q118 replayed from first principles: positional bigrams, add-α LM
     * counts, per-doc position-ordered logp fold (the engine's fixed FP
@@ -5338,6 +5385,25 @@ object SparkEntry {
          |  sum(CASE WHEN NOT blocked AND keep THEN 1 ELSE 0 END)::DOUBLE
          |    / count(*) AS keep_rate
          |FROM j GROUP BY domain""".stripMargin,
+
+    // k-core replay: the same double-xxhash64 endpoints (xxh64Chain
+    // twice), canonical s<t dedup, then 16 unrolled idempotent peel
+    // rounds — ≥ the measured fixpoint depth at every driver SF
+    "q258_kcore" ->
+      s"""WITH ${xxh64Chain("xa", "events", "event_id", Seq("event_id"))},
+         |m1 AS (SELECT event_id, hs AS g1 FROM xa),
+         |${xxh64Chain("xb", "m1",
+            "g1 + CASE WHEN g1 < 0 THEN 18446744073709551616 ELSE 0 END",
+            Seq("event_id", "g1"))},
+         |uv AS (SELECT ((g1 % 1251) + 1251) % 1251 AS u,
+         |    ((hs % 1251) + 1251) % 1251 AS v FROM xb),
+         |ke0 AS MATERIALIZED (SELECT DISTINCT least(u, v) AS s,
+         |    greatest(u, v) AS t
+         |  FROM uv WHERE u <> v),
+         |${kcorePeelSql("ke0", 16, 9)}
+         |SELECT node, count(*)::BIGINT AS degree FROM
+         |  (SELECT s AS node FROM ke16 UNION ALL SELECT t AS node FROM ke16)
+         |GROUP BY node""".stripMargin,
 
     // Luhn / mod-97 replayed structurally in DuckDB: indexed
     // list_transform doubles every second digit from the right (DuckDB

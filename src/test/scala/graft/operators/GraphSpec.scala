@@ -92,6 +92,30 @@ class GraphSpec extends AnyFunSuite {
     assert(out == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
   }
 
+  test("kCore: clique survives, chain peels away entirely") {
+    // 5-clique {1..5} (every degree 4) + a chain 5-10-11-12-13 hanging
+    // off it. k=3: the chain's tip has degree 1 < 3, peeling it drops
+    // the next node to degree 1, and so on — the whole chain unravels
+    // round by round while the clique (all degrees ≥ 4 > 3) is
+    // untouched. Reversed duplicate edges must not inflate degrees.
+    val clique = for {
+      a <- 1L to 5L; b <- 1L to 5L if a < b
+    } yield (a, b)
+    val chain = Seq((5L, 10L), (10L, 11L), (11L, 12L), (12L, 13L))
+    val edges = (clique ++ chain ++ Seq((2L, 1L), (3L, 1L))).toDF("u", "v")
+    val out = Graph.kCore(edges, "u", "v", k = 3)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("degree")).toMap
+    assert(out == Map(1L -> 4L, 2L -> 4L, 3L -> 4L, 4L -> 4L, 5L -> 4L))
+  }
+
+  test("kCore: cycle is its own 2-core; k=3 empties it") {
+    val cycle = (0L until 8L).map(i => (i, (i + 1) % 8)).toDF("u", "v")
+    val core2 = Graph.kCore(cycle, "u", "v", k = 2)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("degree")).toMap
+    assert(core2 == (0L until 8L).map(_ -> 2L).toMap)
+    assert(Graph.kCore(cycle, "u", "v", k = 3).collect().isEmpty)
+  }
+
   test("clusteringCoefficient: clique nodes 1.0, bridge nodes lower") {
     // triangle {1,2,3} + pendant 3-4: node 3 has deg 3, 1 triangle →
     // cc = 2·1/(3·2) = 0.3333; nodes 1,2 are fully clustered (1.0);
