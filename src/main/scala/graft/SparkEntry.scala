@@ -2135,10 +2135,15 @@ object SparkEntry {
     // Per-source Spearman rank correlation between doc length and token
     // count: average-rank ties on distinct-value frames, all-integer
     // doubled-rank sums (the q188 recipe, two-column)
+    // y gates on text IS NOT NULL before size(): legacy sizeOfNull
+    // makes size(tokens(NULL)) = -1, which would sail through the
+    // y.isNotNull filter as a phantom rank while the DuckDB len(NULL)
+    // row drops — the documented size(NULL) pitfall (NOTES r5)
     "q217_spearman" -> ((s, d) =>
       graft.operators.Profile.spearman(t(s, d, "documents"), "source",
         col("n_chars"),
-        size(graft.functions.TextFunctions.tokens(col("text"))))),
+        when(col("text").isNotNull,
+          size(graft.functions.TextFunctions.tokens(col("text")))))),
 
     // Weekly OHLC bars per user over value: struct-ordered open/close,
     // plain high/low, exact-DECIMAL totals
@@ -6387,25 +6392,20 @@ object SparkEntry {
          |    sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END)::BIGINT AS n01,
          |    sum(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END)::BIGINT
          |      AS n00
-         |  FROM b)
+         |  FROM b),
+         |p AS (SELECT n, n11, n10, n01, n00,
+         |    (n11 + n00)::DOUBLE / n::DOUBLE AS po,
+         |    ((n11 + n10)::DOUBLE / n::DOUBLE)
+         |        * ((n11 + n01)::DOUBLE / n::DOUBLE)
+         |      + ((n01 + n00)::DOUBLE / n::DOUBLE)
+         |        * ((n10 + n00)::DOUBLE / n::DOUBLE) AS pe
+         |  FROM c)
          |SELECT n, n11, n10, n01, n00,
-         |  round((n11 + n00)::DOUBLE / n::DOUBLE, 4)
-         |    AS observed_agreement,
-         |  round(((n11 + n10)::DOUBLE / n::DOUBLE)
-         |      * ((n11 + n01)::DOUBLE / n::DOUBLE)
-         |    + ((n01 + n00)::DOUBLE / n::DOUBLE)
-         |      * ((n10 + n00)::DOUBLE / n::DOUBLE), 4)
-         |    AS expected_agreement,
-         |  round(((n11 + n00)::DOUBLE / n::DOUBLE
-         |    - (((n11 + n10)::DOUBLE / n::DOUBLE)
-         |        * ((n11 + n01)::DOUBLE / n::DOUBLE)
-         |      + ((n01 + n00)::DOUBLE / n::DOUBLE)
-         |        * ((n10 + n00)::DOUBLE / n::DOUBLE)))
-         |    / (1.0::DOUBLE - (((n11 + n10)::DOUBLE / n::DOUBLE)
-         |        * ((n11 + n01)::DOUBLE / n::DOUBLE)
-         |      + ((n01 + n00)::DOUBLE / n::DOUBLE)
-         |        * ((n10 + n00)::DOUBLE / n::DOUBLE))), 4) AS kappa
-         |FROM c""".stripMargin,
+         |  round(po, 4) AS observed_agreement,
+         |  round(pe, 4) AS expected_agreement,
+         |  CASE WHEN pe < 1.0 THEN round((po - pe) / (1.0::DOUBLE - pe), 4)
+         |    ELSE NULL END AS kappa
+         |FROM p""".stripMargin,
 
     // Cross-correlation replay: same dense spine, full-series means/
     // variances, overlap-only numerator folds in hour order

@@ -26,9 +26,22 @@ object Association {
     */
   def frequentPairs(baskets: DataFrame, basketCol: String, itemCol: String,
       minSupport: Long): DataFrame = {
-    val items = baskets.select(col(basketCol).as("b"), col(itemCol).as("i"))
-      .distinct()
+    val items = distinctItems(baskets, basketCol, itemCol)
     val nBaskets = items.select(col("b")).distinct().count()
+    pairsCore(items, nBaskets, minSupport)
+  }
+
+  private def distinctItems(baskets: DataFrame, basketCol: String,
+      itemCol: String): DataFrame =
+    baskets.select(col(basketCol).as("b"), col(itemCol).as("i")).distinct()
+
+  /** Level-2 core over a prepared distinct (b, i) frame and a
+    * pre-counted basket total — shared by [[frequentPairs]] and
+    * [[frequentTriples]] so the triple pass runs ONE eager basket
+    * count and one level-1 prune, not one per level.
+    */
+  private def pairsCore(items: DataFrame, nBaskets: Long,
+      minSupport: Long): DataFrame = {
     val itemCnt = items.groupBy(col("i")).agg(count(lit(1)).as("ci"))
       .filter(col("ci") >= minSupport)
     val frequent = items.join(itemCnt, Seq("i"))
@@ -58,13 +71,12 @@ object Association {
     */
   def frequentTriples(baskets: DataFrame, basketCol: String,
       itemCol: String, minSupport: Long): DataFrame = {
-    val items = baskets.select(col(basketCol).as("b"), col(itemCol).as("i"))
-      .distinct()
+    val items = distinctItems(baskets, basketCol, itemCol)
     val nBaskets = items.select(col("b")).distinct().count()
     val itemCnt = items.groupBy(col("i")).agg(count(lit(1)).as("ci"))
       .filter(col("ci") >= minSupport)
     val f = items.join(itemCnt.select(col("i")), Seq("i"))
-    val pairSet = frequentPairs(baskets, basketCol, itemCol, minSupport)
+    val pairSet = pairsCore(items, nBaskets, minSupport)
       .select(col("i1"), col("i2"))
     val inst = f.select(col("b"), col("i").as("i1"))
       .join(f.select(col("b"), col("i").as("i2")), Seq("b"))

@@ -877,6 +877,12 @@ object EventAnalytics {
     * Steps ≥ 2 get a z; step 1 is the denominator row.
     *
     * Counts exact; conversions and z are fixed double sequences, 4dp.
+    *
+    * Cohort assignment is reduced to ONE flag per user — max(isB) over
+    * the user's events — so an `isB` expression that is not constant
+    * per user (e.g. event-level conditions) still assigns each user to
+    * exactly one cohort (B wins on conflict) instead of silently
+    * double-counting the user's steps in both columns.
     */
   def funnelAbTest(events: DataFrame, userCol: String, tsCol: String,
       typeCol: String, steps: Seq[String], isB: Column): DataFrame = {
@@ -884,7 +890,7 @@ object EventAnalytics {
     val us = unix_micros(col(tsCol))
     val base = events.select(col(userCol).as("u"), col(typeCol).as("t"),
       us.as("us"), isB.cast("int").as("g"))
-    val cohort = base.select(col("u"), col("g")).distinct()
+    val cohort = base.groupBy(col("u")).agg(max(col("g")).as("g"))
     var prev = base.filter(col("t") === steps.head)
       .groupBy(col("u")).agg(min(col("us")).as("ts1"))
     val frames = Seq(prev.select(col("u"), lit(1).as("step"))) ++
@@ -1003,7 +1009,11 @@ object EventAnalytics {
     cells.select(col("n"), col("n11"), col("n10"), col("n01"), col("n00"),
       round(po, 4).as("observed_agreement"),
       round(pe, 4).as("expected_agreement"),
-      round((po - pe) / (lit(1.0) - pe), 4).as("kappa"))
+      // degenerate table (all mass in one row/column pair) gives pe = 1
+      // and an undefined kappa — emit NULL, not NaN (the zero-variance
+      // guard convention, e.g. autocorrelation's m2 > 0)
+      when(pe < 1.0, round((po - pe) / (lit(1.0) - pe), 4))
+        .otherwise(lit(null).cast("double")).as("kappa"))
   }
 
   /** Lead-lag cross-correlation between two event types' hourly count

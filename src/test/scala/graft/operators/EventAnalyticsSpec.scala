@@ -549,6 +549,34 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(math.abs(ri.getAs[Double]("kappa")) < 0.1)
   }
 
+  test("cohensKappa: degenerate one-cell table gives NULL kappa, not NaN") {
+    // every row (true, true): po = 1, pe = 1 → kappa undefined
+    val degen = (1 to 10).map(_ => (true, true)).toDF("a", "b")
+    val r = EventAnalytics.cohensKappa(degen,
+      org.apache.spark.sql.functions.col("a"),
+      org.apache.spark.sql.functions.col("b")).collect().head
+    assert(r.getAs[Double]("observed_agreement") == 1.0)
+    assert(r.getAs[Double]("expected_agreement") == 1.0)
+    assert(r.isNullAt(r.fieldIndex("kappa")))
+  }
+
+  test("funnelAbTest: event-varying isB resolves to one cohort per user (B wins)") {
+    // user 1's isB flips per event; max-reduction must land them in B
+    // exactly once, never in both columns
+    val df = Seq(
+      (1L, ts(0), "view", 0), (1L, ts(1), "click", 1),
+      (2L, ts(0), "view", 0), (2L, ts(1), "click", 0))
+      .toDF("user_id", "ts", "event_type", "flag")
+    val out = EventAnalytics.funnelAbTest(df, "user_id", "ts",
+      "event_type", Seq("view", "click"),
+      org.apache.spark.sql.functions.col("flag") === 1)
+      .collect().map(r => r.getAs[Int]("step") -> r).toMap
+    assert(out(1).getAs[Long]("n_a") == 1L) // user 2 only
+    assert(out(1).getAs[Long]("n_b") == 1L) // user 1 once, not twice
+    assert(out(2).getAs[Long]("n_a") == 1L)
+    assert(out(2).getAs[Long]("n_b") == 1L)
+  }
+
   test("crossCorrelation: a shifted copy peaks at its lag") {
     def at(hour: Int, t: String, id: Long) = (id, ts(hour), t)
     // purchases echo views 2 hours later; spike at hours 3 and 9
