@@ -1871,6 +1871,32 @@ object SparkEntry {
       graft.operators.Graph.kCore(ev, "u", "v", k = 9)
     }),
 
+    // SEMANTIC decontamination: train docs whose embedding lands within
+    // cosine 0.3 of any eval vector (vec_id % 97 = 0, the q92 split
+    // convention) via cross-set banded hyperplane LSH + exact rerank —
+    // catches the paraphrase contamination n-gram checks miss
+    "q260_decontam_semantic" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      graft.operators.TrainingData.decontaminateSemantic(
+        emb.filter(col("vec_id") % 97 =!= 0),
+        emb.filter(col("vec_id") % 97 === 0),
+        threshold = 0.3)
+    }),
+
+    // Canonical-document selection: hash-gated consecutive-id pairs
+    // form chains of near-dup clusters; keep the highest-n_chars member
+    // per cluster (ties to lowest id) — the best-of-cluster keep policy
+    // that upgrades keep-first dedup. Singletons keep themselves.
+    "q259_canonical_selection" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val pairs = docs
+        .select(col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b"))
+        .filter(pmod(xxhash64(col("id_a")), lit(5L)) === 0)
+        .join(docs.select(col("doc_id").as("id_b")), Seq("id_b"), "left_semi")
+      graft.operators.Dedup.selectCanonical(docs, "doc_id",
+        coalesce(col("n_chars"), lit(-1L)), pairs)
+    }),
+
     // BPE tokenizer APPLICATION census: train q186's 6 merges, then
     // report the resulting subword vocabulary with exact corpus stats
     // (total occurrences weighted by word frequency + distinct words
@@ -5409,6 +5435,67 @@ object SparkEntry {
          |SELECT node, count(*)::BIGINT AS degree FROM
          |  (SELECT s AS node FROM ke16 UNION ALL SELECT t AS node FROM ke16)
          |GROUP BY node""".stripMargin,
+
+    // Semantic-decontam replay: same seeded planes, band keys on both
+    // split sides, cross-set candidate join, exact cosine gate + rollup
+    "q260_decontam_semantic" -> {
+      val vals = hyperplaneValuesSql(15, 4, 64, 42L)
+      s"""WITH planes(plane_id, p) AS (VALUES $vals),
+         |tr AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+         |  FROM embeddings WHERE vec_id % 97 <> 0
+         |    AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
+         |ev AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+         |  FROM embeddings WHERE vec_id % 97 = 0
+         |    AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
+         |tbands AS (
+         |  SELECT id, plane_id // 4 AS band,
+         |    SUM((CASE WHEN list_dot_product(v, p) >= 0 THEN 1 ELSE 0 END)
+         |      << (plane_id % 4))::BIGINT AS key
+         |  FROM tr CROSS JOIN planes GROUP BY id, plane_id // 4),
+         |ebands AS (
+         |  SELECT id, plane_id // 4 AS band,
+         |    SUM((CASE WHEN list_dot_product(v, p) >= 0 THEN 1 ELSE 0 END)
+         |      << (plane_id % 4))::BIGINT AS key
+         |  FROM ev CROSS JOIN planes GROUP BY id, plane_id // 4),
+         |cand AS (SELECT DISTINCT t.id AS id, e.id AS eval_id
+         |  FROM tbands t JOIN ebands e ON t.band = e.band AND t.key = e.key),
+         |scored AS (SELECT cand.id, cand.eval_id,
+         |    list_cosine_similarity(tv.v, evv.v) AS c
+         |  FROM cand JOIN tr tv ON tv.id = cand.id
+         |    JOIN ev evv ON evv.id = cand.eval_id),
+         |hits AS (SELECT id, c FROM scored WHERE c >= 0.3)
+         |SELECT id, count(*)::BIGINT AS n_hits,
+         |  round(max(c), 4) AS max_cosine, true AS contaminated
+         |FROM hits GROUP BY id""".stripMargin
+    },
+
+    // Canonical-selection replay: hash-gated chain pairs, recursive-CTE
+    // connected components (the q132 pattern), then the deterministic
+    // winner rule (score DESC, id ASC) via row_number
+    "q259_canonical_selection" ->
+      s"""WITH RECURSIVE vecs AS (SELECT doc_id AS id FROM documents),
+         |${xxh64Chain("xh", "vecs", "id", Seq("id"))},
+         |p AS (SELECT xh.id AS pa, xh.id + 1 AS pb FROM xh
+         |  WHERE ((hs % 5) + 5) % 5 = 0
+         |    AND xh.id + 1 IN (SELECT doc_id FROM documents)),
+         |e AS (SELECT pa AS u, pb AS v FROM p
+         |  UNION SELECT pb AS u, pa AS v FROM p),
+         |verts AS (SELECT DISTINCT u AS x FROM e),
+         |reach(a, b) AS (SELECT x, x FROM verts
+         |  UNION SELECT r.a, e.v FROM reach r JOIN e ON r.b = e.u),
+         |comp AS (SELECT a AS id, min(b) AS rep FROM reach GROUP BY a),
+         |lab AS (SELECT d.doc_id AS id,
+         |    coalesce(d.n_chars, -1)::BIGINT AS score,
+         |    coalesce(c.rep, d.doc_id) AS cluster
+         |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.id),
+         |w AS (SELECT *, row_number() OVER (PARTITION BY cluster
+         |    ORDER BY score DESC, id ASC) AS rn FROM lab),
+         |b2 AS (SELECT cluster, id AS canonical_id FROM w WHERE rn = 1),
+         |sz AS (SELECT cluster, count(*)::BIGINT AS cluster_size
+         |  FROM lab GROUP BY cluster)
+         |SELECT lab.id, lab.cluster, b2.canonical_id, sz.cluster_size,
+         |  lab.id = b2.canonical_id AS keep
+         |FROM lab JOIN b2 USING (cluster) JOIN sz USING (cluster)""".stripMargin,
 
     // Luhn / mod-97 replayed structurally in DuckDB: indexed
     // list_transform doubles every second digit from the right (DuckDB

@@ -653,6 +653,42 @@ object Dedup {
         coalesce(col("text_dedup"), lit("")).as("text_dedup"))
   }
 
+  /** Canonical-document selection per near-duplicate cluster: the keep
+    * policy that upgrades keep-first dedup — close the pair graph into
+    * clusters ([[nearDupRepresentatives]] min-label fixpoint), then keep
+    * the HIGHEST-`score` member of each cluster (ties to the lowest id),
+    * so the surviving corpus keeps the best-quality copy of every
+    * duplicated document rather than whichever came first.
+    *
+    * `docs` rows absent from `pairs` are singleton clusters of
+    * themselves (kept). `score` must be non-null (coalesce upstream) —
+    * null ordering inside the winner struct would be engine-delicate.
+    * Output: (id, cluster, canonical_id, cluster_size, keep).
+    *
+    * Scale: the fixpoint is O(log diameter) checkpointed passes over
+    * the pair graph only (clusters, not corpus); the winner aggregation
+    * partial-aggregates per cluster; the final join shuffles on the
+    * cluster key with no skew beyond true cluster size.
+    */
+  def selectCanonical(docs: DataFrame, idCol: String, score: Column,
+      pairs: DataFrame): DataFrame = {
+    val reps = nearDupRepresentatives(pairs)
+    val base = docs.select(col(idCol).cast("long").as("id"),
+      score.as("__score"))
+    val labeled = base.join(reps, Seq("id"), "left")
+      .select(col("id"), col("__score"),
+        coalesce(col("rep"), col("id")).as("cluster"))
+    val best = labeled.groupBy(col("cluster"))
+      .agg(max(struct(col("__score"), (-col("id")).as("__negid"))).as("__w"),
+        count(lit(1)).as("cluster_size"))
+      .select(col("cluster"), (-col("__w.__negid")).as("canonical_id"),
+        col("cluster_size"))
+    labeled.join(best, Seq("cluster"))
+      .select(col("id"), col("cluster"), col("canonical_id"),
+        col("cluster_size"),
+        (col("id") === col("canonical_id")).as("keep"))
+  }
+
   /** Window-dedup: keep first row per key by order — the idiomatic upgrade
     * of the reference's duplicated(keep='first') semantics (SURVEY §2.F).
     */

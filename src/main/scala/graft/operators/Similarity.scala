@@ -29,7 +29,7 @@ object Similarity {
     * projections drops zero-norm vectors (cosine undefined) and keeps
     * CollapseProject from re-inlining the vector cast.
     */
-  private def withNorm(df: DataFrame, idOut: String, vecOut: String,
+  private[operators] def withNorm(df: DataFrame, idOut: String, vecOut: String,
       normOut: String): DataFrame =
     df.select(col("vec_id").as(idOut), toDouble(col("embedding")).as(vecOut))
       .withColumn(normOut, l2Norm(col(vecOut)))
@@ -39,7 +39,7 @@ object Similarity {
     * the textbook formula (and DuckDB's list_cosine_similarity), so
     * results stay bit-identical to the oracle.
     */
-  private def pairCosine(va: Column, vb: Column, na: Column, nb: Column): Column =
+  private[operators] def pairCosine(va: Column, vb: Column, na: Column, nb: Column): Column =
     dotProduct(va, vb) / (na * nb)
 
   /** Exact cosine top-k per probe. `probes` must be small (it is collected
@@ -187,7 +187,7 @@ object Similarity {
     * into `numBands` keys of `planesPerBand` bits. The narrow currency of
     * every banded-LSH join here.
     */
-  private def bandKeys(df: DataFrame, idOut: String,
+  private[operators] def bandKeys(df: DataFrame, idOut: String,
       numBands: Int, planesPerBand: Int, dim: Int, seed: Long): DataFrame = {
     require(numBands * planesPerBand <= 63,
       "banded signature packs into 63 bits (hyperplaneSignature cap)")

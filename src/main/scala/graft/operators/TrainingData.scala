@@ -367,6 +367,39 @@ object TrainingData {
       .select(col(out), explode(wordShinglesOf(col("__toks"), n)).as("__g"))
       .select(col(out), fnv64(col("__g")).as("gh"))
 
+  /** SEMANTIC decontamination — the embedding-space complement of the
+    * n-gram check: flag training documents whose embedding sits within
+    * cosine `threshold` of ANY eval/benchmark vector (paraphrased or
+    * translated contamination that shares no 8-gram). Banded
+    * hyperplane-LSH candidates between the two sets (the
+    * [[Dedup.embeddingNearDups]] OR-construction, cross-set), exact
+    * cosine rerank, then per-train-doc rollup: (id, n_hits, max_cosine
+    * 4dp, contaminated).
+    *
+    * Scale: the eval side is a benchmark suite — its band keys AND its
+    * vectors broadcast; the corpus is scanned once and never shuffled
+    * (candidates ∝ true near-matches, the banded-recall contract of the
+    * self-join variant applies unchanged).
+    */
+  def decontaminateSemantic(train: DataFrame, eval: DataFrame,
+      threshold: Double, numBands: Int = 15, planesPerBand: Int = 4,
+      dim: Int = 64, seed: Long = 42L): DataFrame = {
+    val tb = Similarity.bandKeys(train, "id", numBands, planesPerBand, dim, seed)
+    val eb = Similarity.bandKeys(eval, "eval_id", numBands, planesPerBand, dim, seed)
+    val cand = tb.join(broadcast(eb), Seq("bk"))
+      .select(col("id"), col("eval_id")).distinct()
+    val tv = Similarity.withNorm(train, "id", "tv", "tn")
+    val ev = Similarity.withNorm(eval, "eval_id", "ev", "en")
+    cand.join(tv, Seq("id")).join(broadcast(ev), Seq("eval_id"))
+      .withColumn("cosine",
+        Similarity.pairCosine(col("tv"), col("ev"), col("tn"), col("en")))
+      .filter(col("cosine") >= threshold)
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_hits"),
+        round(max(col("cosine")), 4).as("max_cosine"))
+      .withColumn("contaminated", lit(true))
+  }
+
   /** [[decontaminate]] restructured for eval sets too large to broadcast
     * exactly: a Bloom filter over the eval n-gram hashes (built
     * distributed, collected as ONE ~`1.2·log2(1/fpp)·items/8`-byte

@@ -237,6 +237,25 @@ class DedupSpec extends AnyFunSuite {
     assert(out == ((19L, 10L, (span ++ Seq("mid")).mkString(" "))))
   }
 
+  test("selectCanonical: best-score member kept per cluster, singletons keep themselves") {
+    // cluster {1,2,3} (chain), cluster {7,8}; 5 is a singleton
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("id_a", "id_b")
+    val docs = Seq(
+      (1L, 10L), (2L, 99L), (3L, 50L),       // best = 2
+      (5L, 7L),                              // singleton
+      (7L, 40L), (8L, 40L))                  // tie → lowest id 7
+      .toDF("doc_id", "q")
+    val out = Dedup.selectCanonical(docs, "doc_id", col("q"), pairs)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(out(1L) == ((1L, 2L, 3L, false)))
+    assert(out(2L) == ((1L, 2L, 3L, true)))
+    assert(out(3L) == ((1L, 2L, 3L, false)))
+    assert(out(5L) == ((5L, 5L, 1L, true)))
+    assert(out(7L) == ((7L, 7L, 2L, true)))
+    assert(out(8L) == ((7L, 7L, 2L, false)))
+  }
+
   test("exactGroupsNormalized: case/whitespace variants collapse, raw dedup misses them") {
     val docs = Seq(
       (1L, "Hello  World"),

@@ -104,6 +104,25 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(out == ((1, 1, 1, "card <CC> iban <IBAN> mail <EMAIL>")))
   }
 
+  test("decontaminateSemantic: near-copy flagged, orthogonal text clean") {
+    def vec(f: Int => Double): Array[Float] =
+      (0 until 64).map(i => f(i).toFloat).toArray
+    val evalSet = Seq((1000L, vec(i => if (i < 32) 1.0 else 0.0)))
+      .toDF("vec_id", "embedding")
+    val train = Seq(
+      // tiny perturbation of the eval vector: cosine ≈ 1 → flagged
+      (1L, vec(i => if (i < 32) 1.0 else if (i == 40) 0.01 else 0.0)),
+      // supported on the complementary half: cosine 0 → clean
+      (2L, vec(i => if (i >= 32) 1.0 else 0.0)))
+      .toDF("vec_id", "embedding")
+    val out = TrainingData.decontaminateSemantic(train, evalSet,
+      threshold = 0.8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    assert(out.keySet == Set(1L))
+    assert(out(1L)._1 == 1L && out(1L)._2 > 0.99 && out(1L)._3)
+  }
+
   test("stratifiedSample: per-stratum rates hold and are retry-stable") {
     val docs = (0L until 4000L).map(i => (i, if (i % 2 == 0) "a" else "b"))
       .toDF("id", "g")
