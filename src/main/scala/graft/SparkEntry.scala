@@ -1871,6 +1871,24 @@ object SparkEntry {
       graft.operators.Graph.kCore(ev, "u", "v", k = 9)
     }),
 
+    // Tokenizer fertility per language: q255's encode rolled up per
+    // lang — the under-served-language audit run before mixture
+    // weights are finalized
+    "q262_bpe_fertility_by_lang" -> ((s, d) =>
+      graft.operators.TextAnalysis.bpeFertilityByGroup(
+        t(s, d, "documents"), "doc_id", "text", "lang", numMerges = 6)
+        .withColumnRenamed("grp", "lang")),
+
+    // Robust outlier census: median/MAD modified-z per event type on
+    // cent-scaled integer values — doubled medians (no interpolation
+    // divide) and a cross-multiplied integer cutoff test, so no FP op
+    // decides which rows are outliers
+    "q261_mad_outliers" -> ((s, d) =>
+      graft.operators.Profile.madOutliers(
+        Tables.events(s, d).filter(col("value").isNotNull),
+        "event_type", round(col("value") * 100, 0).cast("long"))
+        .withColumnRenamed("g", "event_type")),
+
     // SEMANTIC decontamination: train docs whose embedding lands within
     // cosine 0.3 of any eval vector (vec_id % 97 = 0, the q92 split
     // convention) via cross-set banded hyperplane LSH + exact rerank —
@@ -3119,6 +3137,35 @@ object SparkEntry {
        |    AS fertility,
        |  coalesce(p.token_ids, '') AS token_ids
        |FROM dbase b LEFT JOIN per p USING (doc_id)""".stripMargin
+
+  /** q262: the [[bpeEncodeCorpusOracleSql]] per-doc chain rolled up per
+    * language — exact sums, one divide, empty-doc count.
+    */
+  private def bpeEncodeFertilityOracleSql(k: Int): String =
+    s"""${bpeCtes(k)},
+       |dbase AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+       |dw AS (SELECT doc_id, unnest(generate_series(1, len(toks))) AS wpos,
+       |    toks FROM dbase WHERE len(toks) > 0),
+       |dw2 AS (SELECT doc_id, wpos, toks[wpos] AS w FROM dw),
+       |ds AS (SELECT d.doc_id, d.wpos, s.s AS syms
+       |  FROM dw2 d JOIN s$k s ON d.w = s.w),
+       |dt AS (SELECT doc_id, wpos, unnest(generate_series(1, len(syms))) AS j
+       |  FROM ds),
+       |per AS (SELECT doc_id, count(DISTINCT wpos)::BIGINT AS n_words,
+       |    count(*)::BIGINT AS n_tokens
+       |  FROM dt GROUP BY doc_id),
+       |pd AS (SELECT b.doc_id, coalesce(p.n_words, 0)::BIGINT AS n_words,
+       |    coalesce(p.n_tokens, 0)::BIGINT AS n_tokens
+       |  FROM dbase b LEFT JOIN per p USING (doc_id))
+       |SELECT d.lang, count(*)::BIGINT AS n_docs,
+       |  CAST(sum(pd.n_words) AS BIGINT) AS n_words,
+       |  CAST(sum(pd.n_tokens) AS BIGINT) AS n_tokens,
+       |  CASE WHEN sum(pd.n_words) > 0
+       |    THEN round(sum(pd.n_tokens)::DOUBLE / sum(pd.n_words)::DOUBLE, 4)
+       |    END AS fertility,
+       |  sum(CASE WHEN pd.n_tokens = 0 THEN 1 ELSE 0 END)::BIGINT AS n_empty
+       |FROM pd JOIN documents d USING (doc_id)
+       |GROUP BY d.lang""".stripMargin
 
   private def bpeCtes(k: Int): String = {
     val base =
@@ -5435,6 +5482,43 @@ object SparkEntry {
          |SELECT node, count(*)::BIGINT AS degree FROM
          |  (SELECT s AS node FROM ke16 UNION ALL SELECT t AS node FROM ke16)
          |GROUP BY node""".stripMargin,
+
+    // Fertility-rollup replay: the q255 encode chain, then per-lang
+    // exact sums + one divide
+    "q262_bpe_fertility_by_lang" ->
+      s"""${bpeEncodeFertilityOracleSql(6)}""",
+
+    // MAD replay: identical rank-position doubled medians and the same
+    // integer cross-multiplied cutoff — rank ties are value-ties, so
+    // position selection is order-independent
+    "q261_mad_outliers" ->
+      """WITH b AS (SELECT event_type AS g,
+        |    CAST(round(value * 100) AS BIGINT) AS xi
+        |  FROM events WHERE value IS NOT NULL),
+        |r1 AS (SELECT g, xi,
+        |    row_number() OVER (PARTITION BY g ORDER BY xi) AS rn,
+        |    count(*) OVER (PARTITION BY g) AS n FROM b),
+        |m AS (SELECT g,
+        |    sum(CASE WHEN rn = (n + 1) // 2 THEN xi END)
+        |      + sum(CASE WHEN rn = (n + 2) // 2 THEN xi END) AS med2
+        |  FROM r1 GROUP BY g),
+        |d AS (SELECT b.g, xi, med2, abs(2 * xi - med2) AS ai
+        |  FROM b JOIN m USING (g)),
+        |r2 AS (SELECT g, ai,
+        |    row_number() OVER (PARTITION BY g ORDER BY ai) AS rn,
+        |    count(*) OVER (PARTITION BY g) AS n FROM d),
+        |m2 AS (SELECT g,
+        |    sum(CASE WHEN rn = (n + 1) // 2 THEN ai END)
+        |      + sum(CASE WHEN rn = (n + 2) // 2 THEN ai END) AS mad2
+        |  FROM r2 GROUP BY g),
+        |f AS (SELECT d.g, ai, d.med2, mad2 FROM d JOIN m2 USING (g))
+        |SELECT g AS event_type, count(*)::BIGINT AS n,
+        |  round(min(med2)::DOUBLE / 200.0, 4) AS median,
+        |  round(min(mad2)::DOUBLE / 400.0, 4) AS mad,
+        |  sum(CASE WHEN mad2 > 0 AND 1349 * ai > 3500 * mad2
+        |    THEN 1 ELSE 0 END)::BIGINT AS n_outliers,
+        |  min(mad2) = 0 AS degenerate
+        |FROM f GROUP BY g""".stripMargin,
 
     // Semantic-decontam replay: same seeded planes, band keys on both
     // split sides, cross-set candidate join, exact cosine gate + rollup

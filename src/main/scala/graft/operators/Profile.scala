@@ -274,6 +274,54 @@ object Profile {
     * windows run over per-group DISTINCT-value frames (value-
     * resolution-bounded, never row-bounded). No corpus-wide rank.
     */
+  /** Robust outlier census per group via the median/MAD rule (Iglewicz-
+    * Hoaglin modified z: 0.6745·(x−med)/MAD, cutoff 3.5) — the outlier
+    * screen that, unlike mean/σ z-scores, is not dragged by the
+    * outliers it is hunting.
+    *
+    * Zero-FP flag (the q252 discipline): values are pre-scaled to
+    * integers by the caller (`scaledInt` — e.g. round(value·100) for
+    * 2dp money), medians are kept DOUBLED (x_(⌈n/2⌉) + x_(⌊n/2⌋+1) in
+    * rank order — an integer for both parities, no interpolation
+    * divide), and the cutoff test 0.6745·ad/mad > 3.5 cross-multiplies
+    * to 1349·Ai > 3500·madA2 in exact BIGINT — no engine's libm gets a
+    * vote on which rows are outliers. The reported median/mad unscale
+    * with one divide each, 4dp.
+    *
+    * Scale: two rank windows per group (rows-bounded per group — the
+    * operator is for bounded-cardinality metric groups); everything
+    * else is joins on the group key and integer column programs.
+    */
+  def madOutliers(df: DataFrame, groupCol: String, scaledInt: Column,
+      scale: Int = 100, cutoff2x1000: Long = 3500L): DataFrame = {
+    val base = df.select(col(groupCol).as("g"), scaledInt.cast("long").as("xi"))
+      .filter(col("xi").isNotNull)
+    def doubledMedian(d: DataFrame, vc: String, out: String): DataFrame = {
+      val w = Window.partitionBy(col("g")).orderBy(col(vc))
+      d.withColumn("__rn", row_number().over(w))
+        .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("g"))))
+        .groupBy(col("g"))
+        // `/` on longs is DOUBLE division in Spark — floor() recovers
+        // the integer rank (exact: group sizes are far below 2^53)
+        .agg((sum(when(col("__rn") === floor((col("__n") + 1) / 2), col(vc))) +
+          sum(when(col("__rn") === floor((col("__n") + 2) / 2), col(vc))))
+          .as(out))
+    }
+    val med = doubledMedian(base, "xi", "med2")
+    val dev = base.join(med, Seq("g"))
+      .withColumn("ai", abs(lit(2L) * col("xi") - col("med2")))
+    val mad = doubledMedian(dev, "ai", "mad2")
+    val flagged = dev.join(mad, Seq("g"))
+      .withColumn("__out", col("mad2") > 0 &&
+        lit(1349L) * col("ai") > lit(cutoff2x1000) * col("mad2"))
+    flagged.groupBy(col("g"))
+      .agg(count(lit(1)).as("n"),
+        round(min(col("med2")).cast("double") / (2.0 * scale), 4).as("median"),
+        round(min(col("mad2")).cast("double") / (4.0 * scale), 4).as("mad"),
+        sum(when(col("__out"), 1L).otherwise(0L)).as("n_outliers"),
+        (min(col("mad2")) === 0).as("degenerate"))
+  }
+
   def spearman(df: DataFrame, groupCol: String, xExpr: Column,
       yExpr: Column): DataFrame = {
     val base = df.select(col(groupCol).as("g"), xExpr.cast("long").as("x"),

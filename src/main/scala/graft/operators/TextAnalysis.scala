@@ -783,6 +783,29 @@ object TextAnalysis {
         coalesce(col("token_ids"), lit("")).as("token_ids"))
   }
 
+  /** Tokenizer-fertility league table: [[bpeEncodeCorpus]] rolled up
+    * per `groupCol` (typically language) — docs, words, tokens, the
+    * aggregate fertility Σtokens/Σwords (one divide of exact sums, 4dp)
+    * and the empty-doc count. THE audit that decides whether a
+    * tokenizer under-serves a language (fertility 2× the corpus mean =
+    * that language pays twice the context budget per word) before
+    * mixture weights are finalized.
+    */
+  def bpeFertilityByGroup(df: DataFrame, idCol: String, textCol: String,
+      groupCol: String, numMerges: Int): DataFrame = {
+    val enc = bpeEncodeCorpus(df, idCol, textCol, numMerges)
+    val grp = df.select(col(idCol).as("id"), col(groupCol).as("grp"))
+    enc.join(grp, Seq("id"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("n_words"),
+        sum(col("n_tokens")).as("n_tokens"),
+        when(sum(col("n_words")) > 0,
+          round(sum(col("n_tokens")).cast("double") /
+            sum(col("n_words")).cast("double"), 4)).as("fertility"),
+        sum(when(col("n_tokens") === 0, 1L).otherwise(0L)).as("n_empty"))
+  }
+
   private def bpeTrain(df: DataFrame, textCol: String,
       numMerges: Int): (DataFrame, DataFrame) = {
     require(numMerges >= 1 && numMerges <= 64,

@@ -191,4 +191,20 @@ class ProfileSpec extends AnyFunSuite {
     val const = Seq(("c", 1, 1), ("c", 2, 1)).toDF("g", "x", "y")
     assert(Profile.spearman(const, "g", col("x"), col("y")).count() == 0)
   }
+
+  test("madOutliers: integer cutoff flags the spike, degenerate group guarded") {
+    // g=a: nine values 100..108 (median 104, MAD 2) + one spike 500:
+    // modified z of the spike = 0.6745*(500-104)/2 >> 3.5 -> 1 outlier;
+    // the inliers' max |x-med| = 4 -> z = 1.349, clean
+    val a = ((100 to 108).map(v => ("a", v)) :+ ("a", 500))
+    // g=b: all equal -> MAD 0 -> degenerate, zero outliers by contract
+    val b = (1 to 5).map(_ => ("b", 7))
+    val df = (a ++ b).toDF("g", "v")
+    val out = Profile.madOutliers(df, "g", col("v"), scale = 1)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4),
+          r.getBoolean(5)))).toMap
+    assert(out("a") == ((10L, 104.5, 2.5, 1L, false)))
+    assert(out("b") == ((5L, 7.0, 0.0, 0L, true)))
+  }
 }
