@@ -1871,6 +1871,39 @@ object SparkEntry {
       graft.operators.Graph.kCore(ev, "u", "v", k = 9)
     }),
 
+    // STREAMING decontamination gate: documents stream through a
+    // broadcast anti join against the static md5 blocklist (the eval
+    // split's content hashes) — the online exact-decontam pass; stream
+    // result must equal the batch NOT-IN exactly
+    "q263_stream_decontam_gate" -> ((s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val tmp = sys.props("java.io.tmpdir")
+      val outPath = s"$tmp/graft_q263_out"
+      val ckpt = s"$tmp/graft_q263_ckpt"
+      def rmrf(p: java.io.File): Unit = {
+        if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rmrf))
+        p.delete(): Unit
+      }
+      Seq(outPath, ckpt).foreach(p => rmrf(new java.io.File(p)))
+      val raw = Tables.documents(s, d)
+      val blocked = raw.filter(col("doc_id") % 97 === 0 &&
+        col("text").isNotNull)
+      val stream = s.readStream.schema(raw.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+        .filter(col("text").isNotNull)
+      val kept = graft.streaming.StreamingOps.streamStaticGate(
+        stream, blocked, md5(col("text")), md5(col("text")))
+        .select(col("doc_id"), col("lang"))
+      val q = graft.streaming.StreamingOps.appendPerBatch(kept, outPath)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(outPath)
+    }),
+
     // Tokenizer fertility per language: q255's encode rolled up per
     // lang — the under-served-language audit run before mixture
     // weights are finalized
@@ -5482,6 +5515,16 @@ object SparkEntry {
          |SELECT node, count(*)::BIGINT AS degree FROM
          |  (SELECT s AS node FROM ke16 UNION ALL SELECT t AS node FROM ke16)
          |GROUP BY node""".stripMargin,
+
+    // Streaming gate replay: the batch NOT-IN over md5 content hashes
+    // (exact-copy drop, eval split as the blocklist); both sides
+    // filter null text so anti-join-passes-null vs NOT-IN-drops-null
+    // can't diverge
+    "q263_stream_decontam_gate" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE text IS NOT NULL AND md5(text) NOT IN
+        |  (SELECT md5(text) FROM documents
+        |   WHERE doc_id % 97 = 0 AND text IS NOT NULL)""".stripMargin,
 
     // Fertility-rollup replay: the q255 encode chain, then per-lang
     // exact sums + one divide

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
@@ -124,6 +124,26 @@ object StreamingOps {
         r(rightTs) <= l(leftTs),
       "inner")
   }
+
+  /** Stream-static decontamination gate: drop every stream row whose
+    * `keyExpr` (typically a content hash) appears in the STATIC
+    * `blocked` frame — the online form of the batch blocklist /
+    * exact-decontamination pass, applied as documents arrive rather
+    * than in a nightly sweep.
+    *
+    * Stream-static joins need no watermark (the static side is re-read
+    * per micro-batch and carries no state); the blocklist is broadcast,
+    * so each micro-batch is a stateless map-side anti join — the
+    * streaming plan stays append-mode and unbounded-state-free. Null
+    * keys never match an anti join and therefore PASS the gate — gate
+    * them upstream if null content should not flow.
+    */
+  def streamStaticGate(stream: DataFrame, blocked: DataFrame,
+      keyExpr: Column, blockedKey: Column): DataFrame =
+    stream.withColumn("__k", keyExpr)
+      .join(broadcast(blocked.select(blockedKey.as("__k")).distinct()),
+        Seq("__k"), "left_anti")
+      .drop("__k")
 
   /** Drive a memory-sink query synchronously over whatever is currently in
     * the source (local smoke harness; see spark_guide streaming section).

@@ -159,6 +159,27 @@ class StreamingOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamStaticGate: broadcast anti join drops blocklisted keys per micro-batch") {
+    val dir = eventsStreamDir()
+    val stream = eventsStream(dir)
+    val blocked = Seq("error", "signup").toDF("t")
+    val gated = StreamingOps.streamStaticGate(stream, blocked,
+      col("event_type"), col("t"))
+      .groupBy("event_type").count()
+    val q = StreamingOps.runToMemory(gated, "gate_sink", outputMode = "complete")
+    try {
+      q.processAllAvailable()
+      val got = spark.sql("SELECT * FROM gate_sink")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(!got.contains("error") && !got.contains("signup"))
+      val batch = graft.Tables.events(spark, "/root/testdata/sf0.001")
+        .filter(!col("event_type").isin("error", "signup"))
+        .groupBy("event_type").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == batch)
+    } finally q.stop()
+  }
+
   test("stream-stream range join (watermarked, state-bounded) matches batch") {
     val dir = eventsStreamDir()
     def src = eventsStream(dir)
