@@ -1871,6 +1871,27 @@ object SparkEntry {
       graft.operators.Graph.kCore(ev, "u", "v", k = 9)
     }),
 
+    // Language-ID confusion matrix: heuristic predictions vs the
+    // labeled lang column — per-cell counts, within-label shares,
+    // diagonal flag; the calibration audit before trusting the
+    // heuristic on unlabeled crawls
+    "q264_langid_confusion" -> ((s, d) =>
+      graft.operators.TextAnalysis.langIdConfusion(
+        t(s, d, "documents"), "doc_id", "text", "lang")),
+
+    // Quality-score calibration (reliability table): decile buckets of
+    // quality_score vs the Gopher-gate pass rate — is 0.8 really 80%?
+    "q265_quality_calibration" -> ((s, d) => {
+      val score = TextAnalysis.qualityScores(
+        t(s, d, "documents"), "doc_id", "text")
+      val keep = graft.operators.QualityRules.gopherQuality(
+        t(s, d, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("keep"))
+      graft.operators.QualityRules.calibrationTable(
+        score.join(keep, Seq("doc_id")),
+        col("quality_score"), col("keep"))
+    }),
+
     // STREAMING decontamination gate: documents stream through a
     // broadcast anti join against the static md5 blocklist (the eval
     // split's content hashes) — the online exact-decontam pass; stream
@@ -5515,6 +5536,32 @@ object SparkEntry {
          |SELECT node, count(*)::BIGINT AS degree FROM
          |  (SELECT s AS node FROM ke16 UNION ALL SELECT t AS node FROM ke16)
          |GROUP BY node""".stripMargin,
+
+    // Confusion replay: the shared langId chain as a nested-WITH
+    // subquery, joined to the label, same share window
+    "q264_langid_confusion" ->
+      s"""WITH cells AS (
+         |  SELECT d.lang AS label, p.predicted_lang, count(*)::BIGINT AS n
+         |  FROM ($langIdOracleSql) p JOIN documents d USING (doc_id)
+         |  GROUP BY d.lang, p.predicted_lang)
+         |SELECT label, predicted_lang, n,
+         |  round(n::DOUBLE / sum(n) OVER (PARTITION BY label), 4) AS share,
+         |  label = predicted_lang AS hit
+         |FROM cells""".stripMargin,
+
+    // Calibration replay: shared quality-score and Gopher chains as
+    // nested subqueries, floor-bucketed, per-bucket pass rate
+    "q265_quality_calibration" ->
+      s"""WITH s AS ($qualityScoreOracleSql),
+         |g AS ($gopherQualityOracleSql),
+         |b AS (SELECT least(CAST(floor(s.quality_score * 10) AS BIGINT), 9)
+         |    AS bucket, g.keep
+         |  FROM s JOIN g USING (doc_id))
+         |SELECT bucket, count(*)::BIGINT AS n,
+         |  sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_pos,
+         |  round(sum(CASE WHEN keep THEN 1 ELSE 0 END)::DOUBLE
+         |    / count(*)::DOUBLE, 4) AS pos_rate
+         |FROM b GROUP BY bucket""".stripMargin,
 
     // Streaming gate replay: the batch NOT-IN over md5 content hashes
     // (exact-copy drop, eval split as the blocklist); both sides

@@ -369,6 +369,29 @@ object QualityRules {
     * for those, broadcast-join a blocklist frame instead; the rollup
     * shape is unchanged).
     */
+  /** Score-calibration table (the reliability-diagram rollup): bucket a
+    * [0,1] score into `buckets` equal bins and report, per bin, the
+    * count and the positive-label rate — "does quality_score 0.8
+    * actually mean 80% of those docs clear the Gopher gate?". The
+    * standard check before a learned/heuristic score is used as a
+    * sampling weight. Bucketing floors score·buckets (clamped to the
+    * top bin so score = 1.0 lands in it); one aggregate with map-side
+    * partials, output |buckets| rows.
+    */
+  def calibrationTable(df: DataFrame, score: Column, label: Column,
+      buckets: Int = 10): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    df.select(
+        least(floor(score * buckets).cast("long"), lit(buckets - 1L))
+          .as("bucket"),
+        label.cast("boolean").as("__y"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__y"), 1L).otherwise(0L)).as("n_pos"),
+        round(sum(when(col("__y"), 1L).otherwise(0L)).cast("double") /
+          count(lit(1)).cast("double"), 4).as("pos_rate"))
+  }
+
   def domainCuration(df: DataFrame, idCol: String, urlCol: String,
       textCol: String, blocklist: Seq[String]): DataFrame = {
     val q = gopherQuality(df, idCol, textCol)

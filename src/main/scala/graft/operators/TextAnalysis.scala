@@ -86,6 +86,25 @@ object TextAnalysis {
     staged.select(col(idCol), lang.as("predicted_lang"), score.as("lang_score"))
   }
 
+  /** Language-ID confusion matrix against a labeled column: per
+    * (label, predicted) cell count, the within-label share, and the
+    * diagonal flag — the calibration audit run before trusting the
+    * heuristic on unlabeled crawl data. One narrow scoring pass + one
+    * (label, predicted) aggregate with map-side partials; the share
+    * window runs over the |langs|² cell frame, never the corpus.
+    */
+  def langIdConfusion(df: DataFrame, idCol: String, textCol: String,
+      labelCol: String): DataFrame = {
+    val pred = langId(df, idCol, textCol)
+    val lab = df.select(col(idCol), col(labelCol).as("label"))
+    pred.join(lab, Seq(idCol))
+      .groupBy(col("label"), col("predicted_lang"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("share", round(col("n").cast("double") /
+        sum(col("n")).over(Window.partitionBy(col("label"))), 4))
+      .withColumn("hit", col("label") === col("predicted_lang"))
+  }
+
   /** Per-document token/char statistics (oracle-expressible). */
   def tokenStats(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(
