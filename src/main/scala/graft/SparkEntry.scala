@@ -1871,6 +1871,14 @@ object SparkEntry {
       graft.operators.Graph.kCore(ev, "u", "v", k = 9)
     }),
 
+    // Content-defined chunking census: FNV-gated token boundaries
+    // (mean chunk ~16 tokens), chunk-hash dup mass per doc — the
+    // edit-robust chunk-granular dedup signal between exact and span
+    "q266_cdc_chunks" -> ((s, d) =>
+      graft.operators.TextAnalysis.cdcChunks(
+        t(s, d, "documents"), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")),
+
     // Language-ID confusion matrix: heuristic predictions vs the
     // labeled lang column — per-cell counts, within-label shares,
     // diagonal flag; the calibration audit before trusting the
@@ -5536,6 +5544,42 @@ object SparkEntry {
          |SELECT node, count(*)::BIGINT AS degree FROM
          |  (SELECT s AS node FROM ke16 UNION ALL SELECT t AS node FROM ke16)
          |GROUP BY node""".stripMargin,
+
+    // CDC replay: same FNV boundary gate, exclusive-prefix cumsum chunk
+    // ids, chunk-string FNV occurrence counts, per-doc rollup
+    "q266_cdc_chunks" ->
+      s"""WITH tk AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+         |tok AS (SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+         |    unnest(generate_series(1, len(toks))) AS pos, toks
+         |  FROM tk WHERE len(toks) > 0),
+         |tw AS (SELECT doc_id, n_tokens, pos, toks[pos] AS w FROM tok),
+         |fl AS (SELECT doc_id, n_tokens, pos, w,
+         |    CASE WHEN (((${fnvSql("w")}) % 16) + 16) % 16 = 0
+         |      THEN 1 ELSE 0 END AS b
+         |  FROM tw),
+         |ck AS (SELECT doc_id, n_tokens, pos, w,
+         |    coalesce(sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS chunk
+         |  FROM fl),
+         |cs AS (SELECT doc_id, chunk, count(*)::BIGINT AS c_tokens,
+         |    string_agg(w, ' ' ORDER BY pos) AS ctext
+         |  FROM ck GROUP BY doc_id, chunk),
+         |ch AS (SELECT doc_id, chunk, c_tokens,
+         |    ${toI64Sql(fnvSql("ctext"))} AS h
+         |  FROM cs),
+         |occ AS (SELECT h, count(*)::BIGINT AS n_occ FROM ch GROUP BY h),
+         |per AS (SELECT ch.doc_id, count(*)::BIGINT AS n_chunks,
+         |    sum(CASE WHEN occ.n_occ > 1 THEN ch.c_tokens ELSE 0 END)
+         |      ::BIGINT AS dup_chunk_tokens
+         |  FROM ch JOIN occ USING (h) GROUP BY ch.doc_id)
+         |SELECT t.doc_id, coalesce(len(t.toks), 0)::BIGINT AS n_tokens,
+         |  coalesce(p.n_chunks, 0)::BIGINT AS n_chunks,
+         |  coalesce(p.dup_chunk_tokens, 0)::BIGINT AS dup_chunk_tokens,
+         |  CASE WHEN coalesce(len(t.toks), 0) > 0
+         |    THEN round(coalesce(p.dup_chunk_tokens, 0)::DOUBLE
+         |      / len(t.toks)::DOUBLE, 4) END AS dup_ratio
+         |FROM tk t LEFT JOIN per p USING (doc_id)""".stripMargin,
 
     // Confusion replay: the shared langId chain as a nested-WITH
     // subquery, joined to the label, same share window

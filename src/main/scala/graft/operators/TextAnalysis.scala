@@ -168,6 +168,62 @@ object TextAnalysis {
       charRepetitionRatio(col(textCol), 5).as("rep_char5"))
   }
 
+  /** Content-defined chunking census (the gear/Rabin CDC idea at token
+    * granularity): a token whose FNV-64 is ≡ 0 (mod `modulus`) ENDS a
+    * chunk, so chunk boundaries are decided by CONTENT, not position —
+    * insert one sentence and only the chunk containing it changes,
+    * where fixed-size chunking would shift every later boundary (the
+    * property that makes chunk-hash dedup robust to edits). Mean chunk
+    * length ≈ `modulus` tokens.
+    *
+    * Per doc: token/chunk counts, the token mass sitting in chunks
+    * whose content hash occurs more than once in the CORPUS
+    * (`dup_chunk_tokens` — the chunk-granular dup signal between exact
+    * doc dedup and span dedup), and its ratio.
+    *
+    * Scale: one posexplode pass; the boundary flag and chunk id are a
+    * per-doc window cumsum (partitions bounded by document length);
+    * chunk hashes aggregate with map-side partials and the global
+    * occurrence count shuffles (hash, count) pairs only.
+    */
+  def cdcChunks(df: DataFrame, idCol: String, textCol: String,
+      modulus: Int = 16): DataFrame = {
+    require(modulus >= 2, s"modulus must be >= 2, got $modulus")
+    val toks = df
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("__toks"))
+      .select(col("id"), size(col("__toks")).cast("long").as("n_tokens"),
+        posexplode(col("__toks")).as(Seq("pos", "w")))
+    val flagged = toks.withColumn("__b",
+      when(pmod(fnv64(col("w")), lit(modulus.toLong)) === 0L, 1L)
+        .otherwise(0L))
+    // a boundary token ends its chunk: chunk id = boundaries strictly before
+    val w = Window.partitionBy(col("id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val chunked = flagged.withColumn("chunk",
+      coalesce(sum(col("__b")).over(w), lit(0L)))
+    val chunks = chunked.groupBy(col("id"), col("chunk"))
+      .agg(count(lit(1)).as("c_tokens"),
+        fnv64(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("w")))),
+          x => x.getField("w")), " ")).as("ch"))
+    val occ = chunks.groupBy(col("ch")).agg(count(lit(1)).as("__occ"))
+    val per = chunks.join(occ, Seq("ch"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("__occ") > 1, col("c_tokens")).otherwise(0L))
+          .as("dup_chunk_tokens"))
+    df.select(col(idCol).as("id")).distinct()
+      .join(toks.select(col("id"), col("n_tokens")).distinct(), Seq("id"), "left")
+      .join(per, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+        coalesce(col("dup_chunk_tokens"), lit(0L)).as("dup_chunk_tokens"),
+        when(coalesce(col("n_tokens"), lit(0L)) > 0,
+          round(coalesce(col("dup_chunk_tokens"), lit(0L)).cast("double") /
+            col("n_tokens").cast("double"), 4)).as("dup_ratio"))
+  }
+
   /** Document fingerprints: whole-document FNV-1a and polynomial rolling
     * hash (both custom codegen'd Catalyst expressions).
     */

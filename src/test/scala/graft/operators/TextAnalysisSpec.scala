@@ -617,4 +617,29 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(r1.getAs[Long]("n_shared_tokens") == 0L)
     assert(r1.getAs[Double]("js_divergence") == 0.6931)
   }
+
+  test("cdcChunks: content-defined boundaries are edit-local, dup chunks counted") {
+    // Find a boundary token empirically so the test doesn't hardcode
+    // FNV internals: scan candidates for hash % 16 == 0
+    val cand = (0 until 4000).map(i => s"tok$i").toDF("w")
+      .withColumn("m", pmod(fnv64(col("w")), lit(16L)))
+    val boundary = cand.filter(col("m") === 0).select("w").as[String].head()
+    val plain = (1 to 5).map(i => s"u$i")   // no boundary tokens
+    // doc 1 and 2 share an identical chunk (ended by the boundary tok);
+    // doc 3 is all unique with no boundary -> single chunk, no dups
+    val shared = Seq("alpha", "beta", boundary)
+    val docs = Seq(
+      (1L, (shared ++ Seq("tail1")).mkString(" ")),
+      (2L, (shared ++ Seq("tail2")).mkString(" ")),
+      (3L, plain.mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.cdcChunks(docs, "doc_id", "text", modulus = 16)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // docs 1/2: chunks = ["alpha beta <boundary>", "tailN"]; the first
+    // chunk is shared -> 3 dup tokens each; doc 3: one unique chunk
+    assert(out(1L) == ((4L, 2L, 3L)))
+    assert(out(2L) == ((4L, 2L, 3L)))
+    assert(out(3L) == ((5L, 1L, 0L)))
+  }
 }
