@@ -1871,6 +1871,54 @@ object SparkEntry {
       graft.operators.Graph.kCore(ev, "u", "v", k = 9)
     }),
 
+    // LSH banding-quality audit: cosine histogram of the UNthresholded
+    // candidate pairs (0.1 buckets) with a cumulative-from-the-top
+    // count — reads off precision at any τ and the decay below it,
+    // the tune-before-you-scale table for bands×rows
+    "q268_lsh_candidate_histogram" -> ((s, d) => {
+      val cand = graft.operators.Dedup.embeddingCandidateScores(
+        t(s, d, "embeddings"))
+      val buckets = cand
+        .select(floor(col("cosine") * 10).cast("long").as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n_pairs"))
+      buckets.withColumn("n_at_or_above",
+        sum(col("n_pairs")).over(
+          Window.orderBy(col("bucket").desc)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    }),
+
+    // Combined decontamination report: every train doc × which
+    // detector fired — exact word-3-gram (q92), semantic cosine
+    // (q260), both, or clean — the sign-off table a dataset release
+    // reviews, not two disjoint flag lists
+    "q267_decontam_report" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val emb = t(s, d, "embeddings")
+      val exact = graft.operators.TrainingData.decontaminate(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0),
+        "doc_id", "text", n = 3)
+        .select(col("id").as("doc_id"), col("n_hits").as("exact_hits"))
+      val sem = graft.operators.TrainingData.decontaminateSemantic(
+        emb.filter(col("vec_id") % 97 =!= 0),
+        emb.filter(col("vec_id") % 97 === 0),
+        threshold = 0.3)
+        .select(col("id").as("doc_id"), col("n_hits").as("sem_hits"),
+          col("max_cosine"))
+      docs.filter(col("doc_id") % 97 =!= 0).select(col("doc_id"))
+        .join(exact, Seq("doc_id"), "left")
+        .join(sem, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("exact_hits"), lit(0L)).as("exact_hits"),
+          coalesce(col("sem_hits"), lit(0L)).as("sem_hits"),
+          col("max_cosine"),
+          when(col("exact_hits").isNotNull && col("sem_hits").isNotNull,
+            "both")
+            .when(col("exact_hits").isNotNull, "exact")
+            .when(col("sem_hits").isNotNull, "semantic")
+            .otherwise("clean").as("status"))
+    }),
+
     // Content-defined chunking census: FNV-gated token boundaries
     // (mean chunk ~16 tokens), chunk-hash dup mass per doc — the
     // edit-robust chunk-granular dedup signal between exact and span
@@ -3136,6 +3184,41 @@ object SparkEntry {
        |tr AS (SELECT doc_id, unnest(g) AS gram FROM sh WHERE doc_id % 97 <> 0)
        |SELECT tr.doc_id AS id, count(*) AS n_hits, true AS contaminated
        |FROM tr JOIN ev USING (gram) GROUP BY tr.doc_id""".stripMargin
+
+  /** q260's semantic-decontamination replay, shared with q267's
+    * combined report: seeded hyperplane planes, band keys per split,
+    * cross-set candidates, exact cosine gate, per-train rollup.
+    */
+  private def semanticDecontamOracleSql: String = {
+    val vals = hyperplaneValuesSql(15, 4, 64, 42L)
+    s"""WITH planes(plane_id, p) AS (VALUES $vals),
+       |tr AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+       |  FROM embeddings WHERE vec_id % 97 <> 0
+       |    AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
+       |ev AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+       |  FROM embeddings WHERE vec_id % 97 = 0
+       |    AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
+       |tbands AS (
+       |  SELECT id, plane_id // 4 AS band,
+       |    SUM((CASE WHEN list_dot_product(v, p) >= 0 THEN 1 ELSE 0 END)
+       |      << (plane_id % 4))::BIGINT AS key
+       |  FROM tr CROSS JOIN planes GROUP BY id, plane_id // 4),
+       |ebands AS (
+       |  SELECT id, plane_id // 4 AS band,
+       |    SUM((CASE WHEN list_dot_product(v, p) >= 0 THEN 1 ELSE 0 END)
+       |      << (plane_id % 4))::BIGINT AS key
+       |  FROM ev CROSS JOIN planes GROUP BY id, plane_id // 4),
+       |cand AS (SELECT DISTINCT t.id AS id, e.id AS eval_id
+       |  FROM tbands t JOIN ebands e ON t.band = e.band AND t.key = e.key),
+       |scored AS (SELECT cand.id, cand.eval_id,
+       |    list_cosine_similarity(tv.v, evv.v) AS c
+       |  FROM cand JOIN tr tv ON tv.id = cand.id
+       |    JOIN ev evv ON evv.id = cand.eval_id),
+       |hits AS (SELECT id, c FROM scored WHERE c >= 0.3)
+       |SELECT id, count(*)::BIGINT AS n_hits,
+       |  round(max(c), 4) AS max_cosine, true AS contaminated
+       |FROM hits GROUP BY id""".stripMargin
+  }
 
   /** FNV-1a 64 over the bytes of `s`, as a DuckDB HUGEINT in [0, 2^64):
     * the exact arithmetic of HashUtil.fnv64, replayed with a 128-bit
@@ -5545,6 +5628,54 @@ object SparkEntry {
          |  (SELECT s AS node FROM ke16 UNION ALL SELECT t AS node FROM ke16)
          |GROUP BY node""".stripMargin,
 
+    // Histogram replay: the q53 candidate CTE chain (same planes,
+    // bands, self-join), bucketed with a descending cumulative window
+    "q268_lsh_candidate_histogram" -> {
+      val vals = hyperplaneValuesSql(15, 4, 64, 42L)
+      s"""WITH planes(plane_id, p) AS (VALUES $vals),
+         |vecs AS (
+         |  SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings
+         |  WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
+         |bands AS (
+         |  SELECT id, plane_id // 4 AS band,
+         |    SUM((CASE WHEN list_dot_product(v, p) >= 0 THEN 1 ELSE 0 END)
+         |      << (plane_id % 4))::BIGINT AS key
+         |  FROM vecs CROSS JOIN planes GROUP BY id, plane_id // 4),
+         |cand AS (
+         |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.key = b.key AND a.id < b.id),
+         |sc AS (SELECT CAST(floor(list_cosine_similarity(va.v, vb.v) * 10)
+         |    AS BIGINT) AS bucket
+         |  FROM cand JOIN vecs va ON va.id = cand.id_a
+         |    JOIN vecs vb ON vb.id = cand.id_b),
+         |h AS (SELECT bucket, count(*)::BIGINT AS n_pairs
+         |  FROM sc GROUP BY bucket)
+         |SELECT bucket, n_pairs,
+         |  CAST(sum(n_pairs) OVER (ORDER BY bucket DESC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |    AS n_at_or_above
+         |FROM h""".stripMargin
+    },
+
+    // Report replay: both shared decontam chains as nested subqueries,
+    // left-joined onto the train universe
+    "q267_decontam_report" ->
+      s"""WITH ex AS ($decontamOracleSql),
+         |se AS ($semanticDecontamOracleSql),
+         |u AS (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0)
+         |SELECT u.doc_id,
+         |  coalesce(ex.n_hits, 0)::BIGINT AS exact_hits,
+         |  coalesce(se.n_hits, 0)::BIGINT AS sem_hits,
+         |  se.max_cosine,
+         |  CASE WHEN ex.n_hits IS NOT NULL AND se.n_hits IS NOT NULL
+         |      THEN 'both'
+         |    WHEN ex.n_hits IS NOT NULL THEN 'exact'
+         |    WHEN se.n_hits IS NOT NULL THEN 'semantic'
+         |    ELSE 'clean' END AS status
+         |FROM u LEFT JOIN ex ON ex.id = u.doc_id
+         |  LEFT JOIN se ON se.id = u.doc_id""".stripMargin,
+
     // CDC replay: same FNV boundary gate, exclusive-prefix cumsum chunk
     // ids, chunk-string FNV occurrence counts, per-doc rollup
     "q266_cdc_chunks" ->
@@ -5656,36 +5787,7 @@ object SparkEntry {
 
     // Semantic-decontam replay: same seeded planes, band keys on both
     // split sides, cross-set candidate join, exact cosine gate + rollup
-    "q260_decontam_semantic" -> {
-      val vals = hyperplaneValuesSql(15, 4, 64, 42L)
-      s"""WITH planes(plane_id, p) AS (VALUES $vals),
-         |tr AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
-         |  FROM embeddings WHERE vec_id % 97 <> 0
-         |    AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
-         |ev AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
-         |  FROM embeddings WHERE vec_id % 97 = 0
-         |    AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
-         |tbands AS (
-         |  SELECT id, plane_id // 4 AS band,
-         |    SUM((CASE WHEN list_dot_product(v, p) >= 0 THEN 1 ELSE 0 END)
-         |      << (plane_id % 4))::BIGINT AS key
-         |  FROM tr CROSS JOIN planes GROUP BY id, plane_id // 4),
-         |ebands AS (
-         |  SELECT id, plane_id // 4 AS band,
-         |    SUM((CASE WHEN list_dot_product(v, p) >= 0 THEN 1 ELSE 0 END)
-         |      << (plane_id % 4))::BIGINT AS key
-         |  FROM ev CROSS JOIN planes GROUP BY id, plane_id // 4),
-         |cand AS (SELECT DISTINCT t.id AS id, e.id AS eval_id
-         |  FROM tbands t JOIN ebands e ON t.band = e.band AND t.key = e.key),
-         |scored AS (SELECT cand.id, cand.eval_id,
-         |    list_cosine_similarity(tv.v, evv.v) AS c
-         |  FROM cand JOIN tr tv ON tv.id = cand.id
-         |    JOIN ev evv ON evv.id = cand.eval_id),
-         |hits AS (SELECT id, c FROM scored WHERE c >= 0.3)
-         |SELECT id, count(*)::BIGINT AS n_hits,
-         |  round(max(c), 4) AS max_cosine, true AS contaminated
-         |FROM hits GROUP BY id""".stripMargin
-    },
+    "q260_decontam_semantic" -> semanticDecontamOracleSql,
 
     // Canonical-selection replay: hash-gated chain pairs, recursive-CTE
     // connected components (the q132 pattern), then the deterministic

@@ -216,6 +216,16 @@ object Dedup {
     Similarity.bandedScoredPairs(corpus, numBands, planesPerBand, dim, seed)
       .filter(col("cosine") >= threshold)
 
+  /** The UNthresholded candidate set of [[embeddingNearDups]] with exact
+    * cosines — the banding-quality audit surface: its cosine histogram
+    * shows how much of the candidate volume a given τ confirms
+    * (precision) and how sharply candidates decay below τ, which is
+    * what you tune bands/rows against before a corpus-scale run.
+    */
+  def embeddingCandidateScores(corpus: DataFrame, numBands: Int = 15,
+      planesPerBand: Int = 4, dim: Int = 64, seed: Long = 42L): DataFrame =
+    Similarity.bandedScoredPairs(corpus, numBands, planesPerBand, dim, seed)
+
   /** Canonical text form for normalization-aware dedup: lowercase,
     * whitespace runs collapsed to one space, ends trimmed. Catches the
     * case/indentation/line-wrap variants raw exact dedup misses — the

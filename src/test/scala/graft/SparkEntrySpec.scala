@@ -18,9 +18,15 @@ class SparkEntrySpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  // Queries whose CORRECT sf0.001 answer is the empty relation (their
+  // oracle agrees, so emptiness is the assertion, not a failure):
+  // q258's 9-core totally collapses at this SF by construction.
+  private val emptyAtSf0001 = Set("q258_kcore")
+
   SparkEntry.queries.foreach { case (name, fn) =>
     test(s"$name runs and returns rows at sf0.001") {
-      assert(fn(spark, sfDir).count() > 0, name)
+      if (emptyAtSf0001(name)) assert(fn(spark, sfDir).count() == 0, name)
+      else assert(fn(spark, sfDir).count() > 0, name)
     }
   }
 
