@@ -64,7 +64,13 @@ object Bench {
     // scan + top-k, no postings shuffle) and the island-based DAU/MAU
     // (integer delta machinery instead of a 28× explode)
     "q222_phrase_search",
-    "q228_dau_mau")
+    "q228_dau_mau",
+    // round 6: iterative graph peel (checkpointed fixpoint), cross-set
+    // embedding decontamination (broadcast eval side), and the CDC
+    // chunk census (window cumsum + chunk-hash aggregate)
+    "q258_kcore",
+    "q260_decontam_semantic",
+    "q266_cdc_chunks")
 
   private def runOnce(name: String, spark: SparkSession, sfDir: String): Unit =
     SparkEntry.queries(name)(spark, sfDir)

@@ -1871,6 +1871,36 @@ object SparkEntry {
       graft.operators.Graph.kCore(ev, "u", "v", k = 9)
     }),
 
+    // Pre-flight join-cardinality estimate: CM inner product between
+    // the click-side and purchase-side user_id sketches vs the exact
+    // join size — two constant-size sketch passes answer "how big is
+    // this join" before paying for it; never-under + eps contracts in
+    // the q131 style
+    "q269_cms_join_size" -> ((s, d) => {
+      import graft.functions.CountMinSketch.{cmsInnerProduct, cmsSketch}
+      val depth = 4; val width = 2048
+      val ev = Tables.events(s, d)
+      val a = ev.filter(col("event_type") === "click").select(col("user_id"))
+      val b = ev.filter(col("event_type") === "purchase").select(col("user_id"))
+      val ska = a.agg(cmsSketch(col("user_id"), depth, width).as("ska"),
+        count(lit(1)).as("n_a"))
+      val skb = b.agg(cmsSketch(col("user_id"), depth, width).as("skb"),
+        count(lit(1)).as("n_b"))
+      val exact = a.groupBy(col("user_id")).agg(count(lit(1)).as("ca"))
+        .join(b.groupBy(col("user_id")).agg(count(lit(1)).as("cb")),
+          Seq("user_id"))
+        .agg(coalesce(sum(col("ca") * col("cb")), lit(0L))
+          .as("exact_join_size"))
+      ska.crossJoin(broadcast(skb)).crossJoin(broadcast(exact))
+        .withColumn("__est",
+          cmsInnerProduct(col("ska"), col("skb"), depth, width))
+        .select(col("n_a"), col("n_b"), col("exact_join_size"),
+          (col("__est") >= col("exact_join_size")).as("never_under"),
+          ((col("__est") - col("exact_join_size")).cast("double") <=
+            lit(math.E / width) * col("n_a").cast("double") *
+              col("n_b").cast("double")).as("within_eps"))
+    }),
+
     // LSH banding-quality audit: cosine histogram of the UNthresholded
     // candidate pairs (0.1 buckets) with a cumulative-from-the-top
     // count — reads off precision at any τ and the decay below it,
@@ -5627,6 +5657,20 @@ object SparkEntry {
          |SELECT node, count(*)::BIGINT AS degree FROM
          |  (SELECT s AS node FROM ke16 UNION ALL SELECT t AS node FROM ke16)
          |GROUP BY node""".stripMargin,
+
+    // Join-size replay: exact Σ ca·cb over matched keys; the sketch
+    // bounds hold unconditionally (never_under) / deterministically
+    // for this dataset (within_eps) — the q131 contract convention
+    "q269_cms_join_size" ->
+      """WITH a AS (SELECT user_id FROM events WHERE event_type = 'click'),
+        |b AS (SELECT user_id FROM events WHERE event_type = 'purchase'),
+        |ca AS (SELECT user_id, count(*) AS c FROM a GROUP BY user_id),
+        |cb AS (SELECT user_id, count(*) AS c FROM b GROUP BY user_id)
+        |SELECT (SELECT count(*) FROM a)::BIGINT AS n_a,
+        |  (SELECT count(*) FROM b)::BIGINT AS n_b,
+        |  coalesce((SELECT sum(ca.c * cb.c) FROM ca JOIN cb
+        |    USING (user_id)), 0)::BIGINT AS exact_join_size,
+        |  true AS never_under, true AS within_eps""".stripMargin,
 
     // Histogram replay: the q53 candidate CTE chain (same planes,
     // bands, self-join), bucketed with a descending cumulative window

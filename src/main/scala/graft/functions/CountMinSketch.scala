@@ -3,6 +3,7 @@ package graft.functions
 import java.nio.ByteBuffer
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.{aggregate, array_min, lit, sequence, slice, transform, zip_with}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnsafeArrayData}
@@ -209,4 +210,20 @@ object CountMinSketch {
   def cmsEstimate(sketch: Column, key: Column, depth: Int, width: Int): Column =
     ColumnBridge.column(
       CmsEstimate(ColumnBridge.expression(sketch), ColumnBridge.expression(key), depth, width))
+
+  /** Join-size (inner-product) estimate from two [[cmsSketch]] columns
+    * built with the same seeds/`depth`/`width` (Alon-Matias-Szegedy via
+    * CM, Cormode & Muthukrishnan §4.2): per depth row, Σ_j A[i][j]·B[i][j]
+    * overcounts |A ⋈ B| only through hash collisions, so min over rows
+    * NEVER underestimates, and exceeds the truth by ≤ (e/width)·N_A·N_B
+    * w.h.p. — the pre-flight join-cardinality check that costs two
+    * constant-size sketch passes instead of the join. Pure array-column
+    * arithmetic over the two flat depth×width buffers.
+    */
+  def cmsInnerProduct(a: Column, b: Column, depth: Int, width: Int): Column = {
+    val prod = zip_with(a, b, (x, y) => x * y)
+    array_min(transform(sequence(lit(0), lit(depth - 1)),
+      i => aggregate(slice(prod, i * width + 1, lit(width)),
+        lit(0L), (acc, x) => acc + x)))
+  }
 }

@@ -79,4 +79,31 @@ class CountMinSketchSpec extends AnyFunSuite {
       .as[Long].head()
     assert(ints == 2L)
   }
+
+  test("cmsInnerProduct: exact on collision-free keys, never under with heavy overlap") {
+    // A = {1:3, 2:1}, B = {1:2, 7:4} -> true join size = 3*2 = 6.
+    // With width 2048 and 6 distinct cells, no row of any depth
+    // collides here, so min-over-rows is EXACTLY 6.
+    val a = Seq(1L, 1L, 1L, 2L).toDF("k")
+      .agg(cmsSketch(col("k"), Depth, Width).as("ska"))
+    val b = Seq(1L, 1L, 7L, 7L, 7L, 7L).toDF("k")
+      .agg(cmsSketch(col("k"), Depth, Width).as("skb"))
+    val est = a.crossJoin(b)
+      .select(CountMinSketch.cmsInnerProduct(col("ska"), col("skb"),
+        Depth, Width))
+      .as[Long].head()
+    assert(est == 6L)
+    // many shared heavy keys: estimate >= exact always
+    val xs = (1L to 500L).flatMap(i => Seq.fill((i % 5).toInt + 1)(i % 40))
+    val ya = xs.toDF("k").agg(cmsSketch(col("k"), Depth, Width).as("ska"))
+    val yb = xs.reverse.toDF("k").agg(cmsSketch(col("k"), Depth, Width).as("skb"))
+    val cnt = xs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val exact = cnt.values.map(c => c * c).sum
+    val e2 = ya.crossJoin(yb)
+      .select(CountMinSketch.cmsInnerProduct(col("ska"), col("skb"),
+        Depth, Width))
+      .as[Long].head()
+    assert(e2 >= exact)
+    assert(e2 <= exact + (math.E / Width * xs.size * xs.size).toLong + 1)
+  }
 }
