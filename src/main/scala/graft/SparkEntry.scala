@@ -1871,6 +1871,15 @@ object SparkEntry {
       graft.operators.Graph.kCore(ev, "u", "v", k = 9)
     }),
 
+    // Z-order data-skipping audit: file spans under linear-x vs Morton
+    // layout on (user_id%256, event_id%256) — the re-cluster-or-not
+    // number for two-column pruning on a 100 TB table
+    "q270_zorder_skipping" -> ((s, d) =>
+      graft.operators.ZOrder.skippingAudit(
+        Tables.events(s, d),
+        pmod(col("user_id"), lit(256L)), pmod(col("event_id"), lit(256L)),
+        rowsPerFile = 500, bits = 8)),
+
     // Pre-flight join-cardinality estimate: CM inner product between
     // the click-side and purchase-side user_id sketches vs the exact
     // join size — two constant-size sketch passes answer "how big is
@@ -5657,6 +5666,36 @@ object SparkEntry {
          |SELECT node, count(*)::BIGINT AS degree FROM
          |  (SELECT s AS node FROM ke16 UNION ALL SELECT t AS node FROM ke16)
          |GROUP BY node""".stripMargin,
+
+    // Z-order replay: the SAME unrolled Morton interleave terms
+    // (generated by one Scala loop for both engines), identical
+    // (key, x, y) total order, floor file assignment, span averages
+    "q270_zorder_skipping" -> {
+      def zSql(x: String, y: String, bits: Int): String =
+        (0 until bits).map(i =>
+          s"((($x >> $i) & 1) << ${2 * i}) + ((($y >> $i) & 1) << ${2 * i + 1})")
+          .mkString(" + ")
+      s"""WITH b AS (SELECT (user_id % 256)::BIGINT AS x,
+         |    (event_id % 256)::BIGINT AS y FROM events
+         |  WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+         |    AND user_id % 256 >= 0 AND event_id % 256 >= 0),
+         |z AS (SELECT x, y, ${zSql("x", "y", 8)} AS z FROM b),
+         |lin AS (SELECT x, y,
+         |    (row_number() OVER (ORDER BY x, x, y) - 1) // 500 AS f FROM z),
+         |zo AS (SELECT x, y,
+         |    (row_number() OVER (ORDER BY z, x, y) - 1) // 500 AS f FROM z),
+         |ls AS (SELECT f, max(x) - min(x) AS xs, max(y) - min(y) AS ys
+         |  FROM lin GROUP BY f),
+         |zs AS (SELECT f, max(x) - min(x) AS xs, max(y) - min(y) AS ys
+         |  FROM zo GROUP BY f)
+         |SELECT 'linear_x' AS strategy, count(*)::BIGINT AS files,
+         |  round(avg(xs), 4) AS avg_x_span, round(avg(ys), 4) AS avg_y_span
+         |FROM ls
+         |UNION ALL
+         |SELECT 'zorder' AS strategy, count(*)::BIGINT AS files,
+         |  round(avg(xs), 4) AS avg_x_span, round(avg(ys), 4) AS avg_y_span
+         |FROM zs""".stripMargin
+    },
 
     // Join-size replay: exact Σ ca·cb over matched keys; the sketch
     // bounds hold unconditionally (never_under) / deterministically
