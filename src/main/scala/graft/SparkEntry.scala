@@ -1871,18 +1871,6 @@ object SparkEntry {
       graft.operators.Graph.kCore(ev, "u", "v", k = 9)
     }),
 
-    // PSI drift monitor: first half vs second half of the event stream
-    // (by event_id) over fixed value buckets — the bucketed companion
-    // of the KS test for "did the score distribution move"
-    "q271_psi_drift" -> ((s, d) => {
-      val ev = Tables.events(s, d).filter(col("value").isNotNull)
-      val mid = ev.agg(max(col("event_id"))).head().getLong(0) / 2
-      val bkt = least(floor(col("value") / 5.0), lit(9.0))
-      graft.operators.Profile.psi(
-        ev.filter(col("event_id") <= mid),
-        ev.filter(col("event_id") > mid), bkt)
-    }),
-
     // Z-order data-skipping audit: file spans under linear-x vs Morton
     // layout on (user_id%256, event_id%256) — the re-cluster-or-not
     // number for two-column pruning on a 100 TB table
@@ -5678,35 +5666,6 @@ object SparkEntry {
          |SELECT node, count(*)::BIGINT AS degree FROM
          |  (SELECT s AS node FROM ke16 UNION ALL SELECT t AS node FROM ke16)
          |GROUP BY node""".stripMargin,
-
-    // PSI replay: same halves, same fixed buckets, exact-count shares,
-    // and the identical bucket-ORDERED ln-term fold (0.0+t1 = t1 in
-    // IEEE, so Spark's 0-seeded fold equals DuckDB's first-element
-    // list_reduce), 4dp for the libm ln gap
-    "q271_psi_drift" ->
-      """WITH m AS (SELECT max(event_id) // 2 AS mid FROM events),
-        |a AS (SELECT least(floor(value / 5.0), 9.0)::BIGINT AS bucket
-        |  FROM events, m WHERE value IS NOT NULL AND event_id <= mid),
-        |b AS (SELECT least(floor(value / 5.0), 9.0)::BIGINT AS bucket
-        |  FROM events, m WHERE value IS NOT NULL AND event_id > mid),
-        |ca AS (SELECT bucket, count(*) AS c FROM a GROUP BY bucket),
-        |cb AS (SELECT bucket, count(*) AS c FROM b GROUP BY bucket),
-        |na AS (SELECT count(*) AS n FROM a),
-        |nb AS (SELECT count(*) AS n FROM b),
-        |j AS (SELECT coalesce(ca.bucket, cb.bucket) AS bucket,
-        |    coalesce(ca.c::DOUBLE / na.n::DOUBLE, 0.0) AS p,
-        |    coalesce(cb.c::DOUBLE / nb.n::DOUBLE, 0.0) AS q
-        |  FROM ca FULL OUTER JOIN cb ON ca.bucket = cb.bucket, na, nb),
-        |t AS (SELECT bucket, p, q,
-        |    CASE WHEN p > 0.0 AND q > 0.0
-        |      THEN (p - q) * ln(p / q) ELSE 0.0 END AS term
-        |  FROM j)
-        |SELECT count(*)::BIGINT AS n_buckets,
-        |  sum(CASE WHEN p = 0.0 OR q = 0.0 THEN 1 ELSE 0 END)::BIGINT
-        |    AS n_dead_buckets,
-        |  round(list_reduce(list_prepend(0.0::DOUBLE,
-        |    list(term ORDER BY bucket)), (acc, x) -> acc + x), 4) AS psi
-        |FROM t""".stripMargin,
 
     // Z-order replay: the SAME unrolled Morton interleave terms
     // (generated by one Scala loop for both engines), identical

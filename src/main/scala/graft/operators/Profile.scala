@@ -274,51 +274,6 @@ object Profile {
     * windows run over per-group DISTINCT-value frames (value-
     * resolution-bounded, never row-bounded). No corpus-wide rank.
     */
-  /** Population Stability Index between a baseline and a comparison
-    * population over caller-defined buckets: PSI = Σ (pᵢ−qᵢ)·ln(pᵢ/qᵢ),
-    * the industry-standard "has this score/feature distribution
-    * drifted" monitor (rule of thumb: <0.1 stable, >0.25 act). The
-    * companion of [[ksTest]] (continuous, sup-norm) for the bucketed
-    * monitoring world.
-    *
-    * Determinism: shares (exact counts / exact totals) are one divide
-    * each; the ln terms fold in BUCKET ORDER via a sorted-array
-    * aggregate (a plain SUM's addition order is partition-dependent in
-    * the last ulp), 4dp for the JVM-vs-libm ln gap. Buckets where
-    * either share is zero are EXCLUDED from the sum and reported in
-    * `n_dead_buckets` (the standard ε-free treatment — an ε floor
-    * would make PSI depend on an arbitrary constant).
-    *
-    * Scale: two bucket aggregates with map-side partials; the fold runs
-    * over the |buckets|-row frame.
-    */
-  def psi(base: DataFrame, compare: DataFrame, bucket: Column): DataFrame = {
-    def shares(d: DataFrame, out: String): DataFrame = {
-      val c = d.select(bucket.cast("long").as("bucket"))
-        .filter(col("bucket").isNotNull)
-        .groupBy(col("bucket")).agg(count(lit(1)).as("__c"))
-      c.crossJoin(broadcast(c.agg(sum(col("__c")).as("__n"))))
-        .select(col("bucket"),
-          (col("__c").cast("double") / col("__n").cast("double")).as(out))
-    }
-    val joined = shares(base, "p").join(shares(compare, "q"),
-      Seq("bucket"), "full_outer")
-      .select(col("bucket"), coalesce(col("p"), lit(0.0)).as("p"),
-        coalesce(col("q"), lit(0.0)).as("q"))
-    joined.agg(
-        count(lit(1)).as("n_buckets"),
-        sum(when(col("p") === 0.0 || col("q") === 0.0, 1L).otherwise(0L))
-          .as("n_dead_buckets"),
-        round(aggregate(
-          transform(array_sort(collect_list(struct(col("bucket"),
-            col("p"), col("q")))),
-            s => when(s.getField("p") > 0.0 && s.getField("q") > 0.0,
-              (s.getField("p") - s.getField("q")) *
-                log(s.getField("p") / s.getField("q")))
-              .otherwise(lit(0.0))),
-          lit(0.0), (acc, x) => acc + x), 4).as("psi"))
-  }
-
   /** Robust outlier census per group via the median/MAD rule (Iglewicz-
     * Hoaglin modified z: 0.6745·(x−med)/MAD, cutoff 3.5) — the outlier
     * screen that, unlike mean/σ z-scores, is not dragged by the

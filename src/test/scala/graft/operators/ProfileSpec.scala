@@ -207,23 +207,4 @@ class ProfileSpec extends AnyFunSuite {
     assert(out("a") == ((10L, 104.5, 2.5, 1L, false)))
     assert(out("b") == ((5L, 7.0, 0.0, 0L, true)))
   }
-
-  test("psi: identical distributions 0, disjoint buckets all dead, shift detected") {
-    val a = ((1 to 50).map(_ => 1L) ++ (1 to 50).map(_ => 2L)).toDF("b")
-    // same shape -> psi 0.0, no dead buckets
-    val same = Profile.psi(a, a, col("b")).collect().head
-    assert(same.getLong(0) == 2L && same.getLong(1) == 0L
-      && same.getDouble(2) == 0.0)
-    // fully disjoint buckets: every bucket dead, psi contribution 0 by the
-    // epsilon-free contract (the dead-bucket count is the signal)
-    val c = (1 to 100).map(_ => 9L).toDF("b")
-    val dis = Profile.psi(a, c, col("b")).collect().head
-    assert(dis.getLong(0) == 3L && dis.getLong(1) == 3L
-      && dis.getDouble(2) == 0.0)
-    // 60/40 -> 40/60 shift: psi = 2 * 0.2 * ln(1.5) = 0.1622
-    val p1 = ((1 to 60).map(_ => 1L) ++ (1 to 40).map(_ => 2L)).toDF("b")
-    val p2 = ((1 to 40).map(_ => 1L) ++ (1 to 60).map(_ => 2L)).toDF("b")
-    val sh = Profile.psi(p1, p2, col("b")).collect().head
-    assert(sh.getDouble(2) == 0.1622, s"psi ${sh.getDouble(2)}")
-  }
 }
