@@ -1871,6 +1871,13 @@ object SparkEntry {
       graft.operators.Graph.kCore(ev, "u", "v", k = 9)
     }),
 
+    // Sliding 7-day distinct users from merged per-day KMV sketches —
+    // window answers from days×k sketch rows, never a fact rescan;
+    // exact count + 3/√k bound as the contract
+    "q272_sliding_distinct" -> ((s, d) =>
+      graft.operators.EventAnalytics.slidingDistinctUsers(
+        Tables.events(s, d), "ts", "user_id")),
+
     // Z-order data-skipping audit: file spans under linear-x vs Morton
     // layout on (user_id%256, event_id%256) — the re-cluster-or-not
     // number for two-column pruning on a 100 TB table
@@ -5666,6 +5673,27 @@ object SparkEntry {
          |SELECT node, count(*)::BIGINT AS degree FROM
          |  (SELECT s AS node FROM ke16 UNION ALL SELECT t AS node FROM ke16)
          |GROUP BY node""".stripMargin,
+
+    // Sliding-distinct replay: exact windowed distinct via the same
+    // day-cover explode; bound flag holds deterministically (q115/q131
+    // convention)
+    "q272_sliding_distinct" ->
+      """WITH du AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS day,
+        |    user_id AS u FROM events),
+        |mx AS (SELECT max(day) AS m FROM du),
+        |cov AS (SELECT day + g AS wday, u
+        |  FROM du, unnest(generate_series(0, 6)) AS t(g), mx
+        |  WHERE day + g <= mx.m),
+        |dd AS (SELECT DISTINCT day FROM du),
+        |dcov AS (SELECT day + g AS wday
+        |  FROM dd, unnest(generate_series(0, 6)) AS t(g), mx
+        |  WHERE day + g <= mx.m)
+        |SELECT c.wday,
+        |  (SELECT count(*) FROM dcov WHERE dcov.wday = c.wday)::BIGINT
+        |    AS days_in_window,
+        |  count(DISTINCT c.u)::BIGINT AS exact_distinct,
+        |  true AS within_bounds
+        |FROM cov c GROUP BY c.wday""".stripMargin,
 
     // Z-order replay: the SAME unrolled Morton interleave terms
     // (generated by one Scala loop for both engines), identical

@@ -1583,4 +1583,54 @@ object EventAnalytics {
         col("__r.ev").as("n_events"), col("__r.cen").as("n_censored"),
         round(col("__km.p"), 4).as("survival"))
   }
+
+  /** Sliding-window distinct users via KMV sketch REAGGREGATION — the
+    * 100 TB dashboard pattern: the corpus is reduced ONCE to one
+    * constant-size bottom-k sketch per day (partial-aggregated), and
+    * every 7-day window answer comes from merging 7 sketch rows —
+    * array union + sort + take-k, the KMV merge — never from
+    * re-scanning events. A COUNT(DISTINCT) per sliding window rescans
+    * the fact table per window; this reads days × k sketch entries.
+    *
+    * Contract output (the q115 convention — the estimate itself is
+    * sketch-internal): per window day, the EXACT 7-day distinct count
+    * (the verification leg; at scale you'd sample-audit instead) and
+    * whether the sketch estimate lands within 3/√k relative error.
+    */
+  def slidingDistinctUsers(events: DataFrame, tsCol: String,
+      userCol: String, windowDays: Int = 7, k: Int = 256): DataFrame = {
+    import graft.functions.BottomKSketch.bottomK
+    val day = expr(s"unix_micros($tsCol) div 86400000000L")
+    val daily = events
+      .select(day.as("day"), col(userCol).cast("string").as("u"))
+      .groupBy(col("day")).agg(bottomK(col("u"), k).as("sk"))
+    val span = daily.agg(max(col("day")).as("__mx"))
+    val covered = daily
+      .select(explode(sequence(col("day"),
+        col("day") + (windowDays - 1))).as("wday"), col("sk"))
+      .crossJoin(broadcast(span))
+      .filter(col("wday") <= col("__mx"))
+    val merged = covered.groupBy(col("wday"))
+      .agg(count(lit(1)).as("days_in_window"),
+        slice(array_distinct(array_sort(flatten(collect_list(col("sk"))))),
+          1, k).as("mk"))
+    val est = merged.withColumn("__est",
+      when(size(col("mk")) < k, size(col("mk")).cast("double"))
+        .otherwise(lit((k - 1).toDouble) /
+          ((element_at(col("mk"), k).getField("hash").cast("double") -
+            lit(Long.MinValue.toDouble)) / lit(math.pow(2.0, 64)))))
+    val exact = events
+      .select(day.as("day"), col(userCol).as("u")).distinct()
+      .select(explode(sequence(col("day"),
+        col("day") + (windowDays - 1))).as("wday"), col("u"))
+      .crossJoin(broadcast(span))
+      .filter(col("wday") <= col("__mx"))
+      .groupBy(col("wday"))
+      .agg(count_distinct(col("u")).as("exact_distinct"))
+    est.join(exact, Seq("wday"))
+      .select(col("wday"), col("days_in_window"), col("exact_distinct"),
+        (abs(col("__est") - col("exact_distinct").cast("double")) <=
+          col("exact_distinct").cast("double") * lit(3.0 / math.sqrt(k)))
+          .as("within_bounds"))
+  }
 }

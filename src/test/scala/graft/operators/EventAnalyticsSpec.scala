@@ -822,4 +822,25 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(s(3) == 0.5)            // censor only
     assert(s(4) == 0.0)            // last event takes it to zero
   }
+
+  test("slidingDistinctUsers: day sketches merge to the window's exact distinct under k") {
+    // 3 days, users partially overlapping across days; all unions < k
+    // so every window estimate is EXACT -> bounds trivially hold and
+    // exact counts pin the window algebra
+    def at(day: Int, id: Long) = (id, new Timestamp(day * 86400000L))
+    val rows = Seq(
+      at(0, 1), at(0, 2), at(0, 3),
+      at(1, 3), at(1, 4),
+      at(2, 5), at(2, 1))
+    val df = rows.toDF("user_id", "ts")
+    val out = EventAnalytics.slidingDistinctUsers(df, "ts", "user_id",
+      windowDays = 2, k = 16)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    // wday 0: day 0 only -> {1,2,3}; wday 1: days 0+1 -> {1,2,3,4};
+    // wday 2: days 1+2 -> {3,4,5,1}
+    assert(out(0L) == ((1L, 3L, true)))
+    assert(out(1L) == ((2L, 4L, true)))
+    assert(out(2L) == ((2L, 4L, true)))
+  }
 }
