@@ -1871,6 +1871,22 @@ object SparkEntry {
       graft.operators.Graph.kCore(ev, "u", "v", k = 9)
     }),
 
+    // Keyness: Dunning G² top-25 terms of the English subcorpus vs the
+    // rest — the count-weighted "what is this source about" screen
+    "q274_keyness" -> ((s, d) =>
+      graft.operators.TextAnalysis.keyness(
+        t(s, d, "documents").filter(col("lang").isNotNull),
+        "text", col("lang") === "en")),
+
+    // Dedup-savings budget: per source, docs/bytes that normalized
+    // exact dedup would remove (min-id winners keep their bytes) — the
+    // is-the-pass-worth-scheduling number
+    "q273_dedup_savings" -> ((s, d) =>
+      graft.operators.Dedup.dedupSavings(
+        t(s, d, "documents").filter(col("text").isNotNull),
+        "doc_id", "text", "source", coalesce(col("n_chars"), lit(0L)))
+        .withColumnRenamed("grp", "source")),
+
     // Sliding 7-day distinct users from merged per-day KMV sketches —
     // window answers from days×k sketch rows, never a fact rescan;
     // exact count + 3/√k bound as the contract
@@ -5673,6 +5689,46 @@ object SparkEntry {
          |SELECT node, count(*)::BIGINT AS degree FROM
          |  (SELECT s AS node FROM ke16 UNION ALL SELECT t AS node FROM ke16)
          |GROUP BY node""".stripMargin,
+
+    // Keyness replay: identical expression shapes per term (per-row
+    // double sequence, no fold), unrounded ordering, term tie-break
+    "q274_keyness" ->
+      s"""WITH tk AS (SELECT lang = 'en' AS f, $tokensSql AS toks
+         |  FROM documents WHERE lang IS NOT NULL),
+         |t AS (SELECT f, unnest(toks) AS w FROM tk),
+         |c AS (SELECT w, sum(CASE WHEN f THEN 1 ELSE 0 END)::BIGINT AS c1,
+         |    sum(CASE WHEN NOT f THEN 1 ELSE 0 END)::BIGINT AS c2
+         |  FROM t GROUP BY w),
+         |n AS (SELECT sum(c1)::BIGINT AS n1, sum(c2)::BIGINT AS n2 FROM c),
+         |g AS (SELECT w, c1, c2,
+         |    2.0 * ((CASE WHEN c1 > 0
+         |        THEN c1 * ln(c1 / (n1::DOUBLE * (c1 + c2) / (n1 + n2)))
+         |        ELSE 0.0 END) +
+         |      (CASE WHEN c2 > 0
+         |        THEN c2 * ln(c2 / (n2::DOUBLE * (c1 + c2) / (n1 + n2)))
+         |        ELSE 0.0 END)) AS g2,
+         |    CASE WHEN c1 * n2 > c2 * n1 THEN 'focus' ELSE 'rest' END
+         |      AS direction
+         |  FROM c, n)
+         |SELECT w AS term, c1, c2, round(g2, 4) AS g2, direction
+         |FROM g ORDER BY g2 DESC, w LIMIT 25""".stripMargin,
+
+    // Savings replay: same canonical form (q130's), min-id winners,
+    // per-source non-winner doc/byte rollup
+    "q273_dedup_savings" ->
+      """WITH b AS (SELECT doc_id, source,
+        |    coalesce(n_chars, 0)::BIGINT AS bytes,
+        |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS canon
+        |  FROM documents WHERE text IS NOT NULL),
+        |w AS (SELECT canon, min(doc_id) AS win FROM b GROUP BY canon)
+        |SELECT b.source, count(*)::BIGINT AS n_docs,
+        |  sum(CASE WHEN b.doc_id <> w.win THEN 1 ELSE 0 END)::BIGINT
+        |    AS dup_docs,
+        |  sum(CASE WHEN b.doc_id <> w.win THEN b.bytes ELSE 0 END)::BIGINT
+        |    AS bytes_saved,
+        |  round(sum(CASE WHEN b.doc_id <> w.win THEN b.bytes ELSE 0 END)
+        |    ::DOUBLE / sum(b.bytes)::DOUBLE, 4) AS savings_ratio
+        |FROM b JOIN w USING (canon) GROUP BY b.source""".stripMargin,
 
     // Sliding-distinct replay: exact windowed distinct via the same
     // day-cover explode; bound flag holds deterministically (q115/q131

@@ -226,6 +226,34 @@ object Dedup {
       planesPerBand: Int = 4, dim: Int = 64, seed: Long = 42L): DataFrame =
     Similarity.bandedScoredPairs(corpus, numBands, planesPerBand, dim, seed)
 
+  /** Dedup-savings estimate per group (typically source): if exact
+    * normalized dedup ran today, how many documents and how many bytes
+    * would each source lose? Winner = min-id member of each
+    * canonical-text group (the keep-first contract); every other
+    * member's bytes count as savings, attributed to the LOSING doc's
+    * group — the budget number that decides whether the dedup pass is
+    * worth scheduling. One content-hash aggregate + one join back;
+    * shuffles carry (hash, id) pairs, never text.
+    */
+  def dedupSavings(df: DataFrame, idCol: String, textCol: String,
+      groupCol: String, bytesCol: Column): DataFrame = {
+    val base = df.select(col(idCol).as("id"), col(groupCol).as("grp"),
+      bytesCol.cast("long").as("bytes"),
+      canonicalText(col(textCol)).as("__canon"))
+    val winners = base.groupBy(col("__canon"))
+      .agg(min(col("id")).as("__win"))
+    base.join(winners, Seq("__canon"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("id") =!= col("__win"), 1L).otherwise(0L))
+          .as("dup_docs"),
+        sum(when(col("id") =!= col("__win"), col("bytes")).otherwise(0L))
+          .as("bytes_saved"),
+        round(sum(when(col("id") =!= col("__win"), col("bytes"))
+          .otherwise(0L)).cast("double") /
+          sum(col("bytes")).cast("double"), 4).as("savings_ratio"))
+  }
+
   /** Canonical text form for normalization-aware dedup: lowercase,
     * whitespace runs collapsed to one space, ends trimmed. Catches the
     * case/indentation/line-wrap variants raw exact dedup misses — the

@@ -86,6 +86,48 @@ object TextAnalysis {
     staged.select(col(idCol), lang.as("predicted_lang"), score.as("lang_score"))
   }
 
+  /** Keyness league table (Dunning 1993 log-likelihood G²): which terms
+    * are over-represented in the focus corpus vs the rest — the
+    * corpus-linguistics "what is this subcorpus about" measure, and in
+    * a training pipeline the drift/characterization screen run when a
+    * new source lands. G² = 2·Σ O·ln(O/E) over the focus/rest
+    * observed-vs-expected cells; unlike PMI it is count-weighted, so a
+    * 10k-occurrence mild skew outranks a 3-occurrence fluke.
+    *
+    * Determinism: counts are exact; each term's G² is ONE fixed
+    * per-row double sequence (no cross-term fold exists), ranking uses
+    * the UNROUNDED value with a term tie-break (equal-count terms have
+    * bit-equal G² — the BM25 ordering argument), output rounds 4dp.
+    * `direction` compares rates by integer cross-multiplication.
+    * Shape: one token explode + term aggregate (map-side partials),
+    * totals broadcast, TakeOrderedAndProject top-k.
+    */
+  def keyness(df: DataFrame, textCol: String, isFocus: Column,
+      topK: Int = 25): DataFrame = {
+    val toksed = df
+      .select(isFocus.cast("boolean").as("f"), col(textCol).as("__t"))
+      .filter(col("f").isNotNull)
+      .select(col("f"), explode(tokens(col("__t"))).as("w"))
+    val counts = toksed.groupBy(col("w"))
+      .agg(sum(when(col("f"), 1L).otherwise(0L)).as("c1"),
+        sum(when(!col("f"), 1L).otherwise(0L)).as("c2"))
+    val tot = counts.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+    val e1 = col("n1").cast("double") * (col("c1") + col("c2")) /
+      (col("n1") + col("n2"))
+    val e2 = col("n2").cast("double") * (col("c1") + col("c2")) /
+      (col("n1") + col("n2"))
+    counts.crossJoin(broadcast(tot))
+      .withColumn("__g2", lit(2.0) *
+        (when(col("c1") > 0, col("c1") * log(col("c1") / e1)).otherwise(0.0) +
+          when(col("c2") > 0, col("c2") * log(col("c2") / e2)).otherwise(0.0)))
+      .orderBy(col("__g2").desc, col("w"))
+      .limit(topK)
+      .select(col("w").as("term"), col("c1"), col("c2"),
+        round(col("__g2"), 4).as("g2"),
+        when(col("c1") * col("n2") > col("c2") * col("n1"), "focus")
+          .otherwise("rest").as("direction"))
+  }
+
   /** Language-ID confusion matrix against a labeled column: per
     * (label, predicted) cell count, the within-label share, and the
     * diagonal flag — the calibration audit run before trusting the

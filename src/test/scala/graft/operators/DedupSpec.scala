@@ -407,4 +407,18 @@ class DedupSpec extends AnyFunSuite {
       Seq(("s", col("f1"), m1, u1), ("v", col("f2"), m2, u2)),
       threshold = both - 0.001, k = 10).count() == 1)
   }
+
+  test("dedupSavings: winner keeps bytes, losers' bytes attributed to their source") {
+    val docs = Seq(
+      (1L, "srcA", "Hello  World", 100L),   // winner (min id of the group)
+      (2L, "srcB", "hello world", 80L),     // loses 80 to srcB
+      (3L, "srcA", " HELLO\tWORLD ", 60L), // loses 60 to srcA
+      (4L, "srcB", "unique text", 50L))     // singleton
+      .toDF("doc_id", "source", "text", "bytes")
+    val out = Dedup.dedupSavings(docs, "doc_id", "text", "source", col("bytes"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out("srcA") == ((2L, 1L, 60L, 0.375)))   // 60/160
+    assert(out("srcB") == ((2L, 1L, 80L, 80.0 / 130.0 match { case x => math.rint(x * 10000) / 10000 })))
+  }
 }

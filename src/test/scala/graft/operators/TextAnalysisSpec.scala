@@ -642,4 +642,22 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out(2L) == ((4L, 2L, 3L)))
     assert(out(3L) == ((5L, 1L, 0L)))
   }
+
+  test("keyness: the focus-only term tops the table, direction follows rates") {
+    // focus docs hammer 'zap'; rest hammer 'bop'; 'the' is balanced
+    val docs = Seq(
+      (true, "zap zap zap zap the the"),
+      (true, "zap zap the"),
+      (false, "bop bop bop the the"),
+      (false, "bop the"))
+      .toDF("f", "text")
+    val out = TextAnalysis.keyness(docs, "text", col("f"), topK = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getString(4)))
+    // zap: (6,0) focus-only; bop: (0,4) rest-only; both beat 'the'
+    assert(out.map(_._1).take(2).toSet == Set("zap", "bop"))
+    val byTerm = out.map(t => t._1 -> t).toMap
+    assert(byTerm("zap")._4 == "focus" && byTerm("bop")._4 == "rest")
+    assert(byTerm("zap")._2 == 6L && byTerm("bop")._3 == 4L)
+  }
 }
