@@ -1871,6 +1871,13 @@ object SparkEntry {
       graft.operators.Graph.kCore(ev, "u", "v", k = 9)
     }),
 
+    // Token-mass Gini per source: is a source's token budget breadth
+    // or three giant docs — exact-integer Gini, one final divide
+    "q275_token_gini" -> ((s, d) =>
+      graft.operators.TextAnalysis.tokenGini(
+        t(s, d, "documents"), "doc_id", "text", "source")
+        .withColumnRenamed("grp", "source")),
+
     // Keyness: Dunning G² top-25 terms of the English subcorpus vs the
     // rest — the count-weighted "what is this source about" screen
     "q274_keyness" -> ((s, d) =>
@@ -5689,6 +5696,23 @@ object SparkEntry {
          |SELECT node, count(*)::BIGINT AS degree FROM
          |  (SELECT s AS node FROM ke16 UNION ALL SELECT t AS node FROM ke16)
          |GROUP BY node""".stripMargin,
+
+    // Gini replay: same (x, id)-ranked integer sums, one divide
+    "q275_token_gini" ->
+      s"""WITH b AS (SELECT source, doc_id,
+         |    CASE WHEN text IS NOT NULL THEN len($tokensSql) ELSE 0 END
+         |      ::BIGINT AS x
+         |  FROM documents),
+         |r AS (SELECT source, x,
+         |    row_number() OVER (PARTITION BY source ORDER BY x, doc_id)
+         |      ::BIGINT AS rn
+         |  FROM b)
+         |SELECT source, count(*)::BIGINT AS n_docs,
+         |  CAST(sum(x) AS BIGINT) AS total_tokens,
+         |  CASE WHEN sum(x) > 0 THEN
+         |    round((2 * sum(rn * x) - (count(*) + 1) * sum(x))::DOUBLE
+         |      / (count(*) * sum(x))::DOUBLE, 4) END AS gini
+         |FROM r GROUP BY source""".stripMargin,
 
     // Keyness replay: identical expression shapes per term (per-row
     // double sequence, no fold), unrounded ordering, term tie-break

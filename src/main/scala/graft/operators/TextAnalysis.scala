@@ -86,6 +86,32 @@ object TextAnalysis {
     staged.select(col(idCol), lang.as("predicted_lang"), score.as("lang_score"))
   }
 
+  /** Token-mass concentration per group (Gini over per-doc token
+    * counts): 0 = every doc contributes equally, →1 = a handful of
+    * giant docs carry the source — the curation diagnostic that says
+    * whether a source's token budget is real breadth or three scraped
+    * books. Gini = (2·Σ rank·xᵢ − (n+1)·Σxᵢ) / (n·Σxᵢ) with ranks from
+    * a per-group (x, id) window — every term is exact BIGINT until the
+    * single final divide (ties in x are order-independent in Σ rank·x:
+    * swapping equal values preserves the sum), 4dp.
+    */
+  def tokenGini(df: DataFrame, idCol: String, textCol: String,
+      groupCol: String): DataFrame = {
+    val base = df.select(col(groupCol).as("grp"), col(idCol).as("id"),
+      when(col(textCol).isNotNull, tokenCount(col(textCol)))
+        .otherwise(lit(0)).cast("long").as("x"))
+    val w = Window.partitionBy(col("grp")).orderBy(col("x"), col("id"))
+    base.withColumn("__rn", row_number().over(w).cast("long"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("x")).as("total_tokens"),
+        when(sum(col("x")) > 0,
+          round((lit(2L) * sum(col("__rn") * col("x")) -
+            (count(lit(1)) + 1) * sum(col("x"))).cast("double") /
+            (count(lit(1)) * sum(col("x"))).cast("double"), 4))
+          .as("gini"))
+  }
+
   /** Keyness league table (Dunning 1993 log-likelihood G²): which terms
     * are over-represented in the focus corpus vs the rest — the
     * corpus-linguistics "what is this subcorpus about" measure, and in

@@ -660,4 +660,19 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(byTerm("zap")._4 == "focus" && byTerm("bop")._4 == "rest")
     assert(byTerm("zap")._2 == 6L && byTerm("bop")._3 == 4L)
   }
+
+  test("tokenGini: equal docs 0, one-doc dominance high, null text counts 0") {
+    val eq = Seq(("a", 1L, "x y z"), ("a", 2L, "p q r"), ("a", 3L, "m n o"))
+    // group b: 1-token docs + one 38-token doc
+    val dom = (1L to 9L).map(i => ("b", 10L + i, "w")) :+
+      (("b", 30L, Seq.fill(38)("t").mkString(" ")))
+    val df = (eq ++ dom).toDF("source", "doc_id", "text")
+    val out = TextAnalysis.tokenGini(df, "doc_id", "text", "source")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out("a") == ((3L, 9L, 0.0)))
+    // b: n=10, sum=47, ranks 1..9 on the 1s, rank 10 on 38:
+    // gini = (2*(45 + 380) - 11*47) / (10*47) = 333/470 = 0.7085
+    assert(out("b") == ((10L, 47L, 0.7085)))
+  }
 }
