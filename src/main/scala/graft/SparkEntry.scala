@@ -1871,6 +1871,13 @@ object SparkEntry {
       graft.operators.Graph.kCore(ev, "u", "v", k = 9)
     }),
 
+    // Chaining-drift audit: per near-dup cluster, the minimum pairwise
+    // cosine — flags transitive over-merges (A–B–C chains whose A–C
+    // similarity is below the pair threshold) before members delete
+    "q276_cluster_chaining" -> ((s, d) =>
+      graft.operators.Dedup.clusterChainingAudit(
+        t(s, d, "embeddings"), threshold = 0.3)),
+
     // Token-mass Gini per source: is a source's token budget breadth
     // or three giant docs — exact-integer Gini, one final divide
     "q275_token_gini" -> ((s, d) =>
@@ -5696,6 +5703,24 @@ object SparkEntry {
          |SELECT node, count(*)::BIGINT AS degree FROM
          |  (SELECT s AS node FROM ke16 UNION ALL SELECT t AS node FROM ke16)
          |GROUP BY node""".stripMargin,
+
+    // Chaining replay: q53's fixpoint labels as a nested subquery,
+    // per-cluster all-pairs cosine minimum, same τ flag
+    "q276_cluster_chaining" ->
+      s"""WITH r AS (${embedNearDupOracleSql(threshold = 0.3)}),
+         |vec AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+         |  FROM embeddings
+         |  WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
+         |m AS (SELECT r.id, r.rep, vec.v FROM r JOIN vec USING (id)),
+         |pw AS (SELECT a.rep AS cluster,
+         |    list_cosine_similarity(a.v, b.v) AS c
+         |  FROM m a JOIN m b ON a.rep = b.rep AND a.id < b.id),
+         |sz AS (SELECT rep AS cluster, count(*)::BIGINT AS size
+         |  FROM r GROUP BY rep)
+         |SELECT p.cluster, sz.size, count(*)::BIGINT AS n_pairs,
+         |  round(min(c), 4) AS min_pair_cosine, min(c) < 0.3 AS chained
+         |FROM pw p JOIN sz USING (cluster)
+         |GROUP BY p.cluster, sz.size""".stripMargin,
 
     // Gini replay: same (x, id)-ranked integer sums, one divide
     "q275_token_gini" ->

@@ -254,6 +254,42 @@ object Dedup {
           sum(col("bytes")).cast("double"), 4).as("savings_ratio"))
   }
 
+  /** Chaining-drift audit of near-dup clusters: transitive closure
+    * happily chains A–B–C where cos(A,C) is far below the pair
+    * threshold — the classic over-merge failure of cluster dedup. Per
+    * cluster (from the [[nearDupRepresentatives]] fixpoint over
+    * τ-thresholded pairs): member count, all-pairs count, the MINIMUM
+    * pairwise cosine, and a `chained` flag when that minimum dips under
+    * τ — the clusters a reviewer should split before deleting their
+    * members. The all-pairs step is per-cluster (size-bounded — this is
+    * an audit over dup clusters, which are small by construction; a
+    * pathological mega-cluster is exactly what the flag surfaces, cap
+    * its enumeration before auditing at scale).
+    */
+  def clusterChainingAudit(corpus: DataFrame, threshold: Double,
+      numBands: Int = 15, planesPerBand: Int = 4, dim: Int = 64,
+      seed: Long = 42L): DataFrame = {
+    val pairs = embeddingNearDups(corpus, threshold, numBands,
+      planesPerBand, dim, seed)
+    val reps = nearDupRepresentatives(pairs)
+    val v = Similarity.withNorm(corpus, "id", "vec", "nrm")
+    val m = reps.join(v, Seq("id"))
+    val sizes = reps.groupBy(col("rep").as("cluster"))
+      .agg(count(lit(1)).as("size"))
+    m.as("a").join(m.as("b"),
+        col("a.rep") === col("b.rep") && col("a.id") < col("b.id"))
+      .select(col("a.rep").as("cluster"),
+        Similarity.pairCosine(col("a.vec"), col("b.vec"),
+          col("a.nrm"), col("b.nrm")).as("__c"))
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(min(col("__c")), 4).as("min_pair_cosine"),
+        (min(col("__c")) < threshold).as("chained"))
+      .join(sizes, Seq("cluster"))
+      .select(col("cluster"), col("size"), col("n_pairs"),
+        col("min_pair_cosine"), col("chained"))
+  }
+
   /** Canonical text form for normalization-aware dedup: lowercase,
     * whitespace runs collapsed to one space, ends trimmed. Catches the
     * case/indentation/line-wrap variants raw exact dedup misses — the

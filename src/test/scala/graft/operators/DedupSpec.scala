@@ -421,4 +421,25 @@ class DedupSpec extends AnyFunSuite {
     assert(out("srcA") == ((2L, 1L, 60L, 0.375)))   // 60/160
     assert(out("srcB") == ((2L, 1L, 80L, 80.0 / 130.0 match { case x => math.rint(x * 10000) / 10000 })))
   }
+
+  test("clusterChainingAudit: an A-B-C chain with weak A-C gets flagged") {
+    // A and C are orthogonal halves; B bridges them (high cosine to
+    // both). Pair threshold 0.5: A-B and B-C pass, A-C (cos 0) fails,
+    // yet transitive closure merges all three -> chained = true.
+    def vec(f: Int => Double): Array[Float] =
+      (0 until 64).map(i => f(i).toFloat).toArray
+    val a = vec(i => if (i < 32) 1.0 else 0.0)
+    val c = vec(i => if (i >= 32) 1.0 else 0.0)
+    val b = vec(_ => 1.0)
+    // plus an honest tight pair far from the chain
+    val d1 = vec(i => if (i % 2 == 0) 1.0 else -1.0)
+    val d2 = vec(i => if (i % 2 == 0) 1.0 else -0.9)
+    val df = Seq((1L, a), (2L, b), (3L, c), (10L, d1), (11L, d2))
+      .toDF("vec_id", "embedding")
+    val out = Dedup.clusterChainingAudit(df, threshold = 0.5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(4)))).toMap
+    assert(out(1L) == ((3L, 3L, true)), s"chain cluster: ${out.get(1L)}")
+    assert(out(10L)._1 == 2L && !out(10L)._3, s"tight pair: ${out.get(10L)}")
+  }
 }
