@@ -11,6 +11,18 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output goes DIRECTLY to stdout, not through sbt's logger.
+// The round driver parses the LAST stdout line of `runMain graft.Bench`
+// as the bench metric JSON; sbt's default LoggedOutput strategy wraps
+// every program line in "[info] " and buffers through the logger (the
+// r5/r6 bench artifacts recorded a decorated, mid-line-truncated metric
+// line → "parsed": null). StdoutOutput hands the child process the real
+// stdout fd: no prefix, no logger buffering, line lands whole.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ...and suppress sbt's own "[success] Total time" epilogue so the
+// program's final line IS the final stdout line.
+showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -108,6 +108,19 @@ object Bench {
     def loadAvg(): Double =
       try scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0).toDouble
       catch { case _: Throwable => -1.0 }
+    // Idle-window gate (round-6 verdict #1/#2): the r6 artifact was
+    // captured at loadavg 2.8-4.6 and recorded 1.3-1.55x noise reads
+    // that an idle-host rerun (loadavg 0.6) showed were not real. If the
+    // host is still busy after warmup (other gate stages draining), wait
+    // — bounded at 120 s so a genuinely-loaded host still gets a record.
+    val quietBar = math.max(4.0, cpus / 8.0)
+    val waitedSec = {
+      var waited = 0
+      while (loadAvg() > quietBar && waited < 120) {
+        Thread.sleep(5000); waited += 5
+      }
+      waited
+    }
     val loadStart = loadAvg()
     val results = headline.map { name =>
       def timed(): Option[Double] =
@@ -178,7 +191,61 @@ object Bench {
         }
       ("etl_pipeline", median, runs)
     }
-    val allResults = results :+ etlResult
+    // Served-path ANN entries (round-6 verdict #8): q52/q153 time index
+    // TRAINING inside the query — right for a build job, wrong shape for
+    // the path users run at scale. Here the persisted index is built
+    // ONCE outside the timed window and only the probe path is timed:
+    // model load + cell-pruned code scan + broadcast distance tables —
+    // the steady-state serving shape. Training entries stay in the
+    // headline as the build-job numbers.
+    val servedResults: Seq[(String, Double, Seq[Double])] = {
+      import graft.operators.{IvfAdc, IvfIndex}
+      val tmp = sys.props("java.io.tmpdir")
+      val runTag = spark.sparkContext.applicationId
+      def servedEntry(name: String)(build: () => Unit)(
+          query: () => org.apache.spark.sql.DataFrame): (String, Double, Seq[Double]) = {
+        def timed(): Option[Double] =
+          try {
+            val t0 = System.nanoTime()
+            query().write.format("noop").mode("overwrite").save()
+            Some((System.nanoTime() - t0) / 1e9)
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}"); None
+          }
+        val runs =
+          try {
+            build()
+            timed(): Unit // warmup probe pass (JIT + parquet footers), untimed
+            Seq.fill(passes)(timed()).flatten
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] $name build failed: ${e.getMessage}")
+            Seq.empty[Double]
+          }
+        val median =
+          if (runs.isEmpty) -1.0
+          else {
+            val s = runs.sorted
+            if (s.size % 2 == 1) s(s.size / 2)
+            else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+          }
+        (name, median, runs)
+      }
+      val emb = Tables.embeddings(spark, sfDir)
+      val probes = emb.filter(org.apache.spark.sql.functions.col("vec_id") < 5)
+      val ivfPath = s"$tmp/graft_bench_ivf_$runTag"
+      val adcPath = s"$tmp/graft_bench_ivfadc_$runTag"
+      Seq(
+        servedEntry("q52_ivf_served") { () =>
+          val m = IvfIndex.train(emb, k = 8, iterations = 3)
+          IvfIndex.writeIndex(emb, m, ivfPath)
+        } (() => IvfIndex.topKFromIndex(spark, ivfPath, probes, k = 10, nprobe = 4)),
+        servedEntry("q153_ivfadc_served") { () =>
+          val m = IvfAdc.train(emb, kCells = 8, m = 8, pqK = 16,
+            iterations = 3, dim = 64)
+          IvfAdc.writeIndex(emb, m, adcPath)
+        } (() => IvfAdc.topKFromIndex(spark, adcPath, probes, nprobe = 4, k = 10)))
+    }
+    val allResults = results ++ servedResults :+ etlResult
     val loadEnd = loadAvg()
     // Locale.ROOT: the f-interpolator uses the default locale, which can
     // emit comma decimal separators → invalid JSON
@@ -189,7 +256,7 @@ object Bench {
       "\"" + k + "\":" + rs.map(num).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val total = allResults.map(_._2).filter(_ >= 0).sum
-    val env = s"""{"loadavg_start":${num(loadStart)},"loadavg_end":${num(loadEnd)},"cpus":$cpus,"stat":"median_of_$passes"}"""
+    val env = s"""{"loadavg_start":${num(loadStart)},"loadavg_end":${num(loadEnd)},"cpus":$cpus,"stat":"median_of_$passes","idle_gate_wait_sec":$waitedSec}"""
     // Emission layout (round-5 postmortem): the driver records only the
     // LAST 2000 chars of output, and r1-r5 all shipped one giant JSON
     // line whose head fell outside that window → "parsed": null every
@@ -203,7 +270,15 @@ object Bench {
     val compact = s"""{"metric":"headline_total","value":${num(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(compact)
     println(s"""{"detail":"bench_runs","runs":$runsJson,"env":$env,"sf":"$sfDir"}""")
-    println(compact)
+    System.out.flush()
+    // stop() BEFORE the final metric copy: Spark shutdown can emit late
+    // WARN lines; nothing may print after the final metric line (the
+    // driver parses the stdout tail — round-5/6 postmortem). build.sbt
+    // routes forked run output straight to stdout (OutputStrategy
+    // .StdoutOutput) and suppresses sbt's epilogue, so this println IS
+    // the final undecorated stdout line.
     spark.stop()
+    println(compact)
+    System.out.flush()
   }
 }

@@ -5775,8 +5775,9 @@ object SparkEntry {
         |    AS dup_docs,
         |  sum(CASE WHEN b.doc_id <> w.win THEN b.bytes ELSE 0 END)::BIGINT
         |    AS bytes_saved,
-        |  round(sum(CASE WHEN b.doc_id <> w.win THEN b.bytes ELSE 0 END)
-        |    ::DOUBLE / sum(b.bytes)::DOUBLE, 4) AS savings_ratio
+        |  CASE WHEN sum(b.bytes) > 0 THEN
+        |    round(sum(CASE WHEN b.doc_id <> w.win THEN b.bytes ELSE 0 END)
+        |      ::DOUBLE / sum(b.bytes)::DOUBLE, 4) END AS savings_ratio
         |FROM b JOIN w USING (canon) GROUP BY b.source""".stripMargin,
 
     // Sliding-distinct replay: exact windowed distinct via the same

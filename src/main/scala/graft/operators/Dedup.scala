@@ -249,9 +249,13 @@ object Dedup {
           .as("dup_docs"),
         sum(when(col("id") =!= col("__win"), col("bytes")).otherwise(0L))
           .as("bytes_saved"),
-        round(sum(when(col("id") =!= col("__win"), col("bytes"))
-          .otherwise(0L)).cast("double") /
-          sum(col("bytes")).cast("double"), 4).as("savings_ratio"))
+        // guard the divide: a group whose docs all carry 0/NULL byte
+        // counts gets a NULL ratio, not NaN (matches the q273 oracle's
+        // CASE WHEN — and the tokenGini/bpeFertility guard convention)
+        round(when(sum(col("bytes")) > 0,
+          sum(when(col("id") =!= col("__win"), col("bytes"))
+            .otherwise(0L)).cast("double") /
+            sum(col("bytes")).cast("double")), 4).as("savings_ratio"))
   }
 
   /** Chaining-drift audit of near-dup clusters: transitive closure
