@@ -1911,9 +1911,14 @@ object SparkEntry {
     // Z-order data-skipping audit: file spans under linear-x vs Morton
     // layout on (user_id%256, event_id%256) — the re-cluster-or-not
     // number for two-column pruning on a 100 TB table
+    // Non-negative id guard: the oracle's DuckDB % is sign-preserving
+    // (negative ids fall out of its %256>=0 filter) while pmod wraps
+    // them into [0,255] — filter ids >= 0 on this side so the two row
+    // sets agree independent of id sign (round-6 advisory)
     "q270_zorder_skipping" -> ((s, d) =>
       graft.operators.ZOrder.skippingAudit(
-        Tables.events(s, d),
+        Tables.events(s, d)
+          .filter(col("user_id") >= 0 && col("event_id") >= 0),
         pmod(col("user_id"), lit(256L)), pmod(col("event_id"), lit(256L)),
         rowsPerFile = 500, bits = 8)),
 
@@ -2031,8 +2036,11 @@ object SparkEntry {
     "q263_stream_decontam_gate" -> ((s, d) => {
       import org.apache.spark.sql.streaming.Trigger
       val tmp = sys.props("java.io.tmpdir")
-      val outPath = s"$tmp/graft_q263_out"
-      val ckpt = s"$tmp/graft_q263_ckpt"
+      // per-application paths: concurrent suite runs (gate + dev loop)
+      // must not clobber each other's sink/checkpoint (round-6 advisory)
+      val runTag = s.sparkContext.applicationId
+      val outPath = s"$tmp/graft_q263_out_$runTag"
+      val ckpt = s"$tmp/graft_q263_ckpt_$runTag"
       def rmrf(p: java.io.File): Unit = {
         if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rmrf))
         p.delete(): Unit
@@ -2054,7 +2062,12 @@ object SparkEntry {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      s.read.parquet(outPath)
+      // a gate that filters EVERY row leaves no parquet files behind —
+      // ensure the sink dir exists and read with an explicit schema so
+      // the empty-sink case yields an empty frame instead of a missing-
+      // path / schema-inference failure
+      new java.io.File(outPath).mkdirs(): Unit
+      s.read.schema("doc_id BIGINT, lang STRING").parquet(outPath)
     }),
 
     // Tokenizer fertility per language: q255's encode rolled up per
@@ -6076,9 +6089,14 @@ object SparkEntry {
          |  len(ib.cands)::INT AS n_iban_cand,
          |  len(ib.valid)::INT AS n_iban,
          |  list_reduce(list_prepend(
-         |    list_reduce(list_prepend(cc.t, list_distinct(cc.valid)),
-         |      (a, x) -> replace(a, x, '<CC>')),
-         |    list_distinct(ib.valid)), (a, x) -> replace(a, x, '<IBAN>')) AS redacted
+         |    list_reduce(list_prepend(cc.t,
+         |      list_transform(list_sort(list_transform(list_distinct(ib.valid),
+         |        c -> lpad(CAST(99 - len(c) AS VARCHAR), 2, '0') || c)),
+         |        k -> substr(k, 3))),
+         |      (a, x) -> replace(a, x, '<IBAN>')),
+         |    list_transform(list_sort(list_transform(list_distinct(cc.valid),
+         |      c -> lpad(CAST(99 - len(c) AS VARCHAR), 2, '0') || c)),
+         |      k -> substr(k, 3))), (a, x) -> replace(a, x, '<CC>')) AS redacted
          |FROM cc JOIN ib ON cc.doc_id = ib.doc_id""".stripMargin,
 
     // AUC replay: identical DECIMAL logits (q181's weight synthesis),

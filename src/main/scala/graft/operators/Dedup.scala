@@ -674,8 +674,15 @@ object Dedup {
       // measured 4× the kernel CPU. localCheckpoint stores the narrow
       // (id, pos, gh) rows once (disk-spilling blocks; same discipline
       // as nearDupRepresentatives' per-pass checkpoint) at the price of
-      // an eager job and checkpoint-grade fault tolerance.
-      .localCheckpoint()
+      // checkpoint-grade fault tolerance. LAZY (eager=false):
+      // constructing the plan must not launch a job — blocks
+      // materialize at the caller's first action. Lifecycle: the blocks
+      // stay pinned while the returned frame is reachable and are freed
+      // by Spark's ContextCleaner once the caller drops it (standard
+      // localCheckpoint contract); long-lived sessions that hold many
+      // results should drop or re-derive them rather than keep each
+      // checkpointed plan alive.
+      .localCheckpoint(false)
     // Skew-hint pre-pass: count a 1/rate deterministic hash-sample of
     // gram occurrences (partial-aggregated; carries ~1/rate of the gram
     // volume) — sample-count > cap/rate flags the gram hot. The salt

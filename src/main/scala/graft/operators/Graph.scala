@@ -219,8 +219,17 @@ object Graph {
     if (!converged)
       throw new IllegalStateException(
         s"k-core peel did not converge in $maxIterations rounds")
-    e.select(col("s").as("node")).unionAll(e.select(col("t").as("node")))
+    // Materialize the (node, degree) result — strictly smaller than the
+    // edge set — then free the final round's edge checkpoint instead of
+    // leaving it pinned for the session (a long-lived session calling
+    // kCore repeatedly would otherwise accumulate edge-sized block sets;
+    // the result's own blocks are released by the ContextCleaner once
+    // the caller drops the returned frame).
+    val res = e.select(col("s").as("node")).unionAll(e.select(col("t").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+      .localCheckpoint(true)
+    e.unpersist()
+    res
   }
 
   /** Local clustering coefficient per node: cc(v) = 2·T(v) /

@@ -311,6 +311,17 @@ object TrainingData {
     * `<IBAN>` (literal replace of the candidate string, applied after
     * the regex kinds; candidates are extracted from the ORIGINAL text,
     * so a candidate consumed by an earlier pattern is a no-op here).
+    *
+    * Replacement order is LONGEST-FIRST and deterministic: IBANs (the
+    * longer entity class) fold before CCs, and each distinct candidate
+    * list is sorted length-descending (ties lexicographic) — so a
+    * validated CC that occurs only INSIDE a validated IBAN (or inside a
+    * longer validated CC) cannot consume the longer entity's literal
+    * before it is replaced. Residual contract: literal replacement is
+    * global per candidate string, so a validated candidate that also
+    * occurs inside a longer NON-candidate run is redacted there too —
+    * occurrence-position anchoring needs match offsets, which the
+    * column-only kernel (deliberately UDF-free) does not carry.
     * Everything is per-row array/column arithmetic — narrow, no shuffle,
     * no UDF; the candidate arrays are bounded by matches-per-document.
     */
@@ -322,14 +333,19 @@ object TrainingData {
     val ibanCands = filter(
       regexp_extract_all(col(textCol), lit(ibanCandidatePattern), lit(0)),
       ibanValid(_))
+    // length-desc (ties lexicographic) — the deterministic longest-first
+    // fold order, mirrored by the DuckDB oracle's padded-key sort
+    def lenDesc(a: Column): Column = array_sort(a, (l, r) =>
+      when(length(l) =!= length(r), length(r) - length(l))
+        .when(l < r, -1).when(l > r, 1).otherwise(0))
     base
       .withColumn("n_ccard", size(ccCands))
       .withColumn("n_iban", size(ibanCands))
       .withColumn("redacted",
-        aggregate(array_distinct(ibanCands),
-          aggregate(array_distinct(ccCands), col("redacted"),
-            (t, c) => replace(t, c, lit("<CC>"))),
-          (t, c) => replace(t, c, lit("<IBAN>"))))
+        aggregate(lenDesc(array_distinct(ccCands)),
+          aggregate(lenDesc(array_distinct(ibanCands)), col("redacted"),
+            (t, c) => replace(t, c, lit("<IBAN>"))),
+          (t, c) => replace(t, c, lit("<CC>"))))
   }
 
   /** Benchmark decontamination: flag training documents sharing any
