@@ -1878,6 +1878,50 @@ object SparkEntry {
       graft.operators.Dedup.clusterChainingAudit(
         t(s, d, "embeddings"), threshold = 0.3)),
 
+    // Tokenizer round-trip contract: q255's corpus encode decoded back
+    // through the frozen id table and compared against each document's
+    // own token stream — the zero-mismatch invariant pinned before
+    // training on encoded data
+    "q278_bpe_roundtrip" -> ((s, d) =>
+      graft.operators.TextAnalysis.bpeRoundTrip(
+        t(s, d, "documents"), "doc_id", "text", numMerges = 6)
+        .withColumnRenamed("id", "doc_id")),
+
+    // Streaming NEAR-dup gate: per-row SimHash signatures (codegen, so
+    // append-mode stays stateless) screened against the static blocked
+    // set's signatures at hamming ≤ 3 — the online companion of q30's
+    // batch SimHash dedup, same stream==batch contract as q263
+    "q277_stream_neardup_gate" -> ((s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val tmp = sys.props("java.io.tmpdir")
+      val runTag = s.sparkContext.applicationId
+      val outPath = s"$tmp/graft_q277_out_$runTag"
+      val ckpt = s"$tmp/graft_q277_ckpt_$runTag"
+      def rmrf(p: java.io.File): Unit = {
+        if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rmrf))
+        p.delete(): Unit
+      }
+      Seq(outPath, ckpt).foreach(p => rmrf(new java.io.File(p)))
+      val raw = Tables.documents(s, d)
+      val blocked = raw.filter(col("doc_id") % 97 === 0 &&
+        col("text").isNotNull)
+      val stream = s.readStream.schema(raw.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+        .filter(col("text").isNotNull)
+      val kept = graft.streaming.StreamingOps.streamNearDupGate(
+        stream, blocked, col("text"), col("text"), maxHamming = 3)
+        .select(col("doc_id"), col("lang"))
+      val q = graft.streaming.StreamingOps.appendPerBatch(kept, outPath)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      new java.io.File(outPath).mkdirs(): Unit
+      s.read.schema("doc_id BIGINT, lang STRING").parquet(outPath)
+    }),
+
     // Token-mass Gini per source: is a source's token budget breadth
     // or three giant docs — exact-integer Gini, one final divide
     "q275_token_gini" -> ((s, d) =>
@@ -5717,21 +5761,75 @@ object SparkEntry {
          |  (SELECT s AS node FROM ke16 UNION ALL SELECT t AS node FROM ke16)
          |GROUP BY node""".stripMargin,
 
-    // Chaining replay: q53's fixpoint labels as a nested subquery,
-    // per-cluster all-pairs cosine minimum, same τ flag
+    // Round-trip replay: the q255 encode chain, ids decoded back via
+    // the SAME vocab table, subword concat compared to the word concat
+    // — an INDEPENDENT decode, so an id-table defect on either side
+    // breaks the hash
+    "q278_bpe_roundtrip" ->
+      s"""${bpeCtes(6)},
+         |vocab AS (SELECT tok AS token,
+         |    (row_number() OVER (ORDER BY tok))::BIGINT - 1 AS tid
+         |  FROM (SELECT DISTINCT unnest(s) AS tok FROM s6)),
+         |dbase AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+         |dw AS (SELECT doc_id, unnest(generate_series(1, len(toks))) AS wpos,
+         |    toks FROM dbase WHERE len(toks) > 0),
+         |dw2 AS (SELECT doc_id, wpos, toks[wpos] AS w FROM dw),
+         |ds AS (SELECT d.doc_id, d.wpos, s.s AS syms
+         |  FROM dw2 d JOIN s6 s ON d.w = s.w),
+         |dt AS (SELECT doc_id, wpos, unnest(generate_series(1, len(syms))) AS j,
+         |    syms FROM ds),
+         |dtok AS (SELECT t.doc_id, t.wpos, t.j, t.sym, v.tid
+         |  FROM (SELECT doc_id, wpos, j, syms[j] AS sym FROM dt) t
+         |  JOIN vocab v ON t.sym = v.token),
+         |per AS (SELECT doc_id, count(*)::BIGINT AS n_tokens,
+         |    string_agg(sym, '' ORDER BY wpos, j) AS decoded
+         |  FROM dtok GROUP BY doc_id),
+         |ref AS (SELECT doc_id,
+         |    coalesce(array_to_string(toks, ''), '') AS ref FROM dbase)
+         |SELECT r.doc_id, coalesce(p.n_tokens, 0)::BIGINT AS n_tokens,
+         |  length(r.ref)::BIGINT AS n_chars,
+         |  coalesce(p.decoded, '') = r.ref AS roundtrip_ok
+         |FROM ref r LEFT JOIN per p USING (doc_id)""".stripMargin,
+
+    // Near-dup gate replay: q30's SimHash signature chain; a doc is
+    // kept iff NO blocked-set signature (doc_id % 97 = 0) sits within
+    // hamming 3 — for maxHamming ≤ 3 the exhaustive NOT EXISTS equals
+    // the engine's gate semantics exactly
+    "q277_stream_neardup_gate" ->
+      s"""WITH $simhashCtes,
+         |sig AS (SELECT doc_id, ${toI64Sql("sh")} AS sh FROM simsig),
+         |doc AS (SELECT d.doc_id, d.lang, s.sh
+         |  FROM documents d JOIN sig s USING (doc_id)
+         |  WHERE d.text IS NOT NULL),
+         |bl AS (SELECT DISTINCT sh FROM doc WHERE doc_id % 97 = 0)
+         |SELECT doc_id, lang FROM doc
+         |WHERE NOT EXISTS (SELECT 1 FROM bl
+         |  WHERE bit_count(xor(doc.sh, bl.sh)) <= 3)""".stripMargin,
+
+    // Chaining replay: q53's fixpoint labels as a nested subquery, the
+    // xxh64-ranked member sample (cap 256 — never binding at this SF,
+    // so audited_pairs == n_pairs and truncated is all-false), per-
+    // cluster all-pairs cosine minimum over the sample, same τ flag
     "q276_cluster_chaining" ->
       s"""WITH r AS (${embedNearDupOracleSql(threshold = 0.3)}),
+         |${xxh64Chain("cax", "r", "id", Seq("id", "rep"))},
+         |samp AS (SELECT id, rep FROM (SELECT id, rep,
+         |    row_number() OVER (PARTITION BY rep ORDER BY hs, id) AS rk
+         |  FROM cax) WHERE rk <= 256),
          |vec AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
          |  FROM embeddings
          |  WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
-         |m AS (SELECT r.id, r.rep, vec.v FROM r JOIN vec USING (id)),
+         |m AS (SELECT samp.id, samp.rep, vec.v FROM samp JOIN vec USING (id)),
          |pw AS (SELECT a.rep AS cluster,
          |    list_cosine_similarity(a.v, b.v) AS c
          |  FROM m a JOIN m b ON a.rep = b.rep AND a.id < b.id),
          |sz AS (SELECT rep AS cluster, count(*)::BIGINT AS size
          |  FROM r GROUP BY rep)
-         |SELECT p.cluster, sz.size, count(*)::BIGINT AS n_pairs,
-         |  round(min(c), 4) AS min_pair_cosine, min(c) < 0.3 AS chained
+         |SELECT p.cluster, sz.size,
+         |  (sz.size * (sz.size - 1) // 2)::BIGINT AS n_pairs,
+         |  count(*)::BIGINT AS audited_pairs,
+         |  round(min(c), 4) AS min_pair_cosine, min(c) < 0.3 AS chained,
+         |  sz.size > 256 AS truncated
          |FROM pw p JOIN sz USING (cluster)
          |GROUP BY p.cluster, sz.size""".stripMargin,
 
@@ -6337,8 +6435,12 @@ object SparkEntry {
       s"""WITH b AS (SELECT doc_id AS id,
          |    trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS canon,
          |    list_sort(list_distinct($tokensSql)) AS toks FROM documents),
-         |k AS (SELECT id, toks, canon[1:12] AS ky, canon[1:2] AS blk
+         |k0 AS (SELECT id, toks, canon, canon[1:12] AS ky, canon[1:2] AS blk0
          |  FROM b),
+         |sz AS (SELECT blk0, count(*)::BIGINT AS n FROM k0 GROUP BY blk0),
+         |k AS (SELECT id, toks, ky,
+         |    CASE WHEN sz.n > 65536 THEN canon[1:4] ELSE blk0 END AS blk
+         |  FROM k0 JOIN sz USING (blk0)),
          |r AS (SELECT id, toks, ky, blk, row_number() OVER (
          |    PARTITION BY blk ORDER BY ky, id) AS rn FROM k),
          |p AS (SELECT a.id AS id_a, c.id AS id_b,

@@ -26,25 +26,41 @@ object Association {
     */
   def frequentPairs(baskets: DataFrame, basketCol: String, itemCol: String,
       minSupport: Long): DataFrame = {
-    val items = distinctItems(baskets, basketCol, itemCol)
-    val nBaskets = items.select(col("b")).distinct().count()
-    pairsCore(items, nBaskets, minSupport)
+    val (frequent, nBaskets) = level1(baskets, basketCol, itemCol, minSupport)
+    pairsCore(frequent, nBaskets, minSupport)
   }
 
   private def distinctItems(baskets: DataFrame, basketCol: String,
       itemCol: String): DataFrame =
     baskets.select(col(basketCol).as("b"), col(itemCol).as("i")).distinct()
 
-  /** Level-2 core over a prepared distinct (b, i) frame and a
-    * pre-counted basket total — shared by [[frequentPairs]] and
-    * [[frequentTriples]] so the triple pass runs ONE eager basket
-    * count and one level-1 prune, not one per level.
+  /** Shared level-1 state: the support-pruned (b, i, ci) frame — cached,
+    * because every higher level fans multiple plan branches out of it —
+    * and the exact basket total. The basket count() is the ONE eager
+    * action either public entry point runs; it also materializes the
+    * cached distinct (b, i) frame, so no branch recomputes the distinct
+    * or the level-1 prune. Cache lifecycle: blocks are freed by the
+    * ContextCleaner once the caller drops the returned frames (persist
+    * keeps lineage, so early unpersist merely costs recompute, never
+    * correctness).
     */
-  private def pairsCore(items: DataFrame, nBaskets: Long,
-      minSupport: Long): DataFrame = {
+  private def level1(baskets: DataFrame, basketCol: String, itemCol: String,
+      minSupport: Long): (DataFrame, Long) = {
+    val items = distinctItems(baskets, basketCol, itemCol).persist()
+    val nBaskets = items.select(col("b")).distinct().count()
     val itemCnt = items.groupBy(col("i")).agg(count(lit(1)).as("ci"))
       .filter(col("ci") >= minSupport)
     val frequent = items.join(itemCnt, Seq("i"))
+      .select(col("b"), col("i"), col("ci")).persist()
+    (frequent, nBaskets)
+  }
+
+  /** Level-2 core over the shared level-1 frame — used by both
+    * [[frequentPairs]] and [[frequentTriples]] (as its level-2 prune)
+    * without re-running the distinct or the level-1 support filter.
+    */
+  private def pairsCore(frequent: DataFrame, nBaskets: Long,
+      minSupport: Long): DataFrame = {
     val pairs = frequent.select(col("b"), col("i").as("i1"), col("ci").as("c1"))
       .join(frequent.select(col("b"), col("i").as("i2"), col("ci").as("c2")),
         Seq("b"))
@@ -67,17 +83,15 @@ object Association {
     * shrinks at every level, the defining a-priori property. The
     * level-2 prune changes COST only, never the answer (a frequent
     * triple's sub-pairs are frequent by definition), so the oracle may
-    * count triples of frequent items directly.
+    * count triples of frequent items directly. All levels read the ONE
+    * cached level-1 frame; the basket count is the single eager action.
     */
   def frequentTriples(baskets: DataFrame, basketCol: String,
       itemCol: String, minSupport: Long): DataFrame = {
-    val items = distinctItems(baskets, basketCol, itemCol)
-    val nBaskets = items.select(col("b")).distinct().count()
-    val itemCnt = items.groupBy(col("i")).agg(count(lit(1)).as("ci"))
-      .filter(col("ci") >= minSupport)
-    val f = items.join(itemCnt.select(col("i")), Seq("i"))
-    val pairSet = pairsCore(items, nBaskets, minSupport)
+    val (frequent, nBaskets) = level1(baskets, basketCol, itemCol, minSupport)
+    val pairSet = pairsCore(frequent, nBaskets, minSupport)
       .select(col("i1"), col("i2"))
+    val f = frequent.select(col("b"), col("i"))
     val inst = f.select(col("b"), col("i").as("i1"))
       .join(f.select(col("b"), col("i").as("i2")), Seq("b"))
       .filter(col("i1") < col("i2"))

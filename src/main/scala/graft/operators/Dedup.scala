@@ -262,36 +262,56 @@ object Dedup {
     * happily chains A–B–C where cos(A,C) is far below the pair
     * threshold — the classic over-merge failure of cluster dedup. Per
     * cluster (from the [[nearDupRepresentatives]] fixpoint over
-    * τ-thresholded pairs): member count, all-pairs count, the MINIMUM
-    * pairwise cosine, and a `chained` flag when that minimum dips under
-    * τ — the clusters a reviewer should split before deleting their
-    * members. The all-pairs step is per-cluster (size-bounded — this is
-    * an audit over dup clusters, which are small by construction; a
-    * pathological mega-cluster is exactly what the flag surfaces, cap
-    * its enumeration before auditing at scale).
+    * τ-thresholded pairs): member count, full all-pairs count, the
+    * MINIMUM pairwise cosine over the AUDITED pairs, and a `chained`
+    * flag when that minimum dips under τ — the clusters a reviewer
+    * should split before deleting their members.
+    *
+    * Mega-cluster cap: dup clusters are small by construction, but a
+    * pathological mega-cluster (the very thing the flag surfaces) would
+    * make the per-cluster all-pairs step quadratic in its size. Per
+    * cluster, only the `maxAuditMembers` members with the smallest
+    * `xxhash64(id)` (a deterministic, data-independent sample) enter
+    * the pair enumeration — bounding pairs per cluster at
+    * maxAuditMembers·(maxAuditMembers−1)/2 while `n_pairs` still
+    * reports the FULL pair count (from size arithmetic) and `truncated`
+    * records that the audit sampled. A truncated cluster's
+    * min_pair_cosine is an upper-biased estimate — the flag stays
+    * informative (a sampled min below τ proves chaining; mega-clusters
+    * are near-certainly chained anyway) and the audit stays bounded.
     */
   def clusterChainingAudit(corpus: DataFrame, threshold: Double,
       numBands: Int = 15, planesPerBand: Int = 4, dim: Int = 64,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L, maxAuditMembers: Int = 256): DataFrame = {
+    require(maxAuditMembers >= 2,
+      s"maxAuditMembers must be >= 2, got $maxAuditMembers")
     val pairs = embeddingNearDups(corpus, threshold, numBands,
       planesPerBand, dim, seed)
     val reps = nearDupRepresentatives(pairs)
     val v = Similarity.withNorm(corpus, "id", "vec", "nrm")
-    val m = reps.join(v, Seq("id"))
     val sizes = reps.groupBy(col("rep").as("cluster"))
       .agg(count(lit(1)).as("size"))
+    val sampled = reps
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col("rep"))
+          .orderBy(xxhash64(col("id")), col("id"))))
+      .filter(col("__rk") <= maxAuditMembers)
+      .drop("__rk")
+    val m = sampled.join(v, Seq("id"))
     m.as("a").join(m.as("b"),
         col("a.rep") === col("b.rep") && col("a.id") < col("b.id"))
       .select(col("a.rep").as("cluster"),
         Similarity.pairCosine(col("a.vec"), col("b.vec"),
           col("a.nrm"), col("b.nrm")).as("__c"))
       .groupBy(col("cluster"))
-      .agg(count(lit(1)).as("n_pairs"),
+      .agg(count(lit(1)).as("audited_pairs"),
         round(min(col("__c")), 4).as("min_pair_cosine"),
         (min(col("__c")) < threshold).as("chained"))
       .join(sizes, Seq("cluster"))
-      .select(col("cluster"), col("size"), col("n_pairs"),
-        col("min_pair_cosine"), col("chained"))
+      .select(col("cluster"), col("size"),
+        expr("size * (size - 1) div 2").as("n_pairs"),
+        col("audited_pairs"), col("min_pair_cosine"), col("chained"),
+        (col("size") > maxAuditMembers).as("truncated"))
   }
 
   /** Canonical text form for normalization-aware dedup: lowercase,
@@ -878,9 +898,20 @@ object Dedup {
     * `blockLen`-char prefix block (Window.partitionBy(block)), so at
     * scale each block is an independent hash partition and no global
     * single-partition sort exists; pairs spanning a block boundary are
-    * out of scope by construction (same rule in the oracle). A skewed
-    * block (many docs sharing a short prefix) is the operator's known
-    * failure mode — widen `blockLen` to split it.
+    * out of scope by construction (same rule in the oracle).
+    *
+    * Skewed-block insurance: a hot short prefix (think "the ") would
+    * otherwise funnel one giant block into a single window partition —
+    * the operator's documented failure mode. Block keys are LOW-
+    * cardinality (≤ charset^blockLen), so an EXACT per-block census is
+    * one cheap partial-aggregated pass; blocks over `maxBlockRows`
+    * re-key to the longer `splitLen`-char prefix (default blockLen+2,
+    * capped at prefixLen), bounding each window partition while cold
+    * blocks keep the original neighborhood. Sub-block boundaries apply
+    * the SAME out-of-scope rule as block boundaries, and the oracle
+    * replays the census + re-key exactly. Floor: rows sharing the full
+    * splitLen prefix cannot split further — at that point widen
+    * prefixLen (the sort key itself is the last resolvable order).
     *
     * Determinism: (key, id) is a total order per block; the lead()
     * neighborhood, the distinct-token arrays (sorted), and the integer
@@ -889,20 +920,31 @@ object Dedup {
     */
   def sortedNeighborhood(df: DataFrame, idCol: String, textCol: String,
       prefixLen: Int = 12, blockLen: Int = 2, window: Int = 3,
-      tau: Double = 0.5): DataFrame = {
+      tau: Double = 0.5, maxBlockRows: Long = 1L << 16,
+      splitLen: Int = 0): DataFrame = {
     require(window >= 2 && window <= 16, s"window in [2,16], got $window")
     require(blockLen >= 1 && blockLen <= prefixLen,
       s"blockLen in [1, prefixLen], got $blockLen")
+    require(maxBlockRows >= 1, s"maxBlockRows must be >= 1, got $maxBlockRows")
+    val sl = math.min(prefixLen,
+      if (splitLen > 0) math.max(splitLen, blockLen) else blockLen + 2)
     val base = df.select(col(idCol).as("id"),
         canonicalText(col(textCol)).as("__canon"),
         array_sort(array_distinct(tokens(col(textCol)))).as("__toks"))
       .withColumn("__key", substring(col("__canon"), 1, prefixLen))
-      .withColumn("__blk", substring(col("__canon"), 1, blockLen))
+      .withColumn("__blk0", substring(col("__canon"), 1, blockLen))
+    val hotBlocks = base.groupBy(col("__blk0"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxBlockRows)
+      .select(col("__blk0"), lit(true).as("__hot"))
+    val keyed = base.join(broadcast(hotBlocks), Seq("__blk0"), "left")
+      .withColumn("__blk", when(col("__hot").isNotNull,
+        substring(col("__canon"), 1, sl)).otherwise(col("__blk0")))
     val w = Window.partitionBy(col("__blk")).orderBy(col("__key"), col("id"))
     val neighbors = array((1 until window).map(j =>
       lead(struct(col("id").as("nid"), col("__toks").as("ntoks")), j)
         .over(w)): _*)
-    base.withColumn("__nbs", neighbors)
+    keyed.withColumn("__nbs", neighbors)
       .withColumn("__nb", explode(col("__nbs")))
       .filter(col("__nb").isNotNull)
       .select(col("id").as("id_a"), col("__nb.nid").as("id_b"),

@@ -138,16 +138,19 @@ object Graph {
     pr
   }
 
-  /** Per-node triangle counts via the canonical oriented edge-join
-    * (a<b, b<c, with the closing (a,c) edge checked) — each triangle
-    * enumerated exactly once, then exploded to its three corners. Pure
-    * integer counts; top-k by (triangles DESC, node).
+  /** Per-node triangle counts via the DEGREE-ORDERED oriented join
+    * (Schank & Wagner 2005's "forward" algorithm as a bulk join) —
+    * each triangle enumerated exactly once, then exploded to its three
+    * corners. Pure integer counts; top-k by (triangles DESC, node).
     *
-    * Scale: the standard two-shuffle triangle join; at serious scale
-    * the usual degree-ordered orientation (point each edge at the
-    * higher-degree endpoint) bounds the join fan-out — the input here
-    * is already a<b-oriented, which is that optimization's id-ordered
-    * special case.
+    * Orientation is the heavy-graph lever: every canonical edge points
+    * from its LOWER-(degree, id)-rank endpoint to the higher, so wedges
+    * pivot only on each node's OUT-edges, whose count is bounded by
+    * O(√m) on any graph — a degree-d hub contributes d wedges as a
+    * leaf, never the d² it would as an id-ordered pivot (a star graph's
+    * center generates ZERO wedges here). Two shuffles total: the wedge
+    * self-join on the pivot and the closing-edge equi-join; the rank
+    * tie-break by id keeps the orientation acyclic and deterministic.
     */
   def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String,
       topK: Int = 20): DataFrame =
@@ -162,13 +165,35 @@ object Graph {
         greatest(col(srcCol), col(dstCol)).as("t"))
       .filter(col("s") < col("t")).distinct()
 
+  /** Canonical edges re-oriented low-rank → high-rank with rank =
+    * (degree, id): `(u, v, dv)` rows where u is the lower-rank
+    * endpoint and dv carries v's degree for downstream rank compares.
+    */
+  private def orientedByDegree(e: DataFrame): DataFrame = {
+    val deg = e.select(col("s").as("node"))
+      .unionAll(e.select(col("t").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("__d"))
+    val sLow = struct(col("__ds"), col("s")) < struct(col("__dt"), col("t"))
+    e.join(deg.select(col("node").as("s"), col("__d").as("__ds")), Seq("s"))
+      .join(deg.select(col("node").as("t"), col("__d").as("__dt")), Seq("t"))
+      .select(
+        when(sLow, col("s")).otherwise(col("t")).as("u"),
+        when(sLow, col("t")).otherwise(col("s")).as("v"),
+        when(sLow, col("__dt")).otherwise(col("__ds")).as("dv"))
+  }
+
   private def triangleFrame(edges: DataFrame, srcCol: String,
       dstCol: String): DataFrame = {
-    val e = canonicalEdges(edges, srcCol, dstCol)
-    val tri = e.select(col("s").as("a"), col("t").as("b"))
-      .join(e.select(col("s").as("b"), col("t").as("c")), Seq("b"))
-      .join(e.select(col("s").as("a"), col("t").as("c")), Seq("a", "c"))
-      .select(col("a"), col("b"), col("c"))
+    val o = orientedByDegree(canonicalEdges(edges, srcCol, dstCol))
+    // wedges pivot on u's out-edges (≤ O(√m) each); ordering the two
+    // spokes by (deg, id) rank means the closing edge — if it exists —
+    // is oriented b→c, so one equi-join closes the triangle
+    val wedges = o.select(col("u"), col("v").as("b"), col("dv").as("db"))
+      .join(o.select(col("u"), col("v").as("c"), col("dv").as("dc")), Seq("u"))
+      .filter(struct(col("db"), col("b")) < struct(col("dc"), col("c")))
+      .select(col("u").as("a"), col("b"), col("c"))
+    val tri = wedges.join(
+      o.select(col("u").as("b"), col("v").as("c")), Seq("b", "c"))
     tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
   }

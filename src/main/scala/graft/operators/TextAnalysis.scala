@@ -886,7 +886,15 @@ object TextAnalysis {
     * still unknown map to id -1 (the UNK convention).
     */
   def bpeEncodeCorpus(df: DataFrame, idCol: String, textCol: String,
-      numMerges: Int): DataFrame = {
+      numMerges: Int): DataFrame =
+    bpeEncodeCorpusWithVocab(df, idCol, textCol, numMerges)._1
+
+  /** [[bpeEncodeCorpus]] plus the frozen (token, tid) vocabulary table
+    * it encoded with — the decode side of the tokenizer contract
+    * ([[bpeRoundTrip]]) needs the same id table, not a re-derivation.
+    */
+  private def bpeEncodeCorpusWithVocab(df: DataFrame, idCol: String,
+      textCol: String, numMerges: Int): (DataFrame, DataFrame) = {
     val (_, words) = bpeTrain(df, textCol, numMerges)
     val wordSyms = words.select(col("w"), col("s"))
     // vocab-sized window (the tokenizer's frozen id table) — single
@@ -915,7 +923,7 @@ object TextAnalysis {
         array_join(transform(
           sort_array(collect_list(struct(col("wpos"), col("j"), col("tid")))),
           s => s.getField("tid").cast("string")), " ").as("token_ids"))
-    spine.select(col("id"))
+    val enc = spine.select(col("id"))
       .join(per, Seq("id"), "left")
       .select(col("id"),
         coalesce(col("n_words"), lit(0L)).as("n_words"),
@@ -924,6 +932,43 @@ object TextAnalysis {
           round(col("n_tokens").cast("double") /
             col("n_words").cast("double"), 4)).as("fertility"),
         coalesce(col("token_ids"), lit("")).as("token_ids"))
+    (enc, vocab)
+  }
+
+  /** Tokenizer ROUND-TRIP contract — the invariant a real pipeline pins
+    * before training on encoded data: decode every document's token-id
+    * sequence back through the frozen id→subword table and compare the
+    * subword concatenation against the document's own token stream
+    * (word boundaries drop out of both sides, so concat equality is
+    * exactly segmentation-reassembly correctness). Any UNK id (-1) or
+    * id-table defect surfaces as `roundtrip_ok = false`; encoding the
+    * training corpus itself must yield zero mismatches.
+    *
+    * Scale: decode is a posexplode of the 4-byte id stream + a
+    * broadcast vocab join + one per-doc ordered fold — the same
+    * narrow-rows-only shape as the encode pass; nothing shuffles text
+    * except the per-doc reassembly of (pos, subword) rows.
+    */
+  def bpeRoundTrip(df: DataFrame, idCol: String, textCol: String,
+      numMerges: Int): DataFrame = {
+    val (enc, vocab) = bpeEncodeCorpusWithVocab(df, idCol, textCol, numMerges)
+    val dec = enc
+      .filter(length(col("token_ids")) > 0)
+      .select(col("id"),
+        posexplode(split(col("token_ids"), " ")).as(Seq("pos", "tid_s")))
+      .select(col("id"), col("pos"), col("tid_s").cast("long").as("tid"))
+      .join(broadcast(vocab.select(col("tid"), col("token"))), Seq("tid"), "left")
+      .groupBy(col("id"))
+      .agg(array_join(transform(
+        sort_array(collect_list(struct(col("pos"), col("token")))),
+        s => s.getField("token")), "").as("decoded"))
+    val ref = df.select(col(idCol).as("id"),
+      coalesce(array_join(tokens(col(textCol)), ""), lit("")).as("__ref"))
+    ref.join(enc.select(col("id"), col("n_tokens")), Seq("id"))
+      .join(dec, Seq("id"), "left")
+      .select(col("id"), col("n_tokens"),
+        length(col("__ref")).cast("long").as("n_chars"),
+        (coalesce(col("decoded"), lit("")) === col("__ref")).as("roundtrip_ok"))
   }
 
   /** Tokenizer-fertility league table: [[bpeEncodeCorpus]] rolled up

@@ -145,6 +145,49 @@ object StreamingOps {
         Seq("__k"), "left_anti")
       .drop("__k")
 
+  /** Stream-static NEAR-duplicate gate — the online companion of the
+    * batch SimHash dedup pass: drop every stream document whose 64-bit
+    * SimHash signature sits within `maxHamming` bits of ANY document of
+    * the static `blocked` frame (q30 semantics, applied as documents
+    * arrive rather than in a nightly sweep).
+    *
+    * The per-row signature is a codegen expression staged as an
+    * attribute (computed once per row — no shuffle, no state), so the
+    * gate composes into any append-mode stream. The blocked side
+    * reduces to its DISTINCT signatures, collected once and inlined as
+    * a literal array that the filter scans with early exit — the same
+    * blocked-side-is-a-benchmark-suite smallness contract as
+    * [[streamStaticGate]] and the batch decontamination pass (bounded
+    * driver collect, 8 B per blocked signature). For `maxHamming` ≤ 3
+    * the exhaustive scan equals exact min-hamming thresholding — the
+    * banded pigeonhole bound isn't even needed; for blocklists beyond
+    * ~1e5 signatures run the batch banded join per micro-batch
+    * (foreachBatch) instead.
+    *
+    * Null-signature rows (null text) PASS the gate unjudged — the
+    * [[streamStaticGate]] null convention; gate them upstream if null
+    * content should not flow.
+    */
+  def streamNearDupGate(stream: DataFrame, blocked: DataFrame,
+      streamText: Column, blockedText: Column,
+      maxHamming: Int = 3): DataFrame = {
+    import graft.functions.HashFunctions.simhash64
+    import graft.functions.TextFunctions.tokens
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"maxHamming in [0,3], got $maxHamming")
+    val sigs: Array[Long] = blocked
+      .filter(blockedText.isNotNull)
+      .select(simhash64(tokens(blockedText)).as("sig"))
+      .distinct().collect().map(_.getLong(0))
+    stream
+      .withColumn("__sig", simhash64(tokens(streamText)))
+      .filter(col("__sig").isNull ||
+        !coalesce(exists(lit(sigs),
+          c => bit_count(col("__sig").bitwiseXOR(c)) <= maxHamming),
+          lit(false)))
+      .drop("__sig")
+  }
+
   /** Drive a memory-sink query synchronously over whatever is currently in
     * the source (local smoke harness; see spark_guide streaming section).
     */

@@ -58,4 +58,39 @@ class AssociationSpec extends AnyFunSuite {
     assert(r.getAs[Long]("triple_count") == 2L)
     assert(r.getAs[Double]("support") == 2.0 / 3.0)
   }
+
+  test("frequentTriples: plan construction runs exactly one eager action") {
+    // the shared level-1 frame means building the triple plan runs ONE
+    // job (the basket count, which also materializes the cache) — not
+    // one count per a-priori level
+    val df = Seq(
+      (1L, "a"), (1L, "b"), (1L, "c"),
+      (2L, "a"), (2L, "b"), (2L, "c"))
+      .toDF("basket", "item")
+    // AQE fans one action out into several jobs, so count distinct SQL
+    // EXECUTIONS (each eager DataFrame action is exactly one)
+    val execIds = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        Option(js.properties)
+          .flatMap(p => Option(p.getProperty("spark.sql.execution.id")))
+          .foreach(id => execIds.add(id): Unit)
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val plan = Association.frequentTriples(df, "basket", "item", 2L)
+      // listener events are async but ordered: run a marker action and
+      // wait for its execution id — every construction-time job start
+      // is then recorded too
+      spark.range(1).count()
+      val deadline = System.nanoTime() + 10_000_000_000L
+      while (execIds.size < 2 && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      assert(execIds.size == 2, // construction + marker
+        s"plan construction ran ${execIds.size - 1} actions, expected 1")
+      assert(plan.collect().length == 1)
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
 }

@@ -377,6 +377,27 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs == Set((1L, 2L), (2L, 3L), (3L, 4L)))
   }
 
+  test("sortedNeighborhood: hot block splits into bounded sub-blocks") {
+    // one 4-row block "aa" with cap 3 -> hot; re-keyed by the 4-char
+    // prefix into {1,2} ("aaa ") and {3,4} ("aab "): the in-block
+    // cross pairs (1,3)/(2,3)/(2,4) fall out of scope at the sub-block
+    // boundary while the within-sub-block pairs survive unchanged
+    val df = Seq(
+      (1L, "aaa same words here"),
+      (2L, "aaa same words here"),
+      (3L, "aab same words here"),
+      (4L, "aab same words here")).toDF("doc_id", "text")
+    def run(cap: Long) = Dedup.sortedNeighborhood(df, "doc_id", "text",
+      prefixLen = 12, blockLen = 2, window = 3, tau = 0.5,
+      maxBlockRows = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // uncapped: sorted order 1,2,3,4 -> window-3 pairs incl. cross
+    // pairs ((1,3) J=3/5=0.6 passes tau)
+    assert(run(100L) == Set((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L)))
+    // capped: only the sub-block pairs remain
+    assert(run(3L) == Set((1L, 2L), (3L, 4L)))
+  }
+
   test("linkageScores: log-likelihood weights, blocking, null-safe agreement") {
     import org.apache.spark.sql.functions.col
     // block A: 1-2 agree on both fields, 1-3 on one, 2-3 on one;
@@ -437,9 +458,31 @@ class DedupSpec extends AnyFunSuite {
     val df = Seq((1L, a), (2L, b), (3L, c), (10L, d1), (11L, d2))
       .toDF("vec_id", "embedding")
     val out = Dedup.clusterChainingAudit(df, threshold = 0.5)
-      .collect().map(r => r.getLong(0) ->
-        ((r.getLong(1), r.getLong(2), r.getBoolean(4)))).toMap
-    assert(out(1L) == ((3L, 3L, true)), s"chain cluster: ${out.get(1L)}")
-    assert(out(10L)._1 == 2L && !out(10L)._3, s"tight pair: ${out.get(10L)}")
+      .collect().map(r => r.getAs[Long]("cluster") ->
+        ((r.getAs[Long]("size"), r.getAs[Long]("n_pairs"),
+          r.getAs[Long]("audited_pairs"), r.getAs[Boolean]("chained"),
+          r.getAs[Boolean]("truncated")))).toMap
+    assert(out(1L) == ((3L, 3L, 3L, true, false)), s"chain cluster: ${out.get(1L)}")
+    assert(out(10L)._1 == 2L && !out(10L)._4, s"tight pair: ${out.get(10L)}")
+  }
+
+  test("clusterChainingAudit: mega-cluster pair enumeration is capped") {
+    // 10 identical vectors form one cluster; cap 4 -> only C(4,2)=6
+    // pairs are enumerated while n_pairs reports the full C(10,2)=45
+    // and truncated records the sampling. Identical members keep the
+    // sampled minimum at cosine 1 -> not chained.
+    def vec(f: Int => Double): Array[Float] =
+      (0 until 64).map(i => f(i).toFloat).toArray
+    val base = vec(i => if (i % 3 == 0) 1.0 else 0.5)
+    val df = (1L to 10L).map(i => (i, base)).toDF("vec_id", "embedding")
+    val out = Dedup.clusterChainingAudit(df, threshold = 0.5,
+      maxAuditMembers = 4).collect()
+    assert(out.length == 1, out.mkString(";"))
+    val r = out.head
+    assert(r.getAs[Long]("size") == 10L)
+    assert(r.getAs[Long]("n_pairs") == 45L)
+    assert(r.getAs[Long]("audited_pairs") == 6L)
+    assert(r.getAs[Boolean]("truncated"))
+    assert(!r.getAs[Boolean]("chained"))
   }
 }

@@ -92,6 +92,20 @@ class GraphSpec extends AnyFunSuite {
     assert(out == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
   }
 
+  test("triangleCounts: star hub pivots no wedges under degree ordering") {
+    // hub 1 with 40 leaves, hub id LOWER than every leaf — the naive
+    // a<b orientation would pivot C(40,2)=780 wedges on the hub; the
+    // degree-ordered orientation points every spoke leaf→hub (leaves
+    // rank below the hub), so leaves each have one out-edge and the
+    // star yields zero wedges. Two leaves joined to each other form the
+    // only triangle, counted once per corner.
+    val star = (2L to 41L).map(h => (1L, h))
+    val edges = (star :+ (2L, 3L)).toDF("src", "dst")
+    val out = Graph.triangleCounts(edges, "src", "dst", topK = 50)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("n_triangles")).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
   test("kCore: clique survives, chain peels away entirely") {
     // 5-clique {1..5} (every degree 4) + a chain 5-10-11-12-13 hanging
     // off it. k=3: the chain's tip has degree 1 < 3, peeling it drops

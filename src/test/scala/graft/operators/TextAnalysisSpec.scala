@@ -421,6 +421,20 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out(3L) == ((0L, 0L, None, "")))
   }
 
+  test("bpeRoundTrip: decode reconstructs every doc, empty doc included") {
+    // same corpus as the encode test: ids decode back through the
+    // frozen vocab and the subword concat equals the word concat for
+    // every doc — including the empty one (0 tokens, 0 chars, ok)
+    val df = Seq((1L, "aa aa ab"), (2L, "aaa"), (3L, ""))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bpeRoundTrip(df, "doc_id", "text", numMerges = 1)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out(1L) == ((4L, 6L, true)))
+    assert(out(2L) == ((2L, 3L, true)))
+    assert(out(3L) == ((0L, 0L, true)))
+  }
+
   test("heapsFit: exact OLS over the known V(N) curve, nv=0 doc included") {
     // doc 2 adds no new vocabulary → exercises the left-join/coalesce(0)
     // path; curve points: (N,V) = (2,2), (4,2), (7,3)

@@ -180,6 +180,35 @@ class StreamingOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamNearDupGate: SimHash screen drops near-dups of the blocked set") {
+    // SimHash is a bag-of-tokens signature, so a token PERMUTATION of a
+    // blocked doc has hamming 0 — the gate must drop it; an unrelated
+    // doc passes; a null-text doc passes unjudged (the null convention)
+    val blockedText = "the quick brown fox jumps over the lazy dog entirely"
+    val docs = Seq(
+      (1L, blockedText),                                             // exact
+      (2L, "entirely lazy the dog over jumps fox brown quick the"),  // permuted
+      (3L, "spark engines optimize distributed queries with catalyst today"),
+      (4L, null.asInstanceOf[String]))
+    val dir = Files.createTempDirectory("graft-stream-docs")
+    docs.toDF("doc_id", "text").coalesce(1)
+      .write.mode("overwrite").parquet(dir.resolve("in").toString)
+    val blocked = Seq((100L, blockedText)).toDF("doc_id", "text")
+    val stream = spark.readStream
+      .schema("doc_id BIGINT, text STRING")
+      .parquet(dir.resolve("in").toString)
+    val gated = StreamingOps.streamNearDupGate(
+      stream, blocked, col("text"), col("text"), maxHamming = 3)
+      .select(col("doc_id"))
+    val q = StreamingOps.runToMemory(gated, "neardup_gate")
+    try {
+      q.processAllAvailable()
+      val got = spark.sql("SELECT doc_id FROM neardup_gate")
+        .collect().map(_.getLong(0)).toSet
+      assert(got == Set(3L, 4L), s"kept: $got")
+    } finally q.stop()
+  }
+
   test("stream-stream range join (watermarked, state-bounded) matches batch") {
     val dir = eventsStreamDir()
     def src = eventsStream(dir)
