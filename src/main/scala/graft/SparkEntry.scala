@@ -1878,6 +1878,84 @@ object SparkEntry {
       graft.operators.Dedup.clusterChainingAudit(
         t(s, d, "embeddings"), threshold = 0.3)),
 
+    // Degree power-law MLE over the co-purchase part graph — the
+    // scale-free diagnostic (hub-tail heaviness) behind the join-
+    // strategy choice; histogram-ordered ln folds, 4dp
+    "q279_degree_powerlaw" -> ((s, d) => {
+      val op = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val edges = op.join(op.withColumnRenamed("p", "p2"), Seq("o"))
+        .filter(col("p") < col("p2"))
+        .select(col("p").as("src"), col("p2").as("dst"))
+      graft.operators.Graph.degreePowerLaw(edges, "src", "dst", dMin = 2L)
+    }),
+
+    // Johnson-Lindenstrauss 64→16 projection distortion audit: per
+    // probe the max + deterministic mean |Δcosine| vs the original
+    // space, with the 3/√outDim variance-scale contract
+    "q280_jl_distortion" -> ((s, d) =>
+      graft.operators.Similarity.jlDistortionAudit(
+        t(s, d, "embeddings"),
+        t(s, d, "embeddings").filter(col("vec_id") < 5),
+        outDim = 16, dim = 64, seed = 7L)),
+
+    // Distinct-n diversity league table: per source, distinct/total
+    // word n-grams for n=1..3 — the synthetic-corpus repetitiveness
+    // audit (self-BLEU complement)
+    "q283_distinct_n" -> ((s, d) =>
+      graft.operators.TextAnalysis.distinctN(
+        t(s, d, "documents"), "text", "source")
+        .withColumnRenamed("grp", "source")),
+
+    // k-NN label agreement: per probe the fraction of its exact top-10
+    // cosine neighbors sharing its label — the label-noise /
+    // boundary-sample review queue
+    "q284_knn_label_agreement" -> ((s, d) =>
+      graft.operators.Similarity.knnLabelAgreement(
+        t(s, d, "embeddings"),
+        t(s, d, "embeddings").filter(col("vec_id") < 5),
+        "label", k = 10)),
+
+    // URL canonicalization + duplicate-URL census: synthetic raw URLs
+    // varying host case / tracking params / param order / trailing
+    // slash / fragment collapse onto shared canonical forms — the
+    // crawl-frontier dedup key
+    "q282_url_canonical" -> ((s, d) => {
+      val raw = t(s, d, "documents").withColumn("url",
+        concat(
+          when(col("doc_id") % 2 === 0, lit("HTTPS://WWW.EXAMPLE.COM"))
+            .otherwise(lit("https://www.example.com")),
+          lit("/Article/"), expr("doc_id div 4"),
+          when(col("doc_id") % 4 === 1,
+            lit("?utm_source=feed&b=2&a=1"))
+            .when(col("doc_id") % 4 === 2, lit("?a=1&b=2"))
+            .when(col("doc_id") % 4 === 3, lit("/"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 3 === 0, lit("#sec")).otherwise(lit(""))))
+      graft.operators.QualityRules.urlDupCensus(raw, "doc_id", "url")
+    }),
+
+    // Incremental dedup against a persisted content-hash index: 2/3 of
+    // the corpus indexed as canonical FNV-64 hashes (256 hash buckets),
+    // the arriving third flagged by one hash join — 8 B/doc, text never
+    // shuffles; the shard-arrival form of q23's exact dedup
+    "q281_incremental_dedup" -> ((s, d) => {
+      val tmp = sys.props("java.io.tmpdir")
+      val path = s"$tmp/graft_q281_idx_${s.sparkContext.applicationId}"
+      def rmrf(p: java.io.File): Unit = {
+        if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rmrf))
+        p.delete(): Unit
+      }
+      rmrf(new java.io.File(path))
+      val docs = t(s, d, "documents")
+      graft.operators.Dedup.writeContentIndex(
+        docs.filter(col("doc_id") % 3 =!= 0), "text", path)
+      graft.operators.Dedup.dedupAgainstIndex(
+        docs.filter(col("doc_id") % 3 === 0), "doc_id", "text", path)
+        .withColumnRenamed("id", "doc_id")
+    }),
+
     // Tokenizer round-trip contract: q255's corpus encode decoded back
     // through the frozen id table and compared against each document's
     // own token stream — the zero-mismatch invariant pinned before
@@ -5760,6 +5838,149 @@ object SparkEntry {
          |SELECT node, count(*)::BIGINT AS degree FROM
          |  (SELECT s AS node FROM ke16 UNION ALL SELECT t AS node FROM ke16)
          |GROUP BY node""".stripMargin,
+
+    // Distinct-n replay: gram STRINGS substitute for the engine's
+    // 8-byte gram hashes (distinct counts agree absent a 64-bit
+    // collision — the q111 stance), per-n slice windows
+    "q283_distinct_n" -> {
+      val blocks = Seq(1, 2, 3).map { n =>
+        s"""SELECT source, $n AS n,
+           |  array_to_string(toks[i:i + ${n - 1}], ' ') AS gram
+           |FROM (SELECT source,
+           |    unnest(generate_series(1, len(toks) - ${n - 1})) AS i,
+           |    toks FROM tk WHERE len(toks) >= $n)""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH tk AS (SELECT source, $tokensSql AS toks FROM documents),
+         |g AS ($blocks)
+         |SELECT source, n, count(*)::BIGINT AS total_grams,
+         |  count(DISTINCT gram)::BIGINT AS distinct_grams,
+         |  round(count(DISTINCT gram)::DOUBLE / count(*)::DOUBLE, 4)
+         |    AS distinct_ratio
+         |FROM g GROUP BY source, n""".stripMargin
+    },
+
+    // Agreement replay: q32's exact top-k chain with labels carried,
+    // integer same-label counts, one divide
+    "q284_knn_label_agreement" ->
+      """WITH nn AS (SELECT probe_id, label, clab FROM (
+        | SELECT p.vec_id AS probe_id, p.label AS label,
+        |  c.label AS clab,
+        |  row_number() OVER (PARTITION BY p.vec_id
+        |    ORDER BY list_cosine_similarity(c.embedding::DOUBLE[],
+        |      p.embedding::DOUBLE[]) DESC, c.vec_id) AS rank
+        | FROM embeddings c JOIN embeddings p ON c.vec_id <> p.vec_id
+        | WHERE p.vec_id < 5)
+        |WHERE rank <= 10)
+        |SELECT probe_id, label, count(*)::BIGINT AS k,
+        |  sum(CASE WHEN clab = label THEN 1 ELSE 0 END)::BIGINT AS n_same,
+        |  round(sum(CASE WHEN clab = label THEN 1 ELSE 0 END)::DOUBLE
+        |    / count(*)::DOUBLE, 4) AS agreement
+        |FROM nn GROUP BY probe_id, label""".stripMargin,
+
+    // URL-canonicalization replay: same synthetic URLs, same regex
+    // stages (fragment strip, authority lower, tracking-param filter,
+    // param sort, trailing-slash strip), census rollup
+    "q282_url_canonical" ->
+      """WITH u AS (SELECT doc_id,
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://WWW.EXAMPLE.COM'
+        |      ELSE 'https://www.example.com' END)
+        |    || '/Article/' || (doc_id // 4)
+        |    || (CASE WHEN doc_id % 4 = 1 THEN '?utm_source=feed&b=2&a=1'
+        |        WHEN doc_id % 4 = 2 THEN '?a=1&b=2'
+        |        WHEN doc_id % 4 = 3 THEN '/' ELSE '' END)
+        |    || (CASE WHEN doc_id % 3 = 0 THEN '#sec' ELSE '' END) AS url
+        |  FROM documents),
+        |c AS (SELECT doc_id, url,
+        |    regexp_replace(url, '#.*$', '') AS nofrag FROM u),
+        |p AS (SELECT doc_id, url,
+        |    regexp_extract(nofrag, '^([^?]*)', 1) AS base,
+        |    regexp_extract(nofrag, '\?(.*)$', 1) AS query FROM c),
+        |a AS (SELECT doc_id, url, base, query,
+        |    regexp_extract(base,
+        |      '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/]*)', 1) AS auth FROM p),
+        |q AS (SELECT *, array_to_string(list_sort(list_filter(
+        |      string_split(query, '&'),
+        |      x -> x <> '' AND NOT regexp_matches(x,
+        |        '^(utm_[^=]*|gclid|fbclid|msclkid|ref)='))), '&') AS q2
+        |  FROM a),
+        |canon AS (SELECT doc_id, url,
+        |    lower(auth)
+        |    || regexp_replace(substring(base, length(auth) + 1), '/$', '')
+        |    || (CASE WHEN q2 <> '' THEN '?' || q2 ELSE '' END)
+        |      AS canonical_url
+        |  FROM q)
+        |SELECT canonical_url, count(*)::BIGINT AS n_urls,
+        |  count(DISTINCT url)::BIGINT AS n_variants,
+        |  min(doc_id) AS keep_id
+        |FROM canon GROUP BY canonical_url""".stripMargin,
+
+    // Incremental-dedup replay: canonical text, the FNV-64 chain as
+    // signed i64, EXISTS membership against the indexed two-thirds
+    // (null-safe false — null text is never a dup)
+    "q281_incremental_dedup" ->
+      s"""WITH canon AS (SELECT doc_id,
+         |    trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS c
+         |  FROM documents),
+         |hh AS (SELECT doc_id, CASE WHEN c IS NOT NULL
+         |    THEN ${toI64Sql(fnvSql("c"))} END AS h FROM canon),
+         |hist AS (SELECT DISTINCT h FROM hh
+         |  WHERE doc_id % 3 <> 0 AND h IS NOT NULL)
+         |SELECT doc_id, h AS content_hash,
+         |  EXISTS (SELECT 1 FROM hist WHERE hist.h = hh.h) AS is_dup
+         |FROM hh WHERE doc_id % 3 = 0""".stripMargin,
+
+    // Power-law replay: q231's edge set, exact degree histogram, the
+    // same ascending-d c·ln(d/dmin) fold
+    "q279_degree_powerlaw" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |  FROM lineitem),
+        |e AS (SELECT DISTINCT a.p AS s, b.p AS t FROM op a
+        |  JOIN op b ON a.o = b.o AND a.p < b.p),
+        |deg AS (SELECT n, count(*)::BIGINT AS d FROM
+        |  (SELECT s AS n FROM e UNION ALL SELECT t AS n FROM e)
+        |  GROUP BY n),
+        |h AS (SELECT d, count(*)::BIGINT AS c FROM deg WHERE d >= 2
+        |  GROUP BY d),
+        |su AS (SELECT coalesce(CAST(sum(c) AS BIGINT), 0) AS n_nodes,
+        |    max(d)::BIGINT AS d_max,
+        |    list_reduce(list_prepend(0.0,
+        |      list(c::DOUBLE * ln(d::DOUBLE / 2.0) ORDER BY d)),
+        |      (a, b) -> a + b) AS s
+        |  FROM h)
+        |SELECT n_nodes, 2::BIGINT AS d_min, d_max,
+        |  CASE WHEN s > 0
+        |    THEN round(1.0 + n_nodes::DOUBLE / s, 4) END AS alpha
+        |FROM su""".stripMargin,
+
+    // JL replay: identical Scala-generated plane literals, the same
+    // plane-ordered projection lists, identical cosine shapes, 6dp
+    // pre-rounded DECIMAL mean, the same 0.75 contract bar
+    "q280_jl_distortion" -> {
+      val vals = hyperplaneValuesSql(16, 1, 64, 7L)
+      val eps = 3.0 / math.sqrt(16.0)
+      s"""WITH planes(plane_id, p) AS (VALUES $vals),
+         |vecs AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+         |  FROM embeddings
+         |  WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
+         |n AS (SELECT id, v, sqrt(list_dot_product(v, v)) AS nrm FROM vecs),
+         |proj AS (SELECT id,
+         |    list(list_dot_product(v, p) ORDER BY plane_id) AS pv
+         |  FROM n CROSS JOIN planes GROUP BY id),
+         |pn AS (SELECT id, pv, sqrt(list_dot_product(pv, pv)) AS pnrm
+         |  FROM proj),
+         |f AS (SELECT n.id, n.v, n.nrm, pn.pv, pn.pnrm
+         |  FROM n JOIN pn USING (id) WHERE pn.pnrm > 0),
+         |pairs AS (SELECT p.id AS probe_id, c.id AS corpus_id,
+         |    abs(list_dot_product(c.v, p.v) / (c.nrm * p.nrm)
+         |      - list_dot_product(c.pv, p.pv) / (c.pnrm * p.pnrm)) AS err
+         |  FROM f c JOIN f p ON p.id < 5 AND c.id <> p.id)
+         |SELECT probe_id, count(*)::BIGINT AS n_pairs,
+         |  round(max(err), 4) AS max_abs_err,
+         |  round(CAST(sum(round(err, 6)::DECIMAL(18,6)) AS DOUBLE)
+         |    / count(*), 4) AS mean_abs_err,
+         |  round(max(err), 4) <= $eps AS within_eps
+         |FROM pairs GROUP BY probe_id""".stripMargin
+    },
 
     // Round-trip replay: the q255 encode chain, ids decoded back via
     // the SAME vocab table, subword concat compared to the word concat

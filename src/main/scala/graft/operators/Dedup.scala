@@ -43,6 +43,55 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("copies"))
       .select("keep_id", "copies")
 
+  /** Persisted content-hash index for INCREMENTAL exact dedup — the
+    * shard-arrival form of [[exactByContent]]: the accumulated corpus
+    * is represented on disk by the 8-byte FNV-64 hashes of its
+    * [[canonicalText]], laid out in 256 hash buckets; each arriving
+    * shard dedups by joining its hashes against the index
+    * ([[dedupAgainstIndex]]) and the index then grows by appending
+    * ONLY the genuinely-new hashes ([[appendToContentIndex]] — append
+    * adds files, never rewrites: the IvfIndex/BM25 frozen-layout
+    * maintenance contract, so incremental results are bit-identical to
+    * a one-shot index of the full history). At fleet scale the index
+    * is 8 B/doc and every join shuffles hashes, never text. FNV-64
+    * collisions flag a false dup at ~1e-7 per 1e6 docs (the
+    * decontaminate stance); collision-paranoid callers re-check
+    * flagged rows on canonical text.
+    */
+  def writeContentIndex(df: DataFrame, textCol: String, path: String): Unit =
+    df.select(fnv64(canonicalText(col(textCol))).as("h"))
+      .filter(col("h").isNotNull).distinct()
+      .withColumn("bucket", pmod(col("h"), lit(256L)))
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+
+  /** Flag each row of a new shard against the persisted index:
+    * (id, content_hash, is_dup). Null text hashes to null and is never
+    * a dup (the gate null convention — judge it upstream).
+    */
+  def dedupAgainstIndex(df: DataFrame, idCol: String, textCol: String,
+      path: String): DataFrame = {
+    val idx = df.sparkSession.read.parquet(path)
+      .select(col("h").as("content_hash"), lit(true).as("__seen"))
+    df.select(col(idCol).as("id"),
+        fnv64(canonicalText(col(textCol))).as("content_hash"))
+      .join(idx, Seq("content_hash"), "left")
+      .select(col("id"), col("content_hash"),
+        col("__seen").isNotNull.as("is_dup"))
+  }
+
+  /** Grow the index with a processed shard's NEW hashes only (anti join
+    * keeps the index duplicate-free; bucketed append keeps the layout).
+    */
+  def appendToContentIndex(df: DataFrame, textCol: String,
+      path: String): Unit = {
+    val idx = df.sparkSession.read.parquet(path).select(col("h"))
+    df.select(fnv64(canonicalText(col(textCol))).as("h"))
+      .filter(col("h").isNotNull).distinct()
+      .join(idx, Seq("h"), "left_anti")
+      .withColumn("bucket", pmod(col("h"), lit(256L)))
+      .write.mode("append").partitionBy("bucket").parquet(path)
+  }
+
   /** LSH candidate pairs from an (id, feats) relation: minhash signature →
     * band keys → bucket self-join → distinct id pairs.
     *

@@ -257,6 +257,46 @@ object Graph {
     res
   }
 
+  /** Degree-distribution power-law fit — the Clauset-Shalizi-Newman
+    * continuous MLE α = 1 + n / Σ ln(d/dMin) over nodes with degree ≥
+    * `dMin`, plus the histogram extremes. THE "is this graph
+    * scale-free, how heavy is the hub tail" diagnostic run before
+    * choosing join strategies on a behavior graph (α ≤ 2.5 means hubs
+    * own the edge mass — salt or orient before joining; α ≥ 3 means
+    * degrees concentrate and plain hash joins are safe).
+    *
+    * Determinism at scale: the ln terms fold over the DEGREE HISTOGRAM
+    * (distinct degree values — O(√m) of them on any graph), ascending-d
+    * ordered, c·ln(d/dMin) per value — one fixed FP sequence, never a
+    * partition-order-dependent double sum over nodes; the histogram
+    * itself is exact integer counts off one partial-aggregated pass.
+    */
+  def degreePowerLaw(edges: DataFrame, srcCol: String, dstCol: String,
+      dMin: Long = 2L): DataFrame = {
+    require(dMin >= 1, s"dMin must be >= 1, got $dMin")
+    val e = canonicalEdges(edges, srcCol, dstCol)
+    val deg = e.select(col("s").as("node"))
+      .unionAll(e.select(col("t").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("d"))
+    val hist = deg.filter(col("d") >= dMin)
+      .groupBy(col("d")).agg(count(lit(1)).as("c"))
+    val sums = hist.agg(
+      sum(col("c")).as("n_nodes"),
+      max(col("d")).as("d_max"),
+      aggregate(
+        transform(array_sort(collect_list(struct(col("d"), col("c")))),
+          s => s.getField("c").cast("double") *
+            log(s.getField("d").cast("double") / dMin.toDouble)),
+        lit(0.0), (a, v) => a + v).as("__s"))
+    sums.select(
+      coalesce(col("n_nodes"), lit(0L)).as("n_nodes"),
+      lit(dMin).as("d_min"),
+      col("d_max"),
+      when(col("__s") > 0,
+        round(lit(1.0) + col("n_nodes").cast("double") / col("__s"), 4))
+        .as("alpha"))
+  }
+
   /** Local clustering coefficient per node: cc(v) = 2·T(v) /
     * (deg(v)·(deg(v)−1)) — how close a node's neighborhood is to a
     * clique (1.0 = every two neighbors connected). Triangle and degree

@@ -355,6 +355,43 @@ object QualityRules {
       .otherwise(host)
   }
 
+  /** URL canonicalization — the crawl-frontier dedup normalizer: drop
+    * the fragment, lowercase the scheme+authority (path and query stay
+    * case-significant), strip tracking parameters (utm_*, gclid,
+    * fbclid, msclkid, ref), sort the surviving query parameters (order
+    * is not semantic), and strip one trailing "/" from the path. Two
+    * raw URLs that canonicalize equal are the same fetch — the
+    * dedup key a crawl stores alongside raw URLs. Pure per-row column
+    * program (regex + array ops), zero shuffle; replayed term-for-term
+    * by the oracle.
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val base = regexp_extract(noFrag, "^([^?]*)", 1)
+    val query = regexp_extract(noFrag, "\\?(.*)$", 1)
+    val authority = regexp_extract(base, "^([a-zA-Z][a-zA-Z0-9+.-]*://[^/]*)", 1)
+    val path = regexp_replace(
+      base.substr(length(authority) + 1, length(base)), "/$", "")
+    val params = filter(split(query, "&"), p =>
+      p =!= "" && !p.rlike("^(utm_[^=]*|gclid|fbclid|msclkid|ref)="))
+    val q2 = array_join(array_sort(params), "&")
+    concat(lower(authority), path,
+      when(length(q2) > 0, concat(lit("?"), q2)).otherwise(lit("")))
+  }
+
+  /** Duplicate-URL census over [[canonicalizeUrl]]: per canonical URL
+    * the raw-row count, distinct raw variants, and the min-id keeper —
+    * the dedup-savings number for a URL frontier. One shuffle keyed on
+    * the canonical string (hash it for 8 B keys at fleet scale).
+    */
+  def urlDupCensus(df: DataFrame, idCol: String, urlCol: String): DataFrame =
+    df.select(col(idCol).as("id"), col(urlCol).as("__u"))
+      .withColumn("canonical_url", canonicalizeUrl(col("__u")))
+      .groupBy(col("canonical_url"))
+      .agg(count(lit(1)).as("n_urls"),
+        count_distinct(col("__u")).as("n_variants"),
+        min(col("id")).as("keep_id"))
+
   /** URL/domain curation league table — the pre-filter stage C4 and
     * RefinedWeb run BEFORE text quality: per registrable domain, doc
     * and word volume, the blocklist verdict, and the keep-rate under

@@ -110,6 +110,41 @@ object Similarity {
         col("c_label"), col("cosine"), col("rank"))
   }
 
+  /** k-NN label-agreement audit — the standard label-noise detector
+    * (Confident-Learning-style neighborhood check): per probe, the
+    * fraction of its exact top-`k` cosine neighbors sharing its label.
+    * A labeled sample whose neighborhood disagrees (agreement ≪ 1) is
+    * the review-queue candidate — mislabeled, or sitting on a class
+    * boundary. Same scale shape as [[bruteForceTopK]] (probes
+    * broadcast, corpus scanned once, per-probe bounded window); run the
+    * corpus-wide version through the banded/IVF candidate generators.
+    */
+  def knnLabelAgreement(corpus: DataFrame, probes: DataFrame,
+      labelCol: String, k: Int): DataFrame = {
+    def staged(df: DataFrame, idOut: String, labelOut: String,
+        vecOut: String, normOut: String): DataFrame =
+      df.select(col("vec_id").as(idOut), col(labelCol).as(labelOut),
+        toDouble(col("embedding")).as(vecOut))
+        .withColumn(normOut, l2Norm(col(vecOut)))
+        .filter(col(normOut) > 0)
+    val c = staged(corpus, "corpus_id", "c_label", "c_vec", "c_nrm")
+    val p = staged(probes, "probe_id", "label", "p_vec", "p_nrm")
+    val scored = c.join(broadcast(p), col("corpus_id") =!= col("probe_id"))
+      .withColumn("cosine",
+        pairCosine(col("c_vec"), col("p_vec"), col("c_nrm"), col("p_nrm")))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cosine").desc, col("corpus_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .groupBy(col("probe_id"), col("label"))
+      .agg(count(lit(1)).as("k"),
+        sum(when(col("c_label") === col("label"), 1L).otherwise(0L))
+          .as("n_same"))
+      .withColumn("agreement",
+        round(col("n_same").cast("double") / col("k").cast("double"), 4))
+  }
+
   /** All pairs (a < b) with cosine ≥ threshold — the set-shaped exact
     * output used by the DuckDB oracle (no top-k order sensitivity).
     * O(n²) — keep for oracle/test scale; LSH is the scale path.
@@ -128,6 +163,49 @@ object Similarity {
   def randomHyperplanes(numPlanes: Int, dim: Int, seed: Long = 42L): Seq[Array[Double]] = {
     val rnd = new scala.util.Random(seed)
     Seq.fill(numPlanes)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Johnson-Lindenstrauss distortion audit: project every vector onto
+    * `outDim` seeded gaussian hyperplanes (a dim→outDim random
+    * projection — the dimensionality-reduction step run before shipping
+    * embeddings into an ANN index whose cost scales with dim) and
+    * measure, per probe, how far pairwise COSINES drift between the
+    * original and projected spaces: exact max plus a
+    * deterministic mean (per-pair error pre-rounded to 6dp and summed
+    * as DECIMAL — identical on any partitioning and in the oracle), and
+    * a `within_eps` contract at 3/√outDim (the JL variance scale for
+    * gaussian projections; q33's error-bound-contract convention).
+    *
+    * Scale: the projection is outDim per-row dot products (narrow, no
+    * shuffle); probes broadcast; the corpus is scanned once. The audit
+    * decides whether outDim is survivable BEFORE re-encoding the fleet.
+    */
+  def jlDistortionAudit(corpus: DataFrame, probes: DataFrame,
+      outDim: Int = 16, dim: Int = 64, seed: Long = 7L): DataFrame = {
+    require(outDim >= 2 && outDim < dim,
+      s"outDim in [2, dim), got $outDim for dim $dim")
+    val planes = randomHyperplanes(outDim, dim, seed)
+    def project(v: Column): Column =
+      array(planes.map(p => dotProduct(v, lit(p))): _*)
+    def staged(df: DataFrame, idOut: String, pre: String): DataFrame =
+      withNorm(df, idOut, s"${pre}_vec", s"${pre}_nrm")
+        .withColumn(s"${pre}_proj", project(col(s"${pre}_vec")))
+        .withColumn(s"${pre}_pnrm", l2Norm(col(s"${pre}_proj")))
+        .filter(col(s"${pre}_pnrm") > 0)
+    val c = staged(corpus, "corpus_id", "c")
+    val p = staged(probes, "probe_id", "p")
+    val pairs = c.join(broadcast(p), col("corpus_id") =!= col("probe_id"))
+      .withColumn("__err", abs(
+        pairCosine(col("c_vec"), col("p_vec"), col("c_nrm"), col("p_nrm")) -
+          pairCosine(col("c_proj"), col("p_proj"),
+            col("c_pnrm"), col("p_pnrm"))))
+    pairs.groupBy(col("probe_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(max(col("__err")), 4).as("max_abs_err"),
+        round(sum(round(col("__err"), 6).cast("decimal(18,6)"))
+          .cast("double") / count(lit(1)), 4).as("mean_abs_err"))
+      .withColumn("within_eps",
+        col("max_abs_err") <= lit(3.0 / math.sqrt(outDim.toDouble)))
   }
 
   /** Approximate cosine top-k via random-hyperplane LSH with multi-probe.

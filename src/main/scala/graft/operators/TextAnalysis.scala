@@ -828,6 +828,41 @@ object TextAnalysis {
         .otherwise(lit(1.0)))
   }
 
+  /** Distinct-n diversity (Li et al. 2016's dialogue-diversity metric,
+    * the Texygen convention): per group, distinct word n-grams over
+    * total n-gram occurrences for each n in `ns` — THE repetitiveness
+    * audit for synthetic or templated corpora (low distinct-2 means the
+    * corpus says the same things the same way; the self-BLEU
+    * complement). Complements [[ngramNovelty]] (cross-DOC recurrence of
+    * long grams) with within-GROUP short-gram diversity.
+    *
+    * Scale shape: one tagged explode carrying (grp, n, 8-byte gram
+    * hash) — the [[ngramNovelty]] collision stance — map-side partial
+    * aggs, one shuffle on (grp, n); the distinct count is exact.
+    */
+  def distinctN(df: DataFrame, textCol: String, groupCol: String,
+      ns: Seq[Int] = Seq(1, 2, 3)): DataFrame = {
+    require(ns.nonEmpty && ns.forall(n => n >= 1 && n <= 8),
+      s"ns must be within [1,8], got $ns")
+    val spine = df.select(col(groupCol).as("grp"),
+      tokens(col(textCol)).as("__toks"))
+    val grams = spine
+      .select(col("grp"), explode(array(ns.map { n =>
+        struct(lit(n).as("n"),
+          when(size(col("__toks")) >= n,
+            transform(sequence(lit(1), size(col("__toks")) - (n - 1)),
+              i => xxhash64(array_join(slice(col("__toks"), i, lit(n)), " "))))
+            .otherwise(array().cast("array<bigint>")).as("ghs"))
+      }: _*)).as("t"))
+      .select(col("grp"), col("t.n").as("n"), explode(col("t.ghs")).as("gh"))
+    grams.groupBy(col("grp"), col("n"))
+      .agg(count(lit(1)).as("total_grams"),
+        count_distinct(col("gh")).as("distinct_grams"))
+      .withColumn("distinct_ratio",
+        round(col("distinct_grams").cast("double") /
+          col("total_grams").cast("double"), 4))
+  }
+
   /** BPE merge induction (Sennrich et al. 2016) — tokenizer TRAINING:
     * start from characters, repeatedly merge the most frequent adjacent
     * symbol pair (weighted by word frequency), `numMerges` times.

@@ -377,6 +377,30 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs == Set((1L, 2L), (2L, 3L), (3L, 4L)))
   }
 
+  test("content index: incremental append equals one-shot; dedup flags") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cidx").toString
+    val hist = Seq((1L, "Alpha  Beta"), (2L, "gamma")).toDF("doc_id", "text")
+    val shard = Seq(
+      (10L, "alpha beta"),                     // canonical dup of 1
+      (11L, "fresh content"),
+      (12L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    Dedup.writeContentIndex(hist, "text", dir)
+    val out = Dedup.dedupAgainstIndex(shard, "doc_id", "text", dir)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(out == Map(10L -> true, 11L -> false, 12L -> false))
+    // append the shard; a later shard dupes against shard content too,
+    // and re-appending never duplicates index rows
+    Dedup.appendToContentIndex(shard, "text", dir)
+    val next = Seq((20L, "FRESH  content"), (21L, "brand new"))
+      .toDF("doc_id", "text")
+    val out2 = Dedup.dedupAgainstIndex(next, "doc_id", "text", dir)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(out2 == Map(20L -> true, 21L -> false))
+    val idx = spark.read.parquet(dir)
+    assert(idx.count() == idx.select("h").distinct().count())
+    assert(idx.count() == 3) // alpha beta, gamma, fresh content
+  }
+
   test("sortedNeighborhood: hot block splits into bounded sub-blocks") {
     // one 4-row block "aa" with cap 3 -> hot; re-keyed by the 4-char
     // prefix into {1,2} ("aaa ") and {3,4} ("aab "): the in-block

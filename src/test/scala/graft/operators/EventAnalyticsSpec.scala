@@ -843,4 +843,5 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(out(1L) == ((2L, 4L, true)))
     assert(out(2L) == ((2L, 4L, true)))
   }
+
 }

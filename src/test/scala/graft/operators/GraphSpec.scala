@@ -106,6 +106,21 @@ class GraphSpec extends AnyFunSuite {
     assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
 
+  test("degreePowerLaw: MLE over the degree histogram, dMin filter") {
+    // star hub 1 with leaves 2..5: degrees hub=4, leaves=1; dMin=2
+    // keeps only the hub -> n=1, sum = ln(4/2), alpha = 1 + 1/ln 2
+    val edges = (2L to 5L).map(h => (1L, h)).toDF("src", "dst")
+    val r = Graph.degreePowerLaw(edges, "src", "dst", dMin = 2L).head()
+    assert(r.getAs[Long]("n_nodes") == 1L)
+    assert(r.getAs[Long]("d_min") == 2L)
+    assert(r.getAs[Long]("d_max") == 4L)
+    assert(r.getAs[Double]("alpha") ==
+      math.rint((1.0 + 1.0 / math.log(2.0)) * 10000) / 10000)
+    // dMin above every degree -> empty fit, null alpha
+    val empty = Graph.degreePowerLaw(edges, "src", "dst", dMin = 5L).head()
+    assert(empty.getAs[Long]("n_nodes") == 0L && empty.isNullAt(3))
+  }
+
   test("kCore: clique survives, chain peels away entirely") {
     // 5-clique {1..5} (every degree 4) + a chain 5-10-11-12-13 hanging
     // off it. k=3: the chain's tip has degree 1 < 3, peeling it drops

@@ -300,4 +300,26 @@ class QualityRulesSpec extends AnyFunSuite {
     assert(out("tracker-net.com") == ((1L, true, 0L, 0.0)))
     assert(out("localhost") == ((1L, false, 1L, 1.0)))
   }
+
+  test("canonicalizeUrl: case/tracking/order/slash/fragment collapse; path case survives") {
+    import org.apache.spark.sql.functions.col
+    val urls = Seq(
+      (1L, "HTTPS://Ex.COM/A/b?utm_source=x&z=1&a=2#frag"),
+      (2L, "https://ex.com/A/b?a=2&z=1"),
+      (3L, "https://ex.com/A/b/"),
+      (4L, "https://ex.com/a/b"))
+      .toDF("id", "url")
+    val canon = urls.orderBy("id")
+      .select(QualityRules.canonicalizeUrl(col("url")).as("c"))
+      .collect().map(_.getString(0))
+    assert(canon(0) == "https://ex.com/A/b?a=2&z=1", canon(0))
+    assert(canon(1) == canon(0))
+    assert(canon(2) == "https://ex.com/A/b")
+    assert(canon(3) == "https://ex.com/a/b") // path case is significant
+    val census = QualityRules.urlDupCensus(urls, "id", "url")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(census("https://ex.com/A/b?a=2&z=1") == ((2L, 2L, 1L)))
+    assert(census("https://ex.com/A/b") == ((1L, 1L, 3L)))
+  }
 }

@@ -115,6 +115,46 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ids == Set(3L))
   }
 
+  test("knnLabelAgreement: neighborhood label fraction, exact ranks") {
+    // probe 0 ("x"): top-3 neighbors are 1 ("x"), 4 ("y"), 2 ("y")
+    // (the bruteForceTopK ranking above) -> agreement 1/3
+    val labeled = Seq(
+      (0L, Array(1f, 0f, 0f, 0f), "x"),
+      (1L, Array(0.9f, 0.1f, 0f, 0f), "x"),
+      (2L, Array(0f, 1f, 0f, 0f), "y"),
+      (3L, Array(-1f, 0f, 0f, 0f), "y"),
+      (4L, Array(0.7f, 0.7f, 0f, 0f), "y"))
+      .toDF("vec_id", "embedding", "label")
+    val r = Similarity.knnLabelAgreement(labeled,
+      labeled.filter(col("vec_id") === 0L), "label", k = 3).head()
+    assert(r.getAs[Long]("probe_id") == 0L)
+    assert(r.getAs[String]("label") == "x")
+    assert(r.getAs[Long]("k") == 3L && r.getAs[Long]("n_same") == 1L)
+    assert(r.getAs[Double]("agreement") == 0.3333)
+  }
+
+  test("jlDistortionAudit: scalar multiples are distortion-free; bounds hold") {
+    // projection is linear, so a scalar multiple keeps cosine 1 in BOTH
+    // spaces -> that pair contributes zero error; a second distinct
+    // vector gives a nonzero error bounded by the contract
+    val base = (0 until 64).map(i => math.sin(i + 1).toFloat).toArray
+    val double_ = base.map(_ * 2f)
+    val other = (0 until 64).map(i => math.cos(2 * i + 1).toFloat).toArray
+    val corpus = Seq((1L, base), (10L, double_), (11L, other))
+      .toDF("vec_id", "embedding")
+    val probes = corpus.filter(col("vec_id") === 1L)
+    val r = Similarity.jlDistortionAudit(corpus, probes,
+      outDim = 16, dim = 64, seed = 7L).head()
+    assert(r.getAs[Long]("n_pairs") == 2L)
+    val maxE = r.getAs[Double]("max_abs_err")
+    val meanE = r.getAs[Double]("mean_abs_err")
+    assert(maxE >= 0.0 && meanE <= maxE, s"mean $meanE max $maxE")
+    // the scalar-multiple pair is exact -> mean is at most half the max
+    // (+1e-4: both sides round 4dp independently)
+    assert(meanE <= maxE / 2 + 1e-4)
+    assert(r.getAs[Boolean]("within_eps") == (maxE <= 0.75))
+  }
+
   test("normStats: quartiles, Tukey outliers, zero-vector census") {
     // norms: 3,4,5 → quartile ranks over 7 rows; one zero vector; one
     // huge-norm outlier

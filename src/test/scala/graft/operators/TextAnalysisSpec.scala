@@ -421,6 +421,19 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out(3L) == ((0L, 0L, None, "")))
   }
 
+  test("distinctN: distinct/total grams per n, repetition lowers ratio") {
+    // group g: "a a a" + "a b" -> unigrams a,a,a,a,b (2/5), bigrams
+    // (a a),(a a),(a b) (2/3), trigrams (a a a) (1/1)
+    val df = Seq((1L, "g", "a a a"), (2L, "g", "a b"))
+      .toDF("doc_id", "src", "text")
+    val out = TextAnalysis.distinctN(df, "text", "src")
+      .collect().map(r => r.getInt(1) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out(1) == ((5L, 2L, 0.4)))
+    assert(out(2) == ((3L, 2L, 0.6667)))
+    assert(out(3) == ((1L, 1L, 1.0)))
+  }
+
   test("bpeRoundTrip: decode reconstructs every doc, empty doc included") {
     // same corpus as the encode test: ids decode back through the
     // frozen vocab and the subword concat equals the word concat for
