@@ -1900,6 +1900,28 @@ object SparkEntry {
         t(s, d, "embeddings").filter(col("vec_id") < 5),
         outDim = 16, dim = 64, seed = 7L)),
 
+    // IVF cell-balance audit: occupancy census of the q52 coarse
+    // quantizer — max/mean ratio + occupancy entropy, the probe-latency
+    // health check that decides quantizer retraining
+    "q285_ivf_balance" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val model = graft.operators.IvfIndex.train(emb, k = 8, iterations = 3)
+      graft.operators.IvfIndex.cellBalanceAudit(emb, model)
+    }),
+
+    // Degree assortativity of the co-purchase part graph: exact integer
+    // moments, four double ops — hubs-to-hubs vs hubs-to-leaves in one
+    // number (the skew-join early warning)
+    "q286_assortativity" -> ((s, d) => {
+      val op = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val edges = op.join(op.withColumnRenamed("p", "p2"), Seq("o"))
+        .filter(col("p") < col("p2"))
+        .select(col("p").as("src"), col("p2").as("dst"))
+      graft.operators.Graph.degreeAssortativity(edges, "src", "dst")
+    }),
+
     // Distinct-n diversity league table: per source, distinct/total
     // word n-grams for n=1..3 — the synthetic-corpus repetitiveness
     // audit (self-BLEU complement)
@@ -3983,6 +4005,54 @@ object SparkEntry {
        |WHERE rank <= $k""".stripMargin
   }
 
+  /** q285: the q52 coarse-quantizer replay (same init/Lloyd's/assign
+    * CTE shapes as [[ivfTopKOracleSql]]) rolled into the cell-occupancy
+    * census — balance ratio + cell-ordered n·ln n entropy fold. The
+    * final assignment covers ALL vectors (zero-norm included — the
+    * index stores them; only cosine scoring excludes them).
+    */
+  private def ivfBalanceOracleSql(kCells: Int, iterations: Int,
+      dim: Int = 64): String = {
+    def sqd(a: String, b: String): String =
+      s"list_sum(list_transform(generate_series(1,$dim), i -> (($a)[i] - ($b)[i])^2))"
+    def assign(name: String, cprev: String): String =
+      s"""$name AS (SELECT id, v, cell FROM (
+         |  SELECT va.id, va.v, c.cell,
+         |    row_number() OVER (PARTITION BY va.id ORDER BY ${sqd("va.v", "c.cv")}, c.cell) AS rn
+         |  FROM vecs va CROSS JOIN $cprev c) WHERE rn = 1)""".stripMargin
+    def update(name: String, aprev: String, cprev: String): String =
+      s"""$name AS (SELECT c.cell, coalesce(m.cv, c.cv) AS cv FROM $cprev c LEFT JOIN (
+         |  SELECT cell, list(mx ORDER BY d) AS cv FROM (
+         |    SELECT cell, i.d, avg(v[i.d]) AS mx FROM $aprev
+         |    CROSS JOIN (SELECT unnest(generate_series(1,$dim)) AS d) i
+         |    GROUP BY cell, i.d) GROUP BY cell) m ON m.cell = c.cell)""".stripMargin
+    val lloyd = (1 to iterations).flatMap { i =>
+      Seq(assign(s"a$i", s"c${i - 1}"), update(s"c$i", s"a$i", s"c${i - 1}"))
+    }.mkString(",\n")
+    s"""WITH vecs AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+       |$xxh64LongCtes,
+       |init AS (SELECT xh.id, row_number() OVER (ORDER BY hs) - 1 AS cell
+       |         FROM xh JOIN vecs ON vecs.id = xh.id ORDER BY hs LIMIT $kCells),
+       |c0 AS (SELECT init.cell, v.v AS cv FROM init JOIN vecs v ON v.id = init.id),
+       |$lloyd,
+       |${assign("afin", s"c$iterations")},
+       |cells AS (SELECT cell, count(*)::BIGINT AS n FROM afin GROUP BY cell),
+       |su AS (SELECT count(*)::BIGINT AS cells_used,
+       |    CAST(sum(n) AS BIGINT) AS n_vecs, max(n)::BIGINT AS max_cell,
+       |    list_reduce(list_prepend(0.0,
+       |      list(n::DOUBLE * ln(n::DOUBLE) ORDER BY cell)),
+       |      (a, b) -> a + b) AS snln
+       |  FROM cells)
+       |SELECT cells_used, n_vecs, max_cell,
+       |  round(max_cell::DOUBLE * cells_used / n_vecs::DOUBLE, 4)
+       |    AS balance_ratio,
+       |  round(ln(n_vecs::DOUBLE) - snln / n_vecs::DOUBLE, 4) AS entropy,
+       |  CASE WHEN cells_used > 1 THEN
+       |    round((ln(n_vecs::DOUBLE) - snln / n_vecs::DOUBLE)
+       |      / ln(cells_used::DOUBLE), 4) END AS entropy_ratio
+       |FROM su""".stripMargin
+  }
+
   /** q189 (SemDeDup) replayed end-to-end: the q52 coarse-quantizer
     * replay (same init/Lloyd's/assign CTE shapes as
     * [[ivfTopKOracleSql]]), then within-cell pairwise cosine with the
@@ -5838,6 +5908,39 @@ object SparkEntry {
          |SELECT node, count(*)::BIGINT AS degree FROM
          |  (SELECT s AS node FROM ke16 UNION ALL SELECT t AS node FROM ke16)
          |GROUP BY node""".stripMargin,
+
+    // Balance replay: Lloyd's chain + census + ordered entropy fold
+    "q285_ivf_balance" -> ivfBalanceOracleSql(kCells = 8, iterations = 3),
+
+    // Assortativity replay: exact HUGEINT moments, the same four double
+    // operations in the same order
+    "q286_assortativity" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |  FROM lineitem),
+        |e AS (SELECT DISTINCT a.p AS s, b.p AS t FROM op a
+        |  JOIN op b ON a.o = b.o AND a.p < b.p),
+        |deg AS (SELECT n, count(*)::BIGINT AS d FROM
+        |  (SELECT s AS n FROM e UNION ALL SELECT t AS n FROM e)
+        |  GROUP BY n),
+        |ed AS (SELECT da.d AS ds, db.d AS dt FROM e
+        |  JOIN deg da ON da.n = e.s JOIN deg db ON db.n = e.t),
+        |su AS (SELECT count(*)::BIGINT AS n_edges,
+        |    sum(ds * dt)::HUGEINT AS sjk,
+        |    sum(ds + dt)::HUGEINT AS ssum,
+        |    sum(ds * ds + dt * dt)::HUGEINT AS ssq
+        |  FROM ed)
+        |SELECT n_edges,
+        |  CASE WHEN (ssq::DOUBLE / (2.0 * n_edges::DOUBLE)
+        |      - (ssum::DOUBLE / (2.0 * n_edges::DOUBLE))
+        |        * (ssum::DOUBLE / (2.0 * n_edges::DOUBLE))) <> 0 THEN
+        |    round((sjk::DOUBLE / n_edges::DOUBLE
+        |      - (ssum::DOUBLE / (2.0 * n_edges::DOUBLE))
+        |        * (ssum::DOUBLE / (2.0 * n_edges::DOUBLE)))
+        |    / (ssq::DOUBLE / (2.0 * n_edges::DOUBLE)
+        |      - (ssum::DOUBLE / (2.0 * n_edges::DOUBLE))
+        |        * (ssum::DOUBLE / (2.0 * n_edges::DOUBLE))), 4) END
+        |    AS assortativity
+        |FROM su""".stripMargin,
 
     // Distinct-n replay: gram STRINGS substitute for the engine's
     // 8-byte gram hashes (distinct counts agree absent a 64-bit

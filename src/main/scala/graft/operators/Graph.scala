@@ -297,6 +297,43 @@ object Graph {
         .as("alpha"))
   }
 
+  /** Degree assortativity (Newman 2002): Pearson correlation of the
+    * endpoint degrees over the undirected edge set — positive means
+    * hubs attach to hubs (social-graph shape), negative means hubs
+    * attach to leaves (star/infrastructure shape, the skew-join
+    * warning). Companion single-number diagnostic to
+    * [[degreePowerLaw]].
+    *
+    * Exactness: with the symmetric edge formulation every moment is an
+    * exact INTEGER sum (Σjk, Σ(j+k), Σ(j²+k²)) accumulated as
+    * DECIMAL(38,0) (overflow-safe at fleet scale, where a 10⁶-degree
+    * hub's jk products exceed long range in aggregate); r is then four
+    * double operations on exact operands — the same IEEE sequence in
+    * the oracle. One degree count + one edge join, nothing else.
+    */
+  def degreeAssortativity(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val e = canonicalEdges(edges, srcCol, dstCol)
+    val deg = e.select(col("s").as("node"))
+      .unionAll(e.select(col("t").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("__d"))
+    val ed = e
+      .join(deg.select(col("node").as("s"), col("__d").as("ds")), Seq("s"))
+      .join(deg.select(col("node").as("t"), col("__d").as("dt")), Seq("t"))
+    val sums = ed.agg(
+      count(lit(1)).as("n_edges"),
+      sum((col("ds") * col("dt")).cast("decimal(38,0)")).as("__sjk"),
+      sum((col("ds") + col("dt")).cast("decimal(38,0)")).as("__ssum"),
+      sum((col("ds") * col("ds") + col("dt") * col("dt"))
+        .cast("decimal(38,0)")).as("__ssq"))
+    val m = col("n_edges").cast("double")
+    val mean = col("__ssum").cast("double") / (lit(2.0) * m)
+    val num = col("__sjk").cast("double") / m - mean * mean
+    val den = col("__ssq").cast("double") / (lit(2.0) * m) - mean * mean
+    sums.select(col("n_edges"),
+      when(den =!= 0.0, round(num / den, 4)).as("assortativity"))
+  }
+
   /** Local clustering coefficient per node: cc(v) = 2·T(v) /
     * (deg(v)·(deg(v)−1)) — how close a node's neighborhood is to a
     * clique (1.0 = every two neighbors connected). Triangle and degree

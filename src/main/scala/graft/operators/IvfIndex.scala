@@ -88,6 +88,40 @@ object IvfIndex {
       .withColumn("nrm", l2Norm(col("v")))
       .withColumn("cell", nearestCell(col("v"), m))
 
+  /** Cell-balance audit of the coarse quantizer — the probe-latency
+    * health check for an IVF index: per-cell occupancy rolled into one
+    * row with the max/mean balance ratio and the occupancy entropy
+    * (H = ln N − Σ n·ln n / N, the exact rearrangement that needs no
+    * per-cell p=n/N divides). A ratio ≫ 1 / entropy_ratio ≪ 1 means a
+    * few hot cells own the corpus — probes that touch them scan far
+    * more than N·nprobe/k codes, and the quantizer wants retraining
+    * (or the corpus re-clustering). Determinism: the n·ln n terms fold
+    * cell-id-ordered (k terms, one fixed FP sequence); everything
+    * upstream is exact integer counts off one partial-agg pass.
+    */
+  def cellBalanceAudit(corpus: DataFrame, m: Model): DataFrame = {
+    val cells = assign(corpus, m)
+      .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+    val h = log(col("n_vecs").cast("double")) -
+      col("__snln") / col("n_vecs").cast("double")
+    cells.agg(
+        count(lit(1)).as("cells_used"),
+        sum(col("n")).as("n_vecs"),
+        max(col("n")).as("max_cell"),
+        aggregate(
+          transform(array_sort(collect_list(struct(col("cell"), col("n")))),
+            s => s.getField("n").cast("double") *
+              log(s.getField("n").cast("double"))),
+          lit(0.0), (a, v) => a + v).as("__snln"))
+      .select(col("cells_used"), col("n_vecs"), col("max_cell"),
+        round(col("max_cell").cast("double") * col("cells_used") /
+          col("n_vecs").cast("double"), 4).as("balance_ratio"),
+        round(h, 4).as("entropy"),
+        when(col("cells_used") > 1,
+          round(h / log(col("cells_used").cast("double")), 4))
+          .as("entropy_ratio"))
+  }
+
   /** Persist the assignment as a CELL-PARTITIONED parquet index: repeated
     * probe workloads then read only their nprobe cell directories
     * (partition pruning at the scan — the IVF "inverted lists" realized as

@@ -106,6 +106,18 @@ class GraphSpec extends AnyFunSuite {
     assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
 
+  test("degreeAssortativity: star is maximally disassortative, cycle degenerate") {
+    // star: every edge joins deg-4 hub to deg-1 leaf -> r = -1 exactly
+    val star = (2L to 5L).map(h => (1L, h)).toDF("src", "dst")
+    val r = Graph.degreeAssortativity(star, "src", "dst").head()
+    assert(r.getAs[Long]("n_edges") == 4L)
+    assert(r.getAs[Double]("assortativity") == -1.0)
+    // cycle: all degrees equal -> zero variance -> null (not NaN)
+    val cycle = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val c = Graph.degreeAssortativity(cycle, "src", "dst").head()
+    assert(c.getAs[Long]("n_edges") == 3L && c.isNullAt(1))
+  }
+
   test("degreePowerLaw: MLE over the degree histogram, dMin filter") {
     // star hub 1 with leaves 2..5: degrees hub=4, leaves=1; dMin=2
     // keeps only the hub -> n=1, sum = ln(4/2), alpha = 1 + 1/ln 2

@@ -21,6 +21,22 @@ class IvfAndEmbedDedupSpec extends AnyFunSuite {
     assert(assigned.select("cell").distinct().count() > 1)
   }
 
+  test("cellBalanceAudit: census integers reconcile; entropy bounds hold") {
+    val emb = graft.Tables.embeddings(spark, d)
+    val m = IvfIndex.train(emb, k = 8, iterations = 3)
+    val cells = IvfIndex.assign(emb, m).groupBy("cell").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val r = IvfIndex.cellBalanceAudit(emb, m).head()
+    assert(r.getAs[Long]("cells_used") == cells.size.toLong)
+    assert(r.getAs[Long]("n_vecs") == cells.values.sum)
+    assert(r.getAs[Long]("max_cell") == cells.values.max)
+    val h = r.getAs[Double]("entropy")
+    val ratio = r.getAs[Double]("entropy_ratio")
+    assert(h >= 0.0 && h <= math.log(cells.size.toDouble) + 1e-9)
+    assert(ratio > 0.0 && ratio <= 1.0 + 1e-9, s"ratio $ratio")
+    assert(r.getAs[Double]("balance_ratio") >= 1.0 - 1e-9)
+  }
+
   test("IVF top-k recall vs brute force") {
     val emb = graft.Tables.embeddings(spark, d)
     val probes = emb.filter($"vec_id" < 5)
