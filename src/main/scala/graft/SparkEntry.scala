@@ -1900,6 +1900,16 @@ object SparkEntry {
         t(s, d, "embeddings").filter(col("vec_id") < 5),
         outDim = 16, dim = 64, seed = 7L)),
 
+    // Boundary-preserving bin-packing audit: next-fit doc packing into
+    // 256-token bins per shard (q90's layout question answered the
+    // other way) — the padding-waste number that decides concat vs
+    // boundary packing
+    "q287_pack_bins" -> ((s, d) =>
+      graft.operators.TrainingData.packBinsSummary(
+        t(s, d, "documents"), "doc_id",
+        size(graft.functions.TextFunctions.tokens(col("text"))),
+        capacity = 256, shard = pmod(col("doc_id"), lit(4)))),
+
     // IVF cell-balance audit: occupancy census of the q52 coarse
     // quantizer — max/mean ratio + occupancy entropy, the probe-latency
     // health check that decides quantizer retraining
@@ -5908,6 +5918,32 @@ object SparkEntry {
          |SELECT node, count(*)::BIGINT AS degree FROM
          |  (SELECT s AS node FROM ke16 UNION ALL SELECT t AS node FROM ke16)
          |GROUP BY node""".stripMargin,
+
+    // Pack-bins replay: identical id-ordered next-fit fold (struct
+    // state via the prepended-init list_reduce idiom), exact integers,
+    // one final divide
+    "q287_pack_bins" ->
+      s"""WITH tk AS (SELECT doc_id AS id, doc_id % 4 AS shard,
+         |    len($tokensSql)::BIGINT AS n FROM documents),
+         |b AS (SELECT id, shard, n FROM tk WHERE n > 0),
+         |g AS (SELECT shard, count(*)::BIGINT AS n_docs,
+         |    CAST(sum(n) AS BIGINT) AS total_tokens,
+         |    CAST(sum(least(n, 256)) AS BIGINT) AS packed_tokens,
+         |    sum(CASE WHEN n > 256 THEN 1 ELSE 0 END)::BIGINT AS n_oversize,
+         |    (list_reduce(list_prepend(
+         |      struct_pack(bins := 0::BIGINT, fill := 256::BIGINT),
+         |      list_transform(list(least(n, 256) ORDER BY id),
+         |        x -> struct_pack(bins := 0::BIGINT, fill := x::BIGINT))),
+         |      (a, x) -> CASE WHEN a.fill + x.fill <= 256
+         |        THEN struct_pack(bins := a.bins, fill := a.fill + x.fill)
+         |        ELSE struct_pack(bins := a.bins + 1, fill := x.fill)
+         |        END)).bins AS n_bins
+         |  FROM b GROUP BY shard)
+         |SELECT shard, n_docs, total_tokens, packed_tokens, n_oversize,
+         |  n_bins,
+         |  round((n_bins * 256 - packed_tokens)::DOUBLE
+         |    / (n_bins * 256)::DOUBLE, 4) AS padding_frac
+         |FROM g""".stripMargin,
 
     // Balance replay: Lloyd's chain + census + ordered entropy fold
     "q285_ivf_balance" -> ivfBalanceOracleSql(kCells = 8, iterations = 3),

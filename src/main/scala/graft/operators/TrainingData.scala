@@ -83,6 +83,51 @@ object TrainingData {
         (col("tok_end") - col("tok_start")).as("tokens_in_chunk"))
   }
 
+  /** Boundary-preserving packing audit — the OTHER sequence-packing
+    * policy ([[packSequences]] concatenates and splits mid-document;
+    * this one never splits): documents fill `capacity`-token bins
+    * NEXT-fit in id order within each shard (one open bin — the O(1)
+    * streaming-friendly policy real packers ship), and the audit reports per
+    * shard how much padding that policy wastes — THE number that
+    * decides concat-chunking vs boundary packing for a training run.
+    * Documents larger than `capacity` contribute a full bin
+    * (`least(n, capacity)`) and are counted in `n_oversize` (split them
+    * first — the chunking operator exists for exactly that).
+    *
+    * Determinism/scale: bin assignment is a non-associative sequential
+    * fold, so it runs as an id-ordered aggregate() fold per shard
+    * (state = (bins, fill) only — O(1), never a per-doc list); shards
+    * are the parallelism unit, sized upstream so a shard's doc list is
+    * collectable (the same contract as packSequences' shard column).
+    * All arithmetic is exact integers; the one divide is final.
+    */
+  def packBinsSummary(df: DataFrame, idCol: String, tokenCount: Column,
+      capacity: Int, shard: Column): DataFrame = {
+    require(capacity > 0, "capacity must be positive")
+    val cap = lit(capacity.toLong)
+    val base = df.select(col(idCol).as("id"),
+        tokenCount.cast("long").as("n"), shard.as("shard"))
+      .filter(col("n") > 0)
+    base.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n")).as("total_tokens"),
+        sum(least(col("n"), cap)).as("packed_tokens"),
+        sum(when(col("n") > cap, 1L).otherwise(0L)).as("n_oversize"),
+        aggregate(
+          transform(array_sort(collect_list(struct(col("id"), col("n")))),
+            s => least(s.getField("n"), cap)),
+          struct(lit(0L).as("bins"), cap.as("fill")),
+          (acc, n) => struct(
+            when(acc.getField("fill") + n <= cap, acc.getField("bins"))
+              .otherwise(acc.getField("bins") + 1L).as("bins"),
+            when(acc.getField("fill") + n <= cap,
+              acc.getField("fill") + n).otherwise(n).as("fill")))
+          .getField("bins").as("n_bins"))
+      .withColumn("padding_frac",
+        round((col("n_bins") * cap - col("packed_tokens")).cast("double") /
+          (col("n_bins") * cap).cast("double"), 4))
+  }
+
   /** Deterministic stratified sampling: keep a row iff its hash bucket
     * (pmod(xxhash64(id), 1e6)) falls below its stratum's rate threshold.
     * Same determinism contract as [[deterministicSplit]] — retry-stable,

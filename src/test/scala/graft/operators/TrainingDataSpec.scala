@@ -379,4 +379,25 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(out("b").getAs[Double]("boost") == 2.5)
     assert(out("a").getAs[Double]("boost") < 1.0)
   }
+
+  test("packBinsSummary: next-fit fold, oversize capping, padding math") {
+    // id order 100,200,100,300(capped 256) at cap 256 -> each opens a
+    // new bin (next-fit never revisits): 4 bins, packed 656 of 1024
+    val df = Seq((1L, 100), (2L, 200), (3L, 100), (4L, 300))
+      .toDF("doc_id", "n")
+    val out = TrainingData.packBinsSummary(df, "doc_id", col("n"),
+      capacity = 256, shard = lit(0)).head()
+    assert(out.getAs[Long]("n_docs") == 4L)
+    assert(out.getAs[Long]("total_tokens") == 700L)
+    assert(out.getAs[Long]("packed_tokens") == 656L)
+    assert(out.getAs[Long]("n_oversize") == 1L)
+    assert(out.getAs[Long]("n_bins") == 4L)
+    assert(out.getAs[Double]("padding_frac") == 0.3594) // 368/1024
+    // snug fit: 128+128 share one bin
+    val snug = Seq((1L, 128), (2L, 128)).toDF("doc_id", "n")
+    val s2 = TrainingData.packBinsSummary(snug, "doc_id", col("n"),
+      capacity = 256, shard = lit(0)).head()
+    assert(s2.getAs[Long]("n_bins") == 1L)
+    assert(s2.getAs[Double]("padding_frac") == 0.0)
+  }
 }
