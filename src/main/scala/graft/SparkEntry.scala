@@ -1900,6 +1900,20 @@ object SparkEntry {
         t(s, d, "embeddings").filter(col("vec_id") < 5),
         outDim = 16, dim = 64, seed = 7L)),
 
+    // int8 quantized top-k: exact integer code dot products rescaled by
+    // per-vector scales — the 4×-smaller search path q288's audit
+    // justifies
+    "q289_int8_topk" -> ((s, d) =>
+      graft.operators.Similarity.int8TopK(
+        t(s, d, "embeddings"),
+        t(s, d, "embeddings").filter(col("vec_id") < 5), k = 10)),
+
+    // int8 quantization audit: per-vector symmetric scale, round+clamp,
+    // relative-L2 + worst-component reconstruction error — the 4×
+    // compression decision next to PQ (q146) and JL (q280)
+    "q288_int8_quant" -> ((s, d) =>
+      graft.operators.Similarity.int8QuantAudit(t(s, d, "embeddings"))),
+
     // Boundary-preserving bin-packing audit: next-fit doc packing into
     // 256-token bins per shard (q90's layout question answered the
     // other way) — the padding-waste number that decides concat vs
@@ -5918,6 +5932,57 @@ object SparkEntry {
          |SELECT node, count(*)::BIGINT AS degree FROM
          |  (SELECT s AS node FROM ke16 UNION ALL SELECT t AS node FROM ke16)
          |GROUP BY node""".stripMargin,
+
+    // int8 top-k replay: same quantization CTEs; the code dot is an
+    // exact integer, so ordering reduces to a handful of double ops
+    // with the corpus_id tie-break
+    "q289_int8_topk" ->
+      """WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v
+        |  FROM embeddings
+        |  WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
+        |m AS (SELECT vec_id, v,
+        |    list_max(list_transform(v, x -> abs(x))) AS mx FROM vecs),
+        |s AS (SELECT vec_id, v, mx / 127.0 AS sc,
+        |    sqrt(list_dot_product(v, v)) AS nrm FROM m WHERE mx > 0),
+        |q AS (SELECT vec_id, sc, nrm,
+        |    list_transform(v, x ->
+        |      greatest(-127.0, least(127.0, round(x / sc)))) AS qv
+        |  FROM s),
+        |j AS (SELECT p.vec_id AS probe_id, c.vec_id AS corpus_id,
+        |    list_sum(list_transform(generate_series(1, len(c.qv)),
+        |      i -> c.qv[i] * p.qv[i])) * c.sc * p.sc / (c.nrm * p.nrm)
+        |      AS qcos
+        |  FROM q c JOIN q p ON p.vec_id < 5 AND c.vec_id <> p.vec_id)
+        |SELECT probe_id, corpus_id, round(qcos, 4) AS qcos, rank FROM (
+        |  SELECT probe_id, corpus_id, qcos,
+        |    row_number() OVER (PARTITION BY probe_id
+        |      ORDER BY qcos DESC, corpus_id) AS rank
+        |  FROM j)
+        |WHERE rank <= 10""".stripMargin,
+
+    // int8 replay: same per-vector scale, same round/clamp, same
+    // sequential squared-error folds; round() is half-away-from-zero
+    // on both engines
+    "q288_int8_quant" ->
+      """WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v
+        |  FROM embeddings
+        |  WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
+        |m AS (SELECT vec_id, v,
+        |    list_max(list_transform(v, x -> abs(x))) AS mx FROM vecs),
+        |s AS (SELECT vec_id, v, mx / 127.0 AS sc FROM m WHERE mx > 0),
+        |d AS (SELECT vec_id, v,
+        |    list_transform(v, x ->
+        |      greatest(-127.0, least(127.0, round(x / sc))) * sc) AS dq
+        |  FROM s),
+        |e AS (SELECT vec_id, v,
+        |    list_transform(generate_series(1, len(v)), i -> v[i] - dq[i])
+        |      AS df FROM d)
+        |SELECT vec_id,
+        |  round(sqrt(list_sum(list_transform(df, x -> x * x)))
+        |    / sqrt(list_dot_product(v, v)), 4) AS rel_err,
+        |  round(list_max(list_transform(df, x -> abs(x))), 4)
+        |    AS max_comp_err
+        |FROM e""".stripMargin,
 
     // Pack-bins replay: identical id-ordered next-fit fold (struct
     // state via the prepended-init list_reduce idiom), exact integers,

@@ -110,6 +110,76 @@ object Similarity {
         col("c_label"), col("cosine"), col("rank"))
   }
 
+  /** Symmetric int8 quantization audit — the third compression lane
+    * next to PQ (32×, q146/q153) and random projection (dim-reduction,
+    * q280): each vector quantizes with its own scale = max|v|/127,
+    * components round-and-clamp to [-127, 127], and the audit reports
+    * the per-vector relative L2 reconstruction error plus the worst
+    * single-component error — the decide-int8-or-not numbers before
+    * re-encoding a fleet-sized embedding store at 4× smaller.
+    * Zero-norm vectors carry no information to quantize and are
+    * excluded (the [[withNorm]] convention). Pure per-row column
+    * program, zero shuffle; every FP step (max, divide, round, clamp,
+    * ordered squared-error folds) replays bit-identically in SQL.
+    */
+  def int8QuantAudit(corpus: DataFrame): DataFrame = {
+    val staged = withNorm(corpus, "vec_id", "v", "nrm")
+      .withColumn("__mx", aggregate(transform(col("v"), x => abs(x)),
+        lit(0.0), (a, x) => greatest(a, x)))
+      .filter(col("__mx") > 0)
+      .withColumn("__scale", col("__mx") / 127.0)
+      .withColumn("__dq", transform(col("v"), x =>
+        greatest(lit(-127.0), least(lit(127.0),
+          round(x / col("__scale")))) * col("__scale")))
+      .withColumn("__diff",
+        zip_with(col("v"), col("__dq"), (a, b) => a - b))
+    staged.select(col("vec_id"),
+      round(sqrt(aggregate(transform(col("__diff"), x => x * x),
+        lit(0.0), (a, x) => a + x)) / col("nrm"), 4).as("rel_err"),
+      round(aggregate(transform(col("__diff"), x => abs(x)),
+        lit(0.0), (a, x) => greatest(a, x)), 4).as("max_comp_err"))
+  }
+
+  /** int8 brute-force top-k — the SEARCH path over
+    * [[int8QuantAudit]]'s encoding: both sides quantize per-vector
+    * (scale = max|v|/127), similarity scores as the EXACT integer code
+    * dot product rescaled by the two scales and norms — a 4×-smaller
+    * scan whose inner loop is int8×int8 adds (the SIMD-friendly shape
+    * accelerators run). Same broadcast-probes/corpus-scanned-once
+    * contract as [[bruteForceTopK]]; q288 is the precision audit that
+    * justifies the encoding, this is the query path that cashes it.
+    * The integer dot is order-independent by construction, so ranking
+    * is deterministic with the (score DESC, corpus_id) tie-break.
+    */
+  def int8TopK(corpus: DataFrame, probes: DataFrame, k: Int): DataFrame = {
+    def quant(df: DataFrame, pre: String): DataFrame =
+      withNorm(df, s"${pre}_id", s"${pre}_v", s"${pre}_nrm")
+        .withColumn(s"${pre}_mx",
+          aggregate(transform(col(s"${pre}_v"), x => abs(x)),
+            lit(0.0), (a, x) => greatest(a, x)))
+        .filter(col(s"${pre}_mx") > 0)
+        .withColumn(s"${pre}_sc", col(s"${pre}_mx") / 127.0)
+        .withColumn(s"${pre}_q", transform(col(s"${pre}_v"), x =>
+          greatest(lit(-127.0), least(lit(127.0),
+            round(x / col(s"${pre}_sc"))))))
+        .select(col(s"${pre}_id"), col(s"${pre}_q"),
+          col(s"${pre}_sc"), col(s"${pre}_nrm"))
+    val c = quant(corpus, "c")
+    val p = quant(probes, "p")
+    val scored = c.join(broadcast(p), col("c_id") =!= col("p_id"))
+      .withColumn("__qdot",
+        aggregate(zip_with(col("c_q"), col("p_q"), (a, b) => a * b),
+          lit(0.0), (a, x) => a + x))
+      .withColumn("__qcos", col("__qdot") * col("c_sc") * col("p_sc") /
+        (col("c_nrm") * col("p_nrm")))
+    val w = Window.partitionBy(col("p_id"))
+      .orderBy(col("__qcos").desc, col("c_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("p_id").as("probe_id"), col("c_id").as("corpus_id"),
+        round(col("__qcos"), 4).as("qcos"), col("rank"))
+  }
+
   /** k-NN label-agreement audit — the standard label-noise detector
     * (Confident-Learning-style neighborhood check): per probe, the
     * fraction of its exact top-`k` cosine neighbors sharing its label.

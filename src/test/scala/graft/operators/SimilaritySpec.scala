@@ -115,6 +115,32 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ids == Set(3L))
   }
 
+  test("int8QuantAudit: exactly-representable grid is lossless; errors bounded") {
+    // v1's components are exact multiples of its scale (max 127 -> scale
+    // 1.0, all integers in [-127,127]) -> zero reconstruction error;
+    // v2 is arbitrary -> small but nonzero error bounded by scale/2 per
+    // component
+    val v1 = (0 until 64).map(i => ((i % 255) - 127).toFloat).toArray
+    val v2 = (0 until 64).map(i => math.sin(i + 0.5).toFloat).toArray
+    val df = Seq((1L, v1), (2L, v2)).toDF("vec_id", "embedding")
+    val out = Similarity.int8QuantAudit(df)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(out(1L) == ((0.0, 0.0)), s"grid vector: ${out(1L)}")
+    val (rel, comp) = out(2L)
+    val scale2 = v2.map(x => math.abs(x.toDouble)).max / 127.0
+    assert(rel > 0.0 && comp > 0.0)
+    assert(comp <= scale2 / 2 + 1e-9, s"comp $comp vs half-scale ${scale2 / 2}")
+  }
+
+  test("int8TopK: quantized ranking matches exact on well-separated vectors") {
+    // the toy set's cosines are far apart (gaps ~0.2+), so int8
+    // quantization error (~1/127 scale) cannot reorder the top-3
+    val got = Similarity.int8TopK(vecs, vecs.filter($"vec_id" === 0L), k = 3)
+      .collect().map(r => (r.getAs[Long]("corpus_id"), r.getAs[Int]("rank")))
+    assert(got.sortBy(_._2).map(_._1).toSeq == Seq(1L, 4L, 2L))
+  }
+
   test("knnLabelAgreement: neighborhood label fraction, exact ranks") {
     // probe 0 ("x"): top-3 neighbors are 1 ("x"), 4 ("y"), 2 ("y")
     // (the bruteForceTopK ranking above) -> agreement 1/3
