@@ -1900,6 +1900,19 @@ object SparkEntry {
         t(s, d, "embeddings").filter(col("vec_id") < 5),
         outDim = 16, dim = 64, seed = 7L)),
 
+    // Edge embeddedness over the co-purchase graph: per-edge triangle
+    // support + neighborhood Jaccard — weak ties vs community ties, the
+    // graph-curation companion of q231/q233
+    "q290_edge_embeddedness" -> ((s, d) => {
+      val op = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val edges = op.join(op.withColumnRenamed("p", "p2"), Seq("o"))
+        .filter(col("p") < col("p2"))
+        .select(col("p").as("src"), col("p2").as("dst"))
+      graft.operators.Graph.edgeEmbeddedness(edges, "src", "dst")
+    }),
+
     // int8 quantized top-k: exact integer code dot products rescaled by
     // per-vector scales — the 4×-smaller search path q288's audit
     // justifies
@@ -5932,6 +5945,35 @@ object SparkEntry {
          |SELECT node, count(*)::BIGINT AS degree FROM
          |  (SELECT s AS node FROM ke16 UNION ALL SELECT t AS node FROM ke16)
          |GROUP BY node""".stripMargin,
+
+    // Embeddedness replay: q231's a<b<c triple chain exploded to its
+    // three canonical edges, integer support/degrees, one divide, the
+    // (rounded DESC, u, v) total order
+    "q290_edge_embeddedness" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+        |  FROM lineitem),
+        |e AS (SELECT DISTINCT a.p AS s, b.p AS t FROM op a
+        |  JOIN op b ON a.o = b.o AND a.p < b.p),
+        |deg AS (SELECT n, count(*)::BIGINT AS d FROM
+        |  (SELECT s AS n FROM e UNION ALL SELECT t AS n FROM e)
+        |  GROUP BY n),
+        |tri AS (SELECT e1.s AS a, e1.t AS b, e2.t AS c
+        |  FROM e e1 JOIN e e2 ON e2.s = e1.t
+        |  JOIN e e3 ON e3.s = e1.s AND e3.t = e2.t),
+        |sp AS (SELECT s, t, count(*)::BIGINT AS supp FROM (
+        |  SELECT a AS s, b AS t FROM tri
+        |  UNION ALL SELECT a AS s, c AS t FROM tri
+        |  UNION ALL SELECT b AS s, c AS t FROM tri) GROUP BY s, t),
+        |j AS (SELECT e.s, e.t, coalesce(sp.supp, 0)::BIGINT AS support,
+        |    da.d AS du, db.d AS dv
+        |  FROM e LEFT JOIN sp ON sp.s = e.s AND sp.t = e.t
+        |  JOIN deg da ON da.n = e.s JOIN deg db ON db.n = e.t)
+        |SELECT s AS u, t AS v, support, du, dv,
+        |  CASE WHEN du + dv - 2 - support > 0 THEN
+        |    round(support::DOUBLE / (du + dv - 2 - support)::DOUBLE, 4)
+        |  END AS embeddedness
+        |FROM j
+        |ORDER BY embeddedness DESC, u, v LIMIT 20""".stripMargin,
 
     // int8 top-k replay: same quantization CTEs; the code dot is an
     // exact integer, so ordering reduces to a handful of double ops

@@ -182,9 +182,11 @@ object Graph {
         when(sLow, col("__dt")).otherwise(col("__ds")).as("dv"))
   }
 
-  private def triangleFrame(edges: DataFrame, srcCol: String,
-      dstCol: String): DataFrame = {
-    val o = orientedByDegree(canonicalEdges(edges, srcCol, dstCol))
+  /** Each triangle exactly once as an (a, b, c) row — a is the wedge
+    * pivot (lowest (deg, id) rank), b/c its rank-ordered spokes.
+    */
+  private def triangleTriples(e: DataFrame): DataFrame = {
+    val o = orientedByDegree(e)
     // wedges pivot on u's out-edges (≤ O(√m) each); ordering the two
     // spokes by (deg, id) rank means the closing edge — if it exists —
     // is oriented b→c, so one equi-join closes the triangle
@@ -192,10 +194,56 @@ object Graph {
       .join(o.select(col("u"), col("v").as("c"), col("dv").as("dc")), Seq("u"))
       .filter(struct(col("db"), col("b")) < struct(col("dc"), col("c")))
       .select(col("u").as("a"), col("b"), col("c"))
-    val tri = wedges.join(
-      o.select(col("u").as("b"), col("v").as("c")), Seq("b", "c"))
-    tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+    wedges.join(o.select(col("u").as("b"), col("v").as("c")), Seq("b", "c"))
+      .select(col("a"), col("b"), col("c"))
+  }
+
+  private def triangleFrame(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame =
+    triangleTriples(canonicalEdges(edges, srcCol, dstCol))
+      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
+
+  /** Edge embeddedness — per EDGE, the count of triangles through it
+    * (common-neighbor support) and the neighborhood Jaccard
+    * support / (deg(u)+deg(v)−2−support): ≈0 flags a weak tie / bridge
+    * (Granovetter), ≈1 a deeply intra-community edge — the
+    * graph-curation signal that separates organic links from drive-by
+    * connections before community-level dedup or spam peeling. Exact
+    * integers until one final divide; isolated-pair edges (empty union)
+    * get a NULL score and rank last. Top-k by (embeddedness DESC, u, v).
+    * Same two-shuffle degree-ordered machinery as [[triangleCounts]].
+    */
+  def edgeEmbeddedness(edges: DataFrame, srcCol: String, dstCol: String,
+      topK: Int = 20): DataFrame = {
+    val e = canonicalEdges(edges, srcCol, dstCol)
+    val deg = e.select(col("s").as("node"))
+      .unionAll(e.select(col("t").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("__d"))
+    val supp = triangleTriples(e)
+      .select(explode(array(
+        struct(least(col("a"), col("b")).as("s"),
+          greatest(col("a"), col("b")).as("t")),
+        struct(least(col("a"), col("c")).as("s"),
+          greatest(col("a"), col("c")).as("t")),
+        struct(least(col("b"), col("c")).as("s"),
+          greatest(col("b"), col("c")).as("t")))).as("ed"))
+      .select(col("ed.s").as("s"), col("ed.t").as("t"))
+      .groupBy(col("s"), col("t")).agg(count(lit(1)).as("__supp"))
+    val scored = e
+      .join(supp, Seq("s", "t"), "left")
+      .join(deg.select(col("node").as("s"), col("__d").as("du")), Seq("s"))
+      .join(deg.select(col("node").as("t"), col("__d").as("dv")), Seq("t"))
+      .withColumn("support", coalesce(col("__supp"), lit(0L)))
+      .withColumn("embeddedness",
+        when(col("du") + col("dv") - 2 - col("support") > 0,
+          round(col("support").cast("double") /
+            (col("du") + col("dv") - 2 - col("support")).cast("double"), 4)))
+    scored
+      .orderBy(col("embeddedness").desc, col("s"), col("t"))
+      .limit(topK)
+      .select(col("s").as("u"), col("t").as("v"), col("support"),
+        col("du"), col("dv"), col("embeddedness"))
   }
 
   /** k-core decomposition by iterative peeling (Seidman 1983; the

@@ -106,6 +106,23 @@ class GraphSpec extends AnyFunSuite {
     assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
 
+  test("edgeEmbeddedness: triangle edges score 1, bridges 0, pair null") {
+    // triangle {1,2,3} + bridge 3-4 + pendant pair 10-11
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (10L, 11L))
+      .toDF("src", "dst")
+    val out = Graph.edgeEmbeddedness(edges, "src", "dst", topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), if (r.isNullAt(5)) None else Some(r.getDouble(5)))))
+      .toMap
+    // (1,2): support 1, union 2+2-2-1 = 1 -> 1.0
+    assert(out((1L, 2L)) == ((1L, Some(1.0))))
+    // (2,3): support 1, union 2+3-2-1 = 2 -> 0.5; (3,4) is a bridge
+    assert(out((2L, 3L)) == ((1L, Some(0.5))))
+    assert(out((3L, 4L)) == ((0L, Some(0.0))))
+    assert(out((10L, 11L)) == ((0L, None)))
+    assert(out.size == 5)
+  }
+
   test("degreeAssortativity: star is maximally disassortative, cycle degenerate") {
     // star: every edge joins deg-4 hub to deg-1 leaf -> r = -1 exactly
     val star = (2L to 5L).map(h => (1L, h)).toDF("src", "dst")
