@@ -656,7 +656,8 @@ object SparkEntry {
         .filter(col("split") === "train")
       graft.operators.TrainingData.packSequences(
         train, "doc_id", col("n_tokens"),
-        capacity = 256, shard = pmod(col("doc_id"), lit(2)))
+        // sign-preserving % matches the oracle's doc_id % 2 (see q287)
+        capacity = 256, shard = col("doc_id") % lit(2))
     }),
 
     // One-pass column profiler: row/null/distinct counts, min/max (as
@@ -1205,7 +1206,8 @@ object SparkEntry {
       graft.operators.TrainingData.packSequences(
         t(s, d, "documents"), "doc_id",
         size(graft.functions.TextFunctions.tokens(col("text"))),
-        capacity = 256, shard = pmod(col("doc_id"), lit(4)))),
+        // sign-preserving % matches the oracle's doc_id % 4 (see q287)
+        capacity = 256, shard = col("doc_id") % lit(4))),
 
     // PII redaction over deterministically synthesized PII (the corpus
     // itself is clean): email/phone/IPv4 seeded from doc_id, counts on
@@ -1868,7 +1870,10 @@ object SparkEntry {
       val ev = Tables.events(s, d).select(
         pmod(xxhash64(col("event_id")), lit(1251L)).as("u"),
         pmod(xxhash64(xxhash64(col("event_id"))), lit(1251L)).as("v"))
-      graft.operators.Graph.kCore(ev, "u", "v", k = 9)
+      // one-shot query: skip the final checkpoint-free materialization
+      // (freeFinal) — the lifecycle it buys only matters to long-lived
+      // sessions, and it roughly doubled this 0.6 s query in r7
+      graft.operators.Graph.kCore(ev, "u", "v", k = 9, freeFinal = false)
     }),
 
     // Chaining-drift audit: per near-dup cluster, the minimum pairwise
@@ -1935,7 +1940,9 @@ object SparkEntry {
       graft.operators.TrainingData.packBinsSummary(
         t(s, d, "documents"), "doc_id",
         size(graft.functions.TextFunctions.tokens(col("text"))),
-        capacity = 256, shard = pmod(col("doc_id"), lit(4)))),
+        // sign-preserving % matches the oracle's doc_id % 4 (pmod would
+        // diverge on a future fixture with negative ids — the q270 bug)
+        capacity = 256, shard = col("doc_id") % lit(4))),
 
     // IVF cell-balance audit: occupancy census of the q52 coarse
     // quantizer — max/mean ratio + occupancy entropy, the probe-latency
@@ -6115,7 +6122,9 @@ object SparkEntry {
         |    ORDER BY list_cosine_similarity(c.embedding::DOUBLE[],
         |      p.embedding::DOUBLE[]) DESC, c.vec_id) AS rank
         | FROM embeddings c JOIN embeddings p ON c.vec_id <> p.vec_id
-        | WHERE p.vec_id < 5)
+        | WHERE p.vec_id < 5
+        |  AND list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]) > 0
+        |  AND list_dot_product(p.embedding::DOUBLE[], p.embedding::DOUBLE[]) > 0)
         |WHERE rank <= 10)
         |SELECT probe_id, label, count(*)::BIGINT AS k,
         |  sum(CASE WHEN clab = label THEN 1 ELSE 0 END)::BIGINT AS n_same,

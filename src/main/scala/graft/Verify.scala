@@ -47,6 +47,14 @@ object Verify {
       override def initialValue(): SparkSession = spark.newSession()
     }
     val t00 = System.nanoTime()
+    // Per-query outcome record (seconds + ok/error), dumped as
+    // verify_log.json next to the parquet outputs so every gate run
+    // leaves a driver-independent artifact — round 5 and round 7 both
+    // ended with an empty driver-side correctness file, and without
+    // this record an empty artifact is unattributable (engine failure
+    // vs handoff failure).
+    val outcomes =
+      new java.util.concurrent.ConcurrentHashMap[String, (Double, Option[String])]()
     val futures = selected.toSeq.map { case (name, fn) =>
       Future {
         val s = perThread.get()
@@ -54,16 +62,28 @@ object Verify {
         try {
           fn(s, sfDir).coalesce(1).write.mode("overwrite")
             .parquet(s"$outDir/$name")
-          System.err.println(f"[verify] $name ok in ${(System.nanoTime() - t0) / 1e9}%.2fs")
+          val sec = (System.nanoTime() - t0) / 1e9
+          outcomes.put(name, (sec, None))
+          System.err.println(f"[verify] $name ok in $sec%.2fs")
         } catch { case e: Throwable =>
+          outcomes.put(name,
+            ((System.nanoTime() - t0) / 1e9, Some(String.valueOf(e.getMessage))))
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
       }
     }
     Await.result(Future.sequence(futures), Duration.Inf)
     pool.shutdown()
+    val totalSec = (System.nanoTime() - t00) / 1e9
+    val nFailed = {
+      import scala.jdk.CollectionConverters._
+      outcomes.asScala.count(_._2._2.isDefined)
+    }
     System.err.println(
-      f"[verify] ${selected.size} queries done in ${(System.nanoTime() - t00) / 1e9}%.1fs on $threads threads")
+      f"[verify] ${selected.size} queries done in $totalSec%.1fs on $threads threads ($nFailed failed)")
+    // Summary ALSO on stdout (the Bench lesson: stderr can be dropped
+    // by the harness; stdout survives).
+    println(f"[verify-summary] queries=${selected.size} failed=$nFailed seconds=$totalSec%.1f")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -79,6 +99,14 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val logJson = {
+      import scala.jdk.CollectionConverters._
+      outcomes.asScala.toSeq.sortBy(_._1).map { case (name, (sec, err)) =>
+        val errField = err.map(e => s", \"error\": ${q(e)}").getOrElse("")
+        f"${q(name)}: {\"seconds\": $sec%.3f, \"ok\": ${err.isEmpty}$errField}"
+      }.mkString("{", ",", "}")
+    }
+    Files.writeString(Paths.get(s"$outDir/verify_log.json"), logJson)
     spark.stop()
   }
 }

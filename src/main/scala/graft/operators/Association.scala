@@ -34,24 +34,28 @@ object Association {
       itemCol: String): DataFrame =
     baskets.select(col(basketCol).as("b"), col(itemCol).as("i")).distinct()
 
-  /** Shared level-1 state: the support-pruned (b, i, ci) frame — cached,
-    * because every higher level fans multiple plan branches out of it —
-    * and the exact basket total. The basket count() is the ONE eager
-    * action either public entry point runs; it also materializes the
-    * cached distinct (b, i) frame, so no branch recomputes the distinct
-    * or the level-1 prune. Cache lifecycle: blocks are freed by the
-    * ContextCleaner once the caller drops the returned frames (persist
-    * keeps lineage, so early unpersist merely costs recompute, never
-    * correctness).
+  /** Shared level-1 state: the support-pruned (b, i, ci) frame —
+    * materialized once, because every higher level fans multiple plan
+    * branches out of it — and the exact basket total. The basket
+    * count() is the ONE eager action either public entry point runs; it
+    * also computes (and block-persists) the lazily-checkpointed
+    * distinct (b, i) frame, so no branch recomputes the distinct or the
+    * level-1 prune. LAZY localCheckpoint, not persist(): persist
+    * registers the plan in the session CacheManager, which holds a
+    * strong reference until an explicit unpersist — a session-lifetime
+    * leak for a private intermediate the caller can never unpersist.
+    * localCheckpoint blocks are RDD-level and ContextCleaner-freed as
+    * soon as the caller drops the returned frames.
     */
   private def level1(baskets: DataFrame, basketCol: String, itemCol: String,
       minSupport: Long): (DataFrame, Long) = {
-    val items = distinctItems(baskets, basketCol, itemCol).persist()
+    val items = distinctItems(baskets, basketCol, itemCol)
+      .localCheckpoint(false)
     val nBaskets = items.select(col("b")).distinct().count()
     val itemCnt = items.groupBy(col("i")).agg(count(lit(1)).as("ci"))
       .filter(col("ci") >= minSupport)
     val frequent = items.join(itemCnt, Seq("i"))
-      .select(col("b"), col("i"), col("ci")).persist()
+      .select(col("b"), col("i"), col("ci")).localCheckpoint(false)
     (frequent, nBaskets)
   }
 

@@ -81,13 +81,24 @@ object Dedup {
 
   /** Grow the index with a processed shard's NEW hashes only (anti join
     * keeps the index duplicate-free; bucketed append keeps the layout).
+    *
+    * The new-hash frame is MATERIALIZED (eager localCheckpoint) before
+    * the append starts: the anti join reads the same path the write
+    * targets, and running both in one lazy job would rely on the file
+    * listing being snapshotted before the first new file lands — the
+    * self-read-write hazard Spark hard-errors on for overwrite mode.
+    * Checkpointing first means the read side is fully consumed before
+    * any write begins; the checkpoint blocks are ContextCleaner-freed
+    * when the frame goes out of scope.
     */
   def appendToContentIndex(df: DataFrame, textCol: String,
       path: String): Unit = {
     val idx = df.sparkSession.read.parquet(path).select(col("h"))
-    df.select(fnv64(canonicalText(col(textCol))).as("h"))
+    val fresh = df.select(fnv64(canonicalText(col(textCol))).as("h"))
       .filter(col("h").isNotNull).distinct()
       .join(idx, Seq("h"), "left_anti")
+      .localCheckpoint(true)
+    fresh
       .withColumn("bucket", pmod(col("h"), lit(256L)))
       .write.mode("append").partitionBy("bucket").parquet(path)
   }

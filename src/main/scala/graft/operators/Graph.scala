@@ -267,7 +267,7 @@ object Graph {
     * returns a non-core silently.
     */
   def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
-      maxIterations: Int = 64): DataFrame = {
+      maxIterations: Int = 64, freeFinal: Boolean = true): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     var e = canonicalEdges(edges, srcCol, dstCol).localCheckpoint(true)
     var nEdges = e.count()
@@ -285,24 +285,27 @@ object Graph {
         .localCheckpoint(true)
       val nNext = next.count()
       converged = nNext == nEdges
-      e.unpersist()
+      // the dropped round's checkpoint blocks are RDD-level (not in the
+      // CacheManager — Dataset.unpersist would be a no-op on them); the
+      // ContextCleaner frees them once this reassignment drops the last
+      // reference and GC collects the RDD
       e = next; nEdges = nNext
       pass += 1
     }
     if (!converged)
       throw new IllegalStateException(
         s"k-core peel did not converge in $maxIterations rounds")
-    // Materialize the (node, degree) result — strictly smaller than the
-    // edge set — then free the final round's edge checkpoint instead of
-    // leaving it pinned for the session (a long-lived session calling
-    // kCore repeatedly would otherwise accumulate edge-sized block sets;
-    // the result's own blocks are released by the ContextCleaner once
-    // the caller drops the returned frame).
     val res = e.select(col("s").as("node")).unionAll(e.select(col("t").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("degree"))
-      .localCheckpoint(true)
-    e.unpersist()
-    res
+    // freeFinal trades one extra eager job for prompt lifecycle: the
+    // lazy result's lineage pins the final round's edge checkpoint for
+    // as long as the caller holds the frame. Long-lived sessions that
+    // call kCore repeatedly want the (strictly smaller) result
+    // materialized so the edge blocks become GC/ContextCleaner-eligible
+    // the moment this method returns; one-shot queries (the bench path)
+    // skip the second materialization — the blocks die with the session
+    // anyway.
+    if (freeFinal) res.localCheckpoint(true) else res
   }
 
   /** Degree-distribution power-law fit — the Clauset-Shalizi-Newman

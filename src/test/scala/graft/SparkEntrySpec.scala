@@ -14,6 +14,13 @@ class SparkEntrySpec extends AnyFunSuite {
     assert(missing.isEmpty, s"oracle without query: $missing")
   }
 
+  test("every query has an oracle (zero rows-only invariant)") {
+    // every queries entry is DuckDB-verifiable — a future rows-only
+    // query must be a deliberate, compile-visible choice here, not drift
+    val unoracled = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(unoracled.isEmpty, s"query without oracle: $unoracled")
+  }
+
   test("entry() returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

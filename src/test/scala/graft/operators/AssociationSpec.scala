@@ -59,10 +59,16 @@ class AssociationSpec extends AnyFunSuite {
     assert(r.getAs[Double]("support") == 2.0 / 3.0)
   }
 
-  test("frequentTriples: plan construction runs exactly one eager action") {
-    // the shared level-1 frame means building the triple plan runs ONE
-    // job (the basket count, which also materializes the cache) — not
-    // one count per a-priori level
+  test("frequentTriples: plan construction runs a bounded action count") {
+    // the shared level-1 frame means building the triple plan runs a
+    // FIXED set of construction executions — never one count per
+    // a-priori level. With the leak-free lazy localCheckpoint (r8:
+    // persist pinned CacheManager entries for the session), AQE
+    // materializes each checkpoint's shuffle stages inside
+    // localCheckpoint()'s own execution, so construction is exactly 3
+    // executions: items stage-materialization, the basket count, and
+    // frequent stage-materialization — each level-1 shuffle runs ONCE
+    // no matter how many plan branches the higher levels fan out of it.
     val df = Seq(
       (1L, "a"), (1L, "b"), (1L, "c"),
       (2L, "a"), (2L, "b"), (2L, "c"))
@@ -86,10 +92,10 @@ class AssociationSpec extends AnyFunSuite {
       // is then recorded too
       spark.range(1).count()
       val deadline = System.nanoTime() + 10_000_000_000L
-      while (execIds.size < 2 && System.nanoTime() < deadline)
+      while (execIds.size < 4 && System.nanoTime() < deadline)
         Thread.sleep(50)
-      assert(execIds.size == 2, // construction + marker
-        s"plan construction ran ${execIds.size - 1} actions, expected 1")
+      assert(execIds.size == 4, // 3 construction (see header) + marker
+        s"plan construction ran ${execIds.size - 1} actions, expected 3")
       assert(plan.collect().length == 1)
     } finally spark.sparkContext.removeSparkListener(listener)
   }

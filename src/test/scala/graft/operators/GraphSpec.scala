@@ -174,6 +174,23 @@ class GraphSpec extends AnyFunSuite {
     assert(Graph.kCore(cycle, "u", "v", k = 3).collect().isEmpty)
   }
 
+  test("kCore: freeFinal=false returns the same core as freeFinal=true") {
+    // same clique+chain graph as above — the lifecycle flag must never
+    // change the answer, only whether the result is pre-materialized
+    val clique = for {
+      a <- 1L to 5L; b <- 1L to 5L if a < b
+    } yield (a, b)
+    val chain = Seq((5L, 10L), (10L, 11L), (11L, 12L), (12L, 13L))
+    val edges = (clique ++ chain).toDF("u", "v")
+    def run(free: Boolean) =
+      Graph.kCore(edges, "u", "v", k = 3, freeFinal = free)
+        .collect().map(r => r.getLong(0) -> r.getAs[Long]("degree")).toMap
+    val eager = run(free = true)
+    val lazyRes = run(free = false)
+    assert(eager == lazyRes)
+    assert(eager == Map(1L -> 4L, 2L -> 4L, 3L -> 4L, 4L -> 4L, 5L -> 4L))
+  }
+
   test("clusteringCoefficient: clique nodes 1.0, bridge nodes lower") {
     // triangle {1,2,3} + pendant 3-4: node 3 has deg 3, 1 triangle →
     // cc = 2·1/(3·2) = 0.3333; nodes 1,2 are fully clustered (1.0);
