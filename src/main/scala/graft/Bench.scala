@@ -234,6 +234,7 @@ object Bench {
       val probes = emb.filter(org.apache.spark.sql.functions.col("vec_id") < 5)
       val ivfPath = s"$tmp/graft_bench_ivf_$runTag"
       val adcPath = s"$tmp/graft_bench_ivfadc_$runTag"
+      val lshPath = s"$tmp/graft_bench_lsh_$runTag"
       Seq(
         servedEntry("q52_ivf_served") { () =>
           val m = IvfIndex.train(emb, k = 8, iterations = 3)
@@ -243,7 +244,11 @@ object Bench {
           val m = IvfAdc.train(emb, kCells = 8, m = 8, pqK = 16,
             iterations = 3, dim = 64)
           IvfAdc.writeIndex(emb, m, adcPath)
-        } (() => IvfAdc.topKFromIndex(spark, adcPath, probes, nprobe = 4, k = 10)))
+        } (() => IvfAdc.topKFromIndex(spark, adcPath, probes, nprobe = 4, k = 10)),
+        servedEntry("q34_lsh_served") { () =>
+          graft.operators.Similarity.writeLshIndex(emb, lshPath)
+        } (() => graft.operators.Similarity
+          .bandedLshTopKFromIndex(spark, lshPath, probes, k = 10)))
     }
     val allResults = results ++ servedResults :+ etlResult
     val loadEnd = loadAvg()

@@ -1918,6 +1918,107 @@ object SparkEntry {
       graft.operators.Graph.edgeEmbeddedness(edges, "src", "dst")
     }),
 
+    // Bradley-Terry strength fit over a synthesized model arena: each
+    // event is one pairwise comparison — champion = its event_type,
+    // challenger = the (event_id % k)-th of the k ordered distinct
+    // types (self-matches dropped), champion wins iff value > 60. The
+    // million-row log reduces to the k×k matrix in one pass; 8 MM
+    // iterations run on that bounded frame. The k-type list is a
+    // collected bounded contract (a handful of types by construction).
+    "q296_bradley_terry" -> ((s, d) => {
+      val ev = Tables.events(s, d).filter(col("value").isNotNull)
+        .select(col("event_id"), col("event_type").as("a"), col("value"))
+      val types = ev.select(col("a")).distinct().orderBy(col("a"))
+        .collect().map(_.getString(0)).toSeq
+      val matches = ev.select(col("a"),
+        element_at(array(types.map(lit(_)): _*),
+          (col("event_id") % types.length).cast("int") + 1).as("b"),
+        (col("value") > 60.0).as("a_wins"))
+      graft.operators.Eval.bradleyTerry(matches, "a", "b", "a_wins",
+        iterations = 8)
+    }),
+
+    // Per-label embedding centroid drift between two snapshots (even
+    // vs odd vec_ids stand in for encoder v1/v2): centroid cosine +
+    // norm ratio per label — the rotate-or-rescale audit run before
+    // mixing embedding versions in one index
+    "q295_centroid_drift" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      graft.operators.Similarity.labelCentroidDrift(
+        emb.filter(col("vec_id") % 2 === 0),
+        emb.filter(col("vec_id") % 2 =!= 0))
+    }),
+
+    // Token-budget corpus selection: quality-first greedy prefix under
+    // a 10k-token budget (quality = distinct-token ratio, the q283
+    // diversity score). Engine runs the two-phase bucketed cumsum (the
+    // only globally-ordered frame is the ≤1001-row bucket frame);
+    // oracle replays the equivalent single global window — quantization
+    // is order-compatible, so the cut is identical by construction.
+    "q294_token_budget" -> ((s, d) => {
+      val toks = graft.functions.TextFunctions.tokens(col("text"))
+      graft.operators.TrainingData.tokenBudgetSelect(
+        t(s, d, "documents"), "doc_id",
+        tokenCount = size(toks),
+        quality = round(size(array_distinct(toks)).cast("double") /
+          size(toks).cast("double"), 4),
+        budget = 10000L)
+    }),
+
+    // REAL video frame decode, end to end: deterministic RGB-AVIs are
+    // assembled from doc ids (real RIFF container bytes, 17×6
+    // checkerboard DIB frames), then parsed + pixel-decoded by
+    // videoFrameStats — container walk, bottom-up padded-BGR rows,
+    // integer BT.601 luma. The oracle replays the closed-form pixel
+    // arithmetic; any container/row-padding/pixel-order bug shifts the
+    // stats and hash-fails. (MJPEG frames decode through the same path
+    // via javax.imageio — spec-covered, JPEG loss keeps it off the
+    // exact oracle.)
+    "q293_video_frames" -> ((s, d) =>
+      graft.operators.Multimodal.videoFrameStats(
+        graft.operators.Multimodal.syntheticAviFromDocs(
+          t(s, d, "documents")))),
+
+    // Skew stress lane: a deliberately skewed key (hot key 0 owns the
+    // ~30% of events with event_id % 10 < 3 — the first NON-uniform
+    // key distribution the skew machinery has faced) driven through the
+    // manual remedy chain: salted fact-dim equi-join (dim replicated
+    // per salt, saltFactor 16) then per-band aggregation. The oracle
+    // replays the same join/agg SALT-FREE — salting must never change
+    // the answer, only the shuffle layout.
+    "q292_skew_stress" -> ((s, d) => {
+      val fact = Tables.events(s, d).select(
+        when(col("event_id") % 10 < 3, lit(0L))
+          .otherwise(col("user_id") + 1L).as("k"),
+        col("value"))
+      val dim = fact.select(col("k")).distinct()
+        .withColumn("band", col("k") % lit(7L))
+      graft.operators.SkewJoin.saltedEquiJoin(fact, dim, "k", saltFactor = 16)
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n_rows"),
+          decSum(col("value"), 2).as("total_value"))
+    }),
+
+    // Served banded-LSH top-k: q34's search through a PERSISTED
+    // (band, key)-partitioned signature index — probe band keys become
+    // partition filters, so candidate generation is a pruned scan of
+    // narrow id rows (no per-query signature recompute, no corpus
+    // shuffle). Bit-identical to the in-query form; same oracle as q34.
+    "q291_lsh_served" -> ((s, d) => {
+      val tmp = sys.props("java.io.tmpdir")
+      val path = s"$tmp/graft_q291_lsh_${s.sparkContext.applicationId}"
+      def rmrf(p: java.io.File): Unit = {
+        if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rmrf))
+        p.delete(): Unit
+      }
+      rmrf(new java.io.File(path))
+      val emb = t(s, d, "embeddings")
+      graft.operators.Similarity.writeLshIndex(emb, path)
+      graft.operators.Similarity.bandedLshTopKFromIndex(s, path,
+        emb.filter(col("vec_id") < 5), k = 10)
+        .withColumn("cosine", round(col("cosine"), 4))
+    }),
+
     // int8 quantized top-k: exact integer code dot products rescaled by
     // per-vector scales — the 4×-smaller search path q288's audit
     // justifies
@@ -5251,6 +5352,134 @@ object SparkEntry {
         |WHERE rank <= 10""".stripMargin,
 
     "q34_lsh_topk" -> bandedLshTopKOracleSql(k = 10, maxProbeId = 5),
+
+    // Served-index replay: the persisted (band, key) layout must return
+    // BIT-IDENTICAL results to the in-query banding — same oracle
+    "q291_lsh_served" -> bandedLshTopKOracleSql(k = 10, maxProbeId = 5),
+
+    // Bradley-Terry replay: same arena synthesis, exact integer W/n
+    // matrix, 8 unrolled MM iterations with j-ordered denominator
+    // folds — the pageRank iteration-unroll pattern
+    "q296_bradley_terry" -> {
+      val its = (1 to 8).map { i =>
+        s"""d$i AS (SELECT p.i,
+           |    list_reduce(list_prepend(0.0::DOUBLE,
+           |      list(p.n::DOUBLE / (si.s + sj.s) ORDER BY p.j)),
+           |      (acc, x) -> acc + x) AS d
+           |  FROM pair p JOIN s${i - 1} si ON si.i = p.i
+           |    JOIN s${i - 1} sj ON sj.i = p.j
+           |  GROUP BY p.i),
+           |s$i AS (SELECT w.i, w.wtot::DOUBLE / d.d AS s
+           |  FROM wins w JOIN d$i d ON d.i = w.i)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ev AS (SELECT event_id, event_type AS a, value
+         |  FROM events WHERE value IS NOT NULL),
+         |tl AS (SELECT list(t ORDER BY t) AS ts
+         |  FROM (SELECT DISTINCT a AS t FROM ev)),
+         |m AS (SELECT a,
+         |    ts[CAST(event_id % len(ts) AS INT) + 1] AS b,
+         |    (value > 60.0::DOUBLE) AS w
+         |  FROM ev CROSS JOIN tl),
+         |mm AS (SELECT a AS i, b AS j, CASE WHEN w THEN 1 ELSE 0 END AS wi
+         |    FROM m WHERE a <> b
+         |  UNION ALL
+         |  SELECT b AS i, a AS j, CASE WHEN w THEN 0 ELSE 1 END AS wi
+         |    FROM m WHERE a <> b),
+         |pair AS (SELECT i, j, count(*)::BIGINT AS n, SUM(wi)::BIGINT AS w
+         |  FROM mm GROUP BY i, j),
+         |wins AS (SELECT i, SUM(w)::BIGINT AS wtot FROM pair GROUP BY i),
+         |s0 AS (SELECT i, 1.0::DOUBLE AS s FROM wins),
+         |$its
+         |SELECT i AS model, round(s, 6) AS bt_score FROM s8""".stripMargin
+    },
+
+    // Centroid-drift replay: 6dp-rounded DECIMAL(18,6) component sums
+    // (int64-backed — both engines' decimal→double conversions stay
+    // correctly rounded), dim-ordered folds, identical double op order
+    "q295_centroid_drift" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+        |  FROM embeddings),
+        |x AS (SELECT vec_id % 2 AS side, label, i AS dim,
+        |    CAST(round(v[i], 6) AS DECIMAL(18,6)) AS c
+        |  FROM (SELECT vec_id, label,
+        |      unnest(generate_series(1, len(v))) AS i, v FROM e)),
+        |s AS (SELECT label, dim,
+        |    CAST(CAST(SUM(c) FILTER (side = 0) AS DECIMAL(18,6))
+        |      AS DOUBLE) AS sa,
+        |    CAST(CAST(SUM(c) FILTER (side = 1) AS DECIMAL(18,6))
+        |      AS DOUBLE) AS sb
+        |  FROM x GROUP BY label, dim),
+        |n AS (SELECT label,
+        |    COUNT(*) FILTER (vec_id % 2 = 0) AS n_a,
+        |    COUNT(*) FILTER (vec_id % 2 = 1) AS n_b
+        |  FROM e GROUP BY label),
+        |f AS (SELECT label,
+        |    list(struct_pack(dim := dim, sa := sa, sb := sb)
+        |      ORDER BY dim) AS l
+        |  FROM s WHERE sa IS NOT NULL AND sb IS NOT NULL GROUP BY label),
+        |g AS (SELECT label,
+        |    list_reduce(list_prepend(0.0,
+        |      list_transform(l, q -> q.sa * q.sb)),
+        |      (a2, x2) -> a2 + x2) AS dot,
+        |    list_reduce(list_prepend(0.0,
+        |      list_transform(l, q -> q.sa * q.sa)),
+        |      (a2, x2) -> a2 + x2) AS na2,
+        |    list_reduce(list_prepend(0.0,
+        |      list_transform(l, q -> q.sb * q.sb)),
+        |      (a2, x2) -> a2 + x2) AS nb2
+        |  FROM f)
+        |SELECT g.label, n_a, n_b,
+        |  CASE WHEN na2 > 0 AND nb2 > 0
+        |    THEN round(dot / sqrt(na2 * nb2), 4) END AS centroid_cosine,
+        |  CASE WHEN na2 > 0 AND nb2 > 0
+        |    THEN round(sqrt(na2) * n_b / (sqrt(nb2) * n_a), 4) END
+        |    AS norm_ratio
+        |FROM g JOIN n USING (label)""".stripMargin,
+
+    // Budget-selection replay: ONE global cumsum window over
+    // (quality DESC, id) — provably equal to the engine's two-phase
+    // bucketed form because floor(q·1000) is monotone in q
+    "q294_token_budget" ->
+      s"""WITH tk AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+         |d AS (SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+         |    round(len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE, 4)
+         |      AS q
+         |  FROM tk WHERE len(toks) > 0),
+         |c AS (SELECT doc_id, n_tokens, q,
+         |    CAST(SUM(n_tokens) OVER (ORDER BY q DESC, doc_id) AS BIGINT)
+         |      AS cum_tokens
+         |  FROM d)
+         |SELECT doc_id AS id, n_tokens, q, cum_tokens,
+         |  cum_tokens <= 10000 AS selected
+         |FROM c""".stripMargin,
+
+    // Video-frame replay: the closed-form per-frame pixel arithmetic the
+    // engine must reproduce by actually decoding the AVI bytes
+    "q293_video_frames" ->
+      """WITH f AS (
+        |  SELECT doc_id, unnest(generate_series(0, doc_id % 3)) AS fi
+        |  FROM documents WHERE doc_id >= 0)
+        |SELECT doc_id AS media_id, CAST(fi AS INT) AS frame_idx,
+        |  17 AS width, 6 AS height, CAST(102 AS BIGINT) AS n_pixels,
+        |  CAST(299*((doc_id*5+fi*7)%200) + 587*((doc_id*11+fi*3)%200)
+        |    + 114*((doc_id*17+fi*13)%200) AS BIGINT) AS min_luma_milli,
+        |  CAST(299*((doc_id*5+fi*7)%200) + 587*((doc_id*11+fi*3)%200)
+        |    + 114*((doc_id*17+fi*13)%200) + 55000 AS BIGINT)
+        |    AS max_luma_milli,
+        |  CAST(51 AS BIGINT) AS n_min_pixels
+        |FROM f""".stripMargin,
+
+    // Skew-stress replay: identical hot-key derivation, join, and agg —
+    // WITHOUT salting (the remedy must be answer-invariant)
+    "q292_skew_stress" ->
+      """WITH fact AS (SELECT
+        |    CASE WHEN event_id % 10 < 3 THEN 0 ELSE user_id + 1 END AS k,
+        |    value FROM events),
+        |dim AS (SELECT DISTINCT k, k % 7 AS band FROM fact)
+        |SELECT band, count(*) AS n_rows,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM fact JOIN dim USING (k)
+        |GROUP BY band""".stripMargin,
 
     "q52_ivf_topk" -> ivfTopKOracleSql(k = 10, nprobe = 4, kCells = 8,
       iterations = 3, maxProbeId = 5),

@@ -46,4 +46,58 @@ object Eval {
         round(lit(2.0) * col("tp").cast("double") /
           (col("__pp") + col("__p")), 4).as("f1"))
   }
+
+  /** Bradley-Terry strength fit over pairwise comparisons (model A vs
+    * model B, A wins / loses) via Hunter 2004's MM iteration
+    * s_i ← W_i / Σ_{j≠i} n_ij / (s_i + s_j) — the standard
+    * preference-eval aggregate behind LLM arena leaderboards, fit here
+    * as a declarative fixed-iteration plan.
+    *
+    * Scale shape: the million-row match log reduces to the k×k
+    * pair-count matrix in ONE partial-agg pass (k = #models, small by
+    * nature); every iteration then runs on that bounded frame, eagerly
+    * checkpointed per round — the s-frame is referenced TWICE per
+    * iteration (s_i and s_j sides), so without truncation the plan DAG
+    * doubles per round (2^iterations analysis blowup, the pageRank
+    * lesson).
+    *
+    * Determinism: exact integer W/n; each denominator folds its
+    * opponent terms in j-sorted order (one fixed IEEE sequence, k
+    * terms); s⁰ = 1 and every update is the same op tree both engines
+    * — raw doubles stay bit-equal, rounded 6dp at the edge. Scale is
+    * pinned by s⁰ (no renormalization); callers compare ratios.
+    * Degenerate inputs where two zero-win models only play each other
+    * yield NULL/NaN scores for those models, by design.
+    */
+  def bradleyTerry(matches: DataFrame, aCol: String, bCol: String,
+      aWinsCol: String, iterations: Int = 8): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    val dir = matches
+      .select(col(aCol).as("i"), col(bCol).as("j"),
+        when(col(aWinsCol).cast("boolean"), 1L).otherwise(0L).as("wi"))
+      .filter(col("i") =!= col("j"))
+    val sym = dir.unionAll(dir.select(col("j").as("i"), col("i").as("j"),
+      (lit(1L) - col("wi")).as("wi")))
+    val pair = sym.groupBy(col("i"), col("j"))
+      .agg(count(lit(1)).as("n"), sum(col("wi")).as("w"))
+      .localCheckpoint(true) // k² rows; read every iteration
+    val wins = pair.groupBy(col("i")).agg(sum(col("w")).as("wtot"))
+      .localCheckpoint(true)
+    var s = wins.select(col("i"), lit(1.0).as("s"))
+    (1 to iterations).foreach { _ =>
+      val denom = pair
+        .join(s.select(col("i"), col("s").as("si")), Seq("i"))
+        .join(s.select(col("i").as("j"), col("s").as("sj")), Seq("j"))
+        .groupBy(col("i"))
+        .agg(aggregate(
+          transform(array_sort(collect_list(struct(col("j"),
+            (col("n").cast("double") / (col("si") + col("sj"))).as("t")))),
+            x => x.getField("t")),
+          lit(0.0), (acc, x) => acc + x).as("d"))
+      s = wins.join(denom, Seq("i"))
+        .select(col("i"), (col("wtot").cast("double") / col("d")).as("s"))
+        .localCheckpoint(true)
+    }
+    s.select(col("i").as("model"), round(col("s"), 6).as("bt_score"))
+  }
 }

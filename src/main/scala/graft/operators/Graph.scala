@@ -12,6 +12,28 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Eager localCheckpoint that PRESERVES a hash layout on `key` — the
+    * iterative-graph shuffle lever: a checkpointed edge list that
+    * remembers its partitioning satisfies every later join's
+    * distribution requirement on that key, so the EDGE-sized exchange
+    * drops out of every pass (only the vertex-sized labels/ranks side
+    * shuffles). AQE must be OFF while the checkpoint executes:
+    * AdaptiveSparkPlanExec reports UnknownPartitioning until runtime,
+    * so a checkpoint captured under AQE forgets its layout and every
+    * pass re-shuffles the edges (measured: the plan regrows an
+    * ENSURE_REQUIREMENTS exchange on the checkpointed side). The
+    * toggle is scoped to this one eager build; concurrent queries are
+    * unaffected when callers follow the one-session-per-thread
+    * discipline (graft.Verify's model).
+    */
+  private def partitionedCheckpoint(df: DataFrame, key: String): DataFrame = {
+    val conf = df.sparkSession.conf
+    val prev = conf.get("spark.sql.adaptive.enabled", "true")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    try df.repartition(col(key)).localCheckpoint(true)
+    finally conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   /** Connected components over an undirected edge list: returns
     * `(vertex, component)` where `component` is the MINIMUM vertex id in
     * the vertex's component — a deterministic, partitioning-independent
@@ -39,10 +61,11 @@ object Graph {
       maxIterations: Int = 50): DataFrame = {
     val e = edges.select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
       .filter(col("u") =!= col("v"))
-    // symmetrize once; referenced every pass — materialize eagerly
-    val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
-      .distinct()
-      .localCheckpoint(true)
+    // symmetrize once; referenced every pass — materialize eagerly,
+    // PARTITIONED on the per-pass join key so the edge list never
+    // re-shuffles across passes (labels are the only moving side)
+    val sym = partitionedCheckpoint(
+      e.union(e.select(col("v").as("u"), col("u").as("v"))).distinct(), "v")
     var labels = sym.select(col("u").as("vtx")).distinct()
       .withColumn("lbl", col("vtx"))
     var previous: Option[DataFrame] = None
@@ -110,9 +133,11 @@ object Graph {
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int = 10, damping: Double = 0.85): DataFrame = {
-    val e = edges.select(col(srcCol).cast("long").as("u"),
-      col(dstCol).cast("long").as("v")).distinct()
-      .localCheckpoint(true)
+    // edges partitioned on u: the per-iteration rank join AND the
+    // out-degree aggregate both consume that layout with no exchange
+    val e = partitionedCheckpoint(
+      edges.select(col(srcCol).cast("long").as("u"),
+        col(dstCol).cast("long").as("v")).distinct(), "u")
     val nodes = e.select(col("u").as("node"))
       .union(e.select(col("v").as("node"))).distinct()
       .localCheckpoint(true)

@@ -369,6 +369,104 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Persist the banded-LSH layout as a (band, key)-PARTITIONED parquet
+    * index — the serving path for [[bandedLshTopK]], which otherwise
+    * recomputes every corpus signature per query (the one ANN lane that
+    * had no persisted variant until r8). Layout:
+    *   path/meta   — one row (num_bands, planes_per_band, dim, seed)
+    *   path/bands  — (id) rows under band=<b>/key=<k> directories
+    *   path/vecs   — (id, v, nrm) for the exact rerank
+    * A probe emits `numBands` (band, key) pairs, so a probe batch scans
+    * at most |probes| × numBands of the numBands × 2^planesPerBand
+    * partition directories — candidate generation prunes at the SCAN,
+    * no signature computation, no corpus shuffle. With the default 15×4
+    * banding that is 240 directories; at 100 TB each holds ~corpus/240
+    * narrow 8 B id rows, and the vecs table is only read for the few
+    * surviving rerank candidates.
+    */
+  def writeLshIndex(corpus: DataFrame, path: String,
+      numBands: Int = 15, planesPerBand: Int = 4, dim: Int = 64,
+      seed: Long = 42L): Unit = {
+    val spark = corpus.sparkSession
+    bandKeys(corpus, "id", numBands, planesPerBand, dim, seed)
+      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+      .write.mode("overwrite").partitionBy("band", "key")
+      .parquet(s"$path/bands")
+    withNorm(corpus, "id", "v", "nrm")
+      .write.mode("overwrite").parquet(s"$path/vecs")
+    import spark.implicits._
+    Seq((numBands, planesPerBand, dim, seed))
+      .toDF("num_bands", "planes_per_band", "dim", "seed")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  private case class LshMeta(numBands: Int, planesPerBand: Int, dim: Int,
+    seed: Long)
+
+  private def loadLshMeta(spark: org.apache.spark.sql.SparkSession,
+      path: String): LshMeta = {
+    val r = spark.read.parquet(s"$path/meta").head()
+    LshMeta(r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3))
+  }
+
+  /** Incremental maintenance: band-key the NEW vectors with the STORED
+    * plane parameters (frozen model — the IVF/BM25 maintenance
+    * contract) and append into the (band, key) partitions. Probes then
+    * see one unified layout, bit-identical to a one-shot build over the
+    * full corpus (partitions are plain directories; append adds files,
+    * never rewrites). New ids must be NEW.
+    */
+  def appendToLshIndex(newVecs: DataFrame, path: String): Unit = {
+    val m = loadLshMeta(newVecs.sparkSession, path)
+    bandKeys(newVecs, "id", m.numBands, m.planesPerBand, m.dim, m.seed)
+      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+      .write.mode("append").partitionBy("band", "key")
+      .parquet(s"$path/bands")
+    withNorm(newVecs, "id", "v", "nrm")
+      .write.mode("append").parquet(s"$path/vecs")
+  }
+
+  /** Top-k over a persisted LSH index — bit-identical results to
+    * [[bandedLshTopK]] with the stored parameters (same candidate set:
+    * a pair survives iff ANY band key matches; same exact-cosine rerank
+    * and tie order). The probe batch's (band, key) pairs become a
+    * partition-pruning disjunction, so only those directories are read.
+    * `probes` small by contract (collected once, like topKFromIndex).
+    */
+  def bandedLshTopKFromIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, probes: DataFrame, k: Int): DataFrame = {
+    val m = loadLshMeta(spark, path)
+    val probeKeyRows = bandKeys(probes, "probe_id", m.numBands,
+      m.planesPerBand, m.dim, m.seed)
+      .select(col("probe_id"), col("bk.band").as("band"),
+        col("bk.key").as("key"))
+    val probeLocal = spark.createDataFrame(
+      java.util.Arrays.asList(probeKeyRows.collect(): _*), probeKeyRows.schema)
+    val wanted = probeLocal.select(col("band"), col("key")).distinct()
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    require(wanted.nonEmpty, "no probe band keys (all probes zero-norm?)")
+    val prune = wanted.map { case (b, kk) =>
+      col("band") === b && col("key") === kk
+    }.reduce(_ || _)
+    val cand = spark.read.parquet(s"$path/bands")
+      .filter(prune) // prunes band=<b>/key=<k> directories at the scan
+      .join(broadcast(probeLocal), Seq("band", "key"))
+      .filter(col("id") =!= col("probe_id"))
+      .select(col("probe_id"), col("id").as("corpus_id")).distinct()
+    val c = spark.read.parquet(s"$path/vecs")
+      .select(col("id").as("corpus_id"), col("v").as("c_vec"),
+        col("nrm").as("c_nrm"))
+    val p = withNorm(probes, "probe_id", "p_vec", "p_nrm")
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cosine").desc, col("corpus_id"))
+    cand.join(c, "corpus_id").join(p, "probe_id")
+      .withColumn("cosine",
+        pairCosine(col("c_vec"), col("p_vec"), col("c_nrm"), col("p_nrm")))
+      .select(col("probe_id"), col("corpus_id"), col("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Banded self-join pairs with exact cosine rerank: (id_a < id_b,
     * cosine). Same OR-construction recall as [[bandedLshTopK]] — at
     * cosine τ with per-plane agreement p = 1 - θ/π, a pair is a
@@ -436,6 +534,58 @@ object Similarity {
       .withColumn("intersect_est", col("jaccard_est") * col("union_est"))
       .select(col("corpus_a"), col("corpus_b"), col("n_shared"),
         col("jaccard_est"), col("union_est"), col("intersect_est"))
+  }
+
+  /** Per-label centroid drift between two embedding corpora (encoder
+    * version A vs B, yesterday's crawl vs today's): for every label
+    * present in BOTH, the cosine between the label's A-centroid and
+    * B-centroid plus the centroid-norm ratio — THE "did the new encoder
+    * rotate or rescale my classes" audit run before mixing embedding
+    * snapshots in one index.
+    *
+    * Determinism: per-(label, dim) component sums go through 6dp
+    * rounding + DECIMAL(18,6) (exact, order-independent, int64-backed
+    * so the final decimal→double conversions are correctly rounded in
+    * BOTH engines — the int128 hazard stays out); the cosine folds run
+    * over the dim-SORTED component list (one fixed FP sequence). The
+    * 1/n centroid factor cancels inside the cosine, so sums are
+    * compared directly; the norm ratio re-introduces the counts as one
+    * fixed-order double expression.
+    *
+    * Scale: one posexplode pass per side — (label, dim, component)
+    * narrow rows, partial-agg combined map-side to |labels|·dim rows
+    * before any shuffle; everything downstream operates on that tiny
+    * frame (folds are dim-bounded).
+    */
+  def labelCentroidDrift(a: DataFrame, b: DataFrame,
+      labelCol: String = "label"): DataFrame = {
+    def sums(df: DataFrame, out: String): DataFrame =
+      df.select(col(labelCol).as("label"), toDouble(col("embedding")).as("v"))
+        .select(col("label"), posexplode(col("v")).as(Seq("dim", "c")))
+        .groupBy(col("label"), col("dim"))
+        .agg(sum(round(col("c"), 6).cast("decimal(18,6)"))
+          .cast("decimal(18,6)").cast("double").as(out))
+    def counts(df: DataFrame, out: String): DataFrame =
+      df.groupBy(col(labelCol).as("label")).agg(count(lit(1)).as(out))
+    val joined = sums(a, "sa").join(sums(b, "sb"), Seq("label", "dim"))
+    def fold(f: Column => Column): Column =
+      aggregate(transform(array_sort(
+        collect_list(struct(col("dim"), col("sa"), col("sb")))), f),
+        lit(0.0), (acc, x) => acc + x)
+    joined.groupBy(col("label"))
+      .agg(fold(s => s.getField("sa") * s.getField("sb")).as("__dot"),
+        fold(s => s.getField("sa") * s.getField("sa")).as("__na2"),
+        fold(s => s.getField("sb") * s.getField("sb")).as("__nb2"))
+      .join(counts(a, "n_a"), Seq("label"))
+      .join(counts(b, "n_b"), Seq("label"))
+      .select(col("label"), col("n_a"), col("n_b"),
+        when(col("__na2") > 0 && col("__nb2") > 0,
+          round(col("__dot") / sqrt(col("__na2") * col("__nb2")), 4))
+          .as("centroid_cosine"),
+        when(col("__na2") > 0 && col("__nb2") > 0,
+          round(sqrt(col("__na2")) * col("n_b") /
+            (sqrt(col("__nb2")) * col("n_a")), 4))
+          .as("norm_ratio"))
   }
 
   /** Embedding-norm health report: exact nearest-rank quartiles of the

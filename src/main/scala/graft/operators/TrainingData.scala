@@ -128,6 +128,49 @@ object TrainingData {
           (col("n_bins") * cap).cast("double"), 4))
   }
 
+  /** Token-budget corpus selection: greedy quality-first prefix — rank
+    * every doc by (quality DESC, id ASC) and keep the maximal prefix
+    * whose cumulative token count fits `budget` (the "best B tokens for
+    * the next training run" cut; greedy-by-quality is the standard
+    * practice, not a knapsack).
+    *
+    * Scale shape — the naive form is ONE global window (single
+    * straggler partition over the whole corpus). Here the cumulative
+    * sum is two-phase: quality quantized to `granularity` buckets
+    * (floor(q·granularity) — monotone, so bucket order IS quality
+    * order), per-bucket token totals off one partial-agg pass, an
+    * ordered running sum over the BUCKET frame (bounded: ≤ granularity
+    * × score range rows — the documented small-frame window contract),
+    * then a per-doc window PARTITIONED by bucket for the within-bucket
+    * remainder. Only the bucket frame is ever globally ordered; doc
+    * rows shuffle once, by bucket. The cut is exact: the two-phase
+    * cumsum equals the global (q DESC, id) cumsum because quantization
+    * is order-compatible — the oracle replays the single-window form.
+    */
+  def tokenBudgetSelect(df: DataFrame, idCol: String, tokenCount: Column,
+      quality: Column, budget: Long, granularity: Int = 1000): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    require(granularity > 0, "granularity must be positive")
+    val docs = df.select(col(idCol).as("id"),
+        tokenCount.cast("long").as("n_tokens"),
+        quality.cast("double").as("q"))
+      .filter(col("n_tokens") > 0 && col("q").isNotNull)
+      .withColumn("__b", floor(col("q") * granularity).cast("long"))
+    val buckets = docs.groupBy(col("__b")).agg(sum(col("n_tokens")).as("__bt"))
+    val wb = Window.orderBy(col("__b").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cumB = buckets.withColumn("__cum_before",
+      coalesce(sum(col("__bt")).over(wb), lit(0L)))
+      .select(col("__b"), col("__cum_before"))
+    val wd = Window.partitionBy(col("__b"))
+      .orderBy(col("q").desc, col("id"))
+    docs.join(cumB, Seq("__b"))
+      .withColumn("cum_tokens", col("__cum_before") + sum(col("n_tokens")).over(wd))
+      .withColumn("selected", col("cum_tokens") <= budget)
+      .select(col("id"), col("n_tokens"), col("q"), col("cum_tokens"),
+        col("selected"))
+  }
+
   /** Deterministic stratified sampling: keep a row iff its hash bucket
     * (pmod(xxhash64(id), 1e6)) falls below its stratum's rate threshold.
     * Same determinism contract as [[deterministicSplit]] — retry-stable,

@@ -44,4 +44,29 @@ class EvalSpec extends AnyFunSuite {
       .collect().map(_.getAs[Double]("recall"))
     assert(recalls.zip(recalls.tail).forall { case (a, b) => a <= b })
   }
+
+  test("bradleyTerry: dominant model scores highest, symmetric data ties") {
+    // A beats B 9/10, B beats C 9/10, A beats C 9/10 → strict order
+    val matches = (
+      Seq.fill(9)(("A", "B", true)) ++ Seq.fill(1)(("A", "B", false)) ++
+      Seq.fill(9)(("B", "C", true)) ++ Seq.fill(1)(("B", "C", false)) ++
+      Seq.fill(9)(("A", "C", true)) ++ Seq.fill(1)(("A", "C", false))
+    ).toDF("a", "b", "a_wins")
+    val s = Eval.bradleyTerry(matches, "a", "b", "a_wins")
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("bt_score")).toMap
+    assert(s("A") > s("B") && s("B") > s("C"), s.toString)
+    // perfectly symmetric round robin → equal strengths
+    val sym = Seq(("A", "B", true), ("A", "B", false),
+      ("B", "C", true), ("B", "C", false),
+      ("A", "C", true), ("A", "C", false)).toDF("a", "b", "a_wins")
+    val t = Eval.bradleyTerry(sym, "a", "b", "a_wins")
+      .collect().map(r => r.getAs[Double]("bt_score")).distinct
+    assert(t.length == 1, t.toSeq.toString)
+    // self-matches are dropped, not counted
+    val selfy = (Seq(("A", "A", true)) ++ Seq(("A", "B", true),
+      ("A", "B", false))).toDF("a", "b", "a_wins")
+    val u = Eval.bradleyTerry(selfy, "a", "b", "a_wins")
+      .collect().map(r => r.getAs[Double]("bt_score")).distinct
+    assert(u.length == 1)
+  }
 }

@@ -333,4 +333,72 @@ class MultimodalSpec extends AnyFunSuite {
     }
     assert(sigs(1L).contains(expected))
   }
+
+  test("AVI raw-RGB round trip: container + DIB pixel decode are exact") {
+    import Multimodal.AviCodec
+    // odd width forces a padded row stride (51 → 52 bytes)
+    val frames = Seq(
+      AviCodec.rgbFrameBytes(17, 6, (x, y) =>
+        if ((x + y) % 2 == 0) (10, 20, 30) else (65, 75, 85)),
+      AviCodec.rgbFrameBytes(17, 6, (_, _) => (200, 100, 50)))
+    val avi = AviCodec.buildAvi(17, 6, "RGB", frames)
+    val parsed = AviCodec.parseAvi(avi).get
+    assert((parsed.width, parsed.height, parsed.compression) == (17, 6, "RGB"))
+    assert(parsed.frames.size == 2)
+    val l0 = AviCodec.frameLumaMilli(parsed, parsed.frames(0)).get
+    val lumaA = 299 * 10 + 587 * 20 + 114 * 30
+    val lumaB = 299 * 65 + 587 * 75 + 114 * 85
+    assert(l0.min == lumaA && l0.max == lumaB)
+    // checker layout survives the bottom-up padded decode: corner pixel
+    // (0,0) is an A pixel, (1,0) a B pixel
+    assert(l0(0) == lumaA && l0(1) == lumaB)
+    assert(l0.count(_ == lumaA) == 51 && l0.count(_ == lumaB) == 51)
+    val l1 = AviCodec.frameLumaMilli(parsed, parsed.frames(1)).get
+    assert(l1.distinct.toSeq == Seq(299 * 200 + 587 * 100 + 114 * 50))
+  }
+
+  test("AVI MJPEG: real JPEG frames decode to a real luma histogram") {
+    import Multimodal.AviCodec
+    // two solid-gray frames JPEG-encoded through imageio — decode must
+    // recover each frame's level within JPEG quantization error
+    def jpegFrame(level: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(32, 24,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics()
+      g.setColor(new java.awt.Color(level, level, level))
+      g.fillRect(0, 0, 32, 24); g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    val avi = AviCodec.buildAvi(32, 24, "MJPG", Seq(jpegFrame(64), jpegFrame(192)))
+    val parsed = AviCodec.parseAvi(avi).get
+    assert(parsed.compression == "MJPG" && parsed.frames.size == 2)
+    val hists = parsed.frames.map { f =>
+      val lumas = AviCodec.frameLumaMilli(parsed, f).get
+      assert(lumas.length == 32 * 24)
+      lumas.sum.toDouble / lumas.length / 1000.0 // mean luma 0-255
+    }
+    assert(math.abs(hists(0) - 64) < 4, s"frame0 mean ${hists(0)}")
+    assert(math.abs(hists(1) - 192) < 4, s"frame1 mean ${hists(1)}")
+  }
+
+  test("videoFrameStats: per-frame rows from real decode; non-AVI yields none") {
+    import spark.implicits._
+    import Multimodal.AviCodec
+    val avi = AviCodec.buildAvi(17, 6, "RGB", Seq(
+      AviCodec.rgbFrameBytes(17, 6, (x, y) =>
+        if ((x + y) % 2 == 0) (1, 2, 3) else (60, 70, 80))))
+    val media = Seq(
+      (1L, avi),
+      (2L, "not a video".getBytes("UTF-8"))).toDF("media_id", "content")
+    val out = Multimodal.videoFrameStats(media).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("media_id") == 1L)
+    assert(r.getAs[Long]("n_pixels") == 102L)
+    assert(r.getAs[Long]("min_luma_milli") == 299 + 587 * 2 + 114 * 3)
+    assert(r.getAs[Long]("max_luma_milli") == 299 * 60 + 587 * 70 + 114 * 80)
+    assert(r.getAs[Long]("n_min_pixels") == 51L)
+  }
 }

@@ -65,6 +65,33 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.8, s"banded LSH recall too low: $recall") // measured 0.94
   }
 
+  test("persisted LSH index: served == in-query bit-exact; append == one-shot; pruned scan") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val probes = emb.filter($"vec_id" < 5)
+    val dir = java.nio.file.Files.createTempDirectory("lsh_idx_").toString
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("probe_id"),
+        r.getAs[Long]("corpus_id"), r.getAs[Double]("cosine"),
+        r.getAs[Int]("rank"))).toSet
+    // one-shot build == in-query banding, bit-exact (cosines included)
+    Similarity.writeLshIndex(emb, s"$dir/one")
+    val inQuery = key(Similarity.bandedLshTopK(emb, probes, k = 10))
+    val served = key(Similarity.bandedLshTopKFromIndex(spark, s"$dir/one", probes, k = 10))
+    assert(served == inQuery)
+    // frozen-model append: index 2/3 then append the rest == one-shot
+    Similarity.writeLshIndex(emb.filter($"vec_id" % 3 =!= 0), s"$dir/inc")
+    Similarity.appendToLshIndex(emb.filter($"vec_id" % 3 === 0), s"$dir/inc")
+    val appended = key(Similarity.bandedLshTopKFromIndex(spark, s"$dir/inc", probes, k = 10))
+    assert(appended == inQuery)
+    // the candidate scan must PRUNE: probe band keys appear as partition
+    // filters, so the bands read ≤ |probes| × numBands of the 240 dirs
+    val plan = Similarity.bandedLshTopKFromIndex(spark, s"$dir/one", probes, k = 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: ["), plan.take(2000))
+    val scanned = "partitions read: (\\d+)".r.findFirstMatchIn(plan)
+    scanned.foreach(m => assert(m.group(1).toInt <= 5 * 15, plan.take(500)))
+  }
+
   test("kmvCorpusOverlap: exact set algebra when unions fit inside k") {
     // A = {0..99}, B = {50..149}: J = 50/150, |A∪B| = 150, |A∩B| = 50
     val rows = (0 until 100).map(i => ("A", s"v$i")) ++
@@ -199,5 +226,29 @@ class SimilaritySpec extends AnyFunSuite {
     // fence = 5 + 1.5·2 = 8 → only the 500 norm exceeds
     assert(r.getAs[Long]("n_outliers") == 1L)
     assert(r.getAs[Long]("n_zero") == 1L)
+  }
+
+  test("labelCentroidDrift: identical snapshot → cosine 1; flipped → -1; scaled → norm ratio") {
+    val a = Seq(
+      (0L, Array(1f, 0f, 0f, 0f), 1),
+      (1L, Array(0f, 1f, 0f, 0f), 1),
+      (2L, Array(0f, 0f, 1f, 0f), 2),
+      (3L, Array(0f, 0f, 1f, 0f), 3)).toDF("vec_id", "embedding", "label")
+    // B: label 1 identical (2 copies → same centroid), label 2 flipped,
+    // label 3 same direction but 2× magnitude; label 4 only in B (drops)
+    val b = Seq(
+      (10L, Array(1f, 0f, 0f, 0f), 1),
+      (11L, Array(0f, 1f, 0f, 0f), 1),
+      (12L, Array(0f, 0f, -1f, 0f), 2),
+      (13L, Array(0f, 0f, 2f, 0f), 3),
+      (14L, Array(0f, 1f, 0f, 0f), 4)).toDF("vec_id", "embedding", "label")
+    val out = Similarity.labelCentroidDrift(a, b, "label")
+      .collect().map(r => r.getInt(0) -> ((r.getAs[Long]("n_a"),
+        r.getAs[Long]("n_b"), r.getAs[Double]("centroid_cosine"),
+        r.getAs[Double]("norm_ratio")))).toMap
+    assert(out.keySet == Set(1, 2, 3)) // label 4 has no A side
+    assert(out(1) == ((2L, 2L, 1.0, 1.0)))
+    assert(out(2)._3 == -1.0 && out(2)._4 == 1.0)
+    assert(out(3)._3 == 1.0 && out(3)._4 == 0.5) // |cA|/|cB| = 1/2
   }
 }

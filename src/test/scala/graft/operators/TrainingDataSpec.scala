@@ -400,4 +400,31 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(s2.getAs[Long]("n_bins") == 1L)
     assert(s2.getAs[Double]("padding_frac") == 0.0)
   }
+
+  test("tokenBudgetSelect: greedy quality-first prefix, exact cut") {
+    // (id, tokens, quality): order by (q desc, id) = 3, 1, 4, 2, 5
+    val docs = Seq(
+      (1L, 100L, 0.9), (2L, 100L, 0.5), (3L, 100L, 0.95),
+      (4L, 100L, 0.9), (5L, 100L, 0.1)).toDF("id", "n", "q")
+    val out = TrainingData.tokenBudgetSelect(docs, "id", col("n"), col("q"),
+      budget = 300L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("cum_tokens"), r.getAs[Boolean]("selected"))).toMap
+    assert(out(3L) == (100L, true))
+    assert(out(1L) == (200L, true))  // id tiebreak inside the 0.9 bucket
+    assert(out(4L) == (300L, true))
+    assert(out(2L) == (400L, false))
+    assert(out(5L) == (500L, false))
+    // boundary INSIDE a quality bucket: all same q, cut by id order
+    val flat = Seq((10L, 60L, 0.5), (11L, 60L, 0.5), (12L, 60L, 0.5))
+      .toDF("id", "n", "q")
+    val cut = TrainingData.tokenBudgetSelect(flat, "id", col("n"), col("q"),
+      budget = 120L)
+      .collect().map(r => r.getLong(0) -> r.getAs[Boolean]("selected")).toMap
+    assert(cut == Map(10L -> true, 11L -> true, 12L -> false))
+    // zero-token and null-quality docs are excluded from the race
+    val mixed = Seq((20L, 0L, 0.9), (21L, 50L, 0.9)).toDF("id", "n", "q")
+    assert(TrainingData.tokenBudgetSelect(mixed, "id", col("n"), col("q"),
+      budget = 100L).collect().map(_.getLong(0)).toSeq == Seq(21L))
+  }
 }

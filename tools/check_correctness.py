@@ -63,12 +63,34 @@ def first_diff(g, e, gr, er):
 
 def main():
     out_dir, sf_dir = sys.argv[1], sys.argv[2]
+    # optional third arg: write a per-query JSON self-record (the
+    # driver-independent artifact rounds 5 and 7 lacked when the
+    # driver-side CORRECTNESS file came back empty)
+    json_out = sys.argv[3] if len(sys.argv) > 3 else None
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     results = {}
+    record = {}  # name -> {status, rows, schema_hash, row_hash, seconds}
+    import hashlib
     import os
+
+    def rec(name, status, df=None):
+        entry = {"status": status}
+        if df is not None:
+            entry["rows"] = int(len(df))
+            entry["schema_hash"] = hashlib.sha256(
+                repr([(c, str(df.dtypes[c])) for c in df.columns])
+                .encode()).hexdigest()[:16]
+            entry["row_hash"] = hashlib.sha256(
+                repr(rendered(df)).encode()).hexdigest()[:16]
+        record[name] = entry
+
+    try:
+        vlog = json.load(open(f"{out_dir}/verify_log.json"))
+    except Exception:
+        vlog = {}
     names = sorted(d for d in os.listdir(out_dir) if os.path.isdir(f"{out_dir}/{d}"))
     for name in names:
         try:
@@ -76,35 +98,65 @@ def main():
                 f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df())
         except Exception as e:
             results[name] = f"ERROR reading/sorting spark output: {e!r}"
+            rec(name, "READ_ERROR")
             continue
         if name not in oracle:
             # an empty un-oracled result is a dead operator, not a pass
             results[name] = (f"rows-only: {len(got)} rows" if len(got)
                              else "EMPTY rows-only output")
+            rec(name, "rows-only" if len(got) else "EMPTY", got)
             continue
         try:
             exp = normalize(con.execute(oracle[name]).df())
         except Exception as e:
             results[name] = f"ORACLE SQL ERROR: {e!r}"
+            rec(name, "ORACLE_ERROR", got)
             continue
         if list(got.columns) != list(exp.columns):
             results[name] = (f"COLUMN MISMATCH spark={list(got.columns)}"
                              f" duckdb={list(exp.columns)}")
+            rec(name, "COLUMN_MISMATCH", got)
             continue
         if len(got) != len(exp):
             results[name] = f"ROWCOUNT MISMATCH spark={len(got)} duckdb={len(exp)}"
+            rec(name, "ROWCOUNT_MISMATCH", got)
             continue
         gr, er = rendered(got), rendered(exp)
         if gr == er:
             results[name] = f"OK ({len(got)} rows)"
+            rec(name, "OK", got)
         else:
             results[name] = f"MISMATCH: {first_diff(got, exp, gr, er)}"
+            rec(name, "VALUE_MISMATCH", got)
     ok = sum(1 for v in results.values() if v.startswith("OK"))
     ro = sum(1 for v in results.values() if v.startswith("rows-only"))
+    summary = (f"{ok} OK, {ro} rows-only, "
+               f"{len(results)-ok-ro} FAILED of {len(results)}")
+    # summary FIRST and LAST on stdout (the Bench lesson applied to the
+    # correctness path — partial stream loss cannot hide the verdict)
+    print(f"[correctness-summary] {summary}")
     for k, v in results.items():
         flag = " " if v.startswith(("OK", "rows-only")) else "!"
         print(f"{flag} {k:24s} {v}")
-    print(f"\n{ok} OK, {ro} rows-only, {len(results)-ok-ro} FAILED of {len(results)}")
+    print(f"\n{summary}")
+    if json_out:
+        for name, entry in record.items():
+            sec = vlog.get(name, {}).get("seconds")
+            if sec is not None:
+                entry["seconds"] = sec
+        # queries Verify failed to dump never produce an output dir —
+        # record them too, or a crash would just shrink the file
+        for name, v in vlog.items():
+            if name not in record and not v.get("ok", True):
+                record[name] = {"status": "VERIFY_FAILED",
+                                "error": v.get("error"),
+                                "seconds": v.get("seconds")}
+        with open(json_out, "w") as f:
+            json.dump({"summary": summary, "n_ok": ok, "n_rows_only": ro,
+                       "n_failed": len(results) - ok - ro,
+                       "n_total": len(results),
+                       "queries": dict(sorted(record.items()))}, f, indent=1)
+        print(f"self-record written: {json_out}")
     sys.exit(0 if ok + ro == len(results) else 1)
 
 

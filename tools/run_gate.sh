@@ -3,13 +3,23 @@
 # driver's sf0.01) + rows-only determinism double-run + bench. Mirrors
 # what the round driver runs, plus the determinism insurance the driver
 # cannot give rows-only queries.
+#
+# Every run leaves a committed-able, driver-independent self-record:
+#   CORRECTNESS_SELF_${GRAFT_ROUND}.json  (per-query status/rows/hashes/s)
+#   verify_${GRAFT_ROUND}.stderr.log      (raw Verify log)
+# — rounds 5 and 7 ended with an empty driver-side CORRECTNESS file; the
+# self-record makes any future empty artifact attributable to the
+# handoff, not the engine.
 set -euo pipefail
 cd "$(dirname "$0")/.."
 SF="${1:-sf0.01}"
+ROUND="${GRAFT_ROUND:-r08}"
 sbt -batch test
 env SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-8}" \
-  sbt -batch "runMain graft.Verify /root/testdata/$SF /tmp/gate_$SF"
-python3 tools/check_correctness.py "/tmp/gate_$SF" "/root/testdata/$SF"
+  sbt -batch "runMain graft.Verify /root/testdata/$SF /tmp/gate_$SF" \
+  2> >(tee "verify_${ROUND}.stderr.log" >&2)
+python3 tools/check_correctness.py "/tmp/gate_$SF" "/root/testdata/$SF" \
+  "CORRECTNESS_SELF_${ROUND}.json"
 # second independent run: rows-only queries must be bit-stable run-to-run
 env SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-8}" \
   sbt -batch "runMain graft.Verify /root/testdata/$SF /tmp/gate_${SF}_b"
