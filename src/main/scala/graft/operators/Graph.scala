@@ -30,7 +30,13 @@ object Graph {
     val conf = df.sparkSession.conf
     val prev = conf.get("spark.sql.adaptive.enabled", "true")
     conf.set("spark.sql.adaptive.enabled", "false")
-    try df.repartition(col(key)).localCheckpoint(true)
+    // sortWithinPartitions matters as much as the repartition: the
+    // checkpoint captures outputOrdering too, so every later
+    // sort-merge join on `key` skips BOTH the exchange and the sort on
+    // this side (measured: partitioning alone trades the exchange for
+    // a per-pass re-sort of the edge list and loses)
+    try df.repartition(col(key)).sortWithinPartitions(col(key))
+      .localCheckpoint(true)
     finally conf.set("spark.sql.adaptive.enabled", prev)
   }
 
@@ -61,11 +67,16 @@ object Graph {
       maxIterations: Int = 50): DataFrame = {
     val e = edges.select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
       .filter(col("u") =!= col("v"))
-    // symmetrize once; referenced every pass — materialize eagerly,
-    // PARTITIONED on the per-pass join key so the edge list never
-    // re-shuffles across passes (labels are the only moving side)
-    val sym = partitionedCheckpoint(
-      e.union(e.select(col("v").as("u"), col("u").as("v"))).distinct(), "v")
+    // symmetrize once; referenced every pass — materialize eagerly.
+    // Measured (20M edges, local[32]): a v-partitioned+sorted
+    // checkpoint (the pageRank lever) LOSES here — CC's per-pass cost
+    // is the edge-sized min-label aggregation shuffle (keyed by u, not
+    // the join's v) plus the pointer-jump self-joins, and pinning the
+    // layout costs AQE its runtime join re-planning (44 s plain vs
+    // 52 s pinned). Plain checkpoint keeps the flexibility.
+    val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      .distinct()
+      .localCheckpoint(true)
     var labels = sym.select(col("u").as("vtx")).distinct()
       .withColumn("lbl", col("vtx"))
     var previous: Option[DataFrame] = None
