@@ -1918,6 +1918,85 @@ object SparkEntry {
       graft.operators.Graph.edgeEmbeddedness(edges, "src", "dst")
     }),
 
+    // Streaming dedup gate against a GROWING persisted index: the
+    // crawl-shaped companion of q281 — seed index from 2/3 of the
+    // corpus, stream the arriving third through one foreachBatch pass
+    // that flags every doc against the seed snapshot AND appends the
+    // batch's new hashes for the next run. Snapshot flagging makes the
+    // output batch-layout-invariant (stream == batch unconditionally);
+    // the spec pins grown-index == one-shot.
+    "q299_stream_index_dedup" -> ((s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val tmp = sys.props("java.io.tmpdir")
+      val runTag = s.sparkContext.applicationId
+      val idxPath = s"$tmp/graft_q299_idx_$runTag"
+      val outPath = s"$tmp/graft_q299_out_$runTag"
+      val ckpt = s"$tmp/graft_q299_ckpt_$runTag"
+      def rmrf(p: java.io.File): Unit = {
+        if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rmrf))
+        p.delete(): Unit
+      }
+      Seq(idxPath, outPath, ckpt).foreach(p => rmrf(new java.io.File(p)))
+      val docs = t(s, d, "documents")
+      // 16 buckets at gate SF: 256 near-empty partition dirs cost more
+      // in listing than they save (bucket count is the scale knob)
+      graft.operators.Dedup.writeContentIndex(
+        docs.filter(col("doc_id") % 3 =!= 0), "text", idxPath, buckets = 16)
+      val stream = s.readStream.schema(docs.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+        .filter(col("doc_id") % 3 === 0)
+      val q = graft.streaming.StreamingOps.streamIndexDedupGate(
+        stream, "doc_id", "text", idxPath, outPath, buckets = 16)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      new java.io.File(outPath).mkdirs(): Unit
+      s.read.schema("id BIGINT, content_hash BIGINT, is_dup BOOLEAN")
+        .parquet(outPath)
+        .withColumnRenamed("id", "doc_id")
+    }),
+
+    // Rank-biased overlap between the exact cosine top-10 and the
+    // banded-LSH top-10, per probe (p = 0.9) — the top-weighted ANN
+    // quality audit: disagreement at rank 1 costs more than at rank 10,
+    // which plain recall can't see
+    "q297_rank_overlap" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val probes = emb.filter(col("vec_id") < 5)
+      graft.operators.Retrieval.rankBiasedOverlap(
+        graft.operators.Similarity.bruteForceTopK(emb, probes, k = 10),
+        graft.operators.Similarity.bandedLshTopK(emb, probes, k = 10),
+        "probe_id", "corpus_id", "rank", p = 0.9, k = 10)
+    }),
+
+    // nDCG@10 of the exact cosine ranking against binary label
+    // relevance — the graded retrieval-quality score whose ideal
+    // normalizer counts ALL findable same-label vectors in the corpus
+    "q298_ndcg" -> ((s, d) => {
+      import graft.functions.VectorFunctions.{l2Norm, toDouble}
+      val emb = t(s, d, "embeddings")
+      val rankable = emb.filter(l2Norm(toDouble(col("embedding"))) > 0)
+      val probes = rankable.filter(col("vec_id") < 5)
+      val exact = graft.operators.Similarity.bruteForceTopK(emb, probes, k = 10)
+      val lab = rankable.select(col("vec_id"), col("label"))
+      val ranked = exact
+        .join(lab.select(col("vec_id").as("corpus_id"), col("label").as("cl")),
+          "corpus_id")
+        .join(lab.select(col("vec_id").as("probe_id"), col("label").as("pl")),
+          "probe_id")
+        .withColumn("rel", when(col("cl") === col("pl"), 1.0).otherwise(0.0))
+      val totals = probes
+        .select(col("vec_id").as("probe_id"), col("label").as("pl"))
+        .join(lab.select(col("vec_id").as("cid"), col("label").as("cl2")),
+          col("cid") =!= col("probe_id") && col("cl2") === col("pl"), "left")
+        .groupBy(col("probe_id")).agg(count(col("cid")).as("n_rel"))
+      graft.operators.Retrieval.ndcgAtK(ranked, "probe_id", "rank", "rel",
+        totals, "n_rel", k = 10)
+    }),
+
     // Bradley-Terry strength fit over a synthesized model arena: each
     // event is one pairwise comparison — champion = its event_type,
     // challenger = the (event_id % k)-th of the k ordered distinct
@@ -5356,6 +5435,99 @@ object SparkEntry {
     // Served-index replay: the persisted (band, key) layout must return
     // BIT-IDENTICAL results to the in-query banding — same oracle
     "q291_lsh_served" -> bandedLshTopKOracleSql(k = 10, maxProbeId = 5),
+
+    // Streaming index-gate replay: identical to q281's semantics (the
+    // snapshot contract makes the stream form replay the batch form)
+    "q299_stream_index_dedup" ->
+      s"""WITH canon AS (SELECT doc_id,
+         |    trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS c
+         |  FROM documents),
+         |hh AS (SELECT doc_id, CASE WHEN c IS NOT NULL
+         |    THEN ${toI64Sql(fnvSql("c"))} END AS h FROM canon),
+         |hist AS (SELECT DISTINCT h FROM hh
+         |  WHERE doc_id % 3 <> 0 AND h IS NOT NULL)
+         |SELECT doc_id, h AS content_hash,
+         |  EXISTS (SELECT 1 FROM hist WHERE hist.h = hh.h) AS is_dup
+         |FROM hh WHERE doc_id % 3 = 0""".stripMargin,
+
+    // RBO replay: both rankings rebuilt (exact chain + the banded-LSH
+    // replay as a derived table), then the same multiplicative-weight
+    // prefix-intersection fold, d smuggled through the element struct
+    "q297_rank_overlap" -> {
+      val lshSql = bandedLshTopKOracleSql(k = 10, maxProbeId = 5)
+      s"""WITH exact AS (
+         |  SELECT probe_id, corpus_id, rank FROM (
+         |   SELECT p.vec_id AS probe_id, c.vec_id AS corpus_id,
+         |    row_number() OVER (PARTITION BY p.vec_id
+         |      ORDER BY list_cosine_similarity(c.embedding::DOUBLE[],
+         |        p.embedding::DOUBLE[]) DESC, c.vec_id) AS rank
+         |   FROM embeddings c JOIN embeddings p ON c.vec_id <> p.vec_id
+         |   WHERE p.vec_id < 5
+         |    AND list_dot_product(c.embedding::DOUBLE[],
+         |      c.embedding::DOUBLE[]) > 0
+         |    AND list_dot_product(p.embedding::DOUBLE[],
+         |      p.embedding::DOUBLE[]) > 0)
+         |  WHERE rank <= 10),
+         |lsh AS (SELECT probe_id, corpus_id, rank FROM ($lshSql)),
+         |la AS (SELECT probe_id, list(corpus_id ORDER BY rank) AS l
+         |  FROM exact GROUP BY probe_id),
+         |lb AS (SELECT probe_id, list(corpus_id ORDER BY rank) AS l
+         |  FROM lsh GROUP BY probe_id)
+         |SELECT la.probe_id,
+         |  round((list_reduce(list_prepend(
+         |    struct_pack(acc := 0.0::DOUBLE, w := 1.0::DOUBLE),
+         |    list_transform(generate_series(1, 10),
+         |      d -> struct_pack(acc := d::DOUBLE, w := 0.0::DOUBLE))),
+         |    (s2, x2) -> struct_pack(
+         |      acc := s2.acc + s2.w *
+         |        (len(list_intersect(la.l[1:CAST(x2.acc AS INT)],
+         |          lb.l[1:CAST(x2.acc AS INT)]))::DOUBLE / x2.acc),
+         |      w := s2.w * 0.9::DOUBLE))).acc
+         |    * (1.0::DOUBLE - 0.9::DOUBLE), 4) AS rbo
+         |FROM la JOIN lb ON lb.probe_id = la.probe_id""".stripMargin
+    },
+
+    // nDCG replay: exact chain + label joins, rank-ordered DCG fold,
+    // ideal fold over min(k, corpus-wide relevant count); log2 spelled
+    // ln/ln in both engines
+    "q298_ndcg" ->
+      """WITH rk AS (SELECT vec_id, label, embedding FROM embeddings
+        |  WHERE list_dot_product(embedding::DOUBLE[],
+        |    embedding::DOUBLE[]) > 0),
+        |topk AS (
+        |  SELECT probe_id, corpus_id, rank FROM (
+        |   SELECT p.vec_id AS probe_id, c.vec_id AS corpus_id,
+        |    row_number() OVER (PARTITION BY p.vec_id
+        |      ORDER BY list_cosine_similarity(c.embedding::DOUBLE[],
+        |        p.embedding::DOUBLE[]) DESC, c.vec_id) AS rank
+        |   FROM rk c JOIN rk p ON c.vec_id <> p.vec_id
+        |   WHERE p.vec_id < 5)
+        |  WHERE rank <= 10),
+        |r AS (SELECT t.probe_id, t.rank,
+        |    CASE WHEN cl.label = pl.label THEN 1.0::DOUBLE
+        |      ELSE 0.0::DOUBLE END AS rel
+        |  FROM topk t JOIN rk cl ON cl.vec_id = t.corpus_id
+        |    JOIN rk pl ON pl.vec_id = t.probe_id),
+        |dcg AS (SELECT probe_id,
+        |    list_reduce(list_prepend(0.0::DOUBLE,
+        |      list(rel / (ln(rank::DOUBLE + 1.0::DOUBLE)
+        |        / ln(2.0::DOUBLE)) ORDER BY rank)),
+        |      (a2, x2) -> a2 + x2) AS dcg
+        |  FROM r GROUP BY probe_id),
+        |tot AS (SELECT p.vec_id AS probe_id,
+        |    count(c.vec_id)::BIGINT AS n_relevant
+        |  FROM rk p LEFT JOIN rk c
+        |    ON c.vec_id <> p.vec_id AND c.label = p.label
+        |  WHERE p.vec_id < 5 GROUP BY p.vec_id)
+        |SELECT d.probe_id, n_relevant,
+        |  CASE WHEN n_relevant > 0 THEN
+        |    round(dcg / list_reduce(list_prepend(0.0::DOUBLE,
+        |      list_transform(generate_series(1,
+        |        CAST(least(10, n_relevant) AS INT)),
+        |        dd -> 1.0::DOUBLE / (ln(dd::DOUBLE + 1.0::DOUBLE)
+        |          / ln(2.0::DOUBLE)))),
+        |      (a2, x2) -> a2 + x2), 4) END AS ndcg
+        |FROM dcg d JOIN tot USING (probe_id)""".stripMargin,
 
     // Bradley-Terry replay: same arena synthesis, exact integer W/n
     // matrix, 8 unrolled MM iterations with j-ordered denominator

@@ -58,10 +58,17 @@ object Dedup {
     * decontaminate stance); collision-paranoid callers re-check
     * flagged rows on canonical text.
     */
-  def writeContentIndex(df: DataFrame, textCol: String, path: String): Unit =
+  /** `buckets` sizes the hash-bucket layout: 256 for fleet-scale
+    * indexes (the default); small-SF/test callers pass fewer — at tiny
+    * scale the per-directory listing overhead of 256 near-empty buckets
+    * dominates every read. Append/probe calls must use the same value
+    * the index was written with.
+    */
+  def writeContentIndex(df: DataFrame, textCol: String, path: String,
+      buckets: Int = 256): Unit =
     df.select(fnv64(canonicalText(col(textCol))).as("h"))
       .filter(col("h").isNotNull).distinct()
-      .withColumn("bucket", pmod(col("h"), lit(256L)))
+      .withColumn("bucket", pmod(col("h"), lit(buckets.toLong)))
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
 
   /** Flag each row of a new shard against the persisted index:
@@ -69,8 +76,17 @@ object Dedup {
     * a dup (the gate null convention — judge it upstream).
     */
   def dedupAgainstIndex(df: DataFrame, idCol: String, textCol: String,
-      path: String): DataFrame = {
-    val idx = df.sparkSession.read.parquet(path)
+      path: String): DataFrame =
+    dedupAgainstHashes(df, idCol, textCol,
+      df.sparkSession.read.parquet(path).select(col("h")))
+
+  /** Same flagging against an explicit hash relation (one `h` column) —
+    * lets callers pin a SNAPSHOT of the index (the streaming gate's
+    * batch-layout-invariance contract) instead of re-reading the path.
+    */
+  def dedupAgainstHashes(df: DataFrame, idCol: String, textCol: String,
+      hashes: DataFrame): DataFrame = {
+    val idx = hashes
       .select(col("h").as("content_hash"), lit(true).as("__seen"))
     df.select(col(idCol).as("id"),
         fnv64(canonicalText(col(textCol))).as("content_hash"))
@@ -92,14 +108,14 @@ object Dedup {
     * when the frame goes out of scope.
     */
   def appendToContentIndex(df: DataFrame, textCol: String,
-      path: String): Unit = {
+      path: String, buckets: Int = 256): Unit = {
     val idx = df.sparkSession.read.parquet(path).select(col("h"))
     val fresh = df.select(fnv64(canonicalText(col(textCol))).as("h"))
       .filter(col("h").isNotNull).distinct()
       .join(idx, Seq("h"), "left_anti")
       .localCheckpoint(true)
     fresh
-      .withColumn("bucket", pmod(col("h"), lit(256L)))
+      .withColumn("bucket", pmod(col("h"), lit(buckets.toLong)))
       .write.mode("append").partitionBy("bucket").parquet(path)
   }
 

@@ -43,4 +43,81 @@ object Retrieval {
       .orderBy(col("rrf_score").desc, col("id"))
       .limit(k)
   }
+
+  /** Rank-biased overlap (Webber, Moffat & Zobel, TOIS 2010), truncated
+    * at depth `k`: RBO_k = (1−p)·Σ_{d=1..k} p^{d−1}·|A_d ∩ B_d|/d where
+    * A_d/B_d are the depth-d prefixes. THE top-weighted similarity
+    * between two rankings of the same query — served-index vs exact ANN,
+    * yesterday's index vs today's — strictly more informative than
+    * set-recall because disagreement at rank 1 costs more than at rank
+    * k. p (the persistence) sets the weight decay; 0.9 ≈ "the top ~10
+    * ranks carry ~86% of the mass".
+    *
+    * Scale/determinism: both inputs are top-k lists, so every group
+    * folds over two ≤k arrays (k² intersect work per group, k small by
+    * construction); the weight p^{d−1} is carried MULTIPLICATIVELY
+    * through the fold (no pow() — library pow is not guaranteed
+    * correctly rounded the same way in both engines), giving one fixed
+    * IEEE sequence the SQL oracle replays term for term.
+    */
+  def rankBiasedOverlap(a: DataFrame, b: DataFrame, groupCol: String,
+      idCol: String, rankCol: String, p: Double, k: Int): DataFrame = {
+    require(p > 0 && p < 1, "persistence p must be in (0, 1)")
+    require(k >= 1, "k must be >= 1")
+    def lst(df: DataFrame, out: String): DataFrame =
+      df.filter(col(rankCol) <= k)
+        .groupBy(col(groupCol))
+        .agg(transform(array_sort(collect_list(
+          struct(col(rankCol).cast("int").as("r"), col(idCol).as("id")))),
+          s => s.getField("id")).as(out))
+    lst(a, "__la").join(lst(b, "__lb"), Seq(groupCol))
+      .select(col(groupCol),
+        round(
+          aggregate(sequence(lit(1), lit(k)),
+            struct(lit(0.0).as("acc"), lit(1.0).as("w")),
+            (s, d) => struct(
+              (s.getField("acc") + s.getField("w") *
+                (size(array_intersect(slice(col("__la"), lit(1), d),
+                  slice(col("__lb"), lit(1), d))).cast("double") /
+                  d.cast("double"))).as("acc"),
+              (s.getField("w") * lit(p)).as("w")),
+            s => s.getField("acc") * lit(1.0 - p)),
+          4).as("rbo"))
+  }
+
+  /** nDCG@k over a ranked list with graded relevance: DCG folds
+    * gain/log2(rank+1) in rank order; the ideal DCG comes from
+    * `totals` — the per-group count of ALL relevant items in the corpus
+    * (binary gains; the ideal ranking puts them first), so a ranking
+    * that found everything findable scores 1.0 even when fewer than k
+    * relevant items exist. Groups with zero relevant items emit NULL
+    * (undefined, not 0 — the q-null convention).
+    *
+    * log2 is spelled ln(x)/ln(2) in BOTH engines — DuckDB's native
+    * log2() and a ratio of lns can differ in the last ulp.
+    */
+  def ndcgAtK(ranked: DataFrame, groupCol: String, rankCol: String,
+      relCol: String, totals: DataFrame, totalCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    def log2(c: org.apache.spark.sql.Column) = log(c) / log(lit(2.0))
+    val dcg = ranked.filter(col(rankCol) <= k)
+      .groupBy(col(groupCol))
+      .agg(aggregate(
+        transform(array_sort(collect_list(
+          struct(col(rankCol).cast("int").as("r"),
+            col(relCol).cast("double").as("g")))),
+          s => s.getField("g") / log2(s.getField("r").cast("double") + lit(1.0))),
+        lit(0.0), (acc, x) => acc + x).as("__dcg"))
+    dcg.join(totals.select(col(groupCol), col(totalCol).cast("long").as("__nrel")),
+        Seq(groupCol))
+      .select(col(groupCol), col("__nrel").as("n_relevant"),
+        when(col("__nrel") > 0,
+          round(col("__dcg") / aggregate(
+            sequence(lit(1).cast("long"), least(lit(k.toLong), col("__nrel"))),
+            lit(0.0),
+            (acc, d) => acc + lit(1.0) / log2(d.cast("double") + lit(1.0))),
+            4))
+          .as("ndcg"))
+  }
 }

@@ -191,6 +191,37 @@ object StreamingOps {
   /** Drive a memory-sink query synchronously over whatever is currently in
     * the source (local smoke harness; see spark_guide streaming section).
     */
+  /** Streaming dedup gate against a PERSISTED content-hash index — the
+    * production crawl shape: one pass both CURATES (flags every arriving
+    * doc as dup/fresh) and MAINTAINS the index (appends each batch's new
+    * hashes for the next run).
+    *
+    * Flags replay against a SNAPSHOT of the index taken at stream start,
+    * so the output is invariant to batch layout (1 file/trigger or 100
+    * — stream == batch holds unconditionally, the q263 contract);
+    * within-run self-dups are the next run's catch, the standard
+    * append-only index-gate semantics. The snapshot is hash-only (8
+    * B/doc) and eagerly checkpointed once; each foreachBatch writes its
+    * flags BEFORE growing the index (the write materializes the flag
+    * join, so the append can never race it).
+    */
+  def streamIndexDedupGate(stream: DataFrame, idCol: String, textCol: String,
+      indexPath: String, outPath: String,
+      buckets: Int = 256): DataStreamWriter[org.apache.spark.sql.Row] = {
+    val spark = stream.sparkSession
+    val seed = spark.read.parquet(indexPath).select(col("h"))
+      .distinct().localCheckpoint(true)
+    stream.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.operators.Dedup
+          .dedupAgainstHashes(batch.toDF(), idCol, textCol, seed)
+          .write.mode("append").parquet(outPath)
+        graft.operators.Dedup
+          .appendToContentIndex(batch.toDF(), textCol, indexPath, buckets)
+        ()
+    }
+  }
+
   def runToMemory(df: DataFrame, name: String, outputMode: String = "append"): StreamingQuery =
     df.writeStream
       .outputMode(outputMode)

@@ -167,4 +167,24 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("*(1)"), "transform fell out of codegen")
     assert(!p.toLowerCase.contains("batchevalpython") && !p.contains("ScalaUDF"), "UDF crept in")
   }
+
+  test("q294 token budget: doc-row windows stay bucket-partitioned (no global doc sort)") {
+    val p = plan("q294_token_budget")
+    // Window nodes print "Window [fns], [partition spec], [order spec]";
+    // an empty partition spec ("], [], [") is a single-partition global
+    // window. Exactly ONE is allowed — the ≤granularity-row bucket
+    // frame's running sum; the per-doc cumsum must keep its bucket
+    // partitioning or the operator has regressed to a global doc sort.
+    val windowLines = p.linesIterator.filter(_.contains("Window ")).toSeq
+    assert(windowLines.size >= 2,
+      s"expected bucket window + doc window:\n${p.take(800)}")
+    val global = windowLines.count(_.contains("], [], ["))
+    assert(global <= 1, s"doc rows fell into a global window:\n${p.take(800)}")
+  }
+
+  // q296 Bradley-Terry has no final-plan guard by design: its MM
+  // iterations execute EAGERLY during plan construction (checkpointed
+  // per round), so queries("q296")'s plan is one checkpoint scan — the
+  // pair-matrix partial-agg property lives in construction-time jobs a
+  // plan string can't see. Eval.bradleyTerry's scaladoc documents it.
 }

@@ -30,4 +30,37 @@ class RetrievalSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSeq
     assert(got == Seq(5L, 9L, 2L)) // 1/61 ties → id asc; then 1/62 pair cut at k
   }
+
+  test("rankBiasedOverlap: identical lists 1.0; disjoint 0.0; closed form for a known case") {
+    def ranking(g: Long, ids: Seq[Long]) =
+      ids.zipWithIndex.map { case (id, i) => (g, id, i + 1) }
+    val a = (ranking(1L, Seq(10, 20, 30)) ++ ranking(2L, Seq(10, 20, 30)) ++
+      ranking(3L, Seq(10, 20, 30))).toDF("g", "id", "rank")
+    val b = (ranking(1L, Seq(10, 20, 30)) ++ ranking(2L, Seq(40, 50, 60)) ++
+      ranking(3L, Seq(20, 10, 30))).toDF("g", "id", "rank")
+    val out = Retrieval.rankBiasedOverlap(a, b, "g", "id", "rank", p = 0.5, k = 3)
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("rbo")).toMap
+    // identical prefix at every depth → RBO = (1-p)Σp^{d-1} = 1-p^k = 0.875
+    assert(out(1L) == 0.875)
+    assert(out(2L) == 0.0)
+    // swapped top-2: overlaps 0/1, 2/2, 3/3 → 0.5·(0 + 0.5·1 + 0.25·1)
+    assert(out(3L) == 0.375)
+  }
+
+  test("ndcgAtK: perfect ranking 1.0; relevant-last discounts; zero-relevant null") {
+    // group 1: rel at ranks 1,2 of 2 total → perfect; group 2: rel at
+    // rank 3 of 1 total → dcg = 1/log2(4), idcg = 1; group 3: none
+    val ranked = Seq(
+      (1L, 1, 1.0), (1L, 2, 1.0), (1L, 3, 0.0),
+      (2L, 1, 0.0), (2L, 2, 0.0), (2L, 3, 1.0),
+      (3L, 1, 0.0), (3L, 2, 0.0)).toDF("g", "rank", "rel")
+    val totals = Seq((1L, 2L), (2L, 1L), (3L, 0L)).toDF("g", "n")
+    val out = Retrieval.ndcgAtK(ranked, "g", "rank", "rel", totals, "n", k = 3)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getAs[Double]("ndcg")))).toMap
+    assert(out(1L).contains(1.0))
+    val expected2 = math.rint(1.0 / (math.log(4.0) / math.log(2.0)) * 10000) / 10000
+    assert(out(2L).contains(expected2))
+    assert(out(3L).isEmpty)
+  }
 }

@@ -364,4 +364,45 @@ class StreamingOpsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(streamed == batch)   // exact double equality across batches
   }
+
+  test("streamIndexDedupGate: flags match batch; grown index == one-shot; multi-batch invariant") {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.operators.Dedup
+    val base = Files.createTempDirectory("graft-idx-gate")
+    val docs = Seq(
+      (1L, "seed text one"), (2L, "seed text two"), (3L, "arriving fresh"),
+      (4L, "seed text one"),          // exact dup of the seed
+      (5L, "Seed   TEXT two"),        // canonicalized dup of the seed
+      (6L, "arriving fresh")          // within-run self-dup → NOT flagged
+    ).toDF("doc_id", "text")
+    val idx = s"$base/idx"
+    Dedup.writeContentIndex(docs.filter($"doc_id" <= 2), "text", idx)
+    // arriving docs as TWO files → two micro-batches at 1 file/trigger
+    val streamDir = Files.createDirectory(base.resolve("in"))
+    docs.filter($"doc_id" === 3L || $"doc_id" === 4L).coalesce(1)
+      .write.parquet(s"$streamDir/f0.parquet")
+    docs.filter($"doc_id" >= 5L).coalesce(1)
+      .write.parquet(s"$streamDir/f1.parquet")
+    val stream = spark.readStream
+      .schema(StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType))))
+      .option("maxFilesPerTrigger", 1).parquet(s"$streamDir/*")
+    val out = s"$base/out"
+    val q = StreamingOps.streamIndexDedupGate(stream, "doc_id", "text", idx, out)
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val flags = spark.read.parquet(out)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    // snapshot contract: dups of the SEED flag, within-run self-dups don't
+    assert(flags == Map(3L -> false, 4L -> true, 5L -> true, 6L -> false))
+    // grown index == one-shot index over the full corpus (hash sets equal)
+    val grown = spark.read.parquet(idx).select("h")
+      .collect().map(_.getLong(0)).toSet
+    val oneShot = s"$base/oneshot"
+    Dedup.writeContentIndex(docs, "text", oneShot)
+    val full = spark.read.parquet(oneShot).select("h")
+      .collect().map(_.getLong(0)).toSet
+    assert(grown == full)
+  }
 }
