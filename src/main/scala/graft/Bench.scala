@@ -70,7 +70,10 @@ object Bench {
     // chunk census (window cumsum + chunk-hash aggregate)
     "q258_kcore",
     "q260_decontam_semantic",
-    "q266_cdc_chunks")
+    "q266_cdc_chunks",
+    // round 8: token-budget corpus selection — the two-phase bucketed
+    // cumsum that replaces the single global window at scale
+    "q294_token_budget")
 
   private def runOnce(name: String, spark: SparkSession, sfDir: String): Unit =
     SparkEntry.queries(name)(spark, sfDir)

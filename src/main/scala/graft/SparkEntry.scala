@@ -1918,6 +1918,17 @@ object SparkEntry {
       graft.operators.Graph.edgeEmbeddedness(edges, "src", "dst")
     }),
 
+    // REAL EXIF extraction end to end: deterministic EXIF JPEGs built
+    // from doc ids (real APP1/TIFF bytes, byte order alternating II/MM
+    // by parity), parsed back by the codegen ExifProbe expression —
+    // segment walk, IFD entry decode, inline vs offset values. Oracle
+    // replays the closed-form tag arithmetic; any endianness or offset
+    // bug shifts a field and hash-fails.
+    "q300_exif_meta" -> ((s, d) =>
+      graft.operators.Multimodal.exifMeta(
+        graft.operators.Multimodal.syntheticExifFromDocs(
+          t(s, d, "documents")))),
+
     // Streaming dedup gate against a GROWING persisted index: the
     // crawl-shaped companion of q281 — seed index from 2/3 of the
     // corpus, stream the arriving third through one foreachBatch pass
@@ -5435,6 +5446,18 @@ object SparkEntry {
     // Served-index replay: the persisted (band, key) layout must return
     // BIT-IDENTICAL results to the in-query banding — same oracle
     "q291_lsh_served" -> bandedLshTopKOracleSql(k = 10, maxProbeId = 5),
+
+    // EXIF replay: the closed-form tag values the engine must recover
+    // by actually parsing the JPEG/TIFF bytes it built
+    "q300_exif_meta" ->
+      """SELECT doc_id AS media_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order,
+        |  CAST(doc_id % 8 + 1 AS INT) AS orientation,
+        |  CAST(640 + (doc_id % 7) * 16 AS INT) AS width,
+        |  CAST(480 + (doc_id % 5) * 16 AS INT) AS height,
+        |  'CAM-' || (doc_id % 10) AS make,
+        |  '2024:01:0' || (doc_id % 9 + 1) || ' 12:00:00' AS datetime
+        |FROM documents WHERE doc_id >= 0""".stripMargin,
 
     // Streaming index-gate replay: identical to q281's semantics (the
     // snapshot contract makes the stream form replay the batch form)

@@ -495,6 +495,33 @@ case class VideoProbe(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): VideoProbe = copy(child = newChild)
 }
 
+/** EXIF metadata from byte parsing of a JPEG payload (APP1 TIFF walk,
+  * both byte orders) — see [[ExifMeta]]. Null for payloads without a
+  * parseable Exif segment; null fields for absent tags.
+  */
+case class ExifProbe(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def nullable: Boolean = true
+  override def dataType: DataType = StructType(Seq(
+    StructField("byte_order", StringType),
+    StructField("orientation", IntegerType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("make", StringType),
+    StructField("datetime", StringType)))
+  override protected def nullSafeEval(input: Any): Any =
+    ExifMeta.probeRow(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.ExifMeta.probeRow($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+  override protected def withNewChildInternal(newChild: Expression): ExifProbe = copy(child = newChild)
+}
+
 /** 64-bit perceptual difference-hash of a binary image payload — see
   * [[HashUtil.dhash64]]. Codegen'd (whole-stage-friendly); null for
   * empty payloads.
@@ -609,6 +636,8 @@ object HashFunctions {
   def winnowPositions(c: Column, k: Int = 5, window: Int = 4): Column =
     lift(WinnowPositions(expr(c), k, window))
   def videoProbe(content: Column): Column = lift(VideoProbe(expr(content)))
+
+  def exifProbe(content: Column): Column = lift(ExifProbe(expr(content)))
   def dhash64(content: Column): Column = lift(DHash64(expr(content)))
 
   /** Hamming distance between two 64-bit hashes (built-in bit_count). */

@@ -631,6 +631,49 @@ object Multimodal {
       }(enc)
   }
 
+  /** EXIF metadata extraction over a binary media column — a
+    * declarative narrow map through the codegen'd `ExifProbe`
+    * expression (JPEG APP1 TIFF walk, [[graft.functions.ExifMeta]]):
+    * orientation / declared dims / make / capture time per asset.
+    * Payloads without a parseable Exif segment yield no row. Nothing
+    * shuffles; only the typed metadata leaves the scan.
+    */
+  def exifMeta(media: DataFrame): DataFrame =
+    media.select(col("media_id"),
+        graft.functions.HashFunctions.exifProbe(col("content")).as("__x"))
+      .filter(col("__x").isNotNull)
+      .select(col("media_id"),
+        col("__x.byte_order").as("byte_order"),
+        col("__x.orientation").as("orientation"),
+        col("__x.width").as("width"),
+        col("__x.height").as("height"),
+        col("__x.make").as("make"),
+        col("__x.datetime").as("datetime"))
+
+  /** Deterministic EXIF-JPEG media synthesized from doc ids (closed-form
+    * tag values; byte order alternates by parity so BOTH TIFF parse
+    * paths run) — the oracle-checkable fixture for [[exifMeta]].
+    */
+  def syntheticExifFromDocs(documents: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("content", BinaryType)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    documents.select(col("doc_id")).filter(col("doc_id") >= 0)
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val d = r.getLong(0)
+          Row(d, graft.functions.ExifMeta.build(
+            littleEndian = d % 2 == 0,
+            orientation = (d % 8).toInt + 1,
+            width = 640 + (d % 7).toInt * 16,
+            height = 480 + (d % 5).toInt * 16,
+            make = s"CAM-${d % 10}",
+            datetime = s"2024:01:0${d % 9 + 1} 12:00:00"))
+        }
+      }(enc)
+  }
+
   /** Synthesize a media table from the documents table (text bytes stand
     * in for image payloads) — lets the multimodal plumbing run against the
     * driver's testdata deterministically.

@@ -383,6 +383,29 @@ class MultimodalSpec extends AnyFunSuite {
     assert(math.abs(hists(1) - 192) < 4, s"frame1 mean ${hists(1)}")
   }
 
+  test("EXIF: both byte orders round-trip; non-EXIF and garbage probe to null") {
+    import graft.functions.ExifMeta
+    for (le <- Seq(true, false)) {
+      val jpeg = ExifMeta.build(le, orientation = 6, width = 1024,
+        height = 768, make = "TestCam", datetime = "2024:03:01 08:30:00")
+      val m = ExifMeta.probe(jpeg).get
+      assert(m.byteOrder == (if (le) "II" else "MM"))
+      assert(m.orientation.contains(6) && m.width.contains(1024) &&
+        m.height.contains(768))
+      assert(m.make.contains("TestCam"))
+      assert(m.datetime.contains("2024:03:01 08:30:00"))
+    }
+    // a real JPEG without an Exif segment parses to None (not a crash)
+    val img = new java.awt.image.BufferedImage(4, 4,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    assert(ExifMeta.probe(bos.toByteArray).isEmpty)
+    assert(ExifMeta.probe("garbage".getBytes("UTF-8")).isEmpty)
+    val trunc = ExifMeta.build(true, 1, 10, 10, "x", "y").take(20)
+    assert(ExifMeta.probe(trunc).isEmpty)
+  }
+
   test("videoFrameStats: per-frame rows from real decode; non-AVI yields none") {
     import spark.implicits._
     import Multimodal.AviCodec
