@@ -1918,6 +1918,23 @@ object SparkEntry {
       graft.operators.Graph.edgeEmbeddedness(edges, "src", "dst")
     }),
 
+    // Mean pairwise cosine per label WITHOUT the O(n²) pair join — the
+    // sum-vector identity Σᵢ≠ⱼuᵢ·uⱼ = |Σu|² − Σ|uᵢ|² makes the class-
+    // collapse diversity audit a one-pass partial-agg; the oracle
+    // replays the same identity (exact for the 6dp-rounded vectors)
+    "q302_mean_pairwise_cos" -> ((s, d) =>
+      graft.operators.Similarity.meanPairwiseCosine(t(s, d, "embeddings"))),
+
+    // REAL WAV header extraction end to end: deterministic PCM WAVs
+    // built from doc ids (real RIFF/fmt/data bytes), parsed back by
+    // the codegen WavProbe expression; whole-ms durations make the
+    // byte-rate arithmetic exact. Completes the metadata trio
+    // (video q45-meta / image q300 / audio here).
+    "q301_wav_meta" -> ((s, d) =>
+      graft.operators.Multimodal.audioMeta(
+        graft.operators.Multimodal.syntheticWavFromDocs(
+          t(s, d, "documents")))),
+
     // REAL EXIF extraction end to end: deterministic EXIF JPEGs built
     // from doc ids (real APP1/TIFF bytes, byte order alternating II/MM
     // by parity), parsed back by the codegen ExifProbe expression —
@@ -5446,6 +5463,50 @@ object SparkEntry {
     // Served-index replay: the persisted (band, key) layout must return
     // BIT-IDENTICAL results to the in-query banding — same oracle
     "q291_lsh_served" -> bandedLshTopKOracleSql(k = 10, maxProbeId = 5),
+
+    // Mean-pairwise-cosine replay: the same sum-vector identity over
+    // the same 6dp-rounded normalized vectors — A from per-(label, dim)
+    // DECIMAL sums, B from per-vector folds, identical op order
+    "q302_mean_pairwise_cos" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+        |  FROM embeddings),
+        |nrm AS (SELECT vec_id, label, v,
+        |    sqrt(list_dot_product(v, v)) AS nn
+        |  FROM e WHERE list_dot_product(v, v) > 0),
+        |w AS (SELECT vec_id, label,
+        |    list_transform(v, x -> round(x / nn, 6)) AS w FROM nrm),
+        |b AS (SELECT label, count(*)::BIGINT AS n,
+        |    CAST(CAST(SUM(CAST(round(list_reduce(list_prepend(0.0::DOUBLE,
+        |      list_transform(w, x -> x * x)), (a2, x2) -> a2 + x2), 6)
+        |      AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS DOUBLE) AS bb
+        |  FROM w GROUP BY label),
+        |x AS (SELECT label, i AS dim, CAST(w[i] AS DECIMAL(18,6)) AS c
+        |  FROM (SELECT label, unnest(generate_series(1, len(w))) AS i, w
+        |    FROM w)),
+        |s AS (SELECT label, dim,
+        |    CAST(CAST(SUM(c) AS DECIMAL(18,6)) AS DOUBLE) AS s
+        |  FROM x GROUP BY label, dim),
+        |aa AS (SELECT label, list_reduce(list_prepend(0.0::DOUBLE,
+        |    list_transform(list(struct_pack(dim := dim, s := s)
+        |      ORDER BY dim), q -> q.s * q.s)),
+        |    (a2, x2) -> a2 + x2) AS a
+        |  FROM s GROUP BY label)
+        |SELECT aa.label, n, CASE WHEN n > 1 THEN
+        |    round((a - bb) / (n * (n - 1))::DOUBLE, 4) END
+        |  AS mean_pairwise_cosine
+        |FROM aa JOIN b USING (label)""".stripMargin,
+
+    // WAV replay: the closed-form header fields the engine must recover
+    // by actually parsing the RIFF bytes it built
+    "q301_wav_meta" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(doc_id % 2 + 1 AS INT) AS channels,
+        |  CAST(8000 + (doc_id % 4) * 4000 AS INT) AS sample_rate,
+        |  16 AS bits_per_sample,
+        |  CAST(((doc_id % 50) + 1) * (8000 + (doc_id % 4) * 4000) // 1000
+        |    * (doc_id % 2 + 1) * 2 AS BIGINT) AS data_bytes,
+        |  CAST((doc_id % 50) + 1 AS BIGINT) AS duration_ms
+        |FROM documents WHERE doc_id >= 0""".stripMargin,
 
     // EXIF replay: the closed-form tag values the engine must recover
     // by actually parsing the JPEG/TIFF bytes it built

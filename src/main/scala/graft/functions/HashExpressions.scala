@@ -495,6 +495,31 @@ case class VideoProbe(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): VideoProbe = copy(child = newChild)
 }
 
+/** WAV container metadata from byte parsing (RIFF chunk walk, `fmt `/
+  * `data` headers) — see [[AudioMeta]]. Null for non-WAVE payloads.
+  */
+case class WavProbe(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def nullable: Boolean = true
+  override def dataType: DataType = StructType(Seq(
+    StructField("channels", IntegerType),
+    StructField("sample_rate", IntegerType),
+    StructField("bits_per_sample", IntegerType),
+    StructField("data_bytes", LongType),
+    StructField("duration_ms", LongType)))
+  override protected def nullSafeEval(input: Any): Any =
+    AudioMeta.probeRow(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.AudioMeta.probeRow($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+  override protected def withNewChildInternal(newChild: Expression): WavProbe = copy(child = newChild)
+}
+
 /** EXIF metadata from byte parsing of a JPEG payload (APP1 TIFF walk,
   * both byte orders) — see [[ExifMeta]]. Null for payloads without a
   * parseable Exif segment; null fields for absent tags.
@@ -638,6 +663,8 @@ object HashFunctions {
   def videoProbe(content: Column): Column = lift(VideoProbe(expr(content)))
 
   def exifProbe(content: Column): Column = lift(ExifProbe(expr(content)))
+
+  def wavProbe(content: Column): Column = lift(WavProbe(expr(content)))
   def dhash64(content: Column): Column = lift(DHash64(expr(content)))
 
   /** Hamming distance between two 64-bit hashes (built-in bit_count). */

@@ -674,6 +674,47 @@ object Multimodal {
       }(enc)
   }
 
+  /** WAV container metadata over a binary media column — the audio leg
+    * of the metadata trio (video [[probeMeta]], image [[exifMeta]]): a
+    * declarative narrow map through the codegen'd `WavProbe` expression
+    * ([[graft.functions.AudioMeta]] RIFF chunk walk — no decode).
+    * Non-WAVE payloads yield no row; nothing shuffles.
+    */
+  def audioMeta(media: DataFrame): DataFrame =
+    media.select(col("media_id"),
+        graft.functions.HashFunctions.wavProbe(col("content")).as("__w"))
+      .filter(col("__w").isNotNull)
+      .select(col("media_id"),
+        col("__w.channels").as("channels"),
+        col("__w.sample_rate").as("sample_rate"),
+        col("__w.bits_per_sample").as("bits_per_sample"),
+        col("__w.data_bytes").as("data_bytes"),
+        col("__w.duration_ms").as("duration_ms"))
+
+  /** Deterministic PCM WAVs synthesized from doc ids (closed-form
+    * header fields; whole-millisecond durations so the duration
+    * arithmetic is exact) — the oracle-checkable fixture for
+    * [[audioMeta]].
+    */
+  def syntheticWavFromDocs(documents: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("content", BinaryType)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    documents.select(col("doc_id")).filter(col("doc_id") >= 0)
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val d = r.getLong(0)
+          val rate = 8000 + (d % 4).toInt * 4000 // all divisible by 1000
+          Row(d, graft.functions.AudioMeta.build(
+            channels = (d % 2).toInt + 1,
+            sampleRate = rate,
+            bitsPerSample = 16,
+            frames = ((d % 50).toInt + 1) * rate / 1000)) // (d%50+1) ms
+        }
+      }(enc)
+  }
+
   /** Synthesize a media table from the documents table (text bytes stand
     * in for image payloads) — lets the multimodal plumbing run against the
     * driver's testdata deterministically.

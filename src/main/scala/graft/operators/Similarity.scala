@@ -588,6 +588,55 @@ object Similarity {
           .as("norm_ratio"))
   }
 
+  /** Mean pairwise cosine per label WITHOUT the O(n²) pair join — the
+    * corpus-diversity number ("how collapsed is this class's embedding
+    * cloud") computed in ONE pass via the sum-vector identity
+    *   Σ_{i≠j} uᵢ·uⱼ = |Σu|² − Σ|uᵢ|²
+    * over the normalized vectors: A = |Σu|² needs only per-(label, dim)
+    * component sums; B = Σ|uᵢ|² needs only per-vector norms. A naive
+    * implementation joins n² pairs; this one shuffles |labels|·dim
+    * partial-agg rows. THE demonstration that "average similarity"
+    * audits scale linearly.
+    *
+    * Determinism: normalized components round to 6dp and sum through
+    * int64-backed DECIMAL(18,6) (the q295 idiom — exact, order-free,
+    * correctly-rounded conversions in both engines); the |Σu|² fold
+    * runs dim-ordered; the identity is then EXACT for the rounded
+    * vectors, so no FP tolerance is needed anywhere. Labels with one
+    * vector emit NULL (no pairs).
+    */
+  def meanPairwiseCosine(corpus: DataFrame,
+      labelCol: String = "label"): DataFrame = {
+    val staged = corpus
+      .select(col(labelCol).as("label"), toDouble(col("embedding")).as("v"))
+      .withColumn("__nrm", l2Norm(col("v")))
+      .filter(col("__nrm") > 0)
+      .withColumn("w", transform(col("v"), x => round(x / col("__nrm"), 6)))
+    val b = staged.select(col("label"),
+        round(aggregate(col("w"), lit(0.0), (acc, x) => acc + x * x), 6)
+          .as("__q2"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__q2").cast("decimal(18,6)")).cast("decimal(18,6)")
+          .cast("double").as("__b"))
+    val sums = staged
+      .select(col("label"), posexplode(col("w")).as(Seq("dim", "c")))
+      .groupBy(col("label"), col("dim"))
+      .agg(sum(col("c").cast("decimal(18,6)")).cast("decimal(18,6)")
+        .cast("double").as("s"))
+    val a = sums.groupBy(col("label"))
+      .agg(aggregate(
+        transform(array_sort(collect_list(struct(col("dim"), col("s")))),
+          x => x.getField("s") * x.getField("s")),
+        lit(0.0), (acc, x) => acc + x).as("__a"))
+    a.join(b, Seq("label"))
+      .select(col("label"), col("n"),
+        when(col("n") > 1,
+          round((col("__a") - col("__b")) /
+            (col("n") * (col("n") - 1)).cast("double"), 4))
+          .as("mean_pairwise_cosine"))
+  }
+
   /** Embedding-norm health report: exact nearest-rank quartiles of the
     * L2 norms plus a Tukey-fence outlier census — the first screen for
     * a broken encoder batch (all-zero rows, exploding norms, a bimodal

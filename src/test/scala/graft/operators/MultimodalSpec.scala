@@ -406,6 +406,28 @@ class MultimodalSpec extends AnyFunSuite {
     assert(ExifMeta.probe(trunc).isEmpty)
   }
 
+  test("WAV probe: header round-trip, real AudioSystem WAV parses, garbage nulls") {
+    import graft.functions.AudioMeta
+    val wav = AudioMeta.build(channels = 2, sampleRate = 16000,
+      bitsPerSample = 16, frames = 1600) // 100 ms stereo
+    val m = AudioMeta.probe(wav).get
+    assert(m.channels == 2 && m.sampleRate == 16000 && m.bitsPerSample == 16)
+    assert(m.dataBytes == 1600L * 4 && m.durationMs.contains(100L))
+    // a WAV written by javax.sound parses to the same header fields
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val pcm = new Array[Byte](8000 * 2) // 1 s mono
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, 8000)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val real = AudioMeta.probe(bos.toByteArray).get
+    assert(real.channels == 1 && real.sampleRate == 8000 &&
+      real.durationMs.contains(1000L))
+    assert(AudioMeta.probe("RIFFjunk".getBytes("UTF-8")).isEmpty)
+    assert(AudioMeta.probe(wav.take(16)).isEmpty)
+  }
+
   test("videoFrameStats: per-frame rows from real decode; non-AVI yields none") {
     import spark.implicits._
     import Multimodal.AviCodec

@@ -228,6 +228,29 @@ class SimilaritySpec extends AnyFunSuite {
     assert(r.getAs[Long]("n_zero") == 1L)
   }
 
+  test("meanPairwiseCosine: identity matches the O(n²) brute force") {
+    // label 1: identical directions → 1.0; label 2: two orthogonal → 0.0;
+    // label 3: singleton → NULL
+    val vs = Seq(
+      (0L, Array(1f, 0f, 0f, 0f), 1), (1L, Array(2f, 0f, 0f, 0f), 1),
+      (2L, Array(3f, 0f, 0f, 0f), 1),
+      (3L, Array(1f, 0f, 0f, 0f), 2), (4L, Array(0f, 1f, 0f, 0f), 2),
+      (5L, Array(1f, 1f, 0f, 0f), 3)).toDF("vec_id", "embedding", "label")
+    val out = Similarity.meanPairwiseCosine(vs)
+      .collect().map(r => r.getInt(0) -> (if (r.isNullAt(2)) None
+        else Some(r.getAs[Double]("mean_pairwise_cosine")))).toMap
+    assert(out(1).contains(1.0) && out(2).contains(0.0) && out(3).isEmpty)
+    // real embeddings: identity == brute-force mean over all pairs
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .filter($"label" === 1)
+    val got = Similarity.meanPairwiseCosine(emb)
+      .head().getAs[Double]("mean_pairwise_cosine")
+    val pairs = Similarity.thresholdPairs(emb, -2.0) // every pair
+      .collect().map(_.getAs[Double]("cosine"))
+    val brute = pairs.sum / pairs.length
+    assert(math.abs(got - brute) < 1e-3, s"identity $got vs brute $brute")
+  }
+
   test("labelCentroidDrift: identical snapshot → cosine 1; flipped → -1; scaled → norm ratio") {
     val a = Seq(
       (0L, Array(1f, 0f, 0f, 0f), 1),
