@@ -1918,6 +1918,16 @@ object SparkEntry {
       graft.operators.Graph.edgeEmbeddedness(edges, "src", "dst")
     }),
 
+    // Winsorized mean per event type: values clamped to exact
+    // nearest-rank [p05, p95] before averaging — the robust-aggregate
+    // companion of q261's MAD outlier census; cent-scaled integers, no
+    // FP op decides a clamp
+    "q303_winsorized_mean" -> ((s, d) =>
+      graft.operators.Profile.winsorizedMean(
+        Tables.events(s, d).filter(col("value").isNotNull),
+        "event_type", round(col("value") * 100, 0).cast("long"))
+        .withColumnRenamed("g", "event_type")),
+
     // Mean pairwise cosine per label WITHOUT the O(n²) pair join — the
     // sum-vector identity Σᵢ≠ⱼuᵢ·uⱼ = |Σu|² − Σ|uᵢ|² makes the class-
     // collapse diversity audit a one-pass partial-agg; the oracle
@@ -5463,6 +5473,31 @@ object SparkEntry {
     // Served-index replay: the persisted (band, key) layout must return
     // BIT-IDENTICAL results to the in-query banding — same oracle
     "q291_lsh_served" -> bandedLshTopKOracleSql(k = 10, maxProbeId = 5),
+
+    // Winsorized-mean replay: same cent-scaled integers, same integer
+    // nearest-rank picks, same exact clamp and sum, one final divide
+    "q303_winsorized_mean" ->
+      """WITH b AS (SELECT event_type AS g,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS xi
+        |  FROM events WHERE value IS NOT NULL),
+        |r AS (SELECT g, xi,
+        |    row_number() OVER (PARTITION BY g ORDER BY xi) AS rn,
+        |    count(*) OVER (PARTITION BY g) AS n FROM b),
+        |q AS (SELECT g, max(n) AS n,
+        |    SUM(CASE WHEN rn = (n * 5 + 99) // 100 THEN xi END) AS lo,
+        |    SUM(CASE WHEN rn = (n * 95 + 99) // 100 THEN xi END) AS hi
+        |  FROM r GROUP BY g),
+        |c AS (SELECT b.g, q.n, q.lo, q.hi,
+        |    greatest(q.lo, least(q.hi, b.xi)) AS ci,
+        |    b.xi FROM b JOIN q USING (g))
+        |SELECT g AS event_type, CAST(max(n) AS BIGINT) AS n,
+        |  round(max(lo)::DOUBLE / 100, 4) AS p_lo,
+        |  round(max(hi)::DOUBLE / 100, 4) AS p_hi,
+        |  CAST(SUM(CASE WHEN ci <> xi THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_clamped,
+        |  round(CAST(SUM(ci) AS DOUBLE)
+        |    / CAST(max(n) * 100 AS DOUBLE), 4) AS winsorized_mean
+        |FROM c GROUP BY g""".stripMargin,
 
     // Mean-pairwise-cosine replay: the same sum-vector identity over
     // the same 6dp-rounded normalized vectors — A from per-(label, dim)

@@ -322,6 +322,44 @@ object Profile {
         (min(col("mad2")) === 0).as("degenerate"))
   }
 
+  /** Winsorized mean per group — the robust aggregate companion of
+    * [[madOutliers]]: clamp every value to the group's exact
+    * nearest-rank [pLo, pHi] percentiles, then average the clamped
+    * values. The standard "tame the tails without dropping rows"
+    * metric aggregate; no FP op ever decides a clamp (cent-scaled
+    * integer inputs, integer nearest-rank r = ⌈p·n/100⌉ picks, exact
+    * integer clamp and sum — the one divide is final). Tie order under
+    * row_number is irrelevant: tied rows carry equal values, so the
+    * rank-r pick is deterministic.
+    *
+    * Scale: one shuffle on the group key, one ordered window pass, one
+    * partial-agg join-back — the q261 shape.
+    */
+  def winsorizedMean(df: DataFrame, groupCol: String, scaledInt: Column,
+      scale: Int = 100, pLoPct: Int = 5, pHiPct: Int = 95): DataFrame = {
+    require(0 < pLoPct && pLoPct < pHiPct && pHiPct <= 100, "bad percentiles")
+    val base = df.select(col(groupCol).as("g"), scaledInt.cast("long").as("xi"))
+      .filter(col("xi").isNotNull)
+    val w = Window.partitionBy(col("g")).orderBy(col("xi"))
+    def rank(p: Int): Column = floor((col("__n") * p + 99) / 100)
+    val q = base.withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("g"))))
+      .groupBy(col("g"))
+      .agg(max(col("__n")).as("n"),
+        sum(when(col("__rn") === rank(pLoPct), col("xi"))).as("__lo"),
+        sum(when(col("__rn") === rank(pHiPct), col("xi"))).as("__hi"))
+    base.join(q, Seq("g"))
+      .withColumn("__ci", greatest(col("__lo"), least(col("__hi"), col("xi"))))
+      .groupBy(col("g"))
+      .agg(max(col("n")).as("n"),
+        round(max(col("__lo")).cast("double") / scale, 4).as("p_lo"),
+        round(max(col("__hi")).cast("double") / scale, 4).as("p_hi"),
+        sum(when(col("__ci") =!= col("xi"), 1L).otherwise(0L)).as("n_clamped"),
+        round(sum(col("__ci")).cast("double") /
+          (max(col("n")) * lit(scale.toLong)).cast("double"), 4)
+          .as("winsorized_mean"))
+  }
+
   def spearman(df: DataFrame, groupCol: String, xExpr: Column,
       yExpr: Column): DataFrame = {
     val base = df.select(col(groupCol).as("g"), xExpr.cast("long").as("x"),

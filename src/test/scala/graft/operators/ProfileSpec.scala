@@ -207,4 +207,26 @@ class ProfileSpec extends AnyFunSuite {
     assert(out("a") == ((10L, 104.5, 2.5, 1L, false)))
     assert(out("b") == ((5L, 7.0, 0.0, 0L, true)))
   }
+
+  test("winsorizedMean: exact nearest-rank clamps tame the tails") {
+    import spark.implicits._
+    // group a: 1..20 (cents: 100..2000); p05 rank = ceil(1)=1 → 100,
+    // p95 rank = ceil(19)=19 → 1900; clamps: none below, 2000→1900
+    // winsorized sum = (100+...+1900) + 1900 = 20900+... compute below
+    val rows = (1 to 20).map(i => ("a", i.toDouble)) ++
+      Seq(("b", 5.0), ("b", 1000000.0)) // tiny group: lo==hi clamp world
+    val df = rows.toDF("g", "v")
+    val out = Profile.winsorizedMean(df, "g",
+      round($"v" * 100, 0).cast("long"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getAs[Double]("p_lo"), r.getAs[Double]("p_hi"),
+          r.getLong(4), r.getAs[Double]("winsorized_mean")))).toMap
+    val sumA = (1 to 19).map(_ * 100).sum + 1900
+    assert(out("a") == ((20L, 1.0, 19.0,
+      1L, math.rint(sumA / 20.0 / 100 * 10000) / 10000)))
+    // n=2: p05 rank = ceil(0.1)=1 → 5.0; p95 rank = ceil(1.9)=2 → 1e6;
+    // nothing clamps (both values are their own bounds)
+    assert(out("b")._4 == 0L)
+    assert(out("b")._5 == math.rint((5.0 + 1000000.0) / 2 * 10000) / 10000)
+  }
 }
