@@ -1918,6 +1918,15 @@ object SparkEntry {
       graft.operators.Graph.edgeEmbeddedness(edges, "src", "dst")
     }),
 
+    // k-anonymity audit over (lang, source, length-centile) quasi-
+    // identifiers: per-threshold census of sub-k equivalence classes
+    // and the rows they expose — the structural re-identification
+    // screen next to the literal-PII redaction pass
+    "q304_k_anonymity" -> ((s, d) =>
+      graft.operators.QualityRules.kAnonymityAudit(
+        t(s, d, "documents"),
+        Seq(col("lang"), col("source"), expr("n_chars div 100").as("lb")))),
+
     // Winsorized mean per event type: values clamped to exact
     // nearest-rank [p05, p95] before averaging — the robust-aggregate
     // companion of q261's MAD outlier census; cent-scaled integers, no
@@ -5473,6 +5482,25 @@ object SparkEntry {
     // Served-index replay: the persisted (band, key) layout must return
     // BIT-IDENTICAL results to the in-query banding — same oracle
     "q291_lsh_served" -> bandedLshTopKOracleSql(k = 10, maxProbeId = 5),
+
+    // k-anonymity replay: class sizes → size histogram → threshold
+    // sweep on the histogram, exact integers, one final divide
+    "q304_k_anonymity" ->
+      """WITH g AS (SELECT lang, source, n_chars // 100 AS lb,
+        |    count(*)::BIGINT AS c
+        |  FROM documents GROUP BY 1, 2, 3),
+        |h AS (SELECT c, count(*)::BIGINT AS gn FROM g GROUP BY c),
+        |t AS (SELECT SUM(gn)::BIGINT AS n_groups,
+        |    SUM(c * gn)::BIGINT AS n_rows FROM h),
+        |kk AS (SELECT unnest([2, 5, 10, 20]) AS k),
+        |v AS (SELECT kk.k,
+        |    COALESCE(SUM(h.gn), 0)::BIGINT AS vg,
+        |    COALESCE(SUM(h.c * h.gn), 0)::BIGINT AS vr
+        |  FROM kk LEFT JOIN h ON h.c < kk.k GROUP BY kk.k)
+        |SELECT v.k, n_groups, n_rows, vg AS n_violating_groups,
+        |  vr AS n_rows_at_risk,
+        |  round(vr::DOUBLE / n_rows::DOUBLE, 4) AS risk_share
+        |FROM v CROSS JOIN t""".stripMargin,
 
     // Winsorized-mean replay: same cent-scaled integers, same integer
     // nearest-rank picks, same exact clamp and sum, one final divide

@@ -415,6 +415,44 @@ object QualityRules {
     * top bin so score = 1.0 lands in it); one aggregate with map-side
     * partials, output |buckets| rows.
     */
+  /** k-anonymity audit over a quasi-identifier tuple — the re-
+    * identification-risk census run on training data BEFORE release
+    * (the structural companion of the PII redaction pass, which only
+    * sees literal identifiers): for each threshold k, how many QI
+    * equivalence classes have fewer than k members and how many rows
+    * sit in them (those rows are k-identifiable). One partial-agg pass
+    * to class sizes; everything downstream operates on the class-size
+    * HISTOGRAM (≤ |distinct sizes| rows), so the thresholds sweep is
+    * free. Exact integers; the one divide per row is final.
+    */
+  def kAnonymityAudit(df: DataFrame, quasiIdentifiers: Seq[Column],
+      thresholds: Seq[Int] = Seq(2, 5, 10, 20)): DataFrame = {
+    require(quasiIdentifiers.nonEmpty && thresholds.nonEmpty, "empty audit")
+    val sizes = df.groupBy(quasiIdentifiers: _*)
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col("__c")).agg(count(lit(1)).as("__g")) // size histogram
+    val totals = sizes.agg(
+      sum(col("__g")).as("__n_groups"),
+      sum(col("__c") * col("__g")).as("__n_rows"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ks = thresholds.map(k => (k, k)).toDF("k", "__k")
+    ks.crossJoin(broadcast(totals))
+      .join(sizes.crossJoin(ks.select(col("__k").as("__k2")))
+          .filter(col("__c") < col("__k2"))
+          .groupBy(col("__k2"))
+          .agg(sum(col("__g")).as("__vg"),
+            sum(col("__c") * col("__g")).as("__vr")),
+        col("__k") === col("__k2"), "left")
+      .select(col("k"),
+        col("__n_groups").as("n_groups"),
+        col("__n_rows").as("n_rows"),
+        coalesce(col("__vg"), lit(0L)).as("n_violating_groups"),
+        coalesce(col("__vr"), lit(0L)).as("n_rows_at_risk"),
+        round(coalesce(col("__vr"), lit(0L)).cast("double") /
+          col("__n_rows").cast("double"), 4).as("risk_share"))
+  }
+
   def calibrationTable(df: DataFrame, score: Column, label: Column,
       buckets: Int = 10): DataFrame = {
     require(buckets >= 2, s"buckets must be >= 2, got $buckets")

@@ -322,4 +322,33 @@ class QualityRulesSpec extends AnyFunSuite {
     assert(census("https://ex.com/A/b?a=2&z=1") == ((2L, 2L, 1L)))
     assert(census("https://ex.com/A/b") == ((1L, 1L, 3L)))
   }
+
+  // --- kAnonymityAudit ---------------------------------------------------
+
+  test("kAnonymityAudit: hand-counted classes across thresholds") {
+    // QI classes: (en,a)x3, (en,b)x1, (fr,a)x6 → sizes {3,1,6}
+    val df = (Seq.fill(3)(("en", "a")) ++ Seq(("en", "b")) ++
+      Seq.fill(6)(("fr", "a"))).toDF("lang", "source")
+    val r = QualityRules.kAnonymityAudit(df,
+        Seq(col("lang"), col("source")), thresholds = Seq(2, 4, 10))
+      .collect().map(row => row.getAs[Int]("k") ->
+        ((row.getAs[Long]("n_groups"), row.getAs[Long]("n_rows"),
+          row.getAs[Long]("n_violating_groups"),
+          row.getAs[Long]("n_rows_at_risk"),
+          row.getAs[Double]("risk_share")))).toMap
+    // k=2: only the size-1 class violates
+    assert(r(2) == ((3L, 10L, 1L, 1L, 0.1)))
+    // k=4: sizes 3 and 1 violate → 2 groups, 4 rows
+    assert(r(4) == ((3L, 10L, 2L, 4L, 0.4)))
+    // k=10: everything violates
+    assert(r(10) == ((3L, 10L, 3L, 10L, 1.0)))
+  }
+
+  test("kAnonymityAudit: fully k-anonymous data reports zero risk") {
+    val df = Seq.fill(5)(("en", 1)).toDF("lang", "v")
+    val r = QualityRules.kAnonymityAudit(df, Seq(col("lang")),
+      thresholds = Seq(2, 5)).collect()
+    assert(r.forall(_.getAs[Long]("n_violating_groups") == 0L))
+    assert(r.forall(_.getAs[Double]("risk_share") == 0.0))
+  }
 }
