@@ -1918,6 +1918,21 @@ object SparkEntry {
       graft.operators.Graph.edgeEmbeddedness(edges, "src", "dst")
     }),
 
+    // Simplified (centroid-based) silhouette per label — the linear-
+    // time clustering-validity screen (exact silhouette is O(n²));
+    // one centroid pass + one points×k broadcast scan, per-point
+    // scores aggregated through the 6dp DECIMAL idiom
+    "q305_silhouette" -> ((s, d) =>
+      graft.operators.ClusterQuality.simplifiedSilhouette(
+        t(s, d, "embeddings"))),
+
+    // Davies-Bouldin report per label: within-cluster scatter and the
+    // worst (Sᵢ+Sⱼ)/Mᵢⱼ confusability ratio — names WHICH cluster the
+    // label collides with; same centroid machinery as q305
+    "q306_davies_bouldin" -> ((s, d) =>
+      graft.operators.ClusterQuality.daviesBouldin(
+        t(s, d, "embeddings"))),
+
     // k-anonymity audit over (lang, source, length-centile) quasi-
     // identifiers: per-threshold census of sub-k equivalence classes
     // and the rows they expose — the structural re-identification
@@ -5482,6 +5497,82 @@ object SparkEntry {
     // Served-index replay: the persisted (band, key) layout must return
     // BIT-IDENTICAL results to the in-query banding — same oracle
     "q291_lsh_served" -> bandedLshTopKOracleSql(k = 10, maxProbeId = 5),
+
+    // Simplified-silhouette replay: same 6dp DECIMAL centroid sums,
+    // same single /n divide per component, index-ordered distance
+    // folds, per-point scores through DECIMAL(18,6)
+    "q305_silhouette" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+        |  FROM embeddings),
+        |x AS (SELECT label, i AS dim, CAST(round(v[i], 6)
+        |    AS DECIMAL(18,6)) AS c
+        |  FROM (SELECT label, unnest(generate_series(1, len(v))) AS i, v
+        |    FROM e)),
+        |cs AS (SELECT label, dim,
+        |    CAST(CAST(SUM(c) AS DECIMAL(18,6)) AS DOUBLE) AS s,
+        |    count(*)::BIGINT AS n
+        |  FROM x GROUP BY label, dim),
+        |cent AS (SELECT label AS clabel,
+        |    list_transform(list(struct_pack(dim := dim, m := s / n)
+        |      ORDER BY dim), q -> q.m) AS cvec
+        |  FROM cs GROUP BY label),
+        |d AS (SELECT vec_id, label, clabel,
+        |    sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+        |      list_transform(generate_series(1, len(v)),
+        |        i -> (v[i] - cvec[i]) * (v[i] - cvec[i]))),
+        |      (a2, x2) -> a2 + x2)) AS dist
+        |  FROM e CROSS JOIN cent),
+        |p AS (SELECT vec_id, label,
+        |    MAX(CASE WHEN clabel = label THEN dist END) AS a,
+        |    MIN(CASE WHEN clabel <> label THEN dist END) AS b
+        |  FROM d GROUP BY vec_id, label),
+        |s2 AS (SELECT label, CAST(round(CASE WHEN greatest(a, b) > 0
+        |      THEN (b - a) / greatest(a, b) ELSE 0.0 END, 6)
+        |    AS DECIMAL(18,6)) AS sil FROM p)
+        |SELECT label, count(*)::BIGINT AS n,
+        |  round(CAST(CAST(SUM(sil) AS DECIMAL(18,6)) AS DOUBLE)
+        |    / count(*)::DOUBLE, 4) AS mean_silhouette
+        |FROM s2 GROUP BY label""".stripMargin,
+
+    // Davies-Bouldin replay: same centroids, scatter = 6dp-rounded
+    // point→centroid distances through DECIMAL, centroid↔centroid
+    // distances as index-ordered folds, NULL on coincident centroids
+    "q306_davies_bouldin" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+        |  FROM embeddings),
+        |x AS (SELECT label, i AS dim, CAST(round(v[i], 6)
+        |    AS DECIMAL(18,6)) AS c
+        |  FROM (SELECT label, unnest(generate_series(1, len(v))) AS i, v
+        |    FROM e)),
+        |cs AS (SELECT label, dim,
+        |    CAST(CAST(SUM(c) AS DECIMAL(18,6)) AS DOUBLE) AS s,
+        |    count(*)::BIGINT AS n
+        |  FROM x GROUP BY label, dim),
+        |cent AS (SELECT label,
+        |    list_transform(list(struct_pack(dim := dim, m := s / n)
+        |      ORDER BY dim), q -> q.m) AS cvec
+        |  FROM cs GROUP BY label),
+        |sc AS (SELECT e.label, count(*)::BIGINT AS n,
+        |    CAST(CAST(SUM(CAST(round(sqrt(list_reduce(
+        |      list_prepend(0.0::DOUBLE,
+        |        list_transform(generate_series(1, len(v)),
+        |          i -> (v[i] - cvec[i]) * (v[i] - cvec[i]))),
+        |      (a2, x2) -> a2 + x2)), 6) AS DECIMAL(18,6)))
+        |      AS DECIMAL(18,6)) AS DOUBLE) / count(*)::DOUBLE AS si
+        |  FROM e JOIN cent USING (label) GROUP BY e.label),
+        |m AS (SELECT i.label, j.label AS jlabel,
+        |    sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+        |      list_transform(generate_series(1, len(i.cvec)),
+        |        k2 -> (i.cvec[k2] - j.cvec[k2])
+        |          * (i.cvec[k2] - j.cvec[k2]))),
+        |      (a2, x2) -> a2 + x2)) AS mij
+        |  FROM cent i CROSS JOIN cent j WHERE i.label <> j.label)
+        |SELECT sc.label, max(sc.n) AS n, round(max(sc.si), 4) AS scatter,
+        |  round(max(CASE WHEN m.mij > 0
+        |    THEN (sc.si + sj.si) / m.mij END), 4) AS db_ratio
+        |FROM sc JOIN m ON m.label = sc.label
+        |JOIN sc sj ON sj.label = m.jlabel
+        |GROUP BY sc.label""".stripMargin,
 
     // k-anonymity replay: class sizes → size histogram → threshold
     // sweep on the histogram, exact integers, one final divide
