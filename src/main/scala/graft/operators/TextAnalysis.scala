@@ -828,6 +828,45 @@ object TextAnalysis {
         .otherwise(lit(1.0)))
   }
 
+  /** Lexical-diversity audit per group: type-token ratio, hapax share
+    * and Yule's K (Yule 1944) — the length-robust vocabulary-richness
+    * characteristic K = 10⁴·(Σ_t c(t)² − N)/N² over the token
+    * frequency spectrum. K ≈ 0 means every token is fresh (all hapax);
+    * high K means a few tokens dominate — THE templated/boilerplate
+    * corpus tell that n-gram distinct ratios (distinctN) see only at
+    * fixed n. All spectrum moments are exact integers; the three final
+    * divides run in double (N² as a double PRODUCT, not an int64
+    * multiply — N ≥ 2³² would overflow the integer square at corpus
+    * scale).
+    *
+    * Scale shape: one explode to (grp, token-hash) narrow rows with
+    * map-side partial counts (the distinctN collision stance: spectrum
+    * over 8-byte xxh64 token keys), then one k-row rollup. Groups
+    * whose documents contain no tokens emit no row (no 0/0 lanes).
+    */
+  def lexicalDiversity(df: DataFrame, textCol: String,
+      groupCol: String): DataFrame = {
+    val tf = df
+      .select(col(groupCol), explode(tokens(col(textCol))).as("__tok"))
+      .groupBy(col(groupCol), xxhash64(col("__tok")).as("__th"))
+      .agg(count(lit(1)).as("__c"))
+    tf.groupBy(col(groupCol))
+      .agg(sum(col("__c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("__c") === 1, 1L).otherwise(0L)).as("n_hapax"),
+        sum(col("__c") * col("__c")).as("__s2"))
+      .select(col(groupCol), col("n_tokens"), col("n_types"),
+        col("n_hapax"),
+        round(col("n_types").cast("double") /
+          col("n_tokens").cast("double"), 4).as("ttr"),
+        round(col("n_hapax").cast("double") /
+          col("n_types").cast("double"), 4).as("hapax_ratio"),
+        round(lit(10000.0) *
+          (col("__s2") - col("n_tokens")).cast("double") /
+          (col("n_tokens").cast("double") *
+            col("n_tokens").cast("double")), 4).as("yule_k"))
+  }
+
   /** Distinct-n diversity (Li et al. 2016's dialogue-diversity metric,
     * the Texygen convention): per group, distinct word n-grams over
     * total n-gram occurrences for each n in `ns` — THE repetitiveness
