@@ -1959,6 +1959,36 @@ object SparkEntry {
     "q302_mean_pairwise_cos" -> ((s, d) =>
       graft.operators.Similarity.meanPairwiseCosine(t(s, d, "embeddings"))),
 
+    // Lexical-diversity audit per source: TTR, hapax share and Yule's K
+    // (Yule 1944) over the token frequency spectrum — the length-robust
+    // templated/boilerplate tell next to distinctN's fixed-n ratios;
+    // spectrum moments are exact integers, three final double divides
+    "q307_lexical_diversity" -> ((s, d) =>
+      graft.operators.TextAnalysis.lexicalDiversity(
+        t(s, d, "documents"), "text", "source")),
+
+    // GRADED nDCG@10: recency ranking per event type scored against
+    // value-derived relevance grades (0-3, exact cent-integer
+    // bucketing) with the ideal DCG from the corpus's own top-10 gains
+    // — the graded complement of q298's binary normalizer ("are the
+    // newest events the high-value ones")
+    "q308_ndcg_graded" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .filter(col("value").isNotNull && col("ts").isNotNull)
+        .withColumn("grade",
+          expr("least(cast(round(value * 100, 0) as bigint) div 2500, 3)"))
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("ts").desc, col("event_id"))
+      val ranked = ev.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .select(col("event_type"), col("rank"),
+          col("grade").cast("double").as("rel"))
+      val gains = ev.filter(col("grade") > 0)
+        .select(col("event_type"), col("grade").cast("double").as("gain"))
+      graft.operators.Retrieval.ndcgAtKGraded(ranked, "event_type",
+        "rank", "rel", gains, "gain", k = 10)
+    }),
+
     // REAL WAV header extraction end to end: deterministic PCM WAVs
     // built from doc ids (real RIFF/fmt/data bytes), parsed back by
     // the codegen WavProbe expression; whole-ms durations make the
@@ -2016,8 +2046,9 @@ object SparkEntry {
         .start()
       q.awaitTermination()
       new java.io.File(outPath).mkdirs(): Unit
-      s.read.schema("id BIGINT, content_hash BIGINT, is_dup BOOLEAN")
+      s.read.schema("id BIGINT, content_hash BIGINT, is_dup BOOLEAN, batch_id BIGINT")
         .parquet(outPath)
+        .drop("batch_id") // retry-idempotency bookkeeping, not payload
         .withColumnRenamed("id", "doc_id")
     }),
 
@@ -5617,6 +5648,65 @@ object SparkEntry {
         |  round(CAST(SUM(ci) AS DOUBLE)
         |    / CAST(max(n) * 100 AS DOUBLE), 4) AS winsorized_mean
         |FROM c GROUP BY g""".stripMargin,
+
+    // Lexical-diversity replay: spectrum over token STRINGS (distinct
+    // over 8-byte xxh64 token keys == distinct over strings absent a
+    // collision — the q111 stance); all moments exact integers, the
+    // same three double divides in the same op order
+    "q307_lexical_diversity" ->
+      s"""WITH tk AS (SELECT source, unnest($tokensSql) AS tok
+         |  FROM documents),
+         |tf AS (SELECT source, tok, count(*)::BIGINT AS c
+         |  FROM tk GROUP BY source, tok),
+         |a AS (SELECT source, SUM(c)::BIGINT AS n_tokens,
+         |    count(*)::BIGINT AS n_types,
+         |    SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT AS n_hapax,
+         |    SUM(c * c)::BIGINT AS s2
+         |  FROM tf GROUP BY source)
+         |SELECT source, n_tokens, n_types, n_hapax,
+         |  round(n_types::DOUBLE / n_tokens::DOUBLE, 4) AS ttr,
+         |  round(n_hapax::DOUBLE / n_types::DOUBLE, 4) AS hapax_ratio,
+         |  round(10000.0 * (s2 - n_tokens)::DOUBLE
+         |    / (n_tokens::DOUBLE * n_tokens::DOUBLE), 4) AS yule_k
+         |FROM a""".stripMargin,
+
+    // Graded-nDCG replay: same cent-integer grades, same recency
+    // window, rank-ordered DCG fold, ideal top-10 via gain-DESC
+    // row_number (tie order free — equal doubles), depth-ordered fold
+    "q308_ndcg_graded" ->
+      """WITH ev AS (SELECT event_id, event_type, ts,
+        |    least(CAST(round(value * 100, 0) AS BIGINT) // 2500, 3)
+        |      AS grade
+        |  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+        |r AS (SELECT event_type, rel, rank FROM (
+        |    SELECT event_type, grade::DOUBLE AS rel,
+        |      row_number() OVER (PARTITION BY event_type
+        |        ORDER BY ts DESC, event_id) AS rank
+        |    FROM ev) WHERE rank <= 10),
+        |dcg AS (SELECT event_type,
+        |    list_reduce(list_prepend(0.0::DOUBLE,
+        |      list(rel / (ln(rank::DOUBLE + 1.0::DOUBLE)
+        |        / ln(2.0::DOUBLE)) ORDER BY rank)),
+        |      (a2, x2) -> a2 + x2) AS dcg
+        |  FROM r GROUP BY event_type),
+        |pos AS (SELECT event_type, grade::DOUBLE AS g FROM ev
+        |  WHERE grade > 0),
+        |ideal AS (SELECT event_type, g, d FROM (
+        |    SELECT event_type, g, row_number() OVER (
+        |      PARTITION BY event_type ORDER BY g DESC) AS d
+        |    FROM pos) WHERE d <= 10),
+        |idcg AS (SELECT event_type,
+        |    list_reduce(list_prepend(0.0::DOUBLE,
+        |      list(g / (ln(d::DOUBLE + 1.0::DOUBLE)
+        |        / ln(2.0::DOUBLE)) ORDER BY d)),
+        |      (a2, x2) -> a2 + x2) AS idcg
+        |  FROM ideal GROUP BY event_type),
+        |nrel AS (SELECT event_type, count(*)::BIGINT AS n_relevant
+        |  FROM pos GROUP BY event_type)
+        |SELECT dcg.event_type, coalesce(n_relevant, 0) AS n_relevant,
+        |  CASE WHEN idcg > 0 THEN round(dcg / idcg, 4) END AS ndcg
+        |FROM dcg LEFT JOIN idcg USING (event_type)
+        |LEFT JOIN nrel USING (event_type)""".stripMargin,
 
     // Mean-pairwise-cosine replay: the same sum-vector identity over
     // the same 6dp-rounded normalized vectors — A from per-(label, dim)

@@ -80,8 +80,14 @@ object ExifMeta {
       val count = u32(entry + 4)
       if (count <= 0) None
       else {
-        val at = if (count <= 4) entry + 8 else tiff + u32(entry + 8).toInt
-        if (at < 0 || at + count > end) None
+        // check the raw u32 offset for the -1 truncation sentinel
+        // BEFORE adding tiff: a truncated value field would otherwise
+        // yield at = tiff-1, which passes the at<0 guard (tiff >= 2)
+        // and can return garbage bytes from an unrelated segment
+        // instead of None (round-8 advisory; mirrors shortOrLong)
+        val off = if (count <= 4) 0L else u32(entry + 8)
+        val at = if (count <= 4) entry + 8 else tiff + off.toInt
+        if (off < 0 || at < 0 || at + count > end) None
         else Some(new String(b, at, count.toInt,
           java.nio.charset.StandardCharsets.US_ASCII)
           .takeWhile(_ != '\u0000'))

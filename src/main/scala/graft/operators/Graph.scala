@@ -22,22 +22,36 @@ object Graph {
     * so a checkpoint captured under AQE forgets its layout and every
     * pass re-shuffles the edges (measured: the plan regrows an
     * ENSURE_REQUIREMENTS exchange on the checkpointed side). The
-    * toggle is scoped to this one eager build; concurrent queries are
-    * unaffected when callers follow the one-session-per-thread
-    * discipline (graft.Verify's model).
+    * AQE-off window is scoped to a CLONED session (`newSession()`:
+    * shared SparkContext, cache and data, but a private SQLConf), so
+    * concurrent queries on the caller's session never observe the
+    * toggle and a concurrent conf change can never be clobbered by the
+    * restore (round-8 advisory) — thread-safe for library consumers,
+    * not just under graft.Verify's one-session-per-thread model.
     */
   private def partitionedCheckpoint(df: DataFrame, key: String): DataFrame = {
-    val conf = df.sparkSession.conf
-    val prev = conf.get("spark.sql.adaptive.enabled", "true")
-    conf.set("spark.sql.adaptive.enabled", "false")
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val owner = df.sparkSession
+    val cloned = owner.newSession()
+    // newSession() seeds SQLConf from the static SparkConf, not the
+    // owner's runtime conf — copy the runtime view so the eager build
+    // plans under the caller's exact configs (minus AQE). Static /
+    // non-settable keys throw on set and are skipped.
+    owner.conf.getAll.foreach { case (k, v) =>
+      try cloned.conf.set(k, v) catch { case _: Exception => () }
+    }
+    cloned.conf.set("spark.sql.adaptive.enabled", "false")
     // sortWithinPartitions matters as much as the repartition: the
     // checkpoint captures outputOrdering too, so every later
     // sort-merge join on `key` skips BOTH the exchange and the sort on
     // this side (measured: partitioning alone trades the exchange for
     // a per-pass re-sort of the edge list and loses)
-    try df.repartition(col(key)).sortWithinPartitions(col(key))
+    val staged = ColumnBridge.ofRows(cloned, ColumnBridge.analyzed(df))
+      .repartition(col(key)).sortWithinPartitions(col(key))
       .localCheckpoint(true)
-    finally conf.set("spark.sql.adaptive.enabled", prev)
+    // Re-bind the checkpointed frame (a LogicalRDD carrying the layout)
+    // to the caller's session so downstream plans compose as before.
+    ColumnBridge.ofRows(owner, ColumnBridge.analyzed(staged))
   }
 
   /** Connected components over an undirected edge list: returns

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Hybrid-retrieval composition: fuse independently-produced ranked lists
@@ -85,13 +86,16 @@ object Retrieval {
           4).as("rbo"))
   }
 
-  /** nDCG@k over a ranked list with graded relevance: DCG folds
-    * gain/log2(rank+1) in rank order; the ideal DCG comes from
-    * `totals` — the per-group count of ALL relevant items in the corpus
-    * (binary gains; the ideal ranking puts them first), so a ranking
-    * that found everything findable scores 1.0 even when fewer than k
-    * relevant items exist. Groups with zero relevant items emit NULL
-    * (undefined, not 0 — the q-null convention).
+  /** nDCG@k over a ranked list with BINARY relevance (relCol ∈ {0, 1}):
+    * DCG folds gain/log2(rank+1) in rank order; the ideal DCG comes
+    * from `totals` — the per-group count of ALL relevant items in the
+    * corpus (the ideal ranking puts them first, each with gain 1), so a
+    * ranking that found everything findable scores 1.0 even when fewer
+    * than k relevant items exist. Binary-only by construction: the
+    * normalizer sums 1/log2(d+1), so graded gains > 1 would yield
+    * nDCG > 1 — use [[ndcgAtKGraded]] for graded relevance (round-8
+    * advisory). Groups with zero relevant items emit NULL (undefined,
+    * not 0 — the q-null convention).
     *
     * log2 is spelled ln(x)/ln(2) in BOTH engines — DuckDB's native
     * log2() and a ratio of lns can differ in the last ulp.
@@ -118,6 +122,56 @@ object Retrieval {
             lit(0.0),
             (acc, d) => acc + lit(1.0) / log2(d.cast("double") + lit(1.0))),
             4))
+          .as("ndcg"))
+  }
+
+  /** nDCG@k with GRADED relevance: the ideal DCG is computed from the
+    * corpus itself — `corpusGains` holds one row per relevant item
+    * (group, gain > 0); per group the gains are sorted descending and
+    * the top-min(k, n) fold Σ gain_d / log2(d+1) is the normalizer, so
+    * graded gains can never push nDCG past 1.0 (the defect the binary
+    * form's count-based normalizer would have — round-8 advisory).
+    *
+    * Determinism: both folds run over array_sort-fixed orders (rank
+    * order for DCG, ideal-depth order for IDCG). The ideal top-k comes
+    * from a row_number window over gain DESC — tie order among equal
+    * gains is plan-dependent, but ties are equal doubles, so neither
+    * the selected multiset nor the depth-weighted sum can change.
+    * Groups with no positive corpus gain emit NULL.
+    *
+    * Scale: the ideal side is a windowed top-k (one shuffle on the
+    * group key, per-partition sort, k rows kept) — never a per-group
+    * collect of the full relevance list — plus a map-side-partial
+    * count; both join back as k-bounded frames.
+    */
+  def ndcgAtKGraded(ranked: DataFrame, groupCol: String, rankCol: String,
+      relCol: String, corpusGains: DataFrame, gainCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    def log2(c: org.apache.spark.sql.Column) = log(c) / log(lit(2.0))
+    def depthFold(rCol: String, gCol: String)(df: DataFrame, out: String) =
+      df.groupBy(col(groupCol))
+        .agg(aggregate(
+          transform(array_sort(collect_list(
+            struct(col(rCol).cast("int").as("r"),
+              col(gCol).cast("double").as("g")))),
+            s => s.getField("g") /
+              log2(s.getField("r").cast("double") + lit(1.0))),
+          lit(0.0), (acc, x) => acc + x).as(out))
+    val dcg = depthFold(rankCol, relCol)(
+      ranked.filter(col(rankCol) <= k), "__dcg")
+    val pos = corpusGains.filter(col(gainCol) > 0)
+      .select(col(groupCol), col(gainCol).cast("double").as("__g"))
+    val wIdeal = Window.partitionBy(col(groupCol)).orderBy(col("__g").desc)
+    val idcg = depthFold("__d", "__g")(
+      pos.withColumn("__d", row_number().over(wIdeal))
+        .filter(col("__d") <= k), "__idcg")
+    val nRel = pos.groupBy(col(groupCol)).agg(count(lit(1)).as("n_relevant"))
+    dcg.join(idcg, Seq(groupCol), "left")
+      .join(nRel, Seq(groupCol), "left")
+      .select(col(groupCol),
+        coalesce(col("n_relevant"), lit(0L)).as("n_relevant"),
+        when(col("__idcg") > 0, round(col("__dcg") / col("__idcg"), 4))
           .as("ndcg"))
   }
 }

@@ -565,8 +565,13 @@ object Similarity {
         .groupBy(col("label"), col("dim"))
         .agg(sum(round(col("c"), 6).cast("decimal(18,6)"))
           .cast("decimal(18,6)").cast("double").as(out))
+    // counts must see exactly the rows the component sums saw: a
+    // null/empty embedding contributes nothing to the sums (posexplode
+    // emits no rows) but would still count here and skew norm_ratio,
+    // which reintroduces n_a/n_b (round-8 advisory)
     def counts(df: DataFrame, out: String): DataFrame =
-      df.groupBy(col(labelCol).as("label")).agg(count(lit(1)).as(out))
+      df.filter(col("embedding").isNotNull && size(col("embedding")) > 0)
+        .groupBy(col(labelCol).as("label")).agg(count(lit(1)).as(out))
     val joined = sums(a, "sa").join(sums(b, "sb"), Seq("label", "dim"))
     def fold(f: Column => Column): Column =
       aggregate(transform(array_sort(

@@ -204,6 +204,16 @@ object StreamingOps {
     * B/doc) and eagerly checkpointed once; each foreachBatch writes its
     * flags BEFORE growing the index (the write materializes the flag
     * join, so the append can never race it).
+    *
+    * Effectively-once output under micro-batch RETRIES (round-8
+    * advisory): flags land in a `batch_id=<id>` partition via dynamic
+    * partition overwrite, so a replayed batch REWRITES its own
+    * partition instead of appending a duplicate copy (flags replay
+    * against the start-of-stream snapshot, so the rewrite is
+    * bit-identical); the index leg is already idempotent —
+    * [[graft.operators.Dedup.appendToContentIndex]] anti-joins new
+    * hashes against the stored set, so a replayed append adds nothing.
+    * Readers drop the `batch_id` bookkeeping column.
     */
   def streamIndexDedupGate(stream: DataFrame, idCol: String, textCol: String,
       indexPath: String, outPath: String,
@@ -212,10 +222,13 @@ object StreamingOps {
     val seed = spark.read.parquet(indexPath).select(col("h"))
       .distinct().localCheckpoint(true)
     stream.writeStream.foreachBatch {
-      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         graft.operators.Dedup
           .dedupAgainstHashes(batch.toDF(), idCol, textCol, seed)
-          .write.mode("append").parquet(outPath)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(outPath)
         graft.operators.Dedup
           .appendToContentIndex(batch.toDF(), textCol, indexPath, buckets)
         ()

@@ -63,4 +63,28 @@ class RetrievalSpec extends AnyFunSuite {
     assert(out(2L).contains(expected2))
     assert(out(3L).isEmpty)
   }
+
+  test("ndcgAtKGraded: graded perfect 1.0, graded gain cannot exceed 1, zero-gain null") {
+    // g1: perfect graded ranking (3,2,1 in gain order) → exactly 1.0
+    // g2: single gain-2 item found at rank 2 — the binary normalizer
+    //     would score 2/log2(3) / 1 = 1.26 (>1, the round-8 defect);
+    //     the graded ideal (2/log2(2)) keeps it at 0.6309
+    // g3: relevant nothing → NULL
+    val ranked = Seq(
+      (1L, 1, 3.0), (1L, 2, 2.0), (1L, 3, 1.0),
+      (2L, 1, 0.0), (2L, 2, 2.0),
+      (3L, 1, 0.0)).toDF("g", "rank", "rel")
+    val gains = Seq(
+      (1L, 3.0), (1L, 2.0), (1L, 1.0),
+      (2L, 2.0)).toDF("g", "gain")
+    val out = Retrieval.ndcgAtKGraded(ranked, "g", "rank", "rel",
+        gains, "gain", k = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))).toMap
+    assert(out(1L) == ((3L, Some(1.0))))
+    val dcg2 = 2.0 / (math.log(3.0) / math.log(2.0))
+    val exp2 = math.rint(dcg2 / 2.0 * 10000) / 10000
+    assert(out(2L) == ((1L, Some(exp2))) && exp2 < 1.0)
+    assert(out(3L) == ((0L, None)))
+  }
 }

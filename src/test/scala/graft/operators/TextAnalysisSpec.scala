@@ -702,4 +702,22 @@ class TextAnalysisSpec extends AnyFunSuite {
     // gini = (2*(45 + 380) - 11*47) / (10*47) = 333/470 = 0.7085
     assert(out("b") == ((10L, 47L, 0.7085)))
   }
+
+  test("lexicalDiversity: all-hapax K=0, one-token dominance high K, no-token group absent") {
+    val df = Seq(
+      ("hapax", "alpha beta gamma"), ("hapax", "delta epsilon"),
+      // 10 copies of one token + 2 singletons: N=12, types=3,
+      // s2 = 100+1+1 = 102 → K = 1e4*(102-12)/144 = 6250.0
+      ("tmpl", Seq.fill(10)("spam").mkString(" ") + " egg ham"),
+      ("empty", "   "))
+      .toDF("source", "text")
+    val out = TextAnalysis.lexicalDiversity(df, "text", "source")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+          r.getDouble(5), r.getDouble(6)))).toMap
+    // hapax: N=5, types=5, hapax=5, s2=5 → ttr=1, hapax=1, K=0
+    assert(out("hapax") == ((5L, 5L, 5L, 1.0, 1.0, 0.0)))
+    assert(out("tmpl") == ((12L, 3L, 2L, 0.25, 0.6667, 6250.0)))
+    assert(!out.contains("empty")) // whitespace-only text → no row
+  }
 }

@@ -387,6 +387,9 @@ class StreamingOpsSpec extends AnyFunSuite {
       .schema(StructType(Seq(StructField("doc_id", LongType),
         StructField("text", StringType))))
       .option("maxFilesPerTrigger", 1).parquet(s"$streamDir/*")
+    // start-of-stream index snapshot, kept for the retry-replay below
+    val seedSnapshot = spark.read.parquet(idx).select($"h")
+      .distinct().localCheckpoint(true)
     val out = s"$base/out"
     val q = StreamingOps.streamIndexDedupGate(stream, "doc_id", "text", idx, out)
       .option("checkpointLocation", s"$base/ckpt")
@@ -404,5 +407,26 @@ class StreamingOpsSpec extends AnyFunSuite {
     val full = spark.read.parquet(oneShot).select("h")
       .collect().map(_.getLong(0)).toSet
     assert(grown == full)
+    // retry idempotency (round-8 advisory): replay batch 0's two legs —
+    // the flag write overwrites its own batch_id partition (row count
+    // and flags unchanged), the index append anti-joins to a no-op
+    val withBatch = spark.read.parquet(out)
+    val before = withBatch.count()
+    val b0ids = withBatch.filter($"batch_id" === 0L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(b0ids.nonEmpty) // AvailableNow at 1 file/trigger → batch 0 = f0
+    val replayBatch = docs.filter($"doc_id".isInCollection(b0ids))
+    Dedup.dedupAgainstHashes(replayBatch, "doc_id", "text", seedSnapshot)
+      .withColumn("batch_id", lit(0L))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(out)
+    Dedup.appendToContentIndex(replayBatch, "text", idx)
+    assert(spark.read.parquet(out).count() == before)
+    val reflags = spark.read.parquet(out)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(reflags == flags)
+    val regrown = spark.read.parquet(idx).select("h")
+      .collect().map(_.getLong(0)).toSet
+    assert(regrown == full)
   }
 }
