@@ -1,11 +1,62 @@
 package graft
 
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+
 /** Dev tool: idle-gated median-of-N re-pin for specific bench queries
   * (r7 verdict #2 — q260/q34 medians doubled on unchanged code; this
   * separates host noise from regression without paying a full suite).
+  *
+  * Round-9 (r8 verdict #4): per-run TASK TELEMETRY via a
+  * SparkListener — memory/disk spill, GC time, peak execution memory,
+  * shuffle read/write bytes — so an outlier run (q111's 67 s third run
+  * at sf10) is attributable to spill vs host contention from the
+  * artifact alone. Emits one machine-readable JSON line
+  * (`"detail":"bench_pin"`) after the human-readable [pin] lines.
+  *
   * Usage: runMain graft.BenchPin <sfDir> <passes> <query> [<query>...]
   */
 object BenchPin {
+
+  /** Accumulates TaskMetrics across all tasks between reset() calls.
+    * Registered once; local[k] runs tasks in-process so executor-side
+    * metrics (GC, spill, peak memory) land here directly.
+    */
+  private final class MetricsListener extends SparkListener {
+    val memSpill = new AtomicLong
+    val diskSpill = new AtomicLong
+    val gcTimeMs = new AtomicLong
+    val peakExecMem = new AtomicLong
+    val shufRead = new AtomicLong
+    val shufWrite = new AtomicLong
+    override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+      val m = t.taskMetrics
+      if (m != null) {
+        memSpill.addAndGet(m.memoryBytesSpilled): Unit
+        diskSpill.addAndGet(m.diskBytesSpilled): Unit
+        gcTimeMs.addAndGet(m.jvmGCTime): Unit
+        peakExecMem.updateAndGet(p => math.max(p, m.peakExecutionMemory)): Unit
+        shufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead): Unit
+        shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten): Unit
+      }
+    }
+    def reset(): Unit =
+      Seq(memSpill, diskSpill, gcTimeMs, peakExecMem, shufRead, shufWrite)
+        .foreach(_.set(0L))
+    /** (mem_spill, disk_spill, gc_ms, peak_exec_mem, shuf_read, shuf_write) */
+    def snapshot(): Seq[Long] =
+      Seq(memSpill.get, diskSpill.get, gcTimeMs.get, peakExecMem.get,
+        shufRead.get, shufWrite.get)
+  }
+
+  private val telemetryKeys = Seq("mem_spill_mb", "disk_spill_mb", "gc_sec",
+    "peak_exec_mem_mb", "shuffle_read_mb", "shuffle_write_mb")
+
+  private def toUnits(snap: Seq[Long]): Seq[Double] = Seq(
+    snap(0) / 1048576.0, snap(1) / 1048576.0, snap(2) / 1000.0,
+    snap(3) / 1048576.0, snap(4) / 1048576.0, snap(5) / 1048576.0)
+
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val passes = args(1).toInt
@@ -15,26 +66,61 @@ object BenchPin {
     val spark = GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     GraftSession.tune(spark)
+    val listener = new MetricsListener
+    spark.sparkContext.addSparkListener(listener)
     def loadAvg(): Double =
       try scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0).toDouble
       catch { case _: Throwable => -1.0 }
-    // idle gate: wait up to 180 s for loadavg < 4
+    // idle gate: wait (default up to 180 s, SPARK_GRAFT_IDLE_WAIT to
+    // override — sf10 reruns use longer) for loadavg < 4
+    val maxWait = sys.env.get("SPARK_GRAFT_IDLE_WAIT")
+      .flatMap(_.toIntOption).getOrElse(180)
     var waited = 0
-    while (loadAvg() > 4.0 && waited < 180) { Thread.sleep(5000); waited += 5 }
+    while (loadAvg() > 4.0 && waited < maxWait) { Thread.sleep(5000); waited += 5 }
     println(f"[pin] loadavg=${loadAvg()}%.2f idle_wait=${waited}s passes=$passes sf=$sfDir")
+    def num(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val medians = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val raws = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
+    val tele = scala.collection.mutable.LinkedHashMap[String, Seq[Seq[Double]]]()
     names.foreach { name =>
-      def run(): Double = {
+      def run(): (Double, Seq[Double]) = {
+        listener.reset()
         val t0 = System.nanoTime()
         SparkEntry.queries(name)(spark, sfDir)
           .write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9
+        val sec = (System.nanoTime() - t0) / 1e9
+        (sec, toUnits(listener.snapshot()))
       }
       run() // warmup
-      val runs = Seq.fill(passes)(run()).sorted
-      val median = if (runs.size % 2 == 1) runs(runs.size / 2)
-        else (runs(runs.size / 2 - 1) + runs(runs.size / 2)) / 2
-      println(f"[pin] $name median=$median%.3f runs=${runs.map(r => f"$r%.3f").mkString(",")} loadavg_end=${loadAvg()}%.2f")
+      val runs = Seq.fill(passes)(run())
+      val times = runs.map(_._1).sorted
+      val median = if (times.size % 2 == 1) times(times.size / 2)
+        else (times(times.size / 2 - 1) + times(times.size / 2)) / 2
+      medians(name) = median
+      raws(name) = runs.map(_._1)
+      tele(name) = runs.map(_._2)
+      val worst = runs.map(_._2).transpose.map(_.max)
+      println(f"[pin] $name median=$median%.3f runs=${runs.map(r => f"${r._1}%.3f").mkString(",")} " +
+        f"spill_mb=${num(worst(0))}/${num(worst(1))} gc_s=${num(worst(2))} " +
+        f"peak_mb=${num(worst(3))} shuf_mb=${num(worst(4))}/${num(worst(5))} " +
+        f"loadavg_end=${loadAvg()}%.2f")
     }
+    val qJson = medians.map { case (k, v) => "\"" + k + "\":" + num(v) }
+      .mkString("{", ",", "}")
+    val rawJson = raws.map { case (k, rs) =>
+      "\"" + k + "\":" + rs.map(num).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val teleJson = tele.map { case (k, perRun) =>
+      val worst = perRun.transpose.map(_.max)
+      "\"" + k + "\":" + telemetryKeys.zip(worst)
+        .map { case (tk, tv) => "\"" + tk + "\":" + num(tv) }
+        .mkString("{", ",", "}")
+    }.mkString("{", ",", "}")
+    println(s"""{"detail":"bench_pin","sf":"$sfDir","stat":"median_of_$passes",""" +
+      s""""cpus":$cpus,"driver_mem":"${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",""" +
+      s""""queries":$qJson,"raw_runs":$rawJson,"telemetry_worst_run":$teleJson,""" +
+      s""""loadavg_end":${num(loadAvg())},"idle_wait_sec":$waited}""")
     spark.stop()
   }
 }

@@ -2561,6 +2561,36 @@ object SparkEntry {
         threshold = 0.3)
     }),
 
+    // SERVED semantic decontamination: q260's gate replayed through a
+    // PERSISTED corpus LSH index — eval band keys become partition
+    // filters over the stored (band, key) layout, the corpus is never
+    // re-signatured. Bit-identical to q260 by construction (same
+    // candidate rule, same cosine gate) — the shared oracle proves it
+    "q309_decontam_served" -> ((s, d) => {
+      val tmp = sys.props("java.io.tmpdir")
+      val path = s"$tmp/graft_q309_lsh_${s.sparkContext.applicationId}"
+      def rmrf(p: java.io.File): Unit = {
+        if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rmrf))
+        p.delete(): Unit
+      }
+      rmrf(new java.io.File(path))
+      val emb = t(s, d, "embeddings")
+      graft.operators.Similarity.writeLshIndex(
+        emb.filter(col("vec_id") % 97 =!= 0), path)
+      graft.operators.TrainingData.decontaminateSemanticServed(
+        emb.filter(col("vec_id") % 97 === 0), path, threshold = 0.3)
+    }),
+
+    // QuickTime/MOV sample-table metadata: deterministic photo-JPEG
+    // MOVs (real ftyp/mdat/moov + stsd/stts/stsc/stsz/stco tables)
+    // probed back by the QtCodec byte walk — n_frames from stsz,
+    // duration from mdhd timescale math, all closed-form for the
+    // oracle; frame PIXELS stay spec-covered (lossy-codec convention)
+    "q310_mov_meta" -> ((s, d) =>
+      graft.operators.Multimodal.movMeta(
+        graft.operators.Multimodal.syntheticMovFromDocs(
+          t(s, d, "documents")))),
+
     // Canonical-document selection: hash-gated consecutive-id pairs
     // form chains of near-dup clusters; keep the highest-n_chars member
     // per cluster (ties to lowest id) — the best-of-cluster keep policy
@@ -7321,6 +7351,19 @@ object SparkEntry {
     // Semantic-decontam replay: same seeded planes, band keys on both
     // split sides, cross-set candidate join, exact cosine gate + rollup
     "q260_decontam_semantic" -> semanticDecontamOracleSql,
+
+    // Served-index replay: the persisted corpus layout must return
+    // BIT-IDENTICAL decontamination results to q260's in-query banding
+    // — same oracle (the q291/q34 served-equality convention)
+    "q309_decontam_served" -> semanticDecontamOracleSql,
+
+    // MOV sample-table replay: closed-form synthesis arithmetic —
+    // (d % 3) + 1 frames at 25 fps, one tick per frame → 40 ms/frame
+    "q310_mov_meta" ->
+      """SELECT doc_id AS media_id, 'jpeg' AS codec, 16 AS width,
+        |  8 AS height, CAST(doc_id % 3 + 1 AS BIGINT) AS n_frames,
+        |  CAST((doc_id % 3 + 1) * 40 AS BIGINT) AS duration_ms
+        |FROM documents WHERE doc_id >= 0""".stripMargin,
 
     // Canonical-selection replay: hash-gated chain pairs, recursive-CTE
     // connected components (the q132 pattern), then the deterministic

@@ -38,6 +38,14 @@ object Verify {
     }
     val threads = sys.env.get("SPARK_GRAFT_VERIFY_THREADS")
       .flatMap(_.toIntOption).filter(_ > 0).getOrElse(6)
+    // Summary FRAME: one line FIRST and one LAST on stdout (round-8
+    // verdict #1b) — whichever end of the stream a head- or
+    // tail-capturing harness keeps, the query count and liveness are
+    // visible, and an empty driver artifact becomes attributable to
+    // the post-Verify leg.
+    println(s"[verify-summary] starting queries=${selected.size} " +
+      s"threads=$threads sf=$sfDir out=$outDir")
+    System.out.flush()
     val pool = Executors.newFixedThreadPool(threads)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     // One child session per worker thread (session state is NOT
@@ -107,6 +115,10 @@ object Verify {
       }.mkString("{", ",", "}")
     }
     Files.writeString(Paths.get(s"$outDir/verify_log.json"), logJson)
+    // stop() BEFORE the final summary copy so no Spark shutdown WARN
+    // line can land after it (the Bench emission-layout lesson).
     spark.stop()
+    println(f"[verify-summary] queries=${selected.size} failed=$nFailed seconds=$totalSec%.1f")
+    System.out.flush()
   }
 }

@@ -552,10 +552,224 @@ object Multimodal {
       }
   }
 
-  /** REAL per-frame video statistics: parse the AVI container, decode
-    * every frame (exact DIB pixel math or MJPEG→imageio), and emit one
-    * row per frame with integer luma-plane stats. Payloads that are not
-    * parseable AVIs yield no rows (the caller's stub path owns those).
+  /** Minimal QuickTime/MOV container codec (Apple QuickTime File
+    * Format spec; the same `[u32 size][4cc]` box grammar as ISO BMFF) —
+    * pure JVM byte arithmetic, the MOV sibling of [[AviCodec]]. Written
+    * AND parsed layout:
+    *
+    *   ftyp('qt  ') mdat(samples…) moov(mvhd trak(tkhd mdia(mdhd hdlr
+    *     minf(vmhd dinf stbl(stsd('jpeg') stts stsc stsz stco)))))
+    *
+    * Frames are photo-JPEG samples located through the REAL sample
+    * tables: stsz sizes, stco chunk offsets (file-absolute), stsc
+    * sample→chunk runs expanded exactly as the spec defines, so a
+    * multi-sample-per-chunk file parses correctly, not just our own
+    * writer's 1:1 layout. Decode goes through the same javax.imageio
+    * leg as MJPEG-AVI. H.264 stays out of JDK reach — stub fallback.
+    */
+  object QtCodec {
+    final case class Mov(width: Int, height: Int, codec: String,
+      durationMs: Option[Long], frames: Seq[Array[Byte]])
+
+    private def be16(v: Int): Array[Byte] =
+      Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    private def be32(v: Int): Array[Byte] =
+      Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+        ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    private def readBe32(b: Array[Byte], o: Int): Long =
+      ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+        ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+    private def readBe16(b: Array[Byte], o: Int): Int =
+      ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
+    private def fourcc(b: Array[Byte], o: Int): String =
+      new String(b, o, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
+
+    private def box(typ: String, body: Array[Byte]): Array[Byte] =
+      be32(body.length + 8) ++ typ.getBytes("US-ASCII") ++ body
+
+    /** Assemble a playable single-track photo-JPEG MOV at `fps`
+      * frames/sec (timescale = fps, one tick per frame, so
+      * duration_ms = frames·1000/fps is exact integer math for the
+      * oracle when fps divides 1000).
+      */
+    def buildMov(width: Int, height: Int, fps: Int,
+        frames: Seq[Array[Byte]], samplesPerChunk: Int = 1): Array[Byte] = {
+      require(samplesPerChunk >= 1, "samplesPerChunk must be >= 1")
+      val ftyp = box("ftyp", "qt  ".getBytes("US-ASCII") ++ be32(0x200) ++
+        "qt  ".getBytes("US-ASCII"))
+      val mdatBody = frames.flatten.toArray
+      val mdat = box("mdat", mdatBody)
+      val dataStart = ftyp.length + 8 // absolute offset of first sample
+      // chunk offsets: every samplesPerChunk-th sample starts a chunk
+      // (the last chunk may be short — stsz bounds the expansion)
+      val sampleOffs = frames.scanLeft(dataStart)(_ + _.length).init
+      val offsets = sampleOffs.grouped(samplesPerChunk).map(_.head).toSeq
+      val n = frames.size
+      def full(body: Array[Byte]): Array[Byte] = be32(0) ++ body // v0+flags
+      val matrix = be32(0x10000) ++ be32(0) ++ be32(0) ++
+        be32(0) ++ be32(0x10000) ++ be32(0) ++
+        be32(0) ++ be32(0) ++ be32(0x40000000)
+      val mvhd = box("mvhd", full(be32(0) ++ be32(0) ++ be32(fps) ++
+        be32(n) ++ be32(0x10000) ++ be16(0x100) ++ new Array[Byte](10) ++
+        matrix ++ new Array[Byte](24) ++ be32(2)))
+      val tkhd = box("tkhd", full(be32(0) ++ be32(0) ++ be32(1) ++
+        be32(0) ++ be32(n) ++ new Array[Byte](8) ++ be16(0) ++ be16(0) ++
+        be16(0) ++ be16(0) ++ matrix ++
+        be32(width << 16) ++ be32(height << 16)))
+      val mdhd = box("mdhd", full(be32(0) ++ be32(0) ++ be32(fps) ++
+        be32(n) ++ be16(0x55c4) ++ be16(0)))
+      val hdlr = box("hdlr", full("mhlr".getBytes("US-ASCII") ++
+        "vide".getBytes("US-ASCII") ++ new Array[Byte](12)))
+      val desc = be32(86) ++ "jpeg".getBytes("US-ASCII") ++
+        new Array[Byte](6) ++ be16(1) ++ be16(0) ++ be16(0) ++
+        new Array[Byte](4) ++ be32(512) ++ be32(512) ++
+        be16(width) ++ be16(height) ++ be32(0x480000) ++ be32(0x480000) ++
+        be32(0) ++ be16(1) ++ new Array[Byte](32) ++ be16(24) ++
+        be16(0xffff)
+      val stsd = box("stsd", full(be32(1) ++ desc))
+      val stts = box("stts", full(be32(1) ++ be32(n) ++ be32(1)))
+      val stsc = box("stsc", full(be32(1) ++ be32(1) ++
+        be32(samplesPerChunk) ++ be32(1)))
+      val stsz = box("stsz", full(be32(0) ++ be32(n) ++
+        frames.flatMap(f => be32(f.length)).toArray))
+      val stco = box("stco", full(be32(offsets.size) ++
+        offsets.flatMap(o => be32(o)).toArray))
+      val stbl = box("stbl", stsd ++ stts ++ stsc ++ stsz ++ stco)
+      val vmhd = box("vmhd", be32(1) ++ be16(0) ++ be16(0) ++ be16(0) ++ be16(0))
+      val dinf = box("dinf", box("dref", full(be32(1) ++
+        box("alis", Array(0.toByte, 0.toByte, 0.toByte, 1.toByte)))))
+      val minf = box("minf", vmhd ++ dinf ++ stbl)
+      val mdia = box("mdia", mdhd ++ hdlr ++ minf)
+      val trak = box("trak", tkhd ++ mdia)
+      val moov = box("moov", mvhd ++ trak)
+      ftyp ++ mdat ++ moov
+    }
+
+    /** Parse container + sample tables, slice the JPEG samples out of
+      * the file by stsc/stsz/stco arithmetic. None for anything that is
+      * not a QuickTime/BMFF file with a jpeg-family video track.
+      */
+    def parseMov(bytes: Array[Byte]): Option[Mov] = {
+      if (bytes == null || bytes.length < 16) return None
+      val first = fourcc(bytes, 4)
+      // classic MOVs may omit ftyp; accept any top-level QT box start
+      if (!Set("ftyp", "moov", "mdat", "wide", "free", "skip")(first))
+        return None
+      var codec = ""
+      var width = -1; var height = -1
+      var timescale = 0L; var durTicks = -1L
+      var sizes: Array[Int] = null
+      var chunkOffs: Array[Long] = null
+      // stsc runs: (firstChunk, samplesPerChunk)
+      var stscRuns: Array[(Int, Int)] = null
+      def walk(start: Int, end: Int, depth: Int): Unit = {
+        if (depth > 10) return
+        var o = start
+        while (o + 8 <= end) {
+          val size = readBe32(bytes, o)
+          if (size < 8 || o + size > end) return
+          val typ = fourcc(bytes, o + 4)
+          val p = o + 8; val pEnd = (o + size).toInt
+          typ match {
+            case "moov" | "trak" | "mdia" | "minf" | "stbl" =>
+              walk(p, pEnd, depth + 1)
+            case "mdhd" if pEnd - p >= 20 =>
+              if ((bytes(p) & 0xff) == 0) {
+                timescale = readBe32(bytes, p + 12)
+                durTicks = readBe32(bytes, p + 16)
+              }
+            case "stsd" if pEnd - p >= 8 + 36 =>
+              val entry = p + 8
+              val fmt = fourcc(bytes, entry + 4)
+              // only claim the track if it's the jpeg family
+              if (Set("jpeg", "mjpa", "mjpb")(fmt) && codec.isEmpty) {
+                codec = fmt
+                width = readBe16(bytes, entry + 32)
+                height = readBe16(bytes, entry + 34)
+              }
+            case "stsz" if pEnd - p >= 12 =>
+              val uniform = readBe32(bytes, p + 4)
+              val n = readBe32(bytes, p + 8).toInt
+              if (n >= 0 && n < (1 << 22)) {
+                if (uniform != 0L) sizes = Array.fill(n)(uniform.toInt)
+                else if (p + 12 + 4L * n <= pEnd)
+                  sizes = Array.tabulate(n)(i => readBe32(bytes, p + 12 + 4 * i).toInt)
+              }
+            case "stco" if pEnd - p >= 8 =>
+              val n = readBe32(bytes, p + 4).toInt
+              if (n >= 0 && n < (1 << 22) && p + 8 + 4L * n <= pEnd)
+                chunkOffs = Array.tabulate(n)(i => readBe32(bytes, p + 8 + 4 * i))
+            case "stsc" if pEnd - p >= 8 =>
+              val n = readBe32(bytes, p + 4).toInt
+              if (n >= 0 && n < (1 << 20) && p + 8 + 12L * n <= pEnd)
+                stscRuns = Array.tabulate(n)(i =>
+                  (readBe32(bytes, p + 8 + 12 * i).toInt,
+                    readBe32(bytes, p + 12 + 12 * i).toInt))
+            case _ =>
+          }
+          o = pEnd
+        }
+      }
+      walk(0, bytes.length, 0)
+      if (codec.isEmpty || width <= 0 || height <= 0 ||
+        sizes == null || chunkOffs == null || stscRuns == null) return None
+      // expand stsc: chunk index (1-based) → samples in that chunk
+      val perChunk = Array.tabulate(chunkOffs.length) { ci =>
+        val c1 = ci + 1
+        stscRuns.reverseIterator.find(_._1 <= c1).map(_._2).getOrElse(0)
+      }
+      val frames = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+      var si = 0
+      var ci = 0
+      while (ci < chunkOffs.length && si < sizes.length) {
+        var off = chunkOffs(ci)
+        var k = 0
+        while (k < perChunk(ci) && si < sizes.length) {
+          val sz = sizes(si)
+          if (sz < 0 || off < 0 || off + sz > bytes.length) return None
+          frames += java.util.Arrays.copyOfRange(bytes, off.toInt,
+            (off + sz).toInt)
+          off += sz; si += 1; k += 1
+        }
+        ci += 1
+      }
+      if (si != sizes.length) return None // truncated sample tables
+      val durMs =
+        if (timescale > 0 && durTicks >= 0) Some(durTicks * 1000L / timescale)
+        else None
+      Some(Mov(width, height, codec, durMs, frames.toSeq))
+    }
+
+    /** JPEG frame → BT.601 ×1000 integer luma plane (the AVI-MJPEG
+      * decode leg, shared): None on undecodable bytes.
+      */
+    def jpegLumaMilli(frame: Array[Byte]): Option[Array[Int]] =
+      try {
+        Option(javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(frame))).map { img =>
+          val w = img.getWidth; val h = img.getHeight
+          val out = new Array[Int](w * h)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              out(y * w + x) = 299 * ((rgb >> 16) & 0xff) +
+                587 * ((rgb >> 8) & 0xff) + 114 * (rgb & 0xff)
+              x += 1
+            }
+            y += 1
+          }
+          out
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** REAL per-frame video statistics: parse the container — AVI
+    * ([[AviCodec]]) or QuickTime/MOV ([[QtCodec]]) — decode every frame
+    * (exact DIB pixel math, or MJPEG/photo-JPEG→imageio), and emit one
+    * row per frame with integer luma-plane stats. Payloads that parse
+    * as neither yield no rows (the caller's stub path owns those).
     * Batch shape identical to [[imageFeatures]] — binary payloads never
     * shuffle; only the narrow stat rows leave the scan.
     */
@@ -576,29 +790,101 @@ object Multimodal {
     media.select("media_id", "content").mapPartitions { rows =>
       rows.flatMap { r =>
         val bytes = Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray)
-        AviCodec.parseAvi(bytes).toSeq.flatMap { avi =>
-          avi.frames.zipWithIndex.flatMap { case (f, i) =>
-            AviCodec.frameLumaMilli(avi, f).map { lumas =>
-              var mn = Int.MaxValue; var mx = Int.MinValue
-              var j = 0
-              while (j < lumas.length) {
-                if (lumas(j) < mn) mn = lumas(j)
-                if (lumas(j) > mx) mx = lumas(j)
-                j += 1
-              }
-              var nMin = 0L
-              j = 0
-              while (j < lumas.length) {
-                if (lumas(j) == mn) nMin += 1
-                j += 1
-              }
-              Row(r.getLong(0), i, avi.width, avi.height,
-                lumas.length.toLong, mn.toLong, mx.toLong, nMin)
+        def statsRow(i: Int, w: Int, h: Int, lumas: Array[Int]): Row = {
+          var mn = Int.MaxValue; var mx = Int.MinValue
+          var j = 0
+          while (j < lumas.length) {
+            if (lumas(j) < mn) mn = lumas(j)
+            if (lumas(j) > mx) mx = lumas(j)
+            j += 1
+          }
+          var nMin = 0L
+          j = 0
+          while (j < lumas.length) {
+            if (lumas(j) == mn) nMin += 1
+            j += 1
+          }
+          Row(r.getLong(0), i, w, h, lumas.length.toLong, mn.toLong,
+            mx.toLong, nMin)
+        }
+        AviCodec.parseAvi(bytes) match {
+          case Some(avi) =>
+            avi.frames.zipWithIndex.flatMap { case (f, i) =>
+              AviCodec.frameLumaMilli(avi, f)
+                .map(statsRow(i, avi.width, avi.height, _))
+            }
+          case None => QtCodec.parseMov(bytes).toSeq.flatMap { mov =>
+            mov.frames.zipWithIndex.flatMap { case (f, i) =>
+              QtCodec.jpegLumaMilli(f)
+                .map(statsRow(i, mov.width, mov.height, _))
             }
           }
         }
       }
     }(enc)
+  }
+
+  /** QuickTime/MOV sample-table metadata per asset — EXACT integer
+    * results from the container tables alone (no frame decode): codec,
+    * declared track dims, sample count from stsz, duration from
+    * mdhd timescale math. The oracle-checkable complement of
+    * [[videoFrameStats]]'s MOV leg, same narrow-scan shape.
+    */
+  def movMeta(media: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("codec", StringType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("n_frames", LongType),
+      StructField("duration_ms", LongType)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    media.select("media_id", "content").mapPartitions { rows =>
+      rows.flatMap { r =>
+        val bytes = Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray)
+        QtCodec.parseMov(bytes).map { mov =>
+          Row(r.getLong(0), mov.codec, mov.width, mov.height,
+            mov.frames.size.toLong, mov.durationMs.map(Long.box).orNull)
+        }
+      }
+    }(enc)
+  }
+
+  /** Deterministic photo-JPEG MOVs synthesized from doc ids — real
+    * container bytes with real sample tables: doc d gets (d % 3) + 1
+    * JPEG frames (solid-color, imageio-encoded) at 16×8, 25 fps, so
+    * n_frames and duration_ms = 40·n are closed-form for the oracle
+    * (JPEG byte sizes stay out of it — lossy-codec convention, the
+    * q293 MJPEG stance). Non-negative ids only.
+    */
+  def syntheticMovFromDocs(documents: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("content", BinaryType)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    documents.select(col("doc_id")).filter(col("doc_id") >= 0)
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val d = r.getLong(0)
+          val frames = (0 to (d % 3).toInt).map { f =>
+            val img = new java.awt.image.BufferedImage(16, 8,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val rgb = (((d * 5 + f * 7) % 200).toInt << 16) |
+              (((d * 11 + f * 3) % 200).toInt << 8) |
+              ((d * 17 + f * 13) % 200).toInt
+            var y = 0
+            while (y < 8) {
+              var x = 0
+              while (x < 16) { img.setRGB(x, y, rgb); x += 1 }
+              y += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "jpg", bos)
+            bos.toByteArray
+          }
+          Row(d, QtCodec.buildMov(16, 8, 25, frames))
+        }
+      }(enc)
   }
 
   /** Deterministic RGB-AVI media synthesized from doc ids — real

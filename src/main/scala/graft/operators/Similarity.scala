@@ -400,10 +400,10 @@ object Similarity {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
 
-  private case class LshMeta(numBands: Int, planesPerBand: Int, dim: Int,
-    seed: Long)
+  private[operators] case class LshMeta(numBands: Int, planesPerBand: Int,
+    dim: Int, seed: Long)
 
-  private def loadLshMeta(spark: org.apache.spark.sql.SparkSession,
+  private[operators] def loadLshMeta(spark: org.apache.spark.sql.SparkSession,
       path: String): LshMeta = {
     val r = spark.read.parquet(s"$path/meta").head()
     LshMeta(r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3))

@@ -504,6 +504,55 @@ object TrainingData {
       .withColumn("contaminated", lit(true))
   }
 
+  /** [[decontaminateSemantic]] SERVED from a persisted LSH index — the
+    * steady-state shape for the one heavy lane that still re-signatured
+    * its corpus per run (round-8 verdict #5): the corpus's band keys
+    * and normed vectors live in a [[Similarity.writeLshIndex]] layout
+    * built ONCE (and grown with [[Similarity.appendToLshIndex]] under
+    * the frozen-plane contract); per eval snapshot only the EVAL side
+    * is signatured, its (band, key) pairs become a partition-pruning
+    * disjunction over the `bands` directories, and the `vecs` table is
+    * read just for surviving candidates. Bit-identical to the in-query
+    * form with the stored parameters: same candidate rule (any shared
+    * band key), same exact-cosine gate, same rollup.
+    *
+    * The eval set is small by the benchmark-suite contract (its band
+    * keys are collected driver-side, the same bounded collect as
+    * [[Similarity.bandedLshTopKFromIndex]] probes).
+    */
+  def decontaminateSemanticServed(eval: DataFrame, indexPath: String,
+      threshold: Double): DataFrame = {
+    val spark = eval.sparkSession
+    val m = Similarity.loadLshMeta(spark, indexPath)
+    val eb = Similarity.bandKeys(eval, "eval_id", m.numBands,
+      m.planesPerBand, m.dim, m.seed)
+      .select(col("eval_id"), col("bk.band").as("band"),
+        col("bk.key").as("key"))
+    val ebLocal = spark.createDataFrame(
+      java.util.Arrays.asList(eb.collect(): _*), eb.schema)
+    val wanted = ebLocal.select(col("band"), col("key")).distinct()
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    require(wanted.nonEmpty, "no eval band keys (all eval zero-norm?)")
+    val prune = wanted.map { case (b, k) =>
+      col("band") === b && col("key") === k
+    }.reduce(_ || _)
+    val cand = spark.read.parquet(s"$indexPath/bands")
+      .filter(prune) // prunes band=<b>/key=<k> directories at the scan
+      .join(broadcast(ebLocal), Seq("band", "key"))
+      .select(col("id"), col("eval_id")).distinct()
+    val tv = spark.read.parquet(s"$indexPath/vecs")
+      .select(col("id"), col("v").as("tv"), col("nrm").as("tn"))
+    val ev = Similarity.withNorm(eval, "eval_id", "ev", "en")
+    cand.join(tv, Seq("id")).join(broadcast(ev), Seq("eval_id"))
+      .withColumn("cosine",
+        Similarity.pairCosine(col("tv"), col("ev"), col("tn"), col("en")))
+      .filter(col("cosine") >= threshold)
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_hits"),
+        round(max(col("cosine")), 4).as("max_cosine"))
+      .withColumn("contaminated", lit(true))
+  }
+
   /** [[decontaminate]] restructured for eval sets too large to broadcast
     * exactly: a Bloom filter over the eval n-gram hashes (built
     * distributed, collected as ONE ~`1.2·log2(1/fpp)·items/8`-byte

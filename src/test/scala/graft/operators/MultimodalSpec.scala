@@ -383,6 +383,42 @@ class MultimodalSpec extends AnyFunSuite {
     assert(math.abs(hists(1) - 192) < 4, s"frame1 mean ${hists(1)}")
   }
 
+  test("MOV: build/parse round-trip, multi-sample chunks, decoded luma, garbage nulls") {
+    import graft.operators.Multimodal.QtCodec
+    def solidJpeg(r: Int, g: Int, b: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(16, 8,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 8; x <- 0 until 16)
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    val frames = Seq(solidJpeg(64, 64, 64), solidJpeg(192, 192, 192),
+      solidJpeg(10, 200, 30))
+    for (spc <- Seq(1, 2)) { // 1:1 layout AND the general stsc expansion
+      val mov = QtCodec.buildMov(16, 8, 25, frames, samplesPerChunk = spc)
+      val parsed = QtCodec.parseMov(mov).get
+      assert(parsed.width == 16 && parsed.height == 8 &&
+        parsed.codec == "jpeg")
+      assert(parsed.durationMs.contains(120L)) // 3 frames @ 25fps
+      assert(parsed.frames.size == 3)
+      // sample slicing must be byte-exact (JPEGs survive the round-trip)
+      assert(parsed.frames.zip(frames).forall { case (a, b) =>
+        java.util.Arrays.equals(a, b) })
+    }
+    // decoded luma of a solid frame ≈ BT.601 of its color (JPEG loss)
+    val lum = QtCodec.jpegLumaMilli(frames(1)).get
+    assert(math.abs(lum.sum.toDouble / lum.length - 192000) < 4000)
+    // ContainerMeta's BMFF walk reads the same file (16.16 tkhd dims)
+    val meta = graft.functions.ContainerMeta.probe(
+      QtCodec.buildMov(16, 8, 25, frames)).get
+    assert(meta.width.contains(16) && meta.height.contains(8) &&
+      meta.durationMs.contains(120L))
+    assert(QtCodec.parseMov("garbage".getBytes("UTF-8")).isEmpty)
+    assert(QtCodec.parseMov(Array[Byte](0, 0, 0, 8, 'f', 'r', 'e', 'e')).isEmpty)
+  }
+
   test("EXIF: both byte orders round-trip; non-EXIF and garbage probe to null") {
     import graft.functions.ExifMeta
     for (le <- Seq(true, false)) {

@@ -123,6 +123,35 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(out(1L)._1 == 1L && out(1L)._2 > 0.99 && out(1L)._3)
   }
 
+  test("decontaminateSemanticServed: persisted-index gate == in-query; frozen append holds") {
+    import graft.operators.Similarity
+    def vec(seed: Long): Array[Float] = {
+      val r = new scala.util.Random(seed)
+      Array.fill(64)((r.nextDouble() * 2 - 1).toFloat)
+    }
+    val train = (1L to 40L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+    val extra = (41L to 60L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+    // eval vectors = perturbed copies of a few corpus vectors (so the
+    // gate has true hits) + one fresh vector (so it has clean rows)
+    val evalSet = (Seq(5L, 17L, 55L).map { i =>
+      (1000L + i, vec(i).zipWithIndex.map { case (x, j) =>
+        if (j == 0) x + 0.01f else x })
+    } :+ ((2000L, vec(999L)))).toDF("vec_id", "embedding")
+    val base = java.nio.file.Files.createTempDirectory("graft-decon-idx")
+    val path = s"$base/idx"
+    Similarity.writeLshIndex(train, path)
+    Similarity.appendToLshIndex(extra, path) // frozen-plane growth
+    val full = train.unionByName(extra)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getBoolean(3))).toSet
+    val served = key(TrainingData.decontaminateSemanticServed(
+      evalSet, path, threshold = 0.8))
+    val inQuery = key(TrainingData.decontaminateSemantic(
+      full, evalSet, threshold = 0.8))
+    assert(served == inQuery && served.nonEmpty)
+  }
+
   test("stratifiedSample: per-stratum rates hold and are retry-stable") {
     val docs = (0L until 4000L).map(i => (i, if (i % 2 == 0) "a" else "b"))
       .toDF("id", "g")

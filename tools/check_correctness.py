@@ -157,6 +157,31 @@ def main():
                        "n_total": len(results),
                        "queries": dict(sorted(record.items()))}, f, indent=1)
         print(f"self-record written: {json_out}")
+        # ALSO emit the driver's exact per-query schema (round-8 verdict
+        # #1a): {"<q>": {"rows_match":, "schema_match":, "hash_match":}}
+        # so any format mismatch between the self-record and the driver
+        # artifact is directly visible, and a future empty driver file
+        # can be diffed against a same-schema non-empty one.
+        drv = {}
+        for name, v in results.items():
+            if v.startswith("OK"):
+                drv[name] = {"rows_match": True, "schema_match": True,
+                             "hash_match": True}
+            elif v.startswith("rows-only"):
+                drv[name] = {"rows_match": True}
+            elif v.startswith("ROWCOUNT"):
+                drv[name] = {"rows_match": False, "schema_match": True,
+                             "hash_match": False}
+            elif v.startswith("COLUMN"):
+                drv[name] = {"rows_match": False, "schema_match": False,
+                             "hash_match": False}
+            else:
+                drv[name] = {"rows_match": False, "schema_match": False,
+                             "hash_match": False, "error": v}
+        drv_out = json_out.replace(".json", "") + ".driverfmt.json"
+        with open(drv_out, "w") as f:
+            json.dump(dict(sorted(drv.items())), f, indent=1)
+        print(f"driver-format record written: {drv_out}")
     sys.exit(0 if ok + ro == len(results) else 1)
 
 

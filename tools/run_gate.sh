@@ -13,7 +13,7 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 SF="${1:-sf0.01}"
-ROUND="${GRAFT_ROUND:-r08}"
+ROUND="${GRAFT_ROUND:-r09}"
 sbt -batch test
 env SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-8}" \
   sbt -batch "runMain graft.Verify /root/testdata/$SF /tmp/gate_$SF" \
