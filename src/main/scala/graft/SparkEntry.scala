@@ -1989,6 +1989,28 @@ object SparkEntry {
         "rank", "rel", gains, "gain", k = 10)
     }),
 
+    // Cohen's kappa between two cheap quality raters (char-length vs
+    // token-count gates) — the chance-corrected agreement audit run
+    // before trusting one heuristic as a proxy for the other; exact
+    // 2x2 counts, three fixed-order double expressions
+    "q311_cohens_kappa" -> ((s, d) =>
+      graft.operators.Eval.cohensKappa(t(s, d, "documents"),
+        col("n_chars") >= 400, size(tokens(col("text"))) >= 80)),
+
+    // Per-doc cross-entropy under the corpus unigram LM — the cheapest
+    // perplexity proxy (rare-token soup scores high, common-vocabulary
+    // text low); 6dp-rounded ln p summed through DECIMAL, one divide
+    "q312_unigram_ce" -> ((s, d) =>
+      graft.operators.TextAnalysis.unigramCrossEntropy(
+        t(s, d, "documents"), "doc_id", "text")),
+
+    // Top-500 vocabulary coverage per doc — the tokenizer/corpus-fit
+    // audit: occurrences inside the top-k vocab (count DESC, token ASC
+    // — a total tie order, so the vocab set is deterministic)
+    "q313_vocab_coverage" -> ((s, d) =>
+      graft.operators.TextAnalysis.vocabCoverage(
+        t(s, d, "documents"), "doc_id", "text", k = 500)),
+
     // REAL WAV header extraction end to end: deterministic PCM WAVs
     // built from doc ids (real RIFF/fmt/data bytes), parsed back by
     // the codegen WavProbe expression; whole-ms durations make the
@@ -5737,6 +5759,68 @@ object SparkEntry {
         |  CASE WHEN idcg > 0 THEN round(dcg / idcg, 4) END AS ndcg
         |FROM dcg LEFT JOIN idcg USING (event_type)
         |LEFT JOIN nrel USING (event_type)""".stripMargin,
+
+    // Kappa replay: identical rater gates and null exclusion, exact
+    // 2x2 counts, po/pe/kappa from the UNROUNDED doubles
+    "q311_cohens_kappa" ->
+      s"""WITH r AS (SELECT (n_chars >= 400) AS a,
+         |    (len($tokensSql) >= 80) AS b
+         |  FROM documents WHERE n_chars IS NOT NULL AND text IS NOT NULL),
+         |c AS (SELECT count(*)::BIGINT AS n,
+         |    SUM(CASE WHEN a AND b THEN 1 ELSE 0 END)::BIGINT AS n_both,
+         |    SUM(CASE WHEN a AND NOT b THEN 1 ELSE 0 END)::BIGINT
+         |      AS n_only_a,
+         |    SUM(CASE WHEN NOT a AND b THEN 1 ELSE 0 END)::BIGINT
+         |      AS n_only_b,
+         |    SUM(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END)::BIGINT
+         |      AS n_neither
+         |  FROM r),
+         |p AS (SELECT *,
+         |    (n_both + n_neither)::DOUBLE / n::DOUBLE AS po_raw,
+         |    ((n_both + n_only_a)::DOUBLE * (n_both + n_only_b)::DOUBLE
+         |      + (n_only_b + n_neither)::DOUBLE
+         |        * (n_only_a + n_neither)::DOUBLE)
+         |      / (n::DOUBLE * n::DOUBLE) AS pe_raw
+         |  FROM c)
+         |SELECT n, n_both, n_only_a, n_only_b, n_neither,
+         |  round(po_raw, 4) AS po, round(pe_raw, 4) AS pe,
+         |  CASE WHEN pe_raw < 1.0
+         |    THEN round((po_raw - pe_raw) / (1.0 - pe_raw), 4) END AS kappa
+         |FROM p""".stripMargin,
+
+    // Unigram-CE replay: spectrum over token STRINGS (the q111
+    // collision stance), 6dp ln p through DECIMAL, one final divide
+    "q312_unigram_ce" ->
+      s"""WITH occ AS (SELECT doc_id, unnest($tokensSql) AS tok
+         |  FROM documents),
+         |c AS (SELECT tok, count(*)::BIGINT AS c FROM occ GROUP BY tok),
+         |t AS (SELECT SUM(c)::BIGINT AS tt FROM c),
+         |x AS (SELECT occ.doc_id,
+         |    CAST(round(-ln(c.c::DOUBLE / t.tt::DOUBLE), 6)
+         |      AS DECIMAL(18,6)) AS lnp
+         |  FROM occ JOIN c USING (tok) CROSS JOIN t),
+         |a AS (SELECT doc_id, count(*)::BIGINT AS n_tokens,
+         |    CAST(CAST(SUM(lnp) AS DECIMAL(18,6)) AS DOUBLE) AS s
+         |  FROM x GROUP BY doc_id)
+         |SELECT doc_id AS id, n_tokens,
+         |  round(s / n_tokens::DOUBLE, 4) AS cross_entropy
+         |FROM a""".stripMargin,
+
+    // Vocab-coverage replay: same total tie order (count DESC, token
+    // ASC) fixes the same top-500 set; exact occurrence gating
+    "q313_vocab_coverage" ->
+      s"""WITH occ AS (SELECT doc_id, unnest($tokensSql) AS tok
+         |  FROM documents),
+         |cnt AS (SELECT tok, count(*)::BIGINT AS c FROM occ GROUP BY tok),
+         |top AS (SELECT tok FROM cnt ORDER BY c DESC, tok ASC LIMIT 500),
+         |a AS (SELECT occ.doc_id, count(*)::BIGINT AS n_tokens,
+         |    SUM(CASE WHEN top.tok IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+         |      AS n_in_vocab
+         |  FROM occ LEFT JOIN top ON occ.tok = top.tok
+         |  GROUP BY occ.doc_id)
+         |SELECT doc_id AS id, n_tokens, n_in_vocab,
+         |  round(n_in_vocab::DOUBLE / n_tokens::DOUBLE, 4) AS coverage
+         |FROM a""".stripMargin,
 
     // Mean-pairwise-cosine replay: the same sum-vector identity over
     // the same 6dp-rounded normalized vectors — A from per-(label, dim)

@@ -100,4 +100,37 @@ object Eval {
     }
     s.select(col("i").as("model"), round(col("s"), 6).as("bt_score"))
   }
+
+  /** Cohen's kappa (Cohen 1960) between two binary raters over the same
+    * rows — the chance-corrected agreement number a curation pipeline
+    * runs before trusting a cheap heuristic as a proxy for an expensive
+    * rule (or one annotator for another). One partial-agg pass builds
+    * the exact 2×2 contingency counts; p_o, p_e and kappa are three
+    * fixed-order double expressions on those BIGINTs (n² as a double
+    * PRODUCT — the q307 overflow stance). Rows where either rater is
+    * NULL are excluded (agreement is defined on co-rated rows only).
+    * kappa is NULL when p_e = 1 (degenerate single-cell table).
+    */
+  def cohensKappa(df: DataFrame, aCol: org.apache.spark.sql.Column,
+      bCol: org.apache.spark.sql.Column): DataFrame = {
+    val counts = df
+      .select(aCol.cast("boolean").as("__a"), bCol.cast("boolean").as("__b"))
+      .filter(col("__a").isNotNull && col("__b").isNotNull)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("__a") && col("__b"), 1L).otherwise(0L)).as("n_both"),
+        sum(when(col("__a") && !col("__b"), 1L).otherwise(0L)).as("n_only_a"),
+        sum(when(!col("__a") && col("__b"), 1L).otherwise(0L)).as("n_only_b"),
+        sum(when(!col("__a") && !col("__b"), 1L).otherwise(0L)).as("n_neither"))
+    val nD = col("n").cast("double")
+    val po = (col("n_both") + col("n_neither")).cast("double") / nD
+    val pe = ((col("n_both") + col("n_only_a")).cast("double") *
+      (col("n_both") + col("n_only_b")).cast("double") +
+      (col("n_only_b") + col("n_neither")).cast("double") *
+        (col("n_only_a") + col("n_neither")).cast("double")) / (nD * nD)
+    counts.select(col("n"), col("n_both"), col("n_only_a"),
+      col("n_only_b"), col("n_neither"),
+      round(po, 4).as("po"), round(pe, 4).as("pe"),
+      when(pe < 1.0, round((po - pe) / (lit(1.0) - pe), 4)).as("kappa"))
+  }
 }

@@ -1531,4 +1531,69 @@ object TextAnalysis {
               col("__n2").cast("double")),
           4).as("js_divergence"))
   }
+
+  /** Per-document cross-entropy under the CORPUS unigram language model
+    * — the cheapest perplexity proxy a quality pipeline runs before any
+    * neural scorer: CE(d) = −Σ_occ ln(c_t/T) / |d| over d's token
+    * occurrences, with c_t the corpus count of token t and T the corpus
+    * total. Low CE = the doc speaks in the corpus's common vocabulary;
+    * high CE = rare-token soup (OCR noise, codes, lorem) — the same
+    * signal family CCNet uses a real LM for.
+    *
+    * Determinism: per-token ln(c_t/T) rounds to 6dp and sums through
+    * int64-backed DECIMAL(18,6) (exact, order-free); the one final
+    * divide is double, rounded 4dp. Scale: token explode to (id, hash)
+    * narrow rows; corpus counts via partial-agg; ONE shuffle join on
+    * the 8-byte token hash (never a broadcast — the vocab is unbounded
+    * at corpus scale); docs with no tokens emit no row.
+    */
+  def unigramCrossEntropy(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val occ = df.select(col(idCol).as("id"),
+        explode(tokens(col(textCol))).as("__tok"))
+      .select(col("id"), xxhash64(col("__tok")).as("__th"))
+    val counts = occ.groupBy(col("__th")).agg(count(lit(1)).as("__c"))
+    val total = counts.agg(sum(col("__c")).as("__t"))
+    occ.join(counts, Seq("__th"))
+      .crossJoin(broadcast(total))
+      .select(col("id"),
+        round(-log(col("__c").cast("double") / col("__t").cast("double")), 6)
+          .cast("decimal(18,6)").as("__lnp"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("__lnp")).cast("decimal(18,6)").cast("double").as("__s"))
+      .select(col("id"), col("n_tokens"),
+        round(col("__s") / col("n_tokens").cast("double"), 4)
+          .as("cross_entropy"))
+  }
+
+  /** Top-K vocabulary coverage per document: the fraction of a doc's
+    * token OCCURRENCES that fall inside the corpus's top-`k` vocabulary
+    * (count DESC, token ASC — an exact, total tie order, so the vocab
+    * set is deterministic) — the tokenizer/corpus-fit audit run before
+    * committing a vocab size, and the OOV-rate screen for mixing a new
+    * source into a trained tokenizer's corpus.
+    *
+    * Scale: the vocab is a global top-k over the aggregated unigram
+    * frame (TakeOrdered on |vocab| narrow rows, never corpus rows); the
+    * k selected tokens then gate the occurrence stream as a BROADCAST
+    * semi-join (k is bounded by contract). Exact integers plus one
+    * final divide. Docs with no tokens emit no row.
+    */
+  def vocabCoverage(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val occ = df.select(col(idCol).as("id"),
+        explode(tokens(col(textCol))).as("tok"))
+    val top = occ.groupBy(col("tok")).agg(count(lit(1)).as("__c"))
+      .orderBy(col("__c").desc, col("tok").asc).limit(k)
+      .select(col("tok"))
+    occ.join(broadcast(top.withColumn("__in", lit(1L))), Seq("tok"), "left")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("__in"), lit(0L))).as("n_in_vocab"))
+      .select(col("id"), col("n_tokens"), col("n_in_vocab"),
+        round(col("n_in_vocab").cast("double") /
+          col("n_tokens").cast("double"), 4).as("coverage"))
+  }
 }

@@ -69,4 +69,28 @@ class EvalSpec extends AnyFunSuite {
       .collect().map(r => r.getAs[Double]("bt_score")).distinct
     assert(u.length == 1)
   }
+
+  test("cohensKappa: perfect 1.0, chance-level 0, null rows excluded, degenerate null") {
+    import org.apache.spark.sql.functions.col
+    def kappa(rows: Seq[(Option[Boolean], Option[Boolean])]) =
+      Eval.cohensKappa(rows.toDF("a", "b"), col("a"), col("b"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4),
+          if (r.isNullAt(7)) None else Some(r.getDouble(7)))).head
+    // perfect agreement (mixed marginals so pe < 1)
+    val p = kappa(Seq((Some(true), Some(true)), (Some(false), Some(false)),
+      (Some(true), Some(true))))
+    assert(p == ((3L, 2L, 1L, Some(1.0))))
+    // independence: a and b uncorrelated 50/50 → po = pe = 0.5 → kappa 0
+    val c = kappa(Seq(
+      (Some(true), Some(true)), (Some(true), Some(false)),
+      (Some(false), Some(true)), (Some(false), Some(false))))
+    assert(c._4.contains(0.0))
+    // null raters excluded from every count
+    val n = kappa(Seq((Some(true), Some(true)), (None, Some(true)),
+      (Some(false), None), (Some(false), Some(false))))
+    assert(n._1 == 2L)
+    // single-cell table: pe = 1 → kappa undefined (NULL)
+    val d = kappa(Seq((Some(true), Some(true)), (Some(true), Some(true))))
+    assert(d._4.isEmpty)
+  }
 }

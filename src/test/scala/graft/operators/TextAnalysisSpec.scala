@@ -720,4 +720,30 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out("tmpl") == ((12L, 3L, 2L, 0.25, 0.6667, 6250.0)))
     assert(!out.contains("empty")) // whitespace-only text → no row
   }
+
+  test("unigramCrossEntropy: uniform corpus = ln V, rare-token doc scores higher") {
+    // 4 tokens, each appearing once → every doc's CE = ln 4
+    val uni = Seq((1L, "aa bb"), (2L, "cc dd")).toDF("doc_id", "text")
+    val u = TextAnalysis.unigramCrossEntropy(uni, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val ln4 = math.rint(math.log(4.0) * 10000) / 10000
+    assert(u(1L) == ((2L, ln4)) && u(2L) == ((2L, ln4)))
+    // common-vocab doc beats rare-token doc
+    val mix = Seq((1L, "the the the the the"), (2L, "the zyx"),
+      (3L, "the the")).toDF("doc_id", "text")
+    val m = TextAnalysis.unigramCrossEntropy(mix, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(m(2L) > m(1L) && m(3L) == m(1L)) // all-'the' docs equal
+  }
+
+  test("vocabCoverage: top-k ties break on token string; OOV occurrences counted") {
+    // counts: the=4, zz=2, aa=2 → k=2 vocab = {the, aa} (aa < zz on ties)
+    val df = Seq((1L, "the the aa zz"), (2L, "the the aa zz"),
+      (3L, "qq")).toDF("doc_id", "text")
+    val out = TextAnalysis.vocabCoverage(df, "doc_id", "text", k = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L) == ((4L, 3L, 0.75)) && out(2L) == ((4L, 3L, 0.75)))
+    assert(out(3L) == ((1L, 0L, 0.0))) // fully OOV doc still reports
+  }
 }
