@@ -3975,17 +3975,25 @@ object SparkEntry {
     * selection positions are non-decreasing). Ends with
     * `dsel(doc_id, sh, spos)` — the selected (hash, position) sites.
     */
+  /** The sliding-window min runs as a WINDOW FRAME over the dense gram
+    * positions, not a windows×grams range join: the join form planned
+    * as a per-doc nested loop in DuckDB (O(|doc|²) per doc — measured
+    * 146 s of the gate's 804 s oracle budget on q58 alone, the #2
+    * contributor to the driver-side correctness-stage wall time); the
+    * frame form is one linear pass, 5 s, bit-identical output.
+    */
   private def winnowCtes(k: Int, window: Int): String =
     s"""grams AS (SELECT doc_id, unnest(generate_series(0, length(text) - $k)) AS pos, text
        |  FROM documents WHERE length(text) >= $k),
        |gh AS (SELECT doc_id, pos, ${toI64Sql(fnvSql(s"substring(text, pos + 1, $k)"))} AS gh FROM grams),
        |n_g AS (SELECT doc_id, count(*) AS n FROM gh GROUP BY doc_id),
-       |wins AS (SELECT doc_id, unnest(generate_series(0, greatest(n - $window, 0))) AS ww, n FROM n_g),
-       |wins2 AS (SELECT doc_id, ww FROM wins WHERE ww < greatest(n - $window + 1, 1)),
-       |sel AS (SELECT wn.doc_id, wn.ww, min(struct_pack(gh := g.gh, pos := g.pos)) AS m
-       |  FROM wins2 wn JOIN gh g ON g.doc_id = wn.doc_id AND g.pos BETWEEN wn.ww AND wn.ww + ${window - 1}
-       |  GROUP BY wn.doc_id, wn.ww),
-       |dsel AS (SELECT DISTINCT doc_id, m.gh AS sh, m.pos AS spos FROM sel)""".stripMargin
+       |sel AS (SELECT gh.doc_id, pos AS ww, n,
+       |    min(struct_pack(gh := gh, pos := pos)) OVER (
+       |      PARTITION BY gh.doc_id ORDER BY pos
+       |      ROWS BETWEEN CURRENT ROW AND ${window - 1} FOLLOWING) AS m
+       |  FROM gh JOIN n_g USING (doc_id)),
+       |dsel AS (SELECT DISTINCT doc_id, m.gh AS sh, m.pos AS spos FROM sel
+       |  WHERE ww < greatest(n - $window + 1, 1))""".stripMargin
 
   /** q27's heuristic replayed in SQL, generated from the SAME
     * [[TextAnalysis.languageProfiles]]/[[TextAnalysis.bigramProfiles]]
@@ -4340,7 +4348,7 @@ object SparkEntry {
          |    row_number() OVER (PARTITION BY va.id ORDER BY ${sqd("va.v", "c.cv")}, c.cell) AS rn
          |  FROM $base va CROSS JOIN $cprev c$filter) WHERE rn $rn)""".stripMargin
     def update(name: String, aprev: String, cprev: String): String =
-      s"""$name AS (SELECT c.cell, coalesce(m.cv, c.cv) AS cv FROM $cprev c LEFT JOIN (
+      s"""$name AS MATERIALIZED (SELECT c.cell, coalesce(m.cv, c.cv) AS cv FROM $cprev c LEFT JOIN (
          |  SELECT cell, list(mx ORDER BY d) AS cv FROM (
          |    SELECT cell, i.d, avg(v[i.d]) AS mx FROM $aprev
          |    CROSS JOIN (SELECT unnest(generate_series(1,$dim)) AS d) i
@@ -4356,7 +4364,7 @@ object SparkEntry {
        |$xxh64LongCtes,
        |init AS (SELECT xh.id, row_number() OVER (ORDER BY hs) - 1 AS cell
        |         FROM xh JOIN tvecs ON tvecs.id = xh.id ORDER BY hs LIMIT $kCells),
-       |c0 AS (SELECT init.cell, v.v AS cv FROM init JOIN vecs v ON v.id = init.id),
+       |c0 AS MATERIALIZED (SELECT init.cell, v.v AS cv FROM init JOIN vecs v ON v.id = init.id),
        |$lloyd,
        |${assign("afin", s"c$iterations")},
        |corp AS (SELECT id AS corpus_id, v AS cv, cell FROM afin
@@ -4390,7 +4398,7 @@ object SparkEntry {
          |    row_number() OVER (PARTITION BY va.id ORDER BY ${sqd("va.v", "c.cv")}, c.cell) AS rn
          |  FROM vecs va CROSS JOIN $cprev c) WHERE rn = 1)""".stripMargin
     def update(name: String, aprev: String, cprev: String): String =
-      s"""$name AS (SELECT c.cell, coalesce(m.cv, c.cv) AS cv FROM $cprev c LEFT JOIN (
+      s"""$name AS MATERIALIZED (SELECT c.cell, coalesce(m.cv, c.cv) AS cv FROM $cprev c LEFT JOIN (
          |  SELECT cell, list(mx ORDER BY d) AS cv FROM (
          |    SELECT cell, i.d, avg(v[i.d]) AS mx FROM $aprev
          |    CROSS JOIN (SELECT unnest(generate_series(1,$dim)) AS d) i
@@ -4402,7 +4410,7 @@ object SparkEntry {
        |$xxh64LongCtes,
        |init AS (SELECT xh.id, row_number() OVER (ORDER BY hs) - 1 AS cell
        |         FROM xh JOIN vecs ON vecs.id = xh.id ORDER BY hs LIMIT $kCells),
-       |c0 AS (SELECT init.cell, v.v AS cv FROM init JOIN vecs v ON v.id = init.id),
+       |c0 AS MATERIALIZED (SELECT init.cell, v.v AS cv FROM init JOIN vecs v ON v.id = init.id),
        |$lloyd,
        |${assign("afin", s"c$iterations")},
        |cells AS (SELECT cell, count(*)::BIGINT AS n FROM afin GROUP BY cell),
@@ -4439,7 +4447,7 @@ object SparkEntry {
          |    row_number() OVER (PARTITION BY va.id ORDER BY ${sqd("va.v", "c.cv")}, c.cell) AS rn
          |  FROM vecs va CROSS JOIN $cprev c) WHERE rn = 1)""".stripMargin
     def update(name: String, aprev: String, cprev: String): String =
-      s"""$name AS (SELECT c.cell, coalesce(m.cv, c.cv) AS cv FROM $cprev c LEFT JOIN (
+      s"""$name AS MATERIALIZED (SELECT c.cell, coalesce(m.cv, c.cv) AS cv FROM $cprev c LEFT JOIN (
          |  SELECT cell, list(mx ORDER BY d) AS cv FROM (
          |    SELECT cell, i.d, avg(v[i.d]) AS mx FROM $aprev
          |    CROSS JOIN (SELECT unnest(generate_series(1,$dim)) AS d) i
@@ -4451,7 +4459,7 @@ object SparkEntry {
        |$xxh64LongCtes,
        |init AS (SELECT xh.id, row_number() OVER (ORDER BY hs) - 1 AS cell
        |         FROM xh ORDER BY hs LIMIT $kCells),
-       |c0 AS (SELECT init.cell, v.v AS cv FROM init JOIN vecs v ON v.id = init.id),
+       |c0 AS MATERIALIZED (SELECT init.cell, v.v AS cv FROM init JOIN vecs v ON v.id = init.id),
        |$lloyd,
        |${assign("afin", s"c$iterations")},
        |drp AS (SELECT DISTINCT x.id FROM afin x JOIN afin y
@@ -4488,7 +4496,7 @@ object SparkEntry {
          |      ORDER BY ${sqdN(dim)("va.v", "c.cv")}, c.cell) AS rn
          |  FROM $base va CROSS JOIN $cprev c) WHERE rn = 1)""".stripMargin
     def cUpdate(name: String, aprev: String, cprev: String): String =
-      s"""$name AS (SELECT c.cell, coalesce(mm.cv, c.cv) AS cv
+      s"""$name AS MATERIALIZED (SELECT c.cell, coalesce(mm.cv, c.cv) AS cv
          |  FROM $cprev c LEFT JOIN (
          |  SELECT cell, list(mx ORDER BY d) AS cv FROM (
          |    SELECT cell, i.d, avg(v[i.d]) AS mx FROM $aprev
@@ -4502,7 +4510,7 @@ object SparkEntry {
          |      ORDER BY ${sqdN(dsub)("va.sv", "c.cv")}, c.code) AS rn
          |  FROM $base va JOIN $cprev c ON c.sub = va.sub) WHERE rn = 1)""".stripMargin
     def pUpdate(name: String, aprev: String, cprev: String): String =
-      s"""$name AS (SELECT c.sub, c.code, coalesce(mm.cv, c.cv) AS cv
+      s"""$name AS MATERIALIZED (SELECT c.sub, c.code, coalesce(mm.cv, c.cv) AS cv
          |  FROM $cprev c LEFT JOIN (
          |  SELECT sub, code, list(mx ORDER BY d) AS cv FROM (
          |    SELECT sub, code, i.d, avg(sv[i.d]) AS mx FROM $aprev
@@ -4523,21 +4531,21 @@ object SparkEntry {
        |cinit AS (SELECT xh.id, row_number() OVER (ORDER BY hs) - 1 AS cell
        |          FROM xh JOIN tvecs ON tvecs.id = xh.id
        |          ORDER BY hs LIMIT $kCells),
-       |cc0 AS (SELECT cinit.cell, v.v AS cv FROM cinit JOIN vecs v ON v.id = cinit.id),
+       |cc0 AS MATERIALIZED (SELECT cinit.cell, v.v AS cv FROM cinit JOIN vecs v ON v.id = cinit.id),
        |$cLloyd,
        |${cAssign("cafin", s"cc$iterations")},
-       |resid AS (SELECT a.id, a.cell,
+       |resid AS MATERIALIZED (SELECT a.id, a.cell,
        |    list_transform(generate_series(1,$dim),
        |      i -> a.v[i] - c.cv[i]) AS rv
        |  FROM cafin a JOIN cc$iterations c ON c.cell = a.cell),
-       |subs AS (SELECT id, sub, rv[sub * $dsub + 1 : sub * $dsub + $dsub] AS sv
+       |subs AS MATERIALIZED (SELECT id, sub, rv[sub * $dsub + 1 : sub * $dsub + $dsub] AS sv
        |  FROM resid CROSS JOIN (SELECT unnest(generate_series(0, ${m - 1})) AS sub)),
        |tsubs AS (SELECT s.id, s.sub, s.sv FROM subs s
        |  JOIN tvecs t ON t.id = s.id),
        |pinit AS (SELECT xh.id, row_number() OVER (ORDER BY hs) - 1 AS code
        |          FROM xh JOIN tvecs ON tvecs.id = xh.id
        |          ORDER BY hs LIMIT $pqK),
-       |pc0 AS (SELECT s.sub, pinit.code, s.sv AS cv
+       |pc0 AS MATERIALIZED (SELECT s.sub, pinit.code, s.sv AS cv
        |        FROM pinit JOIN subs s ON s.id = pinit.id),
        |$pLloyd,
        |${pAssign("pafin", s"pc$iterations")},
@@ -5545,17 +5553,27 @@ object SparkEntry {
     // == the kernel's byte grams; hashed-gram Jaccard == string-gram
     // Jaccard absent 64-bit collisions). Equality with the LSH output
     // verified at the gate SF, stable by determinism.
+    // Intersections via an exploded gram self-join, union by
+    // |A|+|B|−|A∩B| — the all-pairs list_intersect form cost 29 s of
+    // oracle budget (O(n²) pairs × O(|doc|) lists, intersect computed
+    // twice); this runs in 1.7 s with the identical integer-ratio
+    // doubles (the q58/q235 oracle-budget pass)
     "q35_ngram_jaccard" ->
-      """WITH g AS (SELECT doc_id,
+      """WITH gl AS (SELECT doc_id,
         |  list_distinct(list_transform(generate_series(1, length(lower(text)) - 4),
         |    i -> substring(lower(text), i, 5))) AS feats
-        | FROM documents WHERE length(lower(text)) >= 5)
-        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        | len(list_intersect(a.feats, b.feats))::DOUBLE
-        |   / len(list_distinct(list_concat(a.feats, b.feats))) AS jaccard
-        |FROM g a JOIN g b ON a.doc_id < b.doc_id
-        |WHERE len(list_intersect(a.feats, b.feats))::DOUBLE
-        |   / len(list_distinct(list_concat(a.feats, b.feats))) >= 0.8""".stripMargin,
+        | FROM documents WHERE length(lower(text)) >= 5),
+        |g AS (SELECT doc_id, unnest(feats) AS f FROM gl),
+        |sz AS (SELECT doc_id, len(feats)::BIGINT AS n FROM gl),
+        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    count(*)::BIGINT AS i
+        |  FROM g a JOIN g b ON a.f = b.f AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |  i::DOUBLE / (sa.n + sb.n - i) AS jaccard
+        |FROM inter JOIN sz sa ON sa.doc_id = id_a
+        |JOIN sz sb ON sb.doc_id = id_b
+        |WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.8""".stripMargin,
 
     "q31_cosine_pairs" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -5974,6 +5992,10 @@ object SparkEntry {
     // Bradley-Terry replay: same arena synthesis, exact integer W/n
     // matrix, 8 unrolled MM iterations with j-ordered denominator
     // folds — the pageRank iteration-unroll pattern
+    // MATERIALIZED iteration CTEs: each s_i is referenced twice by
+    // d_{i+1} (champion and challenger strength), so the inline form
+    // re-derives the whole chain per reference — 35 s of oracle budget;
+    // materialized, the 8-round unroll evaluates each round once (2 s)
     "q296_bradley_terry" -> {
       val its = (1 to 8).map { i =>
         s"""d$i AS (SELECT p.i,
@@ -5983,14 +6005,14 @@ object SparkEntry {
            |  FROM pair p JOIN s${i - 1} si ON si.i = p.i
            |    JOIN s${i - 1} sj ON sj.i = p.j
            |  GROUP BY p.i),
-           |s$i AS (SELECT w.i, w.wtot::DOUBLE / d.d AS s
+           |s$i AS MATERIALIZED (SELECT w.i, w.wtot::DOUBLE / d.d AS s
            |  FROM wins w JOIN d$i d ON d.i = w.i)""".stripMargin
       }.mkString(",\n")
       s"""WITH ev AS (SELECT event_id, event_type AS a, value
          |  FROM events WHERE value IS NOT NULL),
          |tl AS (SELECT list(t ORDER BY t) AS ts
          |  FROM (SELECT DISTINCT a AS t FROM ev)),
-         |m AS (SELECT a,
+         |m AS MATERIALIZED (SELECT a,
          |    ts[CAST(event_id % len(ts) AS INT) + 1] AS b,
          |    (value > 60.0::DOUBLE) AS w
          |  FROM ev CROSS JOIN tl),
@@ -5999,9 +6021,11 @@ object SparkEntry {
          |  UNION ALL
          |  SELECT b AS i, a AS j, CASE WHEN w THEN 0 ELSE 1 END AS wi
          |    FROM m WHERE a <> b),
-         |pair AS (SELECT i, j, count(*)::BIGINT AS n, SUM(wi)::BIGINT AS w
+         |pair AS MATERIALIZED (SELECT i, j, count(*)::BIGINT AS n,
+         |    SUM(wi)::BIGINT AS w
          |  FROM mm GROUP BY i, j),
-         |wins AS (SELECT i, SUM(w)::BIGINT AS wtot FROM pair GROUP BY i),
+         |wins AS MATERIALIZED (SELECT i, SUM(w)::BIGINT AS wtot
+         |  FROM pair GROUP BY i),
          |s0 AS (SELECT i, 1.0::DOUBLE AS s FROM wins),
          |$its
          |SELECT i AS model, round(s, 6) AS bt_score FROM s8""".stripMargin
@@ -8802,17 +8826,23 @@ object SparkEntry {
 
     // Triple replay: level-1 prune only — same answer (downward
     // closure), the level-2 semi-joins are a cost optimization
+    // MATERIALIZED CTEs break DuckDB's join-order decision for the
+    // 3-way basket self-join: the inline form planned as a near-cross
+    // loop (measured 486 s — 60% of the whole 804 s oracle budget,
+    // the driver-timeout prime suspect); staged pairs-then-extend runs
+    // in 0.7 s, bit-identical output
     "q235_frequent_triples" ->
       """WITH it AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
         |  FROM lineitem),
         |n AS (SELECT count(DISTINCT b) AS nb FROM it),
         |ic AS (SELECT i FROM it GROUP BY i HAVING count(*) >= 2),
-        |f AS (SELECT it.b, it.i FROM it JOIN ic ON ic.i = it.i),
-        |tr AS (SELECT a.i AS i1, b.i AS i2, c.i AS i3,
+        |f AS MATERIALIZED (SELECT it.b, it.i FROM it JOIN ic ON ic.i = it.i),
+        |p2 AS MATERIALIZED (SELECT a.b, a.i AS i1, b.i AS i2
+        |  FROM f a JOIN f b ON a.b = b.b AND a.i < b.i),
+        |tr AS (SELECT p2.i1, p2.i2, c.i AS i3,
         |    count(*)::BIGINT AS triple_count
-        |  FROM f a JOIN f b ON a.b = b.b AND a.i < b.i
-        |  JOIN f c ON a.b = c.b AND b.i < c.i
-        |  GROUP BY a.i, b.i, c.i HAVING count(*) >= 2)
+        |  FROM p2 JOIN f c ON p2.b = c.b AND c.i > p2.i2
+        |  GROUP BY p2.i1, p2.i2, c.i HAVING count(*) >= 2)
         |SELECT i1, i2, i3, triple_count,
         |  triple_count::DOUBLE / n.nb AS support
         |FROM tr CROSS JOIN n""".stripMargin,
