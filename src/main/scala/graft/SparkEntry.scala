@@ -22,6 +22,22 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.table(s, dir, name)
 
+  /** Layout-adaptive streaming source for `<sfDir>/<tbl>.parquet`: the
+    * driver's testdata ships single FILES (a file cannot be a stream
+    * basePath, so stream the SF root with a filename glob), while
+    * GenScale's sf1/sf10 layouts are Spark-written DIRECTORIES of part
+    * files (the glob form matches zero leaves there — sf10 streaming
+    * lanes silently processed nothing until round 9 caught it).
+    */
+  private def streamSource(s: SparkSession, d: String, tbl: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val path = new org.apache.hadoop.fs.Path(s"$d/$tbl.parquet")
+    val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val base = s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+    if (fs.getFileStatus(path).isDirectory) base.parquet(s"$d/$tbl.parquet")
+    else base.option("pathGlobFilter", s"$tbl.parquet").parquet(d)
+  }
+
   /** sum(CAST(c AS DECIMAL(18,scale))) surfaced as DOUBLE — exact,
     * aggregation-order-independent.
     */
@@ -859,10 +875,7 @@ object SparkEntry {
       // the file-stream source lists DIRECTORIES; select the single
       // events file out of the sf dir with a glob filter
       val stream = Tables.normalizeEvents(
-        s.readStream.schema(raw.schema)
-          .option("pathGlobFilter", "events.parquet")
-          .option("maxFilesPerTrigger", 1)
-          .parquet(d))
+        streamSource(s, d, "events", raw.schema))
       val agg = graft.streaming.StreamingOps.hourlyEventCounts(stream, "ts")
       val q = graft.streaming.StreamingOps.overwriteCompletePerBatch(agg, outPath)
         .option("checkpointLocation", ckpt)
@@ -1089,10 +1102,7 @@ object SparkEntry {
       }
       Seq(outPath, ckpt).foreach(p => rmrf(new java.io.File(p)))
       val raw = Tables.documents(s, d)
-      val stream = s.readStream.schema(raw.schema)
-        .option("pathGlobFilter", "documents.parquet")
-        .option("maxFilesPerTrigger", 1)
-        .parquet(d)
+      val stream = streamSource(s, d, "documents", raw.schema)
       val gated = graft.operators.Curation.statelessGates(
         stream, graft.operators.Curation.Config(
           allowedLangs = Some(Set("en", "fr", "de", "es")),
@@ -2011,6 +2021,34 @@ object SparkEntry {
       graft.operators.TextAnalysis.vocabCoverage(
         t(s, d, "documents"), "doc_id", "text", k = 500)),
 
+    // Reciprocal rank @10 of the exact cosine ranking against label
+    // relevance — "how far to the first good result", the first-hit
+    // complement of q298's nDCG and q297's RBO
+    "q314_reciprocal_rank" -> ((s, d) => {
+      import graft.functions.VectorFunctions.{l2Norm, toDouble}
+      val emb = t(s, d, "embeddings")
+      val rankable = emb.filter(l2Norm(toDouble(col("embedding"))) > 0)
+      val probes = rankable.filter(col("vec_id") < 5)
+      val exact = graft.operators.Similarity.bruteForceTopK(emb, probes, k = 10)
+      val lab = rankable.select(col("vec_id"), col("label"))
+      val ranked = exact
+        .join(lab.select(col("vec_id").as("corpus_id"), col("label").as("cl")),
+          "corpus_id")
+        .join(lab.select(col("vec_id").as("probe_id"), col("label").as("pl")),
+          "probe_id")
+        .withColumn("rel", when(col("cl") === col("pl"), 1.0).otherwise(0.0))
+      graft.operators.Retrieval.reciprocalRank(ranked, "probe_id", "rank",
+        "rel", k = 10)
+    }),
+
+    // Dedup yield curve: ONE banded candidate pass re-sliced at four
+    // thresholds — pairs, flagged docs, and the corpus share per τ; the
+    // release table that prices a dedup threshold without re-running
+    // the pipeline per τ
+    "q315_dedup_yield" -> ((s, d) =>
+      graft.operators.Dedup.dedupYieldSweep(t(s, d, "embeddings"),
+        thresholds = Seq(0.3, 0.5, 0.7, 0.9))),
+
     // REAL WAV header extraction end to end: deterministic PCM WAVs
     // built from doc ids (real RIFF/fmt/data bytes), parsed back by
     // the codegen WavProbe expression; whole-ms durations make the
@@ -2056,10 +2094,7 @@ object SparkEntry {
       // in listing than they save (bucket count is the scale knob)
       graft.operators.Dedup.writeContentIndex(
         docs.filter(col("doc_id") % 3 =!= 0), "text", idxPath, buckets = 16)
-      val stream = s.readStream.schema(docs.schema)
-        .option("pathGlobFilter", "documents.parquet")
-        .option("maxFilesPerTrigger", 1)
-        .parquet(d)
+      val stream = streamSource(s, d, "documents", docs.schema)
         .filter(col("doc_id") % 3 === 0)
       val q = graft.streaming.StreamingOps.streamIndexDedupGate(
         stream, "doc_id", "text", idxPath, outPath, buckets = 16)
@@ -2344,10 +2379,7 @@ object SparkEntry {
       val raw = Tables.documents(s, d)
       val blocked = raw.filter(col("doc_id") % 97 === 0 &&
         col("text").isNotNull)
-      val stream = s.readStream.schema(raw.schema)
-        .option("pathGlobFilter", "documents.parquet")
-        .option("maxFilesPerTrigger", 1)
-        .parquet(d)
+      val stream = streamSource(s, d, "documents", raw.schema)
         .filter(col("text").isNotNull)
       val kept = graft.streaming.StreamingOps.streamNearDupGate(
         stream, blocked, col("text"), col("text"), maxHamming = 3)
@@ -2532,10 +2564,7 @@ object SparkEntry {
       val raw = Tables.documents(s, d)
       val blocked = raw.filter(col("doc_id") % 97 === 0 &&
         col("text").isNotNull)
-      val stream = s.readStream.schema(raw.schema)
-        .option("pathGlobFilter", "documents.parquet")
-        .option("maxFilesPerTrigger", 1)
-        .parquet(d)
+      val stream = streamSource(s, d, "documents", raw.schema)
         .filter(col("text").isNotNull)
       val kept = graft.streaming.StreamingOps.streamStaticGate(
         stream, blocked, md5(col("text")), md5(col("text")))
@@ -3308,10 +3337,7 @@ object SparkEntry {
       // (not a bare read): it tunes the session first.
       val fileSchema = Tables.table(s, d, "events").schema
       val stream = Tables.normalizeEvents(
-        s.readStream.schema(fileSchema)
-          .option("pathGlobFilter", "events.parquet")
-          .option("maxFilesPerTrigger", 1)
-          .parquet(d))
+        streamSource(s, d, "events", fileSchema))
       val smoothed = graft.operators.EventAnalytics.ewmaStream(
         stream, "user_id", "ts", "event_id", "value").toDF()
       val q = graft.streaming.StreamingOps.appendPerBatch(smoothed, outPath)
@@ -3430,10 +3456,7 @@ object SparkEntry {
       }
       Seq(outPath, ckpt).foreach(p => rmrf(new java.io.File(p)))
       val raw = Tables.documents(s, d)
-      val stream = s.readStream.schema(raw.schema)
-        .option("pathGlobFilter", "documents.parquet")
-        .option("maxFilesPerTrigger", 1)
-        .parquet(d)
+      val stream = streamSource(s, d, "documents", raw.schema)
       val gated = graft.operators.QualityRules
         .gopherQuality(stream, "doc_id", "text")
         .filter(col("keep"))
@@ -5839,6 +5862,71 @@ object SparkEntry {
          |SELECT doc_id AS id, n_tokens, n_in_vocab,
          |  round(n_in_vocab::DOUBLE / n_tokens::DOUBLE, 4) AS coverage
          |FROM a""".stripMargin,
+
+    // Reciprocal-rank replay: q298's exact top-10 CTE, min matching
+    // rank per probe, rr = 1/rank with the no-hit 0.0 convention
+    "q314_reciprocal_rank" ->
+      """WITH rk AS (SELECT vec_id, label, embedding FROM embeddings
+        |  WHERE list_dot_product(embedding::DOUBLE[],
+        |    embedding::DOUBLE[]) > 0),
+        |topk AS (
+        |  SELECT probe_id, corpus_id, rank FROM (
+        |   SELECT p.vec_id AS probe_id, c.vec_id AS corpus_id,
+        |    row_number() OVER (PARTITION BY p.vec_id
+        |      ORDER BY list_cosine_similarity(c.embedding::DOUBLE[],
+        |        p.embedding::DOUBLE[]) DESC, c.vec_id) AS rank
+        |   FROM rk c JOIN rk p ON c.vec_id <> p.vec_id
+        |   WHERE p.vec_id < 5)
+        |  WHERE rank <= 10),
+        |r AS (SELECT t.probe_id, t.rank,
+        |    CASE WHEN cl.label = pl.label THEN 1 ELSE 0 END AS rel
+        |  FROM topk t JOIN rk cl ON cl.vec_id = t.corpus_id
+        |    JOIN rk pl ON pl.vec_id = t.probe_id),
+        |fr AS (SELECT probe_id, min(rank)::BIGINT AS first_relevant_rank
+        |  FROM r WHERE rel = 1 GROUP BY probe_id),
+        |g AS (SELECT DISTINCT probe_id FROM r)
+        |SELECT g.probe_id, first_relevant_rank,
+        |  coalesce(round(1.0 / first_relevant_rank::DOUBLE, 4), 0.0) AS rr
+        |FROM g LEFT JOIN fr USING (probe_id)""".stripMargin,
+
+    // Yield-sweep replay: same seeded planes and banded candidates as
+    // q53's family, one scored-pair set re-sliced per threshold
+    "q315_dedup_yield" -> {
+      val vals = hyperplaneValuesSql(15, 4, 64, 42L)
+      s"""WITH planes(plane_id, p) AS (VALUES $vals),
+         |vecs AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+         |  FROM embeddings
+         |  WHERE list_dot_product(embedding::DOUBLE[],
+         |    embedding::DOUBLE[]) > 0),
+         |bands AS MATERIALIZED (SELECT id, plane_id // 4 AS band,
+         |    SUM((CASE WHEN list_dot_product(v, p) >= 0 THEN 1 ELSE 0 END)
+         |      << (plane_id % 4))::BIGINT AS key
+         |  FROM vecs CROSS JOIN planes GROUP BY id, plane_id // 4),
+         |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.key = b.key AND a.id < b.id),
+         |sc AS MATERIALIZED (SELECT cand.id_a, cand.id_b,
+         |    list_cosine_similarity(va.v, vb.v) AS c
+         |  FROM cand JOIN vecs va ON va.id = cand.id_a
+         |  JOIN vecs vb ON vb.id = cand.id_b),
+         |th AS (SELECT unnest([0.3, 0.5, 0.7, 0.9]::DOUBLE[]) AS threshold),
+         |tot AS (SELECT count(*)::BIGINT AS total FROM vecs),
+         |f AS MATERIALIZED (SELECT th.threshold, sc.id_a, sc.id_b
+         |  FROM th JOIN sc ON sc.c >= th.threshold),
+         |p AS (SELECT threshold, count(*)::BIGINT AS n_pairs
+         |  FROM f GROUP BY threshold),
+         |dd AS (SELECT threshold, count(DISTINCT id)::BIGINT
+         |    AS n_docs_flagged FROM (
+         |    SELECT threshold, id_a AS id FROM f
+         |    UNION ALL SELECT threshold, id_b AS id FROM f)
+         |  GROUP BY threshold)
+         |SELECT th.threshold, coalesce(n_pairs, 0) AS n_pairs,
+         |  coalesce(n_docs_flagged, 0) AS n_docs_flagged,
+         |  round(coalesce(n_docs_flagged, 0)::DOUBLE / total, 4)
+         |    AS flagged_share
+         |FROM th LEFT JOIN p USING (threshold)
+         |LEFT JOIN dd USING (threshold) CROSS JOIN tot""".stripMargin
+    },
 
     // Mean-pairwise-cosine replay: the same sum-vector identity over
     // the same 6dp-rounded normalized vectors — A from per-(label, dim)

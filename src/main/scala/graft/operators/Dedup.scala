@@ -302,6 +302,48 @@ object Dedup {
       planesPerBand: Int = 4, dim: Int = 64, seed: Long = 42L): DataFrame =
     Similarity.bandedScoredPairs(corpus, numBands, planesPerBand, dim, seed)
 
+  /** Dedup yield curve: one banded candidate generation + exact rerank
+    * evaluated at EVERY threshold in `thresholds` — the release-report
+    * table ("what does τ buy me") that decides a dedup threshold
+    * without re-running the pipeline per τ. Per threshold: surviving
+    * candidate pairs, distinct docs in ≥1 pair, and the flagged share
+    * of the (nonzero-norm) corpus. Same recall contract as
+    * [[embeddingNearDups]] — the banding bounds the candidate space
+    * once; thresholds only re-slice the SAME scored pairs (eagerly
+    * checkpointed, so the expensive banding never recomputes across
+    * the per-threshold branches).
+    */
+  def dedupYieldSweep(corpus: DataFrame, thresholds: Seq[Double],
+      numBands: Int = 15, planesPerBand: Int = 4, dim: Int = 64,
+      seed: Long = 42L): DataFrame = {
+    require(thresholds.nonEmpty, "thresholds must be non-empty")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val scored = Similarity
+      .bandedScoredPairs(corpus, numBands, planesPerBand, dim, seed)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+      .localCheckpoint(true)
+    val f = scored
+      .withColumn("threshold", explode(array(thresholds.map(lit(_)): _*)))
+      .filter(col("cosine") >= col("threshold"))
+    val p = f.groupBy(col("threshold")).agg(count(lit(1)).as("n_pairs"))
+    val d = f.select(col("threshold"),
+        explode(array(col("id_a"), col("id_b"))).as("id"))
+      .groupBy(col("threshold"))
+      .agg(count_distinct(col("id")).as("n_docs_flagged"))
+    val tot = Similarity.withNorm(corpus, "id", "v", "n")
+      .agg(count(lit(1)).as("__total"))
+    thresholds.toDF("threshold")
+      .join(p, Seq("threshold"), "left")
+      .join(d, Seq("threshold"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("threshold"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_docs_flagged"), lit(0L)).as("n_docs_flagged"),
+        round(coalesce(col("n_docs_flagged"), lit(0L)).cast("double") /
+          col("__total").cast("double"), 4).as("flagged_share"))
+  }
+
   /** Dedup-savings estimate per group (typically source): if exact
     * normalized dedup ran today, how many documents and how many bytes
     * would each source lose? Winner = min-id member of each

@@ -174,4 +174,26 @@ object Retrieval {
         when(col("__idcg") > 0, round(col("__dcg") / col("__idcg"), 4))
           .as("ndcg"))
   }
+
+  /** Reciprocal rank @k per group: 1/rank of the FIRST relevant item
+    * in the top-k, 0.0 when nothing relevant ranked (the MRR convention
+    * — callers average `rr` for the headline MRR). The first-hit
+    * complement of [[ndcgAtK]] (position-weighted whole-list quality)
+    * and RBO (list agreement): "how far does a user scroll to the first
+    * good result". Exact integer rank + one divide; groups come from
+    * the ranked frame itself, so unjudged groups report rr = 0 rather
+    * than silently dropping.
+    */
+  def reciprocalRank(ranked: DataFrame, groupCol: String, rankCol: String,
+      relCol: String, k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val groups = ranked.select(col(groupCol)).distinct()
+    val first = ranked.filter(col(rankCol) <= k && col(relCol) > 0)
+      .groupBy(col(groupCol))
+      .agg(min(col(rankCol).cast("long")).as("first_relevant_rank"))
+    groups.join(first, Seq(groupCol), "left")
+      .select(col(groupCol), col("first_relevant_rank"),
+        coalesce(round(lit(1.0) / col("first_relevant_rank").cast("double"), 4),
+          lit(0.0)).as("rr"))
+  }
 }

@@ -187,4 +187,15 @@ class PlanQualitySpec extends AnyFunSuite {
   // per round), so queries("q296")'s plan is one checkpoint scan — the
   // pair-matrix partial-agg property lives in construction-time jobs a
   // plan string can't see. Eval.bradleyTerry's scaladoc documents it.
+
+  test("q309 served decontam: stored band partitions prune at the scan; eval side broadcasts") {
+    val p = plan("q309_decontam_served")
+    // the candidate read must be a partition-pruned scan of the
+    // persisted (band, key) layout, not a full-index scan
+    assert(p.contains("PartitionFilters") && p.contains("band#"),
+      p.take(800))
+    // the eval-side joins stay broadcast — the corpus/vecs side must
+    // never shuffle for the gate
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+  }
 }

@@ -509,4 +509,23 @@ class DedupSpec extends AnyFunSuite {
     assert(r.getAs[Boolean]("truncated"))
     assert(!r.getAs[Boolean]("chained"))
   }
+
+  test("dedupYieldSweep: monotone over thresholds; identical pair survives the tightest; zero-norm out of the base") {
+    def vec(f: Int => Double): Array[Float] =
+      (0 until 64).map(i => f(i).toFloat).toArray
+    val corpus = Seq(
+      (1L, vec(i => if (i < 32) 1.0 else 0.0)),
+      (2L, vec(i => if (i < 32) 1.0 else 0.0)),      // identical to 1
+      (3L, vec(i => if (i >= 32) 1.0 else 0.0)),     // orthogonal
+      (4L, vec(i => if (i < 48) 1.0 else 0.0)),      // cos≈0.82 vs 1/2
+      (5L, vec(_ => 0.0))                            // zero-norm: excluded
+    ).toDF("vec_id", "embedding")
+    val out = Dedup.dedupYieldSweep(corpus, thresholds = Seq(0.5, 0.9))
+      .collect().map(r => r.getDouble(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // τ=0.9: only the identical pair; share over the 4 nonzero-norm docs
+    assert(out(0.9) == ((1L, 2L, 0.5)))
+    // τ=0.5 keeps at least the τ=0.9 survivors (monotone re-slice)
+    assert(out(0.5)._1 >= out(0.9)._1 && out(0.5)._2 >= out(0.9)._2)
+  }
 }

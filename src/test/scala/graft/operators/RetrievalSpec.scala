@@ -87,4 +87,20 @@ class RetrievalSpec extends AnyFunSuite {
     assert(out(2L) == ((1L, Some(exp2))) && exp2 < 1.0)
     assert(out(3L) == ((0L, None)))
   }
+
+  test("reciprocalRank: first-hit rank, no-hit 0.0, beyond-k hit ignored") {
+    val ranked = Seq(
+      (1L, 1, 1.0), (1L, 2, 1.0),           // hit at rank 1 → 1.0
+      (2L, 1, 0.0), (2L, 2, 0.0), (2L, 3, 1.0), // first hit rank 3
+      (3L, 1, 0.0), (3L, 2, 0.0),           // nothing → 0.0
+      (4L, 4, 1.0)).toDF("g", "rank", "rel") // hit beyond k=3 → 0.0
+    val out = Retrieval.reciprocalRank(ranked, "g", "rank", "rel", k = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) None else Some(r.getLong(1)), r.getDouble(2))))
+      .toMap
+    assert(out(1L) == ((Some(1L), 1.0)))
+    assert(out(2L) == ((Some(3L), 0.3333)))
+    assert(out(3L) == ((None, 0.0)))
+    assert(out(4L) == ((None, 0.0)))
+  }
 }

@@ -273,5 +273,16 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out(1) == ((2L, 2L, 1.0, 1.0)))
     assert(out(2)._3 == -1.0 && out(2)._4 == 1.0)
     assert(out(3)._3 == 1.0 && out(3)._4 == 0.5) // |cA|/|cB| = 1/2
+    // null/empty embeddings contribute no components, so they must not
+    // count either (round-8 advisory: counts re-enter via norm_ratio) —
+    // adding them to B leaves every number, including n_b, unchanged
+    val bNoisy = b.unionByName(Seq(
+      (15L, null.asInstanceOf[Array[Float]], 1),
+      (16L, Array.empty[Float], 3)).toDF("vec_id", "embedding", "label"))
+    val noisy = Similarity.labelCentroidDrift(a, bNoisy, "label")
+      .collect().map(r => r.getInt(0) -> ((r.getAs[Long]("n_a"),
+        r.getAs[Long]("n_b"), r.getAs[Double]("centroid_cosine"),
+        r.getAs[Double]("norm_ratio")))).toMap
+    assert(noisy == out)
   }
 }

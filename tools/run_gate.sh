@@ -20,6 +20,13 @@ env SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-8}" \
   2> >(tee "verify_${ROUND}.stderr.log" >&2)
 python3 tools/check_correctness.py "/tmp/gate_$SF" "/root/testdata/$SF" \
   "CORRECTNESS_SELF_${ROUND}.json"
+# optional: per-oracle DuckDB wall-time budget check (the round-9
+# driver-timeout lesson: the oracle replay, not Verify, is the leg that
+# can blow the driver's budget — set GRAFT_PROFILE_ORACLES=1 after any
+# oracle change)
+if [ "${GRAFT_PROFILE_ORACLES:-0}" = "1" ]; then
+  python3 tools/profile_oracles.py "/tmp/gate_$SF" "/root/testdata/$SF" 10
+fi
 # second independent run: rows-only queries must be bit-stable run-to-run
 env SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-8}" \
   sbt -batch "runMain graft.Verify /root/testdata/$SF /tmp/gate_${SF}_b"
