@@ -2005,7 +2005,11 @@ object SparkEntry {
     // 2x2 counts, three fixed-order double expressions
     "q311_cohens_kappa" -> ((s, d) =>
       graft.operators.Eval.cohensKappa(t(s, d, "documents"),
-        col("n_chars") >= 400, size(tokens(col("text"))) >= 80)),
+        col("n_chars") >= 400,
+        // explicit null gate: size(tokens(null)) is the legacy -1
+        // sentinel under ANSI-off, which would rate a null doc "false"
+        // instead of excluding it (the oracle's WHERE text IS NOT NULL)
+        when(col("text").isNotNull, size(tokens(col("text"))) >= 80))),
 
     // Per-doc cross-entropy under the corpus unigram LM — the cheapest
     // perplexity proxy (rare-token soup scores high, common-vocabulary
@@ -2048,6 +2052,26 @@ object SparkEntry {
     "q315_dedup_yield" -> ((s, d) =>
       graft.operators.Dedup.dedupYieldSweep(t(s, d, "embeddings"),
         thresholds = Seq(0.3, 0.5, 0.7, 0.9))),
+
+    // Release-shard manifest: xxh64(id) mod 8 sharding with per-shard
+    // doc/token/byte counts + an order-independent xor content
+    // checksum — the verify-without-rereading table a release ships
+    "q316_shard_manifest" -> ((s, d) =>
+      graft.operators.TrainingData.shardManifest(
+        t(s, d, "documents"), "doc_id", "text", nShards = 8)),
+
+    // Cross-source contamination matrix over a synthesized partial
+    // mirror (every 3rd doc re-attributed with case noise): canonical
+    // content hashes must match the mirror back to its origin sources
+    "q317_source_overlap" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("text"), col("source"))
+      val mirror = docs.filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), upper(col("text")).as("text"),
+          lit("mirror").as("source"))
+      graft.operators.Dedup.sourceOverlap(docs.unionByName(mirror),
+        "doc_id", "text", "source")
+    }),
 
     // REAL WAV header extraction end to end: deterministic PCM WAVs
     // built from doc ids (real RIFF/fmt/data bytes), parsed back by
@@ -5927,6 +5951,44 @@ object SparkEntry {
          |FROM th LEFT JOIN p USING (threshold)
          |LEFT JOIN dd USING (threshold) CROSS JOIN tot""".stripMargin
     },
+
+    // Shard-manifest replay: exact xxh64(doc_id) chain for the shard
+    // assignment, token/byte sums with the null→0 convention, and the
+    // same signed-64 FNV xor checksum (both engines skip NULLs)
+    "q316_shard_manifest" -> {
+      s"""WITH ${xxh64Chain("dh", "documents", "doc_id", Seq("doc_id"))},
+         |j AS (SELECT ((dh.hs % 8) + 8) % 8 AS shard, d.text
+         |  FROM documents d JOIN dh ON dh.doc_id = d.doc_id)
+         |SELECT shard, count(*)::BIGINT AS n_docs,
+         |  SUM(COALESCE(len($tokensSql), 0))::BIGINT AS n_tokens,
+         |  SUM(COALESCE(octet_length(encode(text)), 0))::BIGINT AS n_bytes,
+         |  bit_xor(${toI64Sql(fnvSql("text"))}) AS content_checksum
+         |FROM j GROUP BY shard""".stripMargin
+    },
+
+    // Source-overlap replay: same mirror synthesis, canonical =
+    // trim(collapse-ws(lower)) — distinct over canonical STRINGS ==
+    // distinct over the engine's 8-byte hashes absent a collision
+    "q317_source_overlap" ->
+      """WITH base AS (
+        |  SELECT doc_id, text, source FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, upper(text) AS text, 'mirror' AS source
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |hs AS (SELECT DISTINCT source,
+        |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS c
+        |  FROM base WHERE text IS NOT NULL),
+        |tot AS (SELECT source, count(*)::BIGINT AS n FROM hs
+        |  GROUP BY source),
+        |sh AS (SELECT a.source AS source_a, b.source AS source_b,
+        |    count(*)::BIGINT AS n_shared
+        |  FROM hs a JOIN hs b ON a.c = b.c AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT source_a, source_b, ta.n AS n_a, tb.n AS n_b, n_shared,
+        |  round(n_shared::DOUBLE / (ta.n + tb.n - n_shared), 4)
+        |    AS jaccard
+        |FROM sh JOIN tot ta ON ta.source = sh.source_a
+        |JOIN tot tb ON tb.source = sh.source_b""".stripMargin,
 
     // Mean-pairwise-cosine replay: the same sum-vector identity over
     // the same 6dp-rounded normalized vectors — A from per-(label, dim)

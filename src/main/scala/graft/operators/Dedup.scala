@@ -302,6 +302,39 @@ object Dedup {
       planesPerBand: Int = 4, dim: Int = 64, seed: Long = 42L): DataFrame =
     Similarity.bandedScoredPairs(corpus, numBands, planesPerBand, dim, seed)
 
+  /** Cross-source content overlap: for every source pair, how many
+    * DISTINCT canonical documents appear in both — the contamination
+    * matrix a release report prints before mixing sources (a mirror
+    * crawl shows up as a near-1.0 jaccard row; a clean pairing rounds
+    * to 0). Shuffles carry (source, 8-byte canonical hash) only; the
+    * self-join keys on the hash, so pair volume scales with true
+    * cross-source duplication, not |corpus|². Pairs with zero shared
+    * content emit no row (the report lists offenders, not the
+    * all-pairs zero matrix).
+    */
+  def sourceOverlap(df: DataFrame, idCol: String, textCol: String,
+      sourceCol: String): DataFrame = {
+    val hs = df.select(col(sourceCol).as("source"),
+        fnv64(canonicalText(col(textCol))).as("h"))
+      .filter(col("h").isNotNull)
+      .distinct()
+    val tot = hs.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val shared = hs.as("a").join(hs.as("b"),
+        col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(tot.select(col("source").as("source_a"), col("n").as("n_a")),
+        "source_a")
+      .join(tot.select(col("source").as("source_b"), col("n").as("n_b")),
+        "source_b")
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+        col("n_shared"),
+        round(col("n_shared").cast("double") /
+          (col("n_a") + col("n_b") - col("n_shared")).cast("double"), 4)
+          .as("jaccard"))
+  }
+
   /** Dedup yield curve: one banded candidate generation + exact rerank
     * evaluated at EVERY threshold in `thresholds` — the release-report
     * table ("what does τ buy me") that decides a dedup threshold

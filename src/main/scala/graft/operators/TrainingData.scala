@@ -504,6 +504,35 @@ object TrainingData {
       .withColumn("contaminated", lit(true))
   }
 
+  /** Release-shard manifest: deterministic hash sharding
+    * (xxh64(id) mod n) with per-shard doc/token/byte counts and an
+    * order-independent content checksum (bit_xor of per-doc FNV-64) —
+    * the table a dataset release ships next to its shards so a consumer
+    * can verify what they downloaded without re-reading the corpus, and
+    * the producer can diff two builds shard-by-shard. One partial-agg
+    * pass; the checksum is xor (commutative, no overflow), so the
+    * manifest is invariant to row order and partitioning.
+    */
+  def shardManifest(df: DataFrame, idCol: String, textCol: String,
+      nShards: Int): DataFrame = {
+    require(nShards >= 1, "nShards must be >= 1")
+    df.select(pmod(xxhash64(col(idCol)), lit(nShards.toLong)).as("shard"),
+        col(textCol).as("__t"))
+      .select(col("shard"),
+        // explicit null gate, NOT coalesce(size(...), 0): with ANSI off
+        // size(null) is the legacy -1 sentinel (non-null!), which a
+        // coalesce would happily sum into the token totals
+        when(col("__t").isNull, lit(0))
+          .otherwise(size(tokens(col("__t")))).as("__ntok"),
+        coalesce(octet_length(col("__t")), lit(0)).as("__nb"),
+        fnv64(col("__t")).as("__h"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__ntok")).as("n_tokens"),
+        sum(col("__nb")).as("n_bytes"),
+        expr("bit_xor(__h)").as("content_checksum"))
+  }
+
   /** [[decontaminateSemantic]] SERVED from a persisted LSH index — the
     * steady-state shape for the one heavy lane that still re-signatured
     * its corpus per run (round-8 verdict #5): the corpus's band keys

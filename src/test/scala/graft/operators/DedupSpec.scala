@@ -528,4 +528,20 @@ class DedupSpec extends AnyFunSuite {
     // τ=0.5 keeps at least the τ=0.9 survivors (monotone re-slice)
     assert(out(0.5)._1 >= out(0.9)._1 && out(0.5)._2 >= out(0.9)._2)
   }
+
+  test("sourceOverlap: canonical variants match across sources; disjoint pairs emit no row") {
+    val docs = Seq(
+      (1L, "shared one", "A"), (2L, "shared two", "A"), (3L, "only a", "A"),
+      (4L, "SHARED  ONE", "B"),          // case+ws variant of A's doc 1
+      (5L, "Shared Two", "B"), (6L, "only b", "B"),
+      (7L, "something else", "C"),
+      (8L, null.asInstanceOf[String], "C") // null text never matches
+    ).toDF("doc_id", "text", "source")
+    val out = Dedup.sourceOverlap(docs, "doc_id", "text", "source")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    // only (A, B) overlaps: 2 shared canonicals of 3 each → J = 2/4
+    assert(out.keySet == Set(("A", "B")))
+    assert(out(("A", "B")) == ((3L, 3L, 2L, 0.5)))
+  }
 }

@@ -152,6 +152,25 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(served == inQuery && served.nonEmpty)
   }
 
+  test("shardManifest: totals conserve; checksum invariant to row order and partitioning") {
+    val docs = (1L to 200L).map(i =>
+      (i, if (i % 7 == 0) null else s"doc $i body " + ("x " * (i % 5).toInt)))
+      .toDF("id", "text")
+    def manifest(df: org.apache.spark.sql.DataFrame) =
+      TrainingData.shardManifest(df, "id", "text", nShards = 4)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+          r.getLong(3), if (r.isNullAt(4)) None else Some(r.getLong(4)))))
+        .toMap
+    val m = manifest(docs)
+    assert(m.values.map(_._1).sum == 200L) // every doc lands in a shard
+    // null texts: 0 tokens / 0 bytes contributed, checksum skips them
+    assert(m.values.map(_._2).sum ==
+      (1L to 200L).filter(_ % 7 != 0).map(i => 3 + (i % 5)).sum)
+    // the manifest is a pure function of content — not of order/layout
+    assert(manifest(docs.orderBy(org.apache.spark.sql.functions.rand(7))
+      .repartition(13)) == m)
+  }
+
   test("stratifiedSample: per-stratum rates hold and are retry-stable") {
     val docs = (0L until 4000L).map(i => (i, if (i % 2 == 0) "a" else "b"))
       .toDF("id", "g")
