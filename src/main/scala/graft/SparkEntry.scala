@@ -2073,6 +2073,55 @@ object SparkEntry {
         "doc_id", "text", "source")
     }),
 
+    // Fleiss' kappa among THREE cheap quality raters (length, token
+    // count, character density) voting on every doc — the multi-rater
+    // extension of q311's Cohen pair; all-integer S/c_j moments, three
+    // final divides. Null-text docs drop BEFORE unpivot so the panel
+    // is constant (m = 3) by construction.
+    "q318_fleiss_kappa" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .filter(col("text").isNotNull && col("n_chars").isNotNull)
+      val ntok = size(tokens(col("text")))
+      def rater(name: String, c: Column): DataFrame =
+        docs.select(col("doc_id").as("item"), lit(name).as("rater"),
+          c.cast("string").as("cat"))
+      val long = rater("len", col("n_chars") >= 400)
+        .unionByName(rater("tok", ntok >= 80))
+        .unionByName(rater("dense", col("n_chars") <= ntok * 7))
+      graft.operators.Eval.fleissKappa(long, "item", "rater", "cat", m = 3)
+    }),
+
+    // Expected calibration error of a length-based confidence score
+    // (min(n_chars,1000)/1000) against the token-count quality gate —
+    // the scalar rollup of q181's reliability table, with the
+    // mean-confidence side; per-bin gap folds exactly to |Σy − Σs|
+    "q319_ece" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .filter(col("text").isNotNull && col("n_chars").isNotNull)
+      val scored = docs.select(
+        (least(col("n_chars"), lit(1000L)).cast("double") / 1000.0)
+          .as("score"),
+        (size(tokens(col("text"))) >= 80).as("label"))
+      graft.operators.Eval.calibrationError(scored, "score", "label",
+        bins = 10)
+    }),
+
+    // Kendall's tau-b between the char-length and token-count orderings
+    // of each language's first 40 docs — are the two cheap "bigger is
+    // better" scorers pairwise interchangeable? Exact C/D/P_x/P_y
+    // BIGINTs from the bounded top-k self-join, one sqrt at the edge
+    "q320_kendall_tau" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .filter(col("text").isNotNull && col("n_chars").isNotNull)
+      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      val top = docs.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= 40)
+        .select(col("lang"), col("doc_id"), col("n_chars"),
+          size(tokens(col("text"))).as("n_tokens"))
+      graft.operators.Eval.kendallTau(top, "lang", "doc_id", "n_chars",
+        "n_tokens")
+    }),
+
     // REAL WAV header extraction end to end: deterministic PCM WAVs
     // built from doc ids (real RIFF/fmt/data bytes), parsed back by
     // the codegen WavProbe expression; whole-ms durations make the
@@ -5989,6 +6038,85 @@ object SparkEntry {
         |    AS jaccard
         |FROM sh JOIN tot ta ON ta.source = sh.source_a
         |JOIN tot tb ON tb.source = sh.source_b""".stripMargin,
+
+    // Fleiss replay: same three rater gates, same constant-panel drop;
+    // the statistic stays in BIGINT moments (S, c_j) until the three
+    // fixed-order double divides
+    "q318_fleiss_kappa" ->
+      s"""WITH docs AS (SELECT doc_id, n_chars, len($tokensSql) AS nt
+         |  FROM documents WHERE text IS NOT NULL AND n_chars IS NOT NULL),
+         |r AS (
+         |  SELECT doc_id AS it, 'len' AS rater,
+         |    (n_chars >= 400)::VARCHAR AS c FROM docs
+         |  UNION ALL SELECT doc_id, 'tok', (nt >= 80)::VARCHAR FROM docs
+         |  UNION ALL SELECT doc_id, 'dense',
+         |    (n_chars <= nt * 7)::VARCHAR FROM docs),
+         |nij AS (SELECT it, c, count(*)::BIGINT AS n FROM r GROUP BY 1, 2),
+         |itm AS (SELECT it, sum(n)::BIGINT AS mi, sum(n * n)::BIGINT AS s2
+         |  FROM nij GROUP BY 1 HAVING sum(n) = 3),
+         |tot AS (SELECT count(*)::BIGINT AS n_items, sum(s2)::BIGINT AS ss
+         |  FROM itm),
+         |cj AS (SELECT c, sum(n)::BIGINT AS cs
+         |  FROM nij JOIN itm USING (it) GROUP BY c),
+         |c2 AS (SELECT count(*)::BIGINT AS k_categories,
+         |  sum(cs * cs)::BIGINT AS cc FROM cj),
+         |p AS (SELECT n_items, k_categories,
+         |    (ss::DOUBLE - n_items::DOUBLE * 3.0)
+         |      / (n_items::DOUBLE * 3.0 * 2.0) AS pbar,
+         |    cc::DOUBLE / (n_items::DOUBLE * 3.0 * n_items::DOUBLE * 3.0)
+         |      AS pe
+         |  FROM tot CROSS JOIN c2)
+         |SELECT n_items, k_categories, round(pbar, 4) AS p_bar,
+         |  round(pe, 4) AS p_e,
+         |  CASE WHEN pe < 1.0 THEN round((pbar - pe) / (1.0 - pe), 4) END
+         |    AS kappa
+         |FROM p""".stripMargin,
+
+    // ECE replay: same 6dp-decimal scores and bin clamp; the per-bin
+    // n·|acc − conf| gap is the exact DECIMAL |Σy − Σs|
+    "q319_ece" ->
+      s"""WITH r AS (SELECT
+         |    round(least(n_chars, 1000)::DOUBLE / 1000.0, 6)
+         |      ::DECIMAL(18,6) AS s,
+         |    (len($tokensSql) >= 80)::BIGINT AS y
+         |  FROM documents WHERE text IS NOT NULL AND n_chars IS NOT NULL),
+         |b AS (SELECT least(floor(s::DOUBLE * 10), 9)::BIGINT AS bin, s, y
+         |  FROM r),
+         |pb AS (SELECT bin, count(*)::BIGINT AS n,
+         |    CAST(SUM(s) AS DECIMAL(18,6)) AS sc, sum(y)::BIGINT AS sy
+         |  FROM b GROUP BY 1),
+         |t AS (SELECT sum(n)::BIGINT AS nt,
+         |    CAST(SUM(abs(sy::DECIMAL(18,6) - sc)) AS DECIMAL(38,6)) AS gap
+         |  FROM pb)
+         |SELECT bin, n, round(sc::DOUBLE / n::DOUBLE, 4) AS conf,
+         |  round(sy::DOUBLE / n::DOUBLE, 4) AS acc,
+         |  round(gap::DOUBLE / nt::DOUBLE, 4) AS ece
+         |FROM pb CROSS JOIN t""".stripMargin,
+
+    // tau-b replay: same per-lang top-40 frame, same pairwise identity
+    // ((C − D) / sqrt(untied_x · untied_y) — tie terms absorbed by the
+    // not-tied pair counts)
+    "q320_kendall_tau" ->
+      s"""WITH docs AS (SELECT lang, doc_id, n_chars,
+         |    len($tokensSql) AS nt,
+         |    row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+         |  FROM documents WHERE text IS NOT NULL AND n_chars IS NOT NULL),
+         |top AS (SELECT lang, doc_id, n_chars::DOUBLE AS x, nt::DOUBLE AS y
+         |  FROM docs WHERE rn <= 40),
+         |p AS (SELECT l.lang, count(*)::BIGINT AS n_pairs,
+         |    SUM(CASE WHEN (l.x - r.x) * (l.y - r.y) > 0
+         |      THEN 1 ELSE 0 END)::BIGINT AS concordant,
+         |    SUM(CASE WHEN (l.x - r.x) * (l.y - r.y) < 0
+         |      THEN 1 ELSE 0 END)::BIGINT AS discordant,
+         |    SUM(CASE WHEN l.x <> r.x THEN 1 ELSE 0 END)::BIGINT AS px,
+         |    SUM(CASE WHEN l.y <> r.y THEN 1 ELSE 0 END)::BIGINT AS py
+         |  FROM top l JOIN top r ON l.lang = r.lang AND l.doc_id < r.doc_id
+         |  GROUP BY 1)
+         |SELECT lang, n_pairs, concordant, discordant,
+         |  CASE WHEN px > 0 AND py > 0 THEN
+         |    round((concordant - discordant)::DOUBLE
+         |      / sqrt(px::DOUBLE * py::DOUBLE), 4) END AS tau_b
+         |FROM p""".stripMargin,
 
     // Mean-pairwise-cosine replay: the same sum-vector identity over
     // the same 6dp-rounded normalized vectors — A from per-(label, dim)

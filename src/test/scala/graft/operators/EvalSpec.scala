@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -92,5 +93,68 @@ class EvalSpec extends AnyFunSuite {
     // single-cell table: pe = 1 → kappa undefined (NULL)
     val d = kappa(Seq((Some(true), Some(true)), (Some(true), Some(true))))
     assert(d._4.isEmpty)
+  }
+
+  test("fleissKappa: hand-computed two-item panel, drops wrong-size items") {
+    // item A rated (x, x, y): S_A = 4 + 1 = 5; item B (x, x, x): S_B = 9
+    // P̄ = (14 − 6) / 12 = 2/3; c_x = 5, c_y = 1 → P̄e = 26/36 = 13/18
+    // kappa = (2/3 − 13/18) / (5/18) = −0.2
+    val long = Seq(
+      ("A", "r1", "x"), ("A", "r2", "x"), ("A", "r3", "y"),
+      ("B", "r1", "x"), ("B", "r2", "x"), ("B", "r3", "x"),
+      // item C has only two ratings → dropped (panel must be m = 3)
+      ("C", "r1", "y"), ("C", "r2", "y")
+    ).toDF("item", "rater", "cat")
+    val r = Eval.fleissKappa(long, "item", "rater", "cat", m = 3).collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[Long]("n_items") == 2L)
+    assert(r.head.getAs[Long]("k_categories") == 2L)
+    assert(r.head.getAs[Double]("p_bar") == 0.6667)
+    assert(r.head.getAs[Double]("p_e") == 0.7222)
+    assert(r.head.getAs[Double]("kappa") == -0.2)
+  }
+
+  test("fleissKappa: unanimous single category → pe = 1, kappa NULL") {
+    val long = Seq(("A", "r1", "x"), ("A", "r2", "x"),
+      ("B", "r1", "x"), ("B", "r2", "x")).toDF("item", "rater", "cat")
+    val r = Eval.fleissKappa(long, "item", "rater", "cat", m = 2).collect()
+    assert(r.head.getAs[Double]("p_bar") == 1.0)
+    assert(r.head.isNullAt(r.head.fieldIndex("kappa")))
+  }
+
+  test("calibrationError: hand-computed bins, 1.0 clamps into top bin") {
+    // bin0: (0.05, 0) gap .05 | bin1: (0.15, 1), (0.15, 0) gap .7
+    // bin9: (0.95, 1), (1.0, 1) gap .05 → ECE = 0.8 / 5 = 0.16
+    val df = Seq((0.05, 0L), (0.15, 1L), (0.15, 0L), (0.95, 1L),
+      (1.0, 1L)).toDF("score", "y")
+    val out = Eval.calibrationError(df, "score", "y", bins = 10)
+      .collect().map(r => r.getAs[Long]("bin") -> r).toMap
+    assert(out.keySet == Set(0L, 1L, 9L))
+    assert(out(1L).getAs[Long]("n") == 2L)
+    assert(out(1L).getAs[Double]("conf") == 0.15)
+    assert(out(1L).getAs[Double]("acc") == 0.5)
+    assert(out(9L).getAs[Long]("n") == 2L)
+    assert(out(9L).getAs[Double]("conf") == 0.975)
+    assert(out(9L).getAs[Double]("acc") == 1.0)
+    assert(out.values.forall(_.getAs[Double]("ece") == 0.16))
+  }
+
+  test("kendallTau: perfect agreement, reversal, ties, degenerate side") {
+    def tau(rows: Seq[(String, Long, Double, Double)]): Map[String, Row] =
+      Eval.kendallTau(rows.toDF("g", "id", "x", "y"), "g", "id", "x", "y")
+        .collect().map(r => r.getAs[String]("g") -> r).toMap
+    val out = tau(Seq(
+      // g1: identical orders → tau 1; g2: reversed → −1
+      ("g1", 1L, 1.0, 10.0), ("g1", 2L, 2.0, 20.0), ("g1", 3L, 3.0, 30.0),
+      ("g2", 1L, 1.0, 30.0), ("g2", 2L, 2.0, 20.0), ("g2", 3L, 3.0, 10.0),
+      // g3: x ties absorb into P_x → C=2, D=0, Px=2, Py=3 → 2/√6
+      ("g3", 1L, 1.0, 1.0), ("g3", 2L, 1.0, 2.0), ("g3", 3L, 2.0, 3.0),
+      // g4: x constant → P_x = 0 → tau NULL
+      ("g4", 1L, 5.0, 1.0), ("g4", 2L, 5.0, 2.0)))
+    assert(out("g1").getAs[Double]("tau_b") == 1.0)
+    assert(out("g1").getAs[Long]("concordant") == 3L)
+    assert(out("g2").getAs[Double]("tau_b") == -1.0)
+    assert(out("g3").getAs[Double]("tau_b") == 0.8165)
+    assert(out("g4").isNullAt(out("g4").fieldIndex("tau_b")))
   }
 }
