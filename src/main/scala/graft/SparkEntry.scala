@@ -2122,6 +2122,86 @@ object SparkEntry {
         "n_tokens")
     }),
 
+    // Unbiased pass@k (Chen 2021) over a synthesized sample log: each
+    // doc is one attempt at task doc_id % 50, "passing" when the
+    // length gate fires — ~40 attempts/task at gate SF, reported at
+    // k = 1/5/10. Fixed-order per-task product, 6dp DECIMAL mean.
+    "q321_pass_at_k" -> ((s, d) => {
+      val samples = t(s, d, "documents")
+        .filter(col("text").isNotNull && col("n_chars").isNotNull)
+        .select((col("doc_id") % 50).as("task"),
+          (col("n_chars") >= 400).as("correct"))
+      graft.operators.Eval.passAtK(samples, "task", "correct",
+        ks = Seq(1, 5, 10))
+    }),
+
+    // Murphy decomposition of the Brier score for q319's length-based
+    // confidence: reliability (miscalibration) vs resolution (signal)
+    // vs the base-rate uncertainty floor, same 10-bin frame as the ECE
+    "q322_brier" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .filter(col("text").isNotNull && col("n_chars").isNotNull)
+      val scored = docs.select(
+        (least(col("n_chars"), lit(1000L)).cast("double") / 1000.0)
+          .as("score"),
+        (size(tokens(col("text"))) >= 80).as("label"))
+      graft.operators.Eval.brierDecomposition(scored, "score", "label",
+        bins = 10)
+    }),
+
+    // Per-language confusion report with Matthews correlation: the
+    // char-length gate as predictor of the token-count gate — does the
+    // cheap proxy hold up per language, or only on the majority one?
+    "q323_mcc" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .filter(col("text").isNotNull && col("n_chars").isNotNull)
+      graft.operators.Eval.confusionStats(docs, "lang",
+        col("n_chars") >= 400, size(tokens(col("text"))) >= 80)
+    }),
+
+    // Benjamini-Hochberg FDR over per-source sign tests: each source's
+    // first 16 docs vote n_chars > 400, the one-sided binomial tail is
+    // an EXACT rational (suffix-summed C(16,·) literals over 2^16), and
+    // the step-up adjustment runs on the m-row per-source frame
+    "q324_bh_fdr" -> ((s, d) => {
+      val binomTail = Seq(65536L, 65535L, 65519L, 65399L, 64839L, 63019L,
+        58651L, 50643L, 39203L, 26333L, 14893L, 6885L, 2517L, 697L, 137L,
+        17L, 1L)
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      val pvals = t(s, d, "documents")
+        .filter(col("text").isNotNull && col("n_chars").isNotNull)
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= 16)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("__n"),
+          sum(when(col("n_chars") > 400, 1L).otherwise(0L)).as("__s"))
+        .filter(col("__n") === 16)
+        .select(col("source"),
+          (element_at(array(binomTail.map(lit): _*),
+            (col("__s") + 1).cast("int")).cast("double") / 65536.0)
+            .as("p"))
+      graft.operators.Eval.bhAdjust(pvals, "source", "p", alpha = 0.10)
+    }),
+
+    // Krippendorff's alpha over an INCOMPLETE three-rater panel (the
+    // q318 raters, but "tok" skips every 3rd doc and "dense" every
+    // 5th): the agreement statistic that survives missing ratings,
+    // with expected disagreement from the pooled marginals
+    "q325_krippendorff" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .filter(col("text").isNotNull && col("n_chars").isNotNull)
+      val ntok = size(tokens(col("text")))
+      def rater(name: String, c: Column): DataFrame =
+        docs.select(col("doc_id").as("unit"), lit(name).as("rater"),
+          c.cast("string").as("v"))
+      val long = rater("len", col("n_chars") >= 400)
+        .unionByName(rater("tok", ntok >= 80).filter(col("unit") % 3 =!= 0))
+        .unionByName(
+          rater("dense", col("n_chars") <= ntok * 7)
+            .filter(col("unit") % 5 =!= 0))
+      graft.operators.Eval.krippendorffAlpha(long, "unit", "rater", "v")
+    }),
+
     // REAL WAV header extraction end to end: deterministic PCM WAVs
     // built from doc ids (real RIFF/fmt/data bytes), parsed back by
     // the codegen WavProbe expression; whole-ms durations make the
@@ -6117,6 +6197,167 @@ object SparkEntry {
          |    round((concordant - discordant)::DOUBLE
          |      / sqrt(px::DOUBLE * py::DOUBLE), 4) END AS tau_b
          |FROM p""".stripMargin,
+
+    // pass@k replay: same per-task (n, c) frame, same fixed-order
+    // left-fold product 1·Π(n−c−j)/(n−j) (each term divided FIRST,
+    // then multiplied — the engine's op order), 6dp DECIMAL mean
+    "q321_pass_at_k" ->
+      """WITH s AS (SELECT doc_id % 50 AS task,
+        |    (n_chars >= 400)::BIGINT AS c
+        |  FROM documents WHERE text IS NOT NULL AND n_chars IS NOT NULL),
+        |pt AS (SELECT task, count(*)::BIGINT AS n, sum(c)::BIGINT AS cc
+        |  FROM s GROUP BY 1),
+        |ks AS (SELECT unnest([1::BIGINT, 5::BIGINT, 10::BIGINT]) AS k),
+        |pp AS (SELECT k,
+        |    round(1.0::DOUBLE - list_reduce(list_prepend(1.0::DOUBLE,
+        |      list_transform(generate_series(0::BIGINT, k - 1),
+        |        j -> greatest((n - cc - j)::DOUBLE, 0.0::DOUBLE)
+        |          / (n - j)::DOUBLE)),
+        |      (a, x) -> a * x), 6)::DECIMAL(18,6) AS p
+        |  FROM pt CROSS JOIN ks WHERE n >= k)
+        |SELECT k, count(*)::BIGINT AS n_tasks,
+        |  round(CAST(SUM(p) AS DECIMAL(38,6))::DOUBLE
+        |    / count(*)::DOUBLE, 4) AS pass_at_k
+        |FROM pp GROUP BY 1""".stripMargin,
+
+    // Brier replay: exact 12dp (s−y)² sums, per-bin reliability
+    // (Σs−Σy)²/n and resolution (n_b·ΣY − N·Σy_b)²/(n_b·N²) terms
+    // rounded 6dp before the bins-row DECIMAL fold — the engine's
+    // exact op order
+    "q322_brier" ->
+      s"""WITH r AS (SELECT
+         |    round(least(n_chars, 1000)::DOUBLE / 1000.0, 6)
+         |      ::DECIMAL(18,6) AS s,
+         |    (len($tokensSql) >= 80)::BIGINT AS y
+         |  FROM documents WHERE text IS NOT NULL AND n_chars IS NOT NULL),
+         |b AS (SELECT least(floor(s::DOUBLE * 10), 9)::BIGINT AS bin, s, y
+         |  FROM r),
+         |pb AS (SELECT bin, count(*)::BIGINT AS n,
+         |    CAST(SUM(s) AS DECIMAL(18,6)) AS sc, sum(y)::BIGINT AS sy,
+         |    CAST(SUM(CAST(CAST(s - y AS DECIMAL(18,6))
+         |        * CAST(s - y AS DECIMAL(18,6)) AS DECIMAL(38,12)))
+         |      AS DECIMAL(38,12)) AS bs
+         |  FROM b GROUP BY 1),
+         |t AS (SELECT sum(n)::BIGINT AS nt, sum(sy)::BIGINT AS syt FROM pb),
+         |terms AS (SELECT n, bs,
+         |    round((sc - sy::DECIMAL(18,6))::DOUBLE
+         |        * (sc - sy::DECIMAL(18,6))::DOUBLE / n::DOUBLE, 6)
+         |      ::DECIMAL(18,6) AS rel,
+         |    round((sy * nt - n * syt)::DOUBLE * (sy * nt - n * syt)::DOUBLE
+         |        / (n::DOUBLE * nt::DOUBLE * nt::DOUBLE), 6)
+         |      ::DECIMAL(18,6) AS res,
+         |    nt, syt
+         |  FROM pb CROSS JOIN t)
+         |SELECT sum(n)::BIGINT AS n, count(*)::BIGINT AS n_bins_used,
+         |  round(CAST(SUM(bs) AS DECIMAL(38,12))::DOUBLE
+         |    / any_value(nt)::DOUBLE, 4) AS brier,
+         |  round(CAST(SUM(rel) AS DECIMAL(38,6))::DOUBLE
+         |    / any_value(nt)::DOUBLE, 4) AS reliability,
+         |  round(CAST(SUM(res) AS DECIMAL(38,6))::DOUBLE
+         |    / any_value(nt)::DOUBLE, 4) AS resolution,
+         |  round((any_value(syt)::DOUBLE / any_value(nt)::DOUBLE)
+         |    * (1.0::DOUBLE - any_value(syt)::DOUBLE
+         |       / any_value(nt)::DOUBLE), 4) AS uncertainty
+         |FROM terms""".stripMargin,
+
+    // MCC replay: exact 2×2 BIGINT counts per lang; the four MCC
+    // factors multiply as DOUBLES under one sqrt, NULL on any
+    // degenerate margin
+    "q323_mcc" ->
+      s"""WITH r AS (SELECT lang, (n_chars >= 400) AS p,
+         |    (len($tokensSql) >= 80) AS y
+         |  FROM documents WHERE text IS NOT NULL AND n_chars IS NOT NULL),
+         |g AS (SELECT lang,
+         |    sum(CASE WHEN p AND y THEN 1 ELSE 0 END)::BIGINT AS tp,
+         |    sum(CASE WHEN p AND NOT y THEN 1 ELSE 0 END)::BIGINT AS fp,
+         |    sum(CASE WHEN NOT p AND y THEN 1 ELSE 0 END)::BIGINT AS fn,
+         |    sum(CASE WHEN NOT p AND NOT y THEN 1 ELSE 0 END)::BIGINT AS tn
+         |  FROM r GROUP BY 1)
+         |SELECT lang, tp, fp, fn, tn,
+         |  round((tp::DOUBLE + tn::DOUBLE)
+         |    / (tp::DOUBLE + fp::DOUBLE + fn::DOUBLE + tn::DOUBLE), 4)
+         |    AS accuracy,
+         |  CASE WHEN tp + fp > 0 THEN
+         |    round(tp::DOUBLE / (tp::DOUBLE + fp::DOUBLE), 4) END
+         |    AS "precision",
+         |  CASE WHEN tp + fn > 0 THEN
+         |    round(tp::DOUBLE / (tp::DOUBLE + fn::DOUBLE), 4) END AS recall,
+         |  CASE WHEN tp * 2 + fp + fn > 0 THEN
+         |    round(tp::DOUBLE * 2 / (tp::DOUBLE * 2 + fp::DOUBLE
+         |      + fn::DOUBLE), 4) END AS f1,
+         |  CASE WHEN tp + fp > 0 AND tp + fn > 0 AND tn + fp > 0
+         |      AND tn + fn > 0 THEN
+         |    round((tp::DOUBLE * tn::DOUBLE - fp::DOUBLE * fn::DOUBLE)
+         |      / sqrt((tp::DOUBLE + fp::DOUBLE) * (tp::DOUBLE + fn::DOUBLE)
+         |        * (tn::DOUBLE + fp::DOUBLE) * (tn::DOUBLE + fn::DOUBLE)), 4)
+         |    END AS mcc
+         |FROM g""".stripMargin,
+
+    // BH replay: the same exact binomial-tail rationals (suffix-summed
+    // C(16,·) literals over 2^16 — the /65536 divide is a power of two,
+    // bit-exact), rank by (p, source), suffix-min of least(m·p/j, 1)
+    "q324_bh_fdr" ->
+      """WITH tail16 AS (SELECT [65536, 65535, 65519, 65399, 64839, 63019,
+        |    58651, 50643, 39203, 26333, 14893, 6885, 2517, 697, 137,
+        |    17, 1] AS t),
+        |d AS (SELECT source, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        |  FROM documents WHERE text IS NOT NULL AND n_chars IS NOT NULL),
+        |sv AS (SELECT source, count(*)::BIGINT AS n,
+        |    sum(CASE WHEN n_chars > 400 THEN 1 ELSE 0 END)::BIGINT AS s
+        |  FROM d WHERE rn <= 16 GROUP BY 1 HAVING count(*) = 16),
+        |p AS (SELECT source,
+        |    t[(s + 1)::INT]::DOUBLE / 65536.0 AS p
+        |  FROM sv CROSS JOIN tail16),
+        |m AS (SELECT count(*)::BIGINT AS m FROM p),
+        |rk AS (SELECT source, p,
+        |    row_number() OVER (ORDER BY p, source) AS rank FROM p),
+        |adj AS (SELECT source, p, rank,
+        |    min(least(m::DOUBLE * p / rank::DOUBLE, 1.0::DOUBLE))
+        |      OVER (ORDER BY rank DESC
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS a
+        |  FROM rk CROSS JOIN m)
+        |SELECT source, round(p, 6) AS p_value, rank,
+        |  round(a, 6) AS p_adjusted, (a <= 0.10) AS discovery
+        |FROM adj""".stripMargin,
+
+    // Krippendorff replay: same incomplete panel, per-unit disagreement
+    // rationals rounded 6dp then DECIMAL-summed, D_e on exact BIGINTs
+    // with the engine's exact divide order
+    "q325_krippendorff" ->
+      s"""WITH docs AS (SELECT doc_id, n_chars, len($tokensSql) AS ntok
+         |  FROM documents WHERE text IS NOT NULL AND n_chars IS NOT NULL),
+         |r AS (
+         |  SELECT doc_id AS u, (n_chars >= 400)::VARCHAR AS c FROM docs
+         |  UNION ALL SELECT doc_id, (ntok >= 80)::VARCHAR FROM docs
+         |    WHERE doc_id % 3 <> 0
+         |  UNION ALL SELECT doc_id, (n_chars <= ntok * 7)::VARCHAR FROM docs
+         |    WHERE doc_id % 5 <> 0),
+         |nuc AS (SELECT u, c, count(*)::BIGINT AS n FROM r GROUP BY 1, 2),
+         |unit AS (SELECT u, sum(n)::BIGINT AS nu,
+         |    sum(n * n)::BIGINT AS s2
+         |  FROM nuc GROUP BY 1 HAVING sum(n) >= 2),
+         |ds AS (SELECT count(*)::BIGINT AS n_units,
+         |    sum(nu)::BIGINT AS n_values,
+         |    CAST(SUM(round((nu * nu - s2)::DOUBLE / (nu - 1)::DOUBLE, 6)
+         |      ::DECIMAL(18,6)) AS DECIMAL(38,6)) AS dsum
+         |  FROM unit),
+         |cj AS (SELECT c, sum(n)::BIGINT AS cs
+         |  FROM nuc JOIN unit USING (u) GROUP BY c),
+         |c2 AS (SELECT count(*)::BIGINT AS k_categories,
+         |  sum(cs * cs)::BIGINT AS cc FROM cj)
+         |SELECT n_units, n_values, k_categories,
+         |  round(dsum::DOUBLE / n_values::DOUBLE, 4) AS d_o,
+         |  round((n_values::DOUBLE * n_values::DOUBLE - cc::DOUBLE)
+         |    / (n_values::DOUBLE * (n_values::DOUBLE - 1.0::DOUBLE)), 4)
+         |    AS d_e,
+         |  CASE WHEN (n_values::DOUBLE * n_values::DOUBLE - cc::DOUBLE)
+         |      / (n_values::DOUBLE * (n_values::DOUBLE - 1.0::DOUBLE)) > 0
+         |    THEN round(1.0::DOUBLE - (dsum::DOUBLE / n_values::DOUBLE)
+         |      / ((n_values::DOUBLE * n_values::DOUBLE - cc::DOUBLE)
+         |        / (n_values::DOUBLE * (n_values::DOUBLE - 1.0::DOUBLE))), 4)
+         |    END AS alpha
+         |FROM ds CROSS JOIN c2""".stripMargin,
 
     // Mean-pairwise-cosine replay: the same sum-vector identity over
     // the same 6dp-rounded normalized vectors — A from per-(label, dim)

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -223,6 +223,255 @@ object Eval {
         .as("acc"),
       round(col("__gap").cast("double") / col("__nt").cast("double"), 4)
         .as("ece"))
+  }
+
+  /** Unbiased pass@k (Chen et al. 2021, "Evaluating Large Language
+    * Models Trained on Code", eq. 1) over a long-format sample log —
+    * the headline number of generation benchmarks: given n sampled
+    * attempts per task of which c passed,
+    *   pass@k = 1 − C(n−c, k)/C(n, k) = 1 − Π_{j=0}^{k−1} (n−c−j)/(n−j),
+    * averaged over tasks. One row per requested k.
+    *
+    * n may vary by task; tasks with n < k are EXCLUDED for that k (the
+    * estimator is undefined there) and reported in n_tasks. The product
+    * form never touches factorials (no overflow) and short-circuits to
+    * 1 when n − c < k (some numerator term hits ≤ 0 — clamped exactly).
+    *
+    * Determinism: the per-task product is a fixed-order left fold over
+    * j = 0..k−1 (identical op sequence both engines), rounded 6dp; the
+    * across-task mean is an exact DECIMAL sum of those 6dp values over
+    * a single BIGINT divide, so aggregation order never shows.
+    *
+    * Scale: one (task) partial-agg over narrow (task, correct) rows,
+    * then a bounded ks.size-way pass over the per-task frame. No
+    * window, no collect.
+    */
+  def passAtK(samples: DataFrame, taskCol: String, correctCol: String,
+      ks: Seq[Int]): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 1), "ks must be >= 1")
+    val perTask = samples
+      .select(col(taskCol).as("__t"),
+        when(col(correctCol).cast("boolean"), 1L).otherwise(0L).as("__c"))
+      .filter(col("__t").isNotNull)
+      .groupBy(col("__t"))
+      .agg(count(lit(1)).as("__n"), sum(col("__c")).as("__k"))
+    val perK = ks.map { k =>
+      val n = col("__n")
+      val c = col("__k")
+      val prod = aggregate(sequence(lit(0L), lit(k - 1L)), lit(1.0),
+        (acc, j) => acc * (greatest((n - c - j).cast("double"), lit(0.0)) /
+          (n - j).cast("double")))
+      perTask.filter(n >= k)
+        .select(round(lit(1.0) - prod, 6).cast("decimal(18,6)").as("__p"))
+        .agg(count(lit(1)).as("n_tasks"),
+          sum(col("__p")).cast("decimal(38,6)").as("__s"))
+        .select(lit(k.toLong).as("k"), col("n_tasks"),
+          round(col("__s").cast("double") / col("n_tasks").cast("double"), 4)
+            .as("pass_at_k"))
+    }
+    perK.reduce(_ unionAll _)
+  }
+
+  /** Murphy (1973) decomposition of the Brier score into
+    * reliability − resolution + uncertainty, over equal-width confidence
+    * bins — the diagnostic sibling of [[calibrationError]]: ECE prices
+    * total miscalibration, this splits "how wrong are the stated
+    * confidences" (reliability, lower better) from "how much signal does
+    * the scorer actually carry" (resolution, higher better) against the
+    * base-rate floor (uncertainty = ȳ(1−ȳ)).
+    *
+    * One summary row. The raw Brier sum Σ(s−y)² is EXACT: scores are
+    * rounded 6dp first, so each (s−y)² is an exact 12dp value summed as
+    * DECIMAL(38,12) (order-free). Reliability/resolution fold per bin to
+    * (Σs−Σy)²/n_b and (N·Σy_b − n_b·ΣY)²/(n_b·N²) on exact BIGINT/
+    * DECIMAL ingredients, each bin's term rounded 6dp before the
+    * bins-row DECIMAL sum. Binning follows [[calibrationError]]: score
+    * 1.0 clamps into the top bin; null score/label rows are excluded.
+    *
+    * Scale: one binned partial-agg; everything after runs on ≤ bins
+    * rows.
+    */
+  def brierDecomposition(scored: DataFrame, scoreCol: String,
+      labelCol: String, bins: Int = 10): DataFrame = {
+    require(bins >= 1, "bins must be >= 1")
+    val r = scored.select(
+        round(col(scoreCol).cast("double"), 6).cast("decimal(18,6)").as("__s"),
+        col(labelCol).cast("bigint").as("__y"))
+      .filter(col("__s").isNotNull && col("__y").isNotNull)
+    val binned = r.withColumn("__b",
+      least(floor(col("__s").cast("double") * bins), lit(bins - 1L))
+        .cast("bigint"))
+    val perBin = binned.groupBy(col("__b"))
+      .agg(count(lit(1)).as("__n"),
+        sum(col("__s")).cast("decimal(18,6)").as("__sc"),
+        sum(col("__y")).as("__sy"),
+        sum(((col("__s") - col("__y")).cast("decimal(18,6)") *
+          (col("__s") - col("__y")).cast("decimal(18,6)"))
+          .cast("decimal(38,12)")).cast("decimal(38,12)").as("__bs"))
+    val tot = perBin.agg(sum(col("__n")).as("__nt"),
+      sum(col("__sy")).as("__syt")).localCheckpoint(true)
+    val nD = col("__n").cast("double")
+    val ntD = col("__nt").cast("double")
+    val relTerm = {
+      val diff = (col("__sc") - col("__sy").cast("decimal(18,6)"))
+        .cast("double")
+      round(diff * diff / nD, 6).cast("decimal(18,6)")
+    }
+    val resTerm = {
+      val num = (col("__sy") * col("__nt") - col("__n") * col("__syt"))
+        .cast("double")
+      round(num * num / (nD * ntD * ntD), 6).cast("decimal(18,6)")
+    }
+    val folded = perBin.crossJoin(broadcast(tot))
+      .select(col("__n"), col("__bs"), relTerm.as("__rel"),
+        resTerm.as("__res"), col("__nt"), col("__syt"))
+      .agg(sum(col("__n")).as("n"),
+        count(lit(1)).as("n_bins_used"),
+        sum(col("__bs")).cast("decimal(38,12)").as("__bst"),
+        sum(col("__rel")).cast("decimal(38,6)").as("__relt"),
+        sum(col("__res")).cast("decimal(38,6)").as("__rest"),
+        first(col("__nt")).as("__nt2"), first(col("__syt")).as("__syt2"))
+    val nTot = col("__nt2").cast("double")
+    val ybar = col("__syt2").cast("double") / nTot
+    folded.select(col("n"), col("n_bins_used"),
+      round(col("__bst").cast("double") / nTot, 4).as("brier"),
+      round(col("__relt").cast("double") / nTot, 4).as("reliability"),
+      round(col("__rest").cast("double") / nTot, 4).as("resolution"),
+      round(ybar * (lit(1.0) - ybar), 4).as("uncertainty"))
+  }
+
+  /** Per-group binary confusion statistics with Matthews correlation
+    * (Matthews 1975) — the single-threshold operating report run per
+    * model/source/slice before trusting a classifier gate on skewed
+    * corpora (MCC, unlike accuracy or F1, is symmetric in classes and
+    * collapses to 0 for constant predictors).
+    *
+    * tp/fp/fn/tn are exact BIGINTs from one partial-agg pass; accuracy,
+    * precision, recall, f1 and mcc are single fixed-order double
+    * expressions on them (the four MCC factors multiply as DOUBLES —
+    * no BIGINT product overflow at corpus scale). Rows where either
+    * side is NULL are excluded; mcc/precision/recall/f1 are NULL where
+    * their denominators vanish (constant predictor or single-class
+    * slice), by design.
+    */
+  def confusionStats(df: DataFrame, groupCol: String, predCol: Column,
+      labelCol: Column): DataFrame = {
+    val g = df.select(col(groupCol).as("__g"),
+        predCol.cast("boolean").as("__p"), labelCol.cast("boolean").as("__y"))
+      .filter(col("__p").isNotNull && col("__y").isNotNull)
+      .groupBy(col("__g"))
+      .agg(
+        sum(when(col("__p") && col("__y"), 1L).otherwise(0L)).as("tp"),
+        sum(when(col("__p") && !col("__y"), 1L).otherwise(0L)).as("fp"),
+        sum(when(!col("__p") && col("__y"), 1L).otherwise(0L)).as("fn"),
+        sum(when(!col("__p") && !col("__y"), 1L).otherwise(0L)).as("tn"))
+    val (tp, fp, fn, tn) = (col("tp").cast("double"), col("fp").cast("double"),
+      col("fn").cast("double"), col("tn").cast("double"))
+    val denom = sqrt((tp + fp) * (tp + fn) * (tn + fp) * (tn + fn))
+    g.select(col("__g").as(groupCol), col("tp"), col("fp"), col("fn"),
+      col("tn"),
+      round((tp + tn) / (tp + fp + fn + tn), 4).as("accuracy"),
+      when(col("tp") + col("fp") > 0, round(tp / (tp + fp), 4))
+        .as("precision"),
+      when(col("tp") + col("fn") > 0, round(tp / (tp + fn), 4)).as("recall"),
+      when(col("tp") * 2 + col("fp") + col("fn") > 0,
+        round(tp * 2 / (tp * 2 + fp + fn), 4)).as("f1"),
+      when((col("tp") + col("fp")) > 0 && (col("tp") + col("fn")) > 0 &&
+        (col("tn") + col("fp")) > 0 && (col("tn") + col("fn")) > 0,
+        round((tp * tn - fp * fn) / denom, 4)).as("mcc"))
+  }
+
+  /** Benjamini-Hochberg (1995) step-up FDR adjustment over a frame of
+    * per-experiment p-values — the multiple-testing gate an eval
+    * pipeline runs when it tests MANY slices at once (per-source
+    * quality drifts, per-language regressions): controlling per-test
+    * α at 0.05 over 50 slices expects 2.5 false alarms; BH bounds the
+    * FALSE DISCOVERY RATE instead.
+    *
+    * adjusted p̃_(i) = min_{j ≥ i} (m·p_(j)/j), discoveries are
+    * p̃ ≤ alpha. Ties order deterministically by (p, id). Both the rank
+    * and the suffix-min run as self-joins on the m-row frame — m (the
+    * number of EXPERIMENTS, not corpus rows) is small by nature, the
+    * documented smallness contract of [[kendallTau]]'s oracle-baseline
+    * forms — so no global single-partition window ever appears.
+    *
+    * p-values must be exact numerics (the caller computes them from a
+    * discrete test or supplies them); comparisons and the suffix MIN
+    * are exact, one m·p/j divide per pair.
+    */
+  def bhAdjust(pvals: DataFrame, idCol: String, pCol: String,
+      alpha: Double = 0.05): DataFrame = {
+    val base = pvals.select(col(idCol).as("__id"),
+        col(pCol).cast("double").as("__p"))
+      .filter(col("__p").isNotNull).localCheckpoint(true)
+    val m = base.agg(count(lit(1)).as("__m"))
+    val l = base.select(col("__id"), col("__p"))
+    val r = base.select(col("__id").as("__id2"), col("__p").as("__p2"))
+    val ranked = l.crossJoin(broadcast(r))
+      .filter(col("__p2") < col("__p") ||
+        (col("__p2") === col("__p") && col("__id2") <= col("__id")))
+      .groupBy(col("__id"), col("__p"))
+      .agg(count(lit(1)).as("rank"))
+    val r2 = ranked.select(col("__p").as("__pj"), col("rank").as("__rj"))
+    ranked.crossJoin(broadcast(r2))
+      .filter(col("__rj") >= col("rank"))
+      .crossJoin(broadcast(m))
+      .groupBy(col("__id"), col("__p"), col("rank"))
+      .agg(min(least(col("__m").cast("double") * col("__pj") /
+        col("__rj").cast("double"), lit(1.0))).as("__adj"))
+      .select(col("__id").as(idCol), round(col("__p"), 6).as("p_value"),
+        col("rank"), round(col("__adj"), 6).as("p_adjusted"),
+        (col("__adj") <= alpha).as("discovery"))
+  }
+
+  /** Krippendorff's alpha (nominal metric) — chance-corrected agreement
+    * over an INCOMPLETE long-format rating frame: unlike
+    * [[fleissKappa]], units may have any number of ratings ≥ 2 (missing
+    * ratings are the norm in real annotation), and the expected
+    * disagreement is computed from the pooled value marginals.
+    *
+    *   D_o = (1/n) Σ_u (n_u² − Σ_c n_uc²) / (n_u − 1)
+    *   D_e = (n² − Σ_c n_c²) / (n(n−1))          alpha = 1 − D_o/D_e
+    *
+    * where n counts PAIRABLE values (units with ≥ 2 ratings only).
+    * Per-unit disagreement terms are exact rationals rounded 6dp then
+    * DECIMAL-summed (order-free; the q302 per-element discipline); D_e
+    * is exact BIGINT arithmetic with n² as a double PRODUCT. alpha is
+    * NULL when D_e = 0 (single observed category).
+    *
+    * Scale: one (unit, value) partial-agg, one unit-level agg, one
+    * k-row category agg — narrow rows, no window, no collect.
+    */
+  def krippendorffAlpha(df: DataFrame, unitCol: String, raterCol: String,
+      valueCol: String): DataFrame = {
+    val r = df.select(col(unitCol).as("__u"),
+        col(valueCol).cast("string").as("__c"))
+      .filter(col("__u").isNotNull && col("__c").isNotNull)
+    val nuc = r.groupBy(col("__u"), col("__c")).agg(count(lit(1)).as("__n"))
+      .localCheckpoint(true)
+    val unit = nuc.groupBy(col("__u"))
+      .agg(sum(col("__n")).as("__nu"),
+        sum(col("__n") * col("__n")).as("__s2"))
+      .filter(col("__nu") >= 2)
+      .localCheckpoint(true)
+    val doSum = unit.select(
+        round((col("__nu") * col("__nu") - col("__s2")).cast("double") /
+          (col("__nu") - 1).cast("double"), 6).cast("decimal(18,6)")
+          .as("__t"),
+        col("__nu"))
+      .agg(count(lit(1)).as("n_units"), sum(col("__nu")).as("n_values"),
+        sum(col("__t")).cast("decimal(38,6)").as("__do"))
+    val cj = nuc.join(unit.select(col("__u")), Seq("__u"))
+      .groupBy(col("__c")).agg(sum(col("__n")).as("__cj"))
+    val cat = cj.agg(count(lit(1)).as("k_categories"),
+      sum(col("__cj") * col("__cj")).as("__cc"))
+    val n = col("n_values").cast("double")
+    val dObs = col("__do").cast("double") / n
+    val dExp = (n * n - col("__cc").cast("double")) / (n * (n - lit(1.0)))
+    doSum.crossJoin(cat).select(col("n_units"), col("n_values"),
+      col("k_categories"),
+      round(dObs, 4).as("d_o"), round(dExp, 4).as("d_e"),
+      when(dExp > 0, round(lit(1.0) - dObs / dExp, 4)).as("alpha"))
   }
 
   /** Kendall's tau-b between two numeric orderings of the same items,

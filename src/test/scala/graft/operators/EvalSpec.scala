@@ -157,4 +157,113 @@ class EvalSpec extends AnyFunSuite {
     assert(out("g3").getAs[Double]("tau_b") == 0.8165)
     assert(out("g4").isNullAt(out("g4").fieldIndex("tau_b")))
   }
+
+  test("passAtK: hand-computed estimator, short tasks excluded per k") {
+    // task A: n=4, c=2 → pass@1 = 1 − 2/4 = 0.5; pass@3: term j=2 hits
+    // (n−c−j) = 0 → product 0 → pass 1. task B: n=2, c=0 → pass@1 = 0,
+    // excluded at k=3 (n < k).
+    val df = Seq(("A", true), ("A", true), ("A", false), ("A", false),
+      ("B", false), ("B", false)).toDF("task", "ok")
+    val out = Eval.passAtK(df, "task", "ok", ks = Seq(1, 3)).collect()
+      .map(r => r.getAs[Long]("k") -> r).toMap
+    assert(out(1L).getAs[Long]("n_tasks") == 2L)
+    assert(out(1L).getAs[Double]("pass_at_k") == 0.25)
+    assert(out(3L).getAs[Long]("n_tasks") == 1L)
+    assert(out(3L).getAs[Double]("pass_at_k") == 1.0)
+  }
+
+  test("brierDecomposition: hand-computed bins, exact Murphy identity") {
+    // bin2: (0.2,0),(0.2,1); bin8: (0.8,1),(0.8,1). N=4, ΣY=3.
+    // brier = (0.04+0.64+0.04+0.04)/4 = 0.19
+    // rel = ((0.4−1)²/2 + (1.6−2)²/2)/4 = 0.26/4 = 0.065
+    // res = ((1·4−2·3)²/32 + (2·4−2·3)²/32)/4 = 0.25/4 = 0.0625
+    // unc = 0.75·0.25 = 0.1875; rel − res + unc = 0.19 = brier (exact
+    // because within-bin scores are constant)
+    val df = Seq((0.2, 0L), (0.2, 1L), (0.8, 1L), (0.8, 1L))
+      .toDF("score", "y")
+    val r = Eval.brierDecomposition(df, "score", "y", bins = 10).collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[Long]("n") == 4L)
+    assert(r.head.getAs[Long]("n_bins_used") == 2L)
+    assert(r.head.getAs[Double]("brier") == 0.19)
+    assert(r.head.getAs[Double]("reliability") == 0.065)
+    assert(r.head.getAs[Double]("resolution") == 0.0625)
+    assert(r.head.getAs[Double]("uncertainty") == 0.1875)
+  }
+
+  test("confusionStats: hand-computed 2×2 with MCC, degenerate NULLs") {
+    // g1: tp=2 fp=1 fn=1 tn=2 → mcc = (4−1)/√81 = 1/3
+    val df = Seq(
+      ("g1", true, true), ("g1", true, true), ("g1", true, false),
+      ("g1", false, true), ("g1", false, false), ("g1", false, false),
+      // g2: constant-true predictor → tn = fn = 0 → mcc NULL, recall 1
+      ("g2", true, true), ("g2", true, false)).toDF("g", "p", "y")
+    val out = Eval.confusionStats(df, "g", col("p"), col("y")).collect()
+      .map(r => r.getAs[String]("g") -> r).toMap
+    val g1 = out("g1")
+    assert(g1.getAs[Long]("tp") == 2L && g1.getAs[Long]("fp") == 1L &&
+      g1.getAs[Long]("fn") == 1L && g1.getAs[Long]("tn") == 2L)
+    assert(g1.getAs[Double]("accuracy") == 0.6667)
+    assert(g1.getAs[Double]("precision") == 0.6667)
+    assert(g1.getAs[Double]("recall") == 0.6667)
+    assert(g1.getAs[Double]("f1") == 0.6667)
+    assert(g1.getAs[Double]("mcc") == 0.3333)
+    val g2 = out("g2")
+    assert(g2.isNullAt(g2.fieldIndex("mcc")))
+    assert(g2.getAs[Double]("recall") == 1.0)
+    assert(g2.getAs[Double]("precision") == 0.5)
+  }
+
+  test("bhAdjust: hand-computed step-up, monotone adjusted values") {
+    // m=4, sorted p: .01 .02 .04 .5 → raw m·p/i: .04 .04 .0533 .5;
+    // suffix-min: .04 .04 .053333 .5 → a, b, c discoveries at 0.1
+    val df = Seq(("a", 0.01), ("b", 0.02), ("c", 0.04), ("d", 0.5))
+      .toDF("exp", "p")
+    val out = Eval.bhAdjust(df, "exp", "p", alpha = 0.10).collect()
+      .map(r => r.getAs[String]("exp") -> r).toMap
+    assert(out("a").getAs[Long]("rank") == 1L)
+    assert(out("a").getAs[Double]("p_adjusted") == 0.04)
+    assert(out("b").getAs[Double]("p_adjusted") == 0.04)
+    assert(out("c").getAs[Double]("p_adjusted") == 0.053333)
+    assert(out("d").getAs[Double]("p_adjusted") == 0.5)
+    assert(out("a").getAs[Boolean]("discovery"))
+    assert(out("c").getAs[Boolean]("discovery"))
+    assert(!out("d").getAs[Boolean]("discovery"))
+  }
+
+  test("bhAdjust: adjusted p clamps at 1 and ties break by id") {
+    val df = Seq(("x", 0.9), ("y", 0.9)).toDF("exp", "p")
+    val out = Eval.bhAdjust(df, "exp", "p").collect()
+      .map(r => r.getAs[String]("exp") -> r).toMap
+    assert(out("x").getAs[Long]("rank") == 1L)
+    assert(out("y").getAs[Long]("rank") == 2L)
+    // rank1: min(2·0.9/1 → clamp 1, 2·0.9/2 = 0.9) = 0.9
+    assert(out("x").getAs[Double]("p_adjusted") == 0.9)
+    assert(out("y").getAs[Double]("p_adjusted") == 0.9)
+  }
+
+  test("krippendorffAlpha: incomplete panel, singleton units dropped") {
+    // unit1 (x,x): term 0; unit2 (x,y): term (4−2)/1 = 2; unit3 has one
+    // rating → dropped. n = 4, Do = 2/4 = 0.5; marginals x:3 y:1 →
+    // De = (16−10)/12 = 0.5 → alpha = 0
+    val df = Seq(("u1", "r1", "x"), ("u1", "r2", "x"),
+      ("u2", "r1", "x"), ("u2", "r2", "y"),
+      ("u3", "r1", "y")).toDF("u", "r", "v")
+    val out = Eval.krippendorffAlpha(df, "u", "r", "v").collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("n_units") == 2L)
+    assert(out.head.getAs[Long]("n_values") == 4L)
+    assert(out.head.getAs[Long]("k_categories") == 2L)
+    assert(out.head.getAs[Double]("d_o") == 0.5)
+    assert(out.head.getAs[Double]("d_e") == 0.5)
+    assert(out.head.getAs[Double]("alpha") == 0.0)
+  }
+
+  test("krippendorffAlpha: perfect agreement → alpha 1") {
+    val df = Seq(("u1", "r1", "x"), ("u1", "r2", "x"),
+      ("u2", "r1", "y"), ("u2", "r2", "y")).toDF("u", "r", "v")
+    val out = Eval.krippendorffAlpha(df, "u", "r", "v").collect()
+    assert(out.head.getAs[Double]("d_o") == 0.0)
+    assert(out.head.getAs[Double]("alpha") == 1.0)
+  }
 }
