@@ -2202,6 +2202,25 @@ object SparkEntry {
       graft.operators.Eval.krippendorffAlpha(long, "unit", "rater", "v")
     }),
 
+    // REAL PNG header extraction end to end: decoder-valid PNGs built
+    // from doc ids (spec chunk CRCs, real zlib IDAT), parsed back by
+    // the codegen PngProbe expression — signature, IHDR (CRC-verified),
+    // tEXt, chunk census. Oracle replays the closed-form fields; any
+    // offset or CRC bug nulls the row and hash-fails.
+    "q326_png_meta" -> ((s, d) =>
+      graft.operators.Multimodal.pngMeta(
+        graft.operators.Multimodal.syntheticPngFromDocs(
+          t(s, d, "documents")))),
+
+    // REAL MP3 header extraction end to end: single-frame MP3s with
+    // ID3v2.3 envelopes built from doc ids, parsed back by the codegen
+    // Mp3Probe expression — syncsafe tag size, frame sync, the public
+    // MPEG-1 Layer III bitrate/sample-rate tables, padding arithmetic
+    "q327_mp3_meta" -> ((s, d) =>
+      graft.operators.Multimodal.mp3Meta(
+        graft.operators.Multimodal.syntheticMp3FromDocs(
+          t(s, d, "documents")))),
+
     // REAL WAV header extraction end to end: deterministic PCM WAVs
     // built from doc ids (real RIFF/fmt/data bytes), parsed back by
     // the codegen WavProbe expression; whole-ms durations make the
@@ -6358,6 +6377,38 @@ object SparkEntry {
          |        / (n_values::DOUBLE * (n_values::DOUBLE - 1.0::DOUBLE))), 4)
          |    END AS alpha
          |FROM ds CROSS JOIN c2""".stripMargin,
+
+    // PNG replay: the closed-form header fields the engine must recover
+    // by actually parsing (and CRC-checking) the chunk bytes it built
+    "q326_png_meta" ->
+      """SELECT doc_id AS media_id,
+        |  (16 + doc_id % 8)::INT AS width,
+        |  (8 + doc_id % 5)::INT AS height,
+        |  8::INT AS bit_depth,
+        |  (CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 2 END)::INT AS color_type,
+        |  0::INT AS interlace,
+        |  4::INT AS n_chunks,
+        |  'Source' AS text_keyword,
+        |  'doc-' || doc_id::VARCHAR AS text_value
+        |FROM documents WHERE doc_id >= 0""".stripMargin,
+
+    // MP3 replay: the closed-form tag/frame fields over the public
+    // MPEG-1 Layer III tables; frame_bytes = 144·kbps·1000 // rate + pad
+    "q327_mp3_meta" ->
+      """WITH t AS (SELECT doc_id,
+        |    [32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256,
+        |     320][(doc_id % 14 + 1)::INT] AS kbps,
+        |    [44100, 48000, 32000][(doc_id % 3 + 1)::INT] AS rate,
+        |    ['stereo', 'joint_stereo', 'dual_channel',
+        |     'mono'][(doc_id % 4 + 1)::INT] AS mode,
+        |    (doc_id % 2)::INT AS pad
+        |  FROM documents WHERE doc_id >= 0)
+        |SELECT doc_id AS media_id, '2.3.0' AS id3_version,
+        |  (10 + doc_id % 100)::BIGINT AS id3_size,
+        |  kbps::INT AS bitrate_kbps, rate::INT AS sample_rate,
+        |  mode AS channel_mode,
+        |  (144 * kbps * 1000 // rate + pad)::INT AS frame_bytes
+        |FROM t""".stripMargin,
 
     // Mean-pairwise-cosine replay: the same sum-vector identity over
     // the same 6dp-rounded normalized vectors — A from per-(label, dim)

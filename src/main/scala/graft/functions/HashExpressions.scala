@@ -547,6 +547,62 @@ case class ExifProbe(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): ExifProbe = copy(child = newChild)
 }
 
+/** PNG metadata from byte parsing of the chunk stream (IHDR fields,
+  * first tEXt, chunk census; IHDR CRC verified) — see [[PngMeta]].
+  * Null for payloads that aren't spec-valid PNG.
+  */
+case class PngProbe(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def nullable: Boolean = true
+  override def dataType: DataType = StructType(Seq(
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("bit_depth", IntegerType),
+    StructField("color_type", IntegerType),
+    StructField("interlace", IntegerType),
+    StructField("n_chunks", IntegerType),
+    StructField("text_keyword", StringType),
+    StructField("text_value", StringType)))
+  override protected def nullSafeEval(input: Any): Any =
+    PngMeta.probeRow(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.PngMeta.probeRow($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+  override protected def withNewChildInternal(newChild: Expression): PngProbe = copy(child = newChild)
+}
+
+/** MP3 metadata from byte parsing (ID3v2 envelope + first MPEG-1
+  * Layer III frame header) — see [[Mp3Meta]]. Null for payloads
+  * without a parseable frame.
+  */
+case class Mp3Probe(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+  override def nullable: Boolean = true
+  override def dataType: DataType = StructType(Seq(
+    StructField("id3_version", StringType),
+    StructField("id3_size", LongType),
+    StructField("bitrate_kbps", IntegerType),
+    StructField("sample_rate", IntegerType),
+    StructField("channel_mode", StringType),
+    StructField("frame_bytes", IntegerType)))
+  override protected def nullSafeEval(input: Any): Any =
+    Mp3Meta.probeRow(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.Mp3Meta.probeRow($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+  override protected def withNewChildInternal(newChild: Expression): Mp3Probe = copy(child = newChild)
+}
+
 /** 64-bit perceptual difference-hash of a binary image payload — see
   * [[HashUtil.dhash64]]. Codegen'd (whole-stage-friendly); null for
   * empty payloads.
@@ -665,6 +721,8 @@ object HashFunctions {
   def exifProbe(content: Column): Column = lift(ExifProbe(expr(content)))
 
   def wavProbe(content: Column): Column = lift(WavProbe(expr(content)))
+  def pngProbe(content: Column): Column = lift(PngProbe(expr(content)))
+  def mp3Probe(content: Column): Column = lift(Mp3Probe(expr(content)))
   def dhash64(content: Column): Column = lift(DHash64(expr(content)))
 
   /** Hamming distance between two 64-bit hashes (built-in bit_count). */

@@ -1001,6 +1001,90 @@ object Multimodal {
       }(enc)
   }
 
+  /** PNG metadata over a binary media column — the lossless-image leg
+    * of the byte-probe family ([[exifMeta]] JPEG, [[audioMeta]] WAV,
+    * [[movMeta]] QuickTime): a declarative narrow map through the
+    * codegen'd `PngProbe` expression ([[graft.functions.PngMeta]] chunk
+    * walk with IHDR CRC verification). Non-PNG payloads yield no row;
+    * nothing shuffles.
+    */
+  def pngMeta(media: DataFrame): DataFrame =
+    media.select(col("media_id"),
+        graft.functions.HashFunctions.pngProbe(col("content")).as("__p"))
+      .filter(col("__p").isNotNull)
+      .select(col("media_id"),
+        col("__p.width").as("width"),
+        col("__p.height").as("height"),
+        col("__p.bit_depth").as("bit_depth"),
+        col("__p.color_type").as("color_type"),
+        col("__p.interlace").as("interlace"),
+        col("__p.n_chunks").as("n_chunks"),
+        col("__p.text_keyword").as("text_keyword"),
+        col("__p.text_value").as("text_value"))
+
+  /** Deterministic decoder-valid PNGs synthesized from doc ids (real
+    * chunk CRCs and zlib IDAT; dimensions/color type/annotation are
+    * closed forms of the id) — the oracle-checkable fixture for
+    * [[pngMeta]].
+    */
+  def syntheticPngFromDocs(documents: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("content", BinaryType)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    documents.select(col("doc_id")).filter(col("doc_id") >= 0)
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val d = r.getLong(0)
+          Row(d, graft.functions.PngMeta.build(
+            width = 16 + (d % 8).toInt,
+            height = 8 + (d % 5).toInt,
+            colorType = if (d % 2 == 0) 0 else 2,
+            text = Some(("Source", s"doc-$d"))))
+        }
+      }(enc)
+  }
+
+  /** MP3 metadata over a binary media column — ID3v2 envelope plus the
+    * first MPEG-1 Layer III frame header via the codegen'd `Mp3Probe`
+    * expression ([[graft.functions.Mp3Meta]]). Non-MP3 payloads yield
+    * no row; nothing shuffles.
+    */
+  def mp3Meta(media: DataFrame): DataFrame =
+    media.select(col("media_id"),
+        graft.functions.HashFunctions.mp3Probe(col("content")).as("__m"))
+      .filter(col("__m").isNotNull)
+      .select(col("media_id"),
+        col("__m.id3_version").as("id3_version"),
+        col("__m.id3_size").as("id3_size"),
+        col("__m.bitrate_kbps").as("bitrate_kbps"),
+        col("__m.sample_rate").as("sample_rate"),
+        col("__m.channel_mode").as("channel_mode"),
+        col("__m.frame_bytes").as("frame_bytes"))
+
+  /** Deterministic single-frame MP3s with ID3v2.3 envelopes synthesized
+    * from doc ids (closed-form header fields over the public bitrate /
+    * sample-rate tables) — the oracle-checkable fixture for [[mp3Meta]].
+    */
+  def syntheticMp3FromDocs(documents: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("content", BinaryType)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    documents.select(col("doc_id")).filter(col("doc_id") >= 0)
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val d = r.getLong(0)
+          Row(d, graft.functions.Mp3Meta.build(
+            id3TagBytes = 10 + (d % 100).toInt,
+            bitrateIdx = 1 + (d % 14).toInt,
+            rateIdx = (d % 3).toInt,
+            padding = (d % 2).toInt,
+            modeIdx = (d % 4).toInt))
+        }
+      }(enc)
+  }
+
   /** Synthesize a media table from the documents table (text bytes stand
     * in for image payloads) — lets the multimodal plumbing run against the
     * driver's testdata deterministically.

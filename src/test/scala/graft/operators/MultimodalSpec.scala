@@ -482,4 +482,51 @@ class MultimodalSpec extends AnyFunSuite {
     assert(r.getAs[Long]("max_luma_milli") == 299 * 60 + 587 * 70 + 114 * 80)
     assert(r.getAs[Long]("n_min_pixels") == 51L)
   }
+
+  test("PNG probe: round-trip, ImageIO cross-check, CRC corruption nulls") {
+    import graft.functions.PngMeta
+    val png = PngMeta.build(width = 20, height = 10, colorType = 2,
+      text = Some(("Source", "doc-7")))
+    val m = PngMeta.probe(png).get
+    assert(m.width == 20 && m.height == 10)
+    assert(m.bitDepth == 8 && m.colorType == 2 && m.interlace == 0)
+    assert(m.nChunks == 4) // IHDR, tEXt, IDAT, IEND
+    assert(m.textKeyword.contains("Source") && m.textValue.contains("doc-7"))
+    // the built PNG is decoder-valid: ImageIO reads it at the same dims
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    assert(img != null && img.getWidth == 20 && img.getHeight == 10)
+    // an ImageIO-written real PNG probes to its true dims
+    val bi = new java.awt.image.BufferedImage(33, 21,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(bi, "png", bos)
+    val real = PngMeta.probe(bos.toByteArray).get
+    assert(real.width == 33 && real.height == 21 && real.bitDepth == 8)
+    // flip one IHDR payload byte: CRC check must null the probe
+    val corrupt = png.clone(); corrupt(16) = (corrupt(16) ^ 1).toByte
+    assert(PngMeta.probe(corrupt).isEmpty)
+    assert(PngMeta.probe(png.take(30)).isEmpty) // truncated
+    assert(PngMeta.probe("not a png at all".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("MP3 probe: ID3 syncsafe size, frame tables, raw-frame and garbage") {
+    import graft.functions.Mp3Meta
+    // tag size 200 crosses the 7-bit syncsafe boundary (0x81 0x48)
+    val mp3 = Mp3Meta.build(id3TagBytes = 200, bitrateIdx = 9, rateIdx = 1,
+      padding = 1, modeIdx = 3)
+    val m = Mp3Meta.probe(mp3).get
+    assert(m.id3Version.contains("2.3.0") && m.id3Size.contains(200L))
+    assert(m.bitrateKbps == 128 && m.sampleRate == 48000)
+    assert(m.channelMode == "mono")
+    assert(m.frameBytes == 144 * 128 * 1000 / 48000 + 1)
+    // frame with no ID3 envelope: id3 fields null, frame fields parse
+    val raw = mp3.drop(10 + 200)
+    val r = Mp3Meta.probe(raw).get
+    assert(r.id3Version.isEmpty && r.bitrateKbps == 128)
+    // free-bitrate (index 0) frames are rejected
+    val free = raw.clone(); free(2) = (free(2) & 0x0f).toByte
+    assert(Mp3Meta.probe(free).isEmpty)
+    assert(Mp3Meta.probe(mp3.take(40)).isEmpty) // truncated inside tag
+    assert(Mp3Meta.probe("ID3 but not really".getBytes("UTF-8")).isEmpty)
+  }
 }
