@@ -2221,6 +2221,14 @@ object SparkEntry {
         graft.operators.Multimodal.syntheticMp3FromDocs(
           t(s, d, "documents")))),
 
+    // Diagonal-covariance Mahalanobis outliers per label: the top-5
+    // embeddings furthest from their label centroid under per-dim
+    // variance scaling — the embedding-space mislabel probe. Exact
+    // DECIMAL moment sums, d² DECIMAL ordering, id tie-break.
+    "q328_mahalanobis" -> ((s, d) =>
+      graft.operators.Outliers.mahalanobisDiag(
+        t(s, d, "embeddings"), "label", "vec_id", "embedding", topK = 5)),
+
     // REAL WAV header extraction end to end: deterministic PCM WAVs
     // built from doc ids (real RIFF/fmt/data bytes), parsed back by
     // the codegen WavProbe expression; whole-ms durations make the
@@ -6409,6 +6417,41 @@ object SparkEntry {
         |  mode AS channel_mode,
         |  (144 * kbps * 1000 // rate + pad)::INT AS frame_bytes
         |FROM t""".stripMargin,
+
+    // Mahalanobis replay: same 6dp component canon, same exact DECIMAL
+    // moments, same fixed-order mean/var/term doubles, d²-decimal
+    // ordering with vec_id tie-break
+    "q328_mahalanobis" ->
+      """WITH e AS (SELECT vec_id, label,
+        |    list_transform(embedding::DOUBLE[], x -> round(x, 6)) AS w
+        |  FROM embeddings
+        |  WHERE embedding IS NOT NULL AND len(embedding) > 0),
+        |c AS (SELECT vec_id, label, i - 1 AS dim, w[i] AS cd,
+        |    CAST(w[i] AS DECIMAL(18,6)) AS cdec
+        |  FROM (SELECT vec_id, label,
+        |      unnest(generate_series(1, len(w))) AS i, w FROM e)),
+        |st AS (SELECT label, dim, count(*)::BIGINT AS n,
+        |    CAST(SUM(cdec) AS DECIMAL(18,6)) AS s,
+        |    CAST(SUM(CAST(cdec * cdec AS DECIMAL(38,12)))
+        |      AS DECIMAL(38,12)) AS s2
+        |  FROM c GROUP BY 1, 2),
+        |sd AS (SELECT label, dim,
+        |    s::DOUBLE / n::DOUBLE AS mean,
+        |    (s2::DOUBLE - s::DOUBLE * s::DOUBLE / n::DOUBLE) / n::DOUBLE
+        |      AS var
+        |  FROM st),
+        |d2 AS (SELECT c.label, vec_id,
+        |    CAST(SUM(round((cd - mean) * (cd - mean) / var, 6)
+        |      ::DECIMAL(18,6)) AS DECIMAL(38,6)) AS d2
+        |  FROM c JOIN sd ON c.label = sd.label AND c.dim = sd.dim
+        |  WHERE var > 0 GROUP BY 1, 2),
+        |rk AS (SELECT label, vec_id, d2,
+        |    row_number() OVER (PARTITION BY label
+        |      ORDER BY d2 DESC, vec_id) AS rank
+        |  FROM d2)
+        |SELECT label, vec_id, round(sqrt(d2::DOUBLE), 4) AS maha_dist,
+        |  rank
+        |FROM rk WHERE rank <= 5""".stripMargin,
 
     // Mean-pairwise-cosine replay: the same sum-vector identity over
     // the same 6dp-rounded normalized vectors — A from per-(label, dim)

@@ -212,4 +212,65 @@ object Outliers {
         round(col("__mu"), 4).as("bucket_mean"),
         round(col("__dev"), 4).as("deviation"))
   }
+
+  /** Per-label diagonal-covariance Mahalanobis outliers over an
+    * embedding column — the VECTOR member of the outlier family: which
+    * embeddings sit furthest from their label's centroid, scaled
+    * per-dimension (a dim with natural spread 10 shouldn't drown one
+    * with spread 0.01 — the failure mode of plain euclidean residuals,
+    * and the reason this is the standard embedding-space mislabel /
+    * contamination probe). Diagonal Σ only: the full covariance needs a
+    * d×d solve per label, while the diagonal is one more partial-agg —
+    * the right scale trade at corpus size.
+    *
+    * d²(x) = Σ_dims (x_d − μ_d)²/σ²_d over dims with σ²_d > 0
+    * (population variance; zero-variance dims carry no information and
+    * are skipped on BOTH sides). Top `topK` rows per label by distance.
+    *
+    * Determinism: components are canonicalized to 6dp doubles; per-dim
+    * Σw and Σw² are exact DECIMAL sums, so μ and σ² are fixed-order
+    * double expressions on exact inputs; each distance term is rounded
+    * 6dp then DECIMAL-summed (order-free); ranking orders by the EXACT
+    * d² decimal with id tie-break, so the top-k cut is bit-stable.
+    *
+    * Scale: one explode pass (rows×dims, narrow), one (label, dim)
+    * partial-agg whose result is labels·dims rows (broadcast), one
+    * per-vector agg, one per-label top-k window. Nothing wide shuffles.
+    */
+  def mahalanobisDiag(df: DataFrame, labelCol: String, idCol: String,
+      embCol: String, topK: Int = 5): DataFrame = {
+    val base = df
+      .filter(col(embCol).isNotNull && size(col(embCol)) > 0)
+      .select(col(labelCol).as("__l"), col(idCol).as("__id"),
+        transform(col(embCol), x => round(x.cast("double"), 6)).as("__w"))
+    val comp = base.select(col("__l"), col("__id"),
+      posexplode(col("__w")).as(Seq("__dim", "__c")))
+    val stats = comp.groupBy(col("__l"), col("__dim"))
+      .agg(count(lit(1)).as("__n"),
+        sum(col("__c").cast("decimal(18,6)")).cast("decimal(18,6)")
+          .as("__s"),
+        sum((col("__c").cast("decimal(18,6)") *
+          col("__c").cast("decimal(18,6)")).cast("decimal(38,12)"))
+          .cast("decimal(38,12)").as("__s2"))
+    val nd = col("__n").cast("double")
+    val sd = col("__s").cast("double")
+    val s2d = col("__s2").cast("double")
+    val statsD = stats.select(col("__l"), col("__dim"),
+      (sd / nd).as("__mean"),
+      ((s2d - sd * sd / nd) / nd).as("__var"))
+    val d2 = comp.join(broadcast(statsD), Seq("__l", "__dim"))
+      .filter(col("__var") > 0)
+      .select(col("__l"), col("__id"),
+        round((col("__c") - col("__mean")) * (col("__c") - col("__mean")) /
+          col("__var"), 6).cast("decimal(18,6)").as("__t"))
+      .groupBy(col("__l"), col("__id"))
+      .agg(sum(col("__t")).cast("decimal(38,6)").as("__d2"))
+    val w = Window.partitionBy(col("__l"))
+      .orderBy(col("__d2").desc, col("__id"))
+    d2.withColumn("rank", row_number().over(w).cast("bigint"))
+      .filter(col("rank") <= topK)
+      .select(col("__l").as(labelCol), col("__id").as(idCol),
+        round(sqrt(col("__d2").cast("double")), 4).as("maha_dist"),
+        col("rank"))
+  }
 }

@@ -162,4 +162,22 @@ class OutliersSpec extends AnyFunSuite {
     // (count DESC, key) tie-break: c before d at equal counts
     assert(out(2).getAs[String]("k") == "c")
   }
+
+  test("mahalanobisDiag: hand-computed distances, zero-var dim skipped") {
+    // dim0: 0,4,2,2 → μ=2, σ²=2 | dim1: 10,10,10,14 → μ=11, σ²=3
+    // dim2 constant → σ²=0, skipped. d²: v1 2.333333 (tie with v2,
+    // id-break), v3 0.333333, v4 3.0
+    val df = Seq(
+      (1L, "A", Seq(0f, 10f, 5f)), (2L, "A", Seq(4f, 10f, 5f)),
+      (3L, "A", Seq(2f, 10f, 5f)), (4L, "A", Seq(2f, 14f, 5f)),
+      (5L, "A", Seq.empty[Float]) // excluded
+    ).toDF("vec_id", "label", "embedding")
+    val out = Outliers.mahalanobisDiag(df, "label", "vec_id", "embedding",
+      topK = 3).collect()
+    assert(out.length == 3)
+    assert(out.map(_.getAs[Long]("vec_id")).toSeq == Seq(4L, 1L, 2L))
+    assert(out.map(_.getAs[Long]("rank")).toSeq == Seq(1L, 2L, 3L))
+    assert(out.head.getAs[Double]("maha_dist") == 1.7321) // √3
+    assert(out(1).getAs[Double]("maha_dist") == 1.5275)   // √2.333333
+  }
 }
