@@ -2229,6 +2229,37 @@ object SparkEntry {
       graft.operators.Outliers.mahalanobisDiag(
         t(s, d, "embeddings"), "label", "vec_id", "embedding", topK = 5)),
 
+    // Synchronous label propagation (4 deterministic rounds, smallest-
+    // most-frequent-neighbor-label rule) over the co-purchase part
+    // graph — budget-bounded community detection as a declarative plan
+    "q329_label_prop" -> ((s, d) => {
+      val op = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val edges = op.join(op.withColumnRenamed("p", "p2"), Seq("o"))
+        .filter(col("p") < col("p2"))
+        .select(col("p").as("src"), col("p2").as("dst"))
+      graft.operators.Graph.labelPropagation(edges, "src", "dst",
+          iterations = 4)
+        .withColumnRenamed("node", "part")
+    }),
+
+    // Newman modularity of that LPA partition: does the detected
+    // community structure beat the degree-preserving random baseline?
+    // Exact e_c/d_c/m BIGINTs, per-community terms 6dp-DECIMAL folded
+    "q330_modularity" -> ((s, d) => {
+      val op = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val edges = op.join(op.withColumnRenamed("p", "p2"), Seq("o"))
+        .filter(col("p") < col("p2"))
+        .select(col("p").as("src"), col("p2").as("dst"))
+      val communities = graft.operators.Graph.labelPropagation(
+        edges, "src", "dst", iterations = 4)
+      graft.operators.Graph.modularity(edges, "src", "dst",
+        communities, "node", "label")
+    }),
+
     // REAL WAV header extraction end to end: deterministic PCM WAVs
     // built from doc ids (real RIFF/fmt/data bytes), parsed back by
     // the codegen WavProbe expression; whole-ms durations make the
@@ -4789,6 +4820,32 @@ object SparkEntry {
     * (measured; the q118-class pitfall, decimal-literal edition). Raw
     * doubles then equal bit-for-bit, no rounding.
     */
+  /** Unrolled synchronous LPA rounds (q329/q330) over the co-purchase
+    * part graph: each round is a neighbor-label count plus the
+    * deterministic (count DESC, label ASC) adoption — the CTE chain is
+    * linear (each round reads only the previous labeling), sym is
+    * MATERIALIZED because every round scans it (the round-9 oracle-
+    * budget lesson: DuckDB inlines per reference).
+    */
+  private def lpaOracleSql(iterations: Int): String = {
+    val its = (1 to iterations).map { i =>
+      s"""c$i AS (SELECT sym.v AS node, l.label, count(*)::BIGINT AS c
+         |  FROM sym JOIN l${i - 1} l ON l.node = sym.u GROUP BY 1, 2),
+         |l$i AS (SELECT node, label FROM (SELECT node, label,
+         |    row_number() OVER (PARTITION BY node
+         |      ORDER BY c DESC, label) AS rn FROM c$i) WHERE rn = 1)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+       |  FROM lineitem),
+       |ed AS MATERIALIZED (SELECT DISTINCT a.p AS s, b.p AS t FROM op a
+       |  JOIN op b ON a.o = b.o AND a.p < b.p),
+       |sym AS MATERIALIZED (SELECT s AS u, t AS v FROM ed
+       |  UNION ALL SELECT t, s FROM ed),
+       |l0 AS (SELECT DISTINCT u AS node, u AS label FROM sym),
+       |$its""".stripMargin
+  }
+
   private def pageRankOracleSql(iterations: Int, damping: Double): String = {
     val its = (1 to iterations).map { i =>
       s"""s$i AS (SELECT e.v, list_reduce(list_prepend(0.0,
@@ -6452,6 +6509,34 @@ object SparkEntry {
         |SELECT label, vec_id, round(sqrt(d2::DOUBLE), 4) AS maha_dist,
         |  rank
         |FROM rk WHERE rank <= 5""".stripMargin,
+
+    // LPA replay: 4 unrolled synchronous rounds, identical
+    // (count DESC, label ASC) adoption rule on exact integers
+    "q329_label_prop" -> (lpaOracleSql(4) +
+      "\nSELECT node AS part, label FROM l4"),
+
+    // Modularity replay: same LPA partition, exact e_c/d_c/m BIGINTs,
+    // the engine's exact term order, 6dp-DECIMAL fold
+    "q330_modularity" -> (lpaOracleSql(4) +
+      """,
+        |tg AS (SELECT e.s, e.t, ls.label AS cs, lt.label AS ct
+        |  FROM ed e JOIN l4 ls ON ls.node = e.s
+        |  JOIN l4 lt ON lt.node = e.t),
+        |mm AS (SELECT count(*)::BIGINT AS m FROM tg),
+        |ecc AS (SELECT cs AS cm, count(*)::BIGINT AS ec FROM tg
+        |  WHERE cs = ct GROUP BY 1),
+        |dcc AS (SELECT cm, count(*)::BIGINT AS dc FROM
+        |  (SELECT cs AS cm FROM tg UNION ALL SELECT ct FROM tg)
+        |  GROUP BY 1),
+        |terms AS (SELECT round(coalesce(ec, 0)::DOUBLE / m::DOUBLE
+        |    - (dc::DOUBLE / (2 * m)::DOUBLE)
+        |      * (dc::DOUBLE / (2 * m)::DOUBLE), 6)::DECIMAL(18,6) AS t,
+        |    m
+        |  FROM dcc LEFT JOIN ecc USING (cm) CROSS JOIN mm)
+        |SELECT count(*)::BIGINT AS n_communities,
+        |  any_value(m) AS m_edges,
+        |  round(CAST(SUM(t) AS DECIMAL(38,6))::DOUBLE, 4) AS modularity
+        |FROM terms""".stripMargin),
 
     // Mean-pairwise-cosine replay: the same sum-vector identity over
     // the same 6dp-rounded normalized vectors — A from per-(label, dim)

@@ -459,4 +459,82 @@ object Graph {
       .select(col("node"), col("degree"), col("n_triangles"),
         round(col("__cc"), 4).as("clustering_coeff"))
   }
+
+  /** Synchronous label propagation (Raghavan 2007, deterministic
+    * variant): every node starts labeled with its own id; each round,
+    * every node simultaneously adopts the SMALLEST label among the most
+    * frequent labels of its neighbors. Fixed `iterations` rounds — the
+    * budget-bounded form that fits a declarative plan (asynchronous LPA
+    * is order-dependent and unreproducible by construction; the
+    * (count DESC, label ASC) tie-break makes every round a pure
+    * function of the previous labeling, so engines agree bit-for-bit).
+    *
+    * Scale: one shuffle per round — edges join the label frame on the
+    * endpoint key, then one (node, label) partial-agg; the label frame
+    * is eagerly localCheckpoint'd per round (the pageRank lesson:
+    * without truncation the analyzed plan grows per iteration).
+    * Returns (node, label).
+    */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int = 4): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    val e = canonicalEdges(edges, srcCol, dstCol)
+    val sym = e.select(col("s").as("u"), col("t").as("v"))
+      .unionAll(e.select(col("t").as("u"), col("s").as("v")))
+      .localCheckpoint(true)
+    var labels = sym.select(col("u").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+      .localCheckpoint(true)
+    (1 to iterations).foreach { _ =>
+      val cnt = sym
+        .join(labels.select(col("node").as("u"), col("label")), Seq("u"))
+        .groupBy(col("v").as("node"), col("label"))
+        .agg(count(lit(1)).as("__c"))
+      labels = cnt.groupBy(col("node"))
+        .agg(min(struct((-col("__c")).as("__nc"), col("label").as("__l")))
+          .as("__best"))
+        .select(col("node"), col("__best.__l").as("label"))
+        .localCheckpoint(true)
+    }
+    labels
+  }
+
+  /** Newman modularity of a given node partition over an undirected
+    * graph:  Q = Σ_c [ e_c/m − (d_c/(2m))² ]  with e_c the
+    * intra-community edge count, d_c the community's degree sum and m
+    * the total (canonical) edge count — the single number that says
+    * whether a community assignment (LPA, CC, an external clustering)
+    * beats the degree-preserving random baseline. e_c/d_c/m are exact
+    * BIGINTs from two partial-agg passes; each community's term is a
+    * fixed-order double rounded 6dp before the DECIMAL fold. Nodes
+    * missing from `communities` drop with their edges (documented;
+    * callers pass a total assignment). One summary row.
+    */
+  def modularity(edges: DataFrame, srcCol: String, dstCol: String,
+      communities: DataFrame, nodeCol: String,
+      communityCol: String): DataFrame = {
+    val e = canonicalEdges(edges, srcCol, dstCol).localCheckpoint(true)
+    val com = communities.select(col(nodeCol).as("__n"),
+      col(communityCol).as("__cm"))
+    val tagged = e
+      .join(com.select(col("__n").as("s"), col("__cm").as("__cs")), Seq("s"))
+      .join(com.select(col("__n").as("t"), col("__cm").as("__ct")), Seq("t"))
+    val m = tagged.agg(count(lit(1)).as("__m"))
+    val ec = tagged.filter(col("__cs") === col("__ct"))
+      .groupBy(col("__cs").as("__cm")).agg(count(lit(1)).as("__ec"))
+    val dc = tagged.select(col("__cs").as("__cm"))
+      .unionAll(tagged.select(col("__ct").as("__cm")))
+      .groupBy(col("__cm")).agg(count(lit(1)).as("__dc"))
+    val half = col("__dc").cast("double") /
+      (lit(2L) * col("__m")).cast("double")
+    val term = coalesce(col("__ec"), lit(0L)).cast("double") /
+      col("__m").cast("double") - half * half
+    dc.join(ec, Seq("__cm"), "left")
+      .crossJoin(broadcast(m))
+      .select(round(term, 6).cast("decimal(18,6)").as("__t"), col("__m"))
+      .agg(count(lit(1)).as("n_communities"),
+        first(col("__m")).as("m_edges"),
+        round(sum(col("__t")).cast("decimal(38,6)").cast("double"), 4)
+          .as("modularity"))
+  }
 }

@@ -202,4 +202,46 @@ class GraphSpec extends AnyFunSuite {
         (r.getAs[Long]("degree"), r.getAs[Double]("clustering_coeff"))).toMap
     assert(out == Map(1L -> (2L, 1.0), 2L -> (2L, 1.0), 3L -> (3L, 0.3333)))
   }
+
+  // two triangles joined by the 3–4 bridge: LPA must converge to one
+  // community per triangle (hand-traced 4 synchronous rounds with the
+  // (count DESC, label ASC) rule → labels 1 and 3)
+  private def bridgedTriangles = Seq(
+    (1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L)
+  ).toDF("src", "dst")
+
+  test("labelPropagation: bridged triangles split into two communities") {
+    val out = Graph.labelPropagation(bridgedTriangles, "src", "dst",
+      iterations = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 3L, 5L -> 3L, 6L -> 3L))
+  }
+
+  test("modularity: hand-computed two-community partition") {
+    // m=7; e_c=3 each; d_c=7 each → Q = 2·(3/7 − 0.25) = 0.3571
+    val com = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 3L), (5L, 3L),
+      (6L, 3L)).toDF("node", "label")
+    val r = Graph.modularity(bridgedTriangles, "src", "dst", com,
+      "node", "label").collect().head
+    assert(r.getAs[Long]("n_communities") == 2L)
+    assert(r.getAs[Long]("m_edges") == 7L)
+    assert(r.getAs[Double]("modularity") == 0.3571)
+  }
+
+  test("modularity: unassigned nodes drop with their edges") {
+    val com = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 3L), (5L, 3L))
+      .toDF("node", "label") // node 6 unassigned
+    val r = Graph.modularity(bridgedTriangles, "src", "dst", com,
+      "node", "label").collect().head
+    assert(r.getAs[Long]("m_edges") == 5L)
+  }
+
+  test("modularity: everything in one community scores 0") {
+    val com = Seq((1L, 9L), (2L, 9L), (3L, 9L), (4L, 9L), (5L, 9L),
+      (6L, 9L)).toDF("node", "label")
+    val r = Graph.modularity(bridgedTriangles, "src", "dst", com,
+      "node", "label").collect().head
+    assert(r.getAs[Double]("modularity") == 0.0)
+  }
 }
