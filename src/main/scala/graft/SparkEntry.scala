@@ -2260,6 +2260,34 @@ object SparkEntry {
         communities, "node", "label")
     }),
 
+    // HITS hubs & authorities (6 fixed iterations) over q155's
+    // doc_id%50 → n_chars%50 directed graph — link analysis that
+    // separates curator nodes from content nodes; 6dp-canonicalized
+    // scores make every propagation an exact DECIMAL sum (order-free)
+    "q331_hits" -> ((s, d) => {
+      val edges = t(s, d, "documents")
+        .select((col("doc_id") % 50).as("u"), (col("n_chars") % 50).as("v"))
+      graft.operators.Graph.hits(edges, "u", "v", iterations = 6)
+    }),
+
+    // Cramér's V for lang × source on documents: the shape-normalized
+    // effect size that makes the q172 chi-square comparable across
+    // tables — "is the association practically real?"
+    "q332_cramers_v" -> ((s, d) =>
+      graft.operators.EventAnalytics.cramersV(
+        t(s, d, "documents")
+          .filter(col("lang").isNotNull && col("source").isNotNull),
+        "lang", "source")),
+
+    // Kruskal-Wallis H of n_chars across languages: the rank-based
+    // k-group test (nonparametric ANOVA) with exact midrank DECIMAL
+    // sums and the tie correction — is doc length genuinely
+    // lang-dependent, or mean-skewed by giants?
+    "q333_kruskal" -> ((s, d) =>
+      graft.operators.Profile.kruskalWallis(
+        t(s, d, "documents").filter(col("text").isNotNull),
+        "lang", "n_chars")),
+
     // REAL WAV header extraction end to end: deterministic PCM WAVs
     // built from doc ids (real RIFF/fmt/data bytes), parsed back by
     // the codegen WavProbe expression; whole-ms durations make the
@@ -4846,6 +4874,45 @@ object SparkEntry {
        |$its""".stripMargin
   }
 
+  /** Unrolled HITS iterations (q331): each half-step is an exact
+    * DECIMAL(18,6) propagation sum over 6dp-canonicalized scores plus
+    * one L1-normalizing divide — order-free, so no ordered folds.
+    * Every per-iteration CTE is MATERIALIZED (h_i is referenced by both
+    * ar_i and the final join — unmaterialized, the expansion doubles
+    * per round; the round-9 oracle-budget lesson).
+    */
+  private def hitsOracleSql(iterations: Int): String = {
+    val its = (1 to iterations).map { i =>
+      s"""hr$i AS MATERIALIZED (SELECT e.u AS node,
+         |    CAST(SUM(CAST(a.s AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS raw
+         |  FROM e JOIN a${i - 1} a ON a.node = e.v GROUP BY 1),
+         |ht$i AS (SELECT CAST(SUM(raw) AS DECIMAL(38,6)) AS t FROM hr$i),
+         |h$i AS MATERIALIZED (SELECT n.node,
+         |    round(coalesce(raw, 0::DECIMAL(18,6))::DOUBLE
+         |      / t.t::DOUBLE, 6) AS s
+         |  FROM nodes n LEFT JOIN hr$i USING (node) CROSS JOIN ht$i t),
+         |ar$i AS MATERIALIZED (SELECT e.v AS node,
+         |    CAST(SUM(CAST(h.s AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS raw
+         |  FROM e JOIN h$i h ON h.node = e.u GROUP BY 1),
+         |at$i AS (SELECT CAST(SUM(raw) AS DECIMAL(38,6)) AS t FROM ar$i),
+         |a$i AS MATERIALIZED (SELECT n.node,
+         |    round(coalesce(raw, 0::DECIMAL(18,6))::DOUBLE
+         |      / t.t::DOUBLE, 6) AS s
+         |  FROM nodes n LEFT JOIN ar$i USING (node) CROSS JOIN at$i t)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED (SELECT DISTINCT doc_id % 50 AS u,
+       |    n_chars % 50 AS v
+       |  FROM documents
+       |  WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL),
+       |nodes AS MATERIALIZED (SELECT u AS node FROM e
+       |  UNION SELECT v FROM e),
+       |a0 AS (SELECT node, 1.0::DOUBLE AS s FROM nodes),
+       |$its
+       |SELECT h.node, h.s AS hub, a.s AS authority
+       |FROM h$iterations h JOIN a$iterations a USING (node)""".stripMargin
+  }
+
   private def pageRankOracleSql(iterations: Int, damping: Double): String = {
     val its = (1 to iterations).map { i =>
       s"""s$i AS (SELECT e.v, list_reduce(list_prepend(0.0,
@@ -6537,6 +6604,69 @@ object SparkEntry {
         |  any_value(m) AS m_edges,
         |  round(CAST(SUM(t) AS DECIMAL(38,6))::DOUBLE, 4) AS modularity
         |FROM terms""".stripMargin),
+
+    // HITS replay: 6 unrolled mutual-reinforcement rounds, identical
+    // DECIMAL propagation sums and normalizing divides
+    "q331_hits" -> hitsOracleSql(6),
+
+    // Cramér's V replay: the q172 complete-grid ordered chi fold plus
+    // the engine's exact √(χ²₄dp/(n·min(r−1,c−1))) composition
+    "q332_cramers_v" ->
+      """WITH cells AS (SELECT lang AS r, source AS c, count(*) AS o
+        |  FROM documents
+        |  WHERE lang IS NOT NULL AND source IS NOT NULL GROUP BY 1, 2),
+        |rt AS (SELECT r, sum(o) AS rt FROM cells GROUP BY r),
+        |ct AS (SELECT c, sum(o) AS ct FROM cells GROUP BY c),
+        |n AS (SELECT sum(o)::BIGINT AS n FROM cells),
+        |fl AS (SELECT rt.r, ct.c, coalesce(cells.o, 0) AS o,
+        |    (rt.rt * ct.ct)::DOUBLE / n.n AS e, n.n
+        |  FROM rt CROSS JOIN ct CROSS JOIN n
+        |  LEFT JOIN cells ON cells.r = rt.r AND cells.c = ct.c),
+        |s AS (SELECT max(n)::BIGINT AS n,
+        |    count(DISTINCT r)::BIGINT AS n_rows,
+        |    count(DISTINCT c)::BIGINT AS n_cols,
+        |    round(list_reduce(list_prepend(0.0,
+        |      list((o - e) * (o - e) / e ORDER BY r, c)),
+        |      (a, b) -> a + b), 4) AS chi2
+        |  FROM fl)
+        |SELECT n, n_rows, n_cols, chi2,
+        |  CASE WHEN least(n_rows - 1, n_cols - 1) > 0 THEN
+        |    round(sqrt(chi2 / (n * least(n_rows - 1, n_cols - 1))::DOUBLE),
+        |      4) END AS cramers_v
+        |FROM s""".stripMargin,
+
+    // Kruskal-Wallis replay: same distinct-value midranks, exact
+    // DECIMAL(18,1) rank sums, 6dp term fold, identical H expression
+    "q333_kruskal" ->
+      """WITH b AS (SELECT lang AS g, n_chars::DOUBLE AS v FROM documents
+        |  WHERE text IS NOT NULL AND lang IS NOT NULL
+        |    AND n_chars IS NOT NULL),
+        |dv AS (SELECT v, count(*)::BIGINT AS t FROM b GROUP BY 1),
+        |mid AS (SELECT v,
+        |    coalesce(sum(t) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND 1 PRECEDING), 0)::DOUBLE
+        |      + (t + 1)::DOUBLE / 2.0 AS mr
+        |  FROM dv),
+        |grp AS (SELECT g, count(*)::BIGINT AS ng,
+        |    CAST(SUM(CAST(mr AS DECIMAL(18,1))) AS DECIMAL(18,1)) AS rs
+        |  FROM b JOIN mid USING (v) GROUP BY 1),
+        |tot AS (SELECT sum(ng)::BIGINT AS n,
+        |  count(*)::BIGINT AS n_groups FROM grp),
+        |terms AS (SELECT CAST(SUM(round(rs::DOUBLE * rs::DOUBLE
+        |    / ng::DOUBLE, 6)::DECIMAL(18,6)) AS DECIMAL(38,6)) AS r2
+        |  FROM grp),
+        |ties AS (SELECT sum(t * t * t - t)::BIGINT AS ts FROM dv)
+        |SELECT n, n_groups,
+        |  round(12.0::DOUBLE / (n::DOUBLE * (n::DOUBLE + 1.0))
+        |    * r2::DOUBLE - 3.0::DOUBLE * (n::DOUBLE + 1.0), 4) AS h,
+        |  CASE WHEN 1.0::DOUBLE - ts::DOUBLE
+        |      / (n::DOUBLE * n::DOUBLE * n::DOUBLE - n::DOUBLE) > 0 THEN
+        |    round((12.0::DOUBLE / (n::DOUBLE * (n::DOUBLE + 1.0))
+        |      * r2::DOUBLE - 3.0::DOUBLE * (n::DOUBLE + 1.0))
+        |      / (1.0::DOUBLE - ts::DOUBLE
+        |        / (n::DOUBLE * n::DOUBLE * n::DOUBLE - n::DOUBLE)), 4)
+        |    END AS h_corrected
+        |FROM tot CROSS JOIN terms CROSS JOIN ties""".stripMargin,
 
     // Mean-pairwise-cosine replay: the same sum-vector identity over
     // the same 6dp-rounded normalized vectors — A from per-(label, dim)

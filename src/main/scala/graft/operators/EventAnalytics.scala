@@ -173,7 +173,16 @@ object EventAnalytics {
     * (chi2, dof, n). The workhorse "is this segmentation informative"
     * test for categorical drift / feature screening.
     */
-  def chiSquare(df: DataFrame, rowCol: String, colCol: String): DataFrame = {
+  def chiSquare(df: DataFrame, rowCol: String, colCol: String): DataFrame =
+    chiFrame(df, rowCol, colCol)
+      .select(round(col("__chi"), 4).as("chi2"),
+        ((col("__nr") - 1) * (col("__nc") - 1)).as("dof"), col("n"))
+
+  /** Shared complete-grid χ² fold: one row carrying the (r, c)-ordered
+    * raw χ² plus the table dimensions, for [[chiSquare]] / [[cramersV]].
+    */
+  private def chiFrame(df: DataFrame, rowCol: String,
+      colCol: String): DataFrame = {
     val cells = df.select(col(rowCol).cast("string").as("r"),
       col(colCol).cast("string").as("c"))
       .groupBy(col("r"), col("c")).agg(count(lit(1)).as("o"))
@@ -197,8 +206,24 @@ object EventAnalytics {
         count_distinct(col("r")).as("__nr"),
         count_distinct(col("c")).as("__nc"),
         max(col("__n")).as("n"))
-      .select(round(col("__chi"), 4).as("chi2"),
-        ((col("__nr") - 1) * (col("__nc") - 1)).as("dof"), col("n"))
+  }
+
+  /** Cramér's V — the [0, 1] effect-size normalization of [[chiSquare]]
+    * (Cramér 1946): V = √(χ²/(n·min(r−1, c−1))), the number that makes
+    * association strengths comparable ACROSS tables of different shapes
+    * (a χ² of 500 means nothing without its n and dof; V = 0.03 says
+    * "statistically real, practically nil" — the dataset-audit reading).
+    * V composes from the 4dp-rounded χ² (the published number, same on
+    * both engines); NULL for degenerate 1×k tables.
+    */
+  def cramersV(df: DataFrame, rowCol: String, colCol: String): DataFrame = {
+    val minDim = least(col("__nr") - 1, col("__nc") - 1)
+    chiFrame(df, rowCol, colCol)
+      .select(col("n"), col("__nr").as("n_rows"), col("__nc").as("n_cols"),
+        round(col("__chi"), 4).as("chi2"),
+        when(minDim > 0,
+          round(sqrt(round(col("__chi"), 4) /
+            (col("n") * minDim).cast("double")), 4)).as("cramers_v"))
   }
 
   /** Markov sequence-likelihood scoring: train the first-order

@@ -499,6 +499,63 @@ object Graph {
     labels
   }
 
+  /** HITS hubs-and-authorities (Kleinberg 1999) over a directed edge
+    * set, fixed `iterations` of the mutual-reinforcement pair
+    *   h(u) ← Σ_{u→v} a(v),   a(v) ← Σ_{u→v} h(u),
+    * each L1-normalized per half-step — the link-analysis complement of
+    * [[pageRank]]: pageRank ranks by random-surfer mass, HITS separates
+    * CURATOR pages (hubs: point at good content) from CONTENT pages
+    * (authorities: pointed at by good curators), the distinction that
+    * matters when ranking crawl seeds vs crawl targets.
+    *
+    * Determinism WITHOUT ordered folds: scores are canonicalized to 6dp
+    * doubles after every normalization, so each propagation sum runs as
+    * an exact DECIMAL(18,6) aggregation (order-free — simpler than the
+    * pageRank source-ordered-fold discipline, at the price of 6dp
+    * quantization per half-step, identical on both engines by
+    * construction). Nodes with no in/out edges carry raw 0 and stay in
+    * the frame. Returns (node, hub, authority).
+    *
+    * Scale: two (edge ⋈ score) shuffles + two partial-aggs per
+    * iteration on narrow (node, score) rows; score frames eagerly
+    * localCheckpoint'd per round (the pageRank plan-growth lesson).
+    */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int = 6): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    val e = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+      .filter(col("u").isNotNull && col("v").isNotNull).distinct()
+      .localCheckpoint(true)
+    val nodes = e.select(col("u").as("node"))
+      .unionAll(e.select(col("v").as("node"))).distinct()
+      .localCheckpoint(true)
+    // raw per-node sum of the counterpart score over edges, L1-normalized
+    // and 6dp-canonicalized: scores stay exact DECIMAL-summable doubles
+    def halfStep(scores: DataFrame, edgeKey: String,
+        sumKey: String): DataFrame = {
+      val raw = e
+        .join(scores.select(col("node").as(edgeKey), col("s")), Seq(edgeKey))
+        .groupBy(col(sumKey).as("node"))
+        .agg(sum(col("s").cast("decimal(18,6)")).cast("decimal(18,6)")
+          .as("__raw"))
+      val total = raw.agg(sum(col("__raw")).cast("decimal(38,6)").as("__t"))
+      nodes.join(raw, Seq("node"), "left")
+        .crossJoin(broadcast(total))
+        .select(col("node"),
+          round(coalesce(col("__raw"), lit(0).cast("decimal(18,6)"))
+            .cast("double") / col("__t").cast("double"), 6).as("s"))
+        .localCheckpoint(true)
+    }
+    var hub = nodes.select(col("node"), lit(1.0).as("s"))
+    var auth = nodes.select(col("node"), lit(1.0).as("s"))
+    (1 to iterations).foreach { _ =>
+      hub = halfStep(auth, "v", "u")   // h(u) = Σ a(v) over u→v
+      auth = halfStep(hub, "u", "v")   // a(v) = Σ h(u) over u→v
+    }
+    hub.select(col("node"), col("s").as("hub"))
+      .join(auth.select(col("node"), col("s").as("authority")), Seq("node"))
+  }
+
   /** Newman modularity of a given node partition over an undirected
     * graph:  Q = Σ_c [ e_c/m − (d_c/(2m))² ]  with e_c the
     * intra-community edge count, d_c the community's degree sum and m

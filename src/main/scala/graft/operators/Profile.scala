@@ -403,4 +403,62 @@ object Profile {
       .select(col("g").as(groupCol), col("n"),
         round(num / sqrt(col("__dx") * col("__dy")), 4).as("spearman_rho"))
   }
+  /** Kruskal-Wallis H (Kruskal & Wallis 1952) — the rank-based k-group
+    * location test, the nonparametric ANOVA a profiling pass runs when
+    * per-group value distributions are skewed/heavy-tailed (is doc
+    * length REALLY different across languages, or is the mean moved by
+    * a handful of giants?). Complements [[ksTest]] (two-sample shapes)
+    * with one k-group statistic.
+    *
+    *   H = 12/(N(N+1)) · Σ_g R_g²/n_g − 3(N+1),
+    * tie-corrected H_c = H / (1 − Σ(t³−t)/(N³−N)).
+    *
+    * Ranks are MIDRANKS from the distinct-value frame (cumulative count
+    * before + (t+1)/2) — multiples of 0.5, so per-group rank sums are
+    * EXACT DECIMAL(18,1) aggregations, no order sensitivity anywhere;
+    * the Σ R²/n terms round 6dp into a DECIMAL fold, H is one
+    * fixed-order double expression. H_c is NULL when every value ties
+    * (correction hits 0). One summary row: n, n_groups, h, h_corrected.
+    *
+    * Scale: the only window runs over DISTINCT VALUES (bounded by value
+    * cardinality, the [[ksTest]] contract), never corpus rows; corpus
+    * rows see one join against that frame plus one partial-agg.
+    */
+  def kruskalWallis(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
+    val b = df.select(col(groupCol).as("g"),
+        col(valueCol).cast("double").as("v"))
+      .filter(col("g").isNotNull && col("v").isNotNull)
+    val dv = b.groupBy(col("v")).agg(count(lit(1)).as("__t"))
+    val wBefore = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val mid = dv
+      .withColumn("__cb", coalesce(sum(col("__t")).over(wBefore), lit(0L)))
+      .select(col("v"),
+        (col("__cb").cast("double") +
+          (col("__t") + 1).cast("double") / 2.0).as("__mr"))
+    val grp = b.join(mid, Seq("v"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("__ng"),
+        sum(col("__mr").cast("decimal(18,1)")).cast("decimal(18,1)")
+          .as("__rs"))
+    val tot = grp.agg(sum(col("__ng")).as("__n"),
+      count(lit(1)).as("n_groups"))
+    val terms = grp
+      .select(round(col("__rs").cast("double") * col("__rs").cast("double") /
+        col("__ng").cast("double"), 6).cast("decimal(18,6)").as("__term"))
+      .agg(sum(col("__term")).cast("decimal(38,6)").as("__r2"))
+    val ties = dv.agg(
+      sum(col("__t") * col("__t") * col("__t") - col("__t")).as("__ts"))
+    val nd = col("__n").cast("double")
+    val h = lit(12.0) / (nd * (nd + lit(1.0))) *
+      col("__r2").cast("double") - lit(3.0) * (nd + lit(1.0))
+    val corr = lit(1.0) - col("__ts").cast("double") / (nd * nd * nd - nd)
+    tot.crossJoin(terms).crossJoin(broadcast(ties))
+      .select(col("__n").as("n"), col("n_groups"),
+        round(h, 4).as("h"),
+        when(corr > 0, round(h / corr, 4)).as("h_corrected"))
+  }
+
 }

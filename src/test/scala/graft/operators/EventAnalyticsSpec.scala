@@ -844,4 +844,23 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(out(2L) == ((2L, 4L, true)))
   }
 
+  test("cramersV: perfect association 1.0, independence 0.0") {
+    import spark.implicits._
+    val perfect = Seq(("a", "x"), ("a", "x"), ("b", "y"), ("b", "y"))
+      .toDF("r", "c")
+    val p = EventAnalytics.cramersV(perfect, "r", "c").collect().head
+    assert(p.getAs[Long]("n") == 4L)
+    assert(p.getAs[Long]("n_rows") == 2L && p.getAs[Long]("n_cols") == 2L)
+    assert(p.getAs[Double]("chi2") == 4.0)
+    assert(p.getAs[Double]("cramers_v") == 1.0)
+    val indep = Seq(("a", "x"), ("a", "y"), ("b", "x"), ("b", "y"))
+      .toDF("r", "c")
+    val i = EventAnalytics.cramersV(indep, "r", "c").collect().head
+    assert(i.getAs[Double]("chi2") == 0.0)
+    assert(i.getAs[Double]("cramers_v") == 0.0)
+    // degenerate 1×k table → V NULL
+    val deg = Seq(("a", "x"), ("a", "y")).toDF("r", "c")
+    val g = EventAnalytics.cramersV(deg, "r", "c").collect().head
+    assert(g.isNullAt(g.fieldIndex("cramers_v")))
+  }
 }

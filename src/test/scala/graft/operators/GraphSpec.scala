@@ -237,6 +237,31 @@ class GraphSpec extends AnyFunSuite {
     assert(r.getAs[Long]("m_edges") == 5L)
   }
 
+  test("hits: one-iteration hand trace on a star, sinks carry 0 hub") {
+    // 1→3, 2→3, 3→4: after h-step all of 1,2,3 have raw 1 → 0.333333
+    // each, node 4 raw 0; a-step: a(3) = h1+h2 = 0.666666/0.999999 →
+    // 0.666667, a(4) = 0.333333/0.999999 → 0.333333, a(1) = a(2) = 0
+    val edges = Seq((1L, 3L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val out = Graph.hits(edges, "src", "dst", iterations = 1).collect()
+      .map(r => r.getLong(0) ->
+        (r.getAs[Double]("hub"), r.getAs[Double]("authority"))).toMap
+    assert(out(1L) == ((0.333333, 0.0)))
+    assert(out(2L) == ((0.333333, 0.0)))
+    assert(out(3L) == ((0.333333, 0.666667)))
+    assert(out(4L) == ((0.0, 0.333333)))
+  }
+
+  test("hits: scores stay L1-normalized and converge on the star") {
+    val edges = Seq((1L, 3L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val out = Graph.hits(edges, "src", "dst", iterations = 6).collect()
+    val hubSum = out.map(_.getAs[Double]("hub")).sum
+    val authSum = out.map(_.getAs[Double]("authority")).sum
+    assert(math.abs(hubSum - 1.0) < 1e-4 && math.abs(authSum - 1.0) < 1e-4)
+    val byNode = out.map(r => r.getLong(0) -> r.getAs[Double]("authority"))
+      .toMap
+    assert(byNode(3L) > byNode(4L)) // 3 is the stronger authority
+  }
+
   test("modularity: everything in one community scores 0") {
     val com = Seq((1L, 9L), (2L, 9L), (3L, 9L), (4L, 9L), (5L, 9L),
       (6L, 9L)).toDF("node", "label")

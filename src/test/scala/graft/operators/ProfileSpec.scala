@@ -229,4 +229,26 @@ class ProfileSpec extends AnyFunSuite {
     assert(out("b")._4 == 0L)
     assert(out("b")._5 == math.rint((5.0 + 1000000.0) / 2 * 10000) / 10000)
   }
+
+  test("kruskalWallis: hand-computed H, tie correction, all-ties NULL") {
+    import spark.implicits._
+    // A: {1,2}, B: {3,4} → ranks 1..4, R_A=3, R_B=7, H = 0.6·29 − 15 = 2.4
+    val plain = Seq(("A", 1.0), ("A", 2.0), ("B", 3.0), ("B", 4.0))
+      .toDF("g", "v")
+    val p = Profile.kruskalWallis(plain, "g", "v").collect().head
+    assert(p.getAs[Long]("n") == 4L && p.getAs[Long]("n_groups") == 2L)
+    assert(p.getAs[Double]("h") == 2.4)
+    assert(p.getAs[Double]("h_corrected") == 2.4) // no ties
+    // A: {1,1}, B: {2,2} → midranks 1.5/3.5, same rank sums → H = 2.4;
+    // ties Σ(t³−t) = 12, N³−N = 60 → C = 0.8 → H_c = 3.0
+    val tied = Seq(("A", 1.0), ("A", 1.0), ("B", 2.0), ("B", 2.0))
+      .toDF("g", "v")
+    val t = Profile.kruskalWallis(tied, "g", "v").collect().head
+    assert(t.getAs[Double]("h") == 2.4)
+    assert(t.getAs[Double]("h_corrected") == 3.0)
+    // every value identical → correction 0 → H_c NULL
+    val all = Seq(("A", 5.0), ("B", 5.0), ("B", 5.0)).toDF("g", "v")
+    val a = Profile.kruskalWallis(all, "g", "v").collect().head
+    assert(a.isNullAt(a.fieldIndex("h_corrected")))
+  }
 }
