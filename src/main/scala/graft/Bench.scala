@@ -73,7 +73,15 @@ object Bench {
     "q266_cdc_chunks",
     // round 8: token-budget corpus selection — the two-phase bucketed
     // cumsum that replaces the single global window at scale
-    "q294_token_budget")
+    "q294_token_budget",
+    // round 9: the per-label embedding outlier pass (explode +
+    // broadcast-stats + top-k window) and synchronous LPA (the
+    // iteration-bounded community-detection shuffle shape). The served
+    // decontam lane is measured by the servedEntry below (q309's query
+    // form rebuilds its index in-query for gate self-containment — that
+    // build belongs outside a "served" timing).
+    "q328_mahalanobis",
+    "q329_label_prop")
 
   private def runOnce(name: String, spark: SparkSession, sfDir: String): Unit =
     SparkEntry.queries(name)(spark, sfDir)

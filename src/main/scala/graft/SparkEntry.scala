@@ -2288,6 +2288,26 @@ object SparkEntry {
         t(s, d, "documents").filter(col("text").isNotNull),
         "lang", "n_chars")),
 
+    // Trojan-source security audit end to end: deterministic invisible-
+    // character injections (bidi overrides every 7th doc, zero-width
+    // padding every 11th, a C0 control every 13th, a Cyrillic homoglyph
+    // word every 17th) must each be caught by exactly the right counter
+    "q334_trojan_audit" -> ((s, d) => {
+      val docs = t(s, d, "documents").filter(col("text").isNotNull)
+      val injected = docs.select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 7 === 0,
+            lit("\u202E hidden \u202C")).otherwise(lit("")),
+          when(col("doc_id") % 11 === 0,
+            lit("\u200Bpad\uFEFF")).otherwise(lit("")),
+          when(col("doc_id") % 13 === 0,
+            lit("\u0007")).otherwise(lit("")),
+          when(col("doc_id") % 17 === 0,
+            lit(" p\u0430ypal")).otherwise(lit(""))).as("text"))
+      graft.operators.QualityRules.trojanSourceAudit(injected, "doc_id",
+        "text")
+    }),
+
     // REAL WAV header extraction end to end: deterministic PCM WAVs
     // built from doc ids (real RIFF/fmt/data bytes), parsed back by
     // the codegen WavProbe expression; whole-ms durations make the
@@ -6634,6 +6654,38 @@ object SparkEntry {
         |    round(sqrt(chi2 / (n * least(n_rows - 1, n_cols - 1))::DOUBLE),
         |      4) END AS cramers_v
         |FROM s""".stripMargin,
+
+    // Trojan-audit replay: chr()-built injections (same code points as
+    // the engine's \u escapes), RE2 \x{...} classes mirroring the Java
+    // ones, code-point strip-and-measure counts
+    "q334_trojan_audit" ->
+      """WITH inj AS (SELECT doc_id, text
+        |    || CASE WHEN doc_id % 7 = 0
+        |         THEN chr(8238) || ' hidden ' || chr(8236) ELSE '' END
+        |    || CASE WHEN doc_id % 11 = 0
+        |         THEN chr(8203) || 'pad' || chr(65279) ELSE '' END
+        |    || CASE WHEN doc_id % 13 = 0 THEN chr(7) ELSE '' END
+        |    || CASE WHEN doc_id % 17 = 0
+        |         THEN ' p' || chr(1072) || 'ypal' ELSE '' END AS text
+        |  FROM documents WHERE text IS NOT NULL),
+        |a AS (SELECT doc_id,
+        |    (length(text) - length(regexp_replace(text,
+        |      '[\x{202A}-\x{202E}\x{2066}-\x{2069}]', '', 'g')))::BIGINT
+        |      AS n_bidi,
+        |    (length(text) - length(regexp_replace(text,
+        |      '[\x{200B}-\x{200D}\x{FEFF}]', '', 'g')))::BIGINT
+        |      AS n_zero_width,
+        |    (length(text) - length(regexp_replace(text,
+        |      '[\x{00}-\x{08}\x{0B}\x{0C}\x{0E}-\x{1F}\x{7F}]', '',
+        |      'g')))::BIGINT AS n_control,
+        |    regexp_matches(text,
+        |      '[A-Za-z][\x{0400}-\x{04FF}]|[\x{0400}-\x{04FF}][A-Za-z]')
+        |      AS mixed_script
+        |  FROM inj)
+        |SELECT doc_id, n_bidi, n_zero_width, n_control, mixed_script,
+        |  (n_bidi = 0 AND n_zero_width = 0 AND n_control = 0
+        |    AND NOT mixed_script) AS clean
+        |FROM a""".stripMargin,
 
     // Kruskal-Wallis replay: same distinct-value midranks, exact
     // DECIMAL(18,1) rank sums, 6dp term fold, identical H expression

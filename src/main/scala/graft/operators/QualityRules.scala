@@ -323,6 +323,41 @@ object QualityRules {
           col("__nchars").cast("double"), 4).as("nonascii_rate"))
   }
 
+  /** Trojan-source / invisible-character security audit per document
+    * (Boucher & Anderson 2021, "Trojan Source: Invisible Vulnerabilities
+    * in Source Code", CVE-2021-42574; Unicode TS39's confusable problem
+    * reduced to its highest-signal cases) — the pre-training safety pass
+    * [[encodingAudit]] doesn't cover: direction-override smuggling (text
+    * RENDERS one way, tokenizes another), zero-width space/joiner/BOM
+    * padding (dedup and watermark evasion), stray C0 controls, and
+    * Latin↔Cyrillic homoglyph words (phishing-grade lookalikes).
+    *
+    * Counts are code-point exact via strip-and-measure (length minus the
+    * class-stripped length — `length` counts code points on both
+    * engines, and every audited class is BMP); the mixed-script flag
+    * fires on a Latin letter DIRECTLY adjacent to a Cyrillic one.
+    * Patterns use `\x{...}` escapes (the syntax Java regex and RE2
+    * share). Pure per-row codegen expressions — zero shuffle; null-text
+    * rows are excluded.
+    */
+  def trojanSourceAudit(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val t = col(textCol)
+    def classCount(cls: String): Column =
+      (length(t) - length(regexp_replace(t, cls, ""))).cast("long")
+    df.filter(t.isNotNull).select(
+        col(idCol),
+        classCount("[\\x{202A}-\\x{202E}\\x{2066}-\\x{2069}]").as("n_bidi"),
+        classCount("[\\x{200B}-\\x{200D}\\x{FEFF}]").as("n_zero_width"),
+        classCount("[\\x{00}-\\x{08}\\x{0B}\\x{0C}\\x{0E}-\\x{1F}\\x{7F}]")
+          .as("n_control"),
+        t.rlike("[A-Za-z][\\x{0400}-\\x{04FF}]|[\\x{0400}-\\x{04FF}][A-Za-z]")
+          .as("mixed_script"))
+      .withColumn("clean",
+        col("n_bidi") === 0 && col("n_zero_width") === 0 &&
+          col("n_control") === 0 && !col("mixed_script"))
+  }
+
   /** Multi-part public suffixes for [[registrableDomain]] — a
     * representative subset of the Public Suffix List (publicsuffix.org);
     * swap in the full list for production crawls. Under these, the

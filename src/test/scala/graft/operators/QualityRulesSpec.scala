@@ -351,4 +351,29 @@ class QualityRulesSpec extends AnyFunSuite {
     assert(r.forall(_.getAs[Long]("n_violating_groups") == 0L))
     assert(r.forall(_.getAs[Double]("risk_share") == 0.0))
   }
+
+  test("trojanSourceAudit: each smuggling class caught by its counter") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "plain ascii text"),
+      (2L, "a\u202Exy\u202Cb\u2066z\u2069"),      // 4 bidi controls
+      (3L, "pad\u200Bded\u200D plus bom \uFEFF"),  // 3 zero-width
+      (4L, "bell\u0007 and esc\u001B"),             // 2 C0 controls
+      (5L, "visit p\u0430ypal now"),     // Cyrillic homoglyph in word
+      (6L, "\u0440\u0443\u0441\u0441\u043A\u0438\u0439 text"), // pure
+      (7L, null.asInstanceOf[String])
+    ).toDF("id", "text")
+    val out = QualityRules.trojanSourceAudit(df, "id", "text").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out.size == 6) // null text excluded
+    assert(out(1L).getAs[Boolean]("clean"))
+    assert(out(2L).getAs[Long]("n_bidi") == 4L)
+    assert(!out(2L).getAs[Boolean]("clean"))
+    assert(out(3L).getAs[Long]("n_zero_width") == 3L)
+    assert(out(4L).getAs[Long]("n_control") == 2L)
+    assert(out(5L).getAs[Boolean]("mixed_script"))
+    // pure Cyrillic separated from Latin by a space is NOT mixed-script
+    assert(!out(6L).getAs[Boolean]("mixed_script"))
+    assert(out(6L).getAs[Boolean]("clean"))
+  }
 }
