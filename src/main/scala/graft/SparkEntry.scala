@@ -2308,6 +2308,22 @@ object SparkEntry {
         "text")
     }),
 
+    // Maximal-marginal-relevance selection: from vec 0's top-20 cosine
+    // neighbors, greedily pick the 5 that stay relevant WITHOUT echoing
+    // each other (λ=0.75 — exact in binary, so both engines fold the
+    // same literals). The diversity-aware top-k of few-shot selection.
+    "q335_mmr" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val topk = graft.operators.Similarity.bruteForceTopK(
+        emb, emb.filter(col("vec_id") === 0), k = 20)
+      val candidates = topk
+        .join(emb, topk("corpus_id") === emb("vec_id"))
+        .select(col("corpus_id").as("id"), col("cosine").as("rel"),
+          col("embedding"))
+      graft.operators.Similarity.mmrSelect(candidates, "id", "rel",
+        "embedding", k = 5, lambda = 0.75)
+    }),
+
     // REAL WAV header extraction end to end: deterministic PCM WAVs
     // built from doc ids (real RIFF/fmt/data bytes), parsed back by
     // the codegen WavProbe expression; whole-ms durations make the
@@ -4894,6 +4910,50 @@ object SparkEntry {
        |$its""".stripMargin
   }
 
+  /** Unrolled greedy MMR steps (q335): step i scores every unpicked
+    * pool row as λ·rel − (1−λ)·max over picked cosines (raw doubles —
+    * the [[graft.operators.Similarity.pairCosine]] op order) and keeps
+    * the (score DESC, id) winner. k is a bounded constant, so the
+    * unroll is k single-row CTEs.
+    */
+  private def mmrOracleSql(k: Int): String = {
+    val steps = (1 to k).map { i =>
+      if (i == 1)
+        """s1 AS (SELECT id, rel, v, nn, 0.0::DOUBLE AS ms,
+          |    0.75::DOUBLE * rel - 0.25::DOUBLE * 0.0::DOUBLE AS sc
+          |  FROM pool ORDER BY sc DESC, id LIMIT 1)""".stripMargin
+      else {
+        val joins = (1 until i).map(j => s"CROSS JOIN s$j t$j").mkString(" ")
+        val nots = (1 until i).map(j => s"p.id <> t$j.id").mkString(" AND ")
+        val sims = (1 until i).map(j =>
+          s"list_dot_product(p.v, t$j.v) / (p.nn * t$j.nn)")
+        val ms = if (i == 2) sims.head else s"greatest(${sims.mkString(", ")})"
+        s"""s$i AS (SELECT id, rel, v, nn, ms,
+           |    0.75::DOUBLE * rel - 0.25::DOUBLE * ms AS sc
+           |  FROM (SELECT p.id, p.rel, p.v, p.nn, $ms AS ms
+           |    FROM pool p $joins WHERE $nots)
+           |  ORDER BY sc DESC, id LIMIT 1)""".stripMargin
+      }
+    }.mkString(",\n")
+    val out = (1 to k).map { i =>
+      s"""SELECT $i::BIGINT AS rank, id, round(rel, 6) AS rel,
+         |  round(ms, 6) AS max_sim, round(sc, 6) AS mmr_score FROM s$i"""
+        .stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+       |  FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nn
+       |  FROM e WHERE list_dot_product(v, v) > 0),
+       |p AS (SELECT v AS pv, nn AS pn FROM n WHERE vec_id = 0),
+       |scored AS (SELECT vec_id AS id,
+       |    list_dot_product(v, pv) / (nn * pn) AS rel, v, nn
+       |  FROM n CROSS JOIN p WHERE vec_id <> 0),
+       |pool AS MATERIALIZED (SELECT id, rel, v, nn FROM scored
+       |  ORDER BY rel DESC, id LIMIT 20),
+       |$steps
+       |$out""".stripMargin
+  }
+
   /** Unrolled HITS iterations (q331): each half-step is an exact
     * DECIMAL(18,6) propagation sum over 6dp-canonicalized scores plus
     * one L1-normalizing divide — order-free, so no ordered folds.
@@ -6628,6 +6688,10 @@ object SparkEntry {
     // HITS replay: 6 unrolled mutual-reinforcement rounds, identical
     // DECIMAL propagation sums and normalizing divides
     "q331_hits" -> hitsOracleSql(6),
+
+    // MMR replay: same top-20 pool, 5 unrolled greedy steps on raw
+    // cosine doubles with exact 0.75/0.25 literals
+    "q335_mmr" -> mmrOracleSql(5),
 
     // Cramér's V replay: the q172 complete-grid ordered chi fold plus
     // the engine's exact √(χ²₄dp/(n·min(r−1,c−1))) composition

@@ -679,4 +679,69 @@ object Similarity {
         sum(when(col("norm") === 0.0, col("c")).otherwise(0L))
           .as("n_zero"))
   }
+  /** Maximal-marginal-relevance selection (Carbonell & Goldstein 1998):
+    * greedily pick `k` items maximizing
+    *   λ·relevance − (1−λ)·max_{s ∈ selected} cos(candidate, s)
+    * — the diversity-aware top-k every retrieval/curation pipeline
+    * needs when plain top-k returns k copies of the same idea (few-shot
+    * example selection, dedup'd search results, diverse eval panels).
+    *
+    * `candidates` must be a BOUNDED pool (the caller pre-cuts, e.g.
+    * top-100 by relevance — the documented smallness contract): each of
+    * the k greedy steps broadcasts the selected vectors as literals into
+    * one scan of the pool and collects exactly ONE row. k and the pool
+    * are constants, so the driver loop is bounded by design, not by
+    * data.
+    *
+    * Determinism: cosines are raw [[pairCosine]] doubles on the staged
+    * norms (bit-identical to list kernels), max-over-selected is an
+    * exact `greatest`, the step score is one fixed-order expression, and
+    * ties break by id. Pass a λ that is exact in binary (0.5, 0.75) if
+    * the oracle replays literals. Zero-norm candidates are excluded
+    * (cosine undefined). Returns (rank, id, rel, max_sim, mmr_score).
+    */
+  def mmrSelect(candidates: DataFrame, idCol: String, relCol: String,
+      embCol: String, k: Int, lambda: Double): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val base = candidates.select(col(idCol).as("__id"),
+        col(relCol).cast("double").as("__rel"),
+        toDouble(col(embCol)).as("__v"))
+      .withColumn("__n", l2Norm(col("__v")))
+      .filter(col("__n") > 0)
+      .localCheckpoint(true)
+    var picked = Vector.empty[(Any, Seq[Double], Double)] // id, vec, norm
+    var out: Option[DataFrame] = None
+    (1 to k).foreach { step =>
+      val sims = picked.map { case (_, v, n) =>
+        pairCosine(col("__v"), typedLit(v), col("__n"), lit(n))
+      }
+      val maxSim = sims match {
+        case Seq() => lit(0.0)
+        case Seq(one) => one
+        case many => greatest(many: _*)
+      }
+      val score = lit(lambda) * col("__rel") - lit(1.0 - lambda) * maxSim
+      val notPicked = picked.map(_._1)
+        .foldLeft(lit(true))((acc, id) => acc && col("__id") =!= lit(id))
+      val stepDf = base.filter(notPicked)
+        .withColumn("__ms", maxSim)
+        .withColumn("__score", score)
+        .orderBy(col("__score").desc, col("__id"))
+        .limit(1)
+        .localCheckpoint(true)
+      val row = stepDf.collect().headOption.getOrElse(
+        throw new IllegalArgumentException(
+          s"mmrSelect: pool exhausted at step $step"))
+      picked :+= ((row.get(0),
+        row.getSeq[Double](row.fieldIndex("__v")).toVector,
+        row.getDouble(row.fieldIndex("__n"))))
+      val slice = stepDf.select(lit(step.toLong).as("rank"),
+        col("__id").as(idCol), round(col("__rel"), 6).as("rel"),
+        round(col("__ms"), 6).as("max_sim"),
+        round(col("__score"), 6).as("mmr_score"))
+      out = Some(out.map(_.unionAll(slice)).getOrElse(slice))
+    }
+    out.get
+  }
+
 }

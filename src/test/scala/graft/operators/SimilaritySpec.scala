@@ -285,4 +285,30 @@ class SimilaritySpec extends AnyFunSuite {
         r.getAs[Double]("norm_ratio")))).toMap
     assert(noisy == out)
   }
+
+  test("mmrSelect: diversity beats relevance, exact hand-traced greedy") {
+    // A (1,0) rel 1.0; B (1,0) rel 0.9 (A's echo); C (0,1) rel 0.5.
+    // λ=0.5: pick A (0.5), then C (0.25 beats B's 0.45−0.5 = −0.05),
+    // then B with max_sim 1 against A.
+    val df = Seq(
+      (1L, 1.0, Seq(1f, 0f)), (2L, 0.9, Seq(1f, 0f)),
+      (3L, 0.5, Seq(0f, 1f)),
+      (4L, 0.8, Seq(0f, 0f)) // zero-norm: excluded
+    ).toDF("id", "rel", "embedding")
+    val out = Similarity.mmrSelect(df, "id", "rel", "embedding",
+      k = 3, lambda = 0.5).orderBy("rank").collect()
+    assert(out.map(_.getAs[Long]("id")).toSeq == Seq(1L, 3L, 2L))
+    assert(out.map(_.getAs[Double]("mmr_score")).toSeq ==
+      Seq(0.5, 0.25, -0.05))
+    assert(out.map(_.getAs[Double]("max_sim")).toSeq == Seq(0.0, 0.0, 1.0))
+    assert(out.map(_.getAs[Long]("rank")).toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("mmrSelect: throws when the pool can't fill k") {
+    val df = Seq((1L, 1.0, Seq(1f, 0f))).toDF("id", "rel", "embedding")
+    intercept[IllegalArgumentException] {
+      Similarity.mmrSelect(df, "id", "rel", "embedding", k = 2,
+        lambda = 0.5).collect()
+    }
+  }
 }
