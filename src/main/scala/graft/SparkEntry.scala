@@ -2324,6 +2324,29 @@ object SparkEntry {
         "embedding", k = 5, lambda = 0.75)
     }),
 
+    // Split-conformal coverage per source at α = 1/10: alternating
+    // id-blocks WITHIN each source calibrate q̂ over the length-
+    // confidence nonconformity (doc_id % 2 would put whole sources in
+    // one split — source ≡ doc_id % 20 in this testdata), the rest test
+    // it — does the distribution-free 90% guarantee hold per slice, and
+    // how big do the prediction sets get?
+    "q336_conformal" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .filter(col("text").isNotNull && col("n_chars").isNotNull)
+      graft.operators.Eval.conformalCoverage(docs, "source",
+        least(col("n_chars"), lit(1000L)).cast("double") / 1000.0,
+        size(tokens(col("text"))) >= 80,
+        col("doc_id") % 40 < 20, alphaNum = 1, alphaDen = 10)
+    }),
+
+    // Balanced half-sample SE of mean doc length per source: 16
+    // deterministic hash-bit replicates put a sampling-error bar on
+    // every per-source mean without RNG state — reproducible run to run
+    "q337_half_sample_se" -> ((s, d) =>
+      graft.operators.Profile.halfSampleSe(
+        t(s, d, "documents").filter(col("text").isNotNull),
+        "source", "doc_id", "n_chars", replicates = 16)),
+
     // REAL WAV header extraction end to end: deterministic PCM WAVs
     // built from doc ids (real RIFF/fmt/data bytes), parsed back by
     // the codegen WavProbe expression; whole-ms durations make the
@@ -6692,6 +6715,66 @@ object SparkEntry {
     // MMR replay: same top-20 pool, 5 unrolled greedy steps on raw
     // cosine doubles with exact 0.75/0.25 literals
     "q335_mmr" -> mmrOracleSql(5),
+
+    // Conformal replay: same nonconformity, integer-exact rank
+    // ⌈(n+1)·9/10⌉ clamped to n, value-at-rank q̂, raw-double compares
+    "q336_conformal" ->
+      s"""WITH b AS (SELECT source AS g,
+         |    least(n_chars, 1000)::DOUBLE / 1000.0 AS s,
+         |    (len($tokensSql) >= 80) AS y,
+         |    (doc_id % 40 < 20) AS cal
+         |  FROM documents WHERE text IS NOT NULL AND n_chars IS NOT NULL),
+         |nc AS (SELECT g, s, y, cal,
+         |    CASE WHEN y THEN 1.0::DOUBLE - s ELSE s END AS ncf FROM b),
+         |calr AS (SELECT g, ncf,
+         |    row_number() OVER (PARTITION BY g ORDER BY ncf) AS rn,
+         |    count(*) OVER (PARTITION BY g) AS n_cal
+         |  FROM nc WHERE cal),
+         |qh AS (SELECT g, n_cal::BIGINT AS n_cal, ncf AS qhat FROM calr
+         |  WHERE rn = least(((n_cal + 1) * 9 + 9) // 10, n_cal)),
+         |ts AS (SELECT nc.g, n_cal, qhat,
+         |    CASE WHEN ncf <= qhat THEN 1 ELSE 0 END AS cov,
+         |    (CASE WHEN 1.0::DOUBLE - s <= qhat THEN 1 ELSE 0 END
+         |     + CASE WHEN s <= qhat THEN 1 ELSE 0 END) AS sz
+         |  FROM nc JOIN qh ON nc.g = qh.g WHERE NOT cal)
+         |SELECT g AS source, n_cal, round(qhat, 6) AS q_hat,
+         |  count(*)::BIGINT AS n_test,
+         |  round(sum(cov)::DOUBLE / count(*)::DOUBLE, 4) AS coverage,
+         |  round(sum(sz)::DOUBLE / count(*)::DOUBLE, 4) AS avg_set_size
+         |FROM ts GROUP BY 1, 2, 3""".stripMargin,
+
+    // Half-sample replay: the xxh64 HUGEINT chain, bit-b replicate
+    // membership via (hu // 2^b) % 2, exact DECIMAL value sums
+    "q337_half_sample_se" -> {
+      val chain = xxh64Chain("xh", "vecs", "id", Seq("g", "v"))
+      s"""WITH vecs AS (SELECT doc_id AS id, source AS g,
+         |    round(n_chars::DOUBLE, 6)::DECIMAL(18,6) AS v
+         |  FROM documents
+         |  WHERE text IS NOT NULL AND source IS NOT NULL
+         |    AND n_chars IS NOT NULL),
+         |$chain,
+         |hu AS (SELECT g, v,
+         |    CASE WHEN hs < 0 THEN hs::HUGEINT + 18446744073709551616::HUGEINT
+         |         ELSE hs::HUGEINT END AS hu
+         |  FROM xh),
+         |full0 AS (SELECT g, count(*)::BIGINT AS n,
+         |    CAST(SUM(v) AS DECIMAL(38,6)) AS s FROM hu GROUP BY 1),
+         |fm AS (SELECT g, n, s::DOUBLE / n::DOUBLE AS mean FROM full0),
+         |reps AS (SELECT g, rb, count(*)::BIGINT AS nb,
+         |    CAST(SUM(v) AS DECIMAL(38,6)) AS sb
+         |  FROM (SELECT g, v, hu, unnest(generate_series(0, 15)) AS rb
+         |        FROM hu)
+         |  WHERE (hu // (1::HUGEINT << rb)) % 2 = 0 GROUP BY 1, 2),
+         |terms AS (SELECT r.g, fm.n, fm.mean,
+         |    round((sb::DOUBLE / nb::DOUBLE - mean)
+         |      * (sb::DOUBLE / nb::DOUBLE - mean), 6)::DECIMAL(18,6) AS t
+         |  FROM reps r JOIN fm ON r.g = fm.g)
+         |SELECT g AS source, n, round(mean, 4) AS mean,
+         |  count(*)::BIGINT AS n_replicates,
+         |  round(sqrt(CAST(SUM(t) AS DECIMAL(38,6))::DOUBLE
+         |    / 16.0::DOUBLE), 4) AS se_half_sample
+         |FROM terms GROUP BY 1, 2, 3""".stripMargin
+    },
 
     // Cramér's V replay: the q172 complete-grid ordered chi fold plus
     // the engine's exact √(χ²₄dp/(n·min(r−1,c−1))) composition

@@ -474,6 +474,63 @@ object Eval {
       when(dExp > 0, round(lit(1.0) - dObs / dExp, 4)).as("alpha"))
   }
 
+  /** Split-conformal coverage audit (Vovk 2005; Angelopoulos & Bates
+    * 2021 formulation) per group — the distribution-free calibration
+    * check that turns ANY binary scorer into prediction SETS with a
+    * guaranteed error rate: on the calibration split, the nonconformity
+    * of the true class (1−s if positive, s if negative) is ranked and
+    * q̂ = the ⌈(n+1)(1−α)⌉-th smallest; on the test split, a class is in
+    * the set iff its nonconformity ≤ q̂. Reported per group: does
+    * empirical coverage hit 1−α, and how large do the sets get (the
+    * efficiency price of the guarantee)?
+    *
+    * α is passed as the exact fraction `alphaNum/alphaDen`, so the rank
+    * ⌈(n+1)(d−n)/d⌉ is pure integer arithmetic (clamped to n_cal).
+    * Scores/nonconformities stay raw doubles — only COMPARED, never
+    * summed — and the value at rank r is tie-order independent. The
+    * rank window partitions by group (never global). Returns one row
+    * per group: n_cal, q_hat, n_test, coverage, avg_set_size.
+    */
+  def conformalCoverage(df: DataFrame, groupCol: String, scoreCol: Column,
+      labelCol: Column, calibCol: Column, alphaNum: Int = 1,
+      alphaDen: Int = 10): DataFrame = {
+    require(alphaNum >= 1 && alphaNum < alphaDen, "need 0 < alpha < 1")
+    val base = df.select(col(groupCol).as("__g"),
+        scoreCol.cast("double").as("__s"),
+        labelCol.cast("boolean").as("__y"),
+        calibCol.cast("boolean").as("__cal"))
+      .filter(col("__s").isNotNull && col("__y").isNotNull)
+      .localCheckpoint(true)
+    val nonconf = when(col("__y"), lit(1.0) - col("__s")).otherwise(col("__s"))
+    val cal = base.filter(col("__cal")).withColumn("__nc", nonconf)
+    val nCal = cal.groupBy(col("__g")).agg(count(lit(1)).as("n_cal"))
+    val w = Window.partitionBy(col("__g")).orderBy(col("__nc"))
+    val ranked = cal.withColumn("__rn", row_number().over(w))
+    val qhat = ranked
+      .join(broadcast(nCal.select(col("__g"), col("n_cal"))), Seq("__g"))
+      .withColumn("__r", least(
+        (((col("n_cal") + 1) * lit((alphaDen - alphaNum).toLong) +
+          lit(alphaDen.toLong) - 1) / lit(alphaDen.toLong)).cast("long"),
+        col("n_cal")))
+      .filter(col("__rn") === col("__r"))
+      .select(col("__g"), col("n_cal"), col("__nc").as("__qh"))
+    val test = base.filter(!col("__cal")).withColumn("__nc", nonconf)
+      .join(broadcast(qhat), Seq("__g"))
+      .select(col("__g"), col("n_cal"), col("__qh"),
+        (col("__nc") <= col("__qh")).cast("long").as("__cov"),
+        ((lit(1.0) - col("__s") <= col("__qh")).cast("long") +
+          (col("__s") <= col("__qh")).cast("long")).as("__sz"))
+    test.groupBy(col("__g"), col("n_cal"), col("__qh"))
+      .agg(count(lit(1)).as("n_test"), sum(col("__cov")).as("__nc2"),
+        sum(col("__sz")).as("__szs"))
+      .select(col("__g").as(groupCol), col("n_cal"),
+        round(col("__qh"), 6).as("q_hat"), col("n_test"),
+        round(col("__nc2").cast("double") / col("n_test").cast("double"), 4)
+          .as("coverage"),
+        round(col("__szs").cast("double") / col("n_test").cast("double"), 4)
+          .as("avg_set_size"))
+  }
+
   /** Kendall's tau-b between two numeric orderings of the same items,
     * per group — the pairwise-concordance complement of Profile.spearman
     * (rank-difference) and Retrieval.rankBiasedOverlap (top-weighted),

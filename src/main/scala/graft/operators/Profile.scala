@@ -461,4 +461,57 @@ object Profile {
         when(corr > 0, round(h / corr, 4)).as("h_corrected"))
   }
 
+  /** Balanced half-sample standard error (McCarthy 1969's replication
+    * idea with deterministic hash-bit replicates) — the sampling-error
+    * bar a profiling pass attaches to per-group means WITHOUT
+    * distributional assumptions or RNG state: replicate b keeps the
+    * rows whose xxhash64(id) has bit b clear (a reproducible ~half-
+    * sample), and SE = √(mean of (mean_b − mean)² over B replicates).
+    * Hash bits stand in for the classical Hadamard balance plan — the
+    * audit-grade tradeoff, documented here, that keeps every replicate
+    * a pure function of the row id.
+    *
+    * Values are 6dp-canonicalized DECIMALs (exact sums, order-free);
+    * replicate means and the full mean are single divides; per-replicate
+    * squared deviations round 6dp into a DECIMAL fold over the B-row
+    * frame. Bit b of the SIGNED 64-bit hash equals bit b of its unsigned
+    * form for b < 63, which is what the oracle replays in HUGEINT.
+    *
+    * Scale: one hash pass, one B-way explode of narrow (group, value,
+    * hash) rows, two partial-aggs. B is a constant; no window.
+    */
+  def halfSampleSe(df: DataFrame, groupCol: String, idCol: String,
+      valueCol: String, replicates: Int = 16): DataFrame = {
+    require(replicates >= 2 && replicates <= 62, "replicates in [2, 62]")
+    val base = df.select(col(groupCol).as("__g"),
+        round(col(valueCol).cast("double"), 6).cast("decimal(18,6)")
+          .as("__v"),
+        xxhash64(col(idCol)).as("__hs"))
+      .filter(col("__g").isNotNull && col("__v").isNotNull)
+      .localCheckpoint(true)
+    val full = base.groupBy(col("__g"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__v")).cast("decimal(38,6)").as("__s"))
+      .withColumn("__mean", col("__s").cast("double") / col("n").cast("double"))
+    val reps = base
+      .withColumn("__b", explode(sequence(lit(0), lit(replicates - 1))))
+      .filter(expr("(shiftright(__hs, __b) & 1) = 0"))
+      .groupBy(col("__g"), col("__b"))
+      .agg(count(lit(1)).as("__nb"),
+        sum(col("__v")).cast("decimal(38,6)").as("__sb"))
+    val dev = col("__sb").cast("double") / col("__nb").cast("double") -
+      col("__mean")
+    reps.join(broadcast(full.select(col("__g"), col("n"), col("__mean"))),
+        Seq("__g"))
+      .select(col("__g"), col("n"), col("__mean"),
+        round(dev * dev, 6).cast("decimal(18,6)").as("__t"))
+      .groupBy(col("__g"), col("n"), col("__mean"))
+      .agg(count(lit(1)).as("n_replicates"),
+        sum(col("__t")).cast("decimal(38,6)").as("__ts"))
+      .select(col("__g").as(groupCol), col("n"),
+        round(col("__mean"), 4).as("mean"), col("n_replicates"),
+        round(sqrt(col("__ts").cast("double") /
+          lit(replicates.toDouble)), 4).as("se_half_sample"))
+  }
+
 }

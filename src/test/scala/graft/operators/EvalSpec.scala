@@ -259,6 +259,24 @@ class EvalSpec extends AnyFunSuite {
     assert(out.head.getAs[Double]("alpha") == 0.0)
   }
 
+  test("conformalCoverage: hand-traced rank, coverage and set sizes") {
+    // calibration nonconf {0.1, 0.2, 0.3, 0.4} → r = min(⌈5·9/10⌉, 4)
+    // = 4 → q̂ = 0.4. test: (s=.65, y) covered, set {y}; (s=.5, ¬y)
+    // nonconf .5 > q̂ uncovered, empty set → coverage .5, avg size .5
+    val df = Seq(
+      ("g", 0.9, true, true), ("g", 0.8, true, true),
+      ("g", 0.7, true, true), ("g", 0.6, true, true),
+      ("g", 0.65, true, false), ("g", 0.5, false, false)
+    ).toDF("g", "s", "y", "cal")
+    val r = Eval.conformalCoverage(df, "g", col("s"), col("y"), col("cal"),
+      alphaNum = 1, alphaDen = 10).collect().head
+    assert(r.getAs[Long]("n_cal") == 4L)
+    assert(r.getAs[Double]("q_hat") == 0.4)
+    assert(r.getAs[Long]("n_test") == 2L)
+    assert(r.getAs[Double]("coverage") == 0.5)
+    assert(r.getAs[Double]("avg_set_size") == 0.5)
+  }
+
   test("krippendorffAlpha: perfect agreement → alpha 1") {
     val df = Seq(("u1", "r1", "x"), ("u1", "r2", "x"),
       ("u2", "r1", "y"), ("u2", "r2", "y")).toDF("u", "r", "v")

@@ -251,4 +251,22 @@ class ProfileSpec extends AnyFunSuite {
     val a = Profile.kruskalWallis(all, "g", "v").collect().head
     assert(a.isNullAt(a.fieldIndex("h_corrected")))
   }
+
+  test("halfSampleSe: constant values give SE 0; replicates complete") {
+    import spark.implicits._
+    val df = (1L to 200L).map(i => ("g", i, 42.0)).toDF("g", "id", "v")
+    val r = Profile.halfSampleSe(df, "g", "id", "v", replicates = 16)
+      .collect().head
+    assert(r.getAs[Long]("n") == 200L)
+    assert(r.getAs[Double]("mean") == 42.0)
+    assert(r.getAs[Long]("n_replicates") == 16L)
+    assert(r.getAs[Double]("se_half_sample") == 0.0)
+    // varying values: SE strictly positive, deterministic run to run
+    val df2 = (1L to 200L).map(i => ("g", i, i.toDouble)).toDF("g", "id", "v")
+    val a = Profile.halfSampleSe(df2, "g", "id", "v").collect().head
+      .getAs[Double]("se_half_sample")
+    val b = Profile.halfSampleSe(df2, "g", "id", "v").collect().head
+      .getAs[Double]("se_half_sample")
+    assert(a > 0.0 && a == b)
+  }
 }
