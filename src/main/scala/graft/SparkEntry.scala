@@ -2347,6 +2347,29 @@ object SparkEntry {
         t(s, d, "documents").filter(col("text").isNotNull),
         "source", "doc_id", "n_chars", replicates = 16)),
 
+    // Incremental aggregate maintenance: fold the doc_id%3==0 "delta"
+    // state into the rest-of-corpus state and emit the merged rollup —
+    // the oracle recomputes from the FULL corpus directly, so a pass
+    // here PROVES merge == recompute (the don't-rescan-the-world
+    // contract of a 100 TB rollup)
+    "q338_incremental_agg" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val state = graft.operators.Profile.aggState(
+        docs.filter(col("doc_id") % 3 =!= 0), "source", "n_chars")
+      val delta = graft.operators.Profile.aggState(
+        docs.filter(col("doc_id") % 3 === 0), "source", "n_chars")
+      graft.operators.Profile.mergeAggState(state, delta, "source")
+    }),
+
+    // Difference-in-differences on events: odd users "treated", the
+    // Jan-16 cutoff splits pre/post — the parallel-trends-adjusted lift
+    // in mean event value, exact DECIMAL cell sums
+    "q339_did" -> ((s, d) =>
+      graft.operators.EventAnalytics.diffInDiff(Tables.events(s, d),
+        col("user_id") % 2 === 1,
+        col("ts") >= lit("2024-01-16 00:00:00").cast("timestamp"),
+        "value")),
+
     // REAL WAV header extraction end to end: deterministic PCM WAVs
     // built from doc ids (real RIFF/fmt/data bytes), parsed back by
     // the codegen WavProbe expression; whole-ms durations make the
@@ -6742,6 +6765,54 @@ object SparkEntry {
          |  round(sum(cov)::DOUBLE / count(*)::DOUBLE, 4) AS coverage,
          |  round(sum(sz)::DOUBLE / count(*)::DOUBLE, 4) AS avg_set_size
          |FROM ts GROUP BY 1, 2, 3""".stripMargin,
+
+    // Incremental-agg replay: the oracle computes the rollup from the
+    // FULL corpus in one pass — equality proves the engine's
+    // state-merge is exact (same 6dp DECIMAL canon, same min/max)
+    "q338_incremental_agg" ->
+      """WITH v AS (SELECT source AS k,
+        |    round(n_chars::DOUBLE, 6)::DECIMAL(18,6) AS v
+        |  FROM documents WHERE source IS NOT NULL AND n_chars IS NOT NULL)
+        |SELECT k AS source, count(*)::BIGINT AS n,
+        |  CAST(CAST(SUM(v) AS DECIMAL(38,6)) AS DOUBLE) AS sum_val,
+        |  min(v)::DOUBLE AS min_val, max(v)::DOUBLE AS max_val
+        |FROM v GROUP BY 1""".stripMargin,
+
+    // DiD replay: identical four-cell DECIMAL sums and the engine's
+    // exact mean/difference op order
+    "q339_did" ->
+      """WITH b AS (SELECT (user_id % 2 = 1) AS t,
+        |    (ts >= TIMESTAMP '2024-01-16 00:00:00') AS p,
+        |    round(value, 6)::DECIMAL(18,6) AS v
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND value IS NOT NULL),
+        |g AS (SELECT count(*)::BIGINT AS n,
+        |    sum(CASE WHEN t AND NOT p THEN 1 ELSE 0 END)::BIGINT AS ntp0,
+        |    CAST(SUM(CASE WHEN t AND NOT p THEN v
+        |      ELSE 0::DECIMAL(18,6) END) AS DECIMAL(38,6)) AS stp0,
+        |    sum(CASE WHEN t AND p THEN 1 ELSE 0 END)::BIGINT AS ntp1,
+        |    CAST(SUM(CASE WHEN t AND p THEN v
+        |      ELSE 0::DECIMAL(18,6) END) AS DECIMAL(38,6)) AS stp1,
+        |    sum(CASE WHEN NOT t AND NOT p THEN 1 ELSE 0 END)::BIGINT
+        |      AS ncp0,
+        |    CAST(SUM(CASE WHEN NOT t AND NOT p THEN v
+        |      ELSE 0::DECIMAL(18,6) END) AS DECIMAL(38,6)) AS scp0,
+        |    sum(CASE WHEN NOT t AND p THEN 1 ELSE 0 END)::BIGINT AS ncp1,
+        |    CAST(SUM(CASE WHEN NOT t AND p THEN v
+        |      ELSE 0::DECIMAL(18,6) END) AS DECIMAL(38,6)) AS scp1
+        |  FROM b)
+        |SELECT n,
+        |  round(stp0::DOUBLE / ntp0::DOUBLE, 4) AS mean_treat_pre,
+        |  round(stp1::DOUBLE / ntp1::DOUBLE, 4) AS mean_treat_post,
+        |  round(scp0::DOUBLE / ncp0::DOUBLE, 4) AS mean_ctrl_pre,
+        |  round(scp1::DOUBLE / ncp1::DOUBLE, 4) AS mean_ctrl_post,
+        |  CASE WHEN ntp0 > 0 AND ntp1 > 0 AND ncp0 > 0 AND ncp1 > 0 THEN
+        |    round((stp1::DOUBLE / ntp1::DOUBLE - stp0::DOUBLE
+        |        / ntp0::DOUBLE)
+        |      - (scp1::DOUBLE / ncp1::DOUBLE - scp0::DOUBLE
+        |        / ncp0::DOUBLE), 4) END AS did
+        |FROM g""".stripMargin,
 
     // Half-sample replay: the xxh64 HUGEINT chain, bit-b replicate
     // membership via (hu // 2^b) % 2, exact DECIMAL value sums

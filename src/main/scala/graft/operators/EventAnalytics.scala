@@ -1658,4 +1658,45 @@ object EventAnalytics {
           col("exact_distinct").cast("double") * lit(3.0 / math.sqrt(k)))
           .as("within_bounds"))
   }
+  /** Difference-in-differences estimator (Card & Krueger 1994 form) —
+    * the quasi-experimental effect read-out when a change ships to one
+    * cohort at a known cutoff: DiD = (ȳ_treat,post − ȳ_treat,pre) −
+    * (ȳ_ctrl,post − ȳ_ctrl,pre), the parallel-trends-adjusted lift that
+    * a plain pre/post or treat/ctrl comparison gets wrong. One
+    * partial-agg pass builds all four cell sums (6dp-canonicalized
+    * DECIMAL — exact, order-free) and counts; the four means and the
+    * estimate are fixed-order double expressions. One summary row; NULL
+    * DiD when any cell is empty.
+    */
+  def diffInDiff(events: DataFrame, treatCol: Column, postCol: Column,
+      valueCol: String): DataFrame = {
+    val base = events.select(treatCol.cast("boolean").as("__t"),
+        postCol.cast("boolean").as("__p"),
+        round(col(valueCol).cast("double"), 6).cast("decimal(18,6)")
+          .as("__v"))
+      .filter(col("__t").isNotNull && col("__p").isNotNull &&
+        col("__v").isNotNull)
+    def cellN(t: Boolean, p: Boolean): Column =
+      sum(when(col("__t") === t && col("__p") === p, 1L).otherwise(0L))
+    def cellS(t: Boolean, p: Boolean): Column =
+      sum(when(col("__t") === t && col("__p") === p, col("__v"))
+        .otherwise(lit(0).cast("decimal(18,6)"))).cast("decimal(38,6)")
+    val g = base.agg(count(lit(1)).as("n"),
+      cellN(true, false).as("__ntp0"), cellS(true, false).as("__stp0"),
+      cellN(true, true).as("__ntp1"), cellS(true, true).as("__stp1"),
+      cellN(false, false).as("__ncp0"), cellS(false, false).as("__scp0"),
+      cellN(false, true).as("__ncp1"), cellS(false, true).as("__scp1"))
+    def mean(s: String, n: String): Column =
+      col(s).cast("double") / col(n).cast("double")
+    val did = (mean("__stp1", "__ntp1") - mean("__stp0", "__ntp0")) -
+      (mean("__scp1", "__ncp1") - mean("__scp0", "__ncp0"))
+    g.select(col("n"),
+      round(mean("__stp0", "__ntp0"), 4).as("mean_treat_pre"),
+      round(mean("__stp1", "__ntp1"), 4).as("mean_treat_post"),
+      round(mean("__scp0", "__ncp0"), 4).as("mean_ctrl_pre"),
+      round(mean("__scp1", "__ncp1"), 4).as("mean_ctrl_post"),
+      when(col("__ntp0") > 0 && col("__ntp1") > 0 && col("__ncp0") > 0 &&
+        col("__ncp1") > 0, round(did, 4)).as("did"))
+  }
+
 }

@@ -514,4 +514,47 @@ object Profile {
           lit(replicates.toDouble)), 4).as("se_half_sample"))
   }
 
+  /** Mergeable per-key aggregate state — (n, Σ, min, max) as an exact,
+    * order-free frame — and its commutative merge: the incremental-
+    * maintenance contract that lets a 100 TB pipeline fold a day's
+    * delta into yesterday's rollup instead of rescanning the world.
+    * Values are 6dp-canonicalized DECIMALs so Σ is exact (merge order
+    * can never show) and the merged state is BIT-equal to a full
+    * recompute — which is exactly what an oracle can check.
+    */
+  def aggState(df: DataFrame, keyCol: String, valueCol: String): DataFrame =
+    df.select(col(keyCol).as("__k"),
+        round(col(valueCol).cast("double"), 6).cast("decimal(18,6)")
+          .as("__v"))
+      .filter(col("__k").isNotNull && col("__v").isNotNull)
+      .groupBy(col("__k"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__v")).cast("decimal(38,6)").as("__sum"),
+        min(col("__v")).as("__min"), max(col("__v")).as("__max"))
+
+  /** Merge two [[aggState]] frames (full outer on key): n adds, Σ adds
+    * exactly, min/max fold through least/greatest. Emits the same
+    * display shape a direct recompute would.
+    */
+  def mergeAggState(state: DataFrame, delta: DataFrame,
+      keyCol: String): DataFrame = {
+    val a = state.select(col("__k"), col("n").as("__n1"),
+      col("__sum").as("__s1"), col("__min").as("__m1"),
+      col("__max").as("__x1"))
+    val b = delta.select(col("__k"), col("n").as("__n2"),
+      col("__sum").as("__s2"), col("__min").as("__m2"),
+      col("__max").as("__x2"))
+    a.join(b, Seq("__k"), "full_outer")
+      .select(col("__k").as(keyCol),
+        (coalesce(col("__n1"), lit(0L)) + coalesce(col("__n2"), lit(0L)))
+          .as("n"),
+        (coalesce(col("__s1"), lit(0).cast("decimal(38,6)")) +
+          coalesce(col("__s2"), lit(0).cast("decimal(38,6)")))
+          .cast("decimal(38,6)").cast("double").as("sum_val"),
+        least(coalesce(col("__m1"), col("__m2")),
+          coalesce(col("__m2"), col("__m1"))).cast("double").as("min_val"),
+        greatest(coalesce(col("__x1"), col("__x2")),
+          coalesce(col("__x2"), col("__x1"))).cast("double").as("max_val"))
+  }
+
 }

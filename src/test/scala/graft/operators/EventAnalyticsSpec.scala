@@ -863,4 +863,27 @@ class EventAnalyticsSpec extends AnyFunSuite {
     val g = EventAnalytics.cramersV(deg, "r", "c").collect().head
     assert(g.isNullAt(g.fieldIndex("cramers_v")))
   }
+
+  test("diffInDiff: hand-computed cells; empty cell nulls the estimate") {
+    import spark.implicits._
+    // treat pre mean 1, post 3; ctrl pre 2, post 2.5 → DiD = 2 − 0.5
+    val df = Seq(
+      (true, false, 0.0), (true, false, 2.0),
+      (true, true, 2.0), (true, true, 4.0),
+      (false, false, 1.0), (false, false, 3.0),
+      (false, true, 2.0), (false, true, 3.0)
+    ).toDF("t", "p", "v")
+    val r = EventAnalytics.diffInDiff(df, col("t"), col("p"), "v")
+      .collect().head
+    assert(r.getAs[Long]("n") == 8L)
+    assert(r.getAs[Double]("mean_treat_pre") == 1.0)
+    assert(r.getAs[Double]("mean_treat_post") == 3.0)
+    assert(r.getAs[Double]("mean_ctrl_pre") == 2.0)
+    assert(r.getAs[Double]("mean_ctrl_post") == 2.5)
+    assert(r.getAs[Double]("did") == 1.5)
+    val missing = df.filter(!(col("t") && col("p")))
+    val m = EventAnalytics.diffInDiff(missing, col("t"), col("p"), "v")
+      .collect().head
+    assert(m.isNullAt(m.fieldIndex("did")))
+  }
 }

@@ -269,4 +269,21 @@ class ProfileSpec extends AnyFunSuite {
       .getAs[Double]("se_half_sample")
     assert(a > 0.0 && a == b)
   }
+
+  test("aggState merge equals direct recompute, disjoint keys survive") {
+    import spark.implicits._
+    val old = Seq(("a", 1.0), ("a", 3.0), ("b", 10.0)).toDF("k", "v")
+    val delta = Seq(("b", 20.0), ("c", 5.0)).toDF("k", "v")
+    val merged = Profile.mergeAggState(
+      Profile.aggState(old, "k", "v"), Profile.aggState(delta, "k", "v"),
+      "k").collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n"), r.getAs[Double]("sum_val"),
+          r.getAs[Double]("min_val"), r.getAs[Double]("max_val"))).toMap
+    assert(merged("a") == ((2L, 4.0, 1.0, 3.0)))
+    assert(merged("b") == ((2L, 30.0, 10.0, 20.0)))
+    assert(merged("c") == ((1L, 5.0, 5.0, 5.0)))
+    val direct = Profile.aggState(old.unionAll(delta), "k", "v")
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("n")).toMap
+    assert(direct == merged.view.mapValues(_._1).toMap)
+  }
 }
