@@ -198,4 +198,48 @@ class PlanQualitySpec extends AnyFunSuite {
     // never shuffle for the gate
     assert(p.contains("BroadcastHashJoin"), p.take(800))
   }
+
+  test("q326/q327 byte probes: narrow codegen maps, zero shuffle") {
+    Seq("q326_png_meta", "q327_mp3_meta").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Exchange"), s"$q must not shuffle:\n${p.take(400)}")
+    }
+  }
+
+  test("q328 mahalanobis: per-dim stats broadcast; label-partitioned window only") {
+    val p = plan("q328_mahalanobis")
+    assert(p.contains("BroadcastHashJoin"),
+      s"labels·dims stats frame must broadcast:\n${p.take(600)}")
+    val global = p.linesIterator.filter(_.contains("Window "))
+      .count(_.contains("], [], ["))
+    assert(global == 0, s"top-k window fell global:\n${p.take(800)}")
+  }
+
+  // q329 LPA / q330 modularity / q331 HITS / q335 MMR execute their
+  // iterations EAGERLY (localCheckpoint per round — the q296
+  // Bradley-Terry convention); their final plans are checkpoint scans,
+  // so the per-round partial-agg properties are documented on the
+  // operators, not plan-guarded here.
+
+  test("q334 trojan audit: narrow codegen map, zero shuffle, no UDF") {
+    val p = plan("q334_trojan_audit")
+    assert(!p.contains("Exchange"), s"must not shuffle:\n${p.take(400)}")
+    assert(!p.contains("BatchEvalPython") && !p.contains("SQLUDF"), p.take(200))
+  }
+
+  test("q336 conformal: rank windows stay group-partitioned; q̂ broadcasts") {
+    val p = plan("q336_conformal")
+    val global = p.linesIterator.filter(_.contains("Window "))
+      .count(_.contains("], [], ["))
+    assert(global == 0, s"calibration rank fell into a global window:\n${p.take(800)}")
+    assert(p.contains("BroadcastHashJoin"),
+      s"q̂ frame must broadcast to the test side:\n${p.take(600)}")
+  }
+
+  test("q337 half-sample SE: no window, partial+final aggs on the replicate explode") {
+    val p = plan("q337_half_sample_se")
+    assert(!p.contains("Window "), s"no window expected:\n${p.take(400)}")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "partial aggregation lost")
+  }
 }
