@@ -44,6 +44,24 @@ object SparkEntry {
   private def decSum(c: Column, scale: Int = 4): Column =
     sum(c.cast(s"decimal(18,$scale)")).cast("double")
 
+  /** q334/q340 shared fixture: deterministic invisible-character
+    * injections over a clean corpus (bidi overrides every 7th doc,
+    * zero-width padding every 11th, a C0 control every 13th, a Cyrillic
+    * homoglyph word every 17th) — pure per-row, so it runs unchanged on
+    * batch AND readStream frames.
+    */
+  private def trojanInjected(docs: DataFrame): DataFrame =
+    docs.filter(col("text").isNotNull).select(col("doc_id"),
+      concat(col("text"),
+        when(col("doc_id") % 7 === 0,
+          lit("\u202E hidden \u202C")).otherwise(lit("")),
+        when(col("doc_id") % 11 === 0,
+          lit("\u200Bpad\uFEFF")).otherwise(lit("")),
+        when(col("doc_id") % 13 === 0,
+          lit("\u0007")).otherwise(lit("")),
+        when(col("doc_id") % 17 === 0,
+          lit(" p\u0430ypal")).otherwise(lit(""))).as("text"))
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q11_join_multiway")(spark, "/root/testdata/sf0.001")
@@ -2292,21 +2310,9 @@ object SparkEntry {
     // character injections (bidi overrides every 7th doc, zero-width
     // padding every 11th, a C0 control every 13th, a Cyrillic homoglyph
     // word every 17th) must each be caught by exactly the right counter
-    "q334_trojan_audit" -> ((s, d) => {
-      val docs = t(s, d, "documents").filter(col("text").isNotNull)
-      val injected = docs.select(col("doc_id"),
-        concat(col("text"),
-          when(col("doc_id") % 7 === 0,
-            lit("\u202E hidden \u202C")).otherwise(lit("")),
-          when(col("doc_id") % 11 === 0,
-            lit("\u200Bpad\uFEFF")).otherwise(lit("")),
-          when(col("doc_id") % 13 === 0,
-            lit("\u0007")).otherwise(lit("")),
-          when(col("doc_id") % 17 === 0,
-            lit(" p\u0430ypal")).otherwise(lit(""))).as("text"))
-      graft.operators.QualityRules.trojanSourceAudit(injected, "doc_id",
-        "text")
-    }),
+    "q334_trojan_audit" -> ((s, d) =>
+      graft.operators.QualityRules.trojanSourceAudit(
+        trojanInjected(t(s, d, "documents")), "doc_id", "text")),
 
     // Maximal-marginal-relevance selection: from vec 0's top-20 cosine
     // neighbors, greedily pick the 5 that stay relevant WITHOUT echoing
@@ -2369,6 +2375,35 @@ object SparkEntry {
         col("user_id") % 2 === 1,
         col("ts") >= lit("2024-01-16 00:00:00").cast("timestamp"),
         "value")),
+
+    // Streaming trojan-source gate: the q334 audit is a pure per-row
+    // program, so it runs UNCHANGED on a readStream frame (the q154
+    // one-code-path contract) — the ingest-time security screen,
+    // driver-checked against the batch oracle (stream == batch)
+    "q340_stream_trojan" -> ((s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val tmp = sys.props("java.io.tmpdir")
+      val outPath = s"$tmp/graft_q340_out"
+      val ckpt = s"$tmp/graft_q340_ckpt"
+      def rmrf(p: java.io.File): Unit = {
+        if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rmrf))
+        p.delete(): Unit
+      }
+      Seq(outPath, ckpt).foreach(p => rmrf(new java.io.File(p)))
+      val raw = Tables.documents(s, d)
+      val stream = streamSource(s, d, "documents", raw.schema)
+      val audited = graft.operators.QualityRules
+        .trojanSourceAudit(trojanInjected(stream), "doc_id", "text")
+        .filter(!col("clean"))
+        .select(col("doc_id"), col("n_bidi"), col("n_zero_width"),
+          col("n_control"), col("mixed_script"))
+      val q = graft.streaming.StreamingOps.appendPerBatch(audited, outPath)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(outPath)
+    }),
 
     // REAL WAV header extraction end to end: deterministic PCM WAVs
     // built from doc ids (real RIFF/fmt/data bytes), parsed back by
@@ -4037,6 +4072,34 @@ object SparkEntry {
         (col("hits") >= minHits).as("recall_ok"))
 
   // ------------------------------------------------------------- oracle SQL
+
+  /** Shared q334/q340 oracle prefix: the injection replay plus the
+    * per-doc strip-and-measure audit.
+    */
+  private val trojanOracleCtes: String =
+    """WITH inj AS (SELECT doc_id, text
+      |    || CASE WHEN doc_id % 7 = 0
+      |         THEN chr(8238) || ' hidden ' || chr(8236) ELSE '' END
+      |    || CASE WHEN doc_id % 11 = 0
+      |         THEN chr(8203) || 'pad' || chr(65279) ELSE '' END
+      |    || CASE WHEN doc_id % 13 = 0 THEN chr(7) ELSE '' END
+      |    || CASE WHEN doc_id % 17 = 0
+      |         THEN ' p' || chr(1072) || 'ypal' ELSE '' END AS text
+      |  FROM documents WHERE text IS NOT NULL),
+      |a AS (SELECT doc_id,
+      |    (length(text) - length(regexp_replace(text,
+      |      '[\x{202A}-\x{202E}\x{2066}-\x{2069}]', '', 'g')))::BIGINT
+      |      AS n_bidi,
+      |    (length(text) - length(regexp_replace(text,
+      |      '[\x{200B}-\x{200D}\x{FEFF}]', '', 'g')))::BIGINT
+      |      AS n_zero_width,
+      |    (length(text) - length(regexp_replace(text,
+      |      '[\x{00}-\x{08}\x{0B}\x{0C}\x{0E}-\x{1F}\x{7F}]', '',
+      |      'g')))::BIGINT AS n_control,
+      |    regexp_matches(text,
+      |      '[A-Za-z][\x{0400}-\x{04FF}]|[\x{0400}-\x{04FF}][A-Za-z]')
+      |      AS mixed_script
+      |  FROM inj)""".stripMargin
 
   private val tokensSql =
     "list_filter(string_split_regex(lower(text), '\\s+'), tk -> tk <> '')"
@@ -6877,37 +6940,21 @@ object SparkEntry {
     // the engine's \u escapes), RE2 \x{...} classes mirroring the Java
     // ones, code-point strip-and-measure counts
     "q334_trojan_audit" ->
-      """WITH inj AS (SELECT doc_id, text
-        |    || CASE WHEN doc_id % 7 = 0
-        |         THEN chr(8238) || ' hidden ' || chr(8236) ELSE '' END
-        |    || CASE WHEN doc_id % 11 = 0
-        |         THEN chr(8203) || 'pad' || chr(65279) ELSE '' END
-        |    || CASE WHEN doc_id % 13 = 0 THEN chr(7) ELSE '' END
-        |    || CASE WHEN doc_id % 17 = 0
-        |         THEN ' p' || chr(1072) || 'ypal' ELSE '' END AS text
-        |  FROM documents WHERE text IS NOT NULL),
-        |a AS (SELECT doc_id,
-        |    (length(text) - length(regexp_replace(text,
-        |      '[\x{202A}-\x{202E}\x{2066}-\x{2069}]', '', 'g')))::BIGINT
-        |      AS n_bidi,
-        |    (length(text) - length(regexp_replace(text,
-        |      '[\x{200B}-\x{200D}\x{FEFF}]', '', 'g')))::BIGINT
-        |      AS n_zero_width,
-        |    (length(text) - length(regexp_replace(text,
-        |      '[\x{00}-\x{08}\x{0B}\x{0C}\x{0E}-\x{1F}\x{7F}]', '',
-        |      'g')))::BIGINT AS n_control,
-        |    regexp_matches(text,
-        |      '[A-Za-z][\x{0400}-\x{04FF}]|[\x{0400}-\x{04FF}][A-Za-z]')
-        |      AS mixed_script
-        |  FROM inj)
+      (trojanOracleCtes + """
         |SELECT doc_id, n_bidi, n_zero_width, n_control, mixed_script,
         |  (n_bidi = 0 AND n_zero_width = 0 AND n_control = 0
         |    AND NOT mixed_script) AS clean
-        |FROM a""".stripMargin,
+        |FROM a""".stripMargin),
 
-    // Kruskal-Wallis replay: same distinct-value midranks, exact
-    // DECIMAL(18,1) rank sums, 6dp term fold, identical H expression
-    "q333_kruskal" ->
+    // Streaming gate replay: stream == batch on the flagged subset
+    "q340_stream_trojan" ->
+      (trojanOracleCtes + """
+        |SELECT doc_id, n_bidi, n_zero_width, n_control, mixed_script
+        |FROM a
+        |WHERE NOT (n_bidi = 0 AND n_zero_width = 0 AND n_control = 0
+        |  AND NOT mixed_script)""".stripMargin),
+
+"q333_kruskal" ->
       """WITH b AS (SELECT lang AS g, n_chars::DOUBLE AS v FROM documents
         |  WHERE text IS NOT NULL AND lang IS NOT NULL
         |    AND n_chars IS NOT NULL),
