@@ -2376,6 +2376,30 @@ object SparkEntry {
         col("ts") >= lit("2024-01-16 00:00:00").cast("timestamp"),
         "value")),
 
+    // Catalog coverage / novelty / popularity-collapse of the cosine
+    // top-5 recommender (every 10th vec as a user): do the lists show
+    // anything beyond the same few popular neighbors?
+    "q342_rec_coverage" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val catalog = emb
+        .filter(col("embedding").isNotNull)
+        .select(graft.functions.VectorFunctions.l2Norm(
+          graft.functions.VectorFunctions.toDouble(col("embedding")))
+          .as("__n"))
+        .filter(col("__n") > 0).count()
+      val recs = graft.operators.Similarity.bruteForceTopK(
+        emb, emb.filter(col("vec_id") % 10 === 0), k = 5)
+      graft.operators.Retrieval.coverageNovelty(recs, "probe_id",
+        "corpus_id", catalogSize = catalog)
+    }),
+
+    // MinHash calibration: estimate-vs-exact Jaccard over an id-lattice
+    // pair sample, binned by estimate decile — the "trust the sketch"
+    // audit before any threshold moves off exact reranking
+    "q341_minhash_calibration" -> ((s, d) =>
+      Dedup.minhashCalibration(t(s, d, "documents"), "doc_id", "text",
+        shingleSize = 3, numHashes = 16, steps = Seq(1L, 7L, 50L))),
+
     // Streaming trojan-source gate: the q334 audit is a pure per-row
     // program, so it runs UNCHANGED on a readStream frame (the q154
     // one-code-path contract) — the ingest-time security screen,
@@ -4560,6 +4584,33 @@ object SparkEntry {
     s"((($x) * ${BigInt(1) << r}::HUGEINT) % $M64 + ($x) // ${BigInt(1) << (64 - r)}::HUGEINT)"
   private def shrXor64(x: String, n: Int): String =
     s"xor($x, ($x) // ${BigInt(1) << n}::HUGEINT)"
+
+  /** CTE chain `$prefix(<carry>, j, hash)`: the j-SEEDED splitmix64 of
+    * HashUtil.mix(base, j) — z₀ = base + C1·(j+1) mod 2⁶⁴, then the
+    * standard finalizer — replaying the per-component MinHash mixer
+    * (q341). `src` must expose `j` (the component index) alongside the
+    * carried columns; C1·(j+1) needs no 32-bit split because the raw
+    * product stays under 2⁶⁸ ≪ HUGEINT range.
+    */
+  private def mixJChain(prefix: String, src: String, inExpr: String,
+      carry: Seq[String]): String = {
+    val C1 = BigInt("9E3779B97F4A7C15", 16)
+    val C2 = BigInt("BF58476D1CE4E5B9", 16)
+    val C3 = BigInt("94D049BB133111EB", 16)
+    val steps = Seq(
+      "z1" -> s"(u + ($C1::HUGEINT * (j + 1)::HUGEINT) % $M64) % $M64",
+      "z2" -> shrXor64("z1", 30), "z3" -> mul64("z2", C2),
+      "z4" -> shrXor64("z3", 27), "z5" -> mul64("z4", C3),
+      "zz" -> shrXor64("z5", 31))
+    val chain = steps.zipWithIndex.map { case ((n, e), i) =>
+      s"$prefix${i + 1} AS (SELECT *, $e AS $n FROM $prefix$i)"
+    }.mkString(",\n")
+    val cs = carry.mkString(", ")
+    s"""${prefix}0 AS (SELECT $cs, j, ($inExpr)::HUGEINT AS u FROM $src),
+       |$chain,
+       |$prefix AS (SELECT $cs, j, ${toI64Sql("zz")} AS hash
+       |  FROM $prefix${steps.size})""".stripMargin
+  }
 
   /** CTE chain `$prefix(<carry>, hash)`: signed splitmix64 finalizer of
     * the unsigned-HUGEINT-valued `$inExpr` (typically an [[fnvSql]]
@@ -6945,6 +6996,86 @@ object SparkEntry {
         |  (n_bidi = 0 AND n_zero_width = 0 AND n_control = 0
         |    AND NOT mixed_script) AS clean
         |FROM a""".stripMargin),
+
+    // Coverage/novelty replay: same top-5 lists (cosine desc, id
+    // tie-break), −log₂ self-information terms at the ndcg 4dp ln-ulp
+    // convention, frequency-weighted DECIMAL fold
+    "q342_rec_coverage" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nn
+        |  FROM e WHERE list_dot_product(v, v) > 0),
+        |cat AS (SELECT count(*)::BIGINT AS cs FROM n),
+        |p AS (SELECT vec_id AS pid, v AS pv, nn AS pn FROM n
+        |  WHERE vec_id % 10 = 0),
+        |sc AS (SELECT n.vec_id AS cid, p.pid,
+        |    list_dot_product(n.v, p.pv) / (n.nn * p.pn) AS cos
+        |  FROM n CROSS JOIN p WHERE n.vec_id <> p.pid),
+        |rk AS (SELECT pid, cid FROM (SELECT pid, cid,
+        |    row_number() OVER (PARTITION BY pid
+        |      ORDER BY cos DESC, cid) AS r FROM sc) WHERE r <= 5),
+        |u AS (SELECT count(DISTINCT pid)::BIGINT AS nu FROM rk),
+        |it AS (SELECT cid, count(*)::BIGINT AS f FROM rk GROUP BY 1),
+        |ag AS (SELECT count(*)::BIGINT AS ndist, sum(f)::BIGINT AS nrec,
+        |    CAST(SUM(round(-(ln(f::DOUBLE / nu::DOUBLE)
+        |      / ln(2.0::DOUBLE)), 4)::DECIMAL(18,4) * f)
+        |      AS DECIMAL(38,4)) AS nov,
+        |    max(f)::BIGINT AS maxf, any_value(nu) AS nu2
+        |  FROM it CROSS JOIN u)
+        |SELECT nu2 AS n_users, cs AS catalog_size,
+        |  ndist AS n_distinct_recommended,
+        |  round(ndist::DOUBLE / cs::DOUBLE, 4) AS coverage,
+        |  round(nov::DOUBLE / nrec::DOUBLE, 4) AS novelty,
+        |  round(maxf::DOUBLE / nu2::DOUBLE, 4) AS max_item_share
+        |FROM ag CROSS JOIN cat""".stripMargin,
+
+    // Calibration replay: per-component minhash via the j-seeded
+    // splitmix chain (signed mins — the engine's Long compare), exact
+    // jaccard on the same distinct-shingle sets, identical binning
+    "q341_minhash_calibration" -> {
+      val mx = mixJChain("mx", "fj", "fb", Seq("doc_id"))
+      s"""WITH tk AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+         |sh AS MATERIALIZED (SELECT doc_id,
+         |  list_distinct(list_transform(generate_series(1, len(toks) - 2),
+         |    i -> array_to_string(toks[i:i+2], ' '))) AS feats
+         | FROM tk WHERE len(toks) >= 3),
+         |fe AS (SELECT doc_id, unnest(feats) AS f FROM sh),
+         |fh AS MATERIALIZED (SELECT doc_id, ${fnvSql("f")} AS fb FROM fe),
+         |fj AS (SELECT doc_id, fb,
+         |  unnest(generate_series(0, 15)) AS j FROM fh),
+         |$mx,
+         |sg AS MATERIALIZED (SELECT doc_id, j, min(hash) AS mh
+         |  FROM mx GROUP BY 1, 2),
+         |pr AS MATERIALIZED (
+         |  SELECT a.doc_id AS ia, b.doc_id AS ib, a.feats AS fa,
+         |    b.feats AS fb2
+         |  FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+         |  UNION ALL SELECT a.doc_id, b.doc_id, a.feats, b.feats
+         |  FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 7
+         |  UNION ALL SELECT a.doc_id, b.doc_id, a.feats, b.feats
+         |  FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 50),
+         |em AS (SELECT p.ia, p.ib,
+         |    sum(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END)::BIGINT AS m
+         |  FROM pr p JOIN sg x ON x.doc_id = p.ia
+         |  JOIN sg y ON y.doc_id = p.ib AND y.j = x.j
+         |  GROUP BY 1, 2),
+         |ex AS (SELECT ia, ib,
+         |    len(list_intersect(fa, fb2))::DOUBLE
+         |      / len(list_distinct(list_concat(fa, fb2)))::DOUBLE AS jx
+         |  FROM pr),
+         |sc AS (SELECT em.m::DOUBLE / 16.0::DOUBLE AS e, ex.jx
+         |  FROM em JOIN ex ON em.ia = ex.ia AND em.ib = ex.ib),
+         |bn AS (SELECT least(floor(e * 10), 9)::BIGINT AS bin, e, jx
+         |  FROM sc)
+         |SELECT bin, count(*)::BIGINT AS n_pairs,
+         |  round(CAST(SUM(e::DECIMAL(18,6)) AS DECIMAL(38,6))::DOUBLE
+         |    / count(*)::DOUBLE, 4) AS mean_estimate,
+         |  round(CAST(SUM(round(jx, 6)::DECIMAL(18,6)) AS DECIMAL(38,6))
+         |    ::DOUBLE / count(*)::DOUBLE, 4) AS mean_exact,
+         |  round(CAST(SUM(round(abs(e - jx), 6)::DECIMAL(18,6))
+         |    AS DECIMAL(38,6))::DOUBLE / count(*)::DOUBLE, 4) AS mae
+         |FROM bn GROUP BY 1""".stripMargin
+    },
 
     // Streaming gate replay: stream == batch on the flagged subset
     "q340_stream_trojan" ->

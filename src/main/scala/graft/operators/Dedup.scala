@@ -1158,4 +1158,69 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("n_agree"),
         round(col("__score"), 4).as("score"))
   }
+  /** MinHash calibration audit — how well does the k-component MinHash
+    * Jaccard ESTIMATE track the exact shingle-set Jaccard, binned by
+    * estimate? The "trust the sketch" report that should gate any move
+    * of a dedup threshold from exact reranking onto raw signatures
+    * (the estimator's std error is √(J(1−J)/k) ≈ 0.12 at k = 16 — this
+    * audit shows where that bites on the REAL corpus, not in theory).
+    *
+    * Pairs are a deterministic id-lattice sample — (id, id + step) for
+    * each `steps` entry — spanning the similarity range without an
+    * O(n²) pair join. Per estimate-decile: pair count, mean estimate,
+    * mean exact Jaccard, and mean |estimate − exact| (MAE).
+    *
+    * Determinism: estimates are exact multiples of 1/k (binary-exact
+    * doubles; DECIMAL sums exact); exact Jaccards and absolute errors
+    * round 6dp before their DECIMAL folds. Signature equality is
+    * integer compare.
+    *
+    * Scale: signatures are one narrow pass; each step contributes one
+    * equi-join on the id lattice (shuffle on id — no candidate
+    * explosion); the audit frame is |steps|·n pairs of narrow columns.
+    */
+  def minhashCalibration(df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, numHashes: Int = 16,
+      steps: Seq[Long] = Seq(1L, 7L, 50L), bins: Int = 10): DataFrame = {
+    require(steps.nonEmpty && bins >= 1)
+    val featured = df
+      .select(col(idCol).cast("long").as("id"), tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= shingleSize)
+      .select(col("id"), wordShinglesOf(col("toks"), shingleSize).as("feats"))
+      .withColumn("sig", minHashSignature(col("feats"), numHashes))
+      .localCheckpoint(true)
+    val a = featured.select(col("id").as("ia"), col("feats").as("fa"),
+      col("sig").as("sa"))
+    val b = featured.select(col("id").as("ib"), col("feats").as("fb"),
+      col("sig").as("sb"))
+    val pairs = steps.map { s =>
+      a.withColumn("__ib", col("ia") + lit(s)).join(b, col("__ib") === col("ib"))
+    }.reduce(_ unionAll _)
+    val matches = aggregate(
+      zip_with(col("sa"), col("sb"),
+        (x, y) => when(x === y, 1L).otherwise(0L)),
+      lit(0L), (acc, x) => acc + x)
+    val est = matches.cast("double") / lit(numHashes.toDouble)
+    val exact = size(array_intersect(col("fa"), col("fb"))).cast("double") /
+      size(array_union(col("fa"), col("fb"))).cast("double")
+    val scored = pairs.select(est.as("__e"), exact.as("__j"))
+      .withColumn("__bin",
+        least(floor(col("__e") * bins), lit(bins - 1L)).cast("bigint"))
+    scored.groupBy(col("__bin"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("__e").cast("decimal(18,6)")).cast("decimal(38,6)")
+          .as("__se"),
+        sum(round(col("__j"), 6).cast("decimal(18,6)"))
+          .cast("decimal(38,6)").as("__sj"),
+        sum(round(abs(col("__e") - col("__j")), 6).cast("decimal(18,6)"))
+          .cast("decimal(38,6)").as("__sd"))
+      .select(col("__bin").as("bin"), col("n_pairs"),
+        round(col("__se").cast("double") / col("n_pairs").cast("double"), 4)
+          .as("mean_estimate"),
+        round(col("__sj").cast("double") / col("n_pairs").cast("double"), 4)
+          .as("mean_exact"),
+        round(col("__sd").cast("double") / col("n_pairs").cast("double"), 4)
+          .as("mae"))
+  }
+
 }

@@ -476,11 +476,36 @@ object Graph {
     * Returns (node, label).
     */
   def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
-      iterations: Int = 4): DataFrame = {
+      iterations: Int = 4,
+      targetRowsPerPartition: Long = 2000000L): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val owner = edges.sparkSession
     val e = canonicalEdges(edges, srcCol, dstCol)
-    val sym = e.select(col("s").as("u"), col("t").as("v"))
+    val symPlan = e.select(col("s").as("u"), col("t").as("v"))
       .unionAll(e.select(col("t").as("u"), col("s").as("v")))
+    // Scale-aware shuffle sizing, scoped to a CLONED session (the
+    // partitionedCheckpoint convention — never mutate the caller's
+    // conf): at sf10 the co-purchase graph is ~180M sym rows, and the
+    // per-round (node, label) hash aggregation at the session default
+    // of 32 partitions spilled 190 GB with 500 s of GC; sizing
+    // partitions to ~2M rows each keeps every agg map resident.
+    val cloned = owner.newSession()
+    owner.conf.getAll.foreach { case (k, v) =>
+      try cloned.conf.set(k, v) catch { case _: Exception => () }
+    }
+    val symRaw = ColumnBridge.ofRows(cloned, ColumnBridge.analyzed(symPlan))
+      .localCheckpoint(true)
+    val base = cloned.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val nPart = math.max(base, math.min(2048,
+      (symRaw.count() / targetRowsPerPartition + 1).toInt))
+    cloned.conf.set("spark.sql.shuffle.partitions", nPart.toString)
+    // Pre-partition + sort the edge list ONCE by the propagation key:
+    // the checkpoint captures layout AND ordering, so all `iterations`
+    // join passes skip the exchange and the sort on the 2|E| side —
+    // only the (small) label frame moves per round.
+    val sym = symRaw.repartition(nPart, col("u"))
+      .sortWithinPartitions(col("u"))
       .localCheckpoint(true)
     var labels = sym.select(col("u").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
@@ -496,7 +521,7 @@ object Graph {
         .select(col("node"), col("__best.__l").as("label"))
         .localCheckpoint(true)
     }
-    labels
+    ColumnBridge.ofRows(owner, ColumnBridge.analyzed(labels))
   }
 
   /** HITS hubs-and-authorities (Kleinberg 1999) over a directed edge

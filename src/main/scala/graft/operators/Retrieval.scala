@@ -196,4 +196,46 @@ object Retrieval {
         coalesce(round(lit(1.0) / col("first_relevant_rank").cast("double"), 4),
           lit(0.0)).as("rr"))
   }
+  /** Catalog coverage and novelty of a top-k recommendation frame —
+    * the BEYOND-accuracy health metrics (Castells & Vargas 2022 survey
+    * framing): nDCG says lists are relevant; these say whether the
+    * system shows users anything beyond the same few popular items.
+    * Coverage = share of the catalog that appears in ANY list; novelty
+    * = mean over recommendation instances of −log₂(item share of
+    * lists) — self-information of how widely each shown item is shown;
+    * max_item_share flags popularity collapse.
+    *
+    * `recs` is (groupCol, itemCol) — one row per recommendation
+    * instance; `catalogSize` is the eligible-item count the caller
+    * measured. Per-item −log₂ terms round 4dp (the ndcgAtK ln-ulp
+    * convention) then weight by exact frequencies into a DECIMAL fold.
+    * One summary row. Scale: two partial-aggs over narrow rows.
+    */
+  def coverageNovelty(recs: DataFrame, groupCol: String, itemCol: String,
+      catalogSize: Long): DataFrame = {
+    def log2(c: org.apache.spark.sql.Column) = log(c) / log(lit(2.0))
+    val base = recs.select(col(groupCol).as("__g"), col(itemCol).as("__i"))
+      .filter(col("__g").isNotNull && col("__i").isNotNull)
+    val users = base.agg(count_distinct(col("__g")).as("__nu"))
+    val items = base.groupBy(col("__i")).agg(count(lit(1)).as("__f"))
+      .crossJoin(broadcast(users))
+    val term = round(-log2(col("__f").cast("double") /
+      col("__nu").cast("double")), 4).cast("decimal(18,4)")
+    items
+      .agg(count(lit(1)).as("n_distinct_recommended"),
+        sum(col("__f")).as("__nrec"),
+        sum(term * col("__f")).cast("decimal(38,4)").as("__nov"),
+        max(col("__f")).as("__maxf"),
+        first(col("__nu")).as("__nu2"))
+      .select(col("__nu2").as("n_users"),
+        lit(catalogSize).as("catalog_size"),
+        col("n_distinct_recommended"),
+        round(col("n_distinct_recommended").cast("double") /
+          lit(catalogSize.toDouble), 4).as("coverage"),
+        round(col("__nov").cast("double") / col("__nrec").cast("double"), 4)
+          .as("novelty"),
+        round(col("__maxf").cast("double") / col("__nu2").cast("double"), 4)
+          .as("max_item_share"))
+  }
+
 }

@@ -103,4 +103,19 @@ class RetrievalSpec extends AnyFunSuite {
     assert(out(3L) == ((None, 0.0)))
     assert(out(4L) == ((None, 0.0)))
   }
+
+  test("coverageNovelty: hand-computed coverage, novelty and collapse") {
+    // u1→{a,b}, u2→{a,c}: item a shown to all users → novelty 0;
+    // b/c each −log₂(1/2) = 1 → novelty (0·2 + 1 + 1)/4 = 0.5
+    val recs = Seq(("u1", "a"), ("u1", "b"), ("u2", "a"), ("u2", "c"))
+      .toDF("user", "item")
+    val r = Retrieval.coverageNovelty(recs, "user", "item",
+      catalogSize = 10L).collect().head
+    assert(r.getAs[Long]("n_users") == 2L)
+    assert(r.getAs[Long]("catalog_size") == 10L)
+    assert(r.getAs[Long]("n_distinct_recommended") == 3L)
+    assert(r.getAs[Double]("coverage") == 0.3)
+    assert(r.getAs[Double]("novelty") == 0.5)
+    assert(r.getAs[Double]("max_item_share") == 1.0)
+  }
 }
