@@ -482,8 +482,6 @@ object Graph {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     val owner = edges.sparkSession
     val e = canonicalEdges(edges, srcCol, dstCol)
-    val symPlan = e.select(col("s").as("u"), col("t").as("v"))
-      .unionAll(e.select(col("t").as("u"), col("s").as("v")))
     // Scale-aware shuffle sizing, scoped to a CLONED session (the
     // partitionedCheckpoint convention — never mutate the caller's
     // conf): at sf10 the co-purchase graph is ~180M sym rows, and the
@@ -494,23 +492,31 @@ object Graph {
     owner.conf.getAll.foreach { case (k, v) =>
       try cloned.conf.set(k, v) catch { case _: Exception => () }
     }
-    val symRaw = ColumnBridge.ofRows(cloned, ColumnBridge.analyzed(symPlan))
+    val eC = ColumnBridge.ofRows(cloned, ColumnBridge.analyzed(e))
       .localCheckpoint(true)
     val base = cloned.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val nPart = math.max(base, math.min(2048,
-      (symRaw.count() / targetRowsPerPartition + 1).toInt))
+      (2L * eC.count() / targetRowsPerPartition + 1).toInt))
     cloned.conf.set("spark.sql.shuffle.partitions", nPart.toString)
-    // Pre-partition + sort the edge list ONCE by the propagation key:
-    // the checkpoint captures layout AND ordering, so all `iterations`
-    // join passes skip the exchange and the sort on the 2|E| side —
-    // only the (small) label frame moves per round.
-    val sym = symRaw.repartition(nPart, col("u"))
+    // Pre-partition + sort the symmetric edge list ONCE by the
+    // propagation key: the checkpoint captures layout AND ordering, so
+    // all remaining join passes skip the exchange and the sort on the
+    // 2|E| side — only the (small) label frame moves per round.
+    val sym = eC.select(col("s").as("u"), col("t").as("v"))
+      .unionAll(eC.select(col("t").as("u"), col("s").as("v")))
+      .repartition(nPart, col("u"))
       .sortWithinPartitions(col("u"))
       .localCheckpoint(true)
-    var labels = sym.select(col("u").as("node")).distinct()
-      .select(col("node"), col("node").as("label"))
+    // Round 1 in closed form: with all-distinct initial labels
+    // (label(v) = v), every neighbor label count is exactly 1, so the
+    // (count DESC, label ASC) rule degenerates to MIN NEIGHBOR — same
+    // result as the generic round, without materializing the
+    // |E|-distinct (node, label) frame that dominated the sf10 profile
+    // (iteration 1 is the cardinality worst case by construction).
+    var labels = sym.groupBy(col("v").as("node"))
+      .agg(min(col("u")).as("label"))
       .localCheckpoint(true)
-    (1 to iterations).foreach { _ =>
+    (2 to iterations).foreach { _ =>
       val cnt = sym
         .join(labels.select(col("node").as("u"), col("label")), Seq("u"))
         .groupBy(col("v").as("node"), col("label"))
@@ -544,6 +550,9 @@ object Graph {
     * Scale: two (edge ⋈ score) shuffles + two partial-aggs per
     * iteration on narrow (node, score) rows; score frames eagerly
     * localCheckpoint'd per round (the pageRank plan-growth lesson).
+    * For |E| ≫ 10⁷ apply [[labelPropagation]]'s scoped-session
+    * shuffle sizing + pre-partitioned edge checkpoint — the iteration
+    * shape is identical.
     */
   def hits(edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int = 6): DataFrame = {
