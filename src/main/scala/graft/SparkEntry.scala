@@ -2376,6 +2376,15 @@ object SparkEntry {
         col("ts") >= lit("2024-01-16 00:00:00").cast("timestamp"),
         "value")),
 
+    // Exact 1-D Wasserstein distance of each source's length
+    // distribution from src0's — the CDF-integral drift number in
+    // character units (KS takes the sup, PSI bins; W1 integrates).
+    // Pure BIGINT segment terms, one divide per source.
+    "q343_emd" -> ((s, d) =>
+      graft.operators.Profile.emd1d(
+        t(s, d, "documents").filter(col("text").isNotNull),
+        "source", "n_chars", refGroup = "src0")),
+
     // Catalog coverage / novelty / popularity-collapse of the cosine
     // top-5 recommender (every 10th vec as a user): do the lists show
     // anything beyond the same few popular neighbors?
@@ -6996,6 +7005,38 @@ object SparkEntry {
         |  (n_bidi = 0 AND n_zero_width = 0 AND n_control = 0
         |    AND NOT mixed_script) AS clean
         |FROM a""".stripMargin),
+
+    // EMD replay: merged-support cumulative counts, BIGINT
+    // |c_g·n_ref − c_ref·n_g|·gap segment terms, one divide
+    "q343_emd" ->
+      """WITH b AS (SELECT source AS g, n_chars::BIGINT AS v
+        |  FROM documents WHERE text IS NOT NULL AND source IS NOT NULL
+        |    AND n_chars IS NOT NULL),
+        |ref AS (SELECT v, count(*)::BIGINT AS cr FROM b
+        |  WHERE g = 'src0' GROUP BY 1),
+        |oth AS (SELECT g, v, count(*)::BIGINT AS cg FROM b
+        |  WHERE g <> 'src0' GROUP BY 1, 2),
+        |refall AS (SELECT gs.g, ref.v, ref.cr FROM
+        |  (SELECT DISTINCT g FROM oth) gs CROSS JOIN ref),
+        |joined AS (SELECT coalesce(refall.g, oth.g) AS g,
+        |    coalesce(refall.v, oth.v) AS v, refall.cr, oth.cg
+        |  FROM refall FULL OUTER JOIN oth
+        |    ON refall.g = oth.g AND refall.v = oth.v),
+        |cum AS (SELECT g, v,
+        |    sum(coalesce(cg, 0)) OVER (PARTITION BY g ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+        |    sum(coalesce(cr, 0)) OVER (PARTITION BY g ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb,
+        |    coalesce(lead(v, 1) OVER (PARTITION BY g ORDER BY v) - v, 0)
+        |      AS gap
+        |  FROM joined),
+        |na AS (SELECT g, sum(cg)::BIGINT AS na FROM oth GROUP BY 1),
+        |nb AS (SELECT sum(cr)::BIGINT AS nb FROM ref)
+        |SELECT cum.g AS source, na.na AS n, nb.nb AS n_ref,
+        |  round(sum(abs(ca * nb.nb - cb * na.na) * gap)::DOUBLE
+        |    / (na.na * nb.nb)::DOUBLE, 4) AS w1
+        |FROM cum JOIN na ON cum.g = na.g CROSS JOIN nb
+        |GROUP BY 1, 2, 3""".stripMargin,
 
     // Coverage/novelty replay: same top-5 lists (cosine desc, id
     // tie-break), −log₂ self-information terms at the ndcg 4dp ln-ulp

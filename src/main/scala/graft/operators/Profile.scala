@@ -557,4 +557,55 @@ object Profile {
           coalesce(col("__x2"), col("__x1"))).cast("double").as("max_val"))
   }
 
+  /** Exact 1-D Wasserstein-1 (earth mover's) distance between each
+    * group's value distribution and a reference group — the
+    * distribution-shift number that INTEGRATES the CDF gap where
+    * [[ksTest]] takes its sup and PSI coarsens into bins: W₁ = ∫|F_g −
+    * F_ref| dx over the merged support, in the VALUE's own units
+    * (chars, tokens, ms), which is what makes it readable as "how far
+    * did the distribution move".
+    *
+    * EXACT integer arithmetic end to end: with integer-valued columns,
+    * each support segment contributes |c_g·n_ref − c_ref·n_g|·(v_next −
+    * v) as a BIGINT, summed per group and divided ONCE by n_g·n_ref
+    * (the only double op, then 4dp). Callers with fractional values
+    * pre-scale to integers (the q303 scaled-int convention).
+    *
+    * Scale: histograms are per-(group, value) partial-aggs; the cumsum
+    * windows partition per GROUP over the merged distinct-value frame
+    * (bounded by value cardinality — the ksTest contract); the
+    * reference histogram broadcasts.
+    */
+  def emd1d(df: DataFrame, groupCol: String, valueCol: String,
+      refGroup: String): DataFrame = {
+    val b = df.select(col(groupCol).cast("string").as("__g"),
+        col(valueCol).cast("long").as("__v"))
+      .filter(col("__g").isNotNull && col("__v").isNotNull)
+    val ref = b.filter(col("__g") === refGroup)
+      .groupBy(col("__v")).agg(count(lit(1)).as("__cr"))
+    val oth = b.filter(col("__g") =!= refGroup)
+      .groupBy(col("__g"), col("__v")).agg(count(lit(1)).as("__cg"))
+    val refAll = oth.select(col("__g")).distinct().crossJoin(broadcast(ref))
+    val joined = refAll.join(oth, Seq("__g", "__v"), "full_outer")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__g")).orderBy(col("__v"))
+    val cumW = w.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = joined
+      .withColumn("__ca", sum(coalesce(col("__cg"), lit(0L))).over(cumW))
+      .withColumn("__cb", sum(coalesce(col("__cr"), lit(0L))).over(cumW))
+      .withColumn("__gap",
+        coalesce(lead(col("__v"), 1).over(w) - col("__v"), lit(0L)))
+    val na = oth.groupBy(col("__g")).agg(sum(col("__cg")).as("__na"))
+    val nb = ref.agg(sum(col("__cr")).as("__nb"))
+    cum.join(broadcast(na), Seq("__g")).crossJoin(broadcast(nb))
+      .groupBy(col("__g"), col("__na"), col("__nb"))
+      .agg(sum(abs(col("__ca") * col("__nb") - col("__cb") * col("__na")) *
+        col("__gap")).as("__w"))
+      .select(col("__g").as(groupCol), col("__na").as("n"),
+        col("__nb").as("n_ref"),
+        round(col("__w").cast("double") /
+          (col("__na") * col("__nb")).cast("double"), 4).as("w1"))
+  }
+
 }

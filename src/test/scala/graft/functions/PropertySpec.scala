@@ -99,4 +99,37 @@ class PropertySpec extends AnyFunSuite {
         assert(r.getAs[Int]("d") <= 24, s"hamming ${r.getAs[Int]("d")} too large")
       }
   }
+
+  test("byte probes are total: arbitrary bytes → Some or None, never a throw") {
+    // the safe-over-arbitrary-binary-corpora contract of every probe:
+    // pure garbage, truncated real payloads, adversarial prefixes
+    val garbage = Gen.listOfN(200,
+      Gen.oneOf(
+        Gen.listOfN(64, Gen.chooseNum(-128, 127)).map(_.map(_.toByte).toArray),
+        Gen.listOfN(8, Gen.chooseNum(-128, 127)).map(_.map(_.toByte).toArray),
+        Gen.const(Array.emptyByteArray))).sample.get
+    // adversarial prefixes: real magics followed by junk, and real
+    // payloads truncated at every prefix length
+    val real = Seq(
+      PngMeta.build(9, 7, 0, Some(("k", "v"))),
+      Mp3Meta.build(30, 9, 1, 0, 3),
+      AudioMeta.build(1, 8000, 16, 80),
+      ExifMeta.build(littleEndian = true, orientation = 1, width = 10,
+        height = 10, make = "m", datetime = "2024:01:01 00:00:00"))
+    val truncs = real.flatMap(b => (0 to b.length by 7).map(b.take))
+    val magicJunk = Seq("PNG", "ID3", "RIFF", "ÿØ")
+      .map(_.getBytes("ISO-8859-1") ++ Array.fill(20)(0x41.toByte))
+    (garbage ++ truncs ++ magicJunk).foreach { bytes =>
+      PngMeta.probe(bytes): Unit
+      Mp3Meta.probe(bytes): Unit
+      AudioMeta.probe(bytes): Unit
+      ExifMeta.probe(bytes): Unit
+      graft.functions.ContainerMeta.probe(bytes): Unit
+    }
+    // and the intact payloads still parse
+    assert(PngMeta.probe(real(0)).nonEmpty)
+    assert(Mp3Meta.probe(real(1)).nonEmpty)
+    assert(AudioMeta.probe(real(2)).nonEmpty)
+    assert(ExifMeta.probe(real(3)).nonEmpty)
+  }
 }

@@ -270,6 +270,27 @@ class ProfileSpec extends AnyFunSuite {
     assert(a > 0.0 && a == b)
   }
 
+  test("emd1d: shifted distribution moves exactly the shift; identical → 0") {
+    import spark.implicits._
+    // ref {0, 10}; A identical → W1 = 0; B = ref + 10 → W1 = 10
+    val df = Seq(("r", 0L), ("r", 10L), ("A", 0L), ("A", 10L),
+      ("B", 10L), ("B", 20L)).toDF("g", "v")
+    val out = Profile.emd1d(df, "g", "v", refGroup = "r").collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("w1")).toMap
+    assert(out == Map("A" -> 0.0, "B" -> 10.0))
+  }
+
+  test("emd1d: unequal sample sizes stay exact (rational CDF gaps)") {
+    import spark.implicits._
+    // ref {0,0,10} (n=3); C {0,10} (n=2): segment [0,10): |1·3 − 2·2|
+    // ·10 = 10 → W1 = 10/6 = 1.6667
+    val df = Seq(("r", 0L), ("r", 0L), ("r", 10L), ("C", 0L), ("C", 10L))
+      .toDF("g", "v")
+    val out = Profile.emd1d(df, "g", "v", "r").collect().head
+    assert(out.getAs[Long]("n") == 2L && out.getAs[Long]("n_ref") == 3L)
+    assert(out.getAs[Double]("w1") == 1.6667)
+  }
+
   test("aggState merge equals direct recompute, disjoint keys survive") {
     import spark.implicits._
     val old = Seq(("a", 1.0), ("a", 3.0), ("b", 10.0)).toDF("k", "v")
