@@ -2376,6 +2376,39 @@ object SparkEntry {
         col("ts") >= lit("2024-01-16 00:00:00").cast("timestamp"),
         "value")),
 
+    // Streaming incremental rollup: per-batch aggState partitions,
+    // folded to the final per-source rollup — the q338 merge==recompute
+    // contract as a MATERIALIZED VIEW under Structured Streaming; the
+    // oracle recomputes from the full corpus, so equality is the proof
+    "q345_stream_rollup" -> ((s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val tmp = sys.props("java.io.tmpdir")
+      val statePath = s"$tmp/graft_q345_state"
+      val ckpt = s"$tmp/graft_q345_ckpt"
+      def rmrf(p: java.io.File): Unit = {
+        if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rmrf))
+        p.delete(): Unit
+      }
+      Seq(statePath, ckpt).foreach(p => rmrf(new java.io.File(p)))
+      val raw = Tables.documents(s, d)
+      val stream = streamSource(s, d, "documents", raw.schema)
+      val q = graft.streaming.StreamingOps
+        .streamIncrementalRollup(stream, "source", "n_chars", statePath)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      graft.streaming.StreamingOps.readRollup(s, statePath, "source")
+    }),
+
+    // Minimum detectable effect per event_type at α=0.05 / 80% power:
+    // with this traffic and variance, how small a lift in mean value
+    // could each slice even resolve? The experiment-PLANNING number.
+    "q344_mde" -> ((s, d) =>
+      graft.operators.EventAnalytics.minDetectableEffect(
+        Tables.events(s, d), "event_type", col("user_id") % 2 === 1,
+        "value")),
+
     // Exact 1-D Wasserstein distance of each source's length
     // distribution from src0's — the CDF-integral drift number in
     // character units (KS takes the sup, PSI bins; W1 integrates).
@@ -7005,6 +7038,63 @@ object SparkEntry {
         |  (n_bidi = 0 AND n_zero_width = 0 AND n_control = 0
         |    AND NOT mixed_script) AS clean
         |FROM a""".stripMargin),
+
+    // Streaming rollup replay: the q338 full-corpus recompute — the
+    // per-batch state fold must land on exactly this frame
+    "q345_stream_rollup" ->
+      """WITH v AS (SELECT source AS k,
+        |    round(n_chars::DOUBLE, 6)::DECIMAL(18,6) AS v
+        |  FROM documents WHERE source IS NOT NULL AND n_chars IS NOT NULL)
+        |SELECT k AS source, count(*)::BIGINT AS n,
+        |  CAST(CAST(SUM(v) AS DECIMAL(38,6)) AS DOUBLE) AS sum_val,
+        |  min(v)::DOUBLE AS min_val, max(v)::DOUBLE AS max_val
+        |FROM v GROUP BY 1""".stripMargin,
+
+    // MDE replay: identical per-variant DECIMAL moments, the engine's
+    // exact variance/pooled/√ op order, z literals SUMMED (not
+    // pre-added) so both engines fold the same doubles
+    "q344_mde" ->
+      """WITH b AS (SELECT event_type AS s, (user_id % 2 = 1) AS t,
+        |    round(value, 6)::DECIMAL(18,6) AS v
+        |  FROM events WHERE event_type IS NOT NULL
+        |    AND user_id IS NOT NULL AND value IS NOT NULL),
+        |g AS (SELECT s,
+        |    sum(CASE WHEN NOT t THEN 1 ELSE 0 END)::BIGINT AS n_a,
+        |    CAST(SUM(CASE WHEN NOT t THEN v ELSE 0::DECIMAL(18,6) END)
+        |      AS DECIMAL(38,6)) AS sa,
+        |    CAST(SUM(CASE WHEN NOT t THEN CAST(v * v AS DECIMAL(38,12))
+        |      ELSE 0::DECIMAL(38,12) END) AS DECIMAL(38,12)) AS qa,
+        |    sum(CASE WHEN t THEN 1 ELSE 0 END)::BIGINT AS n_b,
+        |    CAST(SUM(CASE WHEN t THEN v ELSE 0::DECIMAL(18,6) END)
+        |      AS DECIMAL(38,6)) AS sb,
+        |    CAST(SUM(CASE WHEN t THEN CAST(v * v AS DECIMAL(38,12))
+        |      ELSE 0::DECIMAL(38,12) END) AS DECIMAL(38,12)) AS qb
+        |  FROM b GROUP BY 1),
+        |x AS (SELECT s, n_a, n_b, sa, sb,
+        |    (qa::DOUBLE - sa::DOUBLE * sa::DOUBLE / n_a::DOUBLE)
+        |      / (n_a::DOUBLE - 1.0::DOUBLE) AS va,
+        |    (qb::DOUBLE - sb::DOUBLE * sb::DOUBLE / n_b::DOUBLE)
+        |      / (n_b::DOUBLE - 1.0::DOUBLE) AS vb
+        |  FROM g),
+        |p AS (SELECT s, n_a, n_b, sa, sb,
+        |    ((n_a::DOUBLE - 1.0::DOUBLE) * va
+        |      + (n_b::DOUBLE - 1.0::DOUBLE) * vb)
+        |      / (n_a::DOUBLE + n_b::DOUBLE - 2.0::DOUBLE) AS pooled
+        |  FROM x),
+        |m AS (SELECT s, n_a, n_b, pooled,
+        |    (1.959964::DOUBLE + 0.841621::DOUBLE)
+        |      * sqrt(pooled * (1.0::DOUBLE / n_a::DOUBLE
+        |        + 1.0::DOUBLE / n_b::DOUBLE)) AS mde,
+        |    CAST(sa + sb AS DECIMAL(38,6))::DOUBLE
+        |      / (n_a::DOUBLE + n_b::DOUBLE) AS meanall
+        |  FROM p)
+        |SELECT s AS event_type, n_a, n_b,
+        |  CASE WHEN n_a > 1 AND n_b > 1 THEN round(pooled, 4) END
+        |    AS pooled_var,
+        |  CASE WHEN n_a > 1 AND n_b > 1 THEN round(mde, 4) END AS mde_abs,
+        |  CASE WHEN n_a > 1 AND n_b > 1 AND meanall <> 0.0 THEN
+        |    round(mde / meanall, 4) END AS mde_rel
+        |FROM m""".stripMargin,
 
     // EMD replay: merged-support cumulative counts, BIGINT
     // |c_g·n_ref − c_ref·n_g|·gap segment terms, one divide

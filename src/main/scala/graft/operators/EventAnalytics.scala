@@ -1699,4 +1699,62 @@ object EventAnalytics {
         col("__ncp1") > 0, round(did, 4)).as("did"))
   }
 
+  /** Minimum detectable effect (two-sample, two-sided α, power 1−β) per
+    * metric slice — the experiment-PLANNING number every A/B platform
+    * computes before a test runs: with the traffic and variance we
+    * actually have, how small a lift could this slice even resolve?
+    *   MDE = (z_{α/2} + z_β) · √(s²_pooled · (1/n_a + 1/n_b))
+    * using the unbiased pooled variance. z constants are passed as
+    * exact literals (defaults: 1.959964 / 0.841621 — α = 0.05
+    * two-sided, 80% power) so both engines fold identical doubles.
+    *
+    * One partial-agg pass builds per-(slice, variant) exact DECIMAL
+    * moments from 6dp-canonicalized values; variances, the pooled
+    * term and MDE are fixed-order double expressions. Slices missing a
+    * variant or with n ≤ 2 report NULL. mde_rel divides by the pooled
+    * mean (NULL at 0).
+    */
+  def minDetectableEffect(df: DataFrame, sliceCol: String,
+      variantCol: Column, valueCol: String, zAlpha: Double = 1.959964,
+      zBeta: Double = 0.841621): DataFrame = {
+    val base = df.select(col(sliceCol).as("__s"),
+        variantCol.cast("boolean").as("__t"),
+        round(col(valueCol).cast("double"), 6).cast("decimal(18,6)")
+          .as("__v"))
+      .filter(col("__s").isNotNull && col("__t").isNotNull &&
+        col("__v").isNotNull)
+    def n(t: Boolean): Column =
+      sum(when(col("__t") === t, 1L).otherwise(0L))
+    def s1(t: Boolean): Column =
+      sum(when(col("__t") === t, col("__v"))
+        .otherwise(lit(0).cast("decimal(18,6)"))).cast("decimal(38,6)")
+    def s2(t: Boolean): Column =
+      sum(when(col("__t") === t,
+        (col("__v") * col("__v")).cast("decimal(38,12)"))
+        .otherwise(lit(0).cast("decimal(38,12)"))).cast("decimal(38,12)")
+    val g = base.groupBy(col("__s"))
+      .agg(n(false).as("n_a"), s1(false).as("__sa"), s2(false).as("__qa"),
+        n(true).as("n_b"), s1(true).as("__sb"), s2(true).as("__qb"))
+    def sampleVar(nn: String, s: String, q: String): Column = {
+      val nd = col(nn).cast("double")
+      (col(q).cast("double") -
+        col(s).cast("double") * col(s).cast("double") / nd) / (nd - 1.0)
+    }
+    val va = sampleVar("n_a", "__sa", "__qa")
+    val vb = sampleVar("n_b", "__sb", "__qb")
+    val naD = col("n_a").cast("double")
+    val nbD = col("n_b").cast("double")
+    val pooled = ((naD - 1.0) * va + (nbD - 1.0) * vb) / (naD + nbD - 2.0)
+    val mde = lit(zAlpha + zBeta) *
+      sqrt(pooled * (lit(1.0) / naD + lit(1.0) / nbD))
+    val meanAll = (col("__sa") + col("__sb")).cast("decimal(38,6)")
+      .cast("double") / (naD + nbD)
+    g.select(col("__s").as(sliceCol), col("n_a"), col("n_b"),
+      when(col("n_a") > 1 && col("n_b") > 1, round(pooled, 4))
+        .as("pooled_var"),
+      when(col("n_a") > 1 && col("n_b") > 1, round(mde, 4)).as("mde_abs"),
+      when(col("n_a") > 1 && col("n_b") > 1 && meanAll =!= 0.0,
+        round(mde / meanAll, 4)).as("mde_rel"))
+  }
+
 }

@@ -235,6 +235,45 @@ object StreamingOps {
     }
   }
 
+  /** Streaming incremental rollup — the q338 merge==recompute contract
+    * under Structured Streaming: every micro-batch writes ITS OWN
+    * [[graft.operators.Profile.aggState]] frame under a batch_id
+    * partition (dynamic overwrite → a retried batch replaces itself,
+    * effectively-once — the round-8 idempotency advisory), and
+    * [[readRollup]] folds the partitions into the same exact display
+    * shape a full-corpus recompute produces. The materialized-view
+    * recipe: per-batch work is O(batch), state is per-key, and the
+    * exactness argument is the DECIMAL merge algebra, not replay luck.
+    */
+  def streamIncrementalRollup(stream: DataFrame, keyCol: String,
+      valueCol: String,
+      statePath: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+       batchId: Long) =>
+        graft.operators.Profile.aggState(batch.toDF(), keyCol, valueCol)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(statePath)
+        ()
+    }
+
+  /** Fold the per-batch [[streamIncrementalRollup]] states into the
+    * final rollup (exact: DECIMAL sums add, min/max fold).
+    */
+  def readRollup(spark: SparkSession, statePath: String,
+      keyCol: String): DataFrame =
+    spark.read.parquet(statePath)
+      .groupBy(col("__k"))
+      .agg(sum(col("n")).as("n"),
+        sum(col("__sum")).cast("decimal(38,6)").as("__s"),
+        min(col("__min")).as("__m"), max(col("__max")).as("__x"))
+      .select(col("__k").as(keyCol), col("n"),
+        col("__s").cast("double").as("sum_val"),
+        col("__m").cast("double").as("min_val"),
+        col("__x").cast("double").as("max_val"))
+
   def runToMemory(df: DataFrame, name: String, outputMode: String = "append"): StreamingQuery =
     df.writeStream
       .outputMode(outputMode)

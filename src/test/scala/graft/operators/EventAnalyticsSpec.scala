@@ -864,6 +864,25 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(g.isNullAt(g.fieldIndex("cramers_v")))
   }
 
+  test("minDetectableEffect: hand-computed pooled variance and MDE") {
+    import spark.implicits._
+    // slice g: a = {0,2} (s²=2), b = {1,3} (s²=2) → pooled 2,
+    // MDE = 2.801585·√(2·(½+½)) = 2.801585·√2 ≈ 3.962; mean 1.5
+    val df = Seq(("g", false, 0.0), ("g", false, 2.0),
+      ("g", true, 1.0), ("g", true, 3.0),
+      ("h", false, 1.0), ("h", false, 2.0), ("h", true, 9.0) // n_b = 1
+    ).toDF("s", "t", "v")
+    val out = EventAnalytics.minDetectableEffect(df, "s", col("t"), "v")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val g = out("g")
+    assert(g.getAs[Long]("n_a") == 2L && g.getAs[Long]("n_b") == 2L)
+    assert(g.getAs[Double]("pooled_var") == 2.0)
+    assert(g.getAs[Double]("mde_abs") == 3.962)
+    assert(g.getAs[Double]("mde_rel") == 2.6414)
+    val h = out("h")
+    assert(h.isNullAt(h.fieldIndex("mde_abs")))
+  }
+
   test("diffInDiff: hand-computed cells; empty cell nulls the estimate") {
     import spark.implicits._
     // treat pre mean 1, post 3; ctrl pre 2, post 2.5 → DiD = 2 − 0.5

@@ -429,4 +429,28 @@ class StreamingOpsSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet
     assert(regrown == full)
   }
+
+  test("incremental rollup fold == full recompute; batch retry idempotent") {
+    import spark.implicits._
+    val statePath = java.nio.file.Files
+      .createTempDirectory("graft_rollup").toString
+    val b1 = Seq(("a", 1.0), ("a", 3.0), ("b", 10.0)).toDF("k", "v")
+    val b2 = Seq(("b", 20.0), ("c", 5.0)).toDF("k", "v")
+    def writeBatch(df: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      graft.operators.Profile.aggState(df, "k", "v")
+        .withColumn("batch_id", org.apache.spark.sql.functions.lit(id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id").parquet(statePath)
+    writeBatch(b1, 0L); writeBatch(b2, 1L)
+    writeBatch(b2, 1L) // retried batch replaces itself, not duplicates
+    val folded = graft.streaming.StreamingOps
+      .readRollup(spark, statePath, "k").collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n"),
+        r.getAs[Double]("sum_val"), r.getAs[Double]("min_val"),
+        r.getAs[Double]("max_val"))).toMap
+    assert(folded("a") == ((2L, 4.0, 1.0, 3.0)))
+    assert(folded("b") == ((2L, 30.0, 10.0, 20.0)))
+    assert(folded("c") == ((1L, 5.0, 5.0, 5.0)))
+  }
 }
