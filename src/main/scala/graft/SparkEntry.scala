@@ -2376,6 +2376,21 @@ object SparkEntry {
         col("ts") >= lit("2024-01-16 00:00:00").cast("timestamp"),
         "value")),
 
+    // Two-feature OLS per language: does token count track char length
+    // once word count is controlled for? Exact DECIMAL moment matrix,
+    // Cramer's-rule βs, R² — the joint-effect answer q's single-feature
+    // trends can't give
+    "q346_ols2" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .filter(col("text").isNotNull && col("n_chars").isNotNull)
+      val toks = tokens(col("text"))
+      graft.operators.EventAnalytics.ols2(
+        docs.select(col("lang"), col("n_chars"),
+          size(toks).as("n_words"),
+          size(array_distinct(toks)).as("n_distinct")),
+        "lang", col("n_chars"), col("n_words"), col("n_distinct"))
+    }),
+
     // Streaming incremental rollup: per-batch aggState partitions,
     // folded to the final per-source rollup — the q338 merge==recompute
     // contract as a MATERIALIZED VIEW under Structured Streaming; the
@@ -7038,6 +7053,62 @@ object SparkEntry {
         |  (n_bidi = 0 AND n_zero_width = 0 AND n_control = 0
         |    AND NOT mixed_script) AS clean
         |FROM a""".stripMargin),
+
+    // OLS-2 replay: identical DECIMAL moment matrix, identical centered
+    // second moments, Cramer's-rule determinants in the same op order
+    "q346_ols2" ->
+      s"""WITH b AS (SELECT lang AS g,
+         |    round(n_chars::DOUBLE, 6)::DECIMAL(18,6) AS x1,
+         |    round(len($tokensSql)::DOUBLE, 6)::DECIMAL(18,6) AS x2,
+         |    round(len(list_distinct($tokensSql))::DOUBLE, 6)
+         |      ::DECIMAL(18,6) AS y
+         |  FROM documents WHERE text IS NOT NULL AND n_chars IS NOT NULL),
+         |g AS (SELECT g, count(*)::BIGINT AS n,
+         |    CAST(SUM(x1) AS DECIMAL(38,6)) AS s1,
+         |    CAST(SUM(x2) AS DECIMAL(38,6)) AS s2,
+         |    CAST(SUM(y) AS DECIMAL(38,6)) AS sy,
+         |    CAST(SUM(CAST(x1 * x1 AS DECIMAL(38,12))) AS DECIMAL(38,12))
+         |      AS s11,
+         |    CAST(SUM(CAST(x2 * x2 AS DECIMAL(38,12))) AS DECIMAL(38,12))
+         |      AS s22,
+         |    CAST(SUM(CAST(x1 * x2 AS DECIMAL(38,12))) AS DECIMAL(38,12))
+         |      AS s12,
+         |    CAST(SUM(CAST(x1 * y AS DECIMAL(38,12))) AS DECIMAL(38,12))
+         |      AS s1y,
+         |    CAST(SUM(CAST(x2 * y AS DECIMAL(38,12))) AS DECIMAL(38,12))
+         |      AS s2y,
+         |    CAST(SUM(CAST(y * y AS DECIMAL(38,12))) AS DECIMAL(38,12))
+         |      AS syy
+         |  FROM b GROUP BY 1),
+         |m AS (SELECT g, n,
+         |    s11::DOUBLE - s1::DOUBLE * s1::DOUBLE / n::DOUBLE AS a11,
+         |    s22::DOUBLE - s2::DOUBLE * s2::DOUBLE / n::DOUBLE AS a22,
+         |    s12::DOUBLE - s1::DOUBLE * s2::DOUBLE / n::DOUBLE AS a12,
+         |    s1y::DOUBLE - s1::DOUBLE * sy::DOUBLE / n::DOUBLE AS b1,
+         |    s2y::DOUBLE - s2::DOUBLE * sy::DOUBLE / n::DOUBLE AS b2,
+         |    syy::DOUBLE - sy::DOUBLE * sy::DOUBLE / n::DOUBLE AS sst,
+         |    s1::DOUBLE AS s1d, s2::DOUBLE AS s2d, sy::DOUBLE AS syd
+         |  FROM g),
+         |f AS (SELECT g, n, a11 * a22 - a12 * a12 AS det, a11, a22, a12,
+         |    b1, b2, sst, s1d, s2d, syd FROM m),
+         |r AS (SELECT g, n, det, sst,
+         |    (b1 * a22 - b2 * a12) / det AS beta1,
+         |    (b2 * a11 - b1 * a12) / det AS beta2, b1, b2, s1d, s2d, syd
+         |  FROM f),
+         |o AS (SELECT g, n, det, sst, beta1, beta2, b1, b2,
+         |    (syd - beta1 * s1d - beta2 * s2d) / n::DOUBLE AS beta0
+         |  FROM r)
+         |SELECT g AS lang, n,
+         |  CASE WHEN n >= 3 AND abs(det) > 1e-9 THEN round(beta0, 4) END
+         |    AS beta0,
+         |  CASE WHEN n >= 3 AND abs(det) > 1e-9 THEN round(beta1, 4) END
+         |    AS beta1,
+         |  CASE WHEN n >= 3 AND abs(det) > 1e-9 THEN round(beta2, 4) END
+         |    AS beta2,
+         |  CASE WHEN n >= 3 AND abs(det) > 1e-9 AND sst > 0 THEN
+         |    round(1.0::DOUBLE - (sst - (beta1 * b1 + beta2 * b2))
+         |      / sst, 4) END AS r2
+         |FROM o""".stripMargin,
 
     // Streaming rollup replay: the q338 full-corpus recompute — the
     // per-batch state fold must land on exactly this frame

@@ -1757,4 +1757,62 @@ object EventAnalytics {
         round(mde / meanAll, 4)).as("mde_rel"))
   }
 
+  /** Two-feature OLS per group via the closed-form normal equations —
+    * the multivariate sibling of [[groupTrend]]: fit y = β₀ + β₁x₁ +
+    * β₂x₂ per group with Cramer's rule on the EXACT moment matrix
+    * (n, Σx₁, Σx₂, Σy, Σx₁², Σx₂², Σx₁x₂, Σx₁y, Σx₂y — every moment a
+    * DECIMAL sum of 6dp-canonicalized inputs, so the fit is a pure
+    * function of the data, not of aggregation order). Answers the
+    * joint question a single-feature trend can't ("does quality track
+    * length once punctuation is controlled for?").
+    *
+    * Determinants are fixed-order double expressions on the exact
+    * moments; groups with a singular matrix (collinear or constant
+    * features, n < 3) report NULL βs. R² = 1 − SSE/SST with SSE from
+    * the β-folded cross moments (same op order both engines).
+    *
+    * Scale: ONE partial-agg pass — nine narrow sums per group, no
+    * window, no collect.
+    */
+  def ols2(df: DataFrame, groupCol: String, x1Col: Column, x2Col: Column,
+      yCol: Column): DataFrame = {
+    def canon(c: Column, n: String): Column =
+      round(c.cast("double"), 6).cast("decimal(18,6)").as(n)
+    val base = df.select(col(groupCol).as("__g"), canon(x1Col, "__x1"),
+        canon(x2Col, "__x2"), canon(yCol, "__y"))
+      .filter(col("__x1").isNotNull && col("__x2").isNotNull &&
+        col("__y").isNotNull)
+    def m2(a: String, b: String): Column =
+      sum((col(a) * col(b)).cast("decimal(38,12)")).cast("decimal(38,12)")
+    val g = base.groupBy(col("__g")).agg(
+      count(lit(1)).as("n"),
+      sum(col("__x1")).cast("decimal(38,6)").as("__s1"),
+      sum(col("__x2")).cast("decimal(38,6)").as("__s2"),
+      sum(col("__y")).cast("decimal(38,6)").as("__sy"),
+      m2("__x1", "__x1").as("__s11"), m2("__x2", "__x2").as("__s22"),
+      m2("__x1", "__x2").as("__s12"), m2("__x1", "__y").as("__s1y"),
+      m2("__x2", "__y").as("__s2y"),
+      m2("__y", "__y").as("__syy"))
+    val nD = col("n").cast("double")
+    def d(c: String): Column = col(c).cast("double")
+    // centered second moments (computed identically in the oracle)
+    val a11 = d("__s11") - d("__s1") * d("__s1") / nD
+    val a22 = d("__s22") - d("__s2") * d("__s2") / nD
+    val a12 = d("__s12") - d("__s1") * d("__s2") / nD
+    val b1 = d("__s1y") - d("__s1") * d("__sy") / nD
+    val b2 = d("__s2y") - d("__s2") * d("__sy") / nD
+    val det = a11 * a22 - a12 * a12
+    val beta1 = (b1 * a22 - b2 * a12) / det
+    val beta2 = (b2 * a11 - b1 * a12) / det
+    val beta0 = (d("__sy") - beta1 * d("__s1") - beta2 * d("__s2")) / nD
+    val sst = d("__syy") - d("__sy") * d("__sy") / nD
+    val sse = sst - (beta1 * b1 + beta2 * b2)
+    val ok = col("n") >= 3 && abs(det) > 1e-9
+    g.select(col("__g").as(groupCol), col("n"),
+      when(ok, round(beta0, 4)).as("beta0"),
+      when(ok, round(beta1, 4)).as("beta1"),
+      when(ok, round(beta2, 4)).as("beta2"),
+      when(ok && sst > 0, round(lit(1.0) - sse / sst, 4)).as("r2"))
+  }
+
 }

@@ -864,6 +864,26 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(g.isNullAt(g.fieldIndex("cramers_v")))
   }
 
+  test("ols2: recovers exact planted coefficients; collinear → NULL") {
+    import spark.implicits._
+    // y = 1 + 2·x1 + 3·x2 exactly → β recovered, R² = 1
+    val pts = Seq((0.0, 0.0), (1.0, 0.0), (0.0, 1.0), (2.0, 1.0),
+      (1.0, 2.0), (3.0, 2.0))
+    val df = pts.map { case (x1, x2) => ("g", x1, x2, 1 + 2 * x1 + 3 * x2) }
+      .toDF("g", "x1", "x2", "y")
+      // collinear group: x2 = 2·x1 everywhere → singular normal matrix
+      .unionAll(Seq(("s", 1.0, 2.0, 5.0), ("s", 2.0, 4.0, 7.0),
+        ("s", 3.0, 6.0, 9.0)).toDF("g", "x1", "x2", "y"))
+    val out = EventAnalytics.ols2(df, "g", col("x1"), col("x2"), col("y"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val g = out("g")
+    assert(g.getAs[Double]("beta0") == 1.0)
+    assert(g.getAs[Double]("beta1") == 2.0)
+    assert(g.getAs[Double]("beta2") == 3.0)
+    assert(g.getAs[Double]("r2") == 1.0)
+    assert(out("s").isNullAt(out("s").fieldIndex("beta1")))
+  }
+
   test("minDetectableEffect: hand-computed pooled variance and MDE") {
     import spark.implicits._
     // slice g: a = {0,2} (s²=2), b = {1,3} (s²=2) → pooled 2,
