@@ -2376,6 +2376,39 @@ object SparkEntry {
         col("ts") >= lit("2024-01-16 00:00:00").cast("timestamp"),
         "value")),
 
+    // Decontamination gate EVALUATED against planted ground truth:
+    // every 5th doc is mirrored (case-noised) into a synthetic eval
+    // suite, the 8-gram gate flags the corpus, and the confusion report
+    // scores the gate itself — recall says planted overlaps are caught,
+    // precision prices incidental shared 8-grams
+    "q348_decontam_eval" -> ((s, d) => {
+      val docs = t(s, d, "documents").filter(col("text").isNotNull)
+      val evalDf = docs.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + lit(1000000L)).as("doc_id"),
+          upper(col("text")).as("text"))
+      val flagged = graft.operators.TrainingData
+        .decontaminate(docs, evalDf, "doc_id", "text", n = 8)
+      val truth = docs.select(col("doc_id"),
+        (col("doc_id") % 5 === 0 && size(tokens(col("text"))) >= 8)
+          .as("truth"))
+      val joined = truth
+        .join(flagged.select(col("id").as("doc_id"), col("contaminated")),
+          Seq("doc_id"), "left")
+        .select(lit("decontam_8gram").as("gate"),
+          coalesce(col("contaminated"), lit(false)).as("pred"),
+          col("truth"))
+      graft.operators.Eval.confusionStats(joined, "gate", col("pred"),
+        col("truth"))
+    }),
+
+    // Good-Turing missing mass + Chao1 richness floor per language:
+    // what share of the next crawl is NEW vocabulary, and how big is
+    // the true vocabulary at least? Exact frequency-of-frequencies.
+    "q347_unseen_vocab" -> ((s, d) =>
+      graft.operators.TextAnalysis.unseenVocab(
+        t(s, d, "documents").filter(col("text").isNotNull),
+        "lang", "text")),
+
     // Two-feature OLS per language: does token count track char length
     // once word count is controlled for? Exact DECIMAL moment matrix,
     // Cramer's-rule βs, R² — the joint-effect answer q's single-feature
@@ -7053,6 +7086,71 @@ object SparkEntry {
         |  (n_bidi = 0 AND n_zero_width = 0 AND n_control = 0
         |    AND NOT mixed_script) AS clean
         |FROM a""".stripMargin),
+
+    // Decontam-eval replay: gram STRINGS stand in for the engine's
+    // FNV hashes (the q92 collision-negligible convention), identical
+    // truth definition, the q323 confusion shape
+    "q348_decontam_eval" ->
+      s"""WITH tk AS (SELECT doc_id, $tokensSql AS toks FROM documents
+         |  WHERE text IS NOT NULL),
+         |sh AS (SELECT doc_id, len(toks) AS nt,
+         |  list_distinct(list_transform(generate_series(1, len(toks) - 7),
+         |    i -> array_to_string(toks[i:i+7], ' '))) AS g
+         | FROM tk),
+         |ev AS (SELECT DISTINCT gram FROM
+         |  (SELECT unnest(g) AS gram FROM sh
+         |   WHERE doc_id % 5 = 0 AND nt >= 8)),
+         |tr AS (SELECT doc_id, unnest(g) AS gram FROM sh WHERE nt >= 8),
+         |fl AS (SELECT DISTINCT tr.doc_id FROM tr JOIN ev USING (gram)),
+         |base AS (SELECT sh.doc_id,
+         |    (sh.doc_id % 5 = 0 AND nt >= 8) AS y,
+         |    (fl.doc_id IS NOT NULL) AS p
+         |  FROM sh LEFT JOIN fl ON sh.doc_id = fl.doc_id),
+         |c AS (SELECT
+         |    sum(CASE WHEN p AND y THEN 1 ELSE 0 END)::BIGINT AS tp,
+         |    sum(CASE WHEN p AND NOT y THEN 1 ELSE 0 END)::BIGINT AS fp,
+         |    sum(CASE WHEN NOT p AND y THEN 1 ELSE 0 END)::BIGINT AS fn,
+         |    sum(CASE WHEN NOT p AND NOT y THEN 1 ELSE 0 END)::BIGINT
+         |      AS tn
+         |  FROM base)
+         |SELECT 'decontam_8gram' AS gate, tp, fp, fn, tn,
+         |  round((tp::DOUBLE + tn::DOUBLE)
+         |    / (tp::DOUBLE + fp::DOUBLE + fn::DOUBLE + tn::DOUBLE), 4)
+         |    AS accuracy,
+         |  CASE WHEN tp + fp > 0 THEN
+         |    round(tp::DOUBLE / (tp::DOUBLE + fp::DOUBLE), 4) END
+         |    AS "precision",
+         |  CASE WHEN tp + fn > 0 THEN
+         |    round(tp::DOUBLE / (tp::DOUBLE + fn::DOUBLE), 4) END AS recall,
+         |  CASE WHEN tp * 2 + fp + fn > 0 THEN
+         |    round(tp::DOUBLE * 2 / (tp::DOUBLE * 2 + fp::DOUBLE
+         |      + fn::DOUBLE), 4) END AS f1,
+         |  CASE WHEN tp + fp > 0 AND tp + fn > 0 AND tn + fp > 0
+         |      AND tn + fn > 0 THEN
+         |    round((tp::DOUBLE * tn::DOUBLE - fp::DOUBLE * fn::DOUBLE)
+         |      / sqrt((tp::DOUBLE + fp::DOUBLE) * (tp::DOUBLE + fn::DOUBLE)
+         |        * (tn::DOUBLE + fp::DOUBLE) * (tn::DOUBLE + fn::DOUBLE)),
+         |      4) END AS mcc
+         |FROM c""".stripMargin,
+
+    // Good-Turing/Chao1 replay: same token counts, exact N₁/N₂, three
+    // divides
+    "q347_unseen_vocab" ->
+      s"""WITH tok AS (SELECT lang AS g, unnest($tokensSql) AS w
+         |  FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL),
+         |tf AS (SELECT g, w, count(*)::BIGINT AS c FROM tok GROUP BY 1, 2),
+         |a AS (SELECT g, sum(c)::BIGINT AS n_tokens,
+         |    count(*)::BIGINT AS vocab_observed,
+         |    sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT AS n1,
+         |    sum(CASE WHEN c = 2 THEN 1 ELSE 0 END)::BIGINT AS n2
+         |  FROM tf GROUP BY 1)
+         |SELECT g AS lang, n_tokens, vocab_observed,
+         |  n1 AS n_singletons, n2 AS n_doubletons,
+         |  round(n1::DOUBLE / n_tokens::DOUBLE, 4) AS p_unseen,
+         |  CASE WHEN n2 > 0 THEN round(vocab_observed::DOUBLE
+         |    + n1::DOUBLE * n1::DOUBLE / (2.0::DOUBLE * n2::DOUBLE), 4)
+         |    END AS chao1_richness
+         |FROM a""".stripMargin,
 
     // OLS-2 replay: identical DECIMAL moment matrix, identical centered
     // second moments, Cramer's-rule determinants in the same op order

@@ -1596,4 +1596,42 @@ object TextAnalysis {
         round(col("n_in_vocab").cast("double") /
           col("n_tokens").cast("double"), 4).as("coverage"))
   }
+  /** Unseen-vocabulary estimators per group — the "how much have we NOT
+    * crawled yet" planning numbers: Good-Turing's missing mass
+    * P₀ = N₁/N (Good 1953: the probability the NEXT token is a
+    * never-seen type equals the singleton share) and the Chao1 richness
+    * floor D + N₁²/(2·N₂) (Chao 1984: a lower bound on TRUE vocabulary
+    * size from singleton/doubleton counts). Complements [[heapsFit]]
+    * (growth-curve extrapolation) with closed forms that need only the
+    * frequency-of-frequencies.
+    *
+    * Everything is exact integers (token counts, type counts, N₁, N₂)
+    * until three final divides; Chao1 is NULL when N₂ = 0 (the
+    * bias-corrected N₁(N₁−1)/2 form would also die there — callers see
+    * the NULL and fall back to Heaps). Scale: one (group, token)
+    * partial-agg, one group agg — no window, no collect.
+    */
+  def unseenVocab(df: DataFrame, groupCol: String,
+      textCol: String): DataFrame = {
+    val tok = df.select(col(groupCol).as("__g"), tokens(col(textCol)).as("__t"))
+      .filter(col("__g").isNotNull)
+      .select(col("__g"), explode(col("__t")).as("__w"))
+    val tf = tok.groupBy(col("__g"), col("__w")).agg(count(lit(1)).as("__c"))
+    val g = tf.groupBy(col("__g")).agg(
+      sum(col("__c")).as("n_tokens"),
+      count(lit(1)).as("vocab_observed"),
+      sum(when(col("__c") === 1, 1L).otherwise(0L)).as("n_singletons"),
+      sum(when(col("__c") === 2, 1L).otherwise(0L)).as("n_doubletons"))
+    g.select(col("__g").as(groupCol), col("n_tokens"),
+      col("vocab_observed"), col("n_singletons"), col("n_doubletons"),
+      round(col("n_singletons").cast("double") /
+        col("n_tokens").cast("double"), 4).as("p_unseen"),
+      when(col("n_doubletons") > 0,
+        round(col("vocab_observed").cast("double") +
+          col("n_singletons").cast("double") *
+          col("n_singletons").cast("double") /
+          (lit(2.0) * col("n_doubletons").cast("double")), 4))
+        .as("chao1_richness"))
+  }
+
 }

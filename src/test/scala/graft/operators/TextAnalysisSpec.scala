@@ -746,4 +746,24 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out(1L) == ((4L, 3L, 0.75)) && out(2L) == ((4L, 3L, 0.75)))
     assert(out(3L) == ((1L, 0L, 0.0))) // fully OOV doc still reports
   }
+
+  test("unseenVocab: hand-computed Good-Turing mass and Chao1 floor") {
+    import spark.implicits._
+    val df = Seq(
+      ("g1", "a a b c"),   // N=4, D=3, N1=2, N2=1 → P0=.5, chao1=3+4/2=5
+      ("g2", "a a b b"),   // N1=0, N2=2 → P0=0, chao1=2
+      ("g3", "a b")        // N2=0 → chao1 NULL
+    ).toDF("g", "text")
+    val out = TextAnalysis.unseenVocab(df, "g", "text").collect()
+      .map(r => r.getString(0) -> r).toMap
+    val g1 = out("g1")
+    assert(g1.getAs[Long]("n_tokens") == 4L)
+    assert(g1.getAs[Long]("vocab_observed") == 3L)
+    assert(g1.getAs[Long]("n_singletons") == 2L)
+    assert(g1.getAs[Double]("p_unseen") == 0.5)
+    assert(g1.getAs[Double]("chao1_richness") == 5.0)
+    assert(out("g2").getAs[Double]("p_unseen") == 0.0)
+    assert(out("g2").getAs[Double]("chao1_richness") == 2.0)
+    assert(out("g3").isNullAt(out("g3").fieldIndex("chao1_richness")))
+  }
 }
