@@ -3346,16 +3346,18 @@ object SparkEntry {
         "user_id", "ts", "event_id", "value")),
 
     // Welch two-sample t-test on mean value between the q176 parity
-    // cohorts: event-id-ordered Σx/Σx² folds, 4dp t + Welch df
+    // cohorts: exact DECIMAL Σx/Σx² of 6dp-canonicalized values
+    // (order-free partial aggs — no whole-cohort fold), 4dp t + df
     "q210_welch_ttest" -> ((s, d) =>
       graft.operators.EventAnalytics.welchTTest(Tables.events(s, d),
-        "event_id", "value", (col("user_id") % 2) === 1)),
+        "value", (col("user_id") % 2) === 1)),
 
     // Per-source skewness + excess kurtosis of n_chars: exact-BIGINT
-    // mean, doc-id-ordered central-moment folds, no libm pow
+    // mean shift, exact DECIMAL(38,0) power sums S1..S4 of d = x − c
+    // (order-free partial aggs), one fixed double sequence at the end
     "q211_skew_kurtosis" -> ((s, d) =>
       graft.operators.Profile.skewKurtosis(t(s, d, "documents"),
-        "source", "doc_id", "n_chars")),
+        "source", "n_chars")),
 
     // Pairwise vocabulary Jaccard between sources: distinct-token sets
     // intersected on the aggregated frame (the q185 shape, set-valued)
@@ -3476,7 +3478,7 @@ object SparkEntry {
         "user_id", "ts")),
 
     // U-shaped multi-touch attribution: 40/20/40 credits as exact
-    // integer fractions, per-channel ordered folds
+    // integer fractions, per-channel exact DECIMAL(28,18) sums
     "q229_position_attribution" -> ((s, d) =>
       graft.operators.EventAnalytics.positionAttribution(Tables.events(s, d),
         "user_id", "ts", "event_id", "event_type", "purchase")),
@@ -3869,10 +3871,10 @@ object SparkEntry {
     }),
 
     // Per-event-type OLS trend of value vs event-hour — grouped
-    // regression, bit-exact (id-ordered folds, no transcendentals)
+    // regression, bit-exact (exact DECIMAL moment sums, order-free)
     "q160_group_trend" -> ((s, d) =>
       graft.operators.EventAnalytics.groupTrend(Tables.events(s, d),
-        "event_type", "ts", "event_id", "value")),
+        "event_type", "ts", "value")),
 
     // Trigram-index substring search: postings intersection (all pattern
     // trigrams) + exact contains rerank — no corpus scan for candidates
@@ -8275,15 +8277,18 @@ object SparkEntry {
         |g AS (SELECT k, us, id,
         |    us - lag(us) OVER (PARTITION BY k ORDER BY us, id) AS g
         |  FROM e),
-        |a AS (SELECT k, count(*) AS n_gaps, sum(g)::BIGINT AS sg,
-        |    list(g ORDER BY us, id) AS gs
+        |a AS (SELECT k, count(*) AS n_gaps, sum(g)::BIGINT AS sg
         |  FROM g WHERE g IS NOT NULL GROUP BY k),
-        |b AS (SELECT k, n_gaps, sg::DOUBLE / n_gaps AS mu,
-        |    list_reduce(list_prepend(0.0, list_transform(gs,
-        |      v -> (v::DOUBLE - sg::DOUBLE / n_gaps)
-        |         * (v::DOUBLE - sg::DOUBLE / n_gaps))),
-        |      (x, y) -> x + y) AS ss
+        |f AS (SELECT k, n_gaps, sg, sg // n_gaps AS c
         |  FROM a WHERE n_gaps >= 2),
+        |d AS (SELECT g.k, f.n_gaps, f.sg, (g.g - f.c)::HUGEINT AS d
+        |  FROM g JOIN f ON g.k = f.k WHERE g.g IS NOT NULL),
+        |s AS (SELECT k, any_value(n_gaps) AS n_gaps, any_value(sg) AS sg,
+        |    sum(d)::HUGEINT AS s1, sum(d * d)::HUGEINT AS s2
+        |  FROM d GROUP BY k),
+        |b AS (SELECT k, n_gaps, sg::DOUBLE / n_gaps AS mu,
+        |    s2::DOUBLE - s1::DOUBLE * s1::DOUBLE / n_gaps::DOUBLE AS ss
+        |  FROM s),
         |c AS (SELECT k, n_gaps, mu, sqrt(ss / n_gaps) AS sigma FROM b)
         |SELECT k AS user_id, n_gaps::BIGINT AS n_gaps,
         |  round(mu / 1000000.0, 4) + 0.0 AS mean_gap_s,
@@ -9305,14 +9310,17 @@ object SparkEntry {
         |  GROUP BY 1, 2),
         |lm AS (SELECT l, sum(c)::BIGINT AS c FROM pr GROUP BY 1),
         |rm AS (SELECT r, sum(c)::BIGINT AS c FROM pr GROUP BY 1),
-        |fl AS (SELECT sum(c)::BIGINT AS n, list_reduce(list_prepend(0.0,
-        |    list(c::DOUBLE * ln(c) ORDER BY l)), (a, b) -> a + b) AS s
+        |fl AS (SELECT sum(c)::BIGINT AS n,
+        |    CAST(CAST(SUM((c::DOUBLE * ln(c))::DECIMAL(38,18))
+        |      AS DECIMAL(38,18)) AS DOUBLE) AS s
         |  FROM lm),
-        |fr AS (SELECT sum(c)::BIGINT AS n, list_reduce(list_prepend(0.0,
-        |    list(c::DOUBLE * ln(c) ORDER BY r)), (a, b) -> a + b) AS s
+        |fr AS (SELECT sum(c)::BIGINT AS n,
+        |    CAST(CAST(SUM((c::DOUBLE * ln(c))::DECIMAL(38,18))
+        |      AS DECIMAL(38,18)) AS DOUBLE) AS s
         |  FROM rm),
-        |fj AS (SELECT sum(c)::BIGINT AS n, list_reduce(list_prepend(0.0,
-        |    list(c::DOUBLE * ln(c) ORDER BY l, r)), (a, b) -> a + b) AS s
+        |fj AS (SELECT sum(c)::BIGINT AS n,
+        |    CAST(CAST(SUM((c::DOUBLE * ln(c))::DECIMAL(38,18))
+        |      AS DECIMAL(38,18)) AS DOUBLE) AS s
         |  FROM pr)
         |SELECT fj.n AS n_rows,
         |  round(ln(fl.n) - fl.s / fl.n, 4) AS h_lhs,
@@ -9598,17 +9606,16 @@ object SparkEntry {
         |  r.at_id AS at_event_id
         |FROM r JOIN st ON st.k = r.k AND r.rn = st.n""".stripMargin,
 
-    // Welch replay: identical event-id-ordered folds and formula op
-    // sequence; cohorts by user parity
+    // Welch replay: identical exact DECIMAL sums of 6dp-canonicalized
+    // values and the same final double op sequence; cohorts by parity
     "q210_welch_ttest" ->
       """WITH b AS (SELECT CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END AS g,
-        |    event_id AS id, value::DOUBLE AS x FROM events
+        |    round(value, 6)::DECIMAL(18,6) AS x FROM events
         |  WHERE value IS NOT NULL),
         |s AS (SELECT g, count(*)::BIGINT AS n,
-        |    list_reduce(list_prepend(0.0, list(x ORDER BY id)),
-        |      (a, b) -> a + b) AS sx,
-        |    list_reduce(list_prepend(0.0, list(x * x ORDER BY id)),
-        |      (a, b) -> a + b) AS sxx
+        |    CAST(CAST(SUM(x) AS DECIMAL(38,6)) AS DOUBLE) AS sx,
+        |    CAST(CAST(SUM(CAST(x * x AS DECIMAL(38,12)))
+        |      AS DECIMAL(38,12)) AS DOUBLE) AS sxx
         |  FROM b GROUP BY g),
         |t AS (SELECT g, n, sx / n::DOUBLE AS m,
         |    ((sxx - sx * sx / n::DOUBLE) / (n - 1)::DOUBLE) / n::DOUBLE
@@ -9629,25 +9636,32 @@ object SparkEntry {
         |    4) AS welch_df
         |FROM w""".stripMargin,
 
-    // Skew/kurtosis replay: exact-BIGINT mean, doc-id-ordered central-
-    // moment folds with the same left-multiplied power chains
+    // Skew/kurtosis replay: exact-BIGINT mean shift, exact HUGEINT
+    // power sums of d = x − c, the same fixed double sequence for the
+    // central-moment assembly and the statistic
     "q211_skew_kurtosis" ->
-      """WITH b AS (SELECT source AS g, doc_id AS id, n_chars::BIGINT AS x
+      """WITH b AS (SELECT source AS g, n_chars::BIGINT AS x
         |  FROM documents WHERE n_chars IS NOT NULL),
-        |s AS (SELECT g, count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
-        |    list(x ORDER BY id) AS xs FROM b GROUP BY g),
-        |m AS (SELECT g, n, sx::DOUBLE / n::DOUBLE AS mu, xs FROM s),
-        |f AS (SELECT g, n, mu,
-        |    list_reduce(list_prepend(0.0, list_transform(xs,
-        |      x -> (x::DOUBLE - mu) * (x::DOUBLE - mu))),
-        |      (a, b) -> a + b) AS m2,
-        |    list_reduce(list_prepend(0.0, list_transform(xs,
-        |      x -> ((x::DOUBLE - mu) * (x::DOUBLE - mu)) * (x::DOUBLE - mu))),
-        |      (a, b) -> a + b) AS m3,
-        |    list_reduce(list_prepend(0.0, list_transform(xs,
-        |      x -> (((x::DOUBLE - mu) * (x::DOUBLE - mu)) * (x::DOUBLE - mu))
-        |        * (x::DOUBLE - mu))),
-        |      (a, b) -> a + b) AS m4
+        |p AS (SELECT g, count(*)::BIGINT AS n, sum(x)::HUGEINT AS sx
+        |  FROM b GROUP BY g),
+        |c AS (SELECT g, n, sx, sx // n::HUGEINT AS c FROM p),
+        |dd AS (SELECT b.g, (b.x::HUGEINT - c.c) AS d
+        |  FROM b JOIN c ON b.g = c.g),
+        |s AS (SELECT g, sum(d)::HUGEINT AS s1, sum(d * d)::HUGEINT AS s2,
+        |    sum((d * d) * d)::HUGEINT AS s3,
+        |    sum((d * d) * (d * d))::HUGEINT AS s4
+        |  FROM dd GROUP BY g),
+        |m AS (SELECT c.g, c.n, c.sx,
+        |    c.n::DOUBLE AS nd, s1::DOUBLE AS s1d, s2::DOUBLE AS s2d,
+        |    s3::DOUBLE AS s3d, s4::DOUBLE AS s4d
+        |  FROM s JOIN c ON s.g = c.g),
+        |f AS (SELECT g, n, sx::DOUBLE / nd AS mu,
+        |    s2d - s1d * s1d / nd AS m2,
+        |    s3d - 3.0::DOUBLE * s1d * s2d / nd
+        |      + 2.0::DOUBLE * s1d * s1d * s1d / (nd * nd) AS m3,
+        |    s4d - 4.0::DOUBLE * s1d * s3d / nd
+        |      + 6.0::DOUBLE * s1d * s1d * s2d / (nd * nd)
+        |      - 3.0::DOUBLE * s1d * s1d * s1d * s1d / (nd * nd * nd) AS m4
         |  FROM m)
         |SELECT g AS source, n, round(mu, 4) AS mean,
         |  round(sqrt(n::DOUBLE) * m3 / (m2 * sqrt(m2)), 4) AS skewness,
@@ -9886,8 +9900,8 @@ object SparkEntry {
         |      ELSE 5 * (n - 2) END)::DOUBLE AS frac
         |  FROM c),
         |ag AS (SELECT ch AS channel, count(*)::BIGINT AS n_touches,
-        |    list_reduce(list_prepend(0.0, list(frac ORDER BY pid, pos)),
-        |      (a, b) -> a + b) AS attr
+        |    CAST(CAST(SUM(frac::DECIMAL(28,18)) AS DECIMAL(38,18))
+        |      AS DOUBLE) AS attr
         |  FROM f GROUP BY ch),
         |dr AS (SELECT 'direct' AS channel, count(*)::BIGINT AS n_touches,
         |    count(*)::DOUBLE AS attr
@@ -10258,28 +10272,26 @@ object SparkEntry {
          |    / (c.n_tokens::DOUBLE / st.tot::DOUBLE), 4) AS boost
          |FROM c CROSS JOIN st""".stripMargin,
 
-    // CUPED replay: identical pre/post DECIMAL splits, user-ordered
-    // pooled folds, same θ/µX/Y′/ratio op sequences
+    // CUPED replay: identical pre/post DECIMAL splits, exact DECIMAL
+    // pooled sums (order-free), same θ/µX/Y′/ratio op sequences
     "q238_cuped" ->
       """WITH e AS (SELECT user_id AS u, epoch_us(ts) AS us,
         |    value::DECIMAL(18,6) AS v FROM events
         |  WHERE value IS NOT NULL),
         |md AS (SELECT (min(us) + max(us)) // 2 AS mid FROM e),
         |xy AS (SELECT u,
-        |    (sum(CASE WHEN us <= md.mid THEN v
-        |      ELSE 0::DECIMAL(18,6) END)::DECIMAL(18,6))::DOUBLE AS x,
-        |    (sum(CASE WHEN us > md.mid THEN v
-        |      ELSE 0::DECIMAL(18,6) END)::DECIMAL(18,6))::DOUBLE AS y
+        |    sum(CASE WHEN us <= md.mid THEN v
+        |      ELSE 0::DECIMAL(18,6) END)::DECIMAL(18,6) AS x,
+        |    sum(CASE WHEN us > md.mid THEN v
+        |      ELSE 0::DECIMAL(18,6) END)::DECIMAL(18,6) AS y
         |  FROM e CROSS JOIN md GROUP BY u),
         |p AS (SELECT count(*)::BIGINT AS n,
-        |    list_reduce(list_prepend(0.0, list(x ORDER BY u)),
-        |      (a, b) -> a + b) AS sx,
-        |    list_reduce(list_prepend(0.0, list(y ORDER BY u)),
-        |      (a, b) -> a + b) AS sy,
-        |    list_reduce(list_prepend(0.0, list(x * y ORDER BY u)),
-        |      (a, b) -> a + b) AS sxy,
-        |    list_reduce(list_prepend(0.0, list(x * x ORDER BY u)),
-        |      (a, b) -> a + b) AS sxx
+        |    CAST(CAST(SUM(x) AS DECIMAL(38,6)) AS DOUBLE) AS sx,
+        |    CAST(CAST(SUM(y) AS DECIMAL(38,6)) AS DOUBLE) AS sy,
+        |    CAST(CAST(SUM(CAST(x::DECIMAL(19,6) * y AS DECIMAL(38,12)))
+        |      AS DECIMAL(38,12)) AS DOUBLE) AS sxy,
+        |    CAST(CAST(SUM(CAST(x::DECIMAL(19,6) * x AS DECIMAL(38,12)))
+        |      AS DECIMAL(38,12)) AS DOUBLE) AS sxx
         |  FROM xy),
         |t AS (SELECT n, sx, sy,
         |    (sxy - sx * sy / n::DOUBLE)
@@ -10287,16 +10299,16 @@ object SparkEntry {
         |    sx / n::DOUBLE AS mux
         |  FROM p),
         |adj AS (SELECT xy.u, (xy.u % 2)::INT AS g, xy.y,
-        |    xy.y - t.theta * (xy.x - t.mux) AS yadj,
+        |    round(xy.y::DOUBLE - t.theta * (xy.x::DOUBLE - t.mux), 6)
+        |      ::DECIMAL(18,6) AS yadj,
         |    t.n, t.sy, t.theta
         |  FROM xy CROSS JOIN t),
         |pv AS (SELECT
-        |    list_reduce(list_prepend(0.0, list(y * y ORDER BY u)),
-        |      (a, b) -> a + b) AS syy,
-        |    list_reduce(list_prepend(0.0, list(yadj ORDER BY u)),
-        |      (a, b) -> a + b) AS sa,
-        |    list_reduce(list_prepend(0.0, list(yadj * yadj ORDER BY u)),
-        |      (a, b) -> a + b) AS saa,
+        |    CAST(CAST(SUM(CAST(y::DECIMAL(19,6) * y AS DECIMAL(38,12)))
+        |      AS DECIMAL(38,12)) AS DOUBLE) AS syy,
+        |    CAST(CAST(SUM(yadj) AS DECIMAL(38,6)) AS DOUBLE) AS sa,
+        |    CAST(CAST(SUM(CAST(yadj::DECIMAL(19,6) * yadj
+        |      AS DECIMAL(38,12))) AS DECIMAL(38,12)) AS DOUBLE) AS saa,
         |    max(n) AS n, max(sy) AS sy, max(theta) AS theta
         |  FROM adj),
         |vr AS (SELECT theta,
@@ -10304,11 +10316,9 @@ object SparkEntry {
         |      / (syy - sy * sy / n::DOUBLE) AS var_ratio
         |  FROM pv)
         |SELECT adj.g AS cohort, count(*)::BIGINT AS n_users,
-        |  round(list_reduce(list_prepend(0.0,
-        |    list(adj.y ORDER BY adj.u)), (a, b) -> a + b)
+        |  round(CAST(CAST(SUM(adj.y) AS DECIMAL(38,6)) AS DOUBLE)
         |    / count(*)::DOUBLE, 4) AS mean_y,
-        |  round(list_reduce(list_prepend(0.0,
-        |    list(adj.yadj ORDER BY adj.u)), (a, b) -> a + b)
+        |  round(CAST(CAST(SUM(adj.yadj) AS DECIMAL(38,6)) AS DOUBLE)
         |    / count(*)::DOUBLE, 4) AS mean_y_adj,
         |  round(max(vr.theta), 4) AS theta,
         |  round(max(vr.var_ratio), 4) AS var_ratio
@@ -10852,24 +10862,24 @@ object SparkEntry {
 
     // Group-trend replay: same hour x, id-ordered folds, same closed form
     "q160_group_trend" ->
-      """WITH b AS (SELECT event_type AS g, event_id AS id,
-        |    (epoch_us(ts) // 3600000000)::DOUBLE AS x, value::DOUBLE AS y
+      """WITH b AS (SELECT event_type AS g,
+        |    (epoch_us(ts) // 3600000000)::BIGINT AS xh,
+        |    round(value, 6)::DECIMAL(18,6) AS y
         |  FROM events WHERE value IS NOT NULL),
         |s AS (SELECT g, count(*)::BIGINT AS n,
-        |    list_reduce(list_prepend(0.0, list(x ORDER BY id)),
-        |      (a, b) -> a + b) AS sx,
-        |    list_reduce(list_prepend(0.0, list(y ORDER BY id)),
-        |      (a, b) -> a + b) AS sy,
-        |    list_reduce(list_prepend(0.0, list(x * y ORDER BY id)),
-        |      (a, b) -> a + b) AS sxy,
-        |    list_reduce(list_prepend(0.0, list(x * x ORDER BY id)),
-        |      (a, b) -> a + b) AS sxx
+        |    CAST(SUM(xh::HUGEINT) AS DOUBLE) AS sx,
+        |    CAST(CAST(SUM(y) AS DECIMAL(38,6)) AS DOUBLE) AS sy,
+        |    CAST(CAST(SUM(CAST(xh::DECIMAL(12,0) * y AS DECIMAL(38,6)))
+        |      AS DECIMAL(38,6)) AS DOUBLE) AS sxy,
+        |    CAST(SUM((xh * xh)::HUGEINT) AS DOUBLE) AS sxx
         |  FROM b GROUP BY g)
         |SELECT g AS event_type, n,
-        |  CASE WHEN n * sxx - sx * sx <> 0.0 THEN
-        |    (n * sxy - sx * sy) / (n * sxx - sx * sx) END AS slope,
-        |  CASE WHEN n * sxx - sx * sx <> 0.0 THEN
-        |    (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n END
+        |  CASE WHEN n::DOUBLE * sxx - sx * sx <> 0.0 THEN
+        |    (n::DOUBLE * sxy - sx * sy) / (n::DOUBLE * sxx - sx * sx) END
+        |    AS slope,
+        |  CASE WHEN n::DOUBLE * sxx - sx * sx <> 0.0 THEN
+        |    (sy - (n::DOUBLE * sxy - sx * sy) /
+        |      (n::DOUBLE * sxx - sx * sx) * sx) / n::DOUBLE END
         |    AS intercept
         |FROM s""".stripMargin,
 

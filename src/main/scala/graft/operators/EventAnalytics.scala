@@ -91,29 +91,39 @@ object EventAnalytics {
 
   /** Per-group least-squares trend: slope/intercept of `value` against
     * event-hour (epoch µs ÷ 3600000000, exact integral division) — the
-    * grouped-OLS family (metric drift per segment). The four regression
-    * sums fold in event-id order (fixed FP sequence), and no
-    * transcendental enters, so slope and intercept are BIT-exact
-    * cross-engine on raw doubles. One shuffle on the group key;
-    * per-group state is the collected (id, x, y) list — bound group
-    * cardinality accordingly at fleet scale (or pre-aggregate per hour).
+    * grouped-OLS family (metric drift per segment).
+    *
+    * Round-10 migration to the DECIMAL-moment idiom (the q346 `ols2`
+    * pattern): x is an exact integer hour, y is 6dp-canonicalized to
+    * DECIMAL(18,6), and Σx, Σy, Σxy, Σx² are EXACT decimal sums —
+    * order-free, partial+final aggregation, O(1) state per partial
+    * buffer (the previous event-id-ordered collect_list fold held an
+    * entire group's events in one aggregation buffer — an OOM hazard
+    * at 100 TB group cardinality). Slope/intercept are one fixed
+    * double op sequence on the exact sums, replayed by the oracle —
+    * still bit-exact cross-engine on raw doubles.
     */
   def groupTrend(events: DataFrame, groupCol: String, tsCol: String,
-      idCol: String, valueCol: String): DataFrame = {
+      valueCol: String): DataFrame = {
     val base = events.filter(col(valueCol).isNotNull)
-      .select(col(groupCol).as("g"), col(idCol).as("id"),
-        expr(s"unix_micros($tsCol) div 3600000000L").cast("double").as("x"),
-        col(valueCol).cast("double").as("y"))
-    def foldOrdered(value: Column): Column =
-      aggregate(
-        transform(array_sort(collect_list(struct(col("id"), value.as("v")))),
-          s => s.getField("v")),
-        lit(0.0), (acc, v) => acc + v)
+      .select(col(groupCol).as("g"),
+        expr(s"unix_micros($tsCol) div 3600000000L").as("xh"),
+        round(col(valueCol).cast("double"), 6).cast("decimal(18,6)")
+          .as("y"))
     val sums = base.groupBy(col("g"))
       .agg(count(lit(1)).as("n"),
-        foldOrdered(col("x")).as("__sx"), foldOrdered(col("y")).as("__sy"),
-        foldOrdered(col("x") * col("y")).as("__sxy"),
-        foldOrdered(col("x") * col("x")).as("__sxx"))
+        sum(col("xh").cast("decimal(20,0)")).cast("decimal(38,0)")
+          .as("__dsx"),
+        sum(col("y")).cast("decimal(38,6)").as("__dsy"),
+        sum((col("xh").cast("decimal(12,0)") * col("y"))
+          .cast("decimal(38,6)")).cast("decimal(38,6)").as("__dsxy"),
+        sum((col("xh") * col("xh")).cast("decimal(20,0)"))
+          .cast("decimal(38,0)").as("__dsxx"))
+      .select(col("g"), col("n"),
+        col("__dsx").cast("double").as("__sx"),
+        col("__dsy").cast("double").as("__sy"),
+        col("__dsxy").cast("double").as("__sxy"),
+        col("__dsxx").cast("double").as("__sxx"))
     val nD = col("n").cast("double")
     val denom = nD * col("__sxx") - col("__sx") * col("__sx")
     val slope = (nD * col("__sxy") - col("__sx") * col("__sy")) / denom
@@ -460,12 +470,17 @@ object EventAnalytics {
     * and B = (σ−µ)/(σ+µ) — the bot-vs-human / machine-cadence signal
     * (B→−1 periodic, ≈0 Poisson, →1 bursty).
     *
-    * Determinism: Σg is an exact BIGINT so µ is one double division;
-    * σ² folds Σ(g−µ)² in gap order — a fixed IEEE sequence on identical
-    * inputs cross-engine — and every displayed double rounds 4dp with
-    * the `+ 0.0` canonicalization (B straddles 0, so round can emit
-    * IEEE −0.0). One shuffle on the key; per-key state is the collected
-    * gap list, bounded by per-key activity (the q156 caveat).
+    * Determinism WITHOUT a whole-key fold (round-10 migration — the
+    * previous form collected every gap of a key into one aggregation
+    * buffer, an OOM on a hot key): gaps are exact µs longs, so with the
+    * integer shift c = Σg div n the power sums S₁ = Σ(g−c),
+    * S₂ = Σ(g−c)² are EXACT DECIMAL — order-free, partial+final,
+    * merge-safe — and Σ(g−µ)² = S₂ − S₁²/n is one fixed double op
+    * sequence on exact inputs (the skewKurtosis idiom). µ is one
+    * double division of the exact BIGINT Σg; every displayed double
+    * rounds 4dp with the `+ 0.0` canonicalization (B straddles 0, so
+    * round can emit IEEE −0.0). Two shuffles on the key (shift pass +
+    * moment pass); per-key state is four decimals, never the history.
     */
   def burstiness(events: DataFrame, keyCol: String, tsCol: String,
       idCol: String, minGaps: Int = 2): DataFrame = {
@@ -475,17 +490,25 @@ object EventAnalytics {
         col(idCol).as("id"))
       .withColumn("g", col("us") - lag(col("us"), 1).over(w))
       .filter(col("g").isNotNull)
-    val agg1 = gaps.groupBy(col("k"))
-      .agg(count(lit(1)).as("n_gaps"), sum(col("g")).as("__sg"),
-        array_sort(collect_list(struct(col("us"), col("id"), col("g"))))
-          .as("__gs"))
+      .select(col("k"), col("g"))
+    val shift = gaps.groupBy(col("k"))
+      .agg(count(lit(1)).as("n_gaps"), sum(col("g")).as("__sg"))
       .filter(col("n_gaps") >= minGaps)
+      .withColumn("__c", expr("__sg div n_gaps"))
+    val agg1 = gaps.join(shift, Seq("k"))
+      .withColumn("__d", col("g") - col("__c"))
+      .groupBy(col("k"))
+      .agg(first(col("n_gaps")).as("n_gaps"), first(col("__sg")).as("__sg"),
+        sum(col("__d").cast("decimal(19,0)")).cast("decimal(38,0)")
+          .as("__s1"),
+        sum((col("__d").cast("decimal(19,0)") *
+          col("__d").cast("decimal(19,0)"))).cast("decimal(38,0)")
+          .as("__s2"))
       .withColumn("__mu", col("__sg").cast("double") / col("n_gaps"))
     val withVar = agg1.withColumn("__ss",
-      aggregate(col("__gs"), lit(0.0), (acc, e) => {
-        val dv = e.getField("g").cast("double") - col("__mu")
-        acc + dv * dv
-      }))
+      col("__s2").cast("double") -
+        col("__s1").cast("double") * col("__s1").cast("double") /
+          col("n_gaps").cast("double"))
       .withColumn("__sigma", sqrt(col("__ss") / col("n_gaps")))
     withVar.select(col("k").as(keyCol), col("n_gaps"),
       (round(col("__mu") / 1e6, 4) + 0.0).as("mean_gap_s"),
@@ -686,24 +709,32 @@ object EventAnalytics {
 
   /** Welch two-sample t-test on `valueCol` means between two cohorts
     * (the q176 parity split generalized to a caller predicate): t
-    * statistic and Welch-Satterthwaite degrees of freedom, from
-    * event-id-ORDERED Σx and Σx² folds per cohort (the q160 fixed-FP-
-    * sequence stance — deterministic, SQL-replayable), 4dp out. The
-    * mean-difference companion to q176's proportion z-test.
+    * statistic and Welch-Satterthwaite degrees of freedom, 4dp out.
+    * The mean-difference companion to q176's proportion z-test.
+    *
+    * Determinism WITHOUT a whole-cohort fold (the q346 `ols2` idiom):
+    * inputs are 6dp-canonicalized to DECIMAL(18,6), then Σx
+    * (DECIMAL(38,6)) and Σx² (DECIMAL(38,12)) are EXACT decimal sums —
+    * order-free, partial+final aggregation, merge-safe — and only the
+    * final t/df expression is one fixed double op sequence replayed by
+    * the oracle. Replaces the round-9 ordered collect_list fold that
+    * put half the events table into a single aggregation buffer — this
+    * form carries two decimals per partial buffer regardless of cohort
+    * size, so it survives a 100 TB cohort.
     */
-  def welchTTest(events: DataFrame, idCol: String, valueCol: String,
+  def welchTTest(events: DataFrame, valueCol: String,
       isB: Column): DataFrame = {
     val base = events.filter(col(valueCol).isNotNull)
-      .select(isB.cast("int").as("g"), col(idCol).as("id"),
-        col(valueCol).cast("double").as("x"))
-    def foldOrdered(value: Column): Column =
-      aggregate(
-        transform(array_sort(collect_list(struct(col("id"), value.as("v")))),
-          s => s.getField("v")),
-        lit(0.0), (acc, v) => acc + v)
+      .select(isB.cast("int").as("g"),
+        round(col(valueCol).cast("double"), 6).cast("decimal(18,6)")
+          .as("x"))
     val stats = base.groupBy(col("g"))
-      .agg(count(lit(1)).as("n"), foldOrdered(col("x")).as("sx"),
-        foldOrdered(col("x") * col("x")).as("sxx"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).cast("decimal(38,6)").as("__dsx"),
+        sum((col("x") * col("x")).cast("decimal(38,12)"))
+          .cast("decimal(38,12)").as("__dsxx"))
+      .select(col("g"), col("n"), col("__dsx").cast("double").as("sx"),
+        col("__dsxx").cast("double").as("sxx"))
       .select(col("g"), col("n"), col("sx"), col("sxx"),
         (col("sx") / col("n").cast("double")).as("m"),
         (((col("sxx") - col("sx") * col("sx") / col("n").cast("double")) /
@@ -1186,10 +1217,15 @@ object EventAnalytics {
     * removed (the whole point of CUPED: tighter A/B confidence at the
     * same sample size).
     *
-    * X and Y are exact DECIMAL per-user sums; every pooled and
-    * per-cohort Σ is a user-id-ordered fold (the q210 stance), and θ,
-    * µX, each Y′, and the ratios are fixed double op sequences, 4dp.
-    * The fold frames are per-user AGGREGATES, not events.
+    * X and Y are exact DECIMAL per-user sums KEPT as decimals: every
+    * pooled and per-cohort Σ (Σx, Σy, Σxy, Σx², Σy², Σy′, Σy′²) is an
+    * EXACT DECIMAL sum — order-free, partial+final aggregation (the
+    * q346 idiom; round-10 migration of the user-ordered collect_list
+    * folds that packed the whole user frame into one buffer). Y′ is a
+    * per-user double (θ, µX are fixed double op sequences on the exact
+    * sums, identical cross-engine) re-canonicalized to 6dp DECIMAL
+    * before the variance sums; θ, the ratios, and the means are fixed
+    * double op sequences, 4dp out.
     */
   def cuped(events: DataFrame, userCol: String, tsCol: String,
       valueCol: String): DataFrame = {
@@ -1202,19 +1238,19 @@ object EventAnalytics {
       .agg(
         sum(when(col("us") <= col("__mid"), col("v"))
           .otherwise(lit(0).cast("decimal(18,6)")))
-          .cast("decimal(18,6)").cast("double").as("x"),
+          .cast("decimal(18,6)").as("x"),
         sum(when(col("us") > col("__mid"), col("v"))
           .otherwise(lit(0).cast("decimal(18,6)")))
-          .cast("decimal(18,6)").cast("double").as("y"))
-    def foldOrdered(value: Column): Column =
-      aggregate(
-        transform(array_sort(collect_list(struct(col("u"), value.as("f")))),
-          s => s.getField("f")),
-        lit(0.0), (acc, v) => acc + v)
+          .cast("decimal(18,6)").as("y"))
+    def dsum(value: Column): Column =
+      sum(value).cast("decimal(38,6)").cast("double")
+    def dsum2(value: Column): Column =
+      sum(value.cast("decimal(38,12)")).cast("decimal(38,12)")
+        .cast("double")
     val pooled = xy.agg(count(lit(1)).as("n"),
-      foldOrdered(col("x")).as("sx"), foldOrdered(col("y")).as("sy"),
-      foldOrdered(col("x") * col("y")).as("sxy"),
-      foldOrdered(col("x") * col("x")).as("sxx"))
+      dsum(col("x")).as("sx"), dsum(col("y")).as("sy"),
+      dsum2(col("x") * col("y")).as("sxy"),
+      dsum2(col("x") * col("x")).as("sxx"))
     val withTheta = pooled.select(col("n"), col("sx"), col("sy"),
       ((col("sxy") - col("sx") * col("sy") / col("n").cast("double")) /
         (col("sxx") - col("sx") * col("sx") / col("n").cast("double")))
@@ -1223,11 +1259,13 @@ object EventAnalytics {
     val adj = xy.crossJoin(broadcast(withTheta))
       .withColumn("g", (col("u") % 2).cast("int"))
       .withColumn("yadj",
-        col("y") - col("__theta") * (col("x") - col("__mux")))
+        round(col("y").cast("double") - col("__theta") *
+          (col("x").cast("double") - col("__mux")), 6)
+          .cast("decimal(18,6)"))
     val pooledVar = adj.agg(
-      foldOrdered(col("y") * col("y")).as("syy"),
-      foldOrdered(col("yadj")).as("sa"),
-      foldOrdered(col("yadj") * col("yadj")).as("saa"),
+      dsum2(col("y") * col("y")).as("syy"),
+      dsum(col("yadj")).as("sa"),
+      dsum2(col("yadj") * col("yadj")).as("saa"),
       max(col("n")).as("n"), max(col("sy")).as("sy"),
       max(col("__theta")).as("theta"))
     val varRatio = pooledVar.select(col("theta"),
@@ -1236,8 +1274,8 @@ object EventAnalytics {
         .as("var_ratio"))
     adj.groupBy(col("g").as("cohort"))
       .agg(count(lit(1)).as("n_users"),
-        foldOrdered(col("y")).as("__sy"),
-        foldOrdered(col("yadj")).as("__sa"))
+        dsum(col("y")).as("__sy"),
+        dsum(col("yadj")).as("__sa"))
       .crossJoin(broadcast(varRatio))
       .select(col("cohort"), col("n_users"),
         round(col("__sy") / col("n_users").cast("double"), 4)
@@ -1286,12 +1324,15 @@ object EventAnalytics {
     *
     * Credits are EXACT integer fractions (scaled ×5(n−2): first/last
     * 2(n−2), middles 1 — denominators never touch FP); each touch's
-    * share is one exact-operand divide, and the per-channel Σ folds in
-    * (purchase, position) order (the q-standard ordered fold), 4dp.
+    * share is one exact-operand divide (bit-identical cross-engine),
+    * then snapped to DECIMAL(28,18) — sub-5e-19 per-term error — so
+    * the per-channel Σ is an EXACT decimal sum: order-free,
+    * partial+final aggregation (round-10 migration of the per-channel
+    * ordered fold that held every touch row in one buffer), 4dp out.
     *
     * Scale: the touch join is per-user purchases × prior events — the
-    * q201 bounded-activity caveat; the fold list is per-channel touch
-    * rows (conversion-bounded).
+    * q201 bounded-activity caveat; per-channel aggregation state is
+    * one decimal, never the touch list.
     */
   def positionAttribution(events: DataFrame, userCol: String,
       tsCol: String, idCol: String, typeCol: String,
@@ -1322,11 +1363,8 @@ object EventAnalytics {
         col("__c").cast("double") / col("__tot").cast("double"))
     val touched = credited.groupBy(col("ch"))
       .agg(count(lit(1)).as("n_touches"),
-        aggregate(
-          transform(array_sort(collect_list(
-            struct(col("pid"), col("pos"), col("__frac")))),
-            s => s.getField("__frac")),
-          lit(0.0), (acc, v) => acc + v).as("__attr"))
+        sum(col("__frac").cast("decimal(28,18)")).cast("decimal(38,18)")
+          .cast("double").as("__attr"))
     val direct = purchases.join(
         credited.select(col("pid")).distinct(), Seq("pid"), "left_anti")
       .agg(count(lit(1)).as("n_touches"))

@@ -119,14 +119,16 @@ object Profile {
     * marginal entropies, joint entropy, MI = H(L)+H(R)−H(L,R), and
     * NMI = MI/min(H(L),H(R)) (NULL when either marginal is constant).
     *
-    * Null keys are excluded (both engines would order them differently
-    * in the folds). Each entropy is H = ln n − (Σ c·ln c)/n with the
-    * Σ c·ln c fold over counts SORTED BY KEY (the q142 ordered-fold
-    * pattern) so FP summation order is deterministic and SQL-replayable;
-    * outputs are 4dp for the ln ulp (NOTES.md), with MI's
+    * Null keys are excluded. Each entropy is H = ln n − (Σ c·ln c)/n:
+    * every term c·ln c is one fixed double op on an exact integer
+    * count (bit-identical cross-engine), snapped to DECIMAL(38,18)
+    * (sub-5e-19 per-term error) so the Σ is an EXACT decimal sum —
+    * order-free, partial+final aggregation over the marginal/joint
+    * count frames, O(1) buffer state at ANY key cardinality (round-10
+    * migration of the key-sorted collect_list fold). Outputs are 4dp
+    * for the ln ulp (NOTES.md), with MI's
     * mathematically-≥0-but-FP-tiny-negative canonicalized via + 0.0
-    * (the q126 −0.0 pitfall). The folds run on aggregate frames
-    * (marginal/joint cardinalities), never corpus rows.
+    * (the q126 −0.0 pitfall).
     */
   def mutualInformation(df: DataFrame, lhsCol: String,
       rhsCol: String): DataFrame = {
@@ -134,18 +136,14 @@ object Profile {
       .select(col(lhsCol).as("l"), col(rhsCol).as("r"))
       .filter(col("l").isNotNull && col("r").isNotNull)
       .groupBy(col("l"), col("r")).agg(count(lit(1)).as("c"))
-    def fold(d: DataFrame, keys: Seq[String], sName: String): DataFrame =
+    def fold(d: DataFrame, sName: String): DataFrame =
       d.agg(sum(col("c")).as("__n" + sName),
-        aggregate(
-          transform(
-            array_sort(collect_list(struct(keys.map(col) :+ col("c"): _*))),
-            x => x.getField("c").cast("double") * log(x.getField("c"))),
-          lit(0.0), (acc, x) => acc + x).as("__s" + sName))
-    val fl = fold(pairs.groupBy(col("l")).agg(sum(col("c")).as("c")),
-      Seq("l"), "l")
-    val fr = fold(pairs.groupBy(col("r")).agg(sum(col("c")).as("c")),
-      Seq("r"), "r")
-    val fj = fold(pairs, Seq("l", "r"), "j")
+        sum((col("c").cast("double") * log(col("c")))
+          .cast("decimal(38,18)")).cast("decimal(38,18)").cast("double")
+          .as("__s" + sName))
+    val fl = fold(pairs.groupBy(col("l")).agg(sum(col("c")).as("c")), "l")
+    val fr = fold(pairs.groupBy(col("r")).agg(sum(col("c")).as("c")), "r")
+    val fj = fold(pairs, "j")
     def h(s: String): Column =
       log(col("__n" + s)) - col("__s" + s) / col("__n" + s)
     fl.crossJoin(fr).crossJoin(fj)
@@ -222,32 +220,66 @@ object Profile {
   }
 
   /** Per-group skewness and excess kurtosis of an INTEGER column:
-    * µ from the exact BIGINT sum (one divide), then central-moment
-    * folds Σ(x−µ)², Σ(x−µ)³, Σ(x−µ)⁴ in (group, id) order — the q160
-    * fixed-FP-sequence stance, so the moment sums replay exactly;
     * skew = √n·m₃/m₂^1.5 (m₂^1.5 as m₂·√m₂ — no libm pow), excess
     * kurtosis = n·m₄/m₂² − 3, both 4dp. The distribution-shape
     * companion to [[ksTest]]'s location-drift view.
+    *
+    * Determinism WITHOUT a whole-group fold (round-10 migration of the
+    * q211 ordered collect_list — that form held an entire group in one
+    * aggregation buffer, an OOM by construction at 100 TB): two
+    * passes. Pass 1: n and the exact BIGINT Σx per group, giving the
+    * integer shift c = Σx div n. Pass 2: EXACT DECIMAL(38,0) power
+    * sums S₁..S₄ of d = x − c — order-free, partial+final, merge-safe
+    * (each partial buffer carries four decimals, never rows). The
+    * shift keeps |d| near the group spread, so converting S₁..S₄ to
+    * double and assembling the central moments
+    * m₂ = S₂ − S₁²/n, m₃ = S₃ − 3S₁S₂/n + 2S₁³/n²,
+    * m₄ = S₄ − 4S₁S₃/n + 6S₁²S₂/n² − 3S₁⁴/n³
+    * is one fixed double op sequence with only O(1/spread)-relative
+    * correction terms (no catastrophic cancellation — the dangerous
+    * n·µ̄-scale cancellation already happened in exact integers). The
+    * oracle replays the identical sequence on HUGEINT sums.
+    *
+    * Exactness contract: |d| ≤ 10⁷ per row (enforced — guard raises),
+    * so Σd⁴ stays exact in DECIMAL(38,0) up to ~10¹⁰ rows per group.
     */
-  def skewKurtosis(df: DataFrame, groupCol: String, idCol: String,
+  def skewKurtosis(df: DataFrame, groupCol: String,
       valueCol: String): DataFrame = {
-    val b = df.select(col(groupCol).as("g"), col(idCol).as("id"),
+    val b = df.select(col(groupCol).as("g"),
         col(valueCol).cast("long").as("x"))
       .filter(col("x").isNotNull)
-    val withMu = b.groupBy(col("g"))
-      .agg(count(lit(1)).as("n"), sum(col("x")).as("__sx"),
-        array_sort(collect_list(struct(col("id"), col("x")))).as("__ev"))
-      .withColumn("__mu",
-        col("__sx").cast("double") / col("n").cast("double"))
-    def mFold(p: Int): Column = aggregate(
-      transform(col("__ev"), s => {
-        val d = s.getField("x").cast("double") - col("__mu")
-        (1 until p).foldLeft(d)((acc, _) => acc * d)
-      }),
-      lit(0.0), (acc, v) => acc + v)
-    withMu
-      .select(col("g"), col("n"), col("__mu"),
-        mFold(2).as("__m2"), mFold(3).as("__m3"), mFold(4).as("__m4"))
+    val shift = b.groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("__sx"))
+      .select(col("g"), col("n"), col("__sx"),
+        expr("__sx div n").as("__c"))
+    val withD = b.join(broadcast(shift), Seq("g"))
+      .withColumn("__d",
+        when(abs(col("x") - col("__c")) > 10000000L,
+          raise_error(lit("skewKurtosis: |x - groupMeanShift| > 1e7 " +
+            "breaks the DECIMAL(38,0) exactness contract")))
+          .otherwise(col("x") - col("__c")))
+      .withColumn("__d2", (col("__d") * col("__d")).cast("decimal(19,0)"))
+    val sums = withD.groupBy(col("g"))
+      .agg(first(col("n")).as("n"), first(col("__sx")).as("__sx"),
+        sum(col("__d").cast("decimal(19,0)")).cast("decimal(38,0)")
+          .as("__s1"),
+        sum(col("__d2")).cast("decimal(38,0)").as("__s2"),
+        sum(col("__d2") * col("__d").cast("decimal(19,0)"))
+          .cast("decimal(38,0)").as("__s3"),
+        sum(col("__d2") * col("__d2")).cast("decimal(38,0)").as("__s4"))
+    val nD = col("n").cast("double")
+    def d(c: String): Column = col(c).cast("double")
+    val m2 = d("__s2") - d("__s1") * d("__s1") / nD
+    val m3 = d("__s3") - lit(3.0) * d("__s1") * d("__s2") / nD +
+      lit(2.0) * d("__s1") * d("__s1") * d("__s1") / (nD * nD)
+    val m4 = d("__s4") - lit(4.0) * d("__s1") * d("__s3") / nD +
+      lit(6.0) * d("__s1") * d("__s1") * d("__s2") / (nD * nD) -
+      lit(3.0) * d("__s1") * d("__s1") * d("__s1") * d("__s1") /
+        (nD * nD * nD)
+    sums
+      .select(col("g"), col("n"),
+        (col("__sx").cast("double") / nD).as("__mu"),
+        m2.as("__m2"), m3.as("__m3"), m4.as("__m4"))
       .filter(col("n") >= 2 && col("__m2") > 0.0)
       .select(col("g").as(groupCol), col("n"), round(col("__mu"), 4).as("mean"),
         round(sqrt(col("n").cast("double")) * col("__m3") /

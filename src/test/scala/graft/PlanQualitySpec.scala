@@ -242,4 +242,22 @@ class PlanQualitySpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(p).size >= 2,
       "partial aggregation lost")
   }
+
+  // Round-10 guard for the DECIMAL-moment migration (VERDICT r9 #1):
+  // the cohort-statistics lanes must never again hold a whole cohort
+  // in one aggregation buffer. collect_list forces ObjectHashAggregate
+  // and O(group) state; the migrated plans are plain HashAggregates
+  // with partial+final split and O(1) decimal buffers.
+  for (q <- Seq("q210_welch_ttest", "q211_skew_kurtosis",
+      "q160_group_trend", "q238_cuped", "q229_position_attribution",
+      "q196_mutual_info", "q183_burstiness"))
+    test(s"$q: no whole-cohort collect fold — exact decimal partial+final aggs") {
+      val p = plan(q)
+      assert(!p.contains("collect_list"),
+        s"cohort-scale collect_list reintroduced:\n${p.take(600)}")
+      assert(!p.contains("ObjectHashAggregate"),
+        s"non-codegen object agg in a cohort-stats lane:\n${p.take(600)}")
+      assert("HashAggregate".r.findAllIn(p).size >= 2,
+        "partial aggregation lost")
+    }
 }

@@ -127,7 +127,7 @@ class EventAnalyticsSpec extends AnyFunSuite {
       .toDF("user_id", "event_id", "ts", "event_type")
       .withColumn("value",
         (unix_micros(col("ts")) / lit(3600000000L)).cast("double") * 2 + 1)
-    val r = EventAnalytics.groupTrend(df, "event_type", "ts", "event_id",
+    val r = EventAnalytics.groupTrend(df, "event_type", "ts",
       "value").collect()(0)
     assert(r.getAs[Long]("n") == 5)
     assert(math.abs(r.getAs[Double]("slope") - 2.0) < 1e-9)
@@ -137,7 +137,7 @@ class EventAnalyticsSpec extends AnyFunSuite {
   test("groupTrend: constant-x group yields null slope, groups independent") {
     val df = ev((1L, 1L, 0, "a"), (1L, 2L, 0, "a"), (1L, 3L, 5, "b"),
       (1L, 4L, 29, "b")).withColumn("value", lit(3.0))
-    val out = EventAnalytics.groupTrend(df, "event_type", "ts", "event_id",
+    val out = EventAnalytics.groupTrend(df, "event_type", "ts",
       "value").collect().map(r => r.getString(0) -> r).toMap
     assert(out("a").isNullAt(out("a").fieldIndex("slope")))  // same hour twice
     assert(out("b").getAs[Double]("slope") == 0.0)           // flat line
@@ -380,14 +380,14 @@ class EventAnalyticsSpec extends AnyFunSuite {
   test("welchTTest: equal groups give t=0, shifted groups a large |t|") {
     val same = (1L to 40L).map(i => (i, (i % 2 == 1), (i % 5).toDouble))
       .toDF("event_id", "b", "value")
-    val r0 = EventAnalytics.welchTTest(same, "event_id", "value",
+    val r0 = EventAnalytics.welchTTest(same, "value",
       org.apache.spark.sql.functions.col("b")).collect().head
     assert(r0.getAs[Long]("n_a") == 20L && r0.getAs[Long]("n_b") == 20L)
     assert(math.abs(r0.getAs[Double]("t_stat")) < 1.0)
     val shifted = (1L to 40L).map(i =>
       (i, i % 2 == 1, (i % 5).toDouble + (if (i % 2 == 1) 100.0 else 0.0)))
       .toDF("event_id", "b", "value")
-    val r1 = EventAnalytics.welchTTest(shifted, "event_id", "value",
+    val r1 = EventAnalytics.welchTTest(shifted, "value",
       org.apache.spark.sql.functions.col("b")).collect().head
     assert(r1.getAs[Double]("mean_b") - r1.getAs[Double]("mean_a") == 100.0)
     assert(r1.getAs[Double]("t_stat") < -50.0) // a minus b convention

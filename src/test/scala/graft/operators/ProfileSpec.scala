@@ -156,18 +156,18 @@ class ProfileSpec extends AnyFunSuite {
 
   test("skewKurtosis: symmetric data has 0 skew; spike changes the sign") {
     val sym = (1 to 9).map(i => ("g", i.toLong, i)).toDF("g", "id", "v")
-    val r = Profile.skewKurtosis(sym, "g", "id", "v").collect().head
+    val r = Profile.skewKurtosis(sym, "g", "v").collect().head
     assert(r.getAs[Double]("mean") == 5.0)
     assert(r.getAs[Double]("skewness") == 0.0)
     // uniform 1..9 is platykurtic: excess kurtosis < 0
     assert(r.getAs[Double]("excess_kurtosis") < 0.0)
     val skewed = ((1 to 9).map(i => ("g", i.toLong, 1)) :+ (("g", 10L, 100)))
       .toDF("g", "id", "v")
-    val r2 = Profile.skewKurtosis(skewed, "g", "id", "v").collect().head
+    val r2 = Profile.skewKurtosis(skewed, "g", "v").collect().head
     assert(r2.getAs[Double]("skewness") > 2.0) // long right tail
     // constant group (m2 = 0) is excluded
     val const = Seq(("c", 1L, 5), ("c", 2L, 5)).toDF("g", "id", "v")
-    assert(Profile.skewKurtosis(const, "g", "id", "v").count() == 0)
+    assert(Profile.skewKurtosis(const, "g", "v").count() == 0)
   }
 
   test("spearman: monotone gives 1, reversed gives -1, ties averaged") {
