@@ -880,8 +880,9 @@ object SparkEntry {
     "q114_stream_hourly" -> ((s, d) => {
       import org.apache.spark.sql.streaming.Trigger
       val tmp = sys.props("java.io.tmpdir")
-      val outPath = s"$tmp/graft_q114_out"
-      val ckpt = s"$tmp/graft_q114_ckpt"
+      val runTag = s.sparkContext.applicationId
+      val outPath = s"$tmp/graft_q114_out_$runTag"
+      val ckpt = s"$tmp/graft_q114_ckpt_$runTag"
       // clean slate: a stale checkpoint would replay 0 new files and
       // freeze the output at a previous run's result
       def rmrf(p: java.io.File): Unit = {
@@ -993,7 +994,8 @@ object SparkEntry {
     // stats table; query = bucket-pruned postings lookup, never a corpus
     // scan. Must equal q110 exactly (same stats, same shared score tree).
     "q112_bm25_indexed" -> ((s, d) => {
-      val base = s"${sys.props("java.io.tmpdir")}/graft_bm25_index"
+      val base = s"${sys.props("java.io.tmpdir")}/graft_bm25_index_" +
+        s.sparkContext.applicationId
       graft.operators.TextAnalysis.buildBm25Index(
         t(s, d, "documents"), "doc_id", "text", "graft_bm25", base)
       graft.operators.TextAnalysis.bm25FromIndex(
@@ -1077,7 +1079,8 @@ object SparkEntry {
     // (cell-partition file append), then probed — the oracle replays
     // Lloyd's on the even half and assignment over the full corpus
     "q122_ivf_incremental" -> ((s, d) => {
-      val path = s"${sys.props("java.io.tmpdir")}/graft_ivf_incr"
+      val path = s"${sys.props("java.io.tmpdir")}/graft_ivf_incr_" +
+        s.sparkContext.applicationId
       val emb = t(s, d, "embeddings")
       val even = emb.filter(col("vec_id") % 2 === 0)
       val m = graft.operators.IvfIndex.train(even, k = 8, iterations = 3)
@@ -1094,7 +1097,8 @@ object SparkEntry {
     // probe — must equal the single-shot full-corpus BM25 exactly (the
     // summable (n, sum_dl) stats make avgdl append-invariant)
     "q121_bm25_incremental" -> ((s, d) => {
-      val base = s"${sys.props("java.io.tmpdir")}/graft_bm25_incr"
+      val base = s"${sys.props("java.io.tmpdir")}/graft_bm25_incr_" +
+        s.sparkContext.applicationId
       val docs = t(s, d, "documents")
       graft.operators.TextAnalysis.buildBm25Index(
         docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", "graft_bm25i", base)
@@ -1112,8 +1116,9 @@ object SparkEntry {
     "q120_stream_curation" -> ((s, d) => {
       import org.apache.spark.sql.streaming.Trigger
       val tmp = sys.props("java.io.tmpdir")
-      val outPath = s"$tmp/graft_q120_out"
-      val ckpt = s"$tmp/graft_q120_ckpt"
+      val runTag = s.sparkContext.applicationId
+      val outPath = s"$tmp/graft_q120_out_$runTag"
+      val ckpt = s"$tmp/graft_q120_ckpt_$runTag"
       def rmrf(p: java.io.File): Unit = {
         if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rmrf))
         p.delete(): Unit
@@ -2431,8 +2436,9 @@ object SparkEntry {
     "q345_stream_rollup" -> ((s, d) => {
       import org.apache.spark.sql.streaming.Trigger
       val tmp = sys.props("java.io.tmpdir")
-      val statePath = s"$tmp/graft_q345_state"
-      val ckpt = s"$tmp/graft_q345_ckpt"
+      val runTag = s.sparkContext.applicationId
+      val statePath = s"$tmp/graft_q345_state_$runTag"
+      val ckpt = s"$tmp/graft_q345_ckpt_$runTag"
       def rmrf(p: java.io.File): Unit = {
         if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rmrf))
         p.delete(): Unit
@@ -2497,8 +2503,9 @@ object SparkEntry {
     "q340_stream_trojan" -> ((s, d) => {
       import org.apache.spark.sql.streaming.Trigger
       val tmp = sys.props("java.io.tmpdir")
-      val outPath = s"$tmp/graft_q340_out"
-      val ckpt = s"$tmp/graft_q340_ckpt"
+      val runTag = s.sparkContext.applicationId
+      val outPath = s"$tmp/graft_q340_out_$runTag"
+      val ckpt = s"$tmp/graft_q340_ckpt_$runTag"
       def rmrf(p: java.io.File): Unit = {
         if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rmrf))
         p.delete(): Unit
@@ -3796,8 +3803,9 @@ object SparkEntry {
     "q166_stream_ewma" -> ((s, d) => {
       import org.apache.spark.sql.streaming.Trigger
       val tmp = sys.props("java.io.tmpdir")
-      val outPath = s"$tmp/graft_q166_out"
-      val ckpt = s"$tmp/graft_q166_ckpt"
+      val runTag = s.sparkContext.applicationId
+      val outPath = s"$tmp/graft_q166_out_$runTag"
+      val ckpt = s"$tmp/graft_q166_ckpt_$runTag"
       def rmrf(p: java.io.File): Unit = {
         if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rmrf))
         p.delete(): Unit
@@ -3834,7 +3842,8 @@ object SparkEntry {
       val emb = t(s, d, "embeddings")
       val even = emb.filter(col("vec_id") % 2 === 0)
       val odd = emb.filter(col("vec_id") % 2 =!= 0)
-      val path = s"${sys.props("java.io.tmpdir")}/graft_ivfadc_incr"
+      val path = s"${sys.props("java.io.tmpdir")}/graft_ivfadc_incr_" +
+        s.sparkContext.applicationId
       val model = graft.operators.IvfAdc.train(even, kCells = 8, m = 8,
         pqK = 16, iterations = 3, dim = 64)
       graft.operators.IvfAdc.writeIndex(even, model, path)
@@ -3920,8 +3929,9 @@ object SparkEntry {
     "q154_stream_quality" -> ((s, d) => {
       import org.apache.spark.sql.streaming.Trigger
       val tmp = sys.props("java.io.tmpdir")
-      val outPath = s"$tmp/graft_q154_out"
-      val ckpt = s"$tmp/graft_q154_ckpt"
+      val runTag = s.sparkContext.applicationId
+      val outPath = s"$tmp/graft_q154_out_$runTag"
+      val ckpt = s"$tmp/graft_q154_ckpt_$runTag"
       def rmrf(p: java.io.File): Unit = {
         if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rmrf))
         p.delete(): Unit
@@ -5220,17 +5230,21 @@ object SparkEntry {
          |  FROM e JOIN a${i - 1} a ON a.node = e.v GROUP BY 1),
          |ht$i AS (SELECT CAST(SUM(raw) AS DECIMAL(38,6)) AS t FROM hr$i),
          |h$i AS MATERIALIZED (SELECT n.node,
-         |    round(coalesce(raw, 0::DECIMAL(18,6))::DOUBLE
-         |      / t.t::DOUBLE, 6) AS s
-         |  FROM nodes n LEFT JOIN hr$i USING (node) CROSS JOIN ht$i t),
+         |    CASE WHEN t.t > 0 THEN
+         |      round(coalesce(raw, 0::DECIMAL(18,6))::DOUBLE * nc.n::DOUBLE
+         |        / t.t::DOUBLE, 6) ELSE 0.0::DOUBLE END AS s
+         |  FROM nodes n LEFT JOIN hr$i USING (node)
+         |  CROSS JOIN ht$i t CROSS JOIN nc),
          |ar$i AS MATERIALIZED (SELECT e.v AS node,
          |    CAST(SUM(CAST(h.s AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS raw
          |  FROM e JOIN h$i h ON h.node = e.u GROUP BY 1),
          |at$i AS (SELECT CAST(SUM(raw) AS DECIMAL(38,6)) AS t FROM ar$i),
          |a$i AS MATERIALIZED (SELECT n.node,
-         |    round(coalesce(raw, 0::DECIMAL(18,6))::DOUBLE
-         |      / t.t::DOUBLE, 6) AS s
-         |  FROM nodes n LEFT JOIN ar$i USING (node) CROSS JOIN at$i t)"""
+         |    CASE WHEN t.t > 0 THEN
+         |      round(coalesce(raw, 0::DECIMAL(18,6))::DOUBLE * nc.n::DOUBLE
+         |        / t.t::DOUBLE, 6) ELSE 0.0::DOUBLE END AS s
+         |  FROM nodes n LEFT JOIN ar$i USING (node)
+         |  CROSS JOIN at$i t CROSS JOIN nc)"""
         .stripMargin
     }.mkString(",\n")
     s"""WITH e AS MATERIALIZED (SELECT DISTINCT doc_id % 50 AS u,
@@ -5239,10 +5253,13 @@ object SparkEntry {
        |  WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL),
        |nodes AS MATERIALIZED (SELECT u AS node FROM e
        |  UNION SELECT v FROM e),
+       |nc AS (SELECT count(*)::BIGINT AS n FROM nodes),
        |a0 AS (SELECT node, 1.0::DOUBLE AS s FROM nodes),
        |$its
-       |SELECT h.node, h.s AS hub, a.s AS authority
-       |FROM h$iterations h JOIN a$iterations a USING (node)""".stripMargin
+       |SELECT h.node, h.s / nc.n::DOUBLE AS hub,
+       |  a.s / nc.n::DOUBLE AS authority
+       |FROM h$iterations h JOIN a$iterations a USING (node)
+       |CROSS JOIN nc""".stripMargin
   }
 
   private def pageRankOracleSql(iterations: Int, damping: Double): String = {
@@ -7049,7 +7066,7 @@ object SparkEntry {
          |SELECT g AS source, n, round(mean, 4) AS mean,
          |  count(*)::BIGINT AS n_replicates,
          |  round(sqrt(CAST(SUM(t) AS DECIMAL(38,6))::DOUBLE
-         |    / 16.0::DOUBLE), 4) AS se_half_sample
+         |    / count(*)::DOUBLE), 4) AS se_half_sample
          |FROM terms GROUP BY 1, 2, 3""".stripMargin
     },
 

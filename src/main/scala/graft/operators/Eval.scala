@@ -398,12 +398,25 @@ object Eval {
     * p-values must be exact numerics (the caller computes them from a
     * discrete test or supplies them); comparisons and the suffix MIN
     * are exact, one m·p/j divide per pair.
+    *
+    * The smallness contract is ENFORCED (`maxExperiments`, default
+    * 10 000): the self-join is O(m²) broadcast rows, so a caller
+    * accidentally passing a per-document frame (m in the millions)
+    * fails fast with a actionable error instead of a silent quadratic
+    * blow-up. Raise the cap only for frames that are genuinely
+    * experiment-level.
     */
   def bhAdjust(pvals: DataFrame, idCol: String, pCol: String,
-      alpha: Double = 0.05): DataFrame = {
+      alpha: Double = 0.05, maxExperiments: Long = 10000L): DataFrame = {
     val base = pvals.select(col(idCol).as("__id"),
         col(pCol).cast("double").as("__p"))
       .filter(col("__p").isNotNull).localCheckpoint(true)
+    val mCount = base.count()
+    require(mCount <= maxExperiments,
+      s"bhAdjust got $mCount p-values; the O(m²) self-join form is " +
+        s"for experiment-level frames (<= $maxExperiments). For larger " +
+        "frames pre-aggregate to experiment granularity or raise " +
+        "maxExperiments deliberately.")
     val m = base.agg(count(lit(1)).as("__m"))
     val l = base.select(col("__id"), col("__p"))
     val r = base.select(col("__id").as("__id2"), col("__p").as("__p2"))

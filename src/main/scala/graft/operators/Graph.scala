@@ -544,8 +544,15 @@ object Graph {
     * an exact DECIMAL(18,6) aggregation (order-free — simpler than the
     * pageRank source-ordered-fold discipline, at the price of 6dp
     * quantization per half-step, identical on both engines by
-    * construction). Nodes with no in/out edges carry raw 0 and stay in
-    * the frame. Returns (node, hub, authority).
+    * construction). The INTERNAL normalization is to MEAN 1 (score =
+    * raw·n/Σraw), not L1: a mean-1 score is O(1) at ANY node count, so
+    * the 6dp snap stays benign at 10⁶⁺ nodes where L1-normalized
+    * scores (O(1/n)) would quantize to 0 and silently destroy signal;
+    * if a half-step total still rounds to 0 (pathological skew) the
+    * step emits exact 0s instead of a NaN divide. The RETURNED hub /
+    * authority are L1-normalized (one final ÷n per column — a single
+    * double op, no re-quantization). Nodes with no in/out edges carry
+    * raw 0 and stay in the frame. Returns (node, hub, authority).
     *
     * Scale: two (edge ⋈ score) shuffles + two partial-aggs per
     * iteration on narrow (node, score) rows; score frames eagerly
@@ -563,8 +570,10 @@ object Graph {
     val nodes = e.select(col("u").as("node"))
       .unionAll(e.select(col("v").as("node"))).distinct()
       .localCheckpoint(true)
-    // raw per-node sum of the counterpart score over edges, L1-normalized
-    // and 6dp-canonicalized: scores stay exact DECIMAL-summable doubles
+    val nD = lit(nodes.count().toDouble)
+    // raw per-node sum of the counterpart score over edges, MEAN-1-
+    // normalized (×n/Σ — scale-invariant under 6dp quantization) and
+    // 6dp-canonicalized: scores stay exact DECIMAL-summable doubles
     def halfStep(scores: DataFrame, edgeKey: String,
         sumKey: String): DataFrame = {
       val raw = e
@@ -576,8 +585,10 @@ object Graph {
       nodes.join(raw, Seq("node"), "left")
         .crossJoin(broadcast(total))
         .select(col("node"),
-          round(coalesce(col("__raw"), lit(0).cast("decimal(18,6)"))
-            .cast("double") / col("__t").cast("double"), 6).as("s"))
+          when(col("__t") > 0,
+            round(coalesce(col("__raw"), lit(0).cast("decimal(18,6)"))
+              .cast("double") * nD / col("__t").cast("double"), 6))
+            .otherwise(lit(0.0)).as("s"))
         .localCheckpoint(true)
     }
     var hub = nodes.select(col("node"), lit(1.0).as("s"))
@@ -586,8 +597,9 @@ object Graph {
       hub = halfStep(auth, "v", "u")   // h(u) = Σ a(v) over u→v
       auth = halfStep(hub, "u", "v")   // a(v) = Σ h(u) over u→v
     }
-    hub.select(col("node"), col("s").as("hub"))
-      .join(auth.select(col("node"), col("s").as("authority")), Seq("node"))
+    hub.select(col("node"), (col("s") / nD).as("hub"))
+      .join(auth.select(col("node"), (col("s") / nD).as("authority")),
+        Seq("node"))
   }
 
   /** Newman modularity of a given node partition over an undirected

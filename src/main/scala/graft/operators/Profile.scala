@@ -505,8 +505,9 @@ object Profile {
     *
     * Values are 6dp-canonicalized DECIMALs (exact sums, order-free);
     * replicate means and the full mean are single divides; per-replicate
-    * squared deviations round 6dp into a DECIMAL fold over the B-row
-    * frame. Bit b of the SIGNED 64-bit hash equals bit b of its unsigned
+    * squared deviations round 6dp into a DECIMAL fold over the ≤B-row
+    * frame, and the SE divides by the REALIZED replicate count (tiny
+    * groups can produce empty half-samples; B would bias the SE low). Bit b of the SIGNED 64-bit hash equals bit b of its unsigned
     * form for b < 63, which is what the oracle replays in HUGEINT.
     *
     * Scale: one hash pass, one B-way explode of narrow (group, value,
@@ -542,8 +543,12 @@ object Profile {
         sum(col("__t")).cast("decimal(38,6)").as("__ts"))
       .select(col("__g").as(groupCol), col("n"),
         round(col("__mean"), 4).as("mean"), col("n_replicates"),
+        // divide by the REALIZED replicate count: a small group can
+        // have empty half-samples (no row with bit b clear) whose
+        // terms never reach the sum — dividing by the constant B
+        // would silently understate the SE for exactly those groups
         round(sqrt(col("__ts").cast("double") /
-          lit(replicates.toDouble)), 4).as("se_half_sample"))
+          col("n_replicates").cast("double")), 4).as("se_half_sample"))
   }
 
   /** Mergeable per-key aggregate state — (n, Σ, min, max) as an exact,

@@ -238,17 +238,19 @@ class GraphSpec extends AnyFunSuite {
   }
 
   test("hits: one-iteration hand trace on a star, sinks carry 0 hub") {
-    // 1→3, 2→3, 3→4: after h-step all of 1,2,3 have raw 1 → 0.333333
-    // each, node 4 raw 0; a-step: a(3) = h1+h2 = 0.666666/0.999999 →
-    // 0.666667, a(4) = 0.333333/0.999999 → 0.333333, a(1) = a(2) = 0
+    // 1→3, 2→3, 3→4 (n = 4): after the MEAN-1 h-step all of 1,2,3
+    // have raw 1 → 1·4/3 → 1.333333 each, node 4 raw 0; a-step:
+    // a(3) = (1.333333+1.333333)·4/3.999999 = 8/3 → 2.666667,
+    // a(4) = 1.333333·4/3.999999 = 4/3 → 1.333333. The returned
+    // scores are the final ÷n L1 values (exact ÷4 binary scaling).
     val edges = Seq((1L, 3L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
     val out = Graph.hits(edges, "src", "dst", iterations = 1).collect()
       .map(r => r.getLong(0) ->
         (r.getAs[Double]("hub"), r.getAs[Double]("authority"))).toMap
-    assert(out(1L) == ((0.333333, 0.0)))
-    assert(out(2L) == ((0.333333, 0.0)))
-    assert(out(3L) == ((0.333333, 0.666667)))
-    assert(out(4L) == ((0.0, 0.333333)))
+    assert(out(1L) == ((0.33333325, 0.0)))
+    assert(out(2L) == ((0.33333325, 0.0)))
+    assert(out(3L) == ((0.33333325, 0.66666675)))
+    assert(out(4L) == ((0.0, 0.33333325)))
   }
 
   test("hits: scores stay L1-normalized and converge on the star") {
