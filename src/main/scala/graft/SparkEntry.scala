@@ -2386,6 +2386,49 @@ object SparkEntry {
     // suite, the 8-gram gate flags the corpus, and the confusion report
     // scores the gate itself — recall says planted overlaps are caught,
     // precision prices incidental shared 8-grams
+    // Ordered-fold SKEW STRESS (the q292 shape applied to the
+    // sequential-op family): 30% of events land on ONE hot key, then a
+    // per-key EWMA fold runs over that distribution — pins that the
+    // documented per-key buffer contract holds at the worst realistic
+    // skew, bit-exact vs the oracle's list_reduce replay
+    "q350_skew_fold_stress" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .withColumn("k", when(col("event_id") % 10 < 3, lit(0L))
+          .otherwise(col("user_id") + 1L))
+      graft.operators.EventAnalytics.ewmaFinal(ev, "k", "ts",
+        "event_id", "value")
+    }),
+
+    // Decontamination-gate TUNING sweep: the q348 planted-truth scoring
+    // swept over gram length n ∈ {4,6,8,13} in ONE corpus pass (q315
+    // multi-τ pattern) — the recall/precision-vs-n curve the curator
+    // dials. Truth is FIXED across gates (planted ∧ ≥ 4 tokens — the
+    // smallest gate's catchability floor), so recall is monotone
+    // non-increasing and precision monotone non-decreasing in n.
+    "q349_decontam_sweep" -> ((s, d) => {
+      val ns = Seq(4, 6, 8, 13)
+      val docs = t(s, d, "documents").filter(col("text").isNotNull)
+      val evalDf = docs.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + lit(1000000L)).as("doc_id"),
+          upper(col("text")).as("text"))
+      val flagged = graft.operators.TrainingData
+        .decontaminateSweep(docs, evalDf, "doc_id", "text", ns)
+      val base = docs.select(col("doc_id"),
+          (col("doc_id") % 5 === 0 &&
+            size(tokens(col("text"))) >= ns.min).as("truth"),
+          explode(array(ns.map(lit): _*)).as("n"))
+      val joined = base
+        .join(flagged.select(col("id").as("doc_id"), col("n"),
+          col("contaminated")), Seq("doc_id", "n"), "left")
+        .select(
+          concat(lit("decontam_"), col("n").cast("string"), lit("gram"))
+            .as("gate"),
+          coalesce(col("contaminated"), lit(false)).as("pred"),
+          col("truth"))
+      graft.operators.Eval.confusionStats(joined, "gate", col("pred"),
+        col("truth"))
+    }),
+
     "q348_decontam_eval" -> ((s, d) => {
       val docs = t(s, d, "documents").filter(col("text").isNotNull)
       val evalDf = docs.filter(col("doc_id") % 5 === 0)
@@ -7109,6 +7152,68 @@ object SparkEntry {
     // Decontam-eval replay: gram STRINGS stand in for the engine's
     // FNV hashes (the q92 collision-negligible convention), identical
     // truth definition, the q323 confusion shape
+    // Skew-fold replay: same hot-key salt, per-key (µs, id)-ordered
+    // list_reduce with the identical dyadic α blend — bit-exact raw
+    // doubles, no recursion (the fold is the recursion)
+    "q350_skew_fold_stress" ->
+      """WITH e AS (SELECT
+        |    CASE WHEN event_id % 10 < 3 THEN 0 ELSE user_id + 1 END AS k,
+        |    epoch_us(ts) AS us, event_id AS id, value::DOUBLE AS x
+        |  FROM events WHERE value IS NOT NULL)
+        |SELECT k, count(*)::BIGINT AS n_events,
+        |  list_reduce(list(x ORDER BY us, id),
+        |    (a, v) -> 0.25::DOUBLE * v + 0.75::DOUBLE * a) AS ewma_final
+        |FROM e GROUP BY k""".stripMargin,
+
+    // Sweep replay: one tokenization, per-(n, doc) distinct gram lists
+    // from the shared CTE, string-equality gram matching per n, fixed
+    // planted∧nt≥4 truth, the engine's exact confusion arithmetic
+    "q349_decontam_sweep" ->
+      s"""WITH tk AS (SELECT doc_id, $tokensSql AS toks FROM documents
+         |  WHERE text IS NOT NULL),
+         |ns AS (SELECT unnest([4, 6, 8, 13]) AS n),
+         |sh AS MATERIALIZED (SELECT doc_id, n, len(toks) AS nt,
+         |  list_distinct(list_transform(
+         |    generate_series(1, len(toks) - n + 1),
+         |    i -> array_to_string(toks[i:i+n-1], ' '))) AS g
+         | FROM tk CROSS JOIN ns),
+         |ev AS (SELECT DISTINCT n, gram FROM
+         |  (SELECT n, unnest(g) AS gram FROM sh WHERE doc_id % 5 = 0)),
+         |tr AS (SELECT doc_id, n, unnest(g) AS gram FROM sh),
+         |fl AS (SELECT DISTINCT tr.doc_id, tr.n
+         |  FROM tr JOIN ev USING (n, gram)),
+         |base AS (SELECT sh.doc_id, sh.n,
+         |    (sh.doc_id % 5 = 0 AND sh.nt >= 4) AS y,
+         |    (fl.doc_id IS NOT NULL) AS p
+         |  FROM sh LEFT JOIN fl
+         |    ON sh.doc_id = fl.doc_id AND sh.n = fl.n),
+         |c AS (SELECT n,
+         |    sum(CASE WHEN p AND y THEN 1 ELSE 0 END)::BIGINT AS tp,
+         |    sum(CASE WHEN p AND NOT y THEN 1 ELSE 0 END)::BIGINT AS fp,
+         |    sum(CASE WHEN NOT p AND y THEN 1 ELSE 0 END)::BIGINT AS fn,
+         |    sum(CASE WHEN NOT p AND NOT y THEN 1 ELSE 0 END)::BIGINT
+         |      AS tn
+         |  FROM base GROUP BY n)
+         |SELECT 'decontam_' || n || 'gram' AS gate, tp, fp, fn, tn,
+         |  round((tp::DOUBLE + tn::DOUBLE)
+         |    / (tp::DOUBLE + fp::DOUBLE + fn::DOUBLE + tn::DOUBLE), 4)
+         |    AS accuracy,
+         |  CASE WHEN tp + fp > 0 THEN
+         |    round(tp::DOUBLE / (tp::DOUBLE + fp::DOUBLE), 4) END
+         |    AS "precision",
+         |  CASE WHEN tp + fn > 0 THEN
+         |    round(tp::DOUBLE / (tp::DOUBLE + fn::DOUBLE), 4) END AS recall,
+         |  CASE WHEN tp * 2 + fp + fn > 0 THEN
+         |    round(tp::DOUBLE * 2 / (tp::DOUBLE * 2 + fp::DOUBLE
+         |      + fn::DOUBLE), 4) END AS f1,
+         |  CASE WHEN tp + fp > 0 AND tp + fn > 0 AND tn + fp > 0
+         |      AND tn + fn > 0 THEN
+         |    round((tp::DOUBLE * tn::DOUBLE - fp::DOUBLE * fn::DOUBLE)
+         |      / sqrt((tp::DOUBLE + fp::DOUBLE) * (tp::DOUBLE + fn::DOUBLE)
+         |        * (tn::DOUBLE + fp::DOUBLE) * (tn::DOUBLE + fn::DOUBLE)),
+         |      4) END AS mcc
+         |FROM c""".stripMargin,
+
     "q348_decontam_eval" ->
       s"""WITH tk AS (SELECT doc_id, $tokensSql AS toks FROM documents
          |  WHERE text IS NOT NULL),

@@ -141,7 +141,8 @@ object EventAnalytics {
     * array (sorted by (µs, id)) — no typed lambdas/UDFs, one shuffle on
     * the key; state per key is its own history (bounded by per-key
     * activity — at 100 TB cap key cardinality or window the input, as
-    * with any per-key sequential op). Every step is a fixed IEEE op
+    * with any per-key sequential op; see [[ewmaFinal]]'s skew
+    * contract, stress-pinned by q350). Every step is a fixed IEEE op
     * sequence, so outputs are BIT-exact vs the oracle's recursive-CTE
     * replay (α = 0.25 is binary-exact; 1−α likewise).
     */
@@ -173,6 +174,40 @@ object EventAnalytics {
     folded.select(explode(col("__out")).as("r"))
       .select(col("r.id").as("event_id"), col("r.ewma").as("ewma"),
         col("r.dev").as("deviation"))
+  }
+
+  /** FINAL EWMA state per key — the per-key sequential fold reduced to
+    * its O(1) result (key, n_events, ewma_final), the form the q350
+    * skew-stress lane drives over a hot-key distribution.
+    *
+    * SKEW CONTRACT (shared by every per-key ordered fold — [[ewma]],
+    * [[cusum]], [[holtLinear]], [[autocorrelation]], [[theilSen]]):
+    * the aggregation buffer holds ONE key's full ordered history
+    * (~24 B/event), so the bound is per-KEY, not per-corpus — ~10⁷
+    * events on a single key ≈ 240 MB is the practical executor-buffer
+    * ceiling. Beyond that, window the input (e.g. last-90-days slice)
+    * or pre-aggregate to a coarser tick before folding; the q350 lane
+    * pins the behavior at a 30%-of-corpus hot key. The fold itself is
+    * one fixed IEEE sequence (α dyadic), bit-exact vs the oracle's
+    * list_reduce replay.
+    */
+  def ewmaFinal(events: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, valueCol: String, alpha: Double = 0.25): DataFrame = {
+    val oneMinus = 1.0 - alpha
+    events.filter(col(valueCol).isNotNull)
+      .select(col(keyCol).as("k"), unix_micros(col(tsCol)).as("us"),
+        col(idCol).as("id"), col(valueCol).cast("double").as("x"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_events"),
+        aggregate(
+          transform(
+            array_sort(collect_list(struct(col("us"), col("id"), col("x")))),
+            e => e.getField("x")),
+          lit(null).cast("double"),
+          (acc, x) => when(acc.isNull, x)
+            .otherwise(lit(alpha) * x + lit(oneMinus) * acc))
+          .as("ewma_final"))
+      .select(col("k").as(keyCol), col("n_events"), col("ewma_final"))
   }
 
   /** Chi-square test of independence over a two-column contingency
@@ -867,7 +902,8 @@ object EventAnalytics {
     * central-moment stance), replayed by the oracle with 1-based list
     * indexing on both engines. Keys need n > maxLag and non-zero
     * variance. One shuffle; per-key state is the key's own history
-    * (the standing sequential-op caveat).
+    * (the standing sequential-op caveat — see [[ewmaFinal]]'s skew
+    * contract, stress-pinned by q350).
     */
   def autocorrelation(events: DataFrame, keyCol: String, tsCol: String,
       idCol: String, valueCol: String, maxLag: Int = 3): DataFrame = {
@@ -1519,7 +1555,8 @@ object EventAnalytics {
     * oracle's recursive CTE with the SAME shortest-repr α/β/(1−α)/(1−β)
     * literals (the defaults 0.5/0.25 make every blend dyadic-exact);
     * 4dp display round. One shuffle; per-key state is the key's own
-    * history (the standing sequential-op caveat).
+    * history (the standing sequential-op caveat — see [[ewmaFinal]]'s skew
+    * contract, stress-pinned by q350).
     */
   def holtLinear(events: DataFrame, keyCol: String, tsCol: String,
       idCol: String, valueCol: String, alpha: Double = 0.5,

@@ -517,8 +517,20 @@ object Graph {
       .agg(min(col("u")).as("label"))
       .localCheckpoint(true)
     (2 to iterations).foreach { _ =>
+      // Exchange the RAW narrow (v, label) rows by v BEFORE any
+      // aggregation (round-10 spill fix): early-round neighbor-label
+      // key spaces approach |E|-distinct, so map-side combine built a
+      // per-task hash map over up to 240M nearly-unique keys — 107 GB
+      // of spill at sf10 for almost no combining. Shuffling the raw
+      // 16-byte pairs instead costs one narrow exchange, and BOTH
+      // aggregations then run reduce-side on resident ~2M-row
+      // partitions with NO further exchange: hash(v) satisfies the
+      // (v, label) clustering, and the min-per-node agg reuses the
+      // same partitioning (v = node).
       val cnt = sym
         .join(labels.select(col("node").as("u"), col("label")), Seq("u"))
+        .select(col("v"), col("label"))
+        .repartition(nPart, col("v"))
         .groupBy(col("v").as("node"), col("label"))
         .agg(count(lit(1)).as("__c"))
       labels = cnt.groupBy(col("node"))

@@ -461,6 +461,41 @@ object TrainingData {
       .withColumn("contaminated", lit(true))
   }
 
+  /** Gate-TUNING sweep of [[decontaminate]] over several gram lengths
+    * in ONE corpus pass — the recall/precision-vs-n curve a data
+    * curator actually dials (q348 scores the 8-gram gate; this sweeps
+    * the knob). Each doc is tokenized ONCE; every (n, gram-hash) pair
+    * for all requested `ns` comes out of a single tagged explode (the
+    * q315 multi-τ pattern applied to gram length — no per-n rescans),
+    * the benchmark side's tagged hash set broadcasts, and hits roll up
+    * per (id, n). Returns (id, n, n_hits, contaminated).
+    *
+    * Scale: identical to [[decontaminate]] — the shuffle carries
+    * (n, hash, id), never text; gram volume is Σ_n (tokens−n+1) ≈
+    * |ns| × corpus grams, the honest cost of sweeping |ns| settings in
+    * one pass (still far below |ns| separate corpus scans, which pay
+    * |ns| tokenizations AND |ns| full reads).
+    */
+  def decontaminateSweep(train: DataFrame, eval: DataFrame, idCol: String,
+      textCol: String, ns: Seq[Int] = Seq(4, 6, 8, 13)): DataFrame = {
+    require(ns.nonEmpty && ns.forall(_ >= 1) && ns.distinct == ns,
+      "ns must be distinct positive gram lengths")
+    def tagged(df: DataFrame, out: String): DataFrame =
+      df.select(col(idCol).as(out), tokens(col(textCol)).as("__toks"))
+        .select(col(out), explode(concat(ns.map(n =>
+          transform(wordShinglesOf(col("__toks"), n),
+            g => struct(lit(n).as("n"), fnv64(g).as("gh")))): _*))
+          .as("__t"))
+        .select(col(out), col("__t.n").as("n"), col("__t.gh").as("gh"))
+        .distinct()
+    val evalGrams = tagged(eval, "eval_id").select("n", "gh").distinct()
+    tagged(train, "id")
+      .join(broadcast(evalGrams), Seq("n", "gh"), "left_semi")
+      .groupBy(col("id"), col("n"))
+      .agg(count(lit(1)).as("n_hits"))
+      .withColumn("contaminated", lit(true))
+  }
+
   /** One row per (doc, n-gram occurrence): (`out`, gh) with gh the FNV-64
     * of the word n-gram. NOT deduped — callers dedup after any cheap
     * pre-filters so the filters see the narrow pre-aggregation stream.

@@ -475,4 +475,32 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(TrainingData.tokenBudgetSelect(mixed, "id", col("n"), col("q"),
       budget = 100L).collect().map(_.getLong(0)).toSeq == Seq(21L))
   }
+
+  test("decontaminateSweep: single-pass n-sweep, recall monotone non-increasing") {
+    // doc i holds i doc-unique tokens, so the only gram matches are the
+    // planted copies (even ids, uppercased — tokenization lowercases)
+    val docs = (1 to 12).map(i =>
+      (i.toLong, (1 to i).map(j => s"w${i}x$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val evalDf = docs.filter(col("doc_id") % 2 === 0)
+      .select((col("doc_id") + 100L).as("doc_id"),
+        upper(col("text")).as("text"))
+    val ns = Seq(2, 4, 8)
+    val f = TrainingData
+      .decontaminateSweep(docs, evalDf, "doc_id", "text", ns)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2))
+      .toMap
+    // gate n flags exactly the planted docs with >= n tokens
+    for (n <- ns; i <- 1 to 12)
+      assert(f.contains((i.toLong, n)) == (i % 2 == 0 && i >= n),
+        s"doc $i at n=$n")
+    // n_hits counts the doc's distinct n-grams (i − n + 1, all unique)
+    assert(f((8L, 4)) == 5L && f((8L, 8)) == 1L)
+    // recall vs the FIXED floor-2 truth: monotone non-increasing in n
+    val planted = (2 to 12 by 2).filter(_ >= 2)
+    val recalls = ns.map(n =>
+      planted.count(i => f.contains((i.toLong, n))).toDouble / planted.size)
+    assert(recalls == recalls.sorted.reverse, recalls.toString)
+    assert(recalls.head == 1.0 && recalls.last < 1.0, recalls.toString)
+  }
 }
