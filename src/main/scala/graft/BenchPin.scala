@@ -1,9 +1,5 @@
 package graft
 
-import java.util.concurrent.atomic.AtomicLong
-
-import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
-
 /** Dev tool: idle-gated median-of-N re-pin for specific bench queries
   * (r7 verdict #2 — q260/q34 medians doubled on unchanged code; this
   * separates host noise from regression without paying a full suite).
@@ -19,44 +15,6 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
   */
 object BenchPin {
 
-  /** Accumulates TaskMetrics across all tasks between reset() calls.
-    * Registered once; local[k] runs tasks in-process so executor-side
-    * metrics (GC, spill, peak memory) land here directly.
-    */
-  private final class MetricsListener extends SparkListener {
-    val memSpill = new AtomicLong
-    val diskSpill = new AtomicLong
-    val gcTimeMs = new AtomicLong
-    val peakExecMem = new AtomicLong
-    val shufRead = new AtomicLong
-    val shufWrite = new AtomicLong
-    override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
-      val m = t.taskMetrics
-      if (m != null) {
-        memSpill.addAndGet(m.memoryBytesSpilled): Unit
-        diskSpill.addAndGet(m.diskBytesSpilled): Unit
-        gcTimeMs.addAndGet(m.jvmGCTime): Unit
-        peakExecMem.updateAndGet(p => math.max(p, m.peakExecutionMemory)): Unit
-        shufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead): Unit
-        shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten): Unit
-      }
-    }
-    def reset(): Unit =
-      Seq(memSpill, diskSpill, gcTimeMs, peakExecMem, shufRead, shufWrite)
-        .foreach(_.set(0L))
-    /** (mem_spill, disk_spill, gc_ms, peak_exec_mem, shuf_read, shuf_write) */
-    def snapshot(): Seq[Long] =
-      Seq(memSpill.get, diskSpill.get, gcTimeMs.get, peakExecMem.get,
-        shufRead.get, shufWrite.get)
-  }
-
-  private val telemetryKeys = Seq("mem_spill_mb", "disk_spill_mb", "gc_sec",
-    "peak_exec_mem_mb", "shuffle_read_mb", "shuffle_write_mb")
-
-  private def toUnits(snap: Seq[Long]): Seq[Double] = Seq(
-    snap(0) / 1048576.0, snap(1) / 1048576.0, snap(2) / 1000.0,
-    snap(3) / 1048576.0, snap(4) / 1048576.0, snap(5) / 1048576.0)
-
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val passes = args(1).toInt
@@ -66,7 +24,7 @@ object BenchPin {
     val spark = GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     GraftSession.tune(spark)
-    val listener = new MetricsListener
+    val listener = new TaskMetricsListener
     spark.sparkContext.addSparkListener(listener)
     def loadAvg(): Double =
       try scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0).toDouble
@@ -90,7 +48,7 @@ object BenchPin {
         SparkEntry.queries(name)(spark, sfDir)
           .write.format("noop").mode("overwrite").save()
         val sec = (System.nanoTime() - t0) / 1e9
-        (sec, toUnits(listener.snapshot()))
+        (sec, TaskMetricsListener.toUnits(listener.snapshot()))
       }
       run() // warmup
       val runs = Seq.fill(passes)(run())
@@ -113,7 +71,7 @@ object BenchPin {
     }.mkString("{", ",", "}")
     val teleJson = tele.map { case (k, perRun) =>
       val worst = perRun.transpose.map(_.max)
-      "\"" + k + "\":" + telemetryKeys.zip(worst)
+      "\"" + k + "\":" + TaskMetricsListener.keys.zip(worst)
         .map { case (tk, tv) => "\"" + tk + "\":" + num(tv) }
         .mkString("{", ",", "}")
     }.mkString("{", ",", "}")

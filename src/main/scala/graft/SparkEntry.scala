@@ -2386,6 +2386,31 @@ object SparkEntry {
     // suite, the 8-gram gate flags the corpus, and the confusion report
     // scores the gate itself — recall says planted overlaps are caught,
     // precision prices incidental shared 8-grams
+    // Bucketed co-located fact-fact join (SCALE.md rule #2 made a
+    // query): lineitem ⋈ orders with BOTH sides bucket-sorted on the
+    // order key, so the SMJ runs exchange-free — the only shuffle in
+    // the whole plan is the final tiny status rollup (PlanQualitySpec
+    // asserts exactly one Exchange). The bucket-table build runs
+    // in-query for gate self-containment (the q309/q291 convention);
+    // the Bench served lane builds once and times only the join.
+    "q351_bucketed_join" -> ((s, d) => {
+      val tag = s.sparkContext.applicationId.replace("-", "_")
+      val lt = s"b_lineitem_$tag"
+      val ot = s"b_orders_$tag"
+      s.sql(s"DROP TABLE IF EXISTS $lt")
+      s.sql(s"DROP TABLE IF EXISTS $ot")
+      Tables.lineitem(s, d).write.mode("overwrite")
+        .bucketBy(16, "l_orderkey").sortBy("l_orderkey").saveAsTable(lt)
+      Tables.orders(s, d).write.mode("overwrite")
+        .bucketBy(16, "o_orderkey").sortBy("o_orderkey").saveAsTable(ot)
+      s.table(lt).hint("merge")
+        .join(s.table(ot), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast("decimal(18,2)"))
+            .cast("decimal(38,2)").cast("string").as("total_qty"))
+    }),
+
     // Ordered-fold SKEW STRESS (the q292 shape applied to the
     // sequential-op family): 30% of events land on ONE hot key, then a
     // per-key EWMA fold runs over that distribution — pins that the
@@ -7152,6 +7177,15 @@ object SparkEntry {
     // Decontam-eval replay: gram STRINGS stand in for the engine's
     // FNV hashes (the q92 collision-negligible convention), identical
     // truth definition, the q323 confusion shape
+    // Bucketed-join replay: layout is an engine-side physical concern —
+    // the oracle checks the JOIN SEMANTICS with a plain join-rollup
+    "q351_bucketed_join" ->
+      """SELECT o_orderstatus, count(*)::BIGINT AS n_items,
+        |  CAST(CAST(SUM(l_quantity::DECIMAL(18,2)) AS DECIMAL(38,2))
+        |    AS VARCHAR) AS total_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1""".stripMargin,
+
     // Skew-fold replay: same hot-key salt, per-key (µs, id)-ordered
     // list_reduce with the identical dyadic α blend — bit-exact raw
     // doubles, no recursion (the fold is the recursion)

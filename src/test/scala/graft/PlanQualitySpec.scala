@@ -243,6 +243,14 @@ class PlanQualitySpec extends AnyFunSuite {
       "partial aggregation lost")
   }
 
+  test("q351 bucketed fact-fact join: SMJ with the rollup as the ONLY exchange") {
+    val p = plan("q351_bucketed_join")
+    assert(p.contains("SortMergeJoin"), p.take(600))
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges == 1,
+      s"expected exactly the final-agg exchange, got $exchanges:\n${p.take(900)}")
+  }
+
   // Round-10 guard for the DECIMAL-moment migration (VERDICT r9 #1):
   // the cohort-statistics lanes must never again hold a whole cohort
   // in one aggregation buffer. collect_list forces ObjectHashAggregate
