@@ -2411,6 +2411,16 @@ object SparkEntry {
             .cast("decimal(38,2)").cast("string").as("total_qty"))
     }),
 
+    // ISO-BMFF (MP4) container metadata: deterministic MP4s (real
+    // ftyp brand dispatch over isom/mp41/mp42, avc1/mp4v sample
+    // descriptions, 64-bit co64 chunk offsets on even ids, multi-
+    // sample stsc runs) probed back by the widened QtCodec byte walk
+    // — every output column closed-form in doc_id for the oracle
+    "q352_mp4_meta" -> ((s, d) =>
+      graft.operators.Multimodal.containerMeta(
+        graft.operators.Multimodal.syntheticMp4FromDocs(
+          t(s, d, "documents")))),
+
     // Ordered-fold SKEW STRESS (the q292 shape applied to the
     // sequential-op family): 30% of events land on ONE hot key, then a
     // per-key EWMA fold runs over that distribution — pins that the
@@ -7185,6 +7195,19 @@ object SparkEntry {
         |    AS VARCHAR) AS total_qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1""".stripMargin,
+
+    // MP4 sample-table replay: every layout knob (brand, codec, co64,
+    // samples/chunk, sample count) is closed-form doc_id arithmetic —
+    // the parser must recover exactly what the synthesis swept
+    "q352_mp4_meta" ->
+      """SELECT doc_id AS media_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'isom' WHEN 1 THEN 'mp41'
+        |    ELSE 'mp42' END AS brand,
+        |  CASE WHEN doc_id % 5 = 0 THEN 'mp4v' ELSE 'avc1' END AS codec,
+        |  320 AS width, 240 AS height,
+        |  CAST(doc_id % 4 + 1 AS BIGINT) AS n_frames,
+        |  CAST((doc_id % 4 + 1) * 40 AS BIGINT) AS duration_ms
+        |FROM documents WHERE doc_id >= 0""".stripMargin,
 
     // Skew-fold replay: same hot-key salt, per-key (µs, id)-ordered
     // list_reduce with the identical dyadic α blend — bit-exact raw

@@ -569,7 +569,8 @@ object Multimodal {
     */
   object QtCodec {
     final case class Mov(width: Int, height: Int, codec: String,
-      durationMs: Option[Long], frames: Seq[Array[Byte]])
+      durationMs: Option[Long], frames: Seq[Array[Byte]],
+      brand: Option[String] = None)
 
     private def be16(v: Int): Array[Byte] =
       Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
@@ -587,16 +588,35 @@ object Multimodal {
     private def box(typ: String, body: Array[Byte]): Array[Byte] =
       be32(body.length + 8) ++ typ.getBytes("US-ASCII") ++ body
 
-    /** Assemble a playable single-track photo-JPEG MOV at `fps`
+    private def be64(v: Long): Array[Byte] =
+      be32((v >>> 32).toInt) ++ be32((v & 0xffffffffL).toInt)
+
+    /** Assemble a playable single-track video MOV/MP4 at `fps`
       * frames/sec (timescale = fps, one tick per frame, so
       * duration_ms = frames·1000/fps is exact integer math for the
       * oracle when fps divides 1000).
+      *
+      * ISO-BMFF widening (round 10): `brand` sets the ftyp major brand
+      * — "qt  " (default) keeps the classic QuickTime layout
+      * byte-identical to the round-9 writer; "isom"/"mp41"/"mp42" emit
+      * an ISO base-media compatible-brand list. `useCo64` writes the
+      * chunk-offset table as 64-bit `co64` instead of 32-bit `stco`
+      * (the large-file form, ISO 14496-12 §8.7.5). `codec` sets the
+      * sample-description fourcc — "jpeg" samples stay decodable via
+      * imageio; ISO codecs (e.g. "avc1") carry opaque sample bytes
+      * (no pure-JVM decoder exists — metadata-only coverage).
       */
     def buildMov(width: Int, height: Int, fps: Int,
-        frames: Seq[Array[Byte]], samplesPerChunk: Int = 1): Array[Byte] = {
+        frames: Seq[Array[Byte]], samplesPerChunk: Int = 1,
+        brand: String = "qt  ", useCo64: Boolean = false,
+        codec: String = "jpeg"): Array[Byte] = {
       require(samplesPerChunk >= 1, "samplesPerChunk must be >= 1")
-      val ftyp = box("ftyp", "qt  ".getBytes("US-ASCII") ++ be32(0x200) ++
-        "qt  ".getBytes("US-ASCII"))
+      require(brand.length == 4 && codec.length == 4, "fourcc length 4")
+      val compat =
+        if (brand == "qt  ") "qt  ".getBytes("US-ASCII")
+        else brand.getBytes("US-ASCII") ++ "isom".getBytes("US-ASCII")
+      val ftyp = box("ftyp", brand.getBytes("US-ASCII") ++ be32(0x200) ++
+        compat)
       val mdatBody = frames.flatten.toArray
       val mdat = box("mdat", mdatBody)
       val dataStart = ftyp.length + 8 // absolute offset of first sample
@@ -620,7 +640,7 @@ object Multimodal {
         be32(n) ++ be16(0x55c4) ++ be16(0)))
       val hdlr = box("hdlr", full("mhlr".getBytes("US-ASCII") ++
         "vide".getBytes("US-ASCII") ++ new Array[Byte](12)))
-      val desc = be32(86) ++ "jpeg".getBytes("US-ASCII") ++
+      val desc = be32(86) ++ codec.getBytes("US-ASCII") ++
         new Array[Byte](6) ++ be16(1) ++ be16(0) ++ be16(0) ++
         new Array[Byte](4) ++ be32(512) ++ be32(512) ++
         be16(width) ++ be16(height) ++ be32(0x480000) ++ be32(0x480000) ++
@@ -632,8 +652,11 @@ object Multimodal {
         be32(samplesPerChunk) ++ be32(1)))
       val stsz = box("stsz", full(be32(0) ++ be32(n) ++
         frames.flatMap(f => be32(f.length)).toArray))
-      val stco = box("stco", full(be32(offsets.size) ++
-        offsets.flatMap(o => be32(o)).toArray))
+      val stco =
+        if (useCo64) box("co64", full(be32(offsets.size) ++
+          offsets.flatMap(o => be64(o.toLong)).toArray))
+        else box("stco", full(be32(offsets.size) ++
+          offsets.flatMap(o => be32(o)).toArray))
       val stbl = box("stbl", stsd ++ stts ++ stsc ++ stsz ++ stco)
       val vmhd = box("vmhd", be32(1) ++ be16(0) ++ be16(0) ++ be16(0) ++ be16(0))
       val dinf = box("dinf", box("dref", full(be32(1) ++
@@ -645,9 +668,19 @@ object Multimodal {
       ftyp ++ mdat ++ moov
     }
 
-    /** Parse container + sample tables, slice the JPEG samples out of
-      * the file by stsc/stsz/stco arithmetic. None for anything that is
-      * not a QuickTime/BMFF file with a jpeg-family video track.
+    /** ISO/QT video sample-description fourccs the walk claims a track
+      * for. Only the jpeg family is frame-DECODABLE on a pure JVM; the
+      * ISO codecs (H.264/HEVC/VP9/AV1/MPEG-4 Visual) are metadata-only
+      * — sample tables still locate every sample exactly.
+      */
+    private val videoFormats = Set("jpeg", "mjpa", "mjpb",
+      "avc1", "hev1", "hvc1", "mp4v", "vp09", "av01")
+
+    /** Parse container + sample tables, slice the video samples out of
+      * the file by stsc/stsz/stco (or 64-bit co64) arithmetic. None for
+      * anything that is not a QuickTime/ISO-BMFF file with a recognized
+      * video track. The ftyp major brand (isom/mp41/qt  /…) is reported
+      * when present; classic MOVs may omit ftyp entirely.
       */
     def parseMov(bytes: Array[Byte]): Option[Mov] = {
       if (bytes == null || bytes.length < 16) return None
@@ -655,6 +688,9 @@ object Multimodal {
       // classic MOVs may omit ftyp; accept any top-level QT box start
       if (!Set("ftyp", "moov", "mdat", "wide", "free", "skip")(first))
         return None
+      val brand =
+        if (first == "ftyp" && bytes.length >= 12) Some(fourcc(bytes, 8))
+        else None
       var codec = ""
       var width = -1; var height = -1
       var timescale = 0L; var durTicks = -1L
@@ -681,8 +717,8 @@ object Multimodal {
             case "stsd" if pEnd - p >= 8 + 36 =>
               val entry = p + 8
               val fmt = fourcc(bytes, entry + 4)
-              // only claim the track if it's the jpeg family
-              if (Set("jpeg", "mjpa", "mjpb")(fmt) && codec.isEmpty) {
+              // only claim the track for a recognized video format
+              if (videoFormats(fmt) && codec.isEmpty) {
                 codec = fmt
                 width = readBe16(bytes, entry + 32)
                 height = readBe16(bytes, entry + 34)
@@ -699,6 +735,13 @@ object Multimodal {
               val n = readBe32(bytes, p + 4).toInt
               if (n >= 0 && n < (1 << 22) && p + 8 + 4L * n <= pEnd)
                 chunkOffs = Array.tabulate(n)(i => readBe32(bytes, p + 8 + 4 * i))
+            case "co64" if pEnd - p >= 8 => // 64-bit chunk offsets (§8.7.5)
+              val n = readBe32(bytes, p + 4).toInt
+              if (n >= 0 && n < (1 << 22) && p + 8 + 8L * n <= pEnd)
+                chunkOffs = Array.tabulate(n) { i =>
+                  (readBe32(bytes, p + 8 + 8 * i) << 32) |
+                    readBe32(bytes, p + 12 + 8 * i)
+                }
             case "stsc" if pEnd - p >= 8 =>
               val n = readBe32(bytes, p + 4).toInt
               if (n >= 0 && n < (1 << 20) && p + 8 + 12L * n <= pEnd)
@@ -737,7 +780,7 @@ object Multimodal {
       val durMs =
         if (timescale > 0 && durTicks >= 0) Some(durTicks * 1000L / timescale)
         else None
-      Some(Mov(width, height, codec, durMs, frames.toSeq))
+      Some(Mov(width, height, codec, durMs, frames.toSeq, brand))
     }
 
     /** JPEG frame → BT.601 ×1000 integer luma plane (the AVI-MJPEG
@@ -883,6 +926,68 @@ object Multimodal {
             bos.toByteArray
           }
           Row(d, QtCodec.buildMov(16, 8, 25, frames))
+        }
+      }(enc)
+  }
+
+  /** ISO-BMFF (MP4) container metadata per asset — the [[movMeta]]
+    * walk widened to the single most common crawled-video format:
+    * ftyp major-brand dispatch, ISO video codecs (avc1/mp4v/… —
+    * metadata-only, no pure-JVM decoder exists), and 64-bit `co64`
+    * chunk-offset tables. EXACT integer results from the container
+    * tables alone; same narrow-scan shape (binary payloads never
+    * shuffle — only the slim meta rows leave the scan).
+    */
+  def containerMeta(media: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("brand", StringType),
+      StructField("codec", StringType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("n_frames", LongType),
+      StructField("duration_ms", LongType)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    media.select("media_id", "content").mapPartitions { rows =>
+      rows.flatMap { r =>
+        val bytes = Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray)
+        QtCodec.parseMov(bytes).map { mov =>
+          Row(r.getLong(0), mov.brand.orNull, mov.codec, mov.width,
+            mov.height, mov.frames.size.toLong,
+            mov.durationMs.map(Long.box).orNull)
+        }
+      }
+    }(enc)
+  }
+
+  /** Deterministic ISO-BMFF MP4s synthesized from doc ids — real
+    * container bytes with real sample tables, all layout knobs swept
+    * closed-form so the oracle is pure doc_id arithmetic: doc d gets
+    * brand (isom|mp41|mp42)[d%3], codec mp4v when d%5==0 else avc1,
+    * 64-bit co64 offsets when d%2==0 (else stco), (d%2)+1 samples per
+    * chunk, and (d%4)+1 opaque samples (sample i carries (d%7)+i+1
+    * deterministic bytes — ISO codec payloads are not JVM-decodable,
+    * so the bytes only exercise the offset/size arithmetic) at 25 fps
+    * → duration_ms = 40·n_frames. Non-negative ids only.
+    */
+  def syntheticMp4FromDocs(documents: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("content", BinaryType)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    documents.select(col("doc_id")).filter(col("doc_id") >= 0)
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val d = r.getLong(0)
+          val brand = Seq("isom", "mp41", "mp42")((d % 3).toInt)
+          val codec = if (d % 5 == 0) "mp4v" else "avc1"
+          val frames = (0 to (d % 4).toInt).map { i =>
+            Array.tabulate(((d % 7) + i + 1).toInt)(j =>
+              ((d + i * 31 + j) % 251).toByte)
+          }
+          Row(d, QtCodec.buildMov(320, 240, 25, frames,
+            samplesPerChunk = (d % 2).toInt + 1, brand = brand,
+            useCo64 = d % 2 == 0, codec = codec))
         }
       }(enc)
   }

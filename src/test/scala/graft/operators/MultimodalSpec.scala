@@ -419,6 +419,33 @@ class MultimodalSpec extends AnyFunSuite {
     assert(QtCodec.parseMov(Array[Byte](0, 0, 0, 8, 'f', 'r', 'e', 'e')).isEmpty)
   }
 
+  test("MP4/ISO-BMFF: brand dispatch, co64 offsets, opaque ISO codec samples") {
+    import graft.operators.Multimodal.QtCodec
+    val samples = Seq(Array.tabulate(9)(_.toByte),
+      Array.tabulate(5)(i => (i + 40).toByte), Array.tabulate(13)(i => (i * 3).toByte))
+    // every (brand, co64, spc) combination the synthesis sweeps
+    for (brand <- Seq("isom", "mp41", "mp42"); co64 <- Seq(true, false);
+         spc <- Seq(1, 2)) {
+      val mp4 = QtCodec.buildMov(320, 240, 25, samples,
+        samplesPerChunk = spc, brand = brand, useCo64 = co64, codec = "avc1")
+      val parsed = QtCodec.parseMov(mp4).get
+      assert(parsed.brand.contains(brand))
+      assert(parsed.codec == "avc1")
+      assert(parsed.width == 320 && parsed.height == 240)
+      assert(parsed.durationMs.contains(120L))
+      // opaque samples slice byte-exactly through stsz + stsc + co64/stco
+      assert(parsed.frames.size == 3)
+      assert(parsed.frames.zip(samples).forall { case (a, b) =>
+        java.util.Arrays.equals(a, b) })
+    }
+    // the classic QT writer still reports its brand; unbranded walk is None
+    assert(QtCodec.parseMov(QtCodec.buildMov(16, 8, 25,
+      Seq(Array[Byte](1, 2, 3)), codec = "mp4v")).get.brand.contains("qt  "))
+    // an unrecognized sample-description fourcc claims no track
+    assert(QtCodec.parseMov(QtCodec.buildMov(16, 8, 25,
+      Seq(Array[Byte](1, 2, 3)), codec = "zzzz")).isEmpty)
+  }
+
   test("EXIF: both byte orders round-trip; non-EXIF and garbage probe to null") {
     import graft.functions.ExifMeta
     for (le <- Seq(true, false)) {
