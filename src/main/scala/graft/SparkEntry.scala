@@ -2411,6 +2411,29 @@ object SparkEntry {
             .cast("decimal(38,2)").cast("string").as("total_qty"))
     }),
 
+    // Green-list watermark screen (Kirchenbauer-style provenance
+    // audit): per-doc green-pair fraction + one-proportion z from a
+    // context-keyed FNV parity — pure per-row column program, zero
+    // shuffles; natural text sits at green_frac ≈ 0.5
+    "q353_watermark_screen" -> ((s, d) =>
+      graft.operators.QualityRules.watermarkScreen(
+        t(s, d, "documents"), "doc_id", "text")),
+
+    // Range-shard write planning without a global sort: deterministic
+    // hash sample → two-phase exact sample ranks → ⌈i·m/S⌉ boundary
+    // keys folded into one bounded array → exact realized-shard audit
+    // (counts/min/max/skew) against the broadcast boundaries
+    "q354_range_shard_plan" -> ((s, d) =>
+      graft.operators.TrainingData.rangeShardPlan(
+        t(s, d, "orders"), "o_orderkey", shards = 8)),
+
+    // Pooled per-source watermark detection: Z = (2G−M)/√M over each
+    // source's total context pairs — exact integer partial+final sums,
+    // flags a machine-generated SOURCE even when no single doc trips
+    "q355_watermark_by_source" -> ((s, d) =>
+      graft.operators.QualityRules.watermarkBySource(
+        t(s, d, "documents"), "doc_id", "text", "source")),
+
     // ISO-BMFF (MP4) container metadata: deterministic MP4s (real
     // ftyp brand dispatch over isom/mp41/mp42, avc1/mp4v sample
     // descriptions, 64-bit co64 chunk offsets on even ids, multi-
@@ -7195,6 +7218,65 @@ object SparkEntry {
         |    AS VARCHAR) AS total_qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1""".stripMargin,
+
+    // Watermark replay: same tokenization, FNV-64 parity of
+    // (prev ‖ 0x01 ‖ cur) per adjacent pair via the HUGEINT chain;
+    // green_frac and z are single IEEE ops on exact integers
+    "q353_watermark_screen" ->
+      s"""WITH tk AS (SELECT doc_id, $tokensSql AS toks FROM documents
+         |  WHERE text IS NOT NULL),
+         |p AS (SELECT doc_id, len(toks) - 1 AS m,
+         |    len(list_filter(generate_series(1, len(toks) - 1),
+         |      pi -> (${fnvSql("toks[pi] || chr(1) || toks[pi+1]")}) % 2 = 0))
+         |      AS g
+         |  FROM tk WHERE len(toks) >= 2)
+         |SELECT doc_id, m AS m_pairs, g AS g_green,
+         |  g::DOUBLE / m::DOUBLE AS green_frac,
+         |  (2 * g - m)::DOUBLE / sqrt(m::DOUBLE) AS z
+         |FROM p""".stripMargin,
+
+    // Shard-plan replay: same xxh64 sample gate, global row_number
+    // ranks (the engine's two-phase ranks compute the same integers),
+    // integer ⌈i·m/S⌉ boundaries, identical left-closed bucket rule
+    "q354_range_shard_plan" ->
+      s"""WITH keys AS (SELECT o_orderkey AS k FROM orders),
+         |${xxh64Chain("xh", "keys", "k", Seq("k"))},
+         |smp AS MATERIALIZED (SELECT k FROM xh
+         |  WHERE ((hs % 64) + 64) % 64 = 0),
+         |r AS MATERIALIZED (SELECT k,
+         |  row_number() OVER (ORDER BY k) AS rk FROM smp),
+         |mm AS (SELECT count(*) AS m FROM smp),
+         |rks AS (SELECT (i * mm.m + 7) // 8 AS rk
+         |  FROM generate_series(1, 7) t(i), mm),
+         |b AS (SELECT r.k AS bk FROM r JOIN rks USING (rk)),
+         |barr AS (SELECT coalesce(list(bk ORDER BY bk), []) AS bounds
+         |  FROM b),
+         |a AS (SELECT k, len(list_filter(barr.bounds, x -> x < k))
+         |    AS shard_idx FROM keys, barr),
+         |g AS (SELECT shard_idx, count(*)::BIGINT AS n_rows,
+         |    min(k) AS k_min, max(k) AS k_max FROM a GROUP BY 1)
+         |SELECT shard_idx, n_rows, k_min, k_max,
+         |  (n_rows * 8)::DOUBLE
+         |    / (SELECT count(*) FROM keys)::DOUBLE AS skew
+         |FROM g""".stripMargin,
+
+    // Pooled-source replay: exact integer G/M sums over the per-doc
+    // frame, then the same two final IEEE ops
+    "q355_watermark_by_source" ->
+      s"""WITH tk AS (SELECT doc_id, $tokensSql AS toks FROM documents
+         |  WHERE text IS NOT NULL),
+         |p AS (SELECT doc_id, len(toks) - 1 AS m,
+         |    len(list_filter(generate_series(1, len(toks) - 1),
+         |      pi -> (${fnvSql("toks[pi] || chr(1) || toks[pi+1]")}) % 2 = 0))
+         |      AS g
+         |  FROM tk WHERE len(toks) >= 2)
+         |SELECT d.source, count(*)::BIGINT AS k_docs,
+         |  sum(p.m)::BIGINT AS m_pairs, sum(p.g)::BIGINT AS g_green,
+         |  sum(p.g)::DOUBLE / sum(p.m)::DOUBLE AS green_frac,
+         |  (2 * sum(p.g) - sum(p.m))::DOUBLE / sqrt(sum(p.m)::DOUBLE)
+         |    AS pooled_z
+         |FROM p JOIN documents d USING (doc_id)
+         |GROUP BY d.source""".stripMargin,
 
     // MP4 sample-table replay: every layout knob (brand, codec, co64,
     // samples/chunk, sample count) is closed-form doc_id arithmetic —

@@ -519,4 +519,76 @@ object QualityRules {
         col("kept"),
         (col("kept").cast("double") / col("docs")).as("keep_rate"))
   }
+
+  /** Green-list watermark screen (Kirchenbauer et al. 2023, "A Watermark
+    * for Large Language Models", public): a context-keyed hash splits the
+    * vocabulary into green/red halves per position; watermarked LLM text
+    * over-represents green tokens, so the per-document one-proportion
+    * z-score `(2g − m)/√m` over m = tokens−1 context pairs flags
+    * machine-generated (watermarked) documents entering a training
+    * corpus — the provenance sibling of [[trojanSourceAudit]].
+    *
+    * The green test here is the width-1-context form: pair (t_{i−1},
+    * t_i) is green iff FNV-64(t_{i−1} ‖ 0x01 ‖ t_i) has low bit 0 — an
+    * unkeyed stand-in for the scheme's seeded PRF (detection against a
+    * KNOWN key is the same arithmetic with that key folded into the
+    * hash). Natural text sits at green_frac ≈ 1/2 (|z| small).
+    *
+    * Exactness: g and m are integers; green_frac = g/m and
+    * z = (2g−m)/√m are single correctly-rounded IEEE ops on exact
+    * integers — raw doubles are bit-identical cross-engine (the q134
+    * stance; √ is the one libm op IEEE guarantees).
+    *
+    * Scale: pure per-row column program over one corpus scan — the
+    * pair walk is zip_with over two slices of the staged token array
+    * (attribute, not subtree: HOF lambdas are interpreted, no CSE),
+    * zero shuffles, I/O-bound on any executor count.
+    */
+  def watermarkScreen(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val staged = df.filter(col(textCol).isNotNull)
+      .select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .filter(size(col("__toks")) >= 2)
+    val greens = size(filter(
+      zip_with(
+        slice(col("__toks"), lit(1), size(col("__toks")) - 1),
+        slice(col("__toks"), lit(2), size(col("__toks")) - 1),
+        (a, b) => graft.functions.HashFunctions
+          .fnv64(concat(a, lit(""), b)).bitwiseAND(lit(1L)) === 0L),
+      x => x))
+    staged
+      .withColumn("m_pairs", (size(col("__toks")) - 1).cast("long"))
+      .withColumn("g_green", greens.cast("long"))
+      .select(col(idCol), col("m_pairs"), col("g_green"),
+        (col("g_green").cast("double") / col("m_pairs").cast("double"))
+          .as("green_frac"),
+        ((lit(2L) * col("g_green") - col("m_pairs")).cast("double") /
+          sqrt(col("m_pairs").cast("double"))).as("z"))
+  }
+
+  /** Corpus-level watermark detection per source — the POOLED
+    * one-proportion z over all of a source's context pairs:
+    * Z = (2G − M)/√M with G = Σ g_green and M = Σ m_pairs (exact
+    * integer partial+final sums, O(1) buffers). A source emitting
+    * watermarked (machine-generated) text surfaces with |Z| ≫ the
+    * noise floor even when no single document is flaggable — detection
+    * power grows with √M across the whole source. All-integer inputs
+    * keep the two final IEEE ops (√, ÷) bit-identical cross-engine.
+    */
+  def watermarkBySource(df: DataFrame, idCol: String, textCol: String,
+      sourceCol: String): DataFrame = {
+    val perDoc = watermarkScreen(df, idCol, textCol)
+      .join(df.select(col(idCol), col(sourceCol)), Seq(idCol))
+    perDoc
+      .groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("k_docs"),
+        sum(col("m_pairs")).as("m_pairs"),
+        sum(col("g_green")).as("g_green"))
+      .select(col(sourceCol), col("k_docs"), col("m_pairs"),
+        col("g_green"),
+        (col("g_green").cast("double") / col("m_pairs").cast("double"))
+          .as("green_frac"),
+        ((lit(2L) * col("g_green") - col("m_pairs")).cast("double") /
+          sqrt(col("m_pairs").cast("double"))).as("pooled_z"))
+  }
 }

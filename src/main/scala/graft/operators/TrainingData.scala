@@ -171,6 +171,73 @@ object TrainingData {
         col("selected"))
   }
 
+  /** Range-shard WRITE PLANNING without a global sort — the layout
+    * question every 100 TB re-partitioning job answers first: pick S−1
+    * key boundaries that split the table into ≈equal range shards, then
+    * audit what those boundaries actually realize. Two narrow passes:
+    *
+    *  1. PLAN on a deterministic hash sample (pmod(xxhash64(k),
+    *     sampleMod)=0 — retry/growth-stable, no RNG): sample ranks are
+    *     computed with the [[tokenBudgetSelect]] two-phase shape
+    *     (coarse key-range bucket → small bucket-summary cumsum →
+    *     per-bucket window) so NO single-partition global window ever
+    *     sees the sample; boundary i = sample order statistic at
+    *     nearest-rank ⌈i·m/S⌉ (exact integer arithmetic). The ≤ S−1
+    *     boundary values fold into ONE array row (bounded by S, the
+    *     mmrSelect k-bounded contract).
+    *  2. AUDIT every row against the broadcast boundary array:
+    *     shard = #{boundaries < k} (S−1 comparisons/row), then one
+    *     partial+final count/min/max per shard — the realized
+    *     distribution the plan would write, with skew = n·S/total.
+    *
+    * Spark's own RangePartitioner answers this with reservoir samples
+    * collected to the driver; this form keeps the sample distributed
+    * and the boundary rule exactly replayable (rank arithmetic, not
+    * reservoir RNG). Rows equal to a boundary go left; duplicate
+    * boundary values collapse (their shards realize empty and are not
+    * emitted — the oracle's IN-filter dedups identically).
+    */
+  def rangeShardPlan(df: DataFrame, keyCol: String, shards: Int,
+      sampleMod: Int = 64, bucketWidth: Long = 1L << 12): DataFrame = {
+    require(shards >= 2, "shards must be >= 2")
+    require(sampleMod >= 1 && bucketWidth >= 1, "positive sample/bucket")
+    val keys = df.select(col(keyCol).cast("long").as("k"))
+    val smp = keys.filter(pmod(xxhash64(col("k")), lit(sampleMod.toLong)) === 0L)
+      .withColumn("__b", floor(col("k") / bucketWidth).cast("long"))
+    val bsum = smp.groupBy(col("__b")).agg(count(lit(1)).as("__bc"))
+    val wb = Window.orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cumB = bsum
+      .withColumn("__before", coalesce(sum(col("__bc")).over(wb), lit(0L)))
+      .select(col("__b"), col("__before"))
+    // nearest-rank boundary set ⌈i·m/S⌉ = (i·m + S − 1) div S, computed
+    // ONCE on the 1-row total frame: the numerator stays < 2⁵³ at any
+    // realistic sample (exact in double), the quotient is ≥ 1/S away
+    // from any integer it doesn't equal, so floor() is the exact
+    // integer division
+    val total1 = smp.agg(count(lit(1)).as("__m"))
+      .withColumn("__ranks", transform(sequence(lit(1), lit(shards - 1)),
+        i => floor((i.cast("long") * col("__m") + lit(shards - 1L))
+          .cast("double") / shards).cast("long")))
+      .select(col("__ranks"))
+    val wd = Window.partitionBy(col("__b")).orderBy(col("k"))
+    val bounds = smp.join(cumB, Seq("__b"))
+      .withColumn("__rk", col("__before") + row_number().over(wd))
+      .crossJoin(broadcast(total1))
+      .filter(array_contains(col("__ranks"), col("__rk")))
+      .agg(sort_array(collect_list(col("k"))).as("__bounds"))
+    val wAll = Window.partitionBy()
+    keys.crossJoin(broadcast(bounds))
+      .withColumn("shard_idx",
+        size(filter(col("__bounds"), b => b < col("k"))))
+      .groupBy(col("shard_idx"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("k")).as("k_min"), max(col("k")).as("k_max"))
+      .select(col("shard_idx"), col("n_rows"), col("k_min"), col("k_max"),
+        ((col("n_rows") * shards).cast("double") /
+          sum(col("n_rows")).over(wAll).cast("double")).as("skew"))
+  }
+
   /** Deterministic stratified sampling: keep a row iff its hash bucket
     * (pmod(xxhash64(id), 1e6)) falls below its stratum's rate threshold.
     * Same determinism contract as [[deterministicSplit]] — retry-stable,

@@ -251,6 +251,21 @@ class PlanQualitySpec extends AnyFunSuite {
       s"expected exactly the final-agg exchange, got $exchanges:\n${p.take(900)}")
   }
 
+  test("q353 watermark screen: narrow per-row program, zero shuffle, no UDF") {
+    val p = plan("q353_watermark_screen")
+    assert(!p.contains("Exchange"), s"watermark screen must not shuffle:\n${p.take(600)}")
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"), "UDF crept in")
+  }
+
+  test("q354 shard plan: boundaries broadcast to the audit; no sort-merge; partial+final audit agg") {
+    val p = plan("q354_range_shard_plan")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"boundary array must broadcast:\n${p.take(900)}")
+    assert(!p.contains("SortMergeJoin"), "audit must not sort-merge the fact side")
+    assert(!p.contains("CartesianProduct"), "non-broadcast cross product")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "partial aggregation lost")
+  }
+
   // Round-10 guard for the DECIMAL-moment migration (VERDICT r9 #1):
   // the cohort-statistics lanes must never again hold a whole cohort
   // in one aggregation buffer. collect_list forces ObjectHashAggregate

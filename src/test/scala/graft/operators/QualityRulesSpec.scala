@@ -352,6 +352,52 @@ class QualityRulesSpec extends AnyFunSuite {
     assert(r.forall(_.getAs[Double]("risk_share") == 0.0))
   }
 
+  test("watermarkScreen: hand-traced green pairs, z math, short-doc gating") {
+    import graft.functions.HashUtil
+    import org.apache.spark.unsafe.types.UTF8String
+    // expected greens computed straight from the kernel's own FNV-64:
+    // pair (a,b) green iff low bit of fnv64(a + 0x01 + b) is 0
+    def green(a: String, b: String): Boolean =
+      (HashUtil.fnv64(UTF8String.fromString(a + "\u0001" + b)) & 1L) == 0L
+    val txt = "alpha beta gamma delta epsilon zeta"
+    val toks = txt.split(" ").toSeq
+    val expG = toks.sliding(2).count { case Seq(a, b) => green(a, b) }
+    val df = Seq((1L, txt), (2L, "solo"), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val rows = QualityRules.watermarkScreen(df, "doc_id", "text").collect()
+    // <2-token and null docs emit nothing
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L))
+    val r = rows(0)
+    val m = toks.size - 1
+    assert(r.getAs[Long]("m_pairs") == m.toLong)
+    assert(r.getAs[Long]("g_green") == expG.toLong)
+    assert(r.getAs[Double]("green_frac") == expG.toDouble / m)
+    assert(r.getAs[Double]("z") == (2.0 * expG - m) / math.sqrt(m.toDouble))
+    // tokenization is the lowercase kernel: case variants pair identically
+    val up = QualityRules.watermarkScreen(
+      Seq((9L, txt.toUpperCase)).toDF("doc_id", "text"), "doc_id", "text")
+      .collect()(0)
+    assert(up.getAs[Long]("g_green") == expG.toLong)
+  }
+
+  test("watermarkBySource: pooled integer sums, not per-doc z averaging") {
+    val df = Seq(
+      (1L, "a b c d", "s0"), (2L, "e f g", "s0"), (3L, "h i", "s1"))
+      .toDF("doc_id", "text", "source")
+    val per = QualityRules.watermarkScreen(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("m_pairs"), r.getAs[Long]("g_green"))).toMap
+    val out = QualityRules.watermarkBySource(df, "doc_id", "text", "source")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val (m0, g0) = (per(1L)._1 + per(2L)._1, per(1L)._2 + per(2L)._2)
+    assert(out("s0").getAs[Long]("k_docs") == 2L)
+    assert(out("s0").getAs[Long]("m_pairs") == m0)
+    assert(out("s0").getAs[Long]("g_green") == g0)
+    assert(out("s0").getAs[Double]("pooled_z") ==
+      (2.0 * g0 - m0) / math.sqrt(m0.toDouble))
+    assert(out("s1").getAs[Long]("m_pairs") == per(3L)._1)
+  }
+
   test("trojanSourceAudit: each smuggling class caught by its counter") {
     import spark.implicits._
     val df = Seq(

@@ -503,4 +503,50 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(recalls == recalls.sorted.reverse, recalls.toString)
     assert(recalls.head == 1.0 && recalls.last < 1.0, recalls.toString)
   }
+
+  test("rangeShardPlan: brute-force replay of sample ranks, boundaries, audit") {
+    val n = 10000
+    val keys = (0 until n).map(i => Tuple1((i.toLong * 7919) % 50021))
+    val df = keys.toDF("k")
+    val shards = 8
+    val out = TrainingData.rangeShardPlan(df, "k", shards, sampleMod = 16)
+      .collect().map(r => r.getInt(0) ->
+        (r.getAs[Long]("n_rows"), r.getAs[Long]("k_min"),
+          r.getAs[Long]("k_max"), r.getAs[Double]("skew"))).toMap
+    // brute-force replay with Spark's own xxhash64 (collect the gate)
+    val hashed = df.select(col("k"),
+      pmod(xxhash64(col("k")), lit(16L)).as("h")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val sample = hashed.filter(_._2 == 0L).map(_._1).sorted
+    val m = sample.length
+    assert(m > shards, s"sample too small: $m")
+    val bounds = (1 until shards)
+      .map(i => sample(((i.toLong * m + shards - 1) / shards).toInt - 1))
+      .sorted
+    val exp = keys.map(_._1).groupBy(k => bounds.count(_ < k))
+    assert(out.keySet == exp.keySet.map(_.toInt))
+    for ((si, ks) <- exp) {
+      val (nr, kmin, kmax, skew) = out(si)
+      assert(nr == ks.size.toLong, s"shard $si rows")
+      assert(kmin == ks.min && kmax == ks.max, s"shard $si range")
+      assert(skew == nr.toDouble * shards / n, s"shard $si skew")
+    }
+    // realized shards cover all rows and are reasonably balanced here
+    assert(out.values.map(_._1).sum == n.toLong)
+    assert(out.values.map(_._4).max < 2.0, "pathological skew on uniform keys")
+  }
+
+  test("rangeShardPlan: boundary rows go LEFT; empty sample degenerates to one shard") {
+    // keys all equal: every boundary equals the key, everything lands shard 0
+    val df = (1 to 100).map(_ => Tuple1(5L)).toDF("k")
+    val one = TrainingData.rangeShardPlan(df, "k", 4, sampleMod = 1).collect()
+    assert(one.length == 1 && one(0).getInt(0) == 0 &&
+      one(0).getAs[Long]("n_rows") == 100L)
+    // sampleMod so large nothing samples: no boundaries, one shard out
+    val tiny = (1 to 50).map(i => Tuple1(i.toLong)).toDF("k")
+    val rows = TrainingData.rangeShardPlan(tiny, "k", 4,
+      sampleMod = 1 << 30).collect()
+    assert(rows.length == 1 && rows(0).getInt(0) == 0 &&
+      rows(0).getAs[Long]("n_rows") == 50L)
+  }
 }
