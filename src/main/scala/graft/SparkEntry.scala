@@ -2434,6 +2434,42 @@ object SparkEntry {
       graft.operators.QualityRules.watermarkBySource(
         t(s, d, "documents"), "doc_id", "text", "source")),
 
+    // Matryoshka prefix-dimension energy census: per stored-dimension
+    // candidate d, how many embeddings keep >=50/90/99% of their
+    // squared-norm energy in the first d coords — the truncation-
+    // planning table before cutting ANN index cost; narrow folds,
+    // one partial+final agg, d=dim anchors at exactly 1.0
+    "q356_matryoshka_census" -> ((s, d) =>
+      graft.operators.Similarity.matryoshkaEnergyCensus(
+        t(s, d, "embeddings"), "vec_id", "embedding",
+        Seq(8, 16, 32, 64))),
+
+    // STREAMING watermark ingest gate: the q353 screen run unchanged
+    // on a readStream of the corpus (one code path, the q340
+    // convention) — stream == batch checked by sharing q353's oracle
+    "q357_stream_watermark" -> ((s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val tmp = sys.props("java.io.tmpdir")
+      val runTag = s.sparkContext.applicationId
+      val outPath = s"$tmp/graft_q357_out_$runTag"
+      val ckpt = s"$tmp/graft_q357_ckpt_$runTag"
+      def rmrf(p: java.io.File): Unit = {
+        if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rmrf))
+        p.delete(): Unit
+      }
+      Seq(outPath, ckpt).foreach(p => rmrf(new java.io.File(p)))
+      val raw = Tables.documents(s, d)
+      val stream = streamSource(s, d, "documents", raw.schema)
+      val screened = graft.operators.QualityRules
+        .watermarkScreen(stream, "doc_id", "text")
+      val q = graft.streaming.StreamingOps.appendPerBatch(screened, outPath)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(outPath)
+    }),
+
     // ISO-BMFF (MP4) container metadata: deterministic MP4s (real
     // ftyp brand dispatch over isom/mp41/mp42, avc1/mp4v sample
     // descriptions, 64-bit co64 chunk offsets on even ids, multi-
@@ -4330,6 +4366,23 @@ object SparkEntry {
 
   private val tokensSql =
     "list_filter(string_split_regex(lower(text), '\\s+'), tk -> tk <> '')"
+
+  /** Shared by q353 (batch) and q357 (streaming gate): the green-list
+    * watermark screen replay — FNV-64 parity of (prev ‖ 0x01 ‖ cur)
+    * per adjacent token pair, single-IEEE-op green_frac/z outputs.
+    */
+  private lazy val watermarkOracleSql =
+    s"""WITH tk AS (SELECT doc_id, $tokensSql AS toks FROM documents
+       |  WHERE text IS NOT NULL),
+       |p AS (SELECT doc_id, len(toks) - 1 AS m,
+       |    len(list_filter(generate_series(1, len(toks) - 1),
+       |      pi -> (${fnvSql("toks[pi] || chr(1) || toks[pi+1]")}) % 2 = 0))
+       |      AS g
+       |  FROM tk WHERE len(toks) >= 2)
+       |SELECT doc_id, m AS m_pairs, g AS g_green,
+       |  g::DOUBLE / m::DOUBLE AS green_frac,
+       |  (2 * g - m)::DOUBLE / sqrt(m::DOUBLE) AS z
+       |FROM p""".stripMargin
 
   /** q225's field spec — (name, m, u) — shared by the Spark plan and
     * the oracle so both engines sum the SAME log-likelihood weight
@@ -7222,18 +7275,39 @@ object SparkEntry {
     // Watermark replay: same tokenization, FNV-64 parity of
     // (prev ‖ 0x01 ‖ cur) per adjacent pair via the HUGEINT chain;
     // green_frac and z are single IEEE ops on exact integers
-    "q353_watermark_screen" ->
-      s"""WITH tk AS (SELECT doc_id, $tokensSql AS toks FROM documents
-         |  WHERE text IS NOT NULL),
-         |p AS (SELECT doc_id, len(toks) - 1 AS m,
-         |    len(list_filter(generate_series(1, len(toks) - 1),
-         |      pi -> (${fnvSql("toks[pi] || chr(1) || toks[pi+1]")}) % 2 = 0))
-         |      AS g
-         |  FROM tk WHERE len(toks) >= 2)
-         |SELECT doc_id, m AS m_pairs, g AS g_green,
-         |  g::DOUBLE / m::DOUBLE AS green_frac,
-         |  (2 * g - m)::DOUBLE / sqrt(m::DOUBLE) AS z
-         |FROM p""".stripMargin,
+    "q353_watermark_screen" -> watermarkOracleSql,
+
+    // Streaming gate == batch screen: one code path, same oracle (the
+    // q340/q309 served-equality convention)
+    "q357_stream_watermark" -> watermarkOracleSql,
+
+    // Matryoshka replay: identical float→double cast + square +
+    // index-order left fold per prefix (the normStats fold idiom),
+    // integer threshold counts on bit-identical fractions
+    "q356_matryoshka_census" ->
+      """WITH v AS (SELECT vec_id, embedding AS e FROM embeddings
+        |  WHERE embedding IS NOT NULL),
+        |f AS MATERIALIZED (SELECT vec_id, e,
+        |    list_reduce(list_prepend(0.0::DOUBLE,
+        |      list_transform(e, x -> x::DOUBLE)),
+        |      (acc, x) -> acc + x * x) AS efull
+        |  FROM v),
+        |ds AS (SELECT unnest([8, 16, 32, 64]) AS d),
+        |p AS (SELECT f.vec_id, ds.d,
+        |    list_reduce(list_prepend(0.0::DOUBLE,
+        |      list_transform(e[1:ds.d], x -> x::DOUBLE)),
+        |      (acc, x) -> acc + x * x) / efull AS frac
+        |  FROM f CROSS JOIN ds WHERE efull > 0.0)
+        |SELECT d, count(*)::BIGINT AS n_vecs,
+        |  sum(CASE WHEN frac >= 0.5::DOUBLE THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_ge_50,
+        |  sum(CASE WHEN frac >= 0.9::DOUBLE THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_ge_90,
+        |  sum(CASE WHEN frac >= 0.99::DOUBLE THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_ge_99,
+        |  sum(CASE WHEN frac >= 0.9::DOUBLE THEN 1 ELSE 0 END)::DOUBLE
+        |    / count(*)::DOUBLE AS share_ge_90
+        |FROM p GROUP BY d""".stripMargin,
 
     // Shard-plan replay: same xxh64 sample gate, global row_number
     // ranks (the engine's two-phase ranks compute the same integers),

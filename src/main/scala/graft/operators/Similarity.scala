@@ -679,6 +679,62 @@ object Similarity {
         sum(when(col("norm") === 0.0, col("c")).otherwise(0L))
           .as("n_zero"))
   }
+  /** Matryoshka prefix-dimension energy audit (Kusupati et al. 2022,
+    * "Matryoshka Representation Learning", public): for each prefix
+    * length d, the fraction of a vector's squared-norm energy its first
+    * d coordinates retain — THE question before truncating stored
+    * embeddings to cut ANN index cost 2-8×. One row per (vector, d):
+    * (id, d, energy_frac). energy_frac(dim) ≡ 1.0 exactly (same fold,
+    * same bits) — the built-in sanity anchor.
+    *
+    * Determinism: each coordinate is cast float→double (exact), squared
+    * and left-folded in index order — every per-row value is one fixed
+    * IEEE chain both engines replay bit-identically (the [[normStats]]
+    * fold idiom); the final ÷ is a single correctly-rounded op. Per-row
+    * state is dim-bounded. Zero-energy vectors are excluded (fraction
+    * undefined).
+    *
+    * Scale: pure narrow per-row program — one corpus scan, the |prefixes|
+    * folds inline in the projection, zero shuffles.
+    */
+  def matryoshkaEnergy(emb: DataFrame, idCol: String, vecCol: String,
+      prefixes: Seq[Int]): DataFrame = {
+    require(prefixes.nonEmpty && prefixes.forall(_ >= 1) &&
+      prefixes.distinct == prefixes, "prefixes must be distinct positives")
+    def energy(arr: Column): Column =
+      aggregate(transform(arr, x => x.cast("double")),
+        lit(0.0), (acc, x) => acc + x * x)
+    emb.filter(col(vecCol).isNotNull)
+      .select(col(idCol), col(vecCol).as("__v"))
+      .withColumn("__efull", energy(col("__v")))
+      .filter(col("__efull") > 0.0)
+      .select(col(idCol), explode(array(prefixes.map(dd =>
+        struct(lit(dd).as("d"),
+          (energy(slice(col("__v"), 1, dd)) / col("__efull"))
+            .as("energy_frac"))): _*)).as("__p"))
+      .select(col(idCol), col("__p.d").as("d"),
+        col("__p.energy_frac").as("energy_frac"))
+  }
+
+  /** Corpus census over [[matryoshkaEnergy]]: per prefix d, how many
+    * vectors retain ≥ 50/90/99% of their energy — the table a curator
+    * reads to pick the stored dimension. Integer-exact counts from
+    * comparisons of bit-identical doubles + one single-op share; one
+    * partial+final aggregation over the narrow per-row frame.
+    */
+  def matryoshkaEnergyCensus(emb: DataFrame, idCol: String,
+      vecCol: String, prefixes: Seq[Int]): DataFrame =
+    matryoshkaEnergy(emb, idCol, vecCol, prefixes)
+      .groupBy(col("d"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("energy_frac") >= 0.5, 1L).otherwise(0L)).as("n_ge_50"),
+        sum(when(col("energy_frac") >= 0.9, 1L).otherwise(0L)).as("n_ge_90"),
+        sum(when(col("energy_frac") >= 0.99, 1L).otherwise(0L)).as("n_ge_99"))
+      .select(col("d"), col("n_vecs"), col("n_ge_50"), col("n_ge_90"),
+        col("n_ge_99"),
+        (col("n_ge_90").cast("double") / col("n_vecs").cast("double"))
+          .as("share_ge_90"))
+
   /** Maximal-marginal-relevance selection (Carbonell & Goldstein 1998):
     * greedily pick `k` items maximizing
     *   λ·relevance − (1−λ)·max_{s ∈ selected} cos(candidate, s)

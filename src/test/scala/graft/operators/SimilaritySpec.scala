@@ -228,6 +228,38 @@ class SimilaritySpec extends AnyFunSuite {
     assert(r.getAs[Long]("n_zero") == 1L)
   }
 
+  test("matryoshkaEnergy: hand-computed fractions, dim anchor, monotone, zero-vec gate") {
+    val vecs = Seq(
+      (1L, Array(3.0f, 4.0f, 0f, 12.0f)),    // energies 9,25,25,169
+      (2L, Array(0f, 0f, 0f, 2.0f)),          // all energy in the tail
+      (3L, Array(0f, 0f, 0f, 0f)))            // zero-energy: excluded
+      .toDF("vec_id", "embedding")
+    val out = Similarity.matryoshkaEnergy(vecs, "vec_id", "embedding",
+      Seq(1, 2, 4)).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(!out.keys.exists(_._1 == 3L), "zero-energy vector must drop")
+    assert(out((1L, 1)) == 9.0 / 169.0)
+    assert(out((1L, 2)) == 25.0 / 169.0)
+    assert(out((1L, 4)) == 1.0)               // exact anchor at full dim
+    assert(out((2L, 2)) == 0.0 && out((2L, 4)) == 1.0)
+    // per-vector monotone non-decreasing in d
+    for (id <- Seq(1L, 2L))
+      assert(Seq(1, 2, 4).map(d => out((id, d))) ==
+        Seq(1, 2, 4).map(d => out((id, d))).sorted)
+    // census rolls the same frame up with integer-exact thresholds
+    val c = Similarity.matryoshkaEnergyCensus(vecs, "vec_id", "embedding",
+      Seq(1, 2, 4)).collect()
+      .map(r => r.getInt(0) -> r).toMap
+    assert(c(4).getAs[Long]("n_vecs") == 2L)
+    assert(c(4).getAs[Long]("n_ge_99") == 2L)
+    assert(c(1).getAs[Long]("n_ge_50") == 0L)
+    assert(c(4).getAs[Double]("share_ge_90") == 1.0)
+    // narrow plan: the per-row audit must not shuffle
+    val p = Similarity.matryoshkaEnergy(vecs, "vec_id", "embedding",
+      Seq(1, 2)).queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), "matryoshka audit must not shuffle")
+  }
+
   test("meanPairwiseCosine: identity matches the O(n²) brute force") {
     // label 1: identical directions → 1.0; label 2: two orthogonal → 0.0;
     // label 3: singleton → NULL
