@@ -2434,6 +2434,29 @@ object SparkEntry {
       graft.operators.QualityRules.watermarkBySource(
         t(s, d, "documents"), "doc_id", "text", "source")),
 
+    // Wilcoxon signed-rank (paired nonparametric): does per-user
+    // purchase count systematically differ from click count? Integer
+    // pairs → exact .0/.5 midranks → exact DECIMAL W⁺; z is a fixed
+    // chain of correctly-rounded ops on exact integers
+    "q358_wilcoxon" -> ((s, d) => {
+      val pairs = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+          .as("x"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("y"))
+      graft.operators.Profile.wilcoxonSignedRank(pairs, "x", "y")
+    }),
+
+    // McNemar paired-gate disagreement: is the Gopher keep gate
+    // systematically stricter than a plain 100-word length gate on the
+    // SAME documents? 2×2 census + χ² on the discordant cells only
+    "q359_mcnemar_gates" -> ((s, d) => {
+      val g = graft.operators.QualityRules.gopherQuality(
+        t(s, d, "documents"), "doc_id", "text")
+      graft.operators.Eval.mcnemar(g, col("keep"), col("n_words") >= 100L)
+    }),
+
     // Matryoshka prefix-dimension energy census: per stored-dimension
     // candidate d, how many embeddings keep >=50/90/99% of their
     // squared-norm energy in the first d coords — the truncation-
@@ -7280,6 +7303,77 @@ object SparkEntry {
     // Streaming gate == batch screen: one code path, same oracle (the
     // q340/q309 served-equality convention)
     "q357_stream_watermark" -> watermarkOracleSql,
+
+    // Wilcoxon replay: same pair construction, midranks over the
+    // collapsed |d| frame, DECIMAL W⁺, the identical double chain
+    "q358_wilcoxon" ->
+      """WITH pr AS (SELECT user_id,
+        |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS x,
+        |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+        |  FROM events GROUP BY user_id),
+        |d0 AS (SELECT y - x AS d, abs(y - x) AS ad FROM pr WHERE y <> x),
+        |dv AS (SELECT ad, count(*) AS t,
+        |    sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS pos
+        |  FROM d0 GROUP BY ad),
+        |mr AS (SELECT ad, t, pos,
+        |    coalesce(sum(t) OVER (ORDER BY ad
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::DOUBLE
+        |      + (t + 1)::DOUBLE / 2.0::DOUBLE AS mrank
+        |  FROM dv),
+        |ag AS (SELECT sum(t)::BIGINT AS np,
+        |    CAST(sum(CAST(pos AS DECIMAL(18,1)) * CAST(mrank AS DECIMAL(18,1)))
+        |      AS DECIMAL(38,2)) AS wp,
+        |    sum(t * t * t - t)::BIGINT AS ts
+        |  FROM mr)
+        |SELECT np AS n_pairs, wp::DOUBLE AS w_plus,
+        |  CASE WHEN np::DOUBLE * (np::DOUBLE + 1.0::DOUBLE)
+        |      * (2.0::DOUBLE * np::DOUBLE + 1.0::DOUBLE) / 24.0::DOUBLE
+        |      - ts::DOUBLE / 48.0::DOUBLE > 0.0::DOUBLE
+        |    THEN (wp::DOUBLE - np::DOUBLE * (np::DOUBLE + 1.0::DOUBLE)
+        |        / 4.0::DOUBLE)
+        |      / sqrt(np::DOUBLE * (np::DOUBLE + 1.0::DOUBLE)
+        |        * (2.0::DOUBLE * np::DOUBLE + 1.0::DOUBLE) / 24.0::DOUBLE
+        |        - ts::DOUBLE / 48.0::DOUBLE)
+        |  END AS z
+        |FROM ag""".stripMargin,
+
+    // McNemar replay: the shared Gopher frame, the length gate, exact
+    // discordant-cell arithmetic
+    "q359_mcnemar_gates" ->
+      s"""WITH g AS ($gopherQualityOracleSql)
+         |SELECT sum(CASE WHEN keep AND n_words >= 100 THEN 1 ELSE 0 END)
+         |    ::BIGINT AS n11,
+         |  sum(CASE WHEN keep AND n_words < 100 THEN 1 ELSE 0 END)
+         |    ::BIGINT AS n10,
+         |  sum(CASE WHEN NOT keep AND n_words >= 100 THEN 1 ELSE 0 END)
+         |    ::BIGINT AS n01,
+         |  sum(CASE WHEN NOT keep AND n_words < 100 THEN 1 ELSE 0 END)
+         |    ::BIGINT AS n00,
+         |  CASE WHEN sum(CASE WHEN keep <> (n_words >= 100) THEN 1 ELSE 0
+         |      END) > 0 THEN
+         |    (sum(CASE WHEN keep AND n_words < 100 THEN 1 ELSE 0 END)
+         |      - sum(CASE WHEN NOT keep AND n_words >= 100 THEN 1 ELSE 0
+         |        END))::DOUBLE
+         |    * (sum(CASE WHEN keep AND n_words < 100 THEN 1 ELSE 0 END)
+         |      - sum(CASE WHEN NOT keep AND n_words >= 100 THEN 1 ELSE 0
+         |        END))::DOUBLE
+         |    / (sum(CASE WHEN keep <> (n_words >= 100) THEN 1 ELSE 0 END))
+         |      ::DOUBLE
+         |  END AS chi2,
+         |  CASE WHEN sum(CASE WHEN keep <> (n_words >= 100) THEN 1 ELSE 0
+         |      END) > 0 THEN
+         |    greatest(abs(sum(CASE WHEN keep AND n_words < 100 THEN 1
+         |        ELSE 0 END)
+         |      - sum(CASE WHEN NOT keep AND n_words >= 100 THEN 1 ELSE 0
+         |        END)) - 1, 0)::DOUBLE
+         |    * greatest(abs(sum(CASE WHEN keep AND n_words < 100 THEN 1
+         |        ELSE 0 END)
+         |      - sum(CASE WHEN NOT keep AND n_words >= 100 THEN 1 ELSE 0
+         |        END)) - 1, 0)::DOUBLE
+         |    / (sum(CASE WHEN keep <> (n_words >= 100) THEN 1 ELSE 0 END))
+         |      ::DOUBLE
+         |  END AS chi2_corrected
+         |FROM g""".stripMargin,
 
     // Matryoshka replay: identical float→double cast + square +
     // index-order left fold per prefix (the normStats fold idiom),

@@ -12,6 +12,35 @@ import org.apache.spark.sql.functions._
   */
 object Eval {
 
+  /** McNemar's test for two paired binary gates (McNemar 1947, public
+    * textbook form): given per-item booleans a and b (filter A keeps /
+    * filter B keeps; model A correct / model B correct), tests whether
+    * the DISAGREEMENTS are asymmetric — the question "is gate B
+    * systematically stricter than gate A?" that a 2×2 census alone
+    * doesn't answer. χ² = (n₁₀ − n₀₁)²/(n₁₀ + n₀₁); the
+    * continuity-corrected form uses (max(|n₁₀ − n₀₁| − 1, 0))². Both
+    * are single correctly-rounded divides on exact integer counts —
+    * bit-identical cross-engine. One partial+final agg, one row out.
+    */
+  def mcnemar(df: DataFrame, aGate: Column, bGate: Column): DataFrame = {
+    val a = aGate.cast("boolean")
+    val b = bGate.cast("boolean")
+    val agg = df
+      .filter(a.isNotNull && b.isNotNull)
+      .agg(sum(when(a && b, 1L).otherwise(0L)).as("n11"),
+        sum(when(a && !b, 1L).otherwise(0L)).as("n10"),
+        sum(when(!a && b, 1L).otherwise(0L)).as("n01"),
+        sum(when(!a && !b, 1L).otherwise(0L)).as("n00"))
+    val disc = col("n10") + col("n01")
+    val diff = col("n10") - col("n01")
+    agg.select(col("n11"), col("n10"), col("n01"), col("n00"),
+      when(disc > 0L, (diff * diff).cast("double") / disc.cast("double"))
+        .as("chi2"),
+      when(disc > 0L,
+        (greatest(abs(diff) - 1L, lit(0L)) * greatest(abs(diff) - 1L, lit(0L)))
+          .cast("double") / disc.cast("double")).as("chi2_corrected"))
+  }
+
   /** Precision-recall threshold sweep: one row per DISTINCT score,
     * treating "predict positive" as score ≥ threshold — the full PR
     * curve (and F1 sweep) in a single pass, companion to q188's AUC

@@ -493,6 +493,57 @@ object Profile {
         when(corr > 0, round(h / corr, 4)).as("h_corrected"))
   }
 
+  /** Wilcoxon signed-rank test (paired, normal approximation with the
+    * standard tie correction) — the nonparametric paired-comparison
+    * companion of [[kruskalWallis]]: given one (x, y) pair per unit
+    * (metric A vs metric B per user, model A vs model B per eval item),
+    * tests whether the differences are symmetric around zero without
+    * any distribution assumption. Zero differences drop (the reduced-
+    * sample convention); W⁺ = Σ midrank(|d|) over positive d.
+    *
+    * Exactness: INTEGER pairs make every |d| integer, so midranks are
+    * .0/.5 values — per-|d| contributions (pos·midrank) land exactly in
+    * DECIMAL(18,1) products and the W⁺ sum is exact and order-free.
+    * E[W⁺] = n(n+1)/4 is dyadic (exact double); the variance
+    * n(n+1)(2n+1)/24 − Σ(t³−t)/48 and z are a fixed sequence of
+    * correctly-rounded double ops on exact integers — bit-identical
+    * cross-engine, no rounding anywhere.
+    *
+    * Scale: one partial+final agg to the collapsed |d| frame (bounded
+    * by distinct |d| values, never rows — the [[kruskalWallis]] dv
+    * stance), one small-frame window for cumulative counts, one fold.
+    */
+  def wilcoxonSignedRank(df: DataFrame, xCol: String,
+      yCol: String): DataFrame = {
+    val d0 = df
+      .select((col(yCol).cast("long") - col(xCol).cast("long")).as("__d"))
+      .filter(col("__d").isNotNull && col("__d") =!= 0L)
+      .select(col("__d"), abs(col("__d")).as("__ad"))
+    val dv = d0.groupBy(col("__ad"))
+      .agg(count(lit(1)).as("__t"),
+        sum(when(col("__d") > 0, 1L).otherwise(0L)).as("__pos"))
+    val wBefore = org.apache.spark.sql.expressions.Window.orderBy(col("__ad"))
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val mr = dv
+      .withColumn("__cb", coalesce(sum(col("__t")).over(wBefore), lit(0L)))
+      .withColumn("__mr", col("__cb").cast("double") +
+        (col("__t") + 1).cast("double") / 2.0)
+    val agg = mr.agg(
+      sum(col("__t")).as("n_pairs"),
+      sum(col("__pos").cast("decimal(18,1)") *
+        col("__mr").cast("decimal(18,1)")).cast("decimal(38,2)").as("__wp"),
+      sum(col("__t") * col("__t") * col("__t") - col("__t")).as("__ts"))
+    val nd = col("n_pairs").cast("double")
+    val ew = nd * (nd + lit(1.0)) / lit(4.0)
+    val varw = nd * (nd + lit(1.0)) * (lit(2.0) * nd + lit(1.0)) /
+      lit(24.0) - col("__ts").cast("double") / lit(48.0)
+    agg.select(col("n_pairs"),
+      col("__wp").cast("double").as("w_plus"),
+      when(varw > 0.0,
+        (col("__wp").cast("double") - ew) / sqrt(varw)).as("z"))
+  }
+
   /** Balanced half-sample standard error (McCarthy 1969's replication
     * idea with deterministic hash-bit replicates) — the sampling-error
     * bar a profiling pass attaches to per-group means WITHOUT

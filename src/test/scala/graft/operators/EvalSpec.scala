@@ -284,4 +284,29 @@ class EvalSpec extends AnyFunSuite {
     assert(out.head.getAs[Double]("d_o") == 0.0)
     assert(out.head.getAs[Double]("alpha") == 1.0)
   }
+
+  test("mcnemar: hand-counted 2x2, continuity correction, null gating") {
+    import org.apache.spark.sql.functions.col
+    // a,b: 3x(T,T), 4x(T,F), 1x(F,T), 2x(F,F) -> chi2 = (4-1)^2/5 = 1.8
+    // corrected: (|3|-1)^2/5 = 0.8; a null pair row is excluded
+    val rows = Seq.fill(3)((true, true)) ++ Seq.fill(4)((true, false)) ++
+      Seq((false, true)) ++ Seq.fill(2)((false, false))
+    val df = rows.toDF("a", "b").unionAll(
+      Seq((true, true)).toDF("a", "b")
+        .select(col("a"), org.apache.spark.sql.functions
+          .lit(null).cast("boolean").as("b")))
+    val r = Eval.mcnemar(df, col("a"), col("b")).collect().head
+    assert(r.getAs[Long]("n11") == 3L && r.getAs[Long]("n10") == 4L)
+    assert(r.getAs[Long]("n01") == 1L && r.getAs[Long]("n00") == 2L)
+    assert(r.getAs[Double]("chi2") == 9.0 / 5.0)
+    assert(r.getAs[Double]("chi2_corrected") == 4.0 / 5.0)
+  }
+
+  test("mcnemar: zero discordance nulls the statistic") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq((true, true), (false, false)).toDF("a", "b")
+    val r = Eval.mcnemar(df, col("a"), col("b")).collect().head
+    assert(r.isNullAt(r.fieldIndex("chi2")))
+    assert(r.isNullAt(r.fieldIndex("chi2_corrected")))
+  }
 }

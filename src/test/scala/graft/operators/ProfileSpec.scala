@@ -307,4 +307,26 @@ class ProfileSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getAs[Long]("n")).toMap
     assert(direct == merged.view.mapValues(_._1).toMap)
   }
+
+  test("wilcoxonSignedRank: hand-traced midranks, ties, zero-diff drop") {
+    // diffs y-x: +1,+1,-1,+2,+3,0 -> zero drops; |d| groups:
+    // 1 (t=3, pos=2) midrank 2.0; 2 (t=1) midrank 4; 3 (t=1) midrank 5
+    // W+ = 2*2.0 + 4 + 5 = 13; n=5, E=7.5
+    // Var = 5*6*11/24 - (27-3)/48 = 13.75 - 0.5 = 13.25
+    val df = Seq((0L, 1L), (0L, 1L), (1L, 0L), (0L, 2L), (0L, 3L), (4L, 4L))
+      .toDF("x", "y")
+    val r = Profile.wilcoxonSignedRank(df, "x", "y").collect().head
+    assert(r.getAs[Long]("n_pairs") == 5L)
+    assert(r.getAs[Double]("w_plus") == 13.0)
+    assert(r.getAs[Double]("z") == (13.0 - 7.5) / math.sqrt(13.25))
+  }
+
+  test("wilcoxonSignedRank: symmetric diffs give W+ = E, z = 0") {
+    // +1 and -1 in equal numbers: W+ = half the rank sum exactly
+    val df = Seq((0L, 1L), (1L, 0L), (0L, 2L), (2L, 0L)).toDF("x", "y")
+    val r = Profile.wilcoxonSignedRank(df, "x", "y").collect().head
+    assert(r.getAs[Long]("n_pairs") == 4L)
+    assert(r.getAs[Double]("w_plus") == 5.0) // 1.5 + 3.5
+    assert(r.getAs[Double]("z") == 0.0)
+  }
 }
