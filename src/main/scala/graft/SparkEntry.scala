@@ -2434,6 +2434,19 @@ object SparkEntry {
       graft.operators.QualityRules.watermarkBySource(
         t(s, d, "documents"), "doc_id", "text", "source")),
 
+    // Mixture rebalance plan: per-source sampling rates that move the
+    // observed token mixture onto a target weighting (1 + N%3 per
+    // srcN) — the most under-represented source keeps rate 1, all
+    // others subsample; every value a fixed chain of exact-int ops
+    "q360_mixture_rebalance" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      graft.operators.TrainingData.mixtureRebalance(docs, "source",
+        when(col("text").isNotNull,
+          size(graft.functions.TextFunctions.tokens(col("text")))
+            .cast("long")).otherwise(lit(0L)),
+        expr("1 + (cast(substring(source, 4) as int) % 3)"))
+    }),
+
     // Wilcoxon signed-rank (paired nonparametric): does per-user
     // purchase count systematically differ from click count? Integer
     // pairs → exact .0/.5 midranks → exact DECIMAL W⁺; z is a fixed
@@ -7303,6 +7316,27 @@ object SparkEntry {
     // Streaming gate == batch screen: one code path, same oracle (the
     // q340/q309 served-equality convention)
     "q357_stream_watermark" -> watermarkOracleSql,
+
+    // Rebalance replay: exact integer token/weight sums, then the
+    // identical share → rel → max → rate → floor double chain
+    "q360_mixture_rebalance" ->
+      s"""WITH per AS (SELECT source,
+         |    sum(CASE WHEN text IS NULL THEN 0
+         |      ELSE len($tokensSql) END)::BIGINT AS ot,
+         |    max(1 + (CAST(substr(source, 4) AS INT) % 3))::BIGINT AS w
+         |  FROM documents WHERE source IS NOT NULL GROUP BY source),
+         |tot AS (SELECT sum(ot) AS tt, sum(w) AS wt FROM per),
+         |r AS (SELECT source, ot,
+         |    ot::DOUBLE / tt::DOUBLE AS oshare,
+         |    w::DOUBLE / wt::DOUBLE AS tshare,
+         |    (w::DOUBLE / wt::DOUBLE) / (ot::DOUBLE / tt::DOUBLE) AS rel
+         |  FROM per, tot),
+         |mx AS (SELECT max(rel) AS mrel FROM r)
+         |SELECT source, ot AS observed_tokens, oshare AS observed_share,
+         |  tshare AS target_share, rel / mrel AS rate,
+         |  CAST(floor(rel / mrel * ot::DOUBLE) AS BIGINT)
+         |    AS planned_tokens
+         |FROM r, mx""".stripMargin,
 
     // Wilcoxon replay: same pair construction, midranks over the
     // collapsed |d| frame, DECIMAL W⁺, the identical double chain

@@ -238,6 +238,53 @@ object TrainingData {
           sum(col("n_rows")).over(wAll).cast("double")).as("skew"))
   }
 
+  /** Mixture REBALANCE planning — the actionable step after a mixture
+    * audit (q151 measures observed-vs-target divergence; this emits the
+    * per-source sampling rates that would fix it): given per-row token
+    * counts and a per-source target weight, compute each source's
+    * observed token share, its target share, the relative weight
+    * rel = target/observed, and the DOWNSAMPLING plan rate = rel/max(rel)
+    * — scaled so the most under-represented source keeps everything
+    * (rate 1) and every other source subsamples to match the target
+    * mixture exactly (the static DoReMi-style reweighting, public:
+    * Xie et al. 2023 fix a reference mixture the same way before
+    * proxy-model reweighting). planned_tokens = ⌊rate·observed⌋.
+    *
+    * Exactness: token sums and weight sums are exact integer aggs;
+    * every derived value is a FIXED sequence of correctly-rounded
+    * double ops on those integers (shares, rel, the max over the
+    * |sources|-bounded frame, rate, floor) — bit-identical
+    * cross-engine, no rounding anywhere. One partial+final agg + one
+    * broadcast of the 1-row totals; no window over row-scale data.
+    */
+  def mixtureRebalance(df: DataFrame, sourceCol: String,
+      tokenCount: Column, targetWeight: Column): DataFrame = {
+    val per = df
+      .select(col(sourceCol).as("source"),
+        tokenCount.cast("long").as("__tk"),
+        targetWeight.cast("long").as("__w"))
+      .filter(col("source").isNotNull && col("__tk").isNotNull)
+      .groupBy(col("source"))
+      .agg(sum(col("__tk")).as("observed_tokens"),
+        max(col("__w")).as("__w"))
+    val tot = per.agg(sum(col("observed_tokens")).as("__ot"),
+      sum(col("__w")).as("__wt"))
+    val rel = (col("__w").cast("double") / col("__wt").cast("double")) /
+      (col("observed_tokens").cast("double") / col("__ot").cast("double"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+    per.crossJoin(broadcast(tot))
+      .withColumn("observed_share", col("observed_tokens").cast("double") /
+        col("__ot").cast("double"))
+      .withColumn("target_share", col("__w").cast("double") /
+        col("__wt").cast("double"))
+      .withColumn("__rel", rel)
+      .withColumn("rate", col("__rel") / max(col("__rel")).over(wAll))
+      .select(col("source"), col("observed_tokens"),
+        col("observed_share"), col("target_share"), col("rate"),
+        floor(col("rate") * col("observed_tokens").cast("double"))
+          .cast("long").as("planned_tokens"))
+  }
+
   /** Deterministic stratified sampling: keep a row iff its hash bucket
     * (pmod(xxhash64(id), 1e6)) falls below its stratum's rate threshold.
     * Same determinism contract as [[deterministicSplit]] — retry-stable,

@@ -504,6 +504,30 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(recalls.head == 1.0 && recalls.last < 1.0, recalls.toString)
   }
 
+  test("mixtureRebalance: hand-traced rates, under-represented source keeps rate 1") {
+    // tokens: a=600, b=300, c=100 (sum 1000); weights: a=1, b=1, c=2
+    // shares: .6/.3/.1 vs targets .25/.25/.5
+    // rel: a=.25/.6, b=.25/.3, c=.5/.1=5 (max) → rates a=1/12, b=1/6, c=1
+    val df = Seq(
+      ("a", 600L, 1L), ("b", 200L, 1L), ("b", 100L, 1L), ("c", 100L, 2L))
+      .toDF("source", "tk", "w")
+    val out = TrainingData.mixtureRebalance(df, "source", col("tk"), col("w"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("c").getAs[Double]("rate") == 1.0)
+    assert(out("c").getAs[Long]("planned_tokens") == 100L)
+    val relA = (1.0 / 4.0) / (600.0 / 1000.0)
+    val relC = (2.0 / 4.0) / (100.0 / 1000.0)
+    assert(out("a").getAs[Double]("rate") == relA / relC)
+    assert(out("a").getAs[Long]("planned_tokens") ==
+      math.floor(relA / relC * 600.0).toLong)
+    assert(out("b").getAs[Long]("observed_tokens") == 300L)
+    assert(out("b").getAs[Double]("observed_share") == 0.3)
+    // planned mixture matches the target RATIOS (up to floor):
+    // planned a : c = 50 : 100 = target .25 : .5
+    assert(out("a").getAs[Long]("planned_tokens") == 50L)
+    assert(out("b").getAs[Long]("planned_tokens") == 50L)
+  }
+
   test("rangeShardPlan: brute-force replay of sample ranks, boundaries, audit") {
     val n = 10000
     val keys = (0 until n).map(i => Tuple1((i.toLong * 7919) % 50021))
