@@ -81,7 +81,14 @@ object Bench {
     // form rebuilds its index in-query for gate self-containment — that
     // build belongs outside a "served" timing).
     "q328_mahalanobis",
-    "q329_label_prop")
+    "q329_label_prop",
+    // round 10: the three new scale paths — the zero-shuffle watermark
+    // text scan, the sample-plan + exact-audit range sharder (the
+    // no-global-sort write planner), and the narrow embedding-fold
+    // matryoshka census
+    "q353_watermark_screen",
+    "q354_range_shard_plan",
+    "q356_matryoshka_census")
 
   private def runOnce(name: String, spark: SparkSession, sfDir: String): Unit =
     SparkEntry.queries(name)(spark, sfDir)

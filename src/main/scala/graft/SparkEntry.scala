@@ -2434,6 +2434,14 @@ object SparkEntry {
       graft.operators.QualityRules.watermarkBySource(
         t(s, d, "documents"), "doc_id", "text", "source")),
 
+    // Mean-direction anisotropy: how much embedding energy lies along
+    // the corpus mean direction (the center-before-cosine pathology
+    // number) + the dominant coordinate and its share — exact DECIMAL
+    // first moments, dim-bounded fold
+    "q361_anisotropy" -> ((s, d) =>
+      graft.operators.Similarity.meanDirectionAnisotropy(
+        t(s, d, "embeddings"), "vec_id", "embedding")),
+
     // Mixture rebalance plan: per-source sampling rates that move the
     // observed token mixture onto a target weighting (1 + N%3 per
     // srcN) — the most under-represented source keeps rate 1, all
@@ -7316,6 +7324,32 @@ object SparkEntry {
     // Streaming gate == batch screen: one code path, same oracle (the
     // q340/q309 served-equality convention)
     "q357_stream_watermark" -> watermarkOracleSql,
+
+    // Anisotropy replay: same 4dp-canonical coordinates, exact decimal
+    // S_j/E sums per 0-based dim, the identical dim-ordered double fold
+    "q361_anisotropy" ->
+      """WITH v AS (SELECT embedding AS e FROM embeddings
+        |  WHERE embedding IS NOT NULL),
+        |ex AS (SELECT p.pos,
+        |    round(e[p.pos + 1]::DOUBLE, 4)::DECIMAL(14,4) AS x
+        |  FROM v CROSS JOIN
+        |    (SELECT unnest(generate_series(0, 63)) AS pos) p),
+        |s AS MATERIALIZED (SELECT pos,
+        |    CAST(sum(x) AS DECIMAL(38,4)) AS sj,
+        |    CAST(sum(CAST(x * x AS DECIMAL(38,8))) AS DECIMAL(38,8)) AS ej
+        |  FROM ex GROUP BY pos),
+        |n1 AS (SELECT count(*)::BIGINT AS n_vecs FROM v),
+        |tp AS (SELECT pos AS top_dim, sj::DOUBLE AS st FROM s
+        |  ORDER BY abs(sj) DESC, pos LIMIT 1),
+        |f AS (SELECT CAST(sum(ej) AS DECIMAL(38,8)) AS e,
+        |    list_reduce(list_prepend(0.0::DOUBLE,
+        |      list(sj::DOUBLE ORDER BY pos)),
+        |      (acc, x) -> acc + x * x) AS ss
+        |  FROM s)
+        |SELECT n_vecs, CAST(e AS VARCHAR) AS total_energy,
+        |  ss / (n_vecs::DOUBLE * e::DOUBLE) AS anisotropy,
+        |  top_dim, st * st / ss AS top_share
+        |FROM f, n1, tp""".stripMargin,
 
     // Rebalance replay: exact integer token/weight sums, then the
     // identical share → rel → max → rate → floor double chain

@@ -735,6 +735,59 @@ object Similarity {
         (col("n_ge_90").cast("double") / col("n_vecs").cast("double"))
           .as("share_ge_90"))
 
+  /** Mean-direction anisotropy audit (first-moment form of the
+    * Mu & Viswanath 2018 "All-but-the-Top" observation, public): how
+    * much of the corpus's embedding energy lies along the MEAN
+    * direction — anisotropy₁ = ‖Σᵥ v‖² / (n · Σᵥ‖v‖²) ∈ [0, 1], the
+    * pathology number that says "center (and re-normalize) before
+    * trusting cosines". 1 = every vector points the same way;
+    * isotropic clouds sit near 0. Also reports the dominant coordinate
+    * (argmax |Σ vⱼ|, ties → lowest j) and its share of Σⱼ Sⱼ².
+    *
+    * Exactness: coordinates are 4dp-canonicalized DECIMALs, so the
+    * per-dimension sums Sⱼ and the total energy E are EXACT order-free
+    * decimal sums (partial+final aggs over the (dim, value) explode —
+    * dim-bounded groups). At the audit's scales the scaled sums stay
+    * < 2⁵³, so the decimal→double conversions are exact; the remaining
+    * arithmetic is a fixed dim-ordered fold over the 64-row frame
+    * (bounded by construction) + three correctly-rounded ops.
+    *
+    * Scale: one explode of (pos, value) pairs with map-side combine
+    * into `dim` groups — vectors never shuffle whole; the final fold
+    * runs on a dim-row frame.
+    */
+  def meanDirectionAnisotropy(emb: DataFrame, idCol: String,
+      vecCol: String): DataFrame = {
+    val staged = emb.filter(col(vecCol).isNotNull)
+      .select(posexplode(transform(col(vecCol),
+        x => round(x.cast("double"), 4).cast("decimal(14,4)")))
+        .as(Seq("pos", "x")))
+    val perDim = staged.groupBy(col("pos"))
+      .agg(sum(col("x")).cast("decimal(38,4)").as("__sj"),
+        sum((col("x") * col("x")).cast("decimal(38,8)"))
+          .cast("decimal(38,8)").as("__ej"))
+    val n1 = emb.filter(col(vecCol).isNotNull).agg(count(lit(1)).as("n_vecs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(abs(col("__sj")).desc, col("pos"))
+    val folded = perDim
+      .withColumn("__rk", row_number().over(w))
+      .agg(sum(col("__ej")).cast("decimal(38,8)").as("__e"),
+        // dim-ordered bounded fold: Σ Sⱼ² in a FIXED j order
+        aggregate(transform(array_sort(collect_list(
+          struct(col("pos"), col("__sj").cast("double").as("s")))),
+          s => s.getField("s")), lit(0.0), (acc, x) => acc + x * x)
+          .as("__ss"),
+        max(when(col("__rk") === 1, col("pos"))).as("top_dim"),
+        max(when(col("__rk") === 1, col("__sj").cast("double"))).as("__st"))
+    folded.crossJoin(broadcast(n1))
+      .select(col("n_vecs"),
+        col("__e").cast("string").as("total_energy"),
+        (col("__ss") / (col("n_vecs").cast("double") *
+          col("__e").cast("double"))).as("anisotropy"),
+        col("top_dim"),
+        (col("__st") * col("__st") / col("__ss")).as("top_share"))
+  }
+
   /** Maximal-marginal-relevance selection (Carbonell & Goldstein 1998):
     * greedily pick `k` items maximizing
     *   λ·relevance − (1−λ)·max_{s ∈ selected} cos(candidate, s)

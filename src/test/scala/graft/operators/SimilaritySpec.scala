@@ -260,6 +260,33 @@ class SimilaritySpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), "matryoshka audit must not shuffle")
   }
 
+  test("meanDirectionAnisotropy: aligned=1, antipodal=0, orthogonal=1/2, tie to low dim") {
+    def pad(xs: (Int, Float)*): Array[Float] = {
+      val a = new Array[Float](64); xs.foreach { case (i, v) => a(i) = v }; a
+    }
+    // two identical vectors: all energy on the mean direction → exactly 1
+    val aligned = Seq((1L, pad(0 -> 3f)), (2L, pad(0 -> 3f)))
+      .toDF("vec_id", "embedding")
+    val r1 = Similarity.meanDirectionAnisotropy(aligned, "vec_id", "embedding")
+      .collect().head
+    assert(r1.getAs[Double]("anisotropy") == 1.0)
+    assert(r1.getAs[Int]("top_dim") == 0 && r1.getAs[Double]("top_share") == 1.0)
+    assert(r1.getAs[String]("total_energy") == "18.00000000")
+    // v and -v cancel: the mean direction carries nothing
+    val anti = Seq((1L, pad(5 -> 2f)), (2L, pad(5 -> -2f)))
+      .toDF("vec_id", "embedding")
+    assert(Similarity.meanDirectionAnisotropy(anti, "vec_id", "embedding")
+      .collect().head.getAs[Double]("anisotropy") == 0.0)
+    // e1 and e3: ‖S‖²=2, n·E=4 → 1/2; |S| ties at dims 1 and 3 → low dim wins
+    val ortho = Seq((1L, pad(1 -> 1f)), (2L, pad(3 -> 1f)))
+      .toDF("vec_id", "embedding")
+    val r3 = Similarity.meanDirectionAnisotropy(ortho, "vec_id", "embedding")
+      .collect().head
+    assert(r3.getAs[Double]("anisotropy") == 0.5)
+    assert(r3.getAs[Int]("top_dim") == 1)
+    assert(r3.getAs[Double]("top_share") == 0.5)
+  }
+
   test("meanPairwiseCosine: identity matches the O(n²) brute force") {
     // label 1: identical directions → 1.0; label 2: two orthogonal → 0.0;
     // label 3: singleton → NULL
