@@ -244,7 +244,9 @@ object Bench {
     val servedResults: Seq[(String, Double, Seq[Double])] = {
       import graft.operators.{IvfAdc, IvfIndex}
       val tmp = sys.props("java.io.tmpdir")
-      val runTag = spark.sparkContext.applicationId
+      // sanitized: local appIds contain '-', which is not a valid SQL
+      // identifier char — the q351 bucketed-table names broke unquoted
+      val runTag = spark.sparkContext.applicationId.replace("-", "_")
       def servedEntry(name: String)(build: () => Unit)(
           query: () => org.apache.spark.sql.DataFrame): (String, Double, Seq[Double]) = {
         def timed(): Option[Double] = recordTele(name) {
