@@ -196,6 +196,12 @@ object TrainingData {
     * reservoir RNG). Rows equal to a boundary go left; duplicate
     * boundary values collapse (their shards realize empty and are not
     * emitted — the oracle's IN-filter dedups identically).
+    *
+    * Sizing contract: the bucket-SUMMARY cumsum is a global window, so
+    * pick `bucketWidth` with distinct buckets ≈ key_span/bucketWidth
+    * ≲ 10⁶ (and `sampleMod` so the sample ≈ n/sampleMod stays a small
+    * fraction of the table) — both are parameters precisely because the
+    * right values are data-scale decisions.
     */
   def rangeShardPlan(df: DataFrame, keyCol: String, shards: Int,
       sampleMod: Int = 64, bucketWidth: Long = 1L << 12): DataFrame = {
