@@ -2434,6 +2434,30 @@ object SparkEntry {
       graft.operators.QualityRules.watermarkBySource(
         t(s, d, "documents"), "doc_id", "text", "source")),
 
+    // Cochran's Q over THREE paired document gates (Gopher keep /
+    // 100-word length / stopword floor): the k-gate generalization of
+    // q359 — all-integer numerator and denominator, one final divide
+    "q362_cochran_q" -> ((s, d) => {
+      val g = graft.operators.QualityRules.gopherQuality(
+        t(s, d, "documents"), "doc_id", "text")
+      graft.operators.Eval.cochranQ(g, Seq(col("keep"),
+        col("n_words") >= 100L, col("stopword_hits") >= 2L))
+    }),
+
+    // EXACT top-k via sketch+rescan: constant-state SpaceSaving pass
+    // finds candidates (every key above n/capacity is guaranteed
+    // tracked), a broadcast-semi rescan computes exact counts for the
+    // ≤ capacity survivors only, and the output carries its own
+    // completeness certificate — the unbounded-key-space top-k that
+    // never aggregates the full key space
+    "q363_exact_topk_rescan" -> ((s, d) => {
+      val keyed = Tables.events(s, d).select(
+        when(col("user_id") % 3 === 0, col("user_id") % 7)
+          .otherwise(col("user_id")).as("k"))
+      graft.operators.Profile.exactTopKRescan(keyed, "k", k = 7,
+        capacity = 50)
+    }),
+
     // Mean-direction anisotropy: how much embedding energy lies along
     // the corpus mean direction (the center-before-cosine pathology
     // number) + the dominant coordinate and its share — exact DECIMAL
@@ -7324,6 +7348,45 @@ object SparkEntry {
     // Streaming gate == batch screen: one code path, same oracle (the
     // q340/q309 served-equality convention)
     "q357_stream_watermark" -> watermarkOracleSql,
+
+    // Cochran replay: shared Gopher frame, all-integer Q arithmetic
+    "q362_cochran_q" ->
+      s"""WITH g AS ($gopherQualityOracleSql),
+         |r AS (SELECT
+         |    (CASE WHEN keep THEN 1 ELSE 0 END
+         |      + CASE WHEN n_words >= 100 THEN 1 ELSE 0 END
+         |      + CASE WHEN stopword_hits >= 2 THEN 1 ELSE 0 END) AS ri,
+         |    CASE WHEN keep THEN 1 ELSE 0 END AS g0,
+         |    CASE WHEN n_words >= 100 THEN 1 ELSE 0 END AS g1,
+         |    CASE WHEN stopword_hits >= 2 THEN 1 ELSE 0 END AS g2
+         |  FROM g),
+         |a AS (SELECT count(*)::BIGINT AS n_items,
+         |    sum(ri)::BIGINT AS nn, sum(ri * ri)::BIGINT AS r2,
+         |    sum(g0)::BIGINT AS c0, sum(g1)::BIGINT AS c1,
+         |    sum(g2)::BIGINT AS c2
+         |  FROM r)
+         |SELECT n_items, 3 AS k_gates,
+         |  CASE WHEN 3 * nn - r2 > 0 THEN
+         |    (2 * (3 * (c0*c0 + c1*c1 + c2*c2) - nn * nn))::DOUBLE
+         |      / (3 * nn - r2)::DOUBLE
+         |  END AS q_stat,
+         |  2 AS df
+         |FROM a""".stripMargin,
+
+    // Rescan replay: the oracle computes the TRUE exact top-k over all
+    // keys — equality with the engine's candidate-restricted top-k IS
+    // the completeness guarantee exercised on skewed data
+    "q363_exact_topk_rescan" ->
+      """WITH keyed AS (SELECT CASE WHEN user_id % 3 = 0
+        |    THEN user_id % 7 ELSE user_id END AS k FROM events),
+        |c AS (SELECT k, count(*)::BIGINT AS exact_count
+        |  FROM keyed GROUP BY k),
+        |t AS (SELECT count(*)::BIGINT AS n FROM keyed),
+        |r AS (SELECT k, exact_count, row_number()
+        |    OVER (ORDER BY exact_count DESC, k) AS rank FROM c)
+        |SELECT CAST(rank AS INT) AS rank, k AS item, exact_count,
+        |  exact_count * 50 > t.n AS provably_complete
+        |FROM r, t WHERE rank <= 7""".stripMargin,
 
     // Anisotropy replay: same 4dp-canonical coordinates, exact decimal
     // S_j/E sums per 0-based dim, the identical dim-ordered double fold

@@ -41,6 +41,42 @@ object Eval {
           .cast("double") / disc.cast("double")).as("chi2_corrected"))
   }
 
+  /** Cochran's Q (Cochran 1950, public textbook form) — [[mcnemar]]
+    * generalized to k ≥ 2 paired binary gates per item: do the gates
+    * have the same keep rate, or is at least one systematically
+    * different? Q = (k−1)·(k·ΣCⱼ² − N²) / (k·N − ΣRᵢ²) with Cⱼ the
+    * per-gate totals, Rᵢ the per-item totals, N = ΣRᵢ — an ALL-INTEGER
+    * numerator and denominator (one correctly-rounded divide at the
+    * end, bit-identical cross-engine). χ²_{k−1} under H₀.
+    *
+    * Scale: one narrow projection (Rᵢ, Rᵢ², each gate) + one
+    * partial+final agg; the k gate columns are a bounded literal list.
+    * Null gate values on a row exclude the row (listwise, the paired
+    * contract). Denominator 0 (all-constant rows) nulls Q.
+    */
+  def cochranQ(df: DataFrame, gates: Seq[Column]): DataFrame = {
+    require(gates.size >= 2, "need k >= 2 gates")
+    val k = gates.size
+    val gs = gates.map(_.cast("boolean"))
+    val ri = gs.map(g => when(g, 1L).otherwise(0L)).reduce(_ + _)
+    val rows = df.filter(gs.map(_.isNotNull).reduce(_ && _))
+      .select((ri :: gs.zipWithIndex.map { case (g, i) =>
+        when(g, 1L).otherwise(0L).as(s"__g$i") }.toList): _*)
+      .toDF(("__r" +: gs.indices.map(i => s"__g$i")): _*)
+    val aggCols = Seq(count(lit(1)).as("n_items"),
+      sum(col("__r")).as("__nn"),
+      sum(col("__r") * col("__r")).as("__r2")) ++
+      gs.indices.map(i => sum(col(s"__g$i")).as(s"__c$i"))
+    val agg = rows.agg(aggCols.head, aggCols.tail: _*)
+    val sumC2 = gs.indices.map(i => col(s"__c$i") * col(s"__c$i"))
+      .reduce(_ + _)
+    val num = lit(k - 1L) * (lit(k.toLong) * sumC2 - col("__nn") * col("__nn"))
+    val den = lit(k.toLong) * col("__nn") - col("__r2")
+    agg.select(col("n_items"), lit(k).as("k_gates"),
+      when(den > 0L, num.cast("double") / den.cast("double")).as("q_stat"),
+      lit(k - 1).as("df"))
+  }
+
   /** Precision-recall threshold sweep: one row per DISTINCT score,
     * treating "predict positive" as score ≥ threshold — the full PR
     * curve (and F1 sweep) in a single pass, companion to q188's AUC

@@ -493,6 +493,46 @@ object Profile {
         when(corr > 0, round(h / corr, 4)).as("h_corrected"))
   }
 
+  /** EXACT top-k over an unbounded key space WITHOUT aggregating it —
+    * the sketch+rescan idiom: pass 1 runs a constant-state SpaceSaving
+    * sketch (`capacity` counters, any partitioning) whose guarantee is
+    * that EVERY key with true count > n/capacity is tracked; pass 2
+    * computes exact counts for the ≤ capacity candidates only
+    * (broadcast semi-join — the full key space is never grouped) and
+    * emits the top k by (count DESC, key ASC) with the completeness
+    * certificate `provably_complete` = (kth count · capacity > n),
+    * i.e. "no untracked key can outrank what we returned".
+    *
+    * Determinism contract: the sketch's tracked SET is merge-order-
+    * sensitive (q131 note), but the OUTPUT is deterministic whenever
+    * the certificate holds — every returned key is then
+    * guarantee-tracked under ANY merge order and its exact count is a
+    * plain integer. At 100 TB this replaces a trillion-group
+    * aggregation with one constant-state pass + one tiny rescan agg.
+    */
+  def exactTopKRescan(df: DataFrame, keyCol: String, k: Int,
+      capacity: Int): DataFrame = {
+    require(k >= 1 && capacity > k, "need capacity > k >= 1")
+    val keyed = df.select(col(keyCol).as("__k")).filter(col("__k").isNotNull)
+    val cand = keyed
+      .agg(graft.functions.SpaceSavingSketch
+        .spaceSavingTopK(col("__k"), capacity).as("__hh"))
+      .select(explode(col("__hh")).as("__x"))
+      .select(col("__x.item").as("__cand"))
+    val exact = keyed
+      .join(broadcast(cand), col("__k") === col("__cand"), "left_semi")
+      .groupBy(col("__k")).agg(count(lit(1)).as("exact_count"))
+    val total = keyed.agg(count(lit(1)).as("__n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("exact_count").desc, col("__k"))
+    exact.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .crossJoin(broadcast(total))
+      .select(col("rank"), col("__k").as("item"), col("exact_count"),
+        (col("exact_count") * capacity > col("__n"))
+          .as("provably_complete"))
+  }
+
   /** Wilcoxon signed-rank test (paired, normal approximation with the
     * standard tie correction) — the nonparametric paired-comparison
     * companion of [[kruskalWallis]]: given one (x, y) pair per unit

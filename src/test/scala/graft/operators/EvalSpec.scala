@@ -309,4 +309,27 @@ class EvalSpec extends AnyFunSuite {
     assert(r.isNullAt(r.fieldIndex("chi2")))
     assert(r.isNullAt(r.fieldIndex("chi2_corrected")))
   }
+
+  test("cochranQ: hand-computed all-integer statistic; null row exclusion") {
+    import org.apache.spark.sql.functions.{col, lit}
+    // 4 items x 3 gates: rows (1,1,1),(1,0,0),(1,1,0),(0,0,0)
+    // C = (3,2,1), N = 6, sumR2 = 9+1+4+0 = 14
+    // Q = 2*(3*(9+4+1) - 36) / (3*6 - 14) = 2*6/4 = 3.0
+    val df = Seq((true, true, true), (true, false, false),
+      (true, true, false), (false, false, false)).toDF("a", "b", "c")
+    val r = Eval.cochranQ(df, Seq(col("a"), col("b"), col("c")))
+      .collect().head
+    assert(r.getAs[Long]("n_items") == 4L)
+    assert(r.getAs[Int]("k_gates") == 3 && r.getAs[Int]("df") == 2)
+    assert(r.getAs[Double]("q_stat") == 3.0)
+    // all-constant rows: denominator 0 -> null Q
+    val const = Seq((true, true), (false, false)).toDF("a", "b")
+    val rc = Eval.cochranQ(const, Seq(col("a"), col("b"))).collect().head
+    assert(rc.isNullAt(rc.fieldIndex("q_stat")))
+    // a null gate value excludes the row listwise
+    val withNull = df.unionAll(Seq((true, true, true)).toDF("a", "b", "c")
+      .select(col("a"), lit(null).cast("boolean").as("b"), col("c")))
+    assert(Eval.cochranQ(withNull, Seq(col("a"), col("b"), col("c")))
+      .collect().head.getAs[Long]("n_items") == 4L)
+  }
 }

@@ -329,4 +329,22 @@ class ProfileSpec extends AnyFunSuite {
     assert(r.getAs[Double]("w_plus") == 5.0) // 1.5 + 3.5
     assert(r.getAs[Double]("z") == 0.0)
   }
+
+  test("exactTopKRescan: exact counts, certificate, deterministic order on skew") {
+    // 3 hot keys (40/30/20 rows) + 60 singletons; capacity 20 >> hot keys
+    val rows = Seq.fill(40)(1L) ++ Seq.fill(30)(2L) ++ Seq.fill(20)(3L) ++
+      (100L until 160L)
+    val df = rows.map(Tuple1(_)).toDF("k")
+    val out = Profile.exactTopKRescan(df, "k", k = 3, capacity = 20)
+      .collect()
+    assert(out.map(_.getAs[Long]("item")).toSeq == Seq(1L, 2L, 3L))
+    assert(out.map(_.getAs[Long]("exact_count")).toSeq == Seq(40L, 30L, 20L))
+    // n = 150; kth count 20 * capacity 20 = 400 > 150 -> certified
+    assert(out.forall(_.getAs[Boolean]("provably_complete")))
+    // uncertifiable case: k-th count below n/capacity flags false
+    val flat = (1L to 100L).map(Tuple1(_)).toDF("k")
+    val f = Profile.exactTopKRescan(flat, "k", k = 2, capacity = 10)
+      .collect()
+    assert(f.forall(!_.getAs[Boolean]("provably_complete")))
+  }
 }
