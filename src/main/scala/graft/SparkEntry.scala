@@ -2434,6 +2434,23 @@ object SparkEntry {
       graft.operators.QualityRules.watermarkBySource(
         t(s, d, "documents"), "doc_id", "text", "source")),
 
+    // Friedman test over k=3 paired per-user treatments (click / view
+    // / purchase counts): within-item midranks as per-row expressions
+    // (no within-item shuffle), exact decimal rank sums, the
+    // tie-absorbing A-form statistic
+    "q364_friedman" -> ((s, d) => {
+      val pr = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+          .as("v0"),
+          sum(when(col("event_type") === "view", 1L).otherwise(0L))
+            .as("v1"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("v2"))
+      graft.operators.Profile.friedman(pr,
+        Seq(col("v0"), col("v1"), col("v2")))
+    }),
+
     // Cochran's Q over THREE paired document gates (Gopher keep /
     // 100-word length / stopword floor): the k-gate generalization of
     // q359 — all-integer numerator and denominator, one final divide
@@ -7348,6 +7365,72 @@ object SparkEntry {
     // Streaming gate == batch screen: one code path, same oracle (the
     // q340/q309 served-equality convention)
     "q357_stream_watermark" -> watermarkOracleSql,
+
+    // Friedman replay: identical within-row midrank arithmetic, exact
+    // decimal rank sums, the same fixed-order double finale
+    "q364_friedman" ->
+      """WITH pr AS (SELECT user_id,
+        |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS v0,
+        |    sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS v1,
+        |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS v2
+        |  FROM events GROUP BY user_id),
+        |rk AS (SELECT
+        |    CAST(1.0::DOUBLE + (CASE WHEN v0 < v0 THEN 1 ELSE 0 END
+        |        + CASE WHEN v1 < v0 THEN 1 ELSE 0 END
+        |        + CASE WHEN v2 < v0 THEN 1 ELSE 0 END)::DOUBLE
+        |      + ((CASE WHEN v0 = v0 THEN 1 ELSE 0 END
+        |        + CASE WHEN v1 = v0 THEN 1 ELSE 0 END
+        |        + CASE WHEN v2 = v0 THEN 1 ELSE 0 END) - 1)::DOUBLE
+        |        / 2.0::DOUBLE AS DECIMAL(18,1)) AS r0,
+        |    CAST(1.0::DOUBLE + (CASE WHEN v0 < v1 THEN 1 ELSE 0 END
+        |        + CASE WHEN v1 < v1 THEN 1 ELSE 0 END
+        |        + CASE WHEN v2 < v1 THEN 1 ELSE 0 END)::DOUBLE
+        |      + ((CASE WHEN v0 = v1 THEN 1 ELSE 0 END
+        |        + CASE WHEN v1 = v1 THEN 1 ELSE 0 END
+        |        + CASE WHEN v2 = v1 THEN 1 ELSE 0 END) - 1)::DOUBLE
+        |        / 2.0::DOUBLE AS DECIMAL(18,1)) AS r1,
+        |    CAST(1.0::DOUBLE + (CASE WHEN v0 < v2 THEN 1 ELSE 0 END
+        |        + CASE WHEN v1 < v2 THEN 1 ELSE 0 END
+        |        + CASE WHEN v2 < v2 THEN 1 ELSE 0 END)::DOUBLE
+        |      + ((CASE WHEN v0 = v2 THEN 1 ELSE 0 END
+        |        + CASE WHEN v1 = v2 THEN 1 ELSE 0 END
+        |        + CASE WHEN v2 = v2 THEN 1 ELSE 0 END) - 1)::DOUBLE
+        |        / 2.0::DOUBLE AS DECIMAL(18,1)) AS r2
+        |  FROM pr),
+        |a AS (SELECT count(*)::BIGINT AS n_items,
+        |    CAST(sum(r0) AS DECIMAL(38,1)) AS br0,
+        |    CAST(sum(r1) AS DECIMAL(38,1)) AS br1,
+        |    CAST(sum(r2) AS DECIMAL(38,1)) AS br2,
+        |    CAST(sum(CAST(r0 * r0 AS DECIMAL(38,2))) AS DECIMAL(38,2))
+        |      AS a0,
+        |    CAST(sum(CAST(r1 * r1 AS DECIMAL(38,2))) AS DECIMAL(38,2))
+        |      AS a1,
+        |    CAST(sum(CAST(r2 * r2 AS DECIMAL(38,2))) AS DECIMAL(38,2))
+        |      AS a2
+        |  FROM rk)
+        |SELECT n_items, 3 AS k_treatments,
+        |  CASE WHEN a0::DOUBLE + a1::DOUBLE + a2::DOUBLE
+        |      - n_items::DOUBLE * 3.0::DOUBLE * 16.0::DOUBLE
+        |        / 4.0::DOUBLE > 0.0::DOUBLE
+        |  THEN 2.0::DOUBLE * (
+        |      (br0::DOUBLE - n_items::DOUBLE * 4.0::DOUBLE / 2.0::DOUBLE)
+        |        * (br0::DOUBLE - n_items::DOUBLE * 4.0::DOUBLE
+        |          / 2.0::DOUBLE)
+        |      + (br1::DOUBLE - n_items::DOUBLE * 4.0::DOUBLE
+        |          / 2.0::DOUBLE)
+        |        * (br1::DOUBLE - n_items::DOUBLE * 4.0::DOUBLE
+        |          / 2.0::DOUBLE)
+        |      + (br2::DOUBLE - n_items::DOUBLE * 4.0::DOUBLE
+        |          / 2.0::DOUBLE)
+        |        * (br2::DOUBLE - n_items::DOUBLE * 4.0::DOUBLE
+        |          / 2.0::DOUBLE))
+        |    / (a0::DOUBLE + a1::DOUBLE + a2::DOUBLE
+        |      - n_items::DOUBLE * 3.0::DOUBLE * 16.0::DOUBLE
+        |        / 4.0::DOUBLE)
+        |  END AS chi2_f,
+        |  2 AS df
+        |FROM a""".stripMargin,
 
     // Cochran replay: shared Gopher frame, all-integer Q arithmetic
     "q362_cochran_q" ->

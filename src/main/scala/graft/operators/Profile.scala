@@ -584,6 +584,63 @@ object Profile {
         (col("__wp").cast("double") - ew) / sqrt(varw)).as("z"))
   }
 
+  /** Friedman test (tie-corrected, Conover's A/B form) — the k-sample
+    * sibling of [[wilcoxonSignedRank]]: n items each measured under k
+    * paired treatments (per-user counts of k event types, per-item
+    * scores from k models); tests whether any treatment systematically
+    * ranks higher WITHIN items. Ranks are midranks within each item
+    * (k-bounded comparison arithmetic, .5 steps → exact DECIMAL);
+    * χ²_F = (k−1)·Σⱼ(Rⱼ − n(k+1)/2)² / (A − n·k(k+1)²/4) with
+    * A = Σᵢⱼ Rᵢⱼ² — the A-form absorbs ties without a separate
+    * correction term (untied it reduces to the classic
+    * 12ΣRⱼ²/(nk(k+1)) − 3n(k+1)). All rank sums are exact order-free
+    * decimals; the finale is a fixed j-ordered double fold (dyadic
+    * midrank values → every intermediate exact below 2⁵³, documented).
+    * Denominator 0 (every item fully tied) nulls the statistic.
+    *
+    * Scale: one narrow projection (ranks are per-row expressions — no
+    * within-item shuffle, unlike a groupBy-ranks formulation) + one
+    * partial+final agg. χ²_{k−1} under H₀.
+    */
+  def friedman(df: DataFrame, valueCols: Seq[Column]): DataFrame = {
+    require(valueCols.size >= 2, "need k >= 2 paired treatments")
+    val k = valueCols.size
+    val names = valueCols.indices.map(i => s"__v$i")
+    val rows = df
+      .filter(valueCols.map(_.isNotNull).reduce(_ && _))
+      .select(valueCols.zipWithIndex.map { case (v, i) =>
+        v.cast("long").as(s"__v$i") }: _*)
+    def rank(j: Int): Column = {
+      val less = names.map(l =>
+        when(col(l) < col(s"__v$j"), 1).otherwise(0)).reduce(_ + _)
+      val eq = names.map(l =>
+        when(col(l) === col(s"__v$j"), 1).otherwise(0)).reduce(_ + _)
+      (lit(1.0) + less.cast("double") +
+        (eq - 1).cast("double") / 2.0).cast("decimal(18,1)")
+    }
+    val ranked = rows.select(valueCols.indices.map(j =>
+      rank(j).as(s"__r$j")): _*)
+    val aggCols = Seq(count(lit(1)).as("n_items")) ++
+      valueCols.indices.map(j =>
+        sum(col(s"__r$j")).cast("decimal(38,1)").as(s"__R$j")) ++
+      valueCols.indices.map(j =>
+        sum((col(s"__r$j") * col(s"__r$j")).cast("decimal(38,2)"))
+          .cast("decimal(38,2)").as(s"__A$j"))
+    val agg = ranked.agg(aggCols.head, aggCols.tail: _*)
+    val nd = col("n_items").cast("double")
+    val mean = nd * lit((k + 1).toDouble) / lit(2.0)
+    val num = valueCols.indices.map { j =>
+      val d = col(s"__R$j").cast("double") - mean
+      d * d
+    }.reduce(_ + _)
+    val den = valueCols.indices.map(j => col(s"__A$j").cast("double"))
+      .reduce(_ + _) -
+      nd * lit(k.toDouble) * lit(((k + 1) * (k + 1)).toDouble) / lit(4.0)
+    agg.select(col("n_items"), lit(k).as("k_treatments"),
+      when(den > 0.0, lit((k - 1).toDouble) * num / den).as("chi2_f"),
+      lit(k - 1).as("df"))
+  }
+
   /** Balanced half-sample standard error (McCarthy 1969's replication
     * idea with deterministic hash-bit replicates) — the sampling-error
     * bar a profiling pass attaches to per-group means WITHOUT

@@ -347,4 +347,31 @@ class ProfileSpec extends AnyFunSuite {
       .collect()
     assert(f.forall(!_.getAs[Boolean]("provably_complete")))
   }
+
+  test("friedman: hand-computed tied/untied statistic; all-tied rows null") {
+    import org.apache.spark.sql.functions.col
+    // untied 3 items x 3 treatments, col 0 always largest:
+    // rows (3,1,2),(5,2,4),(9,1,4) -> ranks (3,1,2) each
+    // R = (9,3,6), mean 6, num = 9+9+0 = 18
+    // A = 3*(9+1+4) = 42; den = 42 - 3*3*16/4 = 6; chi2 = 2*18/6 = 6
+    val df = Seq((3L, 1L, 2L), (5L, 2L, 4L), (9L, 1L, 4L))
+      .toDF("a", "b", "c")
+    val r = Profile.friedman(df, Seq(col("a"), col("b"), col("c")))
+      .collect().head
+    assert(r.getAs[Long]("n_items") == 3L)
+    assert(r.getAs[Double]("chi2_f") == 6.0)
+    assert(r.getAs[Int]("df") == 2)
+    // ties: row (2,2,1) -> ranks (2.5, 2.5, 1); add untied (3,1,2)
+    // R = (5.5, 3.5, 3), mean 4, num = 2.25 + 0.25 + 1 = 3.5
+    // A = (6.25+6.25+1) + (9+1+4) = 27.5; den = 27.5 - 24 = 3.5 -> chi2 = 2
+    val tied = Seq((2L, 2L, 1L), (3L, 1L, 2L)).toDF("a", "b", "c")
+    val rt = Profile.friedman(tied, Seq(col("a"), col("b"), col("c")))
+      .collect().head
+    assert(rt.getAs[Double]("chi2_f") == 2.0)
+    // every item fully tied: denominator 0 -> null
+    val flat = Seq((1L, 1L, 1L), (7L, 7L, 7L)).toDF("a", "b", "c")
+    val rf = Profile.friedman(flat, Seq(col("a"), col("b"), col("c")))
+      .collect().head
+    assert(rf.isNullAt(rf.fieldIndex("chi2_f")))
+  }
 }
