@@ -2434,6 +2434,15 @@ object SparkEntry {
       graft.operators.QualityRules.watermarkBySource(
         t(s, d, "documents"), "doc_id", "text", "source")),
 
+    // ZIP central-directory probe: real STORED archives (local headers
+    // + central directory + EOCD per PKWARE APPNOTE) built closed-form
+    // from doc ids, walked back for the pre-extraction planning row —
+    // member count, expansion totals, method census, first name
+    "q365_zip_meta" -> ((s, d) =>
+      graft.operators.Multimodal.zipMeta(
+        graft.operators.Multimodal.syntheticZipFromDocs(
+          t(s, d, "documents")))),
+
     // Friedman test over k=3 paired per-user treatments (click / view
     // / purchase counts): within-item midranks as per-row expressions
     // (no within-item shuffle), exact decimal rank sums, the
@@ -7365,6 +7374,22 @@ object SparkEntry {
     // Streaming gate == batch screen: one code path, same oracle (the
     // q340/q309 served-equality convention)
     "q357_stream_watermark" -> watermarkOracleSql,
+
+    // ZIP replay: synthesis arithmetic — n = d%3+1 stored members,
+    // member i carries (d%7)+i+1 bytes → totals in closed form
+    "q365_zip_meta" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(doc_id % 3 + 1 AS INT) AS n_entries,
+        |  CAST((doc_id % 3 + 1) * (doc_id % 7 + 1)
+        |    + (doc_id % 3 + 1) * (doc_id % 3) // 2 AS BIGINT)
+        |    AS total_uncompressed,
+        |  CAST((doc_id % 3 + 1) * (doc_id % 7 + 1)
+        |    + (doc_id % 3 + 1) * (doc_id % 3) // 2 AS BIGINT)
+        |    AS total_compressed,
+        |  CAST(doc_id % 3 + 1 AS INT) AS n_stored,
+        |  0 AS n_deflated,
+        |  'f' || doc_id || '_0.txt' AS first_name
+        |FROM documents WHERE doc_id >= 0""".stripMargin,
 
     // Friedman replay: identical within-row midrank arithmetic, exact
     // decimal rank sums, the same fixed-order double finale

@@ -992,6 +992,156 @@ object Multimodal {
       }(enc)
   }
 
+  /** Minimal ZIP archive codec (PKWARE APPNOTE, public spec) — pure
+    * little-endian byte arithmetic, no compression library: the writer
+    * emits STORED (method 0) entries with real local headers, central
+    * directory and end-of-central-directory records; the parser finds
+    * EOCD by scanning back for its signature (comments up to 64 KiB),
+    * then walks the central directory — the authoritative index, per
+    * spec — without touching entry payloads. Crawled corpora are full
+    * of archives; "how much does this expand to, how many members,
+    * what methods" is the pre-extraction planning question.
+    */
+  object ZipCodec {
+    final case class ZipMeta(nEntries: Int, totalUncompressed: Long,
+      totalCompressed: Long, nStored: Int, nDeflated: Int,
+      firstName: Option[String])
+
+    private def le16(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    private def le32(v: Long): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    private def rdLe16(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    private def rdLe32(b: Array[Byte], o: Int): Long =
+      (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+        ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+
+    /** Assemble a real ZIP of STORED entries (name → payload). */
+    def buildZip(entries: Seq[(String, Array[Byte])]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      val centrals = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+      entries.foreach { case (name, data) =>
+        val offset = out.size()
+        val crc = new java.util.zip.CRC32()
+        crc.update(data)
+        val nm = name.getBytes("US-ASCII")
+        val common = le16(20) ++ le16(0) ++ le16(0) ++ le16(0) ++
+          le16(0x5821) ++ le32(crc.getValue) ++ le32(data.length.toLong) ++
+          le32(data.length.toLong) ++ le16(nm.length) ++ le16(0)
+        out.write(le32(0x04034b50L) ++ common ++ nm)
+        out.write(data)
+        centrals += le32(0x02014b50L) ++ le16(20) ++ common ++
+          le16(0) ++ le16(0) ++ le16(0) ++ le32(0) ++
+          le32(offset.toLong) ++ nm
+      }
+      val cdOffset = out.size()
+      centrals.foreach(out.write)
+      val cdSize = out.size() - cdOffset
+      out.write(le32(0x06054b50L) ++ le16(0) ++ le16(0) ++
+        le16(entries.size) ++ le16(entries.size) ++
+        le32(cdSize.toLong) ++ le32(cdOffset.toLong) ++ le16(0))
+      out.toByteArray
+    }
+
+    /** Central-directory walk; None for anything that is not a ZIP
+      * (no EOCD signature within the spec's 64 KiB comment window, or
+      * a directory that doesn't parse cleanly).
+      */
+    def parseZip(b: Array[Byte]): Option[ZipMeta] = {
+      if (b == null || b.length < 22) return None
+      // EOCD scan: last 22..22+65535 bytes, nearest-to-end match wins
+      var eocd = -1
+      var o = b.length - 22
+      val floor = math.max(0, b.length - 22 - 65535)
+      while (eocd < 0 && o >= floor) {
+        if (rdLe32(b, o) == 0x06054b50L &&
+          o + 22 + rdLe16(b, o + 20) == b.length) eocd = o
+        o -= 1
+      }
+      if (eocd < 0) return None
+      val n = rdLe16(b, eocd + 10)
+      val cdOff = rdLe32(b, eocd + 16)
+      if (cdOff > Int.MaxValue || cdOff > eocd) return None
+      var p = cdOff.toInt
+      var total = 0L; var totalC = 0L
+      var stored = 0; var deflated = 0
+      var first: Option[String] = None
+      var i = 0
+      while (i < n) {
+        if (p + 46 > b.length || rdLe32(b, p) != 0x02014b50L) return None
+        val method = rdLe16(b, p + 10)
+        totalC += rdLe32(b, p + 20)
+        total += rdLe32(b, p + 24)
+        val nlen = rdLe16(b, p + 28)
+        val xlen = rdLe16(b, p + 30)
+        val clen = rdLe16(b, p + 32)
+        if (p + 46 + nlen > b.length) return None
+        if (first.isEmpty)
+          first = Some(new String(b, p + 46, nlen,
+            java.nio.charset.StandardCharsets.US_ASCII))
+        if (method == 0) stored += 1
+        else if (method == 8) deflated += 1
+        p += 46 + nlen + xlen + clen
+        i += 1
+      }
+      Some(ZipMeta(n, total, totalC, stored, deflated, first))
+    }
+  }
+
+  /** ZIP central-directory metadata per asset — entry count, expansion
+    * totals, method census, first member name: the pre-extraction
+    * planning row. Narrow mapPartitions over the binary column; only
+    * slim meta rows leave the scan (the [[movMeta]] shape).
+    */
+  def zipMeta(media: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("n_entries", IntegerType),
+      StructField("total_uncompressed", LongType),
+      StructField("total_compressed", LongType),
+      StructField("n_stored", IntegerType),
+      StructField("n_deflated", IntegerType),
+      StructField("first_name", StringType)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    media.select("media_id", "content").mapPartitions { rows =>
+      rows.flatMap { r =>
+        val bytes = Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray)
+        ZipCodec.parseZip(bytes).map { z =>
+          Row(r.getLong(0), z.nEntries, z.totalUncompressed,
+            z.totalCompressed, z.nStored, z.nDeflated,
+            z.firstName.orNull)
+        }
+      }
+    }(enc)
+  }
+
+  /** Deterministic STORED ZIPs from doc ids — real local headers /
+    * central directory / EOCD bytes: doc d gets (d % 3) + 1 members,
+    * member i named "f{d}_{i}.txt" carrying (d % 7) + i + 1
+    * deterministic bytes, so every [[zipMeta]] column is closed-form
+    * doc_id arithmetic for the oracle. Non-negative ids only.
+    */
+  def syntheticZipFromDocs(documents: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("content", BinaryType)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    documents.select(col("doc_id")).filter(col("doc_id") >= 0)
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val d = r.getLong(0)
+          val entries = (0 to (d % 3).toInt).map { i =>
+            (s"f${d}_$i.txt",
+              Array.tabulate(((d % 7) + i + 1).toInt)(j =>
+                ((d + i * 13 + j) % 251).toByte))
+          }
+          Row(d, ZipCodec.buildZip(entries))
+        }
+      }(enc)
+  }
+
   /** Deterministic RGB-AVI media synthesized from doc ids — real
     * container bytes, real frames, closed-form pixel values, so the
     * decode chain ([[videoFrameStats]]) is oracle-checkable end to end:

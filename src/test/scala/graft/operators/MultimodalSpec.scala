@@ -446,6 +446,37 @@ class MultimodalSpec extends AnyFunSuite {
       Seq(Array[Byte](1, 2, 3)), codec = "zzzz")).isEmpty)
   }
 
+  test("ZIP: central-directory walk — own writer, JDK deflated zip, comments, garbage") {
+    import graft.operators.Multimodal.ZipCodec
+    // own STORED writer round-trips exactly
+    val z = ZipCodec.buildZip(Seq(
+      ("a.txt", Array[Byte](1, 2, 3)), ("b.bin", Array[Byte](9))))
+    val m = ZipCodec.parseZip(z).get
+    assert(m.nEntries == 2 && m.totalUncompressed == 4L &&
+      m.totalCompressed == 4L)
+    assert(m.nStored == 2 && m.nDeflated == 0)
+    assert(m.firstName.contains("a.txt"))
+    // a REAL JDK ZipOutputStream archive (deflated, with a comment —
+    // exercises the EOCD comment-window scan) parses correctly
+    val bos = new java.io.ByteArrayOutputStream()
+    val zos = new java.util.zip.ZipOutputStream(bos)
+    zos.setComment("trailing archive comment")
+    val payload = ("deterministic payload " * 20).getBytes("US-ASCII")
+    zos.putNextEntry(new java.util.zip.ZipEntry("doc/readme.txt"))
+    zos.write(payload); zos.closeEntry()
+    zos.putNextEntry(new java.util.zip.ZipEntry("doc/data.bin"))
+    zos.write(Array[Byte](5, 6, 7, 8)); zos.closeEntry()
+    zos.close()
+    val jm = ZipCodec.parseZip(bos.toByteArray).get
+    assert(jm.nEntries == 2)
+    assert(jm.totalUncompressed == payload.length + 4L)
+    assert(jm.nDeflated >= 1, s"deflate census: $jm")
+    assert(jm.firstName.contains("doc/readme.txt"))
+    // non-archives reject cleanly
+    assert(ZipCodec.parseZip("garbage not a zip".getBytes("UTF-8")).isEmpty)
+    assert(ZipCodec.parseZip(Array.fill[Byte](30)(0)).isEmpty)
+  }
+
   test("EXIF: both byte orders round-trip; non-EXIF and garbage probe to null") {
     import graft.functions.ExifMeta
     for (le <- Seq(true, false)) {
