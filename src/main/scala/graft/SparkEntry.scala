@@ -2443,6 +2443,22 @@ object SparkEntry {
         graft.operators.Multimodal.syntheticZipFromDocs(
           t(s, d, "documents")))),
 
+    // gzip framing probe: real RFC-1952 members (FNAME header,
+    // stored-deflate payload, CRC32+ISIZE trailer) — the no-decompress
+    // "what's inside this .gz" row; every column closed-form
+    "q366_gzip_meta" -> ((s, d) =>
+      graft.operators.Multimodal.gzipMeta(
+        graft.operators.Multimodal.syntheticGzipFromDocs(
+          t(s, d, "documents")))),
+
+    // tar walk probe: checksum-validated ustar headers (octal sizes,
+    // 512-block padding, dir-vs-file typeflags) — entry census without
+    // reading member contents
+    "q367_tar_meta" -> ((s, d) =>
+      graft.operators.Multimodal.tarMeta(
+        graft.operators.Multimodal.syntheticTarFromDocs(
+          t(s, d, "documents")))),
+
     // Friedman test over k=3 paired per-user treatments (click / view
     // / purchase counts): within-item midranks as per-row expressions
     // (no within-item shuffle), exact decimal rank sums, the
@@ -7389,6 +7405,33 @@ object SparkEntry {
         |  CAST(doc_id % 3 + 1 AS INT) AS n_stored,
         |  0 AS n_deflated,
         |  'f' || doc_id || '_0.txt' AS first_name
+        |FROM documents WHERE doc_id >= 0""".stripMargin,
+
+    // gzip replay: framing arithmetic — 10-byte header + (5+len(id))+1
+    // name + 5-byte stored-block framing + n payload + 8 trailer
+    "q366_gzip_meta" ->
+      """SELECT doc_id AS media_id, 8 AS method,
+        |  CAST(doc_id AS BIGINT) AS mtime,
+        |  'd' || doc_id || '.txt' AS fname,
+        |  CAST(doc_id % 9 + 1 AS BIGINT) AS isize,
+        |  CAST(30 + length(CAST(doc_id AS VARCHAR)) + doc_id % 9 AS INT)
+        |    AS compressed_len
+        |FROM documents WHERE doc_id >= 0""".stripMargin,
+
+    // tar replay: synthesis arithmetic — one dir on even ids,
+    // (d%3)+1 files of (d%5)+i+1 bytes
+    "q367_tar_meta" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(doc_id % 3 + 1 + CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0
+        |    END AS INT) AS n_entries,
+        |  CAST((doc_id % 3 + 1) * (doc_id % 5 + 1)
+        |    + (doc_id % 3 + 1) * (doc_id % 3) // 2 AS BIGINT)
+        |    AS total_size,
+        |  CAST(doc_id % 3 + 1 AS INT) AS n_files,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS INT)
+        |    AS n_dirs,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'dir' || doc_id || '/'
+        |    ELSE 't' || doc_id || '_0.dat' END AS first_name
         |FROM documents WHERE doc_id >= 0""".stripMargin,
 
     // Friedman replay: identical within-row midrank arithmetic, exact

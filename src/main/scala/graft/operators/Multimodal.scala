@@ -1142,6 +1142,254 @@ object Multimodal {
       }(enc)
   }
 
+  /** Minimal gzip member codec (RFC 1952, public) — header/trailer
+    * byte arithmetic: magic 1f8b, CM=8 (deflate), FLG.FNAME
+    * zero-terminated name, MTIME (LE seconds), and the trailer's
+    * CRC32 + ISIZE (uncompressed size mod 2³²). The writer emits the
+    * payload as deflate STORED blocks (BTYPE=00 — a real, valid
+    * deflate stream with a deterministic closed-form length, unlike
+    * compressor output which varies by zlib build); the parser reads
+    * ONLY the framing — the "what's inside this .gz" row without
+    * decompressing.
+    */
+  object GzipCodec {
+    final case class GzMeta(method: Int, mtime: Long,
+      fname: Option[String], isize: Long, compressedLen: Int)
+
+    private def le32(v: Long): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    private def rdLe32(b: Array[Byte], o: Int): Long =
+      (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+        ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+
+    /** Real single-member gzip: FNAME header + stored-deflate payload. */
+    def buildGzip(name: String, mtime: Long,
+        data: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(Array(0x1f.toByte, 0x8b.toByte, 8.toByte, 8.toByte))
+      out.write(le32(mtime)); out.write(0); out.write(255)
+      out.write(name.getBytes("US-ASCII")); out.write(0)
+      // one final stored deflate block: BFINAL=1 BTYPE=00, LEN, NLEN
+      out.write(1)
+      out.write(Array((data.length & 0xff).toByte,
+        ((data.length >> 8) & 0xff).toByte,
+        (~data.length & 0xff).toByte, ((~data.length >> 8) & 0xff).toByte))
+      out.write(data)
+      val crc = new java.util.zip.CRC32(); crc.update(data)
+      out.write(le32(crc.getValue)); out.write(le32(data.length.toLong))
+      out.toByteArray
+    }
+
+    def parseGzip(b: Array[Byte]): Option[GzMeta] = {
+      if (b == null || b.length < 18) return None
+      if ((b(0) & 0xff) != 0x1f || (b(1) & 0xff) != 0x8b) return None
+      val method = b(2) & 0xff
+      val flg = b(3) & 0xff
+      val mtime = rdLe32(b, 4)
+      var p = 10
+      if ((flg & 4) != 0) { // FEXTRA
+        if (p + 2 > b.length) return None
+        p += 2 + ((b(p) & 0xff) | ((b(p + 1) & 0xff) << 8))
+      }
+      var fname: Option[String] = None
+      if ((flg & 8) != 0) { // FNAME
+        val start = p
+        while (p < b.length && b(p) != 0) p += 1
+        if (p >= b.length) return None
+        fname = Some(new String(b, start, p - start,
+          java.nio.charset.StandardCharsets.US_ASCII))
+        p += 1
+      }
+      if (p + 8 > b.length) return None
+      Some(GzMeta(method, mtime, fname, rdLe32(b, b.length - 4), b.length))
+    }
+  }
+
+  /** Minimal POSIX ustar codec (public tar format) — 512-byte header
+    * blocks with octal size fields and the spaces-substituted header
+    * checksum; entries pad to 512, two zero blocks terminate. The
+    * parser validates each header checksum and walks the archive
+    * without reading member contents.
+    */
+  object TarCodec {
+    final case class TarMeta(nEntries: Int, totalSize: Long,
+      nFiles: Int, nDirs: Int, firstName: Option[String])
+
+    private def octal(v: Long, len: Int): Array[Byte] = {
+      val s = java.lang.Long.toOctalString(v)
+      val padded = ("0" * (len - 1 - s.length)) + s
+      (padded + " ").getBytes("US-ASCII")
+    }
+
+    private def header(name: String, size: Long, typeflag: Char): Array[Byte] = {
+      val h = new Array[Byte](512)
+      val nm = name.getBytes("US-ASCII")
+      System.arraycopy(nm, 0, h, 0, nm.length)
+      System.arraycopy(octal(420, 8), 0, h, 100, 8)       // mode 0644
+      System.arraycopy(octal(0, 8), 0, h, 108, 8)          // uid
+      System.arraycopy(octal(0, 8), 0, h, 116, 8)          // gid
+      System.arraycopy(octal(size, 12), 0, h, 124, 12)
+      System.arraycopy(octal(0, 12), 0, h, 136, 12)        // mtime
+      java.util.Arrays.fill(h, 148, 156, ' '.toByte)       // chksum spaces
+      h(156) = typeflag.toByte
+      System.arraycopy("ustar 00".getBytes("US-ASCII"), 0, h, 257, 8)
+      var sum = 0L
+      var i = 0
+      while (i < 512) { sum += h(i) & 0xff; i += 1 }
+      val cs = octal(sum, 7) // 6 digits + NUL, then a space
+      System.arraycopy(cs, 0, h, 148, 7)
+      h(155) = ' '.toByte
+      h
+    }
+
+    def buildTar(entries: Seq[(String, Array[Byte])],
+        dirs: Seq[String] = Nil): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      dirs.foreach(d => out.write(header(d, 0L, '5')))
+      entries.foreach { case (name, data) =>
+        out.write(header(name, data.length.toLong, '0'))
+        out.write(data)
+        val pad = (512 - data.length % 512) % 512
+        out.write(new Array[Byte](pad))
+      }
+      out.write(new Array[Byte](1024))
+      out.toByteArray
+    }
+
+    def parseTar(b: Array[Byte]): Option[TarMeta] = {
+      if (b == null || b.length < 1024 || b.length % 512 != 0) return None
+      var p = 0
+      var n = 0; var total = 0L; var files = 0; var dirs = 0
+      var first: Option[String] = None
+      def zeroBlock(o: Int): Boolean = {
+        var i = o; while (i < o + 512) { if (b(i) != 0) return false; i += 1 }
+        true
+      }
+      def octalAt(o: Int, len: Int): Long = {
+        var v = 0L; var i = o
+        while (i < o + len && b(i) != 0 && b(i) != ' ') {
+          if (b(i) < '0' || b(i) > '7') return -1L
+          v = v * 8 + (b(i) - '0'); i += 1
+        }
+        v
+      }
+      while (p + 512 <= b.length && !zeroBlock(p)) {
+        if (new String(b, p + 257, 5,
+          java.nio.charset.StandardCharsets.US_ASCII) != "ustar") return None
+        // checksum: header bytes with the chksum field read as spaces
+        var sum = 0L
+        var i = 0
+        while (i < 512) {
+          sum += (if (i >= 148 && i < 156) ' '.toInt else b(p + i) & 0xff)
+          i += 1
+        }
+        if (octalAt(p + 148, 8) != sum) return None
+        val size = octalAt(p + 124, 12)
+        if (size < 0) return None
+        var end = p
+        while (end < b.length && b(end) != 0 && end < p + 100) end += 1
+        if (first.isEmpty) first = Some(new String(b, p, end - p,
+          java.nio.charset.StandardCharsets.US_ASCII))
+        if (b(p + 156) == '5') dirs += 1 else { files += 1; total += size }
+        n += 1
+        p += 512 + ((size + 511) / 512 * 512).toInt
+      }
+      if (n == 0) None else Some(TarMeta(n, total, files, dirs, first))
+    }
+  }
+
+  /** gzip framing metadata per asset (no decompression): method,
+    * mtime, embedded member name, ISIZE expansion, compressed length.
+    * Narrow scan — the [[zipMeta]] family.
+    */
+  def gzipMeta(media: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("method", IntegerType),
+      StructField("mtime", LongType),
+      StructField("fname", StringType),
+      StructField("isize", LongType),
+      StructField("compressed_len", IntegerType)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    media.select("media_id", "content").mapPartitions { rows =>
+      rows.flatMap { r =>
+        val bytes = Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray)
+        GzipCodec.parseGzip(bytes).map { g =>
+          Row(r.getLong(0), g.method, g.mtime, g.fname.orNull, g.isize,
+            g.compressedLen)
+        }
+      }
+    }(enc)
+  }
+
+  /** tar walk metadata per asset: entry/file/dir counts, total member
+    * bytes, first member name — checksum-validated headers only.
+    */
+  def tarMeta(media: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("n_entries", IntegerType),
+      StructField("total_size", LongType),
+      StructField("n_files", IntegerType),
+      StructField("n_dirs", IntegerType),
+      StructField("first_name", StringType)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    media.select("media_id", "content").mapPartitions { rows =>
+      rows.flatMap { r =>
+        val bytes = Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray)
+        TarCodec.parseTar(bytes).map { t =>
+          Row(r.getLong(0), t.nEntries, t.totalSize, t.nFiles, t.nDirs,
+            t.firstName.orNull)
+        }
+      }
+    }(enc)
+  }
+
+  /** Deterministic single-member gzips from doc ids: member name
+    * "d{id}.txt", mtime = id, payload (id % 9) + 1 bytes through real
+    * stored-deflate framing → every column closed-form. Non-negative
+    * ids only.
+    */
+  def syntheticGzipFromDocs(documents: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("content", BinaryType)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    documents.select(col("doc_id")).filter(col("doc_id") >= 0)
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val d = r.getLong(0)
+          Row(d, GzipCodec.buildGzip(s"d$d.txt", d,
+            Array.tabulate(((d % 9) + 1).toInt)(j => ((d + j) % 251).toByte)))
+        }
+      }(enc)
+  }
+
+  /** Deterministic ustar archives from doc ids: one directory when
+    * id % 2 == 0, (id % 3) + 1 files of (id % 5) + i + 1 bytes —
+    * closed-form counts/sizes for the oracle. Non-negative ids only.
+    */
+  def syntheticTarFromDocs(documents: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("content", BinaryType)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    documents.select(col("doc_id")).filter(col("doc_id") >= 0)
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val d = r.getLong(0)
+          val files = (0 to (d % 3).toInt).map { i =>
+            (s"t${d}_$i.dat",
+              Array.tabulate(((d % 5) + i + 1).toInt)(j =>
+                ((d + i * 7 + j) % 251).toByte))
+          }
+          val dirs = if (d % 2 == 0) Seq(s"dir$d/") else Nil
+          Row(d, TarCodec.buildTar(files, dirs))
+        }
+      }(enc)
+  }
+
   /** Deterministic RGB-AVI media synthesized from doc ids — real
     * container bytes, real frames, closed-form pixel values, so the
     * decode chain ([[videoFrameStats]]) is oracle-checkable end to end:

@@ -477,6 +477,46 @@ class MultimodalSpec extends AnyFunSuite {
     assert(ZipCodec.parseZip(Array.fill[Byte](30)(0)).isEmpty)
   }
 
+  test("gzip: RFC 1952 framing round-trip, JDK interop both directions, garbage") {
+    import graft.operators.Multimodal.GzipCodec
+    val data = Array.tabulate(37)(i => (i * 3).toByte)
+    val gz = GzipCodec.buildGzip("member.txt", 1234L, data)
+    val m = GzipCodec.parseGzip(gz).get
+    assert(m.method == 8 && m.mtime == 1234L)
+    assert(m.fname.contains("member.txt"))
+    assert(m.isize == 37L && m.compressedLen == gz.length)
+    // our stored-deflate member is a REAL gzip: the JDK decompresses it
+    val in = new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(gz))
+    val back = in.readAllBytes()
+    assert(java.util.Arrays.equals(back, data))
+    // ...and a JDK-compressed member parses (no FNAME, real deflate)
+    val bos = new java.io.ByteArrayOutputStream()
+    val gzo = new java.util.zip.GZIPOutputStream(bos)
+    gzo.write(("payload " * 50).getBytes("US-ASCII")); gzo.close()
+    val jm = GzipCodec.parseGzip(bos.toByteArray).get
+    assert(jm.method == 8 && jm.fname.isEmpty && jm.isize == 400L)
+    assert(GzipCodec.parseGzip("not gzip".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("tar: ustar checksum-validated walk — files, dirs, padding, garbage") {
+    import graft.operators.Multimodal.TarCodec
+    val tar = TarCodec.buildTar(
+      Seq(("a/x.dat", Array.tabulate(700)(_.toByte)),
+        ("a/y.dat", Array[Byte](1, 2, 3))),
+      dirs = Seq("a/"))
+    val m = TarCodec.parseTar(tar).get
+    assert(m.nEntries == 3 && m.nFiles == 2 && m.nDirs == 1)
+    assert(m.totalSize == 703L)
+    assert(m.firstName.contains("a/"))
+    // a corrupted checksum rejects the whole archive (not a wrong row)
+    val bad = tar.clone()
+    bad(148) = '7'
+    assert(TarCodec.parseTar(bad).isEmpty)
+    assert(TarCodec.parseTar(new Array[Byte](1024)).isEmpty)
+    assert(TarCodec.parseTar("short".getBytes("UTF-8")).isEmpty)
+  }
+
   test("EXIF: both byte orders round-trip; non-EXIF and garbage probe to null") {
     import graft.functions.ExifMeta
     for (le <- Seq(true, false)) {
