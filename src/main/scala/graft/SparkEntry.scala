@@ -2443,6 +2443,15 @@ object SparkEntry {
         graft.operators.Multimodal.syntheticZipFromDocs(
           t(s, d, "documents")))),
 
+    // WARC census probe: real ISO-28500 crawl-container records
+    // (Content-Length-framed — payload bytes never inspected) — the
+    // crawl-ingest planning row: record/type counts, payload bytes,
+    // first target URI
+    "q368_warc_meta" -> ((s, d) =>
+      graft.operators.Multimodal.warcMeta(
+        graft.operators.Multimodal.syntheticWarcFromDocs(
+          t(s, d, "documents")))),
+
     // gzip framing probe: real RFC-1952 members (FNAME header,
     // stored-deflate payload, CRC32+ISIZE trailer) — the no-decompress
     // "what's inside this .gz" row; every column closed-form
@@ -7405,6 +7414,19 @@ object SparkEntry {
         |  CAST(doc_id % 3 + 1 AS INT) AS n_stored,
         |  0 AS n_deflated,
         |  'f' || doc_id || '_0.txt' AS first_name
+        |FROM documents WHERE doc_id >= 0""".stripMargin,
+
+    // WARC replay: synthesis arithmetic — n = d%3+1 alternating
+    // records, payload i carries (d%6)+i+1 bytes
+    "q368_warc_meta" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(doc_id % 3 + 1 AS INT) AS n_records,
+        |  CAST((doc_id % 3 + 2) // 2 AS INT) AS n_response,
+        |  CAST((doc_id % 3 + 1) // 2 AS INT) AS n_request,
+        |  CAST((doc_id % 3 + 1) * (doc_id % 6 + 1)
+        |    + (doc_id % 3 + 1) * (doc_id % 3) // 2 AS BIGINT)
+        |    AS total_payload,
+        |  'http://ex.org/d/' || doc_id || '/0' AS first_uri
         |FROM documents WHERE doc_id >= 0""".stripMargin,
 
     // gzip replay: framing arithmetic — 10-byte header + (5+len(id))+1

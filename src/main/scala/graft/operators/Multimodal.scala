@@ -1390,6 +1390,135 @@ object Multimodal {
       }(enc)
   }
 
+  /** Minimal WARC/1.0 codec (ISO 28500, public; the web-crawl container
+    * behind Common-Crawl-style corpora) — text header blocks with a
+    * Content-Length-framed payload per record:
+    *
+    *   WARC/1.0␍␊ (headers: WARC-Type, WARC-Target-URI,
+    *   Content-Length, …)␍␊ ␍␊ payload ␍␊␍␊ — records concatenated.
+    *
+    * The parser walks records by Content-Length framing (never
+    * scanning payload bytes for delimiters — payloads may contain
+    * anything), censusing types and target URIs. "How many responses,
+    * how many payload bytes" is the crawl-ingest planning row.
+    */
+  object WarcCodec {
+    final case class WarcMeta(nRecords: Int, nResponse: Int,
+      nRequest: Int, totalPayload: Long, firstUri: Option[String])
+
+    def buildWarc(records: Seq[(String, String, Array[Byte])]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      records.foreach { case (wtype, uri, payload) =>
+        val hdr = s"WARC/1.0\r\nWARC-Type: $wtype\r\n" +
+          s"WARC-Target-URI: $uri\r\n" +
+          s"WARC-Date: 2024-01-01T00:00:00Z\r\n" +
+          s"Content-Length: ${payload.length}\r\n\r\n"
+        out.write(hdr.getBytes("US-ASCII"))
+        out.write(payload)
+        out.write("\r\n\r\n".getBytes("US-ASCII"))
+      }
+      out.toByteArray
+    }
+
+    def parseWarc(b: Array[Byte]): Option[WarcMeta] = {
+      if (b == null || b.length < 10) return None
+      var p = 0
+      var n = 0; var resp = 0; var req = 0; var total = 0L
+      var first: Option[String] = None
+      def lineEnd(o: Int): Int = {
+        var i = o
+        while (i + 1 < b.length && !(b(i) == '\r' && b(i + 1) == '\n')) i += 1
+        if (i + 1 < b.length) i else -1
+      }
+      while (p < b.length) {
+        val ve = lineEnd(p)
+        if (ve < 0) return None
+        val version = new String(b, p, ve - p,
+          java.nio.charset.StandardCharsets.US_ASCII)
+        if (!version.startsWith("WARC/")) return None
+        var q = ve + 2
+        var clen = -1L
+        var wtype = ""
+        var uri: Option[String] = None
+        var open = true
+        while (open) {
+          val he = lineEnd(q)
+          if (he < 0) return None
+          if (he == q) { open = false; q += 2 } // empty line: headers end
+          else {
+            val line = new String(b, q, he - q,
+              java.nio.charset.StandardCharsets.US_ASCII)
+            val ci = line.indexOf(':')
+            if (ci < 0) return None
+            val key = line.substring(0, ci).trim.toLowerCase
+            val v = line.substring(ci + 1).trim
+            if (key == "content-length") clen = v.toLongOption.getOrElse(-1L)
+            else if (key == "warc-type") wtype = v.toLowerCase
+            else if (key == "warc-target-uri") uri = Some(v)
+            q = he + 2
+          }
+        }
+        if (clen < 0 || q + clen + 4 > b.length) return None
+        n += 1
+        total += clen
+        if (wtype == "response") resp += 1
+        else if (wtype == "request") req += 1
+        if (first.isEmpty) first = uri
+        p = (q + clen + 4).toInt // payload + the record-ending CRLF CRLF
+      }
+      if (n == 0) None else Some(WarcMeta(n, resp, req, total, first))
+    }
+  }
+
+  /** WARC census per asset: record/response/request counts, total
+    * payload bytes (Content-Length framing — payload bytes never
+    * inspected), first target URI. Narrow scan, [[zipMeta]] family.
+    */
+  def warcMeta(media: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("n_records", IntegerType),
+      StructField("n_response", IntegerType),
+      StructField("n_request", IntegerType),
+      StructField("total_payload", LongType),
+      StructField("first_uri", StringType)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    media.select("media_id", "content").mapPartitions { rows =>
+      rows.flatMap { r =>
+        val bytes = Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray)
+        WarcCodec.parseWarc(bytes).map { w =>
+          Row(r.getLong(0), w.nRecords, w.nResponse, w.nRequest,
+            w.totalPayload, w.firstUri.orNull)
+        }
+      }
+    }(enc)
+  }
+
+  /** Deterministic WARCs from doc ids: (d % 3) + 1 records alternating
+    * response/request, record i targeting http://ex.org/d/{id}/{i}
+    * with (d % 6) + i + 1 payload bytes — closed-form census for the
+    * oracle. Non-negative ids only.
+    */
+  def syntheticWarcFromDocs(documents: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("content", BinaryType)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    documents.select(col("doc_id")).filter(col("doc_id") >= 0)
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val d = r.getLong(0)
+          val recs = (0 to (d % 3).toInt).map { i =>
+            (if (i % 2 == 0) "response" else "request",
+              s"http://ex.org/d/$d/$i",
+              Array.tabulate(((d % 6) + i + 1).toInt)(j =>
+                ((d + i * 3 + j) % 251).toByte))
+          }
+          Row(d, WarcCodec.buildWarc(recs))
+        }
+      }(enc)
+  }
+
   /** Deterministic RGB-AVI media synthesized from doc ids — real
     * container bytes, real frames, closed-form pixel values, so the
     * decode chain ([[videoFrameStats]]) is oracle-checkable end to end:

@@ -119,17 +119,36 @@ class PropertySpec extends AnyFunSuite {
     val truncs = real.flatMap(b => (0 to b.length by 7).map(b.take))
     val magicJunk = Seq("PNG", "ID3", "RIFF", "ÿØ")
       .map(_.getBytes("ISO-8859-1") ++ Array.fill(20)(0x41.toByte))
-    (garbage ++ truncs ++ magicJunk).foreach { bytes =>
+    // round-10 archive codecs join the same totality contract
+    import graft.operators.Multimodal.{GzipCodec, TarCodec, ZipCodec, QtCodec}
+    val realArchives = Seq(
+      ZipCodec.buildZip(Seq(("a", Array[Byte](1, 2)))),
+      GzipCodec.buildGzip("n", 7L, Array[Byte](3, 4, 5)),
+      TarCodec.buildTar(Seq(("f", Array[Byte](6)))),
+      QtCodec.buildMov(16, 8, 25, Seq(Array[Byte](1)), brand = "isom",
+        useCo64 = true, codec = "avc1"))
+    val archTruncs = realArchives.flatMap(b => (0 to b.length by 11).map(b.take))
+    val archJunk = Seq("PK", "PK", "",
+      "ustar").map(_.getBytes("ISO-8859-1") ++ Array.fill(40)(0x42.toByte))
+    (garbage ++ truncs ++ magicJunk ++ archTruncs ++ archJunk).foreach { bytes =>
       PngMeta.probe(bytes): Unit
       Mp3Meta.probe(bytes): Unit
       AudioMeta.probe(bytes): Unit
       ExifMeta.probe(bytes): Unit
       graft.functions.ContainerMeta.probe(bytes): Unit
+      ZipCodec.parseZip(bytes): Unit
+      GzipCodec.parseGzip(bytes): Unit
+      TarCodec.parseTar(bytes): Unit
+      QtCodec.parseMov(bytes): Unit
     }
     // and the intact payloads still parse
     assert(PngMeta.probe(real(0)).nonEmpty)
     assert(Mp3Meta.probe(real(1)).nonEmpty)
     assert(AudioMeta.probe(real(2)).nonEmpty)
     assert(ExifMeta.probe(real(3)).nonEmpty)
+    assert(ZipCodec.parseZip(realArchives(0)).nonEmpty)
+    assert(GzipCodec.parseGzip(realArchives(1)).nonEmpty)
+    assert(TarCodec.parseTar(realArchives(2)).nonEmpty)
+    assert(QtCodec.parseMov(realArchives(3)).nonEmpty)
   }
 }

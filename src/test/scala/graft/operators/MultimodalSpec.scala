@@ -477,6 +477,27 @@ class MultimodalSpec extends AnyFunSuite {
     assert(ZipCodec.parseZip(Array.fill[Byte](30)(0)).isEmpty)
   }
 
+  test("WARC: Content-Length framing survives CRLF-laden payloads; census; garbage") {
+    import graft.operators.Multimodal.WarcCodec
+    // payload 2 embeds \r\n\r\nWARC/1.0 — a delimiter-scanning parser
+    // would split here; Content-Length framing must not
+    val trap = "x\r\n\r\nWARC/1.0\r\ny".getBytes("US-ASCII")
+    val warc = WarcCodec.buildWarc(Seq(
+      ("response", "http://a/1", Array[Byte](1, 2, 3)),
+      ("request", "http://a/2", trap),
+      ("metadata", "http://a/3", Array.emptyByteArray)))
+    val m = WarcCodec.parseWarc(warc).get
+    assert(m.nRecords == 3)
+    assert(m.nResponse == 1 && m.nRequest == 1)
+    assert(m.totalPayload == 3L + trap.length)
+    assert(m.firstUri.contains("http://a/1"))
+    // a record missing Content-Length rejects; garbage rejects
+    val noLen = ("WARC/1.0\r\nWARC-Type: response\r\n\r\n").getBytes("US-ASCII")
+    assert(WarcCodec.parseWarc(noLen).isEmpty)
+    assert(WarcCodec.parseWarc("HTTP/1.1 200 OK\r\n\r\n".getBytes("US-ASCII")).isEmpty)
+    assert(WarcCodec.parseWarc(Array.emptyByteArray).isEmpty)
+  }
+
   test("gzip: RFC 1952 framing round-trip, JDK interop both directions, garbage") {
     import graft.operators.Multimodal.GzipCodec
     val data = Array.tabulate(37)(i => (i * 3).toByte)
