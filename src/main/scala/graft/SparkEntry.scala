@@ -2443,6 +2443,44 @@ object SparkEntry {
         graft.operators.Multimodal.syntheticZipFromDocs(
           t(s, d, "documents")))),
 
+    // Per-source archive EXPANSION rollup: the four probe families
+    // (zip/gzip/tar/warc) joined back to sources — total members and
+    // expanded bytes per source, the schedule-the-extraction number;
+    // all exact integer sums over the narrow meta frames
+    "q369_archive_expansion" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val src = docs.select(col("doc_id").as("media_id"), col("source"))
+      def agg(meta: org.apache.spark.sql.DataFrame, bytesCol: String,
+          membersCol: org.apache.spark.sql.Column, tag: String) =
+        meta.join(src, Seq("media_id"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as(s"n_$tag"),
+            sum(membersCol).as(s"${tag}_members"),
+            sum(col(bytesCol)).as(s"${tag}_bytes"))
+      val m = graft.operators.Multimodal
+      val z = agg(m.zipMeta(m.syntheticZipFromDocs(docs)),
+        "total_uncompressed", col("n_entries").cast("long"), "zip")
+      val g = agg(m.gzipMeta(m.syntheticGzipFromDocs(docs)),
+        "isize", lit(1L), "gz")
+      val tr = agg(m.tarMeta(m.syntheticTarFromDocs(docs)),
+        "total_size", col("n_files").cast("long"), "tar")
+      val w = agg(m.warcMeta(m.syntheticWarcFromDocs(docs)),
+        "total_payload", col("n_records").cast("long"), "warc")
+      z.join(g, Seq("source")).join(tr, Seq("source")).join(w, Seq("source"))
+        .select(col("source"), col("zip_members"), col("zip_bytes"),
+          col("gz_bytes"), col("tar_bytes"), col("warc_bytes"),
+          (col("zip_bytes") + col("gz_bytes") + col("tar_bytes") +
+            col("warc_bytes")).as("total_expanded_bytes"))
+    }),
+
+    // HTTP response head inside WARC records: status / content-type /
+    // body-bytes census per fetched page — the fetch-outcome layer
+    // between container framing and content extraction
+    "q370_warc_http" -> ((s, d) =>
+      graft.operators.Multimodal.warcHttpMeta(
+        graft.operators.Multimodal.syntheticWarcHttpFromDocs(
+          t(s, d, "documents")))),
+
     // WARC census probe: real ISO-28500 crawl-container records
     // (Content-Length-framed — payload bytes never inspected) — the
     // crawl-ingest planning row: record/type counts, payload bytes,
@@ -7414,6 +7452,38 @@ object SparkEntry {
         |  CAST(doc_id % 3 + 1 AS INT) AS n_stored,
         |  0 AS n_deflated,
         |  'f' || doc_id || '_0.txt' AS first_name
+        |FROM documents WHERE doc_id >= 0""".stripMargin,
+
+    // Expansion replay: the per-family closed forms summed per source
+    "q369_archive_expansion" ->
+      """WITH d AS (SELECT doc_id, source FROM documents
+        |  WHERE doc_id >= 0),
+        |per AS (SELECT source,
+        |    doc_id % 3 + 1 AS zm,
+        |    (doc_id % 3 + 1) * (doc_id % 7 + 1)
+        |      + (doc_id % 3 + 1) * (doc_id % 3) // 2 AS zb,
+        |    doc_id % 9 + 1 AS gb,
+        |    (doc_id % 3 + 1) * (doc_id % 5 + 1)
+        |      + (doc_id % 3 + 1) * (doc_id % 3) // 2 AS tb,
+        |    (doc_id % 3 + 1) * (doc_id % 6 + 1)
+        |      + (doc_id % 3 + 1) * (doc_id % 3) // 2 AS wb
+        |  FROM d)
+        |SELECT source,
+        |  sum(zm)::BIGINT AS zip_members, sum(zb)::BIGINT AS zip_bytes,
+        |  sum(gb)::BIGINT AS gz_bytes, sum(tb)::BIGINT AS tar_bytes,
+        |  sum(wb)::BIGINT AS warc_bytes,
+        |  (sum(zb) + sum(gb) + sum(tb) + sum(wb))::BIGINT
+        |    AS total_expanded_bytes
+        |FROM per GROUP BY source""".stripMargin,
+
+    // HTTP-in-WARC replay: one response per doc, closed-form status /
+    // content-type / body length
+    "q370_warc_http" ->
+      """SELECT doc_id AS media_id, 0 AS record_idx,
+        |  CASE WHEN doc_id % 5 = 0 THEN 404 ELSE 200 END AS status,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'text/html'
+        |    ELSE 'application/json' END AS content_type,
+        |  CAST(doc_id % 4 + 1 AS BIGINT) AS body_len
         |FROM documents WHERE doc_id >= 0""".stripMargin,
 
     // WARC replay: synthesis arithmetic — n = d%3+1 alternating

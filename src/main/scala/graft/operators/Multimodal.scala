@@ -1468,6 +1468,126 @@ object Multimodal {
       }
       if (n == 0) None else Some(WarcMeta(n, resp, req, total, first))
     }
+
+    /** Payload byte slices of the RESPONSE records, in file order —
+      * empty for anything that doesn't parse as WARC.
+      */
+    def responsePayloads(b: Array[Byte]): Seq[Array[Byte]] = {
+      if (b == null || b.length < 10) return Nil
+      val out = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+      var p = 0
+      def lineEnd(o: Int): Int = {
+        var i = o
+        while (i + 1 < b.length && !(b(i) == '\r' && b(i + 1) == '\n')) i += 1
+        if (i + 1 < b.length) i else -1
+      }
+      while (p < b.length) {
+        val ve = lineEnd(p)
+        if (ve < 0) return Nil
+        if (!new String(b, p, ve - p,
+          java.nio.charset.StandardCharsets.US_ASCII).startsWith("WARC/"))
+          return Nil
+        var q = ve + 2
+        var clen = -1L
+        var isResp = false
+        var open = true
+        while (open) {
+          val he = lineEnd(q)
+          if (he < 0) return Nil
+          if (he == q) { open = false; q += 2 }
+          else {
+            val line = new String(b, q, he - q,
+              java.nio.charset.StandardCharsets.US_ASCII)
+            val ci = line.indexOf(':')
+            if (ci < 0) return Nil
+            val key = line.substring(0, ci).trim.toLowerCase
+            val v = line.substring(ci + 1).trim
+            if (key == "content-length") clen = v.toLongOption.getOrElse(-1L)
+            else if (key == "warc-type") isResp = v.equalsIgnoreCase("response")
+            q = he + 2
+          }
+        }
+        if (clen < 0 || q + clen + 4 > b.length) return Nil
+        if (isResp)
+          out += java.util.Arrays.copyOfRange(b, q, (q + clen).toInt)
+        p = (q + clen + 4).toInt
+      }
+      out.toSeq
+    }
+  }
+
+  /** HTTP response head parsed out of WARC response payloads — the
+    * next crawl-stack layer (WARC → HTTP → content): status code from
+    * the RFC 9112 status line, Content-Type and Content-Length from
+    * the header block, body bytes by framing. One row per WARC
+    * response record; non-HTTP payloads and non-response records emit
+    * nothing.
+    */
+  object HttpCodec {
+    final case class HttpHead(status: Int, contentType: Option[String],
+      bodyLen: Long)
+
+    def parseResponseHead(b: Array[Byte]): Option[HttpHead] = {
+      if (b == null || b.length < 12) return None
+      def lineEnd(o: Int): Int = {
+        var i = o
+        while (i + 1 < b.length && !(b(i) == '\r' && b(i + 1) == '\n')) i += 1
+        if (i + 1 < b.length) i else -1
+      }
+      val se = lineEnd(0)
+      if (se < 0) return None
+      val status = new String(b, 0, se,
+        java.nio.charset.StandardCharsets.US_ASCII)
+      if (!status.startsWith("HTTP/")) return None
+      val parts = status.split(" ", 3)
+      if (parts.length < 2) return None
+      val code = parts(1).toIntOption.getOrElse(return None)
+      var q = se + 2
+      var ct: Option[String] = None
+      var open = true
+      while (open) {
+        val he = lineEnd(q)
+        if (he < 0) return None
+        if (he == q) { open = false; q += 2 }
+        else {
+          val line = new String(b, q, he - q,
+            java.nio.charset.StandardCharsets.US_ASCII)
+          val ci = line.indexOf(':')
+          if (ci >= 0 &&
+            line.substring(0, ci).trim.equalsIgnoreCase("content-type"))
+            ct = Some(line.substring(ci + 1).trim)
+          q = he + 2
+        }
+      }
+      Some(HttpHead(code, ct, (b.length - q).toLong))
+    }
+  }
+
+  /** One row per HTTP response inside each WARC asset: status code,
+    * content type, body bytes — the fetch-outcome census a crawl
+    * pipeline reads before content extraction. Narrow scan; WARC
+    * record framing by Content-Length, HTTP head parse per response
+    * payload.
+    */
+  def warcHttpMeta(media: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("record_idx", IntegerType),
+      StructField("status", IntegerType),
+      StructField("content_type", StringType),
+      StructField("body_len", LongType)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    media.select("media_id", "content").mapPartitions { rows =>
+      rows.flatMap { r =>
+        val bytes = Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray)
+        WarcCodec.responsePayloads(bytes).zipWithIndex.flatMap {
+          case (payload, i) =>
+            HttpCodec.parseResponseHead(payload).map { h =>
+              Row(r.getLong(0), i, h.status, h.contentType.orNull, h.bodyLen)
+            }
+        }
+      }
+    }(enc)
   }
 
   /** WARC census per asset: record/response/request counts, total
@@ -1515,6 +1635,33 @@ object Multimodal {
                 ((d + i * 3 + j) % 251).toByte))
           }
           Row(d, WarcCodec.buildWarc(recs))
+        }
+      }(enc)
+  }
+
+  /** Deterministic WARC-wrapped HTTP responses from doc ids: one
+    * response record per doc, status 404 on id%5==0 else 200,
+    * Content-Type text/html on even ids else application/json, body
+    * (id % 4) + 1 bytes — closed-form for the oracle.
+    */
+  def syntheticWarcHttpFromDocs(documents: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("content", BinaryType)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    documents.select(col("doc_id")).filter(col("doc_id") >= 0)
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val d = r.getLong(0)
+          val code = if (d % 5 == 0) "404 Not Found" else "200 OK"
+          val ct = if (d % 2 == 0) "text/html" else "application/json"
+          val body = Array.tabulate(((d % 4) + 1).toInt)(j =>
+            ((d + j) % 251).toByte)
+          val head = s"HTTP/1.1 $code\r\nContent-Type: $ct\r\n" +
+            s"Content-Length: ${body.length}\r\n\r\n"
+          val payload = head.getBytes("US-ASCII") ++ body
+          Row(d, WarcCodec.buildWarc(
+            Seq(("response", s"http://ex.org/p/$d", payload))))
         }
       }(enc)
   }

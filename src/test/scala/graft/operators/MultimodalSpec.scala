@@ -498,6 +498,27 @@ class MultimodalSpec extends AnyFunSuite {
     assert(WarcCodec.parseWarc(Array.emptyByteArray).isEmpty)
   }
 
+  test("HTTP-in-WARC: status/content-type/body framing; non-response records skipped") {
+    import graft.operators.Multimodal.{HttpCodec, WarcCodec}
+    val body = "<html>body with\r\n\r\nbreaks</html>".getBytes("US-ASCII")
+    val http = ("HTTP/1.1 301 Moved Permanently\r\nLocation: http://b/\r\n" +
+      "Content-Type: text/html; charset=utf-8\r\n\r\n").getBytes("US-ASCII") ++ body
+    val h = HttpCodec.parseResponseHead(http).get
+    assert(h.status == 301)
+    assert(h.contentType.contains("text/html; charset=utf-8"))
+    assert(h.bodyLen == body.length.toLong)
+    // request records are skipped; only the response payload surfaces
+    val warc = WarcCodec.buildWarc(Seq(
+      ("request", "http://a/", "GET / HTTP/1.1\r\n\r\n".getBytes("US-ASCII")),
+      ("response", "http://a/", http)))
+    val payloads = WarcCodec.responsePayloads(warc)
+    assert(payloads.size == 1)
+    assert(HttpCodec.parseResponseHead(payloads.head).get.status == 301)
+    // non-HTTP payloads and garbage reject
+    assert(HttpCodec.parseResponseHead("WARC/1.0\r\n\r\n".getBytes("US-ASCII")).isEmpty)
+    assert(HttpCodec.parseResponseHead(Array[Byte](1, 2, 3)).isEmpty)
+  }
+
   test("gzip: RFC 1952 framing round-trip, JDK interop both directions, garbage") {
     import graft.operators.Multimodal.GzipCodec
     val data = Array.tabulate(37)(i => (i * 3).toByte)
