@@ -2481,6 +2481,23 @@ object SparkEntry {
         graft.operators.Multimodal.syntheticWarcHttpFromDocs(
           t(s, d, "documents")))),
 
+    // HTML content extraction (the layer after q370's fetch census):
+    // title / link count / tag-stripped text length from synthesized
+    // markup wrapping the corpus text — RE2-safe regexes the oracle
+    // runs verbatim; zero-shuffle per-row program
+    "q371_html_extract" -> ((s, d) => {
+      val docs = t(s, d, "documents").filter(col("text").isNotNull)
+      val html = concat(lit("<html><head><title>Doc "), col("doc_id"),
+        lit("</title></head><body><p>"), substring(col("text"), 1, 40),
+        lit("</p>"),
+        repeat(concat(lit("<a href=\"http://l/"), col("doc_id"),
+          lit("\">l</a>")), (col("doc_id") % 3).cast("int")),
+        lit("</body></html>"))
+      graft.operators.TextAnalysis.htmlExtract(
+        docs.select(col("doc_id"), html.as("__html")), "doc_id",
+        col("__html"))
+    }),
+
     // WARC census probe: real ISO-28500 crawl-container records
     // (Content-Length-framed — payload bytes never inspected) — the
     // crawl-ingest planning row: record/type counts, payload bytes,
@@ -7485,6 +7502,27 @@ object SparkEntry {
         |    ELSE 'application/json' END AS content_type,
         |  CAST(doc_id % 4 + 1 AS BIGINT) AS body_len
         |FROM documents WHERE doc_id >= 0""".stripMargin,
+
+    // HTML replay: build the same markup, run the IDENTICAL RE2
+    // patterns (extract group 1, global tag strip, link-count matches)
+    "q371_html_extract" ->
+      """WITH h AS (SELECT doc_id,
+        |    '<html><head><title>Doc ' || doc_id ||
+        |    '</title></head><body><p>' || substr(text, 1, 40) ||
+        |    '</p>' || repeat('<a href="http://l/' || doc_id ||
+        |    '">l</a>', CAST(doc_id % 3 AS INT)) || '</body></html>'
+        |      AS html
+        |  FROM documents WHERE text IS NOT NULL)
+        |SELECT doc_id,
+        |  CASE WHEN length(regexp_extract(html,
+        |      '<title>([^<]*)</title>', 1)) > 0
+        |    THEN regexp_extract(html, '<title>([^<]*)</title>', 1)
+        |  END AS title,
+        |  CAST(len(regexp_extract_all(html, '<a href=')) AS BIGINT)
+        |    AS n_links,
+        |  CAST(length(regexp_replace(html, '<[^>]*>', '', 'g'))
+        |    AS BIGINT) AS text_chars
+        |FROM h""".stripMargin,
 
     // WARC replay: synthesis arithmetic — n = d%3+1 alternating
     // records, payload i carries (d%6)+i+1 bytes

@@ -1634,4 +1634,26 @@ object TextAnalysis {
         .as("chao1_richness"))
   }
 
+  /** HTML content extraction — the layer after the q370 fetch census
+    * (WARC → HTTP → HTML → text): title, link count, and tag-stripped
+    * text length from raw markup, via RE2-safe regexes (no lookaround
+    * — the [[graft.functions.TextFunctions.BpeishPattern]] stance, so
+    * a DuckDB oracle runs the IDENTICAL patterns). This is the cheap
+    * structural census before a real DOM pass; a regex pass is the
+    * standard first-cut main-content heuristic at crawl scale.
+    *
+    * Pure per-row column program — zero shuffles, I/O-bound.
+    */
+  def htmlExtract(df: DataFrame, idCol: String,
+      htmlCol: Column): DataFrame = {
+    val staged = df.filter(htmlCol.isNotNull)
+      .select(col(idCol), htmlCol.as("__h"))
+    val title = regexp_extract(col("__h"), "<title>([^<]*)</title>", 1)
+    staged.select(col(idCol),
+      when(length(title) > 0, title).as("title"),
+      size(regexp_extract_all(col("__h"), lit("<a href="), lit(0)))
+        .cast("long").as("n_links"),
+      length(regexp_replace(col("__h"), "<[^>]*>", ""))
+        .cast("long").as("text_chars"))
+  }
 }

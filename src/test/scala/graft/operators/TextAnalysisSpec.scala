@@ -766,4 +766,26 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(out("g2").getAs[Double]("chao1_richness") == 2.0)
     assert(out("g3").isNullAt(out("g3").fieldIndex("chao1_richness")))
   }
+
+  test("htmlExtract: title group, link census, tag strip; missing title nulls") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      (1L, "<html><head><title>Hello World</title></head>" +
+        "<body><p>ab cd</p><a href=\"x\">l</a><a href=\"y\">m</a></body></html>"),
+      (2L, "<body><p>no title here</p></body>"),
+      (3L, "plain text, no tags at all")).toDF("id", "h")
+    val out = TextAnalysis.htmlExtract(df, "id", col("h"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[String]("title") == "Hello World")
+    assert(out(1L).getAs[Long]("n_links") == 2L)
+    // stripped: "Hello World" + "ab cd" + "l" + "m" = 11 + 5 + 1 + 1
+    assert(out(1L).getAs[Long]("text_chars") == 18L)
+    assert(out(2L).isNullAt(out(2L).fieldIndex("title")))
+    assert(out(2L).getAs[Long]("n_links") == 0L)
+    assert(out(3L).getAs[Long]("text_chars") == 26L)
+    // zero-shuffle plan
+    val p = TextAnalysis.htmlExtract(df, "id", col("h"))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), "htmlExtract must not shuffle")
+  }
 }
