@@ -1063,6 +1063,10 @@ object Multimodal {
       if (eocd < 0) return None
       val n = rdLe16(b, eocd + 10)
       val cdOff = rdLe32(b, eocd + 16)
+      // ZIP64: 0xFFFF entries / 0xFFFFFFFF cd-offset are sentinels that
+      // redirect to a ZIP64 EOCD we do not parse -- report "not parseable"
+      // rather than silently-wrong counts on >4 GiB / >65535-entry archives
+      if (n == 0xFFFF || cdOff == 0xFFFFFFFFL) return None
       if (cdOff > Int.MaxValue || cdOff > eocd) return None
       var p = cdOff.toInt
       var total = 0L; var totalC = 0L
@@ -1293,7 +1297,12 @@ object Multimodal {
           java.nio.charset.StandardCharsets.US_ASCII))
         if (b(p + 156) == '5') dirs += 1 else { files += 1; total += size }
         n += 1
-        p += 512 + ((size + 511) / 512 * 512).toInt
+        // advance in Long: a checksum-valid header with a 12-digit octal
+        // size >= 2^31 would wrap an Int skip (negative index into
+        // zeroBlock, or a cycle) -- the totality contract for untrusted
+        // bytes; past-the-end just ends the walk like any truncation
+        val next = p + 512L + (size + 511L) / 512L * 512L
+        p = if (next > b.length) b.length else next.toInt
       }
       if (n == 0) None else Some(TarMeta(n, total, files, dirs, first))
     }

@@ -513,23 +513,37 @@ object Profile {
   def exactTopKRescan(df: DataFrame, keyCol: String, k: Int,
       capacity: Int): DataFrame = {
     require(k >= 1 && capacity > k, "need capacity > k >= 1")
+    val spark = df.sparkSession
     val keyed = df.select(col(keyCol).as("__k")).filter(col("__k").isNotNull)
-    val cand = keyed
+    // pass 1: ONE scan computes the SpaceSaving candidate set AND the
+    // exact total n in the same aggregation — a single driver row of
+    // ≤ capacity items (the documented bounded hop; re-scanning the
+    // input a third time just for count(*) broke the "one constant-
+    // state pass + one tiny rescan" contract)
+    val sketchRow = keyed
       .agg(graft.functions.SpaceSavingSketch
-        .spaceSavingTopK(col("__k"), capacity).as("__hh"))
-      .select(explode(col("__hh")).as("__x"))
-      .select(col("__x.item").as("__cand"))
+        .spaceSavingTopK(col("__k"), capacity).as("__hh"),
+        count(lit(1)).as("__n"))
+      .head()
+    val n = sketchRow.getLong(1)
+    val keyType = keyed.schema.head.dataType
+    val candRows: java.util.List[org.apache.spark.sql.Row] =
+      java.util.Arrays.asList(
+        sketchRow.getSeq[org.apache.spark.sql.Row](0)
+          .map(x => org.apache.spark.sql.Row(x.get(0))): _*)
+    val cand = spark.createDataFrame(candRows,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__cand", keyType))))
+    // pass 2: exact counts for the ≤ capacity candidates only
     val exact = keyed
       .join(broadcast(cand), col("__k") === col("__cand"), "left_semi")
       .groupBy(col("__k")).agg(count(lit(1)).as("exact_count"))
-    val total = keyed.agg(count(lit(1)).as("__n"))
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("exact_count").desc, col("__k"))
     exact.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .crossJoin(broadcast(total))
       .select(col("rank"), col("__k").as("item"), col("exact_count"),
-        (col("exact_count") * capacity > col("__n"))
+        (col("exact_count") * capacity > lit(n))
           .as("provably_complete"))
   }
 

@@ -554,7 +554,7 @@ object QualityRules {
         slice(col("__toks"), lit(1), size(col("__toks")) - 1),
         slice(col("__toks"), lit(2), size(col("__toks")) - 1),
         (a, b) => graft.functions.HashFunctions
-          .fnv64(concat(a, lit(""), b)).bitwiseAND(lit(1L)) === 0L),
+          .fnv64(concat(a, lit("\u0001"), b)).bitwiseAND(lit(1L)) === 0L),
       x => x))
     staged
       .withColumn("m_pairs", (size(col("__toks")) - 1).cast("long"))

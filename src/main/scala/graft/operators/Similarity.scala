@@ -429,9 +429,15 @@ object Similarity {
   /** Top-k over a persisted LSH index — bit-identical results to
     * [[bandedLshTopK]] with the stored parameters (same candidate set:
     * a pair survives iff ANY band key matches; same exact-cosine rerank
-    * and tie order). The probe batch's (band, key) pairs become a
-    * partition-pruning disjunction, so only those directories are read.
-    * `probes` small by contract (collected once, like topKFromIndex).
+    * and tie order). The probe batch's (band, key) frame is BROADCAST
+    * against the partitioned layout and Catalyst's dynamic partition
+    * pruning turns the reused broadcast into `band IN (...)` /
+    * `key IN (...)` partition filters on the scan — only matching
+    * directories are listed and read, with NO driver-side collect of
+    * the probe keys (a 10⁵-key probe batch stays a distributed frame;
+    * the old per-pair OR-disjunction literal blew up Catalyst analysis
+    * time before any data moved). The only probe-side action is the
+    * emptiness guard.
     */
   def bandedLshTopKFromIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, probes: DataFrame, k: Int): DataFrame = {
@@ -440,17 +446,10 @@ object Similarity {
       m.planesPerBand, m.dim, m.seed)
       .select(col("probe_id"), col("bk.band").as("band"),
         col("bk.key").as("key"))
-    val probeLocal = spark.createDataFrame(
-      java.util.Arrays.asList(probeKeyRows.collect(): _*), probeKeyRows.schema)
-    val wanted = probeLocal.select(col("band"), col("key")).distinct()
-      .collect().map(r => (r.getInt(0), r.getLong(1)))
-    require(wanted.nonEmpty, "no probe band keys (all probes zero-norm?)")
-    val prune = wanted.map { case (b, kk) =>
-      col("band") === b && col("key") === kk
-    }.reduce(_ || _)
+    require(!probeKeyRows.isEmpty,
+      "no probe band keys (all probes zero-norm?)")
     val cand = spark.read.parquet(s"$path/bands")
-      .filter(prune) // prunes band=<b>/key=<k> directories at the scan
-      .join(broadcast(probeLocal), Seq("band", "key"))
+      .join(broadcast(probeKeyRows), Seq("band", "key"))
       .filter(col("id") =!= col("probe_id"))
       .select(col("probe_id"), col("id").as("corpus_id")).distinct()
     val c = spark.read.parquet(s"$path/vecs")

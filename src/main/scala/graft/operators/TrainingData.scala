@@ -700,9 +700,13 @@ object TrainingData {
     * form with the stored parameters: same candidate rule (any shared
     * band key), same exact-cosine gate, same rollup.
     *
-    * The eval set is small by the benchmark-suite contract (its band
-    * keys are collected driver-side, the same bounded collect as
-    * [[Similarity.bandedLshTopKFromIndex]] probes).
+    * The eval side never lands on the driver: its (band, key) frame is
+    * BROADCAST against the stored layout and dynamic partition pruning
+    * turns the reused broadcast into partition filters on the `bands`
+    * scan (`band IN (...)`, `key IN (...)`), so a 10⁵-key eval snapshot
+    * is a distributed frame end to end — the only eval-side action is
+    * the emptiness guard (the old per-pair OR-disjunction literal was
+    * driver-bounded and blew up Catalyst analysis time first).
     */
   def decontaminateSemanticServed(eval: DataFrame, indexPath: String,
       threshold: Double): DataFrame = {
@@ -712,17 +716,9 @@ object TrainingData {
       m.planesPerBand, m.dim, m.seed)
       .select(col("eval_id"), col("bk.band").as("band"),
         col("bk.key").as("key"))
-    val ebLocal = spark.createDataFrame(
-      java.util.Arrays.asList(eb.collect(): _*), eb.schema)
-    val wanted = ebLocal.select(col("band"), col("key")).distinct()
-      .collect().map(r => (r.getInt(0), r.getLong(1)))
-    require(wanted.nonEmpty, "no eval band keys (all eval zero-norm?)")
-    val prune = wanted.map { case (b, k) =>
-      col("band") === b && col("key") === k
-    }.reduce(_ || _)
+    require(!eb.isEmpty, "no eval band keys (all eval zero-norm?)")
     val cand = spark.read.parquet(s"$indexPath/bands")
-      .filter(prune) // prunes band=<b>/key=<k> directories at the scan
-      .join(broadcast(ebLocal), Seq("band", "key"))
+      .join(broadcast(eb), Seq("band", "key"))
       .select(col("id"), col("eval_id")).distinct()
     val tv = spark.read.parquet(s"$indexPath/vecs")
       .select(col("id"), col("v").as("tv"), col("nrm").as("tn"))
