@@ -2498,6 +2498,21 @@ object SparkEntry {
         col("__html"))
     }),
 
+    // The crawl stack CLOSED end to end: raw WARC bytes → HTTP head →
+    // Content-Type charset → byte decode (utf-8 / iso-8859-1 /
+    // windows-1252, incl. the no-charset legacy default) → htmlExtract
+    // — one composed query from container bytes to extracted text,
+    // with charset-revealing marker chars (€ π é) so a wrong decode
+    // changes the hash
+    "q372_warc_to_text" -> ((s, d) => {
+      val pages = graft.operators.Multimodal.warcHtmlText(
+        graft.operators.Multimodal.syntheticWarcHtmlFromDocs(
+          t(s, d, "documents")))
+      graft.operators.TextAnalysis.htmlExtract(
+        pages.withColumnRenamed("media_id", "doc_id"), "doc_id",
+        col("html"), keep = Seq("status", "charset"))
+    }),
+
     // WARC census probe: real ISO-28500 crawl-container records
     // (Content-Length-framed — payload bytes never inspected) — the
     // crawl-ingest planning row: record/type counts, payload bytes,
@@ -7514,6 +7529,40 @@ object SparkEntry {
         |      AS html
         |  FROM documents WHERE text IS NOT NULL)
         |SELECT doc_id,
+        |  CASE WHEN length(regexp_extract(html,
+        |      '<title>([^<]*)</title>', 1)) > 0
+        |    THEN regexp_extract(html, '<title>([^<]*)</title>', 1)
+        |  END AS title,
+        |  CAST(len(regexp_extract_all(html, '<a href=')) AS BIGINT)
+        |    AS n_links,
+        |  CAST(length(regexp_replace(html, '<[^>]*>', '', 'g'))
+        |    AS BIGINT) AS text_chars
+        |FROM h""".stripMargin,
+
+    // Crawl-stack replay: rebuild the per-doc html STRING (what a
+    // correct charset decode of the synthesized body bytes must yield
+    // — encode∘decode is lossless for every (marker, charset) pair by
+    // construction) and run the identical extraction regexes; charset
+    // replays the resolution rule incl. the windows-1252 default leg
+    "q372_warc_to_text" ->
+      """WITH base AS (SELECT doc_id, substr(text, 1, 40) AS a,
+        |    CASE WHEN doc_id % 7 = 0 THEN 'windows-1252'
+        |         WHEN doc_id % 3 = 0 THEN 'utf-8'
+        |         WHEN doc_id % 3 = 1 THEN 'iso-8859-1'
+        |         ELSE 'windows-1252' END AS charset,
+        |    CASE WHEN doc_id % 7 = 0 THEN '€'
+        |         WHEN doc_id % 3 = 0 THEN 'π'
+        |         WHEN doc_id % 3 = 1 THEN 'é'
+        |         ELSE '€' END AS marker
+        |  FROM documents WHERE doc_id >= 0 AND text IS NOT NULL),
+        |h AS (SELECT doc_id, charset,
+        |    '<html><head><title>Doc ' || doc_id || ' ' || marker ||
+        |    '</title></head><body><p>' || a || ' café ' || marker ||
+        |    '</p>' || repeat('<a href="http://ex.org/x/' || doc_id ||
+        |    '">x</a>', CAST(doc_id % 4 AS INT)) || '</body></html>'
+        |      AS html
+        |  FROM base)
+        |SELECT doc_id, 200 AS status, charset,
         |  CASE WHEN length(regexp_extract(html,
         |      '<title>([^<]*)</title>', 1)) > 0
         |    THEN regexp_extract(html, '<title>([^<]*)</title>', 1)

@@ -1223,7 +1223,7 @@ object Multimodal {
     private def octal(v: Long, len: Int): Array[Byte] = {
       val s = java.lang.Long.toOctalString(v)
       val padded = ("0" * (len - 1 - s.length)) + s
-      (padded + " ").getBytes("US-ASCII")
+      (padded + "\u0000").getBytes("US-ASCII")
     }
 
     private def header(name: String, size: Long, typeflag: Char): Array[Byte] = {
@@ -1237,7 +1237,7 @@ object Multimodal {
       System.arraycopy(octal(0, 12), 0, h, 136, 12)        // mtime
       java.util.Arrays.fill(h, 148, 156, ' '.toByte)       // chksum spaces
       h(156) = typeflag.toByte
-      System.arraycopy("ustar 00".getBytes("US-ASCII"), 0, h, 257, 8)
+      System.arraycopy(("ustar" + "\u0000" + "00").getBytes("US-ASCII"), 0, h, 257, 8)
       var sum = 0L
       var i = 0
       while (i < 512) { sum += h(i) & 0xff; i += 1 }
@@ -1570,6 +1570,42 @@ object Multimodal {
       }
       Some(HttpHead(code, ct, (b.length - q).toLong))
     }
+
+    /** Charset actually used to decode a body, resolved from the
+      * Content-Type header's `charset=` parameter (case-insensitive,
+      * optionally quoted). Absent, unknown, or JVM-unsupported
+      * charsets fall back to windows-1252 — the WHATWG HTML default
+      * for legacy content (UTF-8-declared pages decode as declared).
+      * Returns the canonical lowercase name reported downstream.
+      */
+    def resolveCharset(contentType: Option[String]): String = {
+      val declared = contentType.flatMap { ct =>
+        ct.split(';').iterator.drop(1).map(_.trim).collectFirst {
+          case p if p.length > 8 &&
+            p.substring(0, 8).equalsIgnoreCase("charset=") =>
+            p.substring(8).trim.stripPrefix("\"").stripSuffix("\"")
+              .toLowerCase(java.util.Locale.ROOT)
+        }
+      }
+      declared.filter { name =>
+        try java.nio.charset.Charset.isSupported(name)
+        catch { case _: java.nio.charset.IllegalCharsetNameException => false }
+      }.getOrElse("windows-1252")
+    }
+
+    /** Decode body bytes with the resolved charset, replacing (never
+      * throwing on) malformed sequences and unmappable bytes — the
+      * totality stance: a mis-declared page yields U+FFFD runs, not a
+      * task failure.
+      */
+    def decodeBody(b: Array[Byte], offset: Int, charsetName: String): String = {
+      val cs = java.nio.charset.Charset.forName(charsetName)
+      val dec = cs.newDecoder()
+        .onMalformedInput(java.nio.charset.CodingErrorAction.REPLACE)
+        .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPLACE)
+      dec.decode(java.nio.ByteBuffer.wrap(b, offset, b.length - offset))
+        .toString
+    }
   }
 
   /** One row per HTTP response inside each WARC asset: status code,
@@ -1593,6 +1629,49 @@ object Multimodal {
           case (payload, i) =>
             HttpCodec.parseResponseHead(payload).map { h =>
               Row(r.getLong(0), i, h.status, h.contentType.orNull, h.bodyLen)
+            }
+        }
+      }
+    }(enc)
+  }
+
+  /** Charset-aware bytes→text: the layer that CLOSES the crawl stack
+    * (WARC → HTTP → charset decode → HTML string). For every text/html
+    * response inside each WARC asset, resolves the charset from the
+    * Content-Type header ([[HttpCodec.resolveCharset]]: declared
+    * parameter, else the windows-1252 legacy default), decodes the
+    * body bytes with malformed/unmappable REPLACE semantics, and emits
+    * (media_id, record_idx, status, charset, html) — the decoded
+    * string [[TextAnalysis.htmlExtract]] consumes. Same concern one
+    * layer up from the reference's latin-1 CSV read
+    * (etl_meteo.py:156 `encoding="latin-1"`).
+    *
+    * Narrow mapPartitions over the binary column (the JDK charset
+    * machinery is not expressible as a Catalyst expression — the
+    * [[imageFeatures]] batch shape); only decoded text leaves the
+    * scan, payload bytes never shuffle.
+    */
+  def warcHtmlText(media: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("record_idx", IntegerType),
+      StructField("status", IntegerType),
+      StructField("charset", StringType),
+      StructField("html", StringType)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    media.select("media_id", "content").mapPartitions { rows =>
+      rows.flatMap { r =>
+        val bytes = Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray)
+        WarcCodec.responsePayloads(bytes).zipWithIndex.flatMap {
+          case (payload, i) =>
+            HttpCodec.parseResponseHead(payload).withFilter { h =>
+              h.contentType.exists(
+                _.split(';')(0).trim.equalsIgnoreCase("text/html"))
+            }.map { h =>
+              val cs = HttpCodec.resolveCharset(h.contentType)
+              val bodyOff = payload.length - h.bodyLen.toInt
+              Row(r.getLong(0), i, h.status, cs,
+                HttpCodec.decodeBody(payload, bodyOff, cs))
             }
         }
       }
@@ -1671,6 +1750,55 @@ object Multimodal {
           val payload = head.getBytes("US-ASCII") ++ body
           Row(d, WarcCodec.buildWarc(
             Seq(("response", s"http://ex.org/p/$d", payload))))
+        }
+      }(enc)
+  }
+
+  /** Deterministic charset-exercising WARCs from the corpus: doc d
+    * gets one HTTP 200 text/html response whose body wraps the first
+    * 40 chars of its text in markup with a charset-revealing marker
+    * char, ENCODED in a per-doc charset —
+    *   d % 7 == 0 → windows-1252, charset param OMITTED (the legacy-
+    *                default leg), marker € (0x80, cp1252-only)
+    *   else d % 3 == 0 → utf-8 declared, marker π (non-Latin)
+    *        d % 3 == 1 → ISO-8859-1 declared (mixed-case header,
+    *                     proving normalization), marker é (0xE9)
+    *        d % 3 == 2 → windows-1252 declared, marker €
+    * Every marker is losslessly round-trippable in ITS charset and
+    * byte-distinct across them, so a wrong decode changes the output
+    * — the oracle rebuilds the expected strings from the documents
+    * table. Non-negative ids, non-null text only.
+    */
+  def syntheticWarcHtmlFromDocs(documents: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("content", BinaryType)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    documents.select(col("doc_id"), col("text"))
+      .filter(col("doc_id") >= 0 && col("text").isNotNull)
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val d = r.getLong(0)
+          val text = r.getString(1)
+          val slice = text.substring(0, math.min(40, text.length))
+          val (csName, headerCs, marker) =
+            if (d % 7 == 0) ("windows-1252", None, "€")
+            else (d % 3) match {
+              case 0 => ("utf-8", Some("utf-8"), "π")
+              case 1 => ("iso-8859-1", Some("ISO-8859-1"), "é")
+              case _ => ("windows-1252", Some("windows-1252"), "€")
+            }
+          val html = s"<html><head><title>Doc $d $marker</title></head>" +
+            s"<body><p>$slice café $marker</p>" +
+            (s"""<a href="http://ex.org/x/$d">x</a>""" * (d % 4).toInt) +
+            "</body></html>"
+          val body = html.getBytes(csName)
+          val ct = "text/html" + headerCs.map("; charset=" + _).getOrElse("")
+          val head = s"HTTP/1.1 200 OK\r\nContent-Type: $ct\r\n" +
+            s"Content-Length: ${body.length}\r\n\r\n"
+          Row(d, WarcCodec.buildWarc(
+            Seq(("response", s"http://ex.org/p/$d",
+              head.getBytes("US-ASCII") ++ body))))
         }
       }(enc)
   }

@@ -1645,15 +1645,15 @@ object TextAnalysis {
     * Pure per-row column program — zero shuffles, I/O-bound.
     */
   def htmlExtract(df: DataFrame, idCol: String,
-      htmlCol: Column): DataFrame = {
+      htmlCol: Column, keep: Seq[String] = Nil): DataFrame = {
     val staged = df.filter(htmlCol.isNotNull)
-      .select(col(idCol), htmlCol.as("__h"))
+      .select(col(idCol) +: keep.map(col) :+ htmlCol.as("__h"): _*)
     val title = regexp_extract(col("__h"), "<title>([^<]*)</title>", 1)
-    staged.select(col(idCol),
-      when(length(title) > 0, title).as("title"),
+    staged.select(col(idCol) +: keep.map(col) :+
+      when(length(title) > 0, title).as("title") :+
       size(regexp_extract_all(col("__h"), lit("<a href="), lit(0)))
-        .cast("long").as("n_links"),
+        .cast("long").as("n_links") :+
       length(regexp_replace(col("__h"), "<[^>]*>", ""))
-        .cast("long").as("text_chars"))
+        .cast("long").as("text_chars"): _*)
   }
 }

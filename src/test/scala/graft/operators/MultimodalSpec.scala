@@ -519,6 +519,93 @@ class MultimodalSpec extends AnyFunSuite {
     assert(HttpCodec.parseResponseHead(Array[Byte](1, 2, 3)).isEmpty)
   }
 
+  test("charset resolution: declared, quoted, mixed-case, absent, unknown") {
+    import graft.operators.Multimodal.HttpCodec.resolveCharset
+    assert(resolveCharset(Some("text/html; charset=utf-8")) == "utf-8")
+    assert(resolveCharset(Some("text/html; charset=ISO-8859-1")) == "iso-8859-1")
+    assert(resolveCharset(Some("text/html; charset=\"Windows-1252\"")) == "windows-1252")
+    assert(resolveCharset(Some("text/html; boundary=x; charset=utf-8")) == "utf-8")
+    // absent / unknown / invalid declarations fall back to the
+    // windows-1252 legacy default — never throw
+    assert(resolveCharset(Some("text/html")) == "windows-1252")
+    assert(resolveCharset(Some("text/html; charset=not-a-charset")) == "windows-1252")
+    assert(resolveCharset(Some("text/html; charset=???")) == "windows-1252")
+    assert(resolveCharset(None) == "windows-1252")
+  }
+
+  test("charset decode: same bytes, different charsets, different text; U+FFFD on malformed") {
+    import graft.operators.Multimodal.HttpCodec.decodeBody
+    // 0x80 is € in windows-1252 but the C1 control U+0080 in
+    // iso-8859-1 and a malformed lead byte in utf-8 — the decode MUST
+    // depend on the charset
+    val b = Array[Byte](0x61, 0x80.toByte, 0x62)
+    assert(decodeBody(b, 0, "windows-1252") == "a€b")
+    assert(decodeBody(b, 0, "iso-8859-1") == "a\u0080b")
+    assert(decodeBody(b, 0, "utf-8") == "a�b")
+    // é: 0xE9 in both Latin charsets, two bytes in utf-8
+    assert(decodeBody(Array(0xe9.toByte), 0, "iso-8859-1") == "é")
+    assert(decodeBody("é".getBytes("UTF-8"), 0, "utf-8") == "é")
+    // offset slicing
+    assert(decodeBody("XXhéllo".getBytes("ISO-8859-1"), 2, "iso-8859-1") == "héllo")
+  }
+
+  test("warcHtmlText: non-UTF-8 pages decode per declared charset end to end") {
+    import spark.implicits._
+    import graft.operators.Multimodal
+    import graft.operators.Multimodal.WarcCodec
+    def page(ct: String, html: String, cs: String): Array[Byte] = {
+      val body = html.getBytes(cs)
+      (s"HTTP/1.1 200 OK\r\nContent-Type: $ct\r\n" +
+        s"Content-Length: ${body.length}\r\n\r\n").getBytes("US-ASCII") ++ body
+    }
+    val latin = page("text/html; charset=ISO-8859-1",
+      "<html><title>café</title>x</html>", "ISO-8859-1")
+    val cp1252 = page("text/html", // undeclared → windows-1252 default
+      "<html><title>€5 – oui</title>y</html>", "windows-1252")
+    val utf8 = page("text/html; charset=utf-8",
+      "<html><title>日本</title>z</html>", "UTF-8")
+    val json = page("application/json; charset=utf-8", "{}", "UTF-8")
+    val media = Seq(
+      (1L, WarcCodec.buildWarc(Seq(("response", "http://a/1", latin)))),
+      (2L, WarcCodec.buildWarc(Seq(("response", "http://a/2", cp1252)))),
+      (3L, WarcCodec.buildWarc(Seq(("response", "http://a/3", utf8),
+        ("response", "http://a/4", json))))).toDF("media_id", "content")
+    val out = Multimodal.warcHtmlText(media).collect()
+      .map(r => r.getLong(0) -> ((r.getString(3), r.getString(4)))).toMap
+    assert(out.size == 3) // the json response is not text/html
+    assert(out(1L) == (("iso-8859-1", "<html><title>café</title>x</html>")))
+    assert(out(2L) == (("windows-1252", "<html><title>€5 – oui</title>y</html>")))
+    assert(out(3L) == (("utf-8", "<html><title>日本</title>z</html>")))
+  }
+
+  test("tar/zip totality on crafted headers: huge octal size, ZIP64 sentinels") {
+    import graft.operators.Multimodal.{TarCodec, ZipCodec}
+    // a checksum-VALID ustar header declaring an 8 GiB member inside a
+    // 2-block archive: the Long walk must terminate cleanly (an Int
+    // skip wrapped negative here)
+    val tar = TarCodec.buildTar(Seq(("a.dat", Array[Byte](1))))
+    val huge = "77777777777".getBytes("US-ASCII") // 8^11-1 bytes, octal
+    System.arraycopy(huge, 0, tar, 124, huge.length)
+    tar(124 + huge.length) = 0
+    // re-checksum so the header is otherwise valid
+    var sum = 0L
+    for (i <- 0 until 512)
+      sum += (if (i >= 148 && i < 156) ' '.toInt else tar(i) & 0xff)
+    val cs = ("%06o".format(sum) + "\u0000 ").getBytes("US-ASCII")
+    System.arraycopy(cs, 0, tar, 148, 8)
+    val m = TarCodec.parseTar(tar)
+    assert(m.isEmpty || m.get.nEntries == 1) // terminates, never throws
+    // ZIP64 EOCD sentinels: report unparseable, not wrong counts
+    val zip = ZipCodec.buildZip(Seq(("a", Array[Byte](1, 2))))
+    val eocd = zip.length - 22
+    zip(eocd + 10) = 0xff.toByte; zip(eocd + 11) = 0xff.toByte
+    assert(ZipCodec.parseZip(zip).isEmpty)
+    val zip2 = ZipCodec.buildZip(Seq(("a", Array[Byte](1, 2))))
+    val e2 = zip2.length - 22
+    for (i <- 16 to 19) zip2(e2 + i) = 0xff.toByte
+    assert(ZipCodec.parseZip(zip2).isEmpty)
+  }
+
   test("gzip: RFC 1952 framing round-trip, JDK interop both directions, garbage") {
     import graft.operators.Multimodal.GzipCodec
     val data = Array.tabulate(37)(i => (i * 3).toByte)
