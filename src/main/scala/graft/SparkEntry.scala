@@ -2513,6 +2513,34 @@ object SparkEntry {
         col("html"), keep = Seq("status", "charset"))
     }),
 
+    // URL canonicalization — the page-identity layer between the fetch
+    // census (q370) and the corpus: scheme/host case, default ports,
+    // duplicate slashes, dot-segments, fragments, tracking params.
+    // Messy URLs synthesized in-plan from doc ids (every rule gets an
+    // arm); the oracle replays the IDENTICAL regex passes
+    "q373_url_canonicalize" -> ((s, d) => {
+      val docs = t(s, d, "documents").filter(col("doc_id") >= 0)
+      val u = messyUrl(col("doc_id"))
+      val host = graft.operators.UrlOps.urlHost(u)
+      docs.select(col("doc_id"),
+        graft.operators.UrlOps.canonicalizeUrl(u).as("canonical"),
+        host.as("host"),
+        graft.operators.UrlOps.registeredDomain(host).as("domain"))
+    }),
+
+    // Per-host/domain crawl rollup over the canonical identities:
+    // fetch-outcome classes + the dedup collapse canonicalization buys
+    // (n_urls vs distinct canonicals — the d%10<2 arm folds many raw
+    // URLs into ONE canonical once tracking params strip)
+    "q374_host_rollup" -> ((s, d) => {
+      val docs = t(s, d, "documents").filter(col("doc_id") >= 0)
+      val st = when(col("doc_id") % 5 === 0, 404)
+        .when(col("doc_id") % 7 === 0, 301).otherwise(200)
+      graft.operators.UrlOps.hostRollup(
+        docs.select(col("doc_id"), messyUrl(col("doc_id")).as("url"),
+          st.as("status")), "url", "status")
+    }),
+
     // WARC census probe: real ISO-28500 crawl-container records
     // (Content-Length-framed — payload bytes never inspected) — the
     // crawl-ingest planning row: record/type counts, payload bytes,
@@ -4560,6 +4588,101 @@ object SparkEntry {
     * watermark screen replay — FNV-64 parity of (prev ‖ 0x01 ‖ cur)
     * per adjacent token pair, single-IEEE-op green_frac/z outputs.
     */
+  /** Messy-URL fixture shared by q373/q374: every canonicalization
+    * rule gets a CASE arm, and the d%10<2 arm yields the SAME
+    * canonical for many docs (only the stripped utm_source varies) so
+    * the host rollup sees real dedup collapse.
+    */
+  private def messyUrl(d: Column): Column =
+    when(d % 10 < 2,
+      concat(lit("HTTP://WWW.Example.COM:80/dup/./x/../page?utm_source="), d))
+      .otherwise(concat(
+        when(d % 4 === 0, "http").when(d % 4 === 1, "HTTP")
+          .when(d % 4 === 2, "https").otherwise("HtTpS"),
+        lit("://"),
+        when(d % 3 === 0, lit("www.Example.COM"))
+          .when(d % 3 === 1, concat(lit("EX"), d % 5, lit(".org")))
+          .otherwise(concat(lit("Sub.Host"), d % 5, lit(".NET"))),
+        when(d % 6 === 0, ":80").when(d % 6 === 1, ":443")
+          .when(d % 6 === 2, ":8080").otherwise(""),
+        lit("/a//b/./"), d % 7, lit("/../page"), d % 11,
+        when(d % 2 === 0, concat(lit("?id="), d % 9,
+          lit("&utm_source=feed&q="), d % 13, lit("&fbclid=x")))
+          .otherwise(""),
+        when(d % 5 === 0, concat(lit("#frag"), d)).otherwise("")))
+
+  /** q373/q374 oracle scaffolding: the messy-URL synthesis plus the
+    * [[graft.operators.UrlOps]] canonicalization passes replayed
+    * verbatim in DuckDB ('g' = global, matching Spark's always-global
+    * regexp_replace; same leftmost-continue scan in RE2 and Java).
+    */
+  private def sqlRep(e: String, pat: String, to: String, times: Int): String =
+    (1 to times).foldLeft(e)((acc, _) =>
+      s"regexp_replace($acc, '$pat', '$to', 'g')")
+
+  private lazy val urlCanonCtes: String = {
+    val pathChain = {
+      val base = "(CASE WHEN pr = '' THEN '/' ELSE pr END)"
+      val collapsed = s"regexp_replace($base, '/+', '/', 'g')"
+      val noDot = "regexp_replace(" + sqlRep(collapsed, "/\\./", "/", 4) +
+        ", '/\\.$', '/', 'g')"
+      val seg = "([^/.][^/]*|\\.[^/.][^/]*|\\.\\.[^/]+)" // not '.' or '..'
+      val noDd = sqlRep(noDot, s"/$seg/\\.\\./", "/", 8)
+      val noDdTail = sqlRep(noDd, s"/$seg/\\.\\.$$", "/", 2)
+      "regexp_replace(" + sqlRep(noDdTail, "^/\\.\\./", "/", 4) +
+        ", '^/\\.\\.$', '/', 'g')"
+    }
+    """WITH u0 AS (SELECT doc_id,
+      |    CASE WHEN doc_id % 10 < 2 THEN
+      |      'HTTP://WWW.Example.COM:80/dup/./x/../page?utm_source=' || doc_id
+      |    ELSE
+      |      (CASE WHEN doc_id % 4 = 0 THEN 'http'
+      |            WHEN doc_id % 4 = 1 THEN 'HTTP'
+      |            WHEN doc_id % 4 = 2 THEN 'https' ELSE 'HtTpS' END)
+      |      || '://' ||
+      |      (CASE WHEN doc_id % 3 = 0 THEN 'www.Example.COM'
+      |            WHEN doc_id % 3 = 1 THEN 'EX' || (doc_id % 5) || '.org'
+      |            ELSE 'Sub.Host' || (doc_id % 5) || '.NET' END)
+      |      || (CASE WHEN doc_id % 6 = 0 THEN ':80'
+      |            WHEN doc_id % 6 = 1 THEN ':443'
+      |            WHEN doc_id % 6 = 2 THEN ':8080' ELSE '' END)
+      |      || '/a//b/./' || (doc_id % 7) || '/../page' || (doc_id % 11)
+      |      || (CASE WHEN doc_id % 2 = 0 THEN '?id=' || (doc_id % 9) ||
+      |            '&utm_source=feed&q=' || (doc_id % 13) || '&fbclid=x'
+      |            ELSE '' END)
+      |      || (CASE WHEN doc_id % 5 = 0 THEN '#frag' || doc_id ELSE '' END)
+      |    END AS url
+      |  FROM documents WHERE doc_id >= 0),
+      |p1 AS (SELECT doc_id, url,
+      |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS sch,
+      |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS hp,
+      |    regexp_extract(url,
+      |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS pr,
+      |    regexp_extract(url,
+      |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*[^?#]*\?([^#]*)', 1) AS qr
+      |  FROM u0),
+      |p2 AS (SELECT doc_id, sch,
+      |    lower(regexp_replace(hp, ':[0-9]*$', '', 'g')) AS host,
+      |    regexp_extract(hp, ':([0-9]+)$', 1) AS port,
+      |    """.stripMargin + pathChain + """ AS pth,
+      |    COALESCE(array_to_string(list_filter(string_split(qr, '&'),
+      |      x -> x <> '' AND NOT regexp_matches(x,
+      |        '^(utm_[^=&]*|gclid|fbclid|ref)(=|$)')), '&'), '') AS q
+      |  FROM p1),
+      |p3 AS (SELECT doc_id, host,
+      |    CASE WHEN regexp_extract(host, '([^.]+\.[^.]+)$', 1) = ''
+      |         THEN host
+      |         ELSE regexp_extract(host, '([^.]+\.[^.]+)$', 1) END AS domain,
+      |    CASE WHEN sch IN ('http', 'https') AND host <> '' THEN
+      |      sch || '://' || host ||
+      |      (CASE WHEN port = '' OR (sch = 'http' AND port = '80')
+      |            OR (sch = 'https' AND port = '443') THEN ''
+      |            ELSE ':' || port END)
+      |      || pth || (CASE WHEN q = '' THEN '' ELSE '?' || q END)
+      |    END AS canonical
+      |  FROM p2)""".stripMargin
+  }
+
   private lazy val watermarkOracleSql =
     s"""WITH tk AS (SELECT doc_id, $tokensSql AS toks FROM documents
        |  WHERE text IS NOT NULL),
@@ -7572,6 +7695,33 @@ object SparkEntry {
         |  CAST(length(regexp_replace(html, '<[^>]*>', '', 'g'))
         |    AS BIGINT) AS text_chars
         |FROM h""".stripMargin,
+
+    // URL-canonicalization replay: the same synthesis CASE arms and
+    // the same regex passes (urlCanonCtes = one source of truth)
+    "q373_url_canonicalize" -> (urlCanonCtes +
+      "\nSELECT doc_id, canonical, host, domain FROM p3"),
+
+    // Host-rollup replay: outcome classes over the same canonical
+    // identities; count(DISTINCT canonical) exposes the dedup collapse
+    "q374_host_rollup" -> (urlCanonCtes +
+      """
+        |, st AS (SELECT p3.*,
+        |    CASE WHEN doc_id % 5 = 0 THEN 404
+        |         WHEN doc_id % 7 = 0 THEN 301 ELSE 200 END AS status
+        |  FROM p3)
+        |SELECT domain, host,
+        |  count(*)::BIGINT AS n_urls,
+        |  count(DISTINCT canonical)::BIGINT AS n_canonical,
+        |  CAST(sum(CASE WHEN status BETWEEN 200 AND 299 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_ok,
+        |  CAST(sum(CASE WHEN status BETWEEN 300 AND 399 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_redirect,
+        |  CAST(sum(CASE WHEN status BETWEEN 400 AND 499 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_client_err,
+        |  CAST(sum(CASE WHEN status >= 500 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_server_err
+        |FROM st WHERE canonical IS NOT NULL
+        |GROUP BY 1, 2""".stripMargin),
 
     // WARC replay: synthesis arithmetic — n = d%3+1 alternating
     // records, payload i carries (d%6)+i+1 bytes

@@ -1,0 +1,137 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** URL canonicalization and per-host crawl rollups — the layer between
+  * the fetch-outcome census ([[Multimodal.warcHttpMeta]]) and the text
+  * corpus: two fetches of `HTTP://Ex.COM:80/a/./b/../c?id=1&utm_x=2#f`
+  * and `http://ex.com/a/c?id=1` are the same page, and every crawl
+  * dedup / politeness / rollup decision needs them to compare equal.
+  *
+  * Everything here is a pure Column program over RE2-safe regexes (no
+  * lookaround, no backreferences) so a DuckDB oracle replays the
+  * IDENTICAL passes — the repo's htmlExtract/BpeishPattern stance —
+  * and whole-stage codegen keeps it a narrow zero-shuffle map.
+  *
+  * Normalization rules (documented choices):
+  *  - scheme + host lowercased; only absolute http/https URLs
+  *    canonicalize (anything else → null);
+  *  - default ports dropped (http:80, https:443), explicit non-default
+  *    ports kept;
+  *  - fragment dropped;
+  *  - duplicate slashes collapsed, then RFC 3986 dot-segment removal
+  *    via fixed regex passes (depth ≤ 8 `..` nesting — beyond that
+  *    both engines stop at the same fixpoint, so exactness holds);
+  *  - tracking params stripped (utm_*, gclid, fbclid, ref), remaining
+  *    params kept IN ORIGINAL ORDER (no resort — a documented
+  *    conservative choice: resorting merges more but can conflate
+  *    order-sensitive endpoints);
+  *  - empty path → "/"; percent-encoding left untouched (normalizing
+  *    it safely needs a decode table, out of regex reach).
+  */
+object UrlOps {
+
+  private def rep(c: Column, pat: String, to: String, times: Int): Column =
+    (1 to times).foldLeft(c)((acc, _) => regexp_replace(acc, pat, to))
+
+  private val SchemePat = "^([A-Za-z][A-Za-z0-9+.-]*)://"
+
+  def urlScheme(u: Column): Column =
+    lower(regexp_extract(u, SchemePat, 1))
+
+  private def hostPort(u: Column): Column =
+    regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+
+  def urlHost(u: Column): Column =
+    lower(regexp_replace(hostPort(u), ":[0-9]*$", ""))
+
+  def urlPort(u: Column): Column =
+    regexp_extract(hostPort(u), ":([0-9]+)$", 1)
+
+  def urlPathRaw(u: Column): Column =
+    regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+
+  def urlQueryRaw(u: Column): Column =
+    regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*[^?#]*\\?([^#]*)", 1)
+
+  /** A path segment that is NOT `.` or `..` — RE2-safe (no lookahead):
+    * starts with a non-dot, or is a dot followed by a non-dot, or is
+    * two dots followed by more. `..`-popping must never treat a `..`
+    * as the popped segment (`/../../x` would lose pops).
+    */
+  private val Seg = "([^/.][^/]*|\\.[^/.][^/]*|\\.\\.[^/]+)"
+
+  /** Collapse duplicate slashes, then remove `.` and `..` segments with
+    * fixed global-replace passes (both engines scan leftmost, continue
+    * after each match — identical fixpoints; adversarial all-`..`
+    * chains pop one level per pass, so nesting depth ≤ 8 resolves
+    * fully and deeper chains stop at the same point in both engines).
+    */
+  def normalizePath(p: Column): Column = {
+    val base = when(p === "", lit("/")).otherwise(p)
+    val collapsed = regexp_replace(base, "/+", "/")
+    val noDot = regexp_replace(rep(collapsed, "/\\./", "/", 4), "/\\.$", "/")
+    val noDd = rep(noDot, s"/$Seg/\\.\\./", "/", 8)
+    val noDdTail = rep(noDd, s"/$Seg/\\.\\.$$", "/", 2)
+    regexp_replace(rep(noDdTail, "^/\\.\\./", "/", 4), "^/\\.\\.$", "/")
+  }
+
+  /** Drop tracking params (utm_*, gclid, fbclid, ref) and empty pairs;
+    * keep the rest in original order.
+    */
+  def stripTracking(q: Column): Column =
+    array_join(filter(split(q, "&"), x =>
+      x =!= "" && !x.rlike("^(utm_[^=&]*|gclid|fbclid|ref)(=|$)")), "&")
+
+  /** Canonical form of an absolute http/https URL; null for anything
+    * else (relative refs, other schemes, empty host).
+    */
+  def canonicalizeUrl(u: Column): Column = {
+    val sch = urlScheme(u)
+    val h = urlHost(u)
+    val p = urlPort(u)
+    val portPart = when(p === "" ||
+        (sch === "http" && p === "80") ||
+        (sch === "https" && p === "443"), lit(""))
+      .otherwise(concat(lit(":"), p))
+    val q = stripTracking(urlQueryRaw(u))
+    val qPart = when(q === "", lit("")).otherwise(concat(lit("?"), q))
+    when(sch.isin("http", "https") && h =!= "",
+      concat(sch, lit("://"), h, portPart, normalizePath(urlPathRaw(u)), qPart))
+  }
+
+  /** Last-two-labels registered domain — a deliberate heuristic (a real
+    * public-suffix list is data, not code; co.uk-style suffixes roll up
+    * one label short). Single-label hosts map to themselves.
+    */
+  def registeredDomain(host: Column): Column = {
+    val d = regexp_extract(host, "([^.]+\\.[^.]+)$", 1)
+    when(d === "", host).otherwise(d)
+  }
+
+  /** Per-(domain, host) crawl rollup over raw fetched URLs: fetch
+    * counts by outcome class plus the dedup collapse the canonicalizer
+    * buys (n_urls vs distinct canonical forms). One hash-partial +
+    * final aggregation pair keyed by (domain, host, canonical) then
+    * (domain, host) — Spark plans count(DISTINCT) exactly that way, so
+    * a hot host skews one partition at worst and AQE splits it. Rows
+    * that do not canonicalize (non-http, relative) are excluded — they
+    * are not fetchable page identities.
+    */
+  def hostRollup(df: DataFrame, urlCol: String, statusCol: String): DataFrame = {
+    val u = col(urlCol)
+    val canon = canonicalizeUrl(u)
+    df.filter(canon.isNotNull)
+      .select(urlHost(u).as("host"), canon.as("canonical"),
+        col(statusCol).as("__st"))
+      .withColumn("domain", registeredDomain(col("host")))
+      .groupBy(col("domain"), col("host"))
+      .agg(count(lit(1)).as("n_urls"),
+        countDistinct(col("canonical")).as("n_canonical"),
+        sum(when(col("__st").between(200, 299), 1L).otherwise(0L)).as("n_ok"),
+        sum(when(col("__st").between(300, 399), 1L).otherwise(0L)).as("n_redirect"),
+        sum(when(col("__st").between(400, 499), 1L).otherwise(0L)).as("n_client_err"),
+        sum(when(col("__st") >= 500, 1L).otherwise(0L)).as("n_server_err"))
+  }
+}
