@@ -88,7 +88,15 @@ object Bench {
     // matryoshka census
     "q353_watermark_screen",
     "q354_range_shard_plan",
-    "q356_matryoshka_census")
+    "q356_matryoshka_census",
+    // round 11: the crawl stack closed end to end — WARC bytes →
+    // charset decode → html extraction (narrow mapPartitions + regex
+    // scan), the URL canonicalize + host rollup (regex column program
+    // + one grouped count-distinct), and the min-match-length span
+    // dedup (q111's shuffle + an islands window on the slim dup frame)
+    "q372_warc_to_text",
+    "q374_host_rollup",
+    "q375_span_dedup_minlen")
 
   private def runOnce(name: String, spark: SparkSession, sfDir: String): Unit =
     SparkEntry.queries(name)(spark, sfDir)
@@ -154,7 +162,11 @@ object Bench {
     // that an idle-host rerun (loadavg 0.6) showed were not real. If the
     // host is still busy after warmup (other gate stages draining), wait
     // — bounded at 120 s so a genuinely-loaded host still gets a record.
-    val quietBar = math.max(4.0, cpus / 8.0)
+    // Round-11 tightening (r10 verdict #4): r10's artifact started at
+    // loadavg 2.59 — UNDER the old bar of 4.0 — and still drifted
+    // q21/q15/etl 1.4-1.9x, so the bar drops to 2.0 at 32 cpus; the
+    // 120 s bound keeps a genuinely-busy host recordable.
+    val quietBar = math.max(2.0, cpus / 16.0)
     val waitedSec = {
       var waited = 0
       while (loadAvg() > quietBar && waited < 120) {

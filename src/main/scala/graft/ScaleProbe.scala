@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.functions.col
+
+/** Dev tool: single-shot scale probe for a handful of lanes at a big
+  * GenScale SF (the r10-verdict #5 sf100 session) — one idle-gated
+  * timed run per lane with per-run task telemetry, warmed at a SMALL
+  * SF so JIT/codegen is paid without running the big SF twice (at
+  * sf100 a warmup pass would double a multi-hour session; the JIT cost
+  * it hides is seconds).
+  *
+  * Served lanes (index built once OUTSIDE the timed window — the Bench
+  * servedEntry shape) are special-cased by name; everything else is a
+  * SparkEntry.queries lane.
+  *
+  * Usage: runMain graft.ScaleProbe <sfDir> <warmSfDir> <lane> [...]
+  */
+object ScaleProbe {
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 3, "usage: ScaleProbe <sfDir> <warmSfDir> <lane>...")
+    val sfDir = args(0); val warmDir = args(1); val lanes = args.drop(2)
+    val cpus = sys.env.get("SPARK_GRAFT_CPUS")
+      .flatMap(_.toIntOption).getOrElse(32)
+    val spark = GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    GraftSession.tune(spark)
+    val listener = new TaskMetricsListener
+    spark.sparkContext.addSparkListener(listener)
+    def loadAvg(): Double =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    val maxWait = sys.env.get("SPARK_GRAFT_IDLE_WAIT")
+      .flatMap(_.toIntOption).getOrElse(300)
+    var waited = 0
+    while (loadAvg() > 2.0 && waited < maxWait) { Thread.sleep(5000); waited += 5 }
+    val loadStart = loadAvg()
+    System.err.println(f"[probe] loadavg=$loadStart%.2f idle_wait=${waited}s sf=$sfDir")
+
+    val tmp = sys.props("java.io.tmpdir")
+    val runTag = spark.sparkContext.applicationId.replace("-", "_")
+
+    /** (build at probe SF — untimed, warm query at warm SF, timed query
+      * at probe SF). Plain lanes have identity build and the queries()
+      * lane for both warm and timed.
+      */
+    def lane(name: String): (() => Unit, String => org.apache.spark.sql.DataFrame) =
+      name match {
+        case "q260_decontam_served" =>
+          val path = s"$tmp/graft_probe_decon_$runTag"
+          (() => graft.operators.Similarity.writeLshIndex(
+            Tables.embeddings(spark, sfDir).filter(col("vec_id") % 97 =!= 0),
+            path),
+            d => {
+              // warm pass probes the big index too (index is the build
+              // product; the warm run still pays the small-plan JIT)
+              graft.operators.TrainingData.decontaminateSemanticServed(
+                Tables.embeddings(spark, d).filter(col("vec_id") % 97 === 0),
+                path, threshold = 0.3)
+            })
+        case "q351_bucketed_served" =>
+          val lt = s"probe_b_lineitem_$runTag"; val ot = s"probe_b_orders_$runTag"
+          (() => {
+            spark.sql(s"DROP TABLE IF EXISTS $lt")
+            spark.sql(s"DROP TABLE IF EXISTS $ot")
+            Tables.lineitem(spark, sfDir).write.mode("overwrite")
+              .bucketBy(16, "l_orderkey").sortBy("l_orderkey").saveAsTable(lt)
+            Tables.orders(spark, sfDir).write.mode("overwrite")
+              .bucketBy(16, "o_orderkey").sortBy("o_orderkey").saveAsTable(ot)
+          },
+            _ => {
+              import org.apache.spark.sql.functions.{count, lit, sum}
+              spark.table(lt).hint("merge")
+                .join(spark.table(ot), col("l_orderkey") === col("o_orderkey"))
+                .groupBy(col("o_orderstatus"))
+                .agg(count(lit(1)).as("n_items"),
+                  sum(col("l_quantity").cast("decimal(18,2)"))
+                    .cast("decimal(38,2)").cast("string").as("total_qty"))
+            })
+        case q =>
+          (() => (), d => SparkEntry.queries(q)(spark, d))
+      }
+
+    def num(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val times = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val tele = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
+    lanes.foreach { name =>
+      val (build, query) = lane(name)
+      try {
+        build()
+        if (name != "q351_bucketed_served") // bucketed warm tables ARE the probe tables
+          query(warmDir).write.format("noop").mode("overwrite").save()
+        listener.reset()
+        val t0 = System.nanoTime()
+        query(sfDir).write.format("noop").mode("overwrite").save()
+        val sec = (System.nanoTime() - t0) / 1e9
+        times(name) = sec
+        tele(name) = TaskMetricsListener.toUnits(listener.snapshot())
+        System.err.println(f"[probe] $name ${sec}%.1fs " +
+          TaskMetricsListener.keys.zip(tele(name))
+            .map { case (k, v) => s"$k=${num(v)}" }.mkString(" "))
+      } catch { case e: Throwable =>
+        times(name) = -1.0
+        System.err.println(s"[probe] $name FAILED: ${e.getMessage}")
+      }
+    }
+    val qs = times.map { case (k, v) => "\"" + k + "\":" + num(v) }
+      .mkString("{", ",", "}")
+    val teleJson = tele.map { case (k, u) =>
+      "\"" + k + "\":" + TaskMetricsListener.keys.zip(u)
+        .map { case (tk, tv) => "\"" + tk + "\":" + num(tv) }
+        .mkString("{", ",", "}")
+    }.mkString("{", ",", "}")
+    val env = s"""{"loadavg_start":${num(loadStart)},"loadavg_end":${num(loadAvg())},"cpus":$cpus,"stat":"single_run_warm_small_sf","idle_gate_wait_sec":$waited}"""
+    val line = s"""{"metric":"scale_probe","unit":"sec","queries":$qs,"telemetry":$teleJson,"env":$env,"sf":"$sfDir"}"""
+    println(line)
+    System.out.flush()
+    spark.stop()
+    println(line)
+    System.out.flush()
+  }
+}

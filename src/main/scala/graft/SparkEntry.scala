@@ -2541,6 +2541,45 @@ object SparkEntry {
           st.as("status")), "url", "status")
     }),
 
+    // STREAMING crawl ingest: the q368 WARC census probe run unchanged
+    // inside a file-stream ingest (per-batch append, probe columns
+    // only — payload bytes never persist past the scan) — stream ==
+    // batch checked by sharing q368's oracle
+    "q376_stream_warc_census" -> ((s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val tmp = sys.props("java.io.tmpdir")
+      val runTag = s.sparkContext.applicationId
+      val outPath = s"$tmp/graft_q376_out_$runTag"
+      val ckpt = s"$tmp/graft_q376_ckpt_$runTag"
+      def rmrf(p: java.io.File): Unit = {
+        if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rmrf))
+        p.delete(): Unit
+      }
+      Seq(outPath, ckpt).foreach(p => rmrf(new java.io.File(p)))
+      val raw = Tables.documents(s, d)
+      val stream = streamSource(s, d, "documents", raw.schema)
+      val census = graft.operators.Multimodal.warcMeta(
+        graft.operators.Multimodal.syntheticWarcFromDocs(stream))
+      val q = graft.streaming.StreamingOps.appendPerBatch(census, outPath)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(outPath)
+    }),
+
+    // q111 with Lee et al.'s minimum-match-length knob: adjacent
+    // duplicated 8-gram positions coalesce into regions and only
+    // regions >= 30 tokens excise — isolated short repeats survive
+    // (at sf0.01 island lengths span 11..93, so 8-gram and 30-token
+    // thresholds genuinely disagree)
+    "q375_span_dedup_minlen" -> ((s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"),
+        graft.functions.TextFunctions.tokens(col("text")).as("__toks"))
+      graft.operators.Dedup.spanDedup(docs, "doc_id", col("__toks"),
+        spanLen = 8, minMatchLen = 30)
+    }),
+
     // WARC census probe: real ISO-28500 crawl-container records
     // (Content-Length-framed — payload bytes never inspected) — the
     // crawl-ingest planning row: record/type counts, payload bytes,
@@ -4683,6 +4722,21 @@ object SparkEntry {
       |  FROM p2)""".stripMargin
   }
 
+  /** q368/q376 shared oracle: the WARC synthesis arithmetic — n =
+    * d%3+1 alternating response/request records, payload i carries
+    * (d%6)+i+1 bytes, record 0 targets /d/<id>/0.
+    */
+  private lazy val warcCensusOracleSql =
+    """SELECT doc_id AS media_id,
+      |  CAST(doc_id % 3 + 1 AS INT) AS n_records,
+      |  CAST((doc_id % 3 + 2) // 2 AS INT) AS n_response,
+      |  CAST((doc_id % 3 + 1) // 2 AS INT) AS n_request,
+      |  CAST((doc_id % 3 + 1) * (doc_id % 6 + 1)
+      |    + (doc_id % 3 + 1) * (doc_id % 3) // 2 AS BIGINT)
+      |    AS total_payload,
+      |  'http://ex.org/d/' || doc_id || '/0' AS first_uri
+      |FROM documents WHERE doc_id >= 0""".stripMargin
+
   private lazy val watermarkOracleSql =
     s"""WITH tk AS (SELECT doc_id, $tokensSql AS toks FROM documents
        |  WHERE text IS NOT NULL),
@@ -6358,6 +6412,46 @@ object SparkEntry {
          |  coalesce(reb.text_dedup, '') AS text_dedup
          |FROM sp LEFT JOIN reb ON reb.doc_id = sp.doc_id""".stripMargin,
 
+    // q111's replay + the island merge: coalesce dup positions whose
+    // covered intervals overlap/abut (pos diff <= 8), keep regions of
+    // >= 30 tokens, excise those only
+    "q375_span_dedup_minlen" ->
+      s"""WITH tk AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+         |sp AS (SELECT doc_id, toks, len(toks)::BIGINT AS n_tokens FROM tk),
+         |g AS (SELECT doc_id, unnest(generate_series(0, len(toks) - 8)) AS pos, toks
+         |  FROM sp WHERE len(toks) >= 8),
+         |g2 AS (SELECT doc_id, pos, array_to_string(toks[pos + 1 : pos + 8], ' ') AS gram FROM g),
+         |win AS (SELECT gram, doc_id AS wid, pos AS wpos FROM (
+         |    SELECT gram, doc_id, pos,
+         |      row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+         |    FROM g2) WHERE rn = 1),
+         |dup AS (SELECT g2.doc_id, g2.pos FROM g2 JOIN win USING (gram)
+         |  WHERE g2.doc_id <> win.wid OR g2.pos <> win.wpos),
+         |runs AS (SELECT doc_id, pos,
+         |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8
+         |         THEN 0 ELSE 1 END AS brk
+         |  FROM dup),
+         |isl AS (SELECT doc_id, pos,
+         |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+         |  FROM runs),
+         |iv AS (SELECT doc_id, island, min(pos) AS s, max(pos) + 7 AS e
+         |  FROM isl GROUP BY 1, 2),
+         |cov AS (SELECT doc_id, unnest(generate_series(s, e)) AS tpos
+         |  FROM iv WHERE e - s + 1 >= 30),
+         |tp AS (SELECT doc_id, unnest(toks) AS tok,
+         |    unnest(generate_series(0, len(toks) - 1)) AS tpos FROM sp),
+         |kept AS (SELECT tp.doc_id, tp.tpos, tp.tok FROM tp
+         |  WHERE NOT EXISTS (SELECT 1 FROM cov
+         |    WHERE cov.doc_id = tp.doc_id AND cov.tpos = tp.tpos)),
+         |reb AS (SELECT doc_id, count(*)::BIGINT AS n_kept,
+         |    string_agg(tok, ' ' ORDER BY tpos) AS text_dedup
+         |  FROM kept GROUP BY doc_id)
+         |SELECT sp.doc_id AS id, sp.n_tokens,
+         |  coalesce(reb.n_kept, 0)::BIGINT AS n_kept,
+         |  (sp.n_tokens - coalesce(reb.n_kept, 0))::BIGINT AS n_removed,
+         |  coalesce(reb.text_dedup, '') AS text_dedup
+         |FROM sp LEFT JOIN reb ON reb.doc_id = sp.doc_id""".stripMargin,
+
     "q92_decontam" -> decontamOracleSql,
 
     // identical semantics to q92 by construction (Bloom prune + exact
@@ -7725,16 +7819,11 @@ object SparkEntry {
 
     // WARC replay: synthesis arithmetic — n = d%3+1 alternating
     // records, payload i carries (d%6)+i+1 bytes
-    "q368_warc_meta" ->
-      """SELECT doc_id AS media_id,
-        |  CAST(doc_id % 3 + 1 AS INT) AS n_records,
-        |  CAST((doc_id % 3 + 2) // 2 AS INT) AS n_response,
-        |  CAST((doc_id % 3 + 1) // 2 AS INT) AS n_request,
-        |  CAST((doc_id % 3 + 1) * (doc_id % 6 + 1)
-        |    + (doc_id % 3 + 1) * (doc_id % 3) // 2 AS BIGINT)
-        |    AS total_payload,
-        |  'http://ex.org/d/' || doc_id || '/0' AS first_uri
-        |FROM documents WHERE doc_id >= 0""".stripMargin,
+    "q368_warc_meta" -> warcCensusOracleSql,
+
+    // streaming ingest == batch probe: one code path, same oracle (the
+    // q353/q357 shared-oracle convention)
+    "q376_stream_warc_census" -> warcCensusOracleSql,
 
     // gzip replay: framing arithmetic — 10-byte header + (5+len(id))+1
     // name + 5-byte stored-block framing + n payload + 8 trailer

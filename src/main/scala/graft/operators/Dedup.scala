@@ -822,7 +822,7 @@ object Dedup {
     */
   def spanDedup(df: DataFrame, idCol: String, toksCol: Column,
       spanLen: Int = 8, hotGramCap: Int = 4096,
-      hotSampleRate: Int = 64): DataFrame = {
+      hotSampleRate: Int = 64, minMatchLen: Int = 0): DataFrame = {
     require(spanLen >= 2, s"spanLen must be >= 2, got $spanLen")
     require(hotGramCap >= 1, s"hotGramCap must be >= 1, got $hotGramCap")
     require(hotSampleRate >= 1, s"hotSampleRate must be >= 1, got $hotSampleRate")
@@ -888,10 +888,36 @@ object Dedup {
       .filter(col("__rn") > 1)
       .select(col("id"), col("pos"))
     val dups = coldDups.unionByName(hotDups)
-    val covered = dups
-      .select(col("id"),
-        explode(sequence(col("pos"), col("pos") + (spanLen - 1))).as("tpos"))
-      .distinct()
+    // minMatchLen (Lee et al.'s ">= 50 tokens" knob): duplicated gram
+    // positions whose covered token intervals overlap or abut coalesce
+    // into one region ([first, last + spanLen - 1]); only regions of
+    // >= minMatchLen tokens are excised, so isolated short repeats
+    // survive. minMatchLen <= spanLen (the 0 default) keeps the
+    // original every-dup-gram behavior AND plan (no extra window).
+    // Regions are per-doc islands over the slim dup frame — a (doc)-
+    // partitioned window + tiny agg, nothing corpus-sized.
+    val covered =
+      if (minMatchLen <= spanLen) {
+        dups
+          .select(col("id"),
+            explode(sequence(col("pos"), col("pos") + (spanLen - 1))).as("tpos"))
+          .distinct()
+      } else {
+        val byPos = Window.partitionBy(col("id")).orderBy(col("pos"))
+        dups
+          .withColumn("__brk",
+            when(col("pos") - lag(col("pos"), 1).over(byPos) <= spanLen, 0)
+              .otherwise(1))
+          .withColumn("__isl", sum(col("__brk")).over(byPos))
+          .groupBy(col("id"), col("__isl"))
+          .agg(min(col("pos")).as("__s"),
+            (max(col("pos")) + (spanLen - 1)).as("__e"))
+          .filter(col("__e") - col("__s") + 1 >= minMatchLen)
+          // islands are disjoint and non-abutting by construction — the
+          // exploded positions are already distinct
+          .select(col("id"),
+            explode(sequence(col("__s"), col("__e"))).as("tpos"))
+      }
     val kept = spine
       .select(col("id"), posexplode(col("__toks")).as(Seq("tpos", "tok")))
       .join(covered, Seq("id", "tpos"), "left_anti")

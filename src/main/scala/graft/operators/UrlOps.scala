@@ -14,6 +14,14 @@ import org.apache.spark.sql.functions._
   * IDENTICAL passes — the repo's htmlExtract/BpeishPattern stance —
   * and whole-stage codegen keeps it a narrow zero-shuffle map.
   *
+  * Relation to [[QualityRules.canonicalizeUrl]] (q282): that one is the
+  * cheap frontier-dedup KEY (whole-authority lowercase, param resort,
+  * trailing-slash strip — aggressive merging, not a valid URL). This is
+  * the RFC-grade page IDENTITY: the output is itself a fetchable URL
+  * (dot-segments resolved, default ports dropped, param order kept),
+  * the form host rollups, politeness budgets, and recrawl planning key
+  * on. Both stay: frontier keys want recall, identities want precision.
+  *
   * Normalization rules (documented choices):
   *  - scheme + host lowercased; only absolute http/https URLs
   *    canonicalize (anything else → null);

@@ -185,6 +185,56 @@ class DedupSpec extends AnyFunSuite {
     assert(out(4L) == ((3L, 3L, 0L, "zeta eta theta")))
   }
 
+  test("spanDedup minMatchLen: short repeats survive where the 8-gram rule excises") {
+    // doc 1 holds the winner copies; doc 2 repeats a 40-token region
+    // (one island, length 40) and a 10-token region (island length 10)
+    val longDup = (1 to 40).map(i => s"l$i")
+    val shortDup = (1 to 10).map(i => s"s$i")
+    val docs = Seq(
+      (1L, longDup ++ Seq("alpha", "beta") ++ shortDup),
+      (2L, Seq("pre", "amble") ++ longDup ++ Seq("middle") ++ shortDup ++ Seq("post")))
+      .toDF("doc_id", "toks")
+    def run(minLen: Int) =
+      Dedup.spanDedup(docs, "doc_id", col("toks"), spanLen = 8,
+        minMatchLen = minLen)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(3), r.getString(4)))).toMap
+    // plain 8-gram rule (default): BOTH regions excise from doc 2
+    val base = run(0)
+    assert(base(1L)._1 == 0L)
+    assert(base(2L) == ((50L,
+      (Seq("pre", "amble", "middle") :+ "post").mkString(" "))))
+    // Lee-style 30-token floor: the 10-token island survives, the
+    // 40-token island still excises — the thresholds disagree
+    val strict = run(30)
+    assert(strict(1L)._1 == 0L)
+    assert(strict(2L) == ((40L,
+      (Seq("pre", "amble", "middle") ++ shortDup :+ "post").mkString(" "))))
+    // a floor above every island length removes nothing
+    val all = run(100)
+    assert(all(2L)._1 == 0L)
+  }
+
+  test("spanDedup minMatchLen: abutting dup grams merge into one region; gaps split") {
+    // docs 2 and 3 repeat the same two 12-token blocks from doc 1; in
+    // doc 2 a fresh token separates them (two 12-islands — the last
+    // a-gram and first b-gram sit 9 apart, > spanLen, so coverage has
+    // a hole), in doc 3 they are contiguous (coverage abuts at exactly
+    // spanLen → ONE merged 24-island)
+    val a = (1 to 12).map(i => s"a$i"); val b = (1 to 12).map(i => s"b$i")
+    val docs = Seq(
+      (1L, a ++ Seq("x") ++ b),
+      (2L, Seq("p") ++ a ++ Seq("q") ++ b ++ Seq("r")),
+      (3L, Seq("u") ++ a ++ b ++ Seq("v")))
+      .toDF("doc_id", "toks")
+    val out = Dedup.spanDedup(docs, "doc_id", col("toks"), spanLen = 8,
+      minMatchLen = 20)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(out(1L) == 0L) // winner copies all live in doc 1
+    assert(out(2L) == 0L) // two 12-islands, both under the 20 floor
+    assert(out(3L) == 24L) // one merged 24-island >= 20 → excised
+  }
+
   test("spanDedup: hot-gram cap routes boilerplate around the window, output bit-identical") {
     // 30 docs all sharing one 8-token boilerplate span (gram count 30,
     // far over cap=3) plus a lightly-duplicated cold span (count 2) and
