@@ -2568,6 +2568,38 @@ object SparkEntry {
       s.read.parquet(outPath)
     }),
 
+    // robots.txt rules + frontier gate — the crawl-acquisition
+    // politeness layer on top of q373's identities: per-host robots
+    // bodies (comments, shared user-agent groups, crawl-delay noise,
+    // the empty-Disallow idiom) parsed for agent "graftbot"; exact-
+    // agent groups shadow the * groups (RFC 9309 group selection);
+    // longest-match wins, allow beats disallow on ties, no match →
+    // allowed
+    "q377_robots_gate" -> ((s, d) => {
+      val docs = t(s, d, "documents").filter(col("doc_id") >= 0)
+      val hk = docs.select((col("doc_id") % 5).as("hk")).distinct()
+      val robots = hk.select(
+        concat(lit("h"), col("hk"), lit(".test")).as("host"),
+        concat(lit("# rules for host "), col("hk"), lit("\n"),
+          when(col("hk") % 2 === 0, lit(
+            "User-agent: GraftBot\nDisallow: /private\nAllow: /private/public\n"))
+            .otherwise(lit("")),
+          lit("User-agent: *\nUser-agent: legacybot\nDisallow: /tmp\n"),
+          lit("Crawl-delay: "), col("hk"), lit("\n"),
+          when(col("hk") === 3, lit("Disallow:\n")).otherwise(lit("")))
+          .as("robots_txt"))
+      val rules = graft.operators.UrlOps.robotsRules(
+        robots, "host", "robots_txt", "graftbot")
+      val dd = col("doc_id")
+      val path = when(dd % 4 === 0, concat(lit("/private/doc"), dd % 3))
+        .when(dd % 4 === 1, concat(lit("/private/public/rep"), dd % 3))
+        .when(dd % 4 === 2, concat(lit("/tmp/cache"), dd % 3))
+        .otherwise(concat(lit("/pages/"), dd % 7))
+      val frontier = docs.select(dd,
+        concat(lit("http://h"), dd % 5, lit(".test"), path).as("url"))
+      graft.operators.UrlOps.robotsGate(frontier, "doc_id", "url", rules)
+    }),
+
     // q111 with Lee et al.'s minimum-match-length knob: adjacent
     // duplicated 8-gram positions coalesce into regions and only
     // regions >= 30 tokens excise — isolated short repeats survive
@@ -7816,6 +7848,70 @@ object SparkEntry {
         |    AS BIGINT) AS n_server_err
         |FROM st WHERE canonical IS NOT NULL
         |GROUP BY 1, 2""".stripMargin),
+
+    // robots replay: the same line parse (comment strip, field:value,
+    // shared-UA grouping via the lag window), RFC group selection
+    // (exact agent shadows *), and longest-match/allow-wins gate
+    "q377_robots_gate" ->
+      """WITH hk AS (SELECT DISTINCT doc_id % 5 AS hk FROM documents
+        |  WHERE doc_id >= 0),
+        |rb AS (SELECT 'h' || hk || '.test' AS host,
+        |    '# rules for host ' || hk || chr(10) ||
+        |    (CASE WHEN hk % 2 = 0 THEN 'User-agent: GraftBot' || chr(10) ||
+        |      'Disallow: /private' || chr(10) ||
+        |      'Allow: /private/public' || chr(10) ELSE '' END) ||
+        |    'User-agent: *' || chr(10) || 'User-agent: legacybot' || chr(10) ||
+        |    'Disallow: /tmp' || chr(10) ||
+        |    'Crawl-delay: ' || hk || chr(10) ||
+        |    (CASE WHEN hk = 3 THEN 'Disallow:' || chr(10) ELSE '' END) AS txt
+        |  FROM hk),
+        |ln AS (SELECT host, ln, trim(regexp_replace(raw, '#.*$', '', 'g')) AS line
+        |  FROM (SELECT host, unnest(string_split(txt, chr(10))) AS raw,
+        |      unnest(generate_series(1, len(string_split(txt, chr(10))))) AS ln
+        |    FROM rb)),
+        |fd AS (SELECT host, ln,
+        |    lower(trim(regexp_extract(line, '^([A-Za-z-]+)\s*:', 1))) AS field,
+        |    trim(regexp_extract(line, '^[A-Za-z-]+\s*:(.*)$', 1)) AS value
+        |  FROM ln),
+        |bk AS (SELECT host, ln, field, value,
+        |    CASE WHEN field = 'user-agent' AND
+        |      coalesce(lag(field) OVER (PARTITION BY host ORDER BY ln), '')
+        |        <> 'user-agent' THEN 1 ELSE 0 END AS brk
+        |  FROM fd),
+        |gp AS (SELECT host, ln, field, value,
+        |    sum(brk) OVER (PARTITION BY host ORDER BY ln) AS grp
+        |  FROM bk),
+        |ua AS (SELECT host, grp,
+        |    min(CASE WHEN lower(value) = 'graftbot' THEN 1 ELSE 2 END) AS pref
+        |  FROM gp WHERE field = 'user-agent'
+        |    AND (lower(value) = 'graftbot' OR value = '*')
+        |  GROUP BY 1, 2),
+        |bp AS (SELECT host, min(pref) AS pref FROM ua GROUP BY 1),
+        |rl AS (SELECT gp.host, gp.value AS rule_path,
+        |    gp.field = 'allow' AS is_allow
+        |  FROM gp
+        |  JOIN ua ON gp.host = ua.host AND gp.grp = ua.grp
+        |  JOIN bp ON ua.host = bp.host AND ua.pref = bp.pref
+        |  WHERE gp.field IN ('allow', 'disallow') AND gp.value <> ''),
+        |fr AS (SELECT doc_id, 'h' || (doc_id % 5) || '.test' AS host,
+        |    CASE WHEN doc_id % 4 = 0 THEN '/private/doc' || (doc_id % 3)
+        |         WHEN doc_id % 4 = 1 THEN '/private/public/rep' || (doc_id % 3)
+        |         WHEN doc_id % 4 = 2 THEN '/tmp/cache' || (doc_id % 3)
+        |         ELSE '/pages/' || (doc_id % 7) END AS path
+        |  FROM documents WHERE doc_id >= 0),
+        |j AS (SELECT fr.doc_id, 'http://' || fr.host || fr.path AS url,
+        |    fr.host, fr.path, rl.rule_path, rl.is_allow,
+        |    (rl.rule_path IS NOT NULL
+        |      AND starts_with(fr.path, rl.rule_path)) AS m
+        |  FROM fr LEFT JOIN rl ON fr.host = rl.host),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY m DESC, coalesce(length(rule_path), -1) DESC,
+        |      is_allow DESC, rule_path) AS rn
+        |  FROM j)
+        |SELECT doc_id, url, host, path,
+        |  CASE WHEN m THEN is_allow ELSE TRUE END AS allowed,
+        |  CASE WHEN m THEN rule_path END AS matched_rule
+        |FROM rk WHERE rn = 1""".stripMargin,
 
     // WARC replay: synthesis arithmetic — n = d%3+1 alternating
     // records, payload i carries (d%6)+i+1 bytes

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** URL canonicalization and per-host crawl rollups — the layer between
@@ -116,6 +117,85 @@ object UrlOps {
   def registeredDomain(host: Column): Column = {
     val d = regexp_extract(host, "([^.]+\\.[^.]+)$", 1)
     when(d === "", host).otherwise(d)
+  }
+
+  /** robots.txt rule extraction for one crawler agent (RFC 9309,
+    * documented simplifications): comments strip at `#`, consecutive
+    * `User-agent` lines share a group, and the MOST SPECIFIC applicable
+    * group set wins — groups naming `agent` exactly (case-insensitive)
+    * if any exist for the host, else the `*` groups; rules from
+    * non-applicable groups are ignored entirely (not unioned — the RFC
+    * group-selection rule crawlers actually follow). Empty `Disallow:`
+    * (allow-everything idiom) contributes no rule; fields other than
+    * allow/disallow (crawl-delay, sitemap) pass through the parse but
+    * emit nothing here. No percent-decoding or `*`/`$` wildcard
+    * support (documented; wildcard rules would need a regex compile per
+    * rule). Output: (host, rule_path, is_allow).
+    *
+    * Scale: one narrow line explode + a per-host window over robots
+    * LINES (bodies are KB-sized; one per host) — nothing frontier-sized
+    * moves.
+    */
+  def robotsRules(robots: DataFrame, hostCol: String, txtCol: String,
+      agent: String): DataFrame = {
+    val agentLc = agent.toLowerCase(java.util.Locale.ROOT)
+    val fields = robots
+      .select(col(hostCol).as("host"),
+        posexplode(split(col(txtCol), "\n")).as(Seq("ln", "raw")))
+      .select(col("host"), col("ln"),
+        trim(regexp_replace(col("raw"), "#.*$", "")).as("line"))
+      .select(col("host"), col("ln"),
+        lower(trim(regexp_extract(col("line"), "^([A-Za-z-]+)\\s*:", 1)))
+          .as("field"),
+        trim(regexp_extract(col("line"), "^[A-Za-z-]+\\s*:(.*)$", 1))
+          .as("value"))
+    val w = Window.partitionBy(col("host")).orderBy(col("ln"))
+    val grouped = fields.withColumn("grp",
+      sum(when(col("field") === "user-agent" &&
+        coalesce(lag(col("field"), 1).over(w), lit("")) =!= "user-agent", 1)
+        .otherwise(0)).over(w))
+    val ua = grouped
+      .filter(col("field") === "user-agent" &&
+        (lower(col("value")) === agentLc || col("value") === "*"))
+      .groupBy(col("host"), col("grp"))
+      .agg(min(when(lower(col("value")) === agentLc, 1).otherwise(2))
+        .as("pref"))
+    val best = ua.groupBy(col("host")).agg(min(col("pref")).as("pref"))
+    val applicable = ua.join(best, Seq("host", "pref")).select("host", "grp")
+    grouped.join(applicable, Seq("host", "grp"))
+      .filter(col("field").isin("allow", "disallow") && col("value") =!= "")
+      .select(col("host"), col("value").as("rule_path"),
+        (col("field") === "allow").as("is_allow"))
+  }
+
+  /** Frontier gate over [[robotsRules]] output: per URL the
+    * longest-matching rule wins, allow beating disallow on equal
+    * length (the RFC 9309 precedence), no matching rule → allowed.
+    * Output: (id, url, host, path, allowed, matched_rule).
+    *
+    * Scale: the rules frame is host-count-sized (KB-bodies, one per
+    * host) — broadcast; each frontier row fans out to at most its
+    * host's rule count and collapses in a per-id window. The frontier
+    * never shuffles beyond that window.
+    */
+  def robotsGate(frontier: DataFrame, idCol: String, urlCol: String,
+      rules: DataFrame): DataFrame = {
+    val u = col(urlCol)
+    val f = frontier.select(col(idCol), u.as("url"), urlHost(u).as("host"),
+      when(urlPathRaw(u) === "", "/").otherwise(urlPathRaw(u)).as("path"))
+    val j = f.join(broadcast(rules), Seq("host"), "left")
+      .withColumn("m", col("rule_path").isNotNull &&
+        col("path").startsWith(col("rule_path")))
+    // null-free ordering keys: null-ordering defaults differ across
+    // engines, and all-m-false groups emit the same row whichever
+    // member ranks first
+    val wv = Window.partitionBy(col(idCol)).orderBy(col("m").desc,
+      coalesce(length(col("rule_path")), lit(-1)).desc,
+      col("is_allow").desc, col("rule_path"))
+    j.withColumn("__rn", row_number().over(wv)).filter(col("__rn") === 1)
+      .select(col(idCol), col("url"), col("host"), col("path"),
+        when(col("m"), col("is_allow")).otherwise(lit(true)).as("allowed"),
+        when(col("m"), col("rule_path")).as("matched_rule"))
   }
 
   /** Per-(domain, host) crawl rollup over raw fetched URLs: fetch

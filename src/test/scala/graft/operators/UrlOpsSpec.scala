@@ -90,6 +90,53 @@ class UrlOpsSpec extends AnyFunSuite {
     assert(out("b.example.com") == ((2L, 2L, 0L, 0L, 1L, 1L)))
   }
 
+  test("robotsRules: group selection, shared UA lines, comments, empty Disallow") {
+    import spark.implicits._
+    val robots = Seq(
+      // exact group shadows *: only /a should rule for graftbot
+      ("h1", "User-agent: GraftBot\nDisallow: /a\nUser-agent: *\nDisallow: /b\n"),
+      // consecutive UA lines share a group; graftbot inherits its rules
+      ("h2", "User-agent: graftbot\nUser-agent: otherbot\nDisallow: /c\n"),
+      // no exact group → * group; comments and crawl-delay ignored;
+      // empty Disallow (allow-all idiom) contributes no rule
+      ("h3", "# hi\nUser-agent: *\nCrawl-delay: 5\nDisallow: /d # inline\nDisallow:\n"),
+      // only a foreign agent → nothing applies
+      ("h4", "User-agent: randombot\nDisallow: /\n"))
+      .toDF("host", "txt")
+    val rules = UrlOps.robotsRules(robots, "host", "txt", "graftbot")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getBoolean(2))).toSet
+    assert(rules == Set(("h1", "/a", false), ("h2", "/c", false),
+      ("h3", "/d", false)))
+  }
+
+  test("robotsGate: longest match wins, allow beats disallow on tie, no match → allowed") {
+    import spark.implicits._
+    val rules = Seq(
+      ("h.test", "/private", false),
+      ("h.test", "/private/public", true),
+      ("h.test", "/dup", false),
+      ("h.test", "/dup", true)) // equal length → allow wins
+      .toDF("host", "rule_path", "is_allow")
+    val frontier = Seq(
+      (1L, "http://h.test/private/x"),
+      (2L, "http://h.test/private/public/y"),
+      (3L, "http://h.test/elsewhere"),
+      (4L, "http://h.test/dup/z"),
+      (5L, "http://other.test/anything"), // host with no rules at all
+      (6L, "http://h.test")) // empty path → "/"
+      .toDF("doc_id", "url")
+    val out = UrlOps.robotsGate(frontier, "doc_id", "url", rules)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(4), Option(r.getString(5))))).toMap
+    assert(out(1L) == ((false, Some("/private"))))
+    assert(out(2L) == ((true, Some("/private/public"))))
+    assert(out(3L) == ((true, None)))
+    assert(out(4L) == ((true, Some("/dup"))))
+    assert(out(5L) == ((true, None)))
+    assert(out(6L) == ((true, None)))
+    assert(out.size == 6)
+  }
+
   test("plan shape: canonicalization is a narrow zero-shuffle codegen map") {
     import spark.implicits._
     val df = Seq("http://h/a").toDF("u")
