@@ -2612,6 +2612,134 @@ object SparkEntry {
         spanLen = 8, minMatchLen = 30)
     }),
 
+    // sitemap parse: per-host urlset pages + one sitemapindex host —
+    // entity-decoded <loc>, whitespace trim, absent fields null,
+    // unparseable <priority> null, document order kept
+    "q378_sitemap" -> ((s, d) => {
+      val hk = t(s, d, "documents").filter(col("doc_id") >= 0)
+        .select((col("doc_id") % 6).as("hk")).distinct()
+      val urlsetBody = array_join(transform(
+        sequence(lit(0), col("hk") + 1), i => concat(
+          lit("<url>\n  <loc>\n    http://s"), col("hk"), lit(".test/p/"),
+          i, lit("?a=1&amp;b=2\n  </loc>\n"),
+          when(i % 2 === 0, concat(lit("  <lastmod>2026-0"),
+            (i % 9) + 1, lit("-01</lastmod>\n"))).otherwise(lit("")),
+          when(i % 3 === 0, lit("  <changefreq>daily</changefreq>\n"))
+            .when(i % 3 === 1, lit("  <changefreq>weekly</changefreq>\n"))
+            .otherwise(lit("")),
+          when(i % 3 === 0, concat(lit("  <priority>0."), i,
+            lit("</priority>\n")))
+            .when(i % 3 === 1, lit("  <priority>x</priority>\n"))
+            .otherwise(lit("")),
+          lit("</url>\n"))), "")
+      val indexBody = array_join(transform(sequence(lit(0), lit(2)),
+        i => concat(lit("<sitemap><loc>http://s5.test/sm/"), i,
+          lit(".xml</loc><lastmod>2026-08-0"), i + 1,
+          lit("</lastmod></sitemap>\n"))), "")
+      val sitemaps = hk.select(
+        concat(lit("s"), col("hk"), lit(".test")).as("host"),
+        concat(lit("<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n"),
+          when(col("hk") === 5, concat(
+            lit("<sitemapindex xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">\n"),
+            indexBody, lit("</sitemapindex>")))
+            .otherwise(concat(
+              lit("<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">\n"),
+              urlsetBody, lit("</urlset>")))).as("xml"))
+      graft.operators.UrlOps.sitemapEntries(sitemaps, "host", "xml")
+    }),
+
+    // redirect-chain resolution via pointer doubling: 12-URL blocks
+    // chaining down to a terminal base (lengths 0..11 vs maxHops 8
+    // exercise the cap), every 5th block's base redirecting back up
+    // into the block (a 4-cycle — never resolves), tail-block targets
+    // pointing past the corpus (terminal at an unfetched URL)
+    "q379_redirect_resolve" -> ((s, d) => {
+      val docs = t(s, d, "documents").filter(col("doc_id") >= 0)
+      val dd = col("doc_id")
+      val b = dd % 12
+      val blk = ((dd - b) / 12).cast("long") // exact: (dd-b) divisible by 12
+      val url = concat(lit("http://r.test/u/"), dd)
+      val fetches = docs.select(url.as("url"),
+        when(b === 0 && blk % 5 === 0, 302)
+          .when(b === 0, 200).otherwise(301).as("status"),
+        when(b === 0 && blk % 5 === 0,
+          concat(lit("http://r.test/u/"), dd + 3))
+          .when(b > 0, concat(lit("http://r.test/u/"), dd - 1))
+          .as("location"))
+      graft.operators.UrlOps.resolveRedirects(
+        fetches, "url", "status", "location", maxHops = 8)
+    }),
+
+    // polite fetch schedule: robots Crawl-delay parsed per RFC 9309
+    // group selection (exact agent shadows *, unparseable value →
+    // default), then per-host priority-ordered sequence numbers and
+    // earliest-start offsets
+    "q380_crawl_schedule" -> ((s, d) => {
+      val docs = t(s, d, "documents").filter(col("doc_id") >= 0)
+      val hk = docs.select((col("doc_id") % 4).as("hk")).distinct()
+      val robots = hk.select(
+        concat(lit("c"), col("hk"), lit(".test")).as("host"),
+        concat(
+          when(col("hk") % 2 === 0, concat(
+            lit("User-agent: GraftBot\nCrawl-delay: "), col("hk"),
+            lit(".5\n"))).otherwise(lit("")),
+          lit("User-agent: *\nDisallow: /x\nCrawl-delay: "),
+          when(col("hk") === 1, lit("fast")).otherwise(lit("2")),
+          lit("\n")).as("robots_txt"))
+      val delays = graft.operators.UrlOps.robotsCrawlDelay(
+        robots, "host", "robots_txt", "graftbot", defaultDelaySec = 1.0)
+      val frontier = docs.select(col("doc_id"),
+        concat(lit("http://c"), col("doc_id") % 4, lit(".test/f/"),
+          col("doc_id")).as("url"),
+        (col("doc_id") % 10).as("prio"))
+      graft.operators.UrlOps.crawlSchedule(
+        frontier, "doc_id", "url", "prio", delays, defaultDelaySec = 1.0)
+    }),
+
+    // magic-byte MIME sniff vs declared Content-Type over real codec
+    // bytes from all eight byte-probe families (every 5th payload
+    // deliberately mis-declared) — the "is it what the server said"
+    // routing audit
+    "q381_mime_sniff" -> ((s, d) => {
+      val m = graft.operators.Multimodal
+      val docs = t(s, d, "documents").filter(col("doc_id") >= 0)
+      def fam(i: Int): DataFrame = {
+        val slice = docs.filter(col("doc_id") % 8 === i)
+        i match {
+          case 0 => m.syntheticPngFromDocs(slice)
+          case 1 => m.syntheticMp3FromDocs(slice)
+          case 2 => m.syntheticZipFromDocs(slice)
+          case 3 => m.syntheticGzipFromDocs(slice)
+          case 4 => m.syntheticTarFromDocs(slice)
+          case 5 => m.syntheticWarcFromDocs(slice)
+          case 6 => m.syntheticMp4FromDocs(slice)
+          case 7 => m.syntheticWavFromDocs(slice)
+        }
+      }
+      val media = (0 to 7).map(fam).reduce(_ unionAll _)
+      val mimes = Seq("image/png", "audio/mpeg", "application/zip",
+        "application/gzip", "application/x-tar", "application/warc",
+        "video/mp4", "audio/wav")
+      def mimeOfFam(famIdx: Column): Column =
+        mimes.zipWithIndex.foldLeft(lit(null).cast("string")) {
+          case (acc, (mm, i)) => when(famIdx === i, mm).otherwise(acc)
+        }
+      val labelToMime = Seq("png" -> "image/png", "mp3" -> "audio/mpeg",
+        "zip" -> "application/zip", "gzip" -> "application/gzip",
+        "tar" -> "application/x-tar", "warc" -> "application/warc",
+        "mp4" -> "video/mp4", "wav" -> "audio/wav")
+      val sniffed = m.sniffMime(col("content"))
+      val sniffedMime = labelToMime.foldLeft(lit(null).cast("string")) {
+        case (acc, (l, mm)) => when(sniffed === l, mm).otherwise(acc)
+      }
+      val famIdx = col("media_id") % 8
+      val declared = when(col("media_id") % 5 === 0,
+        mimeOfFam((famIdx + 1) % 8)).otherwise(mimeOfFam(famIdx))
+      media.select(col("media_id"), declared.as("declared_mime"),
+        sniffed.as("sniffed"),
+        (declared =!= coalesce(sniffedMime, lit("?"))).as("mismatch"))
+    }),
+
     // WARC census probe: real ISO-28500 crawl-container records
     // (Content-Length-framed — payload bytes never inspected) — the
     // crawl-ingest planning row: record/type counts, payload bytes,
@@ -7848,6 +7976,108 @@ object SparkEntry {
         |    AS BIGINT) AS n_server_err
         |FROM st WHERE canonical IS NOT NULL
         |GROUP BY 1, 2""".stripMargin),
+
+    // sitemap replay: the parse target is synthesized from closed
+    // forms, so the oracle states the expected rows directly — hash
+    // equality pins the whole regex parse (kind dispatch, block
+    // explode order, trim, entity decode, null-on-absent/unparseable)
+    "q378_sitemap" ->
+      """WITH hk AS (SELECT DISTINCT doc_id % 6 AS hk FROM documents
+        |  WHERE doc_id >= 0),
+        |us AS (SELECT hk, unnest(generate_series(0, hk + 1)) AS i
+        |  FROM hk WHERE hk < 5),
+        |u AS (SELECT 's' || hk || '.test' AS host, 'urlset' AS kind,
+        |    CAST(i AS BIGINT) AS entry_pos,
+        |    'http://s' || hk || '.test/p/' || i || '?a=1&b=2' AS loc,
+        |    CASE WHEN i % 2 = 0
+        |      THEN '2026-0' || (i % 9 + 1) || '-01' END AS lastmod,
+        |    CASE WHEN i % 3 = 0 THEN 'daily'
+        |         WHEN i % 3 = 1 THEN 'weekly' END AS changefreq,
+        |    CASE WHEN i % 3 = 0
+        |      THEN CAST('0.' || i AS DOUBLE) END AS priority
+        |  FROM us),
+        |ix AS (SELECT 's5.test' AS host, 'sitemapindex' AS kind,
+        |    CAST(i AS BIGINT) AS entry_pos,
+        |    'http://s5.test/sm/' || i || '.xml' AS loc,
+        |    '2026-08-0' || (i + 1) AS lastmod,
+        |    CAST(NULL AS VARCHAR) AS changefreq,
+        |    CAST(NULL AS DOUBLE) AS priority
+        |  FROM (SELECT unnest(generate_series(0, 2)) AS i
+        |    FROM (SELECT DISTINCT 1 FROM hk WHERE hk = 5)))
+        |SELECT * FROM u UNION ALL SELECT * FROM ix""".stripMargin,
+
+    // redirect replay: same closed-form fetch log, resolved by a
+    // bounded recursive walk (the linear reference for the engine's
+    // log-round pointer doubling) — deepest row per source, terminal
+    // iff its cursor has no outgoing redirect
+    "q379_redirect_resolve" ->
+      """WITH RECURSIVE f AS (SELECT doc_id AS d FROM documents
+        |  WHERE doc_id >= 0),
+        |fx AS (SELECT 'http://r.test/u/' || d AS url,
+        |    CASE WHEN d % 12 = 0 AND (d // 12) % 5 = 0 THEN 302
+        |         WHEN d % 12 = 0 THEN 200 ELSE 301 END AS status,
+        |    CASE WHEN d % 12 = 0 AND (d // 12) % 5 = 0
+        |        THEN 'http://r.test/u/' || (d + 3)
+        |      WHEN d % 12 > 0
+        |        THEN 'http://r.test/u/' || (d - 1) END AS location
+        |  FROM f),
+        |nx AS (SELECT url AS src,
+        |    min(CASE WHEN status BETWEEN 300 AND 399
+        |      THEN location END) AS nxt
+        |  FROM fx GROUP BY 1),
+        |walk AS (
+        |  SELECT src, src AS cur, 0 AS hops FROM nx
+        |  UNION ALL
+        |  SELECT w.src, n.nxt, w.hops + 1
+        |  FROM walk w JOIN nx n ON n.src = w.cur
+        |  WHERE n.nxt IS NOT NULL AND w.hops < 8),
+        |fin AS (SELECT w.src, w.cur, w.hops,
+        |    (n.src IS NULL OR n.nxt IS NULL) AS term,
+        |    row_number() OVER (PARTITION BY w.src
+        |      ORDER BY w.hops DESC) AS rn
+        |  FROM walk w LEFT JOIN nx n ON n.src = w.cur)
+        |SELECT src AS url,
+        |  CASE WHEN term THEN cur END AS final_url,
+        |  CASE WHEN term THEN CAST(hops AS BIGINT) END AS hops,
+        |  term AS resolved
+        |FROM fin WHERE rn = 1""".stripMargin,
+
+    // schedule replay: closed-form delays (even hk → exact-agent
+    // group hk+0.5; hk=1 → unparseable → default 1.0; hk=3 → * group
+    // 2.0) and the same per-host priority window
+    "q380_crawl_schedule" ->
+      """WITH dk AS (SELECT doc_id FROM documents WHERE doc_id >= 0),
+        |fr AS (SELECT doc_id, doc_id % 4 AS hk,
+        |    'http://c' || (doc_id % 4) || '.test/f/' || doc_id AS url,
+        |    doc_id % 10 AS prio FROM dk),
+        |dl AS (SELECT hk, CAST(CASE WHEN hk % 2 = 0 THEN hk + 0.5
+        |      WHEN hk = 1 THEN 1.0 ELSE 2.0 END AS DOUBLE) AS delay
+        |  FROM (SELECT DISTINCT doc_id % 4 AS hk FROM dk)),
+        |sq AS (SELECT f.doc_id, f.url, 'c' || f.hk || '.test' AS host,
+        |    d.delay,
+        |    row_number() OVER (PARTITION BY f.hk
+        |      ORDER BY f.prio DESC, f.doc_id ASC) AS seq
+        |  FROM fr f JOIN dl d ON f.hk = d.hk)
+        |SELECT doc_id, url, host, CAST(seq AS BIGINT) AS fetch_seq,
+        |  CAST(seq - 1 AS DOUBLE) * delay AS eta_sec
+        |FROM sq""".stripMargin,
+
+    // sniff replay: families and mis-declarations are closed forms of
+    // the id — hash equality requires the sniffer to label every real
+    // codec payload correctly
+    "q381_mime_sniff" ->
+      """SELECT doc_id AS media_id,
+        |  CASE (CASE WHEN doc_id % 5 = 0 THEN (doc_id % 8 + 1) % 8
+        |        ELSE doc_id % 8 END)
+        |    WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/mpeg'
+        |    WHEN 2 THEN 'application/zip' WHEN 3 THEN 'application/gzip'
+        |    WHEN 4 THEN 'application/x-tar' WHEN 5 THEN 'application/warc'
+        |    WHEN 6 THEN 'video/mp4' ELSE 'audio/wav' END AS declared_mime,
+        |  CASE doc_id % 8 WHEN 0 THEN 'png' WHEN 1 THEN 'mp3'
+        |    WHEN 2 THEN 'zip' WHEN 3 THEN 'gzip' WHEN 4 THEN 'tar'
+        |    WHEN 5 THEN 'warc' WHEN 6 THEN 'mp4' ELSE 'wav' END AS sniffed,
+        |  (doc_id % 5 = 0) AS mismatch
+        |FROM documents WHERE doc_id >= 0""".stripMargin,
 
     // robots replay: the same line parse (comment strip, field:value,
     // shared-UA grouping via the lag window), RFC group selection

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -2005,6 +2005,48 @@ object Multimodal {
     * in for image payloads) — lets the multimodal plumbing run against the
     * driver's testdata deterministically.
     */
+  /** Content sniffing by magic bytes — the crawl-side "is the payload
+    * what the server SAID it is" primitive (MIME confusion is both a
+    * pipeline-routing bug and a security class; browsers sniff for the
+    * same reason). Pure Column program over `hex(substring(...))`
+    * prefix tests — whole-stage codegen, no UDF, payload bytes never
+    * leave the scan:
+    *
+    *  - `warc`  "WARC/" at 0            - `png`  89 50 4E 47
+    *  - `gzip`  1F 8B                   - `pdf`  "%PDF"
+    *  - `zip`   "PK" (or the empty-archive EOCD "PK")
+    *  - `mp3`   "ID3" envelope or a bare FFFx frame-sync prefix
+    *  - `mp4`   "ftyp" at byte 4        - `tar`  "ustar" at byte 257
+    *  - `wav`/`avi`  "RIFF" + form type at byte 8
+    *  - `html`  leading-whitespace-trimmed `<!doctype` / `<html`
+    *  - anything else → `unknown`
+    *
+    * Order matters and is fixed: container magics are disjoint, html
+    * is tested last among the texty shapes. Truncated payloads fail
+    * their prefix test and fall through (substring past the end is
+    * short, never an error).
+    */
+  def sniffMime(content: Column): Column = {
+    def hexAt(pos: Int, n: Int): Column = hex(substring(content, pos, n))
+    val riffForm = hexAt(9, 4)
+    // ltrim() strips only ' ' — servers pad with newlines/tabs too
+    val head = lower(regexp_replace(
+      decode(substring(content, 1, 64), "UTF-8"), "^\\s+", ""))
+    when(hexAt(1, 5) === "574152432F", "warc") // "WARC/"
+      .when(hexAt(1, 4) === "89504E47", "png")
+      .when(hexAt(1, 2) === "1F8B", "gzip")
+      .when(hexAt(1, 4).isin("504B0304", "504B0506"), "zip")
+      .when(hexAt(1, 4) === "25504446", "pdf") // "%PDF"
+      .when(hexAt(1, 3) === "494433" ||
+        hexAt(1, 2).startsWith("FFF"), "mp3") // ID3 | frame sync
+      .when(hexAt(5, 4) === "66747970", "mp4") // "ftyp"
+      .when(hexAt(1, 4) === "52494646" && riffForm === "57415645", "wav")
+      .when(hexAt(1, 4) === "52494646" && riffForm === "41564920", "avi")
+      .when(hexAt(258, 5) === "7573746172", "tar") // "ustar" @257
+      .when(head.startsWith("<!doctype") || head.startsWith("<html"), "html")
+      .otherwise("unknown")
+  }
+
   def mediaFromDocuments(spark: SparkSession, documents: DataFrame): DataFrame =
     documents.select(
       col("doc_id").as("media_id"),

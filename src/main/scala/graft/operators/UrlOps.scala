@@ -137,7 +137,21 @@ object UrlOps {
     * moves.
     */
   def robotsRules(robots: DataFrame, hostCol: String, txtCol: String,
-      agent: String): DataFrame = {
+      agent: String): DataFrame =
+    applicableGroupFields(robots, hostCol, txtCol, agent)
+      .filter(col("field").isin("allow", "disallow") && col("value") =!= "")
+      .select(col("host"), col("value").as("rule_path"),
+        (col("field") === "allow").as("is_allow"))
+
+  /** Shared robots.txt machinery behind [[robotsRules]] and
+    * [[robotsCrawlDelay]]: line parse (comment strip, `field: value`),
+    * consecutive-`User-agent` group formation, and RFC 9309 group
+    * selection for `agent` (exact-agent groups shadow `*` groups).
+    * Returns every (host, ln, field, value) row of the SELECTED
+    * group(s) only.
+    */
+  private def applicableGroupFields(robots: DataFrame, hostCol: String,
+      txtCol: String, agent: String): DataFrame = {
     val agentLc = agent.toLowerCase(java.util.Locale.ROOT)
     val fields = robots
       .select(col(hostCol).as("host"),
@@ -163,9 +177,184 @@ object UrlOps {
     val best = ua.groupBy(col("host")).agg(min(col("pref")).as("pref"))
     val applicable = ua.join(best, Seq("host", "pref")).select("host", "grp")
     grouped.join(applicable, Seq("host", "grp"))
-      .filter(col("field").isin("allow", "disallow") && col("value") =!= "")
-      .select(col("host"), col("value").as("rule_path"),
-        (col("field") === "allow").as("is_allow"))
+  }
+
+  /** Per-host politeness budget out of robots.txt: the `Crawl-delay`
+    * value of the group selected for `agent` (same RFC 9309 group
+    * selection as [[robotsRules]] — a delay in a non-applicable group
+    * is ignored, exactly like its rules). Every host present in
+    * `robots` gets a row; hosts whose selected group has no parseable
+    * Crawl-delay get `defaultDelaySec`. Multiple parseable delays in
+    * the selected group(s) resolve to the LARGEST (the conservative
+    * politeness choice, documented).
+    *
+    * Output: (host, crawl_delay_sec). Scale: same as [[robotsRules]]
+    * — per-host windows over robots LINES; output is host-count-sized
+    * and broadcastable into [[crawlSchedule]].
+    */
+  def robotsCrawlDelay(robots: DataFrame, hostCol: String, txtCol: String,
+      agent: String, defaultDelaySec: Double = 1.0): DataFrame = {
+    val parsed = applicableGroupFields(robots, hostCol, txtCol, agent)
+      .filter(col("field") === "crawl-delay")
+      .groupBy(col("host"))
+      .agg(max(col("value").cast("double")).as("__delay"))
+    robots.select(col(hostCol).as("host")).distinct()
+      .join(parsed, Seq("host"), "left")
+      .select(col("host"),
+        coalesce(col("__delay"), lit(defaultDelaySec)).as("crawl_delay_sec"))
+  }
+
+  /** Polite fetch schedule for a frontier: per host, URLs are ordered
+    * by priority DESC (id ASC as the deterministic tiebreak), numbered
+    * `fetch_seq` = 1.., and given `eta_sec` = (fetch_seq − 1) ×
+    * crawl_delay — the earliest time each fetch may start relative to
+    * the host's first fetch under its robots Crawl-delay budget. Hosts
+    * absent from `delays` use `defaultDelaySec`.
+    *
+    * Output: (id, url, host, fetch_seq, eta_sec). Scale: `delays` is
+    * host-count-sized — broadcast; the frontier shuffles ONCE on host
+    * for the per-host window. A mega-host making one partition large
+    * is inherent (politeness serializes a host — its schedule IS one
+    * ordered sequence), and the window needs no full sort buffer
+    * beyond that host's rows.
+    */
+  def crawlSchedule(frontier: DataFrame, idCol: String, urlCol: String,
+      priorityCol: String, delays: DataFrame,
+      defaultDelaySec: Double = 1.0): DataFrame = {
+    val u = col(urlCol)
+    val f = frontier.select(col(idCol), u.as("url"), urlHost(u).as("host"),
+      col(priorityCol).cast("double").as("__prio"))
+    val wv = Window.partitionBy(col("host"))
+      .orderBy(col("__prio").desc, col(idCol).asc)
+    f.join(broadcast(delays), Seq("host"), "left")
+      .withColumn("__delay",
+        coalesce(col("crawl_delay_sec"), lit(defaultDelaySec)))
+      .withColumn("fetch_seq", row_number().over(wv).cast("long"))
+      .select(col(idCol), col("url"), col("host"), col("fetch_seq"),
+        ((col("fetch_seq") - 1).cast("double") * col("__delay"))
+          .as("eta_sec"))
+  }
+
+  /** XML/HTML entity decode for the five predefined entities — the
+    * sitemap-`<loc>` escaping layer (sitemap.org requires entity-
+    * escaped URLs). `&amp;` decodes LAST so `&amp;lt;` yields the
+    * literal `&lt;`, per the standard decode order.
+    */
+  def xmlUnescape(c: Column): Column = {
+    val basic = Seq("&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&apos;" -> "'")
+      .foldLeft(c) { case (acc, (from, to)) => replace(acc, lit(from), lit(to)) }
+    replace(basic, lit("&amp;"), lit("&"))
+  }
+
+  /** Sitemap parse (sitemaps.org 0.9, documented simplifications): a
+    * body containing `<sitemapindex` is an INDEX (entries are
+    * `<sitemap>` blocks pointing at child sitemaps), else a `<urlset`
+    * page list (`<url>` blocks). Per entry: entity-decoded `<loc>`,
+    * raw `<lastmod>` / `<changefreq>` strings, `<priority>` as double
+    * (null when absent or unparseable — consumers apply the spec's 0.5
+    * default themselves). Namespace prefixes, CDATA, and attributes on
+    * entry tags are out of scope (regex parse — the RE2-replayable
+    * stance of [[canonicalizeUrl]]); absent fields are null; entries
+    * keep document order via `entry_pos`.
+    *
+    * Output: (host, kind, entry_pos, loc, lastmod, changefreq,
+    * priority). Scale: one narrow explode over sitemap BLOCKS (bodies
+    * are ≤ 50k-entry files by spec; one row per host×file) — nothing
+    * corpus-sized shuffles, and the per-entry field extraction is
+    * whole-stage-codegen regex over the exploded block only.
+    */
+  def sitemapEntries(sitemaps: DataFrame, hostCol: String,
+      xmlCol: String): DataFrame = {
+    val x = col(xmlCol)
+    val kind = when(x.rlike("<sitemapindex[\\s>]"), lit("sitemapindex"))
+      .when(x.rlike("<urlset[\\s>]"), lit("urlset"))
+    val blocks = when(kind === "sitemapindex",
+      regexp_extract_all(x, lit("(?s)<sitemap>(.*?)</sitemap>"), lit(1)))
+      .otherwise(
+        regexp_extract_all(x, lit("(?s)<url>(.*?)</url>"), lit(1)))
+    def field(tag: String): Column = {
+      // trim() strips only ' ' — sitemap fields wrap in newlines too,
+      // so trim the full whitespace class
+      val v = regexp_replace(regexp_extract(col("__blk"),
+        s"(?s)<$tag>(.*?)</$tag>", 1), "^\\s+|\\s+$", "")
+      when(v === "", lit(null)).otherwise(v)
+    }
+    sitemaps
+      .select(col(hostCol).as("host"), kind.as("kind"), blocks.as("__bl"))
+      .filter(col("kind").isNotNull)
+      .select(col("host"), col("kind"),
+        posexplode(col("__bl")).as(Seq("entry_pos", "__blk")))
+      .select(col("host"), col("kind"), col("entry_pos").cast("long"),
+        xmlUnescape(field("loc")).as("loc"),
+        field("lastmod").as("lastmod"),
+        field("changefreq").as("changefreq"),
+        field("priority").cast("double").as("priority"))
+  }
+
+  /** Redirect-chain resolution over a fetch log — the crawl-graph step
+    * between the per-fetch outcome census and page identity: a URL
+    * whose fetch answered 3xx with a `Location` points at its target;
+    * everything else is terminal. Each URL resolves to the end of its
+    * pointer chain via POINTER DOUBLING — ⌈log₂ maxHops⌉+1 self-join
+    * rounds, each compressing every path to twice the depth — so a
+    * 100 TB fetch log resolves in ~5 narrow shuffle-joins instead of
+    * maxHops sequential passes (or any driver-side walk).
+    *
+    * Semantics (documented choices): duplicate fetch rows for one URL
+    * collapse to the lexicographically smallest 3xx Location (min
+    * skips nulls — a URL is a redirect if ANY of its rows redirect);
+    * a Location pointing OUTSIDE the fetch log is terminal at that
+    * target (final_url may be an unfetched URL); `Location` values are
+    * taken as absolute URL strings (relative resolution is the
+    * caller's [[canonicalizeUrl]] concern). A chain that does not
+    * reach a terminal within `maxHops` steps — a loop, a self-
+    * redirect, or simply too deep — reports resolved = false with null
+    * final_url/hops.
+    *
+    * Output: (url, final_url, hops, resolved).
+    */
+  def resolveRedirects(fetches: DataFrame, urlCol: String,
+      statusCol: String, locationCol: String,
+      maxHops: Int = 16): DataFrame = {
+    require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
+    val next0 = fetches
+      .select(col(urlCol).as("__src"),
+        when(col(statusCol).between(300, 399), col(locationCol)).as("__n"))
+      .groupBy(col("__src")).agg(min(col("__n")).as("__next"))
+    // eager per-round checkpoint (the connectedComponents idiom):
+    // doubling joins the state against ITSELF, so without it round r
+    // embeds 2^r copies of the base scan in the plan — at a 100 TB
+    // fetch log that is 2^r re-scans, not a compile-time nit
+    var state = next0.select(col("__src"),
+      coalesce(col("__next"), col("__src")).as("__cur"),
+      when(col("__next").isNull, 0).otherwise(1).as("__hops"),
+      col("__next").isNull.as("__done"))
+      .localCheckpoint(true)
+    // after r rounds every chain of length ≤ 2^r is fully resolved;
+    // +1 round turns "reached a node with no entry/outgoing edge"
+    // into done for length-maxHops chains
+    val rounds = (math.ceil(math.log(maxHops.toDouble) / math.log(2.0))
+      .toInt max 0) + 1
+    for (_ <- 1 to rounds) {
+      val rhs = state.select(col("__src").as("__rs"),
+        col("__cur").as("__rc"), col("__hops").as("__rh"),
+        col("__done").as("__rd"))
+      val stop = col("__done") || col("__rs").isNull
+      state = state
+        .join(rhs, col("__cur") === col("__rs") && !col("__done"), "left")
+        .select(col("__src"),
+          when(stop, col("__cur")).otherwise(col("__rc")).as("__cur"),
+          when(stop, col("__hops"))
+            .otherwise(col("__hops") + col("__rh")).as("__hops"),
+          (col("__done") || col("__rs").isNull || col("__rd")).as("__done"))
+        .localCheckpoint(true)
+    }
+    val ok = col("__done") && col("__hops") <= maxHops
+    state.select(col("__src").as("url"),
+      when(ok, col("__cur")).as("final_url"),
+      when(ok, col("__hops").cast("long")).as("hops"),
+      ok.as("resolved"))
   }
 
   /** Frontier gate over [[robotsRules]] output: per URL the

@@ -756,4 +756,37 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Mp3Meta.probe(mp3.take(40)).isEmpty) // truncated inside tag
     assert(Mp3Meta.probe("ID3 but not really".getBytes("UTF-8")).isEmpty)
   }
+
+  test("sniffMime: real codec bytes for every family; texty and junk fall through") {
+    import graft.operators.Multimodal.{GzipCodec, QtCodec, TarCodec, WarcCodec, ZipCodec}
+    import org.apache.spark.sql.functions.col
+    val payload = Array.tabulate(16)(_.toByte)
+    val frames = Seq(Array.tabulate(9)(_.toByte))
+    val cases: Seq[(Array[Byte], String)] = Seq(
+      graft.functions.PngMeta.build(8, 4, 0, None) -> "png",
+      graft.functions.Mp3Meta.build(20, 5, 0, 0, 0) -> "mp3",
+      // raw MP3 frame (no ID3 envelope) → frame-sync leg
+      graft.functions.Mp3Meta.build(20, 5, 0, 0, 0).drop(30) -> "mp3",
+      ZipCodec.buildZip(Seq("a.txt" -> payload)) -> "zip",
+      GzipCodec.buildGzip("a.txt", 7L, payload) -> "gzip",
+      TarCodec.buildTar(Seq("a.dat" -> payload), Nil) -> "tar",
+      WarcCodec.buildWarc(Seq(("response", "http://x/", payload))) -> "warc",
+      QtCodec.buildMov(16, 8, 25, frames) -> "mp4",
+      graft.functions.AudioMeta.build(1, 8000, 16, 80) -> "wav",
+      "%PDF-1.7 junk".getBytes("UTF-8") -> "pdf",
+      "  \n\t<!DOCTYPE html><html></html>".getBytes("UTF-8") -> "html",
+      "<HTML><body>x</body>".getBytes("UTF-8") -> "html",
+      "plain text, no markup".getBytes("UTF-8") -> "unknown",
+      Array[Byte](0x1f) -> "unknown", // truncated gzip magic
+      Array.emptyByteArray -> "unknown")
+    import spark.implicits._
+    val df = cases.zipWithIndex
+      .map { case ((b, exp), i) => (i.toLong, b, exp) }
+      .toDF("media_id", "content", "expected")
+    val bad = df
+      .select(col("media_id"), col("expected"),
+        graft.operators.Multimodal.sniffMime(col("content")).as("got"))
+      .filter(col("got") =!= col("expected")).collect()
+    assert(bad.isEmpty, bad.mkString("; "))
+  }
 }

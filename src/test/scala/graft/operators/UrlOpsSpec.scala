@@ -146,4 +146,141 @@ class UrlOpsSpec extends AnyFunSuite {
     assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
       plan.take(400))
   }
+
+  test("sitemapEntries: urlset fields, entity decode, trim, nulls, order") {
+    import spark.implicits._
+    val xml =
+      """<?xml version="1.0"?>
+        |<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+        |<url>
+        |  <loc>
+        |    http://a.test/p?x=1&amp;y=&lt;2&gt;
+        |  </loc>
+        |  <lastmod>2026-01-02</lastmod>
+        |  <changefreq>daily</changefreq>
+        |  <priority>0.8</priority>
+        |</url>
+        |<url><loc>http://a.test/q</loc><priority>high</priority></url>
+        |<url><loc>http://a.test/r</loc></url>
+        |</urlset>""".stripMargin
+    val out = UrlOps.sitemapEntries(Seq(("a.test", xml)).toDF("host", "xml"),
+      "host", "xml").orderBy("entry_pos").collect()
+    assert(out.length == 3)
+    assert(out(0).getString(1) == "urlset")
+    assert(out(0).getString(3) == "http://a.test/p?x=1&y=<2>")
+    assert(out(0).getString(4) == "2026-01-02")
+    assert(out(0).getString(5) == "daily")
+    assert(out(0).getDouble(6) == 0.8)
+    assert(out(1).getString(3) == "http://a.test/q")
+    assert(out(1).isNullAt(4) && out(1).isNullAt(5))
+    assert(out(1).isNullAt(6)) // unparseable priority → null
+    assert(out(2).getString(3) == "http://a.test/r")
+  }
+
+  test("sitemapEntries: sitemapindex dispatch; non-sitemap bodies drop") {
+    import spark.implicits._
+    val ix = """<sitemapindex xmlns="x"><sitemap>
+      |<loc>http://a.test/sm1.xml</loc><lastmod>2026-02-03</lastmod>
+      |</sitemap><sitemap><loc>http://a.test/sm2.xml</loc></sitemap>
+      |</sitemapindex>""".stripMargin
+    val df = Seq(("a.test", ix), ("b.test", "<html>not a sitemap</html>"))
+      .toDF("host", "xml")
+    val out = UrlOps.sitemapEntries(df, "host", "xml")
+      .orderBy("entry_pos").collect()
+    assert(out.length == 2)
+    assert(out.forall(_.getString(1) == "sitemapindex"))
+    assert(out(0).getString(3) == "http://a.test/sm1.xml")
+    assert(out(0).getString(4) == "2026-02-03")
+    assert(out(1).getString(3) == "http://a.test/sm2.xml")
+    assert(out(1).isNullAt(4))
+  }
+
+  test("robotsCrawlDelay: group selection, max-of-parseable, default fallbacks") {
+    import spark.implicits._
+    val robots = Seq(
+      // exact group (delay 3) shadows * (delay 9)
+      ("h1", "User-agent: GraftBot\nCrawl-delay: 3\nUser-agent: *\nCrawl-delay: 9\n"),
+      // * group applies; two parseable values → max
+      ("h2", "User-agent: *\nCrawl-delay: 0.5\nCrawl-delay: 2.5\n"),
+      // unparseable value → default
+      ("h3", "User-agent: *\nCrawl-delay: fast\n"),
+      // no crawl-delay at all → default
+      ("h4", "User-agent: *\nDisallow: /x\n"),
+      // delay only in a non-applicable group → default
+      ("h5", "User-agent: otherbot\nCrawl-delay: 7\n"))
+      .toDF("host", "txt")
+    val out = UrlOps.robotsCrawlDelay(robots, "host", "txt", "graftbot",
+      defaultDelaySec = 1.5)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out == Map("h1" -> 3.0, "h2" -> 2.5, "h3" -> 1.5,
+      "h4" -> 1.5, "h5" -> 1.5))
+  }
+
+  test("crawlSchedule: per-host priority order, eta arithmetic, default delay") {
+    import spark.implicits._
+    val delays = Seq(("a.test", 2.0)).toDF("host", "crawl_delay_sec")
+    val frontier = Seq(
+      (1L, "http://a.test/x", 5.0),
+      (2L, "http://a.test/y", 9.0),
+      (3L, "http://a.test/z", 5.0), // priority tie → id ASC
+      (4L, "http://b.test/w", 1.0)) // host not in delays → default
+      .toDF("id", "url", "prio")
+    val out = UrlOps.crawlSchedule(frontier, "id", "url", "prio", delays,
+      defaultDelaySec = 0.5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(3), r.getDouble(4)))).toMap
+    assert(out(2L) == ((1L, 0.0))) // highest priority first
+    assert(out(1L) == ((2L, 2.0)))
+    assert(out(3L) == ((3L, 4.0)))
+    assert(out(4L) == ((1L, 0.0))) // alone on its host
+  }
+
+  test("resolveRedirects: chains, cap, loops, self-redirect, external target") {
+    import spark.implicits._
+    def u(i: Int) = s"http://t/$i"
+    val fetches = Seq(
+      // chain 3 → 2 → 1 → 0 (terminal)
+      (u(0), 200, None), (u(1), 301, Some(u(0))),
+      (u(2), 301, Some(u(1))), (u(3), 302, Some(u(2))),
+      // 2-cycle
+      (u(10), 301, Some(u(11))), (u(11), 301, Some(u(10))),
+      // self-redirect
+      (u(20), 301, Some(u(20))),
+      // redirect to an unfetched URL → terminal there
+      (u(30), 307, Some("http://elsewhere/e")),
+      // 3xx with no Location → terminal
+      (u(40), 301, None))
+      .toDF("url", "status", "location")
+    val out = UrlOps.resolveRedirects(fetches, "url", "status", "location",
+      maxHops = 2)
+      .collect().map(r => r.getString(0) ->
+        ((Option(r.getString(1)), Option(r.get(2)).map(_.asInstanceOf[Long]),
+          r.getBoolean(3)))).toMap
+    assert(out(u(0)) == ((Some(u(0)), Some(0L), true)))
+    assert(out(u(1)) == ((Some(u(0)), Some(1L), true)))
+    assert(out(u(2)) == ((Some(u(0)), Some(2L), true)))
+    assert(out(u(3)) == ((None, None, false))) // 3 hops > maxHops 2
+    assert(out(u(10)) == ((None, None, false))) // loop
+    assert(out(u(11)) == ((None, None, false)))
+    assert(out(u(20)) == ((None, None, false))) // self-loop
+    assert(out(u(30)) == ((Some("http://elsewhere/e"), Some(1L), true)))
+    assert(out(u(40)) == ((Some(u(40)), Some(0L), true)))
+    assert(out.size == 9)
+  }
+
+  test("resolveRedirects: exact-cap chain resolves; duplicate fetch rows collapse") {
+    import spark.implicits._
+    def u(i: Int) = s"http://t/$i"
+    val fetches = Seq(
+      (u(0), 200, None), (u(1), 301, Some(u(0))), (u(2), 301, Some(u(1))),
+      // duplicate rows for u(2): one 200 (no redirect), one 301 — ANY
+      // redirect row makes it a redirect, min picks the target
+      (u(2), 200, None))
+      .toDF("url", "status", "location")
+    val out = UrlOps.resolveRedirects(fetches, "url", "status", "location",
+      maxHops = 2)
+      .collect().map(r => r.getString(0) ->
+        ((Option(r.getString(1)), r.getBoolean(3)))).toMap
+    assert(out.size == 3) // duplicates collapsed
+    assert(out(u(2)) == ((Some(u(0)), true))) // hops 2 == cap → resolved
+  }
 }
