@@ -96,7 +96,10 @@ object Bench {
     // dedup (q111's shuffle + an islands window on the slim dup frame)
     "q372_warc_to_text",
     "q374_host_rollup",
-    "q375_span_dedup_minlen")
+    "q375_span_dedup_minlen",
+    "q382_link_extract",
+    "q384_snapshot_diff",
+    "q388_main_content")
 
   private def runOnce(name: String, spark: SparkSession, sfDir: String): Unit =
     SparkEntry.queries(name)(spark, sfDir)

@@ -2740,6 +2740,118 @@ object SparkEntry {
         (declared =!= coalesce(sniffedMime, lit("?"))).as("mismatch"))
     }),
 
+    // Anchor-link extraction + RFC 3986 reference resolution — the
+    // hyperlink layer after q371's content census: every href arm
+    // (absolute, protocol-relative, root-relative, dot-segment
+    // relative, plain relative, fragment-only, mailto) resolved
+    // against an uppercase/ported page URL to a canonical target
+    "q382_link_extract" -> ((s, d) =>
+      graft.operators.UrlOps.extractLinks(
+        linkPageFixture(t(s, d, "documents")),
+        "doc_id", "page_url", "page_html")),
+
+    // Host-level link graph out of q382's edges: per (src_host,
+    // dst_host) raw link count, distinct canonical targets, and the
+    // internal/external split — the frontier-seeding rollup
+    "q383_host_graph" -> ((s, d) =>
+      graft.operators.UrlOps.hostGraph(
+        graft.operators.UrlOps.extractLinks(
+          linkPageFixture(t(s, d, "documents")),
+          "doc_id", "page_url", "page_html"),
+        "url", "target")),
+
+    // Crawl snapshot diff — the incremental-crawl primitive: previous
+    // vs current (url, md5) snapshots full-outer joined and classified
+    // added / removed / changed / unchanged (every 11th URL dropped,
+    // every 7th page's body mutated, every 13th doc spawning a new URL)
+    "q384_snapshot_diff" -> ((s, d) =>
+      graft.operators.UrlOps.snapshotDiff(
+        snapshotPrevFixture(t(s, d, "documents")),
+        snapshotCurFixture(t(s, d, "documents")), "url", "h")),
+
+    // Per-host churn rollup over the diff: class counts + the
+    // non-unchanged share of the union universe — the recrawl
+    // scheduler's budget number
+    "q385_crawl_churn" -> ((s, d) =>
+      graft.operators.UrlOps.churnRollup(
+        graft.operators.UrlOps.snapshotDiff(
+          snapshotPrevFixture(t(s, d, "documents")),
+          snapshotCurFixture(t(s, d, "documents")), "url", "h"))),
+
+    // Conditional-refetch planner: ETag (weak/strong, case-insensitive
+    // field names) / Last-Modified parsed out of stored response
+    // headers, If-None-Match precedence when both exist, cadence class
+    // from integer-threshold change rates
+    "q386_refetch_plan" -> ((s, d) => {
+      val docs = t(s, d, "documents").filter(col("doc_id") >= 0)
+      val dd = col("doc_id")
+      val hdrs = concat(
+        lit("HTTP/1.1 200 OK\nDate: Mon, 01 Jan 2026 00:00:00 GMT\n"),
+        when(dd % 3 === 0, concat(
+          when(dd % 12 === 0, lit("etag: ")).otherwise(lit("ETag: ")),
+          when(dd % 6 === 0, concat(lit("W/\"w"), dd, lit("\"")))
+            .otherwise(concat(lit("\"e"), dd, lit("\""))),
+          lit("\n"))).otherwise(lit("")),
+        when(dd % 3 === 1 || dd % 12 === 6,
+          concat(lit("Last-Modified: Mon, 0"), dd % 7 + 1,
+            lit(" Jan 2026 00:00:00 GMT\n"))).otherwise(lit("")),
+        lit("Content-Type: text/html\n"))
+      graft.operators.UrlOps.refetchPlan(
+        docs.select(concat(lit("http://f.test/p/"), dd).as("url"),
+          hdrs.as("headers"), (dd % 5).as("nch"),
+          (dd % 5 + dd % 4 + 1).as("nobs")),
+        "url", "headers", "nch", "nobs")
+    }),
+
+    // PDF framing probe — the document sibling of the archive trio:
+    // real minimal documents (catalog, page tree, byte-exact xref,
+    // trailer) walked back for version / object count / page count /
+    // xref-intact; every 9th payload is not a PDF (no row), every
+    // 11th carries a corrupted startxref (xref_ok = false)
+    "q387_pdf_meta" -> ((s, d) =>
+      graft.operators.Multimodal.pdfMeta(
+        graft.operators.Multimodal.syntheticPdfFromDocs(
+          t(s, d, "documents")))),
+
+    // Block-level main-content extraction (Kohlschütter-style text/
+    // link density): nav, sidebar and footer blocks drop on length or
+    // integer-cross-multiply link density; body prose survives —
+    // exact char accounting and the kept text joined back
+    "q388_main_content" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+        .filter(col("doc_id") >= 0 && col("text").isNotNull)
+      graft.operators.TextAnalysis.mainContent(
+        docs.select(col("doc_id"), mainContentHtml(col("doc_id"),
+          col("text")).as("__html")),
+        "doc_id", col("__html"))
+    }),
+
+    // STREAMING link census: q382's extraction run unchanged inside a
+    // file-stream ingest (per-batch append) — stream == batch checked
+    // by sharing q382's oracle verbatim
+    "q389_stream_link_census" -> ((s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val tmp = sys.props("java.io.tmpdir")
+      val runTag = s.sparkContext.applicationId
+      val outPath = s"$tmp/graft_q389_out_$runTag"
+      val ckpt = s"$tmp/graft_q389_ckpt_$runTag"
+      def rmrf(p: java.io.File): Unit = {
+        if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rmrf))
+        p.delete(): Unit
+      }
+      Seq(outPath, ckpt).foreach(p => rmrf(new java.io.File(p)))
+      val raw = Tables.documents(s, d)
+      val stream = streamSource(s, d, "documents", raw.schema)
+      val links = graft.operators.UrlOps.extractLinks(
+        linkPageFixture(stream), "doc_id", "page_url", "page_html")
+      val q = graft.streaming.StreamingOps.appendPerBatch(links, outPath)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(outPath)
+    }),
+
     // WARC census probe: real ISO-28500 crawl-container records
     // (Content-Length-framed — payload bytes never inspected) — the
     // crawl-ingest planning row: record/type counts, payload bytes,
@@ -4810,6 +4922,84 @@ object SparkEntry {
           .otherwise(""),
         when(d % 5 === 0, concat(lit("#frag"), d)).otherwise("")))
 
+  /** q382/q383/q389 shared page fixture: an uppercase/ported page URL
+    * and a per-doc HTML body whose href arms exercise every RFC 3986
+    * reference-resolution rule — absolute, protocol-relative,
+    * root-relative (with a tracking param that must strip),
+    * dot-segment relative, plain relative, fragment-only and mailto
+    * (both unresolvable). Arm presence varies per doc so link_pos
+    * indexing is exercised too.
+    */
+  private def linkPageFixture(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val dd = col("doc_id")
+    val pp = when(dd % 6 === 0, ":80").when(dd % 6 === 1, ":8080")
+      .otherwise("")
+    val pageUrl = concat(lit("http://H"), dd % 5, lit(".Test"), pp,
+      lit("/dir"), dd % 3, lit("/p"), dd % 11)
+    val html = concat(
+      lit("<html><body><a href=\"http://ex"), dd % 4, lit(".org/x/"),
+      dd % 7, lit("\">A</a>"),
+      when(dd % 2 === 0, concat(lit("<a href=\"//cdn"), dd % 3,
+        lit(".test/l\">B</a>"))).otherwise(lit("")),
+      lit("<a href=\"/root/"), dd % 5, lit("?id="), dd % 9,
+      lit("&utm_source=f\">C</a>"),
+      when(dd % 3 === 0, concat(lit("<a href=\"../up/"), dd % 6,
+        lit("\">D</a>"))).otherwise(lit("")),
+      lit("<a href=\"sub/"), dd % 4, lit("\">E</a>"),
+      when(dd % 5 === 0, lit("<a href=\"#frag\">F</a>")).otherwise(lit("")),
+      when(dd % 7 === 0, concat(lit("<a href=\"mailto:a@b"), dd % 3,
+        lit(".c\">G</a>"))).otherwise(lit("")),
+      lit("</body></html>"))
+    docs.filter(dd >= 0)
+      .select(dd, pageUrl.as("page_url"), html.as("page_html"))
+  }
+
+  /** q384/q385 snapshot fixtures: prev = every doc at
+    * http://w{d%7}.test/p/{d} with md5(text); cur drops every 11th
+    * URL, mutates every 7th body, and adds a /new/ URL per 13th doc.
+    */
+  private def snapshotPrevFixture(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val dd = col("doc_id")
+    docs.filter(dd >= 0).select(
+      concat(lit("http://w"), dd % 7, lit(".test/p/"), dd).as("url"),
+      md5(coalesce(col("text"), lit(""))).as("h"))
+  }
+
+  private def snapshotCurFixture(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val dd = col("doc_id")
+    val kept = docs.filter(dd >= 0 && dd % 11 =!= 0).select(
+      concat(lit("http://w"), dd % 7, lit(".test/p/"), dd).as("url"),
+      md5(concat(coalesce(col("text"), lit("")),
+        when(dd % 7 === 0, "!v2").otherwise(""))).as("h"))
+    val added = docs.filter(dd >= 0 && dd % 13 === 0).select(
+      concat(lit("http://w"), dd % 7, lit(".test/new/"), dd).as("url"),
+      md5(concat(lit("new"), dd)).as("h"))
+    kept.unionAll(added)
+  }
+
+  /** q388 page fixture: nav / heading / two body paragraphs (real doc
+    * text) / sidebar (anchor-dominated unless the long-text arm is
+    * present) / footer — every block class the density gate must
+    * separate, built so each regime (too-short, anchor-dominated,
+    * kept prose) occurs.
+    */
+  private def mainContentHtml(dd: Column, text: Column): Column =
+    concat(
+      lit("<html><body>\n<div class=\"nav\"><a href=\"/a\">Home</a> " +
+        "<a href=\"/b\">About</a> <a href=\"/c\">Contact</a></div>\n"),
+      lit("<h1>Doc "), dd, lit(" heading</h1>\n<p>"),
+      substring(text, 1, 120), lit("</p>\n<p>"),
+      substring(text, 121, 120), lit("</p>\n<div>Sidebar listing "),
+      dd % 7, lit(": <a href=\"/x\">ref"), dd % 9,
+      lit("</a> <a href=\"/y\">more"), dd % 5, lit("</a>"),
+      when(dd % 2 === 0, concat(lit(" "), substring(text, 241, 80)))
+        .otherwise(lit("")),
+      lit("</div>\n<div class=\"footer\"><a href=\"/p\">Privacy</a> | " +
+        "<a href=\"/t\">Terms</a></div>\n</body></html>"))
+
   /** q373/q374 oracle scaffolding: the messy-URL synthesis plus the
     * [[graft.operators.UrlOps]] canonicalization passes replayed
     * verbatim in DuckDB ('g' = global, matching Spark's always-global
@@ -4881,6 +5071,104 @@ object SparkEntry {
       |    END AS canonical
       |  FROM p2)""".stripMargin
   }
+
+  /** q382/q383/q389 shared oracle scaffolding: the [[linkPageFixture]]
+    * arms stated closed-form — per arm its document-order position
+    * among the arms present for that doc, the raw href, the canonical
+    * resolved target (tracking param stripped, dot-segments resolved,
+    * :80 dropped / :8080 kept, null for fragment/mailto) and both
+    * edge hosts.
+    */
+  private lazy val linkArmsCtes: String =
+    """WITH dk AS (SELECT doc_id,
+      |    doc_id % 2 = 0 AS h2, doc_id % 3 = 0 AS h3,
+      |    doc_id % 5 = 0 AS h5, doc_id % 7 = 0 AS h7,
+      |    CASE WHEN doc_id % 6 = 1 THEN ':8080' ELSE '' END AS hp,
+      |    'http://H' || (doc_id % 5) || '.Test' ||
+      |      (CASE WHEN doc_id % 6 = 0 THEN ':80'
+      |            WHEN doc_id % 6 = 1 THEN ':8080' ELSE '' END) ||
+      |      '/dir' || (doc_id % 3) || '/p' || (doc_id % 11) AS page_url,
+      |    'h' || (doc_id % 5) || '.test' AS src_host
+      |  FROM documents WHERE doc_id >= 0),
+      |arms AS (
+      |  SELECT doc_id, page_url, src_host, 0 AS link_pos,
+      |    'http://ex' || (doc_id % 4) || '.org/x/' || (doc_id % 7) AS href,
+      |    'http://ex' || (doc_id % 4) || '.org/x/' || (doc_id % 7) AS target,
+      |    'ex' || (doc_id % 4) || '.org' AS dst_host
+      |  FROM dk
+      |  UNION ALL
+      |  SELECT doc_id, page_url, src_host, 1,
+      |    '//cdn' || (doc_id % 3) || '.test/l',
+      |    'http://cdn' || (doc_id % 3) || '.test/l',
+      |    'cdn' || (doc_id % 3) || '.test'
+      |  FROM dk WHERE h2
+      |  UNION ALL
+      |  SELECT doc_id, page_url, src_host,
+      |    1 + (CASE WHEN h2 THEN 1 ELSE 0 END),
+      |    '/root/' || (doc_id % 5) || '?id=' || (doc_id % 9)
+      |      || '&utm_source=f',
+      |    'http://' || src_host || hp || '/root/' || (doc_id % 5)
+      |      || '?id=' || (doc_id % 9),
+      |    src_host
+      |  FROM dk
+      |  UNION ALL
+      |  SELECT doc_id, page_url, src_host,
+      |    2 + (CASE WHEN h2 THEN 1 ELSE 0 END),
+      |    '../up/' || (doc_id % 6),
+      |    'http://' || src_host || hp || '/up/' || (doc_id % 6),
+      |    src_host
+      |  FROM dk WHERE h3
+      |  UNION ALL
+      |  SELECT doc_id, page_url, src_host,
+      |    2 + (CASE WHEN h2 THEN 1 ELSE 0 END)
+      |      + (CASE WHEN h3 THEN 1 ELSE 0 END),
+      |    'sub/' || (doc_id % 4),
+      |    'http://' || src_host || hp || '/dir' || (doc_id % 3)
+      |      || '/sub/' || (doc_id % 4),
+      |    src_host
+      |  FROM dk
+      |  UNION ALL
+      |  SELECT doc_id, page_url, src_host,
+      |    3 + (CASE WHEN h2 THEN 1 ELSE 0 END)
+      |      + (CASE WHEN h3 THEN 1 ELSE 0 END),
+      |    '#frag', NULL, NULL
+      |  FROM dk WHERE h5
+      |  UNION ALL
+      |  SELECT doc_id, page_url, src_host,
+      |    3 + (CASE WHEN h2 THEN 1 ELSE 0 END)
+      |      + (CASE WHEN h3 THEN 1 ELSE 0 END)
+      |      + (CASE WHEN h5 THEN 1 ELSE 0 END),
+      |    'mailto:a@b' || (doc_id % 3) || '.c', NULL, NULL
+      |  FROM dk WHERE h7)""".stripMargin
+
+  private lazy val linkExtractOracleSql: String = linkArmsCtes +
+    """
+      |SELECT doc_id, page_url AS url,
+      |  CAST(link_pos AS BIGINT) AS link_pos, href, target
+      |FROM arms""".stripMargin
+
+  /** q384/q385 shared oracle scaffolding: the snapshot fixtures and
+    * the full-outer classification.
+    */
+  private lazy val snapshotDiffCtes: String =
+    """WITH dk AS (SELECT doc_id, COALESCE(text, '') AS tx
+      |  FROM documents WHERE doc_id >= 0),
+      |prev AS (SELECT 'http://w' || (doc_id % 7) || '.test/p/' || doc_id
+      |    AS url, md5(tx) AS prev_hash FROM dk),
+      |cur AS (SELECT 'http://w' || (doc_id % 7) || '.test/p/' || doc_id
+      |    AS url,
+      |    md5(tx || CASE WHEN doc_id % 7 = 0 THEN '!v2' ELSE '' END)
+      |      AS cur_hash
+      |  FROM dk WHERE doc_id % 11 <> 0
+      |  UNION ALL
+      |  SELECT 'http://w' || (doc_id % 7) || '.test/new/' || doc_id,
+      |    md5('new' || doc_id) FROM dk WHERE doc_id % 13 = 0),
+      |diff AS (SELECT COALESCE(p.url, c.url) AS url, prev_hash, cur_hash,
+      |    CASE WHEN prev_hash IS NULL THEN 'added'
+      |         WHEN cur_hash IS NULL THEN 'removed'
+      |         WHEN prev_hash = cur_hash THEN 'unchanged'
+      |         ELSE 'changed' END AS change
+      |  FROM prev p FULL OUTER JOIN cur c ON p.url = c.url)""".stripMargin
 
   /** q368/q376 shared oracle: the WARC synthesis arithmetic — n =
     * d%3+1 alternating response/request records, payload i carries
@@ -8150,6 +8438,140 @@ object SparkEntry {
     // streaming ingest == batch probe: one code path, same oracle (the
     // q353/q357 shared-oracle convention)
     "q376_stream_warc_census" -> warcCensusOracleSql,
+
+    // link-extraction replay: the arm positions, hrefs, and canonical
+    // targets stated closed-form — hash equality pins the extraction
+    // regex, document-order indexing, and every resolution rule
+    "q382_link_extract" -> linkExtractOracleSql,
+
+    // streaming link census == batch extraction: one code path, same
+    // oracle (the q368/q376 convention)
+    "q389_stream_link_census" -> linkExtractOracleSql,
+
+    // host-graph replay: the resolved arms rolled up per edge; all
+    // fixture hosts are two-label so registered-domain equality is
+    // host equality
+    "q383_host_graph" -> (linkArmsCtes +
+      """
+        |SELECT src_host, dst_host,
+        |  count(*)::BIGINT AS n_links,
+        |  count(DISTINCT target)::BIGINT AS n_targets,
+        |  src_host = dst_host AS same_domain
+        |FROM arms WHERE target IS NOT NULL
+        |GROUP BY 1, 2""".stripMargin),
+
+    // snapshot-diff replay: same md5 snapshots, same full-outer
+    // classification
+    "q384_snapshot_diff" -> (snapshotDiffCtes +
+      """
+        |SELECT url, prev_hash, cur_hash, change FROM diff""".stripMargin),
+
+    // churn replay: per-host class counts over the diff; churn_pct is
+    // the same mult-then-divide IEEE pair
+    "q385_crawl_churn" -> (snapshotDiffCtes +
+      """
+        |SELECT regexp_extract(url, '^http://([^/]*)/', 1) AS host,
+        |  sum(CASE WHEN change = 'added' THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_added,
+        |  sum(CASE WHEN change = 'removed' THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_removed,
+        |  sum(CASE WHEN change = 'changed' THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_changed,
+        |  sum(CASE WHEN change = 'unchanged' THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_unchanged,
+        |  count(*)::BIGINT AS n_urls,
+        |  CAST(sum(CASE WHEN change <> 'unchanged' THEN 1 ELSE 0 END)
+        |      AS DOUBLE) * 100.0 / CAST(count(*) AS DOUBLE) AS churn_pct
+        |FROM diff GROUP BY 1""".stripMargin),
+
+    // refetch-plan replay: validator arms closed-form (etag on d%3=0,
+    // weak on d%6=0, lowercase field on d%12=0; last-modified on
+    // d%3=1 and the both-validators d%12=6 arm where If-None-Match
+    // wins), integer-threshold cadence classes
+    "q386_refetch_plan" ->
+      """WITH dk AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN
+        |      CASE WHEN doc_id % 6 = 0 THEN 'W/"w' || doc_id || '"'
+        |           ELSE '"e' || doc_id || '"' END END AS etag,
+        |    CASE WHEN doc_id % 3 = 1 OR doc_id % 12 = 6 THEN
+        |      'Mon, 0' || (doc_id % 7 + 1) || ' Jan 2026 00:00:00 GMT'
+        |      END AS lm,
+        |    doc_id % 5 AS nc,
+        |    doc_id % 5 + doc_id % 4 + 1 AS nob
+        |  FROM documents WHERE doc_id >= 0)
+        |SELECT 'http://f.test/p/' || doc_id AS url,
+        |  CASE WHEN etag IS NOT NULL THEN 'etag'
+        |       WHEN lm IS NOT NULL THEN 'last-modified'
+        |       ELSE 'none' END AS validator,
+        |  COALESCE(etag, lm) AS validator_value,
+        |  (etag IS NOT NULL AND doc_id % 6 = 0) AS weak_etag,
+        |  (etag IS NOT NULL OR lm IS NOT NULL) AS conditional,
+        |  CAST(nc AS DOUBLE) / CAST(nob AS DOUBLE) AS change_rate,
+        |  CASE WHEN nc * 2 >= nob THEN 'hourly'
+        |       WHEN nc * 5 >= nob THEN 'daily'
+        |       WHEN nc * 20 >= nob THEN 'weekly'
+        |       ELSE 'monthly' END AS refetch_class
+        |FROM dk""".stripMargin,
+
+    // PDF replay: synthesis arithmetic — (d%4)+1 pages → (d%4)+4
+    // trailer objects; every 9th payload is not a PDF (absent row),
+    // every 11th has a corrupted startxref
+    "q387_pdf_meta" ->
+      """SELECT doc_id AS media_id, '1.4' AS version,
+        |  CAST(doc_id % 4 + 4 AS INT) AS n_objs,
+        |  CAST(doc_id % 4 + 1 AS INT) AS n_pages,
+        |  (doc_id % 11 <> 0) AS xref_ok
+        |FROM documents WHERE doc_id >= 0 AND doc_id % 9 <> 0""".stripMargin,
+
+    // main-content replay: same page construction, same split /
+    // tag-strip / collapse / anchor-join regex chain, same integer
+    // density gate — aligned parallel unnests recover block order for
+    // the main_text join
+    "q388_main_content" ->
+      """WITH h AS (SELECT doc_id,
+        |    '<html><body>' || chr(10) ||
+        |    '<div class="nav"><a href="/a">Home</a> ' ||
+        |    '<a href="/b">About</a> <a href="/c">Contact</a></div>' ||
+        |    chr(10) || '<h1>Doc ' || doc_id || ' heading</h1>' ||
+        |    chr(10) || '<p>' || substr(text, 1, 120) || '</p>' ||
+        |    chr(10) || '<p>' || substr(text, 121, 120) || '</p>' ||
+        |    chr(10) || '<div>Sidebar listing ' || (doc_id % 7) ||
+        |    ': <a href="/x">ref' || (doc_id % 9) ||
+        |    '</a> <a href="/y">more' || (doc_id % 5) || '</a>' ||
+        |    (CASE WHEN doc_id % 2 = 0
+        |      THEN ' ' || substr(text, 241, 80) ELSE '' END) ||
+        |    '</div>' || chr(10) ||
+        |    '<div class="footer"><a href="/p">Privacy</a> | ' ||
+        |    '<a href="/t">Terms</a></div>' || chr(10) ||
+        |    '</body></html>' AS html
+        |  FROM documents WHERE doc_id >= 0 AND text IS NOT NULL),
+        |l AS (SELECT doc_id,
+        |    list_transform(string_split_regex(html,
+        |      '</p>|</div>|</li>|</h1>|</h2>|</h3>'), b ->
+        |      regexp_replace(regexp_replace(regexp_replace(b,
+        |        '<[^>]*>', '', 'g'), '\s+', ' ', 'g'), '^ | $', '', 'g'))
+        |      AS txts,
+    |    -- DuckDB regexp_extract_all is NULL (not []) on zero matches
+        |    list_transform(string_split_regex(html,
+        |      '</p>|</div>|</li>|</h1>|</h2>|</h3>'), b ->
+        |      COALESCE(length(regexp_replace(regexp_replace(
+        |        array_to_string(regexp_extract_all(b,
+        |          '<a[^>]*>([^<]*)</a>', 1), ' '),
+        |        '\s+', ' ', 'g'), '^ | $', '', 'g')), 0)) AS acs
+        |  FROM h),
+        |k AS (SELECT doc_id, len(txts) AS nb,
+        |    list_filter(txts, (t, i) ->
+        |      length(t) >= 20 AND acs[i] * 100 <= length(t) * 30) AS kept,
+        |    list_sum(list_transform(txts, t -> length(t))) AS tot
+        |  FROM l)
+        |SELECT doc_id, CAST(nb AS BIGINT) AS n_blocks,
+        |  CAST(len(kept) AS BIGINT) AS n_kept,
+        |  COALESCE(CAST(list_sum(list_transform(kept, t -> length(t)))
+        |    AS BIGINT), 0)::BIGINT AS main_chars,
+        |  CAST(tot - COALESCE(list_sum(list_transform(kept,
+        |    t -> length(t))), 0) AS BIGINT) AS boiler_chars,
+        |  array_to_string(kept, chr(10)) AS main_text
+        |FROM k""".stripMargin,
 
     // gzip replay: framing arithmetic — 10-byte header + (5+len(id))+1
     // name + 5-byte stored-block framing + n payload + 8 trailer

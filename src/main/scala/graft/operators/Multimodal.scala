@@ -1399,6 +1399,169 @@ object Multimodal {
       }(enc)
   }
 
+  /** Minimal PDF codec (ISO 32000 subset, public) — the document
+    * sibling of the archive probes: crawled corpora are full of PDFs,
+    * and the pre-extraction planning row ("how many pages, is the
+    * cross-reference table intact") comes from the file's own framing,
+    * not a renderer. The builder emits a REAL minimal document —
+    * header, catalog, page tree, page objects, a byte-exact xref table
+    * and a trailer whose `startxref` points at it — and the parser
+    * walks that framing back: version from the `%PDF-x.y` header, the
+    * object count from the trailer's `/Size`, the page count from
+    * `/Type /Page` occurrences (not matching `/Pages`), and an
+    * `xref_ok` flag that FOLLOWS the startxref pointer and checks the
+    * `xref` keyword actually sits at that byte offset — a parse error
+    * in either the builder's offset bookkeeping or the parser's walk
+    * flips it. Anything that is not a PDF (wrong magic, no trailer)
+    * returns None.
+    */
+  object PdfCodec {
+    final case class PdfMeta(version: String, nObjs: Int, nPages: Int,
+      xrefOk: Boolean)
+
+    /** Real minimal PDF: catalog + page tree + nPages empty pages,
+      * exact xref offsets, trailer + startxref. `comment` lands as a
+      * `%`-comment line after the header (PDFs carry them; it varies
+      * the layout byte offsets per document). `corruptXref` writes a
+      * startxref pointing one byte past the real table — a damaged
+      * document whose objects are intact but whose xref is not.
+      */
+    def buildPdf(nPages: Int, comment: String,
+        corruptXref: Boolean = false): Array[Byte] = {
+      require(nPages >= 1 && nPages <= 9, s"nPages out of range: $nPages")
+      val sb = new StringBuilder
+      val offsets = scala.collection.mutable.ArrayBuffer[Int]()
+      sb.append("%PDF-1.4\n")
+      sb.append(s"% $comment\n")
+      def obj(body: String): Unit = {
+        offsets += sb.length
+        sb.append(body)
+      }
+      obj("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+      val kids = (0 until nPages).map(i => s"${i + 3} 0 R").mkString(" ")
+      obj(s"2 0 obj\n<< /Type /Pages /Kids [$kids] /Count $nPages >>\nendobj\n")
+      (0 until nPages).foreach { i =>
+        obj(s"${i + 3} 0 obj\n<< /Type /Page /Parent 2 0 R " +
+          "/MediaBox [0 0 612 792] >>\nendobj\n")
+      }
+      val xrefOff = sb.length
+      val m = nPages + 3
+      sb.append(s"xref\n0 $m\n")
+      sb.append("0000000000 65535 f \n")
+      offsets.foreach(o => sb.append(f"$o%010d 00000 n \n"))
+      sb.append(s"trailer\n<< /Size $m /Root 1 0 R >>\nstartxref\n")
+      sb.append(if (corruptXref) xrefOff + 1 else xrefOff)
+      sb.append("\n%%EOF\n")
+      sb.toString.getBytes("US-ASCII")
+    }
+
+    private def lastIndexOf(b: Array[Byte], pat: String): Int = {
+      val p = pat.getBytes("US-ASCII")
+      var i = b.length - p.length
+      while (i >= 0) {
+        var j = 0
+        while (j < p.length && b(i + j) == p(j)) j += 1
+        if (j == p.length) return i
+        i -= 1
+      }
+      -1
+    }
+
+    private def digitsAt(b: Array[Byte], from: Int): Option[Long] = {
+      var i = from
+      while (i < b.length && (b(i) == ' ' || b(i) == '\n' || b(i) == '\r'))
+        i += 1
+      var v = -1L
+      while (i < b.length && b(i) >= '0' && b(i) <= '9' && v < Int.MaxValue) {
+        v = (if (v < 0) 0L else v) * 10 + (b(i) - '0'); i += 1
+      }
+      if (v < 0) None else Some(v)
+    }
+
+    def parsePdf(b: Array[Byte]): Option[PdfMeta] = {
+      if (b == null || b.length < 16) return None
+      val magic = "%PDF-".getBytes("US-ASCII")
+      if (!magic.indices.forall(i => b(i) == magic(i))) return None
+      // version: digits '.' digits right after the magic
+      var i = 5; val vs = new StringBuilder
+      while (i < b.length && ((b(i) >= '0' && b(i) <= '9') || b(i) == '.')) {
+        vs.append(b(i).toChar); i += 1
+      }
+      if (!vs.toString.matches("[0-9]+\\.[0-9]+")) return None
+      val sx = lastIndexOf(b, "startxref")
+      if (sx < 0) return None
+      val xrefOff = digitsAt(b, sx + 9).getOrElse(return None)
+      val xrefOk = xrefOff + 4 <= b.length &&
+        "xref".getBytes("US-ASCII").zipWithIndex.forall { case (c, j) =>
+          b(xrefOff.toInt + j) == c
+        }
+      val tr = lastIndexOf(b, "/Size")
+      if (tr < 0) return None
+      val nObjs = digitsAt(b, tr + 5).getOrElse(return None)
+      // count "/Type /Page" NOT followed by 's' (which would be /Pages)
+      val pagePat = "/Type /Page".getBytes("US-ASCII")
+      var pages = 0; var p = 0
+      while (p + pagePat.length <= b.length) {
+        var j = 0
+        while (j < pagePat.length && b(p + j) == pagePat(j)) j += 1
+        if (j == pagePat.length &&
+          (p + pagePat.length == b.length ||
+            b(p + pagePat.length) != 's')) pages += 1
+        p += 1
+      }
+      Some(PdfMeta(vs.toString, nObjs.toInt, pages, xrefOk))
+    }
+  }
+
+  /** PDF framing metadata per asset — spec version, trailer object
+    * count, page count, xref-intact flag. Narrow mapPartitions over
+    * the binary column; only the slim meta row leaves the scan (the
+    * [[zipMeta]] shape). Non-PDF bytes drop out (None).
+    */
+  def pdfMeta(media: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("version", StringType),
+      StructField("n_objs", IntegerType),
+      StructField("n_pages", IntegerType),
+      StructField("xref_ok", BooleanType)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    media.select("media_id", "content").mapPartitions { rows =>
+      rows.flatMap { r =>
+        val bytes = Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray)
+        PdfCodec.parsePdf(bytes).map { m =>
+          Row(r.getLong(0), m.version, m.nObjs, m.nPages, m.xrefOk)
+        }
+      }
+    }(enc)
+  }
+
+  /** Deterministic PDFs from doc ids: doc d carries (d % 4) + 1 pages
+    * and a doc-tagged comment line (so byte offsets vary per doc and
+    * the xref bookkeeping is exercised at every layout), every 9th doc
+    * is plain text (not a PDF — parser yields no row), every 11th
+    * NON-ninth doc gets a corrupted startxref (objects intact, crossed
+    * xref → xref_ok = false). Closed-form for the oracle. Non-negative
+    * ids only.
+    */
+  def syntheticPdfFromDocs(documents: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("content", BinaryType)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    documents.select(col("doc_id")).filter(col("doc_id") >= 0)
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val d = r.getLong(0)
+          val bytes =
+            if (d % 9 == 0) s"plain text payload $d".getBytes("US-ASCII")
+            else PdfCodec.buildPdf(((d % 4) + 1).toInt, s"doc $d",
+              corruptXref = d % 11 == 0)
+          Row(d, bytes)
+        }
+      }(enc)
+  }
+
   /** Minimal WARC/1.0 codec (ISO 28500, public; the web-crawl container
     * behind Common-Crawl-style corpora) — text header blocks with a
     * Content-Length-framed payload per record:

@@ -387,6 +387,158 @@ object UrlOps {
         when(col("m"), col("rule_path")).as("matched_rule"))
   }
 
+  /** Anchor-link extraction + resolution — the hyperlink layer between
+    * HTML content extraction ([[graft.operators.TextAnalysis.htmlExtract]])
+    * and the link graph: every `<a href="...">` in a page becomes one
+    * row resolved against the page's URL to a canonical absolute
+    * target ([[canonicalizeUrl]]), or null when the href is not a
+    * fetchable page (fragment-only, empty, `mailto:`/`javascript:`/
+    * other non-hierarchical schemes).
+    *
+    * Resolution rules (RFC 3986 reference resolution, documented
+    * regex-subset): absolute `scheme://…` as-is; any other `scheme:…`
+    * (no `//`) → null; protocol-relative `//host/…` takes the page
+    * scheme; root-relative `/…` joins the page authority; everything
+    * else joins the page's directory (the path up to its last `/`),
+    * with `..`/`.` segments resolved inside [[canonicalizeUrl]]'s
+    * dot-segment passes. Only double-quoted `href="…"` attributes are
+    * extracted (the dominant form; single-quoted/unquoted attrs are a
+    * documented simplification, regex-replayable either way).
+    *
+    * Output: (idCol, url, link_pos, href, target). `link_pos` is the
+    * 0-based index among the page's extracted hrefs in document order.
+    *
+    * Scale: one `regexp_extract_all` + posexplode over pages — a
+    * narrow per-row program; the HTML column is consumed in the scan
+    * and never shuffles. Fan-out is links-per-page (tens), the exact
+    * shape a 100 TB link-graph build wants before its first exchange.
+    */
+  def extractLinks(pages: DataFrame, idCol: String, urlCol: String,
+      htmlCol: String): DataFrame = {
+    val u = col("url")
+    val base = regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)
+    val dir = regexp_replace(urlPathRaw(u), "[^/]*$", "")
+    val h = col("href")
+    val abs = when(h.rlike(SchemePat), h)
+      .when(h.rlike("^[A-Za-z][A-Za-z0-9+.-]*:"), lit(null))
+      .when(h.startsWith("//"), concat(urlScheme(u), lit(":"), h))
+      .when(h.startsWith("/"), concat(base, h))
+      .when(h.startsWith("#") || h === "", lit(null))
+      .otherwise(concat(base, when(dir === "", "/").otherwise(dir), h))
+    pages
+      .select(col(idCol), col(urlCol).as("url"),
+        posexplode(regexp_extract_all(col(htmlCol),
+          lit("<a[^>]*\\shref=\"([^\"]*)\""), lit(1)))
+          .as(Seq("link_pos", "href")))
+      .select(col(idCol), col("url"), col("link_pos").cast("long"),
+        col("href"), canonicalizeUrl(abs).as("target"))
+  }
+
+  /** Host-level link graph out of [[extractLinks]] rows: one edge per
+    * (source host, target host) with the raw link count, the distinct
+    * canonical-target count, and whether the edge stays inside one
+    * registered domain (the internal/external split every crawl
+    * frontier and PageRank seed wants). Unresolved links (null target)
+    * are not edges.
+    *
+    * Scale: the payload-free (src_host, dst_host, target) projection
+    * is all that shuffles — Spark plans the count(DISTINCT) as the
+    * usual two-level partial/final expand, so a hot host pair skews
+    * one partition at worst and AQE splits it.
+    */
+  def hostGraph(links: DataFrame, urlCol: String,
+      targetCol: String): DataFrame =
+    links.filter(col(targetCol).isNotNull)
+      .select(urlHost(col(urlCol)).as("src_host"),
+        urlHost(col(targetCol)).as("dst_host"),
+        col(targetCol).as("__t"))
+      .groupBy(col("src_host"), col("dst_host"))
+      .agg(count(lit(1)).as("n_links"),
+        countDistinct(col("__t")).as("n_targets"))
+      .withColumn("same_domain",
+        registeredDomain(col("src_host")) ===
+          registeredDomain(col("dst_host")))
+
+  /** Crawl snapshot diff — the incremental-crawl primitive: given the
+    * previous and current snapshot of (url, content hash), classify
+    * every URL as added / removed / changed / unchanged. Inputs must
+    * be url-unique (a snapshot IS a url-keyed map; callers dedup
+    * upstream). One full-outer shuffle join on url — hash keys and
+    * 16-byte digests move, never page payloads; at 100 TB both sides
+    * bucket by url for an exchange-free diff between consecutive
+    * crawls.
+    */
+  def snapshotDiff(prev: DataFrame, cur: DataFrame, urlCol: String,
+      hashCol: String): DataFrame = {
+    val p = prev.select(col(urlCol).as("url"), col(hashCol).as("prev_hash"))
+    val c = cur.select(col(urlCol).as("url"), col(hashCol).as("cur_hash"))
+    p.join(c, Seq("url"), "full_outer")
+      .select(col("url"), col("prev_hash"), col("cur_hash"),
+        when(col("prev_hash").isNull, "added")
+          .when(col("cur_hash").isNull, "removed")
+          .when(col("prev_hash") === col("cur_hash"), "unchanged")
+          .otherwise("changed").as("change"))
+  }
+
+  /** Per-host churn rollup over [[snapshotDiff]] output: class counts
+    * plus churn_pct = non-unchanged share of the union universe — the
+    * number a recrawl scheduler budgets by. Exact integer counts; the
+    * percentage is one IEEE division at the end.
+    */
+  def churnRollup(diff: DataFrame): DataFrame =
+    diff
+      .select(urlHost(col("url")).as("host"), col("change"))
+      .groupBy(col("host"))
+      .agg(
+        sum(when(col("change") === "added", 1L).otherwise(0L)).as("n_added"),
+        sum(when(col("change") === "removed", 1L).otherwise(0L)).as("n_removed"),
+        sum(when(col("change") === "changed", 1L).otherwise(0L)).as("n_changed"),
+        sum(when(col("change") === "unchanged", 1L).otherwise(0L)).as("n_unchanged"),
+        count(lit(1)).as("n_urls"))
+      .withColumn("churn_pct",
+        (col("n_added") + col("n_removed") + col("n_changed"))
+          .cast("double") * 100.0 / col("n_urls").cast("double"))
+
+  /** Conditional-refetch planner over a fetch log: parse the cache
+    * validators out of each URL's stored response headers (`ETag` —
+    * weak or strong — and `Last-Modified`, case-insensitive field
+    * names per RFC 9110) and combine them with the URL's observed
+    * change history into a revalidation plan: which conditional
+    * header to send (`If-None-Match` beats `If-Modified-Since` when
+    * both validators exist, per RFC 9110 §13.1.3) and a refetch
+    * cadence class from the observed change rate (integer threshold
+    * compares — rate ≥ 1/2 hourly, ≥ 1/5 daily, ≥ 1/20 weekly, else
+    * monthly — so the classification replays exactly).
+    *
+    * Output: (url, validator, validator_value, weak_etag, conditional,
+    * change_rate, refetch_class). Zero-shuffle narrow map — header
+    * blocks are KB-sized and are consumed in the scan.
+    */
+  def refetchPlan(log: DataFrame, urlCol: String, headersCol: String,
+      nChangesCol: String, nObsCol: String): DataFrame = {
+    val hd = col(headersCol)
+    def hdr(name: String): Column = {
+      val v = regexp_extract(hd, s"(?i)(^|\n)$name:[ \t]*([^\n]*)", 2)
+      regexp_replace(v, "\\s+$", "")
+    }
+    val etag = hdr("etag")
+    val lastMod = hdr("last-modified")
+    val validator = when(etag =!= "", "etag")
+      .when(lastMod =!= "", "last-modified").otherwise("none")
+    val nc = col(nChangesCol).cast("long")
+    val no = col(nObsCol).cast("long")
+    log.select(col(urlCol).as("url"),
+      validator.as("validator"),
+      when(etag =!= "", etag).when(lastMod =!= "", lastMod)
+        .as("validator_value"),
+      (etag =!= "" && etag.startsWith("W/")).as("weak_etag"),
+      (validator =!= "none").as("conditional"),
+      (nc.cast("double") / no.cast("double")).as("change_rate"),
+      when(nc * 2 >= no, "hourly").when(nc * 5 >= no, "daily")
+        .when(nc * 20 >= no, "weekly").otherwise("monthly")
+        .as("refetch_class"))
+  }
+
   /** Per-(domain, host) crawl rollup over raw fetched URLs: fetch
     * counts by outcome class plus the dedup collapse the canonicalizer
     * buys (n_urls vs distinct canonical forms). One hash-partial +

@@ -120,13 +120,14 @@ class PropertySpec extends AnyFunSuite {
     val magicJunk = Seq("PNG", "ID3", "RIFF", "ÿØ")
       .map(_.getBytes("ISO-8859-1") ++ Array.fill(20)(0x41.toByte))
     // round-10 archive codecs join the same totality contract
-    import graft.operators.Multimodal.{GzipCodec, TarCodec, ZipCodec, QtCodec}
+    import graft.operators.Multimodal.{GzipCodec, TarCodec, ZipCodec, QtCodec, PdfCodec}
     val realArchives = Seq(
       ZipCodec.buildZip(Seq(("a", Array[Byte](1, 2)))),
       GzipCodec.buildGzip("n", 7L, Array[Byte](3, 4, 5)),
       TarCodec.buildTar(Seq(("f", Array[Byte](6)))),
       QtCodec.buildMov(16, 8, 25, Seq(Array[Byte](1)), brand = "isom",
-        useCo64 = true, codec = "avc1"))
+        useCo64 = true, codec = "avc1"),
+      PdfCodec.buildPdf(3, "fuzz"))
     val archTruncs = realArchives.flatMap(b => (0 to b.length by 11).map(b.take))
     val archJunk = Seq("PK", "PK", "",
       "ustar").map(_.getBytes("ISO-8859-1") ++ Array.fill(40)(0x42.toByte))
@@ -140,6 +141,7 @@ class PropertySpec extends AnyFunSuite {
       GzipCodec.parseGzip(bytes): Unit
       TarCodec.parseTar(bytes): Unit
       QtCodec.parseMov(bytes): Unit
+      PdfCodec.parsePdf(bytes): Unit
     }
     // and the intact payloads still parse
     assert(PngMeta.probe(real(0)).nonEmpty)
@@ -150,5 +152,6 @@ class PropertySpec extends AnyFunSuite {
     assert(GzipCodec.parseGzip(realArchives(1)).nonEmpty)
     assert(TarCodec.parseTar(realArchives(2)).nonEmpty)
     assert(QtCodec.parseMov(realArchives(3)).nonEmpty)
+    assert(PdfCodec.parsePdf(realArchives(4)).nonEmpty)
   }
 }

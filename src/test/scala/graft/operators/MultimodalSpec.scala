@@ -789,4 +789,39 @@ class MultimodalSpec extends AnyFunSuite {
       .filter(col("got") =!= col("expected")).collect()
     assert(bad.isEmpty, bad.mkString("; "))
   }
+
+  test("PdfCodec: build/parse round trip; corrupt xref; non-PDF -> None") {
+    import graft.operators.Multimodal.PdfCodec
+    for (n <- 1 to 4) {
+      val m = PdfCodec.parsePdf(PdfCodec.buildPdf(n, s"c$n")).get
+      assert(m.version == "1.4")
+      assert(m.nPages == n) // /Type /Pages never counted as a page
+      assert(m.nObjs == n + 3)
+      assert(m.xrefOk, s"xref offset bookkeeping broken at n=$n")
+    }
+    // corrupted startxref: objects intact, pointer misses the table
+    val bad = PdfCodec.parsePdf(PdfCodec.buildPdf(2, "x",
+      corruptXref = true)).get
+    assert(bad.nPages == 2 && !bad.xrefOk)
+    // comment length shifts every offset; xref must still land
+    assert(PdfCodec.parsePdf(PdfCodec.buildPdf(3,
+      "a much longer comment line to shift all byte offsets")).get.xrefOk)
+    assert(PdfCodec.parsePdf("not a pdf at all".getBytes("US-ASCII")).isEmpty)
+    assert(PdfCodec.parsePdf("%PDF-1.4 but truncated".getBytes("US-ASCII")).isEmpty)
+    assert(PdfCodec.parsePdf(Array.emptyByteArray).isEmpty)
+  }
+
+  test("pdfMeta over synthetic docs: closed-form columns; non-PDF rows drop") {
+    import spark.implicits._
+    val docs = (0L until 60L).toDF("doc_id")
+    val out = graft.operators.Multimodal.pdfMeta(
+      graft.operators.Multimodal.syntheticPdfFromDocs(docs))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2),
+        r.getInt(3), r.getBoolean(4)))).toMap
+    assert(!out.contains(9L) && !out.contains(18L)) // not PDFs
+    assert(out.size == 60 - 7) // 9,18,27,36,45,54 plus 0 (d%9==0)
+    assert(out(1L) == (("1.4", 5, 2, true)))
+    assert(out(11L) == (("1.4", 7, 4, false))) // corrupt startxref arm
+    assert(out(22L) == (("1.4", 6, 3, false)))
+  }
 }

@@ -788,4 +788,53 @@ class TextAnalysisSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!p.contains("Exchange"), "htmlExtract must not shuffle")
   }
+
+  test("mainContent: length gate, link-density gate, exact char accounting") {
+    import spark.implicits._
+    val prose = "This paragraph carries enough plain prose to clear the gate."
+    val html =
+      s"""<html><body><div><a href="/a">Home</a> <a href="/b">About</a></div>
+         |<p>$prose</p>
+         |<p>tiny</p>
+         |<div>List: <a href="/x">a long anchor text block here</a> and
+         | <a href="/y">another long anchor text right there</a> ok</div>
+         |</body></html>""".stripMargin
+    val df = Seq((1L, html)).toDF("id", "h")
+    val out = TextAnalysis.mainContent(df, "id", col("h")).collect()(0)
+    // blocks: nav div (density), prose p (kept), tiny p (length),
+    // link-list div (density), tail
+    assert(out.getAs[Long]("n_blocks") == 5L)
+    assert(out.getAs[Long]("n_kept") == 1L)
+    assert(out.getAs[String]("main_text") == prose)
+    assert(out.getAs[Long]("main_chars") == prose.length.toLong)
+    // main + boiler = total collapsed text chars, exactly
+    val total = out.getAs[Long]("main_chars") + out.getAs[Long]("boiler_chars")
+    val collapsed = Seq("Home About", prose, "tiny",
+      "List: a long anchor text block here and another long anchor " +
+        "text right there ok", "").map(_.length.toLong).sum
+    assert(total == collapsed)
+  }
+
+  test("mainContent: density boundary is an exact integer cross-multiply") {
+    import spark.implicits._
+    // text 40 chars, anchor 12 chars -> 1200 <= 40*30 kept (equality)
+    val at = "twelve chars"
+    val pad = "x" * (40 - at.length)
+    val htmlEq = s"""<p><a href="/l">$at</a>$pad</p>"""
+    // one extra anchor char tips it over
+    val htmlOver = s"""<p><a href="/l">${at}s</a>${pad.drop(1)}</p>"""
+    val df = Seq((1L, htmlEq), (2L, htmlOver)).toDF("id", "h")
+    val out = TextAnalysis.mainContent(df, "id", col("h"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("n_kept")).toMap
+    assert(out(1L) == 1L)
+    assert(out(2L) == 0L)
+  }
+
+  test("mainContent: zero-shuffle plan") {
+    import spark.implicits._
+    val df = Seq((1L, "<p>x</p>")).toDF("id", "h")
+    val p = TextAnalysis.mainContent(df, "id", col("h"))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), "mainContent must not shuffle")
+  }
 }

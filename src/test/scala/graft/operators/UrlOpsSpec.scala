@@ -283,4 +283,115 @@ class UrlOpsSpec extends AnyFunSuite {
     assert(out.size == 3) // duplicates collapsed
     assert(out(u(2)) == ((Some(u(0)), true))) // hops 2 == cap → resolved
   }
+
+  test("extractLinks: every resolution rule; document-order positions") {
+    import spark.implicits._
+    val pages = Seq((1L,
+      "http://Ex.COM:8080/a/b/page",
+      """<p><a href="http://X.org/abs">1</a>""" +
+        """<a class="z" href="//cdn.net/p">2</a>""" +
+        """<a href="/root/r?utm_source=t&k=1">3</a>""" +
+        """<a href="../up">4</a>""" +
+        """<a href="sub/s">5</a>""" +
+        """<a href="#frag">6</a>""" +
+        """<a href="mailto:a@b.c">7</a>""" +
+        """<a href="javascript:void(0)">8</a>"""))
+      .toDF("id", "url", "html")
+    val out = UrlOps.extractLinks(pages, "id", "url", "html")
+      .orderBy("link_pos")
+      .collect().map(r => (r.getLong(2), r.getString(3),
+        Option(r.getString(4))))
+    assert(out.toSeq == Seq(
+      (0L, "http://X.org/abs", Some("http://x.org/abs")),
+      (1L, "//cdn.net/p", Some("http://cdn.net/p")),
+      (2L, "/root/r?utm_source=t&k=1",
+        Some("http://ex.com:8080/root/r?k=1")),
+      (3L, "../up", Some("http://ex.com:8080/a/up")),
+      (4L, "sub/s", Some("http://ex.com:8080/a/b/sub/s")),
+      (5L, "#frag", None),
+      (6L, "mailto:a@b.c", None),
+      (7L, "javascript:void(0)", None)))
+  }
+
+  test("extractLinks: empty-path page, https proto-relative, no links") {
+    import spark.implicits._
+    val pages = Seq(
+      (1L, "https://h.io", """<a href="rel">r</a><a href="//c.d/e">p</a>"""),
+      (2L, "http://h.io/x", "<p>no anchors</p>"),
+      (3L, "http://h.io/x", """<a href="">empty</a>"""))
+      .toDF("id", "url", "html")
+    val out = UrlOps.extractLinks(pages, "id", "url", "html")
+      .collect().map(r => (r.getLong(0), r.getLong(2),
+        Option(r.getString(4)))).toSet
+    // relative against an empty page path resolves at root
+    assert(out == Set(
+      (1L, 0L, Some("https://h.io/rel")),
+      (1L, 1L, Some("https://c.d/e")),
+      (3L, 0L, None)))
+  }
+
+  test("hostGraph: distinct-target counts and registered-domain split") {
+    import spark.implicits._
+    val pages = Seq(
+      (1L, "http://a.sub.example.com/p",
+        """<a href="http://b.example.com/x">i</a>""" +
+          """<a href="http://b.example.com/x">dup</a>""" +
+          """<a href="http://b.example.com/y?utm_source=s">y</a>""" +
+          """<a href="http://other.net/z">e</a>""" +
+          """<a href="#s">drop</a>"""))
+      .toDF("id", "url", "html")
+    val g = UrlOps.hostGraph(
+      UrlOps.extractLinks(pages, "id", "url", "html"), "url", "target")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4))).toSet
+    assert(g == Set(
+      ("a.sub.example.com", "b.example.com", 3L, 2L, true),
+      ("a.sub.example.com", "other.net", 1L, 1L, false)))
+  }
+
+  test("snapshotDiff: all four classes; churnRollup accounting") {
+    import spark.implicits._
+    val prev = Seq(("http://h.x/a", "h1"), ("http://h.x/b", "h2"),
+      ("http://h.x/c", "h3")).toDF("url", "h")
+    val cur = Seq(("http://h.x/a", "h1"), ("http://h.x/b", "h2x"),
+      ("http://h.x/d", "h4")).toDF("url", "h")
+    val diff = UrlOps.snapshotDiff(prev, cur, "url", "h")
+    val m = diff.collect().map(r => r.getString(0) -> r.getString(3)).toMap
+    assert(m == Map("http://h.x/a" -> "unchanged",
+      "http://h.x/b" -> "changed", "http://h.x/c" -> "removed",
+      "http://h.x/d" -> "added"))
+    val roll = UrlOps.churnRollup(diff).collect()
+    assert(roll.length == 1)
+    val r = roll(0)
+    assert((r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5)) == (("h.x", 1L, 1L, 1L, 1L, 4L)))
+    assert(r.getDouble(6) == 75.0)
+  }
+
+  test("refetchPlan: validator precedence, weak etags, header case, thresholds") {
+    import spark.implicits._
+    val rows = Seq(
+      // both validators -> If-None-Match (etag) wins
+      ("u1", "HTTP/1.1 200 OK\nETag: \"e1\"\nLast-Modified: LM1\n", 1L, 2L),
+      // weak etag, lowercase field name
+      ("u2", "etag: W/\"w2\"\nX: y\n", 1L, 5L),
+      // last-modified only, mixed case
+      ("u3", "LAST-MODIFIED: LM3\n", 1L, 20L),
+      // no validator
+      ("u4", "Content-Type: text/html\n", 0L, 7L),
+      // value whitespace-trimmed at the end
+      ("u5", "ETag: \"e5\"   \n", 1L, 21L))
+      .toDF("url", "headers", "nch", "nobs")
+    val out = UrlOps.refetchPlan(rows, "url", "headers", "nch", "nobs")
+      .collect().map(r => r.getString(0) -> ((r.getString(1),
+        Option(r.getString(2)), r.getBoolean(3), r.getBoolean(4),
+        r.getString(6)))).toMap
+    assert(out("u1") == (("etag", Some("\"e1\""), false, true, "hourly")))
+    assert(out("u2") == (("etag", Some("W/\"w2\""), true, true, "daily")))
+    assert(out("u3") == (("last-modified", Some("LM3"), false, true,
+      "weekly")))
+    assert(out("u4") == (("none", None, false, false, "monthly")))
+    // 21 obs, 1 change: 1*20 < 21 -> monthly (boundary just misses)
+    assert(out("u5") == (("etag", Some("\"e5\""), false, true, "monthly")))
+  }
 }
