@@ -99,7 +99,9 @@ object Bench {
     "q375_span_dedup_minlen",
     "q382_link_extract",
     "q384_snapshot_diff",
-    "q388_main_content")
+    "q388_main_content",
+    "q390_mirror_census",
+    "q394_crawl_to_corpus")
 
   private def runOnce(name: String, spark: SparkSession, sfDir: String): Unit =
     SparkEntry.queries(name)(spark, sfDir)

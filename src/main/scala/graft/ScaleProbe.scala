@@ -25,6 +25,15 @@ object ScaleProbe {
     val spark = GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     GraftSession.tune(spark)
+    // Shuffle-partition override for big probe SFs: tune()'s cores×3 is
+    // the LOCAL sizing; at sf100 the per-partition aggregation state of
+    // gram-heavy lanes no longer fits an executor share and spills —
+    // the same lever a real cluster turns (partitions ∝ data volume,
+    // the SCALE.md knob table), surfaced here as an env var so probe
+    // runs can pin the with/without comparison.
+    sys.env.get("SPARK_GRAFT_SHUFFLE").flatMap(_.toIntOption).foreach { n =>
+      spark.conf.set("spark.sql.shuffle.partitions", n)
+    }
     val listener = new TaskMetricsListener
     spark.sparkContext.addSparkListener(listener)
     def loadAvg(): Double =
@@ -48,14 +57,22 @@ object ScaleProbe {
       name match {
         case "q260_decontam_served" =>
           val path = s"$tmp/graft_probe_decon_$runTag"
+          // SPARK_GRAFT_EVAL_MOD: eval-slice modulus. Default 97 scales
+          // the eval set WITH the corpus (GenScale offsets ids), which
+          // is not the steady-state decontam shape — real eval suites
+          // are fixed-size while the corpus grows, and candidate volume
+          // is |eval| × avg bucket size. Big-SF probes pass a larger
+          // modulus to hold |eval| at the sf10 size.
+          val evalMod = sys.env.get("SPARK_GRAFT_EVAL_MOD")
+            .flatMap(_.toLongOption).getOrElse(97L)
           (() => graft.operators.Similarity.writeLshIndex(
-            Tables.embeddings(spark, sfDir).filter(col("vec_id") % 97 =!= 0),
+            Tables.embeddings(spark, sfDir).filter(col("vec_id") % evalMod =!= 0),
             path),
             d => {
               // warm pass probes the big index too (index is the build
               // product; the warm run still pays the small-plan JIT)
               graft.operators.TrainingData.decontaminateSemanticServed(
-                Tables.embeddings(spark, d).filter(col("vec_id") % 97 === 0),
+                Tables.embeddings(spark, d).filter(col("vec_id") % evalMod === 0),
                 path, threshold = 0.3)
             })
         case "q351_bucketed_served" =>

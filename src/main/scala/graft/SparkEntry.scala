@@ -2852,6 +2852,120 @@ object SparkEntry {
       s.read.parquet(outPath)
     }),
 
+    // Mirror census — the incremental-crawl loop composed with the
+    // persisted content index: newly-discovered URLs (every 13th doc's
+    // text re-surfacing at a /mir/ URL, every 17th doc spawning a
+    // genuinely fresh /new/ page) flagged against the FNV-64 content
+    // index of the existing corpus, rolled up per host — "how much of
+    // what this host 'adds' is content we already have"
+    "q390_mirror_census" -> ((s, d) => {
+      val tmp = sys.props("java.io.tmpdir")
+      val path = s"$tmp/graft_q390_idx_${s.sparkContext.applicationId}"
+      def rmrf(p: java.io.File): Unit = {
+        if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rmrf))
+        p.delete(): Unit
+      }
+      rmrf(new java.io.File(path))
+      val docs = t(s, d, "documents").filter(col("doc_id") >= 0)
+      val dd = col("doc_id")
+      graft.operators.Dedup.writeContentIndex(docs, "text", path)
+      val mirrors = docs.filter(dd % 13 === 0).select(
+        concat(lit("http://m"), dd % 5, lit(".test/mir/"), dd).as("url"),
+        col("text"))
+      val fresh = docs.filter(dd % 17 === 0).select(
+        concat(lit("http://m"), dd % 5, lit(".test/new/"), dd).as("url"),
+        concat(lit("fresh page "), dd).as("text"))
+      val flagged = graft.operators.Dedup.dedupAgainstIndex(
+        mirrors.unionAll(fresh), "url", "text", path)
+      flagged
+        .select(graft.operators.UrlOps.urlHost(col("id")).as("host"),
+          col("is_dup"))
+        .groupBy(col("host"))
+        .agg(count(lit(1)).as("n_added"),
+          sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_mirrored"),
+          sum(when(col("is_dup"), 0L).otherwise(1L)).as("n_new"))
+    }),
+
+    // The full crawl-acquisition pipeline in ONE lane: sitemap parse →
+    // frontier (sitemap <priority>, spec default 0.5 when absent) →
+    // robots gate (the /s/0 entry of every host is disallowed) →
+    // Crawl-delay budget → polite fetch schedule
+    "q391_frontier_pipeline" -> ((s, d) => {
+      val u = graft.operators.UrlOps
+      val docs = t(s, d, "documents").filter(col("doc_id") >= 0)
+      val hk = docs.select((col("doc_id") % 4).as("hk")).distinct()
+      val host = concat(lit("f"), col("hk"), lit(".test"))
+      val urlsetBody = array_join(transform(
+        sequence(lit(0), col("hk") + 2), i => concat(
+          lit("<url><loc>http://f"), col("hk"), lit(".test/s/"), i,
+          lit("</loc>"),
+          when(i % 2 === 0, concat(lit("<priority>0."),
+            (i + col("hk")) % 10, lit("</priority>"))).otherwise(lit("")),
+          lit("</url>\n"))), "")
+      val sitemaps = hk.select(host.as("host"), concat(
+        lit("<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">\n"),
+        urlsetBody, lit("</urlset>")).as("xml"))
+      val robots = hk.select(host.as("host"),
+        concat(lit("User-agent: *\nDisallow: /s/0\nCrawl-delay: "),
+          col("hk") + 1, lit("\n")).as("txt"))
+      val entries = u.sitemapEntries(sitemaps, "host", "xml")
+      val frontier = entries.select(
+        (regexp_extract(col("host"), "f([0-9]+)", 1).cast("long") * 10 +
+          col("entry_pos")).as("fid"),
+        col("loc").as("url"),
+        coalesce(col("priority"), lit(0.5)).as("prio"))
+      val rules = u.robotsRules(robots, "host", "txt", "graftbot")
+      val gated = u.robotsGate(frontier, "fid", "url", rules)
+        .filter(col("allowed"))
+      val delays = u.robotsCrawlDelay(robots, "host", "txt", "graftbot")
+      u.crawlSchedule(
+        gated.select(col("fid"), col("url"))
+          .join(frontier.select(col("fid"), col("prio")), Seq("fid")),
+        "fid", "url", "prio", delays)
+    }),
+
+    // Per-registered-domain fetch health: 5xx share with an integer
+    // cross-multiply block decision (site0 never errors, site1 25%,
+    // site2 exactly the 50% boundary → blocked)
+    "q392_domain_health" -> ((s, d) => {
+      val docs = t(s, d, "documents").filter(col("doc_id") >= 0)
+      val dd = col("doc_id")
+      graft.operators.UrlOps.domainHealth(
+        docs.select(
+          concat(lit("http://d"), dd % 8, lit(".site"), dd % 3,
+            lit(".test/p/"), dd).as("url"),
+          when(dd % 4 < dd % 3, 500).otherwise(200).as("status")),
+        "url", "status")
+    }),
+
+    // ...and the frontier gated on that health frame (broadcast,
+    // zero frontier shuffle): every URL of the blocked domain flags
+    "q393_domain_gate" -> ((s, d) => {
+      val docs = t(s, d, "documents").filter(col("doc_id") >= 0)
+      val dd = col("doc_id")
+      val url = concat(lit("http://d"), dd % 8, lit(".site"), dd % 3,
+        lit(".test/p/"), dd)
+      val health = graft.operators.UrlOps.domainHealth(
+        docs.select(url.as("url"),
+          when(dd % 4 < dd % 3, 500).otherwise(200).as("status")),
+        "url", "status")
+      graft.operators.UrlOps.domainHealthGate(
+        docs.select(dd, url.as("url")), "doc_id", "url", health)
+    }),
+
+    // Crawl-to-corpus composed end to end: raw WARC bytes → HTTP head
+    // → charset decode (q372's layer) → block-level main-content
+    // extraction (q388's layer) — container bytes in, density-gated
+    // prose out, one lane
+    "q394_crawl_to_corpus" -> ((s, d) => {
+      val pages = graft.operators.Multimodal.warcHtmlText(
+        graft.operators.Multimodal.syntheticWarcHtmlFromDocs(
+          t(s, d, "documents")))
+      graft.operators.TextAnalysis.mainContent(
+        pages.withColumnRenamed("media_id", "doc_id"), "doc_id",
+        col("html"), keep = Seq("status", "charset"))
+    }),
+
     // WARC census probe: real ISO-28500 crawl-container records
     // (Content-Length-framed — payload bytes never inspected) — the
     // crawl-ingest planning row: record/type counts, payload bytes,
@@ -8447,6 +8561,137 @@ object SparkEntry {
     // streaming link census == batch extraction: one code path, same
     // oracle (the q368/q376 convention)
     "q389_stream_link_census" -> linkExtractOracleSql,
+
+    // Mirror-census replay: canonical text, the exact FNV-64 chain as
+    // signed i64 (the q281 convention), membership of each added URL's
+    // content against the whole-corpus hash set, per-host rollup
+    "q390_mirror_census" ->
+      s"""WITH canon AS (SELECT doc_id,
+         |    trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS c
+         |  FROM documents WHERE doc_id >= 0),
+         |hist AS (SELECT DISTINCT
+         |    ${toI64Sql(fnvSql("c"))} AS h
+         |  FROM canon WHERE c IS NOT NULL),
+         |addeds AS (
+         |  SELECT 'http://m' || (doc_id % 5) || '.test/mir/' || doc_id
+         |      AS url, c FROM canon WHERE doc_id % 13 = 0
+         |  UNION ALL
+         |  SELECT 'http://m' || (doc_id % 5) || '.test/new/' || doc_id,
+         |    'fresh page ' || doc_id FROM canon WHERE doc_id % 17 = 0),
+         |hh AS (SELECT url, CASE WHEN c IS NOT NULL
+         |    THEN ${toI64Sql(fnvSql("c"))} END AS h FROM addeds),
+         |fl AS (SELECT url, (h IS NOT NULL AND EXISTS
+         |    (SELECT 1 FROM hist WHERE hist.h = hh.h)) AS dup FROM hh)
+         |SELECT regexp_extract(url, '^http://([^/]*)/', 1) AS host,
+         |  count(*)::BIGINT AS n_added,
+         |  sum(CASE WHEN dup THEN 1 ELSE 0 END)::BIGINT AS n_mirrored,
+         |  sum(CASE WHEN dup THEN 0 ELSE 1 END)::BIGINT AS n_new
+         |FROM fl GROUP BY 1""".stripMargin,
+
+    // Frontier-pipeline replay: everything is closed-form — entry 0 of
+    // each host is robots-disallowed, priorities are the sitemap arms
+    // (absent → 0.5 default), delay is the * group's hk+1, and the
+    // schedule is the same priority-desc / id-asc window
+    "q391_frontier_pipeline" ->
+      """WITH hk AS (SELECT DISTINCT doc_id % 4 AS hk FROM documents
+        |  WHERE doc_id >= 0),
+        |e AS (SELECT hk, unnest(generate_series(1, hk + 2)) AS i FROM hk),
+        |f AS (SELECT hk, hk * 10 + i AS fid,
+        |    'http://f' || hk || '.test/s/' || i AS url,
+        |    'f' || hk || '.test' AS host,
+        |    CASE WHEN i % 2 = 0
+        |      THEN CAST('0.' || ((i + hk) % 10) AS DOUBLE)
+        |      ELSE 0.5 END AS prio
+        |  FROM e),
+        |sq AS (SELECT fid, url, host, hk,
+        |    row_number() OVER (PARTITION BY hk
+        |      ORDER BY prio DESC, fid ASC) AS seq
+        |  FROM f)
+        |SELECT CAST(fid AS BIGINT) AS fid, url, host,
+        |  CAST(seq AS BIGINT) AS fetch_seq,
+        |  CAST(seq - 1 AS DOUBLE) * CAST(hk + 1 AS DOUBLE) AS eta_sec
+        |FROM sq""".stripMargin,
+
+    // Domain-health replay: per-domain 5xx census; err_pct is the same
+    // mult-then-divide pair, blocked the same integer cross-multiply
+    "q392_domain_health" ->
+      """WITH fx AS (SELECT doc_id,
+        |    'site' || (doc_id % 3) || '.test' AS domain,
+        |    CASE WHEN doc_id % 4 < doc_id % 3 THEN 500 ELSE 200 END
+        |      AS status
+        |  FROM documents WHERE doc_id >= 0)
+        |SELECT domain, count(*)::BIGINT AS n_fetches,
+        |  sum(CASE WHEN status >= 500 THEN 1 ELSE 0 END)::BIGINT AS n_5xx,
+        |  CAST(sum(CASE WHEN status >= 500 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    * 100.0 / CAST(count(*) AS DOUBLE) AS err_pct,
+        |  (sum(CASE WHEN status >= 500 THEN 1 ELSE 0 END) * 100
+        |    >= count(*) * 50) AS blocked
+        |FROM fx GROUP BY 1""".stripMargin,
+
+    // Gate replay: blocked iff the URL's registered domain crossed the
+    // threshold (only site2's exact-50% boundary does)
+    "q393_domain_gate" ->
+      """WITH fx AS (SELECT doc_id,
+        |    'http://d' || (doc_id % 8) || '.site' || (doc_id % 3)
+        |      || '.test/p/' || doc_id AS url,
+        |    'site' || (doc_id % 3) || '.test' AS domain,
+        |    CASE WHEN doc_id % 4 < doc_id % 3 THEN 500 ELSE 200 END
+        |      AS status
+        |  FROM documents WHERE doc_id >= 0),
+        |bl AS (SELECT domain,
+        |    (sum(CASE WHEN status >= 500 THEN 1 ELSE 0 END) * 100
+        |      >= count(*) * 50) AS blocked
+        |  FROM fx GROUP BY 1)
+        |SELECT f.doc_id, f.url, f.domain, b.blocked
+        |FROM fx f JOIN bl b ON f.domain = b.domain""".stripMargin,
+
+    // Crawl-to-corpus replay: q372's page/charset synthesis feeding
+    // q388's block/density chain — the composed end-to-end pin
+    "q394_crawl_to_corpus" ->
+      """WITH base AS (SELECT doc_id, substr(text, 1, 40) AS a,
+        |    CASE WHEN doc_id % 7 = 0 THEN 'windows-1252'
+        |         WHEN doc_id % 3 = 0 THEN 'utf-8'
+        |         WHEN doc_id % 3 = 1 THEN 'iso-8859-1'
+        |         ELSE 'windows-1252' END AS charset,
+        |    CASE WHEN doc_id % 7 = 0 THEN '€'
+        |         WHEN doc_id % 3 = 0 THEN 'π'
+        |         WHEN doc_id % 3 = 1 THEN 'é'
+        |         ELSE '€' END AS marker
+        |  FROM documents WHERE doc_id >= 0 AND text IS NOT NULL),
+        |h AS (SELECT doc_id, charset,
+        |    '<html><head><title>Doc ' || doc_id || ' ' || marker ||
+        |    '</title></head><body><p>' || a || ' café ' || marker ||
+        |    '</p>' || repeat('<a href="http://ex.org/x/' || doc_id ||
+        |    '">x</a>', CAST(doc_id % 4 AS INT)) || '</body></html>'
+        |      AS html
+        |  FROM base),
+        |l AS (SELECT doc_id, charset,
+        |    list_transform(string_split_regex(html,
+        |      '</p>|</div>|</li>|</h1>|</h2>|</h3>'), b ->
+        |      regexp_replace(regexp_replace(regexp_replace(b,
+        |        '<[^>]*>', '', 'g'), '\s+', ' ', 'g'), '^ | $', '', 'g'))
+        |      AS txts,
+        |    list_transform(string_split_regex(html,
+        |      '</p>|</div>|</li>|</h1>|</h2>|</h3>'), b ->
+        |      COALESCE(length(regexp_replace(regexp_replace(
+        |        array_to_string(regexp_extract_all(b,
+        |          '<a[^>]*>([^<]*)</a>', 1), ' '),
+        |        '\s+', ' ', 'g'), '^ | $', '', 'g')), 0)) AS acs
+        |  FROM h),
+        |k AS (SELECT doc_id, charset, len(txts) AS nb,
+        |    list_filter(txts, (t, i) ->
+        |      length(t) >= 20 AND acs[i] * 100 <= length(t) * 30) AS kept,
+        |    list_sum(list_transform(txts, t -> length(t))) AS tot
+        |  FROM l)
+        |SELECT doc_id, 200 AS status, charset,
+        |  CAST(nb AS BIGINT) AS n_blocks,
+        |  CAST(len(kept) AS BIGINT) AS n_kept,
+        |  COALESCE(CAST(list_sum(list_transform(kept, t -> length(t)))
+        |    AS BIGINT), 0)::BIGINT AS main_chars,
+        |  CAST(tot - COALESCE(list_sum(list_transform(kept,
+        |    t -> length(t))), 0) AS BIGINT) AS boiler_chars,
+        |  array_to_string(kept, chr(10)) AS main_text
+        |FROM k""".stripMargin,
 
     // host-graph replay: the resolved arms rolled up per edge; all
     // fixture hosts are two-label so registered-domain equality is

@@ -887,7 +887,14 @@ object Dedup {
         Window.partitionBy(col("gh")).orderBy(col("id"), col("pos"))))
       .filter(col("__rn") > 1)
       .select(col("id"), col("pos"))
-    val dups = coldDups.unionByName(hotDups)
+    // Exchange the narrow (id, pos) dup rows by id BEFORE everything
+    // downstream (the q139/LPA partial-agg lesson): hash(id) satisfies
+    // the covered-position distinct, the island window (minMatchLen
+    // path), the anti-join's clustering, AND the rebuild groupBy — one
+    // raw exchange here replaces three aggregation/join exchanges, and
+    // no downstream partial agg ever sees a scan-split-shaped
+    // near-unique key stream (the sf100 spill source).
+    val dups = coldDups.unionByName(hotDups).repartition(col("id"))
     // minMatchLen (Lee et al.'s ">= 50 tokens" knob): duplicated gram
     // positions whose covered token intervals overlap or abut coalesce
     // into one region ([first, last + spanLen - 1]); only regions of
@@ -918,6 +925,12 @@ object Dedup {
           .select(col("id"),
             explode(sequence(col("__s"), col("__e"))).as("tpos"))
       }
+    // The join aligns both sides at hash(id) (subset of the (id, tpos)
+    // clustering — the dups exchange above seeded it), so the
+    // collect_list rebuild below runs on resident partition-bounded
+    // rows with NO further exchange: collect_list has no map-side
+    // reduction, and feeding it a scan-split-shaped token stream was
+    // the other half of the sf100 spill.
     val kept = spine
       .select(col("id"), posexplode(col("__toks")).as(Seq("tpos", "tok")))
       .join(covered, Seq("id", "tpos"), "left_anti")

@@ -89,9 +89,18 @@ object QualityRules {
             array_join(slice(col("__toks"), i, lit(n)), " ").as("gram"))))
         .otherwise(array().cast("array<struct<n:int,gram:string>>"))
 
+    // Exchange the RAW (id, n, gram) rows by id BEFORE any aggregation
+    // (the Graph.labelPropagation round-10 lesson): the key space is
+    // near-unique per doc, so scan-split-shaped map-side combine builds
+    // a giant hash map for almost no reduction — at sf100 that was
+    // 252 GB of spill. hash(id) satisfies the clustering of THIS
+    // groupBy, of perN's, of perDoc's, and of the final join, so one
+    // narrow exchange replaces three agg exchanges and every
+    // aggregation runs on resident, partition-bounded state.
     val grams = base.select(col(idCol),
       explode(concat(gramStructs(2), gramStructs(3), gramStructs(5))).as("g"))
       .select(col(idCol), col("g.n").as("n"), col("g.gram").as("gram"))
+      .repartition(col(idCol))
       .groupBy(col(idCol), col("n"), col("gram"))
       .agg(count(lit(1)).as("cnt"))
     val perN = grams.groupBy(col(idCol), col("n"))

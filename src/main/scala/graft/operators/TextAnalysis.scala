@@ -1680,28 +1680,31 @@ object TextAnalysis {
     * lesson).
     */
   def mainContent(df: DataFrame, idCol: String, htmlCol: Column,
-      minTextLen: Int = 20, maxLinkDensityPct: Int = 30): DataFrame = {
+      minTextLen: Int = 20, maxLinkDensityPct: Int = 30,
+      keep: Seq[String] = Nil): DataFrame = {
     def clean(c: Column): Column =
       regexp_replace(regexp_replace(c, "\\s+", " "), "^ | $", "")
-    val s1 = df.filter(htmlCol.isNotNull).select(col(idCol),
-      split(htmlCol, "</p>|</div>|</li>|</h1>|</h2>|</h3>").as("__bl"))
-    val s2 = s1.select(col(idCol), size(col("__bl")).cast("long").as("n_blocks"),
+    val kc = keep.map(col)
+    val s1 = df.filter(htmlCol.isNotNull).select(col(idCol) +: kc :+
+      split(htmlCol, "</p>|</div>|</li>|</h1>|</h2>|</h3>").as("__bl"): _*)
+    val s2 = s1.select(col(idCol) +: kc :+
+      size(col("__bl")).cast("long").as("n_blocks") :+
       transform(col("__bl"), b => {
         val txt = clean(regexp_replace(b, "<[^>]*>", ""))
         struct(txt.as("txt"), length(txt).as("tc"),
           length(clean(array_join(regexp_extract_all(b,
             lit("<a[^>]*>([^<]*)</a>"), lit(1)), " "))).as("ac"))
-      }).as("__sc"))
-    val s3 = s2.select(col(idCol), col("n_blocks"),
-      aggregate(col("__sc"), lit(0L), (a, s) => a + s("tc")).as("__tot"),
+      }).as("__sc"): _*)
+    val s3 = s2.select(col(idCol) +: kc :+ col("n_blocks") :+
+      aggregate(col("__sc"), lit(0L), (a, s) => a + s("tc")).as("__tot") :+
       filter(col("__sc"), s =>
         s("tc") >= minTextLen &&
-          s("ac") * 100 <= s("tc") * maxLinkDensityPct).as("__k"))
-    s3.select(col(idCol), col("n_blocks"),
-      size(col("__k")).cast("long").as("n_kept"),
-      aggregate(col("__k"), lit(0L), (a, s) => a + s("tc")).as("main_chars"),
+          s("ac") * 100 <= s("tc") * maxLinkDensityPct).as("__k"): _*)
+    s3.select(col(idCol) +: kc :+ col("n_blocks") :+
+      size(col("__k")).cast("long").as("n_kept") :+
+      aggregate(col("__k"), lit(0L), (a, s) => a + s("tc")).as("main_chars") :+
       (col("__tot") - aggregate(col("__k"), lit(0L), (a, s) => a + s("tc")))
-        .as("boiler_chars"),
-      array_join(transform(col("__k"), s => s("txt")), "\n").as("main_text"))
+        .as("boiler_chars") :+
+      array_join(transform(col("__k"), s => s("txt")), "\n").as("main_text"): _*)
   }
 }

@@ -539,6 +539,48 @@ object UrlOps {
         .as("refetch_class"))
   }
 
+  /** Per-registered-domain fetch-health rollup: server-error share of
+    * a domain's fetches, and a block flag when the domain has enough
+    * history AND its 5xx share crosses the threshold — the "stop
+    * wasting crawl budget on a dying mirror" signal. The block
+    * decision is an INTEGER cross-multiply (`n_5xx·100 ≥ n·pct`) so it
+    * replays exactly; `err_pct` is one IEEE multiply-then-divide for
+    * human eyes. Output: (domain, n_fetches, n_5xx, err_pct, blocked).
+    *
+    * Scale: one partial/final aggregation keyed by domain; the output
+    * is domain-count-sized and broadcastable into
+    * [[domainHealthGate]].
+    */
+  def domainHealth(fetches: DataFrame, urlCol: String, statusCol: String,
+      minFetches: Long = 1, maxServerErrPct: Int = 50): DataFrame =
+    fetches
+      .select(registeredDomain(urlHost(col(urlCol))).as("domain"),
+        col(statusCol).as("__st"))
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_fetches"),
+        sum(when(col("__st") >= 500, 1L).otherwise(0L)).as("n_5xx"))
+      .select(col("domain"), col("n_fetches"), col("n_5xx"),
+        (col("n_5xx").cast("double") * 100.0 /
+          col("n_fetches").cast("double")).as("err_pct"),
+        (col("n_fetches") >= minFetches &&
+          col("n_5xx") * 100 >= col("n_fetches") * maxServerErrPct)
+          .as("blocked"))
+
+  /** Frontier gate over [[domainHealth]] output: URLs of blocked
+    * domains are flagged; domains with no recorded health pass (no
+    * evidence is not a block). The health frame is domain-count-sized
+    * — broadcast; the frontier never shuffles.
+    */
+  def domainHealthGate(frontier: DataFrame, idCol: String,
+      urlCol: String, health: DataFrame): DataFrame =
+    frontier
+      .select(col(idCol), col(urlCol).as("url"),
+        registeredDomain(urlHost(col(urlCol))).as("domain"))
+      .join(broadcast(health.select(col("domain"), col("blocked"))),
+        Seq("domain"), "left")
+      .select(col(idCol), col("url"), col("domain"),
+        coalesce(col("blocked"), lit(false)).as("blocked"))
+
   /** Per-(domain, host) crawl rollup over raw fetched URLs: fetch
     * counts by outcome class plus the dedup collapse the canonicalizer
     * buys (n_urls vs distinct canonical forms). One hash-partial +

@@ -394,4 +394,30 @@ class UrlOpsSpec extends AnyFunSuite {
     // 21 obs, 1 change: 1*20 < 21 -> monthly (boundary just misses)
     assert(out("u5") == (("etag", Some("\"e5\""), false, true, "monthly")))
   }
+
+  test("domainHealth: integer boundary, minFetches guard, gate pass-through") {
+    import spark.implicits._
+    val log = Seq(
+      // a.test: 2/4 = exactly 50% -> blocked (>= boundary)
+      ("http://x.a.test/1", 500), ("http://y.a.test/2", 503),
+      ("http://x.a.test/3", 200), ("http://x.a.test/4", 404),
+      // b.test: 1/4 = 25% -> not blocked
+      ("http://b.test/1", 500), ("http://b.test/2", 200),
+      ("http://b.test/3", 200), ("http://b.test/4", 200),
+      // c.test: 1/1 = 100% but below minFetches -> not blocked
+      ("http://c.test/1", 500))
+      .toDF("url", "status")
+    val health = UrlOps.domainHealth(log, "url", "status",
+      minFetches = 2, maxServerErrPct = 50)
+    val m = health.collect().map(r => r.getString(0) ->
+      ((r.getLong(1), r.getLong(2), r.getBoolean(4)))).toMap
+    assert(m == Map("a.test" -> ((4L, 2L, true)),
+      "b.test" -> ((4L, 1L, false)), "c.test" -> ((1L, 1L, false))))
+    val frontier = Seq((1L, "http://z.a.test/n"), (2L, "http://b.test/n"),
+      (3L, "http://unseen.test/n")).toDF("id", "url")
+    val gated = UrlOps.domainHealthGate(frontier, "id", "url", health)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    // unseen domain passes (no evidence is not a block)
+    assert(gated == Map(1L -> true, 2L -> false, 3L -> false))
+  }
 }
