@@ -2868,7 +2868,12 @@ object SparkEntry {
       rmrf(new java.io.File(path))
       val docs = t(s, d, "documents").filter(col("doc_id") >= 0)
       val dd = col("doc_id")
-      graft.operators.Dedup.writeContentIndex(docs, "text", path)
+      // 32 buckets: the lane builds its index in-query (gate
+      // self-containment); at gate/bench SFs the 256-bucket fleet
+      // layout is pure per-directory listing overhead (the
+      // writeContentIndex Scaladoc contract)
+      graft.operators.Dedup.writeContentIndex(docs, "text", path,
+        buckets = 32)
       val mirrors = docs.filter(dd % 13 === 0).select(
         concat(lit("http://m"), dd % 5, lit(".test/mir/"), dd).as("url"),
         col("text"))
