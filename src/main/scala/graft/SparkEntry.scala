@@ -2971,6 +2971,35 @@ object SparkEntry {
         col("html"), keep = Seq("status", "charset"))
     }),
 
+    // PageRank over the EXTRACTED host link graph — the crawl-seed
+    // ranking composition: q382's anchor resolution → q383's host
+    // edges → numeric host ids → the ordered-fold pageRank kernel →
+    // ranks mapped back to host names. Self-edges (in-host links)
+    // participate as the fixture produces them.
+    "q395_host_pagerank" -> ((s, d) => {
+      val u = graft.operators.UrlOps
+      val links = u.extractLinks(linkPageFixture(t(s, d, "documents")),
+        "doc_id", "page_url", "page_html")
+      val hg = u.hostGraph(links, "url", "target")
+      def hid(h: Column): Column =
+        when(h.startsWith("h"),
+          regexp_extract(h, "^h([0-9]+)", 1).cast("long"))
+          .when(h.startsWith("ex"),
+            regexp_extract(h, "^ex([0-9]+)", 1).cast("long") + 100)
+          .otherwise(regexp_extract(h, "^cdn([0-9]+)", 1).cast("long") + 200)
+      graft.operators.Graph.pageRank(
+        hg.select(hid(col("src_host")).as("u"), hid(col("dst_host")).as("v")),
+        "u", "v")
+        .select(
+          when(col("node") < 100,
+            concat(lit("h"), col("node"), lit(".test")))
+            .when(col("node") < 200,
+              concat(lit("ex"), col("node") - 100, lit(".org")))
+            .otherwise(concat(lit("cdn"), col("node") - 200, lit(".test")))
+            .as("host"),
+          col("pr"))
+    }),
+
     // WARC census probe: real ISO-28500 crawl-container records
     // (Content-Length-framed — payload bytes never inspected) — the
     // crawl-ingest planning row: record/type counts, payload bytes,
@@ -8649,6 +8678,42 @@ object SparkEntry {
         |  FROM fx GROUP BY 1)
         |SELECT f.doc_id, f.url, f.domain, b.blocked
         |FROM fx f JOIN bl b ON f.domain = b.domain""".stripMargin,
+
+    // Host-pagerank replay: the arms' distinct host edges in closed
+    // numeric form (ex arm always, cdn arm on even docs, the three
+    // self arms collapsing to one self-edge), then the identical
+    // source-ordered-fold iteration chain as q155, ranks mapped back
+    // to host names
+    "q395_host_pagerank" -> {
+      val its = (1 to 10).map { i =>
+        s"""s$i AS (SELECT e.v, list_reduce(list_prepend(0.0,
+           |    list(p.pr / o.outd ORDER BY e.u)), (a, b) -> a + b) AS s
+           |  FROM e JOIN pr${i - 1} p ON p.node = e.u JOIN od o ON o.u = e.u
+           |  GROUP BY e.v),
+           |pr$i AS (SELECT n.node,
+           |    (1.0::DOUBLE - 0.85::DOUBLE) / t.n
+           |      + 0.85::DOUBLE * coalesce(s.s, 0.0) AS pr
+           |  FROM nodes n CROSS JOIN tot t LEFT JOIN s$i s ON s.v = n.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH dk AS (SELECT doc_id FROM documents WHERE doc_id >= 0),
+         |e AS (
+         |  SELECT DISTINCT doc_id % 5 AS u, 100 + doc_id % 4 AS v FROM dk
+         |  UNION
+         |  SELECT DISTINCT doc_id % 5, 200 + doc_id % 3 FROM dk
+         |    WHERE doc_id % 2 = 0
+         |  UNION
+         |  SELECT DISTINCT doc_id % 5, doc_id % 5 FROM dk),
+         |nodes AS (SELECT u AS node FROM e UNION SELECT v FROM e),
+         |tot AS (SELECT count(*)::BIGINT AS n FROM nodes),
+         |od AS (SELECT u, count(*) AS outd FROM e GROUP BY u),
+         |pr0 AS (SELECT node, 1.0::DOUBLE / t.n AS pr
+         |  FROM nodes CROSS JOIN tot t),
+         |$its
+         |SELECT CASE WHEN node < 100 THEN 'h' || node || '.test'
+         |  WHEN node < 200 THEN 'ex' || (node - 100) || '.org'
+         |  ELSE 'cdn' || (node - 200) || '.test' END AS host, pr
+         |FROM pr10""".stripMargin
+    },
 
     // Crawl-to-corpus replay: q372's page/charset synthesis feeding
     // q388's block/density chain — the composed end-to-end pin
