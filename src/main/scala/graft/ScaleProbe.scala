@@ -75,6 +75,40 @@ object ScaleProbe {
                 Tables.embeddings(spark, d).filter(col("vec_id") % evalMod === 0),
                 path, threshold = 0.3)
             })
+        // Served ANN lanes (r11 verdict #6): index built at the probe SF
+        // untimed, probe frame = the Bench probe shape (5 vectors). The
+        // claim under test is near-flat query cost vs corpus size — the
+        // input_read_mb telemetry is the partition-pruning evidence.
+        case "q34_lsh_served" =>
+          val path = s"$tmp/graft_probe_lsh_$runTag"
+          (() => graft.operators.Similarity.writeLshIndex(
+            Tables.embeddings(spark, sfDir), path),
+            d => graft.operators.Similarity.bandedLshTopKFromIndex(
+              spark, path, Tables.embeddings(spark, d).filter(col("vec_id") < 5),
+              k = 10))
+        case "q52_ivf_served" =>
+          val path = s"$tmp/graft_probe_ivf_$runTag"
+          (() => {
+            val m = graft.operators.IvfIndex.train(
+              Tables.embeddings(spark, sfDir), k = 8, iterations = 3)
+            graft.operators.IvfIndex.writeIndex(
+              Tables.embeddings(spark, sfDir), m, path)
+          },
+            d => graft.operators.IvfIndex.topKFromIndex(spark, path,
+              Tables.embeddings(spark, d).filter(col("vec_id") < 5),
+              k = 10, nprobe = 4))
+        case "q153_ivfadc_served" =>
+          val path = s"$tmp/graft_probe_ivfadc_$runTag"
+          (() => {
+            val m = graft.operators.IvfAdc.train(
+              Tables.embeddings(spark, sfDir), kCells = 8, m = 8, pqK = 16,
+              iterations = 3, dim = 64)
+            graft.operators.IvfAdc.writeIndex(
+              Tables.embeddings(spark, sfDir), m, path)
+          },
+            d => graft.operators.IvfAdc.topKFromIndex(spark, path,
+              Tables.embeddings(spark, d).filter(col("vec_id") < 5),
+              nprobe = 4, k = 10))
         case "q351_bucketed_served" =>
           val lt = s"probe_b_lineitem_$runTag"; val ot = s"probe_b_orders_$runTag"
           (() => {

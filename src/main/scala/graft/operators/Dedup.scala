@@ -565,12 +565,15 @@ object Dedup {
         // checkpoints would pile up cached RDDs for the session lifetime.
         .localCheckpoint(true)
       converged = next.filter(col("rep") =!= col("__prev")).isEmpty
-      previous.foreach(_.unpersist())
+      // RDD-level release (checkpoint blocks are not in the CacheManager,
+      // so Dataset.unpersist would no-op on them)
+      previous.foreach(
+        org.apache.spark.sql.graftbridge.ColumnBridge.releaseCheckpoint)
       previous = Some(next)
       labels = next.select(col("id"), col("rep"))
       pass += 1
     }
-    edges.unpersist()
+    org.apache.spark.sql.graftbridge.ColumnBridge.releaseCheckpoint(edges)
     labels
   }
 
@@ -925,27 +928,33 @@ object Dedup {
           .select(col("id"),
             explode(sequence(col("__s"), col("__e"))).as("tpos"))
       }
-    // The join aligns both sides at hash(id) (subset of the (id, tpos)
-    // clustering — the dups exchange above seeded it), so the
-    // collect_list rebuild below runs on resident partition-bounded
-    // rows with NO further exchange: collect_list has no map-side
-    // reduction, and feeding it a scan-split-shaped token stream was
-    // the other half of the sf100 spill.
-    val kept = spine
-      .select(col("id"), posexplode(col("__toks")).as(Seq("tpos", "tok")))
-      .join(covered, Seq("id", "tpos"), "left_anti")
-    val rebuilt = kept.groupBy(col("id"))
-      .agg(count(lit(1)).as("n_kept"),
-        array_join(
-          transform(array_sort(collect_list(struct(col("tpos"), col("tok")))),
-            x => x.getField("tok")),
-          " ").as("text_dedup"))
-    spine.select(col("id"), col("n_tokens"))
-      .join(rebuilt, Seq("id"), "left")
+    // Rebuild WITHOUT a token-volume shuffle (r11 verdict #2: the old
+    // posexplode → anti-join → collect_list rebuild pushed the whole
+    // corpus token stream through SMJ/window sort buffers — the ~100 GB
+    // residual memory spill at sf100). Covered positions roll up to ONE
+    // int array per AFFECTED doc (collect_list on resident hash(id)
+    // partitions — the dups exchange above seeded the clustering, so no
+    // new exchange, and the array is bounded by doc length); the spine
+    // then joins doc-to-doc — shuffle HASH join, build side the
+    // dup-affected docs only, so the corpus payload side is streamed,
+    // never sorted — and the surviving text is rebuilt per row with
+    // O(n_tokens) array kernels: kept positions = array_except(all
+    // positions, covered) (order-preserving on its first argument),
+    // tokens picked back by index. Unaffected docs (null __cov) keep
+    // their token array untouched.
+    val coveredPerDoc = covered.groupBy(col("id"))
+      .agg(collect_list(col("tpos")).as("__cov"))
+    val keptToks =
+      when(col("__cov").isNull, col("__toks"))
+        .otherwise(transform(
+          array_except(sequence(lit(0), size(col("__toks")) - 1), col("__cov")),
+          p => element_at(col("__toks"), p + 1)))
+    spine.join(coveredPerDoc.hint("shuffle_hash"), Seq("id"), "left")
+      .select(col("id"), col("n_tokens"), keptToks.as("__kept"))
       .select(col("id"), col("n_tokens"),
-        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
-        coalesce(col("text_dedup"), lit("")).as("text_dedup"))
+        size(col("__kept")).cast("long").as("n_kept"),
+        (col("n_tokens") - size(col("__kept"))).as("n_removed"),
+        array_join(col("__kept"), " ").as("text_dedup"))
   }
 
   /** Canonical-document selection per near-duplicate cluster: the keep

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
 
 /** Distributed graph primitives for the curation pipeline.
   *
@@ -119,12 +120,14 @@ object Graph {
         .select(col("n.vtx").as("vtx"), col("n.lbl").as("lbl"), col("__prev"))
         .localCheckpoint(true)
       converged = next.filter(col("lbl") =!= col("__prev")).isEmpty
-      previous.foreach(_.unpersist())
+      // RDD-level release — Dataset.unpersist is a no-op on checkpoint
+      // blocks (they are not in the CacheManager)
+      previous.foreach(ColumnBridge.releaseCheckpoint)
       previous = Some(next)
       labels = next.select(col("vtx"), col("lbl"))
       pass += 1
     }
-    sym.unpersist()
+    ColumnBridge.releaseCheckpoint(sym)
     labels.select(col("vtx").as("vertex"), col("lbl").as("component"))
   }
 
@@ -180,10 +183,14 @@ object Graph {
           transform(array_sort(collect_list(struct(col("u"), col("__c")))),
             x => x.getField("__c")),
           lit(0.0), (acc, x) => acc + x).as("__s"))
-      pr = nodes.join(sums, nodes("node") === sums("v"), "left")
+      val next = nodes.join(sums, nodes("node") === sums("v"), "left")
         .select(col("node"),
           (lit(reset) + lit(damping) * coalesce(col("__s"), lit(0.0))).as("pr"))
         .localCheckpoint(true)
+      // eager per-round release (r11 verdict #3): live storage is one
+      // rank frame + the edge layout, independent of iteration count
+      ColumnBridge.releaseCheckpoint(pr)
+      pr = next
     }
     pr
   }
@@ -336,9 +343,11 @@ object Graph {
       val nNext = next.count()
       converged = nNext == nEdges
       // the dropped round's checkpoint blocks are RDD-level (not in the
-      // CacheManager — Dataset.unpersist would be a no-op on them); the
-      // ContextCleaner frees them once this reassignment drops the last
-      // reference and GC collects the RDD
+      // CacheManager — Dataset.unpersist would be a no-op on them);
+      // release them eagerly rather than waiting for GC + the
+      // ContextCleaner to notice (r11 verdict #3: dead-round blocks
+      // accumulating faster than GC freed them exhausted scratch)
+      ColumnBridge.releaseCheckpoint(e)
       e = next; nEdges = nNext
       pass += 1
     }
@@ -507,6 +516,11 @@ object Graph {
       .repartition(nPart, col("u"))
       .sortWithinPartitions(col("u"))
       .localCheckpoint(true)
+    // sym materialized — the canonical-edge checkpoint is dead weight
+    // from here on; release it NOW instead of waiting for the
+    // ContextCleaner (r11 verdict #3: accumulated dead checkpoint
+    // blocks, not live state, exhausted the sf30/sf100 scratch volume).
+    ColumnBridge.releaseCheckpoint(eC)
     // Round 1 in closed form: with all-distinct initial labels
     // (label(v) = v), every neighbor label count is exactly 1, so the
     // (count DESC, label ASC) rule degenerates to MIN NEIGHBOR — same
@@ -533,11 +547,16 @@ object Graph {
         .repartition(nPart, col("v"))
         .groupBy(col("v").as("node"), col("label"))
         .agg(count(lit(1)).as("__c"))
-      labels = cnt.groupBy(col("node"))
+      val next = cnt.groupBy(col("node"))
         .agg(min(struct((-col("__c")).as("__nc"), col("label").as("__l")))
           .as("__best"))
         .select(col("node"), col("__best.__l").as("label"))
-        .localCheckpoint(true)
+        .localCheckpoint(true) // eager: materialized before the release below
+      // The new labeling no longer references last round's blocks —
+      // free them eagerly so live storage is one label frame + sym,
+      // independent of iteration count.
+      ColumnBridge.releaseCheckpoint(labels)
+      labels = next
     }
     ColumnBridge.ofRows(owner, ColumnBridge.analyzed(labels))
   }
@@ -605,9 +624,17 @@ object Graph {
     }
     var hub = nodes.select(col("node"), lit(1.0).as("s"))
     var auth = nodes.select(col("node"), lit(1.0).as("s"))
-    (1 to iterations).foreach { _ =>
-      hub = halfStep(auth, "v", "u")   // h(u) = Σ a(v) over u→v
-      auth = halfStep(hub, "u", "v")   // a(v) = Σ h(u) over u→v
+    (1 to iterations).foreach { i =>
+      val h2 = halfStep(auth, "v", "u") // h(u) = Σ a(v) over u→v
+      val a2 = halfStep(h2, "u", "v")   // a(v) = Σ h(u) over u→v
+      // both new frames are eagerly materialized — release the round's
+      // superseded checkpoints now (round 1's inputs are plain selects
+      // over `nodes`, so the release no-ops there)
+      if (i > 1) {
+        ColumnBridge.releaseCheckpoint(hub)
+        ColumnBridge.releaseCheckpoint(auth)
+      }
+      hub = h2; auth = a2
     }
     hub.select(col("node"), (col("s") / nD).as("hub"))
       .join(auth.select(col("node"), (col("s") / nD).as("authority")),

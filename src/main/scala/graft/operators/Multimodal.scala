@@ -210,7 +210,11 @@ object Multimodal {
   private def featureSchema(dim: Int): StructType = StructType(Seq(
     StructField("media_id", LongType),
     StructField("features", ArrayType(FloatType, containsNull = false)),
-    StructField("n_bytes", LongType)))
+    StructField("n_bytes", LongType),
+    // true = features come from a REAL codec decode; false = the
+    // deterministic byte-statistics stub (r11 verdict #7: consumers must
+    // be able to tell pixel features from stub features on every path)
+    StructField("decoded", BooleanType, nullable = false)))
 
   /** Batched feature extraction: one pass per partition over the binary
     * column (mapPartitions = the JVM analog of mapInPandas batches — the
@@ -230,10 +234,10 @@ object Multimodal {
       // per-partition setup would go here (codec/model init)
       rows.map { r =>
         val bytes = Option(r.getAs[Array[Byte]]("content")).getOrElse(Array.emptyByteArray)
-        val feats =
-          (if (useJdkCodec) JdkImageCodec.imageFeatures(bytes, dim) else None)
-            .getOrElse(StubCodecs.imageFeatures(bytes, dim))
-        Row(r.getAs[Long]("media_id"), feats.toSeq, bytes.length.toLong)
+        val real = if (useJdkCodec) JdkImageCodec.imageFeatures(bytes, dim) else None
+        val feats = real.getOrElse(StubCodecs.imageFeatures(bytes, dim))
+        Row(r.getAs[Long]("media_id"), feats.toSeq, bytes.length.toLong,
+          real.isDefined)
       }
     }(enc)
   }
@@ -244,7 +248,11 @@ object Multimodal {
     */
   def resize(media: DataFrame, targetW: Int, targetH: Int,
       useJdkCodec: Boolean = true): DataFrame = {
-    val enc = org.apache.spark.sql.Encoders.row(mediaSchema)
+    // mediaSchema + trailing `decoded` provenance flag (r11 verdict #7);
+    // downstream media operators select by name, so the extra column
+    // composes transparently
+    val enc = org.apache.spark.sql.Encoders.row(StructType(
+      mediaSchema.fields :+ StructField("decoded", BooleanType, nullable = false)))
     media.mapPartitions { rows =>
       rows.map { r =>
         val bytes = Option(r.getAs[Array[Byte]]("content")).getOrElse(Array.emptyByteArray)
@@ -261,7 +269,8 @@ object Multimodal {
           Row(mime,
             targetW, targetH,
             if (meta == null) null else meta.getAs[Any]("duration_ms"),
-            if (meta == null) null else meta.getAs[Any]("sample_rate")))
+            if (meta == null) null else meta.getAs[Any]("sample_rate")),
+          real.isDefined)
       }
     }(enc)
   }
@@ -286,15 +295,17 @@ object Multimodal {
       useJdkCodec: Boolean = true): DataFrame = {
     val schema = StructType(Seq(
       StructField("media_id", LongType),
-      StructField("energy", ArrayType(FloatType, containsNull = false))))
+      StructField("energy", ArrayType(FloatType, containsNull = false)),
+      // real-PCM vs byte-energy-stub provenance, same contract as
+      // [[imageFeatures]]'s `decoded`
+      StructField("decoded", BooleanType, nullable = false)))
     val enc = org.apache.spark.sql.Encoders.row(schema)
     media.select("media_id", "content").mapPartitions { rows =>
       rows.map { r =>
         val bytes = Option(r.getAs[Array[Byte]]("content")).getOrElse(Array.emptyByteArray)
-        val energy =
-          (if (useJdkCodec) JdkAudioCodec.audioEnergy(bytes, windows) else None)
-            .getOrElse(StubCodecs.audioEnergy(bytes, windows))
-        Row(r.getAs[Long]("media_id"), energy.toSeq)
+        val real = if (useJdkCodec) JdkAudioCodec.audioEnergy(bytes, windows) else None
+        val energy = real.getOrElse(StubCodecs.audioEnergy(bytes, windows))
+        Row(r.getAs[Long]("media_id"), energy.toSeq, real.isDefined)
       }
     }(enc)
   }
@@ -1472,10 +1483,20 @@ object Multimodal {
       while (i < b.length && (b(i) == ' ' || b(i) == '\n' || b(i) == '\r'))
         i += 1
       var v = -1L
-      while (i < b.length && b(i) >= '0' && b(i) <= '9' && v < Int.MaxValue) {
-        v = (if (v < 0) 0L else v) * 10 + (b(i) - '0'); i += 1
+      var overflow = false
+      // consume the WHOLE digit run, but a value past Int.MaxValue is
+      // invalid, not truncated: every consumer is an int quantity
+      // (object count, in-array offset), and silently wrapping a wild
+      // /Size into a small or negative int would mislabel a malformed
+      // PDF as parsed (fuzz-facing parser — junk must become None)
+      while (i < b.length && b(i) >= '0' && b(i) <= '9') {
+        if (!overflow) {
+          v = (if (v < 0) 0L else v) * 10 + (b(i) - '0')
+          if (v > Int.MaxValue) overflow = true
+        }
+        i += 1
       }
-      if (v < 0) None else Some(v)
+      if (v < 0 || overflow) None else Some(v)
     }
 
     def parsePdf(b: Array[Byte]): Option[PdfMeta] = {

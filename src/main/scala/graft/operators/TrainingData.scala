@@ -645,8 +645,14 @@ object TrainingData {
       dim: Int = 64, seed: Long = 42L): DataFrame = {
     val tb = Similarity.bandKeys(train, "id", numBands, planesPerBand, dim, seed)
     val eb = Similarity.bandKeys(eval, "eval_id", numBands, planesPerBand, dim, seed)
+    // Same exchange-first shape as [[decontaminateSemanticServed]]:
+    // repartition the raw near-unique (id, eval_id) pairs by id before
+    // the dedup so the distinct, the vector join, and the final per-id
+    // rollup all reuse one narrow exchange.
     val cand = tb.join(broadcast(eb), Seq("bk"))
-      .select(col("id"), col("eval_id")).distinct()
+      .select(col("id"), col("eval_id"))
+      .repartition(col("id"))
+      .distinct()
     val tv = Similarity.withNorm(train, "id", "tv", "tn")
     val ev = Similarity.withNorm(eval, "eval_id", "ev", "en")
     cand.join(tv, Seq("id")).join(broadcast(ev), Seq("eval_id"))
@@ -717,9 +723,20 @@ object TrainingData {
       .select(col("eval_id"), col("bk.band").as("band"),
         col("bk.key").as("key"))
     require(!eb.isEmpty, "no eval band keys (all eval zero-norm?)")
+    // Exchange the RAW (id, eval_id) candidate rows by id BEFORE the
+    // dedup (the gopherRepetition exchange-first lesson): (id, eval_id)
+    // is near-unique, so a scan-split-shaped partial distinct builds a
+    // giant hash map for almost no reduction — at sf100 that was
+    // 209.6 GB of memory spill (BENCH_sf100 r11). hash(id) satisfies
+    // the clustering of the distinct on (id, eval_id), of the join with
+    // `vecs` on id, and of the final per-id rollup, so ONE narrow
+    // exchange (two longs per row) replaces three agg/join exchanges
+    // and every aggregation runs on partition-bounded state.
     val cand = spark.read.parquet(s"$indexPath/bands")
       .join(broadcast(eb), Seq("band", "key"))
-      .select(col("id"), col("eval_id")).distinct()
+      .select(col("id"), col("eval_id"))
+      .repartition(col("id"))
+      .distinct()
     val tv = spark.read.parquet(s"$indexPath/vecs")
       .select(col("id"), col("v").as("tv"), col("nrm").as("tn"))
     val ev = Similarity.withNorm(eval, "eval_id", "ev", "en")

@@ -419,16 +419,26 @@ object UrlOps {
     val base = regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)
     val dir = regexp_replace(urlPathRaw(u), "[^/]*$", "")
     val h = col("href")
+    val pagePath = urlPathRaw(u)
     val abs = when(h.rlike(SchemePat), h)
       .when(h.rlike("^[A-Za-z][A-Za-z0-9+.-]*:"), lit(null))
       .when(h.startsWith("//"), concat(urlScheme(u), lit(":"), h))
       .when(h.startsWith("/"), concat(base, h))
       .when(h.startsWith("#") || h === "", lit(null))
+      // query-only reference (RFC 3986 §5.3: same path, new query) —
+      // NOT the directory join below, which would wrongly resolve
+      // "?x" on /a/b.html to /a/?x instead of /a/b.html?x
+      .when(h.startsWith("?"),
+        concat(base, when(pagePath === "", "/").otherwise(pagePath), h))
       .otherwise(concat(base, when(dir === "", "/").otherwise(dir), h))
     pages
       .select(col(idCol), col(urlCol).as("url"),
+        // `<a` anchored with a mandatory-whitespace guard: the optional
+        // (?:\s[^>]*)? attribute run can only begin with whitespace, so
+        // <area>/<abbr>/<applet …> tags whose name merely starts with
+        // 'a' never match (they'd otherwise add rows AND shift link_pos)
         posexplode(regexp_extract_all(col(htmlCol),
-          lit("<a[^>]*\\shref=\"([^\"]*)\""), lit(1)))
+          lit("<a(?:\\s[^>]*)?\\shref=\"([^\"]*)\""), lit(1)))
           .as(Seq("link_pos", "href")))
       .select(col(idCol), col("url"), col("link_pos").cast("long"),
         col("href"), canonicalizeUrl(abs).as("target"))

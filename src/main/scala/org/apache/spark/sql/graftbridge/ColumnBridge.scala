@@ -34,4 +34,21 @@ object ColumnBridge {
   def analyzed(df: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.queryExecution.analyzed
+
+  /** Eagerly release the storage blocks behind a `localCheckpoint`ed
+    * DataFrame (the analyzed plan is a LogicalRDD over the persisted
+    * RDD). Iterative algorithms that checkpoint per round must free the
+    * PREVIOUS round once the next one materializes — waiting for the
+    * ContextCleaner to notice the dropped reference let blocks from
+    * every round accumulate (round-11 verdict: sf30/sf100 LPA exhausted
+    * the 63 GB scratch volume on dead checkpoint blocks). `blocking =
+    * false`: release is a fire-and-forget RPC; the caller never waits.
+    * No-op for frames that are not checkpoint-backed.
+    */
+  def releaseCheckpoint(df: org.apache.spark.sql.DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 }

@@ -23,13 +23,16 @@ class SinkSpec extends AnyFunSuite {
     assert(got == Map(1L -> "tie-a", 2L -> "new-b", 3L -> "new-c"))
   }
 
-  test("upsert preserves the sink's partition layout") {
+  test("upsert preserves the sink's partition layout (inside the published version)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-upsert-part")
-    val sink = new ParquetSink(dir.resolve("t").toString, partitionBy = Seq("p"))
+    val root = dir.resolve("t").toString
+    val sink = new ParquetSink(root, partitionBy = Seq("p"))
     sink.overwrite(Seq((1L, "a", "x"), (2L, "b", "y")).toDF("k", "v", "p"))
     sink.upsert(Seq((3L, "c", "y"), (1L, "a2", "x")).toDF("k", "v", "p"),
       keys = Seq("k"), orderCol = "k")
-    val subdirs = dir.resolve("t").toFile.listFiles().filter(_.isDirectory).map(_.getName).toSet
+    val st = ManifestCommit.current(root).getOrElse(fail("no manifest published"))
+    val subdirs = new java.io.File(root, st.dataDir)
+      .listFiles().filter(_.isDirectory).map(_.getName).toSet
     assert(subdirs == Set("p=x", "p=y"), s"partition layout lost: $subdirs")
     assert(sink.read(spark).count() == 3)
   }
@@ -43,12 +46,66 @@ class SinkSpec extends AnyFunSuite {
 
   test("compact reduces file count, preserves rows") {
     val dir = java.nio.file.Files.createTempDirectory("graft-compact")
-    val sink = new ParquetSink(dir.resolve("t").toString)
+    val root = dir.resolve("t").toString
+    val sink = new ParquetSink(root)
     sink.overwrite(spark.range(1000).toDF("id").repartition(16))
-    val before = dir.resolve("t").toFile.listFiles().count(_.getName.endsWith(".parquet"))
+    val before = new java.io.File(root).listFiles()
+      .count(_.getName.endsWith(".parquet"))
     val n = sink.compact(spark, targetFiles = 2)
-    val after = dir.resolve("t").toFile.listFiles().count(_.getName.endsWith(".parquet"))
+    val cur = ManifestCommit.current(root).getOrElse(fail("no manifest")).dataDir
+    val after = new java.io.File(root, cur).listFiles()
+      .count(_.getName.endsWith(".parquet"))
     assert(n == 1000 && before >= 16 && after <= 2, s"$before -> $after")
+  }
+
+  test("manifest commit: crash after stage, before publish — old data stays current") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-manifest-crash1")
+    val root = dir.resolve("t").toString
+    val sink = new ParquetSink(root)
+    sink.upsert(Seq((1L, "a", 1L)).toDF("k", "v", "ver"), Seq("k"), "ver")
+    val v1 = ManifestCommit.current(root).get
+    // simulate a commit that died between STAGE and PUBLISH: a fully
+    // written version dir that no manifest references
+    val orphan = new java.io.File(root, "v99999-deadbeef")
+    Seq((9L, "never-visible", 9L)).toDF("k", "v", "ver")
+      .write.parquet(orphan.toString)
+    // readers resolve the manifest, never the newest directory
+    assert(ManifestCommit.current(root).get == v1)
+    assert(sink.read(spark).collect().map(_.getString(1)).toSeq == Seq("a"))
+    // the next successful commit garbage-collects the orphan
+    sink.upsert(Seq((2L, "b", 2L)).toDF("k", "v", "ver"), Seq("k"), "ver")
+    assert(!orphan.exists(), "crashed-commit orphan not GC'd")
+    assert(sink.read(spark).count() == 2)
+  }
+
+  test("manifest commit: publish is the commit point; superseded versions are GC'd") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-manifest-gc")
+    val root = dir.resolve("t").toString
+    val sink = new ParquetSink(root)
+    sink.overwrite(Seq((1L, "a", 1L)).toDF("k", "v", "ver")) // plain layout
+    sink.upsert(Seq((2L, "b", 2L)).toDF("k", "v", "ver"), Seq("k"), "ver")
+    val first = ManifestCommit.current(root).get
+    assert(first.version == 1L && first.rows == 2L)
+    // pre-manifest plain-layout files at the root were GC'd post-commit
+    assert(!new java.io.File(root).listFiles().exists(f =>
+      f.isFile && f.getName.endsWith(".parquet")), "stale plain files")
+    sink.upsert(Seq((3L, "c", 3L)).toDF("k", "v", "ver"), Seq("k"), "ver")
+    val second = ManifestCommit.current(root).get
+    assert(second.version == 2L && second.dataDir != first.dataDir)
+    assert(!new java.io.File(root, first.dataDir).exists(),
+      "superseded version dir not GC'd")
+    assert(sink.read(spark).count() == 3)
+    assert(sink.verifyCount(spark, 3L))
+  }
+
+  test("manifest commit: corrupt manifest is a typed hard error, not silent fallback") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-manifest-bad")
+    val root = dir.resolve("t").toString
+    val sink = new ParquetSink(root)
+    sink.upsert(Seq((1L, "a", 1L)).toDF("k", "v", "ver"), Seq("k"), "ver")
+    java.nio.file.Files.write(dir.resolve("t").resolve("_MANIFEST"),
+      "not json".getBytes("UTF-8"))
+    intercept[java.io.IOException] { sink.read(spark) }
   }
 
   test("csv, json and orc sinks round-trip") {
@@ -84,6 +141,18 @@ class SinkSpec extends AnyFunSuite {
     intercept[SinkConnectionFailure] { sink.ping() }
     intercept[SinkConnectionFailure] {
       sink.overwrite(Seq((1L, "a")).toDF("k", "v"))
+    }
+  }
+
+  test("MongoSink: the connector seam compiles against the Sink trait; " +
+      "absent connector surfaces as the typed connection failure") {
+    val sink: Sink = new MongoSink("mongodb://localhost:27017", "meteo",
+      "donnees_horaires")
+    // no mongo-spark-connector jar in this sandbox: the DSv2 format
+    // lookup fails, and ping maps that to SinkConnectionFailure — the
+    // same typed path the reference reserves for ConnectionFailure
+    intercept[SinkConnectionFailure] {
+      sink.asInstanceOf[MongoSink].ping(spark)
     }
   }
 

@@ -276,6 +276,30 @@ class MultimodalSpec extends AnyFunSuite {
     assert(real == viaStub) // decode failed → identical stub output
   }
 
+  test("decoded flag: real decode true, stub fallback false, on every entry point") {
+    import spark.implicits._
+    val png = pngBytes(8, 6, 0x112233)
+    val junk = "definitely not media".getBytes("UTF-8")
+    val media = Seq((1L, png), (2L, junk)).toDF("media_id", "content")
+    def flags(df: org.apache.spark.sql.DataFrame): Map[Long, Boolean] =
+      df.select("media_id", "decoded").collect()
+        .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(flags(Multimodal.imageFeatures(media, dim = 8)) ==
+      Map(1L -> true, 2L -> false))
+    // a PNG is not decodable audio — both rows are stub-flagged
+    assert(flags(Multimodal.audioFeatures(media, windows = 4)) ==
+      Map(1L -> false, 2L -> false))
+    // forcing the stub path must flag real images too
+    assert(flags(Multimodal.imageFeatures(media, dim = 8, useJdkCodec = false)) ==
+      Map(1L -> false, 2L -> false))
+    val withMeta = media.select(col("media_id"), col("content"),
+      org.apache.spark.sql.functions.lit(null).cast(
+        "struct<mime:string,width:int,height:int,duration_ms:bigint,sample_rate:int>")
+        .as("meta"))
+    assert(flags(Multimodal.resize(withMeta, 4, 3)) ==
+      Map(1L -> true, 2L -> false))
+  }
+
   private def pngOf(w: Int, h: Int)(pixel: (Int, Int) => Int): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
@@ -809,6 +833,13 @@ class MultimodalSpec extends AnyFunSuite {
     assert(PdfCodec.parsePdf("not a pdf at all".getBytes("US-ASCII")).isEmpty)
     assert(PdfCodec.parsePdf("%PDF-1.4 but truncated".getBytes("US-ASCII")).isEmpty)
     assert(PdfCodec.parsePdf(Array.emptyByteArray).isEmpty)
+    // a wild /Size past Int.MaxValue is INVALID (None), never truncated
+    // into a small/negative n_objs (fuzz-facing parser)
+    val huge = PdfCodec.buildPdf(1, "c")
+    val hugeStr = new String(huge, "ISO-8859-1")
+      .replaceFirst("/Size \\d+", "/Size 21474836470")
+    assert(PdfCodec.parsePdf(hugeStr.getBytes("ISO-8859-1")).isEmpty,
+      "overflowing /Size must not parse")
   }
 
   test("pdfMeta over synthetic docs: closed-form columns; non-PDF rows drop") {

@@ -313,6 +313,35 @@ class UrlOpsSpec extends AnyFunSuite {
       (7L, "javascript:void(0)", None)))
   }
 
+  test("extractLinks: tag-name anchoring and query-only refs") {
+    import spark.implicits._
+    val pages = Seq((1L,
+      "http://h.io/a/b.html?old=1",
+      // <area>/<abbr>/<applet> must NOT match (names merely start with
+      // 'a'); the real <a> rows keep unshifted link_pos
+      """<area shape="rect" href="/map">m</area>""" +
+        """<abbr href="/nope">x</abbr>""" +
+        """<applet code="c" href="/applet">j</applet>""" +
+        """<a href="?new=2">q</a>""" + // RFC 3986 §5.3: same path, new query
+        """<a data-k href="next.html">n</a>"""))
+      .toDF("id", "url", "html")
+    val out = UrlOps.extractLinks(pages, "id", "url", "html")
+      .orderBy("link_pos")
+      .collect().map(r => (r.getLong(2), r.getString(3), r.getString(4)))
+    assert(out.toSeq == Seq(
+      (0L, "?new=2", "http://h.io/a/b.html?new=2"),
+      (1L, "next.html", "http://h.io/a/next.html")))
+  }
+
+  test("extractLinks: query-only ref against an empty page path resolves at root") {
+    import spark.implicits._
+    val pages = Seq((1L, "http://h.io", """<a href="?q=1">q</a>"""))
+      .toDF("id", "url", "html")
+    val out = UrlOps.extractLinks(pages, "id", "url", "html")
+      .collect().map(_.getString(4)).toSeq
+    assert(out == Seq("http://h.io/?q=1"))
+  }
+
   test("extractLinks: empty-path page, https proto-relative, no links") {
     import spark.implicits._
     val pages = Seq(
