@@ -460,6 +460,25 @@ object SparkEntry {
         .select(col("media_id"), col("n_bytes"),
           round(aggregate(col("features"), lit(0.0d), (a, x) => a + x), 4).as("feat_sum"))),
 
+    // Multimodal: codec-provenance census — the r11-verdict-#7 `decoded`
+    // flag as a first-class query: per modality, how much of the corpus
+    // got REAL codec features vs the deterministic stub. The driver's
+    // text-bytes media never decodes as image or audio, so the oracle is
+    // closed-form (all rows stub-flagged); on a real mixed corpus this
+    // is the table that says what fraction of "image features" actually
+    // saw pixels.
+    "q396_decoded_census" -> ((s, d) => {
+      val media = graft.operators.Multimodal.mediaFromDocuments(
+        s, t(s, d, "documents"))
+      graft.operators.Multimodal.imageFeatures(media, dim = 16)
+        .select(lit("image").as("modality"), col("decoded"))
+        .unionByName(
+          graft.operators.Multimodal.audioFeatures(media, windows = 8)
+            .select(lit("audio").as("modality"), col("decoded")))
+        .groupBy(col("modality"), col("decoded"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
     // Multimodal: frame-timestamp sampling (metadata explode; oracle-checked)
     "q45_frame_sample" -> ((s, d) =>
       graft.operators.Multimodal.sampleFrameTimestamps(
@@ -6714,6 +6733,13 @@ object SparkEntry {
         | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         | CASE WHEN octet_length(encode(text)) > 0 THEN 1.0 ELSE 0.0 END AS feat_sum
         |FROM documents""".stripMargin,
+
+    // Text-bytes media decode as neither image nor audio, so every row
+    // is stub-flagged: one (modality, false, |documents|) row each.
+    "q396_decoded_census" ->
+      """SELECT m.modality, FALSE AS decoded,
+        | (SELECT count(*) FROM documents) AS n
+        |FROM (SELECT 'image' AS modality UNION ALL SELECT 'audio') m""".stripMargin,
 
     // KMV sketch: bottom-16 SIGNED splitmix64(FNV) hashes of the distinct
     // custkey strings per group — deterministic, so replayable exactly.

@@ -369,15 +369,18 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
-  /** Persist the banded-LSH layout as a (band, key)-PARTITIONED parquet
-    * index — the serving path for [[bandedLshTopK]], which otherwise
-    * recomputes every corpus signature per query (the one ANN lane that
-    * had no persisted variant until r8). Layout:
+  /** Persist the banded-LSH layout as a FUSED-band-key-PARTITIONED
+    * parquet index — the serving path for [[bandedLshTopK]], which
+    * otherwise recomputes every corpus signature per query (the one ANN
+    * lane that had no persisted variant until r8). Layout:
     *   path/meta   — one row (num_bands, planes_per_band, dim, seed)
-    *   path/bands  — (id) rows under band=<b>/key=<k> directories
+    *   path/bands  — (id) rows under bk=<band·2³²+key> directories
+    *                 (ONE fused partition column — see [[fusedBandKey]]
+    *                 for why two-column (band, key) partitioning defeats
+    *                 dynamic partition pruning)
     *   path/vecs   — (id, v, nrm) for the exact rerank
-    * A probe emits `numBands` (band, key) pairs, so a probe batch scans
-    * at most |probes| × numBands of the numBands × 2^planesPerBand
+    * A probe emits `numBands` fused keys, so a probe batch scans at
+    * most |probes| × numBands of the numBands × 2^planesPerBand
     * partition directories — candidate generation prunes at the SCAN,
     * no signature computation, no corpus shuffle. With the default 15×4
     * banding that is 240 directories; at 100 TB each holds ~corpus/240
@@ -389,8 +392,8 @@ object Similarity {
       seed: Long = 42L): Unit = {
     val spark = corpus.sparkSession
     bandKeys(corpus, "id", numBands, planesPerBand, dim, seed)
-      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
-      .write.mode("overwrite").partitionBy("band", "key")
+      .select(col("id"), fusedBandKey(col("bk.band"), col("bk.key")).as("bk"))
+      .write.mode("overwrite").partitionBy("bk")
       .parquet(s"$path/bands")
     withNorm(corpus, "id", "v", "nrm")
       .write.mode("overwrite").parquet(s"$path/vecs")
@@ -399,6 +402,22 @@ object Similarity {
       .toDF("num_bands", "planes_per_band", "dim", "seed")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
+
+  /** The persisted layout's SINGLE fused partition key: band ⊕ key in
+    * one 64-bit value (band in the high 32 bits). Partitioning the
+    * bands table by the FUSED key — rather than by (band, key) as two
+    * Hive columns — is what makes dynamic partition pruning effective:
+    * column-wise DPP builds independent IN-lists per partition column,
+    * and since a probe batch touches every band and (with a small
+    * planesPerBand) nearly every key VALUE, `band IN (…) AND key IN
+    * (…)` degenerates to the full cross product — measured at sf100:
+    * the whole 30M-row bands table scanned for a 5-probe query. The
+    * fused key makes the probe's (band, key) PAIR set the pruning
+    * predicate, so the scan reads only the ≤ |probes|×numBands
+    * directories that can hold candidates.
+    */
+  private[operators] def fusedBandKey(band: Column, key: Column): Column =
+    band.cast("long") * lit(4294967296L) + key.cast("long")
 
   private[operators] case class LshMeta(numBands: Int, planesPerBand: Int,
     dim: Int, seed: Long)
@@ -419,8 +438,8 @@ object Similarity {
   def appendToLshIndex(newVecs: DataFrame, path: String): Unit = {
     val m = loadLshMeta(newVecs.sparkSession, path)
     bandKeys(newVecs, "id", m.numBands, m.planesPerBand, m.dim, m.seed)
-      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
-      .write.mode("append").partitionBy("band", "key")
+      .select(col("id"), fusedBandKey(col("bk.band"), col("bk.key")).as("bk"))
+      .write.mode("append").partitionBy("bk")
       .parquet(s"$path/bands")
     withNorm(newVecs, "id", "v", "nrm")
       .write.mode("append").parquet(s"$path/vecs")
@@ -444,12 +463,12 @@ object Similarity {
     val m = loadLshMeta(spark, path)
     val probeKeyRows = bandKeys(probes, "probe_id", m.numBands,
       m.planesPerBand, m.dim, m.seed)
-      .select(col("probe_id"), col("bk.band").as("band"),
-        col("bk.key").as("key"))
+      .select(col("probe_id"),
+        fusedBandKey(col("bk.band"), col("bk.key")).as("bk"))
     require(!probeKeyRows.isEmpty,
       "no probe band keys (all probes zero-norm?)")
     val cand = spark.read.parquet(s"$path/bands")
-      .join(broadcast(probeKeyRows), Seq("band", "key"))
+      .join(broadcast(probeKeyRows), Seq("bk"))
       .filter(col("id") =!= col("probe_id"))
       .select(col("probe_id"), col("id").as("corpus_id")).distinct()
     val c = spark.read.parquet(s"$path/vecs")

@@ -706,13 +706,15 @@ object TrainingData {
     * form with the stored parameters: same candidate rule (any shared
     * band key), same exact-cosine gate, same rollup.
     *
-    * The eval side never lands on the driver: its (band, key) frame is
-    * BROADCAST against the stored layout and dynamic partition pruning
-    * turns the reused broadcast into partition filters on the `bands`
-    * scan (`band IN (...)`, `key IN (...)`), so a 10⁵-key eval snapshot
-    * is a distributed frame end to end — the only eval-side action is
-    * the emptiness guard (the old per-pair OR-disjunction literal was
-    * driver-bounded and blew up Catalyst analysis time first).
+    * The eval side never lands on the driver: its fused-band-key frame
+    * is BROADCAST against the stored layout and dynamic partition
+    * pruning turns the reused broadcast into a partition filter on the
+    * `bands` scan (`bk IN (...)` over the fused band·2³²+key column —
+    * pair-exact, see [[Similarity.fusedBandKey]]), so a 10⁵-key eval
+    * snapshot is a distributed frame end to end — the only eval-side
+    * action is the emptiness guard (the old per-pair OR-disjunction
+    * literal was driver-bounded and blew up Catalyst analysis time
+    * first).
     */
   def decontaminateSemanticServed(eval: DataFrame, indexPath: String,
       threshold: Double): DataFrame = {
@@ -720,8 +722,8 @@ object TrainingData {
     val m = Similarity.loadLshMeta(spark, indexPath)
     val eb = Similarity.bandKeys(eval, "eval_id", m.numBands,
       m.planesPerBand, m.dim, m.seed)
-      .select(col("eval_id"), col("bk.band").as("band"),
-        col("bk.key").as("key"))
+      .select(col("eval_id"),
+        Similarity.fusedBandKey(col("bk.band"), col("bk.key")).as("bk"))
     require(!eb.isEmpty, "no eval band keys (all eval zero-norm?)")
     // Exchange the RAW (id, eval_id) candidate rows by id BEFORE the
     // dedup (the gopherRepetition exchange-first lesson): (id, eval_id)
@@ -733,7 +735,7 @@ object TrainingData {
     // exchange (two longs per row) replaces three agg/join exchanges
     // and every aggregation runs on partition-bounded state.
     val cand = spark.read.parquet(s"$indexPath/bands")
-      .join(broadcast(eb), Seq("band", "key"))
+      .join(broadcast(eb), Seq("bk"))
       .select(col("id"), col("eval_id"))
       .repartition(col("id"))
       .distinct()
