@@ -361,7 +361,10 @@ object Similarity {
     val p = withNorm(probes, "probe_id", "p_vec", "p_nrm")
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cosine").desc, col("corpus_id"))
-    cand.join(c, "corpus_id").join(p, "probe_id")
+    // shuffle-hash: the corpus-dependent candidate side STREAMS; an SMJ
+    // would external-sort it per partition (the measured q260 residual-
+    // spill shape), while the vecs build map is |corpus|/partitions rows
+    cand.join(c.hint("shuffle_hash"), "corpus_id").join(p, "probe_id")
       .withColumn("cosine",
         pairCosine(col("c_vec"), col("p_vec"), col("c_nrm"), col("p_nrm")))
       .select(col("probe_id"), col("corpus_id"), col("cosine"))
@@ -477,7 +480,10 @@ object Similarity {
     val p = withNorm(probes, "probe_id", "p_vec", "p_nrm")
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cosine").desc, col("corpus_id"))
-    cand.join(c, "corpus_id").join(p, "probe_id")
+    // shuffle-hash: the corpus-dependent candidate side STREAMS; an SMJ
+    // would external-sort it per partition (the measured q260 residual-
+    // spill shape), while the vecs build map is |corpus|/partitions rows
+    cand.join(c.hint("shuffle_hash"), "corpus_id").join(p, "probe_id")
       .withColumn("cosine",
         pairCosine(col("c_vec"), col("p_vec"), col("c_nrm"), col("p_nrm")))
       .select(col("probe_id"), col("corpus_id"), col("cosine"))

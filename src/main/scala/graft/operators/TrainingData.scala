@@ -655,7 +655,10 @@ object TrainingData {
       .distinct()
     val tv = Similarity.withNorm(train, "id", "tv", "tn")
     val ev = Similarity.withNorm(eval, "eval_id", "ev", "en")
-    cand.join(tv, Seq("id")).join(broadcast(ev), Seq("eval_id"))
+    // same shuffle-hash shape as the served variant: stream the
+    // candidate pairs, build on the (small per-partition) vector side
+    cand.join(tv.hint("shuffle_hash"), Seq("id"))
+      .join(broadcast(ev), Seq("eval_id"))
       .withColumn("cosine",
         Similarity.pairCosine(col("tv"), col("ev"), col("tn"), col("en")))
       .filter(col("cosine") >= threshold)
@@ -742,7 +745,14 @@ object TrainingData {
     val tv = spark.read.parquet(s"$indexPath/vecs")
       .select(col("id"), col("v").as("tv"), col("nrm").as("tn"))
     val ev = Similarity.withNorm(eval, "eval_id", "ev", "en")
-    cand.join(tv, Seq("id")).join(broadcast(ev), Seq("eval_id"))
+    // shuffle-HASH join, vecs as build side: the candidate frame is the
+    // corpus-dependent side (sf100: ~10⁹ raw pairs) and an SMJ would
+    // EXTERNAL-SORT it per partition — measured 47–54 GB of the
+    // remaining memory spill; the vecs build map is |corpus|/partitions
+    // rows (sf100: 2M × 270 B / 1024 ≈ 0.5 MB) and candidates stream
+    // through unsorted
+    cand.join(tv.hint("shuffle_hash"), Seq("id"))
+      .join(broadcast(ev), Seq("eval_id"))
       .withColumn("cosine",
         Similarity.pairCosine(col("tv"), col("ev"), col("tn"), col("en")))
       .filter(col("cosine") >= threshold)
