@@ -81,8 +81,14 @@ object ScaleProbe {
         // input_read_mb telemetry is the partition-pruning evidence.
         case "q34_lsh_served" =>
           val path = s"$tmp/graft_probe_lsh_$runTag"
+          // SPARK_GRAFT_LSH_PLANES: planesPerBand for the probe index
+          // build (default = the oracle-pinned 4). Big-SF probes raise
+          // it — per-band signatures (r12) let selectivity scale with
+          // corpus size, the documented q34 scale lever.
+          val planes = sys.env.get("SPARK_GRAFT_LSH_PLANES")
+            .flatMap(_.toIntOption).getOrElse(4)
           (() => graft.operators.Similarity.writeLshIndex(
-            Tables.embeddings(spark, sfDir), path),
+            Tables.embeddings(spark, sfDir), path, planesPerBand = planes),
             d => graft.operators.Similarity.bandedLshTopKFromIndex(
               spark, path, Tables.embeddings(spark, d).filter(col("vec_id") < 5),
               k = 10))

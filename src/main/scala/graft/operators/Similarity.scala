@@ -329,24 +329,33 @@ object Similarity {
     * (band-key, id); vectors join back for the exact rerank on the few
     * surviving distinct pairs. Each corpus row emits `numBands` 8-byte
     * keys (no payload replication), so the shuffle is bands × 16 B/row.
-    * numBands × planesPerBand ≤ 63 (one packed non-negative signature).
+    * planesPerBand ≤ 63 per band (per-band signatures since r12; the
+    * old 63-bit TOTAL cap is gone, so selectivity scales with corpus).
     */
-  /** Banded (band, key) rows for each id: one packed signature, sliced
-    * into `numBands` keys of `planesPerBand` bits. The narrow currency of
-    * every banded-LSH join here.
+  /** Banded (band, key) rows for each id: band `b`'s key is the sign
+    * bits of ITS OWN `planesPerBand` hyperplanes, sliced from one
+    * seeded plane stream. For numBands × planesPerBand ≤ 63 this is
+    * bit-identical to the original packed-single-signature formulation
+    * (bit i of band b = plane b·p+i either way — the oracle SQL replays
+    * that form), but per-band signatures remove the 63-bit TOTAL cap:
+    * selectivity can now scale with corpus size (planesPerBand up to 63
+    * per band — 2^p buckets per band bounds candidates at corpus/2^p
+    * per probe band), which one packed long could never express beyond
+    * 15×4. That cap was the measured q34 scale ceiling: 4-bit keys ⇒
+    * corpus/16 candidates per band, linear in corpus. The narrow
+    * currency of every banded-LSH join here.
     */
   private[operators] def bandKeys(df: DataFrame, idOut: String,
       numBands: Int, planesPerBand: Int, dim: Int, seed: Long): DataFrame = {
-    require(numBands * planesPerBand <= 63,
-      "banded signature packs into 63 bits (hyperplaneSignature cap)")
+    require(planesPerBand >= 1 && planesPerBand <= 63,
+      "1..63 hyperplanes per band signature")
     val planes = randomHyperplanes(numBands * planesPerBand, dim, seed)
-    val mask = (1L << planesPerBand) - 1
     withNorm(df, idOut, "__vec", "__nrm")
-      .withColumn("sig", hyperplaneSignature(col("__vec"), planes))
       .select(col(idOut), explode(array((0 until numBands).map { b =>
         struct(lit(b).as("band"),
-          shiftrightunsigned(col("sig"), b * planesPerBand)
-            .bitwiseAND(lit(mask)).as("key"))
+          hyperplaneSignature(col("__vec"),
+            planes.slice(b * planesPerBand, (b + 1) * planesPerBand))
+            .as("key"))
       }: _*)).as("bk"))
   }
 
@@ -393,10 +402,18 @@ object Similarity {
   def writeLshIndex(corpus: DataFrame, path: String,
       numBands: Int = 15, planesPerBand: Int = 4, dim: Int = 64,
       seed: Long = 42L): Unit = {
+    // the fused partition key reserves the low 32 bits for the band key
+    require(planesPerBand <= 32,
+      "persisted layout packs the band key into 32 fused-key bits")
     val spark = corpus.sparkSession
     bandKeys(corpus, "id", numBands, planesPerBand, dim, seed)
       .select(col("id"), fusedBandKey(col("bk.band"), col("bk.key")).as("bk"))
-      .write.mode("overwrite").partitionBy("bk")
+      .withColumn("pb", dirBucket(col("bk")))
+      // cluster by the dir bucket so each directory is written by one
+      // task (one file per dir), and sort by bk within so parquet
+      // min/max stats make in-directory row-group skipping exact
+      .repartition(col("pb")).sortWithinPartitions(col("bk"))
+      .write.mode("overwrite").partitionBy("pb")
       .parquet(s"$path/bands")
     withNorm(corpus, "id", "v", "nrm")
       .write.mode("overwrite").parquet(s"$path/vecs")
@@ -406,21 +423,35 @@ object Similarity {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
 
-  /** The persisted layout's SINGLE fused partition key: band ⊕ key in
-    * one 64-bit value (band in the high 32 bits). Partitioning the
-    * bands table by the FUSED key — rather than by (band, key) as two
-    * Hive columns — is what makes dynamic partition pruning effective:
-    * column-wise DPP builds independent IN-lists per partition column,
-    * and since a probe batch touches every band and (with a small
-    * planesPerBand) nearly every key VALUE, `band IN (…) AND key IN
-    * (…)` degenerates to the full cross product — measured at sf100:
-    * the whole 30M-row bands table scanned for a 5-probe query. The
-    * fused key makes the probe's (band, key) PAIR set the pruning
-    * predicate, so the scan reads only the ≤ |probes|×numBands
-    * directories that can hold candidates.
+  /** The persisted layout's fused join key: band ⊕ key in one 64-bit
+    * value (band in the high 32 bits). Joining on the FUSED key — rather
+    * than on (band, key) as two columns — is what makes dynamic
+    * partition pruning effective: column-wise DPP builds independent
+    * IN-lists per partition column, and since a probe batch touches
+    * every band and (with a small planesPerBand) nearly every key
+    * VALUE, `band IN (…) AND key IN (…)` degenerates to the full cross
+    * product — measured at sf100: the whole 30M-row bands table scanned
+    * for a 5-probe query. The fused key makes the probe's (band, key)
+    * PAIR set the pruning predicate.
     */
   private[operators] def fusedBandKey(band: Column, key: Column): Column =
     band.cast("long") * lit(4294967296L) + key.cast("long")
+
+  /** Directory bucket for a fused key: the PHYSICAL partition column.
+    * Partitioning directly by `bk` explodes at wide keys — 15 bands ×
+    * 12-bit keys is 61k Hive directories, and an unclustered dynamic-
+    * partition write opens (tasks × directories) tiny files (measured:
+    * the sf100 build stalled mid-write). Hashing `bk` into a FIXED
+    * `LshDirBuckets` directories bounds the filesystem shape at ANY
+    * planesPerBand, while the probe side derives the same bucket, so
+    * DPP still prunes to ≤ |probes| × numBands directories; within a
+    * directory, parquet min/max stats on the stored `bk` column skip
+    * non-matching row groups, and the (pb, bk) equi-join keeps exact
+    * pair semantics.
+    */
+  private[operators] val LshDirBuckets = 1024
+  private[operators] def dirBucket(bk: Column): Column =
+    pmod(xxhash64(bk), lit(LshDirBuckets.toLong))
 
   private[operators] case class LshMeta(numBands: Int, planesPerBand: Int,
     dim: Int, seed: Long)
@@ -442,7 +473,9 @@ object Similarity {
     val m = loadLshMeta(newVecs.sparkSession, path)
     bandKeys(newVecs, "id", m.numBands, m.planesPerBand, m.dim, m.seed)
       .select(col("id"), fusedBandKey(col("bk.band"), col("bk.key")).as("bk"))
-      .write.mode("append").partitionBy("bk")
+      .withColumn("pb", dirBucket(col("bk")))
+      .repartition(col("pb")).sortWithinPartitions(col("bk"))
+      .write.mode("append").partitionBy("pb")
       .parquet(s"$path/bands")
     withNorm(newVecs, "id", "v", "nrm")
       .write.mode("append").parquet(s"$path/vecs")
@@ -468,10 +501,13 @@ object Similarity {
       m.planesPerBand, m.dim, m.seed)
       .select(col("probe_id"),
         fusedBandKey(col("bk.band"), col("bk.key")).as("bk"))
+      .withColumn("pb", dirBucket(col("bk")))
     require(!probeKeyRows.isEmpty,
       "no probe band keys (all probes zero-norm?)")
+    // join carries the dir bucket FIRST so DPP prunes directories, then
+    // the fused key for exact pair matching (+ row-group skipping)
     val cand = spark.read.parquet(s"$path/bands")
-      .join(broadcast(probeKeyRows), Seq("bk"))
+      .join(broadcast(probeKeyRows), Seq("pb", "bk"))
       .filter(col("id") =!= col("probe_id"))
       .select(col("probe_id"), col("id").as("corpus_id")).distinct()
     val c = spark.read.parquet(s"$path/vecs")

@@ -727,6 +727,7 @@ object TrainingData {
       m.planesPerBand, m.dim, m.seed)
       .select(col("eval_id"),
         Similarity.fusedBandKey(col("bk.band"), col("bk.key")).as("bk"))
+      .withColumn("pb", Similarity.dirBucket(col("bk")))
     require(!eb.isEmpty, "no eval band keys (all eval zero-norm?)")
     // Exchange the RAW (id, eval_id) candidate rows by id BEFORE the
     // dedup (the gopherRepetition exchange-first lesson): (id, eval_id)
@@ -738,7 +739,7 @@ object TrainingData {
     // exchange (two longs per row) replaces three agg/join exchanges
     // and every aggregation runs on partition-bounded state.
     val cand = spark.read.parquet(s"$indexPath/bands")
-      .join(broadcast(eb), Seq("bk"))
+      .join(broadcast(eb), Seq("pb", "bk"))
       .select(col("id"), col("eval_id"))
       .repartition(col("id"))
       .distinct()

@@ -191,11 +191,13 @@ class PlanQualitySpec extends AnyFunSuite {
   test("q309 served decontam: stored band partitions prune at the scan; eval side broadcasts") {
     val p = plan("q309_decontam_served")
     // the candidate read must be a partition-pruned scan of the
-    // persisted (band, key) layout, not a full-index scan — and the
-    // pruning must be JOIN-based (dynamic partition pruning from the
-    // broadcast eval keys), not a driver-collected Or-literal
-    assert(p.contains("PartitionFilters") && p.contains("band#"),
-      p.take(800))
+    // persisted fused-band-key layout (dir-bucket partition column `pb`,
+    // fused `bk` as a data column for in-dir skipping), not a
+    // full-index scan — and the pruning must be JOIN-based (dynamic
+    // partition pruning from the broadcast eval keys), not a
+    // driver-collected Or-literal
+    assert(p.contains("PartitionFilters") && p.contains("pb#") &&
+      p.contains("bk#"), p.take(800))
     assert(p.contains("dynamicpruningexpression"), p.take(800))
     // the eval-side joins stay broadcast — the corpus/vecs side must
     // never shuffle for the gate

@@ -93,6 +93,34 @@ class SimilaritySpec extends AnyFunSuite {
     assert(plan.contains("PartitionFilters: ["), plan.take(2000))
   }
 
+  test("per-band signatures lift the 63-bit total cap: 15x12 config, served == in-query") {
+    // 15 bands x 12 planes = 180 plane bits — impossible in the old
+    // single-packed-long formulation (cap: numBands*planesPerBand <= 63).
+    // 2^12 buckets per band is the selectivity a 100 TB near-dup corpus
+    // needs (candidates/band = corpus/4096, vs corpus/16 at 4-bit keys).
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val probes = emb.filter($"vec_id" < 5)
+    val dir = java.nio.file.Files.createTempDirectory("lsh_wide_").toString
+    Similarity.writeLshIndex(emb, s"$dir/idx", numBands = 15,
+      planesPerBand = 12)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("probe_id"),
+        r.getAs[Long]("corpus_id"), r.getAs[Double]("cosine"),
+        r.getAs[Int]("rank"))).toSet
+    val inQuery = key(Similarity.bandedLshTopK(emb, probes, k = 5,
+      numBands = 15, planesPerBand = 12))
+    val served = key(Similarity.bandedLshTopKFromIndex(spark, s"$dir/idx",
+      probes, k = 5))
+    assert(served == inQuery)
+    assert(served.nonEmpty, "12-bit bands found no candidates at all")
+    // the persisted fused key must stay band-disjoint: every key < 2^32
+    val maxKey = spark.read.parquet(s"$dir/idx/bands")
+      .agg(org.apache.spark.sql.functions.max(
+        org.apache.spark.sql.functions.pmod($"bk",
+          org.apache.spark.sql.functions.lit(4294967296L)))).head().getLong(0)
+    assert(maxKey < 4096L, s"12-plane band key out of range: $maxKey")
+  }
+
   test("served index is not driver-bounded: 100k probes / ~10^4 band keys, join-pruned") {
     // the old OR-disjunction prune collected every (band, key) pair and
     // built an O(pairs) literal predicate — a 10^5-probe batch with a
