@@ -65,9 +65,19 @@ object ScaleProbe {
           // modulus to hold |eval| at the sf10 size.
           val evalMod = sys.env.get("SPARK_GRAFT_EVAL_MOD")
             .flatMap(_.toLongOption).getOrElse(97L)
+          // SPARK_GRAFT_DECON_PLANES: planesPerBand for the decontam
+          // index build (default = the oracle-pinned 4). Candidate
+          // volume is |eval| × numBands × (corpus / 2^planes): at a
+          // fixed recall target the planes knob is what a growing
+          // corpus turns (same lever as q34's) — 4-bit keys admit
+          // corpus/16 candidates per band BY CONSTRUCTION, so the
+          // residual shuffle/spill of the default-planes probe is the
+          // candidate volume itself, not the plan.
+          val deconPlanes = sys.env.get("SPARK_GRAFT_DECON_PLANES")
+            .flatMap(_.toIntOption).getOrElse(4)
           (() => graft.operators.Similarity.writeLshIndex(
             Tables.embeddings(spark, sfDir).filter(col("vec_id") % evalMod =!= 0),
-            path),
+            path, planesPerBand = deconPlanes),
             d => {
               // warm pass probes the big index too (index is the build
               // product; the warm run still pays the small-plan JIT)

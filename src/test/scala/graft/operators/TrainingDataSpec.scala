@@ -573,4 +573,64 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(rows.length == 1 && rows(0).getInt(0) == 0 &&
       rows(0).getAs[Long]("n_rows") == 50L)
   }
+
+  test("decontaminateSemanticServed: wide 12-bit band keys — exact twins " +
+      "always candidates; moderate-cosine recall is the documented trade") {
+    import graft.operators.Similarity
+    // planesPerBand is the corpus-growth selectivity lever (per-band
+    // signatures, r12): buckets shrink 2^(p-4)× vs the default 4-bit
+    // keys, and the recall cost concentrates at LOW cosine. This spec
+    // pins the two ends of that trade at p=12:
+    //   (a) an EXACT twin shares every per-band signature by
+    //       construction, so candidate generation cannot miss it at any
+    //       key width — recall 1.0, deterministically;
+    //   (b) moderate-cosine (~0.85) contamination is where selectivity
+    //       is bought: analytic hit rate 1-(1-(1-θ/π)^12)^15 ≈ 0.78.
+    def vec(seed: Long): Array[Float] = {
+      val r = new scala.util.Random(seed)
+      Array.fill(64)((r.nextDouble() * 2 - 1).toFloat)
+    }
+    val corpus = (1L to 300L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+    val base = java.nio.file.Files.createTempDirectory("graft-decon-wide")
+    val path = s"$base/idx"
+    Similarity.writeLshIndex(corpus, path, planesPerBand = 12)
+    // (a) exact twins of 20 corpus vectors under fresh eval ids
+    val exactEval = (1L to 20L).map(i => (1000L + i, vec(i)))
+      .toDF("vec_id", "embedding")
+    val flaggedExact = TrainingData.decontaminateSemanticServed(
+      exactEval, path, threshold = 0.999)
+      .select("id").as[Long].collect().toSet
+    assert(flaggedExact == (1L to 20L).toSet)
+    // (b) eval = corpus vector + 0.62× an independent random direction
+    // (cosine ≈ 0.85 against its source; ≈ 0 against everything else)
+    def mixed(i: Long): Array[Float] = {
+      val c = vec(i); val r = vec(10000L + i)
+      c.zip(r).map { case (a, b) => a + 0.62f * b }
+    }
+    val modEval = (21L to 60L).map(i => (2000L + i, mixed(i)))
+      .toDF("vec_id", "embedding")
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      dot / (math.sqrt(a.map(x => x.toDouble * x).sum) *
+        math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    // driver-side exact truth: which mixed evals truly clear 0.8
+    // against their source vector (other corpus vectors are random —
+    // cosines ~0, far below threshold)
+    val truth = (21L to 60L).filter(i => cos(mixed(i), vec(i)) >= 0.8).toSet
+    assert(truth.size >= 20, s"fixture degenerate: ${truth.size}")
+    val flaggedMod = TrainingData.decontaminateSemanticServed(
+      modEval, path, threshold = 0.8)
+      .select("id").as[Long].collect().toSet
+    val recall = (flaggedMod intersect truth).size.toDouble / truth.size
+    // measured 0.816 with these seeds (analytic expectation 0.78);
+    // the floor leaves seed-robustness margin, the < 1.0 ceiling pins
+    // that wide keys ARE lossy at moderate cosine — if this ever hits
+    // 1.0 the banding (or fixture hardness) changed and the documented
+    // trade needs re-deriving
+    info(s"measured moderate-cosine recall: $recall (truth ${truth.size})")
+    assert(recall >= 0.5 && recall < 1.0, s"recall=$recall")
+    // no false flags: every flagged id is a genuinely contaminated one
+    assert(flaggedMod.subsetOf(truth))
+  }
 }
