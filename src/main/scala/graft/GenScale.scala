@@ -30,7 +30,10 @@ import org.apache.spark.sql.functions._
   *    bit-for-bit while cross-copy cosines decorrelate (identical
   *    copies would put mult−1 cosine-1.0 twins in every ANN top-k).
   *
-  * Usage: runMain graft.GenScale <srcDir> <outDir> <mult>
+  * Usage: runMain graft.GenScale <srcDir> <outDir> <mult> [tables]
+  *   tables — optional comma list (e.g. "embeddings,documents") to
+  *   regenerate a subset; probe sessions that only exercise one table
+  *   family shouldn't pay the 600M-row lineitem tiling.
   */
 object GenScale {
 
@@ -42,8 +45,11 @@ object GenScale {
     (0 until mult).map(i => copy(df, i)).reduce(_ unionAll _)
 
   def main(args: Array[String]): Unit = {
-    val Array(srcDir, outDir, multStr) = args
-    val mult = multStr.toInt
+    require(args.length >= 3, "usage: GenScale <srcDir> <outDir> <mult> [tables]")
+    val srcDir = args(0); val outDir = args(1); val mult = args(2).toInt
+    val only: Set[String] =
+      if (args.length > 3) args(3).split(",").map(_.trim).toSet else Set.empty
+    def wanted(name: String): Boolean = only.isEmpty || only(name)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16").toInt
     val spark = GraftSession.local(cpus)
     spark.sparkContext.setLogLevel("WARN")
@@ -51,40 +57,45 @@ object GenScale {
 
     def src(name: String): DataFrame =
       spark.read.parquet(s"$srcDir/$name.parquet")
-    def write(name: String, df: DataFrame): Unit = {
+    def write(name: String, df: DataFrame): Unit = if (wanted(name)) {
       df.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
       System.err.println(s"[gen-scale] $name written")
     }
 
-    Seq("region", "nation").foreach(n => write(n, src(n)))
+    Seq("region", "nation").filter(wanted).foreach(n => write(n, src(n)))
 
-    val custSpan = span(src("customer"), "c_custkey")
-    val suppSpan = span(src("supplier"), "s_suppkey")
-    val partSpan = span(src("part"), "p_partkey")
-    val orderSpan = span(src("orders"), "o_orderkey")
+    if (Seq("customer", "supplier", "part", "orders", "lineitem").exists(wanted)) {
+      val custSpan = span(src("customer"), "c_custkey")
+      val suppSpan = span(src("supplier"), "s_suppkey")
+      val partSpan = span(src("part"), "p_partkey")
+      val orderSpan = span(src("orders"), "o_orderkey")
 
-    write("customer", tiled(src("customer"), mult) { (df, i) =>
-      df.withColumn("c_custkey", col("c_custkey") + lit(i * custSpan)) })
-    write("supplier", tiled(src("supplier"), mult) { (df, i) =>
-      df.withColumn("s_suppkey", col("s_suppkey") + lit(i * suppSpan)) })
-    write("part", tiled(src("part"), mult) { (df, i) =>
-      df.withColumn("p_partkey", col("p_partkey") + lit(i * partSpan)) })
-    write("orders", tiled(src("orders"), mult) { (df, i) =>
-      df.withColumn("o_orderkey", col("o_orderkey") + lit(i * orderSpan))
-        .withColumn("o_custkey", col("o_custkey") + lit(i * custSpan)) })
-    write("lineitem", tiled(src("lineitem"), mult) { (df, i) =>
-      df.withColumn("l_orderkey", col("l_orderkey") + lit(i * orderSpan))
-        .withColumn("l_partkey", col("l_partkey") + lit(i * partSpan))
-        .withColumn("l_suppkey", col("l_suppkey") + lit(i * suppSpan)) })
+      write("customer", tiled(src("customer"), mult) { (df, i) =>
+        df.withColumn("c_custkey", col("c_custkey") + lit(i * custSpan)) })
+      write("supplier", tiled(src("supplier"), mult) { (df, i) =>
+        df.withColumn("s_suppkey", col("s_suppkey") + lit(i * suppSpan)) })
+      write("part", tiled(src("part"), mult) { (df, i) =>
+        df.withColumn("p_partkey", col("p_partkey") + lit(i * partSpan)) })
+      write("orders", tiled(src("orders"), mult) { (df, i) =>
+        df.withColumn("o_orderkey", col("o_orderkey") + lit(i * orderSpan))
+          .withColumn("o_custkey", col("o_custkey") + lit(i * custSpan)) })
+      write("lineitem", tiled(src("lineitem"), mult) { (df, i) =>
+        df.withColumn("l_orderkey", col("l_orderkey") + lit(i * orderSpan))
+          .withColumn("l_partkey", col("l_partkey") + lit(i * partSpan))
+          .withColumn("l_suppkey", col("l_suppkey") + lit(i * suppSpan)) })
+    }
 
-    val ev = src("events")
-    val evSpan = span(ev, "event_id")
-    val userSpan = span(ev, "user_id")
-    write("events", tiled(ev, mult) { (df, i) =>
-      df.withColumn("event_id", col("event_id") + lit(i * evSpan))
-        .withColumn("user_id", col("user_id") + lit(i * userSpan)) })
+    if (wanted("events")) {
+      val ev = src("events")
+      val evSpan = span(ev, "event_id")
+      val userSpan = span(ev, "user_id")
+      write("events", tiled(ev, mult) { (df, i) =>
+        df.withColumn("event_id", col("event_id") + lit(i * evSpan))
+          .withColumn("user_id", col("user_id") + lit(i * userSpan)) })
+    }
 
     // documents: vocab rotation per copy (identity for copy 0)
+    if (wanted("documents")) {
     val docs = src("documents")
     val docSpan = span(docs, "doc_id")
     val vocab = docs.select(explode(split(col("text"), " ")).as("w"))
@@ -115,8 +126,10 @@ object GenScale {
           .withColumn("n_chars", length(col("text")).cast("long"))
       }
     })
+    }
 
     // embeddings: signed coordinate permutation per copy (orthogonal)
+    if (wanted("embeddings")) {
     val emb = src("embeddings")
     val vecSpan = span(emb, "vec_id")
     val dim = emb.select(size(col("embedding"))).head().getInt(0)
@@ -134,6 +147,7 @@ object GenScale {
             (element_at(col("embedding"), p + 1) * s).cast("float")))
       }
     })
+    }
 
     System.err.println(s"[gen-scale] done: $outDir = $srcDir x $mult")
     spark.stop()

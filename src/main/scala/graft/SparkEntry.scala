@@ -479,6 +479,52 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
     }),
 
+    // Personalized PageRank: teleport mass pinned to a seed set (node
+    // ≡ 0 mod 7 of the q155 doc graph) — "importance relative to the
+    // trusted list", the link-trust curation signal. Same bit-exact
+    // determinism contract as q155/q395 (source-ordered contribution
+    // folds; raw doubles compare equal through all 10 iterations).
+    "q397_ppr" -> ((s, d) => {
+      val edges = t(s, d, "documents")
+        .select((col("doc_id") % 50).as("u"), (col("n_chars") % 50).as("v"))
+      val seeds = edges.select(col("u").as("node"))
+        .union(edges.select(col("v").as("node")))
+        .filter(col("node") % 7 === 0)
+      graft.operators.Graph.personalizedPageRank(
+        edges, "u", "v", seeds, "node")
+    }),
+
+    // Binary (1-bit sign) quantization + Hamming top-k with exact
+    // rerank: the 32×-compression scan below q289's int8 — XOR+popcount
+    // candidate generation over packed sign bits, float cosine only for
+    // the 4k survivors per probe.
+    "q398_binary_topk" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      graft.operators.Similarity.binaryHammingTopK(
+        emb, emb.filter(col("vec_id") < 5), k = 10)
+    }),
+
+    // Multi-probe LSH over a WIDE-key served index (8-bit band keys,
+    // probe = key ± every 1-bit flip): per-band candidates shrink to
+    // corpus/256 while the flip set recovers near-boundary recall — the
+    // selectivity-vs-recall lever a growing corpus turns (Lv et al.
+    // VLDB'07). Candidate rule per band is exactly hamming(keys) ≤ 1,
+    // which is what the oracle replays.
+    "q399_lsh_multiprobe" -> ((s, d) => {
+      val tmp = sys.props("java.io.tmpdir")
+      val path = s"$tmp/graft_q399_lsh_${s.sparkContext.applicationId}"
+      def rmrf(p: java.io.File): Unit = {
+        if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rmrf))
+        p.delete(): Unit
+      }
+      rmrf(new java.io.File(path))
+      val emb = t(s, d, "embeddings")
+      graft.operators.Similarity.writeLshIndex(emb, path, planesPerBand = 8)
+      graft.operators.Similarity.bandedLshTopKFromIndex(s, path,
+        emb.filter(col("vec_id") < 5), k = 10, probeFlips = 1)
+        .withColumn("cosine", round(col("cosine"), 4))
+    }),
+
     // Multimodal: frame-timestamp sampling (metadata explode; oracle-checked)
     "q45_frame_sample" -> ((s, d) =>
       graft.operators.Multimodal.sampleFrameTimestamps(
@@ -5772,8 +5818,14 @@ object SparkEntry {
     */
   private def bandedLshTopKOracleSql(k: Int, maxProbeId: Long,
       numBands: Int = 15, planesPerBand: Int = 4, dim: Int = 64,
-      seed: Long = 42L): String = {
+      seed: Long = 42L, probeFlips: Int = 0): String = {
     val vals = hyperplaneValuesSql(numBands, planesPerBand, dim, seed)
+    // multi-probe level-1 ("key or any 1-bit flip of it") is exactly
+    // hamming(probe key, corpus key) <= 1 — flip bits and key bits both
+    // live below planesPerBand, so the XOR can't see higher bits
+    val keyRule =
+      if (probeFlips == 0) "p.key = c.key"
+      else s"bit_count(xor(p.key, c.key)) <= $probeFlips"
     s"""WITH planes(plane_id, p) AS (VALUES $vals),
        |vecs AS (
        |  SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings
@@ -5788,7 +5840,7 @@ object SparkEntry {
        |  FROM bits GROUP BY id, plane_id // $planesPerBand),
        |cand AS (
        |  SELECT DISTINCT p.id AS probe_id, c.id AS corpus_id
-       |  FROM bands p JOIN bands c ON p.band = c.band AND p.key = c.key
+       |  FROM bands p JOIN bands c ON p.band = c.band AND $keyRule
        |  WHERE p.id < $maxProbeId AND c.id <> p.id),
        |scored AS (
        |  SELECT cand.probe_id, cand.corpus_id,
@@ -6418,6 +6470,37 @@ object SparkEntry {
        |SELECT node, pr FROM pr$iterations""".stripMargin
   }
 
+  /** [[pageRankOracleSql]] with the teleport vector pinned to the seed
+    * set (node ≡ 0 mod 7): r(v) = 1/|S| on seeds else 0, pr0 = r,
+    * pr_i = (1−d)·r + d·Σ. Identical IEEE op sequence to
+    * [[graft.operators.Graph.personalizedPageRank]] — same source-
+    * ordered contribution folds, same constant forms — so raw doubles
+    * compare equal through every iteration.
+    */
+  private def pprOracleSql(iterations: Int, damping: Double): String = {
+    val its = (1 to iterations).map { i =>
+      s"""s$i AS (SELECT e.v, list_reduce(list_prepend(0.0,
+         |    list(p.pr / o.outd ORDER BY e.u)), (a, b) -> a + b) AS s
+         |  FROM e JOIN pr${i - 1} p ON p.node = e.u JOIN od o ON o.u = e.u
+         |  GROUP BY e.v),
+         |pr$i AS (SELECT r.node,
+         |    (1.0::DOUBLE - $damping::DOUBLE) * r.r
+         |      + $damping::DOUBLE * coalesce(s.s, 0.0) AS pr
+         |  FROM r LEFT JOIN s$i s ON s.v = r.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT DISTINCT doc_id % 50 AS u, n_chars % 50 AS v
+       |  FROM documents),
+       |nodes AS (SELECT u AS node FROM e UNION SELECT v FROM e),
+       |st AS (SELECT count(*)::BIGINT AS s FROM nodes WHERE node % 7 = 0),
+       |r AS (SELECT n.node, CASE WHEN n.node % 7 = 0
+       |    THEN 1.0::DOUBLE / t.s ELSE 0.0::DOUBLE END AS r
+       |  FROM nodes n CROSS JOIN st t),
+       |od AS (SELECT u, count(*) AS outd FROM e GROUP BY u),
+       |pr0 AS (SELECT node, r AS pr FROM r),
+       |$its
+       |SELECT node, pr FROM pr$iterations""".stripMargin
+  }
+
   /** The q156 EWMA replay (recursive CTE), shared with the streaming
     * form q166 (one file = one batch → unconditional equality).
     */
@@ -6740,6 +6823,40 @@ object SparkEntry {
       """SELECT m.modality, FALSE AS decoded,
         | (SELECT count(*) FROM documents) AS n
         |FROM (SELECT 'image' AS modality UNION ALL SELECT 'audio') m""".stripMargin,
+
+    // Personalized PageRank: q155's unrolled-iteration replay with the
+    // teleport vector pinned to the seed set (node ≡ 0 mod 7) — pr0 = r,
+    // per-iteration (1−d)·r(v) + d·Σ, raw doubles compare equal
+    "q397_ppr" -> pprOracleSql(iterations = 10, damping = 0.85),
+
+    // Binary sign-bit Hamming: the packed-word XOR+popcount distance is
+    // definitionally Σ[sign(c_i) ≠ sign(p_i)], replayed dim-wise; then
+    // the same two-stage (hamming, corpus_id) / (cosine DESC, corpus_id)
+    // windows
+    "q398_binary_topk" ->
+      """WITH vecs AS (
+        |  SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings
+        |  WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
+        |h AS (
+        |  SELECT p.id AS probe_id, c.id AS corpus_id,
+        |    len(list_filter(generate_series(1, len(c.v)),
+        |      i -> (c.v[i] >= 0) <> (p.v[i] >= 0)))::BIGINT AS hamming,
+        |    list_cosine_similarity(c.v, p.v) AS cs
+        |  FROM vecs p JOIN vecs c ON c.id <> p.id
+        |  WHERE p.id < 5),
+        |r1 AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+        |    ORDER BY hamming, corpus_id) AS brank FROM h),
+        |r2 AS (SELECT probe_id, corpus_id, hamming, round(cs, 4) AS cosine,
+        |    row_number() OVER (PARTITION BY probe_id
+        |      ORDER BY cs DESC, corpus_id) AS rank
+        |  FROM r1 WHERE brank <= 40)
+        |SELECT probe_id, corpus_id, hamming, cosine, rank
+        |FROM r2 WHERE rank <= 10""".stripMargin,
+
+    // Multi-probe over the wide-key (8-bit) banding: candidate rule per
+    // band is hamming(keys) ≤ 1; same seeded planes, same rerank
+    "q399_lsh_multiprobe" -> bandedLshTopKOracleSql(k = 10, maxProbeId = 5,
+      planesPerBand = 8, probeFlips = 1),
 
     // KMV sketch: bottom-16 SIGNED splitmix64(FNV) hashes of the distinct
     // custkey strings per group — deterministic, so replayable exactly.

@@ -195,6 +195,70 @@ object Graph {
     pr
   }
 
+  /** Personalized PageRank (Haveliwala WWW'02 / Jeh & Widom WWW'03):
+    * [[pageRank]] with the teleport mass concentrated on a SEED set —
+    * pr'(v) = (1−d)·r(v) + d·Σ_{u→v} pr(u)/out(u) where r(v) = 1/|S| on
+    * seeds, 0 elsewhere. The ranking answers "important RELATIVE TO
+    * these nodes": the crawl use is scoring hosts by proximity to a
+    * trusted seed list (quality-propagation curation — the link-trust
+    * family of corpus filters), where global PageRank would surface
+    * globally-popular-but-irrelevant hubs.
+    *
+    * Same determinism contract as [[pageRank]] (source-ordered
+    * contribution folds, driver-computed double constants), same per-
+    * iteration shape (ONE vertex-sized shuffle; the edge layout is
+    * reused every pass), same eager checkpoint release. Seeds outside
+    * the graph's node set are ignored (mass normalizes over S ∩ V —
+    * a seed the crawl never reached cannot receive teleport mass).
+    * Dangling mass leaks exactly as in [[pageRank]] — deterministic,
+    * and shared by the SQL oracle.
+    */
+  def personalizedPageRank(edges: DataFrame, srcCol: String,
+      dstCol: String, seeds: DataFrame, seedCol: String,
+      iterations: Int = 10, damping: Double = 0.85): DataFrame = {
+    val e = partitionedCheckpoint(
+      edges.select(col(srcCol).cast("long").as("u"),
+        col(dstCol).cast("long").as("v")).distinct(), "u")
+    val sd = seeds.select(col(seedCol).cast("long").as("node")).distinct()
+    val nodeSet = e.select(col("u").as("node"))
+      .union(e.select(col("v").as("node"))).distinct()
+    // __r is the teleport vector: materialized ONCE with the node set
+    // (seed flag via broadcast-sized semi-join), carried through every
+    // iteration's rebuild untouched
+    val nodes = nodeSet
+      .join(sd.withColumn("__seed", lit(true)), Seq("node"), "left")
+      .localCheckpoint(true)
+    val s = nodes.filter(col("__seed")).count()
+    require(s > 0, "no seed is a node of the graph")
+    val seedMass = 1.0 / s
+    val withR = nodes.withColumn("__r",
+      when(col("__seed"), lit(seedMass)).otherwise(lit(0.0)))
+    val outDeg = e.groupBy(col("u")).agg(count(lit(1)).as("__out"))
+    val oneMinusD = 1.0 - damping
+
+    var pr = withR.select(col("node"), col("__r"),
+      col("__r").as("pr")).localCheckpoint(true)
+    (1 to iterations).foreach { _ =>
+      val contrib = e.join(pr, e("u") === pr("node"))
+        .join(outDeg, Seq("u"))
+        .select(col("v"), col("u"), (col("pr") / col("__out")).as("__c"))
+      val sums = contrib.groupBy(col("v"))
+        .agg(aggregate(
+          transform(array_sort(collect_list(struct(col("u"), col("__c")))),
+            x => x.getField("__c")),
+          lit(0.0), (acc, x) => acc + x).as("__s"))
+      val next = pr.select(col("node"), col("__r"))
+        .join(sums, pr("node") === sums("v"), "left")
+        .select(col("node"), col("__r"),
+          (lit(oneMinusD) * col("__r")
+            + lit(damping) * coalesce(col("__s"), lit(0.0))).as("pr"))
+        .localCheckpoint(true)
+      ColumnBridge.releaseCheckpoint(pr)
+      pr = next
+    }
+    pr.select(col("node"), col("pr"))
+  }
+
   /** Per-node triangle counts via the DEGREE-ORDERED oriented join
     * (Schank & Wagner 2005's "forward" algorithm as a bulk join) —
     * each triangle enumerated exactly once, then exploded to its three

@@ -180,6 +180,64 @@ object Similarity {
         round(col("__qcos"), 4).as("qcos"), col("rank"))
   }
 
+  /** 1-bit (sign) quantization + Hamming top-k with exact rerank — the
+    * last rung of the compression ladder below [[int8TopK]]: each
+    * dimension keeps only its SIGN, packed 32 dims per long, so a
+    * 64-dim float vector becomes two longs (32× smaller than float32,
+    * 8× below int8) and the scan's inner loop is XOR + popcount — the
+    * binary-quantization shape modern vector stores serve billion-row
+    * collections with. Hamming distance on sign bits estimates the
+    * angle (E[hamming]/dim = θ/π, the same SimHash identity as
+    * [[graft.operators.Dedup.simHashNearDups]]), so the binary scan
+    * ranks WELL but not exactly — the standard remedy, applied here, is
+    * to over-fetch `rerank`·k binary candidates per probe and re-score
+    * just those with exact float cosine. Contract matches
+    * [[bruteForceTopK]]: probes broadcast, corpus scanned once,
+    * per-probe bounded windows; both stages' ties break on corpus_id so
+    * results are deterministic and oracle-replayable.
+    *
+    * At 100 TB the win is the scan payload: the 8 B/vector signature
+    * column can live hot (RAM/flash) with the float vectors cold —
+    * only the ≤ rerank·k survivors per probe ever read floats.
+    */
+  def binaryHammingTopK(corpus: DataFrame, probes: DataFrame, k: Int,
+      rerank: Int = 4): DataFrame = {
+    def signPack(df: DataFrame, pre: String): DataFrame =
+      withNorm(df, s"${pre}_id", s"${pre}_v", s"${pre}_nrm")
+        // word w packs dims [32w, 32w+31]; bit b set iff v[32w+b] >= 0.
+        // Past-end dims read NULL (non-ANSI element_at) -> bit 0 on
+        // both sides, so ragged tails cancel in the XOR.
+        .withColumn(s"${pre}_sig",
+          transform(sequence(lit(0),
+            floor((size(col(s"${pre}_v")) - 1) / 32).cast("int")),
+            w => aggregate(sequence(lit(0), lit(31)), lit(0L),
+              (acc, b) => acc + when(
+                coalesce(element_at(col(s"${pre}_v"),
+                  (w * 32 + b + 1).cast("int")) >= 0, lit(false)),
+                call_function("shiftleft", lit(1L), b))
+                .otherwise(lit(0L)))))
+    val c = signPack(corpus, "c")
+    val p = signPack(probes, "p")
+    val hammed = c.join(broadcast(p), col("c_id") =!= col("p_id"))
+      .withColumn("hamming",
+        aggregate(zip_with(col("c_sig"), col("p_sig"),
+          (a, b) => bit_count(a.bitwiseXOR(b)).cast("long")),
+          lit(0L), (acc, x) => acc + x))
+    val wBin = Window.partitionBy(col("p_id"))
+      .orderBy(col("hamming"), col("c_id"))
+    val wExact = Window.partitionBy(col("p_id"))
+      .orderBy(col("__cos").desc, col("c_id"))
+    hammed
+      .withColumn("__brank", row_number().over(wBin))
+      .filter(col("__brank") <= k * rerank)
+      .withColumn("__cos",
+        pairCosine(col("c_v"), col("p_v"), col("c_nrm"), col("p_nrm")))
+      .withColumn("rank", row_number().over(wExact))
+      .filter(col("rank") <= k)
+      .select(col("p_id").as("probe_id"), col("c_id").as("corpus_id"),
+        col("hamming"), round(col("__cos"), 4).as("cosine"), col("rank"))
+  }
+
   /** k-NN label-agreement audit — the standard label-noise detector
     * (Confident-Learning-style neighborhood check): per probe, the
     * fraction of its exact top-`k` cosine neighbors sharing its label.
@@ -453,6 +511,29 @@ object Similarity {
   private[operators] def dirBucket(bk: Column): Column =
     pmod(xxhash64(bk), lit(LshDirBuckets.toLong))
 
+  /** Multi-probe key expansion (Lv et al. VLDB'07): the probe-side key
+    * set for one band — the key itself, plus (at `flips` = 1) every key
+    * at Hamming distance 1 from it. Flipping the signature's least-
+    * certain bits recovers the candidates a near-boundary hyperplane
+    * vote loses, so RECALL is bought at probe time with extra bucket
+    * reads instead of at build time with more bands or fewer planes —
+    * the knob that lets a growing corpus raise `planesPerBand` (each
+    * +1 bit halves candidates per band) without rebuilding wider. This
+    * deterministic level-1 variant probes ALL single-bit flips
+    * (planesPerBand + 1 keys per band): per-band candidate recall for
+    * per-plane agreement p rises from p^r to p^r + r·p^(r−1)(1−p),
+    * while candidate volume stays (r+1)/2^r of the corpus per band —
+    * at r = 12, 13/4096 ≈ 0.3% vs the 4-bit default's 6.25%.
+    */
+  private[operators] def multiProbeKeys(key: Column, planesPerBand: Int,
+      flips: Int): Column = {
+    require(flips >= 0 && flips <= 1, "probeFlips: 0 (exact) or 1 (±1 bit)")
+    if (flips == 0) array(key)
+    else array((Seq(lit(0L)) ++
+      (0 until planesPerBand).map(j => lit(1L << j)))
+      .map(f => key.bitwiseXOR(f)): _*)
+  }
+
   private[operators] case class LshMeta(numBands: Int, planesPerBand: Int,
     dim: Int, seed: Long)
 
@@ -493,14 +574,27 @@ object Similarity {
     * the old per-pair OR-disjunction literal blew up Catalyst analysis
     * time before any data moved). The only probe-side action is the
     * emptiness guard.
+    *
+    * `probeFlips` = 1 turns on multi-probe (see [[multiProbeKeys]]):
+    * each band contributes its key plus every 1-bit flip of it, so a
+    * wide-key (high-`planesPerBand`) index recovers the recall its
+    * selectivity costs — candidate volume scales (r+1)/2^r instead of
+    * 1/2^r, still pruned the same way (the flip keys ride the same
+    * broadcast + DPP path; directories read grow to ≤ |probes| ×
+    * numBands × (r+1)). Default 0 is bit-identical to the pre-flip
+    * behavior.
     */
   def bandedLshTopKFromIndex(spark: org.apache.spark.sql.SparkSession,
-      path: String, probes: DataFrame, k: Int): DataFrame = {
+      path: String, probes: DataFrame, k: Int,
+      probeFlips: Int = 0): DataFrame = {
     val m = loadLshMeta(spark, path)
     val probeKeyRows = bandKeys(probes, "probe_id", m.numBands,
       m.planesPerBand, m.dim, m.seed)
+      .select(col("probe_id"), col("bk.band").as("__band"),
+        explode(multiProbeKeys(col("bk.key"), m.planesPerBand, probeFlips))
+          .as("__key"))
       .select(col("probe_id"),
-        fusedBandKey(col("bk.band"), col("bk.key")).as("bk"))
+        fusedBandKey(col("__band"), col("__key")).as("bk"))
       .withColumn("pb", dirBucket(col("bk")))
     require(!probeKeyRows.isEmpty,
       "no probe band keys (all probes zero-norm?)")

@@ -718,15 +718,27 @@ object TrainingData {
     * action is the emptiness guard (the old per-pair OR-disjunction
     * literal was driver-bounded and blew up Catalyst analysis time
     * first).
+    *
+    * `probeFlips` = 1 enables multi-probe on the eval side
+    * ([[Similarity.multiProbeKeys]]): with a wide-key index
+    * (planesPerBand ≫ the 4-bit default) candidates per band shrink
+    * 2^−r while the flip set restores the near-boundary matches — the
+    * lever that holds decontam recall as a growing corpus forces the
+    * index selective (the r12 sf100 finding: at 4-bit keys the rerank
+    * CPU is candidate-volume-bound BY CONSTRUCTION, corpus/16 per
+    * band).
     */
   def decontaminateSemanticServed(eval: DataFrame, indexPath: String,
-      threshold: Double): DataFrame = {
+      threshold: Double, probeFlips: Int = 0): DataFrame = {
     val spark = eval.sparkSession
     val m = Similarity.loadLshMeta(spark, indexPath)
     val eb = Similarity.bandKeys(eval, "eval_id", m.numBands,
       m.planesPerBand, m.dim, m.seed)
+      .select(col("eval_id"), col("bk.band").as("__band"),
+        explode(Similarity.multiProbeKeys(col("bk.key"), m.planesPerBand,
+          probeFlips)).as("__key"))
       .select(col("eval_id"),
-        Similarity.fusedBandKey(col("bk.band"), col("bk.key")).as("bk"))
+        Similarity.fusedBandKey(col("__band"), col("__key")).as("bk"))
       .withColumn("pb", Similarity.dirBucket(col("bk")))
     require(!eb.isEmpty, "no eval band keys (all eval zero-norm?)")
     // Exchange the RAW (id, eval_id) candidate rows by id BEFORE the

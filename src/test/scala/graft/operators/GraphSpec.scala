@@ -80,6 +80,63 @@ class GraphSpec extends AnyFunSuite {
     assert(a == b)  // exact double equality, not approx
   }
 
+  test("personalizedPageRank: cycle rank decays with distance from the seed") {
+    val n = 6
+    val edges = (0 until n).map(i => (i.toLong, ((i + 1) % n).toLong)).toDF("u", "v")
+    val seeds = Seq(0L).toDF("node")
+    val pr = Graph.personalizedPageRank(edges, "u", "v", seeds, "node",
+      iterations = 30)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // teleport enters only at node 0 and decays 0.85 per hop downstream
+    (0 until n - 1).foreach { i =>
+      assert(pr(i.toLong) > pr((i + 1).toLong),
+        s"pr($i)=${pr(i.toLong)} !> pr(${i + 1})=${pr((i + 1).toLong)}")
+    }
+    // cycle has no dangling nodes: total mass is conserved at 1
+    assert(math.abs(pr.values.sum - 1.0) < 1e-9)
+  }
+
+  test("personalizedPageRank: seeds outside the graph are ignored") {
+    val n = 6
+    val edges = (0 until n).map(i => (i.toLong, ((i + 1) % n).toLong)).toDF("u", "v")
+    val a = Graph.personalizedPageRank(edges, "u", "v",
+      Seq(0L).toDF("node"), "node").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val b = Graph.personalizedPageRank(edges, "u", "v",
+      Seq(0L, 999L, -3L).toDF("node"), "node").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(a == b) // |S ∩ V| = 1 either way — exact double equality
+    assertThrows[IllegalArgumentException] {
+      Graph.personalizedPageRank(edges, "u", "v",
+        Seq(999L).toDF("node"), "node").collect()
+    }
+  }
+
+  test("personalizedPageRank: uniform seed set reproduces global pageRank") {
+    val edges = (0 until 60).map(i => ((i % 12).toLong, (i % 7).toLong)).toDF("u", "v")
+    val nodes = edges.select(col("u").as("node"))
+      .union(edges.select(col("v").as("node")))
+    val ppr = Graph.personalizedPageRank(edges, "u", "v", nodes, "node")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val pr = Graph.pageRank(edges, "u", "v")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // r = 1/N everywhere ⇒ same fixpoint; constants differ only in how
+    // (1−d)/N is formed ((1−d)·(1/N) vs (1−d)/N), so compare to 1e-12
+    assert(ppr.keySet == pr.keySet)
+    ppr.foreach { case (k, v) => assert(math.abs(v - pr(k)) < 1e-12) }
+  }
+
+  test("personalizedPageRank: bit-identical across partitionings") {
+    val edges = (0 until 60).map(i => ((i % 12).toLong, (i % 7).toLong)).toDF("u", "v")
+    val seeds = Seq(0L, 3L, 5L).toDF("node")
+    val a = Graph.personalizedPageRank(edges, "u", "v", seeds, "node")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val b = Graph.personalizedPageRank(edges.repartition(7), "u", "v",
+      seeds, "node")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(a == b) // exact double equality, not approx
+  }
+
   test("triangleCounts: K4 has 4 triangles, 3 per node; path has none") {
     // complete graph on {1,2,3,4} + a dangling path 4-5-6
     val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),

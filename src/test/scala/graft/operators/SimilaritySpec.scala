@@ -121,6 +121,83 @@ class SimilaritySpec extends AnyFunSuite {
     assert(maxKey < 4096L, s"12-plane band key out of range: $maxKey")
   }
 
+  test("binaryHammingTopK: sign-pattern hamming, exact-cosine final order") {
+    // signs (0f counts as +): v0,v1,v2,v4 → ++++ (hamming 0 to v0);
+    // v3 = (-1,0,0,0) → -+++ (hamming 1). The binary stage would rank
+    // the orthogonal v2 tied with the near-twin v1 — the exact rerank
+    // is what restores cosine order (brute-force: 1, 4, 2, 3).
+    val got = Similarity.binaryHammingTopK(
+      vecs, vecs.filter($"vec_id" === 0L), k = 4)
+      .collect().map(r => (r.getAs[Long]("corpus_id"),
+        r.getAs[Long]("hamming"), r.getAs[Int]("rank")))
+    assert(got.sortBy(_._3).map(_._1).toSeq == Seq(1L, 4L, 2L, 3L))
+    val hamming = got.map(g => g._1 -> g._2).toMap
+    assert(hamming == Map(1L -> 0L, 2L -> 0L, 4L -> 0L, 3L -> 1L))
+  }
+
+  test("binaryHammingTopK: packing spans word boundaries (dim > 32)") {
+    val dim = 40
+    val a = (0L, Array.fill(dim)(1f))
+    // flips in word 0 (dim 3) and word 1 (dim 35): hamming must be 2
+    val b = (1L, Array.tabulate(dim)(i => if (i == 3 || i == 35) -1f else 1f))
+    val df = Seq(a, b).toDF("vec_id", "embedding")
+    val got = Similarity.binaryHammingTopK(df, df.filter($"vec_id" === 0L), k = 1)
+      .collect().head
+    assert(got.getAs[Long]("hamming") == 2L)
+  }
+
+  test("binaryHammingTopK: full-coverage rerank equals brute force") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val n = emb.count().toInt
+    val probes = emb.filter($"vec_id" < 3)
+    // rerank pool ⊇ whole corpus ⇒ the exact stage sees every vector
+    // and the result is definitionally bruteForceTopK's
+    val bin = Similarity.binaryHammingTopK(emb, probes, k = 5,
+      rerank = n / 5 + 1)
+      .collect().map(r => (r.getAs[Long]("probe_id"),
+        r.getAs[Long]("corpus_id"), r.getAs[Int]("rank"))).toSet
+    val exact = Similarity.bruteForceTopK(emb, probes, k = 5)
+      .collect().map(r => (r.getAs[Long]("probe_id"),
+        r.getAs[Long]("corpus_id"), r.getAs[Int]("rank"))).toSet
+    assert(bin == exact)
+  }
+
+  test("multi-probe (±1 bit) on a wide-key index: superset of single-probe, flips=0 unchanged") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val probes = emb.filter($"vec_id" < 20)
+    val dir = java.nio.file.Files.createTempDirectory("lsh_mp_").toString
+    // 12-bit keys: selective enough that single-probe recall visibly
+    // drops — the regime multi-probe exists for
+    Similarity.writeLshIndex(emb, s"$dir/idx", numBands = 15,
+      planesPerBand = 12)
+    def rows(flips: Int) =
+      Similarity.bandedLshTopKFromIndex(spark, s"$dir/idx", probes,
+        k = 5, probeFlips = flips)
+        .collect().map(r => (r.getAs[Long]("probe_id"),
+          r.getAs[Long]("corpus_id"), r.getAs[Double]("cosine"),
+          r.getAs[Int]("rank"))).toSet
+    val single = rows(0)
+    val multi = rows(1)
+    // flips=0 must be bit-identical to the historical behavior
+    val noFlipDefault = Similarity.bandedLshTopKFromIndex(spark,
+      s"$dir/idx", probes, k = 5)
+      .collect().map(r => (r.getAs[Long]("probe_id"),
+        r.getAs[Long]("corpus_id"), r.getAs[Double]("cosine"),
+        r.getAs[Int]("rank"))).toSet
+    assert(single == noFlipDefault)
+    // the multi-probe candidate set is a superset, so per probe the
+    // best surfaced cosine can only improve
+    def best(s: Set[(Long, Long, Double, Int)]): Map[Long, Double] =
+      s.groupBy(_._1).map { case (p, g) => p -> g.map(_._3).max }
+    val bs = best(single); val bm = best(multi)
+    assert(bs.keySet.subsetOf(bm.keySet),
+      "multi-probe lost a probe that single-probe served")
+    bs.foreach { case (p, c) =>
+      assert(bm(p) >= c, s"probe $p: multi ${bm(p)} < single $c") }
+    // and it genuinely widens: more candidate pairs surface overall
+    assert(multi.size >= single.size)
+  }
+
   test("served index is not driver-bounded: 100k probes / ~10^4 band keys, join-pruned") {
     // the old OR-disjunction prune collected every (band, key) pair and
     // built an O(pairs) literal predicate — a 10^5-probe batch with a
