@@ -75,6 +75,12 @@ object ScaleProbe {
           // candidate volume itself, not the plan.
           val deconPlanes = sys.env.get("SPARK_GRAFT_DECON_PLANES")
             .flatMap(_.toIntOption).getOrElse(4)
+          // SPARK_GRAFT_DECON_FLIPS: multi-probe level on the eval side
+          // (0 = exact key, 1 = key ± every 1-bit flip). The companion
+          // knob: a wide-planes index is only honest decontam if the
+          // flip set restores the recall the selectivity costs.
+          val deconFlips = sys.env.get("SPARK_GRAFT_DECON_FLIPS")
+            .flatMap(_.toIntOption).getOrElse(0)
           (() => graft.operators.Similarity.writeLshIndex(
             Tables.embeddings(spark, sfDir).filter(col("vec_id") % evalMod =!= 0),
             path, planesPerBand = deconPlanes),
@@ -83,7 +89,7 @@ object ScaleProbe {
               // product; the warm run still pays the small-plan JIT)
               graft.operators.TrainingData.decontaminateSemanticServed(
                 Tables.embeddings(spark, d).filter(col("vec_id") % evalMod === 0),
-                path, threshold = 0.3)
+                path, threshold = 0.3, probeFlips = deconFlips)
             })
         // Served ANN lanes (r11 verdict #6): index built at the probe SF
         // untimed, probe frame = the Bench probe shape (5 vectors). The
@@ -152,6 +158,7 @@ object ScaleProbe {
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val times = scala.collection.mutable.LinkedHashMap[String, Double]()
     val tele = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
+    val rowCounts = scala.collection.mutable.LinkedHashMap[String, Long]()
     lanes.foreach { name =>
       val (build, query) = lane(name)
       try {
@@ -167,6 +174,14 @@ object ScaleProbe {
         System.err.println(f"[probe] $name ${sec}%.1fs " +
           TaskMetricsListener.keys.zip(tele(name))
             .map { case (k, v) => s"$k=${num(v)}" }.mkString(" "))
+        // SPARK_GRAFT_PROBE_COUNT=1: untimed result-cardinality pass —
+        // the RECALL side of a selectivity experiment (e.g. decontam at
+        // wide planes: how many contaminated ids still surface)
+        if (sys.env.get("SPARK_GRAFT_PROBE_COUNT").contains("1")) {
+          val n = query(sfDir).count()
+          rowCounts(name) = n
+          System.err.println(s"[probe] $name result_rows=$n")
+        }
       } catch { case e: Throwable =>
         times(name) = -1.0
         System.err.println(s"[probe] $name FAILED: ${e.getMessage}")
@@ -180,7 +195,11 @@ object ScaleProbe {
         .mkString("{", ",", "}")
     }.mkString("{", ",", "}")
     val env = s"""{"loadavg_start":${num(loadStart)},"loadavg_end":${num(loadAvg())},"cpus":$cpus,"stat":"single_run_warm_small_sf","idle_gate_wait_sec":$waited}"""
-    val line = s"""{"metric":"scale_probe","unit":"sec","queries":$qs,"telemetry":$teleJson,"env":$env,"sf":"$sfDir"}"""
+    val rowsJson =
+      if (rowCounts.isEmpty) ""
+      else rowCounts.map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString(""","result_rows":{""", ",", "}")
+    val line = s"""{"metric":"scale_probe","unit":"sec","queries":$qs,"telemetry":$teleJson$rowsJson,"env":$env,"sf":"$sfDir"}"""
     println(line)
     System.out.flush()
     spark.stop()

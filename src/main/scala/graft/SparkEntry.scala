@@ -2815,6 +2815,17 @@ object SparkEntry {
         linkPageFixture(t(s, d, "documents")),
         "doc_id", "page_url", "page_html")),
 
+    // Inbound anchor-text census per target host — "what does the web
+    // call this site" (the Brin & Page §2.2 off-page signal): resolved
+    // links, distinct anchor texts, modal anchor with alphabetic
+    // tie-break
+    "q400_anchor_text" -> ((s, d) =>
+      graft.operators.UrlOps.anchorSummary(
+        graft.operators.UrlOps.extractLinksWithAnchors(
+          linkPageFixture(t(s, d, "documents")),
+          "doc_id", "page_url", "page_html"),
+        "target", "anchor")),
+
     // Host-level link graph out of q382's edges: per (src_host,
     // dst_host) raw link count, distinct canonical targets, and the
     // internal/external split — the frontier-seeding rollup
@@ -5307,13 +5318,13 @@ object SparkEntry {
       |  SELECT doc_id, page_url, src_host, 0 AS link_pos,
       |    'http://ex' || (doc_id % 4) || '.org/x/' || (doc_id % 7) AS href,
       |    'http://ex' || (doc_id % 4) || '.org/x/' || (doc_id % 7) AS target,
-      |    'ex' || (doc_id % 4) || '.org' AS dst_host
+      |    'ex' || (doc_id % 4) || '.org' AS dst_host, 'A' AS anchor
       |  FROM dk
       |  UNION ALL
       |  SELECT doc_id, page_url, src_host, 1,
       |    '//cdn' || (doc_id % 3) || '.test/l',
       |    'http://cdn' || (doc_id % 3) || '.test/l',
-      |    'cdn' || (doc_id % 3) || '.test'
+      |    'cdn' || (doc_id % 3) || '.test', 'B'
       |  FROM dk WHERE h2
       |  UNION ALL
       |  SELECT doc_id, page_url, src_host,
@@ -5322,14 +5333,14 @@ object SparkEntry {
       |      || '&utm_source=f',
       |    'http://' || src_host || hp || '/root/' || (doc_id % 5)
       |      || '?id=' || (doc_id % 9),
-      |    src_host
+      |    src_host, 'C'
       |  FROM dk
       |  UNION ALL
       |  SELECT doc_id, page_url, src_host,
       |    2 + (CASE WHEN h2 THEN 1 ELSE 0 END),
       |    '../up/' || (doc_id % 6),
       |    'http://' || src_host || hp || '/up/' || (doc_id % 6),
-      |    src_host
+      |    src_host, 'D'
       |  FROM dk WHERE h3
       |  UNION ALL
       |  SELECT doc_id, page_url, src_host,
@@ -5338,20 +5349,20 @@ object SparkEntry {
       |    'sub/' || (doc_id % 4),
       |    'http://' || src_host || hp || '/dir' || (doc_id % 3)
       |      || '/sub/' || (doc_id % 4),
-      |    src_host
+      |    src_host, 'E'
       |  FROM dk
       |  UNION ALL
       |  SELECT doc_id, page_url, src_host,
       |    3 + (CASE WHEN h2 THEN 1 ELSE 0 END)
       |      + (CASE WHEN h3 THEN 1 ELSE 0 END),
-      |    '#frag', NULL, NULL
+      |    '#frag', NULL, NULL, 'F'
       |  FROM dk WHERE h5
       |  UNION ALL
       |  SELECT doc_id, page_url, src_host,
       |    3 + (CASE WHEN h2 THEN 1 ELSE 0 END)
       |      + (CASE WHEN h3 THEN 1 ELSE 0 END)
       |      + (CASE WHEN h5 THEN 1 ELSE 0 END),
-      |    'mailto:a@b' || (doc_id % 3) || '.c', NULL, NULL
+      |    'mailto:a@b' || (doc_id % 3) || '.c', NULL, NULL, 'G'
       |  FROM dk WHERE h7)""".stripMargin
 
   private lazy val linkExtractOracleSql: String = linkArmsCtes +
@@ -6857,6 +6868,23 @@ object SparkEntry {
     // band is hamming(keys) ≤ 1; same seeded planes, same rerank
     "q399_lsh_multiprobe" -> bandedLshTopKOracleSql(k = 10, maxProbeId = 5,
       planesPerBand = 8, probeFlips = 1),
+
+    // Anchor census replay over the same analytic link arms (each arm
+    // carries its fixed anchor letter); modal anchor via (count DESC,
+    // anchor) row_number
+    "q400_anchor_text" -> (linkArmsCtes +
+      """
+        |, pa AS (SELECT dst_host, anchor, count(*)::BIGINT AS n
+        |    FROM arms WHERE target IS NOT NULL GROUP BY 1, 2),
+        |r AS (SELECT dst_host, anchor, n,
+        |    sum(n) OVER (PARTITION BY dst_host)::BIGINT AS n_links,
+        |    count(*) OVER (PARTITION BY dst_host)::BIGINT
+        |      AS n_anchor_texts,
+        |    row_number() OVER (PARTITION BY dst_host
+        |      ORDER BY n DESC, anchor) AS rn
+        |  FROM pa)
+        |SELECT dst_host, n_links, n_anchor_texts, anchor AS top_anchor
+        |FROM r WHERE rn = 1""".stripMargin),
 
     // KMV sketch: bottom-16 SIGNED splitmix64(FNV) hashes of the distinct
     // custkey strings per group — deterministic, so replayable exactly.

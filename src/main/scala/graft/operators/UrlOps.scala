@@ -413,14 +413,16 @@ object UrlOps {
     * and never shuffles. Fan-out is links-per-page (tens), the exact
     * shape a 100 TB link-graph build wants before its first exchange.
     */
-  def extractLinks(pages: DataFrame, idCol: String, urlCol: String,
-      htmlCol: String): DataFrame = {
-    val u = col("url")
+  /** RFC 3986 reference resolution of `col("href")` against page URL
+    * `u` (see [[extractLinks]] for the documented regex subset); shared
+    * by the href-only and href+anchor extractors.
+    */
+  private def resolvedHref(u: Column): Column = {
     val base = regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)
     val dir = regexp_replace(urlPathRaw(u), "[^/]*$", "")
     val h = col("href")
     val pagePath = urlPathRaw(u)
-    val abs = when(h.rlike(SchemePat), h)
+    when(h.rlike(SchemePat), h)
       .when(h.rlike("^[A-Za-z][A-Za-z0-9+.-]*:"), lit(null))
       .when(h.startsWith("//"), concat(urlScheme(u), lit(":"), h))
       .when(h.startsWith("/"), concat(base, h))
@@ -431,6 +433,10 @@ object UrlOps {
       .when(h.startsWith("?"),
         concat(base, when(pagePath === "", "/").otherwise(pagePath), h))
       .otherwise(concat(base, when(dir === "", "/").otherwise(dir), h))
+  }
+
+  def extractLinks(pages: DataFrame, idCol: String, urlCol: String,
+      htmlCol: String): DataFrame = {
     pages
       .select(col(idCol), col(urlCol).as("url"),
         // `<a` anchored with a mandatory-whitespace guard: the optional
@@ -441,7 +447,63 @@ object UrlOps {
           lit("<a(?:\\s[^>]*)?\\shref=\"([^\"]*)\""), lit(1)))
           .as(Seq("link_pos", "href")))
       .select(col(idCol), col("url"), col("link_pos").cast("long"),
-        col("href"), canonicalizeUrl(abs).as("target"))
+        col("href"), canonicalizeUrl(resolvedHref(col("url"))).as("target"))
+  }
+
+  /** [[extractLinks]] plus each link's ANCHOR TEXT — the inner text up
+    * to the first `<` after the opening tag closes (the regex-subset
+    * form; nested markup inside an anchor truncates at its first
+    * child tag). Anchor text is the classic off-page relevance signal:
+    * what OTHER pages call a document, used since the earliest web
+    * search engines (Brin & Page 1998 §2.2) for ranking and by crawl
+    * frontiers for query-targeted prioritization.
+    *
+    * Same tag-name guard, same resolution, same `link_pos` contract as
+    * [[extractLinks]]; extraction stays one narrow per-row program
+    * (two group-extractions of the SAME pattern zip positionally, so
+    * href and anchor can never misalign).
+    *
+    * Output: (idCol, url, link_pos, href, target, anchor).
+    */
+  def extractLinksWithAnchors(pages: DataFrame, idCol: String,
+      urlCol: String, htmlCol: String): DataFrame = {
+    val pat = lit("<a(?:\\s[^>]*)?\\shref=\"([^\"]*)\"[^>]*>([^<]*)")
+    pages
+      .select(col(idCol), col(urlCol).as("url"),
+        posexplode(arrays_zip(
+          regexp_extract_all(col(htmlCol), pat, lit(1)),
+          regexp_extract_all(col(htmlCol), pat, lit(2))))
+          .as(Seq("link_pos", "ha")))
+      .select(col(idCol), col("url"), col("link_pos").cast("long"),
+        col("ha.0").as("href"),
+        canonicalizeUrl(resolvedHref(col("url"))).as("target"),
+        col("ha.1").as("anchor"))
+  }
+
+  /** Inbound anchor-text census per TARGET host — "what does the web
+    * call this site": per destination host, the resolved-link count,
+    * the distinct anchor-text count, and the modal anchor (ties break
+    * alphabetically, so the row is deterministic). Feeds ranking
+    * features and frontier prioritization; at corpus scale only the
+    * (dst_host, anchor) projection shuffles — the page payload is
+    * consumed in the extraction scan.
+    */
+  def anchorSummary(links: DataFrame, targetCol: String,
+      anchorCol: String): DataFrame = {
+    val perAnchor = links.filter(col(targetCol).isNotNull)
+      .select(urlHost(col(targetCol)).as("dst_host"),
+        col(anchorCol).as("anchor"))
+      .groupBy(col("dst_host"), col("anchor"))
+      .agg(count(lit(1)).as("__n"))
+    val w = Window.partitionBy(col("dst_host"))
+    val wTop = w.orderBy(col("__n").desc, col("anchor"))
+    perAnchor
+      .withColumn("n_links", sum(col("__n")).over(w))
+      .withColumn("n_anchor_texts", count(lit(1)).over(w))
+      .withColumn("__rn", row_number().over(wTop))
+      .filter(col("__rn") === 1)
+      .select(col("dst_host"), col("n_links"), col("n_anchor_texts"),
+        col("anchor").as("top_anchor"))
   }
 
   /** Host-level link graph out of [[extractLinks]] rows: one edge per

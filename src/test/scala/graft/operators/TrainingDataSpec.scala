@@ -632,5 +632,20 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(recall >= 0.5 && recall < 1.0, s"recall=$recall")
     // no false flags: every flagged id is a genuinely contaminated one
     assert(flaggedMod.subsetOf(truth))
+    // (c) multi-probe (probeFlips=1) buys the recall back WITHOUT
+    // rebuilding: per-band hit rate rises p^12 → p^12 + 12·p^11(1−p)
+    // (analytic ≈ 0.998 over 15 bands at cosine 0.85, vs 0.78 single-
+    // probe) at 9/4096 candidate volume per band — still 28× below the
+    // 4-bit default. The exact-cosine gate is unchanged, so the no-
+    // false-flags property is preserved by construction.
+    val flaggedMp = TrainingData.decontaminateSemanticServed(
+      modEval, path, threshold = 0.8, probeFlips = 1)
+      .select("id").as[Long].collect().toSet
+    val recallMp = (flaggedMp intersect truth).size.toDouble / truth.size
+    info(s"multi-probe moderate-cosine recall: $recallMp")
+    assert(flaggedMod.subsetOf(flaggedMp),
+      "multi-probe lost a single-probe catch (candidate superset broken)")
+    assert(recallMp >= recall && recallMp >= 0.9, s"recallMp=$recallMp")
+    assert(flaggedMp.subsetOf(truth))
   }
 }

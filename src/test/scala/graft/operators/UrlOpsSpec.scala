@@ -359,6 +359,51 @@ class UrlOpsSpec extends AnyFunSuite {
       (3L, 0L, None)))
   }
 
+  test("extractLinksWithAnchors: text captured, truncation at child tag, alignment") {
+    import spark.implicits._
+    val pages = Seq((1L, "http://h.io/d/p",
+      """<a href="/one">first link</a>""" +
+        """<a href="/two"><b>bold</b> tail</a>""" + // truncates at <b>
+        """<a href="/three"></a>""" + // empty anchor text
+        """<area href="/map">m</area>""" + // tag-name guard holds
+        """<a class="k" href="rel">rel text</a>"""))
+      .toDF("id", "url", "html")
+    val out = UrlOps.extractLinksWithAnchors(pages, "id", "url", "html")
+      .orderBy("link_pos")
+      .collect().map(r => (r.getLong(2), r.getString(3),
+        Option(r.getString(4)), r.getString(5)))
+    assert(out.toSeq == Seq(
+      (0L, "/one", Some("http://h.io/one"), "first link"),
+      (1L, "/two", Some("http://h.io/two"), ""),
+      (2L, "/three", Some("http://h.io/three"), ""),
+      (3L, "rel", Some("http://h.io/d/rel"), "rel text")))
+  }
+
+  test("anchorSummary: per-host totals, modal anchor with alphabetic tie-break") {
+    import spark.implicits._
+    val pages = Seq(
+      (1L, "http://s1.io/p",
+        """<a href="http://t.io/a">Docs</a>""" +
+          """<a href="http://t.io/b">Docs</a>""" +
+          """<a href="http://t.io/c">API</a>""" +
+          """<a href="http://u.io/x">beta</a>""" +
+          """<a href="#f">drop</a>"""),
+      (2L, "http://s2.io/q",
+        """<a href="http://t.io/d">API</a>""" +
+          """<a href="http://u.io/y">alpha</a>"""))
+      .toDF("id", "url", "html")
+    val got = UrlOps.anchorSummary(
+      UrlOps.extractLinksWithAnchors(pages, "id", "url", "html"),
+      "target", "anchor")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).toSet
+    // t.io: Docs×2, API×2 → tie broken alphabetically to "API";
+    // u.io: alpha×1, beta×1 → "alpha"; fragment link contributes nothing
+    assert(got == Set(
+      ("t.io", 4L, 2L, "API"),
+      ("u.io", 2L, 2L, "alpha")))
+  }
+
   test("hostGraph: distinct-target counts and registered-domain split") {
     import spark.implicits._
     val pages = Seq(
