@@ -271,6 +271,31 @@ class PlanQualitySpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(p).size >= 2, "partial aggregation lost")
   }
 
+  test("q398 binary top-k: probes broadcast, corpus scanned once, no cartesian") {
+    val p = plan("q398_binary_topk")
+    // the 8 B/vector signature scan is only a win if the probe side
+    // broadcasts (corpus never shuffles for candidate generation) and
+    // the per-probe windows stay bounded
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      p.take(600))
+    assert(!p.contains("CartesianProduct"), p.take(600))
+    assert(p.contains("WindowGroupLimit"),
+      "per-probe top-k lost its map-side group limit\n" + p.take(600))
+  }
+
+  test("q399 multi-probe served LSH: flip keys still ride DPP; vecs join stays hash") {
+    val p = plan("q399_lsh_multiprobe")
+    // multi-probe multiplies probe keys (r+1)×, but they must reach the
+    // index scan the same way: broadcast + dynamic partition pruning on
+    // the dir bucket — never a driver-collected literal or a full scan
+    assert(p.contains("dynamicpruningexpression"), p.take(800))
+    assert(p.contains("PartitionFilters") && p.contains("pb#"), p.take(800))
+    // the corpus-dependent candidate frame must stream through a
+    // shuffle-hash join (an SMJ would external-sort it — the measured
+    // q260 spill shape)
+    assert(p.contains("ShuffledHashJoin"), p.take(800))
+  }
+
   // Round-10 guard for the DECIMAL-moment migration (VERDICT r9 #1):
   // the cohort-statistics lanes must never again hold a whole cohort
   // in one aggregation buffer. collect_list forces ObjectHashAggregate
