@@ -103,11 +103,16 @@ object ScaleProbe {
           // corpus size, the documented q34 scale lever.
           val planes = sys.env.get("SPARK_GRAFT_LSH_PLANES")
             .flatMap(_.toIntOption).getOrElse(4)
+          // SPARK_GRAFT_LSH_FLIPS: multi-probe level (0/1) — the recall
+          // companion of the planes knob, same contract as the decontam
+          // lane's SPARK_GRAFT_DECON_FLIPS
+          val lshFlips = sys.env.get("SPARK_GRAFT_LSH_FLIPS")
+            .flatMap(_.toIntOption).getOrElse(0)
           (() => graft.operators.Similarity.writeLshIndex(
             Tables.embeddings(spark, sfDir), path, planesPerBand = planes),
             d => graft.operators.Similarity.bandedLshTopKFromIndex(
               spark, path, Tables.embeddings(spark, d).filter(col("vec_id") < 5),
-              k = 10))
+              k = 10, probeFlips = lshFlips))
         case "q52_ivf_served" =>
           val path = s"$tmp/graft_probe_ivf_$runTag"
           (() => {
