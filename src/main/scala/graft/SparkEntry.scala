@@ -3076,6 +3076,36 @@ object SparkEntry {
           col("pr"))
     }),
 
+    // Personalized PageRank over the same crawl host graph, teleport
+    // pinned to a trusted-host seed list (h0.test, ex0.org) — the
+    // link-trust curation score ("authority relative to hosts we
+    // vetted"), where q395's global rank would surface any well-linked
+    // hub. Same hid mapping, same bit-exact contract.
+    "q401_host_ppr" -> ((s, d) => {
+      import s.implicits._
+      val u = graft.operators.UrlOps
+      val links = u.extractLinks(linkPageFixture(t(s, d, "documents")),
+        "doc_id", "page_url", "page_html")
+      val hg = u.hostGraph(links, "url", "target")
+      def hid(h: Column): Column =
+        when(h.startsWith("h"),
+          regexp_extract(h, "^h([0-9]+)", 1).cast("long"))
+          .when(h.startsWith("ex"),
+            regexp_extract(h, "^ex([0-9]+)", 1).cast("long") + 100)
+          .otherwise(regexp_extract(h, "^cdn([0-9]+)", 1).cast("long") + 200)
+      graft.operators.Graph.personalizedPageRank(
+        hg.select(hid(col("src_host")).as("u"), hid(col("dst_host")).as("v")),
+        "u", "v", Seq(0L, 100L).toDF("node"), "node")
+        .select(
+          when(col("node") < 100,
+            concat(lit("h"), col("node"), lit(".test")))
+            .when(col("node") < 200,
+              concat(lit("ex"), col("node") - 100, lit(".org")))
+            .otherwise(concat(lit("cdn"), col("node") - 200, lit(".test")))
+            .as("host"),
+          col("pr"))
+    }),
+
     // WARC census probe: real ISO-28500 crawl-container records
     // (Content-Length-framed — payload bytes never inspected) — the
     // crawl-ingest planning row: record/type counts, payload bytes,
@@ -8879,6 +8909,42 @@ object SparkEntry {
          |od AS (SELECT u, count(*) AS outd FROM e GROUP BY u),
          |pr0 AS (SELECT node, 1.0::DOUBLE / t.n AS pr
          |  FROM nodes CROSS JOIN tot t),
+         |$its
+         |SELECT CASE WHEN node < 100 THEN 'h' || node || '.test'
+         |  WHEN node < 200 THEN 'ex' || (node - 100) || '.org'
+         |  ELSE 'cdn' || (node - 200) || '.test' END AS host, pr
+         |FROM pr10""".stripMargin
+    },
+
+    // Host-graph PPR replay: q395's analytic edge set, teleport vector
+    // pinned to {h0.test, ex0.org} (ids 0, 100), pr0 = r
+    "q401_host_ppr" -> {
+      val its = (1 to 10).map { i =>
+        s"""s$i AS (SELECT e.v, list_reduce(list_prepend(0.0,
+           |    list(p.pr / o.outd ORDER BY e.u)), (a, b) -> a + b) AS s
+           |  FROM e JOIN pr${i - 1} p ON p.node = e.u JOIN od o ON o.u = e.u
+           |  GROUP BY e.v),
+           |pr$i AS (SELECT r.node,
+           |    (1.0::DOUBLE - 0.85::DOUBLE) * r.r
+           |      + 0.85::DOUBLE * coalesce(s.s, 0.0) AS pr
+           |  FROM r LEFT JOIN s$i s ON s.v = r.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH dk AS (SELECT doc_id FROM documents WHERE doc_id >= 0),
+         |e AS (
+         |  SELECT DISTINCT doc_id % 5 AS u, 100 + doc_id % 4 AS v FROM dk
+         |  UNION
+         |  SELECT DISTINCT doc_id % 5, 200 + doc_id % 3 FROM dk
+         |    WHERE doc_id % 2 = 0
+         |  UNION
+         |  SELECT DISTINCT doc_id % 5, doc_id % 5 FROM dk),
+         |nodes AS (SELECT u AS node FROM e UNION SELECT v FROM e),
+         |st AS (SELECT count(*)::BIGINT AS s FROM nodes
+         |  WHERE node IN (0, 100)),
+         |r AS (SELECT n.node, CASE WHEN n.node IN (0, 100)
+         |    THEN 1.0::DOUBLE / t.s ELSE 0.0::DOUBLE END AS r
+         |  FROM nodes n CROSS JOIN st t),
+         |od AS (SELECT u, count(*) AS outd FROM e GROUP BY u),
+         |pr0 AS (SELECT node, r AS pr FROM r),
          |$its
          |SELECT CASE WHEN node < 100 THEN 'h' || node || '.test'
          |  WHEN node < 200 THEN 'ex' || (node - 100) || '.org'
