@@ -113,6 +113,18 @@ object ScaleProbe {
             d => graft.operators.Similarity.bandedLshTopKFromIndex(
               spark, path, Tables.embeddings(spark, d).filter(col("vec_id") < 5),
               k = 10, probeFlips = lshFlips))
+        case "q402_lsh_screened_served" =>
+          val path = s"$tmp/graft_probe_lshscr_$runTag"
+          val planes = sys.env.get("SPARK_GRAFT_LSH_PLANES")
+            .flatMap(_.toIntOption).getOrElse(4)
+          val lshFlips = sys.env.get("SPARK_GRAFT_LSH_FLIPS")
+            .flatMap(_.toIntOption).getOrElse(0)
+          (() => graft.operators.Similarity.writeLshIndex(
+            Tables.embeddings(spark, sfDir), path, planesPerBand = planes),
+            d => graft.operators.Similarity.bandedLshTopKFromIndexScreened(
+              spark, path, Tables.embeddings(spark, d).filter(col("vec_id") < 5),
+              k = 10, rerank = 4, probeFlips = lshFlips))
+
         case "q52_ivf_served" =>
           val path = s"$tmp/graft_probe_ivf_$runTag"
           (() => {

@@ -525,6 +525,25 @@ object SparkEntry {
         .withColumn("cosine", round(col("cosine"), 4))
     }),
 
+    // The full persisted compression ladder: LSH partition pruning →
+    // 8 B/vector sign-bit screen (XOR+popcount) → float cosine only for
+    // the rerank·k binary survivors per probe. The middle rung is what
+    // keeps hot LSH buckets affordable at corpus scale (candidate join
+    // payload ~17× smaller; float reads probe-bounded).
+    "q402_lsh_sig_screened" -> ((s, d) => {
+      val tmp = sys.props("java.io.tmpdir")
+      val path = s"$tmp/graft_q402_lsh_${s.sparkContext.applicationId}"
+      def rmrf(p: java.io.File): Unit = {
+        if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rmrf))
+        p.delete(): Unit
+      }
+      rmrf(new java.io.File(path))
+      val emb = t(s, d, "embeddings")
+      graft.operators.Similarity.writeLshIndex(emb, path)
+      graft.operators.Similarity.bandedLshTopKFromIndexScreened(s, path,
+        emb.filter(col("vec_id") < 5), k = 10, rerank = 4)
+    }),
+
     // Multimodal: frame-timestamp sampling (metadata explode; oracle-checked)
     "q45_frame_sample" -> ((s, d) =>
       graft.operators.Multimodal.sampleFrameTimestamps(
@@ -5896,6 +5915,48 @@ object SparkEntry {
        |WHERE rank <= $k""".stripMargin
   }
 
+  /** [[bandedLshTopKOracleSql]] with the 1-bit screen between candidate
+    * generation and the float rerank (q402): binary hamming over sign
+    * bits ranks candidates, only the best `rerank`·k per probe reach
+    * the exact-cosine window. Both tie-breaks on corpus_id.
+    */
+  private def bandedLshScreenedOracleSql(k: Int, rerank: Int,
+      maxProbeId: Long, numBands: Int = 15, planesPerBand: Int = 4,
+      dim: Int = 64, seed: Long = 42L): String = {
+    val vals = hyperplaneValuesSql(numBands, planesPerBand, dim, seed)
+    s"""WITH planes(plane_id, p) AS (VALUES $vals),
+       |vecs AS (
+       |  SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings
+       |  WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
+       |bits AS (
+       |  SELECT id, plane_id,
+       |    CASE WHEN list_dot_product(v, p) >= 0 THEN 1 ELSE 0 END AS bit
+       |  FROM vecs CROSS JOIN planes),
+       |bands AS (
+       |  SELECT id, plane_id // $planesPerBand AS band,
+       |    SUM(bit << (plane_id % $planesPerBand))::BIGINT AS key
+       |  FROM bits GROUP BY id, plane_id // $planesPerBand),
+       |cand AS (
+       |  SELECT DISTINCT p.id AS probe_id, c.id AS corpus_id
+       |  FROM bands p JOIN bands c ON p.band = c.band AND p.key = c.key
+       |  WHERE p.id < $maxProbeId AND c.id <> p.id),
+       |h AS (
+       |  SELECT cand.probe_id, cand.corpus_id,
+       |    len(list_filter(generate_series(1, len(vc.v)),
+       |      i -> (vc.v[i] >= 0) <> (vp.v[i] >= 0)))::BIGINT AS hamming,
+       |    list_cosine_similarity(vc.v, vp.v) AS cs
+       |  FROM cand JOIN vecs vc ON vc.id = cand.corpus_id
+       |  JOIN vecs vp ON vp.id = cand.probe_id),
+       |r1 AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+       |    ORDER BY hamming, corpus_id) AS brank FROM h)
+       |SELECT probe_id, corpus_id, hamming, cosine, rank FROM (
+       |  SELECT probe_id, corpus_id, hamming, round(cs, 4) AS cosine,
+       |    row_number() OVER (PARTITION BY probe_id
+       |      ORDER BY cs DESC, corpus_id) AS rank
+       |  FROM r1 WHERE brank <= ${k * rerank})
+       |WHERE rank <= $k""".stripMargin
+  }
+
   // ---- xxhash64-of-long replay in DuckDB HUGEINT arithmetic ------------
   // Spark's xxhash64 on a LongType column is XXH64.hashLong(v, seed=42):
   // one 8-byte round + avalanche, all mod-2^64. DuckDB BIGINT multiply
@@ -6898,6 +6959,11 @@ object SparkEntry {
     // band is hamming(keys) ≤ 1; same seeded planes, same rerank
     "q399_lsh_multiprobe" -> bandedLshTopKOracleSql(k = 10, maxProbeId = 5,
       planesPerBand = 8, probeFlips = 1),
+
+    // Compression-ladder replay: default 4-bit banding, sign-bit screen
+    // to 40 binary survivors per probe, float cosine top-10
+    "q402_lsh_sig_screened" -> bandedLshScreenedOracleSql(k = 10,
+      rerank = 4, maxProbeId = 5),
 
     // Anchor census replay over the same analytic link arms (each arm
     // carries its fixed anchor letter); modal anchor via (count DESC,

@@ -200,29 +200,38 @@ object Similarity {
     * column can live hot (RAM/flash) with the float vectors cold —
     * only the ≤ rerank·k survivors per probe ever read floats.
     */
+  /** Sign bits of a double-array column packed 32 dims per long: word
+    * w carries dims [32w, 32w+31], bit b set iff v[32w+b] ≥ 0. Past-end
+    * dims read NULL (non-ANSI element_at) → bit 0 on both sides, so
+    * ragged tails cancel in the XOR. Shared by [[binaryHammingTopK]]
+    * and the persisted index's `sigs` table.
+    */
+  private[operators] def signPackExpr(v: Column): Column =
+    transform(sequence(lit(0), floor((size(v) - 1) / 32).cast("int")),
+      w => aggregate(sequence(lit(0), lit(31)), lit(0L),
+        (acc, b) => acc + when(
+          coalesce(element_at(v, (w * 32 + b + 1).cast("int")) >= 0,
+            lit(false)),
+          call_function("shiftleft", lit(1L), b))
+          .otherwise(lit(0L))))
+
+  /** Σ popcount(xor) over two packed-sign arrays — the binary-screen
+    * distance ([[signPackExpr]] packing).
+    */
+  private[operators] def packedHamming(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b,
+      (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+
   def binaryHammingTopK(corpus: DataFrame, probes: DataFrame, k: Int,
       rerank: Int = 4): DataFrame = {
     def signPack(df: DataFrame, pre: String): DataFrame =
       withNorm(df, s"${pre}_id", s"${pre}_v", s"${pre}_nrm")
-        // word w packs dims [32w, 32w+31]; bit b set iff v[32w+b] >= 0.
-        // Past-end dims read NULL (non-ANSI element_at) -> bit 0 on
-        // both sides, so ragged tails cancel in the XOR.
-        .withColumn(s"${pre}_sig",
-          transform(sequence(lit(0),
-            floor((size(col(s"${pre}_v")) - 1) / 32).cast("int")),
-            w => aggregate(sequence(lit(0), lit(31)), lit(0L),
-              (acc, b) => acc + when(
-                coalesce(element_at(col(s"${pre}_v"),
-                  (w * 32 + b + 1).cast("int")) >= 0, lit(false)),
-                call_function("shiftleft", lit(1L), b))
-                .otherwise(lit(0L)))))
+        .withColumn(s"${pre}_sig", signPackExpr(col(s"${pre}_v")))
     val c = signPack(corpus, "c")
     val p = signPack(probes, "p")
     val hammed = c.join(broadcast(p), col("c_id") =!= col("p_id"))
-      .withColumn("hamming",
-        aggregate(zip_with(col("c_sig"), col("p_sig"),
-          (a, b) => bit_count(a.bitwiseXOR(b)).cast("long")),
-          lit(0L), (acc, x) => acc + x))
+      .withColumn("hamming", packedHamming(col("c_sig"), col("p_sig")))
     val wBin = Window.partitionBy(col("p_id"))
       .orderBy(col("hamming"), col("c_id"))
     val wExact = Window.partitionBy(col("p_id"))
@@ -475,6 +484,13 @@ object Similarity {
       .parquet(s"$path/bands")
     withNorm(corpus, "id", "v", "nrm")
       .write.mode("overwrite").parquet(s"$path/vecs")
+    // 8 B/vector (dim 64) packed sign bits for the binary-screen rerank
+    // stage ([[bandedLshTopKFromIndexScreened]]): the candidate join
+    // can consume THIS table instead of the ~dim×4 B float vectors,
+    // deferring the float read to the ≤ rerank·k screen survivors
+    withNorm(corpus, "id", "v", "nrm")
+      .select(col("id"), signPackExpr(col("v")).as("sig"))
+      .write.mode("overwrite").parquet(s"$path/sigs")
     import spark.implicits._
     Seq((numBands, planesPerBand, dim, seed))
       .toDF("num_bands", "planes_per_band", "dim", "seed")
@@ -560,6 +576,9 @@ object Similarity {
       .parquet(s"$path/bands")
     withNorm(newVecs, "id", "v", "nrm")
       .write.mode("append").parquet(s"$path/vecs")
+    withNorm(newVecs, "id", "v", "nrm")
+      .select(col("id"), signPackExpr(col("v")).as("sig"))
+      .write.mode("append").parquet(s"$path/sigs")
   }
 
   /** Top-k over a persisted LSH index — bit-identical results to
@@ -584,10 +603,13 @@ object Similarity {
     * numBands × (r+1)). Default 0 is bit-identical to the pre-flip
     * behavior.
     */
-  def bandedLshTopKFromIndex(spark: org.apache.spark.sql.SparkSession,
-      path: String, probes: DataFrame, k: Int,
-      probeFlips: Int = 0): DataFrame = {
-    val m = loadLshMeta(spark, path)
+  /** Candidate pairs (probe_id, corpus_id) from a persisted LSH layout:
+    * the broadcast + DPP pruned band-partition join shared by
+    * [[bandedLshTopKFromIndex]] and the sign-screened variant.
+    */
+  private def indexCandidates(spark: org.apache.spark.sql.SparkSession,
+      path: String, probes: DataFrame, m: LshMeta,
+      probeFlips: Int): DataFrame = {
     val probeKeyRows = bandKeys(probes, "probe_id", m.numBands,
       m.planesPerBand, m.dim, m.seed)
       .select(col("probe_id"), col("bk.band").as("__band"),
@@ -600,10 +622,17 @@ object Similarity {
       "no probe band keys (all probes zero-norm?)")
     // join carries the dir bucket FIRST so DPP prunes directories, then
     // the fused key for exact pair matching (+ row-group skipping)
-    val cand = spark.read.parquet(s"$path/bands")
+    spark.read.parquet(s"$path/bands")
       .join(broadcast(probeKeyRows), Seq("pb", "bk"))
       .filter(col("id") =!= col("probe_id"))
       .select(col("probe_id"), col("id").as("corpus_id")).distinct()
+  }
+
+  def bandedLshTopKFromIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, probes: DataFrame, k: Int,
+      probeFlips: Int = 0): DataFrame = {
+    val m = loadLshMeta(spark, path)
+    val cand = indexCandidates(spark, path, probes, m, probeFlips)
     val c = spark.read.parquet(s"$path/vecs")
       .select(col("id").as("corpus_id"), col("v").as("c_vec"),
         col("nrm").as("c_nrm"))
@@ -619,6 +648,63 @@ object Similarity {
       .select(col("probe_id"), col("corpus_id"), col("cosine"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
+  }
+
+  /** [[bandedLshTopKFromIndex]] with the 1-bit SCREEN between candidate
+    * generation and the float rerank — the full persisted compression
+    * ladder: LSH partitions prune the corpus to candidates, candidates
+    * join the 8 B/vector `sigs` table (XOR+popcount, [[signPackExpr]]
+    * packing) and only the best `rerank`·k binary survivors per probe
+    * ever touch the ~dim×4 B float `vecs` rows. At a 100 TB corpus the
+    * middle rung is what keeps a hot LSH bucket affordable: the
+    * candidate-sized join payload shrinks ~17× (dim 64) and the float
+    * read becomes probe-bounded (≤ rerank·k rows per probe) instead of
+    * candidate-bounded.
+    *
+    * Both stages tie-break on corpus_id (hamming ASC, then cosine
+    * DESC), so results are deterministic and oracle-replayable; with
+    * `rerank` large enough to cover every candidate this is exactly
+    * [[bandedLshTopKFromIndex]] plus a `hamming` column.
+    *
+    * Output: (probe_id, corpus_id, hamming, cosine, rank).
+    */
+  def bandedLshTopKFromIndexScreened(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      probes: DataFrame, k: Int, rerank: Int = 4,
+      probeFlips: Int = 0): DataFrame = {
+    val m = loadLshMeta(spark, path)
+    val cand = indexCandidates(spark, path, probes, m, probeFlips)
+    val sigs = spark.read.parquet(s"$path/sigs")
+      .select(col("id").as("corpus_id"), col("sig").as("c_sig"))
+    val p = withNorm(probes, "probe_id", "p_vec", "p_nrm")
+      .withColumn("p_sig", signPackExpr(col("p_vec")))
+    val wBin = Window.partitionBy(col("probe_id"))
+      .orderBy(col("hamming"), col("corpus_id"))
+    val wExact = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cosine").desc, col("corpus_id"))
+    val screened = cand
+      .join(sigs.hint("shuffle_hash"), "corpus_id")
+      .join(p.select(col("probe_id"), col("p_sig")), "probe_id")
+      .withColumn("hamming", packedHamming(col("c_sig"), col("p_sig")))
+      .withColumn("__brank", row_number().over(wBin))
+      .filter(col("__brank") <= k * rerank)
+    val c = spark.read.parquet(s"$path/vecs")
+      .select(col("id").as("corpus_id"), col("v").as("c_vec"),
+        col("nrm").as("c_nrm"))
+    screened
+      // no join hint here: the screened side is ≤ rerank·k rows per
+      // probe, so AQE broadcasts it and the float table is SCANNED,
+      // never shuffled — forcing shuffle-hash would re-exchange the
+      // whole vecs table for a probe-bounded survivor set
+      .join(c, "corpus_id")
+      .join(p.select(col("probe_id"), col("p_vec"), col("p_nrm")),
+        "probe_id")
+      .withColumn("cosine",
+        pairCosine(col("c_vec"), col("p_vec"), col("c_nrm"), col("p_nrm")))
+      .withColumn("rank", row_number().over(wExact))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("corpus_id"), col("hamming"),
+        round(col("cosine"), 4).as("cosine"), col("rank"))
   }
 
   /** Banded self-join pairs with exact cosine rerank: (id_a < id_b,

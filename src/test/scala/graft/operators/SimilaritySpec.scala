@@ -198,6 +198,32 @@ class SimilaritySpec extends AnyFunSuite {
     assert(multi.size >= single.size)
   }
 
+  test("sign-screened served top-k: full-coverage rerank == unscreened; append parity") {
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val n = emb.count().toInt
+    val probes = emb.filter($"vec_id" < 5)
+    val dir = java.nio.file.Files.createTempDirectory("lsh_sig_").toString
+    Similarity.writeLshIndex(emb, s"$dir/idx")
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("probe_id"),
+        r.getAs[Long]("corpus_id"), r.getAs[Int]("rank"))).toSet
+    // rerank pool covers every possible candidate ⇒ the screen is a
+    // pass-through and the result must equal the unscreened serving path
+    val screened = key(Similarity.bandedLshTopKFromIndexScreened(spark,
+      s"$dir/idx", probes, k = 5, rerank = n / 5 + 1))
+    val plain = key(Similarity.bandedLshTopKFromIndex(spark,
+      s"$dir/idx", probes, k = 5))
+    assert(screened == plain)
+    // incremental maintenance writes sigs too: half + append == one-shot
+    Similarity.writeLshIndex(emb.filter($"vec_id" % 2 === 0), s"$dir/inc")
+    Similarity.appendToLshIndex(emb.filter($"vec_id" % 2 =!= 0), s"$dir/inc")
+    val incr = key(Similarity.bandedLshTopKFromIndexScreened(spark,
+      s"$dir/inc", probes, k = 5, rerank = 4))
+    val oneShot = key(Similarity.bandedLshTopKFromIndexScreened(spark,
+      s"$dir/idx", probes, k = 5, rerank = 4))
+    assert(incr == oneShot)
+  }
+
   test("served index is not driver-bounded: 100k probes / ~10^4 band keys, join-pruned") {
     // the old OR-disjunction prune collected every (band, key) pair and
     // built an O(pairs) literal predicate — a 10^5-probe batch with a
