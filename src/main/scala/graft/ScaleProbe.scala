@@ -46,6 +46,12 @@ object ScaleProbe {
     val loadStart = loadAvg()
     System.err.println(f"[probe] loadavg=$loadStart%.2f idle_wait=${waited}s sf=$sfDir")
 
+    // SPARK_GRAFT_LSH_NPROBES: probe-batch width for the LSH serving
+    // lanes (default = the 5-vector Bench shape). Wide batches are
+    // where the q402 sign-screen's float-read deferral shows: the
+    // candidate volume becomes |probes|-bounded, not constant.
+    val lshProbes = sys.env.get("SPARK_GRAFT_LSH_NPROBES")
+      .flatMap(_.toLongOption).getOrElse(5L)
     val tmp = sys.props("java.io.tmpdir")
     val runTag = spark.sparkContext.applicationId.replace("-", "_")
 
@@ -111,7 +117,8 @@ object ScaleProbe {
           (() => graft.operators.Similarity.writeLshIndex(
             Tables.embeddings(spark, sfDir), path, planesPerBand = planes),
             d => graft.operators.Similarity.bandedLshTopKFromIndex(
-              spark, path, Tables.embeddings(spark, d).filter(col("vec_id") < 5),
+              spark, path,
+              Tables.embeddings(spark, d).filter(col("vec_id") < lshProbes),
               k = 10, probeFlips = lshFlips))
         case "q402_lsh_screened_served" =>
           val path = s"$tmp/graft_probe_lshscr_$runTag"
@@ -122,7 +129,8 @@ object ScaleProbe {
           (() => graft.operators.Similarity.writeLshIndex(
             Tables.embeddings(spark, sfDir), path, planesPerBand = planes),
             d => graft.operators.Similarity.bandedLshTopKFromIndexScreened(
-              spark, path, Tables.embeddings(spark, d).filter(col("vec_id") < 5),
+              spark, path,
+              Tables.embeddings(spark, d).filter(col("vec_id") < lshProbes),
               k = 10, rerank = 4, probeFlips = lshFlips))
 
         case "q52_ivf_served" =>
