@@ -568,6 +568,14 @@ object Similarity {
     */
   def appendToLshIndex(newVecs: DataFrame, path: String): Unit = {
     val m = loadLshMeta(newVecs.sparkSession, path)
+    // fail FAST on a pre-`sigs` layout: appending sigs for only the new
+    // vectors would leave the table silently partial, and the screened
+    // probe's inner candidate⋈sigs join would then DROP every old-corpus
+    // candidate — rebuild (or back-fill sigs) before growing the index
+    require(new java.io.File(s"$path/sigs").exists() ||
+      !new java.io.File(s"$path/vecs").exists(),
+      s"$path has vecs but no sigs (pre-sign-screen layout); " +
+        "rebuild with writeLshIndex before appending")
     bandKeys(newVecs, "id", m.numBands, m.planesPerBand, m.dim, m.seed)
       .select(col("id"), fusedBandKey(col("bk.band"), col("bk.key")).as("bk"))
       .withColumn("pb", dirBucket(col("bk")))

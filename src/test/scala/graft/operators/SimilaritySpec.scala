@@ -222,6 +222,17 @@ class SimilaritySpec extends AnyFunSuite {
     val oneShot = key(Similarity.bandedLshTopKFromIndexScreened(spark,
       s"$dir/idx", probes, k = 5, rerank = 4))
     assert(incr == oneShot)
+    // appending to a pre-sigs (legacy) layout must fail fast — a partial
+    // sigs table would silently drop old-corpus candidates in the
+    // screened probe's inner join
+    def rmrf(p: java.io.File): Unit = {
+      if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rmrf))
+      p.delete(): Unit
+    }
+    rmrf(new java.io.File(s"$dir/inc/sigs"))
+    assertThrows[IllegalArgumentException] {
+      Similarity.appendToLshIndex(emb.filter($"vec_id" < 3), s"$dir/inc")
+    }
   }
 
   test("served index is not driver-bounded: 100k probes / ~10^4 band keys, join-pruned") {
