@@ -494,6 +494,16 @@ object SparkEntry {
         edges, "u", "v", seeds, "node")
     }),
 
+    // Weighted PageRank: same doc graph, edge weight = raw (u, v)
+    // multiplicity — a source's rank distributes ∝ link count instead
+    // of uniformly, the form host-graph frontier scoring wants
+    "q403_weighted_pagerank" -> ((s, d) => {
+      val edges = t(s, d, "documents")
+        .select((col("doc_id") % 50).as("u"), (col("n_chars") % 50).as("v"))
+        .groupBy(col("u"), col("v")).agg(count(lit(1)).as("w"))
+      graft.operators.Graph.pageRankWeighted(edges, "u", "v", "w")
+    }),
+
     // Binary (1-bit sign) quantization + Hamming top-k with exact
     // rerank: the 32×-compression scan below q289's int8 — XOR+popcount
     // candidate generation over packed sign bits, float cosine only for
@@ -6572,6 +6582,34 @@ object SparkEntry {
        |SELECT node, pr FROM pr$iterations""".stripMargin
   }
 
+  /** [[pageRankOracleSql]] over the multiplicity-weighted edge set:
+    * per-edge contribution (pr·w)/W(u) — one multiply, one divide, the
+    * exact op order [[graft.operators.Graph.pageRankWeighted]] uses.
+    */
+  private def weightedPageRankOracleSql(iterations: Int,
+      damping: Double): String = {
+    val its = (1 to iterations).map { i =>
+      s"""s$i AS (SELECT e.v, list_reduce(list_prepend(0.0,
+         |    list(p.pr * e.w / o.outw ORDER BY e.u)), (a, b) -> a + b) AS s
+         |  FROM e JOIN pr${i - 1} p ON p.node = e.u JOIN ow o ON o.u = e.u
+         |  GROUP BY e.v),
+         |pr$i AS (SELECT n.node,
+         |    (1.0::DOUBLE - $damping::DOUBLE) / t.n
+         |      + $damping::DOUBLE * coalesce(s.s, 0.0) AS pr
+         |  FROM nodes n CROSS JOIN tot t LEFT JOIN s$i s ON s.v = n.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT doc_id % 50 AS u, n_chars % 50 AS v,
+       |    count(*)::BIGINT AS w
+       |  FROM documents GROUP BY 1, 2),
+       |nodes AS (SELECT u AS node FROM e UNION SELECT v FROM e),
+       |tot AS (SELECT count(*)::BIGINT AS n FROM nodes),
+       |ow AS (SELECT u, sum(w)::BIGINT AS outw FROM e GROUP BY u),
+       |pr0 AS (SELECT node, 1.0::DOUBLE / t.n AS pr
+       |  FROM nodes CROSS JOIN tot t),
+       |$its
+       |SELECT node, pr FROM pr$iterations""".stripMargin
+  }
+
   /** [[pageRankOracleSql]] with the teleport vector pinned to the seed
     * set (node ≡ 0 mod 7): r(v) = 1/|S| on seeds else 0, pr0 = r,
     * pr_i = (1−d)·r + d·Σ. Identical IEEE op sequence to
@@ -6930,6 +6968,11 @@ object SparkEntry {
     // teleport vector pinned to the seed set (node ≡ 0 mod 7) — pr0 = r,
     // per-iteration (1−d)·r(v) + d·Σ, raw doubles compare equal
     "q397_ppr" -> pprOracleSql(iterations = 10, damping = 0.85),
+
+    // Weighted PageRank replay: multiplicity-weighted edges, per-edge
+    // (pr·w)/W(u) contributions, source-ordered folds
+    "q403_weighted_pagerank" ->
+      weightedPageRankOracleSql(iterations = 10, damping = 0.85),
 
     // Binary sign-bit Hamming: the packed-word XOR+popcount distance is
     // definitionally Σ[sign(c_i) ≠ sign(p_i)], replayed dim-wise; then

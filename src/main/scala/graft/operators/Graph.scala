@@ -195,6 +195,59 @@ object Graph {
     pr
   }
 
+  /** Weighted PageRank: [[pageRank]] where each edge carries a positive
+    * weight and a source's rank distributes ∝ weight instead of
+    * uniformly — pr'(v) = (1−d)/N + d·Σ_{u→v} pr(u)·w(u,v)/W(u),
+    * W(u) = Σ_x w(u,x). On a host link graph the weight is the raw
+    * link count ([[graft.operators.UrlOps.hostGraph]]'s `n_links`), so
+    * a host that links a target 50× endorses it more than a single
+    * footer link — the form crawl-frontier scoring actually wants.
+    *
+    * Duplicate (src, dst) rows pre-aggregate by SUMMING weights (the
+    * unweighted kernel's distinct() counterpart). Same determinism
+    * contract as [[pageRank]]: source-ordered contribution folds, and
+    * the per-edge term is computed as (pr·w)/W — one multiply, one
+    * divide, in that order — which the SQL oracle replays verbatim.
+    * Weights must be positive; zero/negative weights are the caller's
+    * bug (a zero-out-weight source contributes nothing and leaks its
+    * mass like a dangling node).
+    */
+  def pageRankWeighted(edges: DataFrame, srcCol: String, dstCol: String,
+      weightCol: String, iterations: Int = 10,
+      damping: Double = 0.85): DataFrame = {
+    val e = partitionedCheckpoint(
+      edges.select(col(srcCol).cast("long").as("u"),
+        col(dstCol).cast("long").as("v"),
+        col(weightCol).cast("long").as("w"))
+        .groupBy(col("u"), col("v")).agg(sum(col("w")).as("w")), "u")
+    val nodes = e.select(col("u").as("node"))
+      .union(e.select(col("v").as("node"))).distinct()
+      .localCheckpoint(true)
+    val outW = e.groupBy(col("u")).agg(sum(col("w")).as("__outw"))
+    val n = nodes.count()
+    val reset = (1.0 - damping) / n
+
+    var pr = nodes.withColumn("pr", lit(1.0 / n)).localCheckpoint(true)
+    (1 to iterations).foreach { _ =>
+      val contrib = e.join(pr, e("u") === pr("node"))
+        .join(outW, Seq("u"))
+        .select(col("v"), col("u"),
+          (col("pr") * col("w") / col("__outw")).as("__c"))
+      val sums = contrib.groupBy(col("v"))
+        .agg(aggregate(
+          transform(array_sort(collect_list(struct(col("u"), col("__c")))),
+            x => x.getField("__c")),
+          lit(0.0), (acc, x) => acc + x).as("__s"))
+      val next = nodes.join(sums, nodes("node") === sums("v"), "left")
+        .select(col("node"),
+          (lit(reset) + lit(damping) * coalesce(col("__s"), lit(0.0))).as("pr"))
+        .localCheckpoint(true)
+      ColumnBridge.releaseCheckpoint(pr)
+      pr = next
+    }
+    pr
+  }
+
   /** Personalized PageRank (Haveliwala WWW'02 / Jeh & Widom WWW'03):
     * [[pageRank]] with the teleport mass concentrated on a SEED set —
     * pr'(v) = (1−d)·r(v) + d·Σ_{u→v} pr(u)/out(u) where r(v) = 1/|S| on

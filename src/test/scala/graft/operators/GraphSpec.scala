@@ -80,6 +80,34 @@ class GraphSpec extends AnyFunSuite {
     assert(a == b)  // exact double equality, not approx
   }
 
+  test("pageRankWeighted: heavier edge pulls more mass; equal weights ≈ unweighted") {
+    // star out of 0: edge 0→1 carries weight 9, 0→2 weight 1; back
+    // edges return the mass. Node 1 must end well above node 2.
+    val edges = Seq((0L, 1L, 9L), (0L, 2L, 1L), (1L, 0L, 1L), (2L, 0L, 1L))
+      .toDF("u", "v", "w")
+    val pr = Graph.pageRankWeighted(edges, "u", "v", "w", iterations = 30)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(pr(1L) > 4 * pr(2L), s"weighted split lost: $pr")
+    assert(math.abs(pr.values.sum - 1.0) < 1e-9) // no dangling: mass conserved
+    // equal weights reduce to the unweighted kernel (up to the last ulp
+    // of (pr·w)/W vs pr/deg)
+    val eq = (0 until 60).map(i => ((i % 12).toLong, (i % 7).toLong, 3L))
+      .toDF("u", "v", "w")
+    val wpr = Graph.pageRankWeighted(eq, "u", "v", "w")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val upr = Graph.pageRank(
+      eq.select(col("u"), col("v")), "u", "v")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(wpr.keySet == upr.keySet)
+    wpr.foreach { case (k, x) => assert(math.abs(x - upr(k)) < 1e-12) }
+    // duplicate (u, v) rows pre-aggregate by weight sum: 9 = 4 + 5
+    val dup = Seq((0L, 1L, 4L), (0L, 1L, 5L), (0L, 2L, 1L),
+      (1L, 0L, 1L), (2L, 0L, 1L)).toDF("u", "v", "w")
+    val dpr = Graph.pageRankWeighted(dup, "u", "v", "w", iterations = 30)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(dpr == pr) // exact double equality
+  }
+
   test("personalizedPageRank: cycle rank decays with distance from the seed") {
     val n = 6
     val edges = (0 until n).map(i => (i.toLong, ((i + 1) % n).toLong)).toDF("u", "v")
