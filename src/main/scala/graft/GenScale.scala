@@ -47,8 +47,15 @@ object GenScale {
   def main(args: Array[String]): Unit = {
     require(args.length >= 3, "usage: GenScale <srcDir> <outDir> <mult> [tables]")
     val srcDir = args(0); val outDir = args(1); val mult = args(2).toInt
+    val known = Set("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
     val only: Set[String] =
       if (args.length > 3) args(3).split(",").map(_.trim).toSet else Set.empty
+    // a typo'd table name must fail loudly, not produce an empty run
+    // that still prints "[gen-scale] done" over stale data
+    require(only.subsetOf(known),
+      s"unknown tables: ${(only -- known).mkString(", ")} " +
+        s"(known: ${known.toSeq.sorted.mkString(", ")})")
     def wanted(name: String): Boolean = only.isEmpty || only(name)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16").toInt
     val spark = GraftSession.local(cpus)
@@ -65,10 +72,12 @@ object GenScale {
     Seq("region", "nation").filter(wanted).foreach(n => write(n, src(n)))
 
     if (Seq("customer", "supplier", "part", "orders", "lineitem").exists(wanted)) {
-      val custSpan = span(src("customer"), "c_custkey")
-      val suppSpan = span(src("supplier"), "s_suppkey")
-      val partSpan = span(src("part"), "p_partkey")
-      val orderSpan = span(src("orders"), "o_orderkey")
+      // lazy: each span is an agg(max) SCAN of its source — a subset
+      // run must only pay for the spans its tables actually consume
+      lazy val custSpan = span(src("customer"), "c_custkey")
+      lazy val suppSpan = span(src("supplier"), "s_suppkey")
+      lazy val partSpan = span(src("part"), "p_partkey")
+      lazy val orderSpan = span(src("orders"), "o_orderkey")
 
       write("customer", tiled(src("customer"), mult) { (df, i) =>
         df.withColumn("c_custkey", col("c_custkey") + lit(i * custSpan)) })

@@ -17,6 +17,9 @@ import org.apache.spark.sql.functions.col
   */
 object ScaleProbe {
 
+  private def envInt(name: String, default: Int): Int =
+    sys.env.get(name).flatMap(_.toIntOption).getOrElse(default)
+
   def main(args: Array[String]): Unit = {
     require(args.length >= 3, "usage: ScaleProbe <sfDir> <warmSfDir> <lane>...")
     val sfDir = args(0); val warmDir = args(1); val lanes = args.drop(2)
@@ -79,14 +82,12 @@ object ScaleProbe {
           // corpus/16 candidates per band BY CONSTRUCTION, so the
           // residual shuffle/spill of the default-planes probe is the
           // candidate volume itself, not the plan.
-          val deconPlanes = sys.env.get("SPARK_GRAFT_DECON_PLANES")
-            .flatMap(_.toIntOption).getOrElse(4)
+          val deconPlanes = envInt("SPARK_GRAFT_DECON_PLANES", 4)
           // SPARK_GRAFT_DECON_FLIPS: multi-probe level on the eval side
           // (0 = exact key, 1 = key ± every 1-bit flip). The companion
           // knob: a wide-planes index is only honest decontam if the
           // flip set restores the recall the selectivity costs.
-          val deconFlips = sys.env.get("SPARK_GRAFT_DECON_FLIPS")
-            .flatMap(_.toIntOption).getOrElse(0)
+          val deconFlips = envInt("SPARK_GRAFT_DECON_FLIPS", 0)
           (() => graft.operators.Similarity.writeLshIndex(
             Tables.embeddings(spark, sfDir).filter(col("vec_id") % evalMod =!= 0),
             path, planesPerBand = deconPlanes),
@@ -107,13 +108,11 @@ object ScaleProbe {
           // build (default = the oracle-pinned 4). Big-SF probes raise
           // it — per-band signatures (r12) let selectivity scale with
           // corpus size, the documented q34 scale lever.
-          val planes = sys.env.get("SPARK_GRAFT_LSH_PLANES")
-            .flatMap(_.toIntOption).getOrElse(4)
+          val planes = envInt("SPARK_GRAFT_LSH_PLANES", 4)
           // SPARK_GRAFT_LSH_FLIPS: multi-probe level (0/1) — the recall
           // companion of the planes knob, same contract as the decontam
           // lane's SPARK_GRAFT_DECON_FLIPS
-          val lshFlips = sys.env.get("SPARK_GRAFT_LSH_FLIPS")
-            .flatMap(_.toIntOption).getOrElse(0)
+          val lshFlips = envInt("SPARK_GRAFT_LSH_FLIPS", 0)
           (() => graft.operators.Similarity.writeLshIndex(
             Tables.embeddings(spark, sfDir), path, planesPerBand = planes),
             d => graft.operators.Similarity.bandedLshTopKFromIndex(
@@ -122,10 +121,8 @@ object ScaleProbe {
               k = 10, probeFlips = lshFlips))
         case "q402_lsh_screened_served" =>
           val path = s"$tmp/graft_probe_lshscr_$runTag"
-          val planes = sys.env.get("SPARK_GRAFT_LSH_PLANES")
-            .flatMap(_.toIntOption).getOrElse(4)
-          val lshFlips = sys.env.get("SPARK_GRAFT_LSH_FLIPS")
-            .flatMap(_.toIntOption).getOrElse(0)
+          val planes = envInt("SPARK_GRAFT_LSH_PLANES", 4)
+          val lshFlips = envInt("SPARK_GRAFT_LSH_FLIPS", 0)
           (() => graft.operators.Similarity.writeLshIndex(
             Tables.embeddings(spark, sfDir), path, planesPerBand = planes),
             d => graft.operators.Similarity.bandedLshTopKFromIndexScreened(
@@ -201,11 +198,17 @@ object ScaleProbe {
             .map { case (k, v) => s"$k=${num(v)}" }.mkString(" "))
         // SPARK_GRAFT_PROBE_COUNT=1: untimed result-cardinality pass —
         // the RECALL side of a selectivity experiment (e.g. decontam at
-        // wide planes: how many contaminated ids still surface)
+        // wide planes: how many contaminated ids still surface). Own
+        // try: a count failure must not clobber the timing already
+        // recorded for the successful timed run.
         if (sys.env.get("SPARK_GRAFT_PROBE_COUNT").contains("1")) {
-          val n = query(sfDir).count()
-          rowCounts(name) = n
-          System.err.println(s"[probe] $name result_rows=$n")
+          try {
+            val n = query(sfDir).count()
+            rowCounts(name) = n
+            System.err.println(s"[probe] $name result_rows=$n")
+          } catch { case e: Throwable =>
+            System.err.println(s"[probe] $name count FAILED: ${e.getMessage}")
+          }
         }
       } catch { case e: Throwable =>
         times(name) = -1.0

@@ -571,9 +571,15 @@ object Similarity {
     // fail FAST on a pre-`sigs` layout: appending sigs for only the new
     // vectors would leave the table silently partial, and the screened
     // probe's inner candidate⋈sigs join would then DROP every old-corpus
-    // candidate — rebuild (or back-fill sigs) before growing the index
-    require(new java.io.File(s"$path/sigs").exists() ||
-      !new java.io.File(s"$path/vecs").exists(),
+    // candidate — rebuild (or back-fill sigs) before growing the index.
+    // Hadoop FS API, not java.io: the index path may be an object store
+    // or HDFS, where a local-file check would silently pass.
+    val hadoopConf = newVecs.sparkSession.sparkContext.hadoopConfiguration
+    def layoutHas(part: String): Boolean = {
+      val p = new org.apache.hadoop.fs.Path(s"$path/$part")
+      p.getFileSystem(hadoopConf).exists(p)
+    }
+    require(layoutHas("sigs") || !layoutHas("vecs"),
       s"$path has vecs but no sigs (pre-sign-screen layout); " +
         "rebuild with writeLshIndex before appending")
     bandKeys(newVecs, "id", m.numBands, m.planesPerBand, m.dim, m.seed)

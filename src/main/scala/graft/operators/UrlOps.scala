@@ -458,26 +458,43 @@ object UrlOps {
     * search engines (Brin & Page 1998 §2.2) for ranking and by crawl
     * frontiers for query-targeted prioritization.
     *
-    * Same tag-name guard, same resolution, same `link_pos` contract as
-    * [[extractLinks]]; extraction stays one narrow per-row program
-    * (two group-extractions of the SAME pattern zip positionally, so
-    * href and anchor can never misalign).
+    * Same tag-name guard, same resolution as [[extractLinks]], and the
+    * same `link_pos` contract on the documented regex subset
+    * (double-quoted attributes, no markup inside quoted attribute
+    * values); extraction stays one narrow per-row program (two
+    * group-extractions of the SAME pattern zip positionally, so href
+    * and anchor can never misalign).
     *
     * Output: (idCol, url, link_pos, href, target, anchor).
     */
   def extractLinksWithAnchors(pages: DataFrame, idCol: String,
       urlCol: String, htmlCol: String): DataFrame = {
-    val pat = lit("<a(?:\\s[^>]*)?\\shref=\"([^\"]*)\"[^>]*>([^<]*)")
+    // after the href value, the rest of the tag is consumed as
+    // (unquoted-char | quoted-span)*: a '>' INSIDE a later quoted
+    // attribute (title="a>b") cannot close the tag early, and '<'
+    // stops the run so an unclosed <a …> at end-of-tag-soup still
+    // yields its row (anchor "") instead of swallowing the next tag —
+    // keeping link_pos aligned with [[extractLinks]] on the documented
+    // subset (double-quoted attributes, no markup inside quoted
+    // values). The close + text group is optional for that unclosed
+    // case; a non-participating group extracts as "".
+    val pat = lit("<a(?:\\s[^>]*)?\\shref=\"([^\"]*)\"" +
+      "(?:[^\"<>]|\"[^\"]*\")*(?:>([^<]*))?")
     pages
       .select(col(idCol), col(urlCol).as("url"),
         posexplode(arrays_zip(
           regexp_extract_all(col(htmlCol), pat, lit(1)),
           regexp_extract_all(col(htmlCol), pat, lit(2))))
           .as(Seq("link_pos", "ha")))
+      // href materializes BEFORE the select that resolves it: the
+      // resolution must reference a real column, not a lateral alias
+      // defined in the same projection (implicit lateral-alias
+      // resolution is config-dependent)
       .select(col(idCol), col("url"), col("link_pos").cast("long"),
-        col("ha.0").as("href"),
+        col("ha.0").as("href"), col("ha.1").as("anchor"))
+      .select(col(idCol), col("url"), col("link_pos"), col("href"),
         canonicalizeUrl(resolvedHref(col("url"))).as("target"),
-        col("ha.1").as("anchor"))
+        col("anchor"))
   }
 
   /** Inbound anchor-text census per TARGET host — "what does the web

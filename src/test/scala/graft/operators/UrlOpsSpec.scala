@@ -379,6 +379,33 @@ class UrlOpsSpec extends AnyFunSuite {
       (3L, "rel", Some("http://h.io/d/rel"), "rel text")))
   }
 
+  test("extractLinksWithAnchors: quoted '>' after href; unclosed tag keeps link_pos aligned") {
+    import spark.implicits._
+    val pages = Seq((1L, "http://h.io/d/p",
+      // '>' inside a quoted attribute AFTER href must not close the tag
+      """<a href="/x" title="a>b">text</a>""" +
+        // unclosed <a followed by another tag: the greedy attr-run
+        // crosses into the next tag and takes ITS href — the documented
+        // regex-subset behavior extractLinks has always had; what
+        // matters is both extractors see the SAME rows (alignment)
+        """<a href="/y" data-k=1 <a href="/z">w</a>""" +
+        // unclosed <a at end of input: row kept, anchor ""
+        """<a href="/tail" data-k=1"""))
+      .toDF("id", "url", "html")
+    val withA = UrlOps.extractLinksWithAnchors(pages, "id", "url", "html")
+      .orderBy("link_pos")
+      .collect().map(r => (r.getLong(2), r.getString(3), r.getString(5)))
+    assert(withA.toSeq == Seq(
+      (0L, "/x", "text"),
+      (1L, "/z", "w"),
+      (2L, "/tail", "")))
+    // the href-only extractor sees the same hrefs at the same positions
+    val plain = UrlOps.extractLinks(pages, "id", "url", "html")
+      .orderBy("link_pos")
+      .collect().map(r => (r.getLong(2), r.getString(3)))
+    assert(plain.toSeq == withA.map(t => (t._1, t._2)).toSeq)
+  }
+
   test("anchorSummary: per-host totals, modal anchor with alphabetic tie-break") {
     import spark.implicits._
     val pages = Seq(
