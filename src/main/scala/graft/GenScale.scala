@@ -64,7 +64,9 @@ object GenScale {
 
     def src(name: String): DataFrame =
       spark.read.parquet(s"$srcDir/$name.parquet")
-    def write(name: String, df: DataFrame): Unit = if (wanted(name)) {
+    // df is BY-NAME: a skipped table's tiling plan (and the lazy span
+    // scans its closures force) must never be built at all
+    def write(name: String, df: => DataFrame): Unit = if (wanted(name)) {
       df.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
       System.err.println(s"[gen-scale] $name written")
     }

@@ -22,6 +22,13 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.table(s, dir, name)
 
+  // shared scratch-dir cleanup for the index-building lanes (local
+  // tmpdir only — persisted-index lanes write under java.io.tmpdir)
+  private def rmrf(p: java.io.File): Unit = {
+    if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rmrf))
+    p.delete(): Unit
+  }
+
   /** Layout-adaptive streaming source for `<sfDir>/<tbl>.parquet`: the
     * driver's testdata ships single FILES (a file cannot be a stream
     * basePath, so stream the SF root with a filename glob), while
@@ -523,10 +530,6 @@ object SparkEntry {
     "q399_lsh_multiprobe" -> ((s, d) => {
       val tmp = sys.props("java.io.tmpdir")
       val path = s"$tmp/graft_q399_lsh_${s.sparkContext.applicationId}"
-      def rmrf(p: java.io.File): Unit = {
-        if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rmrf))
-        p.delete(): Unit
-      }
       rmrf(new java.io.File(path))
       val emb = t(s, d, "embeddings")
       graft.operators.Similarity.writeLshIndex(emb, path, planesPerBand = 8)
@@ -543,10 +546,6 @@ object SparkEntry {
     "q402_lsh_sig_screened" -> ((s, d) => {
       val tmp = sys.props("java.io.tmpdir")
       val path = s"$tmp/graft_q402_lsh_${s.sparkContext.applicationId}"
-      def rmrf(p: java.io.File): Unit = {
-        if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rmrf))
-        p.delete(): Unit
-      }
       rmrf(new java.io.File(path))
       val emb = t(s, d, "embeddings")
       graft.operators.Similarity.writeLshIndex(emb, path)
@@ -979,10 +978,6 @@ object SparkEntry {
       val ckpt = s"$tmp/graft_q114_ckpt_$runTag"
       // clean slate: a stale checkpoint would replay 0 new files and
       // freeze the output at a previous run's result
-      def rmrf(p: java.io.File): Unit = {
-        if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rmrf))
-        p.delete(): Unit
-      }
       Seq(outPath, ckpt).foreach(p => rmrf(new java.io.File(p)))
       val raw = Tables.table(s, d, "events") // batch load, for the raw schema
       // the file-stream source lists DIRECTORIES; select the single
@@ -1213,10 +1208,6 @@ object SparkEntry {
       val runTag = s.sparkContext.applicationId
       val outPath = s"$tmp/graft_q120_out_$runTag"
       val ckpt = s"$tmp/graft_q120_ckpt_$runTag"
-      def rmrf(p: java.io.File): Unit = {
-        if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rmrf))
-        p.delete(): Unit
-      }
       Seq(outPath, ckpt).foreach(p => rmrf(new java.io.File(p)))
       val raw = Tables.documents(s, d)
       val stream = streamSource(s, d, "documents", raw.schema)
@@ -2645,10 +2636,6 @@ object SparkEntry {
       val runTag = s.sparkContext.applicationId
       val outPath = s"$tmp/graft_q376_out_$runTag"
       val ckpt = s"$tmp/graft_q376_ckpt_$runTag"
-      def rmrf(p: java.io.File): Unit = {
-        if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rmrf))
-        p.delete(): Unit
-      }
       Seq(outPath, ckpt).foreach(p => rmrf(new java.io.File(p)))
       val raw = Tables.documents(s, d)
       val stream = streamSource(s, d, "documents", raw.schema)
@@ -2940,10 +2927,6 @@ object SparkEntry {
       val runTag = s.sparkContext.applicationId
       val outPath = s"$tmp/graft_q389_out_$runTag"
       val ckpt = s"$tmp/graft_q389_ckpt_$runTag"
-      def rmrf(p: java.io.File): Unit = {
-        if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rmrf))
-        p.delete(): Unit
-      }
       Seq(outPath, ckpt).foreach(p => rmrf(new java.io.File(p)))
       val raw = Tables.documents(s, d)
       val stream = streamSource(s, d, "documents", raw.schema)
@@ -2966,10 +2949,6 @@ object SparkEntry {
     "q390_mirror_census" -> ((s, d) => {
       val tmp = sys.props("java.io.tmpdir")
       val path = s"$tmp/graft_q390_idx_${s.sparkContext.applicationId}"
-      def rmrf(p: java.io.File): Unit = {
-        if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rmrf))
-        p.delete(): Unit
-      }
       rmrf(new java.io.File(path))
       val docs = t(s, d, "documents").filter(col("doc_id") >= 0)
       val dd = col("doc_id")
@@ -3264,10 +3243,6 @@ object SparkEntry {
       val runTag = s.sparkContext.applicationId
       val outPath = s"$tmp/graft_q357_out_$runTag"
       val ckpt = s"$tmp/graft_q357_ckpt_$runTag"
-      def rmrf(p: java.io.File): Unit = {
-        if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rmrf))
-        p.delete(): Unit
-      }
       Seq(outPath, ckpt).foreach(p => rmrf(new java.io.File(p)))
       val raw = Tables.documents(s, d)
       val stream = streamSource(s, d, "documents", raw.schema)
@@ -3387,10 +3362,6 @@ object SparkEntry {
       val runTag = s.sparkContext.applicationId
       val statePath = s"$tmp/graft_q345_state_$runTag"
       val ckpt = s"$tmp/graft_q345_ckpt_$runTag"
-      def rmrf(p: java.io.File): Unit = {
-        if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rmrf))
-        p.delete(): Unit
-      }
       Seq(statePath, ckpt).foreach(p => rmrf(new java.io.File(p)))
       val raw = Tables.documents(s, d)
       val stream = streamSource(s, d, "documents", raw.schema)
@@ -3454,10 +3425,6 @@ object SparkEntry {
       val runTag = s.sparkContext.applicationId
       val outPath = s"$tmp/graft_q340_out_$runTag"
       val ckpt = s"$tmp/graft_q340_ckpt_$runTag"
-      def rmrf(p: java.io.File): Unit = {
-        if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rmrf))
-        p.delete(): Unit
-      }
       Seq(outPath, ckpt).foreach(p => rmrf(new java.io.File(p)))
       val raw = Tables.documents(s, d)
       val stream = streamSource(s, d, "documents", raw.schema)
@@ -3509,10 +3476,6 @@ object SparkEntry {
       val idxPath = s"$tmp/graft_q299_idx_$runTag"
       val outPath = s"$tmp/graft_q299_out_$runTag"
       val ckpt = s"$tmp/graft_q299_ckpt_$runTag"
-      def rmrf(p: java.io.File): Unit = {
-        if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rmrf))
-        p.delete(): Unit
-      }
       Seq(idxPath, outPath, ckpt).foreach(p => rmrf(new java.io.File(p)))
       val docs = t(s, d, "documents")
       // 16 buckets at gate SF: 256 near-empty partition dirs cost more
@@ -3661,10 +3624,6 @@ object SparkEntry {
     "q291_lsh_served" -> ((s, d) => {
       val tmp = sys.props("java.io.tmpdir")
       val path = s"$tmp/graft_q291_lsh_${s.sparkContext.applicationId}"
-      def rmrf(p: java.io.File): Unit = {
-        if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rmrf))
-        p.delete(): Unit
-      }
       rmrf(new java.io.File(path))
       val emb = t(s, d, "embeddings")
       graft.operators.Similarity.writeLshIndex(emb, path)
@@ -3764,10 +3723,6 @@ object SparkEntry {
     "q281_incremental_dedup" -> ((s, d) => {
       val tmp = sys.props("java.io.tmpdir")
       val path = s"$tmp/graft_q281_idx_${s.sparkContext.applicationId}"
-      def rmrf(p: java.io.File): Unit = {
-        if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rmrf))
-        p.delete(): Unit
-      }
       rmrf(new java.io.File(path))
       val docs = t(s, d, "documents")
       graft.operators.Dedup.writeContentIndex(
@@ -3796,10 +3751,6 @@ object SparkEntry {
       val runTag = s.sparkContext.applicationId
       val outPath = s"$tmp/graft_q277_out_$runTag"
       val ckpt = s"$tmp/graft_q277_ckpt_$runTag"
-      def rmrf(p: java.io.File): Unit = {
-        if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rmrf))
-        p.delete(): Unit
-      }
       Seq(outPath, ckpt).foreach(p => rmrf(new java.io.File(p)))
       val raw = Tables.documents(s, d)
       val blocked = raw.filter(col("doc_id") % 97 === 0 &&
@@ -3981,10 +3932,6 @@ object SparkEntry {
       val runTag = s.sparkContext.applicationId
       val outPath = s"$tmp/graft_q263_out_$runTag"
       val ckpt = s"$tmp/graft_q263_ckpt_$runTag"
-      def rmrf(p: java.io.File): Unit = {
-        if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rmrf))
-        p.delete(): Unit
-      }
       Seq(outPath, ckpt).foreach(p => rmrf(new java.io.File(p)))
       val raw = Tables.documents(s, d)
       val blocked = raw.filter(col("doc_id") % 97 === 0 &&
@@ -4045,10 +3992,6 @@ object SparkEntry {
     "q309_decontam_served" -> ((s, d) => {
       val tmp = sys.props("java.io.tmpdir")
       val path = s"$tmp/graft_q309_lsh_${s.sparkContext.applicationId}"
-      def rmrf(p: java.io.File): Unit = {
-        if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rmrf))
-        p.delete(): Unit
-      }
       rmrf(new java.io.File(path))
       val emb = t(s, d, "embeddings")
       graft.operators.Similarity.writeLshIndex(
@@ -4754,10 +4697,6 @@ object SparkEntry {
       val runTag = s.sparkContext.applicationId
       val outPath = s"$tmp/graft_q166_out_$runTag"
       val ckpt = s"$tmp/graft_q166_ckpt_$runTag"
-      def rmrf(p: java.io.File): Unit = {
-        if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rmrf))
-        p.delete(): Unit
-      }
       Seq(outPath, ckpt).foreach(p => rmrf(new java.io.File(p)))
       // schema must be the RAW file schema (whatever timestamp encoding
       // the file carries); Tables.normalizeEvents applies the same
@@ -4880,10 +4819,6 @@ object SparkEntry {
       val runTag = s.sparkContext.applicationId
       val outPath = s"$tmp/graft_q154_out_$runTag"
       val ckpt = s"$tmp/graft_q154_ckpt_$runTag"
-      def rmrf(p: java.io.File): Unit = {
-        if (p.isDirectory) Option(p.listFiles()).foreach(_.foreach(rmrf))
-        p.delete(): Unit
-      }
       Seq(outPath, ckpt).foreach(p => rmrf(new java.io.File(p)))
       val raw = Tables.documents(s, d)
       val stream = streamSource(s, d, "documents", raw.schema)
@@ -7009,20 +6944,23 @@ object SparkEntry {
       rerank = 4, maxProbeId = 5),
 
     // Anchor census replay over the same analytic link arms (each arm
-    // carries its fixed anchor letter); modal anchor via (count DESC,
-    // anchor) row_number
+    // carries its fixed anchor letter); modal anchor via
+    // (blank-last, count DESC, anchor) row_number — blank anchors count
+    // as links but not as anchor texts and can't win top_anchor
     "q400_anchor_text" -> (linkArmsCtes +
       """
-        |, pa AS (SELECT dst_host, anchor, count(*)::BIGINT AS n
+        |, pa AS (SELECT dst_host, anchor, count(*)::BIGINT AS n,
+        |    CASE WHEN trim(anchor) = '' THEN 1 ELSE 0 END AS blank
         |    FROM arms WHERE target IS NOT NULL GROUP BY 1, 2),
-        |r AS (SELECT dst_host, anchor, n,
+        |r AS (SELECT dst_host, anchor, n, blank,
         |    sum(n) OVER (PARTITION BY dst_host)::BIGINT AS n_links,
-        |    count(*) OVER (PARTITION BY dst_host)::BIGINT
+        |    sum(1 - blank) OVER (PARTITION BY dst_host)::BIGINT
         |      AS n_anchor_texts,
         |    row_number() OVER (PARTITION BY dst_host
-        |      ORDER BY n DESC, anchor) AS rn
+        |      ORDER BY blank, n DESC, anchor) AS rn
         |  FROM pa)
-        |SELECT dst_host, n_links, n_anchor_texts, anchor AS top_anchor
+        |SELECT dst_host, n_links, n_anchor_texts,
+        |  CASE WHEN blank = 0 THEN anchor END AS top_anchor
         |FROM r WHERE rn = 1""".stripMargin),
 
     // KMV sketch: bottom-16 SIGNED splitmix64(FNV) hashes of the distinct

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftbridge.ColumnBridge
 
@@ -172,25 +172,44 @@ object Graph {
     val outDeg = e.groupBy(col("u")).agg(count(lit(1)).as("__out"))
     val n = nodes.count()
     val reset = (1.0 - damping) / n
+    rankIterations(e, outDeg,
+      nodes.withColumn("pr", lit(1.0 / n)), Nil,
+      col("pr") / col("__out"),
+      lit(reset) + lit(damping) * coalesce(col("__s"), lit(0.0)),
+      iterations)
+  }
 
-    var pr = nodes.withColumn("pr", lit(1.0 / n)).localCheckpoint(true)
+  /** The shared fixed-iteration kernel of the PageRank family
+    * ([[pageRank]] / [[pageRankWeighted]] / [[personalizedPageRank]]):
+    * per round, join ranks to the u-partitioned edge frame `e` and the
+    * per-source divisor frame `perSrc` (both consume e's layout without
+    * an exchange), compute the per-edge term `contrib`, fold per-dst
+    * sums in SOURCE-VERTEX order (the determinism contract — a plain
+    * SUM would be partitioning-dependent in the last ulp), and rebuild
+    * the rank frame via `next` (which sees the fold as a null-able
+    * `__s` plus any `carry` columns, e.g. PPR's teleport vector).
+    * Eager per-round checkpoint release keeps live storage at one rank
+    * frame + the edge layout regardless of iteration count (r11 #3).
+    */
+  private def rankIterations(e: DataFrame, perSrc: DataFrame,
+      init: DataFrame, carry: Seq[String], contrib: Column, next: Column,
+      iterations: Int): DataFrame = {
+    var pr = init.localCheckpoint(true)
     (1 to iterations).foreach { _ =>
-      val contrib = e.join(pr, e("u") === pr("node"))
-        .join(outDeg, Seq("u"))
-        .select(col("v"), col("u"), (col("pr") / col("__out")).as("__c"))
-      val sums = contrib.groupBy(col("v"))
+      val c = e.join(pr, e("u") === pr("node"))
+        .join(perSrc, Seq("u"))
+        .select(col("v"), col("u"), contrib.as("__c"))
+      val sums = c.groupBy(col("v"))
         .agg(aggregate(
           transform(array_sort(collect_list(struct(col("u"), col("__c")))),
             x => x.getField("__c")),
           lit(0.0), (acc, x) => acc + x).as("__s"))
-      val next = nodes.join(sums, nodes("node") === sums("v"), "left")
-        .select(col("node"),
-          (lit(reset) + lit(damping) * coalesce(col("__s"), lit(0.0))).as("pr"))
+      val keep = pr.select(col("node") +: carry.map(col): _*)
+      val nxt = keep.join(sums, keep("node") === sums("v"), "left")
+        .select((col("node") +: carry.map(col)) :+ next.as("pr"): _*)
         .localCheckpoint(true)
-      // eager per-round release (r11 verdict #3): live storage is one
-      // rank frame + the edge layout, independent of iteration count
       ColumnBridge.releaseCheckpoint(pr)
-      pr = next
+      pr = nxt
     }
     pr
   }
@@ -208,9 +227,14 @@ object Graph {
     * contract as [[pageRank]]: source-ordered contribution folds, and
     * the per-edge term is computed as (pr·w)/W — one multiply, one
     * divide, in that order — which the SQL oracle replays verbatim.
-    * Weights must be positive; zero/negative weights are the caller's
-    * bug (a zero-out-weight source contributes nothing and leaks its
-    * mass like a dangling node).
+    * Weights are taken as DOUBLES (a long cast would silently truncate
+    * fractional weights — a cosine-weighted edge list would zero out);
+    * the dup-edge and out-weight sums fold in sorted order, so even
+    * fractional weights stay bit-deterministic (for integer-valued
+    * weights the sums are exact, which is what lets a plain-SUM SQL
+    * oracle replay them). Weights must be positive; zero/negative
+    * weights are the caller's bug (a zero-out-weight source contributes
+    * nothing and leaks its mass like a dangling node).
     */
   def pageRankWeighted(edges: DataFrame, srcCol: String, dstCol: String,
       weightCol: String, iterations: Int = 10,
@@ -218,34 +242,26 @@ object Graph {
     val e = partitionedCheckpoint(
       edges.select(col(srcCol).cast("long").as("u"),
         col(dstCol).cast("long").as("v"),
-        col(weightCol).cast("long").as("w"))
-        .groupBy(col("u"), col("v")).agg(sum(col("w")).as("w")), "u")
+        col(weightCol).cast("double").as("w"))
+        .groupBy(col("u"), col("v"))
+        // ascending-value fold: the multiset fixes the sum's op order
+        .agg(aggregate(array_sort(collect_list(col("w"))),
+          lit(0.0), (acc, x) => acc + x).as("w")), "u")
     val nodes = e.select(col("u").as("node"))
       .union(e.select(col("v").as("node"))).distinct()
       .localCheckpoint(true)
-    val outW = e.groupBy(col("u")).agg(sum(col("w")).as("__outw"))
+    // W(u) folds in destination order — deterministic for any weights
+    val outW = e.groupBy(col("u")).agg(aggregate(
+      transform(array_sort(collect_list(struct(col("v"), col("w")))),
+        x => x.getField("w")),
+      lit(0.0), (acc, x) => acc + x).as("__outw"))
     val n = nodes.count()
     val reset = (1.0 - damping) / n
-
-    var pr = nodes.withColumn("pr", lit(1.0 / n)).localCheckpoint(true)
-    (1 to iterations).foreach { _ =>
-      val contrib = e.join(pr, e("u") === pr("node"))
-        .join(outW, Seq("u"))
-        .select(col("v"), col("u"),
-          (col("pr") * col("w") / col("__outw")).as("__c"))
-      val sums = contrib.groupBy(col("v"))
-        .agg(aggregate(
-          transform(array_sort(collect_list(struct(col("u"), col("__c")))),
-            x => x.getField("__c")),
-          lit(0.0), (acc, x) => acc + x).as("__s"))
-      val next = nodes.join(sums, nodes("node") === sums("v"), "left")
-        .select(col("node"),
-          (lit(reset) + lit(damping) * coalesce(col("__s"), lit(0.0))).as("pr"))
-        .localCheckpoint(true)
-      ColumnBridge.releaseCheckpoint(pr)
-      pr = next
-    }
-    pr
+    rankIterations(e, outW,
+      nodes.withColumn("pr", lit(1.0 / n)), Nil,
+      col("pr") * col("w") / col("__outw"),
+      lit(reset) + lit(damping) * coalesce(col("__s"), lit(0.0)),
+      iterations)
   }
 
   /** Personalized PageRank (Haveliwala WWW'02 / Jeh & Widom WWW'03):
@@ -288,28 +304,14 @@ object Graph {
       when(col("__seed"), lit(seedMass)).otherwise(lit(0.0)))
     val outDeg = e.groupBy(col("u")).agg(count(lit(1)).as("__out"))
     val oneMinusD = 1.0 - damping
-
-    var pr = withR.select(col("node"), col("__r"),
-      col("__r").as("pr")).localCheckpoint(true)
-    (1 to iterations).foreach { _ =>
-      val contrib = e.join(pr, e("u") === pr("node"))
-        .join(outDeg, Seq("u"))
-        .select(col("v"), col("u"), (col("pr") / col("__out")).as("__c"))
-      val sums = contrib.groupBy(col("v"))
-        .agg(aggregate(
-          transform(array_sort(collect_list(struct(col("u"), col("__c")))),
-            x => x.getField("__c")),
-          lit(0.0), (acc, x) => acc + x).as("__s"))
-      val next = pr.select(col("node"), col("__r"))
-        .join(sums, pr("node") === sums("v"), "left")
-        .select(col("node"), col("__r"),
-          (lit(oneMinusD) * col("__r")
-            + lit(damping) * coalesce(col("__s"), lit(0.0))).as("pr"))
-        .localCheckpoint(true)
-      ColumnBridge.releaseCheckpoint(pr)
-      pr = next
-    }
-    pr.select(col("node"), col("pr"))
+    rankIterations(e, outDeg,
+      withR.select(col("node"), col("__r"), col("__r").as("pr")),
+      Seq("__r"),
+      col("pr") / col("__out"),
+      lit(oneMinusD) * col("__r")
+        + lit(damping) * coalesce(col("__s"), lit(0.0)),
+      iterations)
+      .select(col("node"), col("pr"))
   }
 
   /** Per-node triangle counts via the DEGREE-ORDERED oriented join

@@ -413,17 +413,27 @@ object Similarity {
     * currency of every banded-LSH join here.
     */
   private[operators] def bandKeys(df: DataFrame, idOut: String,
-      numBands: Int, planesPerBand: Int, dim: Int, seed: Long): DataFrame = {
+      numBands: Int, planesPerBand: Int, dim: Int, seed: Long): DataFrame =
+    bandKeysStaged(withNorm(df, idOut, "__vec", "__nrm"), idOut, "__vec",
+      numBands, planesPerBand, dim, seed)
+
+  /** [[bandKeys]] over an ALREADY-staged `(id, vec)` frame (withNorm's
+    * output or the persisted `vecs` table read back) — the index
+    * build/append path, which must not re-scan the raw corpus just to
+    * recompute signatures the staged vectors already determine.
+    */
+  private[operators] def bandKeysStaged(df: DataFrame, idCol: String,
+      vecCol: String, numBands: Int, planesPerBand: Int, dim: Int,
+      seed: Long): DataFrame = {
     require(planesPerBand >= 1 && planesPerBand <= 63,
       "1..63 hyperplanes per band signature")
     val planes = randomHyperplanes(numBands * planesPerBand, dim, seed)
-    withNorm(df, idOut, "__vec", "__nrm")
-      .select(col(idOut), explode(array((0 until numBands).map { b =>
-        struct(lit(b).as("band"),
-          hyperplaneSignature(col("__vec"),
-            planes.slice(b * planesPerBand, (b + 1) * planesPerBand))
-            .as("key"))
-      }: _*)).as("bk"))
+    df.select(col(idCol), explode(array((0 until numBands).map { b =>
+      struct(lit(b).as("band"),
+        hyperplaneSignature(col(vecCol),
+          planes.slice(b * planesPerBand, (b + 1) * planesPerBand))
+          .as("key"))
+    }: _*)).as("bk"))
   }
 
   def bandedLshTopK(corpus: DataFrame, probes: DataFrame, k: Int,
@@ -473,7 +483,13 @@ object Similarity {
     require(planesPerBand <= 32,
       "persisted layout packs the band key into 32 fused-key bits")
     val spark = corpus.sparkSession
-    bandKeys(corpus, "id", numBands, planesPerBand, dim, seed)
+    // the RAW corpus (at 100 TB, a wide table the embedding column
+    // rides in) is scanned exactly once — the vecs write; bands and
+    // sigs derive from reading back the compact (id, v, nrm) parquet
+    withNorm(corpus, "id", "v", "nrm")
+      .write.mode("overwrite").parquet(s"$path/vecs")
+    val vecs = spark.read.parquet(s"$path/vecs")
+    bandKeysStaged(vecs, "id", "v", numBands, planesPerBand, dim, seed)
       .select(col("id"), fusedBandKey(col("bk.band"), col("bk.key")).as("bk"))
       .withColumn("pb", dirBucket(col("bk")))
       // cluster by the dir bucket so each directory is written by one
@@ -482,14 +498,11 @@ object Similarity {
       .repartition(col("pb")).sortWithinPartitions(col("bk"))
       .write.mode("overwrite").partitionBy("pb")
       .parquet(s"$path/bands")
-    withNorm(corpus, "id", "v", "nrm")
-      .write.mode("overwrite").parquet(s"$path/vecs")
     // 8 B/vector (dim 64) packed sign bits for the binary-screen rerank
     // stage ([[bandedLshTopKFromIndexScreened]]): the candidate join
     // can consume THIS table instead of the ~dim×4 B float vectors,
     // deferring the float read to the ≤ rerank·k screen survivors
-    withNorm(corpus, "id", "v", "nrm")
-      .select(col("id"), signPackExpr(col("v")).as("sig"))
+    vecs.select(col("id"), signPackExpr(col("v")).as("sig"))
       .write.mode("overwrite").parquet(s"$path/sigs")
     import spark.implicits._
     Seq((numBands, planesPerBand, dim, seed))
@@ -582,17 +595,26 @@ object Similarity {
     require(layoutHas("sigs") || !layoutHas("vecs"),
       s"$path has vecs but no sigs (pre-sign-screen layout); " +
         "rebuild with writeLshIndex before appending")
-    bandKeys(newVecs, "id", m.numBands, m.planesPerBand, m.dim, m.seed)
-      .select(col("id"), fusedBandKey(col("bk.band"), col("bk.key")).as("bk"))
-      .withColumn("pb", dirBucket(col("bk")))
-      .repartition(col("pb")).sortWithinPartitions(col("bk"))
-      .write.mode("append").partitionBy("pb")
-      .parquet(s"$path/bands")
-    withNorm(newVecs, "id", "v", "nrm")
-      .write.mode("append").parquet(s"$path/vecs")
-    withNorm(newVecs, "id", "v", "nrm")
-      .select(col("id"), signPackExpr(col("v")).as("sig"))
-      .write.mode("append").parquet(s"$path/sigs")
+    // materialize the increment ONCE (a read-back of $path/vecs would
+    // see the old corpus too, so the write-then-derive trick the full
+    // build uses doesn't apply here); the checkpoint is increment-sized
+    // and released as soon as the three appends land
+    val staged = withNorm(newVecs, "id", "v", "nrm").localCheckpoint(true)
+    try {
+      bandKeysStaged(staged, "id", "v",
+          m.numBands, m.planesPerBand, m.dim, m.seed)
+        .select(col("id"),
+          fusedBandKey(col("bk.band"), col("bk.key")).as("bk"))
+        .withColumn("pb", dirBucket(col("bk")))
+        .repartition(col("pb")).sortWithinPartitions(col("bk"))
+        .write.mode("append").partitionBy("pb")
+        .parquet(s"$path/bands")
+      staged.write.mode("append").parquet(s"$path/vecs")
+      staged.select(col("id"), signPackExpr(col("v")).as("sig"))
+        .write.mode("append").parquet(s"$path/sigs")
+    } finally {
+      org.apache.spark.sql.graftbridge.ColumnBridge.releaseCheckpoint(staged)
+    }
   }
 
   /** Top-k over a persisted LSH index — bit-identical results to

@@ -500,8 +500,13 @@ object UrlOps {
   /** Inbound anchor-text census per TARGET host — "what does the web
     * call this site": per destination host, the resolved-link count,
     * the distinct anchor-text count, and the modal anchor (ties break
-    * alphabetically, so the row is deterministic). Feeds ranking
-    * features and frontier prioritization; at corpus scale only the
+    * alphabetically, so the row is deterministic). BLANK anchors (the
+    * extraction yields "" whenever link text is wrapped in markup —
+    * `<a href=x><span>Docs</span></a>` — or the tag is unclosed) still
+    * count as links but are excluded from the anchor-text census: a
+    * styled-markup-heavy host must not report top_anchor = "" (NULL
+    * when no non-blank anchor exists). Feeds ranking features and
+    * frontier prioritization; at corpus scale only the
     * (dst_host, anchor) projection shuffles — the page payload is
     * consumed in the extraction scan.
     */
@@ -512,15 +517,19 @@ object UrlOps {
         col(anchorCol).as("anchor"))
       .groupBy(col("dst_host"), col("anchor"))
       .agg(count(lit(1)).as("__n"))
+      .withColumn("__blank",
+        when(trim(col("anchor")) === "", 1).otherwise(0))
     val w = Window.partitionBy(col("dst_host"))
-    val wTop = w.orderBy(col("__n").desc, col("anchor"))
+    // non-blank anchors rank first, so "" wins only when it's alone
+    val wTop = w.orderBy(col("__blank"), col("__n").desc, col("anchor"))
     perAnchor
       .withColumn("n_links", sum(col("__n")).over(w))
-      .withColumn("n_anchor_texts", count(lit(1)).over(w))
+      .withColumn("n_anchor_texts",
+        sum(lit(1) - col("__blank")).over(w))
       .withColumn("__rn", row_number().over(wTop))
       .filter(col("__rn") === 1)
       .select(col("dst_host"), col("n_links"), col("n_anchor_texts"),
-        col("anchor").as("top_anchor"))
+        when(col("__blank") === 0, col("anchor")).as("top_anchor"))
   }
 
   /** Host-level link graph out of [[extractLinks]] rows: one edge per

@@ -108,6 +108,25 @@ class GraphSpec extends AnyFunSuite {
     assert(dpr == pr) // exact double equality
   }
 
+  test("pageRankWeighted: fractional weights work (no long truncation) and are scale-invariant") {
+    // all weights < 1 — a long cast would truncate them to 0, zero the
+    // out-weight and silently vanish the source's mass
+    val frac = Seq((0L, 1L, 0.7), (0L, 2L, 0.3), (1L, 0L, 0.5),
+      (2L, 0L, 0.5)).toDF("u", "v", "w")
+    val pr = Graph.pageRankWeighted(frac, "u", "v", "w", iterations = 30)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // converged ratio is ~1.95 (7:3 contributions + shared reset mass);
+    // the truncation bug would give a uniform 1:1
+    assert(pr(1L) > 1.5 * pr(2L), s"fractional split lost: $pr")
+    assert(math.abs(pr.values.sum - 1.0) < 1e-9)
+    // only weight RATIOS matter: ×10 on every weight is the same walk
+    val scaled = Seq((0L, 1L, 7.0), (0L, 2L, 3.0), (1L, 0L, 5.0),
+      (2L, 0L, 5.0)).toDF("u", "v", "w")
+    val spr = Graph.pageRankWeighted(scaled, "u", "v", "w", iterations = 30)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    pr.foreach { case (k, x) => assert(math.abs(x - spr(k)) < 1e-12) }
+  }
+
   test("personalizedPageRank: cycle rank decays with distance from the seed") {
     val n = 6
     val edges = (0 until n).map(i => (i.toLong, ((i + 1) % n).toLong)).toDF("u", "v")

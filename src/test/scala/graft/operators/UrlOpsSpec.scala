@@ -431,6 +431,30 @@ class UrlOpsSpec extends AnyFunSuite {
       ("u.io", 2L, 2L, "alpha")))
   }
 
+  test("anchorSummary: blank anchors count as links, never win top_anchor") {
+    import spark.implicits._
+    // markup-wrapped link text extracts as "" (text stops at '<') —
+    // the dominant real-world shape for styled links
+    val pages = Seq((1L, "http://s1.io/p",
+      """<a href="http://t.io/a"><span>x</span></a>""" +
+        """<a href="http://t.io/b"><b>y</b></a>""" +
+        """<a href="http://t.io/c"><img src="z"></a>""" +
+        """<a href="http://t.io/d">Docs</a>""" +
+        // u.io gets ONLY blank anchors: census must yield NULL, not ""
+        """<a href="http://u.io/x"><em>w</em></a>"""))
+      .toDF("id", "url", "html")
+    val got = UrlOps.anchorSummary(
+      UrlOps.extractLinksWithAnchors(pages, "id", "url", "html"),
+      "target", "anchor")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        Option(r.getString(3)))).toSet
+    // t.io: 4 links, but ""×3 is excluded from the anchor census and
+    // loses the modal race to the lone "Docs"
+    assert(got == Set(
+      ("t.io", 4L, 1L, Some("Docs")),
+      ("u.io", 1L, 0L, None)))
+  }
+
   test("hostGraph: distinct-target counts and registered-domain split") {
     import spark.implicits._
     val pages = Seq(
