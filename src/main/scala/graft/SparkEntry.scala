@@ -5382,9 +5382,10 @@ object SparkEntry {
       |  SELECT 'http://w' || (doc_id % 7) || '.test/new/' || doc_id,
       |    md5('new' || doc_id) FROM dk WHERE doc_id % 13 = 0),
       |diff AS (SELECT COALESCE(p.url, c.url) AS url, prev_hash, cur_hash,
-      |    CASE WHEN prev_hash IS NULL THEN 'added'
-      |         WHEN cur_hash IS NULL THEN 'removed'
-      |         WHEN prev_hash = cur_hash THEN 'unchanged'
+      |    CASE WHEN p.url IS NULL THEN 'added'
+      |         WHEN c.url IS NULL THEN 'removed'
+      |         WHEN prev_hash IS NOT DISTINCT FROM cur_hash
+      |           THEN 'unchanged'
       |         ELSE 'changed' END AS change
       |  FROM prev p FULL OUTER JOIN cur c ON p.url = c.url)""".stripMargin
 
@@ -13171,12 +13172,13 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT doc_id + 1000000 AS doc_id, text FROM v1
         |  WHERE doc_id % 13 = 0),
-        |j AS (SELECT coalesce(a.doc_id, b.doc_id) AS id, a.text AS o,
-        |    b.text AS nw
+        |j AS (SELECT coalesce(a.doc_id, b.doc_id) AS id,
+        |    a.doc_id AS oid, b.doc_id AS nid, a.text AS o, b.text AS nw
         |  FROM v1 a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id)
-        |SELECT CASE WHEN o IS NULL THEN 'added'
-        |    WHEN nw IS NULL THEN 'removed'
-        |    WHEN o = nw THEN 'unchanged' ELSE 'changed' END AS status,
+        |SELECT CASE WHEN oid IS NULL THEN 'added'
+        |    WHEN nid IS NULL THEN 'removed'
+        |    WHEN o IS NOT DISTINCT FROM nw THEN 'unchanged'
+        |    ELSE 'changed' END AS status,
         |  count(*) AS n
         |FROM j GROUP BY 1""".stripMargin,
 

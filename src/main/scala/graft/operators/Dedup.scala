@@ -129,6 +129,13 @@ object Dedup {
     */
   private def lshCandidatePairs(featured: DataFrame,
       numHashes: Int, numBands: Int): DataFrame = {
+    // numBands > numHashes would slice EMPTY band keys (every doc
+    // collides in every band → the O(n²) cross product banding exists
+    // to prevent); a non-divisor silently drops trailing signature
+    // hashes and shifts recall — both are caller bugs, fail loudly
+    require(numBands >= 1 && numHashes >= numBands &&
+      numHashes % numBands == 0,
+      s"numBands ($numBands) must divide numHashes ($numHashes)")
     // PRECONDITION: every featured row carries >= 1 non-null feature.
     // Both callers guarantee it (their upstream size/length filters plus
     // the containsNull=false Tokenize/NgramHashes kernels), and it
@@ -391,9 +398,15 @@ object Dedup {
     val base = df.select(col(idCol).as("id"), col(groupCol).as("grp"),
       bytesCol.cast("long").as("bytes"),
       canonicalText(col(textCol)).as("__canon"))
-    val winners = base.groupBy(col("__canon"))
+    val winners = base.filter(col("__canon").isNotNull)
+      .groupBy(col("__canon"))
       .agg(min(col("id")).as("__win"))
-    base.join(winners, Seq("__canon"))
+    // LEFT join + self-win coalesce: a NULL canonical text never
+    // equi-joins, and this file's contract says null text is never a
+    // dup — each such doc is its own winner (an inner join would
+    // silently DROP those docs from every count)
+    base.join(winners, Seq("__canon"), "left")
+      .withColumn("__win", coalesce(col("__win"), col("id")))
       .groupBy(col("grp"))
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("id") =!= col("__win"), 1L).otherwise(0L))
@@ -709,7 +722,8 @@ object Dedup {
   def stripBoilerplate(df: DataFrame, idCol: String, linesCol: Column,
       maxDocFreq: Long): DataFrame = {
     require(maxDocFreq >= 1, "maxDocFreq must be >= 1")
-    val spine = df.select(col(idCol).as("id"), linesCol.as("__lines"))
+    val spine = df.select(col(idCol).as("id"),
+        emptyIfNull(linesCol).as("__lines"))
       .select(col("id"), col("__lines"),
         size(col("__lines")).cast("long").as("n_lines"))
     val occurrences = spine
@@ -720,12 +734,7 @@ object Dedup {
       .filter(col("__nd") > maxDocFreq)
       .select(col("line"))
     val kept = occurrences.join(broadcast(hot), Seq("line"), "left_anti")
-    val rebuilt = kept.groupBy(col("id"))
-      .agg(count(lit(1)).as("n_kept"),
-        array_join(
-          transform(array_sort(collect_list(struct(col("pos"), col("line")))),
-            x => x.getField("line")),
-          "\n").as("text_kept"))
+    val rebuilt = rebuildLines(kept, "text_kept")
     spine.select(col("id"), col("n_lines"))
       .join(rebuilt, Seq("id"), "left")
       .select(col("id"), col("n_lines"),
@@ -745,7 +754,7 @@ object Dedup {
       groupCol: String, linesCol: Column, maxDocFreq: Long): DataFrame = {
     require(maxDocFreq >= 1, "maxDocFreq must be >= 1")
     val spine = df.select(col(idCol).as("id"), col(groupCol).as("grp"),
-      linesCol.as("__lines"))
+      emptyIfNull(linesCol).as("__lines"))
       .select(col("id"), col("grp"), col("__lines"),
         size(col("__lines")).cast("long").as("n_lines"))
     val occurrences = spine
@@ -757,12 +766,7 @@ object Dedup {
       .filter(col("__nd") > maxDocFreq)
       .select(col("grp"), col("line"))
     val kept = occurrences.join(broadcast(hot), Seq("grp", "line"), "left_anti")
-    val rebuilt = kept.groupBy(col("id"))
-      .agg(count(lit(1)).as("n_kept"),
-        array_join(
-          transform(array_sort(collect_list(struct(col("pos"), col("line")))),
-            x => x.getField("line")),
-          "\n").as("text_kept"))
+    val rebuilt = rebuildLines(kept, "text_kept")
     spine.select(col("id"), col("grp"), col("n_lines"))
       .join(rebuilt, Seq("id"), "left")
       .select(col("id"), col("grp").as("source"), col("n_lines"),
@@ -829,7 +833,8 @@ object Dedup {
     require(spanLen >= 2, s"spanLen must be >= 2, got $spanLen")
     require(hotGramCap >= 1, s"hotGramCap must be >= 1, got $hotGramCap")
     require(hotSampleRate >= 1, s"hotSampleRate must be >= 1, got $hotSampleRate")
-    val spine = df.select(col(idCol).as("id"), toksCol.as("__toks"))
+    val spine = df.select(col(idCol).as("id"),
+        emptyIfNull(toksCol).as("__toks"))
       .select(col("id"), col("__toks"),
         size(col("__toks")).cast("long").as("n_tokens"))
     // positional grams: index i (0-based) = span starting at token i.
@@ -1021,8 +1026,30 @@ object Dedup {
     * Per-doc collect_list is bounded by document size. No window over
     * the full corpus, no driver-side state.
     */
+  /** Null token/line arrays (null text upstream) normalize to EMPTY at
+    * the spine, so `size()`'s legacy -1 sentinel can never leak into
+    * n_lines / n_tokens output (the explicit-null-gate convention this
+    * file holds elsewhere).
+    */
+  private def emptyIfNull(arr: Column): Column =
+    coalesce(arr, array().cast("array<string>"))
+
+  /** Shared per-doc rebuild of the line-level passes ([[lineDedup]],
+    * [[stripBoilerplate]], [[stripBoilerplateBySource]]): surviving
+    * (id, pos, line) rows fold back to one row per doc in original
+    * line order.
+    */
+  private def rebuildLines(kept: DataFrame, outCol: String): DataFrame =
+    kept.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+            x => x.getField("line")),
+          "\n").as(outCol))
+
   def lineDedup(df: DataFrame, idCol: String, linesCol: Column): DataFrame = {
-    val spine = df.select(col(idCol).as("id"), linesCol.as("__lines"))
+    val spine = df.select(col(idCol).as("id"),
+        emptyIfNull(linesCol).as("__lines"))
       .select(col("id"), col("__lines"),
         size(col("__lines")).cast("long").as("n_lines"))
     val occurrences = spine
@@ -1031,13 +1058,7 @@ object Dedup {
       .groupBy(col("line"))
       .agg(min(struct(col("id"), col("pos"))).as("w"))
       .select(col("w.id").as("id"), col("w.pos").as("pos"), col("line"))
-    val rebuilt = winners
-      .groupBy(col("id"))
-      .agg(count(lit(1)).as("n_kept"),
-        array_join(
-          transform(array_sort(collect_list(struct(col("pos"), col("line")))),
-            x => x.getField("line")),
-          "\n").as("text_dedup"))
+    val rebuilt = rebuildLines(winners, "text_dedup")
     spine.select(col("id"), col("n_lines"))
       .join(rebuilt, Seq("id"), "left")
       .select(col("id"), col("n_lines"),

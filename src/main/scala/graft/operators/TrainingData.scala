@@ -268,14 +268,24 @@ object TrainingData {
     val per = df
       .select(col(sourceCol).as("source"),
         tokenCount.cast("long").as("__tk"),
-        targetWeight.cast("long").as("__w"))
+        // DOUBLE, not long: natural mixture weights are fractional
+        // (0.6/0.4) and a long cast would truncate them to 0 → NaN
+        // shares. Integer-valued weights stay exact in double, which
+        // is what keeps a plain-SUM SQL oracle bit-identical.
+        targetWeight.cast("double").as("__w"))
       .filter(col("source").isNotNull && col("__tk").isNotNull)
       .groupBy(col("source"))
       .agg(sum(col("__tk")).as("observed_tokens"),
         max(col("__w")).as("__w"))
+    // the weight total folds in source order — deterministic even for
+    // fractional weights (a plain double SUM over the |sources|-bounded
+    // frame would be partitioning-dependent in the last ulp)
     val tot = per.agg(sum(col("observed_tokens")).as("__ot"),
-      sum(col("__w")).as("__wt"))
-    val rel = (col("__w").cast("double") / col("__wt").cast("double")) /
+      aggregate(
+        transform(array_sort(collect_list(struct(col("source"), col("__w")))),
+          x => x.getField("__w")),
+        lit(0.0), (acc, x) => acc + x).as("__wt"))
+    val rel = (col("__w") / col("__wt")) /
       (col("observed_tokens").cast("double") / col("__ot").cast("double"))
     val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
     per.crossJoin(broadcast(tot))
@@ -402,6 +412,10 @@ object TrainingData {
     * u > 0), the exact-in-double range. Rows with weight <= 0 never
     * selected. Ties broken by id (keys collide only on id-hash
     * collision).
+    *
+    * Output: the input columns PLUS `sample_key` (the ln(u)/w
+    * competition key — deliberately kept so callers can audit/replay
+    * the draw; drop it if appending to a fixed-schema sink).
     */
   def weightedSample(df: DataFrame, idCol: String, weight: Column,
       k: Int): DataFrame = {
@@ -820,23 +834,18 @@ object TrainingData {
 
   /** Corpus snapshot diff — the data-versioning report between two
     * crawls/ingests: per-id full outer join comparing content, rows
-    * classified added / removed / changed / unchanged with counts (the
-    * per-id detail is the same frame pre-aggregation). Exact counts;
-    * content compare is plain equality (hash at fleet scale — same
-    * 64-bit-collision contract as the dedup family).
+    * classified added / removed / changed / unchanged with counts.
+    * Delegates the per-row classification to
+    * [[graft.operators.UrlOps.snapshotDiff]] (one copy of the
+    * presence-marker / null-safe-compare logic) and aggregates. Exact
+    * counts; content compare is null-safe equality (hash at fleet
+    * scale — same 64-bit-collision contract as the dedup family).
     */
   def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
-      contentCol: String): DataFrame = {
-    val o = oldDf.select(col(idCol).as("id"), col(contentCol).as("__old"))
-    val n = newDf.select(col(idCol).as("id"), col(contentCol).as("__new"))
-    o.join(n, Seq("id"), "full_outer")
-      .select(
-        when(col("__old").isNull, lit("added"))
-          .when(col("__new").isNull, lit("removed"))
-          .when(col("__old") === col("__new"), lit("unchanged"))
-          .otherwise(lit("changed")).as("status"))
+      contentCol: String): DataFrame =
+    UrlOps.snapshotDiff(oldDf, newDf, idCol, contentCol)
+      .select(col("change").as("status"))
       .groupBy(col("status")).agg(count(lit(1)).as("n"))
-  }
 
   /** Rank-based score normalization (quantile scaling) per group: maps a
     * raw score column to [0, 1] by `(rank − 1) / (n − 1)` with RANK
@@ -902,15 +911,21 @@ object TrainingData {
       .withColumn("__c", count(lit(1)).over(wr))
       .withColumn("__gn", count(lit(1)).over(cw))
     // the target position is pos = ceil(c·tot / gn); both range bounds
-    // multiply through by gn (> 0), so the lookup is pure BIGINT
+    // multiply through by gn (> 0), so the lookup is pure integer
     // multiplication — no division anywhere:
     //   pos ≤ cum        ⇔  c·tot ≤ cum·gn
     //   pos > cum − pc   ⇔  c·tot > (cum − pc)·gn
+    // The products run in DECIMAL(38,0): BIGINT×BIGINT silently wraps
+    // once c·tot passes 2^63 (~3e9 rows with a dominant group), which
+    // would map rows to wrong pooled values or drop them
     val lookup = pooled.crossJoin(broadcast(n))
+    def d38(c: Column): Column = c.cast("decimal(38,0)")
     ranked
       .join(broadcast(lookup),
-        col("__c") * col("__tot") <= col("__cum") * col("__gn") &&
-          col("__c") * col("__tot") > (col("__cum") - col("__pc")) * col("__gn"))
+        d38(col("__c")) * d38(col("__tot")) <=
+          d38(col("__cum")) * d38(col("__gn")) &&
+          d38(col("__c")) * d38(col("__tot")) >
+            (d38(col("__cum")) - d38(col("__pc"))) * d38(col("__gn")))
       .withColumn(outCol, col("__pv"))
       .drop("__pv", "__pc", "__cum", "__c", "__gn", "__tot")
   }

@@ -568,13 +568,19 @@ object UrlOps {
     */
   def snapshotDiff(prev: DataFrame, cur: DataFrame, urlCol: String,
       hashCol: String): DataFrame = {
+    // presence comes from join-side MARKERS, not hash nullness: a url
+    // present in both snapshots with a NULL stored hash must classify
+    // by the null-safe compare (unchanged/changed), not report "added";
+    // one absent from cur with a NULL prev hash must report "removed"
     val p = prev.select(col(urlCol).as("url"), col(hashCol).as("prev_hash"))
+      .withColumn("__in_prev", lit(true))
     val c = cur.select(col(urlCol).as("url"), col(hashCol).as("cur_hash"))
+      .withColumn("__in_cur", lit(true))
     p.join(c, Seq("url"), "full_outer")
       .select(col("url"), col("prev_hash"), col("cur_hash"),
-        when(col("prev_hash").isNull, "added")
-          .when(col("cur_hash").isNull, "removed")
-          .when(col("prev_hash") === col("cur_hash"), "unchanged")
+        when(col("__in_prev").isNull, "added")
+          .when(col("__in_cur").isNull, "removed")
+          .when(col("prev_hash") <=> col("cur_hash"), "unchanged")
           .otherwise("changed").as("change"))
   }
 

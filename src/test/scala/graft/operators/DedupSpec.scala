@@ -517,6 +517,52 @@ class DedupSpec extends AnyFunSuite {
     assert(out("srcB") == ((2L, 1L, 80L, 80.0 / 130.0 match { case x => math.rint(x * 10000) / 10000 })))
   }
 
+  test("dedupSavings: null-text docs count as their own winners, never dropped") {
+    val docs = Seq(
+      (1L, "srcA", "same text", 100L),
+      (2L, "srcA", "same text", 80L),            // dup of 1
+      (3L, "srcA", null.asInstanceOf[String], 60L), // null text: unique
+      (4L, "srcB", null.asInstanceOf[String], 50L), // null text: unique
+      (5L, "srcB", null.asInstanceOf[String], 40L)) // null ≠ null here
+      .toDF("doc_id", "source", "text", "bytes")
+    val out = Dedup.dedupSavings(docs, "doc_id", "text", "source", col("bytes"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // the inner-join bug dropped every null-text doc from n_docs/bytes
+    assert(out("srcA") == ((3L, 1L, 80L)))
+    assert(out("srcB") == ((2L, 0L, 0L)))
+  }
+
+  test("null token/line arrays yield 0 counts, not size(NULL)'s -1") {
+    val lined = Seq((1L, Seq("a", "b")), (2L, null.asInstanceOf[Seq[String]]))
+      .toDF("doc_id", "lines")
+    val ld = Dedup.lineDedup(lined, "doc_id", col("lines"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(ld(2L) == ((0L, 0L, "")))
+    val sb = Dedup.stripBoilerplate(lined, "doc_id", col("lines"), maxDocFreq = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sb(2L) == 0L)
+    val sd = Dedup.spanDedup(
+      Seq((1L, Seq.fill(10)("t")), (2L, null.asInstanceOf[Seq[String]]))
+        .toDF("doc_id", "toks"), "doc_id", col("toks"), spanLen = 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(sd(2L) == ((0L, 0L, 0L, "")))
+  }
+
+  test("minHashNearDups rejects a band count that doesn't divide numHashes") {
+    val docs = Seq((1L, "a b c d e f g h i j")).toDF("doc_id", "text")
+    val bad = intercept[IllegalArgumentException] {
+      Dedup.minHashNearDups(docs, "doc_id", "text",
+        numHashes = 16, numBands = 32).collect()
+    }
+    assert(bad.getMessage.contains("divide"))
+    intercept[IllegalArgumentException] {
+      Dedup.minHashNearDups(docs, "doc_id", "text",
+        numHashes = 16, numBands = 5).collect()
+    }
+  }
+
   test("clusterChainingAudit: an A-B-C chain with weak A-C gets flagged") {
     // A and C are orthogonal halves; B bridges them (high cosine to
     // both). Pair threshold 0.5: A-B and B-C pass, A-C (cos 0) fails,

@@ -528,6 +528,40 @@ class TrainingDataSpec extends AnyFunSuite {
     assert(out("b").getAs[Long]("planned_tokens") == 50L)
   }
 
+  test("mixtureRebalance: fractional target weights (no long truncation)") {
+    // weights 0.6/0.4 — a long cast would truncate both to 0 and emit
+    // NaN shares; ratios must match the integer 3/2 form exactly
+    val frac = Seq(("a", 600L, 0.6), ("b", 400L, 0.4))
+      .toDF("source", "tk", "w")
+    val ints = Seq(("a", 600L, 3L), ("b", 400L, 2L))
+      .toDF("source", "tk", "w")
+    val fo = TrainingData.mixtureRebalance(frac, "source", col("tk"), col("w"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val io = TrainingData.mixtureRebalance(ints, "source", col("tk"), col("w"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    Seq("a", "b").foreach { s =>
+      assert(!fo(s).getAs[Double]("target_share").isNaN)
+      assert(math.abs(fo(s).getAs[Double]("rate") -
+        io(s).getAs[Double]("rate")) < 1e-12)
+      assert(fo(s).getAs[Long]("planned_tokens") ==
+        io(s).getAs[Long]("planned_tokens"))
+    }
+  }
+
+  test("snapshotDiff: presence from join sides, null content compares null-safe") {
+    val o = Seq((1L, "x"), (2L, null.asInstanceOf[String]),
+      (3L, null.asInstanceOf[String]), (4L, "gone")).toDF("id", "c")
+    val n = Seq((1L, "x"), (2L, "now set"),
+      (3L, null.asInstanceOf[String]), (5L, "fresh")).toDF("id", "c")
+    val out = TrainingData.snapshotDiff(o, n, "id", "c")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // id 2: present in BOTH with null old content → changed (the
+    // nullness-as-presence bug reported it as "added"); id 3:
+    // null == null content → unchanged; id 4 removed despite any nulls
+    assert(out == Map("unchanged" -> 2L, "changed" -> 1L,
+      "removed" -> 1L, "added" -> 1L))
+  }
+
   test("rangeShardPlan: brute-force replay of sample ranks, boundaries, audit") {
     val n = 10000
     val keys = (0 until n).map(i => Tuple1((i.toLong * 7919) % 50021))
