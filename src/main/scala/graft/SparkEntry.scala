@@ -4190,7 +4190,7 @@ object SparkEntry {
     // median an element); the outlier-immune q160 companion
     "q201_theil_sen" -> ((s, d) =>
       graft.operators.EventAnalytics.theilSen(Tables.events(s, d),
-        "user_id", "ts", "event_id", "value")),
+        "user_id", "ts", "value")),
 
     // Decile mobility matrix: per-user activity deciles over the early
     // vs late half of the window (ntile(10) on the (Σ value, user)
@@ -7393,11 +7393,15 @@ object SparkEntry {
          |      ::DECIMAL(12,6) AS w
          |  FROM bk),
          |agg AS (SELECT doc_id, count(*)::BIGINT AS n_tokens,
-         |    sum(w) AS s FROM wt GROUP BY doc_id)
-         |SELECT doc_id, n_tokens, s::DOUBLE AS logit,
-         |  round(1.0 / (1.0 + exp(-(s::DOUBLE))), 4) AS score_4dp,
-         |  (1.0 / (1.0 + exp(-(s::DOUBLE))) >= 0.5) AS label
-         |FROM agg""".stripMargin
+         |    sum(w) AS s FROM wt GROUP BY doc_id),
+         |sp AS (SELECT d.doc_id,
+         |    coalesce(a.n_tokens, 0)::BIGINT AS n_tokens,
+         |    coalesce(a.s, 0::DECIMAL(12,6))::DOUBLE AS lg
+         |  FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id)
+         |SELECT doc_id, n_tokens, lg AS logit,
+         |  round(1.0 / (1.0 + exp(-lg)), 4) AS score_4dp,
+         |  (1.0 / (1.0 + exp(-lg)) >= 0.5) AS label
+         |FROM sp""".stripMargin
     },
 
     // KMV replay: FNV each distinct (lang, token), bottom-256 per lang,
@@ -7619,9 +7623,9 @@ object SparkEntry {
          | CASE WHEN len(toks) >= 3 THEN 1.0 - len(list_distinct(list_transform(
          |    generate_series(1, len(toks) - 2), i -> array_to_string(toks[i:i+2], ' '))))::DOUBLE
          |    / (len(toks) - 2) ELSE 0.0 END AS rep_word3,
-         | CASE WHEN length(lower(text)) >= 5 THEN 1.0 - len(list_distinct(list_transform(
-         |    generate_series(1, length(lower(text)) - 4), i -> substring(lower(text), i, 5))))::DOUBLE
-         |    / (length(lower(text)) - 4) ELSE 0.0 END AS rep_char5
+         | CASE WHEN strlen(lower(text)) >= 5 THEN 1.0 - len(list_distinct(list_transform(
+         |    generate_series(1, strlen(lower(text)) - 4), i -> substring(lower(text), i, 5))))::DOUBLE
+         |    / (strlen(lower(text)) - 4) ELSE 0.0 END AS rep_char5
          |FROM tk""".stripMargin,
 
     "q33_approx_distinct" ->
@@ -10835,7 +10839,8 @@ object SparkEntry {
          |    '/p/' || doc_id AS url
          |  FROM documents),
          |h AS (SELECT doc_id,
-         |    lower(regexp_extract(url, '^[a-z]+://([^/:?#]+)', 1)) AS host
+         |    rtrim(lower(regexp_extract(url, '^[a-z]+://([^/:?#]+)', 1)),
+         |      '.') AS host
          |  FROM u),
          |lab AS (SELECT doc_id, host, string_split(host, '.') AS ls FROM h),
          |dom AS (SELECT doc_id,
@@ -13272,12 +13277,18 @@ object SparkEntry {
          |pq AS (SELECT j.g, j.bin,
          |    (j.ref_n::DOUBLE + 0.5) / (t.rt::DOUBLE + 5.0) AS p,
          |    (j.cur_n::DOUBLE + 0.5) / (t.ct::DOUBLE + 5.0) AS q
-         |  FROM j JOIN t ON t.g = j.g)
-         |SELECT g AS event_type,
-         |  round(list_reduce(list_prepend(0.0,
-         |    list((p - q) * ln(p / q) ORDER BY bin)), (a, b) -> a + b), 4)
-         |    AS psi
-         |FROM pq GROUP BY g""".stripMargin
+         |  FROM j JOIN t ON t.g = j.g),
+         |ps AS (SELECT g,
+         |    round(list_reduce(list_prepend(0.0,
+         |      list((p - q) * ln(p / q) ORDER BY bin)), (a, b) -> a + b), 4)
+         |      AS psi
+         |  FROM pq GROUP BY g),
+         |gs AS (SELECT DISTINCT g FROM
+         |  (SELECT g FROM refs UNION ALL SELECT g FROM curs
+         |   UNION ALL SELECT event_type FROM events WHERE value IS NULL)
+         |  WHERE g IS NOT NULL)
+         |SELECT gs.g AS event_type, ps.psi
+         |FROM gs LEFT JOIN ps ON ps.g = gs.g""".stripMargin
     },
 
     // Skyline oracle: the textbook NOT EXISTS dominance predicate
@@ -13613,7 +13624,8 @@ object SparkEntry {
          |        i -> array_to_string(toks[i * 10 + 1 : i * 10 + 10], ' '))
          |    ELSE [] END AS lines FROM tk),
          |k AS (SELECT doc_id, list_filter(lines,
-         |      l -> len(string_split(l, ' ')) >= 5
+         |      l -> len(list_filter(string_split_regex(l, '\\s+'),
+         |        t -> strlen(t) > 0)) >= 5
          |        AND NOT (contains(l, 'slow') OR contains(l, 'dup')))
          |    AS kept FROM ld)
          |SELECT doc_id, len(kept)::BIGINT AS n_lines_kept,

@@ -156,8 +156,13 @@ object EventAnalytics {
       .groupBy(col("k"))
       .agg(array_sort(collect_list(struct(col("us"), col("id"), col("x"))))
         .as("__ev"))
+    // the fold's zero must carry the CALLER's id type (a hard-coded
+    // bigint fails analysis for string event-ids: the merge lambda's
+    // struct<…,id:string> wouldn't unify with the zero)
+    val idSql = events.select(col(idCol)).schema.head.dataType.sql
     val zero = struct(
-      array().cast("array<struct<id:bigint,ewma:double,dev:double>>").as("out"),
+      array().cast(s"array<struct<id:$idSql,ewma:double,dev:double>>")
+        .as("out"),
       lit(null).cast("double").as("prev"))
     val folded = sorted.select(col("k"),
       aggregate(col("__ev"), zero, (acc, e) => {
@@ -389,6 +394,11 @@ object EventAnalytics {
     * (ln ulp). Shapes: boundary pass = one rank window over the
     * reference; binning = broadcast boundary-array join; counts
     * partial-agg map-side.
+    *
+    * Groups with NO reference distribution (present only in `current`,
+    * or all-null reference values) emit a row with NULL psi — the
+    * most-drifted case (a brand-new segment) must surface in the
+    * report, not vanish through the boundary join.
     */
   def psiDrift(reference: DataFrame, current: DataFrame, groupCol: String,
       valueCol: String, bins: Int = 10): DataFrame = {
@@ -420,7 +430,7 @@ object EventAnalytics {
         coalesce(col("cur_n"), lit(0L)).as("cur_n"))
     val totals = joined.groupBy(col("g"))
       .agg(sum(col("ref_n")).as("__rt"), sum(col("cur_n")).as("__ct"))
-    joined.join(broadcast(totals), Seq("g"))
+    val psi = joined.join(broadcast(totals), Seq("g"))
       .select(col("g"), col("bin"),
         ((col("ref_n") + lit(0.5)) / (col("__rt") + lit(0.5 * bins))).as("p"),
         ((col("cur_n") + lit(0.5)) / (col("__ct") + lit(0.5 * bins))).as("q"))
@@ -430,6 +440,12 @@ object EventAnalytics {
           ((col("p") - col("q")) * log(col("p") / col("q"))).as("t")))),
           x => x.getField("t")),
         lit(0.0), (acc, x) => acc + x).as("__psi"))
+    // group universe = ref ∪ cur: a current-only group joins nothing
+    // above (no reference bins) and must still report, with NULL psi
+    reference.select(col(groupCol).as("g"))
+      .union(current.select(col(groupCol).as("g")))
+      .filter(col("g").isNotNull).distinct()
+      .join(psi, Seq("g"), "left")
       .select(col("g").as(groupCol), round(col("__psi"), 4).as("psi"))
   }
 
@@ -575,7 +591,7 @@ object EventAnalytics {
     * cross-key pairs.
     */
   def theilSen(events: DataFrame, keyCol: String, tsCol: String,
-      idCol: String, valueCol: String): DataFrame = {
+      valueCol: String): DataFrame = {
     val e = events.filter(col(valueCol).isNotNull)
       .select(col(keyCol).as("k"), unix_micros(col(tsCol)).as("us"),
         col(valueCol).cast("double").as("v"))
@@ -727,8 +743,11 @@ object EventAnalytics {
           .cast("double") / count(lit(1)).cast("double")).as("__mu"),
         array_sort(collect_list(struct(col("us"), col("id"), col("v"))))
           .as("__ev"))
+    // zero's `at` slot carries the caller's id type (same contract as
+    // [[ewma]]'s zero — a hard-coded long breaks string event-ids)
+    val idSql = events.select(col(idCol)).schema.head.dataType.sql
     val zero = struct(lit(0.0).as("s"), lit(-1.0).as("m"),
-      lit(null).cast("long").as("at"))
+      lit(null).cast(idSql).as("at"))
     sorted.select(col("k").as(keyCol), col("n_events"),
       aggregate(col("__ev"), zero, (acc, e) => {
         val s = acc.getField("s") + (e.getField("v") - col("__mu"))

@@ -190,8 +190,12 @@ object QualityRules {
       blocklist: Seq[String], minWordsPerLine: Int = 5,
       minLines: Int = 3): DataFrame = {
     val bl = array(blocklist.map(lit): _*)
+    // words = non-empty whitespace-run tokens (the tokens() contract):
+    // a single-space split would count doubled/leading spaces as words
+    // ("a  b  c" → 5) and a tab-separated line as one word
     val kept = filter(linesCol,
-      l => size(split(l, " ")) >= minWordsPerLine &&
+      l => size(filter(split(l, "\\s+"), t => length(t) > 0))
+        >= minWordsPerLine &&
         !exists(bl, b => l.contains(b)))
     docs.select(col(idCol), kept.as("__kept"))
       .filter(size(col("__kept")) >= minLines)
@@ -387,7 +391,12 @@ object QualityRules {
     */
   def registrableDomain(url: Column,
       multiSuffixes: Seq[String] = MultiPartSuffixes): Column = {
-    val host = lower(parse_url(url, lit("HOST")))
+    // strip the (valid, DNS-equivalent) trailing-dot FQDN form first:
+    // "tracker.com." would otherwise split to a trailing empty label
+    // and yield domain "com." — collapsing unrelated sites into one
+    // rollup row and slipping past blocklist entries
+    val host = regexp_replace(lower(parse_url(url, lit("HOST"))),
+      "\\.+$", "")
     val labels = split(host, "\\.")
     val n = size(labels)
     val lastTwo = concat_ws(".",
@@ -436,29 +445,6 @@ object QualityRules {
         count_distinct(col("__u")).as("n_variants"),
         min(col("id")).as("keep_id"))
 
-  /** URL/domain curation league table — the pre-filter stage C4 and
-    * RefinedWeb run BEFORE text quality: per registrable domain, doc
-    * and word volume, the blocklist verdict, and the keep-rate under
-    * (not blocked) AND the Gopher quality gate. Blocklist entries are
-    * registrable domains (blocking `tracker.com` blocks every
-    * subdomain, which all collapse to the same registrable domain).
-    *
-    * Scale shape: domain extraction is a per-row column program on the
-    * scan; the single shuffle is the per-domain aggregate with map-side
-    * partials, keyed by domain (cardinality ≪ docs). The blocklist is a
-    * literal IN-list here (typical curated lists are 1k-100k entries —
-    * for those, broadcast-join a blocklist frame instead; the rollup
-    * shape is unchanged).
-    */
-  /** Score-calibration table (the reliability-diagram rollup): bucket a
-    * [0,1] score into `buckets` equal bins and report, per bin, the
-    * count and the positive-label rate — "does quality_score 0.8
-    * actually mean 80% of those docs clear the Gopher gate?". The
-    * standard check before a learned/heuristic score is used as a
-    * sampling weight. Bucketing floors score·buckets (clamped to the
-    * top bin so score = 1.0 lands in it); one aggregate with map-side
-    * partials, output |buckets| rows.
-    */
   /** k-anonymity audit over a quasi-identifier tuple — the re-
     * identification-risk census run on training data BEFORE release
     * (the structural companion of the PII redaction pass, which only
@@ -497,6 +483,15 @@ object QualityRules {
           col("__n_rows").cast("double"), 4).as("risk_share"))
   }
 
+  /** Score-calibration table (the reliability-diagram rollup): bucket a
+    * [0,1] score into `buckets` equal bins and report, per bin, the
+    * count and the positive-label rate — "does quality_score 0.8
+    * actually mean 80% of those docs clear the Gopher gate?". The
+    * standard check before a learned/heuristic score is used as a
+    * sampling weight. Bucketing floors score·buckets (clamped to the
+    * top bin so score = 1.0 lands in it); one aggregate with map-side
+    * partials, output |buckets| rows.
+    */
   def calibrationTable(df: DataFrame, score: Column, label: Column,
       buckets: Int = 10): DataFrame = {
     require(buckets >= 2, s"buckets must be >= 2, got $buckets")
@@ -511,6 +506,20 @@ object QualityRules {
           count(lit(1)).cast("double"), 4).as("pos_rate"))
   }
 
+  /** URL/domain curation league table — the pre-filter stage C4 and
+    * RefinedWeb run BEFORE text quality: per registrable domain, doc
+    * and word volume, the blocklist verdict, and the keep-rate under
+    * (not blocked) AND the Gopher quality gate. Blocklist entries are
+    * registrable domains (blocking `tracker.com` blocks every
+    * subdomain, which all collapse to the same registrable domain).
+    *
+    * Scale shape: domain extraction is a per-row column program on the
+    * scan; the single shuffle is the per-domain aggregate with map-side
+    * partials, keyed by domain (cardinality ≪ docs). The blocklist is a
+    * literal IN-list here (typical curated lists are 1k-100k entries —
+    * for those, broadcast-join a blocklist frame instead; the rollup
+    * shape is unchanged).
+    */
   def domainCuration(df: DataFrame, idCol: String, urlCol: String,
       textCol: String, blocklist: Seq[String]): DataFrame = {
     val q = gopherQuality(df, idCol, textCol)

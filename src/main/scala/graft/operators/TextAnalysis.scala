@@ -150,7 +150,14 @@ object TextAnalysis {
       .limit(topK)
       .select(col("w").as("term"), col("c1"), col("c2"),
         round(col("__g2"), 4).as("g2"),
-        when(col("c1") * col("n2") > col("c2") * col("n1"), "focus")
+        // DECIMAL(38,0) cross-multiply: n2 is a CORPUS token total, so
+        // BIGINT c1·n2 wraps past 2^63 for high-count terms at the
+        // 1e13-token design point, flipping direction labels for
+        // exactly the top-ranked terms (the pmiCollocations 2^53 guard,
+        // applied to the exact-integer compare)
+        when(col("c1").cast("decimal(38,0)") * col("n2").cast("decimal(38,0)")
+          > col("c2").cast("decimal(38,0)") * col("n1").cast("decimal(38,0)"),
+          "focus")
           .otherwise("rest").as("direction"))
   }
 
@@ -213,13 +220,18 @@ object TextAnalysis {
       .otherwise(lit(0.0))
 
   /** Char-n-gram repetition over the lowercased text (byte grams via the
-    * one-pass NgramHashes kernel; 64-bit collisions negligible).
+    * one-pass NgramHashes kernel; 64-bit collisions negligible). The
+    * kernel iterates UTF-8 BYTES, so the total-gram denominator is the
+    * BYTE length too — a code-point denominator would push the ratio
+    * negative on multi-byte text (3 bytes/char CJK: up to 3× more byte
+    * grams than char positions). ASCII text is unaffected (the oracle's
+    * char-based replay relies on the corpus's verified ASCII-ness).
     */
   def charRepetitionRatio(text: Column, n: Int): Column = {
     val lo = lower(text)
-    when(length(lo) >= n,
+    when(octet_length(lo) >= n,
       lit(1.0) - size(graft.functions.HashFunctions.ngramHashes(lo, n))
-        .cast("double") / (length(lo) - (n - 1)))
+        .cast("double") / (octet_length(lo) - (n - 1)))
       .otherwise(lit(0.0))
   }
 
@@ -446,6 +458,15 @@ object TextAnalysis {
     * comes from the pruned postings themselves (one row per (term, doc)).
     * Equals [[bm25TopK]] on the indexed corpus by construction — same
     * population, same stats, same shared score expression.
+    *
+    * SESSION-WIDE side effect (part of the contract): pins
+    * `spark.sql.sources.bucketing.autoBucketedScan.enabled=false` and
+    * does NOT restore it — restoring before the returned (lazy) frame
+    * executes would re-enable the rule and defeat the bucket pruning
+    * this index exists for. The flag only affects bucketed-TABLE reads;
+    * sessions that also read their own bucketed tables lose the
+    * auto-disable optimization (never correctness) and may re-enable it
+    * after collecting BM25 results.
     */
   def bm25FromIndex(spark: org.apache.spark.sql.SparkSession, name: String,
       terms: Seq[String], k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
@@ -1140,13 +1161,22 @@ object TextAnalysis {
     require(buckets > 0, "buckets must be positive")
     val w = broadcast(weights.select(col("bucket"),
       col("weight").cast("decimal(12,6)").as("__w")))
-    df.select(col(idCol), explode(tokens(col(textCol))).as("__tok"))
+    val scored = df
+      .select(col(idCol), explode(tokens(col(textCol))).as("__tok"))
       .withColumn("bucket", pmod(fnv64(col("__tok")), lit(buckets.toLong)))
       .join(w, Seq("bucket"), "left")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_tokens"),
         coalesce(sum(col("__w")), lit(0).cast("decimal(12,6)")).as("__sum"))
-      .withColumn("logit", lit(bias) + col("__sum").cast("double"))
+    // LEFT join back to the doc spine (the dsirWeights/entropyScores
+    // convention): a null/empty-text doc explodes to no token rows and
+    // would otherwise silently VANISH from the scores — it must score
+    // as the empty bag, sigmoid(bias), so keep-filters see it
+    df.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        (lit(bias) + coalesce(col("__sum"), lit(0).cast("decimal(12,6)"))
+          .cast("double")).as("logit"))
       .withColumn("score", lit(1.0) / (lit(1.0) + exp(-col("logit"))))
       .withColumn("label", col("score") >= 0.5)
       .select(col(idCol), col("n_tokens"), col("logit"), col("score"), col("label"))

@@ -163,6 +163,31 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(!psi.isNaN && !psi.isInfinite && psi > 0.25)  // smoothing damps the tiny sample
   }
 
+  test("psiDrift: a group present only in current surfaces with NULL psi") {
+    val ref = (1 to 100).map(i => ("old", i.toDouble)).toDF("g", "v")
+    val cur = (1 to 50).map(i => ("new_seg", i.toDouble)).toDF("g", "v")
+    val rows = EventAnalytics.psiDrift(ref, cur, "g", "v")
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    // the inner-join bug dropped new_seg entirely — the most-drifted
+    // case must at least appear, flagged incomparable
+    assert(rows.keySet == Set("old", "new_seg"))
+    assert(rows("new_seg").isEmpty && rows("old").isDefined)
+  }
+
+  test("ewma and cusum accept string event ids") {
+    import java.sql.Timestamp
+    def ts(sec: Long) = new Timestamp(sec * 1000L)
+    val df = Seq(("u", ts(1), "e1", 2.0), ("u", ts(2), "e2", 4.0))
+      .toDF("user_id", "ts", "event_id", "value")
+    val e = EventAnalytics.ewma(df, "user_id", "ts", "event_id", "value")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(e("e1") == 2.0 && e("e2") == 2.5) // 0.25*4 + 0.75*2
+    val c = EventAnalytics.cusum(df, "user_id", "ts", "event_id", "value")
+      .collect()(0)
+    assert(c.getAs[String]("at_event_id") != null)
+  }
+
   test("markovScores: improbable chains score higher than common ones") {
     // reference: A→B dominates; user 21 walks A→C (rare transition)
     val common = (1 to 20).flatMap(i =>
@@ -290,7 +315,7 @@ class EventAnalyticsSpec extends AnyFunSuite {
       ("u", ts(1), 1L, 2.0), ("u", ts(2), 2L, 4.0), ("u", ts(3), 3L, 6.0),
       ("u", ts(4), 4L, 1000.0), ("u", ts(5), 5L, 10.0))
       .toDF("user_id", "ts", "event_id", "value")
-    val r = EventAnalytics.theilSen(df, "user_id", "ts", "event_id", "value")
+    val r = EventAnalytics.theilSen(df, "user_id", "ts", "value")
       .collect().head
     assert(r.getAs[Long]("n_events") == 5L && r.getAs[Long]("n_pairs") == 10L)
     // slopes per second: majority cluster at 2e-6 (per µs); the lower
@@ -304,7 +329,7 @@ class EventAnalyticsSpec extends AnyFunSuite {
     val df = Seq(
       ("u", ts(1), 1L, 1.0), ("u", ts(1), 2L, 9.0), ("u", ts(2), 3L, 2.0))
       .toDF("user_id", "ts", "event_id", "value")
-    val r = EventAnalytics.theilSen(df, "user_id", "ts", "event_id", "value")
+    val r = EventAnalytics.theilSen(df, "user_id", "ts", "value")
       .collect().head
     assert(r.getAs[Long]("n_pairs") == 2L) // (1,3) and (2,3) only
   }

@@ -124,6 +124,27 @@ class QualityRulesSpec extends AnyFunSuite {
     assert(out.collect()(0).getAs[Long]("n_lines_kept") == 2)
   }
 
+  test("c4LineFilter: doubled spaces and tabs count real words, not split cells") {
+    import spark.implicits._
+    // "a  b  c" is 3 words (single-space split saw 5); the tab line is
+    // 5 words (single-space split saw 1)
+    val df = Seq((1L, Seq("a  b  c", "one\ttwo\tthree\tfour\tfive",
+      "w1 w2 w3 w4 w5", "x1 x2 x3 x4 x5"))).toDF("id", "lines")
+    val out = QualityRules.c4LineFilter(df, "id", col("lines"),
+      blocklist = Nil, minWordsPerLine = 5, minLines = 1).collect()(0)
+    assert(out.getAs[Long]("n_lines_kept") == 3L)
+    assert(!out.getAs[String]("text_clean").contains("a  b  c"))
+  }
+
+  test("registrableDomain: trailing-dot FQDN form resolves like the plain host") {
+    import spark.implicits._
+    val urls = Seq("http://tracker.com./x", "http://a.b.co.uk./y",
+      "http://plain.org/z").toDF("u")
+    val got = urls.select(QualityRules.registrableDomain(col("u")))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == Seq("tracker.com", "b.co.uk", "plain.org"))
+  }
+
   test("c4LineFilter plan is narrow (zero shuffles)") {
     val df = Seq((1L, "a b c")).toDF("id", "text")
       .select(col("id"), graft.functions.TextFunctions.tokens(col("text"))

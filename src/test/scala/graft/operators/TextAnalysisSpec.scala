@@ -58,6 +58,31 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got(1L)._3 > got(2L)._3, "char-gram repetition should rank looped above diverse")
   }
 
+  test("charRepetitionRatio: multi-byte text stays in [0, 1] (byte denominator)") {
+    // 30 distinct CJK chars = 90 UTF-8 bytes; a code-point denominator
+    // (30-4=26) against ~86 distinct byte grams went to ~ -2.3
+    val cjk = (0x4E00 until 0x4E1E).map(_.toChar).mkString
+    val df = Seq((1L, cjk), (2L, ("一" * 40))).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionRatios(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(got(1L) >= 0.0 && got(1L) <= 1.0, s"diverse CJK: ${got(1L)}")
+    assert(got(2L) > 0.9, s"looped CJK should score high: ${got(2L)}")
+  }
+
+  test("scoreLinearModel: empty/null-text docs score sigmoid(bias), not vanish") {
+    val w = spark.range(8).select(col("id").as("bucket"),
+      lit(0.5).as("weight"))
+    val df = Seq((1L, "alpha beta"), (2L, ""), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.scoreLinearModel(df, "doc_id", "text", w,
+      buckets = 8, bias = 0.25)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L))
+    assert(got(2L) == ((0L, 0.25)) && got(3L) == ((0L, 0.25)))
+    assert(got(1L)._1 == 2L && got(1L)._2 == 1.25)
+  }
+
   test("quality score: clean prose > punctuation soup; empty -> 0") {
     val df = Seq(
       (1L, "the quick brown fox jumps over the lazy dog and runs to the river where it drinks in peace today"),
