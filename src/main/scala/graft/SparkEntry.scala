@@ -990,7 +990,7 @@ object SparkEntry {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      s.read.parquet(outPath)
+      graft.streaming.StreamingOps.readCompleteSink(s, outPath)
         .select(date_format(col("hour_start"), "yyyy-MM-dd HH:mm:ss").as("hour_ts"),
           col("event_type"), col("n"), col("sum_value"))
     }),
@@ -1221,7 +1221,7 @@ object SparkEntry {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      s.read.parquet(outPath)
+      graft.streaming.StreamingOps.readAppendSink(s, outPath)
     }),
 
     // CCNet-style LM quality: add-0.4-smoothed bigram LM trained on the
@@ -2646,7 +2646,7 @@ object SparkEntry {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      s.read.parquet(outPath)
+      graft.streaming.StreamingOps.readAppendSink(s, outPath)
     }),
 
     // robots.txt rules + frontier gate — the crawl-acquisition
@@ -2937,7 +2937,7 @@ object SparkEntry {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      s.read.parquet(outPath)
+      graft.streaming.StreamingOps.readAppendSink(s, outPath)
     }),
 
     // Mirror census — the incremental-crawl loop composed with the
@@ -3253,7 +3253,7 @@ object SparkEntry {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      s.read.parquet(outPath)
+      graft.streaming.StreamingOps.readAppendSink(s, outPath)
     }),
 
     // ISO-BMFF (MP4) container metadata: deterministic MP4s (real
@@ -3438,7 +3438,7 @@ object SparkEntry {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      s.read.parquet(outPath)
+      graft.streaming.StreamingOps.readAppendSink(s, outPath)
     }),
 
     // REAL WAV header extraction end to end: deterministic PCM WAVs
@@ -3766,7 +3766,7 @@ object SparkEntry {
         .start()
       q.awaitTermination()
       new java.io.File(outPath).mkdirs(): Unit
-      s.read.schema("doc_id BIGINT, lang STRING").parquet(outPath)
+      s.read.schema("doc_id BIGINT, lang STRING").parquet(outPath).drop("batch_id")
     }),
 
     // Token-mass Gini per source: is a source's token budget breadth
@@ -3951,7 +3951,7 @@ object SparkEntry {
       // the empty-sink case yields an empty frame instead of a missing-
       // path / schema-inference failure
       new java.io.File(outPath).mkdirs(): Unit
-      s.read.schema("doc_id BIGINT, lang STRING").parquet(outPath)
+      s.read.schema("doc_id BIGINT, lang STRING").parquet(outPath).drop("batch_id")
     }),
 
     // Tokenizer fertility per language: q255's encode rolled up per
@@ -4712,7 +4712,7 @@ object SparkEntry {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      s.read.parquet(outPath)
+      graft.streaming.StreamingOps.readAppendSink(s, outPath)
     }),
 
     // 2-D skyline: parts no other part beats on BOTH price and size
@@ -4831,7 +4831,7 @@ object SparkEntry {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      s.read.parquet(outPath)
+      graft.streaming.StreamingOps.readAppendSink(s, outPath)
     }),
 
     // IVFADC: coarse IVF (8 cells) + PQ (8×16) on residuals; probes

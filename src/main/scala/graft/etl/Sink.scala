@@ -35,7 +35,7 @@ final class ParquetSink(path: String, partitionBy: Seq[String] = Nil) extends Si
     * generations of the sink read through the same verb.
     */
   override def read(spark: SparkSession): DataFrame =
-    ManifestCommit.current(localPath) match {
+    ManifestCommit.current(spark, path) match {
       case Some(st) => spark.read.parquet(s"$path/${st.dataDir}")
       case None     => spark.read.parquet(path)
     }
@@ -59,7 +59,7 @@ final class ParquetSink(path: String, partitionBy: Seq[String] = Nil) extends Si
     // path must abort, or a transiently-unreadable sink would be silently
     // replaced by just the update batch
     val existing =
-      if (new java.io.File(localPath).exists()) Some(read(spark)) else None
+      if (ManifestCommit.sinkExists(spark, path)) Some(read(spark)) else None
     val tagged = existing match {
       case Some(old) => old.withColumn("__src", lit(0))
         .unionByName(updates.withColumn("__src", lit(1)))
@@ -67,7 +67,7 @@ final class ParquetSink(path: String, partitionBy: Seq[String] = Nil) extends Si
     }
     val merged = graft.operators.Dedup.keepFirst(tagged, keys,
       Seq(col(orderCol).desc, col("__src").desc)).drop("__src")
-    ManifestCommit.commit(merged, path, localPath, partitionBy)
+    ManifestCommit.commit(merged, path, partitionBy)
   }
 
   /** Compact the sink to ~`targetFiles` files per partition directory —
@@ -78,10 +78,7 @@ final class ParquetSink(path: String, partitionBy: Seq[String] = Nil) extends Si
     */
   def compact(spark: SparkSession, targetFiles: Int): Long =
     ManifestCommit.commit(read(spark).repartition(targetFiles),
-      path, localPath, partitionBy)
-
-  private def localPath: String =
-    if (path.startsWith("file:")) path.stripPrefix("file:") else path
+      path, partitionBy)
 }
 
 /** Manifest-pointer commit — the object-store-safe replacement for the
@@ -115,46 +112,74 @@ final class ParquetSink(path: String, partitionBy: Seq[String] = Nil) extends Si
   * delete_many→insert_many window, but without its read-sees-empty
   * hole).
   */
-private[etl] object ManifestCommit {
+private[graft] object ManifestCommit {
+  import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
+
   private val ManifestName = "_MANIFEST"
   final case class State(version: Long, dataDir: String, rows: Long)
-
-  private def manifestFile(local: String) = new java.io.File(local, ManifestName)
 
   private val Pattern =
     """\{"version":(\d+),"data":"([^"]+)","rows":(\d+)\}""".r
 
+  // Hadoop FS API throughout, never java.io: the sink root may be
+  // hdfs:// or an object store, where a local-file probe is always
+  // false and the protocol would silently degrade to "sink is empty"
+  private def conf(spark: SparkSession) =
+    spark.sparkContext.hadoopConfiguration
+
+  /** Does anything exist at the sink root? (The [[ParquetSink.upsert]]
+    * start-empty probe — only ABSENCE may mean empty.)
+    */
+  def sinkExists(spark: SparkSession, root: String): Boolean = {
+    val p = new Path(root)
+    p.getFileSystem(conf(spark)).exists(p)
+  }
+
   /** The currently-published state, or None for plain/absent sinks. */
-  def current(local: String): Option[State] = {
-    val f = manifestFile(local)
-    if (!f.exists()) None
-    else new String(java.nio.file.Files.readAllBytes(f.toPath),
-      java.nio.charset.StandardCharsets.UTF_8).trim match {
-      case Pattern(v, d, r) => Some(State(v.toLong, d, r.toLong))
-      case other => throw new java.io.IOException(
-        s"corrupt sink manifest at ${f.getAbsolutePath}: $other")
+  def current(spark: SparkSession, root: String): Option[State] = {
+    val mp = new Path(root, ManifestName)
+    val fs = mp.getFileSystem(conf(spark))
+    if (!fs.exists(mp)) None
+    else {
+      val in = fs.open(mp)
+      val bytes =
+        try org.apache.commons.io.IOUtils.toByteArray(in)
+        finally in.close()
+      new String(bytes, java.nio.charset.StandardCharsets.UTF_8).trim match {
+        case Pattern(v, d, r) => Some(State(v.toLong, d, r.toLong))
+        case other => throw new java.io.IOException(
+          s"corrupt sink manifest at $mp: $other")
+      }
     }
   }
 
   /** Stage → verify → publish → GC. Returns the verified row count. */
-  def commit(df: DataFrame, path: String, local: String,
+  def commit(df: DataFrame, root: String,
       partitionBy: Seq[String]): Long = {
     val spark = df.sparkSession
-    val v = current(local).map(_.version + 1).getOrElse(1L)
+    val v = current(spark, root).map(_.version + 1).getOrElse(1L)
     val dataDir =
       f"v$v%05d-${java.util.UUID.randomUUID().toString.take(8)}%s"
     val writer = df.write.mode(SaveMode.Overwrite)
     (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
-      .parquet(s"$path/$dataDir")
-    val rows = spark.read.parquet(s"$path/$dataDir").count()
-    val tmp = new java.io.File(local, s".$ManifestName.tmp")
-    java.nio.file.Files.write(tmp.toPath,
-      s"""{"version":$v,"data":"$dataDir","rows":$rows}"""
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    java.nio.file.Files.move(tmp.toPath, manifestFile(local).toPath,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    gc(local, dataDir)
+      .parquet(s"$root/$dataDir")
+    val rows = spark.read.parquet(s"$root/$dataDir").count()
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(conf(spark))
+    val tmp = new Path(rootPath, s".$ManifestName.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(s"""{"version":$v,"data":"$dataDir","rows":$rows}"""
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    // overwrite-rename of the one small manifest object is the commit
+    // point: atomic on HDFS/local (FileContext rename), a single-object
+    // copy+delete on stores without atomic rename — still never a
+    // partial manifest, because tmp was written completely first
+    val fc = FileContext.getFileContext(fs.getUri, conf(spark))
+    fc.rename(fs.makeQualified(tmp),
+      fs.makeQualified(new Path(rootPath, ManifestName)),
+      Options.Rename.OVERWRITE)
+    gc(fs, rootPath, dataDir)
     rows
   }
 
@@ -164,15 +189,11 @@ private[etl] object ManifestCommit {
     * [[ParquetSink.overwrite]]-layout remnants from before the first
     * manifest commit.
     */
-  private def gc(local: String, keep: String): Unit = {
-    val entries = Option(new java.io.File(local).listFiles())
-      .getOrElse(Array.empty[java.io.File])
-    entries.filter(f => f.getName != ManifestName && f.getName != keep)
-      .foreach { f =>
-        if (f.isDirectory) org.apache.commons.io.FileUtils.deleteDirectory(f)
-        else f.delete()
-      }
-  }
+  private def gc(fs: FileSystem, root: Path, keep: String): Unit =
+    fs.listStatus(root)
+      .filter(st => st.getPath.getName != ManifestName &&
+        st.getPath.getName != keep)
+      .foreach(st => fs.delete(st.getPath, true))
 }
 
 /** Typed sink-connectivity failure — the engine's equivalent of pymongo's
@@ -243,9 +264,15 @@ final class DocumentStoreSink(collectionPath: String) extends Sink {
     df.count()
   }
 
-  /** count_documents({}) — 0 for a missing collection. */
+  /** count_documents({}) — 0 for a missing collection. Counts JSONL
+    * LINES (one doc per line by [[insertMany]]'s contract) rather than
+    * schema-inferred rows: a legitimately-EMPTY collection (an upstream
+    * filter kept 0 docs) has no data files to infer a schema from, and
+    * `read().count()` would throw UNABLE_TO_INFER_SCHEMA instead of
+    * returning 0.
+    */
   def countDocuments(spark: SparkSession): Long =
-    if (!dir.exists()) 0L else read(spark).count()
+    if (!dir.exists()) 0L else spark.read.text(collectionPath).count()
 
   /** The reference's full load sequence: ping → delete_many → insert_many
     * → count_documents → source-vs-target reconciliation. A count mismatch
@@ -330,22 +357,32 @@ final class MongoSink(uri: String, database: String,
     spark.read.format("mongodb").options(opts).load()
 }
 
-/** CSV sink (interchange/export path; same overwrite + reconcile contract). */
+/** CSV sink (interchange/export path; same overwrite + reconcile
+  * contract). Reads run multiLine so values the writer QUOTED with
+  * embedded newlines parse back as one record — without it the
+  * read-back count inflates and reconciliation breaks.
+  */
 final class CsvSink(path: String, sep: String = ";") extends Sink {
   override def overwrite(df: DataFrame): Long = {
     df.write.mode(SaveMode.Overwrite)
       .option("header", "true").option("sep", sep).csv(path)
-    df.sparkSession.read.option("header", "true").csv(path).count()
+    // read back with the WRITER's dialect: the default comma sep would
+    // mis-tokenize ';' rows and miscount quoted embedded newlines
+    read(df.sparkSession).count()
   }
   override def read(spark: SparkSession): DataFrame =
-    spark.read.option("header", "true").option("sep", sep).csv(path)
+    spark.read.option("header", "true").option("sep", sep)
+      .option("multiLine", "true").csv(path)
 }
 
-/** JSON-lines sink (same contract). */
+/** JSON-lines sink (same contract). The read-back count pins the
+  * WRITER's schema: a 0-row overwrite (normal upstream-filter outcome)
+  * leaves nothing to infer from and must reconcile as 0, not throw.
+  */
 final class JsonSink(path: String) extends Sink {
   override def overwrite(df: DataFrame): Long = {
     df.write.mode(SaveMode.Overwrite).json(path)
-    df.sparkSession.read.json(path).count()
+    df.sparkSession.read.schema(df.schema).json(path).count()
   }
   override def read(spark: SparkSession): DataFrame = spark.read.json(path)
 }

@@ -489,7 +489,11 @@ object Multimodal {
         while (pos + 8 <= to) {
           val id = fourcc(bytes, pos)
           val size = readLe32(bytes, pos + 4)
-          if (size < 0 || pos + 8 + size > to) return
+          // LONG arithmetic (the TarCodec totality contract): a crafted
+          // size near Int.MaxValue would wrap pos+8+size negative,
+          // bypass this guard, and throw from copyOfRange instead of
+          // returning None
+          if (size < 0 || pos.toLong + 8L + size > to) return
           if (id == "LIST" && size >= 4) {
             val lt = fourcc(bytes, pos + 8)
             if (lt == "hdrl" || lt == "strl" || lt == "movi")
@@ -509,7 +513,11 @@ object Multimodal {
         }
       }
       walk(12, bytes.length)
-      if (width <= 0 || height <= 0 || comp == "?" || comp.isEmpty) None
+      // dimension sanity cap: untrusted strf values feed width*height
+      // and stride*height INT products downstream (frameLumaMilli) —
+      // a parsed 1e9-wide header must reject here, not wrap there
+      if (width <= 0 || height <= 0 || width > 32767 || height > 32767 ||
+        comp == "?" || comp.isEmpty) None
       else Some(Avi(width, height, comp, frames.toSeq))
     }
 
@@ -523,7 +531,9 @@ object Multimodal {
       avi.compression match {
         case "RGB" =>
           val stride = rowStride(avi.width)
-          if (frame.length < stride * avi.height) None
+          // Long compare: stride·height can pass 2^31 at the capped
+          // 32767×32767 extreme and must reject, not wrap
+          if (frame.length.toLong < stride.toLong * avi.height) None
           else {
             val out = new Array[Int](avi.width * avi.height)
             var y = 0
@@ -539,26 +549,9 @@ object Multimodal {
             }
             Some(out)
           }
-        case "MJPG" =>
-          try {
-            Option(javax.imageio.ImageIO.read(
-              new java.io.ByteArrayInputStream(frame))).map { img =>
-              val w = img.getWidth; val h = img.getHeight
-              val out = new Array[Int](w * h)
-              var y = 0
-              while (y < h) {
-                var x = 0
-                while (x < w) {
-                  val rgb = img.getRGB(x, y)
-                  out(y * w + x) = 299 * ((rgb >> 16) & 0xff) +
-                    587 * ((rgb >> 8) & 0xff) + 114 * (rgb & 0xff)
-                  x += 1
-                }
-                y += 1
-              }
-              out
-            }
-          } catch { case scala.util.control.NonFatal(_) => None }
+        // one shared JPEG→luma leg (QtCodec owns it) — a colorspace fix
+        // there must reach both containers
+        case "MJPG" => QtCodec.jpegLumaMilli(frame)
         case _ => None
       }
   }
@@ -702,14 +695,22 @@ object Multimodal {
       val brand =
         if (first == "ftyp" && bytes.length >= 12) Some(fourcc(bytes, 8))
         else None
-      var codec = ""
-      var width = -1; var height = -1
-      var timescale = 0L; var durTicks = -1L
-      var sizes: Array[Int] = null
-      var chunkOffs: Array[Long] = null
-      // stsc runs: (firstChunk, samplesPerChunk)
-      var stscRuns: Array[(Int, Int)] = null
-      def walk(start: Int, end: Int, depth: Int): Unit = {
+      // PER-TRAK state: every sample-table box binds to the trak that
+      // contains it. Global vars here would let a LATER trak (the
+      // normal video-then-audio layout) overwrite the video trak's
+      // stsz/stco/stsc with the audio track's tables — frame counts and
+      // slicing would silently come from the wrong track.
+      final class Trak {
+        var codec = ""
+        var width = -1; var height = -1
+        var timescale = 0L; var durTicks = -1L
+        var sizes: Array[Int] = null
+        var chunkOffs: Array[Long] = null
+        // stsc runs: (firstChunk, samplesPerChunk)
+        var stscRuns: Array[(Int, Int)] = null
+      }
+      var video: Trak = null
+      def walk(start: Int, end: Int, depth: Int, st: Trak): Unit = {
         if (depth > 10) return
         var o = start
         while (o + 8 <= end) {
@@ -718,45 +719,50 @@ object Multimodal {
           val typ = fourcc(bytes, o + 4)
           val p = o + 8; val pEnd = (o + size).toInt
           typ match {
-            case "moov" | "trak" | "mdia" | "minf" | "stbl" =>
-              walk(p, pEnd, depth + 1)
+            case "trak" =>
+              val t = new Trak
+              walk(p, pEnd, depth + 1, t)
+              // FIRST recognized video trak wins
+              if (video == null && t.codec.nonEmpty) video = t
+            case "moov" | "mdia" | "minf" | "stbl" =>
+              walk(p, pEnd, depth + 1, st)
             case "mdhd" if pEnd - p >= 20 =>
               if ((bytes(p) & 0xff) == 0) {
-                timescale = readBe32(bytes, p + 12)
-                durTicks = readBe32(bytes, p + 16)
+                st.timescale = readBe32(bytes, p + 12)
+                st.durTicks = readBe32(bytes, p + 16)
               }
             case "stsd" if pEnd - p >= 8 + 36 =>
               val entry = p + 8
               val fmt = fourcc(bytes, entry + 4)
               // only claim the track for a recognized video format
-              if (videoFormats(fmt) && codec.isEmpty) {
-                codec = fmt
-                width = readBe16(bytes, entry + 32)
-                height = readBe16(bytes, entry + 34)
+              if (videoFormats(fmt) && st.codec.isEmpty) {
+                st.codec = fmt
+                st.width = readBe16(bytes, entry + 32)
+                st.height = readBe16(bytes, entry + 34)
               }
             case "stsz" if pEnd - p >= 12 =>
               val uniform = readBe32(bytes, p + 4)
               val n = readBe32(bytes, p + 8).toInt
               if (n >= 0 && n < (1 << 22)) {
-                if (uniform != 0L) sizes = Array.fill(n)(uniform.toInt)
+                if (uniform != 0L) st.sizes = Array.fill(n)(uniform.toInt)
                 else if (p + 12 + 4L * n <= pEnd)
-                  sizes = Array.tabulate(n)(i => readBe32(bytes, p + 12 + 4 * i).toInt)
+                  st.sizes = Array.tabulate(n)(i => readBe32(bytes, p + 12 + 4 * i).toInt)
               }
             case "stco" if pEnd - p >= 8 =>
               val n = readBe32(bytes, p + 4).toInt
               if (n >= 0 && n < (1 << 22) && p + 8 + 4L * n <= pEnd)
-                chunkOffs = Array.tabulate(n)(i => readBe32(bytes, p + 8 + 4 * i))
+                st.chunkOffs = Array.tabulate(n)(i => readBe32(bytes, p + 8 + 4 * i))
             case "co64" if pEnd - p >= 8 => // 64-bit chunk offsets (§8.7.5)
               val n = readBe32(bytes, p + 4).toInt
               if (n >= 0 && n < (1 << 22) && p + 8 + 8L * n <= pEnd)
-                chunkOffs = Array.tabulate(n) { i =>
+                st.chunkOffs = Array.tabulate(n) { i =>
                   (readBe32(bytes, p + 8 + 8 * i) << 32) |
                     readBe32(bytes, p + 12 + 8 * i)
                 }
             case "stsc" if pEnd - p >= 8 =>
               val n = readBe32(bytes, p + 4).toInt
               if (n >= 0 && n < (1 << 20) && p + 8 + 12L * n <= pEnd)
-                stscRuns = Array.tabulate(n)(i =>
+                st.stscRuns = Array.tabulate(n)(i =>
                   (readBe32(bytes, p + 8 + 12 * i).toInt,
                     readBe32(bytes, p + 12 + 12 * i).toInt))
             case _ =>
@@ -764,9 +770,16 @@ object Multimodal {
           o = pEnd
         }
       }
-      walk(0, bytes.length, 0)
-      if (codec.isEmpty || width <= 0 || height <= 0 ||
-        sizes == null || chunkOffs == null || stscRuns == null) return None
+      walk(0, bytes.length, 0, new Trak)
+      if (video == null || video.width <= 0 || video.height <= 0 ||
+        video.sizes == null || video.chunkOffs == null ||
+        video.stscRuns == null) return None
+      val codec = video.codec
+      val width = video.width; val height = video.height
+      val timescale = video.timescale; val durTicks = video.durTicks
+      val sizes = video.sizes
+      val chunkOffs = video.chunkOffs
+      val stscRuns = video.stscRuns
       // expand stsc: chunk index (1-based) → samples in that chunk
       val perChunk = Array.tabulate(chunkOffs.length) { ci =>
         val c1 = ci + 1
@@ -1613,22 +1626,30 @@ object Multimodal {
       out.toByteArray
     }
 
-    def parseWarc(b: Array[Byte]): Option[WarcMeta] = {
-      if (b == null || b.length < 10) return None
-      var p = 0
-      var n = 0; var resp = 0; var req = 0; var total = 0L
-      var first: Option[String] = None
+    /** ONE record walk for every WARC consumer: streams
+      * (warc-type, target-uri, content-length, payloadStart) per record
+      * to `onRecord`; returns false on ANY framing violation (version
+      * line, header grammar, Content-Length bounds) — callers then
+      * treat the whole payload as non-WARC. A framing fix here reaches
+      * [[parseWarc]] and [[responsePayloads]] identically; the two used
+      * to carry verbatim copies of this loop.
+      */
+    private def walkRecords(b: Array[Byte])(
+        onRecord: (String, Option[String], Long, Int) => Unit): Boolean = {
+      if (b == null || b.length < 10) return false
       def lineEnd(o: Int): Int = {
         var i = o
         while (i + 1 < b.length && !(b(i) == '\r' && b(i + 1) == '\n')) i += 1
         if (i + 1 < b.length) i else -1
       }
+      var p = 0
+      var any = false
       while (p < b.length) {
         val ve = lineEnd(p)
-        if (ve < 0) return None
+        if (ve < 0) return false
         val version = new String(b, p, ve - p,
           java.nio.charset.StandardCharsets.US_ASCII)
-        if (!version.startsWith("WARC/")) return None
+        if (!version.startsWith("WARC/")) return false
         var q = ve + 2
         var clen = -1L
         var wtype = ""
@@ -1636,13 +1657,13 @@ object Multimodal {
         var open = true
         while (open) {
           val he = lineEnd(q)
-          if (he < 0) return None
+          if (he < 0) return false
           if (he == q) { open = false; q += 2 } // empty line: headers end
           else {
             val line = new String(b, q, he - q,
               java.nio.charset.StandardCharsets.US_ASCII)
             val ci = line.indexOf(':')
-            if (ci < 0) return None
+            if (ci < 0) return false
             val key = line.substring(0, ci).trim.toLowerCase
             val v = line.substring(ci + 1).trim
             if (key == "content-length") clen = v.toLongOption.getOrElse(-1L)
@@ -1651,61 +1672,37 @@ object Multimodal {
             q = he + 2
           }
         }
-        if (clen < 0 || q + clen + 4 > b.length) return None
+        if (clen < 0 || q + clen + 4 > b.length) return false
+        onRecord(wtype, uri, clen, q)
+        any = true
+        p = (q + clen + 4).toInt // payload + the record-ending CRLF CRLF
+      }
+      any
+    }
+
+    def parseWarc(b: Array[Byte]): Option[WarcMeta] = {
+      var n = 0; var resp = 0; var req = 0; var total = 0L
+      var first: Option[String] = None
+      val ok = walkRecords(b) { (wtype, uri, clen, _) =>
         n += 1
         total += clen
         if (wtype == "response") resp += 1
         else if (wtype == "request") req += 1
         if (first.isEmpty) first = uri
-        p = (q + clen + 4).toInt // payload + the record-ending CRLF CRLF
       }
-      if (n == 0) None else Some(WarcMeta(n, resp, req, total, first))
+      if (!ok || n == 0) None else Some(WarcMeta(n, resp, req, total, first))
     }
 
     /** Payload byte slices of the RESPONSE records, in file order —
       * empty for anything that doesn't parse as WARC.
       */
     def responsePayloads(b: Array[Byte]): Seq[Array[Byte]] = {
-      if (b == null || b.length < 10) return Nil
       val out = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
-      var p = 0
-      def lineEnd(o: Int): Int = {
-        var i = o
-        while (i + 1 < b.length && !(b(i) == '\r' && b(i + 1) == '\n')) i += 1
-        if (i + 1 < b.length) i else -1
-      }
-      while (p < b.length) {
-        val ve = lineEnd(p)
-        if (ve < 0) return Nil
-        if (!new String(b, p, ve - p,
-          java.nio.charset.StandardCharsets.US_ASCII).startsWith("WARC/"))
-          return Nil
-        var q = ve + 2
-        var clen = -1L
-        var isResp = false
-        var open = true
-        while (open) {
-          val he = lineEnd(q)
-          if (he < 0) return Nil
-          if (he == q) { open = false; q += 2 }
-          else {
-            val line = new String(b, q, he - q,
-              java.nio.charset.StandardCharsets.US_ASCII)
-            val ci = line.indexOf(':')
-            if (ci < 0) return Nil
-            val key = line.substring(0, ci).trim.toLowerCase
-            val v = line.substring(ci + 1).trim
-            if (key == "content-length") clen = v.toLongOption.getOrElse(-1L)
-            else if (key == "warc-type") isResp = v.equalsIgnoreCase("response")
-            q = he + 2
-          }
-        }
-        if (clen < 0 || q + clen + 4 > b.length) return Nil
-        if (isResp)
+      val ok = walkRecords(b) { (wtype, _, clen, q) =>
+        if (wtype == "response")
           out += java.util.Arrays.copyOfRange(b, q, (q + clen).toInt)
-        p = (q + clen + 4).toInt
       }
-      out.toSeq
+      if (!ok) Nil else out.toSeq
     }
   }
 
@@ -2213,9 +2210,15 @@ object Multimodal {
   def sniffMime(content: Column): Column = {
     def hexAt(pos: Int, n: Int): Column = hex(substring(content, pos, n))
     val riffForm = hexAt(9, 4)
-    // ltrim() strips only ' ' — servers pad with newlines/tabs too
+    // ltrim() strips only ' ' — servers pad with newlines/tabs too.
+    // ISO-8859-1, NOT UTF-8: every byte sequence is valid Latin-1, so
+    // arbitrary binary that falls through the magic tests can never
+    // throw (Spark 4's StringDecode REPORTs malformed UTF-8 — a JPEG
+    // or a multi-byte char straddling the 64-byte cut would fail the
+    // task); the "<html"/"<!doctype" probes are pure ASCII, which
+    // Latin-1 maps identically.
     val head = lower(regexp_replace(
-      decode(substring(content, 1, 64), "UTF-8"), "^\\s+", ""))
+      decode(substring(content, 1, 64), "ISO-8859-1"), "^\\s+", ""))
     when(hexAt(1, 5) === "574152432F", "warc") // "WARC/"
       .when(hexAt(1, 4) === "89504E47", "png")
       .when(hexAt(1, 2) === "1F8B", "gzip")

@@ -79,29 +79,60 @@ object StreamingOps {
     WeatherTransforms.fromWuCsv(raw, stationId, source)
   }
 
-  /** Append sink for row streams: each micro-batch's rows are ADDED to the
-    * parquet output — the correct accumulation semantics for an append-
-    * mode stream (an overwrite here would erase earlier batches' rows).
+  /** Append sink for row streams, replay-IDEMPOTENTLY: each
+    * micro-batch lands in its own `batch_id=<id>` partition via
+    * dynamic partition overwrite, so foreachBatch's at-least-once
+    * contract (a batch retried after failure, or replayed on restart
+    * because the driver died before the streaming commit log recorded
+    * it) REPLACES the batch's own partition instead of appending a
+    * second full copy of its rows — the same pattern the stateful
+    * gates below use (round-8 advisory). Read the sink back with
+    * [[readAppendSink]], which drops the bookkeeping column.
     */
   def appendPerBatch(stream: DataFrame, path: String): DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream
       .outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode("append").parquet(path)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(path)
       }
+
+  /** Reader for an [[appendPerBatch]] sink: all batches' rows, minus
+    * the `batch_id` bookkeeping partition column.
+    */
+  def readAppendSink(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path).drop("batch_id")
 
   /** Truncate-and-load sink — the reference's W1 overwrite semantics
     * (delete_many + insert_many, etl_meteo.py:195-198). ONLY correct when
     * each batch carries the COMPLETE result (a complete-output-mode
     * aggregation stream); for append-mode row streams use
     * [[appendPerBatch]] — overwriting per batch would drop earlier rows.
+    * Each batch publishes through the batch layer's
+    * [[graft.etl.ManifestCommit]] (stage → verify → manifest-pointer
+    * flip), NOT a bare SaveMode.Overwrite: the bare form deletes the
+    * sink before writing, so a crash mid-batch would leave readers an
+    * empty/partial directory, while the manifest keeps the previous
+    * batch's result readable up to the commit instant. Read back with
+    * [[readCompleteSink]].
     */
   def overwriteCompletePerBatch(stream: DataFrame, path: String): DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream
       .outputMode("complete")
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.write.mode("overwrite").parquet(path)
+        graft.etl.ManifestCommit.commit(batch, path, Nil): Unit
       }
+
+  /** Reader for an [[overwriteCompletePerBatch]] sink: resolves the
+    * manifest pointer to the current published version.
+    */
+  def readCompleteSink(spark: SparkSession, path: String): DataFrame =
+    graft.etl.ManifestCommit.current(spark, path) match {
+      case Some(st) => spark.read.parquet(s"$path/${st.dataDir}")
+      case None     => spark.read.parquet(path)
+    }
 
   /** Stream-stream inner join with an event-time range condition — the
     * streaming analog of the as-of/range joins (q36/q37). Both sides are

@@ -30,7 +30,7 @@ class SinkSpec extends AnyFunSuite {
     sink.overwrite(Seq((1L, "a", "x"), (2L, "b", "y")).toDF("k", "v", "p"))
     sink.upsert(Seq((3L, "c", "y"), (1L, "a2", "x")).toDF("k", "v", "p"),
       keys = Seq("k"), orderCol = "k")
-    val st = ManifestCommit.current(root).getOrElse(fail("no manifest published"))
+    val st = ManifestCommit.current(spark, root).getOrElse(fail("no manifest published"))
     val subdirs = new java.io.File(root, st.dataDir)
       .listFiles().filter(_.isDirectory).map(_.getName).toSet
     assert(subdirs == Set("p=x", "p=y"), s"partition layout lost: $subdirs")
@@ -52,7 +52,7 @@ class SinkSpec extends AnyFunSuite {
     val before = new java.io.File(root).listFiles()
       .count(_.getName.endsWith(".parquet"))
     val n = sink.compact(spark, targetFiles = 2)
-    val cur = ManifestCommit.current(root).getOrElse(fail("no manifest")).dataDir
+    val cur = ManifestCommit.current(spark, root).getOrElse(fail("no manifest")).dataDir
     val after = new java.io.File(root, cur).listFiles()
       .count(_.getName.endsWith(".parquet"))
     assert(n == 1000 && before >= 16 && after <= 2, s"$before -> $after")
@@ -63,14 +63,14 @@ class SinkSpec extends AnyFunSuite {
     val root = dir.resolve("t").toString
     val sink = new ParquetSink(root)
     sink.upsert(Seq((1L, "a", 1L)).toDF("k", "v", "ver"), Seq("k"), "ver")
-    val v1 = ManifestCommit.current(root).get
+    val v1 = ManifestCommit.current(spark, root).get
     // simulate a commit that died between STAGE and PUBLISH: a fully
     // written version dir that no manifest references
     val orphan = new java.io.File(root, "v99999-deadbeef")
     Seq((9L, "never-visible", 9L)).toDF("k", "v", "ver")
       .write.parquet(orphan.toString)
     // readers resolve the manifest, never the newest directory
-    assert(ManifestCommit.current(root).get == v1)
+    assert(ManifestCommit.current(spark, root).get == v1)
     assert(sink.read(spark).collect().map(_.getString(1)).toSeq == Seq("a"))
     // the next successful commit garbage-collects the orphan
     sink.upsert(Seq((2L, "b", 2L)).toDF("k", "v", "ver"), Seq("k"), "ver")
@@ -84,13 +84,13 @@ class SinkSpec extends AnyFunSuite {
     val sink = new ParquetSink(root)
     sink.overwrite(Seq((1L, "a", 1L)).toDF("k", "v", "ver")) // plain layout
     sink.upsert(Seq((2L, "b", 2L)).toDF("k", "v", "ver"), Seq("k"), "ver")
-    val first = ManifestCommit.current(root).get
+    val first = ManifestCommit.current(spark, root).get
     assert(first.version == 1L && first.rows == 2L)
     // pre-manifest plain-layout files at the root were GC'd post-commit
     assert(!new java.io.File(root).listFiles().exists(f =>
       f.isFile && f.getName.endsWith(".parquet")), "stale plain files")
     sink.upsert(Seq((3L, "c", 3L)).toDF("k", "v", "ver"), Seq("k"), "ver")
-    val second = ManifestCommit.current(root).get
+    val second = ManifestCommit.current(spark, root).get
     assert(second.version == 2L && second.dataDir != first.dataDir)
     assert(!new java.io.File(root, first.dataDir).exists(),
       "superseded version dir not GC'd")
@@ -134,6 +134,29 @@ class SinkSpec extends AnyFunSuite {
     assert(sink.overwrite(df) == 2L)
     assert(sink.overwrite(df) == 2L)                   // idempotent, not append
     assert(sink.read(spark).collect().map(_.getString(1)).sorted.toSeq == Seq("x", "y"))
+  }
+
+  test("empty-source overwrite reconciles as 0 rows (no schema-inference crash)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-empty-ovw")
+    val empty = Seq((1L, "a")).toDF("k", "v").filter("k < 0")
+    val doc = new DocumentStoreSink(dir.resolve("doc").toString)
+    assert(doc.overwrite(Seq((1L, "a")).toDF("k", "v")) == 1L)
+    // an upstream filter keeping 0 docs is a NORMAL outcome: the old
+    // data is gone (truncate-and-load contract) and the count must be
+    // 0, not UNABLE_TO_INFER_SCHEMA after the truncate already ran
+    assert(doc.overwrite(empty) == 0L)
+    assert(doc.countDocuments(spark) == 0L)
+    assert(new JsonSink(dir.resolve("json").toString).overwrite(empty) == 0L)
+  }
+
+  test("csv sink: quoted embedded newlines reconcile as one record") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-csv-nl")
+    val sink = new CsvSink(dir.resolve("c").toString)
+    val df = Seq((1L, "line1\nline2"), (2L, "plain")).toDF("k", "v")
+    // the writer quotes the embedded newline; a read-back without the
+    // writer's sep/multiLine dialect split it into a phantom 3rd row
+    assert(sink.overwrite(df) == 2L)
+    assert(sink.read(spark).count() == 2L)
   }
 
   test("document-store sink: unreachable storage raises the typed connection failure") {

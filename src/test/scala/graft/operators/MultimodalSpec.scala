@@ -443,6 +443,69 @@ class MultimodalSpec extends AnyFunSuite {
     assert(QtCodec.parseMov(Array[Byte](0, 0, 0, 8, 'f', 'r', 'e', 'e')).isEmpty)
   }
 
+  test("parseMov: a trailing audio trak must not hijack the video sample tables") {
+    import graft.operators.Multimodal.QtCodec
+    def be32(v: Int) = Array[Byte]((v >> 24).toByte, (v >> 16).toByte,
+      (v >> 8).toByte, v.toByte)
+    def box(t: String, p: Array[Byte]) =
+      be32(p.length + 8) ++ t.getBytes("US-ASCII") ++ p
+    // minimal audio trak: 'mp4a' stsd + sample tables claiming 99
+    // uniform-7-byte samples — the real-world video-then-audio layout
+    val stsd = box("stsd", be32(0) ++ be32(1) ++
+      box("mp4a", Array.fill[Byte](36)(0)))
+    val stsz = box("stsz", be32(0) ++ be32(7) ++ be32(99))
+    val stco = box("stco", be32(0) ++ be32(1) ++ be32(16))
+    val stsc = box("stsc", be32(0) ++ be32(1) ++
+      be32(1) ++ be32(99) ++ be32(1))
+    val audioTrak = box("trak", box("mdia", box("minf",
+      box("stbl", stsd ++ stsz ++ stco ++ stsc))))
+    val frames = Seq(Array.tabulate(9)(_.toByte),
+      Array.tabulate(5)(i => (i + 40).toByte))
+    val mov = QtCodec.buildMov(16, 8, 25, frames)
+    // splice the audio trak into moov (the last top-level box)
+    var o = 0
+    var moovAt = -1
+    while (o + 8 <= mov.length) {
+      val sz = ((mov(o) & 0xff) << 24) | ((mov(o + 1) & 0xff) << 16) |
+        ((mov(o + 2) & 0xff) << 8) | (mov(o + 3) & 0xff)
+      if (new String(mov, o + 4, 4, "US-ASCII") == "moov") moovAt = o
+      o += sz
+    }
+    assert(moovAt >= 0)
+    val moovPayload = mov.slice(moovAt + 8, mov.length)
+    val spliced = mov.take(moovAt) ++ box("moov", moovPayload ++ audioTrak)
+    val parsed = QtCodec.parseMov(spliced).get
+    // pre-fix, the audio stsz/stco/stsc overwrote the video tables
+    // (99 bogus samples); the video trak's 2 frames must win
+    assert(parsed.codec == "jpeg" && parsed.frames.size == 2)
+    assert(parsed.frames.zip(frames).forall { case (a, b) =>
+      java.util.Arrays.equals(a, b) })
+  }
+
+  test("parseAvi: a crafted chunk size near Int.MaxValue rejects, never throws") {
+    import graft.operators.Multimodal.AviCodec
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte,
+      (v >> 16).toByte, (v >> 24).toByte)
+    val crafted = "RIFF".getBytes("US-ASCII") ++ le32(100) ++
+      "AVI ".getBytes("US-ASCII") ++
+      "00dc".getBytes("US-ASCII") ++ le32(0x7FFFFFF0) ++
+      Array.fill[Byte](32)(0)
+    assert(AviCodec.parseAvi(crafted).isEmpty)
+    // oversized strf dimensions reject instead of wrapping downstream
+    val hugeDims = {
+      val strf = "strf".getBytes("US-ASCII") ++ le32(40) ++
+        le32(40) ++ le32(1000000000) ++ le32(1000000000) ++
+        Array[Byte](1, 0, 24, 0) ++ le32(0) ++ Array.fill[Byte](16)(0)
+      val strl = "LIST".getBytes("US-ASCII") ++ le32(strf.length + 4) ++
+        "strl".getBytes("US-ASCII") ++ strf
+      val hdrl = "LIST".getBytes("US-ASCII") ++ le32(strl.length + 4) ++
+        "hdrl".getBytes("US-ASCII") ++ strl
+      "RIFF".getBytes("US-ASCII") ++ le32(hdrl.length + 4) ++
+        "AVI ".getBytes("US-ASCII") ++ hdrl
+    }
+    assert(AviCodec.parseAvi(hugeDims).isEmpty)
+  }
+
   test("MP4/ISO-BMFF: brand dispatch, co64 offsets, opaque ISO codec samples") {
     import graft.operators.Multimodal.QtCodec
     val samples = Seq(Array.tabulate(9)(_.toByte),
@@ -802,6 +865,13 @@ class MultimodalSpec extends AnyFunSuite {
       "<HTML><body>x</body>".getBytes("UTF-8") -> "html",
       "plain text, no markup".getBytes("UTF-8") -> "unknown",
       Array[Byte](0x1f) -> "unknown", // truncated gzip magic
+      // JPEG magic matches no branch and is INVALID UTF-8 — the head
+      // probe must be byte-safe (Latin-1), not throw
+      Array(0xFF, 0xD8, 0xFF, 0xE0, 0x00, 0x10, 0x4A, 0x46)
+        .map(_.toByte) -> "unknown",
+      // multi-byte char straddling the 64-byte head cut: 62 spaces +
+      // a 3-byte UTF-8 char = the cut lands mid-sequence
+      ((" " * 62) + "€ x").getBytes("UTF-8") -> "unknown",
       Array.emptyByteArray -> "unknown")
     import spark.implicits._
     val df = cases.zipWithIndex

@@ -134,7 +134,7 @@ class StreamingOpsSpec extends AnyFunSuite {
       Seq((3L, "c")).toDF("id", "v").coalesce(1)
         .write.mode("overwrite").parquet(srcDir.resolve("f2").toString)
       q.processAllAvailable()
-      val ids = spark.read.parquet(outDir.toString).collect().map(_.getLong(0)).toSet
+      val ids = StreamingOps.readAppendSink(spark, outDir.toString).collect().map(_.getLong(0)).toSet
       assert(ids == Set(1L, 2L, 3L), s"batch rows lost: $ids")
     } finally q.stop()
   }
@@ -275,8 +275,8 @@ class StreamingOpsSpec extends AnyFunSuite {
       Seq(("x", 1L)).toDF("k", "n").coalesce(1)
         .write.mode("overwrite").parquet(srcDir.resolve("f2").toString)
       q.processAllAvailable()
-      val counts = spark.read.parquet(outDir.toString).collect()
-        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val counts = StreamingOps.readCompleteSink(spark, outDir.toString)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       assert(counts == Map("x" -> 2L, "y" -> 1L), s"got $counts")
     } finally q.stop()
   }
@@ -357,7 +357,7 @@ class StreamingOpsSpec extends AnyFunSuite {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    val streamed = spark.read.parquet(sink)
+    val streamed = StreamingOps.readAppendSink(spark, sink)
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     val batch = graft.operators.EventAnalytics.ewma(src,
       "user_id", "ts", "event_id", "value")
