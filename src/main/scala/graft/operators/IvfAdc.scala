@@ -32,7 +32,27 @@ object IvfAdc {
   final case class Model(coarse: IvfIndex.Model, pq: PqIndex.Model)
 
   private def centArr(m: IvfIndex.Model): Column =
-    array(m.centroids.sortBy(_._1).map { case (_, v) => typedlit(v) }: _*)
+    IvfIndex.centroidArrayCol(m)
+
+  private def dimOf(m: Model): Int = m.coarse.centroids.head._2.length
+
+  /** Per-probe nprobe nearest coarse cells — the ONE probe-cell
+    * selection all three query paths share (ranked by (squared
+    * distance, cell) over the literal centroids; a per-row
+    * computation, no job). Null/wrong-dim probe vectors are dropped:
+    * their all-NULL distances would probe arbitrary cells and then
+    * NULL-rank every candidate first.
+    */
+  private def probeCells(probes: DataFrame, ca: Column, nprobe: Int,
+      dim: Int): DataFrame =
+    probes
+      .select(col("vec_id").as("probe_id"), toDouble(col("embedding")).as("pv"))
+      .filter(col("pv").isNotNull && size(col("pv")) === dim)
+      .select(col("probe_id"), col("pv"),
+        explode(slice(array_sort(transform(ca,
+          (c, i) => struct(squaredL2Distance(col("pv"), c).as("d"),
+            i.as("cell")))), 1, nprobe)).as("pc"))
+      .select(col("probe_id"), col("pv"), col("pc.cell").as("cell"))
 
   /** Train coarse quantizer on the corpus, then PQ on coarse residuals. */
   def train(corpus: DataFrame, kCells: Int, m: Int, pqK: Int,
@@ -114,8 +134,29 @@ object IvfAdc {
   def appendToIndex(newVecs: DataFrame, path: String): Unit = {
     val spark = newVecs.sparkSession
     val m = loadModel(spark, path)
-    encode(newVecs, m)
-      .write.mode("append").partitionBy("cell").parquet(s"$path/cells")
+    val hadoopConf = spark.sparkContext.hadoopConfiguration
+    val vecsPath = new org.apache.hadoop.fs.Path(s"$path/vectors")
+    val hasVectors = vecsPath.getFileSystem(hadoopConf).exists(vecsPath)
+    val ca = centArr(m.coarse)
+    // one staged assignment feeds BOTH appends (increment-sized
+    // checkpoint, released when the writes land)
+    val staged = IvfIndex.assign(newVecs, m.coarse).localCheckpoint(true)
+    try {
+      staged.select(col("vec_id"), col("cell"),
+        PqIndex.encodeVec(
+          zip_with(col("v"), element_at(ca, col("cell") + 1),
+            (x, c) => x - c), m.pq).as("codes"))
+        .write.mode("append").partitionBy("cell").parquet(s"$path/cells")
+      // a withVectors serving layout must stay COMPLETE: an appended
+      // vector missing from vectors/ would survive the ADC scan and
+      // then silently vanish in topKFromIndexReranked's exact-rescore
+      // join — the partial-side-table hazard appendToLshIndex guards
+      if (hasVectors)
+        staged.select(col("vec_id"), col("cell"), col("v"))
+          .write.mode("append").partitionBy("cell").parquet(s"$path/vectors")
+    } finally {
+      org.apache.spark.sql.graftbridge.ColumnBridge.releaseCheckpoint(staged)
+    }
   }
 
   /** ADC top-k over a persisted index: the probes' union of nprobe
@@ -123,16 +164,15 @@ object IvfAdc {
     * read, as 8 B code rows.
     */
   def topKFromIndex(spark: org.apache.spark.sql.SparkSession, path: String,
-      probes: DataFrame, nprobe: Int, k: Int): DataFrame = {
-    val model = loadModel(spark, path)
+      probes: DataFrame, nprobe: Int, k: Int): DataFrame =
+    topKFromIndexImpl(spark, path, probes, nprobe, k,
+      loadModel(spark, path))
+
+  private def topKFromIndexImpl(spark: org.apache.spark.sql.SparkSession,
+      path: String, probes: DataFrame, nprobe: Int, k: Int,
+      model: Model): DataFrame = {
     val ca = centArr(model.coarse)
-    val pcells = probes
-      .select(col("vec_id").as("probe_id"), toDouble(col("embedding")).as("pv"))
-      .select(col("probe_id"), col("pv"),
-        explode(slice(array_sort(transform(ca,
-          (c, i) => struct(squaredL2Distance(col("pv"), c).as("d"),
-            i.as("cell")))), 1, nprobe)).as("pc"))
-      .select(col("probe_id"), col("pv"), col("pc.cell").as("cell"))
+    val pcells = probeCells(probes, ca, nprobe, dimOf(model))
     val dtab = pcells
       .select(col("probe_id"), col("cell"),
         PqIndex.distanceTable(
@@ -188,18 +228,14 @@ object IvfAdc {
   def topKFromIndexReranked(spark: org.apache.spark.sql.SparkSession,
       path: String, probes: DataFrame, nprobe: Int, rerank: Int,
       k: Int): DataFrame = {
+    // load the model ONCE — the nested ADC scan reuses it rather than
+    // re-collecting both codebook parquets per query
     val model = loadModel(spark, path)
     val ca = centArr(model.coarse)
-    val pcells = probes
-      .select(col("vec_id").as("probe_id"), toDouble(col("embedding")).as("pv"))
-      .select(col("probe_id"), col("pv"),
-        explode(slice(array_sort(transform(ca,
-          (c, i) => struct(squaredL2Distance(col("pv"), c).as("d"),
-            i.as("cell")))), 1, nprobe)).as("pc"))
-      .select(col("probe_id"), col("pv"), col("pc.cell").as("cell"))
+    val pcells = probeCells(probes, ca, nprobe, dimOf(model))
     val probedCells = pcells.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).toSeq
-    val cands = topKFromIndex(spark, path, probes, nprobe, rerank)
+    val cands = topKFromIndexImpl(spark, path, probes, nprobe, rerank, model)
       .select(col("probe_id"), col("corpus_id"))
     val pv = probes.select(col("vec_id").as("probe_id"),
       toDouble(col("embedding")).as("pv"))
@@ -216,6 +252,9 @@ object IvfAdc {
   private def rerankExact(joined: DataFrame, k: Int): DataFrame =
     joined
       .withColumn("dist", squaredL2Distance(col("pv"), col("cv")))
+      // defensive: a NULL distance (invalid vector that slipped every
+      // upstream filter) must never take rank 1 via NULLS FIRST
+      .filter(col("dist").isNotNull)
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("probe_id"))
           .orderBy(col("dist"), col("corpus_id"))))
@@ -232,13 +271,7 @@ object IvfAdc {
   def topK(codes: DataFrame, probes: DataFrame, model: Model,
       nprobe: Int, k: Int): DataFrame = {
     val ca = centArr(model.coarse)
-    val pcells = probes
-      .select(col("vec_id").as("probe_id"), toDouble(col("embedding")).as("pv"))
-      .select(col("probe_id"), col("pv"),
-        explode(slice(array_sort(transform(ca,
-          (c, i) => struct(squaredL2Distance(col("pv"), c).as("d"),
-            i.as("cell")))), 1, nprobe)).as("pc"))
-      .select(col("probe_id"), col("pv"), col("pc.cell").as("cell"))
+    val pcells = probeCells(probes, ca, nprobe, dimOf(model))
     val dtab = pcells
       .select(col("probe_id"), col("cell"),
         PqIndex.distanceTable(

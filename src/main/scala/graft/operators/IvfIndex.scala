@@ -30,7 +30,7 @@ object IvfIndex {
     def k: Int = centroids.length
   }
 
-  private def centroidArrayCol(m: Model): Column =
+  private[operators] def centroidArrayCol(m: Model): Column =
     array(m.centroids.sortBy(_._1).map { case (_, v) => typedlit(v) }: _*)
 
   /** Nearest-centroid id for a (double-cast) vector column. */
@@ -44,7 +44,10 @@ object IvfIndex {
   /** Train a k-means quantizer on (vec_id, embedding). */
   def train(corpus: DataFrame, k: Int, iterations: Int = 5,
       trainSample: Option[Double] = None): Model = {
+    // null embeddings can't train (a null seed row would NPE at
+    // centroid assembly; a null member contributes nothing anyway)
     val base0 = corpus.select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .filter(col("v").isNotNull)
     val base = trainSample.map(f => base0.sample(withReplacement = false, f, seed = 42L))
       .getOrElse(base0)
     // Lloyd's makes one pass PER iteration over the training set — cache it
@@ -79,14 +82,22 @@ object IvfIndex {
     Model(centroids)
   }
 
-  /** Assign every corpus vector to its cell — no rows dropped (zero-norm
-    * vectors still live in a cell; cosine scoring excludes them later).
-    * Materialize + partition this at scale so probes prune cells at scan.
+  /** Assign every corpus vector to its cell — no VALID row dropped
+    * (zero-norm vectors still live in a cell; cosine scoring excludes
+    * them later). Null/wrong-dimension embeddings ARE dropped: they
+    * can't score against any centroid, and the argmin's all-NULL
+    * distance column would silently park them in cell 0 with garbage
+    * codes downstream (and the cosine dot kernel would throw on the
+    * dim mismatch at query time). Materialize + partition this at
+    * scale so probes prune cells at scan.
     */
-  def assign(corpus: DataFrame, m: Model): DataFrame =
+  def assign(corpus: DataFrame, m: Model): DataFrame = {
+    val dim = m.centroids.head._2.length
     corpus.select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .filter(col("v").isNotNull && size(col("v")) === dim)
       .withColumn("nrm", l2Norm(col("v")))
       .withColumn("cell", nearestCell(col("v"), m))
+  }
 
   /** Cell-balance audit of the coarse quantizer — the probe-latency
     * health check for an IVF index: per-cell occupancy rolled into one
@@ -189,9 +200,8 @@ object IvfIndex {
         broadcast(probeLocal.select(col("probe_id"), col("p_vec"), col("p_nrm"),
           explode(col("cells")).as("cell"))), Seq("cell"))
       .filter(col("corpus_id") =!= col("probe_id"))
-      .withColumn("cosine",
-        graft.functions.HashFunctions.dotProduct(col("c_vec"), col("p_vec")) /
-          (col("c_nrm") * col("p_nrm")))
+      .withColumn("cosine", Similarity.pairCosine(
+        col("c_vec"), col("p_vec"), col("c_nrm"), col("p_nrm")))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cosine").desc, col("corpus_id"))
     scored.select(col("probe_id"), col("corpus_id"), col("cosine"))
@@ -219,9 +229,8 @@ object IvfIndex {
         explode(col("cells")).as("cell"))
     val scored = assigned.join(probeCells, Seq("cell"))
       .filter(col("corpus_id") =!= col("probe_id"))
-      .withColumn("cosine",
-        graft.functions.HashFunctions.dotProduct(col("c_vec"), col("p_vec")) /
-          (col("c_nrm") * col("p_nrm")))
+      .withColumn("cosine", Similarity.pairCosine(
+        col("c_vec"), col("p_vec"), col("c_nrm"), col("p_nrm")))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cosine").desc, col("corpus_id"))
     scored.select(col("probe_id"), col("corpus_id"), col("cosine"))

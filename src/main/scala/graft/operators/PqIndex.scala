@@ -81,6 +81,16 @@ object PqIndex {
         Seq("vec_id"))
       .select(col("sub"), col("__code"), col("sv"))
       .collect()
+    // fail FAST with a diagnosable message: a corpus smaller than k, or
+    // a seed vector whose embedding is null/short (it explodes to no
+    // subvector rows), would otherwise surface as an opaque None.get
+    (0 until m).foreach { s =>
+      val have = seedRows.filter(_.getInt(0) == s).map(_.getInt(1)).toSet
+      require(have.size == k,
+        s"PQ training needs k=$k usable seed vectors, subspace $s has " +
+          s"${have.size} (corpus smaller than k, or seed embeddings " +
+          "null/short)")
+    }
     var codebooks: Array[Array[Array[Double]]] =
       Array.tabulate(m) { s =>
         val bySub = seedRows.filter(_.getInt(0) == s)
@@ -109,10 +119,15 @@ object PqIndex {
 
   /** Encode the corpus: (vec_id, codes[m]) — a PURE per-row map (the
     * codebook is a plan literal), zero shuffles; this is the 32×
-    * compression pass.
+    * compression pass. Null/wrong-dimension embeddings are DROPPED
+    * (the [[IvfIndex.assign]] convention): their all-NULL subspace
+    * distances would tie-break every argmin to code 0 — a silently
+    * garbage encoding, not a representation.
     */
   def encode(corpus: DataFrame, model: Model): DataFrame =
     corpus.select(col("vec_id"), toDouble(col("embedding")).as("v"))
+      .filter(col("v").isNotNull &&
+        size(col("v")) === model.m * model.dsub)
       .select(col("vec_id"), encodeVec(col("v"), model).as("codes"))
 
   /** Code array for one double-array vector column — for callers that

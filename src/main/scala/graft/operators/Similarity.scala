@@ -68,12 +68,18 @@ object Similarity {
   def bruteForceTopKL2(corpus: DataFrame, probes: DataFrame, k: Int): DataFrame = {
     val c = corpus.select(col("vec_id").as("corpus_id"),
       toDouble(col("embedding")).as("c_vec"))
+      .filter(col("c_vec").isNotNull)
     val p = probes.select(col("vec_id").as("probe_id"),
       toDouble(col("embedding")).as("p_vec"))
+      .filter(col("p_vec").isNotNull)
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("dist"), col("corpus_id"))
     c.join(broadcast(p), col("corpus_id") =!= col("probe_id"))
       .withColumn("dist", squaredL2Distance(col("c_vec"), col("p_vec")))
+      // a NULL distance (dim-mismatched pair) sorts NULLS FIRST in the
+      // ascending rank and would displace every real neighbor — the
+      // cosine twin's withNorm filter, restated for the L2 metric
+      .filter(col("dist").isNotNull)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("probe_id"), col("corpus_id"), col("dist"), col("rank"))
@@ -202,9 +208,14 @@ object Similarity {
     */
   /** Sign bits of a double-array column packed 32 dims per long: word
     * w carries dims [32w, 32w+31], bit b set iff v[32w+b] ≥ 0. Past-end
-    * dims read NULL (non-ANSI element_at) → bit 0 on both sides, so
-    * ragged tails cancel in the XOR. Shared by [[binaryHammingTopK]]
-    * and the persisted index's `sigs` table.
+    * dims within the LAST word read NULL (non-ANSI element_at) → bit 0,
+    * so a 60-dim vector's word-1 tail bits are zero. Vectors must share
+    * ONE dimensionality (the whole-index contract): differing WORD
+    * counts make the zip_with hamming NULL (which would flood an
+    * ascending screen via NULLS FIRST), and the downstream exact-cosine
+    * rerank's dot kernel throws on any dim mismatch regardless — there
+    * is no cross-dim tolerance anywhere on this path. Shared by
+    * [[binaryHammingTopK]] and the persisted index's `sigs` table.
     */
   private[operators] def signPackExpr(v: Column): Column =
     transform(sequence(lit(0), floor((size(v) - 1) / 32).cast("int")),
@@ -1088,45 +1099,63 @@ object Similarity {
   def mmrSelect(candidates: DataFrame, idCol: String, relCol: String,
       embCol: String, k: Int, lambda: Double): DataFrame = {
     require(k >= 1, "k must be >= 1")
+    val spark = candidates.sparkSession
     val base = candidates.select(col(idCol).as("__id"),
         col(relCol).cast("double").as("__rel"),
         toDouble(col(embCol)).as("__v"))
       .withColumn("__n", l2Norm(col("__v")))
       .filter(col("__n") > 0)
       .localCheckpoint(true)
+    // every step's winner is ONE row, collected anyway for the picked
+    // set — accumulate the output rows on the driver and build the
+    // result frame from them, so each step checkpoint (and base) can be
+    // RELEASED before returning instead of pinning k+1 checkpointed
+    // RDDs in the block manager for the rest of the session
     var picked = Vector.empty[(Any, Seq[Double], Double)] // id, vec, norm
-    var out: Option[DataFrame] = None
-    (1 to k).foreach { step =>
-      val sims = picked.map { case (_, v, n) =>
-        pairCosine(col("__v"), typedLit(v), col("__n"), lit(n))
+    var outRows = Vector.empty[org.apache.spark.sql.Row]
+    var outSchema: Option[org.apache.spark.sql.types.StructType] = None
+    try {
+      (1 to k).foreach { step =>
+        val sims = picked.map { case (_, v, n) =>
+          pairCosine(col("__v"), typedLit(v), col("__n"), lit(n))
+        }
+        val maxSim = sims match {
+          case Seq() => lit(0.0)
+          case Seq(one) => one
+          case many => greatest(many: _*)
+        }
+        val score = lit(lambda) * col("__rel") - lit(1.0 - lambda) * maxSim
+        val notPicked = picked.map(_._1)
+          .foldLeft(lit(true))((acc, id) => acc && col("__id") =!= lit(id))
+        val stepDf = base.filter(notPicked)
+          .withColumn("__ms", maxSim)
+          .withColumn("__score", score)
+          .orderBy(col("__score").desc, col("__id"))
+          .limit(1)
+          .localCheckpoint(true)
+        try {
+          val row = stepDf.collect().headOption.getOrElse(
+            throw new IllegalArgumentException(
+              s"mmrSelect: pool exhausted at step $step"))
+          picked :+= ((row.get(0),
+            row.getSeq[Double](row.fieldIndex("__v")).toVector,
+            row.getDouble(row.fieldIndex("__n"))))
+          val slice = stepDf.select(lit(step.toLong).as("rank"),
+            col("__id").as(idCol), round(col("__rel"), 6).as("rel"),
+            round(col("__ms"), 6).as("max_sim"),
+            round(col("__score"), 6).as("mmr_score"))
+          outSchema = Some(slice.schema)
+          outRows ++= slice.collect()
+        } finally {
+          org.apache.spark.sql.graftbridge.ColumnBridge
+            .releaseCheckpoint(stepDf)
+        }
       }
-      val maxSim = sims match {
-        case Seq() => lit(0.0)
-        case Seq(one) => one
-        case many => greatest(many: _*)
-      }
-      val score = lit(lambda) * col("__rel") - lit(1.0 - lambda) * maxSim
-      val notPicked = picked.map(_._1)
-        .foldLeft(lit(true))((acc, id) => acc && col("__id") =!= lit(id))
-      val stepDf = base.filter(notPicked)
-        .withColumn("__ms", maxSim)
-        .withColumn("__score", score)
-        .orderBy(col("__score").desc, col("__id"))
-        .limit(1)
-        .localCheckpoint(true)
-      val row = stepDf.collect().headOption.getOrElse(
-        throw new IllegalArgumentException(
-          s"mmrSelect: pool exhausted at step $step"))
-      picked :+= ((row.get(0),
-        row.getSeq[Double](row.fieldIndex("__v")).toVector,
-        row.getDouble(row.fieldIndex("__n"))))
-      val slice = stepDf.select(lit(step.toLong).as("rank"),
-        col("__id").as(idCol), round(col("__rel"), 6).as("rel"),
-        round(col("__ms"), 6).as("max_sim"),
-        round(col("__score"), 6).as("mmr_score"))
-      out = Some(out.map(_.unionAll(slice)).getOrElse(slice))
+    } finally {
+      org.apache.spark.sql.graftbridge.ColumnBridge.releaseCheckpoint(base)
     }
-    out.get
+    spark.createDataFrame(
+      java.util.Arrays.asList(outRows: _*), outSchema.get)
   }
 
 }

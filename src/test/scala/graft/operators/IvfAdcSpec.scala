@@ -89,6 +89,31 @@ class IvfAdcSpec extends AnyFunSuite {
     assert(incr == oneShot)
   }
 
+  test("append to a withVectors index keeps the reranked path complete") {
+    val df = corpus(40)
+    val even = df.filter(col("vec_id") % 2 === 0)
+    val odd = df.filter(col("vec_id") % 2 =!= 0)
+    val model = IvfAdc.train(even, kCells = 4, m = 4, pqK = 4,
+      iterations = 2, dim = 16)
+    val dir = java.nio.file.Files.createTempDirectory("ivfadc-appv").toString
+    IvfAdc.writeIndex(even, model, dir, withVectors = true)
+    IvfAdc.appendToIndex(odd, dir)
+    val probes = df.filter(col("vec_id") < 2)
+    // pre-fix, appendToIndex never appended vectors/: appended ids
+    // survived the ADC scan and then silently VANISHED in the exact
+    // rerank's vectors join — the reranked result must equal the
+    // in-memory rerank over the full corpus
+    val persisted = IvfAdc.topKFromIndexReranked(spark, dir, probes,
+      nprobe = 2, rerank = 12, k = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+    val mem = IvfAdc.topKReranked(IvfAdc.encode(df, model), df, probes,
+      model, nprobe = 2, rerank = 12, k = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+    assert(persisted == mem)
+    assert(persisted.values.exists(id => id % 2 == 1),
+      "no appended (odd) vector ever surfaces in reranked results")
+  }
+
   test("persisted probe prunes cell partitions at the scan") {
     val df = corpus(40)
     val model = IvfAdc.train(df, kCells = 4, m = 4, pqK = 4,

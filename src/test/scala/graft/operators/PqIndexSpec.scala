@@ -77,4 +77,23 @@ class PqIndexSpec extends AnyFunSuite {
       PqIndex.train(clusteredCorpus(4, 16), dim = 16, m = 3)
     }
   }
+
+  test("train fails fast (not None.get) when the corpus has fewer than k vectors") {
+    val e = intercept[IllegalArgumentException] {
+      PqIndex.train(clusteredCorpus(4, 16).limit(10), dim = 16, m = 4, k = 16)
+    }
+    assert(e.getMessage.contains("seed"), e.getMessage)
+  }
+
+  test("encode drops null/wrong-dim embeddings instead of code-0 garbage") {
+    import spark.implicits._
+    val model = PqIndex.train(clusteredCorpus(4, 16), dim = 16, m = 4, k = 4)
+    val mixed = Seq(
+      (100L, Array.fill(16)(1.0f)),
+      (101L, null.asInstanceOf[Array[Float]]),
+      (102L, Array.fill(12)(1.0f))) // short vector
+      .toDF("vec_id", "embedding")
+    val ids = PqIndex.encode(mixed, model).collect().map(_.getLong(0)).toSet
+    assert(ids == Set(100L))
+  }
 }

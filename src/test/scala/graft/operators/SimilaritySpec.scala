@@ -547,4 +547,15 @@ class SimilaritySpec extends AnyFunSuite {
         lambda = 0.5).collect()
     }
   }
+
+  test("bruteForceTopKL2: a null-embedding corpus row never ranks (NULLS FIRST guard)") {
+    val corpus = Seq(
+      (1L, Seq(1f, 0f)), (2L, Seq(0.9f, 0f)),
+      (3L, null.asInstanceOf[Seq[Float]])) // would rank #1 pre-fix
+      .toDF("vec_id", "embedding")
+    val probes = Seq((10L, Seq(1f, 0f))).toDF("vec_id", "embedding")
+    val got = Similarity.bruteForceTopKL2(corpus, probes, k = 2)
+      .orderBy("rank").collect().map(_.getLong(1)).toSeq
+    assert(got == Seq(1L, 2L))
+  }
 }
