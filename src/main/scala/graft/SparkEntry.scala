@@ -5270,7 +5270,8 @@ object SparkEntry {
       |  FROM u0),
       |p2 AS (SELECT doc_id, sch,
       |    lower(regexp_replace(hp, ':[0-9]*$', '', 'g')) AS host,
-      |    regexp_extract(hp, ':([0-9]+)$', 1) AS port,
+      |    regexp_replace(regexp_extract(hp, ':([0-9]+)$', 1),
+      |      '^0+([0-9])', '\1') AS port,
       |    """.stripMargin + pathChain + """ AS pth,
       |    COALESCE(array_to_string(list_filter(string_split(qr, '&'),
       |      x -> x <> '' AND NOT regexp_matches(x,
@@ -9111,7 +9112,8 @@ object SparkEntry {
         |  (etag IS NOT NULL AND doc_id % 6 = 0) AS weak_etag,
         |  (etag IS NOT NULL OR lm IS NOT NULL) AS conditional,
         |  CAST(nc AS DOUBLE) / CAST(nob AS DOUBLE) AS change_rate,
-        |  CASE WHEN nc * 2 >= nob THEN 'hourly'
+        |  CASE WHEN nob IS NULL OR nob <= 0 THEN 'monthly'
+        |       WHEN nc * 2 >= nob THEN 'hourly'
         |       WHEN nc * 5 >= nob THEN 'daily'
         |       WHEN nc * 20 >= nob THEN 'weekly'
         |       ELSE 'monthly' END AS refetch_class

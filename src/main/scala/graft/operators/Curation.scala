@@ -38,41 +38,56 @@ object Curation {
     * THIS code through Structured Streaming and oracle-checks the final
     * files against the batch SQL.
     */
-  def statelessGates(docs: DataFrame, config: Config = Config(),
-      idCol: String = "doc_id", textCol: String = "text",
-      langCol: String = "lang"): DataFrame = {
-    val langGated = config.allowedLangs match {
+  /** One source of truth for the MinHash width every curation near-dup
+    * pass uses — [[curate]] and [[funnel]] must describe the SAME
+    * pipeline.
+    */
+  private val NearDupNumHashes = 16
+
+  private def langGate(docs: DataFrame, config: Config,
+      langCol: String): DataFrame =
+    config.allowedLangs match {
       case Some(langs) => docs.filter(col(langCol).isin(langs.toSeq: _*))
       case None => docs
     }
-    langGated.select(
+
+  /** Exact-dedup winners: min id per content value. */
+  private def exactWinnerIds(rows: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    rows.groupBy(col(textCol)).agg(min(col(idCol)).as(idCol)).select(idCol)
+
+  /** Near-dup losers (the larger id of each pair; banding derives from
+    * the threshold inside minHashNearDups — bandingFor: S-curve
+    * midpoint ≤ τ, pairs at τ recalled with high probability).
+    */
+  private def nearDupLoserIds(rows: DataFrame, idCol: String,
+      textCol: String, tau: Double): DataFrame =
+    Dedup.minHashNearDups(rows, idCol, textCol,
+      numHashes = NearDupNumHashes, jaccardThreshold = tau)
+      .select(col("id_b").as(idCol)).distinct()
+
+  def statelessGates(docs: DataFrame, config: Config = Config(),
+      idCol: String = "doc_id", textCol: String = "text",
+      langCol: String = "lang"): DataFrame =
+    langGate(docs, config, langCol).select(
       col(idCol), col(textCol),
       tokenCount(col(textCol)).as("n_tokens"),
       TextAnalysis.qualityScore(col(textCol)).as("quality_score"))
       .filter(col("n_tokens") >= config.minTokens &&
         col("quality_score") >= config.minQuality)
-  }
 
   def curate(docs: DataFrame, config: Config = Config(),
       idCol: String = "doc_id", textCol: String = "text",
       langCol: String = "lang"): DataFrame = {
     val qualityGated = statelessGates(docs, config, idCol, textCol, langCol)
-    // exact dedup: winner = min id per content value
-    val keepIds = qualityGated
-      .groupBy(col(textCol)).agg(min(col(idCol)).as(idCol))
-      .select(idCol)
-    val exactDeduped = qualityGated.join(keepIds, Seq(idCol), "left_semi")
+    val exactDeduped = qualityGated
+      .join(exactWinnerIds(qualityGated, idCol, textCol),
+        Seq(idCol), "left_semi")
     config.nearDupJaccard match {
       case None => exactDeduped
       case Some(tau) =>
-        // banding derives from the threshold inside minHashNearDups
-        // (bandingFor: S-curve midpoint ≤ τ, pairs at τ recalled with
-        // high probability)
-        val dupPairs = Dedup.minHashNearDups(exactDeduped, idCol, textCol,
-          numHashes = 16, jaccardThreshold = tau)
-        // drop the larger id of each near-dup pair (min-id winner)
-        val losers = dupPairs.select(col("id_b").as(idCol)).distinct()
-        exactDeduped.join(losers, Seq(idCol), "left_anti")
+        exactDeduped.join(nearDupLoserIds(exactDeduped, idCol, textCol, tau),
+          Seq(idCol), "left_anti")
     }
   }
 
@@ -85,26 +100,23 @@ object Curation {
   def funnel(docs: DataFrame, config: Config = Config(),
       idCol: String = "doc_id", textCol: String = "text",
       langCol: String = "lang"): FunnelReport = {
-    val langGated = config.allowedLangs match {
-      case Some(langs) => docs.filter(col(langCol).isin(langs.toSeq: _*))
-      case None => docs
-    }
-    val qualityGated = langGated.filter(
-      tokenCount(col(textCol)) >= config.minTokens &&
-        TextAnalysis.qualityScore(col(textCol)) >= config.minQuality)
+    val langGated = langGate(docs, config, langCol)
+    // the SAME gate/dedup logic as [[curate]], via the shared helpers —
+    // the funnel must report the pipeline curate actually ships (lang
+    // gate applied above, so statelessGates runs with it disabled)
+    val qualityGated = statelessGates(langGated,
+      config.copy(allowedLangs = None), idCol, textCol, langCol)
       .select(col(idCol), col(textCol))
     qualityGated.persist()
     try {
-      val exactDeduped = qualityGated
-        .groupBy(col(textCol)).agg(min(col(idCol)).as(idCol)).select(idCol)
+      val exactDeduped = exactWinnerIds(qualityGated, idCol, textCol)
       val exactRows = qualityGated.join(exactDeduped, Seq(idCol), "left_semi")
       val near = config.nearDupJaccard match {
         case None => exactDeduped
         case Some(tau) =>
-          val losers = Dedup.minHashNearDups(exactRows, idCol, textCol,
-            numHashes = 16, jaccardThreshold = tau)
-            .select(col("id_b").as(idCol)).distinct()
-          exactDeduped.join(losers, Seq(idCol), "left_anti")
+          exactDeduped.join(
+            nearDupLoserIds(exactRows, idCol, textCol, tau),
+            Seq(idCol), "left_anti")
       }
       val stages: Seq[(String, DataFrame)] = Seq(
         "input" -> docs.select(col(idCol)),

@@ -162,21 +162,32 @@ object Graph {
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int = 10, damping: Double = 0.85): DataFrame = {
     // edges partitioned on u: the per-iteration rank join AND the
-    // out-degree aggregate both consume that layout with no exchange
+    // out-degree aggregate both consume that layout with no exchange.
+    // Null endpoints drop (the hits/CC convention): a phantom null
+    // node would inflate N — skewing (1−d)/N for every real node —
+    // and edges to null would dilute out(u) into vanished mass.
     val e = partitionedCheckpoint(
       edges.select(col(srcCol).cast("long").as("u"),
-        col(dstCol).cast("long").as("v")).distinct(), "u")
+        col(dstCol).cast("long").as("v"))
+        .filter(col("u").isNotNull && col("v").isNotNull)
+        .distinct(), "u")
     val nodes = e.select(col("u").as("node"))
       .union(e.select(col("v").as("node"))).distinct()
       .localCheckpoint(true)
     val outDeg = e.groupBy(col("u")).agg(count(lit(1)).as("__out"))
     val n = nodes.count()
     val reset = (1.0 - damping) / n
-    rankIterations(e, outDeg,
+    val pr = rankIterations(e, outDeg,
       nodes.withColumn("pr", lit(1.0 / n)), Nil,
       col("pr") / col("__out"),
       lit(reset) + lit(damping) * coalesce(col("__s"), lit(0.0)),
       iterations)
+    // the returned frame is its own eager checkpoint — the edge layout
+    // and node set are dead weight from here (same eager-release
+    // discipline as the iterative ops; r11 #3)
+    ColumnBridge.releaseCheckpoint(e)
+    ColumnBridge.releaseCheckpoint(nodes)
+    pr
   }
 
   /** The shared fixed-iteration kernel of the PageRank family
@@ -232,9 +243,13 @@ object Graph {
     * the dup-edge and out-weight sums fold in sorted order, so even
     * fractional weights stay bit-deterministic (for integer-valued
     * weights the sums are exact, which is what lets a plain-SUM SQL
-    * oracle replay them). Weights must be positive; zero/negative
-    * weights are the caller's bug (a zero-out-weight source contributes
-    * nothing and leaks its mass like a dangling node).
+    * oracle replay them). Non-positive/null/unparseable weights DROP
+    * their edge: a zero-total source would otherwise make pr·w/0 NULL,
+    * and that null would poison the whole per-destination fold — every
+    * target of that source, not just its own mass, would collapse to
+    * the reset floor. Dropping contains the damage to the documented
+    * shape (the source leaks its mass like a dangling node); null
+    * endpoints drop as in [[pageRank]].
     */
   def pageRankWeighted(edges: DataFrame, srcCol: String, dstCol: String,
       weightCol: String, iterations: Int = 10,
@@ -243,6 +258,8 @@ object Graph {
       edges.select(col(srcCol).cast("long").as("u"),
         col(dstCol).cast("long").as("v"),
         col(weightCol).cast("double").as("w"))
+        .filter(col("u").isNotNull && col("v").isNotNull &&
+          col("w").isNotNull && col("w") > 0)
         .groupBy(col("u"), col("v"))
         // ascending-value fold: the multiset fixes the sum's op order
         .agg(aggregate(array_sort(collect_list(col("w"))),
@@ -257,11 +274,14 @@ object Graph {
       lit(0.0), (acc, x) => acc + x).as("__outw"))
     val n = nodes.count()
     val reset = (1.0 - damping) / n
-    rankIterations(e, outW,
+    val pr = rankIterations(e, outW,
       nodes.withColumn("pr", lit(1.0 / n)), Nil,
       col("pr") * col("w") / col("__outw"),
       lit(reset) + lit(damping) * coalesce(col("__s"), lit(0.0)),
       iterations)
+    ColumnBridge.releaseCheckpoint(e)
+    ColumnBridge.releaseCheckpoint(nodes)
+    pr
   }
 
   /** Personalized PageRank (Haveliwala WWW'02 / Jeh & Widom WWW'03):
@@ -287,7 +307,9 @@ object Graph {
       iterations: Int = 10, damping: Double = 0.85): DataFrame = {
     val e = partitionedCheckpoint(
       edges.select(col(srcCol).cast("long").as("u"),
-        col(dstCol).cast("long").as("v")).distinct(), "u")
+        col(dstCol).cast("long").as("v"))
+        .filter(col("u").isNotNull && col("v").isNotNull)
+        .distinct(), "u")
     val sd = seeds.select(col(seedCol).cast("long").as("node")).distinct()
     val nodeSet = e.select(col("u").as("node"))
       .union(e.select(col("v").as("node"))).distinct()
@@ -304,14 +326,16 @@ object Graph {
       when(col("__seed"), lit(seedMass)).otherwise(lit(0.0)))
     val outDeg = e.groupBy(col("u")).agg(count(lit(1)).as("__out"))
     val oneMinusD = 1.0 - damping
-    rankIterations(e, outDeg,
+    val pr = rankIterations(e, outDeg,
       withR.select(col("node"), col("__r"), col("__r").as("pr")),
       Seq("__r"),
       col("pr") / col("__out"),
       lit(oneMinusD) * col("__r")
         + lit(damping) * coalesce(col("__s"), lit(0.0)),
       iterations)
-      .select(col("node"), col("pr"))
+    ColumnBridge.releaseCheckpoint(e)
+    ColumnBridge.releaseCheckpoint(nodes)
+    pr.select(col("node"), col("pr"))
   }
 
   /** Per-node triangle counts via the DEGREE-ORDERED oriented join
@@ -576,7 +600,12 @@ object Graph {
     val deg = e.select(col("s").as("node"))
       .unionAll(e.select(col("t").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("degree"))
-    val tri = triangleFrame(edges, srcCol, dstCol)
+    // reuse the canonical edge frame — triangleFrame(edges, …) would
+    // run the least/greatest + distinct shuffle over the raw edge list
+    // a second time (the edgeEmbeddedness pattern)
+    val tri = triangleTriples(e)
+      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
     deg.filter(col("degree") >= 2)
       .join(tri, Seq("node"), "left")
       .withColumn("n_triangles", coalesce(col("n_triangles"), lit(0L)))
@@ -677,6 +706,10 @@ object Graph {
       ColumnBridge.releaseCheckpoint(labels)
       labels = next
     }
+    // the final label frame is its own eager checkpoint — the 2|E|-row
+    // symmetric edge layout (the function's LARGEST block set, the
+    // r11 scratch-exhaustion driver) must not outlive the call
+    ColumnBridge.releaseCheckpoint(sym)
     ColumnBridge.ofRows(owner, ColumnBridge.analyzed(labels))
   }
 
@@ -755,6 +788,10 @@ object Graph {
       }
       hub = h2; auth = a2
     }
+    // final hub/auth frames are their own eager checkpoints — the edge
+    // and node checkpoints are dead weight from here
+    ColumnBridge.releaseCheckpoint(e)
+    ColumnBridge.releaseCheckpoint(nodes)
     hub.select(col("node"), (col("s") / nD).as("hub"))
       .join(auth.select(col("node"), (col("s") / nD).as("authority")),
         Seq("node"))

@@ -99,7 +99,9 @@ object UrlOps {
   def canonicalizeUrl(u: Column): Column = {
     val sch = urlScheme(u)
     val h = urlHost(u)
-    val p = urlPort(u)
+    // leading-zero port digits normalize away: :0080 IS :80 (string-
+    // exact compares would split one page into two canonical ids)
+    val p = regexp_replace(urlPort(u), "^0+([0-9])", "$1")
     val portPart = when(p === "" ||
         (sch === "http" && p === "80") ||
         (sch === "https" && p === "443"), lit(""))
@@ -446,7 +448,13 @@ object UrlOps {
         posexplode(regexp_extract_all(col(htmlCol),
           lit("<a(?:\\s[^>]*)?\\shref=\"([^\"]*)\""), lit(1)))
           .as(Seq("link_pos", "href")))
+      // entity-decode BEFORE resolution: valid HTML MUST escape '&' in
+      // attribute values, so href="/s?a=1&amp;b=2" means /s?a=1&b=2 —
+      // undecoded, the canonical target (and stripTracking's param
+      // names) would be silently wrong for every multi-param URL
       .select(col(idCol), col("url"), col("link_pos").cast("long"),
+        xmlUnescape(col("href")).as("href"))
+      .select(col(idCol), col("url"), col("link_pos"),
         col("href"), canonicalizeUrl(resolvedHref(col("url"))).as("target"))
   }
 
@@ -489,9 +497,11 @@ object UrlOps {
       // href materializes BEFORE the select that resolves it: the
       // resolution must reference a real column, not a lateral alias
       // defined in the same projection (implicit lateral-alias
-      // resolution is config-dependent)
+      // resolution is config-dependent). Both href and anchor
+      // entity-decode (the [[extractLinks]] contract).
       .select(col(idCol), col("url"), col("link_pos").cast("long"),
-        col("ha.0").as("href"), col("ha.1").as("anchor"))
+        xmlUnescape(col("ha.0")).as("href"),
+        xmlUnescape(col("ha.1")).as("anchor"))
       .select(col(idCol), col("url"), col("link_pos"), col("href"),
         canonicalizeUrl(resolvedHref(col("url"))).as("target"),
         col("anchor"))
@@ -518,7 +528,10 @@ object UrlOps {
       .groupBy(col("dst_host"), col("anchor"))
       .agg(count(lit(1)).as("__n"))
       .withColumn("__blank",
-        when(trim(col("anchor")) === "", 1).otherwise(0))
+        // null-safe: a NULL anchor is blank too (trim(null) === ""
+        // is null, which the otherwise branch would count as text)
+        when(col("anchor").isNull || trim(col("anchor")) === "", 1)
+          .otherwise(0))
     val w = Window.partitionBy(col("dst_host"))
     // non-blank anchors rank first, so "" wins only when it's alone
     val wTop = w.orderBy(col("__blank"), col("__n").desc, col("anchor"))
@@ -638,7 +651,10 @@ object UrlOps {
       (etag =!= "" && etag.startsWith("W/")).as("weak_etag"),
       (validator =!= "none").as("conditional"),
       (nc.cast("double") / no.cast("double")).as("change_rate"),
-      when(nc * 2 >= no, "hourly").when(nc * 5 >= no, "daily")
+      // no observation history → the CONSERVATIVE default: 0·2 >= 0
+      // would otherwise hand a never-fetched URL the hourly budget
+      when(no.isNull || no <= 0, "monthly")
+        .when(nc * 2 >= no, "hourly").when(nc * 5 >= no, "daily")
         .when(nc * 20 >= no, "weekly").otherwise("monthly")
         .as("refetch_class"))
   }

@@ -108,6 +108,31 @@ class GraphSpec extends AnyFunSuite {
     assert(dpr == pr) // exact double equality
   }
 
+  test("pageRankWeighted: a zero-weight source can't poison other sources' targets") {
+    // 0→1 carries weight 0 (W(0)=0); 2→1 is healthy. Pre-fix, 0's
+    // NULL contribution poisoned node 1's whole fold and its rank
+    // collapsed to the reset floor despite 2's real contribution.
+    val edges = Seq((0L, 1L, 0.0), (2L, 1L, 1.0), (1L, 2L, 1.0))
+      .toDF("u", "v", "w")
+    val pr = Graph.pageRankWeighted(edges, "u", "v", "w", iterations = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // node 0 drops entirely (its only edge is weightless); 1 and 2
+    // form a healthy cycle with equal mass
+    assert(pr.keySet == Set(1L, 2L))
+    assert(math.abs(pr(1L) - pr(2L)) < 1e-12 && pr(1L) > 0.4)
+  }
+
+  test("pageRank family drops null endpoints instead of minting a phantom node") {
+    val edges = Seq((Some(0L), Some(1L)), (Some(1L), Some(0L)),
+      (Some(0L), None), (None, Some(1L)))
+      .toDF("u", "v")
+    val pr = Graph.pageRank(edges, "u", "v")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(pr.keySet == Set(0L, 1L)) // no (null, rank) row
+    // N=2, clean 2-cycle: mass conserved at 1 over the REAL nodes
+    assert(math.abs(pr.values.sum - 1.0) < 1e-9)
+  }
+
   test("pageRankWeighted: fractional weights work (no long truncation) and are scale-invariant") {
     // all weights < 1 — a long cast would truncate them to 0, zero the
     // out-weight and silently vanish the source's mass

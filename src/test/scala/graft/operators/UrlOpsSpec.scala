@@ -313,6 +313,46 @@ class UrlOpsSpec extends AnyFunSuite {
       (7L, "javascript:void(0)", None)))
   }
 
+  test("extractLinks: &amp; in hrefs entity-decodes before resolution") {
+    import spark.implicits._
+    // valid HTML MUST escape '&' in attribute values
+    val pages = Seq((1L, "http://h.io/p",
+      """<a href="/s?a=1&amp;utm_source=x&amp;b=2">t</a>""" +
+        """<a href="/q?x=&lt;y&gt;">u</a>"""))
+      .toDF("id", "url", "html")
+    val got = UrlOps.extractLinks(pages, "id", "url", "html")
+      .orderBy("link_pos")
+      .collect().map(r => (r.getString(3), r.getString(4)))
+    // decoded: utm param stripped by its REAL name, params resolve
+    assert(got(0) == ("/s?a=1&utm_source=x&b=2", "http://h.io/s?a=1&b=2"))
+    assert(got(1)._1 == "/q?x=<y>")
+    // the anchors variant decodes identically (alignment contract)
+    val withA = UrlOps.extractLinksWithAnchors(pages, "id", "url", "html")
+      .orderBy("link_pos").collect().map(r => (r.getString(3), r.getString(4)))
+    assert(withA.toSeq == got.toSeq)
+  }
+
+  test("canonicalizeUrl: zero-padded ports normalize with plain ones") {
+    import spark.implicits._
+    val got = Seq("http://ex.com:0080/a", "http://ex.com:80/a",
+      "http://ex.com/a", "https://ex.com:0443/b", "http://ex.com:008080/c")
+      .toDF("u").select(UrlOps.canonicalizeUrl(col("u")))
+      .collect().map(_.getString(0)).toSeq
+    assert(got(0) == "http://ex.com/a" && got(1) == "http://ex.com/a" &&
+      got(2) == "http://ex.com/a")
+    assert(got(3) == "https://ex.com/b")
+    assert(got(4) == "http://ex.com:8080/c")
+  }
+
+  test("refetchPlan: zero observations default to monthly, not hourly") {
+    import spark.implicits._
+    val log = Seq(("http://h.io/new", "HTTP/1.1 200 OK\n", 0L, 0L))
+      .toDF("url", "headers", "nc", "no")
+    val r = UrlOps.refetchPlan(log, "url", "headers", "nc", "no").collect()(0)
+    assert(r.getAs[String]("refetch_class") == "monthly")
+    assert(r.isNullAt(r.fieldIndex("change_rate")))
+  }
+
   test("extractLinks: tag-name anchoring and query-only refs") {
     import spark.implicits._
     val pages = Seq((1L,
