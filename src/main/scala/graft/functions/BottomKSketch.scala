@@ -56,9 +56,14 @@ case class BottomKHashes(
     if (v != null) {
       val s = v match {
         case u: UTF8String => u
-        // atomic types render stably; catalyst containers do NOT (their
-        // toString is identity-ish → nondeterministic hashes) — reject
-        case _: org.apache.spark.sql.catalyst.util.ArrayData |
+        // NON-string reference payloads render by identity (Array[Byte]
+        // toString is "[B@…", catalyst containers likewise) — hashing
+        // that is nondeterministic garbage, the exact failure this
+        // class's determinism contract forbids. Reject them all; only
+        // JVM value types (numbers/booleans from atomic columns) have
+        // a stable toString.
+        case _: Array[Byte] |
+             _: org.apache.spark.sql.catalyst.util.ArrayData |
              _: org.apache.spark.sql.catalyst.util.MapData | _: InternalRow =>
           throw new IllegalArgumentException(
             s"graft_bottomk: unsupported input type ${child.dataType}; cast to string first")

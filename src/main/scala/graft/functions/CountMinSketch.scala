@@ -221,9 +221,14 @@ object CountMinSketch {
     * arithmetic over the two flat depth×width buffers.
     */
   def cmsInnerProduct(a: Column, b: Column, depth: Int, width: Int): Column = {
-    val prod = zip_with(a, b, (x, y) => x * y)
+    // DOUBLE products: two hot cells of ~4e9 each put x·y past 2^63 and
+    // a BIGINT product would wrap negative — breaking the documented
+    // never-underestimates bound. The estimate is approximate anyway;
+    // double keeps 53-bit precision on a quantity only read to O(ε·N²).
+    val prod = zip_with(a, b,
+      (x, y) => x.cast("double") * y.cast("double"))
     array_min(transform(sequence(lit(0), lit(depth - 1)),
       i => aggregate(slice(prod, i * width + 1, lit(width)),
-        lit(0L), (acc, x) => acc + x)))
+        lit(0.0), (acc, x) => acc + x)))
   }
 }

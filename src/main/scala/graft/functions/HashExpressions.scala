@@ -75,8 +75,16 @@ object HashUtil {
   /** Decode + bilinear-downscale to a 9×8 luma plane (row-major, 72
     * ints in [0,255]); None when the bytes are not a decodable image.
     */
+  // JVM-global, set once per executor: ImageIO's default file-backed
+  // stream cache creates+deletes a TEMP FILE per read — per-ROW disk
+  // I/O in this codegen'd hot path (and in every Multimodal decode).
+  // The inputs are in-memory byte arrays; cache to heap instead.
+  private lazy val imageIoNoFileCache: Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
   private def decodeLuma9x8(bytes: Array[Byte]): Option[Array[Int]] =
     try {
+      imageIoNoFileCache
       Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
         .map { img =>
           val dst = new java.awt.image.BufferedImage(
@@ -136,15 +144,14 @@ object HashUtil {
     res
   }
 
-  /** splitmix64 finalizer (public-domain mixer) — avalanches one 64-bit
-    * base hash into the i-th member of an independent-ish hash family.
+  /** i-th member of an independent-ish hash family: golden-ratio step
+    * then the ONE shared splitmix64 finalizer ([[CmsUtil.mix64]] —
+    * bit-identical to the former inline copy, since mix64 itself adds
+    * one golden-ratio step). Keeping a single finalizer means a hash-
+    * family fix lands everywhere at once.
     */
-  private def mix(base: Long, i: Int): Long = {
-    var z = base + 0x9e3779b97f4a7c15L * (i + 1)
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z ^ (z >>> 31)
-  }
+  private def mix(base: Long, i: Int): Long =
+    CmsUtil.mix64(base + 0x9e3779b97f4a7c15L * i)
 
   /** MinHash signature in ONE pass over the element array: each element is
     * FNV-hashed once, then k mixer applications update k running minima.
@@ -675,15 +682,27 @@ case class DotProduct(left: Expression, right: Expression)
   * pair rows that allocation storm dominates (measured: the dense winnow
   * join went 134 s → seconds in a GC-pressured session). Inputs MUST be
   * sorted ascending (e.g. `sort_array(collect_set(..))`) — unsorted
-  * input silently undercounts, so this is package-scoped behind
-  * [[graft.operators.Dedup.winnowNearDupsDense]]-style callers that
-  * guarantee it.
+  * input silently undercounts; callers
+  * ([[graft.operators.Dedup.winnowNearDupsDense]]-style) own that
+  * guarantee. Null ELEMENTS are rejected at analysis (containsNull must
+  * be false): the unsafe getLong would silently read a null slot as 0.
   */
 case class SortedIntersectCount(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
     with ExpectsInputTypes {
   override def inputTypes: Seq[AbstractDataType] =
     Seq(ArrayType(LongType), ArrayType(LongType))
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val base = super.checkInputDataTypes()
+    if (base.isFailure) base
+    else (left.dataType, right.dataType) match {
+      case (ArrayType(_, false), ArrayType(_, false)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        "sortedIntersectCount requires arrays with containsNull=false " +
+          "(null elements would be misread as 0)")
+    }
+  }
   override def dataType: DataType = LongType
   override protected def nullSafeEval(a: Any, b: Any): Any =
     HashUtil.sortedIntersectCount(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])

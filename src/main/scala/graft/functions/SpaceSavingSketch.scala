@@ -36,11 +36,27 @@ import org.apache.spark.unsafe.types.UTF8String
   * keep `capacity` above the key cardinality, which makes the whole
   * summary exact (q113).
   */
+/** Aggregation state: the counter map plus a LAZY-DELETION min-heap
+  * over (est, key). Every put/increment pushes the key's new est; an
+  * entry whose pushed est no longer equals the key's current est is
+  * STALE and skipped on pop — so an eviction finds the true min in
+  * amortized O(log capacity) instead of the former O(capacity) full
+  * scan per evicted row (which made the update path O(rows×capacity)
+  * on any high-cardinality stream, the exact workload the sketch
+  * exists for). The heap compacts when it outgrows 8×map+64 entries;
+  * merge/deserialize just clear it (rebuilt on the next eviction).
+  */
+private[functions] final class SsBuffer {
+  val map = new java.util.HashMap[Any, Array[Long]]()
+  val heap = new java.util.PriorityQueue[(Long, Any)](11,
+    (x: (Long, Any), y: (Long, Any)) => java.lang.Long.compare(x._1, y._1))
+}
+
 case class SpaceSavingTopK(
     child: Expression, capacity: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[java.util.HashMap[Any, Array[Long]]] {
+  extends TypedImperativeAggregate[SsBuffer] {
 
   require(capacity > 0, "capacity must be positive")
 
@@ -66,12 +82,11 @@ case class SpaceSavingTopK(
     TypeUtils.getInterpretedOrdering(child.dataType).asInstanceOf[Ordering[Any]]
 
   // value = Array(est, err) — mutable in place
-  override def createAggregationBuffer(): java.util.HashMap[Any, Array[Long]] =
-    new java.util.HashMap[Any, Array[Long]]()
+  override def createAggregationBuffer(): SsBuffer = new SsBuffer
 
-  private def minEntry(buf: java.util.HashMap[Any, Array[Long]]): (Any, Array[Long]) = {
+  private def minEntry(m: java.util.HashMap[Any, Array[Long]]): (Any, Array[Long]) = {
     var mk: Any = null; var mv: Array[Long] = null
-    val it = buf.entrySet().iterator()
+    val it = m.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
       if (mv == null || e.getValue()(0) < mv(0)) { mk = e.getKey; mv = e.getValue }
@@ -79,8 +94,32 @@ case class SpaceSavingTopK(
     (mk, mv)
   }
 
-  override def update(buf: java.util.HashMap[Any, Array[Long]],
-      input: InternalRow): java.util.HashMap[Any, Array[Long]] = {
+  private def push(buf: SsBuffer, est: Long, key: Any): Unit = {
+    buf.heap.add((est, key))
+    if (buf.heap.size > buf.map.size.toLong * 8 + 64) rebuildHeap(buf)
+  }
+
+  private def rebuildHeap(buf: SsBuffer): Unit = {
+    buf.heap.clear()
+    val it = buf.map.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      buf.heap.add((e.getValue()(0), e.getKey))
+    }
+  }
+
+  /** Pop the TRUE min entry (skipping stale heap entries); only called
+    * with a full map, so the rebuild fallback always finds one.
+    */
+  @annotation.tailrec
+  private def popMin(buf: SsBuffer): (Any, Array[Long]) = {
+    if (buf.heap.isEmpty) rebuildHeap(buf)
+    val top = buf.heap.poll()
+    val cur = buf.map.get(top._2)
+    if (cur != null && cur(0) == top._1) (top._2, cur) else popMin(buf)
+  }
+
+  override def update(buf: SsBuffer, input: InternalRow): SsBuffer = {
     val v = child.eval(input)
     if (v != null) {
       // UTF8String from an unsafe row points into a reused buffer — keys
@@ -89,15 +128,17 @@ case class SpaceSavingTopK(
         case s: UTF8String => s.clone()
         case other => other
       }
-      val cur = buf.get(x)
-      if (cur != null) cur(0) += 1
-      else if (buf.size() < capacity) buf.put(x, Array(1L, 0L))
-      else {
+      val cur = buf.map.get(x)
+      if (cur != null) { cur(0) += 1; push(buf, cur(0), x) }
+      else if (buf.map.size() < capacity) {
+        buf.map.put(x, Array(1L, 0L)); push(buf, 1L, x)
+      } else {
         // evict the min-count item; the newcomer inherits its count as
         // overestimation error (the classic SpaceSaving step)
-        val (mk, mv) = minEntry(buf)
-        buf.remove(mk)
-        buf.put(x, Array(mv(0) + 1, mv(0)))
+        val (mk, mv) = popMin(buf)
+        buf.map.remove(mk)
+        buf.map.put(x, Array(mv(0) + 1, mv(0)))
+        push(buf, mv(0) + 1, x)
       }
     }
     buf
@@ -109,10 +150,14 @@ case class SpaceSavingTopK(
     * largest estimates. Both error bounds and the coverage guarantee
     * survive this for any merge tree.
     */
-  override def merge(a: java.util.HashMap[Any, Array[Long]],
-      b: java.util.HashMap[Any, Array[Long]]): java.util.HashMap[Any, Array[Long]] = {
-    if (b.isEmpty) return a
-    if (a.isEmpty) { a.putAll(b); return a }
+  override def merge(ab: SsBuffer, bb: SsBuffer): SsBuffer = {
+    val a = ab.map; val b = bb.map
+    if (b.isEmpty) return ab
+    // bulk map surgery invalidates the heap wholesale — clear it and
+    // let the next eviction rebuild (merges are per-buffer-pair, so
+    // the O(capacity) min scans here are off the per-row path)
+    ab.heap.clear()
+    if (a.isEmpty) { a.putAll(b); return ab }
     val minA = if (a.size() < capacity) 0L else minEntry(a)._2(0)
     val minB = if (b.size() < capacity) 0L else minEntry(b)._2(0)
     // fold B into A
@@ -140,10 +185,11 @@ case class SpaceSavingTopK(
       var i = capacity
       while (i < entries.size()) { a.remove(entries.get(i).getKey); i += 1 }
     }
-    a
+    ab
   }
 
-  override def eval(buf: java.util.HashMap[Any, Array[Long]]): Any = {
+  override def eval(b: SsBuffer): Any = {
+    val buf = b.map
     val out = new Array[Any](buf.size())
     val it = buf.entrySet().iterator()
     var i = 0
@@ -155,7 +201,8 @@ case class SpaceSavingTopK(
     new GenericArrayData(out)
   }
 
-  override def serialize(buf: java.util.HashMap[Any, Array[Long]]): Array[Byte] = {
+  override def serialize(b: SsBuffer): Array[Byte] = {
+    val buf = b.map
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(buf.size())
@@ -178,7 +225,7 @@ case class SpaceSavingTopK(
     bos.toByteArray
   }
 
-  override def deserialize(bytes: Array[Byte]): java.util.HashMap[Any, Array[Long]] = {
+  override def deserialize(bytes: Array[Byte]): SsBuffer = {
     val in = ByteBuffer.wrap(bytes)
     val buf = createAggregationBuffer()
     val n = in.getInt
@@ -194,7 +241,8 @@ case class SpaceSavingTopK(
           UTF8String.fromBytes(b)
         case t => throw new IllegalStateException(s"unreachable key type $t")
       }
-      buf.put(k, Array(in.getLong, in.getLong))
+      // heap stays empty — rebuilt lazily on the first eviction
+      buf.map.put(k, Array(in.getLong, in.getLong))
       i += 1
     }
     buf

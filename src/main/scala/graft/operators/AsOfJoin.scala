@@ -56,6 +56,11 @@ object AsOfJoin {
       .withColumn("__payload", lit(null).cast(
         right.select(payloadStruct).schema.head.dataType))
     val r = right
+      // a null right ts can never satisfy ts ≤ / ≥ — drop it HERE:
+      // null __ts sorts first, so its (non-null) payload struct would
+      // otherwise be carried into every row of the key, diverging from
+      // the native exec's "a null ts never matches anything" policy
+      .filter(col(rightTs).isNotNull)
       .select(keys.map(col) :+ col(rightTs).as("__ts") :+ payloadStruct.as("__payload"): _*)
       .withColumn("__side", lit(if (back) 0 else 1))
 

@@ -27,6 +27,12 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  // JVM-global, once per executor (object init): ImageIO's default
+  // file-backed stream cache creates+deletes a TEMP FILE per decode —
+  // per-row disk I/O on in-memory byte arrays (same setting as
+  // HashUtil's dhash path)
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** media table schema: one row per asset. */
   val mediaSchema: StructType = StructType(Seq(
     StructField("media_id", LongType),

@@ -49,6 +49,16 @@ case class AsOfJoinExec(
     leftTs: Attribute, rightTs: Attribute,
     payload: Seq[Attribute], payloadOut: Seq[Attribute]) extends BinaryExecNode {
 
+  // the merge loop reads RIGHT-side slots through orderings/accessors
+  // built from the LEFT side's types — a mismatch (int vs bigint ts)
+  // would silently misread bytes, not error. Fail loudly at planning.
+  require(leftTs.dataType == rightTs.dataType,
+    s"as-of ts types differ: ${leftTs.dataType} vs ${rightTs.dataType} " +
+      "(cast one side first)")
+  require(leftKeys.map(_.dataType) == rightKeys.map(_.dataType),
+    s"as-of key types differ: ${leftKeys.map(_.dataType)} vs " +
+      s"${rightKeys.map(_.dataType)} (cast one side first)")
+
   override def output: Seq[Attribute] = left.output ++ payloadOut
   override def producedAttributes: AttributeSet = AttributeSet(payloadOut)
 

@@ -41,6 +41,14 @@ class BottomKSketchSpec extends AnyFunSuite {
     assert(math.abs(est - truth) / truth < 0.15, s"est=$est truth=$truth")
   }
 
+  test("binary input is rejected, not identity-hashed") {
+    // Array[Byte].toString is "[B@…" — hashing it would be
+    // nondeterministic garbage under the class's determinism contract
+    val df = Seq(Tuple1(Array[Byte](1, 2, 3))).toDF("k")
+    val e = intercept[Exception] { df.agg(bottomK(col("k"), 4)).collect() }
+    assert(e.getMessage.contains("cast to string"), e.getMessage)
+  }
+
   test("works per group") {
     val df = graft.Tables.orders(spark, "/root/testdata/sf0.001")
     val rows = df.groupBy("o_orderstatus")

@@ -91,8 +91,8 @@ class CountMinSketchSpec extends AnyFunSuite {
     val est = a.crossJoin(b)
       .select(CountMinSketch.cmsInnerProduct(col("ska"), col("skb"),
         Depth, Width))
-      .as[Long].head()
-    assert(est == 6L)
+      .as[Double].head()
+    assert(est == 6.0) // double-typed since the overflow-safe product
     // many shared heavy keys: estimate >= exact always
     val xs = (1L to 500L).flatMap(i => Seq.fill((i % 5).toInt + 1)(i % 40))
     val ya = xs.toDF("k").agg(cmsSketch(col("k"), Depth, Width).as("ska"))
@@ -102,8 +102,8 @@ class CountMinSketchSpec extends AnyFunSuite {
     val e2 = ya.crossJoin(yb)
       .select(CountMinSketch.cmsInnerProduct(col("ska"), col("skb"),
         Depth, Width))
-      .as[Long].head()
-    assert(e2 >= exact)
-    assert(e2 <= exact + (math.E / Width * xs.size * xs.size).toLong + 1)
+      .as[Double].head()
+    assert(e2 >= exact.toDouble)
+    assert(e2 <= (exact + math.E / Width * xs.size * xs.size + 1))
   }
 }

@@ -103,4 +103,26 @@ class SpaceSavingSketchSpec extends AnyFunSuite {
       .select(size(col("hh"))).as[Int].collect().head
     assert(sk <= 5 && sk > 0)
   }
+
+  test("heap-evicted sketch keeps the guarantees on an eviction-heavy stream") {
+    // cardinality ≫ capacity with planted heavies: every miss evicts,
+    // exercising the lazy-deletion heap + compaction + post-merge
+    // rebuild paths; N/capacity coverage and est≥true must still hold
+    val heavies = (0L until 5L).flatMap(h => Seq.fill(400)(h))
+    val tail = (100L until 4000L)
+    val df = (heavies ++ tail).toDF("k").repartition(7)
+    val got = df.agg(spaceSavingTopK(col("k"), 64).as("hh"))
+      .select(explode(col("hh")).as("x"))
+      .select("x.item", "x.est", "x.err")
+      .as[(Long, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    val n = heavies.size + tail.size
+    (0L until 5L).foreach { h =>
+      assert(got.contains(h), s"guaranteed heavy $h missing") // 400 > N/64
+      val (est, err) = got(h)
+      assert(est >= 400L && est - err <= 400L, s"$h: est=$est err=$err")
+    }
+    assert(got.size <= 64)
+    assert(n / 64 < 400) // the coverage premise of the assertions above
+  }
 }

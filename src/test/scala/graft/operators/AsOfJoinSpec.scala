@@ -102,6 +102,23 @@ class AsOfJoinSpec extends AnyFunSuite {
         Option(r.getAs[Any]("last_px"))).toMap
     assert(got(Some(15L)).contains(1.0))  // matches the non-null quote only
     assert(got(None).isEmpty)             // null-ts probe: unmatched
+    // the COMPOSED form agrees (pre-fix, the null-ts quote's payload
+    // sorted NULLS FIRST and was carried into every row of the key)
+    val composed = AsOfJoin.asOf(t, q, Seq("sym"), "ts", "ts",
+      Seq(("px", "last_px")))
+      .collect().map(r => Option(r.get(r.fieldIndex("ts"))) ->
+        Option(r.getAs[Any]("last_px"))).toMap
+    assert(composed == got)
+  }
+
+  test("native exec rejects mismatched ts/key types at planning, not silently") {
+    val q = Seq(("A", 10, 1.0)).toDF("sym", "ts", "px") // INT ts
+    val t = Seq(("A", 15L, 100L)).toDF("sym", "ts", "qty") // BIGINT ts
+    val e = intercept[Exception] {
+      AsOfJoin.asOfNative(t, q, Seq("sym"), "ts", "ts",
+        Seq(("px", "last_px"))).collect()
+    }
+    assert(e.getMessage.contains("ts types differ"), e.getMessage)
   }
 
   test("left columns are preserved") {
