@@ -12025,7 +12025,10 @@ object SparkEntry {
     "q207_benford" ->
       """WITH b AS (SELECT substring((n_chars::BIGINT)::VARCHAR, 1, 1)::INT
         |    AS digit FROM documents WHERE n_chars > 0),
-        |c AS (SELECT digit, count(*)::BIGINT AS n_obs FROM b GROUP BY 1),
+        |c0 AS (SELECT digit, count(*)::BIGINT AS n_obs FROM b GROUP BY 1),
+        |d AS (SELECT unnest(generate_series(1, 9))::INT AS digit),
+        |c AS (SELECT d.digit, coalesce(c0.n_obs, 0)::BIGINT AS n_obs
+        |  FROM d LEFT JOIN c0 USING (digit)),
         |t AS (SELECT sum(n_obs)::BIGINT AS n FROM c)
         |SELECT digit, n_obs,
         |  round(n_obs::DOUBLE / n, 4) AS obs_frac,

@@ -121,15 +121,26 @@ object WuCsvSource {
     if (present.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], WeatherSchema.schema)
+    // scan each DISTINCT path once: a file listed under two manifest
+    // entries must yield one scanned copy per ENTRY via the lookup join
+    // (the read() equivalence) — scanning it once per entry would
+    // square the copies
     val raw = spark.read
       .option("sep", ";")
       .option("encoding", "ISO-8859-1")
       .option("header", "true")
       .option("mode", "PERMISSIVE")
       .schema(wuLayout)
-      .csv(present.map(_._2.path): _*)
+      .csv(present.map(_._2.path).distinct: _*)
+      // normalize to the AUTHORITY-LESS path, matching normalized()'s
+      // toUri.getPath on the lookup side — keeping the authority here
+      // (hdfs://nn:8020/…, s3a://bucket/…) made the join match NOTHING
+      // on any filesystem whose URIs carry one: silent zero-row reads.
+      // (Residual limit: percent-encoded metadata paths vs decoded
+      // getPath — paths with spaces etc.; the reference fleet has none.)
       .withColumn("__fp",
-        regexp_replace(col("_metadata.file_path"), "^[a-zA-Z0-9+.-]+:/*", "/"))
+        regexp_replace(col("_metadata.file_path"),
+          "^[a-zA-Z0-9+.-]+:(//[^/]*)?", ""))
     val lookup = spark.createDataFrame(
       present.map { case (st, e) => (normalized(e.path), st, e.date) })
       .toDF("__fp", "__station", "file_date")
@@ -192,8 +203,16 @@ object InfoclimatJsonSource {
   }
 
   def read(spark: SparkSession, path: String): DataFrame =
-    try WeatherTransforms.fromInfoclimatJson(readRaw(spark, path))
-    catch {
+    try {
+      val out = WeatherTransforms.fromInfoclimatJson(readRaw(spark, path))
+      // R3 skip-and-warn must cover TASK-time failures too (corrupt gz,
+      // permissions): with an explicit schema nothing touches file
+      // contents until an action, so probe one row HERE — otherwise the
+      // error escapes to the middle of the pipeline run instead of this
+      // typed skip (one small job over a single document file)
+      out.limit(1).collect(): Unit
+      out
+    } catch {
       case e: Exception =>
         System.err.println(s"[graft.etl] JSON unreadable, skipped: $path: ${e.getMessage}")
         spark.createDataFrame(

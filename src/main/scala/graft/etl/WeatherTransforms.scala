@@ -80,10 +80,14 @@ object WeatherTransforms {
 
   /** Audit-side timestamp derivation (S10): null on parse failure, like
     * `pd.to_datetime(..., errors='coerce')` (etl_meteo.py:127). The regex
-    * guard keeps behavior identical whether or not ANSI mode is on.
+    * guard prefilters cheaply; try_to_timestamp (not to_timestamp) makes
+    * the coercion hold under ANSI too — a shaped-but-invalid string like
+    * "2024-13-40 25:61:00" passes the regex, and the plain parse would
+    * THROW mid-audit with ANSI on instead of coercing to null.
     */
   def parsedTimestamp(c: Column): Column =
-    when(c.rlike("^\\d{4}-\\d{2}-\\d{2}[ T]\\d{1,2}:\\d{2}"), to_timestamp(c))
+    when(c.rlike("^\\d{4}-\\d{2}-\\d{2}[ T]\\d{1,2}:\\d{2}"),
+      try_to_timestamp(c))
 
   /** Multi-format coercing parse covering BOTH unified-table formats —
     * Infoclimat "yyyy-MM-dd HH:mm[:ss]" and Weather Underground
@@ -93,8 +97,10 @@ object WeatherTransforms {
     * ("9:04 PM" > "10:04 PM" as strings).
     */
   def parsedTimestampMulti(c: Column): Column = {
+    // try_to_timestamp: the regex shapes can still carry out-of-range
+    // fields ("9:99 PM"); coercion must survive ANSI (see above)
     def guarded(pattern: String, fmt: String): Column =
-      when(c.rlike(pattern), to_timestamp(c, fmt))
+      when(c.rlike(pattern), try_to_timestamp(c, lit(fmt)))
     coalesce(
       guarded("^\\d{4}-\\d{2}-\\d{2} \\d{1,2}:\\d{2}:\\d{2}$", "yyyy-MM-dd H:mm:ss"),
       guarded("^\\d{4}-\\d{2}-\\d{2} \\d{1,2}:\\d{2}$", "yyyy-MM-dd H:mm"),

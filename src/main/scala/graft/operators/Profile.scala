@@ -208,9 +208,16 @@ object Profile {
       .select(substring(col("v").cast("string"), 1, 1).cast("int")
         .as("digit"))
       .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
-    val tot = b.agg(sum(col("n_obs")).as("__n"))
+    // ALL nine digits, observed or not: an absent digit contributes
+    // n·exp_frac to χ² — dropping its row understates the statistic
+    // exactly when the data is most non-Benford
+    val digits = df.sparkSession.range(1, 10)
+      .select(col("id").cast("int").as("digit"))
+    val full = digits.join(b, Seq("digit"), "left")
+      .select(col("digit"), coalesce(col("n_obs"), lit(0L)).as("n_obs"))
+    val tot = full.agg(sum(col("n_obs")).as("__n"))
     val expFrac = log10(lit(1.0) + lit(1.0) / col("digit"))
-    b.crossJoin(broadcast(tot))
+    full.crossJoin(broadcast(tot))
       .select(col("digit"), col("n_obs"),
         round(col("n_obs").cast("double") / col("__n"), 4).as("obs_frac"),
         round(expFrac, 4).as("exp_frac"),
@@ -415,14 +422,16 @@ object Profile {
       .join(ry.select(col("g"), col("y"), col("ty")), Seq("g", "y"))
     val perG = joined.groupBy(col("g"))
       .agg(sum(col("c")).as("n"),
-        sum((col("c") * col("tx") * col("ty")).cast("decimal(38,0)"))
+        // decimal BEFORE the multiply: c·tx·ty in BIGINT wraps past
+        // 2^63 for multi-million-row tied groups (the friedman pattern)
+        sum(col("c").cast("decimal(38,0)") * col("tx") * col("ty"))
           .cast("decimal(38,0)").as("a"))
     def sideStats(r: DataFrame, vc: String): DataFrame =
       r.groupBy(col("g")).agg(
-        sum((col(s"c$vc") * col(s"t$vc")).cast("decimal(38,0)"))
+        sum(col(s"c$vc").cast("decimal(38,0)") * col(s"t$vc"))
           .cast("decimal(38,0)").as(s"b$vc"),
-        sum((col(s"c$vc") * col(s"t$vc") * col(s"t$vc"))
-          .cast("decimal(38,0)")).cast("decimal(38,0)").as(s"q$vc"))
+        sum(col(s"c$vc").cast("decimal(38,0)") * col(s"t$vc")
+          * col(s"t$vc")).cast("decimal(38,0)").as(s"q$vc"))
     val nD = col("n").cast("decimal(38,0)")
     val num = (nD * col("a") - col("bx") * col("by")).cast("double")
     val dx = (nD * col("qx") - col("bx") * col("bx")).cast("double")
@@ -482,7 +491,10 @@ object Profile {
         col("__ng").cast("double"), 6).cast("decimal(18,6)").as("__term"))
       .agg(sum(col("__term")).cast("decimal(38,6)").as("__r2"))
     val ties = dv.agg(
-      sum(col("__t") * col("__t") * col("__t") - col("__t")).as("__ts"))
+      // t³ in decimal: a value duplicated >2.1M times overflows the
+      // BIGINT cube and silently corrupts the tie correction
+      sum(col("__t").cast("decimal(38,0)") * col("__t") * col("__t")
+        - col("__t")).as("__ts"))
     val nd = col("__n").cast("double")
     val h = lit(12.0) / (nd * (nd + lit(1.0))) *
       col("__r2").cast("double") - lit(3.0) * (nd + lit(1.0))
@@ -587,7 +599,10 @@ object Profile {
       sum(col("__t")).as("n_pairs"),
       sum(col("__pos").cast("decimal(18,1)") *
         col("__mr").cast("decimal(18,1)")).cast("decimal(38,2)").as("__wp"),
-      sum(col("__t") * col("__t") * col("__t") - col("__t")).as("__ts"))
+      // t³ in decimal: a value duplicated >2.1M times overflows the
+      // BIGINT cube and silently corrupts the tie correction
+      sum(col("__t").cast("decimal(38,0)") * col("__t") * col("__t")
+        - col("__t")).as("__ts"))
     val nd = col("n_pairs").cast("double")
     val ew = nd * (nd + lit(1.0)) / lit(4.0)
     val varw = nd * (nd + lit(1.0)) * (lit(2.0) * nd + lit(1.0)) /
@@ -683,7 +698,12 @@ object Profile {
           .as("__v"),
         xxhash64(col(idCol)).as("__hs"))
       .filter(col("__g").isNotNull && col("__v").isNotNull)
-      .localCheckpoint(true)
+    // NO materialization: both consumers re-derive this narrow
+    // projection from the scan (hash + round are deterministic, so the
+    // two passes agree bit-for-bit); an eager checkpoint here would
+    // force the whole corpus-sized frame into block storage up front —
+    // strictly worse than a second scan at the profiling scale this
+    // targets, and unrecoverable on executor loss
     val full = base.groupBy(col("__g"))
       .agg(count(lit(1)).as("n"),
         sum(col("__v")).cast("decimal(38,6)").as("__s"))
@@ -731,12 +751,15 @@ object Profile {
         sum(col("__v")).cast("decimal(38,6)").as("__sum"),
         min(col("__v")).as("__min"), max(col("__v")).as("__max"))
 
-  /** Merge two [[aggState]] frames (full outer on key): n adds, Σ adds
-    * exactly, min/max fold through least/greatest. Emits the same
-    * display shape a direct recompute would.
+  /** Fold a delta [[aggState]] into a base state, returning STATE
+    * format (__k / n / __sum / __min / __max, exact decimals) — CLOSED
+    * under composition: day N's folded state folds into day N+1's
+    * delta without ever leaving the exact-decimal domain, which is
+    * what the incremental-maintenance contract needs. (The former
+    * merge-and-render in one step was NOT re-mergeable: renamed
+    * columns, Σ cast to double.)
     */
-  def mergeAggState(state: DataFrame, delta: DataFrame,
-      keyCol: String): DataFrame = {
+  def foldAggState(state: DataFrame, delta: DataFrame): DataFrame = {
     val a = state.select(col("__k"), col("n").as("__n1"),
       col("__sum").as("__s1"), col("__min").as("__m1"),
       col("__max").as("__x1"))
@@ -744,17 +767,29 @@ object Profile {
       col("__sum").as("__s2"), col("__min").as("__m2"),
       col("__max").as("__x2"))
     a.join(b, Seq("__k"), "full_outer")
-      .select(col("__k").as(keyCol),
+      .select(col("__k"),
         (coalesce(col("__n1"), lit(0L)) + coalesce(col("__n2"), lit(0L)))
           .as("n"),
         (coalesce(col("__s1"), lit(0).cast("decimal(38,6)")) +
           coalesce(col("__s2"), lit(0).cast("decimal(38,6)")))
-          .cast("decimal(38,6)").cast("double").as("sum_val"),
+          .cast("decimal(38,6)").as("__sum"),
         least(coalesce(col("__m1"), col("__m2")),
-          coalesce(col("__m2"), col("__m1"))).cast("double").as("min_val"),
+          coalesce(col("__m2"), col("__m1"))).as("__min"),
         greatest(coalesce(col("__x1"), col("__x2")),
-          coalesce(col("__x2"), col("__x1"))).cast("double").as("max_val"))
+          coalesce(col("__x2"), col("__x1"))).as("__max"))
   }
+
+  /** [[foldAggState]] plus the DISPLAY rendering (caller's key name,
+    * doubles). The rendered frame is terminal — compose further merges
+    * through foldAggState, not this.
+    */
+  def mergeAggState(state: DataFrame, delta: DataFrame,
+      keyCol: String): DataFrame =
+    foldAggState(state, delta)
+      .select(col("__k").as(keyCol), col("n"),
+        col("__sum").cast("double").as("sum_val"),
+        col("__min").cast("double").as("min_val"),
+        col("__max").cast("double").as("max_val"))
 
   /** Exact 1-D Wasserstein-1 (earth mover's) distance between each
     * group's value distribution and a reference group — the
@@ -799,7 +834,11 @@ object Profile {
     val nb = ref.agg(sum(col("__cr")).as("__nb"))
     cum.join(broadcast(na), Seq("__g")).crossJoin(broadcast(nb))
       .groupBy(col("__g"), col("__na"), col("__nb"))
-      .agg(sum(abs(col("__ca") * col("__nb") - col("__cb") * col("__na")) *
+      // decimal: |ca·nb − cb·na|·gap in BIGINT wraps once
+      // na·nb·range approaches 2^63 (ksTest documents its bound; this
+      // term's gap multiplier makes the BIGINT bound far tighter)
+      .agg(sum(abs(col("__ca").cast("decimal(38,0)") * col("__nb")
+        - col("__cb").cast("decimal(38,0)") * col("__na")) *
         col("__gap")).as("__w"))
       .select(col("__g").as(groupCol), col("__na").as("n"),
         col("__nb").as("n_ref"),

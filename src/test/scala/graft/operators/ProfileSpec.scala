@@ -148,10 +148,13 @@ class ProfileSpec extends AnyFunSuite {
     assert(out(1).getAs[Double]("exp_frac") == 0.301)
     // uniform digits are far from Benford on digit 1: big contribution
     assert(out(1).getAs[Double]("chi2_part") > 10.0)
-    // zero and negative values are excluded
+    // zero and negative values are excluded; UNOBSERVED digits still
+    // emit rows (their n·exp_frac χ² contribution must not vanish)
     val out2 = Profile.benford(Seq(Tuple1(0), Tuple1(-5), Tuple1(7))
       .toDF("v"), "v").collect()
-    assert(out2.length == 1 && out2.head.getInt(0) == 7)
+      .map(r => r.getInt(0) -> r.getAs[Long]("n_obs")).toMap
+    assert(out2.keySet == (1 to 9).toSet)
+    assert(out2(7) == 1L && out2.removed(7).values.forall(_ == 0L))
   }
 
   test("skewKurtosis: symmetric data has 0 skew; spike changes the sign") {
@@ -306,6 +309,26 @@ class ProfileSpec extends AnyFunSuite {
     val direct = Profile.aggState(old.unionAll(delta), "k", "v")
       .collect().map(r => r.getString(0) -> r.getAs[Long]("n")).toMap
     assert(direct == merged.view.mapValues(_._1).toMap)
+  }
+
+  test("foldAggState composes: two folds equal one three-way recompute bit-exactly") {
+    import spark.implicits._
+    val d1 = Seq(("a", 1.25), ("b", 10.0)).toDF("k", "v")
+    val d2 = Seq(("a", 3.5), ("c", 5.0)).toDF("k", "v")
+    val d3 = Seq(("a", -0.75), ("b", 2.0)).toDF("k", "v")
+    // pre-fix, mergeAggState's rendered output couldn't be merged again
+    // (renamed columns, Σ degraded to double)
+    val folded = Profile.foldAggState(
+      Profile.foldAggState(Profile.aggState(d1, "k", "v"),
+        Profile.aggState(d2, "k", "v")),
+      Profile.aggState(d3, "k", "v"))
+    val direct = Profile.aggState(d1.unionAll(d2).unionAll(d3), "k", "v")
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("n"), r.getAs[java.math.BigDecimal]("__sum"),
+          r.getAs[java.math.BigDecimal]("__min"),
+          r.getAs[java.math.BigDecimal]("__max")))).toMap
+    assert(snap(folded) == snap(direct))
   }
 
   test("wilcoxonSignedRank: hand-traced midranks, ties, zero-diff drop") {
