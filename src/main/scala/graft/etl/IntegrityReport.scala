@@ -40,8 +40,14 @@ object IntegrityReport {
     val parsed = WeatherTransforms.parsedTimestampMulti(col("date_heure_utc"))
     val aggs: Seq[Column] = Seq(
       count(lit(1)).as("total_rows"),
-      (count(lit(1)) - count_distinct(col("date_heure_utc"))).as("dup_by_date"),
-      (count(lit(1)) - count_distinct(col("date_heure_utc"), col("id_station")))
+      // STRUCT-wrapped keys: count_distinct drops null VALUES, so a
+      // bare null key would count every null-keyed row as a duplicate;
+      // a struct with a null field is itself non-null and groups like
+      // pandas' NaN==NaN duplicated(keep='first') semantics
+      (count(lit(1)) - count_distinct(struct(col("date_heure_utc"))))
+        .as("dup_by_date"),
+      (count(lit(1)) -
+        count_distinct(struct(col("date_heure_utc"), col("id_station"))))
         .as("dup_by_date_station"),
       date_format(min(parsed), "yyyy-MM-dd HH:mm:ss").as("min_date"),
       date_format(max(parsed), "yyyy-MM-dd HH:mm:ss").as("max_date")) ++ cols.map(nullCount)

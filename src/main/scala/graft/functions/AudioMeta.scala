@@ -39,13 +39,16 @@ object AudioMeta {
     if (fourcc(bytes, 0) != "RIFF" || fourcc(bytes, 8) != "WAVE") return None
     var pos = 12
     var channels = -1; var rate = -1; var bits = -1; var dataBytes = -1L
+    var formatTag = -1; var declaredByteRate = -1L
     while (pos + 8 <= bytes.length) {
       val id = fourcc(bytes, pos)
       val size = le32(bytes, pos + 4)
       if (size < 0 || pos + 8 + size > bytes.length) return None
       if (id == "fmt " && size >= 16) {
+        formatTag = le16(bytes, pos + 8)
         channels = le16(bytes, pos + 10)
         rate = le32(bytes, pos + 12).toInt
+        declaredByteRate = le32(bytes, pos + 16)
         bits = le16(bytes, pos + 22)
       } else if (id == "data") {
         dataBytes = size
@@ -54,7 +57,14 @@ object AudioMeta {
     }
     if (channels <= 0 || rate <= 0 || bits <= 0 || dataBytes < 0) None
     else {
-      val byteRate = rate.toLong * channels * bits / 8
+      // the fmt chunk DECLARES its average byte rate — the spec-correct
+      // duration basis for ANY codec; rate·ch·bits/8 is only valid for
+      // PCM (formatTag 1), and using it for e.g. ADPCM silently
+      // mis-measures the duration
+      val byteRate =
+        if (declaredByteRate > 0) declaredByteRate
+        else if (formatTag == 1) rate.toLong * channels * bits / 8
+        else 0L
       val dur = if (byteRate > 0) Some(dataBytes * 1000L / byteRate) else None
       Some(WavMeta(channels, rate, bits, dataBytes, dur))
     }

@@ -45,8 +45,17 @@ object CleanValue {
     when(s.isNotNull && s =!= "" && s.rlike(NumericPattern), s.cast("double"))
   }
 
-  /** `float(x or 0)` semantics (`etl_meteo.py:92`): null/''/absent → 0.0. */
-  def numOrZero(c: Column): Column = coalesce(numOrNull(c), lit(0.0))
+  /** `float(x or 0)` semantics (`etl_meteo.py:92`): null/''/absent → 0.0.
+    * A non-empty UNPARSEABLE string coerces to NULL, not 0 — the
+    * reference's float() RAISES there, and per-row raising isn't an
+    * option in a distributed scan; recording junk as a legitimate 0
+    * measurement would fabricate data the audits can never see, while
+    * null keeps the bad cell visible (null-count report, F6).
+    */
+  def numOrZero(c: Column): Column = {
+    val s = c.cast("string")
+    when(s.isNull || s === "", lit(0.0)).otherwise(numOrNull(c))
+  }
 
   // Unit conversions (etl_meteo.py:53-57,92) — plain arithmetic; Catalyst
   // constant-folds the factors and propagates nulls natively.

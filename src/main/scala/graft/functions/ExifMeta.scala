@@ -73,21 +73,24 @@ object ExifMeta {
     var datetime: Option[String] = None
     def shortOrLong(entry: Int, typ: Int): Option[Int] = typ match {
       case 3 => Some(u16(entry + 8)).filter(_ >= 0) // SHORT, left-justified
-      case 4 => Some(u32(entry + 8)).filter(_ >= 0).map(_.toInt) // LONG
+      // LONG: also reject [2^31, 2^32) — the toInt would wrap negative
+      // and surface as a nonsense negative dimension instead of None
+      case 4 => Some(u32(entry + 8))
+        .filter(v => v >= 0 && v <= Int.MaxValue).map(_.toInt)
       case _ => None
     }
     def ascii(entry: Int): Option[String] = {
       val count = u32(entry + 4)
       if (count <= 0) None
       else {
-        // check the raw u32 offset for the -1 truncation sentinel
-        // BEFORE adding tiff: a truncated value field would otherwise
-        // yield at = tiff-1, which passes the at<0 guard (tiff >= 2)
-        // and can return garbage bytes from an unrelated segment
-        // instead of None (round-8 advisory; mirrors shortOrLong)
+        // bound the raw u32 offset BEFORE adding tiff: the -1
+        // truncation sentinel AND any value ≥ 2^31 (off.toInt wraps
+        // negative — at = tiff-2 passes the at<0 guard and returns
+        // garbage bytes from an unrelated segment instead of None)
         val off = if (count <= 4) 0L else u32(entry + 8)
+        if (off < 0 || off > Int.MaxValue) return None
         val at = if (count <= 4) entry + 8 else tiff + off.toInt
-        if (off < 0 || at < 0 || at + count > end) None
+        if (at < 0 || at + count > end) None
         else Some(new String(b, at, count.toInt,
           java.nio.charset.StandardCharsets.US_ASCII)
           .takeWhile(_ != '\u0000'))

@@ -52,10 +52,14 @@ object Mp3Meta {
         size = (size << 7) | (bytes(i) & 0x7fL)
         i += 1
       }
-      if (10 + size + 4 > bytes.length) return None
+      // v2.4 footer flag (0x10 in the flags byte): a 10-byte footer
+      // follows the tag body, so the first frame starts 10 bytes later
+      // — ignoring it made probe() reject spec-valid footered files
+      val footer = if ((bytes(5) & 0x10) != 0) 10 else 0
+      if (10 + size + footer + 4 > bytes.length) return None
       id3v = Some(s"2.$major.$rev")
       id3s = Some(size)
-      pos = 10 + size.toInt
+      pos = 10 + size.toInt + footer
     }
     if (pos + 4 > bytes.length) return None
     val b1 = bytes(pos) & 0xff

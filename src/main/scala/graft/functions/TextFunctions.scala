@@ -115,7 +115,9 @@ object TextFunctions {
   /** Exact Jaccard similarity of two array-sets. */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b))
-    val union = size(array_distinct(concat(a, b)))
+    // array_union over the former distinct-of-concat: same set value,
+    // one pass, no 2k-element intermediate per candidate pair
+    val union = size(array_union(a, b))
     when(union > 0, inter.cast("double") / union).otherwise(lit(0.0))
   }
 }

@@ -68,9 +68,14 @@ class CleanValueSpec extends AnyFunSuite {
     assert(r.isNullAt(0) && r.getDouble(1) == 0.0 && r.getDouble(2) == 93.0 && r.isNullAt(3))
   }
 
-  test("numOrZero: missing/''/null -> 0.0") {
-    val df = Seq((null.asInstanceOf[String], "", "14.8")).toDF("a", "b", "c")
-    val r = df.select(numOrZero(col("a")), numOrZero(col("b")), numOrZero(col("c"))).head()
+  test("numOrZero: missing/''/null -> 0.0; junk -> null, never a fake 0") {
+    val df = Seq((null.asInstanceOf[String], "", "14.8", "N/A"))
+      .toDF("a", "b", "c", "d")
+    val r = df.select(numOrZero(col("a")), numOrZero(col("b")),
+      numOrZero(col("c")), numOrZero(col("d"))).head()
     assert(r.getDouble(0) == 0.0 && r.getDouble(1) == 0.0 && r.getDouble(2) == 14.8)
+    // the reference's float("N/A") raises; coercing to 0 would record
+    // a legitimate-looking measurement — null keeps it auditable
+    assert(r.isNullAt(3))
   }
 }
