@@ -215,6 +215,32 @@ object HashUtil {
     s
   }
 
+  /** Sequential in-order squared L2 distance — Σᵢ (aᵢ - bᵢ)² with each
+    * element widened to double first, accumulated in index order:
+    * identical arithmetic AND identical null semantics to the
+    * interpreted `aggregate(zip_with(a, b, (x,y) => (x-y)*(x-y)), 0.0,
+    * +)` it replaces (r12: that HOF chain was the innermost loop of
+    * every k-means assignment/training pass — IVF cells × dims per row
+    * — and higher-order functions are CodegenFallback, so the ANN lanes
+    * were interpreting their hottest arithmetic). Ragged lengths or
+    * null elements yield NULL, exactly like the zip_with form (callers
+    * such as bruteForceTopKL2 filter dim-mismatched pairs by that
+    * null).
+    */
+  def sqDist(a: ArrayData, b: ArrayData, aCode: Int, bCode: Int): java.lang.Double = {
+    val n = a.numElements()
+    if (b.numElements() != n) return null
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val d = elemAsDouble(a, i, aCode) - elemAsDouble(b, i, bCode)
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
   /** Rolling k-gram FNV hashes of a byte array (shared winnowing core). */
   private def gramHashes(bytes: Array[Byte], k: Int): Array[Long] = {
     val n = bytes.length - k + 1
@@ -677,6 +703,58 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Squared L2 distance of two numeric arrays, Σ(aᵢ-bᵢ)² accumulated in
+  * element order (bit-identical to the `aggregate(zip_with(...))` form
+  * and to a DuckDB list kernel replaying the same order) — one codegen'd
+  * call instead of interpreted higher-order functions. This is the
+  * innermost loop of the k-means / IVF / PQ family (kCells or kCodes
+  * distance evaluations per row per pass), so keeping it inside
+  * whole-stage codegen is what makes those lanes CPU-shaped rather than
+  * interpreter-shaped (guide: eliminate non-codegen expressions in the
+  * hot path).
+  */
+case class SquaredL2Distance(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    Seq("left" -> left, "right" -> right).collectFirst {
+      case (side, e) if elemCodeOpt(e).isEmpty => TypeCheckResult.TypeCheckFailure(
+        s"graft_sqdist $side argument must be an array of double/float/long/int, got ${e.dataType.sql}")
+    }.getOrElse(TypeCheckResult.TypeCheckSuccess)
+
+  private def elemCodeOpt(e: Expression): Option[Int] = e.dataType match {
+    case ArrayType(DoubleType, _) => Some(HashUtil.ElemDouble)
+    case ArrayType(FloatType, _) => Some(HashUtil.ElemFloat)
+    case ArrayType(LongType, _) => Some(HashUtil.ElemLong)
+    case ArrayType(IntegerType, _) => Some(HashUtil.ElemInt)
+    case _ => None
+  }
+
+  private def elemCode(e: Expression, side: String): Int =
+    elemCodeOpt(e).getOrElse(throw new IllegalStateException(
+      s"graft_sqdist: unchecked $side input type ${e.dataType.sql}"))
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    HashUtil.sqDist(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      elemCode(left, "left"), elemCode(right, "right"))
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) = {
+    val (lc, rc) = (elemCode(left, "left"), elemCode(right, "right"))
+    val boxed = ctx.freshName("sqDistBoxed")
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      java.lang.Double $boxed = graft.functions.HashUtil.sqDist($a, $b, $lc, $rc);
+      ${ev.isNull} = $boxed == null;
+      ${ev.value} = ${ev.isNull} ? 0.0 : $boxed.doubleValue();
+    """)
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SquaredL2Distance =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Intersection size of two SORTED long arrays — a zero-allocation merge
   * walk. `array_intersect` builds a hash set per row; at millions of
   * pair rows that allocation storm dominates (measured: the dense winnow
@@ -727,6 +805,8 @@ object HashFunctions {
     lift(MinHash64(expr(features), numHashes))
   def dotProduct(a: Column, b: Column): Column =
     lift(DotProduct(expr(a), expr(b)))
+  def squaredL2Distance(a: Column, b: Column): Column =
+    lift(SquaredL2Distance(expr(a), expr(b)))
   def sortedIntersectCount(a: Column, b: Column): Column =
     lift(SortedIntersectCount(expr(a), expr(b)))
   def winnowFingerprint(c: Column, k: Int = 5, window: Int = 4): Column =

@@ -34,12 +34,14 @@ object VectorFunctions {
     when(denom =!= lit(0.0), dotProduct(a, b) / denom)
   }
 
-  /** Squared euclidean distance. */
+  /** Squared euclidean distance — backed by the codegen'd
+    * [[graft.functions.SquaredL2Distance]] kernel (same in-order
+    * Σ(aᵢ-bᵢ)² double arithmetic as the interpreted
+    * `aggregate(zip_with(...))` form it replaces; that HOF chain was
+    * the innermost loop of every k-means assignment pass).
+    */
   def squaredL2Distance(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => {
-      val d = x.cast("double") - y.cast("double")
-      d * d
-    }), lit(0.0), (acc, v) => acc + v)
+    HashFunctions.squaredL2Distance(a, b)
 
   /** Sign bits of projections onto `planes` (random hyperplane LSH): packs
     * up to 63 hyperplane sign bits into one long bucket id. Deterministic
