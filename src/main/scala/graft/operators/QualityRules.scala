@@ -54,12 +54,21 @@ object QualityRules {
     *     more than once (overlap-uncorrected, as in the paper's cheap
     *     form): Σ_{count>1} count × gram chars / text chars
     *
-    * Shape: line metrics are per-row (array ops on the staged token
-    * array — no shuffle). Gram metrics use ONE explode producing
-    * (id, n, gram) for n ∈ {2,3,5} with map-side count partial-agg; the
-    * per-(id,n) reduction is min_by / conditional-sum; the final join
-    * back to the slim per-row frame carries only ids + counters (text
-    * is dropped before the join, so no payload shuffles).
+    * Shape: a PURE per-row column program — zero shuffles (r12
+    * optimization, guide §2.4 "remove shuffles outright"). Line metrics
+    * are array ops on the staged token array. Gram metrics run as a
+    * per-document run-length scan over the SORTED n-gram array: within
+    * one document, equal n-grams are adjacent after array_sort, so one
+    * left-to-right fold yields every gram's count — the top-(count DESC,
+    * gram ASC) char coverage and the duplicated-gram char mass — without
+    * ever materializing the (id, n, gram) frame. The previous shape
+    * (explode → repartition(id) → three aggregations → join) shuffled a
+    * near-unique-key frame 3|tokens| rows tall; at sf100 that was 12 GB
+    * of shuffle and 31 GB of spill for a computation that never needed
+    * to leave its row. Ascending-order iteration with strict-greater
+    * replacement reproduces min_by(struct(cnt, glen),
+    * struct(-cnt, gram)) exactly: the lexicographically smallest gram
+    * among the maximal counts wins.
     *
     * All output ratios are quotients of exact integers — one correctly
     * rounded IEEE op on identical inputs — so results are bit-identical
@@ -71,8 +80,59 @@ object QualityRules {
       tokens(col(textCol)).as("__toks"))
     val lined = staged.select(col(idCol), col("__tlen"), col("__toks"),
       syntheticLines(col("__toks"), lineLen).as("__lines"))
-    val base = lined.select(
-      col(idCol), col("__tlen"), col("__toks"),
+
+    def gramArr(n: Int): Column =
+      when(size(col("__toks")) >= n,
+        transform(sequence(lit(1), size(col("__toks")) - (n - 1)),
+          i => array_join(slice(col("__toks"), i, lit(n)), " ")))
+        .otherwise(array().cast("array<string>"))
+
+    // Run-length scan over the sorted gram array. State carries the
+    // current run (prev gram, its char length, run count) and the
+    // accumulated answers (best count, best gram's char length,
+    // duplicated-char sum); a run finalizes when the next gram differs,
+    // and the finish lambda finalizes the last run. Empty arrays yield
+    // (top = 0, dup = 0) — the exact values the old left-join + coalesce
+    // produced for gram-less docs. Counts are exact integers, so the
+    // result is bit-identical to the aggregation it replaces.
+    def runStats(g: Column): Column = {
+      def step(st: Column, x: Column): Column = {
+        val rn = st.getField("run")
+        val pl = st.getField("plen")
+        val better = rn > st.getField("bestC")
+        when(st.getField("prev").isNotNull && x === st.getField("prev"),
+          struct(st.getField("prev").as("prev"), pl.as("plen"),
+            (rn + lit(1L)).as("run"), st.getField("bestC").as("bestC"),
+            st.getField("bestL").as("bestL"), st.getField("dup").as("dup")))
+          .otherwise(
+            struct(x.as("prev"), length(x).cast("long").as("plen"),
+              lit(1L).as("run"),
+              when(better, rn).otherwise(st.getField("bestC")).as("bestC"),
+              when(better, pl).otherwise(st.getField("bestL")).as("bestL"),
+              (st.getField("dup") +
+                when(rn > 1, rn * pl).otherwise(lit(0L))).as("dup")))
+      }
+      def finish(st: Column): Column = {
+        val rn = st.getField("run")
+        val pl = st.getField("plen")
+        val better = rn > st.getField("bestC")
+        struct(
+          (when(better, rn).otherwise(st.getField("bestC")) *
+            when(better, pl).otherwise(st.getField("bestL"))).as("top"),
+          (st.getField("dup") +
+            when(rn > 1, rn * pl).otherwise(lit(0L))).as("dup"))
+      }
+      aggregate(
+        array_sort(g),
+        struct(lit(null).cast("string").as("prev"), lit(0L).as("plen"),
+          lit(0L).as("run"), lit(0L).as("bestC"), lit(0L).as("bestL"),
+          lit(0L).as("dup")),
+        step, finish)
+    }
+
+    lined.select(
+      col(idCol),
+      col("__tlen"),
       size(col("__lines")).as("n_lines"),
       when(size(col("__lines")) > 0,
         lit(1.0) - size(array_distinct(col("__lines"))).cast("double") /
@@ -80,54 +140,21 @@ object QualityRules {
       when(sumLen(col("__lines")) > 0,
         (sumLen(col("__lines")) - sumLen(array_distinct(col("__lines"))))
           .cast("double") / sumLen(col("__lines")))
-        .otherwise(lit(0.0)).as("dup_line_char_frac"))
-
-    def gramStructs(n: Int): Column =
-      when(size(col("__toks")) >= n,
-        transform(sequence(lit(1), size(col("__toks")) - (n - 1)),
-          i => struct(lit(n).as("n"),
-            array_join(slice(col("__toks"), i, lit(n)), " ").as("gram"))))
-        .otherwise(array().cast("array<struct<n:int,gram:string>>"))
-
-    // Exchange the RAW (id, n, gram) rows by id BEFORE any aggregation
-    // (the Graph.labelPropagation round-10 lesson): the key space is
-    // near-unique per doc, so scan-split-shaped map-side combine builds
-    // a giant hash map for almost no reduction — at sf100 that was
-    // 252 GB of spill. hash(id) satisfies the clustering of THIS
-    // groupBy, of perN's, of perDoc's, and of the final join, so one
-    // narrow exchange replaces three agg exchanges and every
-    // aggregation runs on resident, partition-bounded state.
-    val grams = base.select(col(idCol),
-      explode(concat(gramStructs(2), gramStructs(3), gramStructs(5))).as("g"))
-      .select(col(idCol), col("g.n").as("n"), col("g.gram").as("gram"))
-      .repartition(col(idCol))
-      .groupBy(col(idCol), col("n"), col("gram"))
-      .agg(count(lit(1)).as("cnt"))
-    val perN = grams.groupBy(col(idCol), col("n"))
-      .agg(
-        min_by(struct(col("cnt"), length(col("gram")).as("glen")),
-          struct((-col("cnt")).as("negc"), col("gram"))).as("top"),
-        coalesce(sum(when(col("cnt") > 1, col("cnt") * length(col("gram")))),
-          lit(0L)).as("dup_chars"))
-    val perDoc = perN.groupBy(col(idCol))
-      .agg(
-        max(when(col("n") === 2, col("top.cnt") * col("top.glen"))).as("__t2"),
-        max(when(col("n") === 3, col("top.cnt") * col("top.glen"))).as("__t3"),
-        max(when(col("n") === 5, col("dup_chars"))).as("__d5"))
-
-    base.drop("__toks")
-      .join(perDoc, Seq(idCol), "left")
-      .select(col(idCol), col("n_lines"), col("dup_line_frac"),
-        col("dup_line_char_frac"),
-        when(col("__tlen") > 0,
-          coalesce(col("__t2"), lit(0L)).cast("double") / col("__tlen"))
-          .otherwise(lit(0.0)).as("top2_char_frac"),
-        when(col("__tlen") > 0,
-          coalesce(col("__t3"), lit(0L)).cast("double") / col("__tlen"))
-          .otherwise(lit(0.0)).as("top3_char_frac"),
-        when(col("__tlen") > 0,
-          coalesce(col("__d5"), lit(0L)).cast("double") / col("__tlen"))
-          .otherwise(lit(0.0)).as("dup5_char_frac"))
+        .otherwise(lit(0.0)).as("dup_line_char_frac"),
+      runStats(gramArr(2)).as("__g2"),
+      runStats(gramArr(3)).as("__g3"),
+      runStats(gramArr(5)).as("__g5"))
+    .select(col(idCol), col("n_lines"), col("dup_line_frac"),
+      col("dup_line_char_frac"),
+      when(col("__tlen") > 0,
+        col("__g2.top").cast("double") / col("__tlen"))
+        .otherwise(lit(0.0)).as("top2_char_frac"),
+      when(col("__tlen") > 0,
+        col("__g3.top").cast("double") / col("__tlen"))
+        .otherwise(lit(0.0)).as("top3_char_frac"),
+      when(col("__tlen") > 0,
+        col("__g5.dup").cast("double") / col("__tlen"))
+        .otherwise(lit(0.0)).as("dup5_char_frac"))
   }
 
   /** Gopher document-quality rules (Rae et al. 2021 A1.1), per document:

@@ -228,13 +228,13 @@ class QualityRulesSpec extends AnyFunSuite {
 
   // --- plan-shape guards for the shuffling entries ----------------------
 
-  test("gopherRepetition: one gram explode-agg chain, no payload re-shuffle") {
+  test("gopherRepetition: pure per-row program — zero exchanges") {
     val df = Seq((1L, "a b c d e f")).toDF("id", "text")
     val p = QualityRules.gopherRepetition(df, "id", "text")
       .queryExecution.executedPlan.toString
-    // explode->(id,n,gram) agg, (id,n) agg, (id) agg, + the slim id-join:
-    // anything beyond 5 exchanges means a stage started re-shuffling text
-    assert("Exchange".r.findAllIn(p).size <= 5, p.take(800))
+    // r12 rewrite: the gram stats run as a per-row run-length scan over
+    // the sorted gram array — nothing may shuffle, join, or explode
+    assert("Exchange".r.findAllIn(p).isEmpty, p.take(800))
     assert(!p.contains("CartesianProduct"), "no cartesian in q139")
   }
 
