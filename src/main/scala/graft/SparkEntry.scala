@@ -2341,8 +2341,14 @@ object SparkEntry {
     // most-frequent-neighbor-label rule) over the co-purchase part
     // graph — budget-bounded community detection as a declarative plan
     "q329_label_prop" -> ((s, d) => {
+      // r12 (guide §2.4): repartition the raw (o, p) rows by o ONCE —
+      // hash(o) satisfies the (o, p) dedup's clustering AND the self-
+      // join's, so the distinct runs in place and the join needs no
+      // exchange at all (was: dedup exchange on (o, p) + a second full
+      // exchange of the deduped frame by o for the join).
       val op = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .repartition(col("o"))
         .distinct()
       val edges = op.join(op.withColumnRenamed("p", "p2"), Seq("o"))
         .filter(col("p") < col("p2"))
@@ -2358,6 +2364,7 @@ object SparkEntry {
     "q330_modularity" -> ((s, d) => {
       val op = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .repartition(col("o")) // q329's one-exchange dedup+self-join shape
         .distinct()
       val edges = op.join(op.withColumnRenamed("p", "p2"), Seq("o"))
         .filter(col("p") < col("p2"))

@@ -678,7 +678,16 @@ object Graph {
     var labels = sym.groupBy(col("v").as("node"))
       .agg(min(col("u")).as("label"))
       .localCheckpoint(true)
-    (2 to iterations).foreach { _ =>
+    // r12: rounds chain LAZILY and materialize only every third round
+    // (and always the last) — a 3-round chain is one job with the same
+    // shuffle volume but two fewer checkpoint writes and job
+    // submissions, and intermediate label frames never become storage
+    // blocks at all (the eager-release discipline below then only has
+    // to free the sparse checkpoints it actually made). Plan depth
+    // stays bounded (≤ 3 joined rounds between checkpoints), so the
+    // pageRank plan-growth lesson still holds for any iteration count.
+    var lastCkpt = labels
+    (2 to iterations).foreach { i =>
       // Exchange the RAW narrow (v, label) rows by v BEFORE any
       // aggregation (round-10 spill fix): early-round neighbor-label
       // key spaces approach |E|-distinct, so map-side combine built a
@@ -699,12 +708,15 @@ object Graph {
         .agg(min(struct((-col("__c")).as("__nc"), col("label").as("__l")))
           .as("__best"))
         .select(col("node"), col("__best.__l").as("label"))
-        .localCheckpoint(true) // eager: materialized before the release below
-      // The new labeling no longer references last round's blocks —
-      // free them eagerly so live storage is one label frame + sym,
-      // independent of iteration count.
-      ColumnBridge.releaseCheckpoint(labels)
-      labels = next
+      if ((i - 1) % 3 == 0 || i == iterations) {
+        val ck = next.localCheckpoint(true) // eager: materialized before release
+        // The new labeling no longer references the previous
+        // checkpoint's blocks — free them eagerly so live storage is
+        // one label frame + sym, independent of iteration count.
+        ColumnBridge.releaseCheckpoint(lastCkpt)
+        lastCkpt = ck
+        labels = ck
+      } else labels = next
     }
     // the final label frame is its own eager checkpoint — the 2|E|-row
     // symmetric edge layout (the function's LARGEST block set, the
