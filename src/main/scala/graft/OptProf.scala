@@ -9,6 +9,17 @@ object OptProf {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local(32)
     val d = "/root/testdata/sf0.1"
+    // per-job wall-clock tracer
+    val jobStart = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          { jobStart.put(js.jobId, System.nanoTime()); () }
+        override def onJobEnd(je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          val t0 = jobStart.get(je.jobId)
+          if (t0 != 0L) println(f"[job] ${je.jobId}%4d ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+        }
+      })
     def time[A](name: String)(f: => A): A = {
       val t0 = System.nanoTime(); val r = f
       println(f"[prof] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r

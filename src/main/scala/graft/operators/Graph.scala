@@ -649,26 +649,32 @@ object Graph {
     owner.conf.getAll.foreach { case (k, v) =>
       try cloned.conf.set(k, v) catch { case _: Exception => () }
     }
-    val eC = ColumnBridge.ofRows(cloned, ColumnBridge.analyzed(e))
-      .localCheckpoint(true)
-    val base = cloned.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    val nPart = math.max(base, math.min(2048,
-      (2L * eC.count() / targetRowsPerPartition + 1).toInt))
-    cloned.conf.set("spark.sql.shuffle.partitions", nPart.toString)
+    // r12 (guide §2.2/§2.5 "make partitioning scale-adaptive"): shuffle
+    // sizing moved from a counted row heuristic to AQE coalescing — the
+    // cloned session shuffles at a high fixed width (the former 2048
+    // ceiling) and AQE coalesces every exchange down to
+    // `targetRowsPerPartition` worth of 16-byte pairs. That removes the
+    // canonical-edge checkpoint AND its count job outright: the edge
+    // subtree is consumed exactly once, by the explode below (the old
+    // union-of-two-selects read it twice, which is what forced the
+    // extra checkpoint). One materialization (sym) instead of two also
+    // halves the function's peak checkpoint-block footprint — the r11
+    // sf30/sf100 scratch-exhaustion driver.
+    cloned.conf.set("spark.sql.shuffle.partitions", "2048")
+    cloned.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      (targetRowsPerPartition * 16L).toString)
+    val eOn = ColumnBridge.ofRows(cloned, ColumnBridge.analyzed(e))
     // Pre-partition + sort the symmetric edge list ONCE by the
     // propagation key: the checkpoint captures layout AND ordering, so
     // all remaining join passes skip the exchange and the sort on the
     // 2|E| side — only the (small) label frame moves per round.
-    val sym = eC.select(col("s").as("u"), col("t").as("v"))
-      .unionAll(eC.select(col("t").as("u"), col("s").as("v")))
-      .repartition(nPart, col("u"))
+    val sym = eOn.select(explode(array(
+        struct(col("s").as("u"), col("t").as("v")),
+        struct(col("t").as("u"), col("s").as("v")))).as("uv"))
+      .select(col("uv.u").as("u"), col("uv.v").as("v"))
+      .repartition(col("u"))
       .sortWithinPartitions(col("u"))
       .localCheckpoint(true)
-    // sym materialized — the canonical-edge checkpoint is dead weight
-    // from here on; release it NOW instead of waiting for the
-    // ContextCleaner (r11 verdict #3: accumulated dead checkpoint
-    // blocks, not live state, exhausted the sf30/sf100 scratch volume).
-    ColumnBridge.releaseCheckpoint(eC)
     // Round 1 in closed form: with all-distinct initial labels
     // (label(v) = v), every neighbor label count is exactly 1, so the
     // (count DESC, label ASC) rule degenerates to MIN NEIGHBOR — same
@@ -701,7 +707,7 @@ object Graph {
       val cnt = sym
         .join(labels.select(col("node").as("u"), col("label")), Seq("u"))
         .select(col("v"), col("label"))
-        .repartition(nPart, col("v"))
+        .repartition(col("v")) // AQE coalesces to the advisory size
         .groupBy(col("v").as("node"), col("label"))
         .agg(count(lit(1)).as("__c"))
       val next = cnt.groupBy(col("node"))
