@@ -61,20 +61,28 @@ object IvfIndex {
       .select("v").collect()
       .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](0).toArray) }
 
+    val dim = centroids.head._2.length
     (0 until iterations).foreach { _ =>
       val m = Model(centroids)
       val assigned = base.withColumn("cell", nearestCell(col("v"), m))
-      // ONE shuffle per iteration: per-(cell,dim) means land as k×dim
-      // rows (tiny) and the centroid arrays assemble on the driver in dim
-      // order — bit-identical to the former second groupBy + array_sort
-      // pass, minus its shuffle and job.
+      // ONE shuffle per iteration, and no explode (r12): per-cell count
+      // + one running sum per dimension as k rows × (dim+1) agg buffers
+      // — the former posexplode fanned every vector into `dim` (cell,
+      // dim, x) rows (|corpus|·dim rows per pass) just to route each
+      // component to its own hash-agg key. Partial sums still add the
+      // same x values in the same within-partition row order, and
+      // sum/count is exactly avg's arithmetic, so centroids are
+      // bit-identical to the exploded form.
+      val sums = (0 until dim).map(d =>
+        sum(element_at(col("v"), d + 1)).as(s"__s$d"))
       val meanRows = assigned
-        .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
-        .groupBy("cell", "dim").agg(avg("x").as("mean"))
+        .groupBy("cell")
+        .agg(count(lit(1)).as("__n"), sums: _*)
         .collect()
-      val byCell = meanRows.groupBy(_.getInt(0)).map { case (cell, rows) =>
-        cell -> rows.map(r => (r.getInt(1), r.getDouble(2))).sortBy(_._1).map(_._2)
-      }
+      val byCell = meanRows.map { r =>
+        val n = r.getLong(1).toDouble
+        r.getInt(0) -> Array.tabulate(dim)(d => r.getDouble(d + 2) / n)
+      }.toMap
       // keep old centroid for any cell that lost all members
       centroids = centroids.map { case (i, old) => (i, byCell.getOrElse(i, old)) }
     }

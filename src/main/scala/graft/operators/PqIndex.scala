@@ -101,15 +101,23 @@ object PqIndex {
 
     (0 until iterations).foreach { _ =>
       val cb = codebookCol(Model(m, dsub, codebooks))
+      // No explode (r12, the IvfIndex.train pattern): (sub, code) count
+      // + one running sum per subspace dimension — m·k rows × (dsub+1)
+      // buffers instead of |subs|·dsub exploded (sub, code, dim, x)
+      // rows per pass. Same within-partition add order, sum/count ≡
+      // avg — codebooks bit-identical to the exploded form.
+      val sums = (0 until dsub).map(d =>
+        sum(element_at(col("sv"), d + 1)).as(s"__s$d"))
       val meanRows = subs
         .withColumn("code", nearestCode(col("sv"), col("sub"), cb))
-        .select(col("sub"), col("code"), posexplode(col("sv")).as(Seq("dim", "x")))
-        .groupBy("sub", "code", "dim").agg(avg("x").as("mean"))
+        .groupBy("sub", "code")
+        .agg(count(lit(1)).as("__n"), sums: _*)
         .collect()
-      val grouped = meanRows.groupBy(r => (r.getInt(0), r.getInt(1)))
-        .map { case (key, rows) =>
-          key -> rows.map(r => (r.getInt(2), r.getDouble(3))).sortBy(_._1).map(_._2)
-        }
+      val grouped = meanRows.map { r =>
+        val n = r.getLong(2).toDouble
+        (r.getInt(0), r.getInt(1)) ->
+          Array.tabulate(dsub)(d => r.getDouble(d + 3) / n)
+      }.toMap
       codebooks = Array.tabulate(m)(s => Array.tabulate(k)(c =>
         grouped.getOrElse((s, c), codebooks(s)(c))))
     }
