@@ -241,6 +241,33 @@ object HashUtil {
     s
   }
 
+  /** Count of start positions where `toks` matches `phrase` exactly,
+    * element for element (overlapping occurrences counted, the
+    * filter(sequence(...)) semantics of the in-row phrase scan): the
+    * codegen'd kernel behind [[graft.operators.TextAnalysis.phraseSearch]]
+    * — the HOF form evaluated m interpreted element_at comparisons per
+    * start position per row.
+    */
+  def phraseCount(toks: ArrayData, phrase: Array[UTF8String]): Long = {
+    val n = toks.numElements()
+    val m = phrase.length
+    if (n < m) return 0L
+    var cnt = 0L
+    var i = 0
+    while (i <= n - m) {
+      var j = 0
+      var ok = true
+      while (ok && j < m) {
+        if (toks.isNullAt(i + j) || !phrase(j).equals(toks.getUTF8String(i + j)))
+          ok = false
+        j += 1
+      }
+      if (ok) cnt += 1L
+      i += 1
+    }
+    cnt
+  }
+
   /** Rolling k-gram FNV hashes of a byte array (shared winnowing core). */
   private def gramHashes(bytes: Array[Byte], k: Int): Array[Long] = {
     val n = bytes.length - k + 1
@@ -703,6 +730,33 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Occurrence count of a literal token phrase inside an array<string>
+  * of tokens — overlapping starts counted, null-element starts excluded,
+  * exactly the `size(filter(sequence(1, nStarts), i => AND_j
+  * element_at(toks, i+j) === phrase_j))` HOF program it replaces, as one
+  * codegen'd kernel call (that form interpreted m element_at compares
+  * per start per row).
+  */
+case class PhraseCount(child: Expression, phrase: Seq[String])
+    extends UnaryExpression with ExpectsInputTypes {
+  require(phrase.nonEmpty, "phraseCount needs a non-empty phrase")
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = LongType
+  @transient private lazy val phraseU: Array[UTF8String] =
+    phrase.map(UTF8String.fromString).toArray
+  override protected def nullSafeEval(input: Any): Any =
+    HashUtil.phraseCount(input.asInstanceOf[ArrayData], phraseU)
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) = {
+    val ref = ctx.addReferenceObj("phraseArr", phraseU,
+      "org.apache.spark.unsafe.types.UTF8String[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashUtil.phraseCount($c, $ref)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): PhraseCount =
+    copy(child = newChild)
+}
+
 /** Squared L2 distance of two numeric arrays, Σ(aᵢ-bᵢ)² accumulated in
   * element order (bit-identical to the `aggregate(zip_with(...))` form
   * and to a DuckDB list kernel replaying the same order) — one codegen'd
@@ -807,6 +861,8 @@ object HashFunctions {
     lift(DotProduct(expr(a), expr(b)))
   def squaredL2Distance(a: Column, b: Column): Column =
     lift(SquaredL2Distance(expr(a), expr(b)))
+  def phraseCount(toks: Column, phrase: Seq[String]): Column =
+    lift(PhraseCount(expr(toks), phrase))
   def sortedIntersectCount(a: Column, b: Column): Column =
     lift(SortedIntersectCount(expr(a), expr(b)))
   def winnowFingerprint(c: Column, k: Int = 5, window: Int = 4): Column =

@@ -1348,16 +1348,12 @@ object TextAnalysis {
   def phraseSearch(df: DataFrame, idCol: String, textCol: String,
       phrase: Seq[String], k: Int = 20): DataFrame = {
     require(phrase.length >= 2, "phrase needs at least two tokens")
-    val m = phrase.length
     val staged = df.select(col(idCol).as("id"),
       tokens(col(textCol)).as("__toks"))
-    val nStarts = (size(col("__toks")) - (m - 1)).cast("int")
-    val occ = when(size(col("__toks")) >= m,
-      size(filter(sequence(lit(1), nStarts),
-        i => phrase.zipWithIndex.map { case (p, j) =>
-          element_at(col("__toks"), i + j) === lit(p)
-        }.reduce(_ && _))).cast("long"))
-      .otherwise(lit(0L))
+    // r12: codegen'd kernel — same overlapping-start count (and the same
+    // "never > 0 for null/short token arrays" outcome under the > 0
+    // filter) as the interpreted filter(sequence(...)) HOF program
+    val occ = graft.functions.HashFunctions.phraseCount(col("__toks"), phrase)
     staged.select(col("id"), occ.as("n_occurrences"))
       .filter(col("n_occurrences") > 0)
       .orderBy(col("n_occurrences").desc, col("id"))
