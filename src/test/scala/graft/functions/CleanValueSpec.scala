@@ -68,6 +68,38 @@ class CleanValueSpec extends AnyFunSuite {
     assert(r.isNullAt(0) && r.getDouble(1) == 0.0 && r.getDouble(2) == 93.0 && r.isNullAt(3))
   }
 
+  test("kernel matches the regex formulation on adversarial strings") {
+    // the executable spec: the exact regex chain the kernel replaced
+    def regexForm(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      val cleaned = regexp_replace(
+        regexp_replace(c.cast("string"), ",", "."),
+        "\\s|°F|mph|in|w/m²|%", "")
+      when(cleaned.rlike("^[+-]?(\\d+\\.?\\d*|\\.\\d+)([eE][+-]?\\d+)?$"),
+        cleaned.cast("double"))
+    }
+    val tricky = Seq(
+      // overlapping / partial suffix shapes
+      "win", "min", "i n", "m p h", "5mphin", "2in", "1inin", "w/m", "w/m²",
+      "°", "° F", "°F", "5°", "°F°F5", "w/m²w/m²7", "inw/m²",
+      // numeric shapes the pattern must adjudicate
+      "1,5", "1.5e-3", "+.5", "-.", "1.", ".e3", "1e", "1e+", "1E+4", "+",
+      "-", ".", "..1", "1..2", "1,2,3", "0,0", "1e309", "-0",
+      // junk / specials (parseDouble would accept some of these raw!)
+      "NaN", "Infinity", "-Infinity", "0x1p3", "1d", "1f", "٥", "Ⅻ",
+      // whitespace family (\t \n \x0B \f \r space) and mixes
+      "\t1\n", "\u000B2\u000C", "\r3 ", " 1 , 5 %", "",
+      // multi-byte neighbors that must survive
+      "Å1", "1µ", "é", "1²", "²1")
+    val df = tricky.toDF("v")
+    val got = df.select(cleanValue(col("v")).as("k"), regexForm(col("v")).as("r"))
+      .collect()
+    tricky.zip(got).foreach { case (in, r) =>
+      val k = if (r.isNullAt(0)) None else Some(r.getDouble(0))
+      val rx = if (r.isNullAt(1)) None else Some(r.getDouble(1))
+      assert(k == rx, s"cleanValue kernel vs regex diverged on '$in'")
+    }
+  }
+
   test("numOrZero: missing/''/null -> 0.0; junk -> null, never a fake 0") {
     val df = Seq((null.asInstanceOf[String], "", "14.8", "N/A"))
       .toDF("a", "b", "c", "d")
