@@ -391,6 +391,118 @@ object HashUtil {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
   }
 
+  /** Squared L2 distance of the TRUNCATED slice v[off, off+len) (the
+    * 0-based form of `slice(v, off+1, len)`) against a literal centroid:
+    * null when the effective slice length differs from the centroid's or
+    * a slice element is null — exactly sqDist-after-slice. Same in-order
+    * Σ(xᵢ-cᵢ)² double accumulation as [[sqDist]].
+    */
+  private def sqDistTo(v: ArrayData, code: Int, off: Int, len: Int,
+      c: Array[Double]): java.lang.Double = {
+    val n = v.numElements()
+    val effLen = math.max(0, math.min(len, n - off))
+    if (effLen != c.length) return null
+    var s = 0.0
+    var i = 0
+    while (i < effLen) {
+      if (v.isNullAt(off + i)) return null
+      val d = elemAsDouble(v, off + i, code) - c(i)
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
+  /** Argmin over literal centroids by (sqDist, index) — replicates
+    * `array_min(transform(cents, (c,i) => struct(sqDist(v,c), i)))
+    * .getField(i)` exactly: struct ordering is null-FIRST on the
+    * distance field, so the first null distance (slice/dim mismatch or
+    * null element) wins outright; NaN sorts above every number
+    * (Double.compare); ties keep the smaller index (strict less-than).
+    * `off`/`len` select the 0-based slice (pass 0 / v.length for the
+    * whole vector). -0.0 is unreachable (sums of squares).
+    */
+  def nearestIndex(v: ArrayData, code: Int, off: Int, len: Int,
+      cents: Array[Array[Double]]): Int = {
+    var best = 0
+    var bestD = 0.0
+    var first = true
+    var i = 0
+    while (i < cents.length) {
+      val d = sqDistTo(v, code, off, len, cents(i))
+      if (d == null) return i // null-first struct ordering, ascending index
+      val dv = d.doubleValue()
+      if (first || java.lang.Double.compare(dv, bestD) < 0) {
+        best = i; bestD = dv; first = false
+      }
+      i += 1
+    }
+    best
+  }
+
+  /** PQ code array: per subspace s, the argmin code of slice
+    * v[s·dsub, (s+1)·dsub) within codebook cbs(s) — one kernel call for
+    * the whole `transform(sequence(0, m-1), s => nearestCode(slice(...),
+    * s, cb))` program.
+    */
+  def pqEncode(v: ArrayData, code: Int, dsub: Int,
+      cbs: Array[Array[Array[Double]]]): ArrayData = {
+    val m = cbs.length
+    val out = new Array[Any](m)
+    var s = 0
+    while (s < m) {
+      out(s) = nearestIndex(v, code, s * dsub, dsub, cbs(s))
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** ADC distance: Σ_s dt[s][codes[s]] folded in subspace order — the
+    * kernel form of `aggregate(sequence(0, m-1), 0.0, (acc, s) =>
+    * acc + element_at(element_at(dt, s+1), element_at(codes, s+1)+1))`.
+    * Any null/missing lookup nulls the whole fold (x + null = null),
+    * replicating non-ANSI element_at's null-on-out-of-range. Codes are
+    * argmin outputs (>= 0 by construction); negative codes are treated
+    * as out-of-range rather than element_at's from-the-end indexing.
+    */
+  def adcDist(dt: ArrayData, codes: ArrayData, m: Int): java.lang.Double = {
+    var acc = 0.0
+    var s = 0
+    while (s < m) {
+      if (s >= codes.numElements() || codes.isNullAt(s)) return null
+      val c = codes.getInt(s)
+      if (s >= dt.numElements() || dt.isNullAt(s)) return null
+      val row = dt.getArray(s)
+      if (c < 0 || c >= row.numElements() || row.isNullAt(c)) return null
+      acc += row.getDouble(c)
+      s += 1
+    }
+    acc
+  }
+
+  /** Residual v − cents(cell) — the kernel form of
+    * `zip_with(v, element_at(ca, cell+1), (x, c) => x - c)`: null for an
+    * out-of-range cell (element_at's null poisons zip_with); element i
+    * is null when either side is missing/null (zip_with pads the shorter
+    * array), else v(i) − c(i) with v's element widened to double.
+    */
+  def residualAt(v: ArrayData, code: Int, cell: Int,
+      cents: Array[Array[Double]]): ArrayData = {
+    if (cell < 0 || cell >= cents.length) return null
+    val c = cents(cell)
+    val n = v.numElements()
+    val len = math.max(n, c.length)
+    val out = new Array[Any](len)
+    var i = 0
+    while (i < len) {
+      out(i) =
+        if (i >= n || v.isNullAt(i) || i >= c.length) null
+        else java.lang.Double.valueOf(elemAsDouble(v, i, code) - c(i))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Winnowing fingerprint SET (Schleimer/Wilkerson/Aiken, SIGMOD'03):
     * the distinct hashes of [[winnowSelections]] in first-seen order.
     * Any shared substring of length ≥ window+k-1 guarantees a shared
@@ -847,6 +959,185 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Shared element-code dispatch for the numeric-array kernels. */
+private[functions] object ArrayElemCode {
+  def of(dt: DataType): Option[Int] = dt match {
+    case ArrayType(DoubleType, _) => Some(HashUtil.ElemDouble)
+    case ArrayType(FloatType, _) => Some(HashUtil.ElemFloat)
+    case ArrayType(LongType, _) => Some(HashUtil.ElemLong)
+    case ArrayType(IntegerType, _) => Some(HashUtil.ElemInt)
+    case _ => None
+  }
+  def check(e: Expression, what: String): TypeCheckResult =
+    if (of(e.dataType).isDefined) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$what requires an array of double/float/long/int, got ${e.dataType.sql}")
+  def code(e: Expression, what: String): Int =
+    of(e.dataType).getOrElse(throw new IllegalStateException(
+      s"$what: unchecked input type ${e.dataType.sql}"))
+}
+
+/** Argmin cell id over literal centroids — the kernel form of
+  * `array_min(transform(cents, (c,i) => struct(sqDist(v,c), i))).cell`
+  * (see [[HashUtil.nearestIndex]] for the exact ordering semantics).
+  * The k-means assignment inner loop of the IVF/PQ family: the HOF form
+  * is CodegenFallback and allocated k structs + an array per row.
+  */
+case class NearestCentroid(child: Expression, cents: Array[Array[Double]])
+    extends UnaryExpression {
+  require(cents.nonEmpty, "nearestCentroid needs >= 1 centroid")
+  override def checkInputDataTypes(): TypeCheckResult =
+    ArrayElemCode.check(child, "graft_nearest_centroid")
+  override def dataType: DataType = IntegerType
+  private def code: Int = ArrayElemCode.code(child, "graft_nearest_centroid")
+  override protected def nullSafeEval(input: Any): Any =
+    HashUtil.nearestIndex(input.asInstanceOf[ArrayData], code,
+      0, Int.MaxValue, cents)
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) = {
+    val ref = ctx.addReferenceObj("cents", cents, "double[][]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.HashUtil.nearestIndex($c, $code, 0, Integer.MAX_VALUE, $ref)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroid =
+    copy(child = newChild)
+}
+
+/** Per-subspace argmin code: codebooks(sub) selected by the (int) sub
+  * column, argmin over the whole subvector — the kernel form of
+  * `nearestCode(sv, sub, codebookCol)`; null for an out-of-range sub
+  * (element_at's null propagated through transform/array_min).
+  */
+case class NearestCodeBySub(left: Expression, right: Expression,
+    cbs: Array[Array[Array[Double]]])
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def nullable: Boolean = true
+  override def dataType: DataType = IntegerType
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val base = ArrayElemCode.check(left, "graft_nearest_code")
+    if (base.isFailure) base
+    else if (right.dataType == IntegerType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_nearest_code sub argument must be int, got ${right.dataType.sql}")
+  }
+  private def code: Int = ArrayElemCode.code(left, "graft_nearest_code")
+  override protected def nullSafeEval(sv: Any, sub: Any): Any = {
+    val s = sub.asInstanceOf[Int]
+    if (s < 0 || s >= cbs.length) null
+    else HashUtil.nearestIndex(sv.asInstanceOf[ArrayData], code,
+      0, Int.MaxValue, cbs(s))
+  }
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) = {
+    val ref = ctx.addReferenceObj("cbs", cbs, "double[][][]")
+    nullSafeCodeGen(ctx, ev, (sv, sub) => s"""
+      if ($sub < 0 || $sub >= $ref.length) {
+        ${ev.isNull} = true;
+      } else {
+        ${ev.value} = graft.functions.HashUtil.nearestIndex(
+          $sv, $code, 0, Integer.MAX_VALUE, $ref[$sub]);
+      }
+    """)
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): NearestCodeBySub =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Whole-vector PQ encoding (array<int> of m codes) — the kernel form of
+  * `transform(sequence(0, m-1), s => nearestCode(slice(v, s·dsub+1,
+  * dsub), s, cb))`; see [[HashUtil.pqEncode]].
+  */
+case class PqEncodeCodes(child: Expression, dsub: Int,
+    cbs: Array[Array[Array[Double]]]) extends UnaryExpression {
+  require(dsub >= 1 && cbs.nonEmpty && cbs.forall(_.nonEmpty),
+    "pqEncode needs dsub >= 1 and non-empty codebooks")
+  override def checkInputDataTypes(): TypeCheckResult =
+    ArrayElemCode.check(child, "graft_pq_encode")
+  // containsNull matches the transform form's declared type (element
+  // values are never null in practice — argmin over a non-empty
+  // codebook) so the persisted index schema is unchanged
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = true)
+  private def code: Int = ArrayElemCode.code(child, "graft_pq_encode")
+  override protected def nullSafeEval(input: Any): Any =
+    HashUtil.pqEncode(input.asInstanceOf[ArrayData], code, dsub, cbs)
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) = {
+    val ref = ctx.addReferenceObj("cbs", cbs, "double[][][]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.HashUtil.pqEncode($c, $code, $dsub, $ref)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): PqEncodeCodes =
+    copy(child = newChild)
+}
+
+/** Subspace-ordered ADC fold Σ_s dt[s][codes[s]] — the kernel form of the
+  * `aggregate(sequence(...))` lookup program; see [[HashUtil.adcDist]].
+  */
+case class AdcDistance(left: Expression, right: Expression, m: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(ArrayType(DoubleType)), ArrayType(IntegerType))
+  override def nullable: Boolean = true
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(dt: Any, codes: Any): Any =
+    HashUtil.adcDist(dt.asInstanceOf[ArrayData], codes.asInstanceOf[ArrayData], m)
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) = {
+    val boxed = ctx.freshName("adcBoxed")
+    nullSafeCodeGen(ctx, ev, (dt, codes) => s"""
+      java.lang.Double $boxed = graft.functions.HashUtil.adcDist($dt, $codes, $m);
+      ${ev.isNull} = $boxed == null;
+      ${ev.value} = ${ev.isNull} ? 0.0 : $boxed.doubleValue();
+    """)
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): AdcDistance =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Residual v − cents(cell) against literal centroids — the kernel form
+  * of `zip_with(v, element_at(ca, cell+1), (x, c) => x - c)`; see
+  * [[HashUtil.residualAt]].
+  */
+case class ResidualAt(left: Expression, right: Expression,
+    cents: Array[Array[Double]])
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def nullable: Boolean = true
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val base = ArrayElemCode.check(left, "graft_residual_at")
+    if (base.isFailure) base
+    else if (right.dataType == IntegerType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_residual_at cell argument must be int, got ${right.dataType.sql}")
+  }
+  private def code: Int = ArrayElemCode.code(left, "graft_residual_at")
+  override protected def nullSafeEval(v: Any, cell: Any): Any =
+    HashUtil.residualAt(v.asInstanceOf[ArrayData], code,
+      cell.asInstanceOf[Int], cents)
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) = {
+    val ref = ctx.addReferenceObj("cents", cents, "double[][]")
+    val res = ctx.freshName("residual")
+    nullSafeCodeGen(ctx, ev, (v, cell) => s"""
+      org.apache.spark.sql.catalyst.util.ArrayData $res =
+        graft.functions.HashUtil.residualAt($v, $code, $cell, $ref);
+      ${ev.isNull} = $res == null;
+      ${ev.value} = $res;
+    """)
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ResidualAt =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column-API entry points for the custom expressions. */
 object HashFunctions {
   private def lift(e: Expression): Column = ColumnBridge.column(e)
@@ -883,4 +1174,17 @@ object HashFunctions {
   /** Hamming distance between two 64-bit hashes (built-in bit_count). */
   def hammingDistance64(a: Column, b: Column): Column =
     org.apache.spark.sql.functions.bit_count(a.bitwiseXOR(b))
+
+  def nearestCentroid(v: Column, cents: Array[Array[Double]]): Column =
+    lift(NearestCentroid(expr(v), cents))
+  def nearestCodeBySub(sv: Column, sub: Column,
+      cbs: Array[Array[Array[Double]]]): Column =
+    lift(NearestCodeBySub(expr(sv), expr(sub), cbs))
+  def pqEncodeCodes(v: Column, dsub: Int,
+      cbs: Array[Array[Array[Double]]]): Column =
+    lift(PqEncodeCodes(expr(v), dsub, cbs))
+  def adcDistance(dt: Column, codes: Column, m: Int): Column =
+    lift(AdcDistance(expr(dt), expr(codes), m))
+  def residualAt(v: Column, cell: Column, cents: Array[Array[Double]]): Column =
+    lift(ResidualAt(expr(v), expr(cell), cents))
 }

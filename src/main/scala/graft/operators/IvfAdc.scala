@@ -64,14 +64,16 @@ object IvfAdc {
     Model(coarse, pq)
   }
 
-  /** (vec_id, cell, rv): coarse assignment + residual vector. */
-  def residuals(corpus: DataFrame, coarse: IvfIndex.Model): DataFrame = {
-    val ca = centArr(coarse)
+  /** (vec_id, cell, rv): coarse assignment + residual vector. r12: the
+    * per-row `zip_with(v, element_at(ca, cell+1), x - c)` HOF (interpreted,
+    * once per corpus vector) is the codegen'd ResidualAt kernel with
+    * identical padding/null semantics.
+    */
+  def residuals(corpus: DataFrame, coarse: IvfIndex.Model): DataFrame =
     IvfIndex.assign(corpus, coarse)
       .select(col("vec_id"), col("cell"),
-        zip_with(col("v"), element_at(ca, col("cell") + 1),
-          (x, c) => x - c).as("rv"))
-  }
+        graft.functions.HashFunctions.residualAt(
+          col("v"), col("cell"), IvfIndex.centMatrix(coarse)).as("rv"))
 
   /** Compressed index rows: (vec_id, cell, codes[m]) — one narrow pass
     * over the residual frame, PQ codes from the plan-literal codebooks.
@@ -144,8 +146,9 @@ object IvfAdc {
     try {
       staged.select(col("vec_id"), col("cell"),
         PqIndex.encodeVec(
-          zip_with(col("v"), element_at(ca, col("cell") + 1),
-            (x, c) => x - c), m.pq).as("codes"))
+          graft.functions.HashFunctions.residualAt(
+            col("v"), col("cell"), IvfIndex.centMatrix(m.coarse)),
+          m.pq).as("codes"))
         .write.mode("append").partitionBy("cell").parquet(s"$path/cells")
       // a withVectors serving layout must stay COMPLETE: an appended
       // vector missing from vectors/ would survive the ADC scan and
@@ -176,8 +179,9 @@ object IvfAdc {
     val dtab = pcells
       .select(col("probe_id"), col("cell"),
         PqIndex.distanceTable(
-          zip_with(col("pv"), element_at(ca, col("cell") + 1),
-            (x, c) => x - c), model.pq).as("dt"))
+          graft.functions.HashFunctions.residualAt(
+            col("pv"), col("cell"), IvfIndex.centMatrix(model.coarse)),
+          model.pq).as("dt"))
     // collect once (probes small by contract) → local frame + the
     // partition-pruning cell list
     val dtabLocal = spark.createDataFrame(
@@ -275,8 +279,9 @@ object IvfAdc {
     val dtab = pcells
       .select(col("probe_id"), col("cell"),
         PqIndex.distanceTable(
-          zip_with(col("pv"), element_at(ca, col("cell") + 1),
-            (x, c) => x - c), model.pq).as("dt"))
+          graft.functions.HashFunctions.residualAt(
+            col("pv"), col("cell"), IvfIndex.centMatrix(model.coarse)),
+          model.pq).as("dt"))
     codes.join(broadcast(dtab), Seq("cell"))
       .filter(col("vec_id") =!= col("probe_id"))
       .withColumn("adc", PqIndex.adcDistance(col("dt"), col("codes"), model.pq.m))

@@ -33,13 +33,18 @@ object IvfIndex {
   private[operators] def centroidArrayCol(m: Model): Column =
     array(m.centroids.sortBy(_._1).map { case (_, v) => typedlit(v) }: _*)
 
-  /** Nearest-centroid id for a (double-cast) vector column. */
-  private def nearestCell(vec: Column, m: Model): Column = {
-    // arg-min over squared distance; centroid ids are array positions
-    val scored = transform(centroidArrayCol(m),
-      (c, i) => struct(squaredL2Distance(vec, c).as("d"), i.as("cell")))
-    array_min(scored).getField("cell")
-  }
+  /** Sorted centroid matrix (ids are array positions, 0..k-1). */
+  private[operators] def centMatrix(m: Model): Array[Array[Double]] =
+    m.centroids.sortBy(_._1).map(_._2)
+
+  /** Nearest-centroid id for a (double-cast) vector column — one codegen'd
+    * argmin kernel call (r12: the `array_min(transform(...))` HOF form is
+    * CodegenFallback and allocated k structs per row in the k-means
+    * assignment inner loop; [[graft.functions.NearestCentroid]] pins the
+    * identical (distance, index) ordering).
+    */
+  private def nearestCell(vec: Column, m: Model): Column =
+    graft.functions.HashFunctions.nearestCentroid(vec, centMatrix(m))
 
   /** Train a k-means quantizer on (vec_id, embedding). */
   def train(corpus: DataFrame, k: Int, iterations: Int = 5,

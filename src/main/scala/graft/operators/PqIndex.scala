@@ -100,16 +100,18 @@ object PqIndex {
       }
 
     (0 until iterations).foreach { _ =>
-      val cb = codebookCol(Model(m, dsub, codebooks))
       // No explode (r12, the IvfIndex.train pattern): (sub, code) count
       // + one running sum per subspace dimension — m·k rows × (dsub+1)
       // buffers instead of |subs|·dsub exploded (sub, code, dim, x)
       // rows per pass. Same within-partition add order, sum/count ≡
-      // avg — codebooks bit-identical to the exploded form.
+      // avg — codebooks bit-identical to the exploded form. The argmin
+      // itself is the codegen'd NearestCodeBySub kernel (r12; was an
+      // interpreted transform+array_min per subvector row).
       val sums = (0 until dsub).map(d =>
         sum(element_at(col("sv"), d + 1)).as(s"__s$d"))
       val meanRows = subs
-        .withColumn("code", nearestCode(col("sv"), col("sub"), cb))
+        .withColumn("code", graft.functions.HashFunctions.nearestCodeBySub(
+          col("sv"), col("sub"), codebooks))
         .groupBy("sub", "code")
         .agg(count(lit(1)).as("__n"), sums: _*)
         .collect()
@@ -142,11 +144,11 @@ object PqIndex {
     * carry extra columns through encoding (IVFADC keeps the coarse cell
     * id alongside).
     */
-  def encodeVec(v: Column, model: Model): Column = {
-    val cb = codebookCol(model)
-    transform(sequence(lit(0), lit(model.m - 1)),
-      s => nearestCode(slice(v, s * model.dsub + 1, lit(model.dsub)), s, cb))
-  }
+  def encodeVec(v: Column, model: Model): Column =
+    // r12: one codegen'd kernel call per row instead of m interpreted
+    // slice + transform + array_min programs (identical slice-truncation
+    // and (distance, code) ordering — see PqEncodeCodes)
+    graft.functions.HashFunctions.pqEncodeCodes(v, model.dsub, model.codebooks)
 
   /** Per-probe ADC lookup table dt[sub][code] from a double-array probe
     * vector column (shared by [[adcTopK]] and IVFADC).
@@ -161,8 +163,11 @@ object PqIndex {
 
   /** ADC distance: fold the per-subspace lookups in subspace order. */
   def adcDistance(dt: Column, codes: Column, m: Int): Column =
-    aggregate(sequence(lit(0), lit(m - 1)), lit(0.0), (acc, s) =>
-      acc + element_at(element_at(dt, s + 1), element_at(codes, s + 1) + 1))
+    // r12: the subspace-ordered lookup fold as one codegen'd kernel call
+    // — the aggregate(sequence(...)) form interpreted 3 element_ats per
+    // subspace per (candidate, probe) pair, the scan-dominant cost of
+    // every ADC lane
+    graft.functions.HashFunctions.adcDistance(dt, codes, m)
 
   /** ADC top-k: per probe, build the m×k lookup table of subspace
     * distances ONCE (a tiny probes×codebook frame, broadcast), then score
