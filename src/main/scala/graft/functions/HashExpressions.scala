@@ -503,6 +503,85 @@ object HashUtil {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** Sorted n-gram run-length stats (top = best-run count × that gram's
+    * char length, dup = Σ_{runs>1} run × gram char length) — the kernel
+    * form of the Gopher-repetition `aggregate(array_sort(gramArr(n)),
+    * ...)` program: grams are the space-joined n-token windows
+    * (concat_ws semantics — null tokens skipped, though the Tokenize
+    * kernel never yields them), sorted in UTF8String's natural order
+    * (unsigned bytewise, shorter-prefix-first — exactly array_sort on
+    * strings), runs scanned with string equality, "best" decided by
+    * strict count comparison so ties keep the earlier (sorted-first)
+    * gram, char lengths counted as codepoints (Spark length()). T < n
+    * yields (0, 0) like the empty gram array.
+    */
+  def gramRunStats(toks: ArrayData, n: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    val T = toks.numElements()
+    val cnt = T - n + 1
+    if (cnt <= 0) return org.apache.spark.sql.catalyst.InternalRow(0L, 0L)
+    val space = UTF8String.fromString(" ")
+    val tokArr = new Array[UTF8String](T)
+    var t = 0
+    while (t < T) { tokArr(t) = toks.getUTF8String(t); t += 1 }
+    val grams = new Array[UTF8String](cnt)
+    val win = new Array[UTF8String](n)
+    var i = 0
+    while (i < cnt) {
+      System.arraycopy(tokArr, i, win, 0, n)
+      grams(i) = UTF8String.concatWs(space, win: _*)
+      i += 1
+    }
+    java.util.Arrays.sort(grams, java.util.Comparator.naturalOrder[UTF8String]())
+    var prev: UTF8String = null
+    var plen = 0L; var run = 0L
+    var bestC = 0L; var bestL = 0L; var dup = 0L
+    var j = 0
+    while (j < cnt) {
+      val x = grams(j)
+      if (prev != null && x.equals(prev)) run += 1
+      else {
+        if (run > bestC) { bestC = run; bestL = plen }
+        if (run > 1) dup += run * plen
+        prev = x; plen = x.numChars().toLong; run = 1
+      }
+      j += 1
+    }
+    val top = if (run > bestC) run * plen else bestC * bestL
+    if (run > 1) dup += run * plen
+    org.apache.spark.sql.catalyst.InternalRow(top, dup)
+  }
+
+  /** Synthetic-line duplication census — the kernel form of
+    * `syntheticLines(toks, lineLen)` + size/array_distinct/Σlength over
+    * it: lines are lineLen-token chunks joined with " " (last chunk
+    * truncated), distinctness is string equality keeping first
+    * occurrences, lengths are codepoint counts. Returns
+    * (n_lines, n_distinct, sum_len, distinct_sum_len); empty token
+    * arrays yield (0, 0, 0, 0) like the empty line array.
+    */
+  def lineDupStats(toks: ArrayData, lineLen: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    val T = toks.numElements()
+    if (T == 0) return org.apache.spark.sql.catalyst.InternalRow(0, 0, 0L, 0L)
+    val space = UTF8String.fromString(" ")
+    val nLines = (T - 1) / lineLen + 1
+    val seen = new java.util.HashSet[UTF8String]()
+    var sumLen = 0L; var dSum = 0L; var d = 0
+    var i = 0
+    while (i < nLines) {
+      val from = i * lineLen
+      val len = math.min(lineLen, T - from)
+      val chunk = new Array[UTF8String](len)
+      var t = 0
+      while (t < len) { chunk(t) = toks.getUTF8String(from + t); t += 1 }
+      val line = UTF8String.concatWs(space, chunk: _*)
+      val L = line.numChars().toLong
+      sumLen += L
+      if (seen.add(line)) { d += 1; dSum += L }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(nLines, d, sumLen, dSum)
+  }
+
   /** Winnowing fingerprint SET (Schleimer/Wilkerson/Aiken, SIGMOD'03):
     * the distinct hashes of [[winnowSelections]] in first-seen order.
     * Any shared substring of length ≥ window+k-1 guarantees a shared
@@ -959,6 +1038,48 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Sorted n-gram run-length stats struct<top,dup> of an array<string> of
+  * tokens — see [[HashUtil.gramRunStats]].
+  */
+case class GramRunStats(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(n >= 1, "gramRunStats needs n >= 1")
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = StructType(Seq(
+    StructField("top", LongType, nullable = false),
+    StructField("dup", LongType, nullable = false)))
+  override protected def nullSafeEval(input: Any): Any =
+    HashUtil.gramRunStats(input.asInstanceOf[ArrayData], n)
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashUtil.gramRunStats($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): GramRunStats =
+    copy(child = newChild)
+}
+
+/** Synthetic-line duplication census struct<n_lines,n_distinct,sum_len,
+  * distinct_sum_len> — see [[HashUtil.lineDupStats]].
+  */
+case class LineDupStats(child: Expression, lineLen: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(lineLen >= 1, "lineDupStats needs lineLen >= 1")
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_lines", IntegerType, nullable = false),
+    StructField("n_distinct", IntegerType, nullable = false),
+    StructField("sum_len", LongType, nullable = false),
+    StructField("distinct_sum_len", LongType, nullable = false)))
+  override protected def nullSafeEval(input: Any): Any =
+    HashUtil.lineDupStats(input.asInstanceOf[ArrayData], lineLen)
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashUtil.lineDupStats($c, $lineLen)")
+  override protected def withNewChildInternal(newChild: Expression): LineDupStats =
+    copy(child = newChild)
+}
+
 /** Shared element-code dispatch for the numeric-array kernels. */
 private[functions] object ArrayElemCode {
   def of(dt: DataType): Option[Int] = dt match {
@@ -1187,4 +1308,8 @@ object HashFunctions {
     lift(AdcDistance(expr(dt), expr(codes), m))
   def residualAt(v: Column, cell: Column, cents: Array[Array[Double]]): Column =
     lift(ResidualAt(expr(v), expr(cell), cents))
+  def gramRunStats(toks: Column, n: Int): Column =
+    lift(GramRunStats(expr(toks), n))
+  def lineDupStats(toks: Column, lineLen: Int): Column =
+    lift(LineDupStats(expr(toks), lineLen))
 }

@@ -78,72 +78,33 @@ object QualityRules {
       lineLen: Int = 10): DataFrame = {
     val staged = df.select(col(idCol), length(col(textCol)).as("__tlen"),
       tokens(col(textCol)).as("__toks"))
+
+    // r12: the per-row gram/line programs (3 × transform+array_join gram
+    // builds, array_sort, an interpreted aggregate() run-length scan with
+    // a 6-field struct per step, plus array_distinct + Σlength over the
+    // synthetic lines) are two codegen'd kernels. GramRunStats pins the
+    // identical sort order (UTF8String natural = array_sort on strings),
+    // run/tie rules and codepoint char lengths; LineDupStats pins the
+    // chunking, first-occurrence distinctness and length sums. Counts
+    // are exact integers, so results are bit-identical.
+    import graft.functions.HashFunctions.{gramRunStats, lineDupStats}
     val lined = staged.select(col(idCol), col("__tlen"), col("__toks"),
-      syntheticLines(col("__toks"), lineLen).as("__lines"))
-
-    def gramArr(n: Int): Column =
-      when(size(col("__toks")) >= n,
-        transform(sequence(lit(1), size(col("__toks")) - (n - 1)),
-          i => array_join(slice(col("__toks"), i, lit(n)), " ")))
-        .otherwise(array().cast("array<string>"))
-
-    // Run-length scan over the sorted gram array. State carries the
-    // current run (prev gram, its char length, run count) and the
-    // accumulated answers (best count, best gram's char length,
-    // duplicated-char sum); a run finalizes when the next gram differs,
-    // and the finish lambda finalizes the last run. Empty arrays yield
-    // (top = 0, dup = 0) — the exact values the old left-join + coalesce
-    // produced for gram-less docs. Counts are exact integers, so the
-    // result is bit-identical to the aggregation it replaces.
-    def runStats(g: Column): Column = {
-      def step(st: Column, x: Column): Column = {
-        val rn = st.getField("run")
-        val pl = st.getField("plen")
-        val better = rn > st.getField("bestC")
-        when(st.getField("prev").isNotNull && x === st.getField("prev"),
-          struct(st.getField("prev").as("prev"), pl.as("plen"),
-            (rn + lit(1L)).as("run"), st.getField("bestC").as("bestC"),
-            st.getField("bestL").as("bestL"), st.getField("dup").as("dup")))
-          .otherwise(
-            struct(x.as("prev"), length(x).cast("long").as("plen"),
-              lit(1L).as("run"),
-              when(better, rn).otherwise(st.getField("bestC")).as("bestC"),
-              when(better, pl).otherwise(st.getField("bestL")).as("bestL"),
-              (st.getField("dup") +
-                when(rn > 1, rn * pl).otherwise(lit(0L))).as("dup")))
-      }
-      def finish(st: Column): Column = {
-        val rn = st.getField("run")
-        val pl = st.getField("plen")
-        val better = rn > st.getField("bestC")
-        struct(
-          (when(better, rn).otherwise(st.getField("bestC")) *
-            when(better, pl).otherwise(st.getField("bestL"))).as("top"),
-          (st.getField("dup") +
-            when(rn > 1, rn * pl).otherwise(lit(0L))).as("dup"))
-      }
-      aggregate(
-        array_sort(g),
-        struct(lit(null).cast("string").as("prev"), lit(0L).as("plen"),
-          lit(0L).as("run"), lit(0L).as("bestC"), lit(0L).as("bestL"),
-          lit(0L).as("dup")),
-        step, finish)
-    }
+      lineDupStats(col("__toks"), lineLen).as("__ls"))
 
     lined.select(
       col(idCol),
       col("__tlen"),
-      size(col("__lines")).as("n_lines"),
-      when(size(col("__lines")) > 0,
-        lit(1.0) - size(array_distinct(col("__lines"))).cast("double") /
-          size(col("__lines"))).otherwise(lit(0.0)).as("dup_line_frac"),
-      when(sumLen(col("__lines")) > 0,
-        (sumLen(col("__lines")) - sumLen(array_distinct(col("__lines"))))
-          .cast("double") / sumLen(col("__lines")))
+      col("__ls.n_lines").as("n_lines"),
+      when(col("__ls.n_lines") > 0,
+        lit(1.0) - col("__ls.n_distinct").cast("double") /
+          col("__ls.n_lines")).otherwise(lit(0.0)).as("dup_line_frac"),
+      when(col("__ls.sum_len") > 0,
+        (col("__ls.sum_len") - col("__ls.distinct_sum_len"))
+          .cast("double") / col("__ls.sum_len"))
         .otherwise(lit(0.0)).as("dup_line_char_frac"),
-      runStats(gramArr(2)).as("__g2"),
-      runStats(gramArr(3)).as("__g3"),
-      runStats(gramArr(5)).as("__g5"))
+      gramRunStats(col("__toks"), 2).as("__g2"),
+      gramRunStats(col("__toks"), 3).as("__g3"),
+      gramRunStats(col("__toks"), 5).as("__g5"))
     .select(col(idCol), col("n_lines"), col("dup_line_frac"),
       col("dup_line_char_frac"),
       when(col("__tlen") > 0,
