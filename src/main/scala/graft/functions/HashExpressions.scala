@@ -503,6 +503,94 @@ object HashUtil {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  private val EmptyStringArray =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+
+  /** The empty array<string> — callable from generated code. */
+  def emptyStringArray(): ArrayData = EmptyStringArray
+
+  /** Distinct word k-shingles in first-occurrence order — the kernel form
+    * of `array_distinct(transform(sequence(...), i => array_join(slice(
+    * toks, i, k), " ")))`: windows joined with " " (array_join skips null
+    * elements, though the Tokenize kernel never yields them), distinctness
+    * by string equality keeping first occurrences, fewer-than-k tokens
+    * yield the empty array.
+    */
+  def wordShingles(toks: ArrayData, k: Int): ArrayData = {
+    val T = toks.numElements()
+    val cnt = T - k + 1
+    if (cnt <= 0) return EmptyStringArray
+    val space = UTF8String.fromString(" ")
+    val tokArr = new Array[UTF8String](T)
+    var t = 0
+    while (t < T) { tokArr(t) = toks.getUTF8String(t); t += 1 }
+    val seen = new java.util.HashSet[UTF8String]()
+    val out = new scala.collection.mutable.ArrayBuffer[Any](math.min(cnt, 1024))
+    val win = new Array[UTF8String](k)
+    var i = 0
+    while (i < cnt) {
+      System.arraycopy(tokArr, i, win, 0, k)
+      val sh = UTF8String.concatWs(space, win: _*)
+      if (seen.add(sh)) out += sh
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
+  /** [[minhash64]] that returns null when the array holds no non-null
+    * element — the fused form of `when(size(filter(elems, isNotNull)) > 0,
+    * minhash64(elems, k))`, which interpreted a filter() pass per row just
+    * to decide the guard.
+    */
+  def minhash64OrNull(arr: ArrayData, k: Int, stringElems: Boolean): ArrayData = {
+    val n = arr.numElements()
+    var i = 0
+    var any = false
+    while (!any && i < n) { any = !arr.isNullAt(i); i += 1 }
+    if (!any) null else minhash64(arr, k, stringElems)
+  }
+
+  /** LSH band keys of a minhash signature — the kernel form of
+    * `array((0 until numBands).map(b => struct(b, xxhash64(array_join(
+    * transform(slice(sig, b·r+1, r), cast-to-string), ",")))))`: per band
+    * the signature slice (truncated at the end; empty past it) renders as
+    * comma-joined decimal longs (null elements skipped, like array_join)
+    * and hashes with Spark's XXH64 at the default seed 42. A NULL
+    * signature replays xxhash64(null) = seed per band — the documented
+    * featureless-doc sentinel — so the caller passes nulls through via
+    * [[LshBandKeysExpr]]'s non-null contract.
+    */
+  def lshBandKeys(sig: ArrayData, numBands: Int, rowsPerBand: Int): ArrayData = {
+    val out = new Array[Any](numBands)
+    val n = if (sig == null) 0 else sig.numElements()
+    var b = 0
+    while (b < numBands) {
+      val bucket: Long =
+        if (sig == null) 42L // xxhash64(null) = seed
+        else {
+          val from = b * rowsPerBand
+          val to = math.min(from + rowsPerBand, n)
+          val sb = new java.lang.StringBuilder(rowsPerBand * 20)
+          var i = from
+          var firstOut = true
+          while (i < to) {
+            if (!sig.isNullAt(i)) {
+              if (!firstOut) sb.append(',')
+              sb.append(sig.getLong(i))
+              firstOut = false
+            }
+            i += 1
+          }
+          val u = UTF8String.fromString(sb.toString)
+          org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+            u.getBaseObject, u.getBaseOffset, u.numBytes(), 42L)
+        }
+      out(b) = org.apache.spark.sql.catalyst.InternalRow(b, bucket)
+      b += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Sorted n-gram run-length stats (top = best-run count × that gram's
     * char length, dup = Σ_{runs>1} run × gram char length) — the kernel
     * form of the Gopher-repetition `aggregate(array_sort(gramArr(n)),
@@ -1038,6 +1126,108 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Distinct word k-shingles of an array<string> of tokens — see
+  * [[HashUtil.wordShingles]]. NEVER null: a null token array yields the
+  * empty array, replicating `array_distinct(when(size(toks) >= k, ...)
+  * .otherwise(array()))` where the null-size condition falls through to
+  * the empty-array branch.
+  */
+case class WordShinglesExpr(child: Expression, k: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(k >= 1, "wordShingles needs k >= 1")
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) HashUtil.emptyStringArray()
+    else HashUtil.wordShingles(v.asInstanceOf[ArrayData], k)
+  }
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val childGen = child.genCode(ctx)
+    ev.copy(code = code"""
+      ${childGen.code}
+      org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = ${childGen.isNull} ?
+        graft.functions.HashUtil.emptyStringArray() :
+        graft.functions.HashUtil.wordShingles(${childGen.value}, $k);""",
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
+  override protected def withNewChildInternal(newChild: Expression): WordShinglesExpr =
+    copy(child = newChild)
+}
+
+/** MinHash signature or null when no non-null feature exists — the fused
+  * guard+signature; see [[HashUtil.minhash64OrNull]]. Same type dispatch
+  * as [[MinHash64]].
+  */
+case class MinHash64OrNull(child: Expression, numHashes: Int) extends UnaryExpression {
+  override def nullable: Boolean = true
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) | ArrayType(LongType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_minhash64_or_null requires array<string> or array<bigint>, got ${other.sql}")
+  }
+  private def stringElems: Boolean = child.dataType match {
+    case ArrayType(StringType, _) => true
+    case _ => false
+  }
+  override protected def nullSafeEval(input: Any): Any =
+    HashUtil.minhash64OrNull(input.asInstanceOf[ArrayData], numHashes, stringElems)
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) = {
+    val res = ctx.freshName("mhSig")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      org.apache.spark.sql.catalyst.util.ArrayData $res =
+        graft.functions.HashUtil.minhash64OrNull($c, $numHashes, $stringElems);
+      ${ev.isNull} = $res == null;
+      ${ev.value} = $res;
+    """)
+  }
+  override protected def withNewChildInternal(newChild: Expression): MinHash64OrNull =
+    copy(child = newChild)
+}
+
+/** LSH band keys array<struct<band:int,bucket:bigint>> of a minhash
+  * signature — see [[HashUtil.lshBandKeys]]. NEVER null: a null signature
+  * replays the xxhash64(null) = seed sentinel per band, exactly like the
+  * array(struct(b, xxhash64(array_join(transform(slice(NULL sig)...)))))
+  * program it replaces.
+  */
+case class LshBandKeysExpr(child: Expression, numBands: Int, rowsPerBand: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(numBands >= 1 && rowsPerBand >= 1, "lshBandKeys needs positive banding")
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("band", IntegerType, nullable = false),
+    StructField("bucket", LongType, nullable = false))), containsNull = false)
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    HashUtil.lshBandKeys(
+      if (v == null) null else v.asInstanceOf[ArrayData], numBands, rowsPerBand)
+  }
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val childGen = child.genCode(ctx)
+    ev.copy(code = code"""
+      ${childGen.code}
+      org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+        graft.functions.HashUtil.lshBandKeys(
+          ${childGen.isNull} ? null : ${childGen.value}, $numBands, $rowsPerBand);""",
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
+  override protected def withNewChildInternal(newChild: Expression): LshBandKeysExpr =
+    copy(child = newChild)
+}
+
 /** Sorted n-gram run-length stats struct<top,dup> of an array<string> of
   * tokens — see [[HashUtil.gramRunStats]].
   */
@@ -1312,4 +1502,10 @@ object HashFunctions {
     lift(GramRunStats(expr(toks), n))
   def lineDupStats(toks: Column, lineLen: Int): Column =
     lift(LineDupStats(expr(toks), lineLen))
+  def distinctWordShingles(toks: Column, k: Int): Column =
+    lift(WordShinglesExpr(expr(toks), k))
+  def minhash64OrNull(features: Column, numHashes: Int): Column =
+    lift(MinHash64OrNull(expr(features), numHashes))
+  def lshBandKeys(sig: Column, numBands: Int, rowsPerBand: Int): Column =
+    lift(LshBandKeysExpr(expr(sig), numBands, rowsPerBand))
 }

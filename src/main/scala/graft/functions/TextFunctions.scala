@@ -74,11 +74,11 @@ object TextFunctions {
     * inline — that would re-tokenize per shingle.
     */
   def wordShinglesOf(toks: Column, k: Int): Column =
-    array_distinct(
-      when(size(toks) >= k,
-        transform(sequence(lit(1), size(toks) - (k - 1)),
-          i => array_join(slice(toks, i, lit(k)), " ")))
-        .otherwise(array()))
+    // r12: one codegen'd kernel call (WordShinglesExpr) instead of the
+    // interpreted array_distinct(transform + array_join + slice) program
+    // — identical output incl. first-occurrence order and the
+    // empty-array result for null/short token arrays
+    HashFunctions.distinctWordShingles(toks, k)
 
   /** Convenience one-shot form — only for tiny/test inputs; hot paths must
     * stage tokens first and use [[wordShinglesOf]].
@@ -94,9 +94,11 @@ object TextFunctions {
   def minHashSignature(elems: Column, numHashes: Int): Column =
     // guard on NON-NULL elements: an all-null array would otherwise yield
     // a Long.MaxValue-sentinel signature that LSH banding hashes into a
-    // real bucket, colliding every featureless doc into one candidate set
-    when(size(filter(elems, e => e.isNotNull)) > 0,
-      graft.functions.HashFunctions.minhash64(elems, numHashes))
+    // real bucket, colliding every featureless doc into one candidate
+    // set. r12: guard and signature are ONE kernel call
+    // (MinHash64OrNull) — the when(size(filter(...)) > 0, ...) form
+    // interpreted a filter() pass per row just to decide the guard.
+    graft.functions.HashFunctions.minhash64OrNull(elems, numHashes)
 
   /** LSH band keys from a minhash signature: hash of each band of `rowsPerBand`
     * signature values, tagged with the band index so buckets from different
@@ -104,13 +106,11 @@ object TextFunctions {
     * candidate buckets.
     */
   def lshBandKeys(signature: Column, numBands: Int, rowsPerBand: Int): Column =
-    array((0 until numBands).map { b =>
-      struct(
-        lit(b).as("band"),
-        xxhash64(array_join(
-          transform(slice(signature, b * rowsPerBand + 1, rowsPerBand),
-            v => v.cast("string")), ",")).as("bucket"))
-    }: _*)
+    // r12: one codegen'd kernel call (LshBandKeysExpr) instead of
+    // numBands interpreted slice+transform+array_join+xxhash64 programs
+    // per row — byte-identical buckets (same comma-joined decimal
+    // rendering, same XXH64 seed 42, same null-signature sentinel)
+    HashFunctions.lshBandKeys(signature, numBands, rowsPerBand)
 
   /** Exact Jaccard similarity of two array-sets. */
   def jaccard(a: Column, b: Column): Column = {

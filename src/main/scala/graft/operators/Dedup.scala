@@ -150,7 +150,8 @@ object Dedup {
     val banded = featured
       .withColumn("sig", minHashSignature(col("feats"), numHashes))
       .select(col("id"),
-        explode(lshBandKeys(col("sig"), numBands, rowsPerBand)).as("bk"))
+        explode(graft.functions.TextFunctions.lshBandKeys(
+          col("sig"), numBands, rowsPerBand)).as("bk"))
     banded.as("a").join(banded.as("b"),
         col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
@@ -209,9 +210,17 @@ object Dedup {
     // subtree would be re-evaluated per shingle inside the (interpreted)
     // higher-order lambda — O(n²) per row. The filter between the two
     // projections also keeps CollapseProject from re-inlining.
+    // r12: the featured frame feeds FOUR plan branches (both sides of
+    // the band self-join + both rerank joins), and filter pushdown
+    // re-inlines tokens() into every scan's condition — the measured
+    // plan ran tokenize 8× and the shingle kernel 4× over the corpus.
+    // A LAZY localCheckpoint (the spanDedup grams discipline) stores the
+    // narrow (id, feats) rows once; blocks are ContextCleaner-freed when
+    // the result frame is dropped.
     val featured = df.select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
       .filter(size(col("toks")) >= shingleSize)
       .select(col("id"), wordShinglesOf(col("toks"), shingleSize).as("feats"))
+      .localCheckpoint(false)
     jaccardRerank(lshCandidatePairs(featured, numHashes, bands),
       featured, jaccardThreshold)
   }
@@ -273,6 +282,9 @@ object Dedup {
       .filter(length(col("lo")) >= n)
       .select(col("id"),
         graft.functions.HashFunctions.ngramHashes(col("lo"), n).as("feats"))
+      // one materialization for the four plan branches (see
+      // minHashNearDups — same lazy-checkpoint discipline)
+      .localCheckpoint(false)
     jaccardRerank(lshCandidatePairs(featured, numHashes, bands),
       featured, threshold)
   }
