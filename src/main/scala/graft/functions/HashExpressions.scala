@@ -591,6 +591,34 @@ object HashUtil {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** Per-document term frequencies in first-occurrence order — the
+    * in-row equivalent of `explode(toks) groupBy(term) count`: one
+    * (term, tf) struct per distinct token. Null tokens are skipped
+    * (a null explode row would groupBy into a null term key — the
+    * Tokenize kernel never produces one, but the contract matches).
+    */
+  def termCounts(toks: ArrayData): ArrayData = {
+    val n = toks.numElements()
+    val counts = new java.util.LinkedHashMap[UTF8String, Int]()
+    var i = 0
+    while (i < n) {
+      if (!toks.isNullAt(i)) {
+        val t = toks.getUTF8String(i)
+        counts.merge(t, 1, (a, b) => a + b)
+      }
+      i += 1
+    }
+    val out = new Array[Any](counts.size)
+    val it = counts.entrySet().iterator()
+    var j = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(j) = org.apache.spark.sql.catalyst.InternalRow(e.getKey, e.getValue)
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Sorted n-gram run-length stats (top = best-run count × that gram's
     * char length, dup = Σ_{runs>1} run × gram char length) — the kernel
     * form of the Gopher-repetition `aggregate(array_sort(gramArr(n)),
@@ -1126,6 +1154,25 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Per-document term frequencies array<struct<term:string,tf:int>> —
+  * see [[HashUtil.termCounts]].
+  */
+case class TermCounts(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("term", StringType, nullable = false),
+    StructField("tf", IntegerType, nullable = false))), containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    HashUtil.termCounts(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashUtil.termCounts($c)")
+  override protected def withNewChildInternal(newChild: Expression): TermCounts =
+    copy(child = newChild)
+}
+
 /** Distinct word k-shingles of an array<string> of tokens — see
   * [[HashUtil.wordShingles]]. NEVER null: a null token array yields the
   * empty array, replicating `array_distinct(when(size(toks) >= k, ...)
@@ -1508,4 +1555,5 @@ object HashFunctions {
     lift(MinHash64OrNull(expr(features), numHashes))
   def lshBandKeys(sig: Column, numBands: Int, rowsPerBand: Int): Column =
     lift(LshBandKeysExpr(expr(sig), numBands, rowsPerBand))
+  def termCounts(toks: Column): Column = lift(TermCounts(expr(toks)))
 }

@@ -436,10 +436,18 @@ object TextAnalysis {
       name: String, basePath: String, buckets: Int): Unit = {
     val staged = df.select(col(idCol).as("id"), tokens(col(textCol)).as("__toks"))
       .select(col("id"), col("__toks"), size(col("__toks")).as("dl"))
+    // r12 (guide §2.4): per-doc term frequencies are computed IN-ROW by
+    // the TermCounts kernel instead of explode + groupBy(term, id, dl) —
+    // identical (term, id, dl, tf) rows (a doc's tokens never span rows,
+    // so the aggregation was per-row anyway) without shuffling the
+    // corpus-sized exploded frame; the bucketed write needs no
+    // particular incoming partitioning (each task hashes rows into its
+    // bucket files)
     val postings = staged
-      .select(col("id"), col("dl"), explode(col("__toks")).as("term"))
-      .groupBy(col("term"), col("id"), col("dl"))
-      .agg(count(lit(1)).cast("int").as("tf"))
+      .select(col("id"), col("dl"),
+        explode(graft.functions.HashFunctions.termCounts(col("__toks"))).as("tc"))
+      .select(col("tc.term").as("term"), col("id"), col("dl"),
+        col("tc.tf").as("tf"))
     postings.write.mode("append")
       .option("path", s"$basePath/${name}_postings")
       .bucketBy(buckets, "term")
