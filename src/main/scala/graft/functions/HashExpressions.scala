@@ -591,6 +591,35 @@ object HashUtil {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** Positional n-gram XXH64 hashes: element i = xxhash64 (seed 42) of
+    * the space-joined token window starting at i — the kernel form of
+    * `transform(sequence(1, T-n+1), i => array_join(slice(toks, i, n),
+    * " ")))` followed by `xxhash64(gram)`, without materializing the
+    * gram strings in the plan. concat_ws skips null tokens like
+    * array_join; T < n yields the empty array (callers filter on it).
+    */
+  def posGramHashes(toks: ArrayData, n: Int): ArrayData = {
+    val T = toks.numElements()
+    val cnt = T - n + 1
+    if (cnt <= 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.emptyLongArray)
+    val space = UTF8String.fromString(" ")
+    val tokArr = new Array[UTF8String](T)
+    var t = 0
+    while (t < T) { tokArr(t) = toks.getUTF8String(t); t += 1 }
+    val out = new Array[Long](cnt)
+    val win = new Array[UTF8String](n)
+    var i = 0
+    while (i < cnt) {
+      System.arraycopy(tokArr, i, win, 0, n)
+      val g = UTF8String.concatWs(space, win: _*)
+      out(i) = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+        g.getBaseObject, g.getBaseOffset, g.numBytes(), 42L)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Per-document term frequencies in first-occurrence order — the
     * in-row equivalent of `explode(toks) groupBy(term) count`: one
     * (term, tf) struct per distinct token. Null tokens are skipped
@@ -1154,6 +1183,24 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Positional n-gram XXH64 hashes array<bigint> of an array<string> of
+  * tokens — see [[HashUtil.posGramHashes]].
+  */
+case class PosGramHashes(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(n >= 1, "posGramHashes needs n >= 1")
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    HashUtil.posGramHashes(input.asInstanceOf[ArrayData], n)
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashUtil.posGramHashes($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): PosGramHashes =
+    copy(child = newChild)
+}
+
 /** Per-document term frequencies array<struct<term:string,tf:int>> —
   * see [[HashUtil.termCounts]].
   */
@@ -1556,4 +1603,6 @@ object HashFunctions {
   def lshBandKeys(sig: Column, numBands: Int, rowsPerBand: Int): Column =
     lift(LshBandKeysExpr(expr(sig), numBands, rowsPerBand))
   def termCounts(toks: Column): Column = lift(TermCounts(expr(toks)))
+  def posGramHashes(toks: Column, n: Int): Column =
+    lift(PosGramHashes(expr(toks), n))
 }

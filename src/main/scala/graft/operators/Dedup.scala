@@ -852,13 +852,16 @@ object Dedup {
     // positional grams: index i (0-based) = span starting at token i.
     // __toks is a staged attribute, so the interpreted transform lambda
     // does not re-evaluate the token expression per gram.
+    // r12: gram strings never leave the row, so the interpreted
+    // transform+array_join+slice build followed by xxhash64(gram) is one
+    // PosGramHashes kernel call — byte-identical XXH64 values (same
+    // space-joining, same seed 42), positions unchanged (posexplode
+    // index = window start).
     val grams = spine
       .filter(size(col("__toks")) >= spanLen)
       .select(col("id"), posexplode(
-        transform(sequence(lit(1), size(col("__toks")) - (spanLen - 1)),
-          i => array_join(slice(col("__toks"), i, lit(spanLen)), " ")))
-        .as(Seq("pos", "gram")))
-      .select(col("id"), col("pos"), xxhash64(col("gram")).as("gh"))
+        graft.functions.HashFunctions.posGramHashes(col("__toks"), spanLen))
+        .as(Seq("pos", "gh")))
       // The gram frame feeds four plan branches (sample census, hot
       // winners, hot dups, cold window); without materialization each
       // branch re-runs the slice/join/hash kernel over the corpus —
