@@ -98,6 +98,17 @@ object OptProf {
       // warmup
       WeatherPipeline.runMany(spark, fx.manifests, Some(fx.jsonPath),
         new ParquetSink(s"$tmp/graft_etl_prof_sink")): Unit
+      // sub-phase: raw CSV scan vs + transform vs + JSON union
+      val rawCsv = spark.read
+        .option("sep", ";").option("encoding", "ISO-8859-1")
+        .option("header", "true").option("mode", "PERMISSIVE")
+        .schema(WuCsvSource.wuLayout)
+        .csv(fx.manifests.values.flatten.map(_.path).toSeq.distinct: _*)
+      time("etl raw csv scan")(noop(rawCsv))
+      val fleet = WuCsvSource.readFleet(spark, fx.manifests, WeatherSchema.SourceWu)
+      time("etl fleet read+transform")(noop(fleet))
+      val jsonSrc = InfoclimatJsonSource.read(spark, fx.jsonPath)
+      time("etl json source")(noop(jsonSrc))
       val df = WeatherPipeline.unifiedMany(spark, fx.manifests, Some(fx.jsonPath))
       df.cache()
       time("etl cache materialize")(noop(df))
